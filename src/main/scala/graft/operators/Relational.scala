@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Relational query surface (SURVEY.md §2.1) — the reference's
+  * Trino/spark-sql capability set (reference: SPARK_ICEBERG_GUIDE.md:2,
+  * trino/catalog), re-expressed as declarative DataFrame plans so
+  * Catalyst handles pushdown, pruning, join strategy and AQE.
+  *
+  * Oracle-parity (SURVEY.md §4): double aggregation is made
+  * order-independent by accumulating in DECIMAL(18,4) and casting the
+  * final value back to double — both Spark and DuckDB then produce
+  * bit-identical results regardless of partitioning.
+  */
+object Relational {
+
+  /** Exact (order-independent) sum of a double column. */
+  private[graft] def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Exact mean: decimal sum / count — identical across engines. */
+  private[graft] def davg(c: Column): Column =
+    (sum(c.cast(DecimalType(18, 4))).cast("double") / count(c))
+
+  /** q03: TPC-H Q1 shape — grouped aggregation with derived measures.
+    * Partial (map-side) aggregation is automatic; the scan reads only
+    * the 7 referenced columns at 100 TB thanks to column pruning.
+    */
+  def q03AggGroupBy(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q03_agg_groupby" -> q03AggGroupBy _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q03_agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
+}
