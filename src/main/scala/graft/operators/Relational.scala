@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -11,10 +12,16 @@ import graft.sources.Tables
   * trino/catalog), re-expressed as declarative DataFrame plans so
   * Catalyst handles pushdown, pruning, join strategy and AQE.
   *
-  * Oracle-parity (SURVEY.md §4): double aggregation is made
-  * order-independent by accumulating in DECIMAL(18,4) and casting the
-  * final value back to double — both Spark and DuckDB then produce
-  * bit-identical results regardless of partitioning.
+  * Oracle-parity rules (SURVEY.md §4):
+  *  - double aggregation accumulates in DECIMAL(18,4), final cast back
+  *    to double → order-independent, bit-identical across engines;
+  *  - identical arithmetic shape on both sides (IEEE ops are
+  *    deterministic given the same operand order);
+  *  - every query ends in a total-order ORDER BY;
+  *  - timestamps surface as DATE (or truncated DATE), never raw.
+  *
+  * Scale notes are per-query; dims (region/nation/supplier/part/
+  * customer) broadcast, fact-fact joins shuffle on their keys with AQE.
   */
 object Relational {
 
@@ -24,15 +31,33 @@ object Relational {
 
   /** Exact mean: decimal sum / count — identical across engines. */
   private[graft] def davg(c: Column): Column =
-    (sum(c.cast(DecimalType(18, 4))).cast("double") / count(c))
+    sum(c.cast(DecimalType(18, 4))).cast("double") / count(c)
 
-  /** q03: TPC-H Q1 shape — grouped aggregation with derived measures.
-    * Partial (map-side) aggregation is automatic; the scan reads only
-    * the 7 referenced columns at 100 TB thanks to column pruning.
-    */
-  def q03AggGroupBy(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+  private def d(s: String): Column = lit(s).cast("date")
+
+  // ── §2.1/1 scan + projection pruning ────────────────────────────────
+  /** At 100 TB the parquet scan must read exactly 3 columns; verified
+    * via ReadSchema in RelationalSpec. */
+  def q01(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  // ── §2.1/2 filter with predicate pushdown ───────────────────────────
+  /** Date + numeric + string predicates, all pushed to the parquet
+    * reader (PushedFilters) — at scale this skips row groups entirely. */
+  def q02(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= d("1996-01-01") && col("l_shipdate") < d("1997-01-01")
+        && col("l_quantity") >= lit(45.0) && col("l_returnflag") === lit("R"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // ── §2.1/3 grouped aggregation (TPC-H Q1 shape) ─────────────────────
+  def q03(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= d("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
@@ -42,24 +67,427 @@ object Relational {
         davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // ── §2.1/4 global aggregation + count distinct ──────────────────────
+  /** countDistinct shuffles once on the distinct key with partial
+    * aggregation — no driver-side set. */
+  def q04(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      countDistinct(col("l_suppkey")).as("n_supp"),
+      dsum(col("l_extendedprice")).as("sum_price"))
+
+  // ── §2.1/5 broadcast hash join ──────────────────────────────────────
+  /** customer is a dim (150k rows at sf100) → broadcast; no shuffle of
+    * the orders fact. */
+  def q05(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("c_mktsegment"))
   }
 
+  // ── §2.1/6 shuffle join (fact × fact) ───────────────────────────────
+  /** lineitem × orders co-shuffles on the order key; AQE coalesces
+    * post-shuffle partitions. At 100 TB both sides would be bucketed on
+    * the key to skip this exchange. */
+  def q06(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  // ── §2.1/7 multi-way star join (TPC-H Q5 shape) ─────────────────────
+  /** Dim chain region→nation→supplier broadcasts into the lineitem
+    * fact; only the lineitem×orders edge shuffles. */
+  def q07(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir); val n = Tables.nation(s, dir)
+    val su = Tables.supplier(s, dir); val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .filter(col("o_orderdate") >= d("1996-01-01") && col("o_orderdate") < d("1998-01-01"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  // ── §2.1/8 left outer join + null handling ──────────────────────────
+  def q08(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ── §2.1/9 semi join (EXISTS) ───────────────────────────────────────
+  /** left_semi never materializes the right columns — at scale the
+    * probe side streams, build side broadcasts or co-shuffles. */
+  def q09(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === lit("O"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ── §2.1/10 anti join (NOT EXISTS) ──────────────────────────────────
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === lit("P"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ── §2.1/11 window rank per partition ───────────────────────────────
+  /** Total-order window (price DESC, then unique key) keeps row_number
+    * deterministic; partitions hash-distribute on l_suppkey. */
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  // ── §2.1/12 running aggregate window ────────────────────────────────
+  /** Running sum accumulates in decimal so the prefix sums are exact
+    * and engine-identical. */
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // ── §2.1/13 top-N (sort + limit) ────────────────────────────────────
+  /** TakeOrderedAndProject: per-partition top-50 then driver merge —
+    * O(N) scan, no global sort, at any scale. */
+  def q13(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(50)
+
+  // ── §2.1/14 set operations ──────────────────────────────────────────
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val cn = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey")).distinct()
+    val sn = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")).distinct()
+    val both = cn.intersect(sn).withColumn("tag", lit("both"))
+    val custOnly = cn.except(sn).withColumn("tag", lit("cust_only"))
+    both.unionAll(custOnly)
+      .select(col("tag"), col("nationkey"))
+      .orderBy(col("tag"), col("nationkey"))
+  }
+
+  // ── §2.1/15 correlated subquery via derived aggregate (Q17 shape) ───
+  /** The correlated `l_quantity < 0.5*avg(per part)` decorrelates into
+    * a self-aggregate + join — the plan Catalyst/Trino both want. */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    val avgQ = li.groupBy(col("l_partkey").as("pk"))
+      .agg(davg(col("l_quantity")).as("avg_qty"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .filter(col("p_brand") === lit("Brand#23"))
+      .join(avgQ, li("l_partkey") === avgQ("pk"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(
+        (dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  // ── §2.1/16 CTE / multi-level aggregation (TPC-H Q13 shape) ─────────
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val cOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    cOrders.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  // ── §2.1/17 conditional aggregation (pivot shape) ───────────────────
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def flagSum(flag: String) =
+      dsum(when(col("l_returnflag") === lit(flag), col("l_quantity")).otherwise(lit(0.0)))
+    li.groupBy(col("l_linestatus"))
+      .agg(
+        flagSum("R").as("qty_r"),
+        flagSum("A").as("qty_a"),
+        flagSum("N").as("qty_n"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  // ── §2.1/18 date/time functions ─────────────────────────────────────
+  def q18(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("oyear"),
+        quarter(col("o_orderdate")).cast("long").as("oquarter"),
+        date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd").as("quarter_start"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("oyear"), col("oquarter"))
+
+  // ── §2.1/19 string functions ────────────────────────────────────────
+  def q19(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_name").like("%e%"))
+      .groupBy(
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        davg(length(col("p_name"))).as("avg_name_len"))
+      .orderBy(col("brand_type"), col("first_word"))
+
+  // ── §2.1/20 rollup ──────────────────────────────────────────────────
+  def q20(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  // ── §2.1/21 having + order-by-agg (TPC-H Q3 shape) ──────────────────
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === lit("BUILDING"))
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < d("1998-01-01"))
+    val li = Tables.lineitem(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .filter(col("revenue") > lit(100000.0))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
+  // ── §2.1/22 approximate aggregates (rows-only: engine-specific) ─────
+  /** HLL + quantile sketches merge associatively → one pass, no global
+    * sort, at any scale. No oracle: sketch internals differ per engine. */
+  def q22(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
+      percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q03_agg_groupby" -> q03AggGroupBy _
-  )
+    "q01_scan_project" -> q01 _,
+    "q02_filter_pushdown" -> q02 _,
+    "q03_agg_groupby" -> q03 _,
+    "q04_agg_distinct" -> q04 _,
+    "q05_join_broadcast" -> q05 _,
+    "q06_join_shuffle" -> q06 _,
+    "q07_star_join" -> q07 _,
+    "q08_outer_join" -> q08 _,
+    "q09_semi_join" -> q09 _,
+    "q10_anti_join" -> q10 _,
+    "q11_window_rank" -> q11 _,
+    "q12_window_running" -> q12 _,
+    "q13_topn" -> q13 _,
+    "q14_setops" -> q14 _,
+    "q15_subquery" -> q15 _,
+    "q16_cte" -> q16 _,
+    "q17_case_pivot" -> q17 _,
+    "q18_datetime" -> q18 _,
+    "q19_strings" -> q19 _,
+    "q20_rollup" -> q20 _,
+    "q21_having" -> q21 _,
+    "q22_approx" -> q22 _)
+
+  private val sumD = "CAST(SUM(CAST(%s AS DECIMAL(18,4))) AS DOUBLE)"
+  private def ds(e: String) = sumD.format(e)
+  private def da(e: String) = s"${ds(e)} / COUNT(${e.takeWhile(_ != ' ')})"
 
   val oracleSql: Map[String, String] = Map(
-    "q03_agg_groupby" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
-        |  COUNT(*) AS count_order
+    "q01_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
-        |WHERE l_shipdate <= DATE '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  AND l_quantity >= 45.0 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_agg_groupby" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${ds("l_quantity")} AS sum_qty,
+         |  ${ds("l_extendedprice")} AS sum_base_price,
+         |  ${ds("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${ds("l_quantity")} / COUNT(l_quantity) AS avg_qty,
+         |  ${ds("l_discount")} / COUNT(l_discount) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= DATE '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q04_agg_distinct" ->
+      s"""SELECT COUNT(*) AS n_rows,
+         |  COUNT(DISTINCT l_orderkey) AS n_orders,
+         |  COUNT(DISTINCT l_suppkey) AS n_supp,
+         |  ${ds("l_extendedprice")} AS sum_price
+         |FROM lineitem""".stripMargin,
+
+    "q05_join_broadcast" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |  ${ds("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q06_join_shuffle" ->
+      s"""SELECT o_orderstatus,
+         |  ${ds("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q07_star_join" ->
+      s"""SELECT r_name, n_name,
+         |  ${ds("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q08_outer_join" ->
+      s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         |  COALESCE(${ds("o_totalprice")}, 0.0) AS spent
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q09_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_window_rank" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q12_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q13_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, STRFTIME(o_orderdate, '%Y-%m-%d') AS odate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    "q14_setops" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        |     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |SELECT 'both' AS tag, nationkey FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+        |ORDER BY tag, nationkey""".stripMargin,
+
+    "q15_subquery" ->
+      s"""SELECT ${ds("l_extendedprice")} / 7.0 AS avg_yearly, COUNT(*) AS n_items
+         |FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN (SELECT l_partkey AS pk,
+         |          ${ds("l_quantity")} / COUNT(l_quantity) AS avg_qty
+         |        FROM lineitem GROUP BY l_partkey) a ON l_partkey = a.pk
+         |WHERE p_brand = 'Brand#23' AND l_quantity < 0.5 * avg_qty""".stripMargin,
+
+    "q16_cte" ->
+      """WITH c_orders AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM c_orders GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q17_case_pivot" ->
+      s"""SELECT l_linestatus,
+         |  ${ds("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END")} AS qty_r,
+         |  ${ds("CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0.0 END")} AS qty_a,
+         |  ${ds("CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0.0 END")} AS qty_n,
+         |  COUNT(*) AS n_items
+         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q18_datetime" ->
+      s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS oyear,
+         |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS oquarter,
+         |  STRFTIME(DATE_TRUNC('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+         |  COUNT(*) AS n_orders,
+         |  ${ds("o_totalprice")} AS revenue
+         |FROM orders
+         |GROUP BY 1, 2, 3 ORDER BY oyear, oquarter""".stripMargin,
+
+    "q19_strings" ->
+      s"""SELECT p_brand || '/' || p_type AS brand_type,
+         |  COALESCE(REGEXP_EXTRACT(p_name, '^(\\w+)', 1), '') AS first_word,
+         |  COUNT(*) AS n_parts,
+         |  ${ds("LENGTH(p_name)")} / COUNT(LENGTH(p_name)) AS avg_name_len
+         |FROM part
+         |WHERE p_name LIKE '%e%'
+         |GROUP BY 1, 2 ORDER BY brand_type, first_word""".stripMargin,
+
+    "q20_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+         |  ${ds("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q21_having" ->
+      s"""SELECT l_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS odate,
+         |  ${ds("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderdate < DATE '1998-01-01'
+         |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         |GROUP BY l_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d')
+         |HAVING ${ds("l_extendedprice * (1.0 - l_discount)")} > 100000.0
+         |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin
   )
 }
