@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis + content-dedup operators over the `documents` table
+  * (SURVEY.md §2.3). All built from codegen'd `functions._` expressions
+  * (no UDFs): tokenization, shingling, md5-keyed grouping, lambda
+  * higher-order functions. Everything here is a narrow map + one
+  * hash-partitioned aggregation/join — linear scale-out at 100 TB.
+  *
+  * Engine-parity: content keys are md5 hex strings (identical bytes →
+  * identical hex in Spark and DuckDB); ratios divide identically-shaped
+  * doubles (SURVEY.md §4).
+  */
+object TextOps {
+
+  private[operators] def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Word 3-gram shingles (docs are ≥10 tokens, so size-2 ≥ 1). */
+  private[operators] def shingles(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+
+  /** Distinct (doc_id, shingle) pairs — the base relation for Jaccard /
+    * MinHash. At scale this is the only wide dataset and it
+    * hash-partitions on the shingle for the self-join. */
+  private[operators] def shingleSet(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      // documents arrives as few dense files; spread rows across the
+      // cluster BEFORE the explode multiplies them ~50× (cheap shuffle
+      // of the narrow table vs. a serial explode)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(array_distinct(shingles(tokens(col("text"))))).as("sh"))
+
+  // ── §2.3/37 exact dedup via content hash ────────────────────────────
+  /** Group on md5(content), not the content itself: the shuffle key is
+    * 32 bytes instead of the full document — at 100 TB that is the
+    * difference between shuffling hashes and shuffling the corpus. */
+  def q30(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+
+  // ── §2.3/40 n-gram Jaccard similarity join ──────────────────────────
+  /** Inverted-index join: only docs sharing ≥1 shingle ever pair up —
+    * no N² candidate space. Jaccard from shared/|A|/|B| counts. */
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSet(s, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"), col("shared"),
+        (col("shared").cast("double") / (col("sa.n") + col("sb.n") - col("shared"))).as("jac"))
+      .filter(col("jac") >= lit(0.6))
+      .orderBy(col("da"), col("db"))
+  }
+
+  // ── §2.3/44 language ID (stopword n-gram heuristic) ─────────────────
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  private def stopHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t))).cast("long")
+
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val scored = stopwords.foldLeft(base) { case (df, (l, ws)) =>
+      df.withColumn(s"s_$l", stopHits(col("toks"), ws))
+    }
+    val mx = greatest(stopwords.map { case (l, _) => col(s"s_$l") }: _*)
+    // deterministic argmax: first language in fixed priority order wins
+    // ties (CASE chains evaluate top-down in both engines)
+    val predOrdered = stopwords.reverse.foldLeft(lit("unknown")) { case (elseC, (l, _)) =>
+      when(col(s"s_$l") === mx, lit(l)).otherwise(elseC)
+    }
+    scored.select(
+      col("doc_id") +: col("lang") +:
+        stopwords.map { case (l, _) => col(s"s_$l") } :+
+        predOrdered.as("pred_lang") :+
+        (predOrdered === col("lang")).as("is_match"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  // ── §2.3/45 quality scoring ─────────────────────────────────────────
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    val enStops = stopwords.head._2
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("toks"), col("text"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("alpha_chars",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long"))
+      .withColumn("stop_tokens", stopHits(col("toks"), enStops))
+      .withColumn("alpha_ratio", col("alpha_chars").cast("double") / col("n_chars"))
+      .withColumn("stop_ratio", col("stop_tokens").cast("double") / col("n_tokens"))
+      .withColumn("len_score", least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)))
+      .withColumn("quality",
+        lit(0.5) * col("stop_ratio") + lit(0.3) * col("len_score") + lit(0.2) * col("alpha_ratio"))
+      .withColumn("bucket",
+        when(col("quality") >= lit(0.4), lit("high"))
+          .when(col("quality") >= lit(0.25), lit("mid"))
+          .otherwise(lit("low")))
+      .select(col("doc_id"), col("n_tokens"), col("alpha_chars"), col("stop_tokens"),
+        col("alpha_ratio"), col("stop_ratio"), col("quality"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ── §2.3/46 token counting (whitespace + BPE-ish regex) ─────────────
+  private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def q39(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0))).cast("long").as("bpe_tokens"),
+        (col("n_chars").cast("double") /
+          size(regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0)))).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+
+  // ── §2.3/47 document fingerprint (min-sampled shingle hashes) ───────
+  /** Min/max-sampled md5 over the shingle set — an order-independent
+    * content fingerprint (single-permutation MinHash); robust to
+    * shingle order, cheap to merge at scale. */
+  def q40(s: SparkSession, dir: String): DataFrame =
+    shingleSet(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(col("sh"))).as("fp_min"),
+        max(md5(col("sh"))).as("fp_max"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy(col("doc_id"))
+
+  // ── semi-structured: JSON extraction over events.props ──────────────
+  def q43(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_events"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact" -> q30 _,
+    "q33_dedup_jaccard" -> q33 _,
+    "q37_text_langid" -> q37 _,
+    "q38_text_quality" -> q38 _,
+    "q39_text_tokens" -> q39 _,
+    "q40_text_fingerprint" -> q40 _,
+    "q43_json_extract" -> q43 _)
+
+  private def listSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+  private def hitsSql(l: String) =
+    s"CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(${listSql(stopwords.toMap.apply(l))}, t))) AS BIGINT)"
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT MD5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "q33_dedup_jaccard" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        |       FROM (SELECT doc_id, toks, UNNEST(GENERATE_SERIES(1, LEN(toks)-2)) AS i FROM t)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+        |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT da, db, shared, CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jac
+        |FROM p JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+        |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
+        |ORDER BY da, db""".stripMargin,
+
+    "q37_text_langid" -> {
+      val scores = stopwords.map { case (l, _) => s"${hitsSql(l)} AS s_$l" }.mkString(",\n        |  ")
+      val mx = stopwords.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+      val pred = stopwords.map { case (l, _) => s"WHEN s_$l = $mx THEN '$l'" }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  $scores
+         |FROM t)
+         |SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+         |  CASE $pred ELSE 'unknown' END AS pred_lang,
+         |  (CASE $pred ELSE 'unknown' END) = lang AS is_match
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q38_text_quality" -> {
+      val en = listSql(stopwords.head._2)
+      s"""WITH t AS (SELECT doc_id, n_chars, text, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
+         |m AS (SELECT doc_id, n_chars,
+         |  CAST(LEN(toks) AS BIGINT) AS n_tokens,
+         |  CAST(LENGTH(REGEXP_REPLACE(LOWER(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+         |  CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS($en, t))) AS BIGINT) AS stop_tokens
+         |FROM t),
+         |r AS (SELECT doc_id, n_tokens, alpha_chars, stop_tokens,
+         |  CAST(alpha_chars AS DOUBLE) / n_chars AS alpha_ratio,
+         |  CAST(stop_tokens AS DOUBLE) / n_tokens AS stop_ratio,
+         |  LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS len_score
+         |FROM m)
+         |SELECT doc_id, n_tokens, alpha_chars, stop_tokens, alpha_ratio, stop_ratio,
+         |  0.5 * stop_ratio + 0.3 * len_score + 0.2 * alpha_ratio AS quality,
+         |  CASE WHEN 0.5 * stop_ratio + 0.3 * len_score + 0.2 * alpha_ratio >= 0.4 THEN 'high'
+         |       WHEN 0.5 * stop_ratio + 0.3 * len_score + 0.2 * alpha_ratio >= 0.25 THEN 'mid'
+         |       ELSE 'low' END AS bucket
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    "q39_text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS ws_tokens,
+         |  CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '$bpePattern')) AS BIGINT) AS bpe_tokens,
+         |  CAST(n_chars AS DOUBLE) / LEN(REGEXP_EXTRACT_ALL(LOWER(text), '$bpePattern')) AS chars_per_token
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q40_text_fingerprint" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        |       FROM (SELECT doc_id, toks, UNNEST(GENERATE_SERIES(1, LEN(toks)-2)) AS i FROM t))
+        |SELECT doc_id, MIN(MD5(sh)) AS fp_min, MAX(MD5(sh)) AS fp_max, COUNT(*) AS n_shingles
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q43_json_extract" ->
+      """SELECT event_type,
+        |  COUNT(CAST(props->>'k' AS BIGINT)) AS n_events,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+        |  MIN(CAST(props->>'k' AS BIGINT)) AS k_min,
+        |  MAX(CAST(props->>'k' AS BIGINT)) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
