@@ -8,9 +8,9 @@ object SparkEntry {
     Relational.q03(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextOps.queries
+    Relational.queries ++ TextOps.queries ++ Dedup.queries ++ Similarity.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ TextOps.oracleSql
+    Relational.oracleSql ++ TextOps.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql
 }

@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot paths Spark's built-ins
+  * can't execute efficiently (SURVEY.md §5): higher-order lambdas
+  * (`zip_with`+`aggregate`) are interpreted per element, and the
+  * md5-bit SimHash pipeline would need a 64× row explosion. These
+  * expressions keep the EXACT same semantics (sequential double fold;
+  * md5-nibble bit votes) so the DuckDB oracles are unchanged, but run
+  * as tight JVM loops inside (or alongside) whole-stage codegen.
+  */
+object GraftFunctions {
+
+  /** Sequential-fold dot product over array<double> — bit-identical to
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` and to DuckDB's
+    * list_dot_product, but codegen'd.
+    */
+  case class DoubleDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    // callers must pass array<double> (cast at the call site)
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |${ev.value} = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${ev.value} += $x.getDouble($i) * $y.getDouble($i);
+           |}
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** 64-bit SimHash over an array of tokens.
+    *
+    * Bit b (b = 0 is the hex-string's first nibble's high bit) is the
+    * majority vote over tokens of bit (3 - b%4) of nibble (b/4) of
+    * md5(token) — exactly the SQL pipeline
+    * `(ascii-nibble >> (3 - b%4)) & 1` summed as ±1, so the DuckDB
+    * oracle can rebuild it from md5 hex. The long packs bit b at
+    * position 63-b, i.e. `printf('%016x', sim)` IS the nibble string.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    // caller must pass array<string>
+    override def dataType: DataType = LongType
+    @transient private lazy val md =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      }
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      val digest = md.get()
+      var t = 0
+      val nTok = arr.numElements()
+      while (t < nTok) {
+        val tok = arr.get(t, StringType).asInstanceOf[UTF8String]
+        if (tok != null) {
+          digest.reset()
+          val h = digest.digest(tok.getBytes)
+          var b = 0
+          while (b < 64) {
+            val nib = b / 4
+            val byte = h(nib / 2)
+            val nibble = if (nib % 2 == 0) (byte >> 4) & 0xf else byte & 0xf
+            val bit = (nibble >> (3 - b % 4)) & 1
+            counts(b) += (if (bit == 1) 1 else -1)
+            b += 1
+          }
+        }
+        t += 1
+      }
+      var sim = 0L
+      var b = 0
+      while (b < 64) {
+        if (counts(b) > 0) sim |= 1L << (63 - b)
+        b += 1
+      }
+      sim
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** MinHash signature: element i is MIN over the input strings of
+    * hex(md5(i + ":" + s)) — exactly `MIN(MD5(i || ':' || sh))` per
+    * permutation in SQL (hex compare == unsigned byte compare), but
+    * one pass per row instead of a numPerms× row explosion.
+    */
+  case class MinHashHex(child: Expression, numPerms: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType)
+    @transient private lazy val md =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      }
+    private val hexChars = "0123456789abcdef".toCharArray
+    private def hex(bytes: Array[Byte]): String = {
+      val out = new Array[Char](bytes.length * 2)
+      var i = 0
+      while (i < bytes.length) {
+        out(2 * i) = hexChars((bytes(i) >> 4) & 0xf)
+        out(2 * i + 1) = hexChars(bytes(i) & 0xf)
+        i += 1
+      }
+      new String(out)
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val mins = new Array[String](numPerms)
+      val digest = md.get()
+      var t = 0
+      val n = arr.numElements()
+      while (t < n) {
+        val s = arr.get(t, StringType).asInstanceOf[UTF8String]
+        if (s != null) {
+          val sBytes = s.getBytes
+          var i = 0
+          while (i < numPerms) {
+            digest.reset()
+            digest.update(s"$i:".getBytes("UTF-8"))
+            digest.update(sBytes)
+            val h = hex(digest.digest())
+            if (mins(i) == null || h.compareTo(mins(i)) < 0) mins(i) = h
+            i += 1
+          }
+        }
+        t += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        mins.map(m => if (m == null) null else UTF8String.fromString(m)))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Idempotent per-session registration; queries call this before
+    * using the helpers below. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dotd", es => DoubleDot(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash16", es => MinHashHex(es.head, 16), "built-in")
+  }
+
+  def dotd(a: Column, b: Column): Column = call_function("graft_dotd", a, b)
+  def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
+  def minhash16(shingles: Column): Column = call_function("graft_minhash16", shingles)
+}

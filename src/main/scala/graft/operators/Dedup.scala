@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Hash-family near-dup detection (SURVEY.md §2.3): MinHash+LSH and
+  * SimHash. All hashes route through md5 so every stage is
+  * reproducible in any engine (oracle-able), and every stage is a
+  * hash-partitioned groupBy/join — no driver state, no N² candidate
+  * space:
+  *
+  *  - MinHash: 16 permutations (min of md5(i + ':' + shingle)), banded
+  *    2-per-band into 8 LSH bands; only band-signature collisions pair
+  *    up, then candidates are verified with the exact Jaccard.
+  *  - SimHash: 64-bit signature from the per-token md5 bit majority;
+  *    candidate pairs share one of four 16-bit chunks (pigeonhole: any
+  *    pair within Hamming distance 3 shares a chunk), then exact
+  *    Hamming distance filters ≤ 8.
+  *
+  * At 100 TB the only wide datasets are (doc, shingle) and
+  * (doc, token-hash); both partition on content, and candidate
+  * verification touches only colliding pairs.
+  */
+object Dedup {
+
+  private val nPerms = 16
+  private val jaccardThreshold = 0.5
+
+  // ── §2.3/38 MinHash + LSH ───────────────────────────────────────────
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sh = TextOps.shingleSet(s, dir).cache()
+    // all 16 permutation minima in one native pass per document — the
+    // nPerms× row explosion + shuffle the SQL formulation would need
+    // collapses into a narrow map (oracle semantics identical)
+    // cache = materialization barrier: the band projection references
+    // mh 16×, and CollapseProject would otherwise inline (and
+    // re-evaluate) the non-codegen minhash16 call per reference
+    val mh = Tables.documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.minhash16(
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text"))))).as("mh"))
+      .cache()
+    val bands = mh.select(col("doc_id"),
+      explode(array((0 until nPerms / 2).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|", element_at(col("mh"), 2 * b + 1),
+            element_at(col("mh"), 2 * b + 2))).as("sig"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = cand
+      .join(sh.as("s1"), col("da") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("db") === col("s2.doc_id") && col("s1.sh") === col("s2.sh"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("shared").cast("double") / (col("sa.n") + col("sb.n") - col("shared"))).as("jac"))
+      .filter(col("jac") >= lit(jaccardThreshold))
+      .orderBy(col("da"), col("db"))
+  }
+
+  // ── §2.3/39 SimHash (64-bit) ────────────────────────────────────────
+  /** The signature is one codegen-adjacent native expression per doc
+    * (graft.functions.SimHash64) — no 64× bit explosion. LSH: any pair
+    * within Hamming distance 3 shares one of the four 16-bit chunks
+    * (pigeonhole), so the bucket join on (chunk index, chunk value)
+    * finds all close pairs; exact `bit_count(a XOR b)` then filters
+    * ≤ 8 (a band-collision can also surface looser pairs — same
+    * candidate-then-verify shape as MinHash).
+    */
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sims = Tables.documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash64(split(lower(col("text")), " ")).as("sim"))
+    val chunked = sims.select(col("doc_id"), col("sim"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          expr(s"shiftright(sim, ${48 - 16 * c}) & 65535").as("cval"))): _*)).as("ck"))
+      .select(col("doc_id"), col("sim"), col("ck.chunk").as("chunk"), col("ck.cval").as("cval"))
+    val cand = chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.sim").as("sa"), col("b.sim").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter(col("hamming") <= 8)
+      .select(col("da"), col("db"), col("hamming"),
+        format_string("%016x", col("sa")).as("sim_a"),
+        format_string("%016x", col("sb")).as("sim_b"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_dedup_minhash" -> q31 _,
+    "q32_dedup_simhash" -> q32 _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q31_dedup_minhash" ->
+      s"""WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+         |       FROM (SELECT doc_id, toks, UNNEST(GENERATE_SERIES(1, LEN(toks)-2)) AS i FROM t)),
+         |mh AS (SELECT doc_id, j AS i, MIN(MD5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+         |       FROM sh CROSS JOIN GENERATE_SERIES(0, ${nPerms - 1}) p(j) GROUP BY doc_id, j),
+         |bands AS (SELECT doc_id, i // 2 AS band,
+         |       MD5(CONCAT_WS('|', MIN(CASE WHEN i % 2 = 0 THEN mh END),
+         |                          MIN(CASE WHEN i % 2 = 1 THEN mh END))) AS sig
+         |       FROM mh GROUP BY doc_id, i // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM bands a JOIN bands b
+         |         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |shd AS (SELECT da, db, COUNT(*) AS shared
+         |        FROM cand JOIN sh s1 ON s1.doc_id = da
+         |                  JOIN sh s2 ON s2.doc_id = db AND s1.sh = s2.sh
+         |        GROUP BY da, db)
+         |SELECT da, db, CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jac
+         |FROM shd JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= $jaccardThreshold
+         |ORDER BY da, db""".stripMargin,
+
+    "q32_dedup_simhash" ->
+      """WITH th AS (SELECT doc_id, MD5(UNNEST(STRING_SPLIT(LOWER(text), ' '))) AS h FROM documents),
+        |contrib AS (SELECT doc_id, b,
+        |    ASCII(SUBSTR(h, b // 4 + 1, 1)) AS a
+        |  FROM th CROSS JOIN GENERATE_SERIES(0, 63) g(b)),
+        |bits AS (SELECT doc_id, b,
+        |    ((CASE WHEN a <= 57 THEN a - 48 ELSE a - 87 END) >> (3 - b % 4)) & 1 AS bit
+        |  FROM contrib),
+        |sbits AS (SELECT doc_id, b, CASE WHEN SUM(bit * 2 - 1) > 0 THEN 1 ELSE 0 END AS sbit
+        |  FROM bits GROUP BY doc_id, b),
+        |-- pack bit b at position 63-b into a signed BIGINT; the b=0 term
+        |-- is the sign bit so it contributes -2^63 (two's complement)
+        |sims AS (SELECT doc_id, CAST(SUM(CASE
+        |    WHEN b = 0 THEN sbit * (-9223372036854775807 - 1)
+        |    ELSE CAST(sbit AS BIGINT) << (63 - b) END) AS BIGINT) AS sim
+        |  FROM sbits GROUP BY doc_id),
+        |chunked AS (SELECT doc_id, sim, c.chunk,
+        |    (sim >> (48 - 16 * c.chunk)) & 65535 AS cval
+        |  FROM sims CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS chunk) c),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+        |    a.sim AS sa, b.sim AS sb
+        |  FROM chunked a JOIN chunked b
+        |  ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id)
+        |SELECT da, db, CAST(BIT_COUNT(XOR(sa, sb)) AS BIGINT) AS hamming,
+        |  PRINTF('%016x', sa) AS sim_a, PRINTF('%016x', sb) AS sim_b
+        |FROM cand
+        |WHERE BIT_COUNT(XOR(sa, sb)) <= 8
+        |ORDER BY da, db""".stripMargin
+  )
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/** Embedding similarity search + near-dup detection (SURVEY.md §2.3).
+  *
+  * The dot product is a sequential left fold over doubles
+  * (`aggregate(zip_with(...))`) — bit-identical to DuckDB's
+  * `list_dot_product`, so cosine scores oracle exactly.
+  *
+  * Scale story: q35 (brute force) is the correctness baseline and is
+  * O(queries × corpus) — fine for a bounded query set, wrong for
+  * all-pairs at 100 TB. q36 is the scale path: L=4 random-hyperplane
+  * tables × 8 bits bucket the corpus so only same-bucket pairs are
+  * scored; the bucket join shuffles on (table, signature) and the ±1
+  * plane matrix is a plan-time literal (zero per-row hash cost).
+  */
+object Similarity {
+
+  private def embD(c: Column): Column = c.cast("array<double>")
+
+  /** Sequential-fold dot product (matches DuckDB list_dot_product) —
+    * a codegen'd native expression; the HOF formulation
+    * `aggregate(zip_with(...))` computes the same value but is
+    * interpreted per element (~20× slower on the all-pairs join). */
+  private def dot(a: Column, b: Column): Column = GraftFunctions.dotd(a, b)
+
+  private def norms(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.embeddings(s, dir).select(
+      col("vec_id"), embD(col("embedding")).as("v"),
+      sqrt(dot(embD(col("embedding")), embD(col("embedding")))).as("nrm"))
+  }
+
+  // ── §2.3/41 embedding-cosine near-dup (all-pairs baseline) ──────────
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    val e = norms(s, dir)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= lit(0.45))
+      .orderBy(col("da"), col("db"))
+  }
+
+  // ── §2.3/42 brute-force cosine top-k for a query set ────────────────
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    val e = norms(s, dir)
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    q.join(broadcast(e), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // ── §2.3/43 LSH-bucketed ANN (the 100 TB path) ──────────────────────
+  /** ±1 hyperplane weights derived from md5 — reproducible in any
+    * engine, embedded here as plan-time literals. Plane j, dim d:
+    * +1 iff the high nibble of md5("j:d") is even. */
+  private[operators] val nTables = 4
+  private[operators] val bitsPerTable = 8
+
+  private[operators] lazy val planes: IndexedSeq[IndexedSeq[Double]] =
+    (0 until nTables * bitsPerTable).map { j =>
+      (0 until 64).map { d =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$j:$d".getBytes("UTF-8"))
+        val v = (h(0) >> 4) & 0xf
+        if (v % 2 == 0) 1.0 else -1.0
+      }
+    }
+
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    val e = norms(s, dir)
+    // signature per table: 8 sign bits of plane projections
+    val sigs = (0 until nTables).map { t =>
+      val bits = (0 until bitsPerTable).map { p =>
+        val w = array(planes(t * bitsPerTable + p).map(lit): _*)
+        when(dot(col("v"), w) >= lit(0.0), lit("1")).otherwise(lit("0"))
+      }
+      concat(bits: _*).as(s"sig$t")
+    }
+    val sigged = e.select(col("vec_id") +: col("v") +: col("nrm") +: sigs: _*)
+    // one row per (vec, table) → bucket join on (table, signature);
+    // candidates carry only ids (narrow shuffle), vectors re-join after
+    // the distinct — at 100 TB the wide embedding column never rides
+    // through the pair-dedup exchange
+    val buckets = sigged.select(col("vec_id"),
+      posexplode(array((0 until nTables).map(t => col(s"sig$t")): _*)).as(Seq("tbl", "sig")))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+      .distinct()  // same pair can collide in several tables
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    cand
+      .join(e.as("q"), col("qid") === col("q.vec_id"))
+      .join(e.as("n"), col("nid") === col("n.vec_id"))
+      .select(col("qid"), col("nid"),
+        (dot(col("q.v"), col("n.v")) / (col("q.nrm") * col("n.nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_dedup_embcos" -> q34 _,
+    "q35_ann_brute" -> q35 _,
+    "q36_ann_lsh" -> q36 _)
+
+  private val planeSqlW =
+    "LIST_TRANSFORM(GENERATE_SERIES(0, 63), d -> CASE WHEN " +
+      "(STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 0 " +
+      "THEN 1.0 ELSE -1.0 END)"
+
+  val oracleSql: Map[String, String] = Map(
+    "q34_dedup_embcos" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |FROM embeddings)
+        |SELECT a.vec_id AS da, b.vec_id AS db,
+        |  LIST_DOT_PRODUCT(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE LIST_DOT_PRODUCT(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+        |ORDER BY da, db""".stripMargin,
+
+    "q35_ann_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+        |    LIST_DOT_PRODUCT(q.v, e.v) / (q.nrm * e.nrm) AS cos
+        |  FROM e q JOIN e ON q.vec_id % 50 = 0 AND q.vec_id <> e.vec_id),
+        |ranked AS (
+        |  SELECT qid, nid, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    "q36_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |FROM embeddings),
+         |planes AS (SELECT j, $planeSqlW AS w FROM GENERATE_SERIES(0, 31) t(j)),
+         |bits AS (
+         |  SELECT e.vec_id, p.j // 8 AS tbl,
+         |    STRING_AGG(CASE WHEN LIST_DOT_PRODUCT(e.v, p.w) >= 0.0 THEN '1' ELSE '0' END,
+         |               '' ORDER BY p.j) AS sig
+         |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.j // 8),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+         |  FROM bits a JOIN bits b ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |scored AS (
+         |  SELECT c.qid, c.nid,
+         |    LIST_DOT_PRODUCT(q.v, n.v) / (q.nrm * n.nrm) AS cos
+         |  FROM cand c JOIN e q ON q.vec_id = c.qid JOIN e n ON n.vec_id = c.nid),
+         |ranked AS (
+         |  SELECT qid, nid, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin
+  )
+}
