@@ -1,0 +1,420 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** GraftTable — a from-scratch Spark-native lake table format
+  * (SURVEY.md §2.2), re-expressing the reference's Iceberg lifecycle
+  * (reference: SPARK_ICEBERG_GUIDE.md §§4-8) on plain parquet + a JSON
+  * commit log, in the design vocabulary of the public Delta Lake paper
+  * (VLDB 2020): immutable data files, an ordered log of add/remove
+  * actions, checkpoints, snapshot isolation by log replay.
+  *
+  * Layout under the table root:
+  * {{{
+  *   data/<snapshot>-<n>-<uuid>.parquet     immutable data files
+  *   _graft_log/000000000N.json             commit N (adds/removes)
+  *   _graft_log/checkpoint-N.json           full file list at N
+  * }}}
+  *
+  * Commit protocol: write to a temp name, atomic-rename into place,
+  * fail if the target exists — single-writer locally; on an object
+  * store the rename becomes the store's put-if-absent. Metadata stays
+  * O(files) JSON; per-file min/max column stats let scans prune files
+  * before Spark ever lists splits. At 100 TB the log replay and orphan
+  * scan become Spark jobs over the log directory — the format needs no
+  * change, only the driver-side loops below would move to executors.
+  */
+object GraftTable {
+
+  case class ColStats(min: Option[String], max: Option[String], nulls: Long)
+  case class FileEntry(path: String, sizeBytes: Long, records: Long,
+      stats: Map[String, ColStats])
+  case class Commit(snapshotId: Long, parentId: Option[Long], timestampMs: Long,
+      operation: String, adds: Seq[FileEntry], removes: Seq[String],
+      properties: Map[String, String], schemaJson: Option[String])
+
+  case class Snapshot(snapshotId: Long, timestampMs: Long, operation: String,
+      files: Seq[FileEntry], properties: Map[String, String], schemaJson: Option[String])
+
+  private implicit val formats: Formats = DefaultFormats
+
+  private def logDir(root: String): Path = Paths.get(root, "_graft_log")
+  private def dataDir(root: String): Path = Paths.get(root, "data")
+  private def commitPath(root: String, id: Long): Path =
+    logDir(root).resolve(f"$id%010d.json")
+
+  private def writeAtomic(target: Path, content: String): Unit = {
+    val tmp = target.getParent.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, content)
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+      throw new IllegalStateException(
+        s"concurrent commit detected at $target", e)
+    }
+  }
+
+  private def toJson(c: Commit): String = {
+    import JsonDSL._
+    val json: JValue =
+      ("snapshotId" -> c.snapshotId) ~
+      ("parentId" -> c.parentId) ~
+      ("timestampMs" -> c.timestampMs) ~
+      ("operation" -> c.operation) ~
+      ("adds" -> c.adds.map(f =>
+        ("path" -> f.path) ~ ("sizeBytes" -> f.sizeBytes) ~
+        ("records" -> f.records) ~
+        ("stats" -> f.stats.map { case (k, v) =>
+          k -> (("min" -> v.min) ~ ("max" -> v.max) ~ ("nulls" -> v.nulls)) }))) ~
+      ("removes" -> c.removes) ~
+      ("properties" -> c.properties) ~
+      ("schemaJson" -> c.schemaJson)
+    JsonMethods.compact(JsonMethods.render(json))
+  }
+
+  private def parseCommit(s: String): Commit =
+    JsonMethods.parse(s).extract[Commit]
+
+  private def listDir(p: Path): Seq[Path] =
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+
+  private def listCommitIds(root: String): Seq[Long] =
+    listDir(logDir(root))
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.startsWith("checkpoint-") && !n.startsWith(".tmp"))
+      .map(_.stripSuffix(".json").toLong).sorted
+
+  private def listCheckpointIds(root: String): Seq[Long] =
+    listDir(logDir(root))
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("checkpoint-"))
+      .map(_.stripPrefix("checkpoint-").stripSuffix(".json").toLong).sorted
+
+  /** Replay the log (from the newest checkpoint ≤ asOf) to the state
+    * at snapshot `asOf` (default: latest). */
+  def state(root: String, asOf: Option[Long] = None): Snapshot = {
+    val ids = listCommitIds(root)
+    require(ids.nonEmpty, s"not a GraftTable (empty log): $root")
+    val target = asOf.getOrElse(ids.max)
+    require(ids.contains(target),
+      s"snapshot $target not in log (expired or never existed); have ${ids.min}..${ids.max}")
+    val ckpt = listCheckpointIds(root).filter(_ <= target).sorted.lastOption
+    var files = Map.empty[String, FileEntry]
+    var props = Map.empty[String, String]
+    var schema: Option[String] = None
+    var op = ""
+    var ts = 0L
+    ckpt.foreach { k =>
+      val c = parseCommit(Files.readString(logDir(root).resolve(f"checkpoint-$k%d.json")))
+      files = c.adds.map(f => f.path -> f).toMap
+      props = c.properties; schema = c.schemaJson; op = c.operation; ts = c.timestampMs
+    }
+    val from = ckpt.map(_ + 1).getOrElse(ids.min)
+    ids.filter(id => id >= from && id <= target).foreach { id =>
+      val c = parseCommit(Files.readString(commitPath(root, id)))
+      files = files -- c.removes
+      files = files ++ c.adds.map(f => f.path -> f)
+      props = props ++ c.properties
+      schema = c.schemaJson.orElse(schema)
+      op = c.operation; ts = c.timestampMs
+    }
+    Snapshot(target, ts, op, files.values.toSeq.sortBy(_.path), props, schema)
+  }
+
+  def latestSnapshotId(root: String): Long = listCommitIds(root).max
+
+  // ── create / write ──────────────────────────────────────────────────
+
+  /** Create an empty table (commit 0 carries schema + properties).
+    * Mirrors CREATE TABLE ... TBLPROPERTIES (reference:
+    * SPARK_ICEBERG_GUIDE.md §4). */
+  def create(spark: SparkSession, root: String, schema: StructType,
+      properties: Map[String, String] = Map.empty): Unit = {
+    Files.createDirectories(logDir(root))
+    Files.createDirectories(dataDir(root))
+    require(listCommitIds(root).isEmpty, s"table already exists at $root")
+    val c = Commit(0L, None, System.currentTimeMillis(), "create",
+      Seq.empty, Seq.empty, properties, Some(schema.json))
+    writeAtomic(commitPath(root, 0L), toJson(c))
+  }
+
+  private val statsTypes: Set[DataType] =
+    Set(IntegerType, LongType, DoubleType, FloatType, StringType, DateType, TimestampType)
+
+  /** Write df's rows as new data files and return their entries with
+    * per-file min/max stats (computed distributedly in one pass). */
+  private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
+      snapshotId: Long): Seq[FileEntry] = {
+    val tmp = Paths.get(root, s".stage-${UUID.randomUUID()}")
+    df.write.parquet(tmp.toString)
+    val statCols = df.schema.fields.filter(f => statsTypes.contains(f.dataType))
+    val aggs =
+      count(lit(1)).as("__records") +:
+      statCols.flatMap(f => Seq(
+        min(col(f.name)).cast("string").as(s"__min_${f.name}"),
+        max(col(f.name)).cast("string").as(s"__max_${f.name}"),
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}")))
+    val perFile = spark.read.parquet(tmp.toString)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val entries = perFile.zipWithIndex.map { case (r, i) =>
+      val src = Paths.get(new java.net.URI(r.getAs[String]("__file")))
+      val name = f"$snapshotId%010d-$i%05d-${UUID.randomUUID()}.parquet"
+      val dst = dataDir(root).resolve(name)
+      Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      val stats = statCols.map { f =>
+        f.name -> ColStats(
+          Option(r.getAs[String](s"__min_${f.name}")),
+          Option(r.getAs[String](s"__max_${f.name}")),
+          r.getAs[Long](s"__nulls_${f.name}"))
+      }.toMap
+      FileEntry(s"data/$name", Files.size(dst), r.getAs[Long]("__records"), stats)
+    }.toSeq
+    // clean the stage dir (crc/_SUCCESS leftovers)
+    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    entries
+  }
+
+  private def commit(root: String, op: String, adds: Seq[FileEntry],
+      removes: Seq[String], props: Map[String, String] = Map.empty): Long = {
+    val id = latestSnapshotId(root) + 1
+    val c = Commit(id, Some(id - 1), System.currentTimeMillis(), op, adds, removes, props, None)
+    writeAtomic(commitPath(root, id), toJson(c))
+    id
+  }
+
+  /** INSERT INTO — one snapshot per call (reference:
+    * SPARK_ICEBERG_GUIDE.md §§5-6; many small appends = many small
+    * files, by design, so compaction has something to do). */
+  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val id = latestSnapshotId(root) + 1
+    val adds = writeDataFiles(spark, root, df, id)
+    val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "append",
+      adds, Seq.empty, Map.empty, None)
+    writeAtomic(commitPath(root, id), toJson(c))
+    id
+  }
+
+  /** Copy-on-write DELETE/overwrite: files whose stats may contain
+    * matching rows are rewritten without them; untouched files are
+    * carried over by reference. */
+  def overwriteWhere(spark: SparkSession, root: String, condition: Column,
+      replacement: Option[DataFrame] = None): Long = {
+    val snap = state(root)
+    val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
+    val all = snap.files
+    // conservative: rewrite every file that may contain a match (stats
+    // pruning would narrow this; correctness never depends on it)
+    val touched = all
+    val id = latestSnapshotId(root) + 1
+    val kept =
+      if (touched.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema)
+        .parquet(touched.map(f => s"$root/${f.path}"): _*)
+        .filter(!coalesce(condition, lit(false)))
+    val toWrite = replacement.map(kept.unionByName(_)).getOrElse(kept)
+    val adds = writeDataFiles(spark, root, toWrite, id)
+    val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "overwrite",
+      adds, touched.map(_.path), Map.empty, None)
+    writeAtomic(commitPath(root, id), toJson(c))
+    id
+  }
+
+  // ── read / time travel / pruning ────────────────────────────────────
+
+  /** Snapshot read; `asOf` = time travel (reference:
+    * SPARK_ICEBERG_GUIDE.md §8.8). */
+  def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
+    val snap = state(root, asOf)
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    if (snap.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema).parquet(snap.files.map(f => s"$root/${f.path}"): _*)
+  }
+
+  /** Simple comparison predicate for stats pruning. */
+  sealed trait Pred { def colName: String }
+  case class Gt(colName: String, v: String) extends Pred
+  case class Lt(colName: String, v: String) extends Pred
+  case class Eq(colName: String, v: String) extends Pred
+
+  private def cmp(dt: DataType, a: String, b: String): Int = dt match {
+    case IntegerType | LongType => java.lang.Long.compare(a.toLong, b.toLong)
+    case DoubleType | FloatType => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _ => a.compareTo(b)
+  }
+
+  /** File-skipping scan: drop files whose [min,max] cannot satisfy the
+    * predicates, then let Spark push the same predicates into the
+    * surviving parquet footers. This is the metadata-level partition/
+    * stats pruning Iceberg manifests provide — at 100 TB it's the
+    * difference between listing a few files and scanning a lake. */
+  def scan(spark: SparkSession, root: String, preds: Seq[Pred],
+      asOf: Option[Long] = None): (DataFrame, Int, Int) = {
+    val snap = state(root, asOf)
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    def mayMatch(f: FileEntry): Boolean = preds.forall { p =>
+      f.stats.get(p.colName) match {
+        case None => true  // no stats → cannot prune
+        case Some(st) =>
+          val dt = types(p.colName)
+          (p, st.min, st.max) match {
+            case (Gt(_, v), _, Some(mx)) => cmp(dt, mx, v) > 0
+            case (Lt(_, v), Some(mn), _) => cmp(dt, mn, v) < 0
+            case (Eq(_, v), Some(mn), Some(mx)) =>
+              cmp(dt, mn, v) <= 0 && cmp(dt, mx, v) >= 0
+            case _ => true
+          }
+      }
+    }
+    val live = snap.files.filter(mayMatch)
+    val df =
+      if (live.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(live.map(f => s"$root/${f.path}"): _*)
+    val filtered = preds.foldLeft(df) { (d, p) =>
+      val c = col(p.colName)
+      val v = lit(p match { case Gt(_, x) => x; case Lt(_, x) => x; case Eq(_, x) => x })
+        .cast(types(p.colName))
+      p match {
+        case _: Gt => d.filter(c > v)
+        case _: Lt => d.filter(c < v)
+        case _: Eq => d.filter(c === v)
+      }
+    }
+    (filtered, snap.files.size, live.size)
+  }
+
+  // ── metadata tables (reference: .snapshots/.files/.history) ─────────
+
+  def snapshotsTable(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    listCommitIds(root).map { id =>
+      val c = parseCommit(Files.readString(commitPath(root, id)))
+      (c.snapshotId, c.timestampMs, c.operation, c.adds.size.toLong, c.removes.size.toLong)
+    }.toDF("snapshot_id", "committed_at_ms", "operation", "added_files", "removed_files")
+  }
+
+  def filesTable(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    state(root, asOf).files
+      .map(f => (f.path, f.sizeBytes, f.records, 0 /* content: data */))
+      .toDF("file_path", "file_size_in_bytes", "record_count", "content")
+  }
+
+  def historyTable(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val ids = listCommitIds(root)
+    ids.map { id =>
+      val c = parseCommit(Files.readString(commitPath(root, id)))
+      (c.snapshotId, c.parentId.getOrElse(-1L), c.operation, c.timestampMs)
+    }.toDF("snapshot_id", "parent_id", "operation", "made_current_at_ms")
+  }
+
+  // ── maintenance (reference: SPARK_ICEBERG_GUIDE.md §8) ──────────────
+
+  /** Bin-pack compaction — rewrite_data_files (reference:
+    * SPARK_ICEBERG_GUIDE.md §8.3). Greedy first-fit over files smaller
+    * than the target; each bin rewrites into one file. Rewrites run as
+    * one distributed job; only file *metadata* transits the driver. */
+  def rewriteDataFiles(spark: SparkSession, root: String,
+      targetFileSizeBytes: Long = 128L * 1024 * 1024,
+      minInputFiles: Int = 2): Long = {
+    val snap = state(root)
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val small = snap.files.filter(_.sizeBytes < targetFileSizeBytes)
+    if (small.size < minInputFiles) return snap.snapshotId
+    var bins = Seq.empty[Seq[FileEntry]]
+    var cur = Seq.empty[FileEntry]; var curSize = 0L
+    small.sortBy(_.path).foreach { f =>
+      if (curSize + f.sizeBytes > targetFileSizeBytes && cur.nonEmpty) {
+        bins :+= cur; cur = Seq(f); curSize = f.sizeBytes
+      } else { cur :+= f; curSize += f.sizeBytes }
+    }
+    if (cur.nonEmpty) bins :+= cur
+    val id = latestSnapshotId(root) + 1
+    val adds = bins.zipWithIndex.flatMap { case (bin, _) =>
+      val df = spark.read.schema(schema)
+        .parquet(bin.map(f => s"$root/${f.path}"): _*)
+        .coalesce(1)
+      writeDataFiles(spark, root, df, id)
+    }
+    val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "rewrite_data_files",
+      adds, small.map(_.path), Map.empty, None)
+    writeAtomic(commitPath(root, id), toJson(c))
+    id
+  }
+
+  /** Metadata compaction — rewrite_manifests (reference:
+    * SPARK_ICEBERG_GUIDE.md §8.4): collapse the commit history into a
+    * checkpoint so readers replay O(1) files instead of O(commits). */
+  def rewriteManifests(root: String): Long = {
+    val snap = state(root)
+    val c = Commit(snap.snapshotId, None, snap.timestampMs, "checkpoint",
+      snap.files, Seq.empty, snap.properties, snap.schemaJson.orElse(
+        state(root, Some(0L)).schemaJson))
+    writeAtomic(logDir(root).resolve(s"checkpoint-${snap.snapshotId}.json"), toJson(c))
+    snap.snapshotId
+  }
+
+  /** expire_snapshots (reference: SPARK_ICEBERG_GUIDE.md §8.5):
+    * checkpoint at the cutoff, then drop older commits/checkpoints.
+    * Time travel before the cutoff correctly fails afterwards. */
+  def expireSnapshots(root: String, retainLast: Int): Unit = {
+    val ids = listCommitIds(root)
+    if (ids.size <= retainLast) return
+    val cutoff = ids.sorted.takeRight(retainLast).head
+    val snapAtCutoff = state(root, Some(cutoff))
+    val c = Commit(cutoff, None, snapAtCutoff.timestampMs, "checkpoint",
+      snapAtCutoff.files, Seq.empty, snapAtCutoff.properties,
+      snapAtCutoff.schemaJson.orElse(state(root, Some(ids.min)).schemaJson))
+    writeAtomic(logDir(root).resolve(s"checkpoint-$cutoff.json"), toJson(c))
+    ids.filter(_ < cutoff).foreach(id => Files.deleteIfExists(commitPath(root, id)))
+    listCheckpointIds(root).filter(_ < cutoff).foreach(k =>
+      Files.deleteIfExists(logDir(root).resolve(s"checkpoint-$k.json")))
+  }
+
+  /** remove_orphan_files (reference: SPARK_ICEBERG_GUIDE.md §8.6):
+    * data files referenced by NO retained snapshot and older than the
+    * horizon. Returns deleted (or would-delete, if dryRun) paths. */
+  def removeOrphanFiles(root: String, olderThanMs: Long,
+      dryRun: Boolean = false): Seq[String] = {
+    val referenced: Set[String] = listCommitIds(root)
+      .flatMap(id => state(root, Some(id)).files.map(_.path)).toSet
+    val orphans = listDir(dataDir(root))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .filter(p => !referenced.contains(s"data/${p.getFileName}"))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < olderThanMs)
+    if (!dryRun) orphans.foreach(Files.deleteIfExists(_))
+    orphans.map(p => s"data/${p.getFileName}")
+  }
+
+  /** rollback_to_snapshot (reference: SPARK_ICEBERG_GUIDE.md §8.8):
+    * a NEW commit restoring an old file set — history is append-only. */
+  def rollbackToSnapshot(root: String, snapshotId: Long): Long = {
+    val target = state(root, Some(snapshotId))
+    val current = state(root)
+    val targetPaths = target.files.map(_.path).toSet
+    val currentPaths = current.files.map(_.path).toSet
+    commit(root, "rollback",
+      target.files.filter(f => !currentPaths.contains(f.path)),
+      (currentPaths -- targetPaths).toSeq.sorted)
+  }
+}

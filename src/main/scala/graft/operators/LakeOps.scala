@@ -1,0 +1,120 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.lake.GraftTable
+import graft.sources.Tables
+
+/** Lake-lifecycle operators (SURVEY.md §2.2) driven end-to-end as
+  * driver-gate queries: each builds a scratch GraftTable from the
+  * driver's parquet inputs, exercises the reference's Iceberg surface
+  * (reference: SPARK_ICEBERG_GUIDE.md §§4-8) — snapshots, time travel,
+  * compaction, metadata tables, stats pruning — and returns a
+  * deterministic summary (counts and operations, never timestamps or
+  * uuids). Rows-only checks: the lifecycle is not expressible as one
+  * SQL statement over the inputs.
+  */
+object LakeOps {
+
+  private def scratch(name: String): String = {
+    val p = Paths.get("/root/repo/target/graft-lake", name)
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  // ── q23: snapshot log over create/append/overwrite/rollback ─────────
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("q23")
+    val li = Tables.lineitem(s, dir)
+    GraftTable.create(s, root, li.schema, Map("write.target-file-size-bytes" -> "134217728"))
+    GraftTable.append(s, root, li.filter(col("l_orderkey") % 3 === 0).repartition(2))
+    GraftTable.append(s, root, li.filter(col("l_orderkey") % 3 === 1).repartition(2))
+    GraftTable.overwriteWhere(s, root, col("l_quantity") > lit(25.0))
+    GraftTable.rollbackToSnapshot(root, 2L)
+    GraftTable.snapshotsTable(s, root)
+      .select(col("snapshot_id"), col("operation"), col("added_files"), col("removed_files"))
+      .orderBy(col("snapshot_id"))
+  }
+
+  // ── q24: .files metadata + stats-based file pruning ─────────────────
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = scratch("q24")
+    val o = Tables.orders(s, dir)
+    GraftTable.create(s, root, o.schema)
+    // 4 key-ranged appends → per-file o_orderkey stats partition the key space
+    val maxKey = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    (0 until 4).foreach { i =>
+      GraftTable.append(s, root,
+        o.filter(col("o_orderkey") % 4 === i).repartition(2))
+    }
+    val files = GraftTable.filesTable(s, root)
+    val nFiles = files.count()
+    val totRecords = files.agg(sum(col("record_count"))).head().getLong(0)
+    // prune on a key high enough that only some files survive
+    val (scanned, total, live) = GraftTable.scan(s, root,
+      Seq(GraftTable.Gt("o_orderkey", (maxKey - 10).toString)))
+    val matching = scanned.count()
+    Seq((nFiles, totRecords, total.toLong, live.toLong, matching))
+      .toDF("n_files", "total_records", "files_total", "files_after_prune", "rows_matching")
+  }
+
+  // ── q25: time travel + rollback ─────────────────────────────────────
+  def q25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = scratch("q25")
+    val c = Tables.customer(s, dir)
+    GraftTable.create(s, root, c.schema)
+    GraftTable.append(s, root, c.filter(col("c_custkey") % 3 === 0).repartition(2))
+    GraftTable.append(s, root, c.filter(col("c_custkey") % 3 === 1).repartition(2))
+    GraftTable.append(s, root, c.filter(col("c_custkey") % 3 === 2).repartition(2))
+    val v1 = GraftTable.read(s, root, Some(1L)).count()
+    val v2 = GraftTable.read(s, root, Some(2L)).count()
+    val v3 = GraftTable.read(s, root).count()
+    GraftTable.rollbackToSnapshot(root, 1L)
+    val afterRb = GraftTable.read(s, root).count()
+    Seq((v1, v2, v3, afterRb)).toDF("v1_rows", "v2_rows", "v3_rows", "rows_after_rollback_to_v1")
+  }
+
+  // ── q26: small-file problem + bin-pack compaction ───────────────────
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = scratch("q26")
+    val li = Tables.lineitem(s, dir)
+    GraftTable.create(s, root, li.schema,
+      Map("write.target-file-size-bytes" -> "67108864"))
+    // 6 appends × 4 partitions = 24 small files (reference §6's
+    // small-file explosion)
+    (0 until 6).foreach { i =>
+      GraftTable.append(s, root, li.filter(col("l_orderkey") % 6 === i).repartition(4))
+    }
+    val before = GraftTable.filesTable(s, root)
+    val filesBefore = before.count()
+    val rowsBefore = before.agg(sum(col("record_count"))).head().getLong(0)
+    GraftTable.rewriteDataFiles(s, root, targetFileSizeBytes = 64L * 1024 * 1024)
+    GraftTable.rewriteManifests(root)
+    val after = GraftTable.filesTable(s, root)
+    val filesAfter = after.count()
+    val rowsAfter = after.agg(sum(col("record_count"))).head().getLong(0)
+    Seq((filesBefore, rowsBefore, filesAfter, rowsAfter))
+      .toDF("files_before", "rows_before", "files_after", "rows_after")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_lake_snapshots" -> q23 _,
+    "q24_lake_files" -> q24 _,
+    "q25_lake_timetravel" -> q25 _,
+    "q26_lake_compaction" -> q26 _)
+
+  val oracleSql: Map[String, String] = Map.empty
+}

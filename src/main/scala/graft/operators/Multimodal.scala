@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal column plumbing (SURVEY.md §2.3/48): image/audio/video
+  * ride as opaque `binary` columns with typed metadata; decode /
+  * feature-extraction runs batched per partition so a real decoder
+  * (libjpeg, ffmpeg, ...) would amortize init per batch, not per row.
+  *
+  * The decode step is a clearly-marked STUB (the container has no
+  * codec libs): it derives deterministic "dimensions" and a "feature"
+  * from the bytes. Everything around it — the binary schema, the
+  * partitioning, the batched mapPartitions shape, the typed output —
+  * is the real 100 TB plumbing: payloads stay columnar and never
+  * transit the driver.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+  case class DecodedRow(doc_id: Long, byte_len: Long, width: Int, height: Int,
+      channels: Int, feat_norm: Double)
+
+  /** STUB decoder — stands in for image decode + feature extraction.
+    * Deterministic in the payload bytes so tests are hash-stable.
+    * A real implementation would decode here (one codec init per
+    * partition, reused across the batch).
+    */
+  private def decodeBatchStub(rows: Iterator[MediaRow]): Iterator[DecodedRow] = {
+    // per-partition "codec init" happens here (stubbed)
+    rows.map { r =>
+      val bytes = r.payload
+      val n = bytes.length
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc = acc * 31 + (bytes(i) & 0xff); i += 1 }
+      val width = 16 + math.floorMod(acc, 512).toInt
+      val height = 16 + math.floorMod(acc >> 9, 512).toInt
+      DecodedRow(r.doc_id, n.toLong, width, height, 3,
+        math.sqrt((width.toDouble * height) / (n.toDouble + 1)))
+    }
+  }
+
+  /** Synthesize a binary corpus from documents (payload = utf-8 bytes)
+    * and run the batched decode. */
+  def decodeAll(s: SparkSession, dir: String): Dataset[DecodedRow] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .repartition(col("doc_id"))   // spread payloads before the heavy step
+      .as[MediaRow]
+      .mapPartitions(decodeBatchStub _)
+  }
+
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodeAll(s, dir).toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_multimodal" -> q41 _)
+
+  val oracleSql: Map[String, String] = Map.empty
+}

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Streaming surface (SURVEY.md §2.4) over the events table.
+  *
+  * The windowed aggregation is defined once as a batch plan (the
+  * driver-gate query, oracle-checked) and re-used verbatim under
+  * `readStream` in StreamingSpec — Structured Streaming's batch/stream
+  * unification means the SAME plan incrementalizes with a watermark.
+  * Sessionization holds per-user state in
+  * `flatMapGroupsWithState` — the scale path for custom state at
+  * 100 TB (state store partitions by user, no driver state).
+  */
+object Streams {
+
+  /** 5-minute tumbling window per event_type — batch form. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("v_sum"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("v_sum"))
+
+  def q42(s: SparkSession, dir: String): DataFrame =
+    windowedAgg(Tables.events(s, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Streaming twin of q42 (used by StreamingSpec): same plan over a
+    * file stream with a 10-minute watermark. */
+  def windowedAggStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(s, dir).schema
+    val raw = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(schema.map {
+        case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+        case f => f
+      }))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    windowedAgg(raw.withWatermark("ts", "10 minutes"))
+  }
+
+  // ── sessionization ──────────────────────────────────────────────────
+
+  case class Event(user_id: Long, ts: Long, event_type: String)       // ts in epoch µs
+  case class Session(user_id: Long, session_id: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  val sessionGapUs: Long = 30L * 60 * 1000 * 1000
+
+  /** Batch sessionization: a session break is a >30-min gap; session
+    * ids are per-user ordinal. Window functions only — one shuffle on
+    * user_id. */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"))
+      .withColumn("prev", lag(col("tsu"), 1).over(byUser))
+      .withColumn("brk", when(col("prev").isNull || col("tsu") - col("prev") > sessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tsu")).as("start_us"), max(col("tsu")).as("end_us"))
+  }
+
+  def q44(s: SparkSession, dir: String): DataFrame =
+    sessionizeBatch(Tables.events(s, dir))
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** Stateful streaming sessionization (StreamingSpec): per-user open
+    * session in GroupState, emitted on gap expiry via event-time
+    * processing. Demonstrates the mapGroupsWithState scale path. */
+  def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Event], Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[List[Event]]) =>
+          val all = (state.getOption.getOrElse(Nil) ++ it.toList).sortBy(_.ts)
+          // close every session whose gap to the next event exceeds the
+          // threshold; keep the trailing open session in state
+          val (closed, open) = all.foldLeft((List.empty[List[Event]], List.empty[Event])) {
+            case ((done, cur), e) =>
+              if (cur.isEmpty || e.ts - cur.last.ts <= sessionGapUs) (done, cur :+ e)
+              else (done :+ cur, List(e))
+          }
+          state.update(open)
+          closed.zipWithIndex.iterator.map { case (es, i) =>
+            Session(user, i + 1L, es.size.toLong, es.head.ts, es.last.ts)
+          }
+      }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_stream_window" -> q42 _,
+    "q44_sessionize" -> q44 _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q42_stream_window" ->
+      """SELECT STRFTIME(TIME_BUCKET(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_sum
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q44_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, EPOCH_US(ts) AS tsu FROM events),
+        |g AS (SELECT user_id, event_id, tsu,
+        |    LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+        |  FROM e),
+        |b AS (SELECT user_id, tsu,
+        |    CASE WHEN prev IS NULL OR tsu - prev > 1800000000 THEN 1 ELSE 0 END AS brk,
+        |    event_id
+        |  FROM g),
+        |sid AS (SELECT user_id, tsu,
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(tsu) AS start_us, MAX(tsu) AS end_us
+        |FROM sid GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
+  )
+}

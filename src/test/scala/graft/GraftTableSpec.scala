@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.GraftTable
+import graft.sources.Tables
+
+/** Lifecycle coverage for SURVEY.md §2.2 items whose surface is
+  * spec-only: create/properties, history, manifest rewrite, snapshot
+  * expiry, orphan removal, stats pruning, diagnostics. */
+class GraftTableSpec extends SparkSpec {
+
+  private def freshRoot(name: String): String = {
+    val p = Paths.get("/root/repo/target/graft-lake-test", name)
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  test("create persists schema + table properties; double create fails") {
+    val root = freshRoot("create")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema,
+      Map("write.target-file-size-bytes" -> "134217728", "gc.enabled" -> "true"))
+    val st = GraftTable.state(root)
+    assert(st.properties("gc.enabled") == "true")
+    assert(st.snapshotId == 0L && st.files.isEmpty)
+    assertThrows[IllegalArgumentException] {
+      GraftTable.create(spark, root, n.schema)
+    }
+  }
+
+  test("append commits a snapshot per call and reads back exactly") {
+    val root = freshRoot("append")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    GraftTable.append(spark, root, n.filter(col("n_nationkey") < 10))
+    GraftTable.append(spark, root, n.filter(col("n_nationkey") >= 10))
+    assert(GraftTable.latestSnapshotId(root) == 2L)
+    assert(GraftTable.read(spark, root).count() == n.count())
+    // row-level equality, not just counts
+    assert(GraftTable.read(spark, root).except(n).isEmpty
+      && n.except(GraftTable.read(spark, root)).isEmpty)
+  }
+
+  test("overwriteWhere deletes matching rows copy-on-write") {
+    val root = freshRoot("ow")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    GraftTable.append(spark, root, n)
+    GraftTable.overwriteWhere(spark, root, col("n_regionkey") === 0)
+    val left = GraftTable.read(spark, root)
+    assert(left.filter(col("n_regionkey") === 0).count() == 0)
+    assert(left.count() == n.filter(col("n_regionkey") =!= 0).count())
+    // previous snapshot still readable (time travel)
+    assert(GraftTable.read(spark, root, Some(1L)).count() == n.count())
+  }
+
+  test("history table records parent chain and operations") {
+    val root = freshRoot("hist")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    GraftTable.append(spark, root, n)
+    GraftTable.rollbackToSnapshot(root, 0L)
+    val hist = GraftTable.historyTable(spark, root).orderBy("snapshot_id").collect()
+    assert(hist.map(_.getString(2)).toSeq == Seq("create", "append", "rollback"))
+    assert(hist.map(_.getLong(1)).toSeq == Seq(-1L, 0L, 1L))
+    assert(GraftTable.read(spark, root).count() == 0L)
+  }
+
+  test("stats pruning skips files whose min/max cannot match") {
+    val root = freshRoot("prune")
+    val o = Tables.orders(spark, sf)
+    GraftTable.create(spark, root, o.schema)
+    // range-partitioned appends → disjoint o_orderkey stats per file
+    val keys = o.select(col("o_orderkey")).orderBy("o_orderkey")
+      .collect().map(_.getLong(0))
+    val mid = keys(keys.length / 2)
+    GraftTable.append(spark, root, o.filter(col("o_orderkey") <= mid).coalesce(1))
+    GraftTable.append(spark, root, o.filter(col("o_orderkey") > mid).coalesce(1))
+    val (df, total, live) = GraftTable.scan(spark, root,
+      Seq(GraftTable.Gt("o_orderkey", mid.toString)))
+    assert(total == 2 && live == 1, s"expected 1 of 2 files to survive, got $live of $total")
+    assert(df.count() == o.filter(col("o_orderkey") > mid).count())
+    // the residual predicate must also reach the parquet scan
+    val p = plan(df)
+    assert(p.linesIterator.filter(_.contains("PushedFilters")).mkString.contains("o_orderkey"))
+  }
+
+  test("rewrite_manifests checkpoints the log; state is unchanged") {
+    val root = freshRoot("manifest")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    (0 until 3).foreach(_ => GraftTable.append(spark, root, n.limit(5)))
+    val before = GraftTable.state(root)
+    GraftTable.rewriteManifests(root)
+    assert(Files.exists(Paths.get(root, "_graft_log", s"checkpoint-${before.snapshotId}.json")))
+    val after = GraftTable.state(root)
+    assert(after.files.map(_.path) == before.files.map(_.path))
+  }
+
+  test("expire_snapshots(retain_last) drops old commits; old reads fail") {
+    val root = freshRoot("expire")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    (0 until 4).foreach(_ => GraftTable.append(spark, root, n.limit(3)))
+    GraftTable.expireSnapshots(root, retainLast = 2)
+    assert(GraftTable.read(spark, root).count() == 12L)   // latest unchanged
+    assert(GraftTable.read(spark, root, Some(3L)).count() == 9L)  // retained
+    assertThrows[IllegalArgumentException] {
+      GraftTable.read(spark, root, Some(1L))              // expired
+    }
+  }
+
+  test("remove_orphan_files deletes unreferenced data past the horizon; dry run doesn't") {
+    val root = freshRoot("orphan")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    GraftTable.append(spark, root, n)
+    val orphan = Paths.get(root, "data", "9999999999-00000-dead.parquet")
+    Files.writeString(orphan, "not really parquet")
+    val horizon = System.currentTimeMillis() + 1000
+    val dry = GraftTable.removeOrphanFiles(root, horizon, dryRun = true)
+    assert(dry == Seq(s"data/${orphan.getFileName}") && Files.exists(orphan))
+    val wet = GraftTable.removeOrphanFiles(root, horizon)
+    assert(wet == dry && !Files.exists(orphan))
+    assert(GraftTable.read(spark, root).count() == n.count(),
+      "live data must survive orphan removal")
+  }
+
+  test("compaction preserves rows and reduces file count; diagnostics reflect it") {
+    val root = freshRoot("compact")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    (0 until 4).foreach(i =>
+      GraftTable.append(spark, root, n.filter(col("n_nationkey") % 4 === i)))
+    val before = GraftTable.filesTable(spark, root)
+    val nBefore = before.count()
+    GraftTable.rewriteDataFiles(spark, root, targetFileSizeBytes = 32L * 1024 * 1024)
+    val after = GraftTable.filesTable(spark, root)
+    assert(after.count() < nBefore)
+    assert(after.agg(sum("record_count")).head().getLong(0) == n.count())
+    // expired files are removable as orphans only after expiry
+    GraftTable.expireSnapshots(root, retainLast = 1)
+    val removed = GraftTable.removeOrphanFiles(root, System.currentTimeMillis() + 1000)
+    assert(removed.size == nBefore.toInt)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Unit-level checks for the hash-family expressions and the
+  * data-pipeline operators whose driver gate is rows-only. */
+class OperatorSpec extends SparkSpec {
+
+  test("DoubleDot matches the HOF aggregate(zip_with) formulation bit-for-bit") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq((Array(1.5, -2.25, 3.0), Array(0.5, 4.0, -1.25)))
+      .toDF("a", "b")
+    val r = df.select(
+      GraftFunctions.dotd(col("a"), col("b")).as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)").as("hof"))
+      .head()
+    assert(r.getDouble(0) == r.getDouble(1))
+    assert(r.getDouble(0) == 1.5 * 0.5 + -2.25 * 4.0 + 3.0 * -1.25)
+  }
+
+  test("SimHash64 equals the md5-nibble majority-vote definition") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val toks = Seq("alpha", "beta", "gamma")
+    // independent reconstruction in Scala from md5 hex strings
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](64)
+    toks.foreach { t =>
+      val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      (0 until 64).foreach { b =>
+        val nibble = Integer.parseInt(hex(b / 4).toString, 16)
+        val bit = (nibble >> (3 - b % 4)) & 1
+        counts(b) += (if (bit == 1) 1 else -1)
+      }
+      md.reset()
+    }
+    var want = 0L
+    (0 until 64).foreach(b => if (counts(b) > 0) want |= 1L << (63 - b))
+    val got = Seq(toks).toDF("toks")
+      .select(GraftFunctions.simhash64(col("toks"))).head().getLong(0)
+    assert(got == want)
+  }
+
+  test("MinHashHex equals per-permutation MIN(md5(i + ':' + s))") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val shingles = Seq("a b c", "b c d", "c d e")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = { md.reset(); md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString }
+    val want = (0 until 16).map(i => shingles.map(s => h(s"$i:$s")).min)
+    val got = Seq(shingles).toDF("sh")
+      .select(GraftFunctions.minhash16(col("sh"))).head()
+      .getSeq[String](0)
+    assert(got == want)
+  }
+
+  test("minhash LSH candidates are a superset of high-jaccard pairs") {
+    // every pair the exact Jaccard join (q33, threshold .6) surfaces
+    // must be found by the banded MinHash (q31, threshold .5)
+    val exact = TextOps.q33(spark, sf).select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.q31(spark, sf).select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh), s"missed pairs: ${exact -- lsh}")
+  }
+
+  test("LSH ANN scores exactly and ranks candidates correctly; dups always collide") {
+    // (random embeddings have low pairwise cos, so recall@1 against
+    // brute force is not a guaranteed property — exact scoring and
+    // ranking of surfaced candidates is, and identical vectors collide
+    // in every table by construction)
+    val rows = Similarity.q36(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getDouble(3)).sliding(2).forall {
+        case Array(a, b) => a >= b; case _ => true
+      }, "candidates must rank by descending cosine")
+    }
+    // exact re-scoring: every surfaced pair's cos equals the
+    // independently computed cosine over the raw embeddings
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+      .toDF("qid", "nid", "cos")
+    val bad = pairs
+      .join(e.as("q"), col("qid") === col("q.vec_id"))
+      .join(e.as("n"), col("nid") === col("n.vec_id"))
+      .withColumn("want", expr(
+        """aggregate(zip_with(q.v, n.v, (x, y) -> x * y), 0D, (a, b) -> a + b)
+          | / (sqrt(aggregate(zip_with(q.v, q.v, (x, y) -> x * y), 0D, (a, b) -> a + b))
+          |  * sqrt(aggregate(zip_with(n.v, n.v, (x, y) -> x * y), 0D, (a, b) -> a + b)))""".stripMargin))
+      .filter(abs(col("cos") - col("want")) > 1e-12)
+    assert(bad.count() == 0, "surfaced cosine scores must be exact")
+  }
+
+  test("multimodal decode is deterministic and batched per partition") {
+    val a = Multimodal.q41(spark, sf).collect()
+    val b = Multimodal.q41(spark, sf).collect()
+    assert(a.sameElements(b), "decode stub must be deterministic")
+    assert(a.length == 500)
+    assert(a.forall(_.getInt(2) >= 16), "stub dimensions in range")
+  }
+}

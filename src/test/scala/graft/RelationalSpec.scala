@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** Plan-shape assertions for the relational pack (SURVEY.md §5): the
+  * point is not just correct rows (the DuckDB oracle covers that) but
+  * that the physical plan is the one that survives 100 TB — pruned
+  * scans, pushed filters, broadcast dims, no cartesian products.
+  */
+class RelationalSpec extends SparkSpec {
+
+  test("q01 scan reads only the 3 projected columns (column pruning)") {
+    val p = plan(Relational.q01(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"),
+      s"scan reads more than the projection: $readSchema")
+  }
+
+  test("q02 filters are pushed to the parquet scan (PushedFilters)") {
+    val p = plan(Relational.q02(spark, sf))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_quantity")
+      && pushed.contains("l_returnflag"),
+      s"expected date+numeric+string pushdown, got: $pushed")
+  }
+
+  test("q05 joins the customer dim via broadcast (no fact shuffle)") {
+    val p = plan(Relational.q05(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "dim join must broadcast")
+  }
+
+  test("q07 star join broadcasts all three dim edges") {
+    val p = plan(Relational.q07(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "supplier/nation/region must all broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q09/q10 compile to semi/anti joins, not materialized joins") {
+    assert(plan(Relational.q09(spark, sf)).contains("LeftSemi"))
+    assert(plan(Relational.q10(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("q13 top-N is TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.q13(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), "limit+sort must fuse to top-N")
+  }
+
+  test("q03 aggregation is partial (map-side combine) before the shuffle") {
+    val df = Relational.q03(spark, sf)
+    assert(plan(df).contains("partial_"), "expected partial aggregation before exchange")
+    df.collect()  // finalize the AQE plan, then inspect what actually ran
+    // '*(n)' marks WholeStageCodegen spans in the executed plan
+    assert("""\*\(\d+\)""".r.findFirstIn(df.queryExecution.executedPlan.toString).isDefined,
+      "agg pipeline must be inside whole-stage codegen")
+  }
+
+  test("decimal-accumulated double sum is order-independent") {
+    val li = Tables.lineitem(spark, sf)
+    val a = li.agg(Relational.dsum(col("l_extendedprice"))).head().getDouble(0)
+    val b = li.repartition(13).agg(Relational.dsum(col("l_extendedprice"))).head().getDouble(0)
+    assert(a == b, "dsum must be bit-identical under re-partitioning")
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all specs (one JVM-wide session;
+  * ScalaTest runs suites sequentially in the forked JVM). */
+object SparkSpec {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSpec.spark
+  val sf: String = SparkSpec.sf
+
+  /** The formatted physical plan, for scan/pushdown/broadcast asserts. */
+  def plan(df: org.apache.spark.sql.DataFrame): String = {
+    val e = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExtendedMode)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode) + e
+  }
+}

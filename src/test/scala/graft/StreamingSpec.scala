@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Tables
+import graft.streaming.Streams
+
+/** Streaming coverage (SURVEY.md §2.4): the batch plans are
+  * oracle-checked by the driver; here the SAME plans run under
+  * readStream to prove they incrementalize. */
+class StreamingSpec extends SparkSpec {
+
+  test("windowed agg over a file stream matches the batch result exactly") {
+    val out = Files.createTempDirectory("graft-stream-ckpt")
+    val streamed = Streams.windowedAggStream(spark, sf)
+    assert(streamed.isStreaming, "plan must be a streaming plan")
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName("win_agg")
+      .outputMode("complete")
+      .option("checkpointLocation", out.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val got = spark.table("win_agg")
+    val want = Streams.q42(spark, sf)
+    assert(got.count() == want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "stream result must equal the batch result on bounded input")
+  }
+
+  test("stateful sessionization emits closed sessions, holds open ones in state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
+    val gap = Streams.sessionGapUs
+    // user 1: two events 1 min apart (one session), then a >30 min gap
+    // and a third event -> first session closes once the later event arrives
+    input.addData(
+      Streams.Event(1L, 0L, "a"),
+      Streams.Event(1L, 60L * 1000000, "b"),
+      Streams.Event(2L, 0L, "x"))
+    val sessions = Streams.sessionizeStream(input.toDS())
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt")
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions").outputMode("append")
+      .option("checkpointLocation", ckpt.resolve("c").toString)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("sessions").count() == 0, "no session closed yet")
+    input.addData(Streams.Event(1L, gap + 120L * 1000000, "c"))
+    q.processAllAvailable()
+    val closed = spark.table("sessions").as[Streams.Session].collect()
+    q.stop()
+    assert(closed.length == 1)
+    assert(closed.head.user_id == 1L && closed.head.n_events == 2L
+      && closed.head.start_us == 0L && closed.head.end_us == 60L * 1000000)
+  }
+
+  test("batch sessionization splits on >30min gaps with per-user ordinals") {
+    val sess = Streams.q44(spark, sf)
+    val firstUser = sess.limit(1).collect().head
+    assert(firstUser.getLong(1) == 1L, "session ids start at 1")
+    // session count per user == number of >gap breaks + 1
+    val events = Tables.events(spark, sf)
+    val nUsers = events.select("user_id").distinct().count()
+    val nSessions = sess.count()
+    assert(nSessions >= nUsers, "every user has at least one session")
+  }
+}

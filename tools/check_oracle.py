@@ -1,0 +1,67 @@
+# Local dev-only cross-check mimicking the driver's DuckDB oracle compare.
+# Usage: python3 tools/check_oracle.py /tmp/verify_out /root/testdata/sf0.001
+import sys, os, json, glob
+import duckdb, pyarrow.parquet as pq
+
+out_dir, sf_dir = sys.argv[1], sys.argv[2]
+oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+con = duckdb.connect()
+con.execute("SET TimeZone='UTC'")
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if hasattr(v, "item"):
+        v = v.item()          # numpy scalar -> python
+    if isinstance(v, float):
+        return repr(v)        # bit-exact double text
+    return str(v)
+
+def norm(df):
+    # sort columns by name, then all rows by every column (stringified)
+    df = df[sorted(df.columns)]
+    rows = [tuple(canon(v) for v in row)
+            for row in df.itertuples(index=False, name=None)]
+    return sorted(rows), sorted(df.columns)
+
+fails = []
+for name in sorted(os.listdir(out_dir)):
+    d = os.path.join(out_dir, name)
+    if not os.path.isdir(d):
+        continue
+    files = glob.glob(os.path.join(d, "*.parquet"))
+    if not files:
+        fails.append((name, "no parquet written")); continue
+    spark_df = pq.read_table(files[0]).to_pandas()
+    if name not in oracle:
+        print(f"  rows-only  {name}: {len(spark_df)} rows " +
+              ("OK" if len(spark_df) > 0 else "EMPTY!"))
+        if len(spark_df) == 0:
+            fails.append((name, "0 rows"))
+        continue
+    try:
+        duck_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}")); continue
+    srows, scols = norm(spark_df)
+    drows, dcols = norm(duck_df)
+    if scols != dcols:
+        fails.append((name, f"schema mismatch spark={scols} duck={dcols}")); continue
+    if len(srows) != len(drows):
+        fails.append((name, f"rowcount spark={len(srows)} duck={len(drows)}")); continue
+    if srows != drows:
+        bad = next(i for i, (a, b) in enumerate(zip(srows, drows)) if a != b)
+        fails.append((name, f"value mismatch at sorted row {bad}:\n  spark={srows[bad]}\n  duck ={drows[bad]}"))
+        continue
+    print(f"  MATCH      {name}: {len(srows)} rows")
+
+print()
+if fails:
+    print(f"{len(fails)} FAILURES:")
+    for n, msg in fails:
+        print(f"  FAIL {n}: {msg}")
+    sys.exit(1)
+print("ALL PASS")
