@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/** SQL front door: the reference's user surface is SQL over catalog
+  * tables (reference: SPARK_ICEBERG_GUIDE.md §3, trino/catalog). After
+  * `GraftSession.init`, every table is a temp view and the graft
+  * native functions are registered, so `spark.sql("SELECT ...")` runs
+  * the full reference query surface — plus graft_dotd / graft_simhash64
+  * / graft_minhash16 — with Catalyst planning it like any other query.
+  */
+object GraftSession {
+  def init(spark: SparkSession, sfDir: String): SparkSession = {
+    GraftFunctions.register(spark)
+    Tables.all.foreach(name =>
+      tableDf(spark, sfDir, name).createOrReplaceTempView(name))
+    spark
+  }
+
+  private def tableDf(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    name match {
+      case "events" => Tables.events(spark, sfDir)
+      case n => Tables.load(spark, sfDir, n)
+    }
+
+  def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
+    init(spark, sfDir)
+    spark.sql(query)
+  }
+}

@@ -127,10 +127,27 @@ object GraftFunctions {
       }
       new String(out)
     }
+    @transient private lazy val prefixes: Array[Array[Byte]] =
+      Array.tabulate(numPerms)(i => s"$i:".getBytes("UTF-8"))
+
+    /** Hex strings compare like their bytes compare unsigned, so the
+      * min scan runs on raw digests in a reused buffer (no per-perm
+      * allocation) and hex-encodes only the numPerms winners. */
+    private def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var i = 0
+      while (i < 16) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      false
+    }
+
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
-      val mins = new Array[String](numPerms)
+      val mins = new Array[Array[Byte]](numPerms)
       val digest = md.get()
+      val tmp = new Array[Byte](16)
       var t = 0
       val n = arr.numElements()
       while (t < n) {
@@ -140,17 +157,17 @@ object GraftFunctions {
           var i = 0
           while (i < numPerms) {
             digest.reset()
-            digest.update(s"$i:".getBytes("UTF-8"))
+            digest.update(prefixes(i))
             digest.update(sBytes)
-            val h = hex(digest.digest())
-            if (mins(i) == null || h.compareTo(mins(i)) < 0) mins(i) = h
+            digest.digest(tmp, 0, 16)
+            if (mins(i) == null || unsignedLt(tmp, mins(i))) mins(i) = tmp.clone()
             i += 1
           }
         }
         t += 1
       }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        mins.map(m => if (m == null) null else UTF8String.fromString(m)))
+        mins.map(m => if (m == null) null else UTF8String.fromString(hex(m))))
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }

@@ -152,38 +152,135 @@ object GraftTable {
   }
 
   private val statsTypes: Set[DataType] =
-    Set(IntegerType, LongType, DoubleType, FloatType, StringType, DateType, TimestampType)
+    Set(IntegerType, LongType, DoubleType, FloatType, StringType, DateType,
+      TimestampType, TimestampNTZType)
+
+  /** Per-file records + column min/max/nulls, read from the parquet
+    * FOOTERS the write already produced — O(files) metadata, never a
+    * second pass over the rows (the Delta/Iceberg stats design). Runs
+    * as a Spark job over the path list so at 100 TB the footer reads
+    * distribute; only the tiny stats transit the driver. Stats string
+    * forms: integers/floats as decimal text, dates ISO, timestamps as
+    * epoch-micros text, strings raw (parquet's truncated min/max are
+    * still valid bounds).
+    */
+  private def footerStats(spark: SparkSession,
+      paths: Seq[String]): Seq[(String, Long, Map[String, ColStats])] = {
+    val conf = spark.sessionState.newHadoopConf()
+    // footer reads are O(files) metadata: below the threshold a driver
+    // loop beats a Spark job's scheduling cost; above it, distribute
+    if (paths.size <= 16) paths.map(readFooter(_, conf))
+    else {
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(conf))
+      spark.sparkContext
+        .parallelize(paths, math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism)))
+        .map(p => readFooter(p, confBc.value.value))
+        .collect().toSeq
+    }
+  }
+
+  private def readFooter(p: String,
+      conf: org.apache.hadoop.conf.Configuration): (String, Long, Map[String, ColStats]) = {
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val records = blocks.map(_.getRowCount).sum
+          // merge row-group stats per top-level column
+          val merged = scala.collection.mutable.Map.empty[String, (Option[String], Option[String], Long)]
+          blocks.flatMap(_.getColumns.asScala).foreach { cc =>
+            if (cc.getPath.size == 1) {
+              val name = cc.getPath.toDotString
+              val st = cc.getStatistics
+              if (st != null) {
+                val prim = cc.getPrimitiveType
+                val logical = prim.getLogicalTypeAnnotation
+                def render(v: AnyRef): Option[String] = (prim.getPrimitiveTypeName, logical) match {
+                  case (PrimitiveTypeName.INT32, _: DateLogicalTypeAnnotation) =>
+                    Some(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue()).toString)
+                  case (PrimitiveTypeName.INT64, t: TimestampLogicalTypeAnnotation) =>
+                    val n = v.asInstanceOf[Number].longValue()
+                    val micros = t.getUnit match {
+                      case LogicalTypeAnnotation.TimeUnit.MILLIS => n * 1000L
+                      case LogicalTypeAnnotation.TimeUnit.NANOS => n / 1000L
+                      case _ => n
+                    }
+                    Some(micros.toString)
+                  case (PrimitiveTypeName.BINARY, _) =>
+                    Some(new String(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes, "UTF-8"))
+                  case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 |
+                        PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE, _) =>
+                    Some(v.toString)
+                  case _ => None  // INT96 etc: no usable stats
+                }
+                val (mn, mx) =
+                  if (st.hasNonNullValue)
+                    (render(st.genericGetMin().asInstanceOf[AnyRef]),
+                     render(st.genericGetMax().asInstanceOf[AnyRef]))
+                  else (None, None)
+                val nulls = math.max(0L, st.getNumNulls)
+                val prev = merged.get(name)
+                merged(name) = prev match {
+                  case None => (mn, mx, nulls)
+                  case Some((pmn, pmx, pn)) =>
+                    // min/max merge uses raw string order only as a
+                    // placeholder; typed merge happens below via cmp-safe
+                    // forms (all our renderings order correctly as text
+                    // except float/int width — merged numerically there)
+                    (mergeBound(pmn, mn, takeMin = true), mergeBound(pmx, mx, takeMin = false), pn + nulls)
+                }
+              }
+            }
+          }
+          (p, records, merged.toMap.map { case (k, (mn, mx, n)) => k -> ColStats(mn, mx, n) })
+        } finally reader.close()
+  }
+
+  /** Merge two rendered bounds. Numeric strings merge numerically,
+    * everything else by the same UTF-8 order cmp() uses, so the merged
+    * bound stays a valid bound under the pruning comparator. */
+  private def mergeBound(a: Option[String], b: Option[String], takeMin: Boolean): Option[String] =
+    (a, b) match {
+      case (None, x) => x
+      case (x, None) => x
+      case (Some(x), Some(y)) =>
+        val cmpv = (scala.util.Try(java.lang.Double.compare(x.toDouble, y.toDouble)).toOption
+          .getOrElse(utf8Cmp(x, y)))
+        Some(if ((cmpv <= 0) == takeMin) x else y)
+    }
 
   /** Write df's rows as new data files and return their entries with
-    * per-file min/max stats (computed distributedly in one pass). */
+    * per-file min/max stats harvested from the parquet footers. */
   private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
       snapshotId: Long): Seq[FileEntry] = {
     val tmp = Paths.get(root, s".stage-${UUID.randomUUID()}")
-    df.write.parquet(tmp.toString)
-    val statCols = df.schema.fields.filter(f => statsTypes.contains(f.dataType))
-    val aggs =
-      count(lit(1)).as("__records") +:
-      statCols.flatMap(f => Seq(
-        min(col(f.name)).cast("string").as(s"__min_${f.name}"),
-        max(col(f.name)).cast("string").as(s"__max_${f.name}"),
-        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}")))
-    val perFile = spark.read.parquet(tmp.toString)
-      .groupBy(input_file_name().as("__file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val entries = perFile.zipWithIndex.map { case (r, i) =>
-      val src = Paths.get(new java.net.URI(r.getAs[String]("__file")))
+    // micros timestamps so footers carry usable timestamp stats
+    // (INT96, the legacy option, writes no valid min/max)
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.write.parquet(tmp.toString)
+    finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+    val statNames = df.schema.fields.filter(f => statsTypes.contains(f.dataType)).map(_.name).toSet
+    val parts = listDir(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+    val stats = footerStats(spark, parts.map(_.toString))
+      .map { case (p, r, s) => p -> (r, s) }.toMap
+    val entries = parts.sortBy(_.getFileName.toString).zipWithIndex.map { case (src, i) =>
+      val (records, st) = stats(src.toString)
       val name = f"$snapshotId%010d-$i%05d-${UUID.randomUUID()}.parquet"
       val dst = dataDir(root).resolve(name)
       Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-      val stats = statCols.map { f =>
-        f.name -> ColStats(
-          Option(r.getAs[String](s"__min_${f.name}")),
-          Option(r.getAs[String](s"__max_${f.name}")),
-          r.getAs[Long](s"__nulls_${f.name}"))
-      }.toMap
-      FileEntry(s"data/$name", Files.size(dst), r.getAs[Long]("__records"), stats)
-    }.toSeq
+      FileEntry(s"data/$name", Files.size(dst), records, st.view.filterKeys(statNames).toMap)
+    }
     // clean the stage dir (crc/_SUCCESS leftovers)
     Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     entries
@@ -211,15 +308,19 @@ object GraftTable {
 
   /** Copy-on-write DELETE/overwrite: files whose stats may contain
     * matching rows are rewritten without them; untouched files are
-    * carried over by reference. */
+    * carried over by reference. `prunePreds` (a stats-comparable
+    * rendering of `condition`, supplied by the caller) narrows the
+    * rewrite set — at 100 TB a keyed delete should rewrite a handful
+    * of files, not the table. Correctness never depends on it:
+    * unpruned files are rewritten with the same filter. */
   def overwriteWhere(spark: SparkSession, root: String, condition: Column,
-      replacement: Option[DataFrame] = None): Long = {
+      replacement: Option[DataFrame] = None, prunePreds: Seq[Pred] = Nil): Long = {
     val snap = state(root)
     val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
-    val all = snap.files
-    // conservative: rewrite every file that may contain a match (stats
-    // pruning would narrow this; correctness never depends on it)
-    val touched = all
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val touched =
+      if (prunePreds.isEmpty) snap.files
+      else snap.files.filter(mayMatch(types, prunePreds))
     val id = latestSnapshotId(root) + 1
     val kept =
       if (touched.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -247,30 +348,40 @@ object GraftTable {
     else spark.read.schema(schema).parquet(snap.files.map(f => s"$root/${f.path}"): _*)
   }
 
-  /** Simple comparison predicate for stats pruning. */
+  /** Simple comparison predicate for stats pruning. Values are text:
+    * numbers in decimal, dates ISO, timestamps as epoch-MICROS,
+    * strings raw (compared as UTF-8 bytes). */
   sealed trait Pred { def colName: String }
   case class Gt(colName: String, v: String) extends Pred
   case class Lt(colName: String, v: String) extends Pred
   case class Eq(colName: String, v: String) extends Pred
 
-  private def cmp(dt: DataType, a: String, b: String): Int = dt match {
-    case IntegerType | LongType => java.lang.Long.compare(a.toLong, b.toLong)
-    case DoubleType | FloatType => java.lang.Double.compare(a.toDouble, b.toDouble)
-    case _ => a.compareTo(b)
+  /** Unsigned UTF-8 byte comparison — the order parquet computes
+    * binary min/max under (and the order Spark's UTF8String uses), so
+    * pruning decisions agree with how the bounds were produced. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
   }
 
-  /** File-skipping scan: drop files whose [min,max] cannot satisfy the
-    * predicates, then let Spark push the same predicates into the
-    * surviving parquet footers. This is the metadata-level partition/
-    * stats pruning Iceberg manifests provide — at 100 TB it's the
-    * difference between listing a few files and scanning a lake. */
-  def scan(spark: SparkSession, root: String, preds: Seq[Pred],
-      asOf: Option[Long] = None): (DataFrame, Int, Int) = {
-    val snap = state(root, asOf)
-    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
-      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
-    val types = schema.fields.map(f => f.name -> f.dataType).toMap
-    def mayMatch(f: FileEntry): Boolean = preds.forall { p =>
+  private def cmp(dt: DataType, a: String, b: String): Int = dt match {
+    case IntegerType | LongType | TimestampType | TimestampNTZType =>
+      java.lang.Long.compare(a.toLong, b.toLong)
+    case DoubleType | FloatType => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case StringType => utf8Cmp(a, b)
+    case _ => a.compareTo(b)   // DateType: ISO text is chronological
+  }
+
+  /** Can this file's [min,max] stats possibly satisfy every predicate? */
+  private def mayMatch(types: Map[String, DataType], preds: Seq[Pred])(f: FileEntry): Boolean =
+    preds.forall { p =>
       f.stats.get(p.colName) match {
         case None => true  // no stats → cannot prune
         case Some(st) =>
@@ -284,14 +395,33 @@ object GraftTable {
           }
       }
     }
-    val live = snap.files.filter(mayMatch)
+
+  /** File-skipping scan: drop files whose [min,max] cannot satisfy the
+    * predicates, then let Spark push the same predicates into the
+    * surviving parquet footers. This is the metadata-level partition/
+    * stats pruning Iceberg manifests provide — at 100 TB it's the
+    * difference between listing a few files and scanning a lake. */
+  def scan(spark: SparkSession, root: String, preds: Seq[Pred],
+      asOf: Option[Long] = None): (DataFrame, Int, Int) = {
+    val snap = state(root, asOf)
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val live = snap.files.filter(mayMatch(types, preds))
     val df =
       if (live.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else spark.read.schema(schema).parquet(live.map(f => s"$root/${f.path}"): _*)
     val filtered = preds.foldLeft(df) { (d, p) =>
       val c = col(p.colName)
-      val v = lit(p match { case Gt(_, x) => x; case Lt(_, x) => x; case Eq(_, x) => x })
-        .cast(types(p.colName))
+      val raw = p match { case Gt(_, x) => x; case Lt(_, x) => x; case Eq(_, x) => x }
+      // timestamp predicate values are epoch-micros (matching the
+      // footer-stats rendering); everything else casts from text
+      val v = types(p.colName) match {
+        case TimestampType => timestamp_micros(lit(raw.toLong))
+        // micros → NTZ via LTZ cast: identity under the UTC session TZ
+        case TimestampNTZType => timestamp_micros(lit(raw.toLong)).cast(TimestampNTZType)
+        case dt => lit(raw).cast(dt)
+      }
       p match {
         case _: Gt => d.filter(c > v)
         case _: Lt => d.filter(c < v)

@@ -35,7 +35,7 @@ object LakeOps {
   // ── q23: snapshot log over create/append/overwrite/rollback ─────────
   def q23(s: SparkSession, dir: String): DataFrame = {
     val root = scratch("q23")
-    val li = Tables.lineitem(s, dir)
+    val li = Tables.lineitem(s, dir).cache()
     GraftTable.create(s, root, li.schema, Map("write.target-file-size-bytes" -> "134217728"))
     GraftTable.append(s, root, li.filter(col("l_orderkey") % 3 === 0).repartition(2))
     GraftTable.append(s, root, li.filter(col("l_orderkey") % 3 === 1).repartition(2))
@@ -90,7 +90,9 @@ object LakeOps {
   def q26(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val root = scratch("q26")
-    val li = Tables.lineitem(s, dir)
+    // cache: six modulo-filtered appends would otherwise re-scan the
+    // parquet input once per append
+    val li = Tables.lineitem(s, dir).cache()
     GraftTable.create(s, root, li.schema,
       Map("write.target-file-size-bytes" -> "67108864"))
     // 6 appends × 4 partitions = 24 small files (reference §6's

@@ -30,11 +30,15 @@ object Similarity {
     * interpreted per element (~20× slower on the all-pairs join). */
   private def dot(a: Column, b: Column): Column = GraftFunctions.dotd(a, b)
 
+  /** Cached: every query below references this 2+ times (self-join /
+    * re-rank), and without the materialization barrier each reference
+    * would re-read parquet and recompute the self-dot. */
   private def norms(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     Tables.embeddings(s, dir).select(
       col("vec_id"), embD(col("embedding")).as("v"),
       sqrt(dot(embD(col("embedding")), embD(col("embedding")))).as("nrm"))
+      .cache()
   }
 
   // ── §2.3/41 embedding-cosine near-dup (all-pairs baseline) ──────────

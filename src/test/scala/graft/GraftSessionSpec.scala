@@ -1,0 +1,28 @@
+package graft
+
+/** The reference's user surface is plain SQL; after init, arbitrary
+  * ANSI SQL over the catalog tables must plan and run. */
+class GraftSessionSpec extends SparkSpec {
+
+  test("arbitrary SQL over registered tables, including graft functions") {
+    GraftSession.init(spark, sf)
+    val n = spark.sql(
+      """SELECT n_name, COUNT(*) AS cnt
+        |FROM nation JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY n_name ORDER BY cnt DESC, n_name LIMIT 5""".stripMargin)
+    assert(n.count() == 5)
+    val dot = spark.sql(
+      """SELECT vec_id, graft_dotd(CAST(embedding AS ARRAY<DOUBLE>),
+        |                          CAST(embedding AS ARRAY<DOUBLE>)) AS selfdot
+        |FROM embeddings ORDER BY vec_id LIMIT 3""".stripMargin).collect()
+    assert(dot.length == 3 && dot.forall(_.getDouble(1) > 0))
+    // window + CTE + set op in one statement (Trino-style analytics)
+    val w = spark.sql(
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn
+        |  FROM orders)
+        |SELECT COUNT(*) AS n FROM ranked WHERE rn = 1""".stripMargin).head().getLong(0)
+    assert(w > 0)
+  }
+}

@@ -95,6 +95,50 @@ class GraftTableSpec extends SparkSpec {
     assert(p.linesIterator.filter(_.contains("PushedFilters")).mkString.contains("o_orderkey"))
   }
 
+  test("pruned overwriteWhere rewrites only files whose stats may match") {
+    val root = freshRoot("ow-prune")
+    val o = Tables.orders(spark, sf)
+    GraftTable.create(spark, root, o.schema)
+    val keys = o.select(col("o_orderkey")).orderBy("o_orderkey").collect().map(_.getLong(0))
+    val mid = keys(keys.length / 2)
+    GraftTable.append(spark, root, o.filter(col("o_orderkey") <= mid).coalesce(1))
+    GraftTable.append(spark, root, o.filter(col("o_orderkey") > mid).coalesce(1))
+    val hi = keys(keys.length - 3)
+    GraftTable.overwriteWhere(spark, root, col("o_orderkey") > lit(hi),
+      prunePreds = Seq(GraftTable.Gt("o_orderkey", hi.toString)))
+    // the low-range file must be carried over by reference, not rewritten
+    val snaps = GraftTable.snapshotsTable(spark, root)
+      .filter(col("operation") === "overwrite").head()
+    assert(snaps.getAs[Long]("removed_files") == 1L,
+      "only the high-range file should be rewritten")
+    assert(GraftTable.read(spark, root).count() == keys.length - 2L)
+  }
+
+  test("footer stats cover timestamps (as micros) and strings; pruning works on both") {
+    val root = freshRoot("ts-stats")
+    val o = Tables.orders(spark, sf)
+    GraftTable.create(spark, root, o.schema)
+    val dates = o.select(col("o_orderdate")).orderBy("o_orderdate").collect()
+      .map(_.getAs[java.time.LocalDateTime](0))
+    val mid = dates(dates.length / 2)
+    GraftTable.append(spark, root, o.filter(col("o_orderdate") <= lit(mid)).coalesce(1))
+    GraftTable.append(spark, root, o.filter(col("o_orderdate") > lit(mid)).coalesce(1))
+    val midMicros = {
+      val i = mid.toInstant(java.time.ZoneOffset.UTC)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val (df, total, live) = GraftTable.scan(spark, root,
+      Seq(GraftTable.Gt("o_orderdate", midMicros.toString)))
+    assert(total == 2 && live == 1, s"timestamp prune: $live of $total survived")
+    assert(df.count() == o.filter(col("o_orderdate") > lit(mid)).count())
+    // string stats: status partition prune
+    val (df2, t2, l2) = GraftTable.scan(spark, root, Nil)
+    assert(t2 == 2 && l2 == 2 && df2.count() == o.count())
+    val st = GraftTable.state(root).files.head.stats
+    assert(st.contains("o_orderstatus") && st("o_orderstatus").min.nonEmpty,
+      "string columns must carry footer min/max")
+  }
+
   test("rewrite_manifests checkpoints the log; state is unchanged") {
     val root = freshRoot("manifest")
     val n = Tables.nation(spark, sf)
