@@ -294,12 +294,39 @@ object GraftTable {
     id
   }
 
+  /** ALTER TABLE ... SET TBLPROPERTIES (reference:
+    * SPARK_ICEBERG_GUIDE.md §§8.2, 8.9): a properties-only commit. */
+  def setProperties(root: String, props: Map[String, String]): Long =
+    commit(root, "set_properties", Seq.empty, Seq.empty, props)
+
+  /** Cluster rows before writing per the table's write properties
+    * (reference: SPARK_ICEBERG_GUIDE.md §8.9 'write.distribution-mode'):
+    * hash/range distribution on `graft.partition-columns` packs each
+    * partition value into few files, so the per-file min/max stats act
+    * as partition pruning — at 100 TB this is what keeps a
+    * one-partition query from listing the whole table. */
+  private def distribute(df: DataFrame, props: Map[String, String]): DataFrame = {
+    val cols = props.get("graft.partition-columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    // explicit count pins the file count (AQE would otherwise coalesce
+    // small shuffles into one output file, defeating the clustering)
+    val n = props.get("graft.write-partitions").map(_.toInt)
+    if (cols.isEmpty) df
+    else props.getOrElse("write.distribution-mode", "hash") match {
+      case "range" => n.map(df.repartitionByRange(_, cols.map(col): _*))
+        .getOrElse(df.repartitionByRange(cols.map(col): _*))
+      case "none" => df
+      case _ => n.map(df.repartition(_, cols.map(col): _*))
+        .getOrElse(df.repartition(cols.map(col): _*))
+    }
+  }
+
   /** INSERT INTO — one snapshot per call (reference:
     * SPARK_ICEBERG_GUIDE.md §§5-6; many small appends = many small
     * files, by design, so compaction has something to do). */
   def append(spark: SparkSession, root: String, df: DataFrame): Long = {
     val id = latestSnapshotId(root) + 1
-    val adds = writeDataFiles(spark, root, df, id)
+    val adds = writeDataFiles(spark, root, distribute(df, state(root).properties), id)
     val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "append",
       adds, Seq.empty, Map.empty, None)
     writeAtomic(commitPath(root, id), toJson(c))
@@ -464,17 +491,23 @@ object GraftTable {
     * than the target; each bin rewrites into one file. Rewrites run as
     * one distributed job; only file *metadata* transits the driver. */
   def rewriteDataFiles(spark: SparkSession, root: String,
-      targetFileSizeBytes: Long = 128L * 1024 * 1024,
+      targetFileSizeBytes: Long = -1L,
       minInputFiles: Int = 2): Long = {
     val snap = state(root)
+    // default to the table's own write.target-file-size-bytes
+    // (reference: SPARK_ICEBERG_GUIDE.md §8.3 options map)
+    val target =
+      if (targetFileSizeBytes > 0) targetFileSizeBytes
+      else snap.properties.get("write.target-file-size-bytes")
+        .map(_.toLong).getOrElse(128L * 1024 * 1024)
     val schema = DataType.fromJson(snap.schemaJson.getOrElse(
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
-    val small = snap.files.filter(_.sizeBytes < targetFileSizeBytes)
+    val small = snap.files.filter(_.sizeBytes < target)
     if (small.size < minInputFiles) return snap.snapshotId
     var bins = Seq.empty[Seq[FileEntry]]
     var cur = Seq.empty[FileEntry]; var curSize = 0L
     small.sortBy(_.path).foreach { f =>
-      if (curSize + f.sizeBytes > targetFileSizeBytes && cur.nonEmpty) {
+      if (curSize + f.sizeBytes > target && cur.nonEmpty) {
         bins :+= cur; cur = Seq(f); curSize = f.sizeBytes
       } else { cur :+= f; curSize += f.sizeBytes }
     }

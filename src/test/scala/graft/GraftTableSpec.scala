@@ -180,6 +180,54 @@ class GraftTableSpec extends SparkSpec {
       "live data must survive orphan removal")
   }
 
+  test("set_properties commits take effect; distribution-mode clusters appends for pruning") {
+    val root = freshRoot("props")
+    val c = Tables.customer(spark, sf)
+    GraftTable.create(spark, root, c.schema)
+    GraftTable.setProperties(root, Map(
+      "graft.partition-columns" -> "c_nationkey",
+      "graft.write-partitions" -> "4",
+      "write.distribution-mode" -> "range",
+      "write.target-file-size-bytes" -> "1048576",
+      "gc.enabled" -> "true"))
+    assert(GraftTable.state(root).properties("gc.enabled") == "true")
+    GraftTable.append(spark, root, c)
+    // range distribution on c_nationkey → an Eq predicate prunes to a
+    // strict subset of files (partition-pruning behavior via stats)
+    val (df, total, live) = GraftTable.scan(spark, root,
+      Seq(GraftTable.Eq("c_nationkey", "3")))
+    assert(total > 1, "range write should produce multiple files")
+    assert(live < total, s"expected pruning, got $live of $total")
+    assert(df.count() == c.filter(col("c_nationkey") === 3).count())
+    // compaction picks up the table's own target size property
+    GraftTable.rewriteDataFiles(spark, root)
+    assert(GraftTable.state(root).operation == "rewrite_data_files")
+  }
+
+  test("streaming ingest: foreachBatch appends commit one snapshot per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = freshRoot("stream-ingest")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val schema = input.toDS().toDF("v").schema
+    GraftTable.create(spark, root, schema)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt")
+    val q = input.toDS().toDF("v").writeStream
+      .option("checkpointLocation", ckpt.resolve("c").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        GraftTable.append(batch.sparkSession, root, batch): Unit
+      }
+      .start()
+    input.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    input.addData(4L, 5L)
+    q.processAllAvailable()
+    q.stop()
+    assert(GraftTable.latestSnapshotId(root) == 2L, "one snapshot per micro-batch")
+    assert(GraftTable.read(spark, root).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(GraftTable.read(spark, root, Some(1L)).count() == 3L)
+  }
+
   test("compaction preserves rows and reduces file count; diagnostics reflect it") {
     val root = freshRoot("compact")
     val n = Tables.nation(spark, sf)
