@@ -21,12 +21,18 @@ object Multimodal {
 
   case class MediaRow(doc_id: Long, payload: Array[Byte])
   case class DecodedRow(doc_id: Long, byte_len: Long, width: Int, height: Int,
-      channels: Int, feat_norm: Double)
+      channels: Int, feat_norm: Double, thumb_w: Int, thumb_h: Int,
+      n_frames: Int, frame_hashes: Array[Long])
 
-  /** STUB decoder — stands in for image decode + feature extraction.
-    * Deterministic in the payload bytes so tests are hash-stable.
-    * A real implementation would decode here (one codec init per
-    * partition, reused across the batch).
+  /** Target box for the resize stage (stub keeps aspect ratio). */
+  private val thumbMax = 64
+
+  /** STUB decode → feature-extract → resize → frame-sample pipeline.
+    * Stands in for a real codec chain (libjpeg/ffmpeg are not in this
+    * container); deterministic in the payload bytes so tests are
+    * hash-stable. Everything a real implementation needs is shaped
+    * here: one "codec init" per partition amortized over the batch,
+    * payloads never leaving the executor, typed columnar output.
     */
   private def decodeBatchStub(rows: Iterator[MediaRow]): Iterator[DecodedRow] = {
     // per-partition "codec init" happens here (stubbed)
@@ -36,10 +42,29 @@ object Multimodal {
       var acc = 0L
       var i = 0
       while (i < n) { acc = acc * 31 + (bytes(i) & 0xff); i += 1 }
+      // decode: derive "native" dimensions
       val width = 16 + math.floorMod(acc, 512).toInt
       val height = 16 + math.floorMod(acc >> 9, 512).toInt
+      // resize: fit into thumbMax box, preserve aspect
+      val scale = math.min(1.0, thumbMax.toDouble / math.max(width, height))
+      val tw = math.max(1, math.round(width * scale).toInt)
+      val th = math.max(1, math.round(height * scale).toInt)
+      // frame-sample: treat the payload as a "video" of 1 KiB frames,
+      // sample up to 4 evenly-spaced frames and hash each
+      val frameSize = 1024
+      val totalFrames = math.max(1, n / frameSize)
+      val k = math.min(4, totalFrames)
+      val hashes = Array.tabulate(k) { f =>
+        val start = (f.toLong * totalFrames / k).toInt * frameSize
+        val end = math.min(n, start + frameSize)
+        var h = 1125899906842597L
+        var j = start
+        while (j < end) { h = h * 31 + (bytes(j) & 0xff); j += 1 }
+        h
+      }
       DecodedRow(r.doc_id, n.toLong, width, height, 3,
-        math.sqrt((width.toDouble * height) / (n.toDouble + 1)))
+        math.sqrt((width.toDouble * height) / (n.toDouble + 1)),
+        tw, th, k, hashes)
     }
   }
 

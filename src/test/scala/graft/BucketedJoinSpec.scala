@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The 100 TB fact-fact join design (SURVEY.md §5): both sides bucketed
+  * on the join key at write time join WITHOUT any shuffle exchange —
+  * the exchange that dominates q06 at scale disappears entirely. This
+  * spec proves the zero-exchange plan actually materializes on disk-
+  * bucketed tables. */
+class BucketedJoinSpec extends SparkSpec {
+
+  test("bucketed fact-fact join runs with no shuffle exchange") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the point
+    try {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+      Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("li_bucketed")
+      Tables.orders(spark, sf)
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("o_bucketed")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      def occurrences(hay: String, needle: String): Int =
+        hay.sliding(needle.length).count(_ == needle)
+      val shufflesBeforeAgg = occurrences(p, "Exchange hashpartitioning(l_orderkey") +
+        occurrences(p, "Exchange hashpartitioning(o_orderkey")
+      assert(shufflesBeforeAgg == 0,
+        s"bucketed join must not shuffle either side:\n$p")
+      assert(p.contains("SortMergeJoin"), "co-located join should sort-merge in place")
+      // result parity with the plain shuffle join
+      val plain = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      assert(joined.except(plain).isEmpty && plain.except(joined).isEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}

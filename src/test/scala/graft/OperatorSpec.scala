@@ -98,11 +98,19 @@ class OperatorSpec extends SparkSpec {
     assert(bad.count() == 0, "surfaced cosine scores must be exact")
   }
 
-  test("multimodal decode is deterministic and batched per partition") {
+  test("multimodal pipeline (decode/resize/frame-sample) is deterministic and batched") {
     val a = Multimodal.q41(spark, sf).collect()
     val b = Multimodal.q41(spark, sf).collect()
-    assert(a.sameElements(b), "decode stub must be deterministic")
+    assert(a.map(_.toString).sameElements(b.map(_.toString)),
+      "decode stub must be deterministic")
     assert(a.length == 500)
     assert(a.forall(_.getInt(2) >= 16), "stub dimensions in range")
+    // resize fits the 64-box and preserves aspect ordering
+    assert(a.forall(r => r.getInt(6) <= 64 && r.getInt(7) <= 64))
+    // the long edge lands on the 64-box whenever the source exceeds it
+    assert(a.forall(r => math.max(r.getInt(2), r.getInt(3)) < 64 ||
+      math.max(r.getInt(6), r.getInt(7)) == 64))
+    // frame sampling emits 1..4 hashes matching n_frames
+    assert(a.forall(r => r.getInt(8) == r.getSeq[Long](9).length && r.getInt(8) >= 1))
   }
 }
