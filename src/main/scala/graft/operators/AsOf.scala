@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** As-of (time-series) join — an operator the reference's SQL engines
+  * ship natively (Trino/DuckDB ASOF JOIN) but Spark lacks.
+  *
+  * Implementation is the scale-correct composition, not a range join:
+  * tag both sides, union them into one keyed event stream, and carry
+  * the latest right-side value forward with `last(ignoreNulls)` over a
+  * (key, time) window. One shuffle on the key, O(n log n) per
+  * partition, no candidate explosion — a naive `l.ts >= r.ts` range
+  * join is O(n·m) per key and falls over at 100 TB.
+  */
+object AsOf {
+
+  /** For every left row, attach the latest right row (by `ts`, same
+    * `user_id`) with right.ts <= left.ts. */
+  def asOfJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.select(col("user_id"), col("ts"), col("event_id"),
+      lit(1).as("side"), lit(null).cast("long").as("r_event_id"),
+      lit(null).cast("double").as("r_value"))
+    val r = right.select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+      lit(0).as("side"), col("event_id").as("r_event_id"), col("value").as("r_value"))
+    // right rows sort before left rows at the same timestamp (side 0 < 1)
+    // so an exactly-simultaneous right row IS visible to the left row —
+    // matching ASOF JOIN's <= semantics
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("r_event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof_event_id", last(col("r_event_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_value", last(col("r_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("asof_event_id"), col("asof_value"))
+  }
+
+  /** q45: each 'click' event joined to the latest 'view' event at or
+    * before it for the same user. */
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+    val views = e.filter(col("event_type") === "view")
+    asOfJoin(clicks, views)
+      .select(col("user_id"), col("event_id"), col("asof_event_id"),
+        col("asof_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_asof_join" -> q45 _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q45_asof_join" ->
+      """WITH clicks AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |     views  AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'view')
+        |SELECT c.user_id, c.event_id,
+        |       v.event_id AS asof_event_id, v.value AS asof_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.user_id, c.event_id""".stripMargin
+  )
+}

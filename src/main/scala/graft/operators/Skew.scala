@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation join (SURVEY.md §5 'salting for skew').
+  *
+  * A hash join on a key where one value holds a large share of the
+  * rows puts that whole value in one task. Salting splits it: the big
+  * side gets a deterministic salt in [0, salts) derived from a unique
+  * row discriminator, the small side is replicated once per salt, and
+  * the join runs on (key, salt) — the hot key spreads over `salts`
+  * tasks at the cost of replicating the small side.
+  *
+  * AQE's skew-join handles this automatically for sort-merge joins;
+  * explicit salting remains the tool when AQE can't split (e.g. a
+  * skewed aggregation feeding a join, or a build side too big to
+  * broadcast but small enough to replicate).
+  */
+object Skew {
+
+  /** Join `big` with `small` on big(bigKey) == small(smallKey),
+    * salted `salts` ways. `discriminator` must be unique-ish per big
+    * row (any stable expression; it only balances the salt buckets).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String,
+      discriminator: Column, salts: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn("__salt", pmod(xxhash64(discriminator), lit(salts)))
+    val saltedSmall = small
+      .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(saltedSmall,
+        saltedBig(bigKey) === saltedSmall(smallKey) &&
+          saltedBig("__salt") === saltedSmall("__salt"))
+      .drop("__salt")
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+/** Salted join parity + balance: same rows as the plain join, hot key
+  * spread across salt buckets. */
+class SkewSpec extends SparkSpec {
+
+  test("salted join returns exactly the plain join's rows on skewed data") {
+    import spark.implicits._
+    // 10k facts, 90% on one hot key
+    val big = spark.range(10000)
+      .select(when(col("id") % 10 =!= 0, lit(42L)).otherwise(col("id")).as("k"),
+        col("id").as("rowid"))
+    val small = Seq((42L, "hot"), (0L, "a"), (10L, "b"), (20L, "c"))
+      .toDF("sk", "label")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = Skew.saltedJoin(big, small, "k", "sk", col("rowid"), salts = 8)
+        .select(col("rowid"), col("label"))
+      val plain = big.join(small, col("k") === col("sk"))
+        .select(col("rowid"), col("label"))
+      assert(salted.count() == plain.count())
+      assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+      // the hot key's rows really do land in multiple salt buckets
+      val buckets = big.filter(col("k") === 42L)
+        .select(pmod(xxhash64(col("rowid")), lit(8)).as("salt"))
+        .distinct().count()
+      assert(buckets > 4, s"hot key spread over only $buckets buckets")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
