@@ -554,6 +554,48 @@ object GraftTable {
       Files.deleteIfExists(logDir(root).resolve(s"checkpoint-$k.json")))
   }
 
+  /** expire_snapshots(older_than => TIMESTAMP) (reference:
+    * SPARK_ICEBERG_GUIDE.md §8.5): drop snapshots committed before the
+    * UTC horizon; the current snapshot always survives. */
+  def expireSnapshotsOlderThan(root: String, olderThanMs: Long): Unit = {
+    val ids = listCommitIds(root)
+    val survivors = ids.filter { id =>
+      parseCommit(Files.readString(commitPath(root, id))).timestampMs >= olderThanMs
+    }
+    val retain = if (survivors.isEmpty) 1 else (ids.max - survivors.min + 1).toInt
+    expireSnapshots(root, retain)
+  }
+
+  /** Time travel by UTC timestamp: read the last snapshot committed at
+    * or before `tsMs` (the FOR SYSTEM_TIME AS OF read). */
+  def readAsOfTime(spark: SparkSession, root: String, tsMs: Long): DataFrame = {
+    val ids = listCommitIds(root)
+    val at = ids.filter { id =>
+      parseCommit(Files.readString(commitPath(root, id))).timestampMs <= tsMs
+    }
+    require(at.nonEmpty, s"no snapshot at or before $tsMs")
+    read(spark, root, Some(at.max))
+  }
+
+  /** DESCRIBE TABLE EXTENDED (reference: SPARK_ICEBERG_GUIDE.md §8.7):
+    * schema fields, properties, and size diagnostics as one key/value
+    * table. */
+  def describeTable(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val snap = state(root)
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val rows =
+      schema.fields.map(f => ("col: " + f.name, f.dataType.simpleString)).toSeq ++
+      snap.properties.toSeq.sortBy(_._1).map { case (k, v) => ("prop: " + k, v) } ++
+      Seq(
+        ("snapshot_id", snap.snapshotId.toString),
+        ("files", snap.files.size.toString),
+        ("total_bytes", snap.files.map(_.sizeBytes).sum.toString),
+        ("total_records", snap.files.map(_.records).sum.toString))
+    rows.toDF("key", "value")
+  }
+
   /** remove_orphan_files (reference: SPARK_ICEBERG_GUIDE.md §8.6):
     * data files referenced by NO retained snapshot and older than the
     * horizon. Returns deleted (or would-delete, if dryRun) paths. */

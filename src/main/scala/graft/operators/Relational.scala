@@ -299,6 +299,13 @@ object Relational {
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
       percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))
 
+  // ── §2.1/20b cube (full grouping-set lattice) ───────────────────────
+  def q46(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01 _,
     "q02_filter_pushdown" -> q02 _,
@@ -321,7 +328,8 @@ object Relational {
     "q19_strings" -> q19 _,
     "q20_rollup" -> q20 _,
     "q21_having" -> q21 _,
-    "q22_approx" -> q22 _)
+    "q22_approx" -> q22 _,
+    "q46_cube" -> q46 _)
 
   private val sumD = "CAST(SUM(CAST(%s AS DECIMAL(18,4))) AS DOUBLE)"
   private def ds(e: String) = sumD.format(e)
@@ -479,6 +487,13 @@ object Relational {
          |FROM lineitem
          |GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q46_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         |  ${ds("o_totalprice")} AS revenue
+         |FROM orders
+         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q21_having" ->
       s"""SELECT l_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS odate,

@@ -164,6 +164,34 @@ class GraftTableSpec extends SparkSpec {
     }
   }
 
+  test("expire by timestamp, time travel by timestamp, and describe diagnostics") {
+    val root = freshRoot("ts-ops")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    GraftTable.append(spark, root, n.limit(5))
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    GraftTable.append(spark, root, n.limit(5))
+    // time travel by timestamp: at `mid` only the first append existed
+    assert(GraftTable.readAsOfTime(spark, root, mid).count() == 5L)
+    assert(GraftTable.readAsOfTime(spark, root, System.currentTimeMillis()).count() == 10L)
+    // expire everything older than mid: snapshot 1 goes, latest stays
+    GraftTable.expireSnapshotsOlderThan(root, mid)
+    assert(GraftTable.read(spark, root).count() == 10L)
+    assertThrows[IllegalArgumentException] {
+      GraftTable.read(spark, root, Some(0L))
+    }
+    // describe: schema fields + diagnostics in one key/value table
+    GraftTable.setProperties(root, Map("gc.enabled" -> "true"))
+    val d = GraftTable.describeTable(spark, root).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("col: n_name") == "string")
+    assert(d("prop: gc.enabled") == "true")
+    assert(d("total_records") == "10")
+    assert(d("files").toInt >= 2)
+  }
+
   test("remove_orphan_files deletes unreferenced data past the horizon; dry run doesn't") {
     val root = freshRoot("orphan")
     val n = Tables.nation(spark, sf)
