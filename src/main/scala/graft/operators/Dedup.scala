@@ -31,17 +31,24 @@ object Dedup {
   // ── §2.3/38 MinHash + LSH ───────────────────────────────────────────
   def q31(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val sh = TextOps.shingleSet(s, dir).cache()
+    // one pass computes the distinct shingle array per doc; both the
+    // exploded (doc, shingle) relation (for exact-Jaccard verify) and
+    // the minhash signatures derive from this single cached projection
+    // — the shingling HOFs (non-codegen lambdas) run once, not twice
+    val shArr = Tables.documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text")))).as("arr"))
+      .cache()
+    val sh = shArr.select(col("doc_id"), explode(col("arr")).as("sh"))
     // all 16 permutation minima in one native pass per document — the
     // nPerms× row explosion + shuffle the SQL formulation would need
     // collapses into a narrow map (oracle semantics identical)
     // cache = materialization barrier: the band projection references
     // mh 16×, and CollapseProject would otherwise inline (and
     // re-evaluate) the non-codegen minhash16 call per reference
-    val mh = Tables.documents(s, dir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), graft.functions.GraftFunctions.minhash16(
-        array_distinct(TextOps.shingles(TextOps.tokens(col("text"))))).as("mh"))
+    val mh = shArr
+      .select(col("doc_id"), graft.functions.GraftFunctions.minhash16(col("arr")).as("mh"))
       .cache()
     val bands = mh.select(col("doc_id"),
       explode(array((0 until nPerms / 2).map(b =>

@@ -157,7 +157,30 @@ object TextOps {
         max(col("k")).as("k_max"))
       .orderBy(col("event_type"))
 
+  // ── decontamination: benchmark n-gram overlap ───────────────────────
+  /** Fraction of each training doc's shingles that appear in a held-out
+    * "benchmark" slice (source = src0) — the standard pre-training
+    * decontamination check. The benchmark shingle set is tiny and
+    * broadcast; the corpus side is one linear pass + one aggregation,
+    * so the check scales with the corpus, not benchmark × corpus. */
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    val benchSh = Tables.documents(s, dir).filter(col("source") === lit("src0"))
+      .select(col("doc_id"), explode(array_distinct(shingles(tokens(col("text"))))).as("sh"))
+      .select(col("sh")).distinct()
+    val train = Tables.documents(s, dir).filter(col("source") =!= lit("src0"))
+      .select(col("doc_id"), explode(array_distinct(shingles(tokens(col("text"))))).as("sh"))
+    train
+      .join(broadcast(benchSh).withColumn("hit", lit(1L)), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .withColumn("overlap_frac", col("n_overlap").cast("double") / col("n_shingles"))
+      .withColumn("flagged", col("overlap_frac") >= lit(0.5))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_decontaminate" -> q47 _,
     "q30_dedup_exact" -> q30 _,
     "q33_dedup_jaccard" -> q33 _,
     "q37_text_langid" -> q37 _,
@@ -171,6 +194,19 @@ object TextOps {
     s"CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(${listSql(stopwords.toMap.apply(l))}, t))) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "q47_decontaminate" ->
+      """WITH t AS (SELECT doc_id, source, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        |       FROM (SELECT doc_id, source, toks, UNNEST(GENERATE_SERIES(1, LEN(toks)-2)) AS i FROM t)),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+        |train AS (SELECT doc_id, sh.sh, CASE WHEN bench.sh IS NULL THEN 0 ELSE 1 END AS hit
+        |          FROM sh LEFT JOIN bench ON sh.sh = bench.sh WHERE source <> 'src0')
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(hit) AS BIGINT) AS n_overlap,
+        |  CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS overlap_frac,
+        |  (CAST(SUM(hit) AS DOUBLE) / COUNT(*)) >= 0.5 AS flagged
+        |FROM train GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q30_dedup_exact" ->
       """SELECT MD5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
