@@ -12,14 +12,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: session init, codegen compiler, parquet footers — so the
-    // first measured query isn't charged for them
-    try SparkEntry.queries.get("q03_agg_groupby").foreach(_(spark, sfDir).count())
-    catch { case _: Throwable => () }
+    // warmup: session init, codegen compiler, parquet footers, and the
+    // parquet write committer — so the first measured query isn't
+    // charged for them
+    try {
+      SparkEntry.queries.get("q03_agg_groupby").foreach(_(spark, sfDir).count())
+      val warm = java.nio.file.Files.createTempDirectory("bench-warm")
+      spark.range(100).write.mode("overwrite").parquet(warm.resolve("w").toString)
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // isolate queries: one query's cached intermediates must not
+      // occupy (or evict) storage memory while later ones run
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
