@@ -1,0 +1,74 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Randomized equivalence (fixed seed): the native Catalyst
+  * expressions must agree with their slow, obviously-correct
+  * formulations on arbitrary inputs, not just the fixtures the
+  * oracles happen to cover. */
+class FunctionPropertySpec extends SparkSpec {
+
+  private val rnd = new Random(20260812L)
+
+  private def randVec(): Array[Double] =
+    Array.fill(1 + rnd.nextInt(32))(math.rint(rnd.between(-1e6, 1e6) * 100) / 100)
+
+  private val vocab = Array("the", "a", "naïve", "日本語", "", "x9", "Zebra-42", "tok")
+  private def randTokens(): List[String] =
+    List.fill(1 + rnd.nextInt(40))(
+      if (rnd.nextBoolean()) vocab(rnd.nextInt(vocab.length))
+      else rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString)
+
+  test("DoubleDot == sequential HOF fold on 20 random vector pairs") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cases = Seq.fill(20) {
+      val a = randVec(); val b = randVec()
+      val n = math.min(a.length, b.length)
+      (a.take(n), b.take(n))
+    }
+    val rows = cases.toDF("a", "b").select(
+      GraftFunctions.dotd(col("a"), col("b")).as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)").as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("SimHash64 == md5-nibble majority reconstruction on 20 random token lists") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cases = Seq.fill(20)(randTokens())
+    def reconstruct(toks: List[String]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new Array[Int](64)
+      toks.foreach { t =>
+        md.reset()
+        val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        (0 until 64).foreach { b =>
+          val nibble = Integer.parseInt(hex(b / 4).toString, 16)
+          counts(b) += (if (((nibble >> (3 - b % 4)) & 1) == 1) 1 else -1)
+        }
+      }
+      (0 until 64).foldLeft(0L)((acc, b) => if (counts(b) > 0) acc | (1L << (63 - b)) else acc)
+    }
+    val got = cases.toDF("t")
+      .select(GraftFunctions.simhash64(col("t"))).collect().map(_.getLong(0))
+    got.zip(cases.map(reconstruct)).foreach { case (g, w) => assert(g == w) }
+  }
+
+  test("MinHashHex == per-permutation MIN(md5) on 20 random shingle lists") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cases = Seq.fill(20)(randTokens())
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = { md.reset(); md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString }
+    val want = cases.map(sh => (0 until 16).map(i => sh.map(s => h(s"$i:$s")).min))
+    val got = cases.toDF("sh")
+      .select(GraftFunctions.minhash16(col("sh"))).collect().map(_.getSeq[String](0))
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+}

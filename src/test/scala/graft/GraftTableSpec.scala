@@ -64,6 +64,24 @@ class GraftTableSpec extends SparkSpec {
     assert(GraftTable.read(spark, root, Some(1L)).count() == n.count())
   }
 
+  test("crash leftovers (.tmp log files, orphan data) never corrupt reads") {
+    val root = freshRoot("crash")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    GraftTable.append(spark, root, n.limit(5))
+    // a writer that died mid-commit leaves a temp log file and a data
+    // file no commit references — readers must see neither
+    Files.writeString(Paths.get(root, "_graft_log", ".tmp-dead-writer"), "{garbage")
+    val orphan = Paths.get(root, "data", "0000000099-00000-dead.parquet")
+    Files.writeString(orphan, "not parquet")
+    assert(GraftTable.read(spark, root).count() == 5L)
+    assert(GraftTable.latestSnapshotId(root) == 1L)
+    assert(GraftTable.state(root).files.size == GraftTable.filesTable(spark, root).count())
+    // and the orphan is exactly what remove_orphan_files reports
+    val dry = GraftTable.removeOrphanFiles(root, System.currentTimeMillis() + 1000, dryRun = true)
+    assert(dry == Seq(s"data/${orphan.getFileName}"))
+  }
+
   test("history table records parent chain and operations") {
     val root = freshRoot("hist")
     val n = Tables.nation(spark, sf)
