@@ -32,6 +32,37 @@ class StreamingSpec extends SparkSpec {
       "stream result must equal the batch result on bounded input")
   }
 
+  test("watermark finalizes windows in append mode and drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val agg = input.toDS().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("w"), col("n"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-wm-ckpt")
+    val q = agg.writeStream.format("memory").queryName("wm")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.resolve("c").toString)
+      .start()
+    input.addData((ts(0), 1L), (ts(2), 2L), (ts(6), 3L))
+    q.processAllAvailable()
+    // nothing finalized yet: watermark is max(event) - 10min = -4min
+    assert(spark.table("wm").count() == 0)
+    // an event at t=30 advances the watermark to 20min > window ends
+    input.addData((ts(30), 4L))
+    q.processAllAvailable()
+    val out1 = spark.table("wm").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out1 == Map(0L -> 2L, 300L -> 1L), s"finalized windows wrong: $out1")
+    // a late event inside an already-finalized window must be dropped
+    input.addData((ts(1), 9L))
+    q.processAllAvailable()
+    assert(spark.table("wm").count() == out1.size, "late data must not re-open windows")
+    q.stop()
+  }
+
   test("stateful sessionization emits closed sessions, holds open ones in state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
