@@ -117,10 +117,50 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ── IVF ANN: coarse quantizer + probed lists ────────────────────────
+  /** The other standard scale path (beside LSH): every vector indexes
+    * into the list of its nearest "centroid" (a deterministic seed
+    * subset: vec_id % 100 == 0), queries probe their `nprobe` nearest
+    * lists, and only those lists' members are scored exactly. The
+    * seed set broadcasts; the list assignment is one narrow pass; the
+    * probe join shuffles on list id — at 100 TB each query touches
+    * nprobe/K of the corpus instead of all of it. */
+  private val nprobe = 2
+
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    val e = norms(s, dir)
+    val seeds = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"), col("nrm").as("snrm"))
+    // distance of every vector to every seed (seeds broadcast), ranked
+    val d = e.join(broadcast(seeds), expr("true"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("seed_id"),
+        (dot(col("v"), col("sv")) / (col("nrm") * col("snrm"))).as("scos"))
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("scos").desc, col("seed_id"))
+    val ranked = d.withColumn("sr", row_number().over(byVec))
+    val index = ranked.filter(col("sr") === 1)          // each vector in ONE list
+      .select(col("vec_id").as("nid"), col("seed_id").as("list_id"))
+    val probes = ranked.filter(col("sr") <= nprobe)     // queries probe 2 lists
+      .filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("qid"), col("seed_id").as("list_id"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    probes.join(index, Seq("list_id"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
+      .join(e.as("q"), col("qid") === col("q.vec_id"))
+      .join(e.as("n"), col("nid") === col("n.vec_id"))
+      .select(col("qid"), col("nid"),
+        (dot(col("q.v"), col("n.v")) / (col("q.nrm") * col("n.nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_dedup_embcos" -> q34 _,
     "q35_ann_brute" -> q35 _,
-    "q36_ann_lsh" -> q36 _)
+    "q36_ann_lsh" -> q36 _,
+    "q48_ann_ivf" -> q48 _)
 
   private val planeSqlW =
     "LIST_TRANSFORM(GENERATE_SERIES(0, 63), d -> CASE WHEN " +
@@ -128,6 +168,32 @@ object Similarity {
       "THEN 1.0 ELSE -1.0 END)"
 
   val oracleSql: Map[String, String] = Map(
+    "q48_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |FROM embeddings),
+         |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS snrm FROM e WHERE vec_id % 100 = 0),
+         |d AS (SELECT e.vec_id, s.seed_id,
+         |    LIST_DOT_PRODUCT(e.v, s.sv) / (e.nrm * s.snrm) AS scos
+         |  FROM e CROSS JOIN seeds s),
+         |ranked AS (SELECT vec_id, seed_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, seed_id) AS sr
+         |  FROM d),
+         |idx AS (SELECT vec_id AS nid, seed_id AS list_id FROM ranked WHERE sr = 1),
+         |probes AS (SELECT vec_id AS qid, seed_id AS list_id FROM ranked
+         |           WHERE sr <= $nprobe AND vec_id % 50 = 0),
+         |cand AS (SELECT DISTINCT p.qid, i.nid
+         |         FROM probes p JOIN idx i ON p.list_id = i.list_id
+         |         WHERE p.qid <> i.nid),
+         |scored AS (SELECT c.qid, c.nid,
+         |    LIST_DOT_PRODUCT(q.v, n.v) / (q.nrm * n.nrm) AS cos
+         |  FROM cand c JOIN e q ON q.vec_id = c.qid JOIN e n ON n.vec_id = c.nid),
+         |rk AS (SELECT qid, nid, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT qid, rank, nid, cos FROM rk WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+
     "q34_dedup_embcos" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |  SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
