@@ -345,9 +345,14 @@ object GraftTable {
     val snap = state(root)
     val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    // explicit preds win; otherwise extract them from the condition —
+    // a keyed delete then rewrites only files whose stats can match
+    val effective =
+      if (prunePreds.nonEmpty) prunePreds
+      else extractPreds(conditionExpr(spark, schema, condition), types)
     val touched =
-      if (prunePreds.isEmpty) snap.files
-      else snap.files.filter(mayMatch(types, prunePreds))
+      if (effective.isEmpty) snap.files
+      else snap.files.filter(mayMatch(types, effective))
     val id = latestSnapshotId(root) + 1
     val kept =
       if (touched.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -382,6 +387,54 @@ object GraftTable {
   case class Gt(colName: String, v: String) extends Pred
   case class Lt(colName: String, v: String) extends Pred
   case class Eq(colName: String, v: String) extends Pred
+  case class Ge(colName: String, v: String) extends Pred
+  case class Le(colName: String, v: String) extends Pred
+
+  /** Resolve a Column predicate against the table schema and return
+    * its catalyst expression (public-API route: analyze a filter over
+    * an empty frame of the schema). */
+  private def conditionExpr(spark: SparkSession, schema: StructType,
+      condition: Column): org.apache.spark.sql.catalyst.expressions.Expression = {
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    empty.filter(condition).queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+      .getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+  }
+
+  /** Extract stats-comparable conjuncts from a Column predicate —
+    * comparisons of a plain column against a literal. Anything else
+    * (OR trees, expressions over columns, UDFs) contributes no prune
+    * but stays in the residual filter, so pruning is best-effort and
+    * never affects results. */
+  private[graft] def extractPreds(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      types: Map[String, DataType]): Seq[Pred] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def renderLit(l: Literal, dt: DataType): Option[String] = (l.value, dt) match {
+      case (null, _) => None
+      case (v: Int, DateType) => Some(java.time.LocalDate.ofEpochDay(v.toLong).toString)
+      case (v: Long, TimestampType | TimestampNTZType) => Some(v.toString)  // micros
+      case (v, _) => Some(v.toString)   // numbers, UTF8String
+    }
+    def attr(x: Expression): Option[String] = x match {
+      case a: Attribute if types.contains(a.name) => Some(a.name)
+      case _ => None
+    }
+    e match {
+      case And(l, r) => extractPreds(l, types) ++ extractPreds(r, types)
+      case GreaterThan(a, l: Literal) => attr(a).flatMap(n => renderLit(l, types(n)).map(Gt(n, _))).toSeq
+      case LessThan(a, l: Literal) => attr(a).flatMap(n => renderLit(l, types(n)).map(Lt(n, _))).toSeq
+      case EqualTo(a, l: Literal) => attr(a).flatMap(n => renderLit(l, types(n)).map(Eq(n, _))).toSeq
+      case GreaterThanOrEqual(a, l: Literal) => attr(a).flatMap(n => renderLit(l, types(n)).map(Ge(n, _))).toSeq
+      case LessThanOrEqual(a, l: Literal) => attr(a).flatMap(n => renderLit(l, types(n)).map(Le(n, _))).toSeq
+      // flipped operand order: lit < col etc.
+      case GreaterThan(l: Literal, a) => attr(a).flatMap(n => renderLit(l, types(n)).map(Lt(n, _))).toSeq
+      case LessThan(l: Literal, a) => attr(a).flatMap(n => renderLit(l, types(n)).map(Gt(n, _))).toSeq
+      case EqualTo(l: Literal, a) => attr(a).flatMap(n => renderLit(l, types(n)).map(Eq(n, _))).toSeq
+      case GreaterThanOrEqual(l: Literal, a) => attr(a).flatMap(n => renderLit(l, types(n)).map(Le(n, _))).toSeq
+      case LessThanOrEqual(l: Literal, a) => attr(a).flatMap(n => renderLit(l, types(n)).map(Ge(n, _))).toSeq
+      case _ => Seq.empty
+    }
+  }
 
   /** Unsigned UTF-8 byte comparison — the order parquet computes
     * binary min/max under (and the order Spark's UTF8String uses), so
@@ -416,6 +469,8 @@ object GraftTable {
           (p, st.min, st.max) match {
             case (Gt(_, v), _, Some(mx)) => cmp(dt, mx, v) > 0
             case (Lt(_, v), Some(mn), _) => cmp(dt, mn, v) < 0
+            case (Ge(_, v), _, Some(mx)) => cmp(dt, mx, v) >= 0
+            case (Le(_, v), Some(mn), _) => cmp(dt, mn, v) <= 0
             case (Eq(_, v), Some(mn), Some(mx)) =>
               cmp(dt, mn, v) <= 0 && cmp(dt, mx, v) >= 0
             case _ => true
@@ -440,7 +495,10 @@ object GraftTable {
       else spark.read.schema(schema).parquet(live.map(f => s"$root/${f.path}"): _*)
     val filtered = preds.foldLeft(df) { (d, p) =>
       val c = col(p.colName)
-      val raw = p match { case Gt(_, x) => x; case Lt(_, x) => x; case Eq(_, x) => x }
+      val raw = p match {
+        case Gt(_, x) => x; case Lt(_, x) => x; case Eq(_, x) => x
+        case Ge(_, x) => x; case Le(_, x) => x
+      }
       // timestamp predicate values are epoch-micros (matching the
       // footer-stats rendering); everything else casts from text
       val v = types(p.colName) match {
@@ -453,9 +511,30 @@ object GraftTable {
         case _: Gt => d.filter(c > v)
         case _: Lt => d.filter(c < v)
         case _: Eq => d.filter(c === v)
+        case _: Ge => d.filter(c >= v)
+        case _: Le => d.filter(c <= v)
       }
     }
     (filtered, snap.files.size, live.size)
+  }
+
+  /** Pruned read from an arbitrary Column predicate: stats-comparable
+    * conjuncts are extracted automatically and prune files; the FULL
+    * condition is then applied, so semantics match `read().filter` for
+    * any predicate while simple comparisons skip non-matching files
+    * entirely. */
+  def readWhere(spark: SparkSession, root: String, condition: Column,
+      asOf: Option[Long] = None): DataFrame = {
+    val snap = state(root, asOf)
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val preds = extractPreds(conditionExpr(spark, schema, condition), types)
+    val live = snap.files.filter(mayMatch(types, preds))
+    val df =
+      if (live.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(live.map(f => s"$root/${f.path}"): _*)
+    df.filter(condition)
   }
 
   // ── metadata tables (reference: .snapshots/.files/.history) ─────────

@@ -132,6 +132,32 @@ class GraftTableSpec extends SparkSpec {
     assert(GraftTable.read(spark, root).count() == keys.length - 2L)
   }
 
+  test("readWhere auto-extracts prune predicates from an arbitrary Column") {
+    val root = freshRoot("read-where")
+    val o = Tables.orders(spark, sf)
+    GraftTable.create(spark, root, o.schema)
+    val keys = o.select(col("o_orderkey")).orderBy("o_orderkey").collect().map(_.getLong(0))
+    val mid = keys(keys.length / 2)
+    GraftTable.append(spark, root, o.filter(col("o_orderkey") <= mid).coalesce(1))
+    GraftTable.append(spark, root, o.filter(col("o_orderkey") > mid).coalesce(1))
+    // >= boundary: rows AT mid live in the low file — Ge must keep it
+    val ge = GraftTable.readWhere(spark, root, col("o_orderkey") >= mid)
+    assert(ge.count() == o.filter(col("o_orderkey") >= mid).count())
+    // composite condition: conjunct prunes, the OR part only filters
+    val mixed = GraftTable.readWhere(spark, root,
+      col("o_orderkey") > mid && (col("o_orderstatus") === "O" || col("o_totalprice") > 0))
+    assert(mixed.count() ==
+      o.filter(col("o_orderkey") > mid &&
+        (col("o_orderstatus") === "O" || col("o_totalprice") > 0)).count())
+    // auto-pruned delete: only the high-range file is rewritten
+    GraftTable.overwriteWhere(spark, root, col("o_orderkey") > keys(keys.length - 3))
+    val ow = GraftTable.snapshotsTable(spark, root)
+      .filter(col("operation") === "overwrite").head()
+    assert(ow.getAs[Long]("removed_files") == 1L,
+      "auto-extracted preds should rewrite only the matching file")
+    assert(GraftTable.read(spark, root).count() == keys.length - 2L)
+  }
+
   test("footer stats cover timestamps (as micros) and strings; pruning works on both") {
     val root = freshRoot("ts-stats")
     val o = Tables.orders(spark, sf)
