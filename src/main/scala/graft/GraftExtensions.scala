@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.GraftFunctions
+
+/** Standard deployment hook: `--conf spark.sql.extensions=
+  * graft.GraftExtensions` registers the native functions in every
+  * session without any runtime call — the same mechanism Iceberg and
+  * Delta use to install their SQL surface (reference: spark/conf
+  * spark.sql.extensions wiring in the compose file). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft.functions.GraftFunctions", null, name, usage, "")
+    ext.injectFunction((FunctionIdentifier("graft_dotd"),
+      info("graft_dotd", "graft_dotd(a, b) - sequential-fold dot product over array<double>"),
+      (es: Seq[Expression]) => GraftFunctions.DoubleDot(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "graft_simhash64(tokens) - 64-bit md5-majority SimHash"),
+      (es: Seq[Expression]) => GraftFunctions.SimHash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_minhash16"),
+      info("graft_minhash16", "graft_minhash16(shingles) - 16-permutation MinHash signature"),
+      (es: Seq[Expression]) => GraftFunctions.MinHashHex(es.head, 16)))
+  }
+}

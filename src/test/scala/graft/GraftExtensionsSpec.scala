@@ -1,0 +1,20 @@
+package graft
+
+/** The shared test session is built with
+  * spark.sql.extensions=graft.GraftExtensions (see SparkSpec), so the
+  * native functions must resolve WITHOUT any runtime register() call —
+  * proving the conf-only deployment path end to end. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("functions installed via spark.sql.extensions resolve in plain SQL") {
+    val r = spark.sql(
+      "SELECT graft_dotd(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
+    assert(r == 11.0)
+    val sim = spark.sql(
+      "SELECT graft_simhash64(array('a', 'b')) AS s").head().getLong(0)
+    val mh = spark.sql(
+      "SELECT graft_minhash16(array('x y z')) AS m").head().getSeq[String](0)
+    assert(mh.length == 16 && mh.forall(_.length == 32))
+    assert(sim != 0L)
+  }
+}
