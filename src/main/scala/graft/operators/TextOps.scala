@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -144,6 +145,32 @@ object TextOps {
         count(lit(1)).as("n_shingles"))
       .orderBy(col("doc_id"))
 
+  // ── §2.3/47b true winnowing (Schleimer et al. 2003, public paper) ───
+  /** Sliding-window minimum over positional k-gram hashes: each window
+    * of `w` consecutive shingle hashes contributes its minimum, giving
+    * the guarantee that any match of length ≥ w+k-1 shares a
+    * fingerprint. Hex md5 compares lexicographically the same in every
+    * engine, so the whole pipeline is two window functions — shuffle
+    * once on doc_id, no state beyond the w-row frame. */
+  private val winnowW = 4
+
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    val positioned = Tables.documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(shingles(tokens(col("text")))).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), md5(col("sh")).as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, winnowW - 1)
+    positioned
+      .withColumn("wmin", min(col("h")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("wmin")).as("n_fingerprints"),
+        min(col("wmin")).as("fp_min"),
+        max(col("wmin")).as("fp_max"))
+      .orderBy(col("doc_id"))
+  }
+
   // ── semi-structured: JSON extraction over events.props ──────────────
   def q43(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -181,6 +208,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_decontaminate" -> q47 _,
+    "q49_winnow" -> q49 _,
     "q30_dedup_exact" -> q30 _,
     "q33_dedup_jaccard" -> q33 _,
     "q37_text_langid" -> q37 _,
@@ -194,6 +222,18 @@ object TextOps {
     s"CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(${listSql(stopwords.toMap.apply(l))}, t))) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "q49_winnow" ->
+      s"""WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
+         |p AS (SELECT doc_id, i, MD5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h
+         |      FROM (SELECT doc_id, toks, UNNEST(GENERATE_SERIES(1, LEN(toks)-2)) AS i FROM t)),
+         |wm AS (SELECT doc_id,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING) AS wmin
+         |  FROM p)
+         |SELECT doc_id, COUNT(DISTINCT wmin) AS n_fingerprints,
+         |  MIN(wmin) AS fp_min, MAX(wmin) AS fp_max
+         |FROM wm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q47_decontaminate" ->
       """WITH t AS (SELECT doc_id, source, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
         |sh AS (SELECT DISTINCT doc_id, source, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
