@@ -299,6 +299,24 @@ object GraftTable {
   def setProperties(root: String, props: Map[String, String]): Long =
     commit(root, "set_properties", Seq.empty, Seq.empty, props)
 
+  /** ALTER TABLE ... ADD COLUMN — metadata-only schema evolution: a
+    * commit carrying the widened schema. Existing data files are
+    * untouched; reads pass the explicit current schema, so parquet
+    * fills the missing column with nulls (the Iceberg/Delta add-column
+    * semantics, no rewrite). */
+  def addColumn(root: String, field: StructField): Long = {
+    val snap = state(root)
+    val cur = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    require(!cur.fieldNames.contains(field.name), s"column exists: ${field.name}")
+    require(field.nullable, "added columns must be nullable (old files have no values)")
+    val id = latestSnapshotId(root) + 1
+    val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "add_column",
+      Seq.empty, Seq.empty, Map.empty, Some(cur.add(field).json))
+    writeAtomic(commitPath(root, id), toJson(c))
+    id
+  }
+
   /** Cluster rows before writing per the table's write properties
     * (reference: SPARK_ICEBERG_GUIDE.md §8.9 'write.distribution-mode'):
     * hash/range distribution on `graft.partition-columns` packs each

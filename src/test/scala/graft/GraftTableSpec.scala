@@ -208,6 +208,35 @@ class GraftTableSpec extends SparkSpec {
     }
   }
 
+  test("add_column evolves the schema without rewriting data") {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val root = freshRoot("evolve")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    GraftTable.append(spark, root, n.limit(10))
+    val filesBefore = GraftTable.state(root).files.map(_.path)
+    GraftTable.addColumn(root, StructField("note", StringType, nullable = true))
+    // old rows surface the new column as null; data files untouched
+    val evolved = GraftTable.read(spark, root)
+    assert(evolved.schema.fieldNames.contains("note"))
+    assert(evolved.filter(col("note").isNull).count() == 10L)
+    assert(GraftTable.state(root).files.map(_.path) == filesBefore)
+    // new appends carry the column; mixed files read coherently
+    GraftTable.append(spark, root,
+      n.limit(2).withColumn("note", lit("new")))
+    val all = GraftTable.read(spark, root)
+    assert(all.count() == 12L && all.filter(col("note") === "new").count() == 2L)
+    // time travel to before the evolution sees the old schema
+    assert(!GraftTable.read(spark, root, Some(1L)).schema.fieldNames.contains("note"))
+    // duplicate / non-nullable adds are rejected
+    assertThrows[IllegalArgumentException] {
+      GraftTable.addColumn(root, StructField("note", StringType))
+    }
+    assertThrows[IllegalArgumentException] {
+      GraftTable.addColumn(root, StructField("x", StringType, nullable = false))
+    }
+  }
+
   test("expire by timestamp, time travel by timestamp, and describe diagnostics") {
     val root = freshRoot("ts-ops")
     val n = Tables.nation(spark, sf)

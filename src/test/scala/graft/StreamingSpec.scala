@@ -91,6 +91,28 @@ class StreamingSpec extends SparkSpec {
       && closed.head.start_us == 0L && closed.head.end_us == 60L * 1000000)
   }
 
+  test("streaming exact-dedup keeps first occurrence across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val deduped = input.toDS().toDF("doc_id", "text")
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicates("content_hash")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-ckpt")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.resolve("c").toString)
+      .start()
+    input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+    q.processAllAvailable()
+    // duplicate of an earlier batch must also be suppressed (state)
+    input.addData((4L, "beta"), (5L, "gamma"))
+    q.processAllAvailable()
+    val ids = spark.table("sdedup").select("doc_id").as[Long].collect().sorted.toSeq
+    q.stop()
+    assert(ids == Seq(1L, 2L, 5L), s"kept $ids")
+  }
+
   test("batch sessionization splits on >30min gaps with per-user ordinals") {
     val sess = Streams.q44(spark, sf)
     val firstUser = sess.limit(1).collect().head
