@@ -24,5 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minhash16"),
       info("graft_minhash16", "graft_minhash16(shingles) - 16-permutation MinHash signature"),
       (es: Seq[Expression]) => GraftFunctions.MinHashHex(es.head, 16)))
+    ext.injectFunction((FunctionIdentifier("graft_shingles3"),
+      info("graft_shingles3", "graft_shingles3(tokens) - word 3-gram shingle array"),
+      (es: Seq[Expression]) => GraftFunctions.Shingles(es.head, 3)))
   }
 }

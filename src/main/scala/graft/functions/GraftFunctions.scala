@@ -172,6 +172,41 @@ object GraftFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Word k-gram shingles in one pass: `shingles(toks, k)` returns
+    * the array of space-joined k-grams — exactly
+    * `transform(sequence(1, size-k+1), i -> concat_ws(' ', slice(toks, i, k)))`
+    * but without the per-element lambda interpretation and array
+    * copies; the shingle text is built directly from the token
+    * UTF8Strings. Empty result when there are fewer than k tokens.
+    */
+  case class Shingles(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    // caller must pass array<string>
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = math.max(0, n - k + 1)
+      val res = new Array[AnyRef](out)
+      val toks = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) {
+        val t = arr.get(i, StringType).asInstanceOf[UTF8String]
+        toks(i) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        i += 1
+      }
+      val space = UTF8String.fromString(" ")
+      i = 0
+      while (i < out) {
+        res(i) = UTF8String.concatWs(space,
+          java.util.Arrays.copyOfRange(toks, i, i + k).toIndexedSeq: _*)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Idempotent per-session registration; queries call this before
     * using the helpers below. */
   def register(spark: SparkSession): Unit = {
@@ -179,9 +214,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_dotd", es => DoubleDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash16", es => MinHashHex(es.head, 16), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles3", es => Shingles(es.head, 3), "built-in")
   }
 
   def dotd(a: Column, b: Column): Column = call_function("graft_dotd", a, b)
+  def shingles3(tokens: Column): Column = call_function("graft_shingles3", tokens)
   def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
   def minhash16(shingles: Column): Column = call_function("graft_minhash16", shingles)
 }

@@ -20,21 +20,26 @@ object TextOps {
 
   private[operators] def tokens(text: Column): Column = split(lower(text), " ")
 
-  /** Word 3-gram shingles (docs are ≥10 tokens, so size-2 ≥ 1). */
+  /** Word 3-gram shingles (docs are ≥10 tokens, so size-2 ≥ 1) — the
+    * native one-pass expression; semantics identical to
+    * `transform(sequence(1, size-2), i -> concat_ws(' ', slice(toks, i, 3)))`
+    * but without per-element lambda interpretation (callers register
+    * via GraftFunctions; shingling feeds 6 queries). */
   private[operators] def shingles(toks: Column): Column =
-    transform(sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ", slice(toks, i, lit(3))))
+    graft.functions.GraftFunctions.shingles3(toks)
 
   /** Distinct (doc_id, shingle) pairs — the base relation for Jaccard /
     * MinHash. At scale this is the only wide dataset and it
     * hash-partitions on the shingle for the self-join. */
-  private[operators] def shingleSet(s: SparkSession, dir: String): DataFrame =
+  private[operators] def shingleSet(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       // documents arrives as few dense files; spread rows across the
       // cluster BEFORE the explode multiplies them ~50× (cheap shuffle
       // of the narrow table vs. a serial explode)
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(array_distinct(shingles(tokens(col("text"))))).as("sh"))
+  }
 
   // ── §2.3/37 exact dedup via content hash ────────────────────────────
   /** Group on md5(content), not the content itself: the shuffle key is
@@ -155,6 +160,7 @@ object TextOps {
   private val winnowW = 4
 
   def q49(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val positioned = Tables.documents(s, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"),
@@ -191,6 +197,7 @@ object TextOps {
     * broadcast; the corpus side is one linear pass + one aggregation,
     * so the check scales with the corpus, not benchmark × corpus. */
   def q47(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val benchSh = Tables.documents(s, dir).filter(col("source") === lit("src0"))
       .select(col("doc_id"), explode(array_distinct(shingles(tokens(col("text"))))).as("sh"))
       .select(col("sh")).distinct()

@@ -60,6 +60,27 @@ class FunctionPropertySpec extends SparkSpec {
     got.zip(cases.map(reconstruct)).foreach { case (g, w) => assert(g == w) }
   }
 
+  test("Shingles == HOF transform/slice/concat_ws on 20 random token lists") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cases = Seq.fill(20)(randTokens().filter(_.nonEmpty) match {
+      case l if l.length < 3 => l ++ List("pad1", "pad2", "pad3")
+      case l => l
+    })
+    val rows = cases.toDF("toks").select(
+      GraftFunctions.shingles3(col("toks")).as("native"),
+      expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))").as("hof"),
+      col("toks")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"mismatch for ${r.getSeq[String](2)}")
+    }
+    // under-length input yields an empty array, not an error
+    val short = Seq(List("a", "b")).toDF("toks")
+      .select(GraftFunctions.shingles3(col("toks"))).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
   test("MinHashHex == per-permutation MIN(md5) on 20 random shingle lists") {
     GraftFunctions.register(spark)
     import spark.implicits._
