@@ -256,16 +256,20 @@ object GraftTable {
     }
 
   /** Write df's rows as new data files and return their entries with
-    * per-file min/max stats harvested from the parquet footers. */
+    * per-file min/max stats harvested from the parquet footers.
+    * Honors `write.parquet.compression-codec` (reference: Iceberg's
+    * table property of the same name); default snappy. */
   private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
       snapshotId: Long): Seq[FileEntry] = {
+    val codec = scala.util.Try(state(root).properties
+      .getOrElse("write.parquet.compression-codec", "snappy")).getOrElse("snappy")
     val tmp = Paths.get(root, s".stage-${UUID.randomUUID()}")
     // micros timestamps so footers carry usable timestamp stats
     // (INT96, the legacy option, writes no valid min/max)
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val prevTs = spark.conf.getOption(tsKey)
     spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try df.write.parquet(tmp.toString)
+    try df.write.option("compression", codec).parquet(tmp.toString)
     finally prevTs match {
       case Some(v) => spark.conf.set(tsKey, v)
       case None => spark.conf.unset(tsKey)

@@ -36,4 +36,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  // ── other source formats ──────────────────────────────────────────────
+  // The lake boundary ingests more than parquet; these readers apply an
+  // explicit schema so types survive the format's own limitations
+  // (CSV has no nested/complex types, JSON numbers are ambiguous).
+
+  def loadCsv(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.schema(schema).option("header", "true").csv(path)
+
+  def loadJson(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  def loadOrc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
 }

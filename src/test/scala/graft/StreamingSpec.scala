@@ -91,6 +91,36 @@ class StreamingSpec extends SparkSpec {
       && closed.head.start_us == 0L && closed.head.end_us == 60L * 1000000)
   }
 
+  test("stream-stream join: clicks join views within the event-time window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    val views = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    // epoch-0 event times sit on the watermark floor and get evicted;
+    // use a modern base
+    def ts(min: Int) = new java.sql.Timestamp(1577836800000L + min * 60000L)
+    val c = clicks.toDS().toDF("c_ts", "c_user").withWatermark("c_ts", "10 minutes")
+    val v = views.toDS().toDF("v_ts", "v_user").withWatermark("v_ts", "10 minutes")
+    // a click matches a view by the same user within the prior 15 min
+    val joined = c.join(v,
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 15 MINUTES"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssj-ckpt")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.resolve("c").toString)
+      .start()
+    views.addData((ts(0), 1L), (ts(0), 2L))
+    clicks.addData((ts(5), 1L))     // within 15 min of user 1's view
+    clicks.addData((ts(30), 2L))    // 30 min after user 2's view: no match
+    q.processAllAvailable()
+    val rows = spark.table("ssj").collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("c_user") == 1L)
+  }
+
   test("streaming exact-dedup keeps first occurrence across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
