@@ -605,9 +605,19 @@ object GraftTable {
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
     val small = snap.files.filter(_.sizeBytes < target)
     if (small.size < minInputFiles) return snap.snapshotId
+    // clustered tables: order candidate files by the partition
+    // column's min stat so each bin merges ADJACENT key ranges and the
+    // rewritten files keep their pruning power; unclustered tables
+    // bin in path (append) order
+    val firstPartCol = snap.properties.get("graft.partition-columns")
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty).headOption)
+    val ordered = firstPartCol match {
+      case Some(c) => small.sortBy(f => f.stats.get(c).flatMap(_.min).getOrElse(f.path))
+      case None => small.sortBy(_.path)
+    }
     var bins = Seq.empty[Seq[FileEntry]]
     var cur = Seq.empty[FileEntry]; var curSize = 0L
-    small.sortBy(_.path).foreach { f =>
+    ordered.foreach { f =>
       if (curSize + f.sizeBytes > target && cur.nonEmpty) {
         bins :+= cur; cur = Seq(f); curSize = f.sizeBytes
       } else { cur :+= f; curSize += f.sizeBytes }

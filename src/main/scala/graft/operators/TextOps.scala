@@ -177,6 +177,47 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ── q50: the composed training-data pipeline ────────────────────────
+  /** What a pre-training data pipeline actually runs, as ONE plan:
+    * quality-filter → exact-dedup (keep lowest doc_id per content
+    * hash) → decontaminate against the held-out source → emit token
+    * stats. Catalyst fuses the stages; the only shuffles are the
+    * dedup group-by and the final sort. */
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val enStops = stopwords.head._2
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double") / col("n_chars"))
+      .withColumn("stop_ratio",
+        stopHits(col("toks"), enStops).cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        lit(0.5) * col("stop_ratio") +
+          lit(0.3) * least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) +
+          lit(0.2) * col("alpha_ratio"))
+    val qualified = base.filter(col("quality") >= lit(0.25))
+    // keep-first exact dedup on content hash
+    val kept = qualified
+      .withColumn("keep_id", min(col("doc_id"))
+        .over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("keep_id"))
+    // decontaminate: drop docs overlapping the held-out source >= 0.5
+    val benchSh = Tables.documents(s, dir).filter(col("source") === lit("src0"))
+      .select(explode(array_distinct(shingles(tokens(col("text"))))).as("sh")).distinct()
+    val overlap = kept.filter(col("source") =!= lit("src0"))
+      .select(col("doc_id"), explode(array_distinct(shingles(col("toks")))).as("sh"))
+      .join(broadcast(benchSh).withColumn("hit", lit(1L)), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1))).as("overlap_frac"))
+    kept.join(overlap, Seq("doc_id"))
+      .filter(col("overlap_frac") < lit(0.5))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   // ── semi-structured: JSON extraction over events.props ──────────────
   def q43(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -216,6 +257,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_decontaminate" -> q47 _,
     "q49_winnow" -> q49 _,
+    "q50_pipeline" -> q50 _,
     "q30_dedup_exact" -> q30 _,
     "q33_dedup_jaccard" -> q33 _,
     "q37_text_langid" -> q37 _,
@@ -229,6 +271,38 @@ object TextOps {
     s"CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(${listSql(stopwords.toMap.apply(l))}, t))) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "q50_pipeline" -> {
+      val en = listSql(stopwords.head._2)
+      s"""WITH t AS (SELECT doc_id, lang, source, n_chars, text,
+         |       STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
+         |m AS (SELECT doc_id, lang, source, text, toks,
+         |  CAST(LEN(toks) AS BIGINT) AS n_tokens,
+         |  CAST(LENGTH(REGEXP_REPLACE(LOWER(text), '[^a-z]', '', 'g')) AS DOUBLE) / n_chars AS alpha_ratio,
+         |  CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS($en, x))) AS DOUBLE) / LEN(toks) AS stop_ratio
+         |FROM t),
+         |q AS (SELECT *,
+         |  0.5 * stop_ratio + 0.3 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |    + 0.2 * alpha_ratio AS quality FROM m),
+         |qual AS (SELECT * FROM q WHERE quality >= 0.25),
+         |kept AS (SELECT * FROM (
+         |    SELECT *, MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keep_id FROM qual)
+         |  WHERE doc_id = keep_id),
+         |bench AS (SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+         |  FROM (SELECT toks, UNNEST(GENERATE_SERIES(1, LEN(toks)-2)) AS i
+         |        FROM t WHERE source = 'src0')),
+         |sh_kept AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+         |  FROM (SELECT doc_id, toks, UNNEST(GENERATE_SERIES(1, LEN(toks)-2)) AS i
+         |        FROM kept WHERE source <> 'src0')),
+         |ov AS (SELECT doc_id, CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS overlap_frac
+         |  FROM (SELECT s.doc_id, CASE WHEN b.sh IS NULL THEN 0 ELSE 1 END AS hit
+         |        FROM sh_kept s LEFT JOIN bench b ON s.sh = b.sh)
+         |  GROUP BY doc_id)
+         |SELECT k.doc_id, k.lang, k.n_tokens, k.quality
+         |FROM kept k JOIN ov ON k.doc_id = ov.doc_id
+         |WHERE ov.overlap_frac < 0.5
+         |ORDER BY k.doc_id""".stripMargin
+    },
+
     "q49_winnow" ->
       s"""WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
          |p AS (SELECT doc_id, i, MD5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h
