@@ -1,0 +1,77 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Warehouse catalog: namespaces are directories, tables are
+  * GraftTable roots beneath them (reference: SPARK_ICEBERG_GUIDE.md §4
+  * CREATE NAMESPACE / nessie.lab.* two-level naming). Same shape an
+  * object store gives: the catalog IS the key prefix; listing is a
+  * prefix scan; nothing to keep consistent beyond the table logs
+  * themselves (SURVEY.md §6: catalog = files on FS, not a service).
+  */
+object GraftCatalog {
+
+  def createNamespace(warehouse: String, ns: String): Unit =
+    Files.createDirectories(Paths.get(warehouse, ns))
+
+  def listNamespaces(warehouse: String): Seq[String] = {
+    val p = Paths.get(warehouse)
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  def tableRoot(warehouse: String, ns: String, table: String): String =
+    Paths.get(warehouse, ns, table).toString
+
+  /** CREATE TABLE ns.table (...) TBLPROPERTIES (...) */
+  def createTable(spark: SparkSession, warehouse: String, ns: String,
+      table: String, schema: StructType,
+      properties: Map[String, String] = Map.empty): String = {
+    require(Files.isDirectory(Paths.get(warehouse, ns)), s"no such namespace: $ns")
+    val root = tableRoot(warehouse, ns, table)
+    GraftTable.create(spark, root, schema, properties)
+    root
+  }
+
+  def listTables(warehouse: String, ns: String): Seq[String] = {
+    val p = Paths.get(warehouse, ns)
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .filter(d => Files.isDirectory(d.resolve("_graft_log")))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  def dropTable(warehouse: String, ns: String, table: String): Unit = {
+    val p = Paths.get(tableRoot(warehouse, ns, table))
+    require(Files.isDirectory(p.resolve("_graft_log")), s"not a table: $ns.$table")
+    val s = Files.walk(p)
+    try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally s.close()
+  }
+
+  /** Register every table in the namespace as `ns_table` temp views so
+    * spark.sql can query the lake like the reference's SQL catalog. */
+  def registerViews(spark: SparkSession, warehouse: String, ns: String): Unit =
+    listTables(warehouse, ns).foreach { t =>
+      GraftTable.read(spark, tableRoot(warehouse, ns, t))
+        .createOrReplaceTempView(s"${ns}_$t")
+    }
+
+  def loadTable(spark: SparkSession, warehouse: String, ns: String,
+      table: String): DataFrame =
+    GraftTable.read(spark, tableRoot(warehouse, ns, table))
+}

@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.{GraftCatalog, GraftTable}
+import graft.sources.Tables
+
+/** Namespace/table catalog semantics over the warehouse directory. */
+class GraftCatalogSpec extends SparkSpec {
+
+  test("namespace + table lifecycle with SQL views over the lake") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    GraftCatalog.createNamespace(wh, "lab")
+    assert(GraftCatalog.listNamespaces(wh) == Seq("lab"))
+    val n = Tables.nation(spark, sf)
+    val root = GraftCatalog.createTable(spark, wh, "lab", "small_files", n.schema,
+      Map("write.target-file-size-bytes" -> "134217728"))
+    GraftTable.append(spark, root, n)
+    assert(GraftCatalog.listTables(wh, "lab") == Seq("small_files"))
+    // SQL over the catalog view, like the reference's nessie.lab.* queries
+    GraftCatalog.registerViews(spark, wh, "lab")
+    val cnt = spark.sql("SELECT COUNT(*) FROM lab_small_files").head().getLong(0)
+    assert(cnt == n.count())
+    // load + drop
+    assert(GraftCatalog.loadTable(spark, wh, "lab", "small_files").count() == n.count())
+    GraftCatalog.dropTable(wh, "lab", "small_files")
+    assert(GraftCatalog.listTables(wh, "lab").isEmpty)
+    // creating into a missing namespace fails
+    assertThrows[IllegalArgumentException] {
+      GraftCatalog.createTable(spark, wh, "nope", "t", n.schema)
+    }
+  }
+}
