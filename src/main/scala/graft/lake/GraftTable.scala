@@ -225,15 +225,13 @@ object GraftTable {
                      render(st.genericGetMax().asInstanceOf[AnyRef]))
                   else (None, None)
                 val nulls = math.max(0L, st.getNumNulls)
+                val isBinary = prim.getPrimitiveTypeName == PrimitiveTypeName.BINARY
                 val prev = merged.get(name)
                 merged(name) = prev match {
                   case None => (mn, mx, nulls)
                   case Some((pmn, pmx, pn)) =>
-                    // min/max merge uses raw string order only as a
-                    // placeholder; typed merge happens below via cmp-safe
-                    // forms (all our renderings order correctly as text
-                    // except float/int width — merged numerically there)
-                    (mergeBound(pmn, mn, takeMin = true), mergeBound(pmx, mx, takeMin = false), pn + nulls)
+                    (mergeBound(pmn, mn, takeMin = true, isBinary),
+                     mergeBound(pmx, mx, takeMin = false, isBinary), pn + nulls)
                 }
               }
             }
@@ -242,16 +240,21 @@ object GraftTable {
         } finally reader.close()
   }
 
-  /** Merge two rendered bounds. Numeric strings merge numerically,
-    * everything else by the same UTF-8 order cmp() uses, so the merged
-    * bound stays a valid bound under the pruning comparator. */
-  private def mergeBound(a: Option[String], b: Option[String], takeMin: Boolean): Option[String] =
+  /** Merge two rendered row-group bounds under the SAME comparator
+    * cmp() later prunes with: binary (string) columns merge in UTF-8
+    * byte order, everything else numerically — a numeric-looking
+    * STRING like "9"/"10" must NOT merge numerically or the stored
+    * bound would be invalid under the pruning order. */
+  private def mergeBound(a: Option[String], b: Option[String], takeMin: Boolean,
+      isBinary: Boolean): Option[String] =
     (a, b) match {
       case (None, x) => x
       case (x, None) => x
       case (Some(x), Some(y)) =>
-        val cmpv = (scala.util.Try(java.lang.Double.compare(x.toDouble, y.toDouble)).toOption
-          .getOrElse(utf8Cmp(x, y)))
+        val cmpv =
+          if (isBinary) utf8Cmp(x, y)
+          else scala.util.Try(java.lang.Double.compare(x.toDouble, y.toDouble)).toOption
+            .getOrElse(utf8Cmp(x, y))   // ISO dates: lexicographic == chronological
         Some(if ((cmpv <= 0) == takeMin) x else y)
     }
 
@@ -278,12 +281,15 @@ object GraftTable {
     val parts = listDir(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
     val stats = footerStats(spark, parts.map(_.toString))
       .map { case (p, r, s) => p -> (r, s) }.toMap
-    val entries = parts.sortBy(_.getFileName.toString).zipWithIndex.map { case (src, i) =>
+    val entries = parts.sortBy(_.getFileName.toString).zipWithIndex.flatMap { case (src, i) =>
       val (records, st) = stats(src.toString)
-      val name = f"$snapshotId%010d-$i%05d-${UUID.randomUUID()}.parquet"
-      val dst = dataDir(root).resolve(name)
-      Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-      FileEntry(s"data/$name", Files.size(dst), records, st.view.filterKeys(statNames).toMap)
+      if (records == 0L) { Files.deleteIfExists(src); None }  // empty split: don't commit it
+      else {
+        val name = f"$snapshotId%010d-$i%05d-${UUID.randomUUID()}.parquet"
+        val dst = dataDir(root).resolve(name)
+        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+        Some(FileEntry(s"data/$name", Files.size(dst), records, st.view.filterKeys(statNames).toMap))
+      }
     }
     // clean the stage dir (crc/_SUCCESS leftovers)
     Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))

@@ -132,6 +132,26 @@ class GraftTableSpec extends SparkSpec {
     assert(GraftTable.read(spark, root).count() == keys.length - 2L)
   }
 
+  test("multi-row-group string bounds merge in UTF-8 order (numeric-looking values)") {
+    import spark.implicits._
+    val root = freshRoot("rg-merge")
+    // first half "10", second half "9": homogeneous row groups whose
+    // bounds disagree between numeric and UTF-8 order
+    val df = (Seq.fill(5000)("10") ++ Seq.fill(5000)("9")).toDF("s").coalesce(1)
+    GraftTable.create(spark, root, df.schema)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 1024)   // force many tiny row groups
+    try GraftTable.append(spark, root, df)
+    finally if (prev == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", prev)
+    val st = GraftTable.state(root).files.head.stats("s")
+    assert(st.min.contains("10") && st.max.contains("9"),
+      s"string bounds must merge in UTF-8 order, got $st")
+    // and pruning on those bounds keeps the matching rows
+    val (scanned, _, live) = GraftTable.scan(spark, root, Seq(GraftTable.Lt("s", "2")))
+    assert(live == 1 && scanned.count() == 5000L, "file with utf8-smaller strings must survive")
+  }
+
   test("readWhere auto-extracts prune predicates from an arbitrary Column") {
     val root = freshRoot("read-where")
     val o = Tables.orders(spark, sf)
