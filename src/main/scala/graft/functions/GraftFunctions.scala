@@ -26,10 +26,16 @@ object GraftFunctions {
       extends BinaryExpression {
     // callers must pass array<double> (cast at the call site)
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    // mismatched lengths → null, matching both the HOF formulation
+    // (zip_with pads with null, aggregate propagates it) and DuckDB
+    // (list_dot_product errors): a silent min-length truncation would
+    // return plausible-but-wrong cosines for malformed vectors
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (y.numElements() != n) return null
       var s = 0.0
       var i = 0
       while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -40,10 +46,14 @@ object GraftFunctions {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
         s"""
-           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |int $n = $x.numElements();
            |${ev.value} = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  ${ev.value} += $x.getDouble($i) * $y.getDouble($i);
+           |if ($y.numElements() != $n) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    ${ev.value} += $x.getDouble($i) * $y.getDouble($i);
+           |  }
            |}
          """.stripMargin
       })

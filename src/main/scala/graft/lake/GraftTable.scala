@@ -52,15 +52,19 @@ object GraftTable {
   private def commitPath(root: String, id: Long): Path =
     logDir(root).resolve(f"$id%010d.json")
 
-  private def writeAtomic(target: Path, content: String): Unit = {
+  /** Atomic put-if-absent. A rename would silently REPLACE an existing
+    * target on POSIX (rename(2) semantics), losing a concurrent
+    * writer's commit — a hard link both is atomic and fails with
+    * FileAlreadyExistsException when the target exists, which is
+    * exactly the object-store conditional-put this stands in for. */
+  private[graft] def writeAtomic(target: Path, content: String): Unit = {
     val tmp = target.getParent.resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, content)
-    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(target, tmp)
     catch { case e: java.nio.file.FileAlreadyExistsException =>
-      Files.deleteIfExists(tmp)
       throw new IllegalStateException(
         s"concurrent commit detected at $target", e)
-    }
+    } finally Files.deleteIfExists(tmp)
   }
 
   private def toJson(c: Commit): String = {
@@ -263,9 +267,8 @@ object GraftTable {
     * Honors `write.parquet.compression-codec` (reference: Iceberg's
     * table property of the same name); default snappy. */
   private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
-      snapshotId: Long): Seq[FileEntry] = {
-    val codec = scala.util.Try(state(root).properties
-      .getOrElse("write.parquet.compression-codec", "snappy")).getOrElse("snappy")
+      snapshotId: Long, props: Map[String, String]): Seq[FileEntry] = {
+    val codec = props.getOrElse("write.parquet.compression-codec", "snappy")
     val tmp = Paths.get(root, s".stage-${UUID.randomUUID()}")
     // micros timestamps so footers carry usable timestamp stats
     // (INT96, the legacy option, writes no valid min/max)
@@ -353,8 +356,9 @@ object GraftTable {
     * SPARK_ICEBERG_GUIDE.md §§5-6; many small appends = many small
     * files, by design, so compaction has something to do). */
   def append(spark: SparkSession, root: String, df: DataFrame): Long = {
-    val id = latestSnapshotId(root) + 1
-    val adds = writeDataFiles(spark, root, distribute(df, state(root).properties), id)
+    val snap = state(root)
+    val id = snap.snapshotId + 1
+    val adds = writeDataFiles(spark, root, distribute(df, snap.properties), id, snap.properties)
     val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "append",
       adds, Seq.empty, Map.empty, None)
     writeAtomic(commitPath(root, id), toJson(c))
@@ -388,7 +392,7 @@ object GraftTable {
         .parquet(touched.map(f => s"$root/${f.path}"): _*)
         .filter(!coalesce(condition, lit(false)))
     val toWrite = replacement.map(kept.unionByName(_)).getOrElse(kept)
-    val adds = writeDataFiles(spark, root, toWrite, id)
+    val adds = writeDataFiles(spark, root, toWrite, id, snap.properties)
     val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "overwrite",
       adds, touched.map(_.path), Map.empty, None)
     writeAtomic(commitPath(root, id), toJson(c))
@@ -531,8 +535,13 @@ object GraftTable {
       // footer-stats rendering); everything else casts from text
       val v = types(p.colName) match {
         case TimestampType => timestamp_micros(lit(raw.toLong))
-        // micros → NTZ via LTZ cast: identity under the UTC session TZ
-        case TimestampNTZType => timestamp_micros(lit(raw.toLong)).cast(TimestampNTZType)
+        // NTZ via a LocalDateTime literal — session-TZ-independent
+        // (an LTZ cast would shift by the session zone)
+        case TimestampNTZType =>
+          val m = raw.toLong
+          lit(java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(m, 1000000L), (Math.floorMod(m, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC))
         case dt => lit(raw).cast(dt)
       }
       p match {
@@ -630,11 +639,13 @@ object GraftTable {
     }
     if (cur.nonEmpty) bins :+= cur
     val id = latestSnapshotId(root) + 1
+    // one write job per bin (each bin → exactly one output file); at
+    // larger bin counts these jobs would be submitted concurrently
     val adds = bins.zipWithIndex.flatMap { case (bin, _) =>
       val df = spark.read.schema(schema)
         .parquet(bin.map(f => s"$root/${f.path}"): _*)
         .coalesce(1)
-      writeDataFiles(spark, root, df, id)
+      writeDataFiles(spark, root, df, id, snap.properties)
     }
     val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "rewrite_data_files",
       adds, small.map(_.path), Map.empty, None)
@@ -650,9 +661,15 @@ object GraftTable {
     val c = Commit(snap.snapshotId, None, snap.timestampMs, "checkpoint",
       snap.files, Seq.empty, snap.properties, snap.schemaJson.orElse(
         state(root, Some(0L)).schemaJson))
-    writeAtomic(logDir(root).resolve(s"checkpoint-${snap.snapshotId}.json"), toJson(c))
+    writeCheckpoint(logDir(root).resolve(s"checkpoint-${snap.snapshotId}.json"), toJson(c))
     snap.snapshotId
   }
+
+  /** Checkpoints are derived state: a pre-existing one at the same id
+    * has identical content, so losing the put-if-absent race is fine. */
+  private def writeCheckpoint(target: Path, content: String): Unit =
+    try writeAtomic(target, content)
+    catch { case _: IllegalStateException => () }
 
   /** expire_snapshots (reference: SPARK_ICEBERG_GUIDE.md §8.5):
     * checkpoint at the cutoff, then drop older commits/checkpoints.
@@ -665,7 +682,7 @@ object GraftTable {
     val c = Commit(cutoff, None, snapAtCutoff.timestampMs, "checkpoint",
       snapAtCutoff.files, Seq.empty, snapAtCutoff.properties,
       snapAtCutoff.schemaJson.orElse(state(root, Some(ids.min)).schemaJson))
-    writeAtomic(logDir(root).resolve(s"checkpoint-$cutoff.json"), toJson(c))
+    writeCheckpoint(logDir(root).resolve(s"checkpoint-$cutoff.json"), toJson(c))
     ids.filter(_ < cutoff).foreach(id => Files.deleteIfExists(commitPath(root, id)))
     listCheckpointIds(root).filter(_ < cutoff).foreach(k =>
       Files.deleteIfExists(logDir(root).resolve(s"checkpoint-$k.json")))
@@ -718,8 +735,15 @@ object GraftTable {
     * horizon. Returns deleted (or would-delete, if dryRun) paths. */
   def removeOrphanFiles(root: String, olderThanMs: Long,
       dryRun: Boolean = false): Seq[String] = {
-    val referenced: Set[String] = listCommitIds(root)
-      .flatMap(id => state(root, Some(id)).files.map(_.path)).toSet
+    // one forward pass: every file ADDED by any retained commit or
+    // checkpoint is referenced (a full per-snapshot replay would be
+    // O(commits²) for the same answer — removed files stay referenced
+    // by the older snapshots that still list them)
+    val referenced: Set[String] =
+      (listCommitIds(root).map(id => Files.readString(commitPath(root, id))) ++
+        listCheckpointIds(root).map(k =>
+          Files.readString(logDir(root).resolve(s"checkpoint-$k.json"))))
+        .flatMap(s => parseCommit(s).adds.map(_.path)).toSet
     val orphans = listDir(dataDir(root))
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .filter(p => !referenced.contains(s"data/${p.getFileName}"))

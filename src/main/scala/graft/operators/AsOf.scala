@@ -45,7 +45,13 @@ object AsOf {
   def q45(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
     val clicks = e.filter(col("event_type") === "click")
+    // ASOF tie order among right rows sharing (user, ts) is engine-
+    // unspecified; dedupe to the max event_id so both engines agree
+    val vw = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
     val views = e.filter(col("event_type") === "view")
+      .withColumn("__rn", row_number().over(vw))
+      .filter(col("__rn") === 1).drop("__rn")
     asOfJoin(clicks, views)
       .select(col("user_id"), col("event_id"), col("asof_event_id"),
         col("asof_value"))
@@ -58,7 +64,8 @@ object AsOf {
   val oracleSql: Map[String, String] = Map(
     "q45_asof_join" ->
       """WITH clicks AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
-        |     views  AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'view')
+        |     views  AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'view'
+        |                QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
         |SELECT c.user_id, c.event_id,
         |       v.event_id AS asof_event_id, v.value AS asof_value
         |FROM clicks c ASOF LEFT JOIN views v

@@ -22,7 +22,7 @@ import graft.sources.Tables
 object LakeOps {
 
   private def scratch(name: String): String = {
-    val p = Paths.get("/root/repo/target/graft-lake", name)
+    val p = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-lake", name)
     if (Files.exists(p)) {
       val s = Files.walk(p)
       try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))

@@ -333,7 +333,6 @@ object Relational {
 
   private val sumD = "CAST(SUM(CAST(%s AS DECIMAL(18,4))) AS DOUBLE)"
   private def ds(e: String) = sumD.format(e)
-  private def da(e: String) = s"${ds(e)} / COUNT(${e.takeWhile(_ != ' ')})"
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->

@@ -32,7 +32,10 @@ object Similarity {
 
   /** Cached: every query below references this 2+ times (self-join /
     * re-rank), and without the materialization barrier each reference
-    * would re-read parquet and recompute the self-dot. */
+    * would re-read parquet and recompute the self-dot. The cache
+    * cannot be unpersisted here (the returned plan still depends on
+    * it) — long-lived sessions should `spark.catalog.clearCache()`
+    * between queries, as Bench/Verify do. */
   private def norms(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     Tables.embeddings(s, dir).select(

@@ -87,10 +87,14 @@ object Streams {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Event], Session](
+      .flatMapGroupsWithState[(List[Event], Long), Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (user: Long, it: Iterator[Event], state: GroupState[List[Event]]) =>
-          val all = (state.getOption.getOrElse(Nil) ++ it.toList).sortBy(_.ts)
+        (user: Long, it: Iterator[Event], state: GroupState[(List[Event], Long)]) =>
+          // state = (open trailing session, sessions closed so far) —
+          // the closed count must persist or ids would restart at 1
+          // every micro-batch and collide across batches
+          val (pending, closedSoFar) = state.getOption.getOrElse((Nil, 0L))
+          val all = (pending ++ it.toList).sortBy(_.ts)
           // close every session whose gap to the next event exceeds the
           // threshold; keep the trailing open session in state
           val (closed, open) = all.foldLeft((List.empty[List[Event]], List.empty[Event])) {
@@ -98,9 +102,9 @@ object Streams {
               if (cur.isEmpty || e.ts - cur.last.ts <= sessionGapUs) (done, cur :+ e)
               else (done :+ cur, List(e))
           }
-          state.update(open)
+          state.update((open, closedSoFar + closed.size))
           closed.zipWithIndex.iterator.map { case (es, i) =>
-            Session(user, i + 1L, es.size.toLong, es.head.ts, es.last.ts)
+            Session(user, closedSoFar + i + 1L, es.size.toLong, es.head.ts, es.last.ts)
           }
       }
   }

@@ -36,6 +36,10 @@ class FunctionPropertySpec extends SparkSpec {
       expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)").as("hof"))
       .collect()
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // length mismatch propagates null (like zip_with + aggregate)
+    val mm = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(GraftFunctions.dotd(col("a"), col("b"))).head()
+    assert(mm.isNullAt(0))
   }
 
   test("SimHash64 == md5-nibble majority reconstruction on 20 random token lists") {

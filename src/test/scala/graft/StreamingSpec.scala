@@ -85,10 +85,17 @@ class StreamingSpec extends SparkSpec {
     input.addData(Streams.Event(1L, gap + 120L * 1000000, "c"))
     q.processAllAvailable()
     val closed = spark.table("sessions").as[Streams.Session].collect()
-    q.stop()
     assert(closed.length == 1)
     assert(closed.head.user_id == 1L && closed.head.n_events == 2L
       && closed.head.start_us == 0L && closed.head.end_us == 60L * 1000000)
+    // a later batch closing another session continues the ordinal (2),
+    // it does not restart at 1
+    input.addData(Streams.Event(1L, 3 * gap, "d"))
+    q.processAllAvailable()
+    val byId = spark.table("sessions").as[Streams.Session].collect()
+      .filter(_.user_id == 1L).map(s => s.session_id -> s.n_events).toMap
+    q.stop()
+    assert(byId == Map(1L -> 2L, 2L -> 1L), s"got $byId")
   }
 
   test("stream-stream join: clicks join views within the event-time window") {
