@@ -64,6 +64,21 @@ class GraftTableSpec extends SparkSpec {
     assert(GraftTable.read(spark, root, Some(1L)).count() == n.count())
   }
 
+  test("commit protocol detects a lost put-if-absent race") {
+    val root = freshRoot("race")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    // another writer already claimed this commit id
+    val target = Paths.get(root, "_graft_log", "0000000001.json")
+    assertThrows[IllegalStateException] {
+      GraftTable.writeAtomic(target.getParent.resolve("0000000000.json"), "{}")
+    }
+    // the loser's temp file is cleaned up and the log still replays
+    assert(!Files.list(target.getParent).iterator().asScala
+      .exists(_.getFileName.toString.startsWith(".tmp")))
+    assert(GraftTable.read(spark, root).count() == 0L)
+  }
+
   test("crash leftovers (.tmp log files, orphan data) never corrupt reads") {
     val root = freshRoot("crash")
     val n = Tables.nation(spark, sf)
