@@ -639,13 +639,34 @@ object GraftTable {
     }
     if (cur.nonEmpty) bins :+= cur
     val id = latestSnapshotId(root) + 1
-    // one write job per bin (each bin → exactly one output file); at
-    // larger bin counts these jobs would be submitted concurrently
-    val adds = bins.zipWithIndex.flatMap { case (bin, _) =>
-      val df = spark.read.schema(schema)
-        .parquet(bin.map(f => s"$root/${f.path}"): _*)
-        .coalesce(1)
-      writeDataFiles(spark, root, df, id, snap.properties)
+    // one write job per bin (each bin → exactly one output file),
+    // submitted concurrently — the Spark scheduler interleaves them,
+    // so compaction wall-clock is bounded by the largest bin, not
+    // bins × job latency
+    val adds = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      // pin the session conf for the whole parallel block so the
+      // per-call set/restore inside writeDataFiles cannot race
+      val tsKey = "spark.sql.parquet.outputTimestampType"
+      val prevTs = spark.conf.getOption(tsKey)
+      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, bins.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try Await.result(
+        Future.traverse(bins) { bin => Future {
+          val df = spark.read.schema(schema)
+            .parquet(bin.map(f => s"$root/${f.path}"): _*)
+            .coalesce(1)
+          writeDataFiles(spark, root, df, id, snap.properties)
+        }}, Duration.Inf).flatten
+      finally {
+        pool.shutdown()
+        prevTs match {
+          case Some(v) => spark.conf.set(tsKey, v)
+          case None => spark.conf.unset(tsKey)
+        }
+      }
     }
     val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "rewrite_data_files",
       adds, small.map(_.path), Map.empty, None)
