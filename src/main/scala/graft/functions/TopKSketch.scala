@@ -1,0 +1,108 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SpaceSaving heavy-hitters sketch (Metwally et al. 2005, public
+  * paper) as a native Spark aggregate: O(k) state per partition,
+  * associative merge, one pass — the 100 TB answer to "top terms over
+  * the corpus" where an exact groupBy would shuffle every distinct
+  * key. Counts are exact whenever the sketch never evicts (distinct ≤
+  * k everywhere), and upper bounds (count_true ≤ count ≤ count_true +
+  * error) otherwise; any item with true count > N/k is guaranteed
+  * present.
+  */
+object TopKSketch {
+
+  /** token -> (count, error). Mutable, partition-local. */
+  type Buffer = mutable.HashMap[String, (Long, Long)]
+
+  case class TopK(child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Buffer] {
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("item", StringType), StructField("count", LongType),
+      StructField("error", LongType))))
+
+    override def createAggregationBuffer(): Buffer = mutable.HashMap.empty
+
+    private def add(buf: Buffer, item: String, cnt: Long, err: Long): Unit =
+      buf.get(item) match {
+        case Some((c, e)) => buf(item) = (c + cnt, e + err)
+        case None if buf.size < k => buf(item) = (cnt, err)
+        case None =>
+          // evict the minimum-count entry; the newcomer inherits its
+          // count as error bound (the SpaceSaving step)
+          val (minItem, (minC, _)) = buf.minBy { case (it, (c, _)) => (c, it) }
+          buf.remove(minItem)
+          buf(item) = (minC + cnt, minC + err)
+      }
+
+    override def update(buf: Buffer, input: InternalRow): Buffer = {
+      val v = child.eval(input)
+      if (v != null) add(buf, v.asInstanceOf[UTF8String].toString, 1L, 0L)
+      buf
+    }
+
+    override def merge(buf: Buffer, other: Buffer): Buffer = {
+      other.foreach { case (item, (c, e)) => add(buf, item, c, e) }
+      buf
+    }
+
+    override def eval(buf: Buffer): Any = {
+      val sorted = buf.toSeq.sortBy { case (it, (c, _)) => (-c, it) }
+      new GenericArrayData(sorted.map { case (it, (c, e)) =>
+        InternalRow(UTF8String.fromString(it), c, e)
+      }.toArray[Any])
+    }
+
+    override def serialize(buf: Buffer): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(buf.size)
+      buf.foreach { case (it, (c, e)) =>
+        val b = it.getBytes("UTF-8")
+        out.writeInt(b.length); out.write(b); out.writeLong(c); out.writeLong(e)
+      }
+      out.flush(); bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): Buffer = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val n = in.readInt()
+      val buf: Buffer = mutable.HashMap.empty
+      (0 until n).foreach { _ =>
+        val len = in.readInt(); val b = new Array[Byte](len); in.readFully(b)
+        buf(new String(b, "UTF-8")) = (in.readLong(), in.readLong())
+      }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): TopK = copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): TopK = copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): TopK =
+      copy(child = cs.head)
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_topk16",
+      es => TopK(es.head, 16).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_topk256",
+      es => TopK(es.head, 256).toAggregateExpression(), "built-in")
+  }
+
+  def topk16(c: Column): Column = call_function("graft_topk16", c)
+  def topk256(c: Column): Column = call_function("graft_topk256", c)
+}

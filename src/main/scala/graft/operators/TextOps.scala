@@ -218,6 +218,21 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ── q51: heavy hitters via the SpaceSaving aggregate ────────────────
+  /** Top event types by the O(k)-state sketch. With 5 distinct types
+    * and k=16 no eviction ever happens, so the sketch counts are EXACT
+    * and oracle against a plain GROUP BY — while the plan stays a
+    * single partial/final aggregate with constant-size state instead
+    * of a shuffle of every distinct key. */
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKSketch.register(s)
+    Tables.events(s, dir)
+      .agg(graft.functions.TopKSketch.topk16(col("event_type")).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type"))
+  }
+
   // ── semi-structured: JSON extraction over events.props ──────────────
   def q43(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -258,6 +273,7 @@ object TextOps {
     "q47_decontaminate" -> q47 _,
     "q49_winnow" -> q49 _,
     "q50_pipeline" -> q50 _,
+    "q51_heavyhitters" -> q51 _,
     "q30_dedup_exact" -> q30 _,
     "q33_dedup_jaccard" -> q33 _,
     "q37_text_langid" -> q37 _,
@@ -271,6 +287,10 @@ object TextOps {
     s"CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(${listSql(stopwords.toMap.apply(l))}, t))) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "q51_heavyhitters" ->
+      """SELECT event_type, COUNT(*) AS cnt FROM events
+        |GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin,
+
     "q50_pipeline" -> {
       val en = listSql(stopwords.head._2)
       s"""WITH t AS (SELECT doc_id, lang, source, n_chars, text,

@@ -98,6 +98,38 @@ class OperatorSpec extends SparkSpec {
     assert(bad.count() == 0, "surfaced cosine scores must be exact")
   }
 
+  test("SpaceSaving sketch: exact under capacity, overestimates above it") {
+    import spark.implicits._
+    graft.functions.TopKSketch.register(spark)
+    // under capacity (5 distinct, k=16): counts exactly match groupBy
+    val events = graft.sources.Tables.events(spark, sf)
+    val sketch = events
+      .agg(graft.functions.TopKSketch.topk16(col("event_type")).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("k"), col("e.count").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = events.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch == exact, "no eviction => exact counts")
+    // above capacity (thousands of distinct tokens, k=256): the
+    // SpaceSaving guarantee is presence + upper bound for any item
+    // with count > N/k — check it for every true top-5 token
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+    val n = toks.count()
+    val sk = toks.agg(graft.functions.TopKSketch.topk256(col("t")).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.count")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactTop5 = toks.groupBy("t").count()
+      .orderBy(col("count").desc, col("t")).limit(5).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    exactTop5.filter(_._2 > n / 256).foreach { case (tok, trueCnt) =>
+      assert(sk.contains(tok), s"guaranteed heavy hitter '$tok' missing")
+      assert(sk(tok) >= trueCnt, s"sketch count for '$tok' must be an upper bound")
+    }
+  }
+
   test("multimodal pipeline (decode/resize/frame-sample) is deterministic and batched") {
     val a = Multimodal.q41(spark, sf).collect()
     val b = Multimodal.q41(spark, sf).collect()
