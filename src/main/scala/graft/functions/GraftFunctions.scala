@@ -70,8 +70,24 @@ object GraftFunctions {
     * oracle can rebuild it from md5 hex. The long packs bit b at
     * position 63-b, i.e. `printf('%016x', sim)` IS the nibble string.
     */
+  /** Mixin: codegen as a direct call into the expression's own typed
+    * eval on the already-evaluated child value — the surrounding
+    * operators stay in one whole-stage span and the fallback path's
+    * per-row InternalRow boxing disappears. The JVM loop itself is
+    * already tight; what matters is not breaking the pipeline.
+    * `castTo` is the Java expression wrapping the Object result. */
+  trait UnaryRefCodegen { self: UnaryExpression =>
+    def evalChild(v: Any): Any = nullSafeEval(v)
+    protected def refGenCode(ctx: CodegenContext, ev: ExprCode,
+        castTo: String => String): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val ref = ctx.addReferenceObj("graftExpr", this)
+        s"${ev.value} = ${castTo(s"$ref.evalChild($x)")};"
+      })
+  }
+
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     // caller must pass array<string>
     override def dataType: DataType = LongType
     @transient private lazy val md =
@@ -110,6 +126,8 @@ object GraftFunctions {
       }
       sim
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      refGenCode(ctx, ev, call => s"((java.lang.Long) $call).longValue()")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -119,7 +137,7 @@ object GraftFunctions {
     * one pass per row instead of a numPerms× row explosion.
     */
   case class MinHashHex(child: Expression, numPerms: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     override def dataType: DataType = ArrayType(StringType)
     @transient private lazy val md =
       new ThreadLocal[java.security.MessageDigest] {
@@ -179,6 +197,9 @@ object GraftFunctions {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
         mins.map(m => if (m == null) null else UTF8String.fromString(hex(m))))
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      refGenCode(ctx, ev,
+        call => s"(org.apache.spark.sql.catalyst.util.ArrayData) $call")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -190,7 +211,7 @@ object GraftFunctions {
     * UTF8Strings. Empty result when there are fewer than k tokens.
     */
   case class Shingles(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with UnaryRefCodegen {
     // caller must pass array<string>
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(v: Any): Any = {
@@ -214,6 +235,9 @@ object GraftFunctions {
       }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      refGenCode(ctx, ev,
+        call => s"(org.apache.spark.sql.catalyst.util.ArrayData) $call")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
