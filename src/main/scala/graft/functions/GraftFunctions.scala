@@ -210,6 +210,10 @@ object GraftFunctions {
     * copies; the shingle text is built directly from the token
     * UTF8Strings. Empty result when there are fewer than k tokens.
     */
+  object Shingles {
+    private[functions] val space: UTF8String = UTF8String.fromString(" ")
+  }
+
   case class Shingles(child: Expression, k: Int)
       extends UnaryExpression with UnaryRefCodegen {
     // caller must pass array<string>
@@ -222,15 +226,17 @@ object GraftFunctions {
       val toks = new Array[UTF8String](n)
       var i = 0
       while (i < n) {
-        val t = arr.get(i, StringType).asInstanceOf[UTF8String]
-        toks(i) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        // null tokens stay null: concatWs skips them, exactly like the
+        // concat_ws HOF formulation this must stay identical to
+        toks(i) = arr.get(i, StringType).asInstanceOf[UTF8String]
         i += 1
       }
-      val space = UTF8String.fromString(" ")
+      val window = new Array[UTF8String](k)
       i = 0
       while (i < out) {
-        res(i) = UTF8String.concatWs(space,
-          java.util.Arrays.copyOfRange(toks, i, i + k).toIndexedSeq: _*)
+        System.arraycopy(toks, i, window, 0, k)
+        res(i) = UTF8String.concatWs(Shingles.space,
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(window): _*)
         i += 1
       }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(res)

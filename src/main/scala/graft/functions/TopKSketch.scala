@@ -42,9 +42,21 @@ object TopKSketch {
         case Some((c, e)) => buf(item) = (c + cnt, e + err)
         case None if buf.size < k => buf(item) = (cnt, err)
         case None =>
-          // evict the minimum-count entry; the newcomer inherits its
-          // count as error bound (the SpaceSaving step)
-          val (minItem, (minC, _)) = buf.minBy { case (it, (c, _)) => (c, it) }
+          // evict the minimum-count entry (ties broken by item for
+          // determinism); the newcomer inherits its count as error
+          // bound (the SpaceSaving step). Manual scan: no per-entry
+          // tuple allocation on the hottest path — a stream-summary
+          // bucket list would make this O(1), at k≤256 the scan is
+          // cache-resident and merge-friendly
+          var minItem: String = null
+          var minC = Long.MaxValue
+          val it = buf.iterator
+          while (it.hasNext) {
+            val (i2, (c2, _)) = it.next()
+            if (c2 < minC || (c2 == minC && (minItem == null || i2 < minItem))) {
+              minItem = i2; minC = c2
+            }
+          }
           buf.remove(minItem)
           buf(item) = (minC + cnt, minC + err)
       }

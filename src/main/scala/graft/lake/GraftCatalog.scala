@@ -63,13 +63,19 @@ object GraftCatalog {
     finally s.close()
   }
 
-  /** Register every table in the namespace as `ns_table` temp views so
-    * spark.sql can query the lake like the reference's SQL catalog. */
-  def registerViews(spark: SparkSession, warehouse: String, ns: String): Unit =
+  /** Register every table in the namespace as `ns__table` temp views
+    * so spark.sql can query the lake like the reference's SQL catalog.
+    * The double-underscore separator is reserved (names may not
+    * contain it), so distinct (ns, table) pairs can never collide on
+    * the same view name. */
+  def registerViews(spark: SparkSession, warehouse: String, ns: String): Unit = {
+    require(!ns.contains("__"), s"namespace may not contain '__': $ns")
     listTables(warehouse, ns).foreach { t =>
+      require(!t.contains("__"), s"table may not contain '__': $t")
       GraftTable.read(spark, tableRoot(warehouse, ns, t))
-        .createOrReplaceTempView(s"${ns}_$t")
+        .createOrReplaceTempView(s"${ns}__$t")
     }
+  }
 
   def loadTable(spark: SparkSession, warehouse: String, ns: String,
       table: String): DataFrame =

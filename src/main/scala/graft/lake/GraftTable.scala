@@ -266,19 +266,26 @@ object GraftTable {
     * per-file min/max stats harvested from the parquet footers.
     * Honors `write.parquet.compression-codec` (reference: Iceberg's
     * table property of the same name); default snappy. */
+  /** Micros timestamps so footers carry usable timestamp stats (INT96,
+    * the legacy option, writes no valid min/max). Single place for the
+    * pin/restore so concurrent writers can pin once around a block. */
+  private[graft] def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try body
+    finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+  }
+
   private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
       snapshotId: Long, props: Map[String, String]): Seq[FileEntry] = {
     val codec = props.getOrElse("write.parquet.compression-codec", "snappy")
     val tmp = Paths.get(root, s".stage-${UUID.randomUUID()}")
-    // micros timestamps so footers carry usable timestamp stats
-    // (INT96, the legacy option, writes no valid min/max)
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prevTs = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try df.write.option("compression", codec).parquet(tmp.toString)
-    finally prevTs match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
+    withMicrosTimestamps(spark) {
+      df.write.option("compression", codec).parquet(tmp.toString)
     }
     val statNames = df.schema.fields.filter(f => statsTypes.contains(f.dataType)).map(_.name).toSet
     val parts = listDir(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
@@ -621,13 +628,25 @@ object GraftTable {
     val small = snap.files.filter(_.sizeBytes < target)
     if (small.size < minInputFiles) return snap.snapshotId
     // clustered tables: order candidate files by the partition
-    // column's min stat so each bin merges ADJACENT key ranges and the
-    // rewritten files keep their pruning power; unclustered tables
-    // bin in path (append) order
+    // column's min stat UNDER THE COLUMN'S OWN COMPARATOR (a
+    // lexicographic sort would put numeric "10" before "2") so each
+    // bin merges ADJACENT key ranges and the rewritten files keep
+    // their pruning power; files without stats, and unclustered
+    // tables, bin in path (append) order
     val firstPartCol = snap.properties.get("graft.partition-columns")
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty).headOption)
     val ordered = firstPartCol match {
-      case Some(c) => small.sortBy(f => f.stats.get(c).flatMap(_.min).getOrElse(f.path))
+      case Some(c) =>
+        val dt = schema.fields.find(_.name == c).map(_.dataType)
+        val (withStats, without) = small.partition(_.stats.get(c).exists(_.min.nonEmpty))
+        val sorted = dt match {
+          case Some(t) => withStats.sortWith { (a, b) =>
+            val av = a.stats(c).min.get; val bv = b.stats(c).min.get
+            val r = cmp(t, av, bv); if (r != 0) r < 0 else a.path < b.path
+          }
+          case None => withStats.sortBy(_.path)
+        }
+        sorted ++ without.sortBy(_.path)
       case None => small.sortBy(_.path)
     }
     var bins = Seq.empty[Seq[FileEntry]]
@@ -647,26 +666,19 @@ object GraftTable {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       // pin the session conf for the whole parallel block so the
-      // per-call set/restore inside writeDataFiles cannot race
-      val tsKey = "spark.sql.parquet.outputTimestampType"
-      val prevTs = spark.conf.getOption(tsKey)
-      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+      // per-call set/restore inside writeDataFiles cannot race (the
+      // inner pin then restores to the same pinned value)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, bins.size))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-      try Await.result(
-        Future.traverse(bins) { bin => Future {
-          val df = spark.read.schema(schema)
-            .parquet(bin.map(f => s"$root/${f.path}"): _*)
-            .coalesce(1)
-          writeDataFiles(spark, root, df, id, snap.properties)
-        }}, Duration.Inf).flatten
-      finally {
-        pool.shutdown()
-        prevTs match {
-          case Some(v) => spark.conf.set(tsKey, v)
-          case None => spark.conf.unset(tsKey)
-        }
-      }
+      try withMicrosTimestamps(spark) {
+        Await.result(
+          Future.traverse(bins) { bin => Future {
+            val df = spark.read.schema(schema)
+              .parquet(bin.map(f => s"$root/${f.path}"): _*)
+              .coalesce(1)
+            writeDataFiles(spark, root, df, id, snap.properties)
+          }}, Duration.Inf).flatten
+      } finally pool.shutdown()
     }
     val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "rewrite_data_files",
       adds, small.map(_.path), Map.empty, None)

@@ -21,7 +21,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(GraftCatalog.listTables(wh, "lab") == Seq("small_files"))
     // SQL over the catalog view, like the reference's nessie.lab.* queries
     GraftCatalog.registerViews(spark, wh, "lab")
-    val cnt = spark.sql("SELECT COUNT(*) FROM lab_small_files").head().getLong(0)
+    val cnt = spark.sql("SELECT COUNT(*) FROM lab__small_files").head().getLong(0)
     assert(cnt == n.count())
     // load + drop
     assert(GraftCatalog.loadTable(spark, wh, "lab", "small_files").count() == n.count())
