@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.lake.{GraftCatalog, GraftTable}
+
+/** The reference's full maintenance runbook (reference:
+  * SPARK_ICEBERG_GUIDE.md §§3-8.10) executed end to end in order —
+  * namespace, tuned table, snapshot-per-insert, small-file explosion,
+  * diagnostics, properties, compaction, manifest rewrite, snapshot
+  * expiry, orphan removal, rollback, post-maintenance sanity. */
+class GuideRunbookSpec extends SparkSpec {
+
+  test("the reference runbook runs end to end against GraftTable") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-runbook").toString
+
+    // §3 create & materialize namespace
+    GraftCatalog.createNamespace(wh, "lab")
+    // §4 create table tuned for small files
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val root = GraftCatalog.createTable(spark, wh, "lab", "small_files", schema,
+      Map("write.target-file-size-bytes" -> "65536",
+        "write.distribution-mode" -> "none"))
+    assert(GraftCatalog.listTables(wh, "lab") == Seq("small_files"))
+
+    // §5 insert initial rows → first snapshot
+    GraftTable.append(spark, root,
+      Seq((1L, "alice"), (2L, "bob"), (3L, "charlie")).toDF("id", "name"))
+    assert(GraftTable.read(spark, root).orderBy("id").as[(Long, String)]
+      .collect().head == (1L, "alice"))
+
+    // §6 generate many small files (small appends + generator)
+    GraftTable.append(spark, root, Seq((4L, "d"), (5L, "e"), (6L, "f")).toDF("id", "name"))
+    GraftTable.append(spark, root, Seq((7L, "g"), (8L, "h"), (9L, "i")).toDF("id", "name"))
+    GraftTable.append(spark, root,
+      spark.range(100, 300).select(col("id"), concat(lit("name_"), col("id")).as("name"))
+        .repartition(4))
+    // §7 verify the small-file explosion via the .files metadata table
+    val filesBefore = GraftTable.filesTable(spark, root).count()
+    assert(filesBefore >= 6, s"expected many small files, got $filesBefore")
+
+    // §8.1 pre-flight: snapshots + diagnostics
+    val snaps = GraftTable.snapshotsTable(spark, root)
+    assert(snaps.filter(col("operation") === "append").count() == 4)
+    // §8.2/8.9 recommended properties
+    GraftTable.setProperties(root, Map("gc.enabled" -> "true"))
+    // §8.3 bin-pack compaction (uses the table's own target size)
+    GraftTable.rewriteDataFiles(spark, root)
+    val filesAfter = GraftTable.filesTable(spark, root).count()
+    assert(filesAfter < filesBefore)
+    assert(GraftTable.read(spark, root).count() == 209L)
+    // §8.4 manifest rewrite (checkpoint)
+    GraftTable.rewriteManifests(root)
+    // §8.5 expire all pre-compaction snapshots
+    GraftTable.expireSnapshots(root, retainLast = 1)
+    // §8.6 remove orphan files — the compacted-away small files are no
+    // longer referenced by any retained snapshot
+    val removed = GraftTable.removeOrphanFiles(root, System.currentTimeMillis() + 1000)
+    assert(removed.nonEmpty, "compacted-away files become orphans after expiry")
+    assert(GraftTable.read(spark, root).count() == 209L, "maintenance never loses rows")
+
+    // §8.8 rollback: a bad append arrives, roll the table back
+    val good = GraftTable.latestSnapshotId(root)
+    GraftTable.append(spark, root, Seq((999L, "oops")).toDF("id", "name"))
+    assert(GraftTable.read(spark, root).count() == 210L)
+    GraftTable.rollbackToSnapshot(root, good)
+    assert(GraftTable.read(spark, root).count() == 209L)
+    // §8.10 post-maintenance sanity: all data files, none deleted
+    val d = GraftTable.describeTable(spark, root).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("prop: gc.enabled") == "true")
+    assert(d("total_records").toLong >= 9L)
+    assert(GraftTable.filesTable(spark, root)
+      .filter(col("content") =!= 0).count() == 0, "data files only")
+  }
+}
