@@ -562,6 +562,22 @@ object GraftTable {
     (filtered, snap.files.size, live.size)
   }
 
+  /** Streaming read of an APPEND-ONLY table: data files land in
+    * `data/` by atomic rename strictly before their commit, so Spark's
+    * incremental file source streams each append exactly once (same
+    * discipline as Delta's streaming source, which likewise rejects
+    * non-append changes). Compaction/overwrite/rollback on a streamed
+    * table would re-deliver rewritten files — run maintenance on a
+    * downstream copy instead. */
+  def readStreamAppendOnly(spark: SparkSession, root: String): DataFrame = {
+    val schema = DataType.fromJson(state(root).schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$root/data")
+  }
+
   /** Pruned read from an arbitrary Column predicate: stats-comparable
     * conjuncts are extracted automatically and prune files; the FULL
     * condition is then applied, so semantics match `read().filter` for

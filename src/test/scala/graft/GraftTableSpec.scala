@@ -340,6 +340,26 @@ class GraftTableSpec extends SparkSpec {
     assert(GraftTable.state(root).operation == "rewrite_data_files")
   }
 
+  test("streaming read: appends to the lake arrive incrementally, exactly once") {
+    import spark.implicits._
+    val root = freshRoot("stream-read")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    GraftTable.append(spark, root, n.limit(5))
+    val ckpt = Files.createTempDirectory("graft-sread-ckpt")
+    val q = GraftTable.readStreamAppendOnly(spark, root)
+      .writeStream.format("memory").queryName("lake_stream")
+      .option("checkpointLocation", ckpt.resolve("c").toString)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("lake_stream").count() == 5L)
+    GraftTable.append(spark, root, n.limit(8))   // 8 more rows, new files
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("lake_stream").count() == 13L,
+      "second append must stream incrementally without re-delivering the first")
+  }
+
   test("streaming ingest: foreachBatch appends commit one snapshot per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
