@@ -25,13 +25,16 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String,
-      discriminator: Column, salts: Int = 16): DataFrame = {
+      discriminator: Column, salts: Int = 16,
+      keepSaltColumn: Boolean = false): DataFrame = {
     val saltedBig = big.withColumn("__salt", pmod(xxhash64(discriminator), lit(salts)))
     val saltedSmall = small
       .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
-    saltedBig.join(saltedSmall,
-        saltedBig(bigKey) === saltedSmall(smallKey) &&
-          saltedBig("__salt") === saltedSmall("__salt"))
-      .drop("__salt")
+    val joined = saltedBig.join(saltedSmall,
+      saltedBig(bigKey) === saltedSmall(smallKey) &&
+        saltedBig("__salt") === saltedSmall("__salt"))
+    // keepSaltColumn exposes the bucket for diagnostics/tests
+    if (keepSaltColumn) joined.drop(saltedSmall("__salt"))
+    else joined.drop("__salt")
   }
 }

@@ -50,6 +50,7 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.sources.bucketing.enabled")
     }
   }
 }

@@ -46,22 +46,9 @@ class FunctionPropertySpec extends SparkSpec {
     GraftFunctions.register(spark)
     import spark.implicits._
     val cases = Seq.fill(20)(randTokens())
-    def reconstruct(toks: List[String]): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val counts = new Array[Int](64)
-      toks.foreach { t =>
-        md.reset()
-        val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-        (0 until 64).foreach { b =>
-          val nibble = Integer.parseInt(hex(b / 4).toString, 16)
-          counts(b) += (if (((nibble >> (3 - b % 4)) & 1) == 1) 1 else -1)
-        }
-      }
-      (0 until 64).foldLeft(0L)((acc, b) => if (counts(b) > 0) acc | (1L << (63 - b)) else acc)
-    }
     val got = cases.toDF("t")
       .select(GraftFunctions.simhash64(col("t"))).collect().map(_.getLong(0))
-    got.zip(cases.map(reconstruct)).foreach { case (g, w) => assert(g == w) }
+    got.zip(cases.map(TestHashes.simhashReconstruct)).foreach { case (g, w) => assert(g == w) }
   }
 
   test("Shingles == HOF transform/slice/concat_ws on 20 random token lists") {
@@ -89,9 +76,7 @@ class FunctionPropertySpec extends SparkSpec {
     GraftFunctions.register(spark)
     import spark.implicits._
     val cases = Seq.fill(20)(randTokens())
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def h(s: String) = { md.reset(); md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString }
-    val want = cases.map(sh => (0 until 16).map(i => sh.map(s => h(s"$i:$s")).min))
+    val want = cases.map(sh => TestHashes.minhashReconstruct(sh))
     val got = cases.toDF("sh")
       .select(GraftFunctions.minhash16(col("sh"))).collect().map(_.getSeq[String](0))
     got.zip(want).foreach { case (g, w) => assert(g == w) }

@@ -68,14 +68,16 @@ class GraftTableSpec extends SparkSpec {
     val root = freshRoot("race")
     val n = Tables.nation(spark, sf)
     GraftTable.create(spark, root, n.schema)
-    // another writer already claimed this commit id
-    val target = Paths.get(root, "_graft_log", "0000000001.json")
+    // commit 0 exists (create); a racing writer targeting it must fail
+    val logDir = Paths.get(root, "_graft_log")
     assertThrows[IllegalStateException] {
-      GraftTable.writeAtomic(target.getParent.resolve("0000000000.json"), "{}")
+      GraftTable.writeAtomic(logDir.resolve("0000000000.json"), "{}")
     }
     // the loser's temp file is cleaned up and the log still replays
-    assert(!Files.list(target.getParent).iterator().asScala
+    val listing = Files.list(logDir)
+    try assert(!listing.iterator().asScala
       .exists(_.getFileName.toString.startsWith(".tmp")))
+    finally listing.close()
     assert(GraftTable.read(spark, root).count() == 0L)
   }
 
@@ -91,7 +93,12 @@ class GraftTableSpec extends SparkSpec {
     Files.writeString(orphan, "not parquet")
     assert(GraftTable.read(spark, root).count() == 5L)
     assert(GraftTable.latestSnapshotId(root) == 1L)
-    assert(GraftTable.state(root).files.size == GraftTable.filesTable(spark, root).count())
+    // the tracked file set excludes the planted orphan even though it
+    // sits in data/ (compare against the directory, not state itself)
+    val onDisk = Files.list(Paths.get(root, "data"))
+    val diskCount = try onDisk.iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet")) finally onDisk.close()
+    assert(GraftTable.state(root).files.size == diskCount - 1)
     // and the orphan is exactly what remove_orphan_files reports
     val dry = GraftTable.removeOrphanFiles(root, System.currentTimeMillis() + 1000, dryRun = true)
     assert(dry == Seq(s"data/${orphan.getFileName}"))
@@ -335,9 +342,18 @@ class GraftTableSpec extends SparkSpec {
     assert(total > 1, "range write should produce multiple files")
     assert(live < total, s"expected pruning, got $live of $total")
     assert(df.count() == c.filter(col("c_nationkey") === 3).count())
-    // compaction picks up the table's own target size property
-    GraftTable.rewriteDataFiles(spark, root)
+    // compaction with a target that yields 2 bins must preserve the
+    // range clustering: stat-ordered binning keeps an Eq predicate
+    // pruning to a strict subset even after the rewrite
+    val sizes = GraftTable.state(root).files.map(_.sizeBytes)
+    GraftTable.rewriteDataFiles(spark, root,
+      targetFileSizeBytes = sizes.sum / 2 + 1)
     assert(GraftTable.state(root).operation == "rewrite_data_files")
+    val (df2, total2, live2) = GraftTable.scan(spark, root,
+      Seq(GraftTable.Eq("c_nationkey", "3")))
+    assert(total2 >= 2, s"expected 2+ compacted files, got $total2")
+    assert(live2 < total2, "compaction must preserve pruning power")
+    assert(df2.count() == c.filter(col("c_nationkey") === 3).count())
   }
 
   test("streaming read: appends to the lake arrive incrementally, exactly once") {

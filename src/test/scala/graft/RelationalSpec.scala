@@ -34,9 +34,13 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("q07 star join broadcasts all three dim edges") {
-    val p = plan(Relational.q07(spark, sf))
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
-      "supplier/nation/region must all broadcast")
+    // formatted mode prints each node twice (tree + details): count/2
+    // is the true operator count, so one surviving broadcast can't
+    // masquerade as three
+    val p = Relational.q07(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size / 2
+    assert(bhj >= 3, s"supplier/nation/region must all broadcast, saw $bhj")
     assert(!p.contains("CartesianProduct"))
   }
 

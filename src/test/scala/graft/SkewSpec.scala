@@ -24,10 +24,12 @@ class SkewSpec extends SparkSpec {
         .select(col("rowid"), col("label"))
       assert(salted.count() == plain.count())
       assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
-      // the hot key's rows really do land in multiple salt buckets
-      val buckets = big.filter(col("k") === 42L)
-        .select(pmod(xxhash64(col("rowid")), lit(8)).as("salt"))
-        .distinct().count()
+      // observe the ACTUAL join output: the hot key's matched rows
+      // must land in multiple salt buckets
+      val buckets = Skew.saltedJoin(big, small, "k", "sk", col("rowid"),
+          salts = 8, keepSaltColumn = true)
+        .filter(col("k") === 42L)
+        .select("__salt").distinct().count()
       assert(buckets > 4, s"hot key spread over only $buckets buckets")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }

@@ -23,6 +23,31 @@ object SparkSpec {
   val sf: String = "/root/testdata/sf0.001"
 }
 
+/** Shared independent reconstructions of the md5-derived hash
+  * definitions (one copy, so the definition can't drift between
+  * specs). */
+object TestHashes {
+  def md5Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
+  def simhashReconstruct(toks: Seq[String]): Long = {
+    val counts = new Array[Int](64)
+    toks.foreach { t =>
+      val hex = md5Hex(t)
+      (0 until 64).foreach { b =>
+        val nibble = Integer.parseInt(hex(b / 4).toString, 16)
+        counts(b) += (if (((nibble >> (3 - b % 4)) & 1) == 1) 1 else -1)
+      }
+    }
+    (0 until 64).foldLeft(0L)((acc, b) => if (counts(b) > 0) acc | (1L << (63 - b)) else acc)
+  }
+
+  def minhashReconstruct(shingles: Seq[String], perms: Int = 16): Seq[String] =
+    (0 until perms).map(i => shingles.map(s => md5Hex(s"$i:$s")).min)
+}
+
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.spark
   val sf: String = SparkSpec.sf

@@ -24,7 +24,7 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", out.resolve("ckpt").toString)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000L)
+    assert(q.awaitTermination(120000L), "stream did not finish in time")
     val got = spark.table("win_agg")
     val want = Streams.q42(spark, sf)
     assert(got.count() == want.count())
@@ -147,7 +147,10 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     val ids = spark.table("sdedup").select("doc_id").as[Long].collect().sorted.toSeq
     q.stop()
-    assert(ids == Seq(1L, 2L, 5L), s"kept $ids")
+    // which of two same-batch duplicates survives is not contractual;
+    // exactly one "alpha" (doc 1 or 3) must, and cross-batch dups drop
+    assert(ids.length == 3 && ids.contains(2L) && ids.contains(5L)
+      && (ids.contains(1L) ^ ids.contains(3L)), s"kept $ids")
   }
 
   test("batch sessionization splits on >30min gaps with per-user ordinals") {
