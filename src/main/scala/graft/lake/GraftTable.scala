@@ -372,6 +372,26 @@ object GraftTable {
     id
   }
 
+  /** Idempotent append for exactly-once streaming ingest (the Delta
+    * txn pattern): the commit records (appId → version) in its
+    * properties; a retry of an already-committed version is a no-op.
+    * Use from foreachBatch with the micro-batch id as the version —
+    * without this, a batch that committed but crashed before the
+    * checkpoint write would append twice on restart. */
+  def appendIdempotent(spark: SparkSession, root: String, df: DataFrame,
+      appId: String, version: Long): Long = {
+    val snap = state(root)
+    val key = s"graft.txn.$appId"
+    val last = snap.properties.get(key).map(_.toLong)
+    if (last.exists(_ >= version)) return snap.snapshotId   // already ingested
+    val id = snap.snapshotId + 1
+    val adds = writeDataFiles(spark, root, distribute(df, snap.properties), id, snap.properties)
+    val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "append",
+      adds, Seq.empty, Map(key -> version.toString), None)
+    writeAtomic(commitPath(root, id), toJson(c))
+    id
+  }
+
   /** Copy-on-write DELETE/overwrite: files whose stats may contain
     * matching rows are rewritten without them; untouched files are
     * carried over by reference. `prunePreds` (a stats-comparable

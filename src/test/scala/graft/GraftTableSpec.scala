@@ -376,6 +376,22 @@ class GraftTableSpec extends SparkSpec {
       "second append must stream incrementally without re-delivering the first")
   }
 
+  test("idempotent append: a retried micro-batch version is a no-op") {
+    import spark.implicits._
+    val root = freshRoot("txn")
+    val df = Seq(1L, 2L, 3L).toDF("v")
+    GraftTable.create(spark, root, df.schema)
+    GraftTable.appendIdempotent(spark, root, df, "streamA", version = 0L)
+    // the retry of version 0 (crash between commit and checkpoint)
+    GraftTable.appendIdempotent(spark, root, df, "streamA", version = 0L)
+    assert(GraftTable.read(spark, root).count() == 3L, "retry must not duplicate")
+    // the next version appends; an unrelated app has its own sequence
+    GraftTable.appendIdempotent(spark, root, df, "streamA", version = 1L)
+    GraftTable.appendIdempotent(spark, root, df, "streamB", version = 0L)
+    assert(GraftTable.read(spark, root).count() == 9L)
+    assert(GraftTable.state(root).properties("graft.txn.streamA") == "1")
+  }
+
   test("streaming ingest: foreachBatch appends commit one snapshot per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
