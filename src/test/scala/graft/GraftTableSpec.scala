@@ -81,6 +81,35 @@ class GraftTableSpec extends SparkSpec {
     assert(GraftTable.read(spark, root).count() == 0L)
   }
 
+  test("racing concurrent appends never lose rows or corrupt the log") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val root = freshRoot("race2")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // two writers race the same next snapshot id; each retries once on
+    // conflict (the caller-side protocol the conditional-put implies)
+    def appendWithRetry(rows: Int): Long =
+      try GraftTable.append(spark, root, n.limit(rows))
+      catch { case _: IllegalStateException =>
+        GraftTable.append(spark, root, n.limit(rows))
+      }
+    val a = Future(appendWithRetry(5))
+    val b = Future(appendWithRetry(7))
+    Await.result(Future.sequence(Seq(a, b)), 120.seconds)
+    // both writers' rows are present exactly once, whatever the
+    // interleaving; log replays cleanly; ids are distinct
+    assert(GraftTable.read(spark, root).count() == 12L)
+    val snaps = GraftTable.snapshotsTable(spark, root).collect()
+    assert(snaps.map(_.getLong(0)).distinct.length == snaps.length)
+    // no stage dirs or temp files left behind
+    val leftovers = Files.list(Paths.get(root))
+    try assert(!leftovers.iterator().asScala
+      .exists(_.getFileName.toString.startsWith(".stage-")))
+    finally leftovers.close()
+  }
+
   test("crash leftovers (.tmp log files, orphan data) never corrupt reads") {
     val root = freshRoot("crash")
     val n = Tables.nation(spark, sf)
