@@ -110,33 +110,98 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  // ── dup-pair graph → clusters (connected components) ────────────────
+  /** Min-label propagation to a fixpoint: each node repeatedly takes
+    * the smallest component label among itself and its neighbors.
+    * Iterations ≈ cluster diameter (near-dup clusters are tiny), each
+    * one hash-partitioned join + aggregate — the driver only
+    * coordinates the loop and checks convergence, never holds data.
+    * This is how a dedup pipeline turns pairwise matches into "keep
+    * one document per duplicate group". */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    val sym = edges.select(col("da").as("a"), col("db").as("b"))
+      .union(edges.select(col("db").as("a"), col("da").as("b")))
+      .distinct().cache()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("b"), col("comp").as("nc")), "b")
+        .groupBy(col("a")).agg(min(col("nc")).as("minnc"))
+      val next = labels
+        .join(neighborMin.select(col("a").as("id"), col("minnc")), Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("minnc"), col("comp"))).as("comp"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") < col("old")).limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** q52: cluster the MinHash near-dup pairs and mark the canonical
+    * (minimum doc_id) representative per cluster. */
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q31(s, dir).select("da", "db")
+    connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp"),
+        (col("id") === col("comp")).as("keep"))
+      .orderBy(col("comp"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_dedup_minhash" -> q31 _,
-    "q32_dedup_simhash" -> q32 _)
+    "q32_dedup_simhash" -> q32 _,
+    "q52_dup_clusters" -> q52 _)
+
+  /** Shared CTE chain producing the verified MinHash pair set (used by
+    * both the q31 oracle and q52's clustering oracle). */
+  private val minhashChainSql: String =
+    s"""t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+       |       FROM (SELECT doc_id, toks, UNNEST(GENERATE_SERIES(1, LEN(toks)-2)) AS i FROM t)),
+       |mh AS (SELECT doc_id, j AS i, MIN(MD5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+       |       FROM sh CROSS JOIN GENERATE_SERIES(0, ${nPerms - 1}) p(j) GROUP BY doc_id, j),
+       |bands AS (SELECT doc_id, i // 2 AS band,
+       |       MD5(CONCAT_WS('|', MIN(CASE WHEN i % 2 = 0 THEN mh END),
+       |                          MIN(CASE WHEN i % 2 = 1 THEN mh END))) AS sig
+       |       FROM mh GROUP BY doc_id, i // 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM bands a JOIN bands b
+       |         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |shd AS (SELECT da, db, COUNT(*) AS shared
+       |        FROM cand JOIN sh s1 ON s1.doc_id = da
+       |                  JOIN sh s2 ON s2.doc_id = db AND s1.sh = s2.sh
+       |        GROUP BY da, db)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q31_dedup_minhash" ->
-      s"""WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
-         |       FROM (SELECT doc_id, toks, UNNEST(GENERATE_SERIES(1, LEN(toks)-2)) AS i FROM t)),
-         |mh AS (SELECT doc_id, j AS i, MIN(MD5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
-         |       FROM sh CROSS JOIN GENERATE_SERIES(0, ${nPerms - 1}) p(j) GROUP BY doc_id, j),
-         |bands AS (SELECT doc_id, i // 2 AS band,
-         |       MD5(CONCAT_WS('|', MIN(CASE WHEN i % 2 = 0 THEN mh END),
-         |                          MIN(CASE WHEN i % 2 = 1 THEN mh END))) AS sig
-         |       FROM mh GROUP BY doc_id, i // 2),
-         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |         FROM bands a JOIN bands b
-         |         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-         |shd AS (SELECT da, db, COUNT(*) AS shared
-         |        FROM cand JOIN sh s1 ON s1.doc_id = da
-         |                  JOIN sh s2 ON s2.doc_id = db AND s1.sh = s2.sh
-         |        GROUP BY da, db)
+      s"""WITH $minhashChainSql
          |SELECT da, db, CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jac
          |FROM shd JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
          |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= $jaccardThreshold
          |ORDER BY da, db""".stripMargin,
+
+    "q52_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashChainSql,
+         |pairs AS (SELECT da, db
+         |  FROM shd JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+         |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= $jaccardThreshold),
+         |sym AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT a AS node, a AS root FROM sym
+         |  UNION
+         |  SELECT e.b AS node, r.root FROM reach r JOIN sym e ON r.node = e.a)
+         |SELECT node AS doc_id, MIN(root) AS comp,
+         |  node = MIN(root) AS keep
+         |FROM reach GROUP BY node ORDER BY comp, doc_id""".stripMargin,
 
     "q32_dedup_simhash" ->
       """WITH th AS (SELECT doc_id, MD5(UNNEST(STRING_SPLIT(LOWER(text), ' '))) AS h FROM documents),

@@ -86,6 +86,17 @@ class OperatorSpec extends SparkSpec {
     assert(bad.count() == 0, "surfaced cosine scores must be exact")
   }
 
+  test("connected components: chains, triangles, and pairs resolve to min labels") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("da", "db")
+    val comps = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("SpaceSaving sketch: exact under capacity, overestimates above it") {
     import spark.implicits._
     graft.functions.TopKSketch.register(spark)
