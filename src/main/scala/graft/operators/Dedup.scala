@@ -120,28 +120,47 @@ object Dedup {
     * one document per duplicate group". */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = edges.sparkSession
-    val sym = edges.select(col("da").as("a"), col("db").as("b"))
+    val symRaw = edges.select(col("da").as("a"), col("db").as("b"))
       .union(edges.select(col("db").as("a"), col("da").as("b")))
       .distinct().cache()
+    // size the iteration to the graph: dup-pair graphs are usually a
+    // tiny fraction of the corpus, and a fixed 32-way shuffle would
+    // make every round pure scheduling overhead
+    val nEdges = symRaw.count()
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (nEdges / 50000L + 1L).toInt))
+    // localCheckpoint, not cache: caching keeps the full logical plan,
+    // and with the label relation referenced 3x per round the plan
+    // tree (and Catalyst planning time) grows EXPONENTIALLY across
+    // rounds — checkpointing truncates lineage so every round plans
+    // against a flat materialized relation
+    val sym = symRaw.repartition(parts, col("a")).localCheckpoint()
     var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")).cache()
+      .withColumn("comp", col("id")).localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // pointer jumping first (adopt the label OF the label, collapsing
+      // chains in O(log diameter) rounds), then the neighborhood min
+      val jumped = labels.as("x")
+        .join(labels.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
+          col("x.comp") === col("y.cid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.comp"), coalesce(col("y.ccomp"), col("x.comp"))).as("comp"))
       val neighborMin = sym
-        .join(labels.select(col("id").as("b"), col("comp").as("nc")), "b")
+        .join(jumped.select(col("id").as("b"), col("comp").as("nc")), "b")
         .groupBy(col("a")).agg(min(col("nc")).as("minnc"))
-      val next = labels
+      val next = jumped
         .join(neighborMin.select(col("a").as("id"), col("minnc")), Seq("id"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("minnc"), col("comp"))).as("comp"))
-        .cache()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
         .filter(col("comp") < col("old")).limit(1).count()
-      labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
       iter += 1
     }
+    symRaw.unpersist(blocking = false)
     labels
   }
 
