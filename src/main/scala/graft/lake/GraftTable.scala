@@ -267,16 +267,31 @@ object GraftTable {
     * Honors `write.parquet.compression-codec` (reference: Iceberg's
     * table property of the same name); default snappy. */
   /** Micros timestamps so footers carry usable timestamp stats (INT96,
-    * the legacy option, writes no valid min/max). Single place for the
-    * pin/restore so concurrent writers can pin once around a block. */
+    * the legacy option, writes no valid min/max). Reference-counted
+    * per session: concurrent writers share one pin and the conf is
+    * restored only when the last writer exits — a naive set/restore
+    * would let one writer's restore race another's write (INT96 files
+    * with no stats) or leak the pinned value after both return. */
+  private val tsPins =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (java.util.concurrent.atomic.AtomicInteger, Option[String])]()
+
   private[graft] def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
     val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prevTs = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    tsPins.synchronized {
+      val (count, _) = tsPins.computeIfAbsent(spark,
+        s => (new java.util.concurrent.atomic.AtomicInteger(0), s.conf.getOption(tsKey)))
+      if (count.getAndIncrement() == 0) spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    }
     try body
-    finally prevTs match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
+    finally tsPins.synchronized {
+      val (count, prev) = tsPins.get(spark)
+      if (count.decrementAndGet() == 0) {
+        prev match {
+          case Some(v) => spark.conf.set(tsKey, v)
+          case None => spark.conf.unset(tsKey)
+        }
+        tsPins.remove(spark)
+      }
     }
   }
 
@@ -362,12 +377,15 @@ object GraftTable {
   /** INSERT INTO — one snapshot per call (reference:
     * SPARK_ICEBERG_GUIDE.md §§5-6; many small appends = many small
     * files, by design, so compaction has something to do). */
-  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
-    val snap = state(root)
+  def append(spark: SparkSession, root: String, df: DataFrame): Long =
+    appendWithProps(spark, root, df, state(root), Map.empty)
+
+  private def appendWithProps(spark: SparkSession, root: String, df: DataFrame,
+      snap: Snapshot, commitProps: Map[String, String]): Long = {
     val id = snap.snapshotId + 1
     val adds = writeDataFiles(spark, root, distribute(df, snap.properties), id, snap.properties)
     val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "append",
-      adds, Seq.empty, Map.empty, None)
+      adds, Seq.empty, commitProps, None)
     writeAtomic(commitPath(root, id), toJson(c))
     id
   }
@@ -384,12 +402,7 @@ object GraftTable {
     val key = s"graft.txn.$appId"
     val last = snap.properties.get(key).map(_.toLong)
     if (last.exists(_ >= version)) return snap.snapshotId   // already ingested
-    val id = snap.snapshotId + 1
-    val adds = writeDataFiles(spark, root, distribute(df, snap.properties), id, snap.properties)
-    val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "append",
-      adds, Seq.empty, Map(key -> version.toString), None)
-    writeAtomic(commitPath(root, id), toJson(c))
-    id
+    appendWithProps(spark, root, df, snap, Map(key -> version.toString))
   }
 
   /** Copy-on-write DELETE/overwrite: files whose stats may contain

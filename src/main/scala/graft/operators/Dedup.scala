@@ -135,11 +135,17 @@ object Dedup {
     // rounds — checkpointing truncates lineage so every round plans
     // against a flat materialized relation
     val sym = symRaw.repartition(parts, col("a")).localCheckpoint()
+    symRaw.unpersist(blocking = false)   // sym is materialized; the lineage copy can go
+    // scope the per-round shuffles to the graph size too — the session
+    // shuffle setting would give every tiny round full-width exchanges
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    spark.conf.set(partKey, parts.toString)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
+    try while (!converged && iter < maxIter) {
       // pointer jumping first (adopt the label OF the label, collapsing
       // chains in O(log diameter) rounds), then the neighborhood min
       val jumped = labels.as("x")
@@ -159,8 +165,12 @@ object Dedup {
       labels = next
       converged = changed == 0
       iter += 1
-    }
-    symRaw.unpersist(blocking = false)
+    } finally spark.conf.set(partKey, prevParts)
+    // a truncated run would silently mislabel components (multiple
+    // "canonical" docs per real cluster) — fail loudly instead
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds (pointer " +
+        "jumping covers diameter 2^maxIter; this indicates a bug or a pathological graph)")
     labels
   }
 
