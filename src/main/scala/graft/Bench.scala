@@ -22,17 +22,21 @@ object Bench {
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a throwing query must not masquerade as a fast success: record
+      // the failure and emit -1 as its duration instead of folding the
+      // partial elapsed time into the totals
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // isolate queries: one query's cached intermediates must not
       // occupy (or evict) storage memory while later ones run
       try spark.catalog.clearCache() catch { case _: Throwable => () }
-      name -> dt
+      (name, dt, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.filterNot(_._3).map(t => "\"" + t._1 + "\"").mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

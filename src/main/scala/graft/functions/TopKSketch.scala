@@ -107,6 +107,17 @@ object TopKSketch {
       copy(child = cs.head)
   }
 
+  /** Registers `graft_topk16` / `graft_topk256`.
+    *
+    * DETERMINISM CONTRACT: results are exact and run-stable ONLY while
+    * the sketch never evicts — i.e. distinct keys ≤ k in every partial
+    * buffer (guaranteed when the column's global distinct count ≤ k).
+    * Once eviction occurs, counts AND membership depend on Spark's
+    * nondeterministic partial-merge order: the output is a valid
+    * SpaceSaving approximation (count_true ≤ count ≤ count_true +
+    * error; any item with true count > N/k is present) but may differ
+    * run to run. Do not oracle-check or hash-compare an evicting
+    * sketch. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_topk16",

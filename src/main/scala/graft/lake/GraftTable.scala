@@ -321,18 +321,37 @@ object GraftTable {
     entries
   }
 
-  private def commit(root: String, op: String, adds: Seq[FileEntry],
+  /** `baseId` must be the snapshot the operation PLANNED against — the
+    * commit id is base+1, so a concurrent commit landing in between
+    * makes the put-if-absent fail loudly instead of silently committing
+    * a stale-base result (a DELETE missing concurrently-appended rows
+    * would otherwise slip through snapshot isolation). */
+  private def commit(root: String, baseId: Long, op: String, adds: Seq[FileEntry],
       removes: Seq[String], props: Map[String, String] = Map.empty): Long = {
-    val id = latestSnapshotId(root) + 1
+    val id = baseId + 1
     val c = Commit(id, Some(id - 1), System.currentTimeMillis(), op, adds, removes, props, None)
     writeAtomic(commitPath(root, id), toJson(c))
     id
   }
 
+  /** Write the commit record for freshly-staged data files; if the
+    * put-if-absent race is lost, delete those files before rethrowing —
+    * they are referenced by no snapshot, and leaving them in `data/`
+    * would surface phantom rows to `readStreamAppendOnly`'s directory
+    * stream (and a retried append would then deliver the rows twice).
+    * Only for commits whose adds were written by THIS operation —
+    * rollback re-adds pre-existing files and must not delete them. */
+  private def commitOrCleanup(root: String, id: Long, c: Commit): Unit =
+    try writeAtomic(commitPath(root, id), toJson(c))
+    catch { case e: IllegalStateException =>
+      c.adds.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
+      throw e
+    }
+
   /** ALTER TABLE ... SET TBLPROPERTIES (reference:
     * SPARK_ICEBERG_GUIDE.md §§8.2, 8.9): a properties-only commit. */
   def setProperties(root: String, props: Map[String, String]): Long =
-    commit(root, "set_properties", Seq.empty, Seq.empty, props)
+    commit(root, latestSnapshotId(root), "set_properties", Seq.empty, Seq.empty, props)
 
   /** ALTER TABLE ... ADD COLUMN — metadata-only schema evolution: a
     * commit carrying the widened schema. Existing data files are
@@ -345,7 +364,7 @@ object GraftTable {
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
     require(!cur.fieldNames.contains(field.name), s"column exists: ${field.name}")
     require(field.nullable, "added columns must be nullable (old files have no values)")
-    val id = latestSnapshotId(root) + 1
+    val id = snap.snapshotId + 1   // planned against snap: conflicts fail loudly
     val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "add_column",
       Seq.empty, Seq.empty, Map.empty, Some(cur.add(field).json))
     writeAtomic(commitPath(root, id), toJson(c))
@@ -384,9 +403,8 @@ object GraftTable {
       snap: Snapshot, commitProps: Map[String, String]): Long = {
     val id = snap.snapshotId + 1
     val adds = writeDataFiles(spark, root, distribute(df, snap.properties), id, snap.properties)
-    val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "append",
-      adds, Seq.empty, commitProps, None)
-    writeAtomic(commitPath(root, id), toJson(c))
+    commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
+      "append", adds, Seq.empty, commitProps, None))
     id
   }
 
@@ -425,7 +443,7 @@ object GraftTable {
     val touched =
       if (effective.isEmpty) snap.files
       else snap.files.filter(mayMatch(types, effective))
-    val id = latestSnapshotId(root) + 1
+    val id = snap.snapshotId + 1   // planned against snap: conflicts fail loudly
     val kept =
       if (touched.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else spark.read.schema(schema)
@@ -433,9 +451,8 @@ object GraftTable {
         .filter(!coalesce(condition, lit(false)))
     val toWrite = replacement.map(kept.unionByName(_)).getOrElse(kept)
     val adds = writeDataFiles(spark, root, toWrite, id, snap.properties)
-    val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "overwrite",
-      adds, touched.map(_.path), Map.empty, None)
-    writeAtomic(commitPath(root, id), toJson(c))
+    commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
+      "overwrite", adds, touched.map(_.path), Map.empty, None))
     id
   }
 
@@ -601,7 +618,15 @@ object GraftTable {
     * discipline as Delta's streaming source, which likewise rejects
     * non-append changes). Compaction/overwrite/rollback on a streamed
     * table would re-deliver rewritten files — run maintenance on a
-    * downstream copy instead. */
+    * downstream copy instead.
+    *
+    * Aborted-commit caveat: a writer that loses the commit race cleans
+    * its staged files up (commitOrCleanup), but a writer that CRASHES
+    * between the data-file move and the commit leaves uncommitted
+    * orphans in `data/` which this stream would deliver even though no
+    * snapshot references them (and a retried append would deliver the
+    * rows again from new files). Run `removeOrphanFiles` before
+    * attaching a stream to a table that may hold crashed writes. */
   def readStreamAppendOnly(spark: SparkSession, root: String): DataFrame = {
     val schema = DataType.fromJson(state(root).schemaJson.getOrElse(
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
@@ -706,7 +731,7 @@ object GraftTable {
       } else { cur :+= f; curSize += f.sizeBytes }
     }
     if (cur.nonEmpty) bins :+= cur
-    val id = latestSnapshotId(root) + 1
+    val id = snap.snapshotId + 1   // planned against snap: conflicts fail loudly
     // one write job per bin (each bin → exactly one output file),
     // submitted concurrently — the Spark scheduler interleaves them,
     // so compaction wall-clock is bounded by the largest bin, not
@@ -729,9 +754,8 @@ object GraftTable {
           }}, Duration.Inf).flatten
       } finally pool.shutdown()
     }
-    val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "rewrite_data_files",
-      adds, small.map(_.path), Map.empty, None)
-    writeAtomic(commitPath(root, id), toJson(c))
+    commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
+      "rewrite_data_files", adds, small.map(_.path), Map.empty, None))
     id
   }
 
@@ -841,7 +865,7 @@ object GraftTable {
     val current = state(root)
     val targetPaths = target.files.map(_.path).toSet
     val currentPaths = current.files.map(_.path).toSet
-    commit(root, "rollback",
+    commit(root, current.snapshotId, "rollback",
       target.files.filter(f => !currentPaths.contains(f.path)),
       (currentPaths -- targetPaths).toSeq.sorted)
   }

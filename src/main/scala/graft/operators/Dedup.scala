@@ -136,36 +136,40 @@ object Dedup {
     // against a flat materialized relation
     val sym = symRaw.repartition(parts, col("a")).localCheckpoint()
     symRaw.unpersist(blocking = false)   // sym is materialized; the lineage copy can go
-    // scope the per-round shuffles to the graph size too — the session
-    // shuffle setting would give every tiny round full-width exchanges
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partKey)
-    spark.conf.set(partKey, parts.toString)
+    // per-round shuffle width: NOT via spark.sql.shuffle.partitions —
+    // mutating the session conf would downsize every concurrent query
+    // on the same SparkSession for the whole loop (the same race class
+    // the parquet-timestamp conf needed a ref-counted pin for). AQE's
+    // partition coalescing already collapses the tiny per-round
+    // exchanges at runtime; `parts` only sizes the explicit
+    // repartitions, which scope to this plan alone.
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
     var iter = 0
     var converged = false
-    try while (!converged && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       // pointer jumping first (adopt the label OF the label, collapsing
       // chains in O(log diameter) rounds), then the neighborhood min
       val jumped = labels.as("x")
         .join(labels.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
           col("x.comp") === col("y.cid"), "left")
-        .select(col("x.id").as("id"),
+        .select(col("x.id").as("id"), col("x.comp").as("old"),
           least(col("x.comp"), coalesce(col("y.ccomp"), col("x.comp"))).as("comp"))
       val neighborMin = sym
         .join(jumped.select(col("id").as("b"), col("comp").as("nc")), "b")
         .groupBy(col("a")).agg(min(col("nc")).as("minnc"))
+      // carry the previous label through the round so convergence reads
+      // off the SAME materialization — no extra join-with-labels job
       val next = jumped
         .join(neighborMin.select(col("a").as("id"), col("minnc")), Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("minnc"), col("comp"))).as("comp"))
+        .select(col("id"), col("old"),
+          least(col("comp"), coalesce(col("minnc"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") < col("old")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("comp") < col("old")).limit(1).count()
+      labels = next.select(col("id"), col("comp"))
       converged = changed == 0
       iter += 1
-    } finally spark.conf.set(partKey, prevParts)
+    }
     // a truncated run would silently mislabel components (multiple
     // "canonical" docs per real cluster) — fail loudly instead
     require(converged,

@@ -81,7 +81,14 @@ object Multimodal {
 
   def q41(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // The driver's rows-only check hashes the output with pandas, which
+    // cannot hash an array<long> cell — surface the frame hashes as one
+    // deterministic hex string instead of a raw array.
     decodeAll(s, dir).toDF()
+      .withColumn("frame_sig",
+        concat_ws("", transform(col("frame_hashes"),
+          h => lpad(hex(h), 16, "0"))))
+      .drop("frame_hashes")
       .orderBy(col("doc_id"))
   }
 

@@ -60,7 +60,10 @@ object Similarity {
     val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    q.join(broadcast(e), col("qid") =!= col("vec_id"))
+    // broadcast the SMALL query side (2% of the corpus) and stream the
+    // corpus past it — broadcasting the corpus side would ship the
+    // whole table to every executor and break first at scale
+    e.join(broadcast(q), col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -122,17 +125,23 @@ object Similarity {
 
   // ── IVF ANN: coarse quantizer + probed lists ────────────────────────
   /** The other standard scale path (beside LSH): every vector indexes
-    * into the list of its nearest "centroid" (a deterministic seed
-    * subset: vec_id % 100 == 0), queries probe their `nprobe` nearest
-    * lists, and only those lists' members are scored exactly. The
-    * seed set broadcasts; the list assignment is one narrow pass; the
-    * probe join shuffles on list id — at 100 TB each query touches
-    * nprobe/K of the corpus instead of all of it. */
+    * into the list of its nearest "centroid", queries probe their
+    * `nprobe` nearest lists, and only those lists' members are scored
+    * exactly. The seed set is a FIXED-SIZE deterministic sample — the
+    * `seedK` vectors with the smallest md5(vec_id), i.e. a uniform
+    * pseudo-random draw any engine reproduces — found with one top-K
+    * pass (TakeOrdered, no shuffle of the corpus). K stays constant as
+    * the corpus grows, so the seed broadcast is O(K) and the
+    * assignment pass is O(N·K), not O(N²/c): the properties that make
+    * IVF survive 100 TB. */
   private val nprobe = 2
+  private val seedK = 64
 
   def q48(s: SparkSession, dir: String): DataFrame = {
     val e = norms(s, dir)
-    val seeds = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+    val seeds = e
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(seedK)
       .select(col("vec_id").as("seed_id"), col("v").as("sv"), col("nrm").as("snrm"))
     // distance of every vector to every seed (seeds broadcast), ranked
     val d = e.join(broadcast(seeds), expr("true"))
@@ -175,7 +184,8 @@ object Similarity {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |  SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
          |FROM embeddings),
-         |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS snrm FROM e WHERE vec_id % 100 = 0),
+         |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS snrm FROM e
+         |          ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $seedK),
          |d AS (SELECT e.vec_id, s.seed_id,
          |    LIST_DOT_PRODUCT(e.v, s.sv) / (e.nrm * s.snrm) AS scos
          |  FROM e CROSS JOIN seeds s),

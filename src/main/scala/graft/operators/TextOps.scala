@@ -52,10 +52,23 @@ object TextOps {
       .orderBy(col("content_hash"))
 
   // ── §2.3/40 n-gram Jaccard similarity join ──────────────────────────
+  /** A shingle present in more than this many documents carries no
+    * near-dup signal (it's a stopword phrase) but creates an O(df²)
+    * candidate bucket in the self-join — the classic quadratic-skew
+    * failure at 100 TB. Binds at sf0.1 already (max df 25), and the
+    * DuckDB oracle applies the identical cutoff. */
+  private[operators] val dfCutoff = 20
+
   /** Inverted-index join: only docs sharing ≥1 shingle ever pair up —
-    * no N² candidate space. Jaccard from shared/|A|/|B| counts. */
+    * no N² candidate space. Jaccard from shared/|A|/|B| counts over
+    * the DF-filtered shingle space (see dfCutoff). */
   def q33(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSet(s, dir).cache()
+    // the df window shuffles on sh — the same partitioning the pair
+    // join needs, so the cutoff adds no extra exchange shape
+    val sh = shingleSet(s, dir)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df") <= lit(dfCutoff)).drop("df")
+      .cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -353,9 +366,12 @@ object TextOps {
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
     "q33_dedup_jaccard" ->
-      """WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      s"""WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
         |       FROM (SELECT doc_id, toks, UNNEST(GENERATE_SERIES(1, LEN(toks)-2)) AS i FROM t)),
+        |sh AS (SELECT doc_id, sh FROM (
+        |       SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh0)
+        |       WHERE df <= $dfCutoff),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
         |p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
         |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)

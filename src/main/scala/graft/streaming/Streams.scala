@@ -80,31 +80,54 @@ object Streams {
     sessionizeBatch(Tables.events(s, dir))
       .orderBy(col("user_id"), col("session_id"))
 
+  /** Event row widened with a real timestamp column so the stream can
+    * carry an event-time watermark (the Long µs field alone can't). */
+  case class EventW(user_id: Long, ts: Long, event_type: String, ets: Timestamp)
+
   /** Stateful streaming sessionization (StreamingSpec): per-user open
-    * session in GroupState, emitted on gap expiry via event-time
-    * processing. Demonstrates the mapGroupsWithState scale path. */
+    * session in GroupState. State is BOUNDED via EventTimeTimeout + a
+    * 30-minute watermark: a session closes either when a later event
+    * of the same user exceeds the gap, or when the watermark passes
+    * the open session's gap horizon with no new events — the state
+    * entry is then emitted and REMOVED. Without the timeout the state
+    * store would keep the open session of every user ever seen,
+    * growing unboundedly at 100 TB. */
   def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events
-      .groupByKey(_.user_id)
+    val wm = events
+      .withColumn("ets", expr("timestamp_micros(ts)"))
+      .as[EventW]
+      .withWatermark("ets", "30 minutes")
+    wm.groupByKey(_.user_id)
       .flatMapGroupsWithState[(List[Event], Long), Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (user: Long, it: Iterator[Event], state: GroupState[(List[Event], Long)]) =>
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[EventW], state: GroupState[(List[Event], Long)]) =>
           // state = (open trailing session, sessions closed so far) —
           // the closed count must persist or ids would restart at 1
           // every micro-batch and collide across batches
           val (pending, closedSoFar) = state.getOption.getOrElse((Nil, 0L))
-          val all = (pending ++ it.toList).sortBy(_.ts)
-          // close every session whose gap to the next event exceeds the
-          // threshold; keep the trailing open session in state
-          val (closed, open) = all.foldLeft((List.empty[List[Event]], List.empty[Event])) {
-            case ((done, cur), e) =>
-              if (cur.isEmpty || e.ts - cur.last.ts <= sessionGapUs) (done, cur :+ e)
-              else (done :+ cur, List(e))
-          }
-          state.update((open, closedSoFar + closed.size))
-          closed.zipWithIndex.iterator.map { case (es, i) =>
-            Session(user, closedSoFar + i + 1L, es.size.toLong, es.head.ts, es.last.ts)
+          if (state.hasTimedOut) {
+            // watermark passed last-event + gap: flush the open session
+            state.remove()
+            if (pending.isEmpty) Iterator.empty
+            else Iterator.single(Session(user, closedSoFar + 1L,
+              pending.size.toLong, pending.head.ts, pending.last.ts))
+          } else {
+            val all = (pending ++
+              it.map(e => Event(e.user_id, e.ts, e.event_type)).toList).sortBy(_.ts)
+            // close every session whose gap to the next event exceeds
+            // the threshold; keep the trailing open session in state
+            val (closed, open) = all.foldLeft((List.empty[List[Event]], List.empty[Event])) {
+              case ((done, cur), e) =>
+                if (cur.isEmpty || e.ts - cur.last.ts <= sessionGapUs) (done, cur :+ e)
+                else (done :+ cur, List(e))
+            }
+            state.update((open, closedSoFar + closed.size))
+            if (open.nonEmpty)   // bound the state's lifetime
+              state.setTimeoutTimestamp(open.last.ts / 1000L + sessionGapUs / 1000L)
+            closed.zipWithIndex.iterator.map { case (es, i) =>
+              Session(user, closedSoFar + i + 1L, es.size.toLong, es.head.ts, es.last.ts)
+            }
           }
       }
   }

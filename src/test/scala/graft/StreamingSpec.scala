@@ -68,12 +68,16 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
     val gap = Streams.sessionGapUs
+    // epoch-0 event times sit on the watermark floor and get evicted
+    // (the stream carries a watermark for EventTimeTimeout): base all
+    // timestamps off a modern epoch
+    val base = 1577836800000000L
     // user 1: two events 1 min apart (one session), then a >30 min gap
     // and a third event -> first session closes once the later event arrives
     input.addData(
-      Streams.Event(1L, 0L, "a"),
-      Streams.Event(1L, 60L * 1000000, "b"),
-      Streams.Event(2L, 0L, "x"))
+      Streams.Event(1L, base, "a"),
+      Streams.Event(1L, base + 60L * 1000000, "b"),
+      Streams.Event(2L, base, "x"))
     val sessions = Streams.sessionizeStream(input.toDS())
     val ckpt = Files.createTempDirectory("graft-sess-ckpt")
     val q = sessions.writeStream
@@ -82,20 +86,49 @@ class StreamingSpec extends SparkSpec {
       .start()
     q.processAllAvailable()
     assert(spark.table("sessions").count() == 0, "no session closed yet")
-    input.addData(Streams.Event(1L, gap + 120L * 1000000, "c"))
+    input.addData(Streams.Event(1L, base + gap + 120L * 1000000, "c"))
     q.processAllAvailable()
     val closed = spark.table("sessions").as[Streams.Session].collect()
     assert(closed.length == 1)
     assert(closed.head.user_id == 1L && closed.head.n_events == 2L
-      && closed.head.start_us == 0L && closed.head.end_us == 60L * 1000000)
+      && closed.head.start_us == base && closed.head.end_us == base + 60L * 1000000)
     // a later batch closing another session continues the ordinal (2),
     // it does not restart at 1
-    input.addData(Streams.Event(1L, 3 * gap, "d"))
+    input.addData(Streams.Event(1L, base + 3 * gap, "d"))
     q.processAllAvailable()
     val byId = spark.table("sessions").as[Streams.Session].collect()
       .filter(_.user_id == 1L).map(s => s.session_id -> s.n_events).toMap
     q.stop()
     assert(byId == Map(1L -> 2L, 2L -> 1L), s"got $byId")
+  }
+
+  test("sessionization state is bounded: inactive user closes via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
+    val gap = Streams.sessionGapUs
+    val base = 1577836800000000L   // modern epoch: off the watermark floor
+    input.addData(Streams.Event(7L, base, "a"))
+    val sessions = Streams.sessionizeStream(input.toDS())
+    val ckpt = Files.createTempDirectory("graft-sess-to-ckpt")
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_to").outputMode("append")
+      .option("checkpointLocation", ckpt.resolve("c").toString)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("sessions_to").count() == 0, "no session closed yet")
+    // ANOTHER user's much-later events advance the watermark far past
+    // user 7's gap horizon; user 7 never sends again. The first batch
+    // advances the watermark, the second fires the pending timeout.
+    input.addData(Streams.Event(8L, base + 10L * gap, "x"))
+    q.processAllAvailable()
+    input.addData(Streams.Event(8L, base + 11L * gap, "y"))
+    q.processAllAvailable()
+    val closed = spark.table("sessions_to").as[Streams.Session].collect()
+      .filter(_.user_id == 7L)
+    q.stop()
+    assert(closed.length == 1, s"inactive user's open session must flush via timeout, got ${closed.toSeq}")
+    assert(closed.head.n_events == 1L && closed.head.start_us == base && closed.head.end_us == base)
   }
 
   test("stream-stream join: clicks join views within the event-time window") {
