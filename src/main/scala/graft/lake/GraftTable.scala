@@ -36,8 +36,20 @@ import org.json4s.jackson.JsonMethods
 object GraftTable {
 
   case class ColStats(min: Option[String], max: Option[String], nulls: Long)
+  /** `partition`: this file's partition tuple (label → rendered value)
+    * under the table's partition spec — every row in the file has the
+    * tuple's values, so partition pruning is exact, not bounds-based.
+    * `content`: 0 = data, 1 = position-delete file (rows of
+    * (file_path, pos) marking deleted rows — the Iceberg v2 MoR
+    * vocabulary). Both Option so commits from older logs parse. */
   case class FileEntry(path: String, sizeBytes: Long, records: Long,
-      stats: Map[String, ColStats])
+      stats: Map[String, ColStats],
+      partition: Option[Map[String, String]] = None,
+      content: Option[Int] = None) {
+    def partitionValues: Map[String, String] = partition.getOrElse(Map.empty)
+    def isDelete: Boolean = content.contains(1)
+    def isData: Boolean = !isDelete
+  }
   case class Commit(snapshotId: Long, parentId: Option[Long], timestampMs: Long,
       operation: String, adds: Seq[FileEntry], removes: Seq[String],
       properties: Map[String, String], schemaJson: Option[String])
@@ -49,8 +61,101 @@ object GraftTable {
 
   private def logDir(root: String): Path = Paths.get(root, "_graft_log")
   private def dataDir(root: String): Path = Paths.get(root, "data")
+  /** Position-delete files live OUTSIDE data/ so the append-only
+    * directory stream never sees them (their schema differs too). */
+  private def deleteDir(root: String): Path = Paths.get(root, "deletes")
   private def commitPath(root: String, id: Long): Path =
     logDir(root).resolve(f"$id%010d.json")
+
+  // ── partition spec ──────────────────────────────────────────────────
+
+  /** Declared partition transforms (the Iceberg partition-spec
+    * vocabulary: PARTITIONED BY (days(ts), bucket(16, id), ...)).
+    * Stored as the table property `graft.partition-spec`, e.g.
+    * `identity(o_orderdate),bucket(16,o_custkey),truncate(4,name),days(ts)`.
+    * Each file records its (label → rendered value) tuple, so a
+    * partition-pruned scan drops files EXACTLY (every row in a file
+    * shares the tuple), before per-file min/max stats even load. */
+  sealed trait PTransform { def col: String; def label: String }
+  case class PIdentity(col: String) extends PTransform { def label: String = col }
+  case class PBucket(col: String, n: Int) extends PTransform { def label = s"${col}_bucket_$n" }
+  case class PTruncate(col: String, w: Int) extends PTransform { def label = s"${col}_trunc_$w" }
+  case class PDays(col: String) extends PTransform { def label = s"${col}_day" }
+
+  val specProp = "graft.partition-spec"
+  /** Rendered into partition tuples for rows whose partition source
+    * value is NULL (hive's sentinel, which Spark's partitioned write
+    * emits on disk). Null partitions never prune. */
+  private val nullPart = "__HIVE_DEFAULT_PARTITION__"
+
+  private val specRe = """(identity|days)\(\s*([\w.]+)\s*\)|(bucket|truncate)\(\s*(\d+)\s*,\s*([\w.]+)\s*\)""".r
+
+  def parsePartitionSpec(s: String): Seq[PTransform] = {
+    // split on commas OUTSIDE parens — bucket(16,c) is one term
+    val terms = s.split(",(?![^()]*\\))").map(_.trim).filter(_.nonEmpty).toSeq
+    val parsed = terms.map {
+      case specRe("identity", c, null, null, null) => PIdentity(c)
+      case specRe("days", c, null, null, null) => PDays(c)
+      case specRe(null, null, "bucket", n, c) => PBucket(c, n.toInt)
+      case specRe(null, null, "truncate", w, c) => PTruncate(c, w.toInt)
+      case other => throw new IllegalArgumentException(
+        s"bad partition spec term '$other' (want identity(c)|days(c)|bucket(n,c)|truncate(w,c))")
+    }
+    require(parsed.map(_.label).distinct.size == parsed.size,
+      s"duplicate partition transforms in '$s'")
+    parsed
+  }
+
+  private def tableSpec(props: Map[String, String]): Seq[PTransform] =
+    props.get(specProp).map(parsePartitionSpec).getOrElse(Seq.empty)
+
+  /** The transform as a Column producing the RENDERED partition value
+    * (string) — the same text form the pruning comparisons use:
+    * numbers decimal, dates ISO, timestamps as UTC dates for days(). */
+  private def transformCol(t: PTransform, dt: DataType): Column = t match {
+    case PIdentity(c) => dt match {
+      case TimestampType => unix_micros(col(c)).cast("string")
+      case TimestampNTZType =>   // NTZ→LTZ cast is identity under the pinned UTC session TZ
+        unix_micros(col(c).cast("timestamp")).cast("string")
+      case _ => col(c).cast("string")   // numbers decimal text, dates ISO, strings raw
+    }
+    case PBucket(c, n) => pmod(crc32(col(c).cast("string")), lit(n)).cast("string")
+    case PTruncate(c, w) => dt match {
+      case StringType => substring(col(c), 1, w)
+      case IntegerType | LongType => (col(c) - pmod(col(c), lit(w))).cast("string")
+      case _ => throw new IllegalArgumentException(s"truncate($w,$c) needs string/int/long, got $dt")
+    }
+    case PDays(c) => to_date(col(c)).cast("string")   // session TZ pinned UTC
+  }
+
+  /** Driver-side twin of transformCol for a predicate literal (stats
+    * text form), used to prune partition tuples. Returns None when the
+    * transform of this literal isn't computable (then no prune). */
+  private def transformLit(t: PTransform, dt: DataType, v: String): Option[String] = t match {
+    case PIdentity(_) => Some(v)
+    case PBucket(_, n) => dt match {
+      // the pred's text form equals Spark's CAST(col AS STRING) only
+      // for these types (timestamp preds carry epoch-micros text, but
+      // the write path hashed the formatted cast) — else no prune
+      case IntegerType | LongType | StringType | DateType =>
+        val crc = new java.util.zip.CRC32()
+        crc.update(v.getBytes("UTF-8"))
+        Some((crc.getValue % n).toString)   // crc is 0..2^32-1, so % n ≥ 0
+      case _ => None
+    }
+    case PTruncate(_, w) => dt match {
+      case StringType => Some(v.take(w))
+      case IntegerType | LongType =>
+        scala.util.Try(v.toLong).toOption.map(x => (x - math.floorMod(x, w.toLong)).toString)
+      case _ => None
+    }
+    case PDays(_) => dt match {
+      case DateType => Some(v)   // already ISO date text
+      case TimestampType | TimestampNTZType => scala.util.Try(v.toLong).toOption.map(us =>
+        java.time.LocalDate.ofEpochDay(Math.floorDiv(us, 86400000000L)).toString)
+      case _ => None
+    }
+  }
 
   /** Atomic put-if-absent. A rename would silently REPLACE an existing
     * target on POSIX (rename(2) semantics), losing a concurrent
@@ -78,7 +183,9 @@ object GraftTable {
         ("path" -> f.path) ~ ("sizeBytes" -> f.sizeBytes) ~
         ("records" -> f.records) ~
         ("stats" -> f.stats.map { case (k, v) =>
-          k -> (("min" -> v.min) ~ ("max" -> v.max) ~ ("nulls" -> v.nulls)) }))) ~
+          k -> (("min" -> v.min) ~ ("max" -> v.max) ~ ("nulls" -> v.nulls)) }) ~
+        ("partition" -> f.partition) ~
+        ("content" -> f.content))) ~
       ("removes" -> c.removes) ~
       ("properties" -> c.properties) ~
       ("schemaJson" -> c.schemaJson)
@@ -98,14 +205,24 @@ object GraftTable {
   private def listCommitIds(root: String): Seq[Long] =
     listDir(logDir(root))
       .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".json") && !n.startsWith("checkpoint-") && !n.startsWith(".tmp"))
+      .filter(_.matches("\\d+\\.json"))
       .map(_.stripSuffix(".json").toLong).sorted
 
   private def listCheckpointIds(root: String): Seq[Long] =
     listDir(logDir(root))
       .map(_.getFileName.toString)
-      .filter(_.startsWith("checkpoint-"))
+      .filter(_.matches("checkpoint-\\d+\\.json"))
       .map(_.stripPrefix("checkpoint-").stripSuffix(".json").toLong).sorted
+
+  /** Parquet checkpoint file-lists (`ckptfiles-N.parquet` directories)
+    * — the executor-readable twin of checkpoint-N.json, written by
+    * rewriteManifests so distributed planning can prune the manifest
+    * without materializing it on the driver. */
+  private def listCkptFilesIds(root: String): Seq[Long] =
+    listDir(logDir(root))
+      .map(_.getFileName.toString)
+      .filter(_.matches("ckptfiles-\\d+\\.parquet"))
+      .map(_.stripPrefix("ckptfiles-").stripSuffix(".parquet").toLong).sorted
 
   /** Replay the log (from the newest checkpoint ≤ asOf) to the state
     * at snapshot `asOf` (default: latest). */
@@ -298,28 +415,66 @@ object GraftTable {
   private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
       snapshotId: Long, props: Map[String, String]): Seq[FileEntry] = {
     val codec = props.getOrElse("write.parquet.compression-codec", "snappy")
+    val spec = tableSpec(props)
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val tmp = Paths.get(root, s".stage-${UUID.randomUUID()}")
     withMicrosTimestamps(spark) {
-      df.write.option("compression", codec).parquet(tmp.toString)
+      if (spec.isEmpty)
+        df.write.option("compression", codec).parquet(tmp.toString)
+      else {
+        // partitioned write: derive one rendered string column per
+        // transform, let Spark's partitioned committer split files by
+        // tuple (the _gp_ columns live only in the directory names,
+        // which we harvest below — row data keeps the source columns)
+        val withParts = spec.zipWithIndex.foldLeft(df) { case (d, (t, i)) =>
+          d.withColumn(s"_gp_$i", transformCol(t, types(t.col)))
+        }
+        withParts.write.option("compression", codec)
+          .partitionBy(spec.indices.map(i => s"_gp_$i"): _*)
+          .parquet(tmp.toString)
+      }
     }
     val statNames = df.schema.fields.filter(f => statsTypes.contains(f.dataType)).map(_.name).toSet
-    val parts = listDir(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+    // recursive walk: partitioned writes nest files under
+    // _gp_0=v0/_gp_1=v1/... — decode each file's tuple from its path
+    def walk(dir: Path): Seq[Path] = listDir(dir).flatMap { p =>
+      if (Files.isDirectory(p)) walk(p)
+      else if (p.getFileName.toString.endsWith(".parquet")) Seq(p) else Seq.empty
+    }
+    val parts = walk(tmp)
+    def tupleOf(p: Path): Option[Map[String, String]] =
+      if (spec.isEmpty) None
+      else Some {
+        val rel = tmp.relativize(p)
+        (0 until rel.getNameCount - 1).map(rel.getName(_).toString).collect {
+          case seg if seg.contains("=") =>
+            val Array(k, v) = seg.split("=", 2)
+            val i = k.stripPrefix("_gp_").toInt
+            spec(i).label -> unescapePath(v)
+        }.toMap
+      }
     val stats = footerStats(spark, parts.map(_.toString))
       .map { case (p, r, s) => p -> (r, s) }.toMap
-    val entries = parts.sortBy(_.getFileName.toString).zipWithIndex.flatMap { case (src, i) =>
+    val entries = parts.sortBy(_.toString).zipWithIndex.flatMap { case (src, i) =>
       val (records, st) = stats(src.toString)
       if (records == 0L) { Files.deleteIfExists(src); None }  // empty split: don't commit it
       else {
         val name = f"$snapshotId%010d-$i%05d-${UUID.randomUUID()}.parquet"
         val dst = dataDir(root).resolve(name)
         Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-        Some(FileEntry(s"data/$name", Files.size(dst), records, st.view.filterKeys(statNames).toMap))
+        Some(FileEntry(s"data/$name", Files.size(dst), records,
+          st.view.filterKeys(statNames).toMap, tupleOf(src)))
       }
     }
-    // clean the stage dir (crc/_SUCCESS leftovers)
+    // clean the stage dir (crc/_SUCCESS leftovers + partition dirs)
     Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     entries
   }
+
+  /** Undo the hive-style escaping Spark applies to partition values in
+    * directory names — the same catalyst helper Spark escaped with. */
+  private def unescapePath(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
 
   /** `baseId` must be the snapshot the operation PLANNED against — the
     * commit id is base+1, so a concurrent commit landing in between
@@ -378,18 +533,26 @@ object GraftTable {
     * as partition pruning — at 100 TB this is what keeps a
     * one-partition query from listing the whole table. */
   private def distribute(df: DataFrame, props: Map[String, String]): DataFrame = {
-    val cols = props.get("graft.partition-columns")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    val spec = tableSpec(props)
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // a declared partition spec clusters on its transforms (else a
+    // partitionBy write would emit every tuple from every task — the
+    // small-files explosion); legacy clustering columns otherwise
+    val cols: Seq[Column] =
+      if (spec.nonEmpty) spec.map(t => transformCol(t, types(t.col)))
+      else props.get("graft.partition-columns")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+        .map(col)
     // explicit count pins the file count (AQE would otherwise coalesce
     // small shuffles into one output file, defeating the clustering)
     val n = props.get("graft.write-partitions").map(_.toInt)
     if (cols.isEmpty) df
     else props.getOrElse("write.distribution-mode", "hash") match {
-      case "range" => n.map(df.repartitionByRange(_, cols.map(col): _*))
-        .getOrElse(df.repartitionByRange(cols.map(col): _*))
+      case "range" => n.map(df.repartitionByRange(_, cols: _*))
+        .getOrElse(df.repartitionByRange(cols: _*))
       case "none" => df
-      case _ => n.map(df.repartition(_, cols.map(col): _*))
-        .getOrElse(df.repartition(cols.map(col): _*))
+      case _ => n.map(df.repartition(_, cols: _*))
+        .getOrElse(df.repartition(cols: _*))
     }
   }
 
@@ -440,19 +603,211 @@ object GraftTable {
     val effective =
       if (prunePreds.nonEmpty) prunePreds
       else extractPreds(conditionExpr(spark, schema, condition), types)
+    val dataFiles = snap.files.filter(_.isData)
+    val deletes = snap.files.filter(_.isDelete)
     val touched =
-      if (effective.isEmpty) snap.files
-      else snap.files.filter(mayMatch(types, effective))
+      if (effective.isEmpty) dataFiles
+      else prunedData(types, tableSpec(snap.properties), effective, dataFiles)
     val id = snap.snapshotId + 1   // planned against snap: conflicts fail loudly
-    val kept =
-      if (touched.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema)
-        .parquet(touched.map(f => s"$root/${f.path}"): _*)
-        .filter(!coalesce(condition, lit(false)))
+    // the rewrite must apply any live position-delete files — a CoW
+    // overwrite of MoR-deleted rows would otherwise resurrect them
+    val kept = readFiles(spark, root, schema, touched, deletes)
+      .filter(!coalesce(condition, lit(false)))
     val toWrite = replacement.map(kept.unionByName(_)).getOrElse(kept)
     val adds = writeDataFiles(spark, root, toWrite, id, snap.properties)
+    // a full-table rewrite leaves no rows the delete files could refer
+    // to: retire them in the same commit
+    val dropDeletes = if (effective.isEmpty) deletes.map(_.path) else Seq.empty
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
-      "overwrite", adds, touched.map(_.path), Map.empty, None))
+      "overwrite", adds, touched.map(_.path) ++ dropDeletes, Map.empty, None))
+    id
+  }
+
+  /** DELETE ... WHERE honoring the table's `write.delete.mode`
+    * property (reference: the Iceberg table property of the same
+    * name): `copy-on-write` (default) rewrites affected files without
+    * the rows; `merge-on-read` records position-delete files instead
+    * and defers the rewrite to rewritePositionDeletes/compaction. */
+  def deleteWhere(spark: SparkSession, root: String, condition: Column,
+      prunePreds: Seq[Pred] = Nil): Long =
+    if (state(root).properties.get("write.delete.mode").contains("merge-on-read"))
+      deleteWhereMoR(spark, root, condition, prunePreds)
+    else overwriteWhere(spark, root, condition, None, prunePreds)
+
+  /** Merge-on-read DELETE: one position-delete file (content=1) listing
+    * (file_path, pos) of every matching row — the write is O(matches),
+    * not O(touched-file bytes), which is the point of MoR at 100 TB:
+    * a keyed delete against a petabyte partition writes kilobytes.
+    * Reads anti-join the delete set (readFiles); compaction folds it
+    * in. One delete file per commit; a sharded delete-file write would
+    * slot in here unchanged if matches outgrew a single task. */
+  def deleteWhereMoR(spark: SparkSession, root: String, condition: Column,
+      prunePreds: Seq[Pred] = Nil): Long = {
+    val snap = state(root)
+    val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val effective =
+      if (prunePreds.nonEmpty) prunePreds
+      else extractPreds(conditionExpr(spark, schema, condition), types)
+    val dataFiles = snap.files.filter(_.isData)
+    val deletes = snap.files.filter(_.isDelete)
+    val touched =
+      if (effective.isEmpty) dataFiles
+      else prunedData(types, tableSpec(snap.properties), effective, dataFiles)
+    val id = snap.snapshotId + 1
+    if (touched.isEmpty) {
+      commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
+        "delete", Seq.empty, Seq.empty, Map.empty, None))
+      return id
+    }
+    // positions of matching rows NOT already deleted (an already-
+    // deleted row re-listed would be harmless — distinct on apply —
+    // but would inflate the delete-file row count diagnostics). The
+    // _metadata columns must bind on the SOURCE scan, before any join.
+    val base = spark.read.schema(schema)
+      .parquet(touched.map(f => s"$root/${f.path}"): _*)
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("pos", col("_metadata.row_index"))
+    val notDeleted =
+      if (deletes.isEmpty) base
+      else base.join(
+        spark.read.parquet(deletes.map(f => s"$root/${f.path}"): _*)
+          .select(col("file_path"), col("pos")).distinct(),
+        Seq("file_path", "pos"), "left_anti")
+    val matches = notDeleted
+      .filter(coalesce(condition, lit(false)))
+      .select(col("file_path"), col("pos"))
+    val tmp = Paths.get(root, s".stage-${UUID.randomUUID()}")
+    matches.coalesce(1).write.parquet(tmp.toString)
+    val part = listDir(tmp).find(_.getFileName.toString.endsWith(".parquet"))
+    val adds = part.toSeq.flatMap { src =>
+      val (_, records, _) = readFooter(src.toString, spark.sessionState.newHadoopConf())
+      if (records == 0L) { Files.deleteIfExists(src); None }
+      else {
+        Files.createDirectories(deleteDir(root))
+        val name = f"$id%010d-delete-${UUID.randomUUID()}.parquet"
+        val dst = deleteDir(root).resolve(name)
+        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+        Some(FileEntry(s"deletes/$name", Files.size(dst), records, Map.empty, None, Some(1)))
+      }
+    }
+    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
+      "delete", adds, Seq.empty, Map.empty, None))
+    id
+  }
+
+  /** rewrite_position_deletes (reference: SPARK_ICEBERG_GUIDE.md scope
+    * line 17): fold every live position-delete file into its data
+    * files — affected data files are rewritten without their deleted
+    * rows, then ALL delete files retire in the same commit, returning
+    * the content=1 diagnostics count to zero. */
+  def rewritePositionDeletes(spark: SparkSession, root: String): Long = {
+    val snap = state(root)
+    val deletes = snap.files.filter(_.isDelete)
+    if (deletes.isEmpty) return snap.snapshotId
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val dataFiles = snap.files.filter(_.isData)
+    // which data files actually carry deleted positions? (match on the
+    // unique file NAME — _metadata.file_path is an absolute URI)
+    val affectedNames = spark.read.parquet(deletes.map(f => s"$root/${f.path}"): _*)
+      .select(col("file_path")).distinct()
+      .collect().map(r => r.getString(0).split('/').last).toSet
+    val affected = dataFiles.filter(f => affectedNames.contains(f.path.split('/').last))
+    val id = snap.snapshotId + 1
+    val rewritten = readFiles(spark, root, schema, affected, deletes)
+    val adds = writeDataFiles(spark, root, rewritten, id, snap.properties)
+    commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
+      "rewrite_position_deletes", adds,
+      affected.map(_.path) ++ deletes.map(_.path), Map.empty, None))
+    id
+  }
+
+  /** UPDATE ... SET expr (copy-on-write): files whose stats/partition
+    * may hold matching rows are rewritten with `set` applied to the
+    * matching rows; every set expression evaluates against the
+    * ORIGINAL row (one atomic projection, standard UPDATE semantics). */
+  def update(spark: SparkSession, root: String, condition: Column,
+      set: Map[String, Column], prunePreds: Seq[Pred] = Nil): Long = {
+    val snap = state(root)
+    val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    require(set.keySet.subsetOf(schema.fieldNames.toSet),
+      s"unknown update columns: ${set.keySet -- schema.fieldNames}")
+    val effective =
+      if (prunePreds.nonEmpty) prunePreds
+      else extractPreds(conditionExpr(spark, schema, condition), types)
+    val dataFiles = snap.files.filter(_.isData)
+    val deletes = snap.files.filter(_.isDelete)
+    val touched =
+      if (effective.isEmpty) dataFiles
+      else prunedData(types, tableSpec(snap.properties), effective, dataFiles)
+    val id = snap.snapshotId + 1
+    val cond = coalesce(condition, lit(false))
+    val projected = readFiles(spark, root, schema, touched, deletes)
+      .select(schema.fields.map { f =>
+        set.get(f.name)
+          .map(e => when(cond, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
+          .getOrElse(col(f.name))
+      }.toIndexedSeq: _*)
+    val adds = writeDataFiles(spark, root, projected, id, snap.properties)
+    commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
+      "update", adds, touched.map(_.path), Map.empty, None))
+    id
+  }
+
+  /** MERGE INTO (upsert, copy-on-write): `source` rows replace target
+    * rows with equal `keyCols` (WHEN MATCHED THEN UPDATE SET *) and
+    * are inserted otherwise (WHEN NOT MATCHED THEN INSERT *). Only
+    * files whose stats overlap the source's key bounds rewrite — a
+    * keyed upsert against a large table touches the few files holding
+    * those keys, not the table. Source must not contain duplicate
+    * keys (standard MERGE cardinality rule; violations make the
+    * result nondeterministic, so we fail loudly). */
+  def merge(spark: SparkSession, root: String, source: DataFrame,
+      keyCols: Seq[String]): Long = {
+    val snap = state(root)
+    val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    require(keyCols.nonEmpty && keyCols.forall(types.contains), s"bad merge keys: $keyCols")
+    val dup = source.groupBy(keyCols.map(col): _*).count().filter(col("count") > 1).limit(1).count()
+    require(dup == 0L, "MERGE source has duplicate keys (ON clause would match a target row twice)")
+    // key bounds from the source → stats-overlap pruning predicates
+    val boundAggs = keyCols.filter(c => statsTypes.contains(types(c))).flatMap { c =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))
+    }
+    val preds: Seq[Pred] =
+      if (boundAggs.isEmpty) Seq.empty
+      else {
+        val r = source.agg(boundAggs.head, boundAggs.tail: _*).collect().head
+        keyCols.filter(c => statsTypes.contains(types(c))).flatMap { c =>
+          def render(v: Any): Option[String] = v match {
+            case null => None
+            case d: java.sql.Date => Some(d.toString)
+            case d: java.time.LocalDate => Some(d.toString)
+            case t: java.sql.Timestamp => Some((t.getTime * 1000L + t.getNanos / 1000 % 1000).toString)
+            case t: java.time.Instant => Some((t.getEpochSecond * 1000000L + t.getNano / 1000).toString)
+            case t: java.time.LocalDateTime =>
+              Some((t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000).toString)
+            case x => Some(x.toString)
+          }
+          render(r.getAs[Any](s"__mn_$c")).map(Ge(c, _)).toSeq ++
+            render(r.getAs[Any](s"__mx_$c")).map(Le(c, _)).toSeq
+        }
+      }
+    val dataFiles = snap.files.filter(_.isData)
+    val deletes = snap.files.filter(_.isDelete)
+    val touched =
+      if (preds.isEmpty) dataFiles
+      else prunedData(types, tableSpec(snap.properties), preds, dataFiles)
+    val id = snap.snapshotId + 1
+    val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val kept = readFiles(spark, root, schema, touched, deletes)
+      .join(src.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val adds = writeDataFiles(spark, root, kept.unionByName(src), id, snap.properties)
+    commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
+      "merge", adds, touched.map(_.path), Map.empty, None))
     id
   }
 
@@ -464,9 +819,7 @@ object GraftTable {
     val snap = state(root, asOf)
     val schema = DataType.fromJson(snap.schemaJson.getOrElse(
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
-    if (snap.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema).parquet(snap.files.map(f => s"$root/${f.path}"): _*)
+    readFiles(spark, root, schema, snap.files.filter(_.isData), snap.files.filter(_.isDelete))
   }
 
   /** Simple comparison predicate for stats pruning. Values are text:
@@ -567,6 +920,85 @@ object GraftTable {
       }
     }
 
+  /** Partition-value pruning: a file's partition tuple holds for EVERY
+    * row, so the check is exact per transform — identity/days support
+    * range predicates, bucket/truncate equality only. Columns without
+    * a transform (or files predating the spec) never prune here. */
+  private def mayMatchPartition(types: Map[String, DataType], spec: Seq[PTransform],
+      preds: Seq[Pred])(f: FileEntry): Boolean = {
+    val pv = f.partitionValues
+    preds.forall { p =>
+      spec.filter(_.col == p.colName).forall { t =>
+        pv.get(t.label) match {
+          case None => true                    // file predates the spec
+          case Some(v) if v == nullPart =>
+            false  // every row's source value is NULL: no comparison matches
+          case Some(v) =>
+            val dt = types(p.colName)
+            def raw(pr: Pred): String = pr match {
+              case Gt(_, x) => x; case Lt(_, x) => x; case Eq(_, x) => x
+              case Ge(_, x) => x; case Le(_, x) => x
+            }
+            t match {
+              case PIdentity(_) => p match {
+                case Eq(_, x) => cmp(dt, v, x) == 0
+                case Gt(_, x) => cmp(dt, v, x) > 0
+                case Lt(_, x) => cmp(dt, v, x) < 0
+                case Ge(_, x) => cmp(dt, v, x) >= 0
+                case Le(_, x) => cmp(dt, v, x) <= 0
+              }
+              case PDays(_) => transformLit(t, dt, raw(p)) match {
+                case None => true
+                case Some(d) => p match {       // v, d are ISO dates (lexicographic = chronological)
+                  case Eq(_, _) => v == d
+                  case Gt(_, _) | Ge(_, _) => v >= d   // conservative day-granularity bound
+                  case Lt(_, _) | Le(_, _) => v <= d
+                }
+              }
+              case _ => p match {               // bucket/truncate: equality only
+                case Eq(_, x) => transformLit(t, dt, x).forall(_ == v)
+                case _ => true
+              }
+            }
+        }
+      }
+    }
+  }
+
+  /** Combined metadata pruning for data files: partition tuple first
+    * (exact, cheapest), then per-file min/max stats. */
+  private def prunedData(types: Map[String, DataType], spec: Seq[PTransform],
+      preds: Seq[Pred], files: Seq[FileEntry]): Seq[FileEntry] =
+    files.filter(f => f.isData &&
+      mayMatchPartition(types, spec, preds)(f) && mayMatch(types, preds)(f))
+
+  /** Read a set of data files, applying the snapshot's position-delete
+    * files (merge-on-read): rows are addressed by the parquet source's
+    * `_metadata.file_path`/`row_index` and anti-joined against the
+    * delete set. With no delete files this is a plain parquet scan
+    * (the fast path — no extra columns, no join). */
+  private def readFiles(spark: SparkSession, root: String, schema: StructType,
+      files: Seq[FileEntry], deletes: Seq[FileEntry]): DataFrame =
+    readPaths(spark, root, schema, files.map(_.path), deletes.map(_.path))
+
+  private def readPaths(spark: SparkSession, root: String, schema: StructType,
+      dataPaths: Seq[String], deletePaths: Seq[String]): DataFrame =
+    if (dataPaths.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else {
+      val base = spark.read.schema(schema).parquet(dataPaths.map(p => s"$root/$p"): _*)
+      if (deletePaths.isEmpty) base
+      else {
+        val withId = base
+          .withColumn("_gf_path", col("_metadata.file_path"))
+          .withColumn("_gf_pos", col("_metadata.row_index"))
+        val del = spark.read.parquet(deletePaths.map(p => s"$root/$p"): _*)
+          .select(col("file_path").as("_gf_path"), col("pos").as("_gf_pos"))
+          .distinct()   // re-deleting an already-deleted row is a no-op
+        withId.join(del, Seq("_gf_path", "_gf_pos"), "left_anti")
+          .drop("_gf_path", "_gf_pos")
+      }
+    }
+
   /** File-skipping scan: drop files whose [min,max] cannot satisfy the
     * predicates, then let Spark push the same predicates into the
     * surviving parquet footers. This is the metadata-level partition/
@@ -578,16 +1010,20 @@ object GraftTable {
     val schema = DataType.fromJson(snap.schemaJson.getOrElse(
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
-    val live = snap.files.filter(mayMatch(types, preds))
-    val df =
-      if (live.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema).parquet(live.map(f => s"$root/${f.path}"): _*)
-    val filtered = preds.foldLeft(df) { (d, p) =>
+    val spec = tableSpec(snap.properties)
+    val dataFiles = snap.files.filter(_.isData)
+    val live = prunedData(types, spec, preds, dataFiles)
+    val df = readFiles(spark, root, schema, live, snap.files.filter(_.isDelete))
+    (applyPreds(df, types, preds), dataFiles.size, live.size)
+  }
+
+  /** Apply the predicates as real row filters on the pruned scan, so
+    * Spark pushes them into the surviving parquet footers too. */
+  private def applyPreds(df: DataFrame, types: Map[String, DataType],
+      preds: Seq[Pred]): DataFrame =
+    preds.foldLeft(df) { (d, p) =>
       val c = col(p.colName)
-      val raw = p match {
-        case Gt(_, x) => x; case Lt(_, x) => x; case Eq(_, x) => x
-        case Ge(_, x) => x; case Le(_, x) => x
-      }
+      val raw = predValue(p)
       // timestamp predicate values are epoch-micros (matching the
       // footer-stats rendering); everything else casts from text
       val v = types(p.colName) match {
@@ -609,7 +1045,131 @@ object GraftTable {
         case _: Le => d.filter(c <= v)
       }
     }
-    (filtered, snap.files.size, live.size)
+
+  private def predValue(p: Pred): String = p match {
+    case Gt(_, x) => x; case Lt(_, x) => x; case Eq(_, x) => x
+    case Ge(_, x) => x; case Le(_, x) => x
+  }
+
+  // ── distributed scan planning ───────────────────────────────────────
+
+  /** The pruning predicate (stats bounds + partition tuple) as a
+    * Column over a checkpoint file-list row — the executor-side twin
+    * of mayMatch/mayMatchPartition. Spark compares strings in UTF-8
+    * binary order (same as utf8Cmp) and the numeric casts mirror
+    * cmp()'s type dispatch, so both planners prune identically. */
+  private def predCond(types: Map[String, DataType], spec: Seq[PTransform],
+      p: Pred): Column = {
+    val dt = types(p.colName)
+    def castv(c: Column): Column = dt match {
+      case IntegerType | LongType | TimestampType | TimestampNTZType => c.cast("long")
+      case DoubleType | FloatType => c.cast("double")
+      case _ => c   // strings: binary order; ISO dates: lexicographic
+    }
+    val raw = predValue(p)
+    val st = col("stats").getItem(p.colName)
+    val mn = castv(st.getField("min"))
+    val mx = castv(st.getField("max"))
+    val v = castv(lit(raw))
+    val statsOk: Column = p match {
+      case _: Gt => mx.isNull || mx > v
+      case _: Lt => mn.isNull || mn < v
+      case _: Ge => mx.isNull || mx >= v
+      case _: Le => mn.isNull || mn <= v
+      case _: Eq => (mn.isNull || mn <= v) && (mx.isNull || mx >= v)
+    }
+    val statsCond = when(st.isNull, lit(true)).otherwise(statsOk)
+    val partConds = spec.filter(_.col == p.colName).map { t =>
+      val pv = col("partition").getItem(t.label)
+      val cond: Column = t match {
+        case PIdentity(_) =>
+          val pvv = castv(pv)
+          p match {
+            case _: Eq => pvv === v
+            case _: Gt => pvv > v
+            case _: Lt => pvv < v
+            case _: Ge => pvv >= v
+            case _: Le => pvv <= v
+          }
+        case PDays(_) => transformLit(t, dt, raw) match {
+          case None => lit(true)
+          case Some(d) => p match {
+            case _: Eq => pv === lit(d)
+            case _: Gt | _: Ge => pv >= lit(d)
+            case _: Lt | _: Le => pv <= lit(d)
+          }
+        }
+        case _ => p match {   // bucket/truncate: equality only
+          case _: Eq => transformLit(t, dt, raw).map(b => pv === lit(b)).getOrElse(lit(true))
+          case _ => lit(true)
+        }
+      }
+      when(pv.isNull, lit(true)).when(pv === lit(nullPart), lit(false)).otherwise(cond)
+    }
+    (statsCond +: partConds).reduce(_ && _)
+  }
+
+  case class ScanPlan(df: DataFrame, totalFiles: Long, liveFiles: Long, distributed: Boolean)
+
+  /** Scan planning that scales with the manifest (SURVEY §5): below
+    * `graft.planning.distributed-threshold` files (default 1000), or
+    * without a parquet checkpoint, the driver prunes its in-memory
+    * FileEntry list exactly like scan(). Above it, pruning runs as a
+    * Spark job over `ckptfiles-N.parquet` and only the SURVIVING paths
+    * (plus the small post-checkpoint commit tail) ever reach the
+    * driver — at millions of files the manifest never materializes
+    * driver-side. Run rewriteManifests periodically to keep the tail
+    * short, exactly as Iceberg/Delta checkpointing assumes. */
+  def planScan(spark: SparkSession, root: String, preds: Seq[Pred],
+      asOf: Option[Long] = None): ScanPlan = {
+    val ids = listCommitIds(root)
+    require(ids.nonEmpty, s"not a GraftTable (empty log): $root")
+    val target = asOf.getOrElse(ids.max)
+    val ck = listCkptFilesIds(root).filter(_ <= target).sorted.lastOption
+    val metaOpt = ck.map(k =>
+      parseCommit(Files.readString(logDir(root).resolve(s"ckptmeta-$k.json"))))
+    val ckCount = metaOpt.flatMap(_.properties.get("graft.ckpt.file-count")).map(_.toLong).getOrElse(0L)
+    val threshold = metaOpt
+      .flatMap(_.properties.get("graft.planning.distributed-threshold")).map(_.toLong)
+      .getOrElse(1000L)
+    def driverPlan: ScanPlan = {
+      val (df, total, live) = scan(spark, root, preds, asOf)
+      ScanPlan(df, total.toLong, live.toLong, distributed = false)
+    }
+    if (ck.isEmpty || ckCount < threshold) return driverPlan
+    val k = ck.get
+    val meta = metaOpt.get
+    val tail = ids.filter(id => id > k && id <= target)
+      .map(id => parseCommit(Files.readString(commitPath(root, id))))
+    val removed = tail.flatMap(_.removes).toSet
+    // a huge post-checkpoint rewrite would blow the isin literal list;
+    // that only happens when manifests haven't been compacted — fall
+    // back to the exact driver planner rather than build a giant plan
+    if (removed.size > 10000) return driverPlan
+    var props = meta.properties - "graft.ckpt.file-count"
+    var schemaJ = meta.schemaJson
+    tail.foreach { c => props = props ++ c.properties; schemaJ = c.schemaJson.orElse(schemaJ) }
+    val schema = DataType.fromJson(schemaJ.get).asInstanceOf[StructType]
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val spec = tableSpec(props)
+    val tailAdds = tail.flatMap(_.adds).filter(f => !removed.contains(f.path))
+    val ckDf0 = spark.read.parquet(logDir(root).resolve(s"ckptfiles-$k.parquet").toString)
+    val ckDf = if (removed.isEmpty) ckDf0 else ckDf0.filter(!col("path").isin(removed.toSeq: _*))
+    val pruneCond = preds.map(predCond(types, spec, _)).foldLeft(col("content") === 0)(_ && _)
+    // ONE job returns live paths + the (tiny) delete list + the total
+    val rows = ckDf
+      .withColumn("live", pruneCond)
+      .filter(col("content") === 1 || col("live"))
+      .select(col("path"), col("content"), col("live"))
+      .collect()
+    val ckLive = rows.filter(r => r.getInt(1) == 0 && r.getBoolean(2)).map(_.getString(0))
+    val ckDeletes = rows.filter(_.getInt(1) == 1).map(_.getString(0))
+    val tailLive = prunedData(types, spec, preds, tailAdds)
+    val dataPaths = ckLive.toSeq ++ tailLive.map(_.path)
+    val deletePaths = ckDeletes.toSeq ++ tailAdds.filter(_.isDelete).map(_.path)
+    val totalData = ckDf.filter(col("content") === 0).count() + tailAdds.count(_.isData)
+    val df = applyPreds(readPaths(spark, root, schema, dataPaths, deletePaths), types, preds)
+    ScanPlan(df, totalData, dataPaths.size.toLong, distributed = true)
   }
 
   /** Streaming read of an APPEND-ONLY table: data files land in
@@ -648,11 +1208,9 @@ object GraftTable {
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     val preds = extractPreds(conditionExpr(spark, schema, condition), types)
-    val live = snap.files.filter(mayMatch(types, preds))
-    val df =
-      if (live.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema).parquet(live.map(f => s"$root/${f.path}"): _*)
-    df.filter(condition)
+    val live = prunedData(types, tableSpec(snap.properties), preds, snap.files.filter(_.isData))
+    readFiles(spark, root, schema, live, snap.files.filter(_.isDelete))
+      .filter(condition)
   }
 
   // ── metadata tables (reference: .snapshots/.files/.history) ─────────
@@ -665,11 +1223,60 @@ object GraftTable {
     }.toDF("snapshot_id", "committed_at_ms", "operation", "added_files", "removed_files")
   }
 
+  private def partString(f: FileEntry): String =
+    f.partitionValues.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")
+
   def filesTable(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
     state(root, asOf).files
-      .map(f => (f.path, f.sizeBytes, f.records, 0 /* content: data */))
-      .toDF("file_path", "file_size_in_bytes", "record_count", "content")
+      .map(f => (f.path, f.sizeBytes, f.records, f.content.getOrElse(0), partString(f)))
+      .toDF("file_path", "file_size_in_bytes", "record_count", "content", "partition")
+  }
+
+  /** `.partitions` metadata view (the Iceberg sibling): one row per
+    * live partition tuple with file/record/byte rollups. Unpartitioned
+    * tables (or pre-spec files) report the empty tuple. */
+  def partitionsTable(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    state(root, asOf).files.filter(_.isData)
+      .groupBy(partString)
+      .map { case (p, fs) =>
+        (p, fs.size.toLong, fs.map(_.records).sum, fs.map(_.sizeBytes).sum)
+      }.toSeq.sortBy(_._1)
+      .toDF("partition", "file_count", "record_count", "total_size_in_bytes")
+  }
+
+  /** `.manifests` metadata view: the physical metadata files readers
+    * replay — every commit JSON plus every checkpoint artifact. */
+  def manifestsTable(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val rows = listDir(logDir(root))
+      .filter(p => p.getFileName.toString.endsWith(".json") ||
+        p.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val n = p.getFileName.toString
+        val kind =
+          if (n.matches("\\d+\\.json")) "commit"
+          else if (n.startsWith("checkpoint-")) "checkpoint"
+          else if (n.startsWith("ckptmeta-")) "checkpoint_meta"
+          else if (n.startsWith("ckptfiles-")) "checkpoint_files"
+          else "other"
+        val size =
+          if (Files.isDirectory(p)) listDir(p).map(f => Files.size(f)).sum
+          else Files.size(p)
+        (s"_graft_log/$n", kind, size)
+      }.sortBy(_._1)
+    rows.toDF("path", "kind", "size_in_bytes")
+  }
+
+  /** `.refs` metadata view: named references → snapshot ids. GraftTable
+    * has a single writable branch (`main`, the latest snapshot); the
+    * schema matches the Iceberg sibling so a branching implementation
+    * would only add rows. */
+  def refsTable(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    Seq(("main", "BRANCH", latestSnapshotId(root)))
+      .toDF("name", "type", "snapshot_id")
   }
 
   def historyTable(spark: SparkSession, root: String): DataFrame = {
@@ -699,7 +1306,8 @@ object GraftTable {
         .map(_.toLong).getOrElse(128L * 1024 * 1024)
     val schema = DataType.fromJson(snap.schemaJson.getOrElse(
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
-    val small = snap.files.filter(_.sizeBytes < target)
+    val deletes = snap.files.filter(_.isDelete)
+    val small = snap.files.filter(f => f.isData && f.sizeBytes < target)
     if (small.size < minInputFiles) return snap.snapshotId
     // clustered tables: order candidate files by the partition
     // column's min stat UNDER THE COLUMN'S OWN COMPARATOR (a
@@ -747,9 +1355,10 @@ object GraftTable {
       try withMicrosTimestamps(spark) {
         Await.result(
           Future.traverse(bins) { bin => Future {
-            val df = spark.read.schema(schema)
-              .parquet(bin.map(f => s"$root/${f.path}"): _*)
-              .coalesce(1)
+            // apply live position deletes while rewriting: the compacted
+            // file must not resurrect MoR-deleted rows (the stale delete
+            // entries keep referencing the retired paths — harmless)
+            val df = readFiles(spark, root, schema, bin, deletes).coalesce(1)
             writeDataFiles(spark, root, df, id, snap.properties)
           }}, Duration.Inf).flatten
       } finally pool.shutdown()
@@ -764,11 +1373,55 @@ object GraftTable {
     * checkpoint so readers replay O(1) files instead of O(commits). */
   def rewriteManifests(root: String): Long = {
     val snap = state(root)
-    val c = Commit(snap.snapshotId, None, snap.timestampMs, "checkpoint",
-      snap.files, Seq.empty, snap.properties, snap.schemaJson.orElse(
-        state(root, Some(0L)).schemaJson))
-    writeCheckpoint(logDir(root).resolve(s"checkpoint-${snap.snapshotId}.json"), toJson(c))
+    writeCheckpointArtifacts(root, snap)
     snap.snapshotId
+  }
+
+  /** One checkpoint = three artifacts at the same snapshot id:
+    *  - checkpoint-N.json       full file list (legacy replay path)
+    *  - ckptmeta-N.json         properties/schema + file COUNT, no adds
+    *                            (O(1) parse, lets planScan decide
+    *                            driver-vs-distributed without touching
+    *                            the file list)
+    *  - ckptfiles-N.parquet     the file list as parquet, readable by
+    *                            executors for distributed pruning
+    * All three are derived state: losing a put-if-absent race to an
+    * identical writer is fine. */
+  private case class CkptStats(min: Option[String], max: Option[String], nulls: Long)
+  private case class CkptEntry(path: String, sizeBytes: Long, records: Long,
+      stats: Map[String, CkptStats], partition: Map[String, String], content: Int)
+
+  private def writeCheckpointArtifacts(root: String, snap: Snapshot): Unit = {
+    val schemaJ = snap.schemaJson.orElse(
+      state(root, Some(listCommitIds(root).min)).schemaJson)
+    val c = Commit(snap.snapshotId, None, snap.timestampMs, "checkpoint",
+      snap.files, Seq.empty, snap.properties, schemaJ)
+    writeCheckpoint(logDir(root).resolve(s"checkpoint-${snap.snapshotId}.json"), toJson(c))
+    writeCheckpoint(logDir(root).resolve(s"ckptmeta-${snap.snapshotId}.json"),
+      toJson(c.copy(adds = Seq.empty, properties = snap.properties +
+        ("graft.ckpt.file-count" -> snap.files.size.toString))))
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach { spark =>
+      val target = logDir(root).resolve(s"ckptfiles-${snap.snapshotId}.parquet")
+      if (!Files.exists(target)) {
+        import spark.implicits._
+        val rows = snap.files.map(f => CkptEntry(f.path, f.sizeBytes, f.records,
+          f.stats.map { case (n, v) => n -> CkptStats(v.min, v.max, v.nulls) },
+          f.partitionValues, f.content.getOrElse(0)))
+        val tmp = Paths.get(root, s".ckpt-stage-${UUID.randomUUID()}")
+        // keep the list sharded ~100k entries per part file — at
+        // millions of files no single task writes the whole manifest
+        spark.createDataset(rows)
+          .repartition(math.max(1, rows.size / 100000))
+          .write.parquet(tmp.toString)
+        try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException |
+                     _: java.nio.file.DirectoryNotEmptyException |
+                     _: java.nio.file.AccessDeniedException =>
+          // lost the race to an identical writer: discard the stage
+          Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        }
+      }
+    }
   }
 
   /** Checkpoints are derived state: a pre-existing one at the same id
@@ -784,14 +1437,15 @@ object GraftTable {
     val ids = listCommitIds(root)
     if (ids.size <= retainLast) return
     val cutoff = ids.sorted.takeRight(retainLast).head
-    val snapAtCutoff = state(root, Some(cutoff))
-    val c = Commit(cutoff, None, snapAtCutoff.timestampMs, "checkpoint",
-      snapAtCutoff.files, Seq.empty, snapAtCutoff.properties,
-      snapAtCutoff.schemaJson.orElse(state(root, Some(ids.min)).schemaJson))
-    writeCheckpoint(logDir(root).resolve(s"checkpoint-$cutoff.json"), toJson(c))
+    writeCheckpointArtifacts(root, state(root, Some(cutoff)))
     ids.filter(_ < cutoff).foreach(id => Files.deleteIfExists(commitPath(root, id)))
-    listCheckpointIds(root).filter(_ < cutoff).foreach(k =>
-      Files.deleteIfExists(logDir(root).resolve(s"checkpoint-$k.json")))
+    listCheckpointIds(root).filter(_ < cutoff).foreach { k =>
+      Files.deleteIfExists(logDir(root).resolve(s"checkpoint-$k.json"))
+      Files.deleteIfExists(logDir(root).resolve(s"ckptmeta-$k.json"))
+      val pq = logDir(root).resolve(s"ckptfiles-$k.parquet")
+      if (Files.exists(pq))
+        Files.walk(pq).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
   }
 
   /** expire_snapshots(older_than => TIMESTAMP) (reference:
@@ -830,9 +1484,13 @@ object GraftTable {
       snap.properties.toSeq.sortBy(_._1).map { case (k, v) => ("prop: " + k, v) } ++
       Seq(
         ("snapshot_id", snap.snapshotId.toString),
-        ("files", snap.files.size.toString),
-        ("total_bytes", snap.files.map(_.sizeBytes).sum.toString),
-        ("total_records", snap.files.map(_.records).sum.toString))
+        ("files", snap.files.count(_.isData).toString),
+        // content=1 diagnostics (reference: SPARK_ICEBERG_GUIDE.md
+        // §8.10 counts data vs delete files)
+        ("delete_files", snap.files.count(_.isDelete).toString),
+        ("delete_records", snap.files.filter(_.isDelete).map(_.records).sum.toString),
+        ("total_bytes", snap.files.filter(_.isData).map(_.sizeBytes).sum.toString),
+        ("total_records", snap.files.filter(_.isData).map(_.records).sum.toString))
     rows.toDF("key", "value")
   }
 
@@ -850,12 +1508,13 @@ object GraftTable {
         listCheckpointIds(root).map(k =>
           Files.readString(logDir(root).resolve(s"checkpoint-$k.json"))))
         .flatMap(s => parseCommit(s).adds.map(_.path)).toSet
-    val orphans = listDir(dataDir(root))
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .filter(p => !referenced.contains(s"data/${p.getFileName}"))
-      .filter(p => Files.getLastModifiedTime(p).toMillis < olderThanMs)
-    if (!dryRun) orphans.foreach(Files.deleteIfExists(_))
-    orphans.map(p => s"data/${p.getFileName}")
+    val orphans = (listDir(dataDir(root)).map(("data", _)) ++
+        listDir(deleteDir(root)).map(("deletes", _)))
+      .filter { case (_, p) => p.getFileName.toString.endsWith(".parquet") }
+      .filter { case (d, p) => !referenced.contains(s"$d/${p.getFileName}") }
+      .filter { case (_, p) => Files.getLastModifiedTime(p).toMillis < olderThanMs }
+    if (!dryRun) orphans.foreach { case (_, p) => Files.deleteIfExists(p) }
+    orphans.map { case (d, p) => s"$d/${p.getFileName}" }
   }
 
   /** rollback_to_snapshot (reference: SPARK_ICEBERG_GUIDE.md §8.8):

@@ -1,0 +1,249 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.GraftTable
+import graft.lake.GraftTable.{Eq, Ge, Gt, Le, Lt}
+import graft.sources.Tables
+
+/** Round-2 lake surface: declared partition specs with exact
+  * partition-value pruning, merge-on-read deletes + their compaction,
+  * MERGE/UPDATE row-level ops, the `.partitions`/`.manifests`/`.refs`
+  * metadata views, and distributed (executor-side) scan planning. */
+class LakeV2Spec extends SparkSpec {
+
+  private def freshRoot(name: String): String = {
+    val p = Paths.get("/root/repo/target/graft-lakev2-test", name)
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  // ── partition spec ──────────────────────────────────────────────────
+
+  test("identity partition spec prunes scans to matching partition files only") {
+    val root = freshRoot("part-identity")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema,
+      Map(GraftTable.specProp -> "identity(n_regionkey)"))
+    GraftTable.append(spark, root, n)
+    // each region's rows land in region-exclusive files
+    val files = GraftTable.filesTable(spark, root).collect()
+    assert(files.forall(_.getString(4).startsWith("n_regionkey=")))
+    assert(files.map(_.getString(4)).distinct.length == 5)
+    val (df, total, live) = GraftTable.scan(spark, root, Seq(Eq("n_regionkey", "2")))
+    assert(live < total, s"partition pruning must skip files (live=$live total=$total)")
+    assert(df.count() == n.filter(col("n_regionkey") === 2).count())
+    // range preds prune on identity partitions too
+    val (_, _, liveRange) = GraftTable.scan(spark, root, Seq(Ge("n_regionkey", "3")))
+    assert(liveRange < total)
+  }
+
+  test("days/bucket/truncate transforms write tuples and prune equality scans") {
+    val root = freshRoot("part-transforms")
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    GraftTable.create(spark, root, o.schema,
+      Map(GraftTable.specProp -> "days(o_orderdate),bucket(4,o_custkey)"))
+    GraftTable.append(spark, root, o.limit(500))
+    val parts = GraftTable.partitionsTable(spark, root).collect()
+    assert(parts.nonEmpty && parts.forall(_.getString(0).contains("o_orderdate_day=")))
+    assert(parts.forall(_.getString(0).contains("o_custkey_bucket_4=")))
+    // pick one real custkey; a bucket-eq scan must skip other buckets
+    val key = o.limit(500).select("o_custkey").collect().head.getLong(0)
+    val (df, total, live) = GraftTable.scan(spark, root, Seq(Eq("o_custkey", key.toString)))
+    assert(live < total, s"bucket pruning must skip files (live=$live total=$total)")
+    assert(df.count() == o.limit(500).filter(col("o_custkey") === key).count())
+  }
+
+  // ── merge-on-read deletes ───────────────────────────────────────────
+
+  test("MoR delete writes a content=1 file, reads apply it, compaction folds it in") {
+    val root = freshRoot("mor")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema,
+      Map("write.delete.mode" -> "merge-on-read"))
+    GraftTable.append(spark, root, n)
+    val before = GraftTable.filesTable(spark, root).filter(col("content") === 0).count()
+    GraftTable.deleteWhere(spark, root, col("n_regionkey") === 0)
+    // data files untouched — only a delete file was added
+    val after = GraftTable.filesTable(spark, root)
+    assert(after.filter(col("content") === 0).count() == before,
+      "MoR delete must not rewrite data files")
+    assert(after.filter(col("content") === 1).count() == 1)
+    // reads apply the position deletes
+    val live = GraftTable.read(spark, root)
+    assert(live.filter(col("n_regionkey") === 0).count() == 0)
+    assert(live.count() == n.filter(col("n_regionkey") =!= 0).count())
+    // a second MoR delete stacks
+    GraftTable.deleteWhere(spark, root, col("n_regionkey") === 1)
+    assert(GraftTable.read(spark, root).count() ==
+      n.filter(col("n_regionkey") >= 2).count())
+    // diagnostics show content=1 files; compaction returns them to 0
+    val diagBefore = GraftTable.describeTable(spark, root).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(diagBefore("delete_files") == "2")
+    GraftTable.rewritePositionDeletes(spark, root)
+    val diagAfter = GraftTable.describeTable(spark, root).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(diagAfter("delete_files") == "0")
+    val folded = GraftTable.read(spark, root)
+    assert(folded.count() == n.filter(col("n_regionkey") >= 2).count())
+    assert(folded.except(n.filter(col("n_regionkey") >= 2)).isEmpty)
+    // time travel before the compaction still applies the deletes
+    assert(GraftTable.read(spark, root, Some(2L))
+      .filter(col("n_regionkey") === 0).count() == 0)
+  }
+
+  test("CoW overwrite and bin-pack compaction never resurrect MoR-deleted rows") {
+    val root = freshRoot("mor-cow")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema,
+      Map("write.delete.mode" -> "merge-on-read"))
+    GraftTable.append(spark, root, n.filter(col("n_nationkey") < 12))
+    GraftTable.append(spark, root, n.filter(col("n_nationkey") >= 12))
+    GraftTable.deleteWhere(spark, root, col("n_nationkey") === 3)
+    // bin-pack compaction rewrites the small files: deleted row stays gone
+    GraftTable.rewriteDataFiles(spark, root, targetFileSizeBytes = 512 * 1024 * 1024)
+    val after = GraftTable.read(spark, root)
+    assert(after.filter(col("n_nationkey") === 3).count() == 0)
+    assert(after.count() == n.count() - 1)
+  }
+
+  // ── row-level MERGE / UPDATE ────────────────────────────────────────
+
+  test("merge upserts: matched keys replaced, unmatched inserted, others untouched") {
+    val root = freshRoot("merge")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    GraftTable.append(spark, root, n)
+    val source = n.filter(col("n_nationkey") < 3)
+      .withColumn("n_name", concat(col("n_name"), lit("_v2")))
+      .unionByName(n.filter(col("n_nationkey") === 0)
+        .withColumn("n_nationkey", col("n_nationkey") + 1000)
+        .withColumn("n_name", lit("NEWLAND")))
+    GraftTable.merge(spark, root, source, Seq("n_nationkey"))
+    val got = GraftTable.read(spark, root)
+    assert(got.count() == n.count() + 1)
+    assert(got.filter(col("n_nationkey") < 3)
+      .collect().forall(_.getAs[String]("n_name").endsWith("_v2")))
+    assert(got.filter(col("n_nationkey") === 1000)
+      .collect().head.getAs[String]("n_name") == "NEWLAND")
+    assert(got.filter(col("n_nationkey") >= 3 && col("n_nationkey") < 1000)
+      .except(n.filter(col("n_nationkey") >= 3)).isEmpty)
+    // duplicate source keys fail loudly (MERGE cardinality rule)
+    assertThrows[IllegalArgumentException] {
+      GraftTable.merge(spark, root, source.unionAll(source), Seq("n_nationkey"))
+    }
+  }
+
+  test("merge rewrites only files whose stats overlap the source keys") {
+    val root = freshRoot("merge-prune")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    GraftTable.append(spark, root, n.filter(col("n_nationkey") < 12))
+    GraftTable.append(spark, root, n.filter(col("n_nationkey") >= 12))
+    val pathsBefore = GraftTable.filesTable(spark, root)
+      .select("file_path").collect().map(_.getString(0)).toSet
+    GraftTable.merge(spark, root,
+      n.filter(col("n_nationkey") === 20).withColumn("n_name", lit("X")),
+      Seq("n_nationkey"))
+    val pathsAfter = GraftTable.filesTable(spark, root)
+      .select("file_path").collect().map(_.getString(0)).toSet
+    // the low-key file survives untouched; only the overlapping file rewrote
+    assert((pathsBefore & pathsAfter).nonEmpty, "non-overlapping files must carry over")
+  }
+
+  test("update applies set expressions to matching rows atomically") {
+    val root = freshRoot("update")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    GraftTable.append(spark, root, n)
+    GraftTable.update(spark, root, col("n_regionkey") === 2,
+      Map("n_name" -> lower(col("n_name")), "n_regionkey" -> (col("n_regionkey") + 10)))
+    val got = GraftTable.read(spark, root)
+    assert(got.filter(col("n_regionkey") === 2).count() == 0)
+    val updated = got.filter(col("n_regionkey") === 12).collect()
+    assert(updated.length == n.filter(col("n_regionkey") === 2).count())
+    assert(updated.forall(r => r.getAs[String]("n_name") == r.getAs[String]("n_name").toLowerCase))
+    assert(got.filter(col("n_regionkey") =!= 12)
+      .except(n.filter(col("n_regionkey") =!= 2)).isEmpty)
+  }
+
+  // ── metadata views ──────────────────────────────────────────────────
+
+  test("partitions/manifests/refs metadata views reflect table state") {
+    val root = freshRoot("metaviews")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema,
+      Map(GraftTable.specProp -> "identity(n_regionkey)"))
+    GraftTable.append(spark, root, n)
+    val parts = GraftTable.partitionsTable(spark, root).collect()
+    assert(parts.length == 5)
+    assert(parts.map(_.getLong(2)).sum == n.count())
+    GraftTable.rewriteManifests(root)
+    val kinds = GraftTable.manifestsTable(spark, root)
+      .select("kind").collect().map(_.getString(0)).toSet
+    assert(Set("commit", "checkpoint", "checkpoint_meta", "checkpoint_files").subsetOf(kinds))
+    val refs = GraftTable.refsTable(spark, root).collect()
+    assert(refs.length == 1 && refs.head.getString(0) == "main"
+      && refs.head.getLong(2) == GraftTable.latestSnapshotId(root))
+  }
+
+  // ── distributed planning ────────────────────────────────────────────
+
+  test("planScan prunes via a Spark job over the parquet checkpoint above the threshold") {
+    val root = freshRoot("planscan")
+    val n = Tables.nation(spark, sf)
+    // low threshold so the distributed path triggers at test scale
+    GraftTable.create(spark, root, n.schema,
+      Map("graft.planning.distributed-threshold" -> "4",
+        "graft.write-partitions" -> "4",
+        "graft.partition-columns" -> "n_regionkey"))
+    GraftTable.append(spark, root, n)
+    GraftTable.append(spark, root, n.withColumn("n_nationkey", col("n_nationkey") + 100))
+    GraftTable.rewriteManifests(root)
+    // post-checkpoint tail commit: must be planned in too
+    GraftTable.append(spark, root, n.withColumn("n_nationkey", col("n_nationkey") + 200))
+    val plan = GraftTable.planScan(spark, root, Seq(Gt("n_nationkey", "195")))
+    assert(plan.distributed, "file count above threshold must plan distributed")
+    assert(plan.liveFiles < plan.totalFiles,
+      s"stats pruning must drop files (live=${plan.liveFiles} total=${plan.totalFiles})")
+    assert(plan.df.count() == 25)   // the +200 shifted copy only
+    // exact agreement with the driver planner
+    val (ddf, dtotal, dlive) = GraftTable.scan(spark, root, Seq(Gt("n_nationkey", "195")))
+    assert(plan.totalFiles == dtotal.toLong && plan.liveFiles == dlive.toLong)
+    assert(plan.df.except(ddf).isEmpty && ddf.except(plan.df).isEmpty)
+    // below the threshold (or no checkpoint) it stays on the driver
+    val small = freshRoot("planscan-small")
+    GraftTable.create(spark, small, n.schema)
+    GraftTable.append(spark, small, n)
+    assert(!GraftTable.planScan(spark, small, Seq(Lt("n_nationkey", "5"))).distributed)
+  }
+
+  test("planScan applies MoR deletes and partition pruning distributed") {
+    val root = freshRoot("planscan-mor")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema,
+      Map("graft.planning.distributed-threshold" -> "2",
+        GraftTable.specProp -> "identity(n_regionkey)",
+        "write.delete.mode" -> "merge-on-read"))
+    GraftTable.append(spark, root, n)
+    GraftTable.deleteWhere(spark, root, col("n_nationkey") === 7)
+    GraftTable.rewriteManifests(root)
+    val plan = GraftTable.planScan(spark, root, Seq(Le("n_regionkey", "1")))
+    assert(plan.distributed)
+    assert(plan.liveFiles < plan.totalFiles, "partition pruning must apply distributed")
+    val want = n.filter(col("n_regionkey") <= 1 && col("n_nationkey") =!= 7)
+    assert(plan.df.count() == want.count())
+    assert(plan.df.except(want).isEmpty)
+  }
+}
