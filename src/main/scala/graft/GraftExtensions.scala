@@ -7,12 +7,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.GraftFunctions
 
 /** Standard deployment hook: `--conf spark.sql.extensions=
-  * graft.GraftExtensions` registers the native functions in every
+  * graft.GraftExtensions` registers the native functions AND the
+  * `CALL graft_system.*` maintenance-procedure grammar in every
   * session without any runtime call — the same mechanism Iceberg and
   * Delta use to install their SQL surface (reference: spark/conf
-  * spark.sql.extensions wiring in the compose file). */
+  * spark.sql.extensions wiring in the compose file). Pair with
+  * `spark.sql.catalog.graft=graft.lake.GraftSparkCatalog` for the
+  * full DDL/DML surface. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((_, delegate) => new graft.lake.GraftSqlParser(delegate))
     def info(name: String, usage: String) =
       new ExpressionInfo("graft.functions.GraftFunctions", null, name, usage, "")
     ext.injectFunction((FunctionIdentifier("graft_dotd"),

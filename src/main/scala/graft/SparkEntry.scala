@@ -15,5 +15,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextOps.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
-      graft.streaming.Streams.oracleSql ++ AsOf.oracleSql
+      graft.streaming.Streams.oracleSql ++ AsOf.oracleSql ++ LakeOps.oracleSql
 }

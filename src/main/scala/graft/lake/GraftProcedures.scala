@@ -1,0 +1,154 @@
+package graft.lake
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+
+/** The reference's maintenance-procedure surface as SQL (reference:
+  * SPARK_ICEBERG_GUIDE.md §8 — `CALL nessie.system.rewrite_data_files
+  * (...)` and friends), via a delegating parser extension — the same
+  * mechanism Iceberg's SQL extensions use. Anything that isn't a
+  * `CALL graft_system.<proc>(...)` statement parses through the
+  * session parser untouched.
+  *
+  * {{{
+  *   CALL graft_system.rewrite_data_files(table => 'lab.t', target_file_size_bytes => 67108864)
+  *   CALL graft_system.rewrite_manifests('lab.t')
+  *   CALL graft_system.rewrite_position_deletes('lab.t')
+  *   CALL graft_system.expire_snapshots(table => 'lab.t', retain_last => 3)
+  *   CALL graft_system.remove_orphan_files(table => 'lab.t', older_than_ms => 0, dry_run => true)
+  *   CALL graft_system.rollback_to_snapshot('lab.t', 2)
+  * }}}
+  *
+  * The `table` argument is `ns.table` under the `graft` catalog's
+  * configured warehouse, or an absolute table-root path. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftProcedures.parseCall(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftProcedures {
+
+  private val callRe =
+    """(?is)\s*CALL\s+graft_system\.(\w+)\s*\((.*)\)\s*;?\s*""".r
+
+  /** Recognize a graft procedure call; None → not ours. */
+  def parseCall(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case callRe(proc, argStr) => Some(GraftCallCommand(proc.toLowerCase, parseArgs(argStr)))
+    case _ => None
+  }
+
+  /** `name => value, ...` (or positional) with 'string', number, and
+    * boolean values; positional args land as arg0, arg1, ... */
+  private[lake] def parseArgs(s: String): Map[String, String] = {
+    if (s.trim.isEmpty) return Map.empty
+    // split on commas outside single quotes
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    s.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case ',' if !inQ => parts += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    parts += cur.toString
+    def unquote(v: String): String = {
+      val t = v.trim
+      if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
+        t.substring(1, t.length - 1).replace("''", "'")
+      else t
+    }
+    parts.zipWithIndex.map { case (p, i) =>
+      p.split("=>", 2) match {
+        case Array(k, v) => k.trim.toLowerCase -> unquote(v)
+        case Array(v) => s"arg$i" -> unquote(v)
+      }
+    }.toMap
+  }
+
+  /** ns.table under the graft catalog's warehouse, or an absolute
+    * table-root path. */
+  private[lake] def resolveRoot(spark: SparkSession, t: String): String =
+    if (t.startsWith("/")) t
+    else {
+      val wh = spark.conf.getOption("spark.sql.catalog.graft.warehouse").getOrElse(
+        throw new IllegalArgumentException(
+          "spark.sql.catalog.graft.warehouse is not set; pass an absolute table path instead"))
+      Paths.get(wh, t.split('.').toIndexedSeq: _*).toString
+    }
+}
+
+/** Eagerly-executed plan node for a graft_system procedure. */
+case class GraftCallCommand(proc: String, args: Map[String, String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", StringType, nullable = false)())
+
+  private def arg(names: String*): Option[String] =
+    names.iterator.map(args.get).collectFirst { case Some(v) => v }
+
+  private def required(names: String*): String =
+    arg(names: _*).getOrElse(throw new IllegalArgumentException(
+      s"procedure $proc needs argument ${names.head} (got: ${args.keys.mkString(", ")})"))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftProcedures.resolveRoot(spark, required("table", "arg0"))
+    proc match {
+      case "rewrite_data_files" =>
+        val id = GraftTable.rewriteDataFiles(spark, root,
+          targetFileSizeBytes = arg("target_file_size_bytes", "arg1").map(_.toLong).getOrElse(-1L),
+          minInputFiles = arg("min_input_files", "arg2").map(_.toInt).getOrElse(2))
+        Seq(Row(s"snapshot_id=$id"))
+      case "rewrite_manifests" =>
+        Seq(Row(s"snapshot_id=${GraftTable.rewriteManifests(root)}"))
+      case "rewrite_position_deletes" =>
+        Seq(Row(s"snapshot_id=${GraftTable.rewritePositionDeletes(spark, root)}"))
+      case "expire_snapshots" =>
+        (arg("retain_last", "arg1"), arg("older_than_ms")) match {
+          case (Some(n), _) => GraftTable.expireSnapshots(root, n.toInt)
+          case (None, Some(ms)) => GraftTable.expireSnapshotsOlderThan(root, ms.toLong)
+          case _ => throw new IllegalArgumentException(
+            "expire_snapshots needs retain_last or older_than_ms")
+        }
+        Seq(Row(s"retained_through=${GraftTable.latestSnapshotId(root)}"))
+      case "remove_orphan_files" =>
+        val orphans = GraftTable.removeOrphanFiles(root,
+          olderThanMs = arg("older_than_ms", "arg1").map(_.toLong)
+            .getOrElse(System.currentTimeMillis()),
+          dryRun = arg("dry_run", "arg2").exists(_.toBoolean))
+        if (orphans.isEmpty) Seq(Row("removed=0")) else orphans.map(Row(_))
+      case "rollback_to_snapshot" =>
+        val id = GraftTable.rollbackToSnapshot(root, required("snapshot_id", "arg1").toLong)
+        Seq(Row(s"snapshot_id=$id"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown procedure graft_system.$other (have rewrite_data_files, " +
+            "rewrite_manifests, rewrite_position_deletes, expire_snapshots, " +
+            "remove_orphan_files, rollback_to_snapshot)")
+    }
+  }
+}

@@ -1,0 +1,403 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal => VLiteral, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The SQL front door as a real DataSource-v2 catalog — the reference's
+  * UX (reference: SPARK_ICEBERG_GUIDE.md §§3-8 drives everything
+  * through `spark.sql` against a configured catalog):
+  *
+  * {{{
+  *   --conf spark.sql.catalog.graft=graft.lake.GraftSparkCatalog
+  *   --conf spark.sql.catalog.graft.warehouse=/path/wh
+  *
+  *   CREATE NAMESPACE graft.lab
+  *   CREATE TABLE graft.lab.t (id BIGINT, ts TIMESTAMP_NTZ)
+  *     PARTITIONED BY (days(ts)) TBLPROPERTIES ('k'='v')
+  *   INSERT INTO graft.lab.t VALUES ...
+  *   SELECT * FROM graft.lab.t WHERE id > 5          -- stats+partition pruned
+  *   SELECT * FROM graft.lab.t VERSION AS OF 3       -- time travel
+  *   SELECT * FROM graft.lab.t.snapshots             -- metadata tables
+  *   ALTER TABLE graft.lab.t SET TBLPROPERTIES ('k'='v2')
+  * }}}
+  *
+  * Reads bridge through V1Scan → PrunedFilteredScan, so column pruning
+  * and pushed filters flow into GraftTable's partition/stats file
+  * pruning and from there into the parquet scan. Writes bridge through
+  * V1Write → InsertableRelation onto append/overwrite — the commit
+  * protocol (snapshot isolation, conflict detection) is unchanged.
+  */
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"spark.sql.catalog.$name.warehouse must point at a directory"))
+    Files.createDirectories(Paths.get(warehouse))
+  }
+
+  override def name(): String = catalogName
+
+  private def rootOf(ns: Seq[String], table: String): String =
+    Paths.get(warehouse, (ns :+ table): _*).toString
+
+  private def isTable(root: String): Boolean =
+    Files.isDirectory(Paths.get(root, "_graft_log"))
+
+  private val metadataNames =
+    Set("snapshots", "files", "history", "partitions", "manifests", "refs")
+
+  // ── tables ──────────────────────────────────────────────────────────
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = Paths.get(warehouse, namespace: _*)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => isTable(p.toString))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(rootOf(ident.namespace.toIndexedSeq, ident.name))
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident.namespace.toIndexedSeq, ident.name)
+    if (isTable(root)) new GraftSparkTable(fqn(ident), root, None)
+    else if (ident.namespace.length >= 1 && metadataNames.contains(ident.name)) {
+      // graft.lab.t.snapshots parses as namespace [lab, t], name "snapshots"
+      val baseRoot = Paths.get(warehouse, ident.namespace: _*).toString
+      if (!isTable(baseRoot)) throw new NoSuchTableException(ident)
+      new GraftMetadataTable(fqn(ident), baseRoot, ident.name)
+    } else throw new NoSuchTableException(ident)
+  }
+
+  /** SELECT ... VERSION AS OF <snapshot id>. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident.namespace.toIndexedSeq, ident.name)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    new GraftSparkTable(fqn(ident), root, Some(version.toLong))
+  }
+
+  /** SELECT ... TIMESTAMP AS OF — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val root = rootOf(ident.namespace.toIndexedSeq, ident.name)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val tsMs = timestampMicros / 1000L
+    val ids = GraftTable.snapshotIdsAtOrBefore(root, tsMs)
+    require(ids.nonEmpty, s"no snapshot at or before $tsMs ms")
+    new GraftSparkTable(fqn(ident), root, Some(ids.max))
+  }
+
+  private def fqn(ident: Identifier): String =
+    (catalogName +: ident.namespace :+ ident.name).mkString(".")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val ns = ident.namespace.toIndexedSeq
+    if (!Files.isDirectory(Paths.get(warehouse, ns: _*)))
+      throw new NoSuchNamespaceException(ident.namespace)
+    val root = rootOf(ns, ident.name)
+    if (isTable(root)) throw new TableAlreadyExistsException(ident)
+    val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_COLLATION)
+    val props = properties.asScala.toMap
+      .filterNot { case (k, _) => reserved.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX) }
+    val specProps =
+      if (partitions.isEmpty) Map.empty[String, String]
+      else Map(GraftTable.specProp -> partitions.map(transformToSpec).mkString(","))
+    GraftTable.create(activeSpark, root, schema, props ++ specProps)
+    new GraftSparkTable(fqn(ident), root, None)
+  }
+
+  /** PARTITIONED BY (...) clause → the graft partition-spec term. */
+  private def transformToSpec(t: Transform): String = {
+    def colOf: String = t.references()(0).fieldNames().mkString(".")
+    def intArg: Int = t.arguments().collectFirst {
+      case l: VLiteral[_] if l.dataType() == IntegerType => l.value().asInstanceOf[Int]
+    }.getOrElse(throw new IllegalArgumentException(s"missing int argument in $t"))
+    t.name() match {
+      case "identity" => s"identity($colOf)"
+      case "days" => s"days($colOf)"
+      case "bucket" => s"bucket($intArg,$colOf)"
+      case "truncate" => s"truncate($intArg,$colOf)"
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform: $other (want identity/days/bucket/truncate)")
+    }
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident.namespace.toIndexedSeq, ident.name)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val sets = changes.collect { case s: TableChange.SetProperty => s.property -> s.value }
+    val removes = changes.collect { case r: TableChange.RemoveProperty => r.property }
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    require(removes.isEmpty, "UNSET TBLPROPERTIES is not supported (properties are additive commits)")
+    if (sets.nonEmpty) GraftTable.setProperties(root, sets.toMap)
+    adds.foreach { a =>
+      require(a.fieldNames.length == 1, "nested ADD COLUMN not supported")
+      GraftTable.addColumn(root,
+        org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType, a.isNullable))
+    }
+    new GraftSparkTable(fqn(ident), root, None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = Paths.get(rootOf(ident.namespace.toIndexedSeq, ident.name))
+    if (!isTable(root.toString)) false
+    else {
+      val s = Files.walk(root)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = Paths.get(rootOf(oldIdent.namespace.toIndexedSeq, oldIdent.name))
+    val to = Paths.get(rootOf(newIdent.namespace.toIndexedSeq, newIdent.name))
+    if (!isTable(from.toString)) throw new NoSuchTableException(oldIdent)
+    if (isTable(to.toString)) throw new TableAlreadyExistsException(newIdent)
+    Files.move(from, to)
+  }
+
+  // ── namespaces ──────────────────────────────────────────────────────
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val s = Files.list(Paths.get(warehouse))
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p.toString))
+      .map(p => Array(p.getFileName.toString)).toArray
+    finally s.close()
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    Files.isDirectory(Paths.get(warehouse, namespace: _*)) &&
+      !isTable(Paths.get(warehouse, namespace: _*).toString)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) Map("location" -> Paths.get(warehouse, namespace: _*).toString).asJava
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    Files.createDirectories(Paths.get(warehouse, namespace: _*))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = Paths.get(warehouse, namespace: _*)
+    if (!Files.isDirectory(p)) false
+    else {
+      if (!cascade) {
+        val s = Files.list(p)
+        val nonEmpty = try s.iterator().asScala.nonEmpty finally s.close()
+        require(!nonEmpty, s"namespace not empty: ${namespace.mkString(".")}")
+      }
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+      true
+    }
+  }
+
+  private def activeSpark: SparkSession =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException("no active SparkSession"))
+}
+
+/** A GraftTable surfaced through DSv2. Reads go V1Scan →
+  * PrunedFilteredScan (projection + filters reach GraftTable.scan's
+  * partition/stats pruning); writes go V1Write → InsertableRelation
+  * (append, or truncate-overwrite for INSERT OVERWRITE). */
+private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[Long])
+    extends Table with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).get
+
+  override def name(): String = fqName
+
+  override def schema(): StructType = {
+    val snap = GraftTable.state(root, asOf)
+    DataType.fromJson(snap.schemaJson.getOrElse(
+      GraftTable.state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+  }
+
+  override def partitioning(): Array[Transform] =
+    GraftTable.state(root, asOf).properties.get(GraftTable.specProp)
+      .map(GraftTable.parsePartitionSpec).getOrElse(Seq.empty)
+      .map {
+        case GraftTable.PIdentity(c) => Expressions.identity(c)
+        case GraftTable.PDays(c) => Expressions.days(c)
+        case GraftTable.PBucket(c, n) => Expressions.bucket(n, c)
+        case GraftTable.PTruncate(c, w) =>
+          Expressions.apply("truncate", Expressions.literal(w), Expressions.column(c))
+      }.toArray
+
+  override def properties(): util.Map[String, String] =
+    GraftTable.state(root, asOf).properties.asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = schema()
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new GraftRelation(context, root, asOf).asInstanceOf[T]
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: DataFrame, _: Boolean) => {
+            if (overwriteAll)
+              GraftTable.overwriteWhere(data.sparkSession, root, lit(true), Some(data))
+            else GraftTable.append(data.sparkSession, root, data)
+          }
+      }
+    }
+}
+
+/** V1 relation bridging DSv2 reads onto GraftTable: requiredColumns
+  * prune the parquet ReadSchema; pushed filters become stats-pruning
+  * predicates (best effort; Spark re-applies every filter above). */
+private[lake] class GraftRelation(ctx: SQLContext, root: String, asOf: Option[Long])
+    extends BaseRelation with TableScan with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = ctx
+
+  override val schema: StructType = {
+    val snap = GraftTable.state(root, asOf)
+    DataType.fromJson(snap.schemaJson.getOrElse(
+      GraftTable.state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+  }
+
+  override def buildScan(): RDD[Row] = buildScan(schema.fieldNames, Array.empty)
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val preds = filters.flatMap(GraftRelation.toPred(_, types)).toSeq
+    val plan = GraftTable.planScan(ctx.sparkSession, root, preds, asOf)
+    val projected =
+      if (requiredColumns.isEmpty)
+        // COUNT(*)-style scans: no columns needed, keep a 0-col frame
+        plan.df.select()
+      else plan.df.select(requiredColumns.map(col).toIndexedSeq: _*)
+    projected.rdd
+  }
+}
+
+private[lake] object GraftRelation {
+  import GraftTable.{Eq, Ge, Gt, Le, Lt, Pred}
+
+  /** Source filter → stats-text predicate (the same rendering the
+    * footer stats use). Non-literal / unsupported filters contribute
+    * no prune — Spark re-applies them as row filters regardless. */
+  def toPred(f: Filter, types: Map[String, DataType]): Option[Pred] = {
+    def render(v: Any): Option[String] = v match {
+      case null => None
+      case d: java.sql.Date => Some(d.toString)
+      case d: java.time.LocalDate => Some(d.toString)
+      case t: java.sql.Timestamp =>
+        Some((t.getTime * 1000L + t.getNanos / 1000 % 1000).toString)
+      case t: java.time.Instant =>
+        Some((t.getEpochSecond * 1000000L + t.getNano / 1000).toString)
+      case t: java.time.LocalDateTime =>
+        Some((t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000).toString)
+      case x @ (_: Int | _: Long | _: Double | _: Float | _: Short | _: Byte | _: String) =>
+        Some(x.toString)
+      case _ => None
+    }
+    def mk(attr: String, v: Any, ctor: (String, String) => Pred): Option[Pred] =
+      if (types.contains(attr)) render(v).map(ctor(attr, _)) else None
+    f match {
+      case EqualTo(a, v) => mk(a, v, Eq.apply)
+      case GreaterThan(a, v) => mk(a, v, Gt.apply)
+      case LessThan(a, v) => mk(a, v, Lt.apply)
+      case GreaterThanOrEqual(a, v) => mk(a, v, Ge.apply)
+      case LessThanOrEqual(a, v) => mk(a, v, Le.apply)
+      case And(l, r) =>
+        // one side alone is a valid (weaker) prune
+        (toPred(l, types), toPred(r, types)) match {
+          case (Some(p), _) => Some(p)   // caller gets the other conjunct as its own Filter
+          case (_, p) => p
+        }
+      case _ => None
+    }
+  }
+}
+
+/** Metadata tables (graft.ns.t.snapshots etc.) — read-only V1 scans. */
+private[lake] class GraftMetadataTable(fqName: String, root: String, kind: String)
+    extends Table with SupportsRead {
+
+  private def spark: SparkSession =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).get
+
+  private def df(s: SparkSession): DataFrame = kind match {
+    case "snapshots" => GraftTable.snapshotsTable(s, root)
+    case "files" => GraftTable.filesTable(s, root)
+    case "history" => GraftTable.historyTable(s, root)
+    case "partitions" => GraftTable.partitionsTable(s, root)
+    case "manifests" => GraftTable.manifestsTable(s, root)
+    case "refs" => GraftTable.refsTable(s, root)
+  }
+
+  override def name(): String = fqName
+  override def schema(): StructType = df(spark).schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = schema()
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val outer = df _
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override val schema: StructType = outer(context.sparkSession).schema
+            override def buildScan(): RDD[Row] = outer(context.sparkSession).rdd
+          }.asInstanceOf[T]
+        }
+      }
+    }
+}

@@ -1460,13 +1460,16 @@ object GraftTable {
     expireSnapshots(root, retain)
   }
 
+  /** Snapshot ids committed at or before the UTC millisecond horizon. */
+  def snapshotIdsAtOrBefore(root: String, tsMs: Long): Seq[Long] =
+    listCommitIds(root).filter { id =>
+      parseCommit(Files.readString(commitPath(root, id))).timestampMs <= tsMs
+    }
+
   /** Time travel by UTC timestamp: read the last snapshot committed at
     * or before `tsMs` (the FOR SYSTEM_TIME AS OF read). */
   def readAsOfTime(spark: SparkSession, root: String, tsMs: Long): DataFrame = {
-    val ids = listCommitIds(root)
-    val at = ids.filter { id =>
-      parseCommit(Files.readString(commitPath(root, id))).timestampMs <= tsMs
-    }
+    val at = snapshotIdsAtOrBefore(root, tsMs)
     require(at.nonEmpty, s"no snapshot at or before $tsMs")
     read(spark, root, Some(at.max))
   }

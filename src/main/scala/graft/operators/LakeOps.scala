@@ -112,11 +112,91 @@ object LakeOps {
       .toDF("files_before", "rows_before", "files_after", "rows_after")
   }
 
+  // ── q27: row-level MERGE (upsert), oracle-checked ───────────────────
+  /** The GraftTable MERGE result is recomputable by DuckDB from the
+    * raw parquet (GraftTable round-trips values exactly), so this
+    * lifecycle op gets a FULL oracle, not a rows-only check. */
+  def q27(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("q27")
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    GraftTable.create(s, root, base.schema)
+    GraftTable.append(s, root, base.filter(col("o_orderkey") % 7 === 0).repartition(4))
+    val source = base.filter(col("o_orderkey") % 14 === 0)
+      .withColumn("o_orderstatus", lit("M"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(base.filter(col("o_orderkey") % 7 === 3)
+        .withColumn("o_orderstatus", lit("I")))
+    GraftTable.merge(s, root, source, Seq("o_orderkey"))
+    GraftTable.read(s, root)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // ── q28: merge-on-read DELETE, oracle-checked ───────────────────────
+  def q28(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("q28")
+    val c = Tables.customer(s, dir)
+    GraftTable.create(s, root, c.schema, Map("write.delete.mode" -> "merge-on-read"))
+    GraftTable.append(s, root, c.repartition(4))
+    // two stacked MoR deletes: no data file rewrites, reads anti-join
+    // the position-delete files
+    GraftTable.deleteWhere(s, root, col("c_acctbal") < 0)
+    GraftTable.deleteWhere(s, root, col("c_mktsegment") === lit("BUILDING"))
+    GraftTable.read(s, root)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ── q29: partition-spec pruned read, oracle-checked ─────────────────
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("q29")
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+    GraftTable.create(s, root, base.schema,
+      Map(GraftTable.specProp -> "identity(o_orderpriority)"))
+    GraftTable.append(s, root, base)
+    val (df, total, live) = GraftTable.scan(s, root,
+      Seq(GraftTable.Eq("o_orderpriority", "1-URGENT")))
+    require(live < total, s"partition pruning must skip files (live=$live total=$total)")
+    df.select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_lake_snapshots" -> q23 _,
     "q24_lake_files" -> q24 _,
     "q25_lake_timetravel" -> q25 _,
-    "q26_lake_compaction" -> q26 _)
+    "q26_lake_compaction" -> q26 _,
+    "q27_lake_merge" -> q27 _,
+    "q28_lake_mor_delete" -> q28 _,
+    "q29_lake_partition_prune" -> q29 _)
 
-  val oracleSql: Map[String, String] = Map.empty
+  val oracleSql: Map[String, String] = Map(
+    "q27_lake_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 14 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'I' AS o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 7 = 3)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT * FROM base WHERE o_orderkey % 7 = 0
+        |    AND o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL SELECT * FROM src)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q28_lake_mor_delete" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE NOT (c_acctbal < 0) AND NOT (c_mktsegment = 'BUILDING')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q29_lake_partition_prune" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin
+  )
 }

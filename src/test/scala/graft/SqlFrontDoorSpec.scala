@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.GraftTable
+import graft.sources.Tables
+
+/** The reference's SQL UX end-to-end (reference: SPARK_ICEBERG_GUIDE.md
+  * §§3-8 drive everything through spark.sql): DDL with TBLPROPERTIES
+  * and PARTITIONED BY, INSERT/SELECT, metadata tables, time travel,
+  * ALTER TABLE, and the CALL graft_system.* maintenance procedures —
+  * all through `spark.sql(...)`, no Scala API calls on the hot path. */
+class SqlFrontDoorSpec extends SparkSpec {
+
+  private val wh = "/root/repo/target/graft-sql-warehouse"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    val p = Paths.get(wh)
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+    spark.conf.set("spark.sql.catalog.graft", "graft.lake.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+  }
+
+  private def root(ns: String, t: String) = s"$wh/$ns/$t"
+
+  test("the guide's runbook runs end-to-end through SQL") {
+    // §4: namespace + table with properties and a partition spec
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.lab")
+    spark.sql("""CREATE TABLE graft.lab.orders_t (
+      |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+      |PARTITIONED BY (bucket(4, o_custkey))
+      |TBLPROPERTIES ('write.target-file-size-bytes'='67108864', 'gc.enabled'='true')""".stripMargin)
+    val st0 = GraftTable.state(root("lab", "orders_t"))
+    assert(st0.properties("gc.enabled") == "true")
+    assert(st0.properties(GraftTable.specProp) == "bucket(4,o_custkey)")
+
+    // §§5-6: INSERTs → one snapshot each, small files by design
+    Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .createOrReplaceTempView("orders_src")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO graft.lab.orders_t SELECT * FROM orders_src WHERE o_orderkey % 3 = $i")
+    }
+    val n = spark.sql("SELECT COUNT(*) AS c FROM graft.lab.orders_t").head().getLong(0)
+    assert(n == Tables.orders(spark, sf).count())
+
+    // filtered read agrees with the source (pushdown through the V1 bridge)
+    val hi = spark.sql("SELECT * FROM graft.lab.orders_t WHERE o_totalprice > 300000").count()
+    assert(hi == Tables.orders(spark, sf).filter(col("o_totalprice") > 300000).count())
+
+    // §7: metadata tables through SQL
+    val snaps = spark.sql("SELECT * FROM graft.lab.orders_t.snapshots ORDER BY snapshot_id").collect()
+    assert(snaps.length == 4 && snaps.last.getAs[String]("operation") == "append")
+    val filesBefore = spark.sql("SELECT * FROM graft.lab.orders_t.files").count()
+    assert(filesBefore >= 3)
+    assert(spark.sql("SELECT * FROM graft.lab.orders_t.history").count() == 4)
+    val parts = spark.sql("SELECT * FROM graft.lab.orders_t.partitions").collect()
+    assert(parts.length == 4 && parts.forall(_.getString(0).startsWith("o_custkey_bucket_4=")))
+    assert(spark.sql("SELECT * FROM graft.lab.orders_t.refs").head().getString(0) == "main")
+
+    // §8.2: ALTER TABLE SET TBLPROPERTIES
+    spark.sql("ALTER TABLE graft.lab.orders_t SET TBLPROPERTIES ('write.target-file-size-bytes'='134217728')")
+    assert(GraftTable.state(root("lab", "orders_t"))
+      .properties("write.target-file-size-bytes") == "134217728")
+
+    // §8.3: CALL rewrite_data_files compacts the small files
+    val r = spark.sql("CALL graft_system.rewrite_data_files(table => 'lab.orders_t')").collect()
+    assert(r.head.getString(0).startsWith("snapshot_id="))
+    val filesAfter = spark.sql("SELECT * FROM graft.lab.orders_t.files").count()
+    assert(filesAfter < filesBefore, s"compaction must shrink files ($filesBefore -> $filesAfter)")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.lab.orders_t").head().getLong(0) == n)
+
+    // §8.4: CALL rewrite_manifests → checkpoint artifacts appear
+    spark.sql("CALL graft_system.rewrite_manifests('lab.orders_t')")
+    val kinds = spark.sql("SELECT kind FROM graft.lab.orders_t.manifests")
+      .collect().map(_.getString(0)).toSet
+    assert(kinds.contains("checkpoint") && kinds.contains("checkpoint_files"))
+
+    // §8.8: time travel — VERSION AS OF a pre-compaction snapshot
+    val v2 = spark.sql("SELECT COUNT(*) AS c FROM graft.lab.orders_t VERSION AS OF 2").head().getLong(0)
+    assert(v2 < n && v2 > 0)
+
+    // §8.8: rollback, then the current read IS the old version
+    spark.sql("CALL graft_system.rollback_to_snapshot('lab.orders_t', 2)")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.lab.orders_t").head().getLong(0) == v2)
+    spark.sql("CALL graft_system.rollback_to_snapshot('lab.orders_t', 5)")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.lab.orders_t").head().getLong(0) == n)
+
+    // §8.5/8.6: expire old snapshots, scan for orphans (dry run)
+    spark.sql("CALL graft_system.expire_snapshots(table => 'lab.orders_t', retain_last => 3)")
+    assertThrows[IllegalArgumentException] {
+      GraftTable.state(root("lab", "orders_t"), Some(1L))
+    }
+    val orph = spark.sql(
+      "CALL graft_system.remove_orphan_files(table => 'lab.orders_t', older_than_ms => 1, dry_run => true)")
+      .collect()
+    assert(orph.nonEmpty)   // at least the "removed=0" row
+
+    // INSERT OVERWRITE replaces the table contents
+    spark.sql("INSERT OVERWRITE graft.lab.orders_t SELECT * FROM orders_src WHERE o_orderkey % 10 = 0")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.lab.orders_t").head().getLong(0) ==
+      Tables.orders(spark, sf).filter(col("o_orderkey") % 10 === 0).count())
+  }
+
+  test("CREATE TABLE AS / ALTER ADD COLUMN / DROP TABLE through the catalog") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tmp")
+    spark.sql("CREATE TABLE graft.tmp.nation_t (n_nationkey BIGINT, n_name STRING)")
+    spark.sql("INSERT INTO graft.tmp.nation_t VALUES (1, 'A'), (2, 'B')")
+    spark.sql("ALTER TABLE graft.tmp.nation_t ADD COLUMN n_extra STRING")
+    val rows = spark.sql(
+      "SELECT n_nationkey, n_name, n_extra FROM graft.tmp.nation_t ORDER BY n_nationkey").collect()
+    assert(rows.length == 2 && rows.forall(_.isNullAt(2)), "added column reads as null")
+    spark.sql("INSERT INTO graft.tmp.nation_t VALUES (3, 'C', 'x')")
+    assert(spark.sql("SELECT * FROM graft.tmp.nation_t WHERE n_extra = 'x'").count() == 1)
+    // SHOW TABLES sees it; DROP removes it
+    assert(spark.sql("SHOW TABLES IN graft.tmp").collect().map(_.getString(1)).contains("nation_t"))
+    spark.sql("DROP TABLE graft.tmp.nation_t")
+    assert(!Files.isDirectory(Paths.get(root("tmp", "nation_t"), "_graft_log")))
+  }
+
+  test("identity-partitioned SQL table prunes partition files on read") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.lab2")
+    spark.sql("""CREATE TABLE graft.lab2.nation_t (
+      |  n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+      |PARTITIONED BY (n_regionkey)""".stripMargin)
+    Tables.nation(spark, sf).select("n_nationkey", "n_name", "n_regionkey")
+      .createOrReplaceTempView("nation_src")
+    spark.sql("INSERT INTO graft.lab2.nation_t SELECT * FROM nation_src")
+    // partition files exist per region; an Eq read prunes to one of them
+    val parts = spark.sql("SELECT * FROM graft.lab2.nation_t.partitions").count()
+    assert(parts == 5)
+    val got = spark.sql("SELECT * FROM graft.lab2.nation_t WHERE n_regionkey = 2 ORDER BY n_nationkey")
+    val want = Tables.nation(spark, sf).filter(col("n_regionkey") === 2)
+    assert(got.count() == want.count())
+    // the pruning itself (verified via the planner API on the same root)
+    val (_, total, live) = GraftTable.scan(spark, root("lab2", "nation_t"),
+      Seq(GraftTable.Eq("n_regionkey", "2")))
+    assert(live < total)
+  }
+}
