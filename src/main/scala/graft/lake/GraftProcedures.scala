@@ -127,6 +127,8 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         Seq(Row(s"snapshot_id=${GraftTable.rewriteManifests(root)}"))
       case "rewrite_position_deletes" =>
         Seq(Row(s"snapshot_id=${GraftTable.rewritePositionDeletes(spark, root)}"))
+      case "rewrite_equality_deletes" =>
+        Seq(Row(s"snapshot_id=${GraftTable.rewriteEqualityDeletes(spark, root)}"))
       case "expire_snapshots" =>
         (arg("retain_last", "arg1"), arg("older_than_ms")) match {
           case (Some(n), _) => GraftTable.expireSnapshots(root, n.toInt)
@@ -147,8 +149,8 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
       case other =>
         throw new IllegalArgumentException(
           s"unknown procedure graft_system.$other (have rewrite_data_files, " +
-            "rewrite_manifests, rewrite_position_deletes, expire_snapshots, " +
-            "remove_orphan_files, rollback_to_snapshot)")
+            "rewrite_manifests, rewrite_position_deletes, rewrite_equality_deletes, " +
+            "expire_snapshots, remove_orphan_files, rollback_to_snapshot)")
     }
   }
 }

@@ -40,15 +40,22 @@ object GraftTable {
     * under the table's partition spec — every row in the file has the
     * tuple's values, so partition pruning is exact, not bounds-based.
     * `content`: 0 = data, 1 = position-delete file (rows of
-    * (file_path, pos) marking deleted rows — the Iceberg v2 MoR
-    * vocabulary). Both Option so commits from older logs parse. */
+    * (file_path, pos)), 2 = equality-delete file (rows of the
+    * `eqCols` key values; applies to data files committed at or
+    * before the delete — the Iceberg v2 sequence-number rule, carried
+    * here by the snapshot-id file-name prefix). Optional fields so
+    * commits from older logs parse. */
   case class FileEntry(path: String, sizeBytes: Long, records: Long,
       stats: Map[String, ColStats],
       partition: Option[Map[String, String]] = None,
-      content: Option[Int] = None) {
+      content: Option[Int] = None,
+      eqCols: Option[Seq[String]] = None) {
     def partitionValues: Map[String, String] = partition.getOrElse(Map.empty)
-    def isDelete: Boolean = content.contains(1)
+    def isDelete: Boolean = content.exists(_ != 0)
     def isData: Boolean = !isDelete
+    /** The snapshot that wrote this file (file-name prefix). */
+    def snapshotOfName: Long =
+      path.split('/').last.takeWhile(_.isDigit).toLong
   }
   case class Commit(snapshotId: Long, parentId: Option[Long], timestampMs: Long,
       operation: String, adds: Seq[FileEntry], removes: Seq[String],
@@ -185,7 +192,8 @@ object GraftTable {
         ("stats" -> f.stats.map { case (k, v) =>
           k -> (("min" -> v.min) ~ ("max" -> v.max) ~ ("nulls" -> v.nulls)) }) ~
         ("partition" -> f.partition) ~
-        ("content" -> f.content))) ~
+        ("content" -> f.content) ~
+        ("eqCols" -> f.eqCols))) ~
       ("removes" -> c.removes) ~
       ("properties" -> c.properties) ~
       ("schemaJson" -> c.schemaJson)
@@ -662,21 +670,11 @@ object GraftTable {
     }
     // positions of matching rows NOT already deleted (an already-
     // deleted row re-listed would be harmless — distinct on apply —
-    // but would inflate the delete-file row count diagnostics). The
-    // _metadata columns must bind on the SOURCE scan, before any join.
-    val base = spark.read.schema(schema)
-      .parquet(touched.map(f => s"$root/${f.path}"): _*)
-      .withColumn("file_path", col("_metadata.file_path"))
-      .withColumn("pos", col("_metadata.row_index"))
-    val notDeleted =
-      if (deletes.isEmpty) base
-      else base.join(
-        spark.read.parquet(deletes.map(f => s"$root/${f.path}"): _*)
-          .select(col("file_path"), col("pos")).distinct(),
-        Seq("file_path", "pos"), "left_anti")
-    val matches = notDeleted
+    // but would inflate the delete-file row count diagnostics)
+    val matches = liveRowsWithIds(spark, root, schema, touched.map(_.path),
+        deletes.map(f => (f.path, f.content.getOrElse(1), f.eqCols.getOrElse(Seq.empty))))
       .filter(coalesce(condition, lit(false)))
-      .select(col("file_path"), col("pos"))
+      .select(col("_gf_path").as("file_path"), col("_gf_pos").as("pos"))
     val tmp = Paths.get(root, s".stage-${UUID.randomUUID()}")
     matches.coalesce(1).write.parquet(tmp.toString)
     val part = listDir(tmp).find(_.getFileName.toString.endsWith(".parquet"))
@@ -704,23 +702,105 @@ object GraftTable {
     * the content=1 diagnostics count to zero. */
   def rewritePositionDeletes(spark: SparkSession, root: String): Long = {
     val snap = state(root)
-    val deletes = snap.files.filter(_.isDelete)
-    if (deletes.isEmpty) return snap.snapshotId
+    val posDeletes = snap.files.filter(_.content.contains(1))
+    if (posDeletes.isEmpty) return snap.snapshotId
     val schema = DataType.fromJson(snap.schemaJson.getOrElse(
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
     val dataFiles = snap.files.filter(_.isData)
     // which data files actually carry deleted positions? (match on the
     // unique file NAME — _metadata.file_path is an absolute URI)
-    val affectedNames = spark.read.parquet(deletes.map(f => s"$root/${f.path}"): _*)
+    val affectedNames = spark.read.parquet(posDeletes.map(f => s"$root/${f.path}"): _*)
       .select(col("file_path")).distinct()
       .collect().map(r => r.getString(0).split('/').last).toSet
     val affected = dataFiles.filter(f => affectedNames.contains(f.path.split('/').last))
     val id = snap.snapshotId + 1
-    val rewritten = readFiles(spark, root, schema, affected, deletes)
+    // apply ALL deletes while rewriting (equality deletes included —
+    // the rewritten file must not resurrect any deleted row), but only
+    // the position-delete files retire in this commit
+    val rewritten = readFiles(spark, root, schema, affected, snap.files.filter(_.isDelete))
     val adds = writeDataFiles(spark, root, rewritten, id, snap.properties)
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "rewrite_position_deletes", adds,
-      affected.map(_.path) ++ deletes.map(_.path), Map.empty, None))
+      affected.map(_.path) ++ posDeletes.map(_.path), Map.empty, None))
+    id
+  }
+
+  /** Merge-on-read DELETE by key VALUES — an equality-delete file
+    * (content=2, the other Iceberg v2 delete flavor; guide scope:
+    * rewrite_equality_deletes). `keys` holds distinct values of a
+    * column subset; rows equal (null-safely) on those columns are
+    * deleted from data files committed AT OR BEFORE this delete —
+    * appends after it are untouched (sequence-number semantics via
+    * the snapshot-id file-name prefix). The write is O(keys): deleting
+    * a billion rows by key costs one tiny file. */
+  def deleteEqualityMoR(spark: SparkSession, root: String, keys: DataFrame): Long = {
+    val snap = state(root)
+    val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
+    val cols = keys.columns.toSeq
+    require(cols.nonEmpty && cols.forall(schema.fieldNames.contains),
+      s"equality-delete columns must be table columns; got $cols")
+    val id = snap.snapshotId + 1
+    val tmp = Paths.get(root, s".stage-${UUID.randomUUID()}")
+    keys.distinct().coalesce(1).write.parquet(tmp.toString)
+    val part = listDir(tmp).find(_.getFileName.toString.endsWith(".parquet"))
+    val adds = part.toSeq.flatMap { src =>
+      val (_, records, _) = readFooter(src.toString, spark.sessionState.newHadoopConf())
+      if (records == 0L) { Files.deleteIfExists(src); None }
+      else {
+        Files.createDirectories(deleteDir(root))
+        val name = f"$id%010d-eqdelete-${UUID.randomUUID()}.parquet"
+        val dst = deleteDir(root).resolve(name)
+        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+        Some(FileEntry(s"deletes/$name", Files.size(dst), records, Map.empty,
+          None, Some(2), Some(cols)))
+      }
+    }
+    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
+      "delete", adds, Seq.empty, Map.empty, None))
+    id
+  }
+
+  /** rewrite_equality_deletes: fold every live equality-delete file
+    * into its data files. Affected = data files old enough for some
+    * eq-delete to apply AND whose stats overlap that delete's key
+    * bounds; they rewrite with all deletes applied, then the
+    * equality-delete files retire. */
+  def rewriteEqualityDeletes(spark: SparkSession, root: String): Long = {
+    val snap = state(root)
+    val eqDeletes = snap.files.filter(_.content.contains(2))
+    if (eqDeletes.isEmpty) return snap.snapshotId
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val dataFiles = snap.files.filter(_.isData)
+    // per eq-delete: key bounds → stats-overlap preds; a data file is
+    // affected if it predates the delete and may hold any of its keys
+    val affected = dataFiles.filter { f =>
+      eqDeletes.exists { d =>
+        f.snapshotOfName <= d.snapshotOfName && {
+          val cols = d.eqCols.getOrElse(Seq.empty).filter(c => statsTypes.contains(types(c)))
+          if (cols.isEmpty) true
+          else {
+            val keyDf = spark.read.parquet(s"$root/${d.path}")
+            val aggs = cols.flatMap(c => Seq(min(col(c)).cast("string").as(s"mn_$c"),
+              max(col(c)).cast("string").as(s"mx_$c")))
+            val r = keyDf.agg(aggs.head, aggs.tail: _*).collect().head
+            val preds = cols.flatMap { c =>
+              Option(r.getAs[String](s"mn_$c")).map(Ge(c, _)).toSeq ++
+                Option(r.getAs[String](s"mx_$c")).map(Le(c, _)).toSeq
+            }
+            mayMatch(types, preds)(f)
+          }
+        }
+      }
+    }
+    val id = snap.snapshotId + 1
+    val rewritten = readFiles(spark, root, schema, affected, snap.files.filter(_.isDelete))
+    val adds = writeDataFiles(spark, root, rewritten, id, snap.properties)
+    commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
+      "rewrite_equality_deletes", adds,
+      affected.map(_.path) ++ eqDeletes.map(_.path), Map.empty, None))
     id
   }
 
@@ -979,25 +1059,49 @@ object GraftTable {
     * (the fast path — no extra columns, no join). */
   private def readFiles(spark: SparkSession, root: String, schema: StructType,
       files: Seq[FileEntry], deletes: Seq[FileEntry]): DataFrame =
-    readPaths(spark, root, schema, files.map(_.path), deletes.map(_.path))
+    readPaths(spark, root, schema, files.map(_.path),
+      deletes.map(f => (f.path, f.content.getOrElse(1), f.eqCols.getOrElse(Seq.empty))))
 
+  /** `deletes` = (path, content, eqCols): content=1 position deletes
+    * anti-join on (file, row ordinal); content=2 equality deletes
+    * anti-join null-safely on their key columns, restricted to data
+    * files whose snapshot-id name prefix ≤ the delete's — later
+    * appends are NOT affected (the Iceberg sequence-number rule). */
   private def readPaths(spark: SparkSession, root: String, schema: StructType,
-      dataPaths: Seq[String], deletePaths: Seq[String]): DataFrame =
+      dataPaths: Seq[String], deletes: Seq[(String, Int, Seq[String])]): DataFrame =
     if (dataPaths.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else {
-      val base = spark.read.schema(schema).parquet(dataPaths.map(p => s"$root/$p"): _*)
-      if (deletePaths.isEmpty) base
-      else {
-        val withId = base
-          .withColumn("_gf_path", col("_metadata.file_path"))
-          .withColumn("_gf_pos", col("_metadata.row_index"))
-        val del = spark.read.parquet(deletePaths.map(p => s"$root/$p"): _*)
-          .select(col("file_path").as("_gf_path"), col("pos").as("_gf_pos"))
-          .distinct()   // re-deleting an already-deleted row is a no-op
-        withId.join(del, Seq("_gf_path", "_gf_pos"), "left_anti")
-          .drop("_gf_path", "_gf_pos")
-      }
+    else if (deletes.isEmpty)
+      spark.read.schema(schema).parquet(dataPaths.map(p => s"$root/$p"): _*)
+    else liveRowsWithIds(spark, root, schema, dataPaths, deletes)
+      .drop("_gf_path", "_gf_pos", "_gf_snap")
+
+  /** The MoR read core: data rows with their (_gf_path, _gf_pos,
+    * _gf_snap) identity columns, all delete files already applied. */
+  private def liveRowsWithIds(spark: SparkSession, root: String, schema: StructType,
+      dataPaths: Seq[String], deletes: Seq[(String, Int, Seq[String])]): DataFrame = {
+    val posD = deletes.filter(_._2 == 1)
+    val eqD = deletes.filter(_._2 == 2)
+    var df = spark.read.schema(schema).parquet(dataPaths.map(p => s"$root/$p"): _*)
+      .withColumn("_gf_path", col("_metadata.file_path"))
+      .withColumn("_gf_pos", col("_metadata.row_index"))
+      .withColumn("_gf_snap",
+        regexp_extract(col("_gf_path"), "/(\\d{10})-[^/]*\\.parquet$", 1).cast("long"))
+    if (posD.nonEmpty) {
+      val del = spark.read.parquet(posD.map(d => s"$root/${d._1}"): _*)
+        .select(col("file_path").as("_gf_path"), col("pos").as("_gf_pos"))
+        .distinct()   // re-deleting an already-deleted row is a no-op
+      df = df.join(del, Seq("_gf_path", "_gf_pos"), "left_anti")
     }
+    eqD.foreach { case (p, _, cols) =>
+      val snapId = p.split('/').last.takeWhile(_.isDigit).toLong
+      val keys = spark.read.parquet(s"$root/$p")
+        .select(cols.map(c => col(c).as(s"_gfk_$c")): _*).distinct()
+      val cond = cols.map(c => df(c) <=> keys(s"_gfk_$c")).reduce(_ && _) &&
+        df("_gf_snap") <= lit(snapId)
+      df = df.join(keys, cond, "left_anti")
+    }
+    df
+  }
 
   /** File-skipping scan: drop files whose [min,max] cannot satisfy the
     * predicates, then let Spark push the same predicates into the
@@ -1159,16 +1263,18 @@ object GraftTable {
     // ONE job returns live paths + the (tiny) delete list + the total
     val rows = ckDf
       .withColumn("live", pruneCond)
-      .filter(col("content") === 1 || col("live"))
-      .select(col("path"), col("content"), col("live"))
+      .filter(col("content") =!= 0 || col("live"))
+      .select(col("path"), col("content"), col("live"), col("eqcols"))
       .collect()
     val ckLive = rows.filter(r => r.getInt(1) == 0 && r.getBoolean(2)).map(_.getString(0))
-    val ckDeletes = rows.filter(_.getInt(1) == 1).map(_.getString(0))
+    val ckDeletes = rows.filter(_.getInt(1) != 0)
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[String](3)))
     val tailLive = prunedData(types, spec, preds, tailAdds)
     val dataPaths = ckLive.toSeq ++ tailLive.map(_.path)
-    val deletePaths = ckDeletes.toSeq ++ tailAdds.filter(_.isDelete).map(_.path)
+    val deletes = ckDeletes.toSeq ++ tailAdds.filter(_.isDelete)
+      .map(f => (f.path, f.content.getOrElse(1), f.eqCols.getOrElse(Seq.empty)))
     val totalData = ckDf.filter(col("content") === 0).count() + tailAdds.count(_.isData)
-    val df = applyPreds(readPaths(spark, root, schema, dataPaths, deletePaths), types, preds)
+    val df = applyPreds(readPaths(spark, root, schema, dataPaths, deletes), types, preds)
     ScanPlan(df, totalData, dataPaths.size.toLong, distributed = true)
   }
 
@@ -1389,7 +1495,8 @@ object GraftTable {
     * identical writer is fine. */
   private case class CkptStats(min: Option[String], max: Option[String], nulls: Long)
   private case class CkptEntry(path: String, sizeBytes: Long, records: Long,
-      stats: Map[String, CkptStats], partition: Map[String, String], content: Int)
+      stats: Map[String, CkptStats], partition: Map[String, String], content: Int,
+      eqcols: Seq[String])
 
   private def writeCheckpointArtifacts(root: String, snap: Snapshot): Unit = {
     val schemaJ = snap.schemaJson.orElse(
@@ -1406,7 +1513,7 @@ object GraftTable {
         import spark.implicits._
         val rows = snap.files.map(f => CkptEntry(f.path, f.sizeBytes, f.records,
           f.stats.map { case (n, v) => n -> CkptStats(v.min, v.max, v.nulls) },
-          f.partitionValues, f.content.getOrElse(0)))
+          f.partitionValues, f.content.getOrElse(0), f.eqCols.getOrElse(Seq.empty)))
         val tmp = Paths.get(root, s".ckpt-stage-${UUID.randomUUID()}")
         // keep the list sharded ~100k entries per part file — at
         // millions of files no single task writes the whole manifest

@@ -139,10 +139,12 @@ object LakeOps {
     val c = Tables.customer(s, dir)
     GraftTable.create(s, root, c.schema, Map("write.delete.mode" -> "merge-on-read"))
     GraftTable.append(s, root, c.repartition(4))
-    // two stacked MoR deletes: no data file rewrites, reads anti-join
-    // the position-delete files
+    // two stacked position deletes + one equality delete: no data file
+    // rewrites, reads anti-join the delete files
     GraftTable.deleteWhere(s, root, col("c_acctbal") < 0)
     GraftTable.deleteWhere(s, root, col("c_mktsegment") === lit("BUILDING"))
+    GraftTable.deleteEqualityMoR(s, root,
+      c.filter(col("c_acctbal") > 9990).select(col("c_custkey")))
     GraftTable.read(s, root)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_acctbal"), col("c_mktsegment"))
@@ -192,6 +194,7 @@ object LakeOps {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer
         |WHERE NOT (c_acctbal < 0) AND NOT (c_mktsegment = 'BUILDING')
+        |  AND c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9990)
         |ORDER BY c_custkey""".stripMargin,
 
     "q29_lake_partition_prune" ->

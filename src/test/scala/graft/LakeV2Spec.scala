@@ -118,6 +118,53 @@ class LakeV2Spec extends SparkSpec {
     assert(after.count() == n.count() - 1)
   }
 
+  test("equality delete removes keyed rows from OLD files only; compaction folds it") {
+    val root = freshRoot("eqdelete")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    GraftTable.append(spark, root, n)
+    import spark.implicits._
+    GraftTable.deleteEqualityMoR(spark, root, Seq(1L, 5L, 9L).toDF("n_nationkey"))
+    assert(GraftTable.read(spark, root).count() == n.count() - 3)
+    assert(GraftTable.read(spark, root)
+      .filter(col("n_nationkey").isin(1L, 5L, 9L)).count() == 0)
+    // sequence rule: re-appending key 5 AFTER the delete is NOT deleted
+    GraftTable.append(spark, root, n.filter(col("n_nationkey") === 5))
+    assert(GraftTable.read(spark, root).filter(col("n_nationkey") === 5).count() == 1)
+    assert(GraftTable.read(spark, root).count() == n.count() - 2)
+    // compaction folds the equality delete in; results unchanged
+    val diag0 = GraftTable.describeTable(spark, root).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(diag0("delete_files") == "1")
+    GraftTable.rewriteEqualityDeletes(spark, root)
+    val diag1 = GraftTable.describeTable(spark, root).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(diag1("delete_files") == "0")
+    assert(GraftTable.read(spark, root).count() == n.count() - 2)
+    assert(GraftTable.read(spark, root).filter(col("n_nationkey") === 5).count() == 1)
+  }
+
+  test("position and equality deletes stack; both fold via their rewrites") {
+    val root = freshRoot("mixed-deletes")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema,
+      Map("write.delete.mode" -> "merge-on-read"))
+    GraftTable.append(spark, root, n)
+    GraftTable.deleteWhere(spark, root, col("n_regionkey") === 0)          // position
+    import spark.implicits._
+    GraftTable.deleteEqualityMoR(spark, root, Seq(12L).toDF("n_nationkey")) // equality
+    val want = n.filter(col("n_regionkey") =!= 0 && col("n_nationkey") =!= 12)
+    assert(GraftTable.read(spark, root).except(want).isEmpty
+      && want.except(GraftTable.read(spark, root)).isEmpty)
+    GraftTable.rewritePositionDeletes(spark, root)
+    GraftTable.rewriteEqualityDeletes(spark, root)
+    val diag = GraftTable.describeTable(spark, root).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(diag("delete_files") == "0")
+    assert(GraftTable.read(spark, root).except(want).isEmpty
+      && want.except(GraftTable.read(spark, root)).isEmpty)
+  }
+
   // ── row-level MERGE / UPDATE ────────────────────────────────────────
 
   test("merge upserts: matched keys replaced, unmatched inserted, others untouched") {
