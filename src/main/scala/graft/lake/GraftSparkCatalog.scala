@@ -237,9 +237,21 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 /** A GraftTable surfaced through DSv2. Reads go V1Scan →
   * PrunedFilteredScan (projection + filters reach GraftTable.scan's
   * partition/stats pruning); writes go V1Write → InsertableRelation
-  * (append, or truncate-overwrite for INSERT OVERWRITE). */
+  * (append, or truncate-overwrite for INSERT OVERWRITE); DELETE FROM
+  * and TRUNCATE TABLE route through SupportsDelete onto
+  * GraftTable.deleteWhere, honoring write.delete.mode (CoW rewrite or
+  * a merge-on-read position-delete file). */
 private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[Long])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftRelation.toCondition(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.flatMap(GraftRelation.toCondition)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    GraftTable.deleteWhere(spark, root, cond)
+  }
 
   private def spark: SparkSession =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).get
@@ -361,6 +373,29 @@ private[lake] object GraftRelation {
         }
       case _ => None
     }
+  }
+
+  /** Source filter → full Column condition (for SupportsDelete, where
+    * the WHOLE predicate must translate or we refuse the delete). */
+  def toCondition(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case EqualTo(a, v) => Some(col(a) === org.apache.spark.sql.functions.lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> org.apache.spark.sql.functions.lit(v))
+    case GreaterThan(a, v) => Some(col(a) > org.apache.spark.sql.functions.lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= org.apache.spark.sql.functions.lit(v))
+    case LessThan(a, v) => Some(col(a) < org.apache.spark.sql.functions.lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= org.apache.spark.sql.functions.lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for { lc <- toCondition(l); rc <- toCondition(r) } yield lc && rc
+    case Or(l, r) => for { lc <- toCondition(l); rc <- toCondition(r) } yield lc || rc
+    case Not(c) => toCondition(c).map(!_)
+    case _ => None
   }
 }
 

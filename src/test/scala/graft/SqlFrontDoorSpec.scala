@@ -127,6 +127,29 @@ class SqlFrontDoorSpec extends SparkSpec {
     assert(!Files.isDirectory(Paths.get(root("tmp", "nation_t"), "_graft_log")))
   }
 
+  test("DELETE FROM and TRUNCATE TABLE route through SupportsDelete (CoW and MoR)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
+    // copy-on-write table
+    spark.sql("CREATE TABLE graft.del.cow_t (id BIGINT, grp STRING)")
+    spark.sql("INSERT INTO graft.del.cow_t SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(100)")
+    spark.sql("DELETE FROM graft.del.cow_t WHERE grp = 'a' AND id > 10")
+    // evens 12..98 deleted = 44 rows; 56 remain
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.del.cow_t").head().getLong(0) == 56)
+    // merge-on-read table: DELETE writes a content=1 file, no rewrite
+    spark.sql("""CREATE TABLE graft.del.mor_t (id BIGINT, grp STRING)
+      |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.del.mor_t SELECT id, 'x' FROM range(100)")
+    val dataBefore = spark.sql("SELECT * FROM graft.del.mor_t.files WHERE content = 0").count()
+    spark.sql("DELETE FROM graft.del.mor_t WHERE id < 20")
+    assert(spark.sql("SELECT * FROM graft.del.mor_t.files WHERE content = 0").count() == dataBefore,
+      "MoR DELETE must not rewrite data files")
+    assert(spark.sql("SELECT * FROM graft.del.mor_t.files WHERE content = 1").count() == 1)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.del.mor_t").head().getLong(0) == 80)
+    // TRUNCATE is deleteWhere(true)
+    spark.sql("TRUNCATE TABLE graft.del.cow_t")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.del.cow_t").head().getLong(0) == 0)
+  }
+
   test("identity-partitioned SQL table prunes partition files on read") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.lab2")
     spark.sql("""CREATE TABLE graft.lab2.nation_t (
