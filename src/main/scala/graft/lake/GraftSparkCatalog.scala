@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal => VLiteral, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.functions.{col, lit}
@@ -283,12 +283,30 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+        with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      // DSv2 only pushes projection/filters into a V1Scan when the
+      // ScanBuilder itself implements the push-down interfaces — a
+      // bare builder would read every column of every file and filter
+      // above the scan. Accept everything (returning all filters as
+      // residual, so Spark still re-applies them row-wise) and hand
+      // them to GraftRelation for partition/stats file pruning +
+      // parquet pushdown.
+      private var pushed: Array[Filter] = Array.empty
+      private var required: Option[StructType] = None
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = Some(requiredSchema)
       override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = schema()
+        override def readSchema(): StructType = required.getOrElse(schema())
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
-          new GraftRelation(context, root, asOf).asInstanceOf[T]
+          new GraftRelation(context, root, asOf, pushed,
+            required.map(_.fieldNames)).asInstanceOf[T]
       }
     }
 
@@ -310,21 +328,28 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
 /** V1 relation bridging DSv2 reads onto GraftTable: requiredColumns
   * prune the parquet ReadSchema; pushed filters become stats-pruning
   * predicates (best effort; Spark re-applies every filter above). */
-private[lake] class GraftRelation(ctx: SQLContext, root: String, asOf: Option[Long])
+private[lake] class GraftRelation(ctx: SQLContext, root: String, asOf: Option[Long],
+    pushed: Array[Filter] = Array.empty, requiredCols: Option[Array[String]] = None)
     extends BaseRelation with TableScan with PrunedFilteredScan {
 
   override def sqlContext: SQLContext = ctx
 
-  override val schema: StructType = {
+  private val fullSchema: StructType = {
     val snap = GraftTable.state(root, asOf)
     DataType.fromJson(snap.schemaJson.getOrElse(
       GraftTable.state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
   }
 
-  override def buildScan(): RDD[Row] = buildScan(schema.fieldNames, Array.empty)
+  override val schema: StructType = requiredCols match {
+    case Some(cols) => StructType(cols.flatMap(c => fullSchema.fields.find(_.name == c)))
+    case None => fullSchema
+  }
+
+  override def buildScan(): RDD[Row] =
+    buildScan(requiredCols.getOrElse(fullSchema.fieldNames), pushed)
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val types = fullSchema.fields.map(f => f.name -> f.dataType).toMap
     val preds = filters.flatMap(GraftRelation.toPred(_, types)).toSeq
     val plan = GraftTable.planScan(ctx.sparkSession, root, preds, asOf)
     val projected =

@@ -1,0 +1,22 @@
+package graft
+
+/** Plan-shape guard for the DSv2 → V1 bridge: projection and filters
+  * must reach GraftRelation (and from there planScan's partition/stats
+  * file pruning + the parquet scan). A bare ScanBuilder would silently
+  * read every column of every file — this spec pins the contract. */
+class PlanProbeSpec extends SparkSpec {
+
+  test("DSv2 SQL reads push projection and filters into the Graft scan") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
+    spark.sql("DROP TABLE IF EXISTS graft.p.t")
+    spark.sql("CREATE TABLE graft.p.t (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.p.t SELECT id, id * 1.5 FROM range(1000)")
+    val df = spark.sql("SELECT id FROM graft.p.t WHERE id > 500")
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("GreaterThan(id,500)"),
+      s"filter must be pushed into the scan:\n$p")
+    assert(p.contains("ReadSchema: struct<id:bigint>"),
+      s"projection must prune the read schema to the selected column:\n$p")
+    assert(df.count() == 499)
+  }
+}

@@ -14,6 +14,11 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir", "/root/repo/target/graft-warehouse")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // ONE graft catalog for every suite: Spark caches the catalog
+      // instance per name on first use, so per-suite warehouse
+      // overrides would silently keep the first suite's path
+      .config("spark.sql.catalog.graft", "graft.lake.GraftSparkCatalog")
+      .config("spark.sql.catalog.graft.warehouse", SparkSpec.sqlWarehouse)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -21,6 +26,7 @@ object SparkSpec {
     s
   }
   val sf: String = "/root/testdata/sf0.001"
+  val sqlWarehouse: String = "/root/repo/target/graft-sql-warehouse"
 }
 
 /** Shared independent reconstructions of the md5-derived hash

@@ -16,18 +16,20 @@ import graft.sources.Tables
   * all through `spark.sql(...)`, no Scala API calls on the hot path. */
 class SqlFrontDoorSpec extends SparkSpec {
 
-  private val wh = "/root/repo/target/graft-sql-warehouse"
+  private val wh = SparkSpec.sqlWarehouse
 
   override def beforeAll(): Unit = {
     super.beforeAll()
-    val p = Paths.get(wh)
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally s.close()
+    // clear only THIS suite's namespaces (the warehouse is shared
+    // session-wide; the cached catalog instance keeps its path)
+    Seq("lab", "lab2", "tmp", "del").foreach { ns =>
+      val p = Paths.get(wh, ns)
+      if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally s.close()
+      }
     }
-    spark.conf.set("spark.sql.catalog.graft", "graft.lake.GraftSparkCatalog")
-    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
   }
 
   private def root(ns: String, t: String) = s"$wh/$ns/$t"
