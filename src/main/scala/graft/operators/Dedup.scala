@@ -9,7 +9,16 @@ import graft.sources.Tables
   * SimHash. All hashes route through md5 so every stage is
   * reproducible in any engine (oracle-able), and every stage is a
   * hash-partitioned groupBy/join — no driver state, no N² candidate
-  * space:
+  * space.
+  *
+  * DELIBERATE TRADE: md5 (16 digests per shingle for the minhash
+  * signature) dominates q31's runtime; a cheaper hash family
+  * (xxhash64, murmur3) would be several times faster but could not be
+  * reproduced bit-exactly by the DuckDB oracle. Correctness
+  * verification wins here; a production deployment would swap the
+  * hash family via MinHashHex's digest and re-oracle against itself.
+  *
+  * Stage shapes:
   *
   *  - MinHash: 16 permutations (min of md5(i + ':' + shingle)), banded
   *    2-per-band into 8 LSH bands; only band-signature collisions pair

@@ -190,6 +190,44 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ── q53: repetition rules (Gopher / RefinedWeb family) ──────────────
+  /** The repetition-based quality rules large-scale pipelines run
+    * (public: Gopher appendix A / RefinedWeb §4 rule family): the
+    * fraction of n-gram occurrences that are repeats, the most
+    * frequent token's share, and mean word length. Two hash-partitioned
+    * aggregations (token grain + shingle grain) joined on doc_id —
+    * linear at 100 TB, no UDFs. Ratios divide exact longs, so both
+    * engines produce bit-identical doubles. */
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val base = Tables.documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val tokStats = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"), sum(length(col("tok"))).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_tok"),
+        (sum(col("len")).cast("double") / sum(col("c"))).as("mean_word_len"))
+    val shStats = base
+      .select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
+      .groupBy(col("doc_id"), col("sh"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_shingles"), count(lit(1)).as("n_distinct"))
+    tokStats.join(shStats, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("top_tok").cast("double") / col("n_tokens")).as("top_token_frac"),
+        col("mean_word_len"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_shingles")).as("dup_shingle_frac"))
+      .withColumn("flagged",
+        col("top_token_frac") > lit(0.1) ||
+          col("dup_shingle_frac") > lit(0.3) ||
+          col("mean_word_len") < lit(3.0) || col("mean_word_len") > lit(10.0))
+      .orderBy(col("doc_id"))
+  }
+
   // ── q50: the composed training-data pipeline ────────────────────────
   /** What a pre-training data pipeline actually runs, as ONE plan:
     * quality-filter → exact-dedup (keep lowest doc_id per content
@@ -283,6 +321,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_text_repetition" -> q53 _,
     "q47_decontaminate" -> q47 _,
     "q49_winnow" -> q49 _,
     "q50_pipeline" -> q50 _,
@@ -300,6 +339,30 @@ object TextOps {
     s"CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(${listSql(stopwords.toMap.apply(l))}, t))) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "q53_text_repetition" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),
+        |tg AS (SELECT doc_id, tok, COUNT(*) AS c, SUM(LENGTH(tok)) AS len
+        |       FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |       CAST(MAX(c) AS BIGINT) AS top_tok,
+        |       CAST(SUM(len) AS DOUBLE) / SUM(c) AS mean_word_len
+        |       FROM tg GROUP BY 1),
+        |sh AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        |       FROM (SELECT doc_id, toks, UNNEST(GENERATE_SERIES(1, LEN(toks)-2)) AS i FROM t)),
+        |sg AS (SELECT doc_id, sh, COUNT(*) AS c FROM sh GROUP BY 1, 2),
+        |ss AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_shingles,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct FROM sg GROUP BY 1),
+        |r AS (SELECT ts.doc_id, ts.n_tokens,
+        |       CAST(ts.top_tok AS DOUBLE) / ts.n_tokens AS top_token_frac,
+        |       ts.mean_word_len,
+        |       1.0 - CAST(ss.n_distinct AS DOUBLE) / ss.n_shingles AS dup_shingle_frac
+        |       FROM ts JOIN ss ON ts.doc_id = ss.doc_id)
+        |SELECT doc_id, n_tokens, top_token_frac, mean_word_len, dup_shingle_frac,
+        |  (top_token_frac > 0.1 OR dup_shingle_frac > 0.3
+        |   OR mean_word_len < 3.0 OR mean_word_len > 10.0) AS flagged
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "q51_heavyhitters" ->
       """SELECT event_type, COUNT(*) AS cnt FROM events
         |GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin,

@@ -186,6 +186,38 @@ class StreamingSpec extends SparkSpec {
       && (ids.contains(1L) ^ ids.contains(3L)), s"kept $ids")
   }
 
+  test("streaming dedup with bounded state: dropDuplicatesWithinWatermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the unbounded dropDuplicates state (previous test) grows with
+    // every key ever seen; the watermark variant evicts keys once the
+    // event-time watermark passes them — the 100 TB-stream shape
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(min: Int) = new java.sql.Timestamp(1577836800000L + min * 60000L)
+    val deduped = input.toDS().toDF("ts", "doc_id", "text")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("text")
+    val ckpt = Files.createTempDirectory("graft-wmdedup-ckpt")
+    val q = deduped.writeStream.format("memory").queryName("wmdedup")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.resolve("c").toString)
+      .start()
+    input.addData((ts(0), 1L, "aaa"), (ts(1), 2L, "aaa"), (ts(2), 3L, "bbb"))
+    q.processAllAvailable()
+    assert(spark.table("wmdedup").count() == 2, "duplicate within the watermark dropped")
+    // advance the watermark far past 'aaa' + 10min so its state evicts…
+    input.addData((ts(60), 4L, "ccc"))
+    q.processAllAvailable()
+    // …then the SAME content arrives again: state gone → re-emitted
+    input.addData((ts(61), 5L, "aaa"))
+    q.processAllAvailable()
+    val texts = spark.table("wmdedup").as[(java.sql.Timestamp, Long, String)]
+      .collect().map(_._3).sorted
+    q.stop()
+    assert(texts.count(_ == "aaa") == 2,
+      s"re-seen content after state eviction must re-emit (bounded state), got ${texts.toSeq}")
+  }
+
   test("batch sessionization splits on >30min gaps with per-user ordinals") {
     val sess = Streams.q44(spark, sf)
     val firstUser = sess.limit(1).collect().head
