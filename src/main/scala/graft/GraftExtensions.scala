@@ -17,6 +17,7 @@ import graft.functions.GraftFunctions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new graft.lake.GraftSqlParser(delegate))
+    ext.injectPreCBORule(_ => graft.lake.GraftBroadcastHints)
     def info(name: String, usage: String) =
       new ExpressionInfo("graft.functions.GraftFunctions", null, name, usage, "")
     ext.injectFunction((FunctionIdentifier("graft_dotd"),

@@ -1,0 +1,64 @@
+package graft.lake
+
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, Join, LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.read.SupportsReportStatistics
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation, V1ScanWrapper}
+import org.apache.spark.sql.internal.SQLConf
+
+/** Feed GraftTable's manifest-exact size statistics into join
+  * planning.
+  *
+  * Why a rule: graft reads bridge DSv2 → V1 (V1Scan), and the
+  * optimizer wraps the scan in V1ScanWrapper — which implements only
+  * `Scan`, hiding the scan's SupportsReportStatistics. The relation
+  * then sizes as `spark.sql.defaultSizeInBytes` (= "unknown, huge"),
+  * so a 100-row graft dimension table would sort-merge against a
+  * billion-row fact instead of broadcasting. This preCBO rule (it
+  * runs right after scan push-down, where the wrapper appears)
+  * unwraps the scan, asks it for the post-pruning size, and sets the
+  * join-side BROADCAST hint exactly where stats-based JoinSelection
+  * would have chosen it. User-provided hints always win — the rule
+  * only fills empty hint slots.
+  */
+object GraftBroadcastHints extends Rule[LogicalPlan] {
+
+  /** Size of the side iff it is a pure unary chain (project/filter/…)
+    * over a single graft scan — the shape a dimension access takes.
+    * Anything wider (joins, unions, aggregates) is left to Spark. */
+  private def graftScanSize(p: LogicalPlan): Option[Long] = p match {
+    // preCBO runs BEFORE scan push-down: the leaf is the table-level
+    // DataSourceV2Relation — size the whole table from its manifest
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftSparkTable => Some(t.estimatedSizeBytes)
+      case _ => None
+    }
+    // and tolerate the post-pushdown shape too, should rule ordering
+    // ever change across Spark versions
+    case r: DataSourceV2ScanRelation => r.scan match {
+      case w: V1ScanWrapper => w.v1Scan match {
+        case s: SupportsReportStatistics =>
+          val st = s.estimateStatistics()
+          if (st.sizeInBytes.isPresent) Some(st.sizeInBytes.getAsLong) else None
+        case _ => None
+      }
+      case _ => None
+    }
+    case u: UnaryNode => graftScanSize(u.child)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val threshold = SQLConf.get.autoBroadcastJoinThreshold
+    if (threshold <= 0) return plan   // auto-broadcast disabled: respect it
+    plan.transformUp {
+      case j @ Join(l, r, _, _, hint) =>
+        def fill(existing: Option[HintInfo], side: LogicalPlan): Option[HintInfo] =
+          existing.orElse(
+            graftScanSize(side).filter(_ <= threshold).map(_ => HintInfo(Some(BROADCAST))))
+        val filled = hint.copy(
+          leftHint = fill(hint.leftHint, l), rightHint = fill(hint.rightHint, r))
+        if (filled == hint) j else j.copy(hint = filled)
+    }
+  }
+}

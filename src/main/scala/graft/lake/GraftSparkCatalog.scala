@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal => VLiteral, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.functions.{col, lit}
@@ -264,6 +264,10 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
       GraftTable.state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
   }
 
+  /** Manifest-exact live-data size, for GraftBroadcastHints. */
+  private[lake] def estimatedSizeBytes: Long =
+    GraftTable.statsForScan(spark, root, GraftTable.state(root, asOf), Seq.empty)._1
+
   override def partitioning(): Array[Transform] =
     GraftTable.state(root, asOf).properties.get(GraftTable.specProp)
       .map(GraftTable.parsePartitionSpec).getOrElse(Seq.empty)
@@ -301,12 +305,29 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
       override def pushedFilters(): Array[Filter] = pushed
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = Some(requiredSchema)
-      override def build(): Scan = new V1Scan {
+      override def build(): Scan = new V1Scan with SupportsReportStatistics {
         override def readSchema(): StructType = required.getOrElse(schema())
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
           new GraftRelation(context, root, asOf, pushed,
             required.map(_.fieldNames)).asInstanceOf[T]
+        /** Manifest-exact size/row stats AFTER partition+stats file
+          * pruning on the pushed filters. Without this, a DSv2
+          * relation defaults to "unknown = huge" and a small graft
+          * dim table would never broadcast in a join — the single
+          * most important planner signal a lake format owns. */
+        override def estimateStatistics(): Statistics = {
+          val snap = GraftTable.state(root, asOf)
+          val live = GraftTable.statsForScan(spark, root, snap,
+            pushed.flatMap(GraftRelation.toPred(_,
+              schema().fields.map(f => f.name -> f.dataType).toMap)).toIndexedSeq)
+          new Statistics {
+            override def sizeInBytes(): java.util.OptionalLong =
+              java.util.OptionalLong.of(live._1)
+            override def numRows(): java.util.OptionalLong =
+              java.util.OptionalLong.of(live._2)
+          }
+        }
       }
     }
 

@@ -1213,6 +1213,19 @@ object GraftTable {
     (statsCond +: partConds).reduce(_ && _)
   }
 
+  /** (bytes, rows) of the data files surviving partition+stats pruning
+    * under `preds` — manifest-exact planner statistics (row counts are
+    * pre-delete-file upper bounds, which is the conservative direction
+    * for join sizing). */
+  private[lake] def statsForScan(spark: SparkSession, root: String, snap: Snapshot,
+      preds: Seq[Pred]): (Long, Long) = {
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val live = prunedData(types, tableSpec(snap.properties), preds, snap.files.filter(_.isData))
+    (math.max(1L, live.map(_.sizeBytes).sum), live.map(_.records).sum)
+  }
+
   case class ScanPlan(df: DataFrame, totalFiles: Long, liveFiles: Long, distributed: Boolean)
 
   /** Scan planning that scales with the manifest (SURVEY §5): below

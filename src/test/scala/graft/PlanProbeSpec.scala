@@ -19,4 +19,20 @@ class PlanProbeSpec extends SparkSpec {
       s"projection must prune the read schema to the selected column:\n$p")
     assert(df.count() == 499)
   }
+
+  test("graft tables report manifest-exact stats: small dims broadcast in joins") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
+    spark.sql("DROP TABLE IF EXISTS graft.p.dim")
+    spark.sql("CREATE TABLE graft.p.dim (k BIGINT, name STRING)")
+    spark.sql("INSERT INTO graft.p.dim SELECT id, CONCAT('n', id) FROM range(100)")
+    spark.range(2000000).toDF("k").createOrReplaceTempView("fact_big")
+    val joined = spark.sql(
+      "SELECT f.k, d.name FROM fact_big f JOIN graft.p.dim d ON f.k % 100 = d.k")
+    val p = joined.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // without SupportsReportStatistics the v2 relation sizes as
+    // "unknown = huge" and this join would sort-merge
+    assert(p.contains("BroadcastHashJoin"),
+      s"small graft dim must broadcast:\n$p")
+    assert(joined.count() == 2000000)
+  }
 }
