@@ -282,6 +282,10 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
   override def properties(): util.Map[String, String] =
     GraftTable.state(root, asOf).properties.asJava
 
+  // OVERWRITE_DYNAMIC is deliberately absent: Spark's V1 write
+  // fallback only covers append and overwrite-by-filter, so SQL
+  // INSERT OVERWRITE in dynamic mode would need a native BATCH_WRITE
+  // path. Use GraftTable.overwriteDynamic from the API instead.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)

@@ -631,6 +631,27 @@ object GraftTable {
     id
   }
 
+  /** Dynamic partition overwrite (Iceberg's INSERT OVERWRITE behavior
+    * on partitioned tables): write the incoming rows, then retire
+    * exactly the data files whose partition tuple appears in the new
+    * data — untouched partitions carry over. The partition tuple set
+    * comes from the freshly-written files' own metadata, so no extra
+    * pass over the input. */
+  def overwriteDynamic(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val snap = state(root)
+    require(tableSpec(snap.properties).nonEmpty,
+      "dynamic partition overwrite needs a declared partition spec " +
+        s"($specProp); use overwriteWhere/truncate on unpartitioned tables")
+    val id = snap.snapshotId + 1
+    val adds = writeDataFiles(spark, root, distribute(df, snap.properties), id, snap.properties)
+    val newTuples = adds.flatMap(_.partition).toSet
+    val removes = snap.files.filter(f =>
+      f.isData && f.partition.exists(newTuples.contains))
+    commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
+      "overwrite_dynamic", adds, removes.map(_.path), Map.empty, None))
+    id
+  }
+
   /** DELETE ... WHERE honoring the table's `write.delete.mode`
     * property (reference: the Iceberg table property of the same
     * name): `copy-on-write` (default) rewrites affected files without

@@ -22,7 +22,7 @@ class SqlFrontDoorSpec extends SparkSpec {
     super.beforeAll()
     // clear only THIS suite's namespaces (the warehouse is shared
     // session-wide; the cached catalog instance keeps its path)
-    Seq("lab", "lab2", "tmp", "del").foreach { ns =>
+    Seq("lab", "lab2", "tmp", "del", "dyn").foreach { ns =>
       val p = Paths.get(wh, ns)
       if (Files.exists(p)) {
         val s = Files.walk(p)
@@ -150,6 +150,33 @@ class SqlFrontDoorSpec extends SparkSpec {
     // TRUNCATE is deleteWhere(true)
     spark.sql("TRUNCATE TABLE graft.del.cow_t")
     assert(spark.sql("SELECT COUNT(*) AS c FROM graft.del.cow_t").head().getLong(0) == 0)
+  }
+
+  test("dynamic partition overwrite replaces only the partitions present in the data") {
+    // Scala API (Spark's V1 write fallback covers only append and
+    // overwrite-by-filter, so SQL INSERT OVERWRITE stays static)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dyn")
+    spark.sql("DROP TABLE IF EXISTS graft.dyn.t")
+    spark.sql("CREATE TABLE graft.dyn.t (id BIGINT, region BIGINT) PARTITIONED BY (region)")
+    spark.sql("INSERT INTO graft.dyn.t SELECT id, id % 3 FROM range(30)")
+    import spark.implicits._
+    GraftTable.overwriteDynamic(spark, root("dyn", "t"),
+      spark.range(5).select((col("id") + 100).as("id"), lit(1L).as("region")))
+    // region 1 replaced (10 -> 5 rows); regions 0 and 2 untouched
+    val byRegion = spark.sql(
+      "SELECT region, COUNT(*) AS c FROM graft.dyn.t GROUP BY region ORDER BY region")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byRegion == Map(0L -> 10L, 1L -> 5L, 2L -> 10L), s"got $byRegion")
+    // the snapshot log shows a dynamic overwrite, and time travel by
+    // TIMESTAMP AS OF recovers the pre-overwrite state
+    val ops = spark.sql("SELECT operation FROM graft.dyn.t.snapshots ORDER BY snapshot_id")
+      .collect().map(_.getString(0))
+    assert(ops.last == "overwrite_dynamic")
+    val tsBefore = spark.sql(
+      "SELECT committed_at_ms FROM graft.dyn.t.snapshots WHERE snapshot_id = 1").head().getLong(0)
+    val tsLit = new java.sql.Timestamp(tsBefore).toString   // session TZ is UTC
+    val old = spark.sql(s"SELECT COUNT(*) AS c FROM graft.dyn.t TIMESTAMP AS OF '$tsLit'")
+    assert(old.head().getLong(0) == 30L)
   }
 
   test("identity-partitioned SQL table prunes partition files on read") {
