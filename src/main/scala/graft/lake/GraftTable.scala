@@ -275,6 +275,10 @@ object GraftTable {
     Files.createDirectories(logDir(root))
     Files.createDirectories(dataDir(root))
     require(listCommitIds(root).isEmpty, s"table already exists at $root")
+    // _gp_* stage the partitioned write's derived columns; _gf* carry
+    // MoR row identity through reads — user columns must not collide
+    schema.fieldNames.filter(n => n.startsWith("_gp_") || n.startsWith("_gf")).foreach(n =>
+      throw new IllegalArgumentException(s"column name '$n' uses a reserved graft prefix"))
     val c = Commit(0L, None, System.currentTimeMillis(), "create",
       Seq.empty, Seq.empty, properties, Some(schema.json))
     writeAtomic(commitPath(root, 0L), toJson(c))
@@ -800,7 +804,13 @@ object GraftTable {
     val affected = dataFiles.filter { f =>
       eqDeletes.exists { d =>
         f.snapshotOfName <= d.snapshotOfName && {
-          val cols = d.eqCols.getOrElse(Seq.empty).filter(c => statsTypes.contains(types(c)))
+          // timestamp keys excluded: CAST(ts AS STRING) below renders
+          // formatted text while footer stats store epoch-micros — the
+          // bounds would not be comparable (prune is best-effort, so
+          // skipping them only widens the rewrite set)
+          val cols = d.eqCols.getOrElse(Seq.empty).filter(c =>
+            statsTypes.contains(types(c)) &&
+              types(c) != TimestampType && types(c) != TimestampNTZType)
           if (cols.isEmpty) true
           else {
             val keyDf = spark.read.parquet(s"$root/${d.path}")
