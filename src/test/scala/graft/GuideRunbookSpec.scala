@@ -11,7 +11,9 @@ import graft.lake.{GraftCatalog, GraftTable}
   * SPARK_ICEBERG_GUIDE.md §§3-8.10) executed end to end in order —
   * namespace, tuned table, snapshot-per-insert, small-file explosion,
   * diagnostics, properties, compaction, manifest rewrite, snapshot
-  * expiry, orphan removal, rollback, post-maintenance sanity. */
+  * expiry, orphan removal, rollback, post-maintenance sanity.
+  * This suite drives the SCALA API; SqlFrontDoorSpec re-runs the same
+  * runbook purely through spark.sql (DSv2 catalog + CALL procedures). */
 class GuideRunbookSpec extends SparkSpec {
 
   test("the reference runbook runs end to end against GraftTable") {
