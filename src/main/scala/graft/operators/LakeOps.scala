@@ -166,7 +166,35 @@ object LakeOps {
       .orderBy(col("o_orderkey"))
   }
 
+  // ── q54: the SQL front door end-to-end, oracle-checked ──────────────
+  /** DDL + INSERT + DELETE + partitioned SELECT purely through
+    * spark.sql against the DSv2 catalog (the reference's actual UX),
+    * with a DuckDB oracle recomputing the expected rows from the raw
+    * parquet. The catalog conf is runtime-settable (only the CALL
+    * parser needs spark.sql.extensions, which this query avoids). */
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch("q54-wh")
+    Files.createDirectories(Paths.get(wh))
+    s.conf.set("spark.sql.catalog.graft_v", "graft.lake.GraftSparkCatalog")
+    s.conf.set("spark.sql.catalog.graft_v.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_v.lab")
+    s.sql("DROP TABLE IF EXISTS graft_v.lab.ord")
+    s.sql("""CREATE TABLE graft_v.lab.ord
+      (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+      PARTITIONED BY (o_orderstatus)""")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .createOrReplaceTempView("q54_src")
+    s.sql("INSERT INTO graft_v.lab.ord SELECT * FROM q54_src WHERE o_orderkey % 2 = 0")
+    s.sql("INSERT INTO graft_v.lab.ord SELECT * FROM q54_src WHERE o_orderkey % 2 = 1")
+    s.sql("DELETE FROM graft_v.lab.ord WHERE o_totalprice < 50000")
+    s.sql("""SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM graft_v.lab.ord WHERE o_orderkey % 5 = 0
+      ORDER BY o_orderkey""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_lake_sql" -> q54 _,
     "q23_lake_snapshots" -> q23 _,
     "q24_lake_files" -> q24 _,
     "q25_lake_timetravel" -> q25 _,
@@ -176,6 +204,12 @@ object LakeOps {
     "q29_lake_partition_prune" -> q29 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q54_lake_sql" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE NOT (o_totalprice < 50000) AND o_orderkey % 5 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q27_lake_merge" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
         |src AS (
