@@ -9,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal => VLiteral, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.functions.{col, lit}
@@ -292,7 +293,8 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
-        with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+        with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+        with SupportsPushDownAggregates {
       // DSv2 only pushes projection/filters into a V1Scan when the
       // ScanBuilder itself implements the push-down interfaces — a
       // bare builder would read every column of every file and filter
@@ -309,7 +311,46 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
       override def pushedFilters(): Array[Filter] = pushed
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = Some(requiredSchema)
-      override def build(): Scan = new V1Scan with SupportsReportStatistics {
+      // COUNT(*) with no grouping, no filters, and no delete files is
+      // answered from the manifest's per-file record counts — an O(1)
+      // metadata read instead of a table scan (the classic lake-format
+      // trick; Spark only offers the aggregate when every filter was
+      // fully pushed, and we refuse whenever a residual could change
+      // the count)
+      private var countStarAggs = 0
+      private def canCountStar(agg: Aggregation): Boolean =
+        agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+          agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]) &&
+          pushed.isEmpty &&
+          GraftTable.state(root, asOf).files.forall(_.isData)
+      override def supportCompletePushDown(agg: Aggregation): Boolean = canCountStar(agg)
+      override def pushAggregation(agg: Aggregation): Boolean = {
+        val ok = canCountStar(agg)
+        if (ok) countStarAggs = agg.aggregateExpressions.length
+        ok
+      }
+      override def build(): Scan = if (countStarAggs > 0) buildCountScan() else buildDataScan()
+
+      private def buildCountScan(): Scan = new V1Scan {
+        private val countSchema = StructType((0 until countStarAggs).map(i =>
+          org.apache.spark.sql.types.StructField(s"count_star_$i",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        override def readSchema(): StructType = countSchema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val n = GraftTable.state(root, asOf).files.filter(_.isData).map(_.records).sum
+          val out = org.apache.spark.sql.Row.fromSeq(Seq.fill(countStarAggs)(n))
+          val sch = countSchema
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override val schema: StructType = sch
+            override def buildScan(): RDD[Row] =
+              context.sparkSession.sparkContext.parallelize(Seq(out), 1)
+          }.asInstanceOf[T]
+        }
+      }
+
+      private def buildDataScan(): Scan = new V1Scan with SupportsReportStatistics {
         override def readSchema(): StructType = required.getOrElse(schema())
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =

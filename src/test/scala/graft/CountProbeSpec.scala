@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.GraftTable
+
+/** COUNT(*) metadata pushdown: with no grouping, no filters, and no
+  * delete files, the count comes from the manifest's per-file record
+  * counts — an O(1) metadata read, no parquet scan, no aggregate exec.
+  * Any condition that could change the count (filters, MoR deletes)
+  * must fall back to the real scan. */
+class CountProbeSpec extends SparkSpec {
+
+  test("plain COUNT(*) is answered from the manifest") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
+    spark.sql("DROP TABLE IF EXISTS graft.p.cnt")
+    spark.sql("CREATE TABLE graft.p.cnt (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.p.cnt SELECT id, id * 1.0 FROM range(1234)")
+    val df = spark.sql("SELECT COUNT(*) FROM graft.p.cnt")
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("PushedAggregates: [COUNT(*)]"), s"count must push down:\n$p")
+    assert(df.head().getLong(0) == 1234L)
+    // filtered count must NOT use the manifest (residual filter)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.p.cnt WHERE id > 1000").head().getLong(0) == 233L)
+  }
+
+  test("COUNT(*) falls back to a real scan when MoR delete files exist") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
+    spark.sql("DROP TABLE IF EXISTS graft.p.cntmor")
+    spark.sql("""CREATE TABLE graft.p.cntmor (id BIGINT)
+      |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.p.cntmor SELECT id FROM range(100)")
+    spark.sql("DELETE FROM graft.p.cntmor WHERE id < 10")
+    val df = spark.sql("SELECT COUNT(*) FROM graft.p.cntmor")
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("PushedAggregates"),
+      s"manifest counts are upper bounds under MoR deletes — must not push:\n$p")
+    assert(df.head().getLong(0) == 90L)
+  }
+}
