@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal => VLiteral, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.functions.{col, lit}
@@ -294,7 +294,7 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
         with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-        with SupportsPushDownAggregates {
+        with SupportsPushDownAggregates with SupportsPushDownLimit {
       // DSv2 only pushes projection/filters into a V1Scan when the
       // ScanBuilder itself implements the push-down interfaces — a
       // bare builder would read every column of every file and filter
@@ -329,6 +329,20 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
         if (ok) countStarAggs = agg.aggregateExpressions.length
         ok
       }
+      // LIMIT n on an unfiltered scan: read just enough files to cover
+      // n rows (manifest record counts), not the table — Spark still
+      // applies the limit above, so partial push is always safe. Spark
+      // only offers the limit when every filter was fully pushed,
+      // which for graft means no filters at all; delete files make
+      // per-file counts upper bounds, so we refuse then too.
+      private var limit: Option[Int] = None
+      override def pushLimit(n: Int): Boolean = {
+        val ok = pushed.isEmpty && GraftTable.state(root, asOf).files.forall(_.isData)
+        if (ok) limit = Some(n)
+        ok   // true = partially pushed (Spark keeps its own limit)
+      }
+      override def isPartiallyPushed: Boolean = true
+
       override def build(): Scan = if (countStarAggs > 0) buildCountScan() else buildDataScan()
 
       private def buildCountScan(): Scan = new V1Scan {
@@ -355,7 +369,7 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
           new GraftRelation(context, root, asOf, pushed,
-            required.map(_.fieldNames)).asInstanceOf[T]
+            required.map(_.fieldNames), limit).asInstanceOf[T]
         /** Manifest-exact size/row stats AFTER partition+stats file
           * pruning on the pushed filters. Without this, a DSv2
           * relation defaults to "unknown = huge" and a small graft
@@ -395,7 +409,8 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
   * prune the parquet ReadSchema; pushed filters become stats-pruning
   * predicates (best effort; Spark re-applies every filter above). */
 private[lake] class GraftRelation(ctx: SQLContext, root: String, asOf: Option[Long],
-    pushed: Array[Filter] = Array.empty, requiredCols: Option[Array[String]] = None)
+    pushed: Array[Filter] = Array.empty, requiredCols: Option[Array[String]] = None,
+    limitHint: Option[Int] = None)
     extends BaseRelation with TableScan with PrunedFilteredScan {
 
   override def sqlContext: SQLContext = ctx
@@ -417,12 +432,19 @@ private[lake] class GraftRelation(ctx: SQLContext, root: String, asOf: Option[Lo
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val types = fullSchema.fields.map(f => f.name -> f.dataType).toMap
     val preds = filters.flatMap(GraftRelation.toPred(_, types)).toSeq
-    val plan = GraftTable.planScan(ctx.sparkSession, root, preds, asOf)
+    val df = (limitHint, preds) match {
+      case (Some(n), Nil) =>
+        // pushed LIMIT on an unfiltered, delete-free scan: read just
+        // enough files (manifest counts) to cover n rows; Spark's own
+        // limit still applies above, so partial coverage is safe
+        GraftTable.readFirstFiles(ctx.sparkSession, root, n.toLong, asOf)
+      case _ => GraftTable.planScan(ctx.sparkSession, root, preds, asOf).df
+    }
     val projected =
       if (requiredColumns.isEmpty)
         // COUNT(*)-style scans: no columns needed, keep a 0-col frame
-        plan.df.select()
-      else plan.df.select(requiredColumns.map(col).toIndexedSeq: _*)
+        df.select()
+      else df.select(requiredColumns.map(col).toIndexedSeq: _*)
     projected.rdd
   }
 }

@@ -1244,6 +1244,24 @@ object GraftTable {
     (statsCond +: partConds).reduce(_ && _)
   }
 
+  /** Read only enough data files to cover `n` rows (manifest record
+    * counts), in path order — the file-subset side of a pushed LIMIT.
+    * Caller must ensure the table has no delete files (counts would be
+    * upper bounds) and must still apply its own limit above. */
+  private[lake] def readFirstFiles(spark: SparkSession, root: String, n: Long,
+      asOf: Option[Long] = None): DataFrame = {
+    val snap = state(root, asOf)
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    var cum = 0L
+    val subset = snap.files.filter(_.isData).takeWhile { f =>
+      val need = cum < n
+      cum += f.records
+      need
+    }
+    readFiles(spark, root, schema, subset, Seq.empty)
+  }
+
   /** (bytes, rows) of the data files surviving partition+stats pruning
     * under `preds` — manifest-exact planner statistics (row counts are
     * pre-delete-file upper bounds, which is the conservative direction

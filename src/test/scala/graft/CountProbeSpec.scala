@@ -24,6 +24,21 @@ class CountProbeSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM graft.p.cnt WHERE id > 1000").head().getLong(0) == 233L)
   }
 
+  test("pushed LIMIT reads a file subset, not the table") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
+    spark.sql("DROP TABLE IF EXISTS graft.p.lim")
+    spark.sql("CREATE TABLE graft.p.lim (id BIGINT)")
+    // 4 appends → ≥4 files with known record counts
+    (0 until 4).foreach(i =>
+      spark.sql(s"INSERT INTO graft.p.lim SELECT id + ${i * 1000} FROM range(1000)"))
+    val df = spark.sql("SELECT * FROM graft.p.lim LIMIT 10")
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("PushedLimit"), s"limit must push into the scan:\n$p")
+    assert(df.count() == 10)
+    // full reads are unaffected
+    assert(spark.sql("SELECT COUNT(*) FROM graft.p.lim").head().getLong(0) == 4000L)
+  }
+
   test("COUNT(*) falls back to a real scan when MoR delete files exist") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
     spark.sql("DROP TABLE IF EXISTS graft.p.cntmor")
