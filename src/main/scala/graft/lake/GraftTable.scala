@@ -232,6 +232,18 @@ object GraftTable {
       .filter(_.matches("ckptfiles-\\d+\\.parquet"))
       .map(_.stripPrefix("ckptfiles-").stripSuffix(".parquet").toLong).sorted
 
+  /** Replay cache: one SQL query touches state() several times
+    * (schema, stats, pushdown checks, the scan itself) and each replay
+    * is O(files) JSON parsing — at a million files that IS the planning
+    * cost. Key = (root, target, latest id, latest-commit size+mtime):
+    * any new commit changes the key; the size+mtime component guards
+    * against a table dropped and re-created at the same path with the
+    * same commit count (same-id different content). Checkpoints and
+    * snapshot expiry never change a surviving snapshot's replay
+    * result, so they don't need to invalidate. */
+  private val stateCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long, Long), Snapshot]()
+
   /** Replay the log (from the newest checkpoint ≤ asOf) to the state
     * at snapshot `asOf` (default: latest). */
   def state(root: String, asOf: Option[Long] = None): Snapshot = {
@@ -240,6 +252,18 @@ object GraftTable {
     val target = asOf.getOrElse(ids.max)
     require(ids.contains(target),
       s"snapshot $target not in log (expired or never existed); have ${ids.min}..${ids.max}")
+    val latest = commitPath(root, ids.max)
+    val key = (root, target, ids.max,
+      Files.size(latest), Files.getLastModifiedTime(latest).toMillis)
+    val cached = stateCache.get(key)
+    if (cached != null) return cached
+    val computed = replayState(root, ids, target)
+    if (stateCache.size > 256) stateCache.clear()   // bounded, rebuild on demand
+    stateCache.put(key, computed)
+    computed
+  }
+
+  private def replayState(root: String, ids: Seq[Long], target: Long): Snapshot = {
     val ckpt = listCheckpointIds(root).filter(_ <= target).sorted.lastOption
     var files = Map.empty[String, FileEntry]
     var props = Map.empty[String, String]
