@@ -253,8 +253,10 @@ object GraftTable {
     require(ids.contains(target),
       s"snapshot $target not in log (expired or never existed); have ${ids.min}..${ids.max}")
     val latest = commitPath(root, ids.max)
-    val key = (root, target, ids.max,
-      Files.size(latest), Files.getLastModifiedTime(latest).toMillis)
+    // nanosecond mtime: a drop-and-recreate of a same-schema table can
+    // produce a same-size commit 0 within the same MILLIsecond
+    val key = (root, target, ids.max, Files.size(latest),
+      Files.getLastModifiedTime(latest).to(java.util.concurrent.TimeUnit.NANOSECONDS))
     val cached = stateCache.get(key)
     if (cached != null) return cached
     val computed = replayState(root, ids, target)
