@@ -228,6 +228,36 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ── q55: sequence-packing stats (training-batch planning) ───────────
+  /** How many training sequences a corpus fills at a given context
+    * length — the question every pre-training data plan starts with.
+    * Two packing models per source: concatenate-and-chunk (total
+    * tokens / L) and one-doc-per-sequence padding (Σ ceil(n/L)), plus
+    * the padding waste between them. One narrow map + one aggregation;
+    * all ratios divide exact longs. */
+  private val seqLen = 2048L
+
+  def q55(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        size(regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0)))
+          .cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        // DIV keeps the arithmetic integer-exact in both engines
+        sum(expr(s"(n + ${seqLen - 1}) DIV $seqLen")).as("padded_seqs"))
+      .withColumn("mean_tokens_per_doc",
+        col("total_tokens").cast("double") / col("n_docs"))
+      .withColumn("packed_seqs", expr(s"total_tokens DIV $seqLen"))
+      .withColumn("pad_waste_frac",
+        lit(1.0) - col("total_tokens").cast("double") / (col("padded_seqs") * lit(seqLen)))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("mean_tokens_per_doc"), col("packed_seqs"), col("padded_seqs"),
+        col("pad_waste_frac"))
+      .orderBy(col("source"))
+
   // ── q50: the composed training-data pipeline ────────────────────────
   /** What a pre-training data pipeline actually runs, as ONE plan:
     * quality-filter → exact-dedup (keep lowest doc_id per content
@@ -321,6 +351,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_seq_packing" -> q55 _,
     "q53_text_repetition" -> q53 _,
     "q47_decontaminate" -> q47 _,
     "q49_winnow" -> q49 _,
@@ -339,6 +370,21 @@ object TextOps {
     s"CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(${listSql(stopwords.toMap.apply(l))}, t))) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "q55_seq_packing" ->
+      s"""WITH t AS (SELECT source,
+         |    CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '$bpePattern')) AS BIGINT) AS n
+         |  FROM documents),
+         |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n) AS BIGINT) AS total_tokens,
+         |    CAST(SUM((n + ${seqLen - 1}) // $seqLen) AS BIGINT) AS padded_seqs
+         |  FROM t GROUP BY source)
+         |SELECT source, n_docs, total_tokens,
+         |  CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens_per_doc,
+         |  total_tokens // $seqLen AS packed_seqs,
+         |  padded_seqs,
+         |  1.0 - CAST(total_tokens AS DOUBLE) / (padded_seqs * $seqLen) AS pad_waste_frac
+         |FROM g ORDER BY source""".stripMargin,
+
     "q53_text_repetition" ->
       """WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
         |tok AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),

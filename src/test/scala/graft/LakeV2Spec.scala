@@ -165,6 +165,50 @@ class LakeV2Spec extends SparkSpec {
       && want.except(GraftTable.read(spark, root)).isEmpty)
   }
 
+  test("concurrent MoR delete and append serialize or fail loudly, never corrupt") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val root = freshRoot("mor-race")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema,
+      Map("write.delete.mode" -> "merge-on-read"))
+    GraftTable.append(spark, root, n)
+    val del = Future(
+      try Right(GraftTable.deleteWhereMoR(spark, root, col("n_regionkey") === 0))
+      catch { case e: IllegalStateException => Left(e) })
+    val app = Future(
+      try Right(GraftTable.append(spark, root,
+        n.filter(col("n_nationkey") === 0)
+          .withColumn("n_nationkey", lit(900L))
+          // must NOT match the racing delete's predicate, or the row
+          // count would depend on commit interleaving
+          .withColumn("n_regionkey", lit(99L))))
+      catch { case e: IllegalStateException => Left(e) })
+    val (dr, ar) = (Await.result(del, 2.minutes), Await.result(app, 2.minutes))
+    // at least one side must land; a loser must fail loudly, not silently
+    assert(dr.isRight || ar.isRight)
+    // the log replays cleanly and every delete file on disk is
+    // referenced by the current snapshot (losers cleaned their stage)
+    val snap = GraftTable.state(root)
+    val referenced = snap.files.filter(_.isDelete).map(_.path.split('/').last).toSet
+    val onDisk = java.nio.file.Files.list(Paths.get(root, "deletes"))
+    val diskNames = try onDisk.iterator().asScala.map(_.getFileName.toString).toSet
+      finally onDisk.close()
+    assert(diskNames.subsetOf(referenced),
+      s"unreferenced delete files left behind: ${diskNames -- referenced}")
+    // row-level outcome matches whichever commits landed
+    val rows = GraftTable.read(spark, root)
+    val base = n.count()
+    val expected = (dr.isRight, ar.isRight) match {
+      case (true, true) => base - n.filter(col("n_regionkey") === 0).count() + 1
+      case (true, false) => base - n.filter(col("n_regionkey") === 0).count()
+      case (false, true) => base + 1
+      case _ => base
+    }
+    assert(rows.count() == expected, s"delete=$dr append=$ar")
+  }
+
   // ── row-level MERGE / UPDATE ────────────────────────────────────────
 
   test("merge upserts: matched keys replaced, unmatched inserted, others untouched") {
