@@ -25,7 +25,12 @@ object Bench {
       // a throwing query must not masquerade as a fast success: record
       // the failure and emit -1 as its duration instead of folding the
       // partial elapsed time into the totals
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try { fn(spark, sfDir).count(); true } catch { case t: Throwable =>
+        // stderr is outside the driver's JSON contract — keep the
+        // evidence for diagnosing intermittent failures
+        System.err.println(s"[bench] $name failed: $t")
+        false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // isolate queries: one query's cached intermediates must not
       // occupy (or evict) storage memory while later ones run

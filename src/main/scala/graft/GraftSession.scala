@@ -30,4 +30,16 @@ object GraftSession {
     init(spark, sfDir)
     spark.sql(query)
   }
+
+  /** Install the lake catalog on a running session: after this,
+    * `spark.sql("CREATE TABLE graft.ns.t ...")` etc. work (the
+    * `CALL graft_system.*` grammar additionally needs
+    * `spark.sql.extensions=graft.GraftExtensions` at session build,
+    * since parsers cannot be injected post-creation). */
+  def initLake(spark: SparkSession, warehouse: String): SparkSession = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.lake.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", warehouse)
+    spark
+  }
 }
