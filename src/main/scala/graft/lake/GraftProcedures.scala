@@ -119,9 +119,20 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
     val root = GraftProcedures.resolveRoot(spark, required("table", "arg0"))
     proc match {
       case "rewrite_data_files" =>
-        val id = GraftTable.rewriteDataFiles(spark, root,
-          targetFileSizeBytes = arg("target_file_size_bytes", "arg1").map(_.toLong).getOrElse(-1L),
-          minInputFiles = arg("min_input_files", "arg2").map(_.toInt).getOrElse(2))
+        val tfs = arg("target_file_size_bytes").map(_.toLong).getOrElse(-1L)
+        val id = arg("strategy") match {
+          case Some("sort") =>
+            val cols = arg("sort_order").getOrElse(throw new IllegalArgumentException(
+              "strategy => 'sort' needs sort_order => 'c1,c2,...'"))
+              .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            GraftTable.rewriteDataFilesSorted(spark, root, cols, tfs)
+          case Some(other) if other != "binpack" =>
+            throw new IllegalArgumentException(s"unknown strategy '$other' (binpack|sort)")
+          case _ =>
+            GraftTable.rewriteDataFiles(spark, root, targetFileSizeBytes =
+              arg("target_file_size_bytes", "arg1").map(_.toLong).getOrElse(-1L),
+              minInputFiles = arg("min_input_files", "arg2").map(_.toInt).getOrElse(2))
+        }
         Seq(Row(s"snapshot_id=$id"))
       case "rewrite_manifests" =>
         Seq(Row(s"snapshot_id=${GraftTable.rewriteManifests(root)}"))

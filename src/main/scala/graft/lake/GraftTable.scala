@@ -1562,6 +1562,41 @@ object GraftTable {
     id
   }
 
+  /** Sort-based rewrite — rewrite_data_files(strategy => 'sort')
+    * (the Iceberg sibling): rewrite ALL live data rows range-
+    * partitioned and sorted on `sortCols`, sized to the target file
+    * size. Each output file then covers a tight, disjoint range of
+    * the sort key, so stats pruning on those columns skips all but
+    * the matching files — the remedy when appends interleaved a key
+    * across every file. Applies live delete files while rewriting
+    * and retires them in the same commit. */
+  def rewriteDataFilesSorted(spark: SparkSession, root: String,
+      sortCols: Seq[String], targetFileSizeBytes: Long = -1L): Long = {
+    val snap = state(root)
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    require(sortCols.nonEmpty && sortCols.forall(schema.fieldNames.contains),
+      s"bad sort columns: $sortCols")
+    val dataFiles = snap.files.filter(_.isData)
+    if (dataFiles.isEmpty) return snap.snapshotId
+    val deletes = snap.files.filter(_.isDelete)
+    val target =
+      if (targetFileSizeBytes > 0) targetFileSizeBytes
+      else snap.properties.get("write.target-file-size-bytes")
+        .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val nOut = math.max(1,
+      math.ceil(dataFiles.map(_.sizeBytes).sum.toDouble / target).toInt)
+    val id = snap.snapshotId + 1
+    val sorted = readFiles(spark, root, schema, dataFiles, deletes)
+      .repartitionByRange(nOut, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    val adds = writeDataFiles(spark, root, sorted, id, snap.properties)
+    commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
+      "rewrite_data_files_sorted", adds,
+      dataFiles.map(_.path) ++ deletes.map(_.path), Map.empty, None))
+    id
+  }
+
   /** Metadata compaction — rewrite_manifests (reference:
     * SPARK_ICEBERG_GUIDE.md §8.4): collapse the commit history into a
     * checkpoint so readers replay O(1) files instead of O(commits). */

@@ -269,6 +269,33 @@ class LakeV2Spec extends SparkSpec {
       .except(n.filter(col("n_regionkey") =!= 2)).isEmpty)
   }
 
+  test("sort rewrite restores pruning power on an interleaved key") {
+    val root = freshRoot("sortrw")
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    GraftTable.create(spark, root, o.schema)
+    // 4 modulo appends interleave every key range across every file:
+    // a key-range scan can prune nothing
+    (0 until 4).foreach(i =>
+      GraftTable.append(spark, root, o.filter(col("o_orderkey") % 4 === i)))
+    val maxKey = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    val pred = Seq(GraftTable.Gt("o_orderkey", (maxKey - 20).toString))
+    val (_, t0, l0) = GraftTable.scan(spark, root, pred)
+    assert(l0 == t0, "interleaved files: nothing prunable")
+    // sort-rewrite on the key → tight disjoint per-file ranges
+    // (driven through CALL with an absolute table path, covering the
+    // procedure's path-resolution branch too)
+    spark.sql(s"CALL graft_system.rewrite_data_files(table => '$root', " +
+      "strategy => 'sort', sort_order => 'o_orderkey', target_file_size_bytes => 16384)")
+    val (df, t1, l1) = GraftTable.scan(spark, root, pred)
+    assert(t1 > 1, "sort rewrite must produce multiple files")
+    assert(l1 < t1, s"sorted files must prune (live=$l1 total=$t1)")
+    assert(df.count() == o.filter(col("o_orderkey") > maxKey - 20).count())
+    // row-level content unchanged
+    assert(GraftTable.read(spark, root).except(o).isEmpty
+      && o.except(GraftTable.read(spark, root)).isEmpty)
+  }
+
   // ── metadata views ──────────────────────────────────────────────────
 
   test("partitions/manifests/refs metadata views reflect table state") {
