@@ -1422,9 +1422,21 @@ object GraftTable {
 
   def filesTable(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    state(root, asOf).files
-      .map(f => (f.path, f.sizeBytes, f.records, f.content.getOrElse(0), partString(f)))
-      .toDF("file_path", "file_size_in_bytes", "record_count", "content", "partition")
+    // when a parquet checkpoint exists at exactly this snapshot, the
+    // file list IS that parquet — the metadata table scales like the
+    // data (no driver materialization of millions of entries)
+    val ids = listCommitIds(root)
+    val target = asOf.getOrElse(if (ids.nonEmpty) ids.max else -1L)
+    if (listCkptFilesIds(root).contains(target))
+      spark.read.parquet(logDir(root).resolve(s"ckptfiles-$target.parquet").toString)
+        .select(col("path").as("file_path"), col("sizeBytes").as("file_size_in_bytes"),
+          col("records").as("record_count"), col("content"),
+          array_join(transform(array_sort(map_keys(col("partition"))),
+            k => concat(k, lit("="), element_at(col("partition"), k))), "/").as("partition"))
+    else
+      state(root, asOf).files
+        .map(f => (f.path, f.sizeBytes, f.records, f.content.getOrElse(0), partString(f)))
+        .toDF("file_path", "file_size_in_bytes", "record_count", "content", "partition")
   }
 
   /** `.partitions` metadata view (the Iceberg sibling): one row per

@@ -314,6 +314,16 @@ class LakeV2Spec extends SparkSpec {
     val refs = GraftTable.refsTable(spark, root).collect()
     assert(refs.length == 1 && refs.head.getString(0) == "main"
       && refs.head.getLong(2) == GraftTable.latestSnapshotId(root))
+    // after the checkpoint, .files serves from the parquet file list —
+    // identical content to the driver replay
+    val fromCkpt = GraftTable.filesTable(spark, root)
+      .orderBy("file_path").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4)))
+    val fromReplay = GraftTable.state(root).files.sortBy(_.path).map(f =>
+      (f.path, f.sizeBytes, f.records, f.content.getOrElse(0),
+        f.partitionValues.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")))
+    assert(fromCkpt.toSeq == fromReplay,
+      "checkpoint-served and replay-served .files must agree")
   }
 
   // ── distributed planning ────────────────────────────────────────────
