@@ -825,31 +825,34 @@ object GraftTable {
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     val dataFiles = snap.files.filter(_.isData)
-    // per eq-delete: key bounds → stats-overlap preds; a data file is
-    // affected if it predates the delete and may hold any of its keys
-    val affected = dataFiles.filter { f =>
-      eqDeletes.exists { d =>
-        f.snapshotOfName <= d.snapshotOfName && {
-          // timestamp keys excluded: CAST(ts AS STRING) below renders
-          // formatted text while footer stats store epoch-micros — the
-          // bounds would not be comparable (prune is best-effort, so
-          // skipping them only widens the rewrite set)
-          val cols = d.eqCols.getOrElse(Seq.empty).filter(c =>
-            statsTypes.contains(types(c)) &&
-              types(c) != TimestampType && types(c) != TimestampNTZType)
-          if (cols.isEmpty) true
-          else {
-            val keyDf = spark.read.parquet(s"$root/${d.path}")
-            val aggs = cols.flatMap(c => Seq(min(col(c)).cast("string").as(s"mn_$c"),
-              max(col(c)).cast("string").as(s"mx_$c")))
-            val r = keyDf.agg(aggs.head, aggs.tail: _*).collect().head
-            val preds = cols.flatMap { c =>
-              Option(r.getAs[String](s"mn_$c")).map(Ge(c, _)).toSeq ++
-                Option(r.getAs[String](s"mx_$c")).map(Le(c, _)).toSeq
-            }
-            mayMatch(types, preds)(f)
+    // key bounds per delete file, computed ONCE (not per data file!) —
+    // timestamp keys excluded: CAST(ts AS STRING) renders formatted
+    // text while footer stats store epoch-micros, so those bounds
+    // would not be comparable (prune is best-effort; skipping a column
+    // only widens the rewrite set)
+    val deleteBounds: Seq[(Long, Seq[Pred])] = eqDeletes.map { d =>
+      val cols = d.eqCols.getOrElse(Seq.empty).filter(c =>
+        statsTypes.contains(types(c)) &&
+          types(c) != TimestampType && types(c) != TimestampNTZType)
+      val preds =
+        if (cols.isEmpty) Seq.empty[Pred]
+        else {
+          val aggs = cols.flatMap(c => Seq(min(col(c)).cast("string").as(s"mn_$c"),
+            max(col(c)).cast("string").as(s"mx_$c")))
+          val r = spark.read.parquet(s"$root/${d.path}")
+            .agg(aggs.head, aggs.tail: _*).collect().head
+          cols.flatMap { c =>
+            Option(r.getAs[String](s"mn_$c")).map(Ge(c, _)).toSeq ++
+              Option(r.getAs[String](s"mx_$c")).map(Le(c, _)).toSeq
           }
         }
+      (d.snapshotOfName, preds)
+    }
+    // a data file is affected if it predates some eq-delete and may
+    // hold any of that delete's keys
+    val affected = dataFiles.filter { f =>
+      deleteBounds.exists { case (delSnap, preds) =>
+        f.snapshotOfName <= delSnap && mayMatch(types, preds)(f)
       }
     }
     val id = snap.snapshotId + 1
@@ -1759,7 +1762,18 @@ object GraftTable {
       .filter { case (d, p) => !referenced.contains(s"$d/${p.getFileName}") }
       .filter { case (_, p) => Files.getLastModifiedTime(p).toMillis < olderThanMs }
     if (!dryRun) orphans.foreach { case (_, p) => Files.deleteIfExists(p) }
-    orphans.map { case (d, p) => s"$d/${p.getFileName}" }
+    // crashed writers can also leave whole .stage-*/.ckpt-stage-* dirs
+    // at the root — sweep them past the same horizon
+    val staleStages = listDir(Paths.get(root))
+      .filter(p => Files.isDirectory(p) &&
+        (p.getFileName.toString.startsWith(".stage-") ||
+          p.getFileName.toString.startsWith(".ckpt-stage-")))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < olderThanMs)
+    if (!dryRun) staleStages.foreach { p =>
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    orphans.map { case (d, p) => s"$d/${p.getFileName}" } ++
+      staleStages.map(p => p.getFileName.toString)
   }
 
   /** rollback_to_snapshot (reference: SPARK_ICEBERG_GUIDE.md §8.8):
