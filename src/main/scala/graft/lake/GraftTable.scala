@@ -1320,6 +1320,8 @@ object GraftTable {
     val ids = listCommitIds(root)
     require(ids.nonEmpty, s"not a GraftTable (empty log): $root")
     val target = asOf.getOrElse(ids.max)
+    require(ids.contains(target),   // same loud contract as state()
+      s"snapshot $target not in log (expired or never existed); have ${ids.min}..${ids.max}")
     val ck = listCkptFilesIds(root).filter(_ <= target).sorted.lastOption
     val metaOpt = ck.map(k =>
       parseCommit(Files.readString(logDir(root).resolve(s"ckptmeta-$k.json"))))
