@@ -22,7 +22,12 @@ import graft.sources.Tables
 object LakeOps {
 
   private def scratch(name: String): String = {
-    val p = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-lake", name)
+    // per-PROCESS scratch root: Verify and Bench may run concurrently
+    // on the same box, and a shared path would let one process delete
+    // the other's staged writes mid-query (observed as an intermittent
+    // q26 failure)
+    val p = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-lake-${ProcessHandle.current().pid()}", name)
     if (Files.exists(p)) {
       val s = Files.walk(p)
       try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))

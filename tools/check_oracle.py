@@ -28,6 +28,12 @@ def norm(df):
     return sorted(rows), sorted(df.columns)
 
 fails = []
+# a query that THREW in Verify writes no dir at all — catch the absence
+qlist_path = os.path.join(out_dir, "queries.json")
+if os.path.exists(qlist_path):
+    for name in json.load(open(qlist_path)):
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            fails.append((name, "query wrote no output (failed in Verify)"))
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
