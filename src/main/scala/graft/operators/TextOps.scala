@@ -258,6 +258,29 @@ object TextOps {
         col("pad_waste_frac"))
       .orderBy(col("source"))
 
+  // ── q56: deterministic stratified sampling (mixture weights) ────────
+  /** Per-source sampling at different rates — the data-mixing step of
+    * every pre-training recipe (e.g. upweight curated sources,
+    * downsample crawl). Membership is a pure function of the document
+    * id: keep iff the first 8 hex digits of md5(doc_id) fall below the
+    * rate's 32-bit threshold, compared AS STRINGS (fixed-length
+    * lowercase hex compares identically in every engine — no float
+    * arithmetic, no RNG state). Fully reshardable and reproducible at
+    * any scale; here even-numbered sources sample at 25%, odd at 75%. */
+  def q56(s: SparkSession, dir: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    val threshold = when(pmod(srcNum, lit(2)) === 0, lit("40000000"))   // 0.25 * 2^32
+      .otherwise(lit("c0000000"))                                      // 0.75 * 2^32
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        (substring(md5(col("doc_id").cast("string")), 1, 8) < threshold).as("kept"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept").cast("long")).as("n_kept"))
+      .withColumn("kept_frac", col("n_kept").cast("double") / col("n_docs"))
+      .orderBy(col("source"))
+  }
+
   // ── q50: the composed training-data pipeline ────────────────────────
   /** What a pre-training data pipeline actually runs, as ONE plan:
     * quality-filter → exact-dedup (keep lowest doc_id per content
@@ -351,6 +374,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_sample_mix" -> q56 _,
     "q55_seq_packing" -> q55 _,
     "q53_text_repetition" -> q53 _,
     "q47_decontaminate" -> q47 _,
@@ -370,6 +394,20 @@ object TextOps {
     s"CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(${listSql(stopwords.toMap.apply(l))}, t))) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "q56_sample_mix" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CASE WHEN CAST(REGEXP_EXTRACT(source, '(\d+)', 1) AS INT) % 2 = 0
+        |         THEN '40000000' ELSE 'c0000000' END AS threshold
+        |  FROM documents),
+        |k AS (SELECT source,
+        |    CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) < threshold
+        |         THEN 1 ELSE 0 END AS kept
+        |  FROM t)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS kept_frac
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
     "q55_seq_packing" ->
       s"""WITH t AS (SELECT source,
          |    CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '$bpePattern')) AS BIGINT) AS n
