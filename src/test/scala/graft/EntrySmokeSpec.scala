@@ -1,0 +1,7 @@
+package graft
+/** Mirror of the driver's smoke check: entry() returns rows > 0. */
+class EntrySmokeSpec extends SparkSpec {
+  test("SparkEntry.entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
