@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, Join, LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, GlobalLimit, HintInfo, Join, LocalLimit, LogicalPlan, Project, Sort, SubqueryAlias, UnaryNode}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.read.SupportsReportStatistics
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation, V1ScanWrapper}
@@ -44,8 +44,18 @@ object GraftBroadcastHints extends Rule[LogicalPlan] {
       }
       case _ => None
     }
-    case u: UnaryNode => graftScanSize(u.child)
+    // only walk through row-preserving / row-reducing nodes: a
+    // Generate (explode) or Expand above the scan multiplies rows, so
+    // the manifest size under it no longer bounds the join-side size —
+    // stamping BROADCAST from it could blow executor memory
+    case u: UnaryNode if rowBounded(u) => graftScanSize(u.child)
     case _ => None
+  }
+
+  private def rowBounded(u: UnaryNode): Boolean = u match {
+    case _: Project | _: Filter | _: SubqueryAlias | _: Sort |
+         _: GlobalLimit | _: LocalLimit => true
+    case _ => false
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

@@ -149,9 +149,14 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         }
         Seq(Row(s"retained_through=${GraftTable.latestSnapshotId(root)}"))
       case "remove_orphan_files" =>
+        // default horizon = now - 3 days (Iceberg's default, for the
+        // same reason): a concurrent writer stages data files BEFORE
+        // its commit JSON lands, so sweeping up to "now" would delete
+        // an in-flight commit's files out from under it. Sweeping
+        // recent files requires an explicit older_than_ms.
         val orphans = GraftTable.removeOrphanFiles(root,
           olderThanMs = arg("older_than_ms", "arg1").map(_.toLong)
-            .getOrElse(System.currentTimeMillis()),
+            .getOrElse(System.currentTimeMillis() - 3L * 24 * 3600 * 1000),
           dryRun = arg("dry_run", "arg2").exists(_.toBoolean))
         if (orphans.isEmpty) Seq(Row("removed=0")) else orphans.map(Row(_))
       case "rollback_to_snapshot" =>

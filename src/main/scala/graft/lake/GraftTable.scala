@@ -1072,7 +1072,19 @@ object GraftTable {
         pv.get(t.label) match {
           case None => true                    // file predates the spec
           case Some(v) if v == nullPart =>
-            false  // every row's source value is NULL: no comparison matches
+            // Spark's partitioned writer renders BOTH NULL and the
+            // empty string as this sentinel. For a string-producing
+            // transform (identity/truncate over a string column) the
+            // two are indistinguishable from the directory name, so
+            // the file may hold rows with c = '' that match — don't
+            // prune. For every other transform output ('' can't
+            // occur) the sentinel is a genuine NULL: no comparison
+            // matches, prune.
+            t match {
+              case PIdentity(_) | PTruncate(_, _)
+                if types(p.colName) == StringType => true
+              case _ => false
+            }
           case Some(v) =>
             val dt = types(p.colName)
             def raw(pr: Pred): String = pr match {
@@ -1147,10 +1159,18 @@ object GraftTable {
       .withColumn("_gf_snap",
         regexp_extract(col("_gf_path"), "/(\\d{10})-[^/]*\\.parquet$", 1).cast("long"))
     if (posD.nonEmpty) {
+      // join on the unique file NAME (snapshotId-idx-uuid.parquet), not
+      // the absolute URI the delete file recorded: renameTable moves the
+      // table directory, and a URI match would silently stop applying
+      // live deletes after a rename (rewritePositionDeletes already
+      // matches by name for the same reason)
+      val baseName = (c: Column) => regexp_extract(c, "([^/]+)$", 1)
       val del = spark.read.parquet(posD.map(d => s"$root/${d._1}"): _*)
-        .select(col("file_path").as("_gf_path"), col("pos").as("_gf_pos"))
+        .select(baseName(col("file_path")).as("_gf_name"), col("pos").as("_gf_pos"))
         .distinct()   // re-deleting an already-deleted row is a no-op
-      df = df.join(del, Seq("_gf_path", "_gf_pos"), "left_anti")
+      df = df.withColumn("_gf_name", baseName(col("_gf_path")))
+        .join(del, Seq("_gf_name", "_gf_pos"), "left_anti")
+        .drop("_gf_name")
     }
     eqD.foreach { case (p, _, cols) =>
       val snapId = p.split('/').last.takeWhile(_.isDigit).toLong
@@ -1268,7 +1288,16 @@ object GraftTable {
           case _ => lit(true)
         }
       }
-      when(pv.isNull, lit(true)).when(pv === lit(nullPart), lit(false)).otherwise(cond)
+      // sentinel handling mirrors mayMatchPartition: for string-typed
+      // transform outputs the sentinel may be an empty string, not
+      // NULL — never prune those
+      val sentinelPrunes = t match {
+        case PIdentity(_) | PTruncate(_, _) if dt == StringType => false
+        case _ => true
+      }
+      when(pv.isNull, lit(true))
+        .when(pv === lit(nullPart), lit(!sentinelPrunes))
+        .otherwise(cond)
     }
     (statsCond +: partConds).reduce(_ && _)
   }
@@ -1338,20 +1367,33 @@ object GraftTable {
     val meta = metaOpt.get
     val tail = ids.filter(id => id > k && id <= target)
       .map(id => parseCommit(Files.readString(commitPath(root, id))))
-    val removed = tail.flatMap(_.removes).toSet
+    // ordered tail replay (the same discipline as replayState): for
+    // every path the tail touches, the LAST action wins — so a
+    // rollback commit that re-adds a path removed by an earlier tail
+    // commit keeps that file live. A flat union of removes would
+    // filter the re-added file out of both the checkpoint list and
+    // the tail adds and silently drop its rows from the scan.
+    val delta = scala.collection.mutable.LinkedHashMap.empty[String, Option[FileEntry]]
+    tail.foreach { c =>
+      c.removes.foreach(p => delta(p) = None)
+      c.adds.foreach(e => delta(e.path) = Some(e))
+    }
     // a huge post-checkpoint rewrite would blow the isin literal list;
     // that only happens when manifests haven't been compacted — fall
     // back to the exact driver planner rather than build a giant plan
-    if (removed.size > 10000) return driverPlan
+    if (delta.size > 10000) return driverPlan
     var props = meta.properties - "graft.ckpt.file-count"
     var schemaJ = meta.schemaJson
     tail.foreach { c => props = props ++ c.properties; schemaJ = c.schemaJson.orElse(schemaJ) }
     val schema = DataType.fromJson(schemaJ.get).asInstanceOf[StructType]
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     val spec = tableSpec(props)
-    val tailAdds = tail.flatMap(_.adds).filter(f => !removed.contains(f.path))
+    // tail-touched paths resolve from the delta (re-adds carry their
+    // full FileEntry); untouched paths resolve from the checkpoint
+    val touched = delta.keySet.toSeq
+    val tailAdds = delta.values.flatten.toSeq
     val ckDf0 = spark.read.parquet(logDir(root).resolve(s"ckptfiles-$k.parquet").toString)
-    val ckDf = if (removed.isEmpty) ckDf0 else ckDf0.filter(!col("path").isin(removed.toSeq: _*))
+    val ckDf = if (touched.isEmpty) ckDf0 else ckDf0.filter(!col("path").isin(touched: _*))
     val pruneCond = preds.map(predCond(types, spec, _)).foldLeft(col("content") === 0)(_ && _)
     // ONE job returns live paths + the (tiny) delete list + the total
     val rows = ckDf

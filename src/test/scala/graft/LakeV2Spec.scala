@@ -357,6 +357,77 @@ class LakeV2Spec extends SparkSpec {
     assert(!GraftTable.planScan(spark, small, Seq(Lt("n_nationkey", "5"))).distributed)
   }
 
+  test("MoR position deletes keep applying after the table directory moves") {
+    val root = freshRoot("mor-rename")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema,
+      Map("write.delete.mode" -> "merge-on-read"))
+    GraftTable.append(spark, root, n)
+    GraftTable.deleteWhere(spark, root, col("n_regionkey") === 0)
+    assert(GraftTable.read(spark, root).filter(col("n_regionkey") === 0).count() == 0)
+    // ALTER TABLE RENAME physically moves the directory, but the
+    // delete file recorded absolute URIs of the OLD location — the
+    // read must match on the unique file NAME or deleted rows would
+    // silently resurrect after a rename
+    val moved = freshRoot("mor-renamed")
+    Files.move(Paths.get(root), Paths.get(moved))
+    val live = GraftTable.read(spark, moved)
+    assert(live.filter(col("n_regionkey") === 0).count() == 0,
+      "position deletes must keep matching after a rename")
+    assert(live.count() == n.filter(col("n_regionkey") =!= 0).count())
+  }
+
+  test("empty-string partition values are not pruned as NULL sentinels") {
+    val root = freshRoot("part-empty")
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "a"), (3L, "b"))
+      .toDF("id", "c")
+      .union(Seq((4L, Option.empty[String])).toDF("id", "c"))
+    GraftTable.create(spark, root, df.schema, Map(GraftTable.specProp -> "identity(c)"))
+    GraftTable.append(spark, root, df)
+    // the writer renders BOTH '' and NULL as __HIVE_DEFAULT_PARTITION__ —
+    // an equality scan on '' must still find the empty-string row (the
+    // NULL row in the same file drops at the row-level filter)
+    val (got, _, _) = GraftTable.scan(spark, root, Seq(Eq("c", "")))
+    assert(got.collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "c = '' must return the empty-string row despite the shared sentinel")
+    // string range predicates cover '' too
+    val (le, _, _) = GraftTable.scan(spark, root, Seq(Le("c", "a")))
+    assert(le.count() == 2)
+    // a genuinely-NULL numeric partition still prunes: no '' ambiguity
+    val root2 = freshRoot("part-nullnum")
+    val df2 = Seq((1L, Some(10L)), (2L, None)).toDF("id", "k")
+    GraftTable.create(spark, root2, df2.schema, Map(GraftTable.specProp -> "identity(k)"))
+    GraftTable.append(spark, root2, df2)
+    val (_, total2, live2) = GraftTable.scan(spark, root2, Seq(Eq("k", "10")))
+    assert(live2 < total2, "NULL numeric partitions must still prune")
+  }
+
+  test("planScan replays the post-checkpoint tail in order: rollback re-adds survive") {
+    val root = freshRoot("planscan-rollback")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema,
+      Map("graft.planning.distributed-threshold" -> "2",
+        "graft.write-partitions" -> "4",
+        "graft.partition-columns" -> "n_regionkey"))
+    GraftTable.append(spark, root, n)          // snapshot 1: four small files
+    GraftTable.rewriteManifests(root)          // parquet checkpoint at snapshot 1
+    // tail commit 2 removes the original files (compaction)…
+    GraftTable.rewriteDataFiles(spark, root, targetFileSizeBytes = 512 * 1024 * 1024)
+    // …tail commit 3 (rollback) re-ADDS them and removes the compacted
+    // file — a flat union of tail removes would lose the re-added files
+    GraftTable.rollbackToSnapshot(root, 1L)
+    val plan = GraftTable.planScan(spark, root, Seq.empty)
+    assert(plan.distributed)
+    assert(plan.df.count() == n.count(),
+      "rollback-re-added files must stay in the distributed plan")
+    val (ddf, dtotal, dlive) = GraftTable.scan(spark, root, Seq.empty)
+    assert(plan.totalFiles == dtotal.toLong && plan.liveFiles == dlive.toLong,
+      s"distributed planner must agree with the driver planner " +
+        s"(${plan.totalFiles}/${plan.liveFiles} vs $dtotal/$dlive)")
+    assert(plan.df.except(ddf).isEmpty && ddf.except(plan.df).isEmpty)
+  }
+
   test("planScan applies MoR deletes and partition pruning distributed") {
     val root = freshRoot("planscan-mor")
     val n = Tables.nation(spark, sf)

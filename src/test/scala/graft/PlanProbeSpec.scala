@@ -35,4 +35,25 @@ class PlanProbeSpec extends SparkSpec {
       s"small graft dim must broadcast:\n$p")
     assert(joined.count() == 2000000)
   }
+
+  test("explode above a graft scan blocks the manifest-size broadcast hint") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
+    spark.sql("DROP TABLE IF EXISTS graft.p.dim2")
+    spark.sql("CREATE TABLE graft.p.dim2 (k BIGINT, name STRING)")
+    spark.sql("INSERT INTO graft.p.dim2 SELECT id, CONCAT('n', id) FROM range(100)")
+    // fact side sized above the auto-broadcast threshold, so the only
+    // way this join broadcasts is our hint firing on the graft side
+    spark.range(5000000).toDF("k").createOrReplaceTempView("fact_mid")
+    // the exploded side is 1000× its manifest bytes: sizing it from the
+    // pre-explode manifest would stamp BROADCAST on a side that no
+    // longer fits — the hint walk must stop at the Generate
+    val joined = spark.sql("""
+      SELECT f.k FROM fact_mid f JOIN
+        (SELECT k, explode(sequence(0, 999)) AS e FROM graft.p.dim2) d
+      ON f.k = d.k * 1000 + d.e""")
+    val p = joined.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("BroadcastHashJoin"),
+      s"post-explode side must not inherit the scan's manifest size:\n$p")
+    assert(joined.count() == 100000)
+  }
 }

@@ -22,7 +22,7 @@ class SqlFrontDoorSpec extends SparkSpec {
     super.beforeAll()
     // clear only THIS suite's namespaces (the warehouse is shared
     // session-wide; the cached catalog instance keeps its path)
-    Seq("lab", "lab2", "tmp", "del", "dyn").foreach { ns =>
+    Seq("lab", "lab2", "tmp", "del", "dyn", "ren", "orph").foreach { ns =>
       val p = Paths.get(wh, ns)
       if (Files.exists(p)) {
         val s = Files.walk(p)
@@ -177,6 +177,42 @@ class SqlFrontDoorSpec extends SparkSpec {
     val tsLit = new java.sql.Timestamp(tsBefore).toString   // session TZ is UTC
     val old = spark.sql(s"SELECT COUNT(*) AS c FROM graft.dyn.t TIMESTAMP AS OF '$tsLit'")
     assert(old.head().getLong(0) == 30L)
+  }
+
+  test("ALTER TABLE RENAME keeps live MoR deletes applying") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ren")
+    spark.sql("DROP TABLE IF EXISTS graft.ren.a")
+    spark.sql("DROP TABLE IF EXISTS graft.ren.b")
+    spark.sql("""CREATE TABLE graft.ren.a (id BIGINT)
+      |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.ren.a SELECT id FROM range(100)")
+    spark.sql("DELETE FROM graft.ren.a WHERE id < 20")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.ren.a").head().getLong(0) == 80)
+    // the rename physically moves the table dir; the content=1 file
+    // addressed rows by absolute URI of the old location
+    spark.sql("ALTER TABLE graft.ren.a RENAME TO ren.b")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.ren.b").head().getLong(0) == 80,
+      "deleted rows must not resurrect after ALTER TABLE RENAME")
+    assert(spark.sql("SELECT MIN(id) AS m FROM graft.ren.b").head().getLong(0) == 20)
+  }
+
+  test("remove_orphan_files default horizon spares freshly staged files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.orph")
+    spark.sql("DROP TABLE IF EXISTS graft.orph.t")
+    spark.sql("CREATE TABLE graft.orph.t (id BIGINT)")
+    spark.sql("INSERT INTO graft.orph.t SELECT id FROM range(10)")
+    // simulate an in-flight concurrent writer: data file staged, commit
+    // JSON not yet written — referenced by nothing, seconds old
+    val orphan = Paths.get(root("orph", "t"), "data",
+      "9999999999-00000-inflight.parquet")
+    Files.write(orphan, Array[Byte](80, 65, 82, 49))
+    spark.sql("CALL graft_system.remove_orphan_files(table => 'orph.t')")
+    assert(Files.exists(orphan),
+      "default horizon must not sweep recent files (in-flight commits)")
+    spark.sql("CALL graft_system.remove_orphan_files(table => 'orph.t', " +
+      s"older_than_ms => ${System.currentTimeMillis() + 60000})")
+    assert(!Files.exists(orphan), "an explicit horizon sweeps it")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.orph.t").head().getLong(0) == 10)
   }
 
   test("identity-partitioned SQL table prunes partition files on read") {
