@@ -1413,6 +1413,130 @@ object GraftTable {
     ScanPlan(df, totalData, dataPaths.size.toLong, distributed = true)
   }
 
+  // ── change data capture ─────────────────────────────────────────────
+
+  /** Incremental batch read: rows APPENDED in `(fromExclusive,
+    * toInclusive]`, the Delta/Iceberg "incremental scan" — the cheap
+    * nightly-ETL path: cost is O(bytes appended in the range), never a
+    * table scan or diff. Throws on any row-changing commit in the
+    * range (deletes/overwrites can't be represented as appended rows —
+    * use `changes` for those). Maintenance rewrites are transparently
+    * skipped: they move rows between files without changing them. */
+  def readIncremental(spark: SparkSession, root: String, fromExclusive: Long,
+      toInclusive: Long): DataFrame = {
+    val (schema, commits) = commitRange(root, fromExclusive, toInclusive)
+    val bad = commits.filterNot(c => c.operation == "append" || maintenanceOps(c.operation))
+    require(bad.isEmpty,
+      s"readIncremental covers append-only ranges; snapshot(s) " +
+        s"${bad.map(c => s"${c.snapshotId}=${c.operation}").mkString(", ")} change rows — use changes()")
+    val added = commits.filter(_.operation == "append").flatMap(_.adds).filter(_.isData)
+    readFiles(spark, root, schema, added, Seq.empty)
+  }
+
+  /** CDC read (the Delta CDF / Iceberg changelog analog): every
+    * row-level change committed in `(fromExclusive, toInclusive]`, as
+    * the table's columns plus `_change_type` ('insert' | 'delete'),
+    * `_commit_snapshot_id` and `_commit_timestamp_ms`. An UPDATE or
+    * MERGE surfaces as delete+insert at the same snapshot.
+    *
+    * Cost model (the 100 TB contract): appends emit their added files
+    * directly (O(added bytes)); maintenance rewrites (compaction, sort,
+    * delete-file folding, checkpoint) emit NOTHING — they rearrange
+    * bytes, not rows; only row-changing commits (delete / overwrite /
+    * update / merge / rollback) diff live rows before-vs-after, and
+    * that diff reads ONLY the files the commit touched: its removed
+    * files, its added files, and — for merge-on-read deletes — the
+    * data files its new delete files address (position deletes name
+    * them; equality deletes are bounded by the delete file's key
+    * min/max stats against each file's column stats). Untouched files
+    * never enter the diff, so a keyed DELETE on a petabyte table
+    * diffs megabytes. */
+  def changes(spark: SparkSession, root: String, fromExclusive: Long,
+      toInclusive: Long): DataFrame = {
+    val (endSchema, commits) = commitRange(root, fromExclusive, toInclusive)
+    val parts = commits.flatMap { c =>
+      changesOf(spark, root, c).map(
+        _.withColumn("_commit_snapshot_id", lit(c.snapshotId))
+          .withColumn("_commit_timestamp_ms", lit(c.timestampMs)))
+    }
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      endSchema.add("_change_type", StringType)
+        .add("_commit_snapshot_id", LongType).add("_commit_timestamp_ms", LongType))
+    // unionByName with missing-column fill: ADD COLUMN mid-range makes
+    // earlier commits' rows read as null for the new column, exactly
+    // like a time-travel read of the old snapshot would
+    parts.foldLeft(empty)(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Ops that never change live row content, only file layout. */
+  private def maintenanceOps(op: String): Boolean = op match {
+    case "create" | "add_column" | "checkpoint" | "rewrite_data_files" |
+         "rewrite_data_files_sorted" | "rewrite_position_deletes" |
+         "rewrite_equality_deletes" => true
+    case _ => false
+  }
+
+  private def commitRange(root: String, fromExclusive: Long,
+      toInclusive: Long): (StructType, Seq[Commit]) = {
+    val ids = listCommitIds(root)
+    require(ids.nonEmpty, s"not a GraftTable (empty log): $root")
+    require(fromExclusive <= toInclusive && ids.contains(toInclusive) &&
+      (fromExclusive == 0L || ids.contains(fromExclusive)),
+      s"change range ($fromExclusive, $toInclusive] not in log ${ids.min}..${ids.max}")
+    val snap = state(root, Some(toInclusive))
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    (schema, ids.filter(id => id > fromExclusive && id <= toInclusive).sorted
+      .map(id => parseCommit(Files.readString(commitPath(root, id)))))
+  }
+
+  /** The row-level changes ONE commit made, as (rows, '_change_type')
+    * — None when the op cannot change rows. */
+  private def changesOf(spark: SparkSession, root: String, c: Commit): Option[DataFrame] = {
+    if (maintenanceOps(c.operation)) return None
+    val prev = state(root, Some(c.parentId.getOrElse(c.snapshotId - 1)))
+    val schema = DataType.fromJson(prev.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    if (c.operation == "append")
+      return Some(readFiles(spark, root, schema, c.adds.filter(_.isData), Seq.empty)
+        .withColumn("_change_type", lit("insert")))
+    val cur = state(root, Some(c.snapshotId))
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val prevByPath = prev.files.map(f => f.path -> f).toMap
+    val removedData = c.removes.flatMap(prevByPath.get).filter(_.isData)
+    val addedData = c.adds.filter(_.isData)
+    // data files addressed by the commit's NEW delete files: position
+    // deletes carry exact file names (one small read); equality
+    // deletes bound their victims by key-stats overlap
+    val newDeletes = c.adds.filter(_.isDelete)
+    val posTargets: Seq[FileEntry] = {
+      val posFiles = newDeletes.filter(_.content.contains(1))
+      if (posFiles.isEmpty) Seq.empty
+      else {
+        val names = spark.read.parquet(posFiles.map(f => s"$root/${f.path}"): _*)
+          .select(regexp_extract(col("file_path"), "([^/]+)$", 1)).distinct()
+          .collect().map(_.getString(0)).toSet
+        prev.files.filter(f => f.isData && names.contains(f.path.split('/').last))
+      }
+    }
+    val eqTargets: Seq[FileEntry] = newDeletes.filter(_.content.contains(2)).flatMap { d =>
+      val bounds = d.eqCols.getOrElse(Seq.empty).flatMap { kc =>
+        d.stats.get(kc).toSeq.flatMap(st =>
+          st.min.map(Ge(kc, _)).toSeq ++ st.max.map(Le(kc, _)).toSeq)
+      }
+      prev.files.filter(f => f.isData && f.snapshotOfName <= c.snapshotId &&
+        mayMatch(types, bounds)(f))
+    }
+    val beforeFiles = (removedData ++ posTargets ++ eqTargets).distinctBy(_.path)
+    val curPaths = cur.files.map(_.path).toSet
+    val afterFiles = (addedData ++ beforeFiles.filter(f => curPaths.contains(f.path)))
+      .distinctBy(_.path)
+    val before = readFiles(spark, root, schema, beforeFiles, prev.files.filter(_.isDelete))
+    val after = readFiles(spark, root, schema, afterFiles, cur.files.filter(_.isDelete))
+    Some(before.exceptAll(after).withColumn("_change_type", lit("delete"))
+      .unionByName(after.exceptAll(before).withColumn("_change_type", lit("insert"))))
+  }
+
   /** Streaming read of an APPEND-ONLY table: data files land in
     * `data/` by atomic rename strictly before their commit, so Spark's
     * incremental file source streams each append exactly once (same

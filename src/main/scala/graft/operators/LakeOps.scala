@@ -198,7 +198,27 @@ object LakeOps {
       ORDER BY o_orderkey""")
   }
 
+  // ── q57: CDC / change feed between snapshots, oracle-checked ────────
+  /** `GraftTable.changes` over an append + append + MoR-delete history:
+    * the feed must contain snapshot 2's inserts and snapshot 3's
+    * deletes (and nothing for snapshot 1, which precedes the range).
+    * DuckDB recomputes both sets from the raw parquet. */
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("q57")
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    GraftTable.create(s, root, base.schema, Map("write.delete.mode" -> "merge-on-read"))
+    GraftTable.append(s, root, base.filter(col("o_orderkey") % 3 === 0).repartition(2))
+    GraftTable.append(s, root, base.filter(col("o_orderkey") % 3 === 1).repartition(2))
+    GraftTable.deleteWhere(s, root, col("o_totalprice") > 200000)
+    GraftTable.changes(s, root, fromExclusive = 1L, toInclusive = 3L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("_change_type"), col("_commit_snapshot_id"))
+      .orderBy(col("_commit_snapshot_id"), col("_change_type"), col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_lake_changes" -> q57 _,
     "q54_lake_sql" -> q54 _,
     "q23_lake_snapshots" -> q23 _,
     "q24_lake_files" -> q24 _,
@@ -209,6 +229,16 @@ object LakeOps {
     "q29_lake_partition_prune" -> q29 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q57_lake_changes" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_snapshot_id
+        |FROM base WHERE o_orderkey % 3 = 1
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       'delete' AS _change_type, CAST(3 AS BIGINT) AS _commit_snapshot_id
+        |FROM base WHERE o_orderkey % 3 IN (0, 1) AND o_totalprice > 200000
+        |ORDER BY _commit_snapshot_id, _change_type, o_orderkey""".stripMargin,
     "q54_lake_sql" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders

@@ -428,6 +428,67 @@ class LakeV2Spec extends SparkSpec {
     assert(plan.df.except(ddf).isEmpty && ddf.except(plan.df).isEmpty)
   }
 
+  test("changes() emits per-commit inserts/deletes; maintenance commits emit nothing") {
+    val root = freshRoot("cdc")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema,
+      Map("write.delete.mode" -> "merge-on-read"))
+    GraftTable.append(spark, root, n.filter(col("n_nationkey") < 10))    // 1
+    GraftTable.append(spark, root, n.filter(col("n_nationkey") >= 10))   // 2
+    GraftTable.deleteWhere(spark, root, col("n_regionkey") === 0)        // 3: MoR delete
+    GraftTable.rewritePositionDeletes(spark, root)                       // 4: maintenance
+    GraftTable.update(spark, root, col("n_nationkey") === 14,
+      Map("n_name" -> lit("EDITED")))                                    // 5: delete+insert
+    GraftTable.rewriteDataFiles(spark, root, targetFileSizeBytes = 512 * 1024 * 1024) // 6
+    val all = GraftTable.changes(spark, root, 0L, 6L).cache()
+    // snapshot 1+2: pure inserts reproducing the table
+    assert(all.filter(col("_commit_snapshot_id").isin(1L, 2L))
+      .filter(col("_change_type") === "insert").count() == n.count())
+    // snapshot 3: deletes exactly the region-0 rows
+    val d3 = all.filter(col("_commit_snapshot_id") === 3)
+    assert(d3.filter(col("_change_type") === "insert").count() == 0)
+    assert(d3.select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq ==
+      n.filter(col("n_regionkey") === 0).select("n_nationkey")
+        .collect().map(_.getInt(0)).sorted.toSeq)
+    // maintenance snapshots emit nothing
+    assert(all.filter(col("_commit_snapshot_id").isin(4L, 6L)).count() == 0)
+    // the update is one delete + one insert of the same key
+    val u = all.filter(col("_commit_snapshot_id") === 5)
+      .select("_change_type", "n_nationkey", "n_name").collect()
+    assert(u.length == 2 && u.forall(_.getInt(1) == 14))
+    assert(u.filter(_.getString(0) == "insert").map(_.getString(2)).toSeq == Seq("EDITED"))
+    // replaying the full feed reconstructs the final table
+    val inserts = all.filter(col("_change_type") === "insert").drop(
+      "_change_type", "_commit_snapshot_id", "_commit_timestamp_ms")
+    val deletes = all.filter(col("_change_type") === "delete").drop(
+      "_change_type", "_commit_snapshot_id", "_commit_timestamp_ms")
+    val replayed = inserts.exceptAll(deletes)
+    val live = GraftTable.read(spark, root)
+    assert(replayed.exceptAll(live).isEmpty && live.exceptAll(replayed).isEmpty,
+      "insert-minus-delete over the feed must equal the live table")
+  }
+
+  test("changes() diffs rollbacks; readIncremental covers append-only ranges") {
+    val root = freshRoot("cdc-rollback")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    GraftTable.append(spark, root, n.filter(col("n_nationkey") < 10))    // 1
+    GraftTable.append(spark, root, n.filter(col("n_nationkey") >= 10))   // 2
+    GraftTable.overwriteWhere(spark, root, col("n_nationkey") >= 20)     // 3: CoW delete
+    GraftTable.rollbackToSnapshot(root, 2L)                              // 4: restores them
+    val c3 = GraftTable.changes(spark, root, 2L, 3L)
+    assert(c3.filter(col("_change_type") === "delete").count() == 5)
+    val c4 = GraftTable.changes(spark, root, 3L, 4L)
+    assert(c4.filter(col("_change_type") === "insert").count() == 5,
+      "rollback must surface restored rows as inserts")
+    assert(c4.filter(col("_change_type") === "delete").count() == 0)
+    // incremental read: appends stream through, row-changing ops refuse
+    assert(GraftTable.readIncremental(spark, root, 0L, 2L).count() == n.count())
+    assertThrows[IllegalArgumentException] {
+      GraftTable.readIncremental(spark, root, 0L, 3L)
+    }
+  }
+
   test("planScan applies MoR deletes and partition pruning distributed") {
     val root = freshRoot("planscan-mor")
     val n = Tables.nation(spark, sf)
