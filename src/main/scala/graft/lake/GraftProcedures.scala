@@ -126,8 +126,15 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
               "strategy => 'sort' needs sort_order => 'c1,c2,...'"))
               .split(",").map(_.trim).filter(_.nonEmpty).toSeq
             GraftTable.rewriteDataFilesSorted(spark, root, cols, tfs)
+          case Some("zorder") =>
+            val cols = arg("sort_order", "zorder_by").getOrElse(
+              throw new IllegalArgumentException(
+                "strategy => 'zorder' needs sort_order => 'c1,c2,...'"))
+              .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            GraftTable.rewriteDataFilesZOrder(spark, root, cols, tfs)
           case Some(other) if other != "binpack" =>
-            throw new IllegalArgumentException(s"unknown strategy '$other' (binpack|sort)")
+            throw new IllegalArgumentException(
+              s"unknown strategy '$other' (binpack|sort|zorder)")
           case _ =>
             GraftTable.rewriteDataFiles(spark, root, targetFileSizeBytes =
               arg("target_file_size_bytes", "arg1").map(_.toLong).getOrElse(-1L),

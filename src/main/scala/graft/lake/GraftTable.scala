@@ -1471,8 +1471,8 @@ object GraftTable {
   /** Ops that never change live row content, only file layout. */
   private def maintenanceOps(op: String): Boolean = op match {
     case "create" | "add_column" | "checkpoint" | "rewrite_data_files" |
-         "rewrite_data_files_sorted" | "rewrite_position_deletes" |
-         "rewrite_equality_deletes" => true
+         "rewrite_data_files_sorted" | "rewrite_data_files_zorder" |
+         "rewrite_position_deletes" | "rewrite_equality_deletes" => true
     case _ => false
   }
 
@@ -1776,6 +1776,84 @@ object GraftTable {
     val adds = writeDataFiles(spark, root, sorted, id, snap.properties)
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "rewrite_data_files_sorted", adds,
+      dataFiles.map(_.path) ++ deletes.map(_.path), Map.empty, None))
+    id
+  }
+
+  /** Z-order rewrite — rewrite_data_files(strategy => 'zorder'), the
+    * Delta OPTIMIZE ZORDER BY / Iceberg sort-order z-order analog: a
+    * linear sort on (a, b) gives every file the FULL range of b, so
+    * stats pruning on b alone skips nothing; interleaving the bits of
+    * per-column quantile-bucket ids orders rows along a Z-curve, and
+    * each output file then covers a tight range of EVERY z column —
+    * multi-dimensional stats pruning from one clustering.
+    *
+    * Scale shape: per-column bucket boundaries come from ONE
+    * approxQuantile pass (a driver array of `buckets` doubles per
+    * column — skew-robust where uniform min/max bucketing is not);
+    * bucket assignment + bit interleave are pure codegen'd column
+    * arithmetic; the rewrite itself is the same range-partition write
+    * as the sort strategy. Numeric z columns only (string quantiles
+    * have no numeric embedding; truncate-prefix buckets could slot in
+    * here if needed). */
+  def rewriteDataFilesZOrder(spark: SparkSession, root: String,
+      zCols: Seq[String], targetFileSizeBytes: Long = -1L,
+      buckets: Int = 64): Long = {
+    val snap = state(root)
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    require(zCols.size >= 2, s"z-order needs >= 2 columns, got $zCols")
+    require(zCols.forall(schema.fieldNames.contains), s"bad z columns: $zCols")
+    val numeric: Set[DataType] =
+      Set(IntegerType, LongType, ShortType, ByteType, FloatType, DoubleType)
+    require(zCols.forall(c => numeric.contains(types(c)) ||
+        types(c).isInstanceOf[DecimalType]),
+      s"z-order columns must be numeric; got ${zCols.map(c => s"$c:${types(c)}")}")
+    val dataFiles = snap.files.filter(_.isData)
+    if (dataFiles.isEmpty) return snap.snapshotId
+    val deletes = snap.files.filter(_.isDelete)
+    val target =
+      if (targetFileSizeBytes > 0) targetFileSizeBytes
+      else snap.properties.get("write.target-file-size-bytes")
+        .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val nOut = math.max(1,
+      math.ceil(dataFiles.map(_.sizeBytes).sum.toDouble / target).toInt)
+    val id = snap.snapshotId + 1
+    val live = readFiles(spark, root, schema, dataFiles, deletes)
+    val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(buckets - 1))
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    // one quantile pass over all z columns; duplicate boundaries (heavy
+    // skew) collapse so the bucket expression stays monotonic
+    val asD = zCols.map(c => col(c).cast("double").as(s"_gz_$c"))
+    val bounds = live.select(asD: _*)
+      .stat.approxQuantile(zCols.map(c => s"_gz_$c").toArray, probes, 0.001)
+      .map(_.distinct.sorted)
+    // bucket id = count of boundaries <= value (unrolled, codegen'd);
+    // NULL sorts to bucket 0
+    def bucketId(c: String, bs: Array[Double]): Column =
+      bs.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(c).cast("double") >= lit(b), 1).otherwise(0)
+      }
+    // interleave: bit `b` of column `i` lands at z bit (b * k + i)
+    val k = zCols.size
+    val withBuckets = zCols.zipWithIndex.foldLeft(live) { case (d, (c, i)) =>
+      d.withColumn(s"_gzb_$i", bucketId(c, bounds(i)))
+    }
+    val zval = (0 until bits).flatMap { b =>
+      (0 until k).map { i =>
+        shiftright(col(s"_gzb_$i"), b).bitwiseAND(lit(1))
+          .cast("long") * lit(1L << (b * k + i))
+      }
+    }.reduce(_ + _)
+    val ordered = withBuckets.withColumn("_gz", zval)
+      .drop((0 until k).map(i => s"_gzb_$i"): _*)
+      .repartitionByRange(nOut, col("_gz"))
+      .sortWithinPartitions(col("_gz"))
+      .drop("_gz")
+    val adds = writeDataFiles(spark, root, ordered, id, snap.properties)
+    commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
+      "rewrite_data_files_zorder", adds,
       dataFiles.map(_.path) ++ deletes.map(_.path), Map.empty, None))
     id
   }

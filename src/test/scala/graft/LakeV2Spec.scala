@@ -428,6 +428,39 @@ class LakeV2Spec extends SparkSpec {
     assert(plan.df.except(ddf).isEmpty && ddf.except(plan.df).isEmpty)
   }
 
+  test("z-order rewrite restores pruning on BOTH clustered columns") {
+    val root = freshRoot("zorder")
+    val df = spark.range(40000).select(
+      col("id"),
+      (col("id") % 1000).as("a"),
+      ((col("id") * 7919) % 1000).as("b"))
+    GraftTable.create(spark, root, df.schema)
+    // id-ranged appends: every file spans the FULL a and b ranges, so
+    // stats pruning on either column skips nothing
+    (0 until 4).foreach { i =>
+      GraftTable.append(spark, root,
+        df.filter(col("id") >= i * 10000 && col("id") < (i + 1) * 10000).repartition(2))
+    }
+    val (_, t0, l0) = GraftTable.scan(spark, root, Seq(Le("a", "60")))
+    assert(l0 == t0, "interleaved appends must not prune (test setup)")
+    GraftTable.rewriteDataFilesZOrder(spark, root, Seq("a", "b"),
+      targetFileSizeBytes = 20 * 1024)
+    // a z-curve file covers a tight range of EVERY z column: both a-
+    // and b-predicates prune now — a linear sort on (a, b) would only
+    // ever prune on a
+    val (da, t1, l1) = GraftTable.scan(spark, root, Seq(Le("a", "60")))
+    assert(t1 > 4 && l1 < t1, s"a-pred must prune after z-order (live=$l1 total=$t1)")
+    val (db, _, l2) = GraftTable.scan(spark, root, Seq(Le("b", "60")))
+    assert(l2 < t1, s"b-pred must prune after z-order (live=$l2 total=$t1)")
+    // and the rewrite changed no rows
+    assert(da.count() == df.filter(col("a") <= 60).count())
+    assert(db.count() == df.filter(col("b") <= 60).count())
+    assert(GraftTable.read(spark, root).count() == 40000)
+    // CDC sees it as maintenance: nothing changed
+    val last = GraftTable.latestSnapshotId(root)
+    assert(GraftTable.changes(spark, root, last - 1, last).count() == 0)
+  }
+
   test("changes() emits per-commit inserts/deletes; maintenance commits emit nothing") {
     val root = freshRoot("cdc")
     val n = Tables.nation(spark, sf)

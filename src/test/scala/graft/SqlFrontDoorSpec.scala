@@ -22,7 +22,7 @@ class SqlFrontDoorSpec extends SparkSpec {
     super.beforeAll()
     // clear only THIS suite's namespaces (the warehouse is shared
     // session-wide; the cached catalog instance keeps its path)
-    Seq("lab", "lab2", "tmp", "del", "dyn", "ren", "orph").foreach { ns =>
+    Seq("lab", "lab2", "tmp", "del", "dyn", "ren", "orph", "zord").foreach { ns =>
       val p = Paths.get(wh, ns)
       if (Files.exists(p)) {
         val s = Files.walk(p)
@@ -213,6 +213,19 @@ class SqlFrontDoorSpec extends SparkSpec {
       s"older_than_ms => ${System.currentTimeMillis() + 60000})")
     assert(!Files.exists(orphan), "an explicit horizon sweeps it")
     assert(spark.sql("SELECT COUNT(*) AS c FROM graft.orph.t").head().getLong(0) == 10)
+  }
+
+  test("CALL rewrite_data_files(strategy => 'zorder') clusters through SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.zord")
+    spark.sql("DROP TABLE IF EXISTS graft.zord.t")
+    spark.sql("CREATE TABLE graft.zord.t (id BIGINT, a BIGINT, b BIGINT)")
+    spark.sql("INSERT INTO graft.zord.t SELECT id, id % 100, (id * 31) % 100 FROM range(5000)")
+    spark.sql("CALL graft_system.rewrite_data_files(table => 'zord.t', " +
+      "strategy => 'zorder', sort_order => 'a,b')")
+    val ops = spark.sql("SELECT operation FROM graft.zord.t.snapshots ORDER BY snapshot_id")
+      .collect().map(_.getString(0))
+    assert(ops.last == "rewrite_data_files_zorder")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.zord.t").head().getLong(0) == 5000)
   }
 
   test("identity-partitioned SQL table prunes partition files on read") {
