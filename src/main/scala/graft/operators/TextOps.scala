@@ -373,7 +373,40 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ── q58: PII redaction (emails / phones / IPv4) ─────────────────────
+  /** The pre-training PII scrub step (public: C4 / RefinedWeb-family
+    * pipelines redact contact info before release): per-category match
+    * counts plus the scrubbed text, all codegen'd regexp built-ins —
+    * no UDFs, embarrassingly parallel at 100 TB. The synthetic corpus
+    * carries no PII, so the query first plants deterministic
+    * doc_id-derived tokens (recomputed identically by the DuckDB
+    * oracle), then redacts them. Patterns stay inside the Java-regex ∩
+    * RE2 common subset so both engines match the same spans; DuckDB
+    * needs the 'g' flag to mirror Spark's replace-all. */
+  private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val phoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
+  private val ipRe = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
+        lit(" call 555-123-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 256).cast("string")).as("text"))
+    planted.select(col("doc_id"),
+        regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("text"), lit(ipRe)).cast("long").as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>").as("red"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        right(col("red"), lit(64)).as("redacted_tail"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_text_pii" -> q58 _,
     "q56_sample_mix" -> q56 _,
     "q55_seq_packing" -> q55 _,
     "q53_text_repetition" -> q53 _,
@@ -394,6 +427,22 @@ object TextOps {
     s"CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(${listSql(stopwords.toMap.apply(l))}, t))) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "q58_text_pii" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |       || ' call 555-123-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |       || CAST((doc_id * 7) % 256 AS VARCHAR) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  RIGHT(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), 64) AS redacted_tail
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q56_sample_mix" ->
       """WITH t AS (SELECT doc_id, source,
         |    CASE WHEN CAST(REGEXP_EXTRACT(source, '(\d+)', 1) AS INT) % 2 = 0
