@@ -33,7 +33,9 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftProcedures.parseCall(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    GraftProcedures.parseCall(sqlText)
+      .orElse(GraftProcedures.parseRowLevel(sqlText))
+      .getOrElse(delegate.parsePlan(sqlText))
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
@@ -87,6 +89,61 @@ object GraftProcedures {
         case Array(v) => s"arg$i" -> unquote(v)
       }
     }.toMap
+  }
+
+  // ── row-level SQL (UPDATE / MERGE INTO) ─────────────────────────────
+  // Trino-on-Iceberg exposes both; Spark's own parser accepts them but
+  // then demands SupportsRowLevelOperations, which the V1-bridged write
+  // path does not implement — so the delegating parser recognizes the
+  // standard upsert forms and routes them to GraftTable.update/merge.
+  // Interception fires ONLY when the target resolves to an existing
+  // GraftTable root; everything else parses through the session parser.
+
+  private val updateRe =
+    """(?is)\s*UPDATE\s+((?:\w+\.)*\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+  private val mergeRe =
+    ("""(?is)\s*MERGE\s+INTO\s+((?:\w+\.)*\w+)(?:\s+AS)?(?:\s+(?!USING\b)\w+)?""" +
+      """\s+USING\s+(\(.*\)|(?:\w+\.)*\w+)(?:\s+AS)?(?:\s+(?!ON\b)\w+)?""" +
+      """\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
+      """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
+
+  def parseRowLevel(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case updateRe(tbl, sets, where) if isGraftTable(tbl) =>
+      Some(GraftUpdateCommand(stripCatalog(tbl), sets, Option(where)))
+    case mergeRe(tbl, src, on) if isGraftTable(tbl) =>
+      Some(GraftMergeCommand(stripCatalog(tbl), src, on))
+    case _ => None
+  }
+
+  /** Drop a leading `graft.` catalog qualifier — resolveRoot addresses
+    * tables as ns.table under that catalog's warehouse. */
+  private[lake] def stripCatalog(t: String): String =
+    if (t.toLowerCase.startsWith("graft.")) t.substring(6) else t
+
+  /** Does this identifier resolve to a GraftTable on disk? (Decided at
+    * parse time so non-graft targets keep Spark's own error paths.) */
+  private def isGraftTable(t: String): Boolean =
+    SparkSession.getActiveSession.exists { spark =>
+      scala.util.Try {
+        java.nio.file.Files.isDirectory(
+          Paths.get(resolveRoot(spark, stripCatalog(t)), "_graft_log"))
+      }.getOrElse(false)
+    }
+
+  /** Split on `sep` outside single quotes and parentheses. */
+  private[lake] def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inQ = false
+    s.foreach { c =>
+      if (c == '\'') { inQ = !inQ; cur += c }
+      else if (!inQ && c == '(') { depth += 1; cur += c }
+      else if (!inQ && c == ')') { depth -= 1; cur += c }
+      else if (!inQ && depth == 0 && c == sep) { out += cur.toString; cur.clear() }
+      else cur += c
+    }
+    out += cur.toString
+    out.toSeq
   }
 
   /** ns.table under the graft catalog's warehouse, or an absolute
@@ -175,5 +232,62 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
             "rewrite_manifests, rewrite_position_deletes, rewrite_equality_deletes, " +
             "expire_snapshots, remove_orphan_files, rollback_to_snapshot)")
     }
+  }
+}
+
+/** `UPDATE t SET c = expr, ... [WHERE cond]` → GraftTable.update.
+  * Set expressions and the condition parse through `expr()`, so any
+  * SQL expression over the table's columns works. */
+case class GraftUpdateCommand(table: String, setClause: String,
+    where: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val root = GraftProcedures.resolveRoot(spark, table)
+    val sets = GraftProcedures.splitTop(setClause, ',').map { a =>
+      a.split("=", 2) match {
+        case Array(k, v) => k.trim -> expr(v.trim)
+        case _ => throw new IllegalArgumentException(s"bad SET assignment: '$a'")
+      }
+    }.toMap
+    val id = GraftTable.update(spark, root,
+      where.map(expr).getOrElse(lit(true)), sets)
+    Seq(Row(s"snapshot_id=$id"))
+  }
+}
+
+/** `MERGE INTO t USING src ON t.k = src.k [AND ...] WHEN MATCHED THEN
+  * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` → GraftTable.merge —
+  * the whole-row upsert form (what Iceberg's docs call the
+  * "replace-by-key" merge). `src` is a table/view name or a
+  * parenthesized subquery; each ON conjunct must equate the SAME
+  * column name on both sides (those become the merge keys). */
+case class GraftMergeCommand(table: String, source: String,
+    onClause: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftProcedures.resolveRoot(spark, table)
+    val src =
+      if (source.trim.startsWith("("))
+        spark.sql(source.trim.stripPrefix("(").stripSuffix(")"))
+      else spark.table(source.trim)
+    val keyCols = onClause.split("(?i)\\s+AND\\s+").toSeq.map { eq =>
+      eq.split("=", 2) match {
+        case Array(l, r) =>
+          val (lc, rc) = (l.trim.split('.').last, r.trim.split('.').last)
+          require(lc.equalsIgnoreCase(rc),
+            s"MERGE ON must equate same-named key columns, got '$eq'")
+          lc
+        case _ => throw new IllegalArgumentException(s"bad ON conjunct: '$eq'")
+      }
+    }
+    val id = GraftTable.merge(spark, root, src, keyCols)
+    Seq(Row(s"snapshot_id=$id"))
   }
 }

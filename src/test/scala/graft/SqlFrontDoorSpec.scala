@@ -22,7 +22,7 @@ class SqlFrontDoorSpec extends SparkSpec {
     super.beforeAll()
     // clear only THIS suite's namespaces (the warehouse is shared
     // session-wide; the cached catalog instance keeps its path)
-    Seq("lab", "lab2", "tmp", "del", "dyn", "ren", "orph", "zord").foreach { ns =>
+    Seq("lab", "lab2", "tmp", "del", "dyn", "ren", "orph", "zord", "rl").foreach { ns =>
       val p = Paths.get(wh, ns)
       if (Files.exists(p)) {
         val s = Files.walk(p)
@@ -213,6 +213,36 @@ class SqlFrontDoorSpec extends SparkSpec {
       s"older_than_ms => ${System.currentTimeMillis() + 60000})")
     assert(!Files.exists(orphan), "an explicit horizon sweeps it")
     assert(spark.sql("SELECT COUNT(*) AS c FROM graft.orph.t").head().getLong(0) == 10)
+  }
+
+  test("UPDATE and MERGE INTO route to the row-level ops through SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
+    spark.sql("DROP TABLE IF EXISTS graft.rl.t")
+    spark.sql("CREATE TABLE graft.rl.t (id BIGINT, v DOUBLE, tag STRING)")
+    spark.sql("INSERT INTO graft.rl.t SELECT id, CAST(id AS DOUBLE), 'x' FROM range(100)")
+    // UPDATE with an expression over the original row + WHERE
+    spark.sql("UPDATE graft.rl.t SET v = v * 2, tag = 'y' WHERE id < 10")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.rl.t WHERE tag = 'y'").head().getLong(0) == 10)
+    assert(spark.sql("SELECT v FROM graft.rl.t WHERE id = 7").head().getDouble(0) == 14.0)
+    assert(spark.sql("SELECT v FROM graft.rl.t WHERE id = 50").head().getDouble(0) == 50.0)
+    // MERGE upsert: 95..104 replace/insert with tag 'm'
+    spark.sql("SELECT id, CAST(id AS DOUBLE) AS v, 'm' AS tag FROM range(95, 105)")
+      .createOrReplaceTempView("rl_src")
+    spark.sql("""MERGE INTO graft.rl.t AS t USING rl_src AS s ON t.id = s.id
+      |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.rl.t").head().getLong(0) == 105)
+    assert(spark.sql("SELECT tag FROM graft.rl.t WHERE id = 99").head().getString(0) == "m")
+    assert(spark.sql("SELECT tag FROM graft.rl.t WHERE id = 104").head().getString(0) == "m")
+    assert(spark.sql("SELECT tag FROM graft.rl.t WHERE id = 94").head().getString(0) == "x")
+    // subquery source form
+    spark.sql("""MERGE INTO graft.rl.t USING
+      |(SELECT id, CAST(0.0 AS DOUBLE) AS v, 'z' AS tag FROM range(200, 202)) ON id = id
+      |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.rl.t WHERE tag = 'z'").head().getLong(0) == 2)
+    // the operations are in the snapshot log
+    val ops = spark.sql("SELECT operation FROM graft.rl.t.snapshots ORDER BY snapshot_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops.containsSlice(Seq("update", "merge", "merge")))
   }
 
   test("CALL rewrite_data_files(strategy => 'zorder') clusters through SQL") {
