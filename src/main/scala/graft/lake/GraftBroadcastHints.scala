@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, GlobalLimit, HintInfo, Join, LocalLimit, LogicalPlan, Project, Sort, SubqueryAlias, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Deduplicate, Distinct, Filter, GlobalLimit, HintInfo, Join, LocalLimit, LogicalPlan, Project, Sort, SubqueryAlias, UnaryNode}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.read.SupportsReportStatistics
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation, V1ScanWrapper}
@@ -53,8 +53,11 @@ object GraftBroadcastHints extends Rule[LogicalPlan] {
   }
 
   private def rowBounded(u: UnaryNode): Boolean = u match {
+    // row-preserving or row-reducing: the manifest size below still
+    // bounds the side (Aggregate/Distinct emit at most their input)
     case _: Project | _: Filter | _: SubqueryAlias | _: Sort |
-         _: GlobalLimit | _: LocalLimit => true
+         _: GlobalLimit | _: LocalLimit | _: Aggregate | _: Distinct |
+         _: Deduplicate => true
     case _ => false
   }
 

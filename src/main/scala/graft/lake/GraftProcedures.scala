@@ -67,16 +67,7 @@ object GraftProcedures {
     * boolean values; positional args land as arg0, arg1, ... */
   private[lake] def parseArgs(s: String): Map[String, String] = {
     if (s.trim.isEmpty) return Map.empty
-    // split on commas outside single quotes
-    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-    val cur = new StringBuilder
-    var inQ = false
-    s.foreach {
-      case '\'' => inQ = !inQ; cur += '\''
-      case ',' if !inQ => parts += cur.toString; cur.clear()
-      case c => cur += c
-    }
-    parts += cur.toString
+    val parts = splitTop(s, ',')
     def unquote(v: String): String = {
       val t = v.trim
       if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
@@ -100,7 +91,7 @@ object GraftProcedures {
   // GraftTable root; everything else parses through the session parser.
 
   private val updateRe =
-    """(?is)\s*UPDATE\s+((?:\w+\.)*\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+    """(?is)\s*UPDATE\s+((?:\w+\.)*\w+)\s+SET\s+(.+?)\s*;?\s*""".r
   private val mergeRe =
     ("""(?is)\s*MERGE\s+INTO\s+((?:\w+\.)*\w+)(?:\s+AS)?(?:\s+(?!USING\b)\w+)?""" +
       """\s+USING\s+(\(.*\)|(?:\w+\.)*\w+)(?:\s+AS)?(?:\s+(?!ON\b)\w+)?""" +
@@ -108,11 +99,31 @@ object GraftProcedures {
       """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
 
   def parseRowLevel(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case updateRe(tbl, sets, where) if isGraftTable(tbl) =>
-      Some(GraftUpdateCommand(stripCatalog(tbl), sets, Option(where)))
+    case updateRe(tbl, rest) if isGraftTable(tbl) =>
+      val (sets, where) = splitWhere(rest)
+      Some(GraftUpdateCommand(stripCatalog(tbl), sets, where))
     case mergeRe(tbl, src, on) if isGraftTable(tbl) =>
       Some(GraftMergeCommand(stripCatalog(tbl), src, on))
     case _ => None
+  }
+
+  /** Split `SET ... [WHERE cond]` at the first top-level WHERE — the
+    * keyword search skips quoted strings and parenthesized subqueries,
+    * so `SET note = 'x where y' WHERE id = 1` splits correctly. */
+  private def splitWhere(s: String): (String, Option[String]) = {
+    var depth = 0; var inQ = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inQ = !inQ
+      else if (!inQ && c == '(') depth += 1
+      else if (!inQ && c == ')') depth -= 1
+      else if (!inQ && depth == 0 && s.regionMatches(true, i, "WHERE", 0, 5) &&
+          (i > 0 && s.charAt(i - 1).isWhitespace) &&
+          (i + 5 == s.length || s.charAt(i + 5).isWhitespace))
+        return (s.substring(0, i).trim, Some(s.substring(i + 5).trim))
+      i += 1
+    }
+    (s.trim, None)
   }
 
   /** Drop a leading `graft.` catalog qualifier — resolveRoot addresses
@@ -129,6 +140,15 @@ object GraftProcedures {
           Paths.get(resolveRoot(spark, stripCatalog(t)), "_graft_log"))
       }.getOrElse(false)
     }
+
+  /** Resolve a user-written column name against the table schema the
+    * way Spark's analyzer does by default: exact match first, then
+    * case-insensitive; unresolved names pass through so the downstream
+    * require produces its usual error. */
+  private[lake] def resolveColumn(name: String, fields: Seq[String]): String =
+    fields.find(_ == name)
+      .orElse(fields.find(_.equalsIgnoreCase(name)))
+      .getOrElse(name)
 
   /** Split on `sep` outside single quotes and parentheses. */
   private[lake] def splitTop(s: String, sep: Char): Seq[String] = {
@@ -247,9 +267,11 @@ case class GraftUpdateCommand(table: String, setClause: String,
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{expr, lit}
     val root = GraftProcedures.resolveRoot(spark, table)
+    val fields = GraftTable.read(spark, root).schema.fieldNames.toSeq
     val sets = GraftProcedures.splitTop(setClause, ',').map { a =>
       a.split("=", 2) match {
-        case Array(k, v) => k.trim -> expr(v.trim)
+        case Array(k, v) =>
+          GraftProcedures.resolveColumn(k.trim, fields) -> expr(v.trim)
         case _ => throw new IllegalArgumentException(s"bad SET assignment: '$a'")
       }
     }.toMap
@@ -277,13 +299,14 @@ case class GraftMergeCommand(table: String, source: String,
       if (source.trim.startsWith("("))
         spark.sql(source.trim.stripPrefix("(").stripSuffix(")"))
       else spark.table(source.trim)
+    val fields = GraftTable.read(spark, root).schema.fieldNames.toSeq
     val keyCols = onClause.split("(?i)\\s+AND\\s+").toSeq.map { eq =>
       eq.split("=", 2) match {
         case Array(l, r) =>
           val (lc, rc) = (l.trim.split('.').last, r.trim.split('.').last)
           require(lc.equalsIgnoreCase(rc),
             s"MERGE ON must equate same-named key columns, got '$eq'")
-          lc
+          GraftProcedures.resolveColumn(lc, fields)
         case _ => throw new IllegalArgumentException(s"bad ON conjunct: '$eq'")
       }
     }

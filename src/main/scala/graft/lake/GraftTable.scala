@@ -795,15 +795,18 @@ object GraftTable {
     keys.distinct().coalesce(1).write.parquet(tmp.toString)
     val part = listDir(tmp).find(_.getFileName.toString.endsWith(".parquet"))
     val adds = part.toSeq.flatMap { src =>
-      val (_, records, _) = readFooter(src.toString, spark.sessionState.newHadoopConf())
+      val (_, records, st) = readFooter(src.toString, spark.sessionState.newHadoopConf())
       if (records == 0L) { Files.deleteIfExists(src); None }
       else {
         Files.createDirectories(deleteDir(root))
         val name = f"$id%010d-eqdelete-${UUID.randomUUID()}.parquet"
         val dst = deleteDir(root).resolve(name)
         Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-        Some(FileEntry(s"deletes/$name", Files.size(dst), records, Map.empty,
-          None, Some(2), Some(cols)))
+        // carry the key columns' min/max: CDC (deleteVictims) and any
+        // other consumer can then bound which data files a keyed
+        // delete can touch instead of scanning the table
+        Some(FileEntry(s"deletes/$name", Files.size(dst), records,
+          st.view.filterKeys(cols.toSet).toMap, None, Some(2), Some(cols)))
       }
     }
     Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
@@ -1470,9 +1473,10 @@ object GraftTable {
 
   /** Ops that never change live row content, only file layout. */
   private def maintenanceOps(op: String): Boolean = op match {
-    case "create" | "add_column" | "checkpoint" | "rewrite_data_files" |
-         "rewrite_data_files_sorted" | "rewrite_data_files_zorder" |
-         "rewrite_position_deletes" | "rewrite_equality_deletes" => true
+    case "create" | "add_column" | "set_properties" | "checkpoint" |
+         "rewrite_data_files" | "rewrite_data_files_sorted" |
+         "rewrite_data_files_zorder" | "rewrite_position_deletes" |
+         "rewrite_equality_deletes" => true
     case _ => false
   }
 
@@ -1505,29 +1509,15 @@ object GraftTable {
     val prevByPath = prev.files.map(f => f.path -> f).toMap
     val removedData = c.removes.flatMap(prevByPath.get).filter(_.isData)
     val addedData = c.adds.filter(_.isData)
-    // data files addressed by the commit's NEW delete files: position
-    // deletes carry exact file names (one small read); equality
-    // deletes bound their victims by key-stats overlap
-    val newDeletes = c.adds.filter(_.isDelete)
-    val posTargets: Seq[FileEntry] = {
-      val posFiles = newDeletes.filter(_.content.contains(1))
-      if (posFiles.isEmpty) Seq.empty
-      else {
-        val names = spark.read.parquet(posFiles.map(f => s"$root/${f.path}"): _*)
-          .select(regexp_extract(col("file_path"), "([^/]+)$", 1)).distinct()
-          .collect().map(_.getString(0)).toSet
-        prev.files.filter(f => f.isData && names.contains(f.path.split('/').last))
-      }
-    }
-    val eqTargets: Seq[FileEntry] = newDeletes.filter(_.content.contains(2)).flatMap { d =>
-      val bounds = d.eqCols.getOrElse(Seq.empty).flatMap { kc =>
-        d.stats.get(kc).toSeq.flatMap(st =>
-          st.min.map(Ge(kc, _)).toSeq ++ st.max.map(Le(kc, _)).toSeq)
-      }
-      prev.files.filter(f => f.isData && f.snapshotOfName <= c.snapshotId &&
-        mayMatch(types, bounds)(f))
-    }
-    val beforeFiles = (removedData ++ posTargets ++ eqTargets).distinctBy(_.path)
+    // data files whose LIVE rows this commit's delete-file changes can
+    // affect: delete files it ADDS kill rows, and delete files it
+    // REMOVES (a rollback past a MoR delete) resurrect them — both
+    // sides of that coin must enter the diff or the feed misses rows
+    val deltaDeletes = c.adds.filter(_.isDelete) ++
+      c.removes.flatMap(prevByPath.get).filter(_.isDelete)
+    val targets = deleteVictims(spark, root, types, deltaDeletes,
+      prev.files.filter(_.isData))
+    val beforeFiles = (removedData ++ targets).distinctBy(_.path)
     val curPaths = cur.files.map(_.path).toSet
     val afterFiles = (addedData ++ beforeFiles.filter(f => curPaths.contains(f.path)))
       .distinctBy(_.path)
@@ -1535,6 +1525,34 @@ object GraftTable {
     val after = readFiles(spark, root, schema, afterFiles, cur.files.filter(_.isDelete))
     Some(before.exceptAll(after).withColumn("_change_type", lit("delete"))
       .unionByName(after.exceptAll(before).withColumn("_change_type", lit("insert"))))
+  }
+
+  /** The data files (among `candidates`) a set of delete-file entries
+    * addresses: position deletes name their victims (one small read);
+    * equality deletes are bounded by their key min/max stats against
+    * each candidate's column stats, scoped by the sequence rule to
+    * files at or before the DELETE file's own snapshot. */
+  private def deleteVictims(spark: SparkSession, root: String,
+      types: Map[String, DataType], deleteEntries: Seq[FileEntry],
+      candidates: Seq[FileEntry]): Seq[FileEntry] = {
+    val posFiles = deleteEntries.filter(_.content.contains(1))
+    val pos: Seq[FileEntry] =
+      if (posFiles.isEmpty) Seq.empty
+      else {
+        val names = spark.read.parquet(posFiles.map(f => s"$root/${f.path}"): _*)
+          .select(regexp_extract(col("file_path"), "([^/]+)$", 1)).distinct()
+          .collect().map(_.getString(0)).toSet
+        candidates.filter(f => names.contains(f.path.split('/').last))
+      }
+    val eq = deleteEntries.filter(_.content.contains(2)).flatMap { d =>
+      val bounds = d.eqCols.getOrElse(Seq.empty).flatMap { kc =>
+        d.stats.get(kc).toSeq.flatMap(st =>
+          st.min.map(Ge(kc, _)).toSeq ++ st.max.map(Le(kc, _)).toSeq)
+      }
+      candidates.filter(f => f.snapshotOfName <= d.snapshotOfName &&
+        mayMatch(types, bounds)(f))
+    }
+    (pos ++ eq).distinctBy(_.path)
   }
 
   /** Streaming read of an APPEND-ONLY table: data files land in
@@ -1821,8 +1839,14 @@ object GraftTable {
       math.ceil(dataFiles.map(_.sizeBytes).sum.toDouble / target).toInt)
     val id = snap.snapshotId + 1
     val live = readFiles(spark, root, schema, dataFiles, deletes)
-    val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(buckets - 1))
-    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    // interleaved bit indexes must fit a signed Long: shrink the bucket
+    // count so bits * k <= 63 (1L << 65 would silently wrap, mapping
+    // distinct (bucket, bit) pairs to colliding weights and collapsing
+    // the curve for wide column lists)
+    require(zCols.size <= 63, s"too many z-order columns (${zCols.size})")
+    val effBuckets = math.max(2, math.min(buckets, 1 << math.min(30, 63 / zCols.size)))
+    val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(effBuckets - 1))
+    val probes = (1 until effBuckets).map(_.toDouble / effBuckets).toArray
     // one quantile pass over all z columns; duplicate boundaries (heavy
     // skew) collapse so the bucket expression stays monotonic
     val asD = zCols.map(c => col(c).cast("double").as(s"_gz_$c"))

@@ -522,6 +522,34 @@ class LakeV2Spec extends SparkSpec {
     }
   }
 
+  test("changes() surfaces resurrected rows when a rollback removes a MoR delete") {
+    val root = freshRoot("cdc-mor-rollback")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema,
+      Map("write.delete.mode" -> "merge-on-read"))
+    GraftTable.append(spark, root, n)                                  // 1
+    GraftTable.deleteWhere(spark, root, col("n_regionkey") === 2)      // 2: MoR delete
+    GraftTable.rollbackToSnapshot(root, 1L)                            // 3: removes the delete file
+    assert(GraftTable.read(spark, root).count() == n.count())
+    val c3 = GraftTable.changes(spark, root, 2L, 3L)
+    val resurrected = n.filter(col("n_regionkey") === 2).count()
+    assert(c3.filter(col("_change_type") === "insert").count() == resurrected,
+      "removing a position-delete file must emit the resurrected rows as inserts")
+    assert(c3.filter(col("_change_type") === "delete").count() == 0)
+    // the full feed still replays to the live table
+    val all = GraftTable.changes(spark, root, 0L, 3L)
+    val replayed = all.filter(col("_change_type") === "insert")
+      .drop("_change_type", "_commit_snapshot_id", "_commit_timestamp_ms")
+      .exceptAll(all.filter(col("_change_type") === "delete")
+        .drop("_change_type", "_commit_snapshot_id", "_commit_timestamp_ms"))
+    assert(replayed.exceptAll(GraftTable.read(spark, root)).isEmpty)
+    // set_properties is maintenance: readIncremental tolerates it
+    GraftTable.setProperties(root, Map("graft.note" -> "x"))           // 4
+    GraftTable.append(spark, root, n.limit(1))                         // 5
+    assert(GraftTable.readIncremental(spark, root, 3L, 5L).count() == 1)
+    assert(GraftTable.changes(spark, root, 3L, 4L).count() == 0)
+  }
+
   test("planScan applies MoR deletes and partition pruning distributed") {
     val root = freshRoot("planscan-mor")
     val n = Tables.nation(spark, sf)

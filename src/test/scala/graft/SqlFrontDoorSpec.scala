@@ -243,6 +243,17 @@ class SqlFrontDoorSpec extends SparkSpec {
     val ops = spark.sql("SELECT operation FROM graft.rl.t.snapshots ORDER BY snapshot_id")
       .collect().map(_.getString(0)).toSeq
     assert(ops.containsSlice(Seq("update", "merge", "merge")))
+    // a quoted 'where' inside a SET literal must not split the clause
+    spark.sql("UPDATE graft.rl.t SET tag = 'x where y' WHERE id = 3")
+    assert(spark.sql("SELECT tag FROM graft.rl.t WHERE id = 3").head().getString(0) == "x where y")
+    // column names resolve case-insensitively, like the rest of Spark
+    spark.sql("UPDATE graft.rl.t SET TAG = 'up' WHERE ID = 4")
+    assert(spark.sql("SELECT tag FROM graft.rl.t WHERE id = 4").head().getString(0) == "up")
+    spark.sql("SELECT id AS ID, CAST(7.0 AS DOUBLE) AS V, 'ci' AS TAG FROM range(300, 301)")
+      .createOrReplaceTempView("rl_src_ci")
+    spark.sql("""MERGE INTO graft.rl.t USING rl_src_ci ON ID = ID
+      |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT tag FROM graft.rl.t WHERE id = 300").head().getString(0) == "ci")
   }
 
   test("CALL rewrite_data_files(strategy => 'zorder') clusters through SQL") {
