@@ -246,11 +246,22 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
       case "rollback_to_snapshot" =>
         val id = GraftTable.rollbackToSnapshot(root, required("snapshot_id", "arg1").toLong)
         Seq(Row(s"snapshot_id=$id"))
+      case "create_changes_view" =>
+        // SQL door for the CDC feed: a CALL can only return a fixed
+        // schema, so the feed (whose schema is the table's) lands in a
+        // temp view instead — SELECT it like any relation
+        val from = required("from_snapshot", "arg1").toLong
+        val to = arg("to_snapshot", "arg2").map(_.toLong)
+          .getOrElse(GraftTable.latestSnapshotId(root))
+        val view = arg("view", "arg3").getOrElse("graft_changes")
+        GraftTable.changes(spark, root, from, to).createOrReplaceTempView(view)
+        Seq(Row(s"view=$view"))
       case other =>
         throw new IllegalArgumentException(
           s"unknown procedure graft_system.$other (have rewrite_data_files, " +
             "rewrite_manifests, rewrite_position_deletes, rewrite_equality_deletes, " +
-            "expire_snapshots, remove_orphan_files, rollback_to_snapshot)")
+            "expire_snapshots, remove_orphan_files, rollback_to_snapshot, " +
+            "create_changes_view)")
     }
   }
 }

@@ -256,6 +256,21 @@ class SqlFrontDoorSpec extends SparkSpec {
     assert(spark.sql("SELECT tag FROM graft.rl.t WHERE id = 300").head().getString(0) == "ci")
   }
 
+  test("CALL create_changes_view exposes the CDC feed to SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
+    spark.sql("DROP TABLE IF EXISTS graft.rl.cdc")
+    spark.sql("CREATE TABLE graft.rl.cdc (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.rl.cdc SELECT id, CAST(id AS DOUBLE) FROM range(50)")
+    spark.sql("INSERT INTO graft.rl.cdc SELECT id, CAST(id AS DOUBLE) FROM range(50, 80)")
+    spark.sql("DELETE FROM graft.rl.cdc WHERE id < 5")
+    spark.sql("CALL graft_system.create_changes_view(table => 'rl.cdc', " +
+      "from_snapshot => 1, view => 'cdc_feed')")
+    val byType = spark.sql(
+      "SELECT _change_type, COUNT(*) AS c FROM cdc_feed GROUP BY 1 ORDER BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 30L, "delete" -> 5L), s"got $byType")
+  }
+
   test("CALL rewrite_data_files(strategy => 'zorder') clusters through SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.zord")
     spark.sql("DROP TABLE IF EXISTS graft.zord.t")
