@@ -246,6 +246,13 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
       case "rollback_to_snapshot" =>
         val id = GraftTable.rollbackToSnapshot(root, required("snapshot_id", "arg1").toLong)
         Seq(Row(s"snapshot_id=$id"))
+      case "create_tag" =>
+        val id = GraftTable.createTag(root, required("tag", "arg1"),
+          arg("snapshot_id", "arg2").map(_.toLong)
+            .getOrElse(GraftTable.latestSnapshotId(root)))
+        Seq(Row(s"snapshot_id=$id"))
+      case "drop_tag" =>
+        Seq(Row(s"snapshot_id=${GraftTable.dropTag(root, required("tag", "arg1"))}"))
       case "create_changes_view" =>
         // SQL door for the CDC feed: a CALL can only return a fixed
         // schema, so the feed (whose schema is the table's) lands in a
@@ -261,7 +268,7 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
           s"unknown procedure graft_system.$other (have rewrite_data_files, " +
             "rewrite_manifests, rewrite_position_deletes, rewrite_equality_deletes, " +
             "expire_snapshots, remove_orphan_files, rollback_to_snapshot, " +
-            "create_changes_view)")
+            "create_tag, drop_tag, create_changes_view)")
     }
   }
 }

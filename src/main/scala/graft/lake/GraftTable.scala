@@ -1670,8 +1670,41 @@ object GraftTable {
     * would only add rows. */
   def refsTable(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    Seq(("main", "BRANCH", latestSnapshotId(root)))
+    (Seq(("main", "BRANCH", latestSnapshotId(root))) ++
+      tags(root).toSeq.sortBy(_._1).map { case (n, id) => (n, "TAG", id) })
       .toDF("name", "type", "snapshot_id")
+  }
+
+  // ── tags (immutable named snapshot refs) ────────────────────────────
+  // The Iceberg TAG flavor only — mutable branches are the declared
+  // Nessie non-goal (SURVEY §6). Tags ride the table-properties
+  // machinery (a set_properties commit), so they replay, checkpoint,
+  // and CDC-skip exactly like any other metadata change; an empty
+  // value marks a dropped tag (properties only ever merge forward).
+
+  def createTag(root: String, name: String, snapshotId: Long): Long = {
+    require(listCommitIds(root).contains(snapshotId),
+      s"cannot tag snapshot $snapshotId: not in log")
+    require(!tags(root).contains(name), s"tag '$name' already exists")
+    setProperties(root, Map(s"graft.ref.tag.$name" -> snapshotId.toString))
+  }
+
+  def dropTag(root: String, name: String): Long = {
+    require(tags(root).contains(name), s"no such tag: '$name'")
+    setProperties(root, Map(s"graft.ref.tag.$name" -> ""))
+  }
+
+  def tags(root: String): Map[String, Long] =
+    state(root).properties.collect {
+      case (k, v) if k.startsWith("graft.ref.tag.") && v.nonEmpty =>
+        k.stripPrefix("graft.ref.tag.") -> v.toLong
+    }
+
+  /** Time travel by tag name. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame = {
+    val t = tags(root)
+    require(t.contains(name), s"no such tag: '$name' (have ${t.keys.mkString(", ")})")
+    read(spark, root, Some(t(name)))
   }
 
   def historyTable(spark: SparkSession, root: String): DataFrame = {
@@ -1951,7 +1984,12 @@ object GraftTable {
   def expireSnapshots(root: String, retainLast: Int): Unit = {
     val ids = listCommitIds(root)
     if (ids.size <= retainLast) return
-    val cutoff = ids.sorted.takeRight(retainLast).head
+    // tagged snapshots are pinned (Iceberg's ref-retention rule):
+    // expiry never advances past the oldest tag
+    val pinned = tags(root).values
+    val cutoff = math.min(ids.sorted.takeRight(retainLast).head,
+      if (pinned.isEmpty) Long.MaxValue else pinned.min)
+    if (cutoff <= ids.min) return
     writeCheckpointArtifacts(root, state(root, Some(cutoff)))
     ids.filter(_ < cutoff).foreach(id => Files.deleteIfExists(commitPath(root, id)))
     listCheckpointIds(root).filter(_ < cutoff).foreach { k =>

@@ -428,6 +428,33 @@ class LakeV2Spec extends SparkSpec {
     assert(plan.df.except(ddf).isEmpty && ddf.except(plan.df).isEmpty)
   }
 
+  test("tags: named time travel, .refs rows, and expiry pinning") {
+    val root = freshRoot("tags")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    GraftTable.append(spark, root, n.filter(col("n_nationkey") < 10))   // 1
+    GraftTable.createTag(root, "v1", 1L)                                // 2
+    GraftTable.append(spark, root, n.filter(col("n_nationkey") >= 10))  // 3
+    GraftTable.overwriteWhere(spark, root, col("n_regionkey") === 0)    // 4
+    // tag reads the pinned snapshot regardless of later commits
+    assert(GraftTable.readTag(spark, root, "v1").count() ==
+      n.filter(col("n_nationkey") < 10).count())
+    val refs = GraftTable.refsTable(spark, root).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(refs("main") == (("BRANCH", 4L)) && refs("v1") == (("TAG", 1L)))
+    // expiry cannot advance past the tag...
+    GraftTable.expireSnapshots(root, 1)
+    assert(GraftTable.readTag(spark, root, "v1").count() ==
+      n.filter(col("n_nationkey") < 10).count(), "tagged snapshot must survive expiry")
+    // ...until the tag is dropped
+    GraftTable.dropTag(root, "v1")                                      // 5
+    GraftTable.expireSnapshots(root, 1)
+    assertThrows[IllegalArgumentException] { GraftTable.read(spark, root, Some(1L)) }
+    assert(!GraftTable.refsTable(spark, root).collect().exists(_.getString(0) == "v1"))
+    // duplicate tag names and unknown snapshots fail loudly
+    assertThrows[IllegalArgumentException] { GraftTable.createTag(root, "x", 999L) }
+  }
+
   test("z-order rewrite restores pruning on BOTH clustered columns") {
     val root = freshRoot("zorder")
     val df = spark.range(40000).select(

@@ -271,6 +271,23 @@ class SqlFrontDoorSpec extends SparkSpec {
     assert(byType == Map("insert" -> 30L, "delete" -> 5L), s"got $byType")
   }
 
+  test("CALL create_tag / drop_tag manage named refs through SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
+    spark.sql("DROP TABLE IF EXISTS graft.rl.tg")
+    spark.sql("CREATE TABLE graft.rl.tg (id BIGINT)")
+    spark.sql("INSERT INTO graft.rl.tg SELECT id FROM range(10)")
+    spark.sql("CALL graft_system.create_tag(table => 'rl.tg', tag => 'rel1')")
+    spark.sql("INSERT INTO graft.rl.tg SELECT id FROM range(10, 30)")
+    val refs = spark.sql("SELECT name, type, snapshot_id FROM graft.rl.tg.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(refs.contains(("rel1", "TAG", 1L)), s"got $refs")
+    // the tagged snapshot stays readable via VERSION AS OF its id
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.rl.tg VERSION AS OF 1").head().getLong(0) == 10)
+    spark.sql("CALL graft_system.drop_tag(table => 'rl.tg', tag => 'rel1')")
+    assert(!spark.sql("SELECT name FROM graft.rl.tg.refs").collect()
+      .exists(_.getString(0) == "rel1"))
+  }
+
   test("CALL rewrite_data_files(strategy => 'zorder') clusters through SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.zord")
     spark.sql("DROP TABLE IF EXISTS graft.zord.t")
