@@ -23,9 +23,11 @@ import org.apache.spark.sql.internal.SQLConf
   */
 object GraftBroadcastHints extends Rule[LogicalPlan] {
 
-  /** Size of the side iff it is a pure unary chain (project/filter/…)
-    * over a single graft scan — the shape a dimension access takes.
-    * Anything wider (joins, unions, aggregates) is left to Spark. */
+  /** Size of the side iff it is a unary chain of row-preserving or
+    * row-reducing nodes (project/filter/aggregate/…) over a single
+    * graft scan — the shapes a dimension access takes. Joins, unions,
+    * and row-multiplying nodes (Generate/Expand) are left to Spark:
+    * the manifest size no longer bounds those. */
   private def graftScanSize(p: LogicalPlan): Option[Long] = p match {
     // preCBO runs BEFORE scan push-down: the leaf is the table-level
     // DataSourceV2Relation — size the whole table from its manifest

@@ -108,18 +108,24 @@ object GraftProcedures {
   }
 
   /** Split `SET ... [WHERE cond]` at the first top-level WHERE — the
-    * keyword search skips quoted strings and parenthesized subqueries,
-    * so `SET note = 'x where y' WHERE id = 1` splits correctly. */
+    * keyword search skips single- AND double-quoted strings (both are
+    * Spark string literals), backslash escapes, and parenthesized
+    * subqueries, so `SET note = 'x where y' WHERE id = 1` splits
+    * correctly; `WHERE(id = 1)` counts as a boundary too. */
   private def splitWhere(s: String): (String, Option[String]) = {
-    var depth = 0; var inQ = false; var i = 0
+    var depth = 0; var q: Char = 0; var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') inQ = !inQ
-      else if (!inQ && c == '(') depth += 1
-      else if (!inQ && c == ')') depth -= 1
-      else if (!inQ && depth == 0 && s.regionMatches(true, i, "WHERE", 0, 5) &&
-          (i > 0 && s.charAt(i - 1).isWhitespace) &&
-          (i + 5 == s.length || s.charAt(i + 5).isWhitespace))
+      if (q != 0) {
+        if (c == '\\') i += 1
+        else if (c == q) q = 0
+      }
+      else if (c == '\'' || c == '"') q = c
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && s.regionMatches(true, i, "WHERE", 0, 5) &&
+          i > 0 && s.charAt(i - 1).isWhitespace &&
+          (i + 5 == s.length || s.charAt(i + 5).isWhitespace || s.charAt(i + 5) == '('))
         return (s.substring(0, i).trim, Some(s.substring(i + 5).trim))
       i += 1
     }
@@ -150,16 +156,23 @@ object GraftProcedures {
       .orElse(fields.find(_.equalsIgnoreCase(name)))
       .getOrElse(name)
 
-  /** Split on `sep` outside single quotes and parentheses. */
+  /** Split on `sep` outside quoted strings (single or double, with
+    * backslash escapes) and parentheses. */
   private[lake] def splitTop(s: String, sep: Char): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
-    var depth = 0; var inQ = false
+    var depth = 0; var q: Char = 0; var esc = false
     s.foreach { c =>
-      if (c == '\'') { inQ = !inQ; cur += c }
-      else if (!inQ && c == '(') { depth += 1; cur += c }
-      else if (!inQ && c == ')') { depth -= 1; cur += c }
-      else if (!inQ && depth == 0 && c == sep) { out += cur.toString; cur.clear() }
+      if (q != 0) {
+        cur += c
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == q) q = 0
+      }
+      else if (c == '\'' || c == '"') { q = c; cur += c }
+      else if (c == '(') { depth += 1; cur += c }
+      else if (c == ')') { depth -= 1; cur += c }
+      else if (depth == 0 && c == sep) { out += cur.toString; cur.clear() }
       else cur += c
     }
     out += cur.toString
@@ -285,7 +298,7 @@ case class GraftUpdateCommand(table: String, setClause: String,
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{expr, lit}
     val root = GraftProcedures.resolveRoot(spark, table)
-    val fields = GraftTable.read(spark, root).schema.fieldNames.toSeq
+    val fields = GraftTable.tableSchema(root).fieldNames.toSeq
     val sets = GraftProcedures.splitTop(setClause, ',').map { a =>
       a.split("=", 2) match {
         case Array(k, v) =>
@@ -317,7 +330,7 @@ case class GraftMergeCommand(table: String, source: String,
       if (source.trim.startsWith("("))
         spark.sql(source.trim.stripPrefix("(").stripSuffix(")"))
       else spark.table(source.trim)
-    val fields = GraftTable.read(spark, root).schema.fieldNames.toSeq
+    val fields = GraftTable.tableSchema(root).fieldNames.toSeq
     val keyCols = onClause.split("(?i)\\s+AND\\s+").toSeq.map { eq =>
       eq.split("=", 2) match {
         case Array(l, r) =>

@@ -802,11 +802,16 @@ object GraftTable {
         val name = f"$id%010d-eqdelete-${UUID.randomUUID()}.parquet"
         val dst = deleteDir(root).resolve(name)
         Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-        // carry the key columns' min/max: CDC (deleteVictims) and any
-        // other consumer can then bound which data files a keyed
-        // delete can touch instead of scanning the table
+        // carry the key columns' min/max: CDC (deleteVictims) and
+        // rewrite_equality_deletes can then bound which data files a
+        // keyed delete can touch instead of scanning the table. Only
+        // statsTypes columns — the pruning comparator (cmp) has no
+        // order for e.g. DecimalType's unscaled-integer stats text,
+        // and a wrong order silently drops victims
+        val statCols = cols.filter(c => statsTypes.contains(
+          schema.fields(schema.fieldIndex(c)).dataType)).toSet
         Some(FileEntry(s"deletes/$name", Files.size(dst), records,
-          st.view.filterKeys(cols.toSet).toMap, None, Some(2), Some(cols)))
+          st.view.filterKeys(statCols).toMap, None, Some(2), Some(cols)))
       }
     }
     Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
@@ -834,19 +839,33 @@ object GraftTable {
     // would not be comparable (prune is best-effort; skipping a column
     // only widens the rewrite set)
     val deleteBounds: Seq[(Long, Seq[Pred])] = eqDeletes.map { d =>
-      val cols = d.eqCols.getOrElse(Seq.empty).filter(c =>
-        statsTypes.contains(types(c)) &&
-          types(c) != TimestampType && types(c) != TimestampNTZType)
+      val eligible = d.eqCols.getOrElse(Seq.empty)
+        .filter(c => statsTypes.contains(types(c)))
+      // the delete file's own footer stats (recorded at write time, in
+      // the same rendering as data-file footer stats — timestamps
+      // included) make the per-file aggregation job below unnecessary
+      val fromStats = eligible.flatMap { c =>
+        d.stats.get(c).toSeq.flatMap(st =>
+          st.min.map(Ge(c, _)).toSeq ++ st.max.map(Le(c, _)).toSeq)
+      }
       val preds =
-        if (cols.isEmpty) Seq.empty[Pred]
+        if (fromStats.nonEmpty) fromStats
         else {
-          val aggs = cols.flatMap(c => Seq(min(col(c)).cast("string").as(s"mn_$c"),
-            max(col(c)).cast("string").as(s"mx_$c")))
-          val r = spark.read.parquet(s"$root/${d.path}")
-            .agg(aggs.head, aggs.tail: _*).collect().head
-          cols.flatMap { c =>
-            Option(r.getAs[String](s"mn_$c")).map(Ge(c, _)).toSeq ++
-              Option(r.getAs[String](s"mx_$c")).map(Le(c, _)).toSeq
+          // pre-stats delete files: recompute via one aggregation job —
+          // timestamp keys excluded there (CAST renders formatted text
+          // while footer stats store epoch-micros, not comparable)
+          val cols = eligible.filter(c =>
+            types(c) != TimestampType && types(c) != TimestampNTZType)
+          if (cols.isEmpty) Seq.empty[Pred]
+          else {
+            val aggs = cols.flatMap(c => Seq(min(col(c)).cast("string").as(s"mn_$c"),
+              max(col(c)).cast("string").as(s"mx_$c")))
+            val r = spark.read.parquet(s"$root/${d.path}")
+              .agg(aggs.head, aggs.tail: _*).collect().head
+            cols.flatMap { c =>
+              Option(r.getAs[String](s"mn_$c")).map(Ge(c, _)).toSeq ++
+                Option(r.getAs[String](s"mx_$c")).map(Le(c, _)).toSeq
+            }
           }
         }
       (d.snapshotOfName, preds)
@@ -955,6 +974,14 @@ object GraftTable {
   }
 
   // ── read / time travel / pruning ────────────────────────────────────
+
+  /** The table's current schema from the snapshot log — metadata only,
+    * no scan construction. */
+  def tableSchema(root: String): StructType = {
+    val snap = state(root)
+    DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+  }
 
   /** Snapshot read; `asOf` = time travel (reference:
     * SPARK_ICEBERG_GUIDE.md §8.8). */
@@ -1545,10 +1572,14 @@ object GraftTable {
         candidates.filter(f => names.contains(f.path.split('/').last))
       }
     val eq = deleteEntries.filter(_.content.contains(2)).flatMap { d =>
-      val bounds = d.eqCols.getOrElse(Seq.empty).flatMap { kc =>
-        d.stats.get(kc).toSeq.flatMap(st =>
-          st.min.map(Ge(kc, _)).toSeq ++ st.max.map(Le(kc, _)).toSeq)
-      }
+      // bounds only from columns the pruning comparator orders
+      // correctly (statsTypes) — anything else stays unbounded
+      val bounds = d.eqCols.getOrElse(Seq.empty)
+        .filter(kc => types.get(kc).exists(statsTypes.contains))
+        .flatMap { kc =>
+          d.stats.get(kc).toSeq.flatMap(st =>
+            st.min.map(Ge(kc, _)).toSeq ++ st.max.map(Le(kc, _)).toSeq)
+        }
       candidates.filter(f => f.snapshotOfName <= d.snapshotOfName &&
         mayMatch(types, bounds)(f))
     }
@@ -1690,15 +1721,22 @@ object GraftTable {
   }
 
   def dropTag(root: String, name: String): Long = {
-    require(tags(root).contains(name), s"no such tag: '$name'")
-    setProperties(root, Map(s"graft.ref.tag.$name" -> ""))
+    // checks the raw property (not tags()): a malformed hand-set value
+    // must still be droppable, or the table could never be repaired
+    val key = s"graft.ref.tag.$name"
+    require(state(root).properties.get(key).exists(_.nonEmpty), s"no such tag: '$name'")
+    setProperties(root, Map(key -> ""))
   }
 
   def tags(root: String): Map[String, Long] =
-    state(root).properties.collect {
-      case (k, v) if k.startsWith("graft.ref.tag.") && v.nonEmpty =>
-        k.stripPrefix("graft.ref.tag.") -> v.toLong
-    }
+    state(root).properties.iterator.flatMap { case (k, v) =>
+      // tolerate a malformed hand-set value (ALTER TABLE can write any
+      // text here): one bad tag must not break .refs, expiry, or the
+      // other tags
+      if (k.startsWith("graft.ref.tag.") && v.nonEmpty)
+        scala.util.Try(v.toLong).toOption.map(k.stripPrefix("graft.ref.tag.") -> _)
+      else None
+    }.toMap
 
   /** Time travel by tag name. */
   def readTag(spark: SparkSession, root: String, name: String): DataFrame = {

@@ -577,6 +577,22 @@ class LakeV2Spec extends SparkSpec {
     assert(GraftTable.changes(spark, root, 3L, 4L).count() == 0)
   }
 
+  test("CDC equality-delete bounds skip non-orderable key types (decimal)") {
+    val root = freshRoot("cdc-decimal")
+    val df = spark.range(20).selectExpr("id", "CAST(id + 0.5 AS DECIMAL(10,2)) AS price")
+    GraftTable.create(spark, root, df.schema)
+    GraftTable.append(spark, root, df)                                        // 1
+    GraftTable.deleteEqualityMoR(spark, root,
+      df.filter(col("id") === 15).select("price"))                            // 2
+    assert(GraftTable.read(spark, root).count() == 19)
+    // decimal footer stats have no comparator order — the feed must
+    // fall back to unbounded victims rather than mis-prune the file
+    val c = GraftTable.changes(spark, root, 1L, 2L)
+    assert(c.filter(col("_change_type") === "delete").count() == 1,
+      "decimal-keyed delete must still appear in the feed")
+    assert(c.filter(col("_change_type") === "insert").count() == 0)
+  }
+
   test("planScan applies MoR deletes and partition pruning distributed") {
     val root = freshRoot("planscan-mor")
     val n = Tables.nation(spark, sf)

@@ -246,6 +246,9 @@ class SqlFrontDoorSpec extends SparkSpec {
     // a quoted 'where' inside a SET literal must not split the clause
     spark.sql("UPDATE graft.rl.t SET tag = 'x where y' WHERE id = 3")
     assert(spark.sql("SELECT tag FROM graft.rl.t WHERE id = 3").head().getString(0) == "x where y")
+    // ...including double-quoted literals, and WHERE( as a boundary
+    spark.sql("UPDATE graft.rl.t SET tag = \"d where e\" WHERE(id = 5)")
+    assert(spark.sql("SELECT tag FROM graft.rl.t WHERE id = 5").head().getString(0) == "d where e")
     // column names resolve case-insensitively, like the rest of Spark
     spark.sql("UPDATE graft.rl.t SET TAG = 'up' WHERE ID = 4")
     assert(spark.sql("SELECT tag FROM graft.rl.t WHERE id = 4").head().getString(0) == "up")
