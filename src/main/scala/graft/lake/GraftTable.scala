@@ -1514,6 +1514,13 @@ object GraftTable {
     require(fromExclusive <= toInclusive && ids.contains(toInclusive) &&
       (fromExclusive == 0L || ids.contains(fromExclusive)),
       s"change range ($fromExclusive, $toInclusive] not in log ${ids.min}..${ids.max}")
+    // every commit in the range must still exist — after expire_snapshots
+    // a prefix of the log is gone, and a partial feed would silently
+    // misrepresent history (Delta CDF errors the same way)
+    val inRange = ids.count(id => id > fromExclusive && id <= toInclusive)
+    require(inRange == toInclusive - fromExclusive,
+      s"change range ($fromExclusive, $toInclusive] has expired commits " +
+        s"(log starts at ${ids.min}); narrow the range or use the checkpointed state")
     val snap = state(root, Some(toInclusive))
     val schema = DataType.fromJson(snap.schemaJson.getOrElse(
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]

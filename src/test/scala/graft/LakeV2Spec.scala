@@ -577,6 +577,21 @@ class LakeV2Spec extends SparkSpec {
     assert(GraftTable.changes(spark, root, 3L, 4L).count() == 0)
   }
 
+  test("changes() refuses ranges with expired commits instead of a partial feed") {
+    val root = freshRoot("cdc-expired")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    (0 until 4).foreach(i => GraftTable.append(spark, root,
+      n.filter(col("n_nationkey") % 4 === i)))                         // 1..4
+    GraftTable.expireSnapshots(root, 2)                                // 1,2 gone
+    assertThrows[IllegalArgumentException] { GraftTable.changes(spark, root, 0L, 4L) }
+    assertThrows[IllegalArgumentException] { GraftTable.readIncremental(spark, root, 0L, 4L) }
+    // the surviving suffix still feeds
+    assert(GraftTable.changes(spark, root, 3L, 4L)
+      .filter(col("_change_type") === "insert").count() ==
+      n.filter(col("n_nationkey") % 4 === 3).count())
+  }
+
   test("CDC equality-delete bounds skip non-orderable key types (decimal)") {
     val root = freshRoot("cdc-decimal")
     val df = spark.range(20).selectExpr("id", "CAST(id + 0.5 AS DECIMAL(10,2)) AS price")
