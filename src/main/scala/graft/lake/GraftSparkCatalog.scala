@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal => VLiteral, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
@@ -286,10 +286,11 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
   // OVERWRITE_DYNAMIC is deliberately absent: Spark's V1 write
   // fallback only covers append and overwrite-by-filter, so SQL
   // INSERT OVERWRITE in dynamic mode would need a native BATCH_WRITE
-  // path. Use GraftTable.overwriteDynamic from the API instead.
+  // path (no V1 fallback exists for OverwritePartitionsDynamic). Use
+  // GraftTable.overwriteDynamic from the API instead.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
@@ -390,16 +391,29 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
       }
     }
 
+  // by-FILTER overwrite (SupportsOverwrite): covers INSERT OVERWRITE
+  // (truncate = overwrite AlwaysTrue), static INSERT OVERWRITE ...
+  // PARTITION (p = v), and DataFrameWriterV2 overwrite(condition) —
+  // each becomes one atomic overwriteWhere commit with the condition's
+  // stats/partition pruning. DYNAMIC partition overwrite has no V1
+  // fallback in Spark's planner; GraftTable.overwriteDynamic covers it
+  // from the API.
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
-      private var overwriteAll = false
-      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+    new WriteBuilder with SupportsOverwrite {
+      private var overwriteFilters: Option[Array[Filter]] = None
+      override def canOverwrite(filters: Array[Filter]): Boolean =
+        filters.forall(f => GraftRelation.toCondition(f).isDefined)
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        overwriteFilters = Some(filters); this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
-          (data: DataFrame, _: Boolean) => {
-            if (overwriteAll)
-              GraftTable.overwriteWhere(data.sparkSession, root, lit(true), Some(data))
-            else GraftTable.append(data.sparkSession, root, data)
+          (data: DataFrame, _: Boolean) => overwriteFilters match {
+            case Some(fs) =>
+              val cond = fs.flatMap(GraftRelation.toCondition)
+                .reduceOption(_ && _).getOrElse(lit(true))
+              GraftTable.overwriteWhere(data.sparkSession, root, cond, Some(data))
+            case None => GraftTable.append(data.sparkSession, root, data)
           }
       }
     }

@@ -304,6 +304,29 @@ class SqlFrontDoorSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) AS c FROM graft.zord.t").head().getLong(0) == 5000)
   }
 
+  test("INSERT OVERWRITE PARTITION and writeTo().overwrite replace only matching rows") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
+    spark.sql("DROP TABLE IF EXISTS graft.rl.ow")
+    spark.sql("CREATE TABLE graft.rl.ow (id BIGINT, region BIGINT) PARTITIONED BY (region)")
+    spark.sql("INSERT INTO graft.rl.ow SELECT id, id % 3 FROM range(30)")
+    // static partition overwrite: region 1 replaced, others untouched
+    spark.sql("INSERT OVERWRITE graft.rl.ow PARTITION (region = 1) SELECT id + 100 FROM range(4)")
+    val byRegion = spark.sql(
+      "SELECT region, COUNT(*) AS c FROM graft.rl.ow GROUP BY region ORDER BY region")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byRegion == Map(0L -> 10L, 1L -> 4L, 2L -> 10L), s"got $byRegion")
+    // DataFrameWriterV2 overwrite(condition): arbitrary-filter replace
+    spark.range(2).selectExpr("id + 200 AS id", "CAST(0 AS BIGINT) AS region")
+      .writeTo("graft.rl.ow").overwrite(col("region") === 0)
+    val after = spark.sql(
+      "SELECT region, COUNT(*) AS c FROM graft.rl.ow GROUP BY region ORDER BY region")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == Map(0L -> 2L, 1L -> 4L, 2L -> 10L), s"got $after")
+    // plain INSERT OVERWRITE still truncates
+    spark.sql("INSERT OVERWRITE graft.rl.ow SELECT id, id % 2 FROM range(6)")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.rl.ow").head().getLong(0) == 6)
+  }
+
   test("identity-partitioned SQL table prunes partition files on read") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.lab2")
     spark.sql("""CREATE TABLE graft.lab2.nation_t (
