@@ -606,8 +606,24 @@ object GraftTable {
     val adds = writeDataFiles(spark, root, distribute(df, snap.properties), id, snap.properties)
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "append", adds, Seq.empty, commitProps, None))
+    maybeAutoCompact(spark, root, snap.properties)
     id
   }
+
+  /** Opt-in auto-compaction (the Delta autoOptimize pattern): when
+    * `graft.auto-compact.min-files` is set and at least that many
+    * small data files are live after an append, run an inline bin-pack
+    * so streaming/micro-batch ingest never accumulates the small-file
+    * problem the guide's §6 demonstrates. Best-effort by design: the
+    * APPEND is already durable, so a compaction that loses its commit
+    * race to a concurrent writer is simply skipped (the next append
+    * retries) rather than failing the caller's write. */
+  private def maybeAutoCompact(spark: SparkSession, root: String,
+      props: Map[String, String]): Unit =
+    props.get("graft.auto-compact.min-files").map(_.toInt).foreach { minFiles =>
+      try rewriteDataFiles(spark, root, minInputFiles = minFiles)
+      catch { case _: IllegalStateException => () }   // lost the race: skip
+    }
 
   /** Idempotent append for exactly-once streaming ingest (the Delta
     * txn pattern): the commit records (appId → version) in its

@@ -428,6 +428,26 @@ class LakeV2Spec extends SparkSpec {
     assert(plan.df.except(ddf).isEmpty && ddf.except(plan.df).isEmpty)
   }
 
+  test("auto-compaction bin-packs inline once enough small files accumulate") {
+    val root = freshRoot("autocompact")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema,
+      Map("graft.auto-compact.min-files" -> "4",
+        "graft.write-partitions" -> "2",
+        "graft.partition-columns" -> "n_regionkey"))
+    GraftTable.append(spark, root, n.filter(col("n_nationkey") % 2 === 0))
+    // 2 small files < threshold: no compaction yet
+    assert(!GraftTable.snapshotsTable(spark, root).select("operation").collect()
+      .map(_.getString(0)).contains("rewrite_data_files"))
+    GraftTable.append(spark, root, n.filter(col("n_nationkey") % 2 === 1))
+    // 4 small files >= threshold: the append triggered an inline bin-pack
+    val ops = GraftTable.snapshotsTable(spark, root).select("operation")
+      .collect().map(_.getString(0))
+    assert(ops.contains("rewrite_data_files"), s"auto-compact must run: ${ops.toSeq}")
+    assert(GraftTable.filesTable(spark, root).filter(col("content") === 0).count() < 4)
+    assert(GraftTable.read(spark, root).count() == n.count())
+  }
+
   test("tags: named time travel, .refs rows, and expiry pinning") {
     val root = freshRoot("tags")
     val n = Tables.nation(spark, sf)
