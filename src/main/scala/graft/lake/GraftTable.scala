@@ -615,15 +615,24 @@ object GraftTable {
     * small data files are live after an append, run an inline bin-pack
     * so streaming/micro-batch ingest never accumulates the small-file
     * problem the guide's §6 demonstrates. Best-effort by design: the
-    * APPEND is already durable, so a compaction that loses its commit
-    * race to a concurrent writer is simply skipped (the next append
-    * retries) rather than failing the caller's write. */
+    * APPEND is already durable by the time this runs, so NOTHING here
+    * may fail the caller's write — a lost commit race, an executor
+    * failure, or a malformed property value all skip the compaction
+    * (the next append retries); an unparsable min-files reads as
+    * not-set, like a malformed tag property.
+    *
+    * Do NOT enable on a table consumed via readStreamAppendOnly: the
+    * rewrite re-delivers compacted rows through that file stream —
+    * same caveat as explicit maintenance, but triggered by ordinary
+    * ingest. */
   private def maybeAutoCompact(spark: SparkSession, root: String,
       props: Map[String, String]): Unit =
-    props.get("graft.auto-compact.min-files").map(_.toInt).foreach { minFiles =>
-      try rewriteDataFiles(spark, root, minInputFiles = minFiles)
-      catch { case _: IllegalStateException => () }   // lost the race: skip
-    }
+    props.get("graft.auto-compact.min-files")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .foreach { minFiles =>
+        try rewriteDataFiles(spark, root, minInputFiles = minFiles)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
 
   /** Idempotent append for exactly-once streaming ingest (the Delta
     * txn pattern): the commit records (appId → version) in its
@@ -1615,7 +1624,9 @@ object GraftTable {
     * discipline as Delta's streaming source, which likewise rejects
     * non-append changes). Compaction/overwrite/rollback on a streamed
     * table would re-deliver rewritten files — run maintenance on a
-    * downstream copy instead.
+    * downstream copy instead, and do not combine this stream with
+    * `graft.auto-compact.min-files` (ordinary appends would then
+    * trigger exactly such a rewrite).
     *
     * Aborted-commit caveat: a writer that loses the commit race cleans
     * its staged files up (commitOrCleanup), but a writer that CRASHES

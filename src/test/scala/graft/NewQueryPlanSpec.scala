@@ -1,9 +1,34 @@
 package graft
 
-/** Plan-shape guards for the round-3 gate queries: q58's scan must
-  * prune to the two columns it uses, and q57's CDC read must not
-  * degenerate into a full-table diff for its append commits. */
+/** Plan-shape guards for the round-3 surface: q58's scan must prune
+  * to the two columns it uses, and the CDC append fast path (q57's
+  * dominant shape) must scan only the files its commit added. */
 class NewQueryPlanSpec extends SparkSpec {
+
+  test("CDC append commits scan only their own added files") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    import graft.lake.GraftTable
+    import graft.sources.Tables
+    val p = Paths.get("/root/repo/target/graft-planspec", "cdc-cost")
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+    Files.createDirectories(p.getParent)
+    val root = p.toString
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    GraftTable.append(spark, root, n.filter(col("n_nationkey") < 10))   // 1
+    GraftTable.append(spark, root, n.filter(col("n_nationkey") >= 10))  // 2
+    // the append fast path must read the commit's added files ONLY —
+    // never the table (the O(added bytes) CDC cost contract)
+    val inputs = GraftTable.changes(spark, root, 1L, 2L).inputFiles
+    assert(inputs.nonEmpty && inputs.forall(_.contains("/0000000002-")),
+      s"append CDC must scan only snapshot-2 files: ${inputs.mkString(", ")}")
+  }
 
   test("q58 scan reads only doc_id and text") {
     val df = graft.operators.TextOps.q58(spark, sf)
