@@ -132,11 +132,49 @@ object Streams {
       }
   }
 
+  /** Batch form of the stream-stream attribution join (the streaming
+    * twin lives in StreamingSpec as the watermarked MemoryStream
+    * test): each click joins the same user's views from the prior 15
+    * minutes. One shuffle on user_id; under readStream both sides
+    * carry watermarks and the event-time band bounds the join state —
+    * Spark evicts view state older than the band, so state is
+    * O(15 minutes of traffic), not O(history). Times compare as epoch
+    * micros so the DuckDB oracle (EPOCH_US over the ns timestamps)
+    * lands on identical integers. */
+  def attributionJoin(events: DataFrame): DataFrame = {
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"),
+        col("event_id").as("click_id"))
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("v_us"),
+        col("event_id").as("view_id"))
+    c.join(v, Seq("user_id"))
+      .filter(col("v_us") <= col("c_us") &&
+        col("v_us") >= col("c_us") - lit(15L * 60 * 1000000))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        (col("c_us") - col("v_us")).as("lag_us"))
+  }
+
+  def q59(s: SparkSession, dir: String): DataFrame =
+    attributionJoin(Tables.events(s, dir))
+      .orderBy(col("user_id"), col("click_id"), col("view_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stream_window" -> q42 _,
-    "q44_sessionize" -> q44 _)
+    "q44_sessionize" -> q44 _,
+    "q59_stream_join" -> q59 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q59_stream_join" ->
+      """WITH c AS (SELECT user_id, EPOCH_US(ts) AS c_us, event_id AS click_id
+        |           FROM events WHERE event_type = 'click'),
+        |     v AS (SELECT user_id, EPOCH_US(ts) AS v_us, event_id AS view_id
+        |           FROM events WHERE event_type = 'view')
+        |SELECT c.user_id, c.click_id, v.view_id, c.c_us - v.v_us AS lag_us
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND v.v_us <= c.c_us AND v.v_us >= c.c_us - 900000000
+        |ORDER BY c.user_id, c.click_id, v.view_id""".stripMargin,
+
     "q42_stream_window" ->
       """SELECT STRFTIME(TIME_BUCKET(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, COUNT(*) AS n_events,
