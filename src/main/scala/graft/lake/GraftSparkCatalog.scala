@@ -93,11 +93,16 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     } else throw new NoSuchTableException(ident)
   }
 
-  /** SELECT ... VERSION AS OF <snapshot id>. */
+  /** SELECT ... VERSION AS OF <snapshot id | 'tag-name'> (Iceberg
+    * accepts ref names here too). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident.namespace.toIndexedSeq, ident.name)
     if (!isTable(root)) throw new NoSuchTableException(ident)
-    new GraftSparkTable(fqn(ident), root, Some(version.toLong))
+    val snapshotId = version.toLongOption.orElse(GraftTable.tags(root).get(version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"VERSION AS OF '$version': not a snapshot id or tag of ${fqn(ident)} " +
+          s"(tags: ${GraftTable.tags(root).keys.mkString(", ")})"))
+    new GraftSparkTable(fqn(ident), root, Some(snapshotId))
   }
 
   /** SELECT ... TIMESTAMP AS OF — Spark hands micros since epoch. */

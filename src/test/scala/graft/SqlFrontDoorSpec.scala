@@ -284,8 +284,9 @@ class SqlFrontDoorSpec extends SparkSpec {
     val refs = spark.sql("SELECT name, type, snapshot_id FROM graft.rl.tg.refs ORDER BY name")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(refs.contains(("rel1", "TAG", 1L)), s"got $refs")
-    // the tagged snapshot stays readable via VERSION AS OF its id
+    // the tagged snapshot reads via VERSION AS OF its id OR its name
     assert(spark.sql("SELECT COUNT(*) AS c FROM graft.rl.tg VERSION AS OF 1").head().getLong(0) == 10)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.rl.tg VERSION AS OF 'rel1'").head().getLong(0) == 10)
     spark.sql("CALL graft_system.drop_tag(table => 'rl.tg', tag => 'rel1')")
     assert(!spark.sql("SELECT name FROM graft.rl.tg.refs").collect()
       .exists(_.getString(0) == "rel1"))
