@@ -405,7 +405,29 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ── q60: sliding-window chunking (context-window prep) ──────────────
+  /** Split each document into overlapping token-window chunks (size 64,
+    * stride 48 — the chunk-with-overlap shape RAG/pretraining prep
+    * uses). Pure array built-ins: split → sequence → explode → slice;
+    * one narrow explode, no shuffle until the final sort. Chunk count
+    * uses integer arithmetic (`DIV`) so both engines agree exactly;
+    * chunk text surfaces as md5 so the gate output stays narrow. */
+  def q60(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("last_chunk", expr("(GREATEST(n - 64, 0) + 47) DIV 48"))
+    t.select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0, last_chunk)")).as("chunk_id"))
+      .withColumn("chunk_toks", expr("slice(toks, chunk_id * 48 + 1, 64)"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk_toks")).cast("long").as("chunk_len"),
+        md5(array_join(col("chunk_toks"), " ")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_text_chunk" -> q60 _,
     "q58_text_pii" -> q58 _,
     "q56_sample_mix" -> q56 _,
     "q55_seq_packing" -> q55 _,
@@ -427,6 +449,18 @@ object TextOps {
     s"CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(${listSql(stopwords.toMap.apply(l))}, t))) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "q60_text_chunk" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+        |    LEN(STRING_SPLIT(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |    UNNEST(RANGE(0, ((GREATEST(n - 64, 0) + 47) // 48) + 1)) AS chunk_id
+        |  FROM t),
+        |s AS (SELECT doc_id, chunk_id,
+        |    LIST_SLICE(toks, chunk_id * 48 + 1, chunk_id * 48 + 64) AS chunk_toks
+        |  FROM c)
+        |SELECT doc_id, chunk_id, CAST(LEN(chunk_toks) AS BIGINT) AS chunk_len,
+        |  MD5(ARRAY_TO_STRING(chunk_toks, ' ')) AS chunk_hash
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "q58_text_pii" ->
       """WITH p AS (SELECT doc_id,
         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
