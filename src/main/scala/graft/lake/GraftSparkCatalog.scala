@@ -94,11 +94,16 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** SELECT ... VERSION AS OF <snapshot id | 'tag-name'> (Iceberg
-    * accepts ref names here too). */
+    * accepts ref names here too). A numeric string only means a
+    * snapshot id when that snapshot actually EXISTS — otherwise a tag
+    * someone named '3' would be silently shadowed (or the query would
+    * error) instead of resolving. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident.namespace.toIndexedSeq, ident.name)
     if (!isTable(root)) throw new NoSuchTableException(ident)
-    val snapshotId = version.toLongOption.orElse(GraftTable.tags(root).get(version))
+    val snapshotId = version.toLongOption
+      .filter(GraftTable.listCommitIds(root).contains)
+      .orElse(GraftTable.tags(root).get(version))
       .getOrElse(throw new IllegalArgumentException(
         s"VERSION AS OF '$version': not a snapshot id or tag of ${fqn(ident)} " +
           s"(tags: ${GraftTable.tags(root).keys.mkString(", ")})"))

@@ -210,7 +210,7 @@ object GraftTable {
       try s.iterator().asScala.toSeq finally s.close()
     }
 
-  private def listCommitIds(root: String): Seq[Long] =
+  private[lake] def listCommitIds(root: String): Seq[Long] =
     listDir(logDir(root))
       .map(_.getFileName.toString)
       .filter(_.matches("\\d+\\.json"))

@@ -132,15 +132,18 @@ object Streams {
       }
   }
 
-  /** Batch form of the stream-stream attribution join (the streaming
-    * twin lives in StreamingSpec as the watermarked MemoryStream
-    * test): each click joins the same user's views from the prior 15
-    * minutes. One shuffle on user_id; under readStream both sides
-    * carry watermarks and the event-time band bounds the join state —
-    * Spark evicts view state older than the band, so state is
-    * O(15 minutes of traffic), not O(history). Times compare as epoch
-    * micros so the DuckDB oracle (EPOCH_US over the ns timestamps)
-    * lands on identical integers. */
+  /** Batch form of the stream-stream attribution join: each click
+    * joins the same user's views from the prior 15 minutes. One
+    * shuffle on user_id. Times compare as epoch micros so the DuckDB
+    * oracle (EPOCH_US over the ns timestamps) lands on identical
+    * integers.
+    *
+    * The STREAMING form (StreamingSpec's watermarked MemoryStream
+    * test) must keep the raw timestamp columns in the join condition
+    * instead of these micros longs: Spark derives the join-state
+    * eviction bound from an event-time range over WATERMARKED columns,
+    * and projecting them to longs first would leave view-side state
+    * growing O(history) instead of O(15 minutes of traffic). */
   def attributionJoin(events: DataFrame): DataFrame = {
     val c = events.filter(col("event_type") === "click")
       .select(col("user_id"), unix_micros(col("ts")).as("c_us"),

@@ -290,6 +290,9 @@ class SqlFrontDoorSpec extends SparkSpec {
     spark.sql("CALL graft_system.drop_tag(table => 'rl.tg', tag => 'rel1')")
     assert(!spark.sql("SELECT name FROM graft.rl.tg.refs").collect()
       .exists(_.getString(0) == "rel1"))
+    // a numeric tag name resolves as a tag when no such snapshot exists
+    spark.sql("CALL graft_system.create_tag(table => 'rl.tg', tag => '9', snapshot_id => 1)")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.rl.tg VERSION AS OF '9'").head().getLong(0) == 10)
   }
 
   test("CALL rewrite_data_files(strategy => 'zorder') clusters through SQL") {
