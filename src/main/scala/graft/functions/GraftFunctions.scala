@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot paths Spark's built-ins
@@ -128,6 +128,28 @@ object GraftFunctions {
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       refGenCode(ctx, ev, call => s"((java.lang.Long) $call).longValue()")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Membership probe against a pre-built Bloom filter, codegen'd via
+    * a reference object — the sketch ships once per task in the
+    * serialized plan, not per row, and the probe stays inside the
+    * whole-stage span. The 100 TB decontamination shape: an exact
+    * benchmark-shingle broadcast costs O(set bytes); the Bloom filter
+    * costs ~10 bits/item at 1% FPP with zero false NEGATIVES, so a
+    * sketch-flagged doc set is always a superset of the exact one —
+    * safe for a contamination screen (never misses, slightly
+    * over-flags). */
+  case class BloomMightContain(child: Expression,
+      bloom: org.apache.spark.util.sketch.BloomFilter)
+      extends UnaryExpression with UnaryRefCodegen {
+    // caller must pass a string column
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = child.nullable
+    override def nullSafeEval(v: Any): Any =
+      bloom.mightContainString(v.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      refGenCode(ctx, ev, call => s"((java.lang.Boolean) $call).booleanValue()")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -255,6 +277,19 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash16", es => MinHashHex(es.head, 16), "built-in")
     reg.createOrReplaceTempFunction("graft_shingles3", es => Shingles(es.head, 3), "built-in")
+  }
+
+  /** Probe a string column against a driver-built Bloom filter. The
+    * sketch is query-specific state, so each sketch registers under
+    * its own derived name (same registry mechanism as the fixed
+    * functions — Column-from-Expression constructors are private to
+    * Spark). */
+  def bloomContains(spark: SparkSession, s: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val name = s"graft_bloom_${System.identityHashCode(bloom).toHexString}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, es => BloomMightContain(es.head, bloom), "built-in")
+    call_function(name, s)
   }
 
   def dotd(a: Column, b: Column): Column = call_function("graft_dotd", a, b)

@@ -373,6 +373,34 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ── q61: decontamination via a Bloom filter (the 100 TB path) ───────
+  /** q47's exact benchmark-shingle broadcast re-expressed as a Bloom
+    * sketch probe (public design: every large-scale decontamination
+    * pipeline ships the benchmark set as a sketch): ~10 bits per
+    * shingle at 1% FPP instead of the full string set, and zero false
+    * NEGATIVES, so the flagged-document set is always a SUPERSET of
+    * the exact check's — safe for a contamination screen. Rows-only at
+    * the gate (DuckDB cannot replicate Spark's bloom bits); the spec
+    * pins the superset property and bounds over-flagging against
+    * exact q47. */
+  def q61(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val bench = Tables.documents(s, dir).filter(col("source") === lit("src0"))
+      .select(explode(array_distinct(shingles(tokens(col("text"))))).as("sh"))
+      .distinct()
+    val bf = bench.stat.bloomFilter("sh", math.max(1L, bench.count()), 0.01)
+    val train = Tables.documents(s, dir).filter(col("source") =!= lit("src0"))
+      .select(col("doc_id"), explode(array_distinct(shingles(tokens(col("text"))))).as("sh"))
+    train
+      .withColumn("hit",
+        graft.functions.GraftFunctions.bloomContains(s, col("sh"), bf).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("hit")).as("n_overlap"))
+      .withColumn("overlap_frac", col("n_overlap").cast("double") / col("n_shingles"))
+      .withColumn("flagged", col("overlap_frac") >= lit(0.5))
+      .orderBy(col("doc_id"))
+  }
+
   // ── q58: PII redaction (emails / phones / IPv4) ─────────────────────
   /** The pre-training PII scrub step (public: C4 / RefinedWeb-family
     * pipelines redact contact info before release): per-category match
@@ -427,6 +455,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_decontam_bloom" -> q61 _,
     "q60_text_chunk" -> q60 _,
     "q58_text_pii" -> q58 _,
     "q56_sample_mix" -> q56 _,

@@ -9,6 +9,27 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
   * data-pipeline operators whose driver gate is rows-only. */
 class OperatorSpec extends SparkSpec {
 
+  test("bloom decontamination never misses an exactly-flagged doc, rarely over-flags") {
+    import org.apache.spark.sql.functions.col
+    val exact = graft.operators.TextOps.q47(spark, sf)
+      .select(col("doc_id"), col("n_overlap").as("exact_overlap"),
+        col("flagged").as("exact_flag"))
+    val bloom = graft.operators.TextOps.q61(spark, sf)
+      .select(col("doc_id"), col("n_overlap").as("bloom_overlap"),
+        col("flagged").as("bloom_flag"))
+    val both = exact.join(bloom, Seq("doc_id")).cache()
+    // zero false negatives: every exact hit is a bloom hit
+    assert(both.filter(col("bloom_overlap") < col("exact_overlap")).count() == 0,
+      "a Bloom filter must never miss a member")
+    assert(both.filter(col("exact_flag") && !col("bloom_flag")).count() == 0,
+      "bloom-flagged docs must be a superset of exactly-flagged docs")
+    // 1% FPP: over-flagging stays rare
+    val n = both.count()
+    val extra = both.filter(col("bloom_flag") && !col("exact_flag")).count()
+    assert(extra <= math.max(2L, n / 20),
+      s"over-flagged $extra of $n docs — FPP far above the configured 1%")
+  }
+
   test("DoubleDot matches the HOF aggregate(zip_with) formulation bit-for-bit") {
     import spark.implicits._
     GraftFunctions.register(spark)
