@@ -1,10 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark: every `SparkEntry.queries` entry, N in-process
+  * passes (SPARK_GRAFT_BENCH_RUNS, default 3), ONE JSON line out.
+  *
+  * The machine has noisy co-tenants (single-run totals swing ±40%),
+  * so the headline `value`/`queries` fields are MEDIANS across the
+  * passes and the full per-run series rides along in `runs`/`totals`
+  * — the artifact alone is enough to recompute any statistic. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,28 +29,51 @@ object Bench {
       val warm = java.nio.file.Files.createTempDirectory("bench-warm")
       spark.range(100).write.mode("overwrite").parquet(warm.resolve("w").toString)
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a throwing query must not masquerade as a fast success: record
-      // the failure and emit -1 as its duration instead of folding the
-      // partial elapsed time into the totals
-      val ok = try { fn(spark, sfDir).count(); true } catch { case t: Throwable =>
-        // stderr is outside the driver's JSON contract — keep the
-        // evidence for diagnosing intermittent failures
-        System.err.println(s"[bench] $name failed: $t")
-        false
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // isolate queries: one query's cached intermediates must not
-      // occupy (or evict) storage memory while later ones run
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
-      (name, dt, ok)
+
+    val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+    // runs(i)(name) = seconds, or -1.0 when the query threw that pass
+    val runs: Seq[Map[String, Double]] = (1 to nRuns).map { _ =>
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        // a throwing query must not masquerade as a fast success:
+        // record the failure and emit -1 as its duration instead of
+        // folding the partial elapsed time into the totals
+        val ok = try { fn(spark, sfDir).count(); true } catch { case t: Throwable =>
+          // stderr is outside the driver's JSON contract — keep the
+          // evidence for diagnosing intermittent failures
+          System.err.println(s"[bench] $name failed: $t")
+          false
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // isolate queries: one query's cached intermediates must not
+        // occupy (or evict) storage memory while later ones run
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        name -> (if (ok) dt else -1.0)
+      }.toMap
     }
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
-      .mkString("{", ",", "}")
-    val failed = results.filterNot(_._3).map(t => "\"" + t._1 + "\"").mkString("[", ",", "]")
-    val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    def fmt(d: Double): String = if (d < 0) "-1" else f"$d%.4f"
+    def qjson(m: Map[String, Double]): String =
+      names.map(n => s"\"$n\":${fmt(m(n))}").mkString("{", ",", "}")
+
+    // per-query median over the passes where the query succeeded
+    val medians: Map[String, Double] = names.map { n =>
+      val oks = runs.map(_(n)).filter(_ >= 0)
+      n -> (if (oks.isEmpty) -1.0 else median(oks))
+    }.toMap
+    val totals = runs.map(r => r.values.filter(_ >= 0).sum)
+    val failed = names.filter(n => runs.exists(_(n) < 0))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val runsJson = runs.map(qjson).mkString("[", ",", "]")
+    val totalsJson = totals.map(fmt).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(median(totals))},"unit":"sec","queries":${qjson(medians)},"runs":$runsJson,"totals":$totalsJson,"n_runs":$nRuns,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

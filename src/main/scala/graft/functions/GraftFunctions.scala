@@ -225,6 +225,54 @@ object GraftFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Production-mode MinHash signature (the hash-family swap the md5
+    * gate mode documents): element i is MIN over the input strings of
+    * xxhash64(xxhash64(s, seed=0), seed=i+1), compared unsigned.
+    *
+    * One 64-bit base hash per shingle + numPerms constant-time long
+    * re-hashes replaces numPerms full md5 digests per shingle — the
+    * dominant CPU cost of the minhash path at 100 TB. The md5 variant
+    * stays the correctness gate (DuckDB can reproduce md5 bit-exactly;
+    * it cannot reproduce Spark's xxhash64 seeding), and a spec pins
+    * both families to the same verified near-dup pair set on testdata.
+    */
+  case class MinHashXx(child: Expression, numPerms: Int)
+      extends UnaryExpression with UnaryRefCodegen {
+    override def dataType: DataType = ArrayType(LongType)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val mins = new Array[Long](numPerms)
+      java.util.Arrays.fill(mins, -1L) // unsigned max
+      var any = false
+      var t = 0
+      val n = arr.numElements()
+      while (t < n) {
+        val s = arr.get(t, StringType).asInstanceOf[UTF8String]
+        if (s != null) {
+          any = true
+          val base = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(s, 0L), 0L)
+          var i = 0
+          while (i < numPerms) {
+            val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(base, i + 1L)
+            if (java.lang.Long.compareUnsigned(h, mins(i)) < 0) mins(i) = h
+            i += 1
+          }
+        }
+        t += 1
+      }
+      // all-null input (or empty array) → all-null signature, matching
+      // the md5 variant's shape so downstream band logic is identical
+      val out: Array[Any] =
+        if (any) mins.map(Long.box(_): Any) else Array.fill[Any](numPerms)(null)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      refGenCode(ctx, ev,
+        call => s"(org.apache.spark.sql.catalyst.util.ArrayData) $call")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Word k-gram shingles in one pass: `shingles(toks, k)` returns
     * the array of space-joined k-grams — exactly
     * `transform(sequence(1, size-k+1), i -> concat_ws(' ', slice(toks, i, k)))`
@@ -276,6 +324,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_dotd", es => DoubleDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash16", es => MinHashHex(es.head, 16), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash16xx", es => MinHashXx(es.head, 16), "built-in")
     reg.createOrReplaceTempFunction("graft_shingles3", es => Shingles(es.head, 3), "built-in")
   }
 
@@ -283,17 +332,35 @@ object GraftFunctions {
     * sketch is query-specific state, so each sketch registers under
     * its own derived name (same registry mechanism as the fixed
     * functions — Column-from-Expression constructors are private to
-    * Spark). */
+    * Spark). Callers MUST pair this with [[releaseBloom]] once the
+    * consuming DataFrame is constructed: Dataset construction analyzes
+    * eagerly, so the UnresolvedFunction is resolved to the concrete
+    * BloomMightContain (sketch embedded) by then, and dropping the
+    * registry entry keeps long-lived sessions from accumulating one
+    * entry per sketch. */
   def bloomContains(spark: SparkSession, s: Column,
       bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
-    val name = s"graft_bloom_${System.identityHashCode(bloom).toHexString}"
+    val name = bloomFnName(bloom)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, es => BloomMightContain(es.head, bloom), "built-in")
     call_function(name, s)
   }
 
+  private def bloomFnName(bloom: AnyRef): String =
+    s"graft_bloom_${System.identityHashCode(bloom).toHexString}"
+
+  /** Drop the per-sketch registry entry created by [[bloomContains]].
+    * Safe once every DataFrame referencing the probe has been
+    * constructed (analysis is eager; the resolved plan no longer
+    * consults the registry). */
+  def releaseBloom(spark: SparkSession,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Unit =
+    spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(bloomFnName(bloom)))
+
   def dotd(a: Column, b: Column): Column = call_function("graft_dotd", a, b)
   def shingles3(tokens: Column): Column = call_function("graft_shingles3", tokens)
   def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
   def minhash16(shingles: Column): Column = call_function("graft_minhash16", shingles)
+  def minhash16xx(shingles: Column): Column = call_function("graft_minhash16xx", shingles)
 }

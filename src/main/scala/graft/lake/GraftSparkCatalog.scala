@@ -151,10 +151,14 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     t.name() match {
       case "identity" => s"identity($colOf)"
       case "days" => s"days($colOf)"
+      case "months" => s"months($colOf)"
+      case "years" => s"years($colOf)"
+      case "hours" => s"hours($colOf)"
       case "bucket" => s"bucket($intArg,$colOf)"
       case "truncate" => s"truncate($intArg,$colOf)"
       case other => throw new IllegalArgumentException(
-        s"unsupported partition transform: $other (want identity/days/bucket/truncate)")
+        s"unsupported partition transform: $other " +
+          "(want identity/days/months/years/hours/bucket/truncate)")
     }
   }
 
@@ -164,12 +168,35 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     val sets = changes.collect { case s: TableChange.SetProperty => s.property -> s.value }
     val removes = changes.collect { case r: TableChange.RemoveProperty => r.property }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    val known = changes.count {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty |
+           _: TableChange.AddColumn | _: TableChange.RenameColumn |
+           _: TableChange.DeleteColumn => true
+      case _ => false
+    }
+    require(known == changes.length,
+      s"unsupported ALTER TABLE change(s): ${changes.filterNot {
+        case _: TableChange.SetProperty | _: TableChange.RemoveProperty |
+             _: TableChange.AddColumn | _: TableChange.RenameColumn |
+             _: TableChange.DeleteColumn => true
+        case _ => false
+      }.mkString(", ")}")
     require(removes.isEmpty, "UNSET TBLPROPERTIES is not supported (properties are additive commits)")
     if (sets.nonEmpty) GraftTable.setProperties(root, sets.toMap)
     adds.foreach { a =>
       require(a.fieldNames.length == 1, "nested ADD COLUMN not supported")
       GraftTable.addColumn(root,
         org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType, a.isNullable))
+    }
+    renames.foreach { r =>
+      require(r.fieldNames.length == 1, "nested RENAME COLUMN not supported")
+      GraftTable.renameColumn(root, r.fieldNames.head, r.newName)
+    }
+    drops.foreach { d =>
+      require(d.fieldNames.length == 1, "nested DROP COLUMN not supported")
+      GraftTable.dropColumn(root, d.fieldNames.head)
     }
     new GraftSparkTable(fqn(ident), root, None)
   }
@@ -285,6 +312,9 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
       .map {
         case GraftTable.PIdentity(c) => Expressions.identity(c)
         case GraftTable.PDays(c) => Expressions.days(c)
+        case GraftTable.PMonths(c) => Expressions.months(c)
+        case GraftTable.PYears(c) => Expressions.years(c)
+        case GraftTable.PHours(c) => Expressions.hours(c)
         case GraftTable.PBucket(c, n) => Expressions.bucket(n, c)
         case GraftTable.PTruncate(c, w) =>
           Expressions.apply("truncate", Expressions.literal(w), Expressions.column(c))

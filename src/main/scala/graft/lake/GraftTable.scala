@@ -88,6 +88,18 @@ object GraftTable {
   case class PBucket(col: String, n: Int) extends PTransform { def label = s"${col}_bucket_$n" }
   case class PTruncate(col: String, w: Int) extends PTransform { def label = s"${col}_trunc_$w" }
   case class PDays(col: String) extends PTransform { def label = s"${col}_day" }
+  case class PMonths(col: String) extends PTransform { def label = s"${col}_month" }
+  case class PYears(col: String) extends PTransform { def label = s"${col}_year" }
+  case class PHours(col: String) extends PTransform { def label = s"${col}_hour" }
+
+  /** The time-bucket transforms (days/months/years/hours) all render
+    * to fixed-width ISO-prefix text, so within one transform
+    * lexicographic order IS chronological order and range predicates
+    * prune at the transform's granularity. */
+  private def isTimeBucket(t: PTransform): Boolean = t match {
+    case PDays(_) | PMonths(_) | PYears(_) | PHours(_) => true
+    case _ => false
+  }
 
   val specProp = "graft.partition-spec"
   /** Rendered into partition tuples for rows whose partition source
@@ -95,7 +107,7 @@ object GraftTable {
     * emits on disk). Null partitions never prune. */
   private val nullPart = "__HIVE_DEFAULT_PARTITION__"
 
-  private val specRe = """(identity|days)\(\s*([\w.]+)\s*\)|(bucket|truncate)\(\s*(\d+)\s*,\s*([\w.]+)\s*\)""".r
+  private val specRe = """(identity|days|months|years|hours)\(\s*([\w.]+)\s*\)|(bucket|truncate)\(\s*(\d+)\s*,\s*([\w.]+)\s*\)""".r
 
   def parsePartitionSpec(s: String): Seq[PTransform] = {
     // split on commas OUTSIDE parens — bucket(16,c) is one term
@@ -103,10 +115,13 @@ object GraftTable {
     val parsed = terms.map {
       case specRe("identity", c, null, null, null) => PIdentity(c)
       case specRe("days", c, null, null, null) => PDays(c)
+      case specRe("months", c, null, null, null) => PMonths(c)
+      case specRe("years", c, null, null, null) => PYears(c)
+      case specRe("hours", c, null, null, null) => PHours(c)
       case specRe(null, null, "bucket", n, c) => PBucket(c, n.toInt)
       case specRe(null, null, "truncate", w, c) => PTruncate(c, w.toInt)
       case other => throw new IllegalArgumentException(
-        s"bad partition spec term '$other' (want identity(c)|days(c)|bucket(n,c)|truncate(w,c))")
+        s"bad partition spec term '$other' (want identity(c)|days(c)|months(c)|years(c)|hours(c)|bucket(n,c)|truncate(w,c))")
     }
     require(parsed.map(_.label).distinct.size == parsed.size,
       s"duplicate partition transforms in '$s'")
@@ -133,6 +148,22 @@ object GraftTable {
       case _ => throw new IllegalArgumentException(s"truncate($w,$c) needs string/int/long, got $dt")
     }
     case PDays(c) => to_date(col(c)).cast("string")   // session TZ pinned UTC
+    case PMonths(c) => date_format(tsNorm(c, dt, t), "yyyy-MM")
+    case PYears(c) => date_format(tsNorm(c, dt, t), "yyyy")
+    case PHours(c) => dt match {
+      case TimestampType | TimestampNTZType => date_format(tsNorm(c, dt, t), "yyyy-MM-dd-HH")
+      case _ => throw new IllegalArgumentException(s"hours($c) needs a timestamp column, got $dt")
+    }
+  }
+
+  /** Normalize a time-partition source column for date_format: NTZ
+    * casts to LTZ (identity under the pinned UTC session TZ); dates
+    * and timestamps pass through. Other types are spec errors. */
+  private def tsNorm(c: String, dt: DataType, t: PTransform): Column = dt match {
+    case TimestampNTZType => col(c).cast("timestamp")
+    case TimestampType | DateType => col(c)
+    case _ => throw new IllegalArgumentException(
+      s"${t.label}: time transform needs date/timestamp, got $dt")
   }
 
   /** Driver-side twin of transformCol for a predicate literal (stats
@@ -162,7 +193,30 @@ object GraftTable {
         java.time.LocalDate.ofEpochDay(Math.floorDiv(us, 86400000000L)).toString)
       case _ => None
     }
+    case PMonths(_) => timeBucketLit(dt, v, isoPrefix = 7, pattern = "yyyy-MM")
+    case PYears(_) => timeBucketLit(dt, v, isoPrefix = 4, pattern = "yyyy")
+    case PHours(_) => dt match {   // hours() never applies to DateType
+      case TimestampType | TimestampNTZType => microsToPattern(v, "yyyy-MM-dd-HH")
+      case _ => None
+    }
   }
+
+  /** Pred-literal → time-bucket text: date preds carry ISO date text
+    * (the bucket is a prefix); timestamp preds carry epoch-micros
+    * text (format at the bucket's granularity, UTC). */
+  private def timeBucketLit(dt: DataType, v: String, isoPrefix: Int,
+      pattern: String): Option[String] = dt match {
+    case DateType => Some(v.take(isoPrefix))
+    case TimestampType | TimestampNTZType => microsToPattern(v, pattern)
+    case _ => None
+  }
+
+  private def microsToPattern(v: String, pattern: String): Option[String] =
+    scala.util.Try(v.toLong).toOption.map { us =>
+      java.time.LocalDateTime
+        .ofEpochSecond(Math.floorDiv(us, 1000000L), 0, java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern(pattern))
+    }
 
   /** Atomic put-if-absent. A rename would silently REPLACE an existing
     * target on POSIX (rename(2) semantics), losing a concurrent
@@ -557,9 +611,120 @@ object GraftTable {
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
     require(!cur.fieldNames.contains(field.name), s"column exists: ${field.name}")
     require(field.nullable, "added columns must be nullable (old files have no values)")
+    // a name that is still a live PHYSICAL column in old files (a
+    // historical name of a renamed column, or a dropped column) would
+    // make mixed scans ambiguous — Iceberg disambiguates by field id;
+    // here the honest answer is to refuse until a full rewrite retires
+    // the old physical name
+    requireFreshPhysicalName(snap, cur, field.name)
     val id = snap.snapshotId + 1   // planned against snap: conflicts fail loudly
     val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "add_column",
       Seq.empty, Seq.empty, Map.empty, Some(cur.add(field).json))
+    writeAtomic(commitPath(root, id), toJson(c))
+    id
+  }
+
+  // ── rename / drop column (metadata-only schema evolution) ───────────
+  // A renamed column keeps its historical physical names in the
+  // field's metadata (`graft.prev-names`) INSIDE the per-snapshot
+  // schemaJson — the mapping travels with the snapshot, so a
+  // time-travel read between two renames resolves exactly the names
+  // that were physical when its files were written (the same design
+  // point as Delta's column-mapping metadata / Iceberg's field ids,
+  // expressed over names because parquet files are addressed by name
+  // here). Reads request old+new physical columns and COALESCE them:
+  // each file physically contains exactly one of the names, so the
+  // projection is exact. Dropped columns tombstone their physical
+  // names in a table property so they cannot be re-added ambiguously.
+
+  private[lake] val prevNamesKey = "graft.prev-names"
+  private[lake] val droppedColsProp = "graft.dropped-columns"
+
+  private[lake] def prevNames(f: StructField): Seq[String] =
+    if (f.metadata.contains(prevNamesKey))
+      f.metadata.getStringArray(prevNamesKey).toSeq
+    else Seq.empty
+
+  private def droppedCols(props: Map[String, String]): Seq[String] =
+    props.get(droppedColsProp).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  /** Rename/drop preconditions shared with addColumn: the name must
+    * not collide with any live logical name, any historical physical
+    * name, or a dropped column's tombstone. */
+  private def requireFreshPhysicalName(snap: Snapshot, cur: StructType,
+      name: String): Unit = {
+    require(!cur.fields.exists(g => prevNames(g).exists(_.equalsIgnoreCase(name))),
+      s"column name '$name' is a historical name of a renamed column; " +
+        "rewrite data files before reusing it")
+    require(!droppedCols(snap.properties).exists(_.equalsIgnoreCase(name)),
+      s"column name '$name' belonged to a dropped column; " +
+        "rewrite data files before reusing it")
+  }
+
+  /** Columns the table's physical layout or delete files key on
+    * cannot be renamed/dropped without a rewrite. */
+  private def requireEvolvable(snap: Snapshot, colName: String, what: String): Unit = {
+    val specCols = tableSpec(snap.properties).map(_.col)
+    require(!specCols.exists(_.equalsIgnoreCase(colName)),
+      s"cannot $what '$colName': it is a partition-spec source column")
+    val legacy = snap.properties.get("graft.partition-columns").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    require(!legacy.exists(_.equalsIgnoreCase(colName)),
+      s"cannot $what '$colName': it is a declared clustering column")
+    val eqKeys = snap.files.filter(f => f.isDelete && f.content.contains(2))
+      .flatMap(_.eqCols.getOrElse(Seq.empty))
+    require(!eqKeys.exists(_.equalsIgnoreCase(colName)),
+      s"cannot $what '$colName': live equality-delete files key on it " +
+        "(run rewrite_equality_deletes first)")
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN — metadata-only: a commit whose
+    * schema carries the new name plus the old one in `graft.prev-names`.
+    * No data file is touched; reads coalesce over old+new physical
+    * columns; time travel before this commit sees the old schema. */
+  def renameColumn(root: String, from: String, to: String): Long = {
+    val snap = state(root)
+    val cur = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val idx = cur.fields.indexWhere(_.name.equalsIgnoreCase(from))
+    require(idx >= 0, s"no such column: $from")
+    require(!cur.fields.exists(_.name.equalsIgnoreCase(to)), s"column exists: $to")
+    require(!to.startsWith("_gp_") && !to.startsWith("_gf"),
+      s"column name '$to' uses a reserved graft prefix")
+    requireFreshPhysicalName(snap, cur, to)
+    val f = cur.fields(idx)
+    requireEvolvable(snap, f.name, "rename")
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata)
+      .putStringArray(prevNamesKey, (prevNames(f) :+ f.name).toArray)
+      .build()
+    val ns = StructType(cur.fields.updated(idx, StructField(to, f.dataType, f.nullable, md)))
+    val id = snap.snapshotId + 1
+    val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "rename_column",
+      Seq.empty, Seq.empty, Map.empty, Some(ns.json))
+    writeAtomic(commitPath(root, id), toJson(c))
+    id
+  }
+
+  /** ALTER TABLE ... DROP COLUMN — metadata-only: the column leaves
+    * the schema (reads stop requesting it; old files keep the bytes
+    * until a rewrite), and its physical names are tombstoned so a
+    * future ADD COLUMN cannot silently resurrect old values. */
+  def dropColumn(root: String, name: String): Long = {
+    val snap = state(root)
+    val cur = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val idx = cur.fields.indexWhere(_.name.equalsIgnoreCase(name))
+    require(idx >= 0, s"no such column: $name")
+    require(cur.fields.length > 1, "cannot drop the last column")
+    val f = cur.fields(idx)
+    requireEvolvable(snap, f.name, "drop")
+    val tomb = (droppedCols(snap.properties) ++ (f.name +: prevNames(f))).distinct
+    val ns = StructType(cur.fields.patch(idx, Nil, 1))
+    val id = snap.snapshotId + 1
+    val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "drop_column",
+      Seq.empty, Seq.empty, Map(droppedColsProp -> tomb.mkString(",")), Some(ns.json))
     writeAtomic(commitPath(root, id), toJson(c))
     id
   }
@@ -1116,9 +1281,10 @@ object GraftTable {
     }
 
   /** Partition-value pruning: a file's partition tuple holds for EVERY
-    * row, so the check is exact per transform — identity/days support
-    * range predicates, bucket/truncate equality only. Columns without
-    * a transform (or files predating the spec) never prune here. */
+    * row, so the check is exact per transform — identity and the time
+    * buckets (days/months/years/hours) support range predicates,
+    * bucket/truncate equality only. Columns without a transform (or
+    * files predating the spec) never prune here. */
   private def mayMatchPartition(types: Map[String, DataType], spec: Seq[PTransform],
       preds: Seq[Pred])(f: FileEntry): Boolean = {
     val pv = f.partitionValues
@@ -1154,11 +1320,11 @@ object GraftTable {
                 case Ge(_, x) => cmp(dt, v, x) >= 0
                 case Le(_, x) => cmp(dt, v, x) <= 0
               }
-              case PDays(_) => transformLit(t, dt, raw(p)) match {
+              case tb if isTimeBucket(tb) => transformLit(t, dt, raw(p)) match {
                 case None => true
-                case Some(d) => p match {       // v, d are ISO dates (lexicographic = chronological)
-                  case Eq(_, _) => v == d
-                  case Gt(_, _) | Ge(_, _) => v >= d   // conservative day-granularity bound
+                case Some(d) => p match {       // v, d are same-width ISO-prefix text
+                  case Eq(_, _) => v == d       // (lexicographic = chronological)
+                  case Gt(_, _) | Ge(_, _) => v >= d   // conservative bucket-granularity bound
                   case Lt(_, _) | Le(_, _) => v <= d
                 }
               }
@@ -1194,11 +1360,38 @@ object GraftTable {
     * anti-join null-safely on their key columns, restricted to data
     * files whose snapshot-id name prefix ≤ the delete's — later
     * appends are NOT affected (the Iceberg sequence-number rule). */
+  /** True when any field carries historical physical names (a rename
+    * happened at or before this snapshot's schema). */
+  private def hasRenames(schema: StructType): Boolean =
+    schema.fields.exists(f => prevNames(f).nonEmpty)
+
+  /** The schema to REQUEST from parquet: every logical field plus its
+    * historical physical names (files written pre-rename carry those;
+    * parquet null-fills whichever of the names a file lacks). */
+  private def physReadSchema(schema: StructType): StructType =
+    StructType(schema.fields ++ schema.fields.flatMap(f =>
+      prevNames(f).map(h => StructField(h, f.dataType, nullable = true))))
+
+  /** Physical → logical projection: each renamed column coalesces over
+    * (current name, historical names newest-first). Every file
+    * physically contains exactly one of the names, so this is exact,
+    * not a heuristic. `keep` columns (MoR row-identity) pass through. */
+  private def logicalProject(df: DataFrame, schema: StructType,
+      keep: Seq[String] = Seq.empty): DataFrame =
+    df.select(schema.fields.toSeq.map { f =>
+      val hs = prevNames(f)
+      if (hs.isEmpty) col(f.name)
+      else coalesce((f.name +: hs.reverse).map(col): _*).as(f.name)
+    } ++ keep.map(col): _*)
+
   private def readPaths(spark: SparkSession, root: String, schema: StructType,
       dataPaths: Seq[String], deletes: Seq[(String, Int, Seq[String])]): DataFrame =
     if (dataPaths.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else if (deletes.isEmpty)
-      spark.read.schema(schema).parquet(dataPaths.map(p => s"$root/$p"): _*)
+    else if (deletes.isEmpty) {
+      val raw = spark.read.schema(physReadSchema(schema))
+        .parquet(dataPaths.map(p => s"$root/$p"): _*)
+      if (hasRenames(schema)) logicalProject(raw, schema) else raw
+    }
     else liveRowsWithIds(spark, root, schema, dataPaths, deletes)
       .drop("_gf_path", "_gf_pos", "_gf_snap")
 
@@ -1208,11 +1401,16 @@ object GraftTable {
       dataPaths: Seq[String], deletes: Seq[(String, Int, Seq[String])]): DataFrame = {
     val posD = deletes.filter(_._2 == 1)
     val eqD = deletes.filter(_._2 == 2)
-    var df = spark.read.schema(schema).parquet(dataPaths.map(p => s"$root/$p"): _*)
+    var df = spark.read.schema(physReadSchema(schema)).parquet(dataPaths.map(p => s"$root/$p"): _*)
       .withColumn("_gf_path", col("_metadata.file_path"))
       .withColumn("_gf_pos", col("_metadata.row_index"))
       .withColumn("_gf_snap",
         regexp_extract(col("_gf_path"), "/(\\d{10})-[^/]*\\.parquet$", 1).cast("long"))
+    // rename mapping applies BEFORE the delete joins (the _gf_* row
+    // identity is already materialized from _metadata, which a
+    // projection would otherwise hide)
+    if (hasRenames(schema))
+      df = logicalProject(df, schema, keep = Seq("_gf_path", "_gf_pos", "_gf_snap"))
     if (posD.nonEmpty) {
       // join on the unique file NAME (snapshotId-idx-uuid.parquet), not
       // the absolute URI the delete file recorded: renameTable moves the
@@ -1330,7 +1528,7 @@ object GraftTable {
             case _: Ge => pvv >= v
             case _: Le => pvv <= v
           }
-        case PDays(_) => transformLit(t, dt, raw) match {
+        case tb if isTimeBucket(tb) => transformLit(t, dt, raw) match {
           case None => lit(true)
           case Some(d) => p match {
             case _: Eq => pv === lit(d)
@@ -1525,7 +1723,8 @@ object GraftTable {
 
   /** Ops that never change live row content, only file layout. */
   private def maintenanceOps(op: String): Boolean = op match {
-    case "create" | "add_column" | "set_properties" | "checkpoint" |
+    case "create" | "add_column" | "rename_column" | "drop_column" |
+         "set_properties" | "checkpoint" |
          "rewrite_data_files" | "rewrite_data_files_sorted" |
          "rewrite_data_files_zorder" | "rewrite_position_deletes" |
          "rewrite_equality_deletes" => true
@@ -1638,10 +1837,11 @@ object GraftTable {
   def readStreamAppendOnly(spark: SparkSession, root: String): DataFrame = {
     val schema = DataType.fromJson(state(root).schemaJson.getOrElse(
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
-    spark.readStream
-      .schema(schema)
+    val raw = spark.readStream
+      .schema(physReadSchema(schema))
       .option("pathGlobFilter", "*.parquet")
       .parquet(s"$root/data")
+    if (hasRenames(schema)) logicalProject(raw, schema) else raw
   }
 
   /** Pruned read from an arbitrary Column predicate: stats-comparable

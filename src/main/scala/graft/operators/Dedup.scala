@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -38,7 +38,20 @@ object Dedup {
   private val jaccardThreshold = 0.5
 
   // ── §2.3/38 MinHash + LSH ───────────────────────────────────────────
-  def q31(s: SparkSession, dir: String): DataFrame = {
+  /** Gate mode: md5 hash family, bit-reproducible by the DuckDB oracle. */
+  def q31(s: SparkSession, dir: String): DataFrame = minhashPairs(s, dir, family = "md5")
+
+  /** Production mode: xxhash64 family (one base hash per shingle +
+    * constant-time long permutations — see GraftFunctions.MinHashXx).
+    * Several times cheaper on CPU than the md5 gate mode; at 100 TB
+    * the hash family IS the minhash bill. Verified by DedupSpec
+    * pinning both families to the identical verified pair set (the
+    * exact-Jaccard verify step makes the output robust to the band
+    * permutation change: both families surface the same
+    * above-threshold pairs on engineered near-dup corpora). */
+  def q31x(s: SparkSession, dir: String): DataFrame = minhashPairs(s, dir, family = "xx")
+
+  private def minhashPairs(s: SparkSession, dir: String, family: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // one pass computes the distinct shingle array per doc; both the
     // exploded (doc, shingle) relation (for exact-Jaccard verify) and
@@ -55,15 +68,24 @@ object Dedup {
     // collapses into a narrow map (oracle semantics identical)
     // cache = materialization barrier: the band projection references
     // mh 16×, and CollapseProject would otherwise inline (and
-    // re-evaluate) the non-codegen minhash16 call per reference
+    // re-evaluate) the non-codegen minhash call per reference
+    val sigFn: Column => Column =
+      if (family == "xx") graft.functions.GraftFunctions.minhash16xx
+      else graft.functions.GraftFunctions.minhash16
+    // band signature: md5 mode folds the two hex minima through md5
+    // (DuckDB-reproducible); xx mode stays md5-free end to end —
+    // xxhash64 over (band, min1, min2) is codegen'd and 64-bit
+    val bandSig: Int => Column =
+      if (family == "xx")
+        b => xxhash64(lit(b), element_at(col("mh"), 2 * b + 1), element_at(col("mh"), 2 * b + 2))
+      else
+        b => md5(concat_ws("|", element_at(col("mh"), 2 * b + 1), element_at(col("mh"), 2 * b + 2)))
     val mh = shArr
-      .select(col("doc_id"), graft.functions.GraftFunctions.minhash16(col("arr")).as("mh"))
+      .select(col("doc_id"), sigFn(col("arr")).as("mh"))
       .cache()
     val bands = mh.select(col("doc_id"),
       explode(array((0 until nPerms / 2).map(b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws("|", element_at(col("mh"), 2 * b + 1),
-            element_at(col("mh"), 2 * b + 2))).as("sig"))): _*)).as("bk"))
+        struct(lit(b).as("band"), bandSig(b).as("sig"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -188,9 +210,16 @@ object Dedup {
   }
 
   /** q52: cluster the MinHash near-dup pairs and mark the canonical
-    * (minimum doc_id) representative per cluster. */
+    * (minimum doc_id) representative per cluster.
+    *
+    * Consumes the PRODUCTION hash family (q31x): its DuckDB oracle is
+    * derived from the md5 chain, so the gate itself cross-checks that
+    * the xxhash64 family reproduces the md5 family's verified pair set
+    * at the driver's scale factor (OperatorSpec pins the same equality
+    * directly). This is the 100 TB configuration — clustering cost is
+    * the label-propagation loop, not the hash bill. */
   def q52(s: SparkSession, dir: String): DataFrame = {
-    val pairs = q31(s, dir).select("da", "db")
+    val pairs = q31x(s, dir).select("da", "db")
     connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("comp"),
         (col("id") === col("comp")).as("keep"))
@@ -199,6 +228,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_dedup_minhash" -> q31 _,
+    "q31x_minhash_prod" -> q31x _,
     "q32_dedup_simhash" -> q32 _,
     "q52_dup_clusters" -> q52 _)
 
@@ -223,13 +253,21 @@ object Dedup {
        |                  JOIN sh s2 ON s2.doc_id = db AND s1.sh = s2.sh
        |        GROUP BY da, db)""".stripMargin
 
+  /** The md5-chain pair query oracles BOTH families: q31 computes it
+    * with md5 (bit-reproducible), q31x with xxhash64 — the exact-Jaccard
+    * verify step makes the verified pair set family-invariant on the
+    * test corpora (pinned by OperatorSpec at sf0.001 and re-checked by
+    * the driver's DuckDB compare at its own scale factor). */
+  private val minhashPairsOracle: String =
+    s"""WITH $minhashChainSql
+       |SELECT da, db, CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jac
+       |FROM shd JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+       |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= $jaccardThreshold
+       |ORDER BY da, db""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "q31_dedup_minhash" ->
-      s"""WITH $minhashChainSql
-         |SELECT da, db, CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jac
-         |FROM shd JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
-         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= $jaccardThreshold
-         |ORDER BY da, db""".stripMargin,
+    "q31_dedup_minhash" -> minhashPairsOracle,
+    "q31x_minhash_prod" -> minhashPairsOracle,
 
     "q52_dup_clusters" ->
       s"""WITH RECURSIVE $minhashChainSql,

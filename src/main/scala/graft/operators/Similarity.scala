@@ -33,15 +33,26 @@ object Similarity {
   /** Cached: every query below references this 2+ times (self-join /
     * re-rank), and without the materialization barrier each reference
     * would re-read parquet and recompute the self-dot. The cache
-    * cannot be unpersisted here (the returned plan still depends on
-    * it) — long-lived sessions should `spark.catalog.clearCache()`
-    * between queries, as Bench/Verify do. */
+    * cannot be unpersisted at query-build time (the returned plan
+    * still depends on it), so it is MEMOIZED per (session, dir):
+    * repeated similarity queries in one long-lived session reuse the
+    * single cached relation instead of pinning a fresh copy per call.
+    * If an external `spark.catalog.clearCache()` (Bench/Verify do
+    * this between queries) dropped the data, the entry re-caches in
+    * place — cache occupancy stays constant either way (pinned by
+    * OperatorSpec). */
+  private val normsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def norms(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    Tables.embeddings(s, dir).select(
-      col("vec_id"), embD(col("embedding")).as("v"),
-      sqrt(dot(embD(col("embedding")), embD(col("embedding")))).as("nrm"))
-      .cache()
+    val df = normsMemo.computeIfAbsent((s, dir), _ =>
+      Tables.embeddings(s, dir).select(
+        col("vec_id"), embD(col("embedding")).as("v"),
+        sqrt(dot(embD(col("embedding")), embD(col("embedding")))).as("nrm"))
+        .cache())
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
+    df
   }
 
   // ── §2.3/41 embedding-cosine near-dup (all-pairs baseline) ──────────

@@ -64,6 +64,52 @@ class LakeV2Spec extends SparkSpec {
     assert(df.count() == o.limit(500).filter(col("o_custkey") === key).count())
   }
 
+  test("months/years/hours transforms write tuples and range-prune scans") {
+    import spark.implicits._
+    // timestamps spread over 4 months × 24 hours of one day each
+    val tdf = (0 until 96).map { i =>
+      (i.toLong, java.time.LocalDateTime.of(2024, i % 4 + 1, 10, i % 24, 0).toString)
+    }.toDF("id", "s").select(col("id"), to_timestamp(col("s")).as("ts"))
+    def micros(ldt: java.time.LocalDateTime): String =
+      (ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L).toString
+
+    val rm = freshRoot("part-months")
+    GraftTable.create(spark, rm, tdf.schema, Map(GraftTable.specProp -> "months(ts)"))
+    GraftTable.append(spark, rm, tdf)
+    val mparts = GraftTable.partitionsTable(spark, rm).collect()
+    assert(mparts.nonEmpty && mparts.forall(_.getString(0).contains("ts_month=")))
+    val cut = micros(java.time.LocalDateTime.of(2024, 3, 1, 0, 0))
+    val (mdf, mTotal, mLive) = GraftTable.scan(spark, rm, Seq(Ge("ts", cut)))
+    assert(mLive < mTotal, s"months pruning must skip files (live=$mLive total=$mTotal)")
+    assert(mdf.count() == tdf.filter(col("ts") >= lit("2024-03-01").cast("timestamp")).count())
+
+    val rh = freshRoot("part-hours")
+    GraftTable.create(spark, rh, tdf.schema, Map(GraftTable.specProp -> "hours(ts)"))
+    GraftTable.append(spark, rh, tdf)
+    val hparts = GraftTable.partitionsTable(spark, rh).collect()
+    assert(hparts.nonEmpty && hparts.forall(_.getString(0).contains("ts_hour=")))
+    // equality inside one hour bucket prunes to that bucket's files
+    val at = micros(java.time.LocalDateTime.of(2024, 2, 10, 5, 0))
+    val (hdf, hTotal, hLive) = GraftTable.scan(spark, rh, Seq(Eq("ts", at)))
+    assert(hLive < hTotal, s"hours pruning must skip files (live=$hLive total=$hTotal)")
+    assert(hdf.count() ==
+      tdf.filter(col("ts") === lit("2024-02-10 05:00:00").cast("timestamp")).count())
+
+    // years over the NTZ-timestamp order-date column
+    val ry = freshRoot("part-years")
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate")).limit(400)
+    GraftTable.create(spark, ry, o.schema, Map(GraftTable.specProp -> "years(o_orderdate)"))
+    GraftTable.append(spark, ry, o)
+    val yparts = GraftTable.partitionsTable(spark, ry).collect()
+    assert(yparts.nonEmpty && yparts.forall(_.getString(0).contains("o_orderdate_year=")))
+    val yCut = micros(java.time.LocalDateTime.of(1996, 1, 1, 0, 0))
+    val (ydf, yTotal, yLive) = GraftTable.scan(spark, ry, Seq(Ge("o_orderdate", yCut)))
+    assert(yLive < yTotal, s"years pruning must skip files (live=$yLive total=$yTotal)")
+    assert(ydf.count() ==
+      o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")).count())
+  }
+
   // ── merge-on-read deletes ───────────────────────────────────────────
 
   test("MoR delete writes a content=1 file, reads apply it, compaction folds it in") {

@@ -75,6 +75,41 @@ class OperatorSpec extends SparkSpec {
     assert(exact.nonEmpty && exact.subsetOf(lsh), s"missed pairs: ${exact -- lsh}")
   }
 
+  test("repeated similarity/bloom queries leave cache and function registry constant") {
+    // warm both paths once so memo entries / registrations exist
+    Similarity.q34(spark, sf).count()
+    TextOps.q61(spark, sf).count()
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
+    val fnsBefore = spark.sessionState.functionRegistry.listFunction().size
+    (1 to 3).foreach { _ =>
+      Similarity.q34(spark, sf).count()
+      TextOps.q61(spark, sf).count()
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == rddsBefore,
+      "similarity queries must reuse the memoized norms cache, not pin new copies")
+    assert(spark.sessionState.functionRegistry.listFunction().size == fnsBefore,
+      "each bloom sketch must release its temp-function registration")
+    // an external clearCache (Bench/Verify between queries) must not
+    // leave the memoized norms permanently uncached
+    spark.catalog.clearCache()
+    Similarity.q34(spark, sf).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "norms must re-cache after an external clearCache")
+  }
+
+  test("production xxhash64 minhash family yields the md5 gate family's verified pair set") {
+    // the exact-Jaccard verify step makes the output robust to the
+    // band-permutation change, so both hash families must surface the
+    // IDENTICAL above-threshold pair set (jac values included — they
+    // are computed from the same exact shingle sets)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val md5Set = pairs(Dedup.q31(spark, sf))
+    val xxSet = pairs(Dedup.q31x(spark, sf))
+    assert(md5Set.nonEmpty && md5Set == xxSet,
+      s"family divergence: md5-only=${md5Set -- xxSet} xx-only=${xxSet -- md5Set}")
+  }
+
   test("LSH ANN scores exactly and ranks candidates correctly; dups always collide") {
     // (random embeddings have low pairwise cos, so recall@1 against
     // brute force is not a guaranteed property — exact scoring and

@@ -22,7 +22,7 @@ class SqlFrontDoorSpec extends SparkSpec {
     super.beforeAll()
     // clear only THIS suite's namespaces (the warehouse is shared
     // session-wide; the cached catalog instance keeps its path)
-    Seq("lab", "lab2", "tmp", "del", "dyn", "ren", "orph", "zord", "rl").foreach { ns =>
+    Seq("lab", "lab2", "tmp", "del", "dyn", "ren", "orph", "zord", "rl", "evo").foreach { ns =>
       val p = Paths.get(wh, ns)
       if (Files.exists(p)) {
         val s = Files.walk(p)
@@ -127,6 +127,63 @@ class SqlFrontDoorSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN graft.tmp").collect().map(_.getString(1)).contains("nation_t"))
     spark.sql("DROP TABLE graft.tmp.nation_t")
     assert(!Files.isDirectory(Paths.get(root("tmp", "nation_t"), "_graft_log")))
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN are metadata-only; reads span old and new files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.evo")
+    spark.sql("CREATE TABLE graft.evo.docs_t (id BIGINT, body STRING, score DOUBLE)")
+    spark.sql("INSERT INTO graft.evo.docs_t VALUES (1, 'aa', 0.5), (2, 'bb', 1.5)")
+    val filesBefore = spark.sql("SELECT * FROM graft.evo.docs_t.files").count()
+
+    // rename = one metadata commit, zero files rewritten
+    spark.sql("ALTER TABLE graft.evo.docs_t RENAME COLUMN body TO text")
+    assert(spark.sql("SELECT * FROM graft.evo.docs_t.files").count() == filesBefore)
+    // post-rename writes use the new physical name; reads coalesce both
+    spark.sql("INSERT INTO graft.evo.docs_t VALUES (3, 'cc', 2.5)")
+    val rows = spark.sql("SELECT id, text FROM graft.evo.docs_t ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "aa"), (2L, "bb"), (3L, "cc")))
+    // predicates on the renamed column reach rows in pre-rename files
+    assert(spark.sql("SELECT * FROM graft.evo.docs_t WHERE text = 'aa'").count() == 1)
+    // time travel BEFORE the rename returns the historical schema
+    val old = spark.sql("SELECT * FROM graft.evo.docs_t VERSION AS OF 1")
+    assert(old.columns.contains("body") && !old.columns.contains("text"))
+    assert(spark.sql(
+      "SELECT body FROM graft.evo.docs_t VERSION AS OF 1 WHERE body = 'bb'").count() == 1)
+
+    // drop = one metadata commit; the column leaves the current schema
+    spark.sql("ALTER TABLE graft.evo.docs_t DROP COLUMN score")
+    assert(!spark.sql("SELECT * FROM graft.evo.docs_t").columns.contains("score"))
+    assert(spark.sql("SELECT * FROM graft.evo.docs_t.files").count() == filesBefore + 1)
+    // ...but time travel before the drop still reads it
+    assert(spark.sql(
+      "SELECT score FROM graft.evo.docs_t VERSION AS OF 3").count() == 3)
+    // stats pruning on surviving columns is unaffected by the evolution
+    val (pruned, total, live) = GraftTable.scan(spark, root("evo", "docs_t"),
+      Seq(GraftTable.Eq("id", "1")))
+    assert(live < total, s"stats pruning must still skip files (live=$live total=$total)")
+    assert(pruned.filter(col("id") === 1).count() == 1)
+    // historical physical names cannot be re-added without a rewrite
+    assertThrows[Exception] {
+      spark.sql("ALTER TABLE graft.evo.docs_t ADD COLUMN body STRING") }
+    assertThrows[Exception] {
+      spark.sql("ALTER TABLE graft.evo.docs_t ADD COLUMN score DOUBLE") }
+  }
+
+  test("renamed columns keep working under MoR position deletes") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.evo")
+    spark.sql("""CREATE TABLE graft.evo.mor_t (id BIGINT, body STRING)
+      |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.evo.mor_t VALUES (1, 'aa'), (2, 'bb'), (3, 'cc')")
+    spark.sql("ALTER TABLE graft.evo.mor_t RENAME COLUMN body TO text")
+    // a MoR delete keyed on the RENAMED column must hit pre-rename files
+    spark.sql("DELETE FROM graft.evo.mor_t WHERE text = 'bb'")
+    val r = root("evo", "mor_t")
+    assert(GraftTable.state(r).files.exists(_.isDelete),
+      "merge-on-read delete must write a delete file, not rewrite data")
+    val rows = spark.sql("SELECT id, text FROM graft.evo.mor_t ORDER BY id").collect()
+    assert(rows.map(x => (x.getLong(0), x.getString(1))).toSeq ==
+      Seq((1L, "aa"), (3L, "cc")))
   }
 
   test("DELETE FROM and TRUNCATE TABLE route through SupportsDelete (CoW and MoR)") {
