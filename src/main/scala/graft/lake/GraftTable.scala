@@ -1708,17 +1708,20 @@ object GraftTable {
       toInclusive: Long): DataFrame = {
     val (endSchema, commits) = commitRange(root, fromExclusive, toInclusive)
     val parts = commits.flatMap { c =>
-      changesOf(spark, root, c).map(
+      changesOf(spark, root, c, endSchema).map(
         _.withColumn("_commit_snapshot_id", lit(c.snapshotId))
           .withColumn("_commit_timestamp_ms", lit(c.timestampMs)))
     }
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       endSchema.add("_change_type", StringType)
         .add("_commit_snapshot_id", LongType).add("_commit_timestamp_ms", LongType))
-    // unionByName with missing-column fill: ADD COLUMN mid-range makes
-    // earlier commits' rows read as null for the new column, exactly
-    // like a time-travel read of the old snapshot would
-    parts.foldLeft(empty)(_.unionByName(_, allowMissingColumns = true))
+    // every per-commit part already reads under the END schema (see
+    // changesOf), so the feed is schema-uniform: a column ADDED
+    // mid-range is null for earlier commits, a column RENAMED
+    // mid-range serves pre-rename values under its live name (via the
+    // snapshot schema's prev-names coalesce), a column DROPPED
+    // mid-range never appears
+    parts.foldLeft(empty)(_.unionByName(_))
   }
 
   /** Ops that never change live row content, only file layout. */
@@ -1753,17 +1756,26 @@ object GraftTable {
   }
 
   /** The row-level changes ONE commit made, as (rows, '_change_type')
-    * — None when the op cannot change rows. */
-  private def changesOf(spark: SparkSession, root: String, c: Commit): Option[DataFrame] = {
+    * — None when the op cannot change rows. Every read happens under
+    * `endSchema` (the schema at the range's END, exactly like
+    * readIncremental): its prev-names metadata coalesces the
+    * historical physical names of files written before a mid-range
+    * RENAME, so a CDC consumer materializing into the current schema
+    * never sees a dead column name or a spuriously-null live one. A
+    * per-commit parent schema here would do exactly that — emit
+    * pre-rename rows under the old name with nulls under the new. */
+  private def changesOf(spark: SparkSession, root: String, c: Commit,
+      endSchema: StructType): Option[DataFrame] = {
     if (maintenanceOps(c.operation)) return None
     val prev = state(root, Some(c.parentId.getOrElse(c.snapshotId - 1)))
-    val schema = DataType.fromJson(prev.schemaJson.getOrElse(
-      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
     if (c.operation == "append")
-      return Some(readFiles(spark, root, schema, c.adds.filter(_.isData), Seq.empty)
+      return Some(readFiles(spark, root, endSchema, c.adds.filter(_.isData), Seq.empty)
         .withColumn("_change_type", lit("insert")))
     val cur = state(root, Some(c.snapshotId))
-    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    // types for delete-victim stats bounds: physical (at-delete-time)
+    // key names that a later rename removed from the end schema simply
+    // contribute no bound — the victim set widens, answers don't change
+    val types = endSchema.fields.map(f => f.name -> f.dataType).toMap
     val prevByPath = prev.files.map(f => f.path -> f).toMap
     val removedData = c.removes.flatMap(prevByPath.get).filter(_.isData)
     val addedData = c.adds.filter(_.isData)
@@ -1779,8 +1791,8 @@ object GraftTable {
     val curPaths = cur.files.map(_.path).toSet
     val afterFiles = (addedData ++ beforeFiles.filter(f => curPaths.contains(f.path)))
       .distinctBy(_.path)
-    val before = readFiles(spark, root, schema, beforeFiles, prev.files.filter(_.isDelete))
-    val after = readFiles(spark, root, schema, afterFiles, cur.files.filter(_.isDelete))
+    val before = readFiles(spark, root, endSchema, beforeFiles, prev.files.filter(_.isDelete))
+    val after = readFiles(spark, root, endSchema, afterFiles, cur.files.filter(_.isDelete))
     Some(before.exceptAll(after).withColumn("_change_type", lit("delete"))
       .unionByName(after.exceptAll(before).withColumn("_change_type", lit("insert"))))
   }
