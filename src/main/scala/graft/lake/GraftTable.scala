@@ -609,7 +609,12 @@ object GraftTable {
     val snap = state(root)
     val cur = DataType.fromJson(snap.schemaJson.getOrElse(
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
-    require(!cur.fieldNames.contains(field.name), s"column exists: ${field.name}")
+    // case-insensitive like the rename/drop guards: Spark resolves
+    // column names case-insensitively by default, so ADD COLUMN 'TEXT'
+    // alongside a live 'text' would pass a case-sensitive check here
+    // yet make every subsequent read ambiguous
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(field.name)),
+      s"column exists: ${field.name}")
     require(field.nullable, "added columns must be nullable (old files have no values)")
     // a name that is still a live PHYSICAL column in old files (a
     // historical name of a renamed column, or a dropped column) would
@@ -835,7 +840,8 @@ object GraftTable {
     val deletes = snap.files.filter(_.isDelete)
     val touched =
       if (effective.isEmpty) dataFiles
-      else prunedData(types, tableSpec(snap.properties), effective, dataFiles)
+      else prunedData(types, tableSpec(snap.properties), effective, dataFiles,
+        statAliases(schema))
     val id = snap.snapshotId + 1   // planned against snap: conflicts fail loudly
     // the rewrite must apply any live position-delete files — a CoW
     // overwrite of MoR-deleted rows would otherwise resurrect them
@@ -902,7 +908,8 @@ object GraftTable {
     val deletes = snap.files.filter(_.isDelete)
     val touched =
       if (effective.isEmpty) dataFiles
-      else prunedData(types, tableSpec(snap.properties), effective, dataFiles)
+      else prunedData(types, tableSpec(snap.properties), effective, dataFiles,
+        statAliases(schema))
     val id = snap.snapshotId + 1
     if (touched.isEmpty) {
       commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
@@ -1061,10 +1068,12 @@ object GraftTable {
       (d.snapshotOfName, preds)
     }
     // a data file is affected if it predates some eq-delete and may
-    // hold any of that delete's keys
+    // hold any of that delete's keys (aliases: a file written before a
+    // rename keeps its stats under the old physical name)
+    val aliases = statAliases(schema)
     val affected = dataFiles.filter { f =>
       deleteBounds.exists { case (delSnap, preds) =>
-        f.snapshotOfName <= delSnap && mayMatch(types, preds)(f)
+        f.snapshotOfName <= delSnap && mayMatch(types, preds, aliases)(f)
       }
     }
     val id = snap.snapshotId + 1
@@ -1094,7 +1103,8 @@ object GraftTable {
     val deletes = snap.files.filter(_.isDelete)
     val touched =
       if (effective.isEmpty) dataFiles
-      else prunedData(types, tableSpec(snap.properties), effective, dataFiles)
+      else prunedData(types, tableSpec(snap.properties), effective, dataFiles,
+        statAliases(schema))
     val id = snap.snapshotId + 1
     val cond = coalesce(condition, lit(false))
     val projected = readFiles(spark, root, schema, touched, deletes)
@@ -1152,7 +1162,8 @@ object GraftTable {
     val deletes = snap.files.filter(_.isDelete)
     val touched =
       if (preds.isEmpty) dataFiles
-      else prunedData(types, tableSpec(snap.properties), preds, dataFiles)
+      else prunedData(types, tableSpec(snap.properties), preds, dataFiles,
+        statAliases(schema))
     val id = snap.snapshotId + 1
     val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val kept = readFiles(spark, root, schema, touched, deletes)
@@ -1261,10 +1272,27 @@ object GraftTable {
     case _ => a.compareTo(b)   // DateType: ISO text is chronological
   }
 
-  /** Can this file's [min,max] stats possibly satisfy every predicate? */
-  private def mayMatch(types: Map[String, DataType], preds: Seq[Pred])(f: FileEntry): Boolean =
+  /** Live logical name → every physical name a data file may carry it
+    * under (itself + historical names, newest first). Files written
+    * before a rename store their stats under the old physical name;
+    * resolving predicates through this map keeps pruning power over
+    * the table's entire pre-rename history — at 100× scale a rename
+    * must not silently un-prune old files until a rewrite. */
+  private def statAliases(schema: StructType): Map[String, Seq[String]] =
+    schema.fields.iterator
+      .filter(f => prevNames(f).nonEmpty)
+      .map(f => f.name -> (f.name +: prevNames(f).reverse))
+      .toMap
+
+  /** Can this file's [min,max] stats possibly satisfy every predicate?
+    * `aliases` maps a predicate's live column name onto its historical
+    * physical names — each file carries stats under exactly one of
+    * them. */
+  private def mayMatch(types: Map[String, DataType], preds: Seq[Pred],
+      aliases: Map[String, Seq[String]] = Map.empty)(f: FileEntry): Boolean =
     preds.forall { p =>
-      f.stats.get(p.colName) match {
+      val names = aliases.getOrElse(p.colName, Seq(p.colName))
+      names.iterator.flatMap(f.stats.get).nextOption() match {
         case None => true  // no stats → cannot prune
         case Some(st) =>
           val dt = types(p.colName)
@@ -1339,11 +1367,14 @@ object GraftTable {
   }
 
   /** Combined metadata pruning for data files: partition tuple first
-    * (exact, cheapest), then per-file min/max stats. */
+    * (exact, cheapest), then per-file min/max stats. Partition specs
+    * never need aliases — requireEvolvable forbids renaming a
+    * partition-source column. */
   private def prunedData(types: Map[String, DataType], spec: Seq[PTransform],
-      preds: Seq[Pred], files: Seq[FileEntry]): Seq[FileEntry] =
+      preds: Seq[Pred], files: Seq[FileEntry],
+      aliases: Map[String, Seq[String]] = Map.empty): Seq[FileEntry] =
     files.filter(f => f.isData &&
-      mayMatchPartition(types, spec, preds)(f) && mayMatch(types, preds)(f))
+      mayMatchPartition(types, spec, preds)(f) && mayMatch(types, preds, aliases)(f))
 
   /** Read a set of data files, applying the snapshot's position-delete
     * files (merge-on-read): rows are addressed by the parquet source's
@@ -1425,11 +1456,30 @@ object GraftTable {
         .join(del, Seq("_gf_name", "_gf_pos"), "left_anti")
         .drop("_gf_name")
     }
+    // eq-delete key columns are the at-WRITE physical names. Live
+    // delete files always key on live columns (requireEvolvable blocks
+    // rename/drop under them), but a CDC read of a historical commit
+    // under the END schema can meet an eq-delete whose key was later
+    // renamed (translate through prev-names — the data side already
+    // coalesced to the live name) or dropped (no live column carries
+    // the values: fail loudly rather than mis-apply the delete)
+    val prevToLive: Map[String, String] = schema.fields.flatMap(f =>
+      prevNames(f).map(h => h.toLowerCase -> f.name)).toMap
     eqD.foreach { case (p, _, cols) =>
       val snapId = p.split('/').last.takeWhile(_.isDigit).toLong
+      val liveCols = cols.map { c =>
+        schema.fieldNames.find(_.equalsIgnoreCase(c))
+          .orElse(prevToLive.get(c.toLowerCase))
+          .getOrElse(throw new IllegalArgumentException(
+            s"equality-delete file $p keys on '$c', which is not in the read " +
+              "schema (dropped after the delete was written); narrow the change " +
+              "range to end before the DROP COLUMN, or run " +
+              "rewrite_equality_deletes before dropping delete-key columns"))
+      }
       val keys = spark.read.parquet(s"$root/$p")
         .select(cols.map(c => col(c).as(s"_gfk_$c")): _*).distinct()
-      val cond = cols.map(c => df(c) <=> keys(s"_gfk_$c")).reduce(_ && _) &&
+      val cond = cols.zip(liveCols).map { case (c, lc) =>
+        df(lc) <=> keys(s"_gfk_$c") }.reduce(_ && _) &&
         df("_gf_snap") <= lit(snapId)
       df = df.join(keys, cond, "left_anti")
     }
@@ -1449,7 +1499,7 @@ object GraftTable {
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     val spec = tableSpec(snap.properties)
     val dataFiles = snap.files.filter(_.isData)
-    val live = prunedData(types, spec, preds, dataFiles)
+    val live = prunedData(types, spec, preds, dataFiles, statAliases(schema))
     val df = readFiles(spark, root, schema, live, snap.files.filter(_.isDelete))
     (applyPreds(df, types, preds), dataFiles.size, live.size)
   }
@@ -1496,7 +1546,7 @@ object GraftTable {
     * binary order (same as utf8Cmp) and the numeric casts mirror
     * cmp()'s type dispatch, so both planners prune identically. */
   private def predCond(types: Map[String, DataType], spec: Seq[PTransform],
-      p: Pred): Column = {
+      p: Pred, aliases: Map[String, Seq[String]] = Map.empty): Column = {
     val dt = types(p.colName)
     def castv(c: Column): Column = dt match {
       case IntegerType | LongType | TimestampType | TimestampNTZType => c.cast("long")
@@ -1504,7 +1554,13 @@ object GraftTable {
       case _ => c   // strings: binary order; ISO dates: lexicographic
     }
     val raw = predValue(p)
-    val st = col("stats").getItem(p.colName)
+    // a file carries stats under exactly one of the column's physical
+    // names (see statAliases) — coalesce resolves whichever it has
+    val st = aliases.getOrElse(p.colName, Seq(p.colName))
+      .map(n => col("stats").getItem(n)) match {
+        case Seq(one) => one
+        case many => coalesce(many: _*)
+      }
     val mn = castv(st.getField("min"))
     val mx = castv(st.getField("max"))
     val v = castv(lit(raw))
@@ -1582,7 +1638,8 @@ object GraftTable {
     val schema = DataType.fromJson(snap.schemaJson.getOrElse(
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
-    val live = prunedData(types, tableSpec(snap.properties), preds, snap.files.filter(_.isData))
+    val live = prunedData(types, tableSpec(snap.properties), preds,
+      snap.files.filter(_.isData), statAliases(schema))
     (math.max(1L, live.map(_.sizeBytes).sum), live.map(_.records).sum)
   }
 
@@ -1647,7 +1704,9 @@ object GraftTable {
     val tailAdds = delta.values.flatten.toSeq
     val ckDf0 = spark.read.parquet(logDir(root).resolve(s"ckptfiles-$k.parquet").toString)
     val ckDf = if (touched.isEmpty) ckDf0 else ckDf0.filter(!col("path").isin(touched: _*))
-    val pruneCond = preds.map(predCond(types, spec, _)).foldLeft(col("content") === 0)(_ && _)
+    val aliases = statAliases(schema)
+    val pruneCond = preds.map(predCond(types, spec, _, aliases))
+      .foldLeft(col("content") === 0)(_ && _)
     // ONE job returns live paths + the (tiny) delete list + the total
     val rows = ckDf
       .withColumn("live", pruneCond)
@@ -1657,7 +1716,7 @@ object GraftTable {
     val ckLive = rows.filter(r => r.getInt(1) == 0 && r.getBoolean(2)).map(_.getString(0))
     val ckDeletes = rows.filter(_.getInt(1) != 0)
       .map(r => (r.getString(0), r.getInt(1), r.getSeq[String](3)))
-    val tailLive = prunedData(types, spec, preds, tailAdds)
+    val tailLive = prunedData(types, spec, preds, tailAdds, aliases)
     val dataPaths = ckLive.toSeq ++ tailLive.map(_.path)
     val deletes = ckDeletes.toSeq ++ tailAdds.filter(_.isDelete)
       .map(f => (f.path, f.content.getOrElse(1), f.eqCols.getOrElse(Seq.empty)))
@@ -1767,15 +1826,11 @@ object GraftTable {
   private def changesOf(spark: SparkSession, root: String, c: Commit,
       endSchema: StructType): Option[DataFrame] = {
     if (maintenanceOps(c.operation)) return None
-    val prev = state(root, Some(c.parentId.getOrElse(c.snapshotId - 1)))
     if (c.operation == "append")
       return Some(readFiles(spark, root, endSchema, c.adds.filter(_.isData), Seq.empty)
         .withColumn("_change_type", lit("insert")))
+    val prev = state(root, Some(c.parentId.getOrElse(c.snapshotId - 1)))
     val cur = state(root, Some(c.snapshotId))
-    // types for delete-victim stats bounds: physical (at-delete-time)
-    // key names that a later rename removed from the end schema simply
-    // contribute no bound — the victim set widens, answers don't change
-    val types = endSchema.fields.map(f => f.name -> f.dataType).toMap
     val prevByPath = prev.files.map(f => f.path -> f).toMap
     val removedData = c.removes.flatMap(prevByPath.get).filter(_.isData)
     val addedData = c.adds.filter(_.isData)
@@ -1785,7 +1840,7 @@ object GraftTable {
     // sides of that coin must enter the diff or the feed misses rows
     val deltaDeletes = c.adds.filter(_.isDelete) ++
       c.removes.flatMap(prevByPath.get).filter(_.isDelete)
-    val targets = deleteVictims(spark, root, types, deltaDeletes,
+    val targets = deleteVictims(spark, root, endSchema, deltaDeletes,
       prev.files.filter(_.isData))
     val beforeFiles = (removedData ++ targets).distinctBy(_.path)
     val curPaths = cur.files.map(_.path).toSet
@@ -1801,10 +1856,17 @@ object GraftTable {
     * addresses: position deletes name their victims (one small read);
     * equality deletes are bounded by their key min/max stats against
     * each candidate's column stats, scoped by the sequence rule to
-    * files at or before the DELETE file's own snapshot. */
+    * files at or before the DELETE file's own snapshot. Eq-delete key
+    * names are at-WRITE physical names: a key later renamed translates
+    * through `schema`'s prev-names; a key later dropped contributes no
+    * bound (the victim set widens, answers don't change). */
   private def deleteVictims(spark: SparkSession, root: String,
-      types: Map[String, DataType], deleteEntries: Seq[FileEntry],
+      schema: StructType, deleteEntries: Seq[FileEntry],
       candidates: Seq[FileEntry]): Seq[FileEntry] = {
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val aliases = statAliases(schema)
+    val prevToLive: Map[String, String] = schema.fields.flatMap(f =>
+      prevNames(f).map(h => h.toLowerCase -> f.name)).toMap
     val posFiles = deleteEntries.filter(_.content.contains(1))
     val pos: Seq[FileEntry] =
       if (posFiles.isEmpty) Seq.empty
@@ -1817,14 +1879,17 @@ object GraftTable {
     val eq = deleteEntries.filter(_.content.contains(2)).flatMap { d =>
       // bounds only from columns the pruning comparator orders
       // correctly (statsTypes) — anything else stays unbounded
-      val bounds = d.eqCols.getOrElse(Seq.empty)
-        .filter(kc => types.get(kc).exists(statsTypes.contains))
-        .flatMap { kc =>
-          d.stats.get(kc).toSeq.flatMap(st =>
-            st.min.map(Ge(kc, _)).toSeq ++ st.max.map(Le(kc, _)).toSeq)
-        }
+      val bounds = d.eqCols.getOrElse(Seq.empty).flatMap { kc =>
+        schema.fieldNames.find(_.equalsIgnoreCase(kc))
+          .orElse(prevToLive.get(kc.toLowerCase))
+          .filter(lc => statsTypes.contains(types(lc))).toSeq
+          .flatMap { lc =>
+            d.stats.get(kc).toSeq.flatMap(st =>
+              st.min.map(Ge(lc, _)).toSeq ++ st.max.map(Le(lc, _)).toSeq)
+          }
+      }
       candidates.filter(f => f.snapshotOfName <= d.snapshotOfName &&
-        mayMatch(types, bounds)(f))
+        mayMatch(types, bounds, aliases)(f))
     }
     (pos ++ eq).distinctBy(_.path)
   }
@@ -1868,7 +1933,8 @@ object GraftTable {
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     val preds = extractPreds(conditionExpr(spark, schema, condition), types)
-    val live = prunedData(types, tableSpec(snap.properties), preds, snap.files.filter(_.isData))
+    val live = prunedData(types, tableSpec(snap.properties), preds,
+      snap.files.filter(_.isData), statAliases(schema))
     readFiles(spark, root, schema, live, snap.files.filter(_.isDelete))
       .filter(condition)
   }

@@ -674,6 +674,148 @@ class LakeV2Spec extends SparkSpec {
     assert(c.filter(col("_change_type") === "insert").count() == 0)
   }
 
+  // ── CDC across mid-range schema evolution (round-5 fix coverage) ────
+
+  test("changes() across a mid-range RENAME serves pre-rename values under the live name") {
+    import spark.implicits._
+    val root = freshRoot("cdc-rename")
+    val df1 = Seq((1L, "aa"), (2L, "bb")).toDF("id", "body")
+    GraftTable.create(spark, root, df1.schema)
+    GraftTable.append(spark, root, df1)                                   // 1
+    GraftTable.renameColumn(root, "body", "text")                         // 2
+    GraftTable.append(spark, root, Seq((3L, "cc")).toDF("id", "text"))    // 3
+    val feed = GraftTable.changes(spark, root, 0L, 3L)
+    // ONLY end-schema columns, no dead physical name
+    assert(feed.columns.toSet ==
+      Set("id", "text", "_change_type", "_commit_snapshot_id", "_commit_timestamp_ms"))
+    // pre-rename rows carry their values under the live name
+    val rows = feed.filter(col("_change_type") === "insert")
+      .select("id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "aa", 2L -> "bb", 3L -> "cc"),
+      s"pre-rename values must appear under 'text', got $rows")
+  }
+
+  test("changes() across a mid-range DROP COLUMN never emits the dead column") {
+    import spark.implicits._
+    val root = freshRoot("cdc-drop")
+    val df1 = Seq((1L, "aa", 0.5), (2L, "bb", 1.5)).toDF("id", "body", "score")
+    GraftTable.create(spark, root, df1.schema)
+    GraftTable.append(spark, root, df1)                                   // 1
+    GraftTable.dropColumn(root, "score")                                  // 2
+    GraftTable.append(spark, root, Seq((3L, "cc")).toDF("id", "body"))    // 3
+    val feed = GraftTable.changes(spark, root, 0L, 3L)
+    assert(!feed.columns.contains("score"), "dropped column must never ride along")
+    assert(feed.filter(col("_change_type") === "insert").count() == 3)
+    // a column ADDED mid-range is null for earlier commits
+    GraftTable.addColumn(root, org.apache.spark.sql.types.StructField(
+      "lang", org.apache.spark.sql.types.StringType))                     // 4
+    GraftTable.append(spark, root,
+      Seq((4L, "dd", "en")).toDF("id", "body", "lang"))                   // 5
+    val feed2 = GraftTable.changes(spark, root, 0L, 5L)
+    val byId = feed2.filter(col("_change_type") === "insert")
+      .select("id", "lang").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(byId == Map(1L -> None, 2L -> None, 3L -> None, 4L -> Some("en")))
+  }
+
+  test("changes() diffs a delete after a rename under the live name") {
+    import spark.implicits._
+    val root = freshRoot("cdc-rename-delete")
+    val df1 = Seq((1L, "aa"), (2L, "bb")).toDF("id", "body")
+    GraftTable.create(spark, root, df1.schema)
+    GraftTable.append(spark, root, df1)                                   // 1
+    GraftTable.renameColumn(root, "body", "text")                         // 2
+    GraftTable.deleteWhere(spark, root, col("id") === 1L)                 // 3: CoW rewrite
+    val c3 = GraftTable.changes(spark, root, 2L, 3L)
+    val dels = c3.filter(col("_change_type") === "delete")
+      .select("id", "text").collect()
+    assert(dels.length == 1 && dels.head.getLong(0) == 1L &&
+      dels.head.getString(1) == "aa",
+      "the delete row must carry its pre-rename value under the live name")
+    assert(c3.filter(col("_change_type") === "insert").count() == 0)
+  }
+
+  test("stats pruning keeps skipping pre-rename files after a column rename") {
+    import spark.implicits._
+    val root = freshRoot("prune-rename")
+    val lo = (0L until 10L).map(i => (i, i)).toDF("id", "v").repartition(1)
+    val hi = (100L until 110L).map(i => (i, i)).toDF("id", "v").repartition(1)
+    GraftTable.create(spark, root, lo.schema)
+    GraftTable.append(spark, root, lo)     // 1: one file, v in [0,9]
+    GraftTable.append(spark, root, hi)     // 2: one file, v in [100,109]
+    GraftTable.renameColumn(root, "v", "w")
+    // pre-rename files carry stats under 'v'; a predicate on the live
+    // name must still prune them
+    val (df, total, live) = GraftTable.scan(spark, root, Seq(Ge("w", "100")))
+    assert(total == 2 && live == 1,
+      s"rename must not un-prune history (live=$live total=$total)")
+    assert(df.count() == 10)
+    val (_, _, liveLo) = GraftTable.scan(spark, root, Seq(Le("w", "9")))
+    assert(liveLo == 1)
+    // distributed planning prunes through the same aliases
+    GraftTable.setProperties(root, Map("graft.planning.distributed-threshold" -> "2"))
+    GraftTable.rewriteManifests(root)
+    val plan = GraftTable.planScan(spark, root, Seq(Ge("w", "100")))
+    assert(plan.distributed && plan.liveFiles == 1 && plan.totalFiles == 2,
+      s"distributed pruning must resolve prev names (live=${plan.liveFiles})")
+    assert(plan.df.count() == 10)
+  }
+
+  test("changes() applies a historical equality delete whose key was later renamed") {
+    import spark.implicits._
+    val root = freshRoot("cdc-eq-rename")
+    val df1 = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "k", "v")
+    GraftTable.create(spark, root, df1.schema)
+    GraftTable.append(spark, root, df1)                                   // 1
+    GraftTable.deleteEqualityMoR(spark, root, Seq("b").toDF("k"))         // 2
+    GraftTable.rewriteEqualityDeletes(spark, root)                        // 3: retires the delete file
+    GraftTable.renameColumn(root, "k", "kk")                              // 4
+    val feed = GraftTable.changes(spark, root, 0L, 4L)
+    assert(feed.columns.contains("kk") && !feed.columns.contains("k"))
+    val dels = feed.filter(col("_change_type") === "delete")
+      .select("id", "kk").collect()
+    assert(dels.length == 1 && dels.head.getLong(0) == 2L && dels.head.getString(1) == "b",
+      "the eq-delete keyed on the pre-rename name must still diff under the live name")
+    assert(feed.filter(col("_change_type") === "insert").count() == 3)
+  }
+
+  test("changes() fails loudly on a historical equality delete whose key was dropped") {
+    import spark.implicits._
+    val root = freshRoot("cdc-eq-drop")
+    val df1 = Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "k", "v")
+    GraftTable.create(spark, root, df1.schema)
+    GraftTable.append(spark, root, df1)                                   // 1
+    GraftTable.deleteEqualityMoR(spark, root, Seq("b").toDF("k"))         // 2
+    GraftTable.rewriteEqualityDeletes(spark, root)                        // 3
+    GraftTable.dropColumn(root, "k")                                      // 4
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.changes(spark, root, 0L, 4L).collect()
+    }
+    assert(e.getMessage.contains("dropped after the delete was written"))
+    // a range ending before the drop still feeds fine
+    assert(GraftTable.changes(spark, root, 0L, 3L)
+      .filter(col("_change_type") === "delete").count() == 1)
+  }
+
+  test("addColumn rejects case-insensitive collisions with live and dead names") {
+    import spark.implicits._
+    val root = freshRoot("addcol-case")
+    val df1 = Seq((1L, "aa")).toDF("id", "text")
+    GraftTable.create(spark, root, df1.schema)
+    GraftTable.append(spark, root, df1)
+    // live-name collision is case-insensitive (Spark resolves names
+    // case-insensitively by default; 'TEXT' would shadow 'text')
+    assertThrows[IllegalArgumentException] {
+      GraftTable.addColumn(root, org.apache.spark.sql.types.StructField(
+        "TEXT", org.apache.spark.sql.types.StringType))
+    }
+    // historical-name collision stays refused too
+    GraftTable.renameColumn(root, "text", "body")
+    assertThrows[IllegalArgumentException] {
+      GraftTable.addColumn(root, org.apache.spark.sql.types.StructField(
+        "Text", org.apache.spark.sql.types.StringType))
+    }
+  }
+
   test("planScan applies MoR deletes and partition pruning distributed") {
     val root = freshRoot("planscan-mor")
     val n = Tables.nation(spark, sf)
