@@ -40,19 +40,42 @@ object Similarity {
     * If an external `spark.catalog.clearCache()` (Bench/Verify do
     * this between queries) dropped the data, the entry re-caches in
     * place — cache occupancy stays constant either way (pinned by
-    * OperatorSpec). */
+    * OperatorSpec). The memo is BOUNDED: entries of stopped sessions
+    * are swept on every access, and an LRU cap evicts (and unpersists)
+    * the eldest entry beyond `memoCap` — without both, the static map
+    * would strongly reference every SparkSession (and pin its cached
+    * relation) a long-lived JVM ever touched. Eviction only costs a
+    * recompute-on-next-use, never correctness. */
+  private val memoCap = 8
   private val normsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        if (size > memoCap) {
+          scala.util.Try(e.getValue.unpersist(blocking = false))
+          true
+        } else false
+    }
+
+  /** Test probe: live memo entries. */
+  private[graft] def normsMemoSize: Int = normsMemo.synchronized(normsMemo.size)
 
   private def norms(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    val df = normsMemo.computeIfAbsent((s, dir), _ =>
-      Tables.embeddings(s, dir).select(
-        col("vec_id"), embD(col("embedding")).as("v"),
-        sqrt(dot(embD(col("embedding")), embD(col("embedding")))).as("nrm"))
-        .cache())
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
-    df
+    normsMemo.synchronized {
+      val it = normsMemo.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+      val df = Option(normsMemo.get((s, dir))).getOrElse {
+        val d = Tables.embeddings(s, dir).select(
+          col("vec_id"), embD(col("embedding")).as("v"),
+          sqrt(dot(embD(col("embedding")), embD(col("embedding")))).as("nrm"))
+          .cache()
+        normsMemo.put((s, dir), d)
+        d
+      }
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
+      df
+    }
   }
 
   // ── §2.3/41 embedding-cosine near-dup (all-pairs baseline) ──────────

@@ -97,6 +97,25 @@ class OperatorSpec extends SparkSpec {
       "norms must re-cache after an external clearCache")
   }
 
+  test("the norms memo stays bounded across many sessions' lifecycles") {
+    // warm the main session's entry
+    Similarity.q35(spark, sf)
+    val before = Similarity.normsMemoSize
+    // a parade of short-lived child sessions (shared context, distinct
+    // session objects — the shape a long-lived JVM serving many users
+    // produces); without the LRU cap each would pin a memo entry and
+    // its cached relation forever
+    (1 to 12).foreach { _ =>
+      val s2 = spark.newSession()
+      Similarity.q35(s2, sf)   // plan-building alone touches the memo
+    }
+    assert(Similarity.normsMemoSize <= 8,
+      s"norms memo must stay bounded, got ${Similarity.normsMemoSize}")
+    // the main session keeps working after churn (recompute at worst)
+    assert(Similarity.q35(spark, sf).count() > 0)
+    assert(Similarity.normsMemoSize >= before.min(1))
+  }
+
   test("production xxhash64 minhash family yields the md5 gate family's verified pair set") {
     // the exact-Jaccard verify step makes the output robust to the
     // band-permutation change, so both hash families must surface the
