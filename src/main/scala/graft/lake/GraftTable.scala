@@ -850,10 +850,14 @@ object GraftTable {
     val toWrite = replacement.map(kept.unionByName(_)).getOrElse(kept)
     val adds = writeDataFiles(spark, root, toWrite, id, snap.properties)
     // a full-table rewrite leaves no rows the delete files could refer
-    // to: retire them in the same commit
+    // to: retire them — and the historical column names — in the
+    // same commit
     val dropDeletes = if (effective.isEmpty) deletes.map(_.path) else Seq.empty
+    val (retSchemaJ, retProps) =
+      if (effective.isEmpty) retiredNamesMeta(schema, snap.properties)
+      else (None, Map.empty[String, String])
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
-      "overwrite", adds, touched.map(_.path) ++ dropDeletes, Map.empty, None))
+      "overwrite", adds, touched.map(_.path) ++ dropDeletes, retProps, retSchemaJ))
     id
   }
 
@@ -1808,10 +1812,69 @@ object GraftTable {
       s"change range ($fromExclusive, $toInclusive] has expired commits " +
         s"(log starts at ${ids.min}); narrow the range or use the checkpointed state")
     val snap = state(root, Some(toInclusive))
-    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+    val endSchema = DataType.fromJson(snap.schemaJson.getOrElse(
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
-    (schema, ids.filter(id => id > fromExclusive && id <= toInclusive).sorted
-      .map(id => parseCommit(Files.readString(commitPath(root, id)))))
+    val commits = ids.filter(id => id > fromExclusive && id <= toInclusive).sorted
+      .map(id => parseCommit(Files.readString(commitPath(root, id))))
+    // base schema at the range start (clamped to the oldest retained
+    // commit — a from of 0 over an expired prefix has no state there)
+    val baseId = math.max(fromExclusive, ids.min)
+    (mergeRangePrevNames(root, fromExclusive, toInclusive, baseId, endSchema, commits),
+      commits)
+  }
+
+  /** The end schema AUGMENTED with every historical physical name any
+    * schema version in the range knew for each field. A full rewrite
+    * retires prev-names from the LIVE schema (no surviving file
+    * carries the old names) — but a change range can still reach
+    * pre-rewrite commits whose files do, so the range read re-collects
+    * the names by chain-walking the range's schema versions. Refuses
+    * loudly when a collected historical name collides with a different
+    * live field (a retired name reused by ADD COLUMN): the same
+    * physical bytes would mean two logical columns, which only a
+    * field-id format could disambiguate. */
+  private def mergeRangePrevNames(root: String, fromExclusive: Long,
+      toInclusive: Long, baseId: Long, endSchema: StructType,
+      commits: Seq[Commit]): StructType = {
+    val histJson = (state(root, Some(baseId)).schemaJson.toSeq ++
+      commits.flatMap(_.schemaJson)).distinct
+    if (histJson.isEmpty) return endSchema
+    val histSchemas = histJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    val hists: Seq[(StructField, Seq[String])] = endSchema.fields.toSeq.map { f =>
+      val names = scala.collection.mutable.LinkedHashSet[String](f.name)
+      prevNames(f).foreach(names += _)
+      var grew = true
+      while (grew) {
+        grew = false
+        histSchemas.foreach(_.fields.foreach { g =>
+          if (names.exists(_.equalsIgnoreCase(g.name)))
+            prevNames(g).foreach { h =>
+              if (!names.exists(_.equalsIgnoreCase(h))) { names += h; grew = true }
+            }
+        })
+      }
+      f -> names.toSeq.filterNot(_.equalsIgnoreCase(f.name))
+    }
+    def reuse(name: String): Nothing = throw new IllegalArgumentException(
+      s"change range ($fromExclusive, $toInclusive] crosses reuse of physical " +
+        s"column name '$name' (retired by a full rewrite, then re-added): the " +
+        "same physical column means two different logical columns across the " +
+        "range — narrow the range to one side of the re-add")
+    hists.foreach { case (f, hist) =>
+      endSchema.fields.foreach { other =>
+        if (other.name != f.name && hist.exists(_.equalsIgnoreCase(other.name)))
+          reuse(other.name)
+      }
+      hists.foreach { case (g, gh) =>
+        if (g.name != f.name)
+          hist.find(h => gh.exists(_.equalsIgnoreCase(h))).foreach(reuse)
+      }
+    }
+    StructType(hists.map { case (f, hist) =>
+      if (hist == prevNames(f)) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putStringArray(prevNamesKey, hist.toArray).build())
+    })
   }
 
   /** The row-level changes ONE commit made, as (rows, '_change_type')
@@ -2068,6 +2131,32 @@ object GraftTable {
 
   // ── maintenance (reference: SPARK_ICEBERG_GUIDE.md §8) ──────────────
 
+  /** After a rewrite that replaced EVERY live data file, no surviving
+    * file carries a historical physical name: the rewrite commit can
+    * retire prev-names metadata and dropped-column tombstones, making
+    * those names reusable — the promise requireFreshPhysicalName's
+    * error message makes ("rewrite data files before reusing it").
+    * Returns the (schemaJson, properties) to attach to the rewrite
+    * commit; both empty when nothing needs retiring. Live eq-delete
+    * files never key on historical names (requireEvolvable blocks
+    * rename/drop under them), so stale delete entries are no obstacle.
+    * Time travel to pre-rewrite snapshots still replays the old
+    * schema, so historical reads keep coalescing; CDC ranges spanning
+    * the rewrite re-collect the names (mergeRangePrevNames). */
+  private def retiredNamesMeta(schema: StructType,
+      props: Map[String, String]): (Option[String], Map[String, String]) = {
+    val hasPrev = schema.fields.exists(f => prevNames(f).nonEmpty)
+    val hasTombs = droppedCols(props).nonEmpty
+    val cleanedJson =
+      if (!hasPrev) None
+      else Some(StructType(schema.fields.map { f =>
+        if (prevNames(f).isEmpty) f
+        else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(prevNamesKey).build())
+      }).json)
+    (cleanedJson, if (hasTombs) Map(droppedColsProp -> "") else Map.empty)
+  }
+
   /** Bin-pack compaction — rewrite_data_files (reference:
     * SPARK_ICEBERG_GUIDE.md §8.3). Greedy first-fit over files smaller
     * than the target; each bin rewrites into one file. Rewrites run as
@@ -2117,6 +2206,12 @@ object GraftTable {
       } else { cur :+= f; curSize += f.sizeBytes }
     }
     if (cur.nonEmpty) bins :+= cur
+    // a bin-pack that happens to rewrite EVERY live data file is a
+    // full rewrite: retire historical names in the same commit
+    val (retSchemaJ, retProps) =
+      if (small.size == snap.files.count(_.isData))
+        retiredNamesMeta(schema, snap.properties)
+      else (None, Map.empty[String, String])
     val id = snap.snapshotId + 1   // planned against snap: conflicts fail loudly
     // one write job per bin (each bin → exactly one output file),
     // submitted concurrently — the Spark scheduler interleaves them,
@@ -2142,7 +2237,7 @@ object GraftTable {
       } finally pool.shutdown()
     }
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
-      "rewrite_data_files", adds, small.map(_.path), Map.empty, None))
+      "rewrite_data_files", adds, small.map(_.path), retProps, retSchemaJ))
     id
   }
 
@@ -2175,9 +2270,11 @@ object GraftTable {
       .repartitionByRange(nOut, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
     val adds = writeDataFiles(spark, root, sorted, id, snap.properties)
+    // rewrites ALL live data rows: historical names retire with it
+    val (retSchemaJ, retProps) = retiredNamesMeta(schema, snap.properties)
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "rewrite_data_files_sorted", adds,
-      dataFiles.map(_.path) ++ deletes.map(_.path), Map.empty, None))
+      dataFiles.map(_.path) ++ deletes.map(_.path), retProps, retSchemaJ))
     id
   }
 
@@ -2259,9 +2356,11 @@ object GraftTable {
       .sortWithinPartitions(col("_gz"))
       .drop("_gz")
     val adds = writeDataFiles(spark, root, ordered, id, snap.properties)
+    // rewrites ALL live data rows: historical names retire with it
+    val (retSchemaJ, retProps) = retiredNamesMeta(schema, snap.properties)
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "rewrite_data_files_zorder", adds,
-      dataFiles.map(_.path) ++ deletes.map(_.path), Map.empty, None))
+      dataFiles.map(_.path) ++ deletes.map(_.path), retProps, retSchemaJ))
     id
   }
 

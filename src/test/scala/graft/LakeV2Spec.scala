@@ -796,6 +796,69 @@ class LakeV2Spec extends SparkSpec {
       .filter(col("_change_type") === "delete").count() == 1)
   }
 
+  test("a full rewrite retires prev-names and tombstones; partial rewrites do not") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val root = freshRoot("retire-names")
+    val df1 = (0L until 10L).map(i => (i, s"b$i", i)).toDF("id", "body", "score")
+    GraftTable.create(spark, root, df1.schema)
+    GraftTable.append(spark, root, df1)                             // 1
+    GraftTable.renameColumn(root, "body", "text")                   // 2
+    GraftTable.dropColumn(root, "score")                            // 3
+    // both names refused while pre-rename/pre-drop files are live
+    assertThrows[IllegalArgumentException] {
+      GraftTable.addColumn(root, StructField("body", StringType))
+    }
+    assertThrows[IllegalArgumentException] {
+      GraftTable.addColumn(root, StructField("score", LongType))
+    }
+    // a PARTIAL rewrite (keyed CoW delete touches only matching files)
+    // must NOT retire the names
+    GraftTable.deleteWhere(spark, root, col("id") === 0L)           // 4
+    assertThrows[IllegalArgumentException] {
+      GraftTable.addColumn(root, StructField("body", StringType))
+    }
+    // a FULL rewrite replaces every live data file: names retire
+    GraftTable.rewriteDataFilesSorted(spark, root, Seq("id"))       // 5
+    GraftTable.addColumn(root, StructField("score", LongType))      // 6: reusable now
+    val out = GraftTable.read(spark, root)
+    assert(out.columns.toSeq == Seq("id", "text", "score"))
+    assert(out.filter(col("text").isNull).count() == 0 &&
+      out.filter(col("score").isNotNull).count() == 0)
+    assert(out.count() == 9)
+  }
+
+  test("CDC ranges spanning a name-retiring rewrite re-collect prev names; reuse refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val root = freshRoot("cdc-retire")
+    val df1 = Seq((1L, "aa"), (2L, "bb")).toDF("id", "body")
+    GraftTable.create(spark, root, df1.schema)
+    GraftTable.append(spark, root, df1)                             // 1
+    GraftTable.renameColumn(root, "body", "text")                   // 2
+    GraftTable.rewriteDataFilesSorted(spark, root, Seq("id"))       // 3: retires 'body'
+    // the live schema no longer knows 'body', but the range does —
+    // commit 1's files physically carry it
+    val feed = GraftTable.changes(spark, root, 0L, 3L)
+    val rows = feed.filter(col("_change_type") === "insert")
+      .select("id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "aa", 2L -> "bb"),
+      "a range spanning the retiring rewrite must still coalesce old physical names")
+    // reuse the retired name, then a range crossing the re-add refuses
+    GraftTable.addColumn(root, StructField("body", StringType))     // 4
+    GraftTable.append(spark, root,
+      Seq((3L, "cc", "new-body")).toDF("id", "text", "body"))       // 5
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.changes(spark, root, 0L, 5L)
+    }
+    assert(e.getMessage.contains("reuse of physical column name"))
+    // each side of the re-add still feeds
+    assert(GraftTable.changes(spark, root, 0L, 3L).count() == 2)
+    val late = GraftTable.changes(spark, root, 3L, 5L)
+      .filter(col("_change_type") === "insert").select("id", "body").collect()
+    assert(late.length == 1 && late.head.getString(1) == "new-body")
+  }
+
   test("addColumn rejects case-insensitive collisions with live and dead names") {
     import spark.implicits._
     val root = freshRoot("addcol-case")
