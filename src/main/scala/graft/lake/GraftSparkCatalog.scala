@@ -42,7 +42,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * V1Write → InsertableRelation onto append/overwrite — the commit
   * protocol (snapshot isolation, conflict detection) is unchanged.
   */
-class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: String = _
@@ -123,13 +124,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   private def fqn(ident: Identifier): String =
     (catalogName +: ident.namespace :+ ident.name).mkString(".")
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    val ns = ident.namespace.toIndexedSeq
-    if (!Files.isDirectory(Paths.get(warehouse, ns: _*)))
-      throw new NoSuchNamespaceException(ident.namespace)
-    val root = rootOf(ns, ident.name)
-    if (isTable(root)) throw new TableAlreadyExistsException(ident)
+  /** PARTITIONED BY + TBLPROPERTIES → graft table properties (shared
+    * by createTable and the staged CTAS/RTAS flavors). */
+  private def tableProps(partitions: Array[Transform],
+      properties: util.Map[String, String]): Map[String, String] = {
     val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
       TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL,
       TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_COLLATION)
@@ -138,8 +136,61 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     val specProps =
       if (partitions.isEmpty) Map.empty[String, String]
       else Map(GraftTable.specProp -> partitions.map(transformToSpec).mkString(","))
-    GraftTable.create(activeSpark, root, schema, props ++ specProps)
+    props ++ specProps
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val ns = ident.namespace.toIndexedSeq
+    if (!Files.isDirectory(Paths.get(warehouse, ns: _*)))
+      throw new NoSuchNamespaceException(ident.namespace)
+    val root = rootOf(ns, ident.name)
+    if (isTable(root)) throw new TableAlreadyExistsException(ident)
+    GraftTable.create(activeSpark, root, schema, tableProps(partitions, properties))
     new GraftSparkTable(fqn(ident), root, None)
+  }
+
+  // ── staged CTAS / RTAS ──────────────────────────────────────────────
+  // CREATE TABLE ... AS SELECT (and REPLACE ...) goes through Spark's
+  // atomic path when the catalog stages: the SELECT writes into a
+  // hidden `.staging/<uuid>` GraftTable; only commitStagedChanges
+  // moves it to the final name (one directory rename), so a failed or
+  // aborted write never leaves a half-written table behind — the
+  // reference's everyday DDL idiom (reference: SPARK_ICEBERG_GUIDE.md
+  // §4 creates + §5 inserts collapsed into one statement).
+
+  private def stagingDirOf: java.nio.file.Path = Paths.get(warehouse, ".staging")
+
+  override def stageCreate(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stage(ident, columns, partitions, properties, replace = false, mustExist = false)
+
+  override def stageReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stage(ident, columns, partitions, properties, replace = true, mustExist = true)
+
+  override def stageCreateOrReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stage(ident, columns, partitions, properties, replace = true, mustExist = false)
+
+  private def stage(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String],
+      replace: Boolean, mustExist: Boolean): StagedTable = {
+    val ns = ident.namespace.toIndexedSeq
+    if (!Files.isDirectory(Paths.get(warehouse, ns: _*)))
+      throw new NoSuchNamespaceException(ident.namespace)
+    val finalRoot = rootOf(ns, ident.name)
+    if (!replace && isTable(finalRoot)) throw new TableAlreadyExistsException(ident)
+    if (mustExist && !isTable(finalRoot)) throw new NoSuchTableException(ident)
+    // (CatalogV2Util.v2ColumnsToStructType is private[sql])
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    Files.createDirectories(stagingDirOf)
+    val staging = stagingDirOf.resolve(
+      s"${ident.name}-${java.util.UUID.randomUUID()}")
+    GraftTable.create(activeSpark, staging.toString, schema,
+      tableProps(partitions, properties))
+    new GraftStagedTable(fqn(ident), staging.toString, finalRoot, ident, replace)
   }
 
   /** PARTITIONED BY (...) clause → the graft partition-spec term. */
@@ -225,7 +276,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   override def listNamespaces(): Array[Array[String]] = {
     val s = Files.list(Paths.get(warehouse))
     try s.iterator().asScala
-      .filter(p => Files.isDirectory(p) && !isTable(p.toString))
+      // dot-dirs are internal (the CTAS .staging area), not namespaces
+      .filter(p => Files.isDirectory(p) && !isTable(p.toString) &&
+        !p.getFileName.toString.startsWith("."))
       .map(p => Array(p.getFileName.toString)).toArray
     finally s.close()
   }
@@ -270,6 +323,43 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   private def activeSpark: SparkSession =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .getOrElse(throw new IllegalStateException("no active SparkSession"))
+}
+
+/** A staged (not-yet-visible) GraftTable for atomic CTAS/RTAS: the
+  * write lands in a hidden staging directory through the ordinary
+  * GraftSparkTable write path; commit is ONE atomic directory move
+  * into the final name (put-if-absent for CREATE; delete-then-move for
+  * REPLACE — the delete/move gap is the local-FS analog of an object
+  * store's two-pointer swap and never exposes a partial table, only a
+  * briefly-missing one). Abort just removes the staging directory. */
+private[lake] class GraftStagedTable(fqName: String, stagingRoot: String,
+    finalRoot: String, ident: Identifier, replace: Boolean)
+    extends GraftSparkTable(fqName, stagingRoot, None) with StagedTable {
+
+  private def rmTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val target = Paths.get(finalRoot)
+    if (replace) rmTree(target)
+    try {
+      Files.createDirectories(target.getParent)
+      Files.move(Paths.get(stagingRoot), target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case e @ (_: java.nio.file.FileAlreadyExistsException |
+                _: java.nio.file.DirectoryNotEmptyException) =>
+        // lost a CREATE race: leave the winner intact, clean our stage
+        rmTree(Paths.get(stagingRoot))
+        throw new TableAlreadyExistsException(ident)
+    }
+  }
+
+  override def abortStagedChanges(): Unit = rmTree(Paths.get(stagingRoot))
 }
 
 /** A GraftTable surfaced through DSv2. Reads go V1Scan →

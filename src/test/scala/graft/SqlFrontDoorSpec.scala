@@ -22,7 +22,8 @@ class SqlFrontDoorSpec extends SparkSpec {
     super.beforeAll()
     // clear only THIS suite's namespaces (the warehouse is shared
     // session-wide; the cached catalog instance keeps its path)
-    Seq("lab", "lab2", "tmp", "del", "dyn", "ren", "orph", "zord", "rl", "evo").foreach { ns =>
+    Seq("lab", "lab2", "tmp", "del", "dyn", "ren", "orph", "zord", "rl", "evo",
+        "ctas").foreach { ns =>
       val p = Paths.get(wh, ns)
       if (Files.exists(p)) {
         val s = Files.walk(p)
@@ -111,6 +112,55 @@ class SqlFrontDoorSpec extends SparkSpec {
     spark.sql("INSERT OVERWRITE graft.lab.orders_t SELECT * FROM orders_src WHERE o_orderkey % 10 = 0")
     assert(spark.sql("SELECT COUNT(*) AS c FROM graft.lab.orders_t").head().getLong(0) ==
       Tables.orders(spark, sf).filter(col("o_orderkey") % 10 === 0).count())
+  }
+
+  test("CTAS/RTAS stage atomically; a failed write leaves no table and no staging debris") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
+    Tables.nation(spark, sf).createOrReplaceTempView("ctas_nation_src")
+
+    // CREATE TABLE ... AS SELECT — the reference's everyday DDL idiom
+    spark.sql("""CREATE TABLE graft.ctas.nations AS
+      |SELECT n_nationkey, n_name, n_regionkey FROM ctas_nation_src""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.ctas.nations").head().getLong(0) == 25)
+
+    // partitioned + propertied CTAS carries both through
+    spark.sql("""CREATE TABLE graft.ctas.nations_part
+      |PARTITIONED BY (identity(n_regionkey))
+      |TBLPROPERTIES ('gc.enabled'='true')
+      |AS SELECT n_nationkey, n_name, n_regionkey FROM ctas_nation_src""".stripMargin)
+    val st = GraftTable.state(root("ctas", "nations_part"))
+    assert(st.properties("gc.enabled") == "true")
+    assert(st.properties(GraftTable.specProp) == "identity(n_regionkey)")
+    assert(st.files.forall(_.partitionValues.keySet == Set("n_regionkey")))
+
+    // RTAS swaps contents atomically
+    spark.sql("""REPLACE TABLE graft.ctas.nations AS
+      |SELECT n_nationkey, n_name FROM ctas_nation_src WHERE n_regionkey = 0""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.ctas.nations").head().getLong(0) == 5)
+
+    // failure injection: the SELECT throws mid-write — no table may
+    // appear and the staging area must be cleaned
+    assertThrows[Exception] {
+      spark.sql("""CREATE TABLE graft.ctas.boom AS
+        |SELECT CAST(raise_error('boom') AS STRING) AS s FROM range(10)""".stripMargin)
+    }
+    assert(!spark.sql("SHOW TABLES IN graft.ctas").collect()
+      .map(_.getString(1)).contains("boom"), "failed CTAS must not create the table")
+    val staging = Paths.get(wh, ".staging")
+    if (Files.isDirectory(staging)) {
+      val s = Files.list(staging)
+      val leftovers = try s.iterator().asScala.toSeq finally s.close()
+      assert(leftovers.isEmpty, s"failed CTAS left staging debris: $leftovers")
+    }
+    // .staging never surfaces as a namespace
+    assert(!spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).exists(_.startsWith(".")))
+
+    // CTAS into an existing name refuses and leaves the table intact
+    assertThrows[Exception] {
+      spark.sql("CREATE TABLE graft.ctas.nations AS SELECT 1 AS one")
+    }
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.ctas.nations").head().getLong(0) == 5)
   }
 
   test("CREATE TABLE AS / ALTER ADD COLUMN / DROP TABLE through the catalog") {
