@@ -65,7 +65,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     Files.isDirectory(Paths.get(root, "_graft_log"))
 
   private val metadataNames =
-    Set("snapshots", "files", "history", "partitions", "manifests", "refs")
+    Set("snapshots", "files", "history", "partitions", "manifests", "refs",
+      "entries", "metadata_log_entries", "all_files")
 
   // ── tables ──────────────────────────────────────────────────────────
 
@@ -221,17 +222,18 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    val widens = changes.collect { case u: TableChange.UpdateColumnType => u }
     val known = changes.count {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty |
            _: TableChange.AddColumn | _: TableChange.RenameColumn |
-           _: TableChange.DeleteColumn => true
+           _: TableChange.DeleteColumn | _: TableChange.UpdateColumnType => true
       case _ => false
     }
     require(known == changes.length,
       s"unsupported ALTER TABLE change(s): ${changes.filterNot {
         case _: TableChange.SetProperty | _: TableChange.RemoveProperty |
              _: TableChange.AddColumn | _: TableChange.RenameColumn |
-             _: TableChange.DeleteColumn => true
+             _: TableChange.DeleteColumn | _: TableChange.UpdateColumnType => true
         case _ => false
       }.mkString(", ")}")
     require(removes.isEmpty, "UNSET TBLPROPERTIES is not supported (properties are additive commits)")
@@ -248,6 +250,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     drops.foreach { d =>
       require(d.fieldNames.length == 1, "nested DROP COLUMN not supported")
       GraftTable.dropColumn(root, d.fieldNames.head)
+    }
+    widens.foreach { u =>
+      require(u.fieldNames.length == 1, "nested ALTER COLUMN TYPE not supported")
+      GraftTable.widenColumn(root, u.fieldNames.head, u.newDataType)
     }
     new GraftSparkTable(fqn(ident), root, None)
   }
@@ -670,6 +676,9 @@ private[lake] class GraftMetadataTable(fqName: String, root: String, kind: Strin
     case "partitions" => GraftTable.partitionsTable(s, root)
     case "manifests" => GraftTable.manifestsTable(s, root)
     case "refs" => GraftTable.refsTable(s, root)
+    case "entries" => GraftTable.entriesTable(s, root)
+    case "metadata_log_entries" => GraftTable.metadataLogEntriesTable(s, root)
+    case "all_files" => GraftTable.allFilesTable(s, root)
   }
 
   override def name(): String = fqName

@@ -734,6 +734,42 @@ object GraftTable {
     id
   }
 
+  /** ALTER TABLE ... ALTER COLUMN c TYPE t — metadata-only type
+    * WIDENING (the Iceberg evolution rule: int→long, float→double,
+    * decimal precision growth at the same scale). No data file is
+    * touched: reads request the widened type and Spark 4's parquet
+    * readers up-convert the narrower physical values; footer-stats
+    * text compares identically under both widths, so pruning is
+    * unaffected. Time travel before this commit returns the historical
+    * narrow type. Narrowing (or any other change) refuses — old files
+    * could hold values the narrow type cannot represent. */
+  def widenColumn(root: String, name: String, to: DataType): Long = {
+    val snap = state(root)
+    val cur = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val idx = cur.fields.indexWhere(_.name.equalsIgnoreCase(name))
+    require(idx >= 0, s"no such column: $name")
+    val f = cur.fields(idx)
+    require(widens(f.dataType, to),
+      s"cannot alter '${f.name}' ${f.dataType.simpleString} -> ${to.simpleString}: " +
+        "only widening conversions are supported " +
+        "(int->bigint, float->double, decimal(p,s)->decimal(p+,s))")
+    val ns = StructType(cur.fields.updated(idx, f.copy(dataType = to)))
+    val id = snap.snapshotId + 1   // planned against snap: conflicts fail loudly
+    val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "widen_column",
+      Seq.empty, Seq.empty, Map.empty, Some(ns.json))
+    writeAtomic(commitPath(root, id), toJson(c))
+    id
+  }
+
+  private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (a: DecimalType, b: DecimalType) =>
+      b.precision > a.precision && b.scale == a.scale
+    case _ => false
+  }
+
   /** Cluster rows before writing per the table's write properties
     * (reference: SPARK_ICEBERG_GUIDE.md §8.9 'write.distribution-mode'):
     * hash/range distribution on `graft.partition-columns` packs each
@@ -1790,7 +1826,7 @@ object GraftTable {
   /** Ops that never change live row content, only file layout. */
   private def maintenanceOps(op: String): Boolean = op match {
     case "create" | "add_column" | "rename_column" | "drop_column" |
-         "set_properties" | "checkpoint" |
+         "widen_column" | "set_properties" | "checkpoint" |
          "rewrite_data_files" | "rewrite_data_files_sorted" |
          "rewrite_data_files_zorder" | "rewrite_position_deletes" |
          "rewrite_equality_deletes" => true
@@ -2118,6 +2154,66 @@ object GraftTable {
     val t = tags(root)
     require(t.contains(name), s"no such tag: '$name' (have ${t.keys.mkString(", ")})")
     read(spark, root, Some(t(name)))
+  }
+
+  /** `.entries` metadata view (the Iceberg manifest-entries sibling):
+    * one row per (commit, file) ACTION across the retained log —
+    * status 1 = added, 2 = removed. A removed entry resolves its
+    * size/records from the add that introduced it (−1 when that add
+    * predates the oldest retained commit — only a checkpoint knows it
+    * then). */
+  def entriesTable(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    // seed from the oldest checkpoint ≤ the oldest commit, so removes
+    // of files added before the retained log still resolve metadata
+    val known = scala.collection.mutable.Map.empty[String, FileEntry]
+    val ids = listCommitIds(root)
+    listCheckpointIds(root).filter(_ <= ids.min).sorted.lastOption.foreach { k =>
+      parseCommit(Files.readString(logDir(root).resolve(s"checkpoint-$k.json")))
+        .adds.foreach(f => known(f.path) = f)
+    }
+    val rows = ids.flatMap { id =>
+      val c = parseCommit(Files.readString(commitPath(root, id)))
+      c.adds.foreach(f => known(f.path) = f)
+      c.adds.map(f => (1, c.snapshotId, f.path, f.content.getOrElse(0),
+          f.records, f.sizeBytes, partString(f))) ++
+        c.removes.sorted.map { p =>
+          val f = known.get(p)
+          (2, c.snapshotId, p, f.map(_.content.getOrElse(0)).getOrElse(0),
+            f.map(_.records).getOrElse(-1L), f.map(_.sizeBytes).getOrElse(-1L),
+            f.map(partString).getOrElse(""))
+        }
+    }
+    rows.toDF("status", "snapshot_id", "file_path", "content",
+      "record_count", "file_size_in_bytes", "partition")
+  }
+
+  /** `.metadata_log_entries` metadata view (the Iceberg sibling): the
+    * table-metadata history — one row per retained commit record. */
+  def metadataLogEntriesTable(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    listCommitIds(root).map { id =>
+      val c = parseCommit(Files.readString(commitPath(root, id)))
+      (c.timestampMs, f"_graft_log/$id%010d.json", c.snapshotId)
+    }.toDF("timestamp_ms", "file", "latest_snapshot_id")
+  }
+
+  /** `.all_files` metadata view: every data/delete file referenced by
+    * ANY retained commit or checkpoint — live or since removed (the
+    * Iceberg all_files/all_data_files family, collapsed). */
+  def allFilesTable(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val all = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+    (listCheckpointIds(root).map(k =>
+        Files.readString(logDir(root).resolve(s"checkpoint-$k.json"))) ++
+      listCommitIds(root).map(id => Files.readString(commitPath(root, id))))
+      .foreach(s => parseCommit(s).adds.foreach(f => all.getOrElseUpdate(f.path, f)))
+    val livePaths = state(root).files.map(_.path).toSet
+    all.values.toSeq.sortBy(_.path)
+      .map(f => (f.path, f.content.getOrElse(0), f.records, f.sizeBytes,
+        partString(f), livePaths.contains(f.path)))
+      .toDF("file_path", "content", "record_count", "file_size_in_bytes",
+        "partition", "live")
   }
 
   def historyTable(spark: SparkSession, root: String): DataFrame = {

@@ -859,6 +859,48 @@ class LakeV2Spec extends SparkSpec {
     assert(late.length == 1 && late.head.getString(1) == "new-body")
   }
 
+  test("type widening: old files read under the widened type; time travel keeps the narrow one") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = freshRoot("widen")
+    val df1 = Seq((1, 1.5f, BigDecimal("10.25")), (2, 2.5f, BigDecimal("20.50")))
+      .toDF("id", "price", "amt")
+      .select(col("id").cast("int"), col("price").cast("float"),
+        col("amt").cast("decimal(10,2)")).repartition(1)
+    GraftTable.create(spark, root, df1.schema)
+    GraftTable.append(spark, root, df1)                             // 1
+    GraftTable.widenColumn(root, "id", LongType)                    // 2
+    GraftTable.widenColumn(root, "price", DoubleType)               // 3
+    GraftTable.widenColumn(root, "amt", DecimalType(14, 2))         // 4
+    // new rows arrive at the widened width
+    GraftTable.append(spark, root,
+      Seq((3000000000L, 3.5d, BigDecimal("999999999999.75"))).toDF("id", "price", "amt")
+        .select(col("id"), col("price"), col("amt").cast("decimal(14,2)"))
+        .repartition(1))                                            // 5
+    val out = GraftTable.read(spark, root)
+    assert(out.schema("id").dataType == LongType)
+    assert(out.schema("price").dataType == DoubleType)
+    assert(out.schema("amt").dataType == DecimalType(14, 2))
+    assert(out.count() == 3)
+    assert(out.agg(sum(col("id"))).head().getLong(0) == 3000000003L)
+    // old int32 values survive the up-conversion exactly
+    assert(out.filter(col("id") === 1L).select("price").head().getDouble(0) == 1.5d)
+    // time travel before the widening returns the historical narrow type
+    assert(GraftTable.read(spark, root, asOf = Some(1L)).schema("id").dataType == IntegerType)
+    // stats pruning stays correct across mixed-width files
+    val (pruned, total, live) = GraftTable.scan(spark, root, Seq(Ge("id", "3000000000")))
+    assert(total == 2 && live == 1, s"mixed-width pruning (live=$live total=$total)")
+    assert(pruned.count() == 1)
+    // narrowing and non-widening changes refuse
+    assertThrows[IllegalArgumentException] { GraftTable.widenColumn(root, "id", IntegerType) }
+    assertThrows[IllegalArgumentException] { GraftTable.widenColumn(root, "price", StringType) }
+    assertThrows[IllegalArgumentException] { GraftTable.widenColumn(root, "amt", DecimalType(14, 4)) }
+    // CDC across the widening serves every row at the end width
+    val feed = GraftTable.changes(spark, root, 0L, 5L)
+    assert(feed.schema("id").dataType == LongType)
+    assert(feed.filter(col("_change_type") === "insert").count() == 3)
+  }
+
   test("addColumn rejects case-insensitive collisions with live and dead names") {
     import spark.implicits._
     val root = freshRoot("addcol-case")

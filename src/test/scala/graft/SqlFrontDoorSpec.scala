@@ -163,6 +163,29 @@ class SqlFrontDoorSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) AS c FROM graft.ctas.nations").head().getLong(0) == 5)
   }
 
+  test("ALTER COLUMN TYPE widens through SQL; narrowing is refused") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.evo")
+    spark.sql("CREATE TABLE graft.evo.widen_t (id INT, price FLOAT)")
+    spark.sql("INSERT INTO graft.evo.widen_t VALUES (1, 1.5), (2, 2.5)")
+    spark.sql("ALTER TABLE graft.evo.widen_t ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.evo.widen_t ALTER COLUMN price TYPE DOUBLE")
+    spark.sql("INSERT INTO graft.evo.widen_t VALUES (3000000000, 3.5)")
+    val rows = spark.sql(
+      "SELECT id, price FROM graft.evo.widen_t ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3000000000L))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(1.5d, 2.5d, 3.5d))
+    // pushed filters prune mixed-width files correctly
+    assert(spark.sql(
+      "SELECT COUNT(*) AS c FROM graft.evo.widen_t WHERE id > 10").head().getLong(0) == 1)
+    // Spark's analyzer already refuses narrowing before the catalog
+    // sees it; our own guard catches programmatic callers
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.evo.widen_t ALTER COLUMN id TYPE INT")
+    }
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e.getMessage.contains("widening"))
+  }
+
   test("CREATE TABLE AS / ALTER ADD COLUMN / DROP TABLE through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tmp")
     spark.sql("CREATE TABLE graft.tmp.nation_t (n_nationkey BIGINT, n_name STRING)")
