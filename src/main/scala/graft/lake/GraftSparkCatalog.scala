@@ -54,6 +54,29 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalArgumentException(
         s"spark.sql.catalog.$name.warehouse must point at a directory"))
     Files.createDirectories(Paths.get(warehouse))
+    sweepStaleStaging()
+  }
+
+  /** A driver that dies mid-CTAS orphans its `.staging/<uuid>` dir —
+    * nothing else ever references it, and remove_orphan_files only
+    * sweeps inside table roots. Age-bound the sweep like
+    * remove_orphan_files' now-3d default so a CONCURRENT catalog's
+    * in-flight stage (fresh mtime) is never collected. */
+  private def sweepStaleStaging(
+      olderThanMs: Long = 3L * 24 * 60 * 60 * 1000): Unit = {
+    val staging = stagingDirOf
+    if (Files.isDirectory(staging)) {
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      val s = Files.list(staging)
+      val stale = try s.iterator().asScala
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff).toSeq
+      finally s.close()
+      stale.foreach { p =>
+        val w = Files.walk(p)
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally w.close()
+      }
+    }
   }
 
   override def name(): String = catalogName
@@ -183,9 +206,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val finalRoot = rootOf(ns, ident.name)
     if (!replace && isTable(finalRoot)) throw new TableAlreadyExistsException(ident)
     if (mustExist && !isTable(finalRoot)) throw new NoSuchTableException(ident)
-    // (CatalogV2Util.v2ColumnsToStructType is private[sql])
-    val schema = StructType(columns.map(c =>
-      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    // (CatalogV2Util.v2ColumnsToStructType is private[sql]); COMMENTs
+    // ride along as StructField metadata so CTAS doesn't drop them
+    val schema = StructType(columns.map { c =>
+      val f = org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())
+      Option(c.comment()).fold(f)(f.withComment)
+    })
     Files.createDirectories(stagingDirOf)
     val staging = stagingDirOf.resolve(
       s"${ident.name}-${java.util.UUID.randomUUID()}")
@@ -294,8 +320,16 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     else if (namespaceExists(namespace)) Array.empty
     else throw new NoSuchNamespaceException(namespace)
 
+  /** Dot-prefixed directories (the CTAS `.staging` area) are internal:
+    * listNamespaces hides them, and every other namespace entry point
+    * must agree or DROP NAMESPACE could be pointed at the staging area
+    * while a concurrent CTAS writes into it. */
+  private def isInternalNs(namespace: Array[String]): Boolean =
+    namespace.exists(_.startsWith("."))
+
   override def namespaceExists(namespace: Array[String]): Boolean =
-    Files.isDirectory(Paths.get(warehouse, namespace: _*)) &&
+    !isInternalNs(namespace) &&
+      Files.isDirectory(Paths.get(warehouse, namespace: _*)) &&
       !isTable(Paths.get(warehouse, namespace: _*).toString)
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
@@ -303,8 +337,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     else throw new NoSuchNamespaceException(namespace)
 
   override def createNamespace(namespace: Array[String],
-      metadata: util.Map[String, String]): Unit =
+      metadata: util.Map[String, String]): Unit = {
+    require(!isInternalNs(namespace),
+      s"namespace name may not start with '.': ${namespace.mkString(".")}")
     Files.createDirectories(Paths.get(warehouse, namespace: _*))
+  }
 
   override def alterNamespace(namespace: Array[String],
       changes: NamespaceChange*): Unit =
@@ -312,7 +349,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val p = Paths.get(warehouse, namespace: _*)
-    if (!Files.isDirectory(p)) false
+    if (isInternalNs(namespace) || !Files.isDirectory(p)) false
     else {
       if (!cascade) {
         val s = Files.list(p)
@@ -334,10 +371,14 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 /** A staged (not-yet-visible) GraftTable for atomic CTAS/RTAS: the
   * write lands in a hidden staging directory through the ordinary
   * GraftSparkTable write path; commit is ONE atomic directory move
-  * into the final name (put-if-absent for CREATE; delete-then-move for
-  * REPLACE — the delete/move gap is the local-FS analog of an object
-  * store's two-pointer swap and never exposes a partial table, only a
-  * briefly-missing one). Abort just removes the staging directory. */
+  * into the final name (put-if-absent for CREATE; move-aside-then-move
+  * for REPLACE — the old table is parked under `.staging/old-<uuid>`
+  * BEFORE the swap and deleted only after it succeeds, so a crash at
+  * any point loses nothing: both generations sit recoverably on disk.
+  * The aside/move gap is the local-FS analog of an object store's
+  * two-pointer swap and never exposes a partial table, only a
+  * briefly-missing one — see README's consistency notes). Abort just
+  * removes the staging directory. */
 private[lake] class GraftStagedTable(fqName: String, stagingRoot: String,
     finalRoot: String, ident: Identifier, replace: Boolean)
     extends GraftSparkTable(fqName, stagingRoot, None) with StagedTable {
@@ -351,18 +392,33 @@ private[lake] class GraftStagedTable(fqName: String, stagingRoot: String,
 
   override def commitStagedChanges(): Unit = {
     val target = Paths.get(finalRoot)
-    if (replace) rmTree(target)
+    var aside: Option[java.nio.file.Path] = None
+    if (replace && Files.exists(target)) {
+      val parked = Paths.get(stagingRoot).getParent
+        .resolve(s"old-${ident.name}-${java.util.UUID.randomUUID()}")
+      Files.move(target, parked, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      aside = Some(parked)
+    }
     try {
       Files.createDirectories(target.getParent)
       Files.move(Paths.get(stagingRoot), target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } catch {
-      case e @ (_: java.nio.file.FileAlreadyExistsException |
-                _: java.nio.file.DirectoryNotEmptyException) =>
-        // lost a CREATE race: leave the winner intact, clean our stage
+      // lost a CREATE race: the winner's table occupies the name. The
+      // JDK surfaces the failed rename as FileAlreadyExists /
+      // DirectoryNotEmpty OR (Linux rename(2) ENOTEMPTY) a generic
+      // FileSystemException — discriminate by what's AT the name now
+      case e: java.nio.file.FileSystemException
+          if Files.isDirectory(target.resolve("_graft_log")) =>
         rmTree(Paths.get(stagingRoot))
         throw new TableAlreadyExistsException(ident)
+      case e: Throwable =>
+        // put the old table back rather than leave the name missing
+        aside.foreach(p => scala.util.Try(
+          Files.move(p, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)))
+        throw e
     }
+    aside.foreach(rmTree)   // swap done — retire the old generation
   }
 
   override def abortStagedChanges(): Unit = rmTree(Paths.get(stagingRoot))

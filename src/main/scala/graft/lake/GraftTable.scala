@@ -6,6 +6,7 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.json4s._
@@ -645,6 +646,11 @@ object GraftTable {
   private[lake] val prevNamesKey = "graft.prev-names"
   private[lake] val droppedColsProp = "graft.dropped-columns"
 
+  /** Stamped on a field widened float→double: pre-widen files rendered
+    * their footer stats via Float.toString, so double-typed pruning
+    * must treat this column's stat text conservatively (see mayMatch). */
+  private[lake] val wasFloatKey = "graft.was-float"
+
   private[lake] def prevNames(f: StructField): Seq[String] =
     if (f.metadata.contains(prevNamesKey))
       f.metadata.getStringArray(prevNamesKey).toSeq
@@ -738,11 +744,14 @@ object GraftTable {
     * WIDENING (the Iceberg evolution rule: int→long, float→double,
     * decimal precision growth at the same scale). No data file is
     * touched: reads request the widened type and Spark 4's parquet
-    * readers up-convert the narrower physical values; footer-stats
-    * text compares identically under both widths, so pruning is
-    * unaffected. Time travel before this commit returns the historical
-    * narrow type. Narrowing (or any other change) refuses — old files
-    * could hold values the narrow type cannot represent. */
+    * readers up-convert the narrower physical values. int→long and
+    * decimal footer-stats text compares identically under both widths;
+    * float→double does NOT ((double)0.1f ≠ "0.1".toDouble), so the
+    * field is stamped `graft.was-float` and both pruning planners
+    * compare its stat text conservatively under BOTH renderings
+    * (mayMatch/predCond). Time travel before this commit returns the
+    * historical narrow type. Narrowing (or any other change) refuses —
+    * old files could hold values the narrow type cannot represent. */
   def widenColumn(root: String, name: String, to: DataType): Long = {
     val snap = state(root)
     val cur = DataType.fromJson(snap.schemaJson.getOrElse(
@@ -754,7 +763,25 @@ object GraftTable {
       s"cannot alter '${f.name}' ${f.dataType.simpleString} -> ${to.simpleString}: " +
         "only widening conversions are supported " +
         "(int->bigint, float->double, decimal(p,s)->decimal(p+,s))")
-    val ns = StructType(cur.fields.updated(idx, f.copy(dataType = to)))
+    val floatToDouble = f.dataType == FloatType && to == DoubleType
+    if (floatToDouble) {
+      // partition directory values were rendered as float text; the
+      // partition-tuple pruners compare that text exactly (no
+      // conservative path), so widening a layout-driving float column
+      // would silently mis-prune — refuse until a rewrite
+      val layout = tableSpec(snap.properties).map(_.col) ++
+        snap.properties.get("graft.partition-columns").toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      require(!layout.exists(_.equalsIgnoreCase(f.name)),
+        s"cannot widen '${f.name}' float->double: it drives the partition " +
+          "layout (directory values are float-rendered text); rewrite first")
+    }
+    val nf =
+      if (floatToDouble)
+        f.copy(dataType = to, metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putBoolean(wasFloatKey, true).build())
+      else f.copy(dataType = to)
+    val ns = StructType(cur.fields.updated(idx, nf))
     val id = snap.snapshotId + 1   // planned against snap: conflicts fail loudly
     val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "widen_column",
       Seq.empty, Seq.empty, Map.empty, Some(ns.json))
@@ -1272,19 +1299,35 @@ object GraftTable {
       case a: Attribute if types.contains(a.name) => Some(a.name)
       case _ => None
     }
+    // the analyzer widens a narrower literal by wrapping it in a Cast
+    // (`id < 5` on a bigint column is `id < cast(5 as bigint)` at the
+    // analyzed stage we extract from — constant folding runs later).
+    // Fold any foldable literal side here, or the everyday unsuffixed
+    // literal silently loses ALL file pruning — a table scan at 100 TB.
+    // Widening casts can't change the value, and a throwing eval
+    // (ANSI overflow) just declines the prune.
+    def asLit(x: Expression): Option[Literal] = x match {
+      case l: Literal => Some(l)
+      case c if c.foldable =>
+        scala.util.Try(Literal.create(c.eval(), c.dataType)).toOption
+      case _ => None
+    }
+    def cmp2(x: Expression, y: Expression, mk: (String, String) => Pred,
+        flipped: (String, String) => Pred): Seq[Pred] =
+      (attr(x), asLit(y)) match {
+        case (Some(n), Some(l)) => renderLit(l, types(n)).map(mk(n, _)).toSeq
+        case _ => (attr(y), asLit(x)) match {
+          case (Some(n), Some(l)) => renderLit(l, types(n)).map(flipped(n, _)).toSeq
+          case _ => Seq.empty
+        }
+      }
     e match {
       case And(l, r) => extractPreds(l, types) ++ extractPreds(r, types)
-      case GreaterThan(a, l: Literal) => attr(a).flatMap(n => renderLit(l, types(n)).map(Gt(n, _))).toSeq
-      case LessThan(a, l: Literal) => attr(a).flatMap(n => renderLit(l, types(n)).map(Lt(n, _))).toSeq
-      case EqualTo(a, l: Literal) => attr(a).flatMap(n => renderLit(l, types(n)).map(Eq(n, _))).toSeq
-      case GreaterThanOrEqual(a, l: Literal) => attr(a).flatMap(n => renderLit(l, types(n)).map(Ge(n, _))).toSeq
-      case LessThanOrEqual(a, l: Literal) => attr(a).flatMap(n => renderLit(l, types(n)).map(Le(n, _))).toSeq
-      // flipped operand order: lit < col etc.
-      case GreaterThan(l: Literal, a) => attr(a).flatMap(n => renderLit(l, types(n)).map(Lt(n, _))).toSeq
-      case LessThan(l: Literal, a) => attr(a).flatMap(n => renderLit(l, types(n)).map(Gt(n, _))).toSeq
-      case EqualTo(l: Literal, a) => attr(a).flatMap(n => renderLit(l, types(n)).map(Eq(n, _))).toSeq
-      case GreaterThanOrEqual(l: Literal, a) => attr(a).flatMap(n => renderLit(l, types(n)).map(Le(n, _))).toSeq
-      case LessThanOrEqual(l: Literal, a) => attr(a).flatMap(n => renderLit(l, types(n)).map(Ge(n, _))).toSeq
+      case GreaterThan(a, b) => cmp2(a, b, Gt.apply, Lt.apply)
+      case LessThan(a, b) => cmp2(a, b, Lt.apply, Gt.apply)
+      case EqualTo(a, b) => cmp2(a, b, Eq.apply, Eq.apply)
+      case GreaterThanOrEqual(a, b) => cmp2(a, b, Ge.apply, Le.apply)
+      case LessThanOrEqual(a, b) => cmp2(a, b, Le.apply, Ge.apply)
       case _ => Seq.empty
     }
   }
@@ -1312,31 +1355,61 @@ object GraftTable {
     case _ => a.compareTo(b)   // DateType: ISO text is chronological
   }
 
-  /** Live logical name → every physical name a data file may carry it
-    * under (itself + historical names, newest first). Files written
-    * before a rename store their stats under the old physical name;
-    * resolving predicates through this map keeps pruning power over
-    * the table's entire pre-rename history — at 100× scale a rename
-    * must not silently un-prune old files until a rewrite. */
-  private def statAliases(schema: StructType): Map[String, Seq[String]] =
+  /** Per-schema stat-resolution context for the pruning planners:
+    * `byCol` maps a live logical name onto every physical name a data
+    * file may carry it under (itself + historical names, newest
+    * first) — files written before a rename store their stats under
+    * the old physical name, and resolving through this map keeps
+    * pruning power over the table's entire pre-rename history.
+    * `everFloat` holds double columns widened from float: their
+    * pre-widen files rendered stats via Float.toString, so the
+    * planners must bound that text under BOTH renderings. */
+  private[lake] case class StatAliases(byCol: Map[String, Seq[String]],
+      everFloat: Set[String]) {
+    def names(c: String): Seq[String] = byCol.getOrElse(c, Seq(c))
+  }
+  private[lake] object StatAliases {
+    val empty: StatAliases = StatAliases(Map.empty, Set.empty)
+  }
+
+  private def statAliases(schema: StructType): StatAliases = StatAliases(
     schema.fields.iterator
       .filter(f => prevNames(f).nonEmpty)
       .map(f => f.name -> (f.name +: prevNames(f).reverse))
-      .toMap
+      .toMap,
+    schema.fields.iterator
+      .filter(f => f.dataType == DoubleType && f.metadata.contains(wasFloatKey))
+      .map(_.name).toSet)
 
   /** Can this file's [min,max] stats possibly satisfy every predicate?
     * `aliases` maps a predicate's live column name onto its historical
     * physical names — each file carries stats under exactly one of
-    * them. */
+    * them. For ever-float columns the stored text denotes either
+    * `s.toDouble` (post-widen file) or `(double) s.toFloat` (pre-widen
+    * file; Float.toString round-trips, so that value is exact) — the
+    * min/max over both readings is an exact-conservative bound, and the
+    * predicate literal gets the same two-way treatment because
+    * rewrite-planning predicates are themselves built from stat text. */
   private def mayMatch(types: Map[String, DataType], preds: Seq[Pred],
-      aliases: Map[String, Seq[String]] = Map.empty)(f: FileEntry): Boolean =
+      aliases: StatAliases = StatAliases.empty)(f: FileEntry): Boolean =
     preds.forall { p =>
-      val names = aliases.getOrElse(p.colName, Seq(p.colName))
-      names.iterator.flatMap(f.stats.get).nextOption() match {
+      aliases.names(p.colName).iterator.flatMap(f.stats.get).nextOption() match {
         case None => true  // no stats → cannot prune
         case Some(st) =>
           val dt = types(p.colName)
-          (p, st.min, st.max) match {
+          if (aliases.everFloat.contains(p.colName)) {
+            def lo(s: String) = math.min(s.toDouble, s.toFloat.toDouble)
+            def hi(s: String) = math.max(s.toDouble, s.toFloat.toDouble)
+            (p, st.min, st.max) match {
+              case (Gt(_, v), _, Some(mx)) => hi(mx) > lo(v)
+              case (Lt(_, v), Some(mn), _) => lo(mn) < hi(v)
+              case (Ge(_, v), _, Some(mx)) => hi(mx) >= lo(v)
+              case (Le(_, v), Some(mn), _) => lo(mn) <= hi(v)
+              case (Eq(_, v), Some(mn), Some(mx)) =>
+                lo(mn) <= hi(v) && hi(mx) >= lo(v)
+              case _ => true
+            }
+          } else (p, st.min, st.max) match {
             case (Gt(_, v), _, Some(mx)) => cmp(dt, mx, v) > 0
             case (Lt(_, v), Some(mn), _) => cmp(dt, mn, v) < 0
             case (Ge(_, v), _, Some(mx)) => cmp(dt, mx, v) >= 0
@@ -1412,7 +1485,7 @@ object GraftTable {
     * partition-source column. */
   private def prunedData(types: Map[String, DataType], spec: Seq[PTransform],
       preds: Seq[Pred], files: Seq[FileEntry],
-      aliases: Map[String, Seq[String]] = Map.empty): Seq[FileEntry] =
+      aliases: StatAliases = StatAliases.empty): Seq[FileEntry] =
     files.filter(f => f.isData &&
       mayMatchPartition(types, spec, preds)(f) && mayMatch(types, preds, aliases)(f))
 
@@ -1586,7 +1659,7 @@ object GraftTable {
     * binary order (same as utf8Cmp) and the numeric casts mirror
     * cmp()'s type dispatch, so both planners prune identically. */
   private def predCond(types: Map[String, DataType], spec: Seq[PTransform],
-      p: Pred, aliases: Map[String, Seq[String]] = Map.empty): Column = {
+      p: Pred, aliases: StatAliases = StatAliases.empty): Column = {
     val dt = types(p.colName)
     def castv(c: Column): Column = dt match {
       case IntegerType | LongType | TimestampType | TimestampNTZType => c.cast("long")
@@ -1596,22 +1669,35 @@ object GraftTable {
     val raw = predValue(p)
     // a file carries stats under exactly one of the column's physical
     // names (see statAliases) — coalesce resolves whichever it has
-    val st = aliases.getOrElse(p.colName, Seq(p.colName))
+    val st = aliases.names(p.colName)
       .map(n => col("stats").getItem(n)) match {
         case Seq(one) => one
         case many => coalesce(many: _*)
       }
-    val mn = castv(st.getField("min"))
-    val mx = castv(st.getField("max"))
-    val v = castv(lit(raw))
+    // ever-float double columns: stat/literal text may be float- OR
+    // double-rendered; bound under both readings (mayMatch's twin)
+    val everFloat = aliases.everFloat.contains(p.colName)
+    def loV(c: Column): Column =
+      if (everFloat) least(c.cast("double"), c.cast("float").cast("double"))
+      else castv(c)
+    def hiV(c: Column): Column =
+      if (everFloat) greatest(c.cast("double"), c.cast("float").cast("double"))
+      else castv(c)
+    val mn = loV(st.getField("min"))
+    val mx = hiV(st.getField("max"))
+    val vLo = loV(lit(raw))
+    val vHi = hiV(lit(raw))
     val statsOk: Column = p match {
-      case _: Gt => mx.isNull || mx > v
-      case _: Lt => mn.isNull || mn < v
-      case _: Ge => mx.isNull || mx >= v
-      case _: Le => mn.isNull || mn <= v
-      case _: Eq => (mn.isNull || mn <= v) && (mx.isNull || mx >= v)
+      case _: Gt => mx.isNull || mx > vLo
+      case _: Lt => mn.isNull || mn < vHi
+      case _: Ge => mx.isNull || mx >= vLo
+      case _: Le => mn.isNull || mn <= vHi
+      case _: Eq => (mn.isNull || mn <= vHi) && (mx.isNull || mx >= vLo)
     }
     val statsCond = when(st.isNull, lit(true)).otherwise(statsOk)
+    // partition tuples: exact compare — widenColumn refuses
+    // float→double on layout columns, so everFloat never applies here
+    val v = castv(lit(raw))
     val partConds = spec.filter(_.col == p.colName).map { t =>
       val pv = col("partition").getItem(t.label)
       val cond: Column = t match {
@@ -2156,36 +2242,86 @@ object GraftTable {
     read(spark, root, Some(t(name)))
   }
 
+  private val entriesCols = Seq("status", "snapshot_id", "file_path", "content",
+    "record_count", "file_size_in_bytes", "partition")
+
+  /** The checkpoint parquet's `partition` map rendered as the same
+    * `k=v/k=v` text partString produces driver-side. */
+  private def partStringCol(m: Column): Column =
+    array_join(transform(array_sort(map_keys(m)),
+      k => concat(k, lit("="), element_at(m, k))), "/")
+
+  /** (ckpt id, file count, threshold) from a ckptmeta twin — the same
+    * driver-vs-distributed decision planScan makes. */
+  private def ckptScale(root: String, k: Long): (Long, Long) = {
+    val metaPath = logDir(root).resolve(s"ckptmeta-$k.json")
+    if (!Files.exists(metaPath)) (0L, Long.MaxValue)
+    else {
+      val meta = parseCommit(Files.readString(metaPath))
+      (meta.properties.get("graft.ckpt.file-count").map(_.toLong).getOrElse(0L),
+        meta.properties.get("graft.planning.distributed-threshold")
+          .map(_.toLong).getOrElse(1000L))
+    }
+  }
+
   /** `.entries` metadata view (the Iceberg manifest-entries sibling):
     * one row per (commit, file) ACTION across the retained log —
     * status 1 = added, 2 = removed. A removed entry resolves its
     * size/records from the add that introduced it (−1 when that add
     * predates the oldest retained commit — only a checkpoint knows it
-    * then). */
+    * then). The driver holds O(retained-log actions): below the
+    * planning threshold pre-log removes resolve through the JSON
+    * checkpoint seed; above it the resolution is a distributed join
+    * against `ckptfiles-K.parquet`, so the checkpoint's O(table) file
+    * list never materializes driver-side (same split as planScan). */
   def entriesTable(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    // seed from the oldest checkpoint ≤ the oldest commit, so removes
-    // of files added before the retained log still resolve metadata
-    val known = scala.collection.mutable.Map.empty[String, FileEntry]
     val ids = listCommitIds(root)
-    listCheckpointIds(root).filter(_ <= ids.min).sorted.lastOption.foreach { k =>
-      parseCommit(Files.readString(logDir(root).resolve(s"checkpoint-$k.json")))
-        .adds.foreach(f => known(f.path) = f)
-    }
-    val rows = ids.flatMap { id =>
+    val ck = listCheckpointIds(root).filter(_ <= ids.min).sorted.lastOption
+    // actions across the retained log; removes resolve through the
+    // adds seen so far in the window (always newer than any seed)
+    val within = scala.collection.mutable.Map.empty[String, FileEntry]
+    val acts = ids.flatMap { id =>
       val c = parseCommit(Files.readString(commitPath(root, id)))
-      c.adds.foreach(f => known(f.path) = f)
-      c.adds.map(f => (1, c.snapshotId, f.path, f.content.getOrElse(0),
-          f.records, f.sizeBytes, partString(f))) ++
-        c.removes.sorted.map { p =>
-          val f = known.get(p)
-          (2, c.snapshotId, p, f.map(_.content.getOrElse(0)).getOrElse(0),
-            f.map(_.records).getOrElse(-1L), f.map(_.sizeBytes).getOrElse(-1L),
-            f.map(partString).getOrElse(""))
-        }
+      c.adds.foreach(f => within(f.path) = f)
+      c.adds.map(f => (1, c.snapshotId, f.path, Option(f))) ++
+        c.removes.sorted.map(p => (2, c.snapshotId, p, within.get(p)))
     }
-    rows.toDF("status", "snapshot_id", "file_path", "content",
-      "record_count", "file_size_in_bytes", "partition")
+    def row(status: Int, snap: Long, path: String, f: Option[FileEntry]) =
+      (status, snap, path, f.map(_.content.getOrElse(0)).getOrElse(0),
+        f.map(_.records).getOrElse(-1L), f.map(_.sizeBytes).getOrElse(-1L),
+        f.map(partString).getOrElse(""))
+    val unresolved = acts.collect { case (2, snap, p, None) => (snap, p) }
+    val ckParquet = ck.map(k => logDir(root).resolve(s"ckptfiles-$k.parquet"))
+      .filter(Files.exists(_))
+    val distributed = ckParquet.isDefined && unresolved.nonEmpty && {
+      val (count, threshold) = ckptScale(root, ck.get)
+      count >= threshold
+    }
+    if (!distributed) {
+      // seed only when something needs it: the sub-threshold JSON path
+      val seed = scala.collection.mutable.Map.empty[String, FileEntry]
+      if (unresolved.nonEmpty) ck.foreach { k =>
+        parseCommit(Files.readString(logDir(root).resolve(s"checkpoint-$k.json")))
+          .adds.foreach(f => seed(f.path) = f)
+      }
+      acts.map { case (st, snap, p, f) =>
+        row(st, snap, p, f.orElse(if (st == 2) seed.get(p) else None))
+      }.toDF(entriesCols: _*)
+    } else {
+      val resolvedDf = acts.collect {
+        case (st, snap, p, f) if st == 1 || f.isDefined => row(st, snap, p, f)
+      }.toDF(entriesCols: _*)
+      val ckDf = spark.read.parquet(ckParquet.get.toString)
+      val joined = unresolved.toDF("snapshot_id", "file_path")
+        .join(ckDf, col("file_path") === ckDf("path"), "left")
+        .select(lit(2).as("status"), col("snapshot_id"), col("file_path"),
+          coalesce(col("content"), lit(0)).as("content"),
+          coalesce(col("records"), lit(-1L)).as("record_count"),
+          coalesce(col("sizeBytes"), lit(-1L)).as("file_size_in_bytes"),
+          coalesce(partStringCol(col("partition")), lit("")).as("partition"))
+      resolvedDf.unionByName(joined)
+    }
   }
 
   /** `.metadata_log_entries` metadata view (the Iceberg sibling): the
@@ -2200,20 +2336,76 @@ object GraftTable {
 
   /** `.all_files` metadata view: every data/delete file referenced by
     * ANY retained commit or checkpoint — live or since removed (the
-    * Iceberg all_files/all_data_files family, collapsed). */
+    * Iceberg all_files/all_data_files family, collapsed). Below the
+    * planning threshold the driver materializes the union directly;
+    * above it the checkpoints' O(table) file lists stay in their
+    * `ckptfiles-K.parquet` form and the union, first-wins dedup, and
+    * live flag all run as a Spark job — the driver holds only the
+    * retained commit actions (planScan's split, applied to the
+    * diagnostics plane). */
   def allFilesTable(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    val all = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
-    (listCheckpointIds(root).map(k =>
-        Files.readString(logDir(root).resolve(s"checkpoint-$k.json"))) ++
-      listCommitIds(root).map(id => Files.readString(commitPath(root, id))))
-      .foreach(s => parseCommit(s).adds.foreach(f => all.getOrElseUpdate(f.path, f)))
-    val livePaths = state(root).files.map(_.path).toSet
-    all.values.toSeq.sortBy(_.path)
-      .map(f => (f.path, f.content.getOrElse(0), f.records, f.sizeBytes,
-        partString(f), livePaths.contains(f.path)))
-      .toDF("file_path", "content", "record_count", "file_size_in_bytes",
-        "partition", "live")
+    val ids = listCommitIds(root)
+    val ckIds = listCheckpointIds(root)
+    def driverPath: DataFrame = {
+      val all = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+      (ckIds.map(k =>
+          Files.readString(logDir(root).resolve(s"checkpoint-$k.json"))) ++
+        ids.map(id => Files.readString(commitPath(root, id))))
+        .foreach(s => parseCommit(s).adds.foreach(f => all.getOrElseUpdate(f.path, f)))
+      val livePaths = state(root).files.map(_.path).toSet
+      all.values.toSeq.sortBy(_.path)
+        .map(f => (f.path, f.content.getOrElse(0), f.records, f.sizeBytes,
+          partString(f), livePaths.contains(f.path)))
+        .toDF("file_path", "content", "record_count", "file_size_in_bytes",
+          "partition", "live")
+    }
+    val parquets = ckIds.map(k => k -> logDir(root).resolve(s"ckptfiles-$k.parquet"))
+    val overThreshold = ckIds.nonEmpty && {
+      val (count, threshold) = ckptScale(root, ckIds.max)
+      count >= threshold
+    }
+    if (!overThreshold || parquets.exists(p => !Files.exists(p._2)))
+      return driverPath
+    // post-checkpoint tail, last action per path wins (replayState's
+    // discipline) — it decides liveness for every tail-touched path
+    val commits = ids.map(id => parseCommit(Files.readString(commitPath(root, id))))
+    val delta = scala.collection.mutable.LinkedHashMap.empty[String, Option[FileEntry]]
+    commits.filter(_.snapshotId > ckIds.max).foreach { c =>
+      c.removes.foreach(p => delta(p) = None)
+      c.adds.foreach(e => delta(e.path) = Some(e))
+    }
+    val touched = delta.keySet.toSeq
+    val liveAddPaths = delta.values.flatten.map(_.path).toSeq
+    if (touched.size > 10000) return driverPath   // planScan's isin guard
+    // first-wins union: checkpoints in id order, then retained commits
+    val ckDfs = parquets.zipWithIndex.map { case ((_, p), i) =>
+      spark.read.parquet(p.toString).select(lit(i).as("_src"), col("path"),
+        col("content"), col("records"), col("sizeBytes"),
+        partStringCol(col("partition")).as("partition"))
+    }
+    val commitAdds = commits.zipWithIndex.flatMap { case (c, i) =>
+      c.adds.map(f => (parquets.size + i, f.path, f.content.getOrElse(0),
+        f.records, f.sizeBytes, partString(f)))
+    }.toDF("_src", "path", "content", "records", "sizeBytes", "partition")
+    val union = (ckDfs :+ commitAdds).reduce(_ unionByName _)
+    val byPath = Window.partitionBy(col("path"))
+    val latestSrc = parquets.size - 1
+    val live =
+      when(if (liveAddPaths.isEmpty) lit(false)
+           else col("path").isin(liveAddPaths: _*), lit(true))
+        .when(if (touched.isEmpty) lit(false)
+              else col("path").isin(touched: _*), lit(false))
+        .otherwise(max(when(col("_src") === lit(latestSrc), 1).otherwise(0))
+          .over(byPath) === 1)
+    union
+      .withColumn("_rn", row_number().over(byPath.orderBy(col("_src"))))
+      .withColumn("live", live)
+      .filter(col("_rn") === 1)
+      .select(col("path").as("file_path"), col("content"),
+        col("records").as("record_count"), col("sizeBytes").as("file_size_in_bytes"),
+        col("partition"), col("live"))
+      .orderBy(col("file_path"))
   }
 
   def historyTable(spark: SparkSession, root: String): DataFrame = {

@@ -62,20 +62,34 @@ object Similarity {
 
   private def norms(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    normsMemo.synchronized {
+    // only map reads/writes + the stopped-session sweep hold the lock;
+    // plan construction and .cache() (catalog + IO work) run OUTSIDE
+    // it so concurrent sessions' first accesses don't serialize. Two
+    // racers may both build: first put wins, the loser unpersists —
+    // a rare duplicate computation, never a leak.
+    val hit = normsMemo.synchronized {
       val it = normsMemo.entrySet().iterator()
       while (it.hasNext) if (it.next().getKey._1.sparkContext.isStopped) it.remove()
-      val df = Option(normsMemo.get((s, dir))).getOrElse {
-        val d = Tables.embeddings(s, dir).select(
-          col("vec_id"), embD(col("embedding")).as("v"),
-          sqrt(dot(embD(col("embedding")), embD(col("embedding")))).as("nrm"))
-          .cache()
-        normsMemo.put((s, dir), d)
-        d
-      }
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
-      df
+      Option(normsMemo.get((s, dir)))
     }
+    val df = hit.getOrElse {
+      val d = Tables.embeddings(s, dir).select(
+        col("vec_id"), embD(col("embedding")).as("v"),
+        sqrt(dot(embD(col("embedding")), embD(col("embedding")))).as("nrm"))
+        .cache()
+      normsMemo.synchronized {
+        Option(normsMemo.get((s, dir))) match {
+          case Some(winner) =>
+            scala.util.Try(d.unpersist(blocking = false))
+            winner
+          case None =>
+            normsMemo.put((s, dir), d)
+            d
+        }
+      }
+    }
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
+    df
   }
 
   // ── §2.3/41 embedding-cosine near-dup (all-pairs baseline) ──────────

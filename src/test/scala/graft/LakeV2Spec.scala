@@ -901,6 +901,142 @@ class LakeV2Spec extends SparkSpec {
     assert(feed.filter(col("_change_type") === "insert").count() == 3)
   }
 
+  test(".entries/.metadata_log_entries/.all_files track adds, removes, and expiry") {
+    import spark.implicits._
+    val root = freshRoot("meta-entries")
+    val a = (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v").repartition(1)
+    val b = (10L until 20L).map(i => (i, s"v$i")).toDF("id", "v").repartition(1)
+    GraftTable.create(spark, root, a.schema)                    // 0
+    GraftTable.append(spark, root, a)                           // 1: +A
+    GraftTable.append(spark, root, b)                           // 2: +B
+    GraftTable.deleteWhere(spark, root, col("id") < 5)          // 3: CoW −A +A′
+    GraftTable.rewriteDataFiles(spark, root)                    // 4: −A′ −B +C
+    // pre-expiry: every remove resolves through the in-log add
+    val pre = GraftTable.entriesTable(spark, root).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(4)))
+    val preAdds = pre.filter(_._1 == 1).map(r => r._3 -> r._4).toMap
+    val preRemoves = pre.filter(_._1 == 2)
+    assert(pre.count(_._1 == 1) == 4, "adds: A, B, A′, C")   // one per append/rewrite output
+    assert(preRemoves.map(_._2).toSeq.sorted == Seq(3L, 4L, 4L))
+    assert(preRemoves.forall(r => r._4 == preAdds(r._3)),
+      "in-log removes must carry the records of the add that introduced the file")
+    // all_files pre-expiry: A,B,A′ dead; C live
+    val preAf = GraftTable.allFilesTable(spark, root).collect()
+      .map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(preAf.size == 4 && preAf.values.count(identity) == 1)
+    // expire to {3,4}: checkpoint lands at 3 (post −A), commits 0-2 drop
+    GraftTable.expireSnapshots(root, retainLast = 2)
+    val ml = GraftTable.metadataLogEntriesTable(spark, root).collect()
+    assert(ml.map(_.getLong(2)).toSeq.sorted == Seq(3L, 4L),
+      ".metadata_log_entries rows must equal the retained commit ids")
+    assert(ml.forall(r => r.getString(1).matches("_graft_log/\\d{10}\\.json")))
+    val post = GraftTable.entriesTable(spark, root).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(4), r.getLong(5)))
+    val aPath = pre.filter(r => r._1 == 1 && r._2 == 1L).head._3
+    val bPath = pre.filter(r => r._1 == 1 && r._2 == 2L).head._3
+    val a2Path = pre.filter(r => r._1 == 1 && r._2 == 3L).head._3
+    // A: add expired AND gone from the cutoff checkpoint (removed at
+    // the cutoff itself) → the −1 only-a-checkpoint-knew-it sentinel
+    val remA = post.filter(r => r._1 == 2 && r._3 == aPath).head
+    assert(remA._4 == -1L && remA._5 == -1L, s"pre-log remove must carry -1 sentinels: $remA")
+    // B: add expired but alive at the cutoff → resolves via the seed
+    val remB = post.filter(r => r._1 == 2 && r._3 == bPath).head
+    assert(remB._4 == 10L && remB._5 > 0L, s"checkpoint-seeded remove must resolve: $remB")
+    // A′: add retained → resolves within the log
+    val remA2 = post.filter(r => r._1 == 2 && r._3 == a2Path).head
+    assert(remA2._4 == 5L && remA2._5 > 0L)
+    // all_files survives expiry: A's add is gone with commit 1, the
+    // rest keep their rows; only C stays live
+    val postAf = GraftTable.allFilesTable(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getBoolean(5)))
+    assert(!postAf.exists(_._1 == aPath))
+    assert(postAf.map(_._1).toSet == Set(bPath, a2Path,
+      pre.filter(r => r._1 == 1 && r._2 == 4L).head._3))
+    assert(postAf.filter(_._3).map(_._2).toSeq == Seq(15L), "only compacted C is live")
+    assert(postAf.filter(r => !r._3).map(_._1).toSet == Set(bPath, a2Path))
+  }
+
+  test(".entries/.all_files checkpoint-parquet path returns the driver path's rows") {
+    import spark.implicits._
+    val root = freshRoot("meta-entries-dist")
+    val a = (0L until 10L).map(i => (i, i * 2)).toDF("id", "w").repartition(1)
+    val b = (10L until 20L).map(i => (i, i * 2)).toDF("id", "w").repartition(1)
+    GraftTable.create(spark, root, a.schema)                    // 0
+    // bake a tiny planning threshold into the expiry checkpoint so the
+    // distributed path triggers at 2 files
+    GraftTable.setProperties(root,
+      Map("graft.planning.distributed-threshold" -> "2"))       // 1
+    GraftTable.append(spark, root, a)                           // 2: +A
+    GraftTable.append(spark, root, b)                           // 3: +B
+    GraftTable.deleteWhere(spark, root, col("id") < 5)          // 4: −A +A′
+    GraftTable.expireSnapshots(root, retainLast = 1)            // ckpt at 4 = {A′, B}
+    GraftTable.rewriteDataFiles(spark, root)                    // 5: −A′ −B +C
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // above-threshold: resolution/union runs over ckptfiles-4.parquet
+    val distEntries = rows(GraftTable.entriesTable(spark, root))
+    val distAll = rows(GraftTable.allFilesTable(spark, root))
+    // adds A′@4, C@5 + removes A@4 (−1), A′@5 (in-log), B@5 (ckpt join)
+    assert(distEntries.size == 5, s"unexpected entries: $distEntries")
+    assert(GraftTable.entriesTable(spark, root)
+      .filter(col("record_count") === -1L).count() == 1,
+      "exactly the pre-checkpoint remove carries the -1 sentinel")
+    // removing the parquet twin forces the legacy JSON driver path on
+    // the SAME table state (how a hand-migrated table would read)
+    val pq = Paths.get(root, "_graft_log", "ckptfiles-4.parquet")
+    assert(Files.exists(pq), "expiry must have written the parquet checkpoint")
+    val s = Files.walk(pq)
+    try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally s.close()
+    assert(rows(GraftTable.entriesTable(spark, root)) == distEntries,
+      "checkpoint-parquet entries must equal the driver path's rows")
+    assert(rows(GraftTable.allFilesTable(spark, root)) == distAll,
+      "checkpoint-parquet all_files must equal the driver path's rows")
+  }
+
+  test("float→double widening keeps stats pruning sound on pre-widen files") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = freshRoot("widen-float")
+    val df1 = Seq((1L, 0.1f), (2L, 0.05f)).toDF("id", "price").repartition(1)
+    GraftTable.create(spark, root, df1.schema)
+    GraftTable.append(spark, root, df1)                  // 1: float stats, max text "0.1"
+    GraftTable.widenColumn(root, "price", DoubleType)    // 2
+    GraftTable.append(spark, root,
+      Seq((3L, 7.5d)).toDF("id", "price").repartition(1)) // 3
+    // (double) 0.1f = 0.10000000149… > 0.1d: the pre-widen file HOLDS a
+    // matching row even though its stat text parses to exactly 0.1 —
+    // conservative bounds must keep the file (naive parsing pruned it)
+    val (df, total, live) = GraftTable.scan(spark, root, Seq(Gt("price", "0.1")))
+    assert(total == 2 && live == 2,
+      s"conservative float bounds must keep the pre-widen file (live=$live total=$total)")
+    assert(df.filter(col("id") === 1L).count() == 1,
+      "the 0.1f row matches price > 0.1 after widening")
+    // pruning power survives where float rounding can't be the cause
+    val (_, _, liveHi) = GraftTable.scan(spark, root, Seq(Gt("price", "1.0")))
+    assert(liveHi == 1)
+    // the distributed planner bounds identically
+    GraftTable.setProperties(root, Map("graft.planning.distributed-threshold" -> "2"))
+    GraftTable.rewriteManifests(root)
+    val plan = GraftTable.planScan(spark, root, Seq(Gt("price", "0.1")))
+    assert(plan.distributed && plan.liveFiles == 2,
+      s"distributed planner must keep the pre-widen file (live=${plan.liveFiles})")
+    assert(plan.df.filter(col("id") === 1L).count() == 1)
+    assert(GraftTable.planScan(spark, root, Seq(Gt("price", "1.0"))).liveFiles == 1)
+    // a float column driving the partition layout refuses to widen:
+    // directory values are float-rendered text the tuple pruners
+    // compare exactly
+    val root2 = freshRoot("widen-float-part")
+    val p1 = Seq((1L, 1.5f)).toDF("id", "price")
+    GraftTable.create(spark, root2, p1.schema,
+      Map(GraftTable.specProp -> "identity(price)"))
+    GraftTable.append(spark, root2, p1)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.widenColumn(root2, "price", DoubleType)
+    }
+    assert(e.getMessage.contains("partition"))
+  }
+
   test("addColumn rejects case-insensitive collisions with live and dead names") {
     import spark.implicits._
     val root = freshRoot("addcol-case")

@@ -23,7 +23,7 @@ class SqlFrontDoorSpec extends SparkSpec {
     // clear only THIS suite's namespaces (the warehouse is shared
     // session-wide; the cached catalog instance keeps its path)
     Seq("lab", "lab2", "tmp", "del", "dyn", "ren", "orph", "zord", "rl", "evo",
-        "ctas").foreach { ns =>
+        "ctas", "mv", ".staging").foreach { ns =>
       val p = Paths.get(wh, ns)
       if (Files.exists(p)) {
         val s = Files.walk(p)
@@ -114,6 +114,30 @@ class SqlFrontDoorSpec extends SparkSpec {
       Tables.orders(spark, sf).filter(col("o_orderkey") % 10 === 0).count())
   }
 
+  test(".entries/.metadata_log_entries/.all_files read through SQL identifiers") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
+    spark.sql("CREATE TABLE graft.mv.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.mv.t VALUES (1, 'a'), (2, 'b')")   // 1: +f1
+    spark.sql("INSERT INTO graft.mv.t VALUES (3, 'c')")             // 2: +f2
+    spark.sql("DELETE FROM graft.mv.t WHERE id = 1")                // 3: −f1 +f1′
+    val e = spark.sql(
+      "SELECT status, snapshot_id, record_count FROM graft.mv.t.entries").collect()
+    val adds = e.filter(_.getInt(0) == 1)
+    val removes = e.filter(_.getInt(0) == 2)
+    assert(adds.length >= 3 && removes.length == 1, s"entries: ${e.mkString(", ")}")
+    // the remove resolves through its in-log add: a real record count
+    assert(removes.forall(r => r.getLong(1) == 3L && r.getLong(2) >= 1L))
+    val ml = spark.sql(
+      "SELECT latest_snapshot_id FROM graft.mv.t.metadata_log_entries ORDER BY 1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ml == (0L to 3L), s"one row per retained commit, got $ml")
+    val af = spark.sql("SELECT record_count, live FROM graft.mv.t.all_files").collect()
+    assert(af.length == adds.length, "one all_files row per distinct added path")
+    assert(af.count(!_.getBoolean(1)) == 1, "exactly the rewritten file is dead")
+    assert(af.filter(_.getBoolean(1)).map(_.getLong(0)).sum == 2L,
+      "live rows = the two surviving ids")
+  }
+
   test("CTAS/RTAS stage atomically; a failed write leaves no table and no staging debris") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
     Tables.nation(spark, sf).createOrReplaceTempView("ctas_nation_src")
@@ -161,6 +185,61 @@ class SqlFrontDoorSpec extends SparkSpec {
       spark.sql("CREATE TABLE graft.ctas.nations AS SELECT 1 AS one")
     }
     assert(spark.sql("SELECT COUNT(*) AS c FROM graft.ctas.nations").head().getLong(0) == 5)
+  }
+
+  test("concurrent staged CREATEs of one name: one winner, loser leaves no debris") {
+    import org.apache.spark.sql.connector.catalog.{Column => VColumn, Identifier, StagingTableCatalog}
+    import org.apache.spark.sql.types.LongType
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[StagingTableCatalog]
+    val ident = Identifier.of(Array("ctas"), "race_t")
+    val cols = Array(VColumn.create("id", LongType))
+    val none = Array.empty[org.apache.spark.sql.connector.expressions.Transform]
+    val props = new java.util.HashMap[String, String]()
+    // both CTAS stage before either commits — the racy interleaving
+    val staged = Seq(cat.stageCreate(ident, cols, none, props),
+      cat.stageCreate(ident, cols, none, props))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = staged.map(st => new Thread(() => {
+      gate.await()
+      try st.commitStagedChanges()
+      catch { case t: Throwable => errs.add(t) }
+    }))
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(errs.size == 1, s"exactly one commit must lose, got: $errs")
+    assert(errs.peek().isInstanceOf[
+      org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException])
+    // the winner is a readable table; the loser's stage is gone
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.ctas.race_t").head().getLong(0) == 0)
+    val staging = Paths.get(wh, ".staging")
+    if (Files.isDirectory(staging)) {
+      val s = Files.list(staging)
+      val leftovers = try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("race_t")).toSeq finally s.close()
+      assert(leftovers.isEmpty, s"losing commit left staging debris: $leftovers")
+    }
+  }
+
+  test("catalog init sweeps stale staging debris and spares fresh stages") {
+    import java.nio.file.attribute.FileTime
+    val staging = Paths.get(wh, ".staging")
+    Files.createDirectories(staging)
+    val stale = staging.resolve("t-00000000-dead-beef-stale")
+    val fresh = staging.resolve("t-00000000-cafe-babe-fresh")
+    Files.createDirectories(stale)
+    Files.createDirectories(fresh)
+    Files.writeString(stale.resolve("leftover.parquet"), "x")
+    Files.setLastModifiedTime(stale,
+      FileTime.fromMillis(System.currentTimeMillis() - 4L * 24 * 3600 * 1000))
+    val cat = new graft.lake.GraftSparkCatalog()
+    cat.initialize("graft_sweep_probe",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("warehouse", wh)))
+    assert(!Files.exists(stale), "a 4-day-old staging dir must be swept at init")
+    assert(Files.exists(fresh), "an in-flight (fresh) stage must survive the sweep")
+    Files.delete(fresh)
   }
 
   test("ALTER COLUMN TYPE widens through SQL; narrowing is refused") {
