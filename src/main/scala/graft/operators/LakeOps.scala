@@ -217,8 +217,48 @@ object LakeOps {
       .orderBy(col("_commit_snapshot_id"), col("_change_type"), col("o_orderkey"))
   }
 
+  // ── q62: .entries/.metadata_log_entries/.all_files lifecycle ────────
+  /** The manifest-entries metadata family under a full lifecycle:
+    * appends, a CoW delete, compaction, then expiry. The summary pins
+    * (a) one status-1 row per added file and status-2 per remove, (b)
+    * removes resolving real record counts through retained adds AND
+    * the −1 sentinel for adds the expiry dropped, (c) one
+    * `.metadata_log_entries` row per retained commit, (d) `.all_files`
+    * keeping removed files visible (live=false) with live records
+    * equal to the surviving table. Rows-only: the lifecycle is not one
+    * SQL statement. */
+  def q62(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = scratch("q62")
+    val c = Tables.customer(s, dir).cache()
+    GraftTable.create(s, root, c.schema)
+    GraftTable.append(s, root, c.filter(col("c_custkey") % 2 === 0).repartition(2)) // 1
+    GraftTable.append(s, root, c.filter(col("c_custkey") % 2 === 1).repartition(2)) // 2
+    GraftTable.deleteWhere(s, root, col("c_acctbal") < lit(0.0))                    // 3
+    GraftTable.rewriteDataFiles(s, root, targetFileSizeBytes = 64L * 1024 * 1024)   // 4
+    GraftTable.expireSnapshots(root, retainLast = 2)   // ckpt at 3; ids {3,4}
+    val e = GraftTable.entriesTable(s, root).cache()
+    val adds = e.filter(col("status") === 1).count()
+    val removes = e.filter(col("status") === 2).count()
+    val preLog = e.filter(col("record_count") === -1L).count()
+    val resolved = e.filter(col("status") === 2 && col("record_count") > 0).count()
+    require(preLog > 0 && resolved > 0,
+      "lifecycle must exercise both remove-resolution paths")
+    val mlRows = GraftTable.metadataLogEntriesTable(s, root).count()
+    val af = GraftTable.allFilesTable(s, root).cache()
+    val liveRecords = af.filter(col("live"))
+      .agg(sum(col("record_count"))).head().getLong(0)
+    val deadFiles = af.filter(!col("live")).count()
+    require(liveRecords == GraftTable.read(s, root).count(),
+      ".all_files live records must equal the table")
+    Seq((adds, removes, preLog, resolved, mlRows, liveRecords, deadFiles))
+      .toDF("entry_adds", "entry_removes", "removes_prelog", "removes_resolved",
+        "metadata_log_rows", "live_records", "dead_files")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_lake_changes" -> q57 _,
+    "q62_lake_entries" -> q62 _,
     "q54_lake_sql" -> q54 _,
     "q23_lake_snapshots" -> q23 _,
     "q24_lake_files" -> q24 _,

@@ -895,10 +895,18 @@ class LakeV2Spec extends SparkSpec {
     assertThrows[IllegalArgumentException] { GraftTable.widenColumn(root, "id", IntegerType) }
     assertThrows[IllegalArgumentException] { GraftTable.widenColumn(root, "price", StringType) }
     assertThrows[IllegalArgumentException] { GraftTable.widenColumn(root, "amt", DecimalType(14, 4)) }
-    // CDC across the widening serves every row at the end width
+    // CDC across the widening serves every row at the end width; the
+    // widen commits themselves are maintenance — they emit NOTHING,
+    // and a mid-range widen must not split or duplicate the feed
     val feed = GraftTable.changes(spark, root, 0L, 5L)
     assert(feed.schema("id").dataType == LongType)
     assert(feed.filter(col("_change_type") === "insert").count() == 3)
+    assert(feed.select("_commit_snapshot_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 5L),
+      "widen commits 2-4 must emit no change rows")
+    assert(feed.filter(col("_commit_snapshot_id") === 1L)
+      .agg(sum(col("id"))).head().getLong(0) == 3L,
+      "pre-widen int rows must up-convert exactly in the feed")
   }
 
   test(".entries/.metadata_log_entries/.all_files track adds, removes, and expiry") {

@@ -30,6 +30,36 @@ class NewQueryPlanSpec extends SparkSpec {
       s"append CDC must scan only snapshot-2 files: ${inputs.mkString(", ")}")
   }
 
+  test("q52's label-propagation rounds keep a flat plan: bounded stages per job") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import spark.implicits._
+    // the q52 cost model is O(rounds), which holds ONLY while every
+    // round plans against a flat localCheckpoint relation — losing
+    // that (e.g. swapping checkpoint for cache) grows the lineage,
+    // and with it each later job's stage graph, super-linearly. A
+    // 64-node chain needs several pointer-jumping rounds, enough for
+    // the growth to blow the per-job bound by an order of magnitude.
+    val stagesPerJob = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        stagesPerJob.add(js.stageInfos.size)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val out =
+      try {
+        val edges = (0L until 63L).map(i => (i, i + 1)).toDF("da", "db")
+        graft.operators.Dedup.connectedComponents(edges).collect()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(out.length == 64 && out.forall(_.getLong(1) == 0L),
+      "one chain component, rooted at node 0")
+    val sizes = stagesPerJob.asScala.toSeq
+    assert(sizes.nonEmpty)
+    assert(sizes.max <= 12,
+      s"a label-propagation round must plan O(1) exchanges, got stages/job: $sizes")
+    assert(sizes.size <= 100, s"rounds must stay O(1) jobs each: ${sizes.size} jobs")
+  }
+
   test("q58 scan reads only doc_id and text") {
     val df = graft.operators.TextOps.q58(spark, sf)
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
