@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** The SQL front door as a real DataSource-v2 catalog — the reference's
@@ -655,13 +655,26 @@ private[lake] class GraftRelation(ctx: SQLContext, root: String, asOf: Option[Lo
   }
 }
 
-private[lake] object GraftRelation {
+private[graft] object GraftRelation {
   import GraftTable.{Eq, Ge, Gt, Le, Lt, Pred}
 
-  /** Source filter → stats-text predicate (the same rendering the
+  /** parquet's binary min/max order — the order stats text is pruned
+    * under for strings (GraftTable.utf8Cmp's twin). */
+  private val utf8Ordering: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0; var r = 0
+    while (i < n && r == 0) { r = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff); i += 1 }
+    if (r != 0) r else java.lang.Integer.compare(x.length, y.length)
+  }
+
+  /** Source filter → stats-text predicates (the same rendering the
     * footer stats use). Non-literal / unsupported filters contribute
-    * no prune — Spark re-applies them as row filters regardless. */
-  def toPred(f: Filter, types: Map[String, DataType]): Option[Pred] = {
+    * no prune — Spark re-applies them as row filters regardless. An
+    * IN list prunes as its conservative [min, max] value range (the
+    * everyday `k IN (...)` lookup must not scan the table at 100 TB),
+    * and BOTH sides of a conjunction contribute. */
+  def toPred(f: Filter, types: Map[String, DataType]): Seq[Pred] = {
     def render(v: Any): Option[String] = v match {
       case null => None
       case d: java.sql.Date => Some(d.toString)
@@ -676,21 +689,33 @@ private[lake] object GraftRelation {
         Some(x.toString)
       case _ => None
     }
-    def mk(attr: String, v: Any, ctor: (String, String) => Pred): Option[Pred] =
-      if (types.contains(attr)) render(v).map(ctor(attr, _)) else None
+    def mk(attr: String, v: Any, ctor: (String, String) => Pred): Seq[Pred] =
+      if (types.contains(attr)) render(v).map(ctor(attr, _)).toSeq else Seq.empty
     f match {
       case EqualTo(a, v) => mk(a, v, Eq.apply)
       case GreaterThan(a, v) => mk(a, v, Gt.apply)
       case LessThan(a, v) => mk(a, v, Lt.apply)
       case GreaterThanOrEqual(a, v) => mk(a, v, Ge.apply)
       case LessThanOrEqual(a, v) => mk(a, v, Le.apply)
-      case And(l, r) =>
-        // one side alone is a valid (weaker) prune
-        (toPred(l, types), toPred(r, types)) match {
-          case (Some(p), _) => Some(p)   // caller gets the other conjunct as its own Filter
-          case (_, p) => p
+      case In(a, vs) if types.contains(a) && vs.nonEmpty =>
+        val rendered = vs.toIndexedSeq.map(render)
+        if (rendered.exists(_.isEmpty)) Seq.empty   // a null/exotic member: no prune
+        else {
+          val rs = rendered.flatten
+          // the list's [min, max] under the SAME comparator the
+          // pruning uses (GraftTable.cmp's type dispatch)
+          val (lo, hi) = types(a) match {
+            case IntegerType | LongType | TimestampType | TimestampNTZType =>
+              (rs.minBy(_.toLong), rs.maxBy(_.toLong))
+            case DoubleType | FloatType =>
+              (rs.minBy(_.toDouble), rs.maxBy(_.toDouble))
+            case _ =>   // strings UTF-8; ISO dates: lexicographic
+              (rs.min(utf8Ordering), rs.max(utf8Ordering))
+          }
+          Seq(Ge(a, lo), Le(a, hi))
         }
-      case _ => None
+      case And(l, r) => toPred(l, types) ++ toPred(r, types)
+      case _ => Seq.empty
     }
   }
 

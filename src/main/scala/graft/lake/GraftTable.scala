@@ -2158,15 +2158,29 @@ object GraftTable {
 
   /** `.partitions` metadata view (the Iceberg sibling): one row per
     * live partition tuple with file/record/byte rollups. Unpartitioned
-    * tables (or pre-spec files) report the empty tuple. */
+    * tables (or pre-spec files) report the empty tuple. When a parquet
+    * checkpoint exists at exactly the requested snapshot, the rollup
+    * runs as a Spark aggregation over it (the filesTable split) — the
+    * output is one row per partition either way, but the INPUT file
+    * list never materializes driver-side. */
   def partitionsTable(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    state(root, asOf).files.filter(_.isData)
-      .groupBy(partString)
-      .map { case (p, fs) =>
-        (p, fs.size.toLong, fs.map(_.records).sum, fs.map(_.sizeBytes).sum)
-      }.toSeq.sortBy(_._1)
-      .toDF("partition", "file_count", "record_count", "total_size_in_bytes")
+    val ids = listCommitIds(root)
+    val target = asOf.getOrElse(if (ids.nonEmpty) ids.max else -1L)
+    if (listCkptFilesIds(root).contains(target))
+      spark.read.parquet(logDir(root).resolve(s"ckptfiles-$target.parquet").toString)
+        .filter(col("content") === 0)
+        .groupBy(partStringCol(col("partition")).as("partition"))
+        .agg(count(lit(1)).as("file_count"), sum(col("records")).as("record_count"),
+          sum(col("sizeBytes")).as("total_size_in_bytes"))
+        .orderBy(col("partition"))
+    else
+      state(root, asOf).files.filter(_.isData)
+        .groupBy(partString)
+        .map { case (p, fs) =>
+          (p, fs.size.toLong, fs.map(_.records).sum, fs.map(_.sizeBytes).sum)
+        }.toSeq.sortBy(_._1)
+        .toDF("partition", "file_count", "record_count", "total_size_in_bytes")
   }
 
   /** `.manifests` metadata view: the physical metadata files readers

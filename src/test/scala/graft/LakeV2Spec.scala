@@ -370,6 +370,17 @@ class LakeV2Spec extends SparkSpec {
         f.partitionValues.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")))
     assert(fromCkpt.toSeq == fromReplay,
       "checkpoint-served and replay-served .files must agree")
+    // .partitions rides the same split: the checkpoint-aggregated
+    // rollup must equal the driver rollup it replaced
+    val partsCkpt = GraftTable.partitionsTable(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(partsCkpt == parts
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq,
+      "checkpoint-aggregated and driver .partitions must agree")
+    // an as-of read between checkpoints still takes the driver path
+    GraftTable.append(spark, root, n.limit(1))
+    assert(GraftTable.partitionsTable(spark, root).collect()
+      .map(_.getLong(2)).sum == n.count() + 1)
   }
 
   // ── distributed planning ────────────────────────────────────────────

@@ -20,6 +20,42 @@ class PlanProbeSpec extends SparkSpec {
     assert(df.count() == 499)
   }
 
+  test("IN-list filters prune files as a conservative value range") {
+    import org.apache.spark.sql.sources.{And, GreaterThan, In, LessThan}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import graft.lake.{GraftRelation, GraftTable}
+    import graft.lake.GraftTable.{Ge, Gt, Le, Lt}
+    val types = Map[String, org.apache.spark.sql.types.DataType](
+      "k" -> LongType, "s" -> StringType)
+    // IN → the list's [min, max] under the pruning comparator
+    assert(GraftRelation.toPred(In("k", Array(17L, 5L, 400L)), types) ==
+      Seq(Ge("k", "5"), Le("k", "400")))
+    // strings order in UTF-8 bytes (parquet's stat order): a10 < a2
+    assert(GraftRelation.toPred(In("s", Array("b", "a10", "a2")), types) ==
+      Seq(Ge("s", "a10"), Le("s", "b")))
+    // a null member can match nothing the stats see — decline, don't lie
+    assert(GraftRelation.toPred(In("k", Array(5L, null)), types).isEmpty)
+    // BOTH sides of a conjunction contribute now
+    assert(GraftRelation.toPred(
+      And(GreaterThan("k", 1L), LessThan("k", 9L)), types) ==
+      Seq(Gt("k", "1"), Lt("k", "9")))
+    // end-to-end: the pruned scan still answers correctly, and the
+    // file-level effect is observable through GraftTable.scan with the
+    // same preds the SQL path now derives
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
+    spark.sql("DROP TABLE IF EXISTS graft.p.rng")
+    spark.sql("CREATE TABLE graft.p.rng (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.p.rng SELECT id, id * 1.0 FROM range(0, 1000)")
+    spark.sql("INSERT INTO graft.p.rng SELECT id, id * 1.0 FROM range(100000, 101000)")
+    assert(spark.sql("SELECT * FROM graft.p.rng WHERE k IN (5, 17, 400)").count() == 3)
+    assert(spark.sql("SELECT * FROM graft.p.rng WHERE k IN (5, 100500)").count() == 2)
+    val root = s"${SparkSpec.sqlWarehouse}/p/rng"
+    val (_, total, live) = GraftTable.scan(spark, root,
+      GraftRelation.toPred(In("k", Array(17L, 5L, 400L)), types))
+    assert(live < total,
+      s"the IN range must prune key-disjoint files (live=$live total=$total)")
+  }
+
   test("graft tables report manifest-exact stats: small dims broadcast in joins") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
     spark.sql("DROP TABLE IF EXISTS graft.p.dim")

@@ -222,6 +222,40 @@ class SqlFrontDoorSpec extends SparkSpec {
     }
   }
 
+  test("a failed RTAS swap puts the old table back") {
+    import org.apache.spark.sql.connector.catalog.{Column => VColumn, Identifier, StagingTableCatalog}
+    import org.apache.spark.sql.types.LongType
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
+    spark.sql("CREATE TABLE graft.ctas.keepme (id BIGINT)")
+    spark.sql("INSERT INTO graft.ctas.keepme VALUES (7)")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[StagingTableCatalog]
+    val st = cat.stageReplace(Identifier.of(Array("ctas"), "keepme"),
+      Array(VColumn.create("id", LongType)),
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      new java.util.HashMap[String, String]())
+    // simulate the stage vanishing under the committer (a crashed
+    // writer whose cleanup won the race): the swap's second move fails
+    // AFTER the old table was parked aside — it must come back
+    val staging = Paths.get(wh, ".staging")
+    val s = Files.list(staging)
+    val stage = try s.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("keepme-")).toSeq.head
+    finally s.close()
+    val w = Files.walk(stage)
+    try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally w.close()
+    intercept[Exception] { st.commitStagedChanges() }
+    assert(spark.sql("SELECT id FROM graft.ctas.keepme").collect()
+      .map(_.getLong(0)).toSeq == Seq(7L),
+      "the replaced table must be restored after a failed swap")
+    val s2 = Files.list(staging)
+    val parked = try s2.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("old-keepme")).toSeq
+    finally s2.close()
+    assert(parked.isEmpty, s"restored swap must not leave a parked copy: $parked")
+  }
+
   test("catalog init sweeps stale staging debris and spares fresh stages") {
     import java.nio.file.attribute.FileTime
     val staging = Paths.get(wh, ".staging")
