@@ -65,16 +65,21 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   private def sweepStaleStaging(
       olderThanMs: Long = 3L * 24 * 60 * 60 * 1000): Unit = {
     val staging = stagingDirOf
-    if (Files.isDirectory(staging)) {
+    // best-effort: a concurrent catalog committing/aborting a stage
+    // mid-walk races this sweep, and hygiene must never fail init
+    if (Files.isDirectory(staging)) scala.util.Try {
       val cutoff = System.currentTimeMillis() - olderThanMs
       val s = Files.list(staging)
       val stale = try s.iterator().asScala
-        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff).toSeq
+        .filter(p => scala.util.Try(
+          Files.getLastModifiedTime(p).toMillis < cutoff).getOrElse(false)).toSeq
       finally s.close()
       stale.foreach { p =>
-        val w = Files.walk(p)
-        try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-        finally w.close()
+        scala.util.Try {
+          val w = Files.walk(p)
+          try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          finally w.close()
+        }
       }
     }
   }

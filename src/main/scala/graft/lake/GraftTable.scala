@@ -2685,10 +2685,22 @@ object GraftTable {
     *                            executors for distributed pruning
     * All three are derived state: losing a put-if-absent race to an
     * identical writer is fine. */
-  private case class CkptStats(min: Option[String], max: Option[String], nulls: Long)
-  private case class CkptEntry(path: String, sizeBytes: Long, records: Long,
-      stats: Map[String, CkptStats], partition: Map[String, String], content: Int,
-      eqcols: Seq[String])
+  /** ckptfiles-N.parquet rows as explicit Row + schema: a case-class
+    * Dataset here trips Janino on the nested-in-object encoder (Spark
+    * logs a CompileException and falls back to interpreted encoding on
+    * EVERY checkpoint — at millions of files that fallback is the slow
+    * path exactly where speed matters). */
+  private val ckptFilesSchema = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("sizeBytes", LongType, nullable = false),
+    StructField("records", LongType, nullable = false),
+    StructField("stats", MapType(StringType, StructType(Seq(
+      StructField("min", StringType),
+      StructField("max", StringType),
+      StructField("nulls", LongType, nullable = false))))),
+    StructField("partition", MapType(StringType, StringType)),
+    StructField("content", IntegerType, nullable = false),
+    StructField("eqcols", ArrayType(StringType))))
 
   private def writeCheckpointArtifacts(root: String, snap: Snapshot): Unit = {
     val schemaJ = snap.schemaJson.orElse(
@@ -2702,15 +2714,15 @@ object GraftTable {
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach { spark =>
       val target = logDir(root).resolve(s"ckptfiles-${snap.snapshotId}.parquet")
       if (!Files.exists(target)) {
-        import spark.implicits._
-        val rows = snap.files.map(f => CkptEntry(f.path, f.sizeBytes, f.records,
-          f.stats.map { case (n, v) => n -> CkptStats(v.min, v.max, v.nulls) },
+        val rows = snap.files.map(f => Row(f.path, f.sizeBytes, f.records,
+          f.stats.map { case (n, v) => n -> Row(v.min.orNull, v.max.orNull, v.nulls) },
           f.partitionValues, f.content.getOrElse(0), f.eqCols.getOrElse(Seq.empty)))
         val tmp = Paths.get(root, s".ckpt-stage-${UUID.randomUUID()}")
         // keep the list sharded ~100k entries per part file — at
         // millions of files no single task writes the whole manifest
-        spark.createDataset(rows)
-          .repartition(math.max(1, rows.size / 100000))
+        val parts = math.max(1, rows.size / 100000)
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.toSeq, parts), ckptFilesSchema)
           .write.parquet(tmp.toString)
         try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
         catch { case _: java.nio.file.FileAlreadyExistsException |
