@@ -100,7 +100,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = Paths.get(warehouse, namespace: _*)
-    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    if (isInternalNs(namespace) || !Files.isDirectory(dir))
+      throw new NoSuchNamespaceException(namespace)
     val s = Files.list(dir)
     try s.iterator().asScala
       .filter(p => isTable(p.toString))
@@ -109,10 +110,20 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     finally s.close()
   }
 
+  /** Tables under dot-prefixed (internal) namespaces — in-flight CTAS
+    * stages, parked RTAS generations — must be invisible to every
+    * table entry point: listTables/listNamespaces hide them, and
+    * loading or creating through the `.staging` path would hand users
+    * a table the stale-stage sweep later deletes. */
+  private def requireExternal(ident: Identifier): Unit =
+    if (isInternalNs(ident.namespace)) throw new NoSuchTableException(ident)
+
   override def tableExists(ident: Identifier): Boolean =
-    isTable(rootOf(ident.namespace.toIndexedSeq, ident.name))
+    !isInternalNs(ident.namespace) &&
+      isTable(rootOf(ident.namespace.toIndexedSeq, ident.name))
 
   override def loadTable(ident: Identifier): Table = {
+    requireExternal(ident)
     val root = rootOf(ident.namespace.toIndexedSeq, ident.name)
     if (isTable(root)) new GraftSparkTable(fqn(ident), root, None)
     else if (ident.namespace.length >= 1 && metadataNames.contains(ident.name)) {
@@ -129,6 +140,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     * someone named '3' would be silently shadowed (or the query would
     * error) instead of resolving. */
   override def loadTable(ident: Identifier, version: String): Table = {
+    requireExternal(ident)
     val root = rootOf(ident.namespace.toIndexedSeq, ident.name)
     if (!isTable(root)) throw new NoSuchTableException(ident)
     val snapshotId = version.toLongOption
@@ -142,6 +154,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   /** SELECT ... TIMESTAMP AS OF — Spark hands micros since epoch. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    requireExternal(ident)
     val root = rootOf(ident.namespace.toIndexedSeq, ident.name)
     if (!isTable(root)) throw new NoSuchTableException(ident)
     val tsMs = timestampMicros / 1000L
@@ -171,7 +184,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val ns = ident.namespace.toIndexedSeq
-    if (!Files.isDirectory(Paths.get(warehouse, ns: _*)))
+    if (isInternalNs(ident.namespace) ||
+        !Files.isDirectory(Paths.get(warehouse, ns: _*)))
       throw new NoSuchNamespaceException(ident.namespace)
     val root = rootOf(ns, ident.name)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
@@ -206,7 +220,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties: util.Map[String, String],
       replace: Boolean, mustExist: Boolean): StagedTable = {
     val ns = ident.namespace.toIndexedSeq
-    if (!Files.isDirectory(Paths.get(warehouse, ns: _*)))
+    if (isInternalNs(ident.namespace) ||
+        !Files.isDirectory(Paths.get(warehouse, ns: _*)))
       throw new NoSuchNamespaceException(ident.namespace)
     val finalRoot = rootOf(ns, ident.name)
     if (!replace && isTable(finalRoot)) throw new TableAlreadyExistsException(ident)
@@ -246,6 +261,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    requireExternal(ident)
     val root = rootOf(ident.namespace.toIndexedSeq, ident.name)
     if (!isTable(root)) throw new NoSuchTableException(ident)
     val sets = changes.collect { case s: TableChange.SetProperty => s.property -> s.value }
@@ -291,7 +307,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = Paths.get(rootOf(ident.namespace.toIndexedSeq, ident.name))
-    if (!isTable(root.toString)) false
+    if (isInternalNs(ident.namespace) || !isTable(root.toString)) false
     else {
       val s = Files.walk(root)
       try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
@@ -301,6 +317,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    requireExternal(oldIdent)
+    if (isInternalNs(newIdent.namespace))
+      throw new NoSuchNamespaceException(newIdent.namespace)
     val from = Paths.get(rootOf(oldIdent.namespace.toIndexedSeq, oldIdent.name))
     val to = Paths.get(rootOf(newIdent.namespace.toIndexedSeq, newIdent.name))
     if (!isTable(from.toString)) throw new NoSuchTableException(oldIdent)
@@ -402,6 +421,13 @@ private[lake] class GraftStagedTable(fqName: String, stagingRoot: String,
       val parked = Paths.get(stagingRoot).getParent
         .resolve(s"old-${ident.name}-${java.util.UUID.randomUUID()}")
       Files.move(target, parked, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // rename PRESERVES the directory's mtime — an old table parked
+      // with its original timestamp would look days-stale to
+      // sweepStaleStaging and a crash here could lose it to the very
+      // next catalog init; stamp it NOW so a crash-parked generation
+      // stays recoverable for the full sweep horizon
+      scala.util.Try(Files.setLastModifiedTime(parked,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())))
       aside = Some(parked)
     }
     try {
@@ -416,6 +442,10 @@ private[lake] class GraftStagedTable(fqName: String, stagingRoot: String,
       case e: java.nio.file.FileSystemException
           if Files.isDirectory(target.resolve("_graft_log")) =>
         rmTree(Paths.get(stagingRoot))
+        // if this was a REPLACE that lost to a concurrent CREATE, the
+        // parked old generation stays in .staging deliberately: the
+        // winner occupies the name, so restoring is impossible — the
+        // parked copy remains hand-recoverable for the sweep horizon
         throw new TableAlreadyExistsException(ident)
       case e: Throwable =>
         // put the old table back rather than leave the name missing

@@ -1790,10 +1790,7 @@ object GraftTable {
     val ck = listCkptFilesIds(root).filter(_ <= target).sorted.lastOption
     val metaOpt = ck.map(k =>
       parseCommit(Files.readString(logDir(root).resolve(s"ckptmeta-$k.json"))))
-    val ckCount = metaOpt.flatMap(_.properties.get("graft.ckpt.file-count")).map(_.toLong).getOrElse(0L)
-    val threshold = metaOpt
-      .flatMap(_.properties.get("graft.planning.distributed-threshold")).map(_.toLong)
-      .getOrElse(1000L)
+    val (ckCount, threshold) = metaOpt.map(scaleOf).getOrElse((0L, 1000L))
     def driverPlan: ScanPlan = {
       val (df, total, live) = scan(spark, root, preds, asOf)
       ScanPlan(df, total.toLong, live.toLong, distributed = false)
@@ -1962,7 +1959,7 @@ object GraftTable {
       commits.flatMap(_.schemaJson)).distinct
     if (histJson.isEmpty) return endSchema
     val histSchemas = histJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
-    val hists: Seq[(StructField, Seq[String])] = endSchema.fields.toSeq.map { f =>
+    val hists: Seq[(StructField, Seq[String], Boolean)] = endSchema.fields.toSeq.map { f =>
       val names = scala.collection.mutable.LinkedHashSet[String](f.name)
       prevNames(f).foreach(names += _)
       var grew = true
@@ -1975,27 +1972,39 @@ object GraftTable {
             }
         })
       }
-      f -> names.toSeq.filterNot(_.equalsIgnoreCase(f.name))
+      // a full rewrite may have retired graft.was-float at the range's
+      // end, but the range still reads pre-rewrite files with
+      // float-rendered stats — re-collect the stamp like prev-names
+      val wasF = f.metadata.contains(wasFloatKey) ||
+        histSchemas.exists(_.fields.exists(g =>
+          names.exists(_.equalsIgnoreCase(g.name)) && g.metadata.contains(wasFloatKey)))
+      (f, names.toSeq.filterNot(_.equalsIgnoreCase(f.name)), wasF)
     }
     def reuse(name: String): Nothing = throw new IllegalArgumentException(
       s"change range ($fromExclusive, $toInclusive] crosses reuse of physical " +
         s"column name '$name' (retired by a full rewrite, then re-added): the " +
         "same physical column means two different logical columns across the " +
         "range — narrow the range to one side of the re-add")
-    hists.foreach { case (f, hist) =>
+    hists.foreach { case (f, hist, _) =>
       endSchema.fields.foreach { other =>
         if (other.name != f.name && hist.exists(_.equalsIgnoreCase(other.name)))
           reuse(other.name)
       }
-      hists.foreach { case (g, gh) =>
+      hists.foreach { case (g, gh, _) =>
         if (g.name != f.name)
           hist.find(h => gh.exists(_.equalsIgnoreCase(h))).foreach(reuse)
       }
     }
-    StructType(hists.map { case (f, hist) =>
-      if (hist == prevNames(f)) f
-      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-        .withMetadata(f.metadata).putStringArray(prevNamesKey, hist.toArray).build())
+    StructType(hists.map { case (f, hist, wasF) =>
+      val needPrev = hist != prevNames(f)
+      val needFloat = wasF && !f.metadata.contains(wasFloatKey)
+      if (!needPrev && !needFloat) f
+      else {
+        val b = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+        if (needPrev) b.putStringArray(prevNamesKey, hist.toArray)
+        if (needFloat) b.putBoolean(wasFloatKey, true)
+        f.copy(metadata = b.build())
+      }
     })
   }
 
@@ -2148,8 +2157,7 @@ object GraftTable {
       spark.read.parquet(logDir(root).resolve(s"ckptfiles-$target.parquet").toString)
         .select(col("path").as("file_path"), col("sizeBytes").as("file_size_in_bytes"),
           col("records").as("record_count"), col("content"),
-          array_join(transform(array_sort(map_keys(col("partition"))),
-            k => concat(k, lit("="), element_at(col("partition"), k))), "/").as("partition"))
+          partStringCol(col("partition")).as("partition"))
     else
       state(root, asOf).files
         .map(f => (f.path, f.sizeBytes, f.records, f.content.getOrElse(0), partString(f)))
@@ -2265,17 +2273,18 @@ object GraftTable {
     array_join(transform(array_sort(map_keys(m)),
       k => concat(k, lit("="), element_at(m, k))), "/")
 
-  /** (ckpt id, file count, threshold) from a ckptmeta twin — the same
-    * driver-vs-distributed decision planScan makes. */
+  /** (file count, threshold) from a parsed ckptmeta — THE
+    * driver-vs-distributed decision, shared by planScan and the
+    * metadata views so the two planners can never split. */
+  private def scaleOf(meta: Commit): (Long, Long) =
+    (meta.properties.get("graft.ckpt.file-count").map(_.toLong).getOrElse(0L),
+      meta.properties.get("graft.planning.distributed-threshold")
+        .map(_.toLong).getOrElse(1000L))
+
   private def ckptScale(root: String, k: Long): (Long, Long) = {
     val metaPath = logDir(root).resolve(s"ckptmeta-$k.json")
     if (!Files.exists(metaPath)) (0L, Long.MaxValue)
-    else {
-      val meta = parseCommit(Files.readString(metaPath))
-      (meta.properties.get("graft.ckpt.file-count").map(_.toLong).getOrElse(0L),
-        meta.properties.get("graft.planning.distributed-threshold")
-          .map(_.toLong).getOrElse(1000L))
-    }
+    else scaleOf(parseCommit(Files.readString(metaPath)))
   }
 
   /** `.entries` metadata view (the Iceberg manifest-entries sibling):
@@ -2447,14 +2456,19 @@ object GraftTable {
     * the rewrite re-collect the names (mergeRangePrevNames). */
   private def retiredNamesMeta(schema: StructType,
       props: Map[String, String]): (Option[String], Map[String, String]) = {
-    val hasPrev = schema.fields.exists(f => prevNames(f).nonEmpty)
+    // graft.was-float retires on the same condition: once no surviving
+    // file carries float-rendered stats, the conservative two-way
+    // bounds are pure pruning loss — reclaim exact pruning
+    def stale(f: StructField): Boolean =
+      prevNames(f).nonEmpty || f.metadata.contains(wasFloatKey)
+    val hasPrev = schema.fields.exists(stale)
     val hasTombs = droppedCols(props).nonEmpty
     val cleanedJson =
       if (!hasPrev) None
       else Some(StructType(schema.fields.map { f =>
-        if (prevNames(f).isEmpty) f
+        if (!stale(f)) f
         else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata).remove(prevNamesKey).build())
+          .withMetadata(f.metadata).remove(prevNamesKey).remove(wasFloatKey).build())
       }).json)
     (cleanedJson, if (hasTombs) Map(droppedColsProp -> "") else Map.empty)
   }

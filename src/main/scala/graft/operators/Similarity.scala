@@ -65,8 +65,11 @@ object Similarity {
     // only map reads/writes + the stopped-session sweep hold the lock;
     // plan construction and .cache() (catalog + IO work) run OUTSIDE
     // it so concurrent sessions' first accesses don't serialize. Two
-    // racers may both build: first put wins, the loser unpersists —
-    // a rare duplicate computation, never a leak.
+    // racers may both build the SAME plan: the session CacheManager is
+    // keyed by canonicalized plan, so the second cache() call is a
+    // no-op reuse and cache occupancy stays one entry — the loser must
+    // NOT unpersist its copy (that would evict the shared entry under
+    // the winner mid-query); it just adopts the winner's reference.
     val hit = normsMemo.synchronized {
       val it = normsMemo.entrySet().iterator()
       while (it.hasNext) if (it.next().getKey._1.sparkContext.isStopped) it.remove()
@@ -78,13 +81,9 @@ object Similarity {
         sqrt(dot(embD(col("embedding")), embD(col("embedding")))).as("nrm"))
         .cache()
       normsMemo.synchronized {
-        Option(normsMemo.get((s, dir))) match {
-          case Some(winner) =>
-            scala.util.Try(d.unpersist(blocking = false))
-            winner
-          case None =>
-            normsMemo.put((s, dir), d)
-            d
+        Option(normsMemo.get((s, dir))).getOrElse {
+          normsMemo.put((s, dir), d)
+          d
         }
       }
     }

@@ -1042,6 +1042,20 @@ class LakeV2Spec extends SparkSpec {
       s"distributed planner must keep the pre-widen file (live=${plan.liveFiles})")
     assert(plan.df.filter(col("id") === 1L).count() == 1)
     assert(GraftTable.planScan(spark, root, Seq(Gt("price", "1.0"))).liveFiles == 1)
+    // a FULL rewrite leaves no float-rendered stats behind: the
+    // was-float stamp retires with prev-names and pruning is exact
+    // again — a bound like "0.3" no longer widens to (double) 0.3f
+    assert(GraftTable.tableSchema(root)("price").metadata
+      .contains("graft.was-float"))
+    GraftTable.rewriteDataFilesSorted(spark, root, Seq("id"))
+    assert(!GraftTable.tableSchema(root)("price").metadata
+      .contains("graft.was-float"), "full rewrite must retire the stamp")
+    GraftTable.append(spark, root,
+      Seq((4L, 0.3d)).toDF("id", "price").repartition(1))
+    val (_, totalR, liveR) = GraftTable.scan(spark, root, Seq(Gt("price", "0.3")))
+    assert(totalR == 2 && liveR == 1,
+      s"retired stamp must restore exact bounds ((double) 0.3f > 0.3 would " +
+        s"spuriously keep the file; live=$liveR total=$totalR)")
     // a float column driving the partition layout refuses to widen:
     // directory values are float-rendered text the tuple pruners
     // compare exactly

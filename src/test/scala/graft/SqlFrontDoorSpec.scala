@@ -256,6 +256,44 @@ class SqlFrontDoorSpec extends SparkSpec {
     assert(parked.isEmpty, s"restored swap must not leave a parked copy: $parked")
   }
 
+  test("the internal .staging namespace is invisible to every table entry point") {
+    import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+    import org.apache.spark.sql.connector.catalog.{Column => VColumn, Identifier, StagingTableCatalog, SupportsNamespaces, TableCatalog}
+    import org.apache.spark.sql.types.LongType
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[TableCatalog with SupportsNamespaces with StagingTableCatalog]
+    // an in-flight stage IS a GraftTable directory under .staging —
+    // none of the entry points may hand it out or write beside it
+    val st = cat.stageCreate(Identifier.of(Array("ctas"), "invis_t"),
+      Array(VColumn.create("id", LongType)),
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      new java.util.HashMap[String, String]())
+    try {
+      val staging = Paths.get(wh, ".staging")
+      val s = Files.list(staging)
+      val stagedName = try s.iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("invis_t-")).toSeq.head
+      finally s.close()
+      val inStaging = Identifier.of(Array(".staging"), stagedName)
+      assertThrows[NoSuchTableException] { cat.loadTable(inStaging) }
+      assert(!cat.tableExists(inStaging))
+      assertThrows[NoSuchNamespaceException] { cat.listTables(Array(".staging")) }
+      assertThrows[NoSuchNamespaceException] {
+        cat.createTable(Identifier.of(Array(".staging"), "user_t"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", LongType))),
+          Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+          new java.util.HashMap[String, String]())
+      }
+      assert(!cat.dropTable(inStaging), "dropTable must not see staged dirs")
+      assert(!cat.dropNamespace(Array(".staging"), true),
+        "DROP NAMESPACE must not reach the staging area")
+      assert(Files.isDirectory(staging.resolve(stagedName)),
+        "the in-flight stage must survive every probe above")
+    } finally st.abortStagedChanges()
+  }
+
   test("catalog init sweeps stale staging debris and spares fresh stages") {
     import java.nio.file.attribute.FileTime
     val staging = Paths.get(wh, ".staging")
