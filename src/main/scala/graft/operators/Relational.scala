@@ -38,10 +38,13 @@ object Relational {
   // ── §2.1/1 scan + projection pruning ────────────────────────────────
   /** At 100 TB the parquet scan must read exactly 3 columns; verified
     * via ReadSchema in RelationalSpec. */
+  /** Orders by ALL projected columns: the synthetic lineitem has no
+    * unique (orderkey, linenumber) pair, so the price tiebreak is what
+    * makes LIMIT deterministic across engines. */
   def q01(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
       .limit(100)
 
   // ── §2.1/2 filter with predicate pushdown ───────────────────────────
@@ -337,7 +340,8 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice
+        |LIMIT 100""".stripMargin,
 
     "q02_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
