@@ -394,15 +394,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
 /** A staged (not-yet-visible) GraftTable for atomic CTAS/RTAS: the
   * write lands in a hidden staging directory through the ordinary
-  * GraftSparkTable write path; commit is ONE atomic directory move
-  * into the final name (put-if-absent for CREATE; move-aside-then-move
-  * for REPLACE — the old table is parked under `.staging/old-<uuid>`
-  * BEFORE the swap and deleted only after it succeeds, so a crash at
-  * any point loses nothing: both generations sit recoverably on disk.
-  * The aside/move gap is the local-FS analog of an object store's
-  * two-pointer swap and never exposes a partial table, only a
-  * briefly-missing one — see README's consistency notes). Abort just
-  * removes the staging directory. */
+  * GraftSparkTable write path. Commit for CREATE is ONE atomic
+  * directory move into the final name (put-if-absent). Commit for
+  * REPLACE onto a live table is GraftTable.replaceFrom — one commit
+  * in the target's existing metadata lineage (renames only): no
+  * directory swap, no missing-table window, history and tags kept.
+  * The legacy move-aside-then-move swap survives only for the edge
+  * where REPLACE targets a directory that is not a graft table (the
+  * old generation parks under `.staging/old-<uuid>` before the swap,
+  * recoverable on crash). Abort just removes the staging directory. */
 private[lake] class GraftStagedTable(fqName: String, stagingRoot: String,
     finalRoot: String, ident: Identifier, replace: Boolean)
     extends GraftSparkTable(fqName, stagingRoot, None) with StagedTable {
@@ -416,6 +416,18 @@ private[lake] class GraftStagedTable(fqName: String, stagingRoot: String,
 
   override def commitStagedChanges(): Unit = {
     val target = Paths.get(finalRoot)
+    if (replace && Files.isDirectory(target.resolve("_graft_log"))) {
+      // REPLACE onto a live table: ONE commit in the existing metadata
+      // lineage — no directory swap, so there is no missing-table
+      // window at all, pre-replace snapshots stay time-travelable and
+      // tags survive (the reference's REPLACE semantics). The staging
+      // skeleton (its log + empty dirs) is retired after the commit;
+      // a lost put-if-absent race cleans the moved files and leaves
+      // the target exactly as the winner committed it.
+      try GraftTable.replaceFrom(finalRoot, stagingRoot)
+      finally rmTree(Paths.get(stagingRoot))
+      return
+    }
     var aside: Option[java.nio.file.Path] = None
     if (replace && Files.exists(target)) {
       val parked = Paths.get(stagingRoot).getParent

@@ -337,7 +337,11 @@ object GraftTable {
       val c = parseCommit(Files.readString(commitPath(root, id)))
       files = files -- c.removes
       files = files ++ c.adds.map(f => f.path -> f)
-      props = props ++ c.properties
+      // a REPLACE commit carries the table's COMPLETE new config —
+      // properties reset wholesale (the old partition spec, dropped-col
+      // tombstones etc. must not merge through); other ops layer
+      props = if (c.operation == "replace") c.properties
+              else props ++ c.properties
       schema = c.schemaJson.orElse(schema)
       op = c.operation; ts = c.timestampMs
     }
@@ -942,6 +946,42 @@ object GraftTable {
       f.isData && f.partition.exists(newTuples.contains))
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "overwrite_dynamic", adds, removes.map(_.path), Map.empty, None))
+    id
+  }
+
+  /** REPLACE TABLE ... AS SELECT as ONE commit in the EXISTING
+    * metadata lineage (the reference's REPLACE keeps the snapshot
+    * history; reference: SPARK_ICEBERG_GUIDE.md §4): the new
+    * generation's data files — written invisibly under `stagedRoot`
+    * by the DSv2 staged write — are renamed into this table's data
+    * dir under the new snapshot id, every live file of the old
+    * generation is logged as removed, and schema + properties
+    * (including the partition spec) are replaced wholesale in the
+    * same commit. Pre-replace snapshots stay time-travelable until
+    * expiry, tags ride through (and keep pinning their snapshots
+    * against expire), and a concurrent commit loses the put-if-absent
+    * race loudly. Renames only — zero data bytes rewritten, and no
+    * reader ever sees a missing or partial table. */
+  def replaceFrom(root: String, stagedRoot: String): Long = {
+    val snap = state(root)
+    val staged = state(stagedRoot)
+    require(staged.files.forall(_.isData),
+      s"staged replace generation may not carry delete files: $stagedRoot")
+    require(staged.schemaJson.nonEmpty, s"staged table has no schema: $stagedRoot")
+    val id = snap.snapshotId + 1
+    val adds = staged.files.sortBy(_.path).zipWithIndex.map { case (f, i) =>
+      val name = f"$id%010d-$i%05d-${UUID.randomUUID()}.parquet"
+      Files.move(Paths.get(stagedRoot, f.path), dataDir(root).resolve(name),
+        StandardCopyOption.ATOMIC_MOVE)
+      f.copy(path = s"data/$name")
+    }
+    // tags name snapshots, and a replace swaps the table's config,
+    // not its history — refs are the one property family that merges
+    // through so pinned pre-replace snapshots stay reachable
+    val refs = snap.properties.view.filterKeys(_.startsWith("graft.ref.")).toMap
+    commitOrCleanup(root, id, Commit(id, Some(snap.snapshotId),
+      System.currentTimeMillis(), "replace", adds, snap.files.map(_.path),
+      staged.properties ++ refs, staged.schemaJson))
     id
   }
 
@@ -1817,7 +1857,13 @@ object GraftTable {
     if (delta.size > 10000) return driverPlan
     var props = meta.properties - "graft.ckpt.file-count"
     var schemaJ = meta.schemaJson
-    tail.foreach { c => props = props ++ c.properties; schemaJ = c.schemaJson.orElse(schemaJ) }
+    tail.foreach { c =>
+      // same wholesale-reset rule as replayState: a REPLACE in the
+      // tail must not let the old generation's spec/tombstones merge
+      props = if (c.operation == "replace") c.properties
+              else props ++ c.properties
+      schemaJ = c.schemaJson.orElse(schemaJ)
+    }
     val schema = DataType.fromJson(schemaJ.get).asInstanceOf[StructType]
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     val spec = tableSpec(props)
@@ -1889,6 +1935,15 @@ object GraftTable {
   def changes(spark: SparkSession, root: String, fromExclusive: Long,
       toInclusive: Long): DataFrame = {
     val (endSchema, commits) = commitRange(root, fromExclusive, toInclusive)
+    // a REPLACE restarts the schema lineage: the old generation's rows
+    // cannot be represented under the end schema (columns need not
+    // correspond at all), so a range crossing one fails loudly rather
+    // than serve a silently-wrong feed — read either side of it
+    val replaces = commits.filter(_.operation == "replace")
+    require(replaces.isEmpty,
+      s"CDC across REPLACE TABLE is unsupported: snapshot(s) " +
+        s"${replaces.map(_.snapshotId).mkString(", ")} restart the table's " +
+        "schema lineage; read ranges on either side of the replace")
     val parts = commits.flatMap { c =>
       changesOf(spark, root, c, endSchema).map(
         _.withColumn("_commit_snapshot_id", lit(c.snapshotId))
@@ -2866,6 +2921,19 @@ object GraftTable {
   def rollbackToSnapshot(root: String, snapshotId: Long): Long = {
     val target = state(root, Some(snapshotId))
     val current = state(root)
+    // a rollback restores FILE SETS, not schema/properties — crossing
+    // a REPLACE would resurrect old-generation files under the new
+    // generation's schema, which need not correspond at all: refuse
+    // (recover a pre-replace generation by reading it with time travel
+    // and REPLACE-ing again)
+    val crossed = listCommitIds(root)
+      .filter(id => id > snapshotId && id <= current.snapshotId)
+      .filter(id => parseCommit(
+        Files.readString(commitPath(root, id))).operation == "replace")
+    require(crossed.isEmpty,
+      s"rollback across REPLACE TABLE is unsupported: snapshot(s) " +
+        s"${crossed.mkString(", ")} replaced the table's schema lineage; " +
+        "time-travel-read the old generation and REPLACE again instead")
     val targetPaths = target.files.map(_.path).toSet
     val currentPaths = current.files.map(_.path).toSet
     commit(root, current.snapshotId, "rollback",

@@ -256,9 +256,63 @@ object LakeOps {
         "metadata_log_rows", "live_records", "dead_files")
   }
 
+  // ── q63: REPLACE TABLE in-lineage lifecycle ─────────────────────────
+  /** REPLACE TABLE ... AS SELECT committed into the EXISTING metadata
+    * lineage (the reference's REPLACE keeps history): pins (a) the
+    * replace is ONE snapshot on the same log, (b) the pre-replace
+    * generation stays time-travelable by snapshot id and by tag, (c)
+    * the tag survives the replace, (d) the new schema + partition spec
+    * are active with the new files carrying the new spec's tuples, and
+    * (e) CDC refuses to cross the boundary but serves the post-replace
+    * side. Rows-only: the lifecycle is not one SQL statement. */
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wh = scratch("q63-wh")
+    Files.createDirectories(Paths.get(wh))
+    s.conf.set("spark.sql.catalog.graft_r", "graft.lake.GraftSparkCatalog")
+    s.conf.set("spark.sql.catalog.graft_r.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_r.lab")
+    s.sql("DROP TABLE IF EXISTS graft_r.lab.cust")
+    s.sql("CREATE TABLE graft_r.lab.cust (c_custkey BIGINT, c_name STRING)")  // 0
+    Tables.customer(s, dir).createOrReplaceTempView("q63_src")
+    s.sql("INSERT INTO graft_r.lab.cust SELECT c_custkey, c_name FROM q63_src") // 1
+    val root = Paths.get(wh, "lab", "cust").toString
+    val preRows = s.sql("SELECT COUNT(*) AS c FROM graft_r.lab.cust").head().getLong(0)
+    val preId = GraftTable.latestSnapshotId(root)
+    GraftTable.createTag(root, "pre_replace", preId)                           // 2
+    s.sql("""REPLACE TABLE graft_r.lab.cust
+      |PARTITIONED BY (identity(segment))
+      |AS SELECT c_custkey, c_acctbal, c_mktsegment AS segment
+      |FROM q63_src WHERE c_custkey % 2 = 0""".stripMargin)                    // 3
+    val snap = GraftTable.state(root)
+    val newRows = s.sql("SELECT COUNT(*) AS c FROM graft_r.lab.cust").head().getLong(0)
+    val ttById = s.sql(
+      s"SELECT COUNT(*) AS c FROM graft_r.lab.cust VERSION AS OF $preId").head().getLong(0)
+    val ttByTag = s.sql(
+      "SELECT COUNT(*) AS c FROM graft_r.lab.cust VERSION AS OF 'pre_replace'").head().getLong(0)
+    val replaceCommits = GraftTable.historyTable(s, root)
+      .filter(col("operation") === "replace").count()
+    require(snap.snapshotId == preId + 2, "tag + replace = two commits on one log")
+    require(GraftTable.tags(root).contains("pre_replace"), "tag must survive the replace")
+    require(snap.properties.get(GraftTable.specProp).contains("identity(segment)") &&
+      snap.files.forall(_.partitionValues.keySet == Set("segment")),
+      "the new generation must carry the new partition spec")
+    require(scala.util.Try(GraftTable.changes(s, root, 0L, snap.snapshotId)).isFailure,
+      "CDC crossing the replace must refuse")
+    s.sql("""INSERT INTO graft_r.lab.cust
+      |SELECT c_custkey, c_acctbal, c_mktsegment FROM q63_src
+      |WHERE c_custkey % 2 = 1""".stripMargin)                                 // 4
+    val cdcAfter = GraftTable.changes(s, root, snap.snapshotId, snap.snapshotId + 1)
+      .filter(col("_change_type") === "insert").count()
+    Seq((preRows, newRows, ttById, ttByTag, replaceCommits, cdcAfter))
+      .toDF("pre_rows", "post_rows", "tt_by_id_rows", "tt_by_tag_rows",
+        "replace_commits", "cdc_inserts_after")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_lake_changes" -> q57 _,
     "q62_lake_entries" -> q62 _,
+    "q63_lake_replace" -> q63 _,
     "q54_lake_sql" -> q54 _,
     "q23_lake_snapshots" -> q23 _,
     "q24_lake_files" -> q24 _,

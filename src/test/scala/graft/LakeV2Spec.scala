@@ -414,6 +414,36 @@ class LakeV2Spec extends SparkSpec {
     assert(!GraftTable.planScan(spark, small, Seq(Lt("n_nationkey", "5"))).distributed)
   }
 
+  test("a REPLACE in the checkpoint tail resets spec and schema in the distributed planner") {
+    val root = freshRoot("replan")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema,
+      Map("graft.planning.distributed-threshold" -> "4",
+        "graft.write-partitions" -> "4",
+        "graft.partition-columns" -> "n_regionkey"))
+    GraftTable.append(spark, root, n)
+    GraftTable.append(spark, root, n.withColumn("n_nationkey", col("n_nationkey") + 100))
+    GraftTable.rewriteManifests(root)   // checkpoint the OLD generation
+    // stage a new generation under a different schema AND partition
+    // spec, then commit it into the lineage — the planner's
+    // checkpoint+tail path must serve the post-replace config, not
+    // merge the old spec through
+    val stagedRoot = freshRoot("replan-staged")
+    val df = spark.range(1, 9).select(col("id"), (col("id") % 2).as("grp"))
+    GraftTable.create(spark, stagedRoot, df.schema,
+      Map(GraftTable.specProp -> "identity(grp)"))
+    GraftTable.append(spark, stagedRoot, df)
+    GraftTable.replaceFrom(root, stagedRoot)
+    val plan = GraftTable.planScan(spark, root, Seq(Eq("grp", "1")))
+    assert(plan.distributed, "replace in the tail must stay on the distributed path")
+    assert(plan.liveFiles < plan.totalFiles,
+      s"pruning must use the NEW spec (live=${plan.liveFiles} total=${plan.totalFiles})")
+    assert(plan.df.count() == 4)   // ids 1..8 with id % 2 = 1
+    val (ddf, dtotal, dlive) = GraftTable.scan(spark, root, Seq(Eq("grp", "1")))
+    assert(plan.totalFiles == dtotal.toLong && plan.liveFiles == dlive.toLong)
+    assert(plan.df.except(ddf).isEmpty && ddf.except(plan.df).isEmpty)
+  }
+
   test("MoR position deletes keep applying after the table directory moves") {
     val root = freshRoot("mor-rename")
     val n = Tables.nation(spark, sf)

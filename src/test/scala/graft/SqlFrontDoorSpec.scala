@@ -222,7 +222,7 @@ class SqlFrontDoorSpec extends SparkSpec {
     }
   }
 
-  test("a failed RTAS swap puts the old table back") {
+  test("a REPLACE whose stage vanished fails loudly and leaves the table untouched") {
     import org.apache.spark.sql.connector.catalog.{Column => VColumn, Identifier, StagingTableCatalog}
     import org.apache.spark.sql.types.LongType
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
@@ -235,8 +235,8 @@ class SqlFrontDoorSpec extends SparkSpec {
       Array.empty[org.apache.spark.sql.connector.expressions.Transform],
       new java.util.HashMap[String, String]())
     // simulate the stage vanishing under the committer (a crashed
-    // writer whose cleanup won the race): the swap's second move fails
-    // AFTER the old table was parked aside — it must come back
+    // writer whose cleanup won the race): the lineage commit finds no
+    // staged generation and fails BEFORE touching the target table
     val staging = Paths.get(wh, ".staging")
     val s = Files.list(staging)
     val stage = try s.iterator().asScala
@@ -248,12 +248,112 @@ class SqlFrontDoorSpec extends SparkSpec {
     intercept[Exception] { st.commitStagedChanges() }
     assert(spark.sql("SELECT id FROM graft.ctas.keepme").collect()
       .map(_.getLong(0)).toSeq == Seq(7L),
-      "the replaced table must be restored after a failed swap")
+      "the target table must be untouched after a failed replace")
     val s2 = Files.list(staging)
     val parked = try s2.iterator().asScala
       .filter(_.getFileName.toString.startsWith("old-keepme")).toSeq
     finally s2.close()
     assert(parked.isEmpty, s"restored swap must not leave a parked copy: $parked")
+  }
+
+  test("REPLACE TABLE commits into the existing lineage: history, time travel, tags") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
+    spark.sql("CREATE TABLE graft.ctas.gens (id BIGINT, v STRING)")           // 0
+    spark.sql("INSERT INTO graft.ctas.gens VALUES (1, 'a'), (2, 'b')")        // 1
+    spark.sql("CALL graft_system.create_tag(table => 'ctas.gens', tag => 'v1')") // 2
+    val r = root("ctas", "gens")
+    val preId = GraftTable.latestSnapshotId(r)
+    // a replace with a DIFFERENT schema and a fresh partition spec is
+    // ONE commit on the same log — not a new table
+    spark.sql("""REPLACE TABLE graft.ctas.gens
+      |PARTITIONED BY (identity(grp))
+      |AS SELECT id * 10 AS id, CAST(id AS DOUBLE) AS score, id % 2 AS grp
+      |FROM range(1, 5)""".stripMargin)                                        // 3
+    val st = GraftTable.state(r)
+    assert(st.snapshotId == preId + 1, "replace must be one commit on the existing log")
+    assert(st.properties(GraftTable.specProp) == "identity(grp)")
+    assert(st.files.forall(_.partitionValues.keySet == Set("grp")),
+      "the new generation's files carry the NEW partition spec's tuples")
+    assert(spark.sql("SELECT id FROM graft.ctas.gens ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(10L, 20L, 30L, 40L))
+    // the old generation stays time-travelable — by snapshot id and by tag
+    assert(spark.sql("SELECT v FROM graft.ctas.gens VERSION AS OF 1").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    assert(spark.sql("SELECT v FROM graft.ctas.gens VERSION AS OF 'v1'").count() == 2)
+    // .history records the replace; .refs still carries the tag
+    assert(spark.sql("SELECT operation FROM graft.ctas.gens.history").collect()
+      .map(_.getString(0)).contains("replace"))
+    assert(spark.sql("SELECT name FROM graft.ctas.gens.refs WHERE type = 'TAG'")
+      .collect().map(_.getString(0)).toSeq == Seq("v1"))
+    // writes continue on the same lineage
+    spark.sql("INSERT INTO graft.ctas.gens VALUES (50, 5.0, 0)")              // 4
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.ctas.gens").head().getLong(0) == 5)
+    // CDC across the replace boundary fails loudly; beside it, works
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.changes(spark, r, 0L, preId + 1)
+    }
+    assert(e.getMessage.contains("REPLACE"), s"wrong error: ${e.getMessage}")
+    val after = GraftTable.changes(spark, r, preId + 1, preId + 2)
+    assert(after.collect().map(_.getAs[String]("_change_type")).toSeq == Seq("insert"))
+    // rollback may not cross the boundary either: it restores file
+    // sets, not schema — old files under the new schema would be wrong
+    val rb = intercept[IllegalArgumentException] {
+      GraftTable.rollbackToSnapshot(r, preId)
+    }
+    assert(rb.getMessage.contains("REPLACE"), s"wrong error: ${rb.getMessage}")
+    // no staging debris and no parked generation: lineage commit swaps nothing
+    val staging = Paths.get(wh, ".staging")
+    if (Files.isDirectory(staging)) {
+      val s = Files.list(staging)
+      val left = try s.iterator().asScala
+        .filter(_.getFileName.toString.contains("gens")).toSeq finally s.close()
+      assert(left.isEmpty, s"lineage replace must leave no staging dirs: $left")
+    }
+  }
+
+  test("two staged REPLACEs commit in sequence; the second replaces the first") {
+    import org.apache.spark.sql.connector.catalog.{Column => VColumn, Identifier, StagingTableCatalog}
+    import org.apache.spark.sql.types.LongType
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
+    spark.sql("CREATE TABLE graft.ctas.twice (id BIGINT)")
+    spark.sql("INSERT INTO graft.ctas.twice VALUES (1)")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[StagingTableCatalog]
+    val ident = Identifier.of(Array("ctas"), "twice")
+    val cols = Array(VColumn.create("id", LongType))
+    val none = Array.empty[org.apache.spark.sql.connector.expressions.Transform]
+    // both stage BEFORE either commits — each commit re-reads the
+    // table state, so the second lands on top of the first (snapshot
+    // isolation: REPLACE replaces whatever is current at commit time)
+    val a = cat.stageReplace(ident, cols, none, new java.util.HashMap[String, String]())
+    val b = cat.stageReplace(ident, cols, none, new java.util.HashMap[String, String]())
+    a.commitStagedChanges()
+    b.commitStagedChanges()
+    val r = root("ctas", "twice")
+    val hist = GraftTable.historyTable(spark, r).collect()
+    assert(hist.count(_.getString(2) == "replace") == 2,
+      "both replaces must appear in the one lineage")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.ctas.twice").head().getLong(0) == 0)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.ctas.twice VERSION AS OF 1")
+      .head().getLong(0) == 1, "the pre-replace generation stays readable")
+  }
+
+  test("expiring past a replace lets remove_orphan_files reclaim the old generation") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
+    spark.sql("CREATE TABLE graft.ctas.reclaim (id BIGINT)")
+    spark.sql("INSERT INTO graft.ctas.reclaim SELECT id FROM range(100)")
+    val r = root("ctas", "reclaim")
+    val oldFiles = GraftTable.state(r).files.map(_.path)
+    assert(oldFiles.nonEmpty)
+    spark.sql("REPLACE TABLE graft.ctas.reclaim AS SELECT id, 'x' AS tag FROM range(5)")
+    // until expiry the old generation's bytes stay for time travel
+    assert(oldFiles.forall(p => Files.exists(Paths.get(r, p))))
+    spark.sql("CALL graft_system.expire_snapshots(table => 'ctas.reclaim', retain_last => 1)")
+    val horizon = System.currentTimeMillis() + 60000
+    spark.sql(s"CALL graft_system.remove_orphan_files(table => 'ctas.reclaim', older_than_ms => $horizon)")
+    assert(oldFiles.forall(p => !Files.exists(Paths.get(r, p))),
+      "expired pre-replace files must be reclaimable as orphans")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.ctas.reclaim").head().getLong(0) == 5)
   }
 
   test("the internal .staging namespace is invisible to every table entry point") {
