@@ -1907,6 +1907,12 @@ object GraftTable {
       toInclusive: Long): DataFrame = {
     val (schema, commits) = commitRange(root, fromExclusive, toInclusive)
     val bad = commits.filterNot(c => c.operation == "append" || maintenanceOps(c.operation))
+    // don't advertise changes() for a range it refuses too: a replace
+    // boundary is uncrossable by either API — say so directly
+    require(!bad.exists(_.operation == "replace"),
+      s"readIncremental cannot cross REPLACE TABLE (snapshot(s) " +
+        s"${bad.filter(_.operation == "replace").map(_.snapshotId).mkString(", ")}); " +
+        "neither can changes() — re-bootstrap consumers from a post-replace snapshot")
     require(bad.isEmpty,
       s"readIncremental covers append-only ranges; snapshot(s) " +
         s"${bad.map(c => s"${c.snapshotId}=${c.operation}").mkString(", ")} change rows — use changes()")
@@ -2151,7 +2157,13 @@ object GraftTable {
     * table would re-deliver rewritten files — run maintenance on a
     * downstream copy instead, and do not combine this stream with
     * `graft.auto-compact.min-files` (ordinary appends would then
-    * trigger exactly such a rewrite).
+    * trigger exactly such a rewrite). REPLACE TABLE is worse than
+    * re-delivery: the replace commits the new generation into the
+    * same `data/` directory, so a live stream ingests those files
+    * under the schema it pinned at start — different columns surface
+    * as silent nulls or type errors, not as a loud failure. STOP
+    * streams before a REPLACE and restart them against the new
+    * generation.
     *
     * Aborted-commit caveat: a writer that loses the commit race cleans
     * its staged files up (commitOrCleanup), but a writer that CRASHES

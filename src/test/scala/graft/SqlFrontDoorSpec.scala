@@ -256,6 +256,45 @@ class SqlFrontDoorSpec extends SparkSpec {
     assert(parked.isEmpty, s"restored swap must not leave a parked copy: $parked")
   }
 
+  test("REPLACE onto a non-graft directory parks it and restores it on failure") {
+    import org.apache.spark.sql.connector.catalog.{Column => VColumn, Identifier, StagingTableCatalog}
+    import org.apache.spark.sql.types.LongType
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
+    // a non-table directory occupies the name — the one case that
+    // still takes the legacy park-and-swap path instead of a lineage
+    // commit (there is no log to commit into)
+    val target = Paths.get(wh, "ctas", "plaindir")
+    Files.createDirectories(target)
+    Files.writeString(target.resolve("junk.txt"), "keep me")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[StagingTableCatalog]
+    val ident = Identifier.of(Array("ctas"), "plaindir")
+    val cols = Array(VColumn.create("id", LongType))
+    val none = Array.empty[org.apache.spark.sql.connector.expressions.Transform]
+    val props = new java.util.HashMap[String, String]()
+    // failure first: the stage vanishes under the committer AFTER the
+    // old directory was parked aside — it must come back intact
+    val st = cat.stageCreateOrReplace(ident, cols, none, props)
+    val s = Files.list(Paths.get(wh, ".staging"))
+    val stage = try s.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("plaindir-")).toSeq.head finally s.close()
+    val w = Files.walk(stage)
+    try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_)) finally w.close()
+    intercept[Exception] { st.commitStagedChanges() }
+    assert(Files.exists(target.resolve("junk.txt")) &&
+      Files.readString(target.resolve("junk.txt")) == "keep me",
+      "a failed swap must move the parked directory back")
+    // then success: the swap retires the old directory cleanly
+    val st2 = cat.stageCreateOrReplace(ident, cols, none, props)
+    st2.commitStagedChanges()
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.ctas.plaindir").head().getLong(0) == 0)
+    assert(!Files.exists(target.resolve("junk.txt")), "the swap must retire the old directory")
+    val s2 = Files.list(Paths.get(wh, ".staging"))
+    val parked = try s2.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("old-plaindir")).toSeq finally s2.close()
+    assert(parked.isEmpty, s"no parked copy may remain: $parked")
+  }
+
   test("REPLACE TABLE commits into the existing lineage: history, time travel, tags") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
     spark.sql("CREATE TABLE graft.ctas.gens (id BIGINT, v STRING)")           // 0
