@@ -444,6 +444,37 @@ class LakeV2Spec extends SparkSpec {
     assert(plan.df.except(ddf).isEmpty && ddf.except(plan.df).isEmpty)
   }
 
+  test("REPLACE retires live MoR delete files; post-replace MoR deletes start clean") {
+    import spark.implicits._
+    val root = freshRoot("replace-mor")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema,
+      Map("write.delete.mode" -> "merge-on-read"))
+    GraftTable.append(spark, root, n)
+    GraftTable.deleteWhereMoR(spark, root, col("n_regionkey") === 0)     // position
+    GraftTable.deleteEqualityMoR(spark, root, Seq(12L).toDF("n_nationkey")) // equality
+    val pre = GraftTable.state(root)
+    assert(pre.files.count(_.isDelete) == 2, "lifecycle must stage both delete kinds")
+    val preCount = GraftTable.read(spark, root).count()
+    // stage + commit a new generation: every old file — data AND
+    // delete — must leave the live set in the one replace commit
+    val stagedRoot = freshRoot("replace-mor-staged")
+    val df = spark.range(0, 10).select(col("id"), (col("id") * 2).as("v"))
+    GraftTable.create(spark, stagedRoot, df.schema,
+      Map("write.delete.mode" -> "merge-on-read"))
+    GraftTable.append(spark, stagedRoot, df)
+    GraftTable.replaceFrom(root, stagedRoot)
+    val post = GraftTable.state(root)
+    assert(post.files.forall(_.isData), "no old delete file may survive the replace")
+    assert(GraftTable.read(spark, root).count() == 10)
+    // old generation (with its deletes applied) still time-travels
+    assert(GraftTable.read(spark, root, Some(pre.snapshotId)).count() == preCount)
+    // the sequence rule holds for the new generation: a fresh eq-delete
+    // (snapshot > replace) applies to the replace's files
+    GraftTable.deleteEqualityMoR(spark, root, Seq(4L, 6L).toDF("id"))
+    assert(GraftTable.read(spark, root).count() == 8)
+  }
+
   test("MoR position deletes keep applying after the table directory moves") {
     val root = freshRoot("mor-rename")
     val n = Tables.nation(spark, sf)
