@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** The SQL front door as a real DataSource-v2 catalog — the reference's
@@ -61,18 +61,34 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     * nothing else ever references it, and remove_orphan_files only
     * sweeps inside table roots. Age-bound the sweep like
     * remove_orphan_files' now-3d default so a CONCURRENT catalog's
-    * in-flight stage (fresh mtime) is never collected. */
+    * in-flight stage is never collected. Staleness is the NEWEST
+    * mtime among the stage dir and its immediate children: writes
+    * into a stage touch `_graft_log`/`data`, not the stage dir
+    * itself, so judging by the top-level mtime alone would collect a
+    * stage that has been actively written for longer than the
+    * horizon. */
   private def sweepStaleStaging(
       olderThanMs: Long = 3L * 24 * 60 * 60 * 1000): Unit = {
     val staging = stagingDirOf
+    def newestMtime(p: java.nio.file.Path): Long = {
+      val own = Files.getLastModifiedTime(p).toMillis
+      if (!Files.isDirectory(p)) own
+      else {
+        val s = Files.list(p)
+        val kids = try s.iterator().asScala.map(c =>
+          scala.util.Try(Files.getLastModifiedTime(c).toMillis).getOrElse(0L))
+          .foldLeft(0L)(math.max)
+        finally s.close()
+        math.max(own, kids)
+      }
+    }
     // best-effort: a concurrent catalog committing/aborting a stage
     // mid-walk races this sweep, and hygiene must never fail init
     if (Files.isDirectory(staging)) scala.util.Try {
       val cutoff = System.currentTimeMillis() - olderThanMs
       val s = Files.list(staging)
       val stale = try s.iterator().asScala
-        .filter(p => scala.util.Try(
-          Files.getLastModifiedTime(p).toMillis < cutoff).getOrElse(false)).toSeq
+        .filter(p => scala.util.Try(newestMtime(p) < cutoff).getOrElse(false)).toSeq
       finally s.close()
       stale.foreach { p =>
         scala.util.Try {
@@ -706,14 +722,9 @@ private[graft] object GraftRelation {
   import GraftTable.{Eq, Ge, Gt, Le, Lt, Pred}
 
   /** parquet's binary min/max order — the order stats text is pruned
-    * under for strings (GraftTable.utf8Cmp's twin). */
-  private val utf8Ordering: Ordering[String] = (a: String, b: String) => {
-    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
-    val n = math.min(x.length, y.length)
-    var i = 0; var r = 0
-    while (i < n && r == 0) { r = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff); i += 1 }
-    if (r != 0) r else java.lang.Integer.compare(x.length, y.length)
-  }
+    * under for strings (one source of truth with the planners). */
+  private val utf8Ordering: Ordering[String] =
+    (a: String, b: String) => GraftTable.utf8Cmp(a, b)
 
   /** Source filter → stats-text predicates (the same rendering the
     * footer stats use). Non-literal / unsupported filters contribute
@@ -752,7 +763,12 @@ private[graft] object GraftRelation {
           // the list's [min, max] under the SAME comparator the
           // pruning uses (GraftTable.cmp's type dispatch)
           val (lo, hi) = types(a) match {
-            case IntegerType | LongType | TimestampType | TimestampNTZType =>
+            case IntegerType | LongType | ShortType | ByteType |
+                 TimestampType | TimestampNTZType =>
+              // decimal text is NOT order-consistent with the value
+              // ("17" > "5" as text): every integral width must take
+              // the numeric extremes, or the [lo, hi] row filter
+              // below inverts and silently drops matching rows
               (rs.minBy(_.toLong), rs.maxBy(_.toLong))
             case DoubleType | FloatType =>
               (rs.minBy(_.toDouble), rs.maxBy(_.toDouble))

@@ -1375,7 +1375,7 @@ object GraftTable {
   /** Unsigned UTF-8 byte comparison — the order parquet computes
     * binary min/max under (and the order Spark's UTF8String uses), so
     * pruning decisions agree with how the bounds were produced. */
-  private def utf8Cmp(a: String, b: String): Int = {
+  private[lake] def utf8Cmp(a: String, b: String): Int = {
     val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
     val n = math.min(x.length, y.length)
     var i = 0
@@ -1388,7 +1388,8 @@ object GraftTable {
   }
 
   private def cmp(dt: DataType, a: String, b: String): Int = dt match {
-    case IntegerType | LongType | TimestampType | TimestampNTZType =>
+    case IntegerType | LongType | ShortType | ByteType |
+         TimestampType | TimestampNTZType =>
       java.lang.Long.compare(a.toLong, b.toLong)
     case DoubleType | FloatType => java.lang.Double.compare(a.toDouble, b.toDouble)
     case StringType => utf8Cmp(a, b)
@@ -1702,7 +1703,10 @@ object GraftTable {
       p: Pred, aliases: StatAliases = StatAliases.empty): Column = {
     val dt = types(p.colName)
     def castv(c: Column): Column = dt match {
-      case IntegerType | LongType | TimestampType | TimestampNTZType => c.cast("long")
+      // every integral width: decimal TEXT is not order-consistent
+      // with the value ("17" > "5"), so compare numerically
+      case IntegerType | LongType | ShortType | ByteType |
+           TimestampType | TimestampNTZType => c.cast("long")
       case DoubleType | FloatType => c.cast("double")
       case _ => c   // strings: binary order; ISO dates: lexicographic
     }

@@ -37,10 +37,10 @@ object Relational {
 
   // ── §2.1/1 scan + projection pruning ────────────────────────────────
   /** At 100 TB the parquet scan must read exactly 3 columns; verified
-    * via ReadSchema in RelationalSpec. */
-  /** Orders by ALL projected columns: the synthetic lineitem has no
-    * unique (orderkey, linenumber) pair, so the price tiebreak is what
-    * makes LIMIT deterministic across engines. */
+    * via ReadSchema in RelationalSpec. Orders by ALL projected
+    * columns: the synthetic lineitem has no unique (orderkey,
+    * linenumber) pair, so the price tiebreak is what makes LIMIT
+    * deterministic across engines. */
   def q01(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))

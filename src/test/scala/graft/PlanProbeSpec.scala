@@ -56,6 +56,30 @@ class PlanProbeSpec extends SparkSpec {
       s"the IN range must prune key-disjoint files (live=$live total=$total)")
   }
 
+  test("IN-list range on SMALLINT/TINYINT picks numeric extremes, not text order") {
+    import org.apache.spark.sql.sources.In
+    import org.apache.spark.sql.types.{ByteType, ShortType}
+    import graft.lake.GraftRelation
+    import graft.lake.GraftTable.{Ge, Le}
+    // decimal TEXT order would give lo="17", hi="5" — an inverted
+    // range that the scan's row filter then enforces, silently
+    // dropping every matching row
+    val types = Map[String, org.apache.spark.sql.types.DataType](
+      "k" -> ShortType, "b" -> ByteType)
+    assert(GraftRelation.toPred(
+      In("k", Array(5.toShort, 17.toShort, 400.toShort)), types) ==
+      Seq(Ge("k", "5"), Le("k", "400")))
+    assert(GraftRelation.toPred(In("b", Array(100.toByte, 9.toByte)), types) ==
+      Seq(Ge("b", "9"), Le("b", "100")))
+    // end-to-end through SQL: all three rows must come back
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
+    spark.sql("DROP TABLE IF EXISTS graft.p.small")
+    spark.sql("CREATE TABLE graft.p.small (k SMALLINT, v DOUBLE)")
+    spark.sql("""INSERT INTO graft.p.small
+      |SELECT CAST(id AS SMALLINT), id * 1.0 FROM range(0, 1000)""".stripMargin)
+    assert(spark.sql("SELECT * FROM graft.p.small WHERE k IN (5, 17, 400)").count() == 3)
+  }
+
   test("graft tables report manifest-exact stats: small dims broadcast in joins") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
     spark.sql("DROP TABLE IF EXISTS graft.p.dim")

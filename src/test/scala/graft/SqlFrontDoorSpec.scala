@@ -442,15 +442,26 @@ class SqlFrontDoorSpec extends SparkSpec {
     Files.createDirectories(stale)
     Files.createDirectories(fresh)
     Files.writeString(stale.resolve("leftover.parquet"), "x")
-    Files.setLastModifiedTime(stale,
-      FileTime.fromMillis(System.currentTimeMillis() - 4L * 24 * 3600 * 1000))
+    val old = FileTime.fromMillis(System.currentTimeMillis() - 4L * 24 * 3600 * 1000)
+    Files.setLastModifiedTime(stale.resolve("leftover.parquet"), old)
+    Files.setLastModifiedTime(stale, old)
+    // a LONG-RUNNING stage: dir created days ago, but still being
+    // written (fresh child) — staleness judges the newest mtime, so
+    // it must survive
+    val active = staging.resolve("t-00000000-aaaa-aaaa-active")
+    Files.createDirectories(active.resolve("_graft_log"))
+    Files.writeString(active.resolve("_graft_log").resolve("commit-1.json"), "x")
+    Files.setLastModifiedTime(active, old)
     val cat = new graft.lake.GraftSparkCatalog()
     cat.initialize("graft_sweep_probe",
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Map.of("warehouse", wh)))
     assert(!Files.exists(stale), "a 4-day-old staging dir must be swept at init")
     assert(Files.exists(fresh), "an in-flight (fresh) stage must survive the sweep")
+    assert(Files.exists(active), "an actively-written old stage must survive the sweep")
     Files.delete(fresh)
+    Files.delete(active.resolve("_graft_log").resolve("commit-1.json"))
+    Files.delete(active.resolve("_graft_log")); Files.delete(active)
   }
 
   test("ALTER COLUMN TYPE widens through SQL; narrowing is refused") {
