@@ -777,6 +777,11 @@ private[graft] object GraftRelation {
           }
           Seq(Ge(a, lo), Le(a, hi))
         }
+      // Spark pushes IsNotNull alongside every comparison filter —
+      // null-count pruning turns that into file skips on sparse
+      // columns (all-null files drop; zero-null files drop IS NULL)
+      case IsNotNull(a) if types.contains(a) => Seq(GraftTable.NotNull(a))
+      case IsNull(a) if types.contains(a) => Seq(GraftTable.IsNull(a))
       case And(l, r) => toPred(l, types) ++ toPred(r, types)
       case _ => Seq.empty
     }

@@ -1309,6 +1309,13 @@ object GraftTable {
   case class Eq(colName: String, v: String) extends Pred
   case class Ge(colName: String, v: String) extends Pred
   case class Le(colName: String, v: String) extends Pred
+  /** Null-membership predicates prune on the per-file null COUNT
+    * (stats carry nulls alongside min/max): an all-null file fails
+    * IS NOT NULL, a zero-null file fails IS NULL. Spark pushes
+    * IsNotNull with every comparison filter, so at 100 TB this skips
+    * sparse columns' empty files for free. */
+  case class NotNull(colName: String) extends Pred
+  case class IsNull(colName: String) extends Pred
 
   /** Resolve a Column predicate against the table schema and return
     * its catalyst expression (public-API route: analyze a filter over
@@ -1329,6 +1336,7 @@ object GraftTable {
   private[graft] def extractPreds(e: org.apache.spark.sql.catalyst.expressions.Expression,
       types: Map[String, DataType]): Seq[Pred] = {
     import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.{IsNull => CIsNull}
     def renderLit(l: Literal, dt: DataType): Option[String] = (l.value, dt) match {
       case (null, _) => None
       case (v: Int, DateType) => Some(java.time.LocalDate.ofEpochDay(v.toLong).toString)
@@ -1368,6 +1376,10 @@ object GraftTable {
       case EqualTo(a, b) => cmp2(a, b, Eq.apply, Eq.apply)
       case GreaterThanOrEqual(a, b) => cmp2(a, b, Ge.apply, Le.apply)
       case LessThanOrEqual(a, b) => cmp2(a, b, Le.apply, Ge.apply)
+      // catalyst's IsNull collides with the Pred class of the same
+      // name — matched under a rename, constructed qualified
+      case IsNotNull(x) => attr(x).map(GraftTable.NotNull.apply).toSeq
+      case CIsNull(x) => attr(x).map(GraftTable.IsNull.apply).toSeq
       case _ => Seq.empty
     }
   }
@@ -1438,26 +1450,31 @@ object GraftTable {
         case None => true  // no stats → cannot prune
         case Some(st) =>
           val dt = types(p.colName)
-          if (aliases.everFloat.contains(p.colName)) {
-            def lo(s: String) = math.min(s.toDouble, s.toFloat.toDouble)
-            def hi(s: String) = math.max(s.toDouble, s.toFloat.toDouble)
-            (p, st.min, st.max) match {
-              case (Gt(_, v), _, Some(mx)) => hi(mx) > lo(v)
-              case (Lt(_, v), Some(mn), _) => lo(mn) < hi(v)
-              case (Ge(_, v), _, Some(mx)) => hi(mx) >= lo(v)
-              case (Le(_, v), Some(mn), _) => lo(mn) <= hi(v)
+          p match {
+            // null-membership: the null COUNT decides, min/max don't
+            case NotNull(_) => !(f.records > 0 && st.nulls >= f.records)
+            case IsNull(_) => st.nulls > 0
+            case _ if aliases.everFloat.contains(p.colName) =>
+              def lo(s: String) = math.min(s.toDouble, s.toFloat.toDouble)
+              def hi(s: String) = math.max(s.toDouble, s.toFloat.toDouble)
+              (p, st.min, st.max) match {
+                case (Gt(_, v), _, Some(mx)) => hi(mx) > lo(v)
+                case (Lt(_, v), Some(mn), _) => lo(mn) < hi(v)
+                case (Ge(_, v), _, Some(mx)) => hi(mx) >= lo(v)
+                case (Le(_, v), Some(mn), _) => lo(mn) <= hi(v)
+                case (Eq(_, v), Some(mn), Some(mx)) =>
+                  lo(mn) <= hi(v) && hi(mx) >= lo(v)
+                case _ => true
+              }
+            case _ => (p, st.min, st.max) match {
+              case (Gt(_, v), _, Some(mx)) => cmp(dt, mx, v) > 0
+              case (Lt(_, v), Some(mn), _) => cmp(dt, mn, v) < 0
+              case (Ge(_, v), _, Some(mx)) => cmp(dt, mx, v) >= 0
+              case (Le(_, v), Some(mn), _) => cmp(dt, mn, v) <= 0
               case (Eq(_, v), Some(mn), Some(mx)) =>
-                lo(mn) <= hi(v) && hi(mx) >= lo(v)
+                cmp(dt, mn, v) <= 0 && cmp(dt, mx, v) >= 0
               case _ => true
             }
-          } else (p, st.min, st.max) match {
-            case (Gt(_, v), _, Some(mx)) => cmp(dt, mx, v) > 0
-            case (Lt(_, v), Some(mn), _) => cmp(dt, mn, v) < 0
-            case (Ge(_, v), _, Some(mx)) => cmp(dt, mx, v) >= 0
-            case (Le(_, v), Some(mn), _) => cmp(dt, mn, v) <= 0
-            case (Eq(_, v), Some(mn), Some(mx)) =>
-              cmp(dt, mn, v) <= 0 && cmp(dt, mx, v) >= 0
-            case _ => true
           }
       }
     }
@@ -1482,17 +1499,26 @@ object GraftTable {
             // the file may hold rows with c = '' that match — don't
             // prune. For every other transform output ('' can't
             // occur) the sentinel is a genuine NULL: no comparison
-            // matches, prune.
-            t match {
-              case PIdentity(_) | PTruncate(_, _)
-                if types(p.colName) == StringType => true
-              case _ => false
+            // (and no IS NOT NULL) matches, prune; IS NULL matches.
+            p match {
+              case IsNull(_) => true
+              case _ => t match {
+                case PIdentity(_) | PTruncate(_, _)
+                  if types(p.colName) == StringType => true
+                case _ => false
+              }
             }
+          case Some(_) if p.isInstanceOf[IsNull] =>
+            // a non-sentinel tuple value means the source column is
+            // non-null for every row in the file: IS NULL is empty
+            false
+          case Some(_) if p.isInstanceOf[NotNull] => true
           case Some(v) =>
             val dt = types(p.colName)
             def raw(pr: Pred): String = pr match {
               case Gt(_, x) => x; case Lt(_, x) => x; case Eq(_, x) => x
               case Ge(_, x) => x; case Le(_, x) => x
+              case _: NotNull | _: IsNull => ""   // intercepted above
             }
             t match {
               case PIdentity(_) => p match {
@@ -1501,6 +1527,7 @@ object GraftTable {
                 case Lt(_, x) => cmp(dt, v, x) < 0
                 case Ge(_, x) => cmp(dt, v, x) >= 0
                 case Le(_, x) => cmp(dt, v, x) <= 0
+                case _: NotNull | _: IsNull => true   // intercepted above
               }
               case tb if isTimeBucket(tb) => transformLit(t, dt, raw(p)) match {
                 case None => true
@@ -1508,6 +1535,7 @@ object GraftTable {
                   case Eq(_, _) => v == d       // (lexicographic = chronological)
                   case Gt(_, _) | Ge(_, _) => v >= d   // conservative bucket-granularity bound
                   case Lt(_, _) | Le(_, _) => v <= d
+                  case _: NotNull | _: IsNull => true   // intercepted above
                 }
               }
               case _ => p match {               // bucket/truncate: equality only
@@ -1664,32 +1692,39 @@ object GraftTable {
       preds: Seq[Pred]): DataFrame =
     preds.foldLeft(df) { (d, p) =>
       val c = col(p.colName)
-      val raw = predValue(p)
-      // timestamp predicate values are epoch-micros (matching the
-      // footer-stats rendering); everything else casts from text
-      val v = types(p.colName) match {
-        case TimestampType => timestamp_micros(lit(raw.toLong))
-        // NTZ via a LocalDateTime literal — session-TZ-independent
-        // (an LTZ cast would shift by the session zone)
-        case TimestampNTZType =>
-          val m = raw.toLong
-          lit(java.time.LocalDateTime.ofEpochSecond(
-            Math.floorDiv(m, 1000000L), (Math.floorMod(m, 1000000L) * 1000L).toInt,
-            java.time.ZoneOffset.UTC))
-        case dt => lit(raw).cast(dt)
-      }
       p match {
-        case _: Gt => d.filter(c > v)
-        case _: Lt => d.filter(c < v)
-        case _: Eq => d.filter(c === v)
-        case _: Ge => d.filter(c >= v)
-        case _: Le => d.filter(c <= v)
+        case _: NotNull => d.filter(c.isNotNull)
+        case _: IsNull => d.filter(c.isNull)
+        case _ =>
+          val raw = predValue(p)
+          // timestamp predicate values are epoch-micros (matching the
+          // footer-stats rendering); everything else casts from text
+          val v = types(p.colName) match {
+            case TimestampType => timestamp_micros(lit(raw.toLong))
+            // NTZ via a LocalDateTime literal — session-TZ-independent
+            // (an LTZ cast would shift by the session zone)
+            case TimestampNTZType =>
+              val m = raw.toLong
+              lit(java.time.LocalDateTime.ofEpochSecond(
+                Math.floorDiv(m, 1000000L), (Math.floorMod(m, 1000000L) * 1000L).toInt,
+                java.time.ZoneOffset.UTC))
+            case dt => lit(raw).cast(dt)
+          }
+          p match {
+            case _: Gt => d.filter(c > v)
+            case _: Lt => d.filter(c < v)
+            case _: Eq => d.filter(c === v)
+            case _: Ge => d.filter(c >= v)
+            case _: Le => d.filter(c <= v)
+            case _: NotNull | _: IsNull => d   // handled above
+          }
       }
     }
 
   private def predValue(p: Pred): String = p match {
     case Gt(_, x) => x; case Lt(_, x) => x; case Eq(_, x) => x
     case Ge(_, x) => x; case Le(_, x) => x
+    case _: NotNull | _: IsNull => ""   // null preds carry no value
   }
 
   // ── distributed scan planning ───────────────────────────────────────
@@ -1737,6 +1772,10 @@ object GraftTable {
       case _: Ge => mx.isNull || mx >= vLo
       case _: Le => mn.isNull || mn <= vHi
       case _: Eq => (mn.isNull || mn <= vHi) && (mx.isNull || mx >= vLo)
+      // null-membership: the null COUNT decides (mayMatch's twin)
+      case _: NotNull =>
+        !(col("records") > lit(0L) && st.getField("nulls") >= col("records"))
+      case _: IsNull => st.getField("nulls") > lit(0L)
     }
     val statsCond = when(st.isNull, lit(true)).otherwise(statsOk)
     // partition tuples: exact compare — widenColumn refuses
@@ -1744,39 +1783,52 @@ object GraftTable {
     val v = castv(lit(raw))
     val partConds = spec.filter(_.col == p.colName).map { t =>
       val pv = col("partition").getItem(t.label)
-      val cond: Column = t match {
-        case PIdentity(_) =>
-          val pvv = castv(pv)
-          p match {
-            case _: Eq => pvv === v
-            case _: Gt => pvv > v
-            case _: Lt => pvv < v
-            case _: Ge => pvv >= v
-            case _: Le => pvv <= v
-          }
-        case tb if isTimeBucket(tb) => transformLit(t, dt, raw) match {
-          case None => lit(true)
-          case Some(d) => p match {
-            case _: Eq => pv === lit(d)
-            case _: Gt | _: Ge => pv >= lit(d)
-            case _: Lt | _: Le => pv <= lit(d)
-          }
-        }
-        case _ => p match {   // bucket/truncate: equality only
-          case _: Eq => transformLit(t, dt, raw).map(b => pv === lit(b)).getOrElse(lit(true))
-          case _ => lit(true)
-        }
+      // string-typed transform outputs render NULL and '' as the same
+      // sentinel — those files can never be pruned by null-membership
+      // or comparison preds (mayMatchPartition's ambiguity rule)
+      val stringAmbiguous = t match {
+        case PIdentity(_) | PTruncate(_, _) if dt == StringType => true
+        case _ => false
       }
-      // sentinel handling mirrors mayMatchPartition: for string-typed
-      // transform outputs the sentinel may be an empty string, not
-      // NULL — never prune those
-      val sentinelPrunes = t match {
-        case PIdentity(_) | PTruncate(_, _) if dt == StringType => false
-        case _ => true
+      p match {
+        case _: IsNull =>
+          // only the sentinel tuple may hold nulls; a missing label
+          // means the file predates the spec — keep
+          when(pv.isNull, lit(true)).otherwise(pv === lit(nullPart))
+        case _: NotNull =>
+          when(pv.isNull, lit(true))
+            .when(pv === lit(nullPart), lit(stringAmbiguous))
+            .otherwise(lit(true))
+        case _ =>
+          val cond: Column = t match {
+            case PIdentity(_) =>
+              val pvv = castv(pv)
+              p match {
+                case _: Eq => pvv === v
+                case _: Gt => pvv > v
+                case _: Lt => pvv < v
+                case _: Ge => pvv >= v
+                case _: Le => pvv <= v
+                case _: NotNull | _: IsNull => lit(true)   // handled above
+              }
+            case tb if isTimeBucket(tb) => transformLit(t, dt, raw) match {
+              case None => lit(true)
+              case Some(d) => p match {
+                case _: Eq => pv === lit(d)
+                case _: Gt | _: Ge => pv >= lit(d)
+                case _: Lt | _: Le => pv <= lit(d)
+                case _: NotNull | _: IsNull => lit(true)   // handled above
+              }
+            }
+            case _ => p match {   // bucket/truncate: equality only
+              case _: Eq => transformLit(t, dt, raw).map(b => pv === lit(b)).getOrElse(lit(true))
+              case _ => lit(true)
+            }
+          }
+          when(pv.isNull, lit(true))
+            .when(pv === lit(nullPart), lit(stringAmbiguous))
+            .otherwise(cond)
       }
-      when(pv.isNull, lit(true))
-        .when(pv === lit(nullPart), lit(!sentinelPrunes))
-        .otherwise(cond)
     }
     (statsCond +: partConds).reduce(_ && _)
   }

@@ -414,6 +414,36 @@ class LakeV2Spec extends SparkSpec {
     assert(!GraftTable.planScan(spark, small, Seq(Lt("n_nationkey", "5"))).distributed)
   }
 
+  test("null-count pruning agrees between the driver and distributed planners") {
+    import GraftTable.{IsNull => GIsNull, NotNull => GNotNull}
+    val root = freshRoot("nullprune")
+    val df = spark.range(0, 50).select(col("id"),
+      when(col("id") < 25, col("id").cast("string")).as("v"),
+      when(col("id") % 2 === 0, col("id") % 5).as("grp"))
+    GraftTable.create(spark, root, df.schema,
+      Map("graft.planning.distributed-threshold" -> "2",
+        GraftTable.specProp -> "identity(grp)"))
+    GraftTable.append(spark, root, df)
+    GraftTable.rewriteManifests(root)   // checkpoint
+    GraftTable.append(spark, root, df.withColumn("id", col("id") + 100)) // tail
+    for (pred <- Seq(GNotNull("grp"), GIsNull("grp"), GNotNull("v"), GIsNull("v"))) {
+      val plan = GraftTable.planScan(spark, root, Seq(pred))
+      assert(plan.distributed, s"$pred must stay on the distributed path")
+      val (ddf, dtotal, dlive) = GraftTable.scan(spark, root, Seq(pred))
+      assert(plan.totalFiles == dtotal.toLong && plan.liveFiles == dlive.toLong,
+        s"$pred: planner disagreement (dist=${plan.liveFiles} driver=$dlive)")
+      assert(plan.df.except(ddf).isEmpty && ddf.except(plan.df).isEmpty, s"$pred rows differ")
+    }
+    // the partition tuple makes null-membership on grp EXACT: only
+    // sentinel files serve IS NULL, only non-sentinel IS NOT NULL
+    val nn = GraftTable.planScan(spark, root, Seq(GNotNull("grp")))
+    val isn = GraftTable.planScan(spark, root, Seq(GIsNull("grp")))
+    assert(nn.liveFiles < nn.totalFiles && isn.liveFiles < isn.totalFiles,
+      s"identity-partition null pruning must skip files " +
+        s"(notNull=${nn.liveFiles}/${nn.totalFiles} isNull=${isn.liveFiles}/${isn.totalFiles})")
+    assert(nn.df.count() == 50 && isn.df.count() == 50)
+  }
+
   test("a REPLACE in the checkpoint tail resets spec and schema in the distributed planner") {
     val root = freshRoot("replan")
     val n = Tables.nation(spark, sf)

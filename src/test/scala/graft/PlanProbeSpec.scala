@@ -80,6 +80,35 @@ class PlanProbeSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft.p.small WHERE k IN (5, 17, 400)").count() == 3)
   }
 
+  test("IS NOT NULL / IS NULL prune files by their null counts") {
+    import org.apache.spark.sql.sources.{IsNotNull, IsNull}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import graft.lake.{GraftRelation, GraftTable}
+    val types = Map[String, org.apache.spark.sql.types.DataType](
+      "k" -> LongType, "s" -> StringType)
+    assert(GraftRelation.toPred(IsNotNull("s"), types) == Seq(GraftTable.NotNull("s")))
+    assert(GraftRelation.toPred(IsNull("s"), types) == Seq(GraftTable.IsNull("s")))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
+    spark.sql("DROP TABLE IF EXISTS graft.p.nn")
+    spark.sql("CREATE TABLE graft.p.nn (k BIGINT, s STRING)")
+    // three commits: all-null, no-null, and mixed s
+    spark.sql("INSERT INTO graft.p.nn SELECT id, CAST(NULL AS STRING) FROM range(0, 100)")
+    spark.sql("INSERT INTO graft.p.nn SELECT id, CAST(id AS STRING) FROM range(100, 200)")
+    spark.sql("""INSERT INTO graft.p.nn
+      |SELECT id, IF(id % 2 = 0, CAST(id AS STRING), NULL) FROM range(200, 300)""".stripMargin)
+    assert(spark.sql("SELECT * FROM graft.p.nn WHERE s IS NOT NULL").count() == 150)
+    assert(spark.sql("SELECT * FROM graft.p.nn WHERE s IS NULL").count() == 150)
+    val root = s"${SparkSpec.sqlWarehouse}/p/nn"
+    val (nnDf, nnTotal, nnLive) = GraftTable.scan(spark, root, Seq(GraftTable.NotNull("s")))
+    assert(nnLive < nnTotal,
+      s"IS NOT NULL must skip all-null files (live=$nnLive total=$nnTotal)")
+    assert(nnDf.count() == 150)
+    val (nDf, nTotal, nLive) = GraftTable.scan(spark, root, Seq(GraftTable.IsNull("s")))
+    assert(nLive < nTotal,
+      s"IS NULL must skip zero-null files (live=$nLive total=$nTotal)")
+    assert(nDf.count() == 150)
+  }
+
   test("graft tables report manifest-exact stats: small dims broadcast in joins") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
     spark.sql("DROP TABLE IF EXISTS graft.p.dim")
