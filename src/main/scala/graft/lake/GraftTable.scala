@@ -410,13 +410,23 @@ object GraftTable {
         try {
           val blocks = reader.getFooter.getBlocks.asScala.toSeq
           val records = blocks.map(_.getRowCount).sum
-          // merge row-group stats per top-level column
+          // merge row-group stats per top-level column. A chunk
+          // WITHOUT stats poisons the column: bounds from the other
+          // chunks don't cover its values (pruning on them would be
+          // unsound), and its null count is unknown — parquet-mr
+          // drops a chunk's statistics wholesale when a bound
+          // exceeds the max stats size, and renders an unset null
+          // count as -1, so "absent" must stay distinguishable from
+          // "zero" all the way into the manifest.
           val merged = scala.collection.mutable.Map.empty[String, (Option[String], Option[String], Long)]
+          val boundsPoisoned = scala.collection.mutable.Set.empty[String]
+          val nullsPoisoned = scala.collection.mutable.Set.empty[String]
           blocks.flatMap(_.getColumns.asScala).foreach { cc =>
             if (cc.getPath.size == 1) {
               val name = cc.getPath.toDotString
               val st = cc.getStatistics
-              if (st != null) {
+              if (st == null) { boundsPoisoned += name; nullsPoisoned += name }
+              else {
                 val prim = cc.getPrimitiveType
                 val logical = prim.getLogicalTypeAnnotation
                 def render(v: AnyRef): Option[String] = (prim.getPrimitiveTypeName, logical) match {
@@ -437,24 +447,35 @@ object GraftTable {
                     Some(v.toString)
                   case _ => None  // INT96 etc: no usable stats
                 }
+                val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
                 val (mn, mx) =
                   if (st.hasNonNullValue)
                     (render(st.genericGetMin().asInstanceOf[AnyRef]),
                      render(st.genericGetMax().asInstanceOf[AnyRef]))
                   else (None, None)
-                val nulls = math.max(0L, st.getNumNulls)
+                // a chunk with non-null values but NO bounds (size-
+                // truncated stats): bounds can't speak for it
+                if (!st.hasNonNullValue && nulls != cc.getValueCount)
+                  boundsPoisoned += name
+                if (nulls < 0) nullsPoisoned += name
                 val isBinary = prim.getPrimitiveTypeName == PrimitiveTypeName.BINARY
                 val prev = merged.get(name)
                 merged(name) = prev match {
-                  case None => (mn, mx, nulls)
+                  case None => (mn, mx, math.max(0L, nulls))
                   case Some((pmn, pmx, pn)) =>
                     (mergeBound(pmn, mn, takeMin = true, isBinary),
-                     mergeBound(pmx, mx, takeMin = false, isBinary), pn + nulls)
+                     mergeBound(pmx, mx, takeMin = false, isBinary),
+                     pn + math.max(0L, nulls))
                 }
               }
             }
           }
-          (p, records, merged.toMap.map { case (k, (mn, mx, n)) => k -> ColStats(mn, mx, n) })
+          (p, records, merged.toMap.map { case (k, (mn, mx, n)) =>
+            k -> ColStats(
+              if (boundsPoisoned(k)) None else mn,
+              if (boundsPoisoned(k)) None else mx,
+              if (nullsPoisoned(k)) -1L else n)
+          })
         } finally reader.close()
   }
 
@@ -1451,9 +1472,12 @@ object GraftTable {
         case Some(st) =>
           val dt = types(p.colName)
           p match {
-            // null-membership: the null COUNT decides, min/max don't
+            // null-membership: the null COUNT decides, min/max don't.
+            // -1 records an UNKNOWN count (stats-dropped chunk):
+            // never prune on it — only a known all-null file fails
+            // IS NOT NULL, only a known zero fails IS NULL
             case NotNull(_) => !(f.records > 0 && st.nulls >= f.records)
-            case IsNull(_) => st.nulls > 0
+            case IsNull(_) => st.nulls != 0
             case _ if aliases.everFloat.contains(p.colName) =>
               def lo(s: String) = math.min(s.toDouble, s.toFloat.toDouble)
               def hi(s: String) = math.max(s.toDouble, s.toFloat.toDouble)
@@ -1515,11 +1539,6 @@ object GraftTable {
           case Some(_) if p.isInstanceOf[NotNull] => true
           case Some(v) =>
             val dt = types(p.colName)
-            def raw(pr: Pred): String = pr match {
-              case Gt(_, x) => x; case Lt(_, x) => x; case Eq(_, x) => x
-              case Ge(_, x) => x; case Le(_, x) => x
-              case _: NotNull | _: IsNull => ""   // intercepted above
-            }
             t match {
               case PIdentity(_) => p match {
                 case Eq(_, x) => cmp(dt, v, x) == 0
@@ -1529,7 +1548,7 @@ object GraftTable {
                 case Le(_, x) => cmp(dt, v, x) <= 0
                 case _: NotNull | _: IsNull => true   // intercepted above
               }
-              case tb if isTimeBucket(tb) => transformLit(t, dt, raw(p)) match {
+              case tb if isTimeBucket(tb) => transformLit(t, dt, predValue(p)) match {
                 case None => true
                 case Some(d) => p match {       // v, d are same-width ISO-prefix text
                   case Eq(_, _) => v == d       // (lexicographic = chronological)
@@ -1745,7 +1764,9 @@ object GraftTable {
       case DoubleType | FloatType => c.cast("double")
       case _ => c   // strings: binary order; ISO dates: lexicographic
     }
-    val raw = predValue(p)
+    // lazily: null-membership preds carry no value, and no branch
+    // that handles them ever touches these literals
+    lazy val raw = predValue(p)
     // a file carries stats under exactly one of the column's physical
     // names (see statAliases) — coalesce resolves whichever it has
     val st = aliases.names(p.colName)
@@ -1764,23 +1785,24 @@ object GraftTable {
       else castv(c)
     val mn = loV(st.getField("min"))
     val mx = hiV(st.getField("max"))
-    val vLo = loV(lit(raw))
-    val vHi = hiV(lit(raw))
+    lazy val vLo = loV(lit(raw))
+    lazy val vHi = hiV(lit(raw))
     val statsOk: Column = p match {
       case _: Gt => mx.isNull || mx > vLo
       case _: Lt => mn.isNull || mn < vHi
       case _: Ge => mx.isNull || mx >= vLo
       case _: Le => mn.isNull || mn <= vHi
       case _: Eq => (mn.isNull || mn <= vHi) && (mx.isNull || mx >= vLo)
-      // null-membership: the null COUNT decides (mayMatch's twin)
+      // null-membership: the null COUNT decides (mayMatch's twin);
+      // -1 = unknown count, prunable by neither side
       case _: NotNull =>
         !(col("records") > lit(0L) && st.getField("nulls") >= col("records"))
-      case _: IsNull => st.getField("nulls") > lit(0L)
+      case _: IsNull => st.getField("nulls") =!= lit(0L)
     }
     val statsCond = when(st.isNull, lit(true)).otherwise(statsOk)
     // partition tuples: exact compare — widenColumn refuses
     // float→double on layout columns, so everFloat never applies here
-    val v = castv(lit(raw))
+    lazy val v = castv(lit(raw))
     val partConds = spec.filter(_.col == p.colName).map { t =>
       val pv = col("partition").getItem(t.label)
       // string-typed transform outputs render NULL and '' as the same

@@ -109,6 +109,37 @@ class PlanProbeSpec extends SparkSpec {
     assert(nDf.count() == 150)
   }
 
+  test("unknown null counts and dropped bounds never prune") {
+    import java.nio.file.{Files, Paths}
+    import graft.lake.GraftTable
+    // a >4 KB string makes parquet-mr drop/truncate the chunk's
+    // bounds; correctness must not depend on which the writer does
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
+    spark.sql("DROP TABLE IF EXISTS graft.p.bigs")
+    spark.sql("CREATE TABLE graft.p.bigs (k BIGINT, s STRING)")
+    spark.sql("""INSERT INTO graft.p.bigs
+      |SELECT /*+ REPARTITION(1) */ id, IF(id = 0, repeat('x', 5000), NULL)
+      |FROM range(2)""".stripMargin)
+    assert(spark.sql("SELECT * FROM graft.p.bigs WHERE s IS NULL").count() == 1)
+    assert(spark.sql("SELECT * FROM graft.p.bigs WHERE s IS NOT NULL").count() == 1)
+    // legacy/stat-dropped manifests record nulls = -1 (UNKNOWN, from
+    // parquet's unset sentinel): neither null-membership side nor a
+    // bounds compare may prune on it — rewrite the manifest to the
+    // poisoned form and re-scan
+    val root = s"${SparkSpec.sqlWarehouse}/p/bigs"
+    val commit = Paths.get(root, "_graft_log", "0000000001.json")
+    val doctored = Files.readString(commit)
+      .replaceAll("\"s\":\\{[^}]*\\}", "\"s\":{\"nulls\":-1}")
+    Files.writeString(commit, doctored)
+    for (pred <- Seq(GraftTable.IsNull("s"), GraftTable.NotNull("s"),
+        GraftTable.Gt("s", "zzz"))) {
+      val (df, total, live) = GraftTable.scan(spark, root, Seq(pred))
+      assert(live == total, s"$pred must not prune unknown stats (live=$live total=$total)")
+    }
+    assert(GraftTable.scan(spark, root, Seq(GraftTable.IsNull("s")))._1.count() == 1,
+      "the null row must survive an unknown null count")
+  }
+
   test("graft tables report manifest-exact stats: small dims broadcast in joins") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
     spark.sql("DROP TABLE IF EXISTS graft.p.dim")
