@@ -210,13 +210,20 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
     proc match {
       case "rewrite_data_files" =>
         val tfs = arg("target_file_size_bytes").map(_.toLong).getOrElse(-1L)
+        // where => '<predicate>' scopes the binpack to files the
+        // predicate may touch (compact one partition, not the table);
+        // sort/zorder rewrite all live rows by design, so a where
+        // there would silently mean something else — refuse it
+        val whereCond = arg("where").map(org.apache.spark.sql.functions.expr)
         val id = arg("strategy") match {
           case Some("sort") =>
+            require(whereCond.isEmpty, "where is binpack-only: sort rewrites all live rows")
             val cols = arg("sort_order").getOrElse(throw new IllegalArgumentException(
               "strategy => 'sort' needs sort_order => 'c1,c2,...'"))
               .split(",").map(_.trim).filter(_.nonEmpty).toSeq
             GraftTable.rewriteDataFilesSorted(spark, root, cols, tfs)
           case Some("zorder") =>
+            require(whereCond.isEmpty, "where is binpack-only: zorder rewrites all live rows")
             val cols = arg("sort_order", "zorder_by").getOrElse(
               throw new IllegalArgumentException(
                 "strategy => 'zorder' needs sort_order => 'c1,c2,...'"))
@@ -228,7 +235,8 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
           case _ =>
             GraftTable.rewriteDataFiles(spark, root, targetFileSizeBytes =
               arg("target_file_size_bytes", "arg1").map(_.toLong).getOrElse(-1L),
-              minInputFiles = arg("min_input_files", "arg2").map(_.toInt).getOrElse(2))
+              minInputFiles = arg("min_input_files", "arg2").map(_.toInt).getOrElse(2),
+              where = whereCond)
         }
         Seq(Row(s"snapshot_id=$id"))
       case "rewrite_manifests" =>

@@ -2624,7 +2624,8 @@ object GraftTable {
     * one distributed job; only file *metadata* transits the driver. */
   def rewriteDataFiles(spark: SparkSession, root: String,
       targetFileSizeBytes: Long = -1L,
-      minInputFiles: Int = 2): Long = {
+      minInputFiles: Int = 2,
+      where: Option[Column] = None): Long = {
     val snap = state(root)
     // default to the table's own write.target-file-size-bytes
     // (reference: SPARK_ICEBERG_GUIDE.md §8.3 options map)
@@ -2635,7 +2636,21 @@ object GraftTable {
     val schema = DataType.fromJson(snap.schemaJson.getOrElse(
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
     val deletes = snap.files.filter(_.isDelete)
-    val small = snap.files.filter(f => f.isData && f.sizeBytes < target)
+    val smallAll = snap.files.filter(f => f.isData && f.sizeBytes < target)
+    // rewrite_data_files(where => ...): compaction scoped to the
+    // files the predicate may touch — "compact this partition"
+    // without rewriting the table (the Iceberg procedure's `where`).
+    // FILE selection only, rows are never filtered; an untranslatable
+    // predicate keeps the full scope (conservative superset).
+    val small = where match {
+      case None => smallAll
+      case Some(cond) =>
+        val types = schema.fields.map(f => f.name -> f.dataType).toMap
+        val preds = extractPreds(conditionExpr(spark, schema, cond), types)
+        if (preds.isEmpty) smallAll
+        else prunedData(types, tableSpec(snap.properties), preds, smallAll,
+          statAliases(schema))
+    }
     if (small.size < minInputFiles) return snap.snapshotId
     // clustered tables: order candidate files by the partition
     // column's min stat UNDER THE COLUMN'S OWN COMPARATOR (a

@@ -256,6 +256,34 @@ class SqlFrontDoorSpec extends SparkSpec {
     assert(parked.isEmpty, s"restored swap must not leave a parked copy: $parked")
   }
 
+  test("rewrite_data_files(where => ...) compacts only the matching partition") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
+    spark.sql("DROP TABLE IF EXISTS graft.ctas.scoped")
+    spark.sql("""CREATE TABLE graft.ctas.scoped (id BIGINT, grp BIGINT)
+      |PARTITIONED BY (identity(grp))""".stripMargin)
+    // several small files per partition
+    for (i <- 0 until 3)
+      spark.sql(s"INSERT INTO graft.ctas.scoped SELECT id + ${i * 100}, id % 2 FROM range(50)")
+    val r = root("ctas", "scoped")
+    def filesOf(g: String) = GraftTable.state(r).files
+      .filter(f => f.isData && f.partitionValues.get("grp").contains(g)).map(_.path).toSet
+    val g0Before = filesOf("0"); val g1Before = filesOf("1")
+    assert(g0Before.size >= 3 && g1Before.size >= 3)
+    spark.sql("""CALL graft_system.rewrite_data_files(
+      |table => 'ctas.scoped', where => 'grp = 0', min_input_files => 2)""".stripMargin)
+    assert(filesOf("0").size < g0Before.size, "partition 0 must compact")
+    assert(filesOf("1") == g1Before, "partition 1's files must be untouched")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.ctas.scoped").head().getLong(0) == 150)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.ctas.scoped WHERE grp = 0")
+      .head().getLong(0) == 75)
+    // where + sort/zorder refuses: those rewrite all live rows
+    assertThrows[Exception] {
+      spark.sql("""CALL graft_system.rewrite_data_files(
+        |table => 'ctas.scoped', strategy => 'sort', sort_order => 'id',
+        |where => 'grp = 0')""".stripMargin)
+    }
+  }
+
   test("REPLACE onto a non-graft directory parks it and restores it on failure") {
     import org.apache.spark.sql.connector.catalog.{Column => VColumn, Identifier, StagingTableCatalog}
     import org.apache.spark.sql.types.LongType
