@@ -176,7 +176,7 @@ object GraftTable {
       // the pred's text form equals Spark's CAST(col AS STRING) only
       // for these types (timestamp preds carry epoch-micros text, but
       // the write path hashed the formatted cast) — else no prune
-      case IntegerType | LongType | StringType | DateType =>
+      case IntegerType | LongType | ShortType | ByteType | StringType | DateType =>
         val crc = new java.util.zip.CRC32()
         crc.update(v.getBytes("UTF-8"))
         Some((crc.getValue % n).toString)   // crc is 0..2^32-1, so % n ≥ 0
@@ -992,8 +992,17 @@ object GraftTable {
     val id = snap.snapshotId + 1
     val adds = staged.files.sortBy(_.path).zipWithIndex.map { case (f, i) =>
       val name = f"$id%010d-$i%05d-${UUID.randomUUID()}.parquet"
-      Files.move(Paths.get(stagedRoot, f.path), dataDir(root).resolve(name),
+      val dst = dataDir(root).resolve(name)
+      Files.move(Paths.get(stagedRoot, f.path), dst,
         StandardCopyOption.ATOMIC_MOVE)
+      // rename preserves mtime: a staged write older than the orphan
+      // horizon would sit in data/ as an unreferenced "old" file for
+      // the move→commit window, where a concurrent
+      // remove_orphan_files could collect it and the commit would
+      // then reference deleted paths — stamp NOW (the same defense
+      // the legacy swap path applies to parked generations)
+      scala.util.Try(Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())))
       f.copy(path = s"data/$name")
     }
     // tags name snapshots, and a replace swaps the table's config,
@@ -1475,7 +1484,13 @@ object GraftTable {
             // null-membership: the null COUNT decides, min/max don't.
             // -1 records an UNKNOWN count (stats-dropped chunk):
             // never prune on it — only a known all-null file fails
-            // IS NOT NULL, only a known zero fails IS NULL
+            // IS NOT NULL, only a known zero fails IS NULL. Caveat:
+            // manifests written before the -1 sentinel existed
+            // clamped unknown to 0 and can't be told apart from a
+            // genuine zero; tables in this repo's lifecycle are
+            // always freshly written, but a real migration would
+            // rewrite pre-sentinel manifests before trusting IS NULL
+            // pruning on them.
             case NotNull(_) => !(f.records > 0 && st.nulls >= f.records)
             case IsNull(_) => st.nulls != 0
             case _ if aliases.everFloat.contains(p.colName) =>

@@ -62,6 +62,16 @@ class LakeV2Spec extends SparkSpec {
     val (df, total, live) = GraftTable.scan(spark, root, Seq(Eq("o_custkey", key.toString)))
     assert(live < total, s"bucket pruning must skip files (live=$live total=$total)")
     assert(df.count() == o.limit(500).filter(col("o_custkey") === key).count())
+    // bucket pruning covers every integral width: SMALLINT hashes the
+    // same CAST-AS-STRING text the write path used
+    val rs = freshRoot("part-bucket-short")
+    import spark.implicits._
+    val sdf = (0 until 64).map(i => (i.toLong, (i % 40).toShort)).toDF("id", "k")
+    GraftTable.create(spark, rs, sdf.schema, Map(GraftTable.specProp -> "bucket(4,k)"))
+    GraftTable.append(spark, rs, sdf)
+    val (sdfOut, sTotal, sLive) = GraftTable.scan(spark, rs, Seq(Eq("k", "5")))
+    assert(sLive < sTotal, s"short bucket pruning must skip files (live=$sLive total=$sTotal)")
+    assert(sdfOut.count() == 2)   // k = 5 ⇐ i ∈ {5, 45}
   }
 
   test("months/years/hours transforms write tuples and range-prune scans") {
