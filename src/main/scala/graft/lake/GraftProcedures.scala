@@ -277,9 +277,14 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
       case "create_changes_view" =>
         // SQL door for the CDC feed: a CALL can only return a fixed
         // schema, so the feed (whose schema is the table's) lands in a
-        // temp view instead — SELECT it like any relation
-        val from = required("from_snapshot", "arg1").toLong
-        val to = arg("to_snapshot", "arg2").map(_.toLong)
+        // temp view instead — SELECT it like any relation. Range ends
+        // accept tag names alongside snapshot ids, same as VERSION AS
+        // OF ("changes since the v3 release" without id bookkeeping)
+        def snapOf(s: String): Long = scala.util.Try(s.toLong).getOrElse(
+          GraftTable.tags(root).getOrElse(s, throw new IllegalArgumentException(
+            s"'$s' is neither a snapshot id nor a tag on $root")))
+        val from = snapOf(required("from_snapshot", "arg1"))
+        val to = arg("to_snapshot", "arg2").map(snapOf)
           .getOrElse(GraftTable.latestSnapshotId(root))
         val view = arg("view", "arg3").getOrElse("graft_changes")
         GraftTable.changes(spark, root, from, to).createOrReplaceTempView(view)

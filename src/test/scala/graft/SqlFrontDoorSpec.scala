@@ -731,6 +731,17 @@ class SqlFrontDoorSpec extends SparkSpec {
       "SELECT _change_type, COUNT(*) AS c FROM cdc_feed GROUP BY 1 ORDER BY 1")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byType == Map("insert" -> 30L, "delete" -> 5L), s"got $byType")
+    // range ends accept tag names, same as VERSION AS OF
+    spark.sql("CALL graft_system.create_tag(table => 'rl.cdc', tag => 'base', snapshot_id => 1)")
+    spark.sql("CALL graft_system.create_changes_view(table => 'rl.cdc', " +
+      "from_snapshot => 'base', to_snapshot => 2, view => 'cdc_tagged')")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM cdc_tagged").head().getLong(0) == 30,
+      "tag-addressed range must equal its numeric twin")
+    val bad = intercept[Exception] {
+      spark.sql("CALL graft_system.create_changes_view(table => 'rl.cdc', " +
+        "from_snapshot => 'no_such_tag')")
+    }
+    assert(bad.getMessage.contains("neither a snapshot id nor a tag"))
   }
 
   test("CALL create_tag / drop_tag manage named refs through SQL") {
