@@ -1435,6 +1435,10 @@ object GraftTable {
       java.lang.Long.compare(a.toLong, b.toLong)
     case DoubleType | FloatType => java.lang.Double.compare(a.toDouble, b.toDouble)
     case StringType => utf8Cmp(a, b)
+    // decimal TEXT inverts numeric order ('125.00' < '9.00' as text) —
+    // compare as exact numerics; also unifies scales ('9' == '9.00')
+    case _: DecimalType =>
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
     case _ => a.compareTo(b)   // DateType: ISO text is chronological
   }
 
@@ -1777,6 +1781,11 @@ object GraftTable {
       case IntegerType | LongType | ShortType | ByteType |
            TimestampType | TimestampNTZType => c.cast("long")
       case DoubleType | FloatType => c.cast("double")
+      // DecimalType text inverts under string order too — cast back to
+      // the column's own type (tuple text was rendered FROM that type,
+      // so the cast is exact; an unrepresentable literal yields null,
+      // which the identity branch below keeps conservatively)
+      case d: DecimalType => c.cast(d)
       case _ => c   // strings: binary order; ISO dates: lexicographic
     }
     // lazily: null-membership preds carry no value, and no branch
@@ -1862,9 +1871,12 @@ object GraftTable {
               case _ => lit(true)
             }
           }
+          // coalesce: an undecidable compare (a cast in castv returned
+          // null — e.g. a literal outside the column's decimal range)
+          // keeps the file instead of null-propagating into a prune
           when(pv.isNull, lit(true))
             .when(pv === lit(nullPart), lit(stringAmbiguous))
-            .otherwise(cond)
+            .otherwise(coalesce(cond, lit(true)))
       }
     }
     (statsCond +: partConds).reduce(_ && _)

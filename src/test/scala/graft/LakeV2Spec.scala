@@ -120,6 +120,47 @@ class LakeV2Spec extends SparkSpec {
       o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")).count())
   }
 
+  test("decimal identity partitions prune numerically, not in text order") {
+    // '125.00' < '9.00' under STRING comparison — a text-ordered prune
+    // would silently drop the 125.00 partition from `price > 9` reads
+    // and leave its rows un-deleted on DML (round-7 ADVICE, high)
+    val root = freshRoot("part-decimal")
+    import spark.implicits._
+    val df = Seq((1L, "5.00"), (2L, "9.00"), (3L, "125.00"), (4L, "30.50"))
+      .toDF("id", "p").select(col("id"), col("p").cast("decimal(18,2)").as("price"))
+    GraftTable.create(spark, root, df.schema,
+      Map(GraftTable.specProp -> "identity(price)",
+        "graft.planning.distributed-threshold" -> "2"))
+    GraftTable.append(spark, root, df)
+    // driver planner: range preds across the text-order inversion
+    val (gt, total, live) = GraftTable.scan(spark, root, Seq(Gt("price", "9")))
+    assert(live < total, s"decimal pruning must still skip files (live=$live total=$total)")
+    assert(gt.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    val (le, _, _) = GraftTable.scan(spark, root, Seq(Le("price", "9.00")))
+    assert(le.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // the Column front door extracts the same preds ('9' vs '9.00' text)
+    val rw = GraftTable.readWhere(spark, root, col("price") > 9)
+    assert(rw.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    assert(GraftTable.readWhere(spark, root, col("price") === lit("30.50").cast("decimal(18,2)"))
+      .select("id").as[Long].collect().toSeq == Seq(4L))
+    // distributed planner (predCond) must agree with the driver exactly
+    GraftTable.rewriteManifests(root)
+    GraftTable.append(spark, root,
+      Seq((5L, "200.00")).toDF("id", "p")
+        .select(col("id"), col("p").cast("decimal(18,2)").as("price")))
+    val plan = GraftTable.planScan(spark, root, Seq(Gt("price", "9")))
+    assert(plan.distributed, "decimal prune must stay on the distributed path")
+    val (ddf, dtotal, dlive) = GraftTable.scan(spark, root, Seq(Gt("price", "9")))
+    assert(plan.totalFiles == dtotal.toLong && plan.liveFiles == dlive.toLong,
+      s"planner disagreement (dist=${plan.liveFiles} driver=$dlive)")
+    assert(plan.df.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L, 5L))
+    // DML: CoW delete must rewrite the 125.00/200.00 partitions, not
+    // string-prune them out of the rewrite set
+    GraftTable.deleteWhere(spark, root, col("price") > 100)
+    assert(GraftTable.read(spark, root).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L))
+  }
+
   // ── merge-on-read deletes ───────────────────────────────────────────
 
   test("MoR delete writes a content=1 file, reads apply it, compaction folds it in") {
