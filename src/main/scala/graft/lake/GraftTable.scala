@@ -1026,13 +1026,14 @@ object GraftTable {
       deleteWhereMoR(spark, root, condition, prunePreds)
     else overwriteWhere(spark, root, condition, None, prunePreds)
 
-  /** Merge-on-read DELETE: one position-delete file (content=1) listing
+  /** Merge-on-read DELETE: position-delete files (content=1) listing
     * (file_path, pos) of every matching row — the write is O(matches),
     * not O(touched-file bytes), which is the point of MoR at 100 TB:
     * a keyed delete against a petabyte partition writes kilobytes.
     * Reads anti-join the delete set (readFiles); compaction folds it
-    * in. One delete file per commit; a sharded delete-file write would
-    * slot in here unchanged if matches outgrew a single task. */
+    * in. A broad delete (many touched data files) shards the write on
+    * hash(file_path) — one delete file per shard, all committed
+    * together — so no single task ever funnels the whole match set. */
   def deleteWhereMoR(spark: SparkSession, root: String, condition: Column,
       prunePreds: Seq[Pred] = Nil): Long = {
     val snap = state(root)
@@ -1061,23 +1062,46 @@ object GraftTable {
       .filter(coalesce(condition, lit(false)))
       .select(col("_gf_path").as("file_path"), col("_gf_pos").as("pos"))
     val tmp = Paths.get(root, s".stage-${UUID.randomUUID()}")
-    matches.coalesce(1).write.parquet(tmp.toString)
-    val part = listDir(tmp).find(_.getFileName.toString.endsWith(".parquet"))
-    val adds = part.toSeq.flatMap { src =>
-      val (_, records, _) = readFooter(src.toString, spark.sessionState.newHadoopConf())
-      if (records == 0L) { Files.deleteIfExists(src); None }
-      else {
-        Files.createDirectories(deleteDir(root))
-        val name = f"$id%010d-delete-${UUID.randomUUID()}.parquet"
-        val dst = deleteDir(root).resolve(name)
-        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-        Some(FileEntry(s"deletes/$name", Files.size(dst), records, Map.empty, None, Some(1)))
-      }
+    // Shard count scales with the touched-file count — a free proxy
+    // for the match volume (each data file bounds its own positions),
+    // so no extra count job runs over the scan. Hashing on file_path
+    // keeps one data file's positions inside one delete file, and the
+    // narrow-delete case stays a single file.
+    val perShard = snap.properties.get("graft.delete.files-per-shard")
+      .map(_.toInt).getOrElse(64)
+    val shards = math.min(4096, math.max(1, touched.size / math.max(1, perShard)))
+    val staged = if (shards > 1) matches.repartition(shards, col("file_path"))
+                 else matches.coalesce(1)
+    staged.write.parquet(tmp.toString)
+    val adds = stageDeleteParts(spark, root, tmp) { (records, size, _) =>
+      val name = f"$id%010d-delete-${UUID.randomUUID()}.parquet"
+      (name, FileEntry(s"deletes/$name", size, records, Map.empty, None, Some(1)))
     }
-    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "delete", adds, Seq.empty, Map.empty, None))
     id
+  }
+
+  /** Move every non-empty staged parquet part into deletes/ under a
+    * caller-minted name/entry, then drop the staging dir. The size
+    * passed to `mk` is the part's on-disk size; parts are visited in
+    * name order so retries stage deterministically. */
+  private def stageDeleteParts(spark: SparkSession, root: String, tmp: Path)(
+      mk: (Long, Long, Map[String, ColStats]) => (String, FileEntry)): Seq[FileEntry] = {
+    val adds = listDir(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.getFileName.toString)
+      .flatMap { src =>
+        val (_, records, st) = readFooter(src.toString, spark.sessionState.newHadoopConf())
+        if (records == 0L) { Files.deleteIfExists(src); None }
+        else {
+          Files.createDirectories(deleteDir(root))
+          val (name, entry) = mk(records, Files.size(src), st)
+          Files.move(src, deleteDir(root).resolve(name), StandardCopyOption.ATOMIC_MOVE)
+          Some(entry)
+        }
+      }
+    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    adds
   }
 
   /** rewrite_position_deletes (reference: SPARK_ICEBERG_GUIDE.md scope
@@ -1126,29 +1150,33 @@ object GraftTable {
       s"equality-delete columns must be table columns; got $cols")
     val id = snap.snapshotId + 1
     val tmp = Paths.get(root, s".stage-${UUID.randomUUID()}")
-    keys.distinct().coalesce(1).write.parquet(tmp.toString)
-    val part = listDir(tmp).find(_.getFileName.toString.endsWith(".parquet"))
-    val adds = part.toSeq.flatMap { src =>
-      val (_, records, st) = readFooter(src.toString, spark.sessionState.newHadoopConf())
-      if (records == 0L) { Files.deleteIfExists(src); None }
-      else {
-        Files.createDirectories(deleteDir(root))
-        val name = f"$id%010d-eqdelete-${UUID.randomUUID()}.parquet"
-        val dst = deleteDir(root).resolve(name)
-        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-        // carry the key columns' min/max: CDC (deleteVictims) and
-        // rewrite_equality_deletes can then bound which data files a
-        // keyed delete can touch instead of scanning the table. Only
-        // statsTypes columns — the pruning comparator (cmp) has no
-        // order for e.g. DecimalType's unscaled-integer stats text,
-        // and a wrong order silently drops victims
-        val statCols = cols.filter(c => statsTypes.contains(
-          schema.fields(schema.fieldIndex(c)).dataType)).toSet
-        Some(FileEntry(s"deletes/$name", Files.size(dst), records,
-          st.view.filterKeys(statCols).toMap, None, Some(2), Some(cols)))
-      }
+    // The key set is usually tiny (that's the point of eq-deletes),
+    // but nothing bounds it: above `graft.delete.rows-per-shard`
+    // distinct keys the write shards on hash(key). The count runs off
+    // the persisted distinct set, so the dedup shuffle executes once.
+    val rowsPerShard = snap.properties.get("graft.delete.rows-per-shard")
+      .map(_.toLong).getOrElse(32L * 1024 * 1024)
+    val distinctKeys = keys.distinct().persist()
+    try {
+      val n = distinctKeys.count()
+      val shards = math.min(1024L, math.max(1L, (n + rowsPerShard - 1) / rowsPerShard)).toInt
+      val staged = if (shards > 1) distinctKeys.repartition(shards, cols.map(col): _*)
+                   else distinctKeys.coalesce(1)
+      staged.write.parquet(tmp.toString)
+    } finally distinctKeys.unpersist()
+    // carry the key columns' min/max per shard: CDC (deleteVictims)
+    // and rewrite_equality_deletes can then bound which data files a
+    // keyed delete can touch instead of scanning the table. Only
+    // statsTypes columns — the pruning comparator (cmp) has no
+    // order for e.g. DecimalType's unscaled-integer stats text,
+    // and a wrong order silently drops victims
+    val statCols = cols.filter(c => statsTypes.contains(
+      schema.fields(schema.fieldIndex(c)).dataType)).toSet
+    val adds = stageDeleteParts(spark, root, tmp) { (records, size, st) =>
+      val name = f"$id%010d-eqdelete-${UUID.randomUUID()}.parquet"
+      (name, FileEntry(s"deletes/$name", size, records,
+        st.view.filterKeys(statCols).toMap, None, Some(2), Some(cols)))
     }
-    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "delete", adds, Seq.empty, Map.empty, None))
     id

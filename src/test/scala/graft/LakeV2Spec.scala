@@ -163,6 +163,45 @@ class LakeV2Spec extends SparkSpec {
 
   // ── merge-on-read deletes ───────────────────────────────────────────
 
+  test("a broad MoR delete shards its position-delete write into multiple files") {
+    // round-7 verdict #1: matches.coalesce(1) funneled every
+    // (file_path, pos) row of a broad delete through one task
+    val root = freshRoot("mor-sharded")
+    val df = spark.range(0, 2000).select(col("id"), (col("id") % 10).as("grp"))
+    GraftTable.create(spark, root, df.schema,
+      Map("write.delete.mode" -> "merge-on-read",
+        "graft.delete.files-per-shard" -> "1",
+        "graft.write-partitions" -> "8"))
+    GraftTable.append(spark, root, df)
+    GraftTable.deleteWhere(spark, root, col("id") % 2 === 0)
+    val delFiles = GraftTable.filesTable(spark, root).filter(col("content") === 1)
+    assert(delFiles.count() > 1,
+      s"broad delete must shard the delete-file write (got ${delFiles.count()})")
+    val live = GraftTable.read(spark, root)
+    assert(live.count() == 1000 && live.filter(col("id") % 2 === 0).count() == 0)
+    // compaction folds every shard back in
+    GraftTable.rewritePositionDeletes(spark, root)
+    assert(GraftTable.filesTable(spark, root).filter(col("content") === 1).count() == 0)
+    assert(GraftTable.read(spark, root).count() == 1000)
+  }
+
+  test("equality-delete writes shard above the rows-per-shard threshold") {
+    val root = freshRoot("eq-sharded")
+    val df = spark.range(0, 1000).select(col("id"), (col("id") % 7).as("k"))
+    GraftTable.create(spark, root, df.schema,
+      Map("graft.delete.rows-per-shard" -> "100"))
+    GraftTable.append(spark, root, df)
+    GraftTable.deleteEqualityMoR(spark, root, spark.range(0, 500).select(col("id")))
+    val delFiles = GraftTable.filesTable(spark, root).filter(col("content") === 2)
+    assert(delFiles.count() > 1,
+      s"large key set must shard the eq-delete write (got ${delFiles.count()})")
+    val live = GraftTable.read(spark, root)
+    assert(live.count() == 500 && live.filter(col("id") < 500).count() == 0)
+    GraftTable.rewriteEqualityDeletes(spark, root)
+    assert(GraftTable.filesTable(spark, root).filter(col("content") === 2).count() == 0)
+    assert(GraftTable.read(spark, root).count() == 500)
+  }
+
   test("MoR delete writes a content=1 file, reads apply it, compaction folds it in") {
     val root = freshRoot("mor")
     val n = Tables.nation(spark, sf)
