@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** The SQL front door as a real DataSource-v2 catalog — the reference's
@@ -745,6 +745,10 @@ private[graft] object GraftRelation {
         Some((t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000).toString)
       case x @ (_: Int | _: Long | _: Double | _: Float | _: Short | _: Byte | _: String) =>
         Some(x.toString)
+      // decimal text prunes partition tuples only (cmp orders it via
+      // BigDecimal); footer stats never carry decimals (statsTypes)
+      case d: java.math.BigDecimal => Some(d.toString)
+      case d: scala.math.BigDecimal => Some(d.toString)
       case _ => None
     }
     def mk(attr: String, v: Any, ctor: (String, String) => Pred): Seq[Pred] =
@@ -772,6 +776,8 @@ private[graft] object GraftRelation {
               (rs.minBy(_.toLong), rs.maxBy(_.toLong))
             case DoubleType | FloatType =>
               (rs.minBy(_.toDouble), rs.maxBy(_.toDouble))
+            case _: DecimalType =>
+              (rs.minBy(scala.math.BigDecimal(_)), rs.maxBy(scala.math.BigDecimal(_)))
             case _ =>   // strings UTF-8; ISO dates: lexicographic
               (rs.min(utf8Ordering), rs.max(utf8Ordering))
           }

@@ -1734,6 +1734,27 @@ object GraftTable {
     df
   }
 
+  /** The driver planner's surviving data files under `preds` — the
+    * exact prune scan()/readWhere()/DML use. Package-visible so the
+    * property-based cross-check (PruningPropertySpec) can assert the
+    * pruned file set covers every matching row without a Spark job
+    * per generated case. */
+  private[graft] def liveDataFiles(root: String, preds: Seq[Pred]): Seq[FileEntry] = {
+    val snap = state(root)
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    prunedData(types, tableSpec(snap.properties), preds,
+      snap.files.filter(_.isData), statAliases(schema))
+  }
+
+  /** Test-only twin of the readWhere predicate extraction: analyze a
+    * Column against `schema` and extract the stats-text conjuncts. */
+  private[graft] def predsOf(spark: SparkSession, schema: StructType,
+      condition: Column): Seq[Pred] =
+    extractPreds(conditionExpr(spark, schema, condition),
+      schema.fields.map(f => f.name -> f.dataType).toMap)
+
   /** File-skipping scan: drop files whose [min,max] cannot satisfy the
     * predicates, then let Spark push the same predicates into the
     * surviving parquet footers. This is the metadata-level partition/
