@@ -6,6 +6,9 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Nondeterministic}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -74,6 +77,21 @@ object GraftTable {
   private def deleteDir(root: String): Path = Paths.get(root, "deletes")
   private def commitPath(root: String, id: Long): Path =
     logDir(root).resolve(f"$id%010d.json")
+
+  /** Replace-generation marker: a tiny denormalized copy of the
+    * `graft.generation` table property, readable by an executor in one
+    * small-file read (no log replay). Absent = generation 0. Both the
+    * stream-start pin and the per-batch guard read THIS file, so a
+    * lost marker degrades to "no guard" consistently rather than to a
+    * spurious mismatch. */
+  private def generationPath(root: String): Path = logDir(root).resolve("GENERATION")
+
+  /** The table's replace-generation counter (0 until the first
+    * REPLACE TABLE; replaceFrom bumps it). */
+  def currentGeneration(root: String): Long =
+    if (Files.exists(generationPath(root)))
+      scala.util.Try(Files.readString(generationPath(root)).trim.toLong).getOrElse(0L)
+    else 0L
 
   // ── partition spec ──────────────────────────────────────────────────
 
@@ -990,6 +1008,14 @@ object GraftTable {
       s"staged replace generation may not carry delete files: $stagedRoot")
     require(staged.schemaJson.nonEmpty, s"staged table has no schema: $stagedRoot")
     val id = snap.snapshotId + 1
+    // the generation marker bumps BEFORE any new-generation file
+    // becomes visible under data/: a live readStreamAppendOnly fails
+    // its next batch loudly instead of silently serving alien files
+    // under the schema it pinned at start. (A replace that then loses
+    // the commit race has still staged files into data/ for a window —
+    // killing the stream is the safe side of that race.)
+    val newGen = currentGeneration(root) + 1
+    Files.write(generationPath(root), newGen.toString.getBytes("UTF-8"))
     val adds = staged.files.sortBy(_.path).zipWithIndex.map { case (f, i) =>
       val name = f"$id%010d-$i%05d-${UUID.randomUUID()}.parquet"
       val dst = dataDir(root).resolve(name)
@@ -1011,7 +1037,8 @@ object GraftTable {
     val refs = snap.properties.view.filterKeys(_.startsWith("graft.ref.")).toMap
     commitOrCleanup(root, id, Commit(id, Some(snap.snapshotId),
       System.currentTimeMillis(), "replace", adds, snap.files.map(_.path),
-      staged.properties ++ refs, staged.schemaJson))
+      staged.properties ++ refs + ("graft.generation" -> newGen.toString),
+      staged.schemaJson))
     id
   }
 
@@ -2313,10 +2340,13 @@ object GraftTable {
     * `graft.auto-compact.min-files` (ordinary appends would then
     * trigger exactly such a rewrite). REPLACE TABLE is worse than
     * re-delivery: the replace commits the new generation into the
-    * same `data/` directory, so a live stream ingests those files
-    * under the schema it pinned at start — different columns surface
-    * as silent nulls or type errors, not as a loud failure. STOP
-    * streams before a REPLACE and restart them against the new
+    * same `data/` directory, and a live stream would ingest those
+    * files under the schema it pinned at start — different columns
+    * surfacing as silent nulls. The generation guard turns that into
+    * a LOUD failure: the stream pins the table's replace-generation at
+    * start, every micro-batch task re-reads the marker on
+    * initialization, and the query terminates with the generation
+    * error the moment a REPLACE commits — restart it against the new
     * generation.
     *
     * Aborted-commit caveat: a writer that loses the commit race cleans
@@ -2329,11 +2359,43 @@ object GraftTable {
   def readStreamAppendOnly(spark: SparkSession, root: String): DataFrame = {
     val schema = DataType.fromJson(state(root).schemaJson.getOrElse(
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val pinnedGen = currentGeneration(root)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_generation_ok", es => GenerationGuard(es(0), es(1)), "built-in")
     val raw = spark.readStream
       .schema(physReadSchema(schema))
       .option("pathGlobFilter", "*.parquet")
       .parquet(s"$root/data")
+      .filter(call_function("graft_generation_ok", lit(root), lit(pinnedGen)))
     if (hasRenames(schema)) logicalProject(raw, schema) else raw
+  }
+
+  /** The stream/replace boundary enforcer: a filter that is `true` for
+    * every row while the table's replace-generation equals the value
+    * pinned at stream start, and THROWS from task initialization once
+    * a REPLACE moves it. Marked nondeterministic so Catalyst neither
+    * constant-folds it away nor pushes it into the source; the check
+    * itself runs once per task (one marker-file read), so the per-row
+    * cost is returning a constant. A micro-batch plans its file list
+    * BEFORE its tasks initialize, so any batch that could contain
+    * new-generation files observes the already-bumped marker and dies
+    * before a single alien row reaches the sink. */
+  private[lake] case class GenerationGuard(left: Expression, right: Expression)
+      extends BinaryExpression with Nondeterministic with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = false
+    override protected def initializeInternal(partitionIndex: Int): Unit = {
+      val root = left.eval(null).toString
+      val expected = right.eval(null).asInstanceOf[Long]
+      val gen = currentGeneration(root)
+      if (gen != expected) throw new IllegalStateException(
+        s"graft table at $root moved to generation $gen while this stream pinned " +
+          s"generation $expected: REPLACE TABLE committed under a live stream. " +
+          "Stop streams before a REPLACE, then restart them against the new generation.")
+    }
+    override protected def evalInternal(input: InternalRow): Any = true
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
   }
 
   /** Pruned read from an arbitrary Column predicate: stats-comparable

@@ -218,6 +218,51 @@ class StreamingSpec extends SparkSpec {
       s"re-seen content after state eviction must re-emit (bounded state), got ${texts.toSeq}")
   }
 
+  test("a REPLACE under a live stream terminates it with the generation error") {
+    import spark.implicits._
+    import graft.lake.GraftTable
+    val base = Files.createTempDirectory("graft-genguard")
+    val root = base.resolve("t").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    GraftTable.create(spark, root, df.schema)
+    GraftTable.append(spark, root, df)
+    val q = GraftTable.readStreamAppendOnly(spark, root)
+      .writeStream.format("memory").queryName("genguard_stream")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("genguard_stream").count() == 2L)
+    // stage a NEW GENERATION under a different schema and commit it
+    // into the lineage — pre-guard, the live stream would silently
+    // serve these files null-padded under the pinned (id, v) schema
+    val stagedRoot = base.resolve("staged").toString
+    val staged = Seq((10L, 1.5), (20L, 2.5)).toDF("k", "w")
+    GraftTable.create(spark, stagedRoot, staged.schema)
+    GraftTable.append(spark, stagedRoot, staged)
+    GraftTable.replaceFrom(root, stagedRoot)
+    val err = intercept[Exception] { q.processAllAvailable() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(err).exists(c => Option(c.getMessage).exists(_.contains("generation"))),
+      s"stream must die with the generation error, got: $err")
+    assert(spark.table("genguard_stream").count() == 2L,
+      "no new-generation row may reach the sink")
+    q.stop()
+    // re-attach lifecycle: the old generation's files are removed from
+    // the log but still on disk (time travel), and a directory stream
+    // would re-serve them — expire + orphan-clean first, THEN a fresh
+    // stream reads exactly the new generation under its new schema
+    GraftTable.expireSnapshots(root, retainLast = 1)
+    GraftTable.removeOrphanFiles(root, System.currentTimeMillis() + 60000L)
+    val q2 = GraftTable.readStreamAppendOnly(spark, root)
+      .writeStream.format("memory").queryName("genguard_stream2")
+      .option("checkpointLocation", base.resolve("ckpt2").toString)
+      .start()
+    q2.processAllAvailable()
+    assert(spark.table("genguard_stream2").count() == 2L)
+    q2.stop()
+  }
+
   test("batch sessionization splits on >30min gaps with per-user ordinals") {
     val sess = Streams.q44(spark, sf)
     val firstUser = sess.limit(1).collect().head
