@@ -2032,10 +2032,6 @@ object GraftTable {
       c.removes.foreach(p => delta(p) = None)
       c.adds.foreach(e => delta(e.path) = Some(e))
     }
-    // a huge post-checkpoint rewrite would blow the isin literal list;
-    // that only happens when manifests haven't been compacted — fall
-    // back to the exact driver planner rather than build a giant plan
-    if (delta.size > 10000) return driverPlan
     var props = meta.properties - "graft.ckpt.file-count"
     var schemaJ = meta.schemaJson
     tail.foreach { c =>
@@ -2053,7 +2049,16 @@ object GraftTable {
     val touched = delta.keySet.toSeq
     val tailAdds = delta.values.flatten.toSeq
     val ckDf0 = spark.read.parquet(logDir(root).resolve(s"ckptfiles-$k.parquet").toString)
-    val ckDf = if (touched.isEmpty) ckDf0 else ckDf0.filter(!col("path").isin(touched: _*))
+    // exclude tail-touched paths via an anti-join, not an isin literal
+    // list: a huge post-checkpoint rewrite (manifests not yet
+    // compacted) stays a normal join instead of either a giant
+    // expression tree or an O(table) driver fallback
+    val ckDf =
+      if (touched.isEmpty) ckDf0
+      else {
+        import spark.implicits._
+        ckDf0.join(touched.toDF("_tpath"), col("path") === col("_tpath"), "left_anti")
+      }
     val aliases = statAliases(schema)
     val pruneCond = preds.map(predCond(types, spec, _, aliases))
       .foldLeft(col("content") === 0)(_ && _)
@@ -2681,9 +2686,6 @@ object GraftTable {
       c.removes.foreach(p => delta(p) = None)
       c.adds.foreach(e => delta(e.path) = Some(e))
     }
-    val touched = delta.keySet.toSeq
-    val liveAddPaths = delta.values.flatten.map(_.path).toSeq
-    if (touched.size > 10000) return driverPath   // planScan's isin guard
     // first-wins union: checkpoints in id order, then retained commits
     val ckDfs = parquets.zipWithIndex.map { case ((_, p), i) =>
       spark.read.parquet(p.toString).select(lit(i).as("_src"), col("path"),
@@ -2697,16 +2699,19 @@ object GraftTable {
     val union = (ckDfs :+ commitAdds).reduce(_ unionByName _)
     val byPath = Window.partitionBy(col("path"))
     val latestSrc = parquets.size - 1
-    val live =
-      when(if (liveAddPaths.isEmpty) lit(false)
-           else col("path").isin(liveAddPaths: _*), lit(true))
-        .when(if (touched.isEmpty) lit(false)
-              else col("path").isin(touched: _*), lit(false))
-        .otherwise(max(when(col("_src") === lit(latestSrc), 1).otherwise(0))
-          .over(byPath) === 1)
+    // tail liveness joins in as a DataFrame (last action per path:
+    // add = live, remove = dead) — no isin literal list, so a long
+    // uncheckpointed tail never falls back to the O(table) driver
+    // path this view exists to avoid; untouched paths are live iff
+    // the LATEST checkpoint lists them
+    val tailDf = delta.toSeq.map { case (p, f) => (p, f.isDefined) }
+      .toDF("_tpath", "_tail_live")
     union
       .withColumn("_rn", row_number().over(byPath.orderBy(col("_src"))))
-      .withColumn("live", live)
+      .withColumn("_in_latest",
+        max(when(col("_src") === lit(latestSrc), 1).otherwise(0)).over(byPath) === 1)
+      .join(tailDf, col("path") === col("_tpath"), "left")
+      .withColumn("live", coalesce(col("_tail_live"), col("_in_latest")))
       .filter(col("_rn") === 1)
       .select(col("path").as("file_path"), col("content"),
         col("records").as("record_count"), col("sizeBytes").as("file_size_in_bytes"),

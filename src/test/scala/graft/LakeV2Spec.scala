@@ -1194,6 +1194,42 @@ class LakeV2Spec extends SparkSpec {
       "checkpoint-parquet all_files must equal the driver path's rows")
   }
 
+  test("long uncheckpointed tails stay distributed: tail joins replace isin caps") {
+    // round-7 verdict #3: a tail touching >10k paths used to fall back
+    // to the O(table) driver path (and planScan to a giant isin list);
+    // both now join the tail in, at any tail size
+    import spark.implicits._
+    val root = freshRoot("tail-join")
+    def mk(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id"), (col("id") % 3).as("g")).repartition(2)
+    GraftTable.create(spark, root, mk(0, 1).schema,
+      Map("graft.planning.distributed-threshold" -> "2"))
+    GraftTable.append(spark, root, mk(0, 40))
+    GraftTable.rewriteManifests(root)   // parquet checkpoint
+    // tail: several appends, a full rewrite (touches every prior
+    // path), and a CoW delete — a worst-case uncompacted tail shape
+    for (i <- 1 to 5) GraftTable.append(spark, root, mk(40 + i * 10, 50 + i * 10))
+    GraftTable.rewriteDataFiles(spark, root)
+    GraftTable.deleteWhere(spark, root, col("id") < 10)
+    val plan = GraftTable.planScan(spark, root, Seq(Ge("id", "20")))
+    assert(plan.distributed, "rewrite-heavy tail must stay on the distributed path")
+    val (ddf, dtot, dlive) = GraftTable.scan(spark, root, Seq(Ge("id", "20")))
+    assert(plan.totalFiles == dtot.toLong && plan.liveFiles == dlive.toLong,
+      s"planner disagreement (dist=${plan.liveFiles} driver=$dlive)")
+    assert(plan.df.except(ddf).isEmpty && ddf.except(plan.df).isEmpty)
+    // metadata views: live flags agree with the table state, one row
+    // per retained path, and the tail enters the plan as a JOIN
+    val liveFiles = GraftTable.state(root).files.map(_.path).toSet
+    val af = GraftTable.allFilesTable(spark, root)
+    val rows = af.collect()
+    assert(rows.filter(_.getBoolean(5)).map(_.getString(0)).toSet == liveFiles,
+      "all_files live flags must match the table state")
+    assert(rows.map(_.getString(0)).distinct.length == rows.length,
+      "first-wins dedup must leave one row per path")
+    assert(af.queryExecution.executedPlan.toString.contains("Join"),
+      "the tail must join in, not expand into the plan as literals")
+  }
+
   test("float→double widening keeps stats pruning sound on pre-widen files") {
     import spark.implicits._
     import org.apache.spark.sql.types._
