@@ -60,6 +60,23 @@ class NewQueryPlanSpec extends SparkSpec {
     assert(sizes.size <= 100, s"rounds must stay O(1) jobs each: ${sizes.size} jobs")
   }
 
+  test("q36's bucket-join plan shape is pinned: bounded exchanges, no cartesian") {
+    // round-7 bench showed q36 swinging 1.2s → 4.4s across passes with
+    // UNTOUCHED code; without a plan guard, co-tenant noise and a real
+    // planning regression are indistinguishable. Pin the shape the way
+    // q52 pins its stage count: the LSH path is bucket-equi-joins +
+    // one pair-distinct + two id-joins + one window + one sort — a
+    // bounded number of exchanges, never a cartesian/BNLJ (the
+    // all-pairs shape this operator exists to avoid).
+    val df = graft.operators.Similarity.q36(spark, sf)
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 8, s"q36 exchange count grew (6 at pin time): $exchanges\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q36 must stay bucketed equi-joins, not all-pairs:\n$p")
+    info(s"q36 exchanges: $exchanges")
+  }
+
   test("q58 scan reads only doc_id and text") {
     val df = graft.operators.TextOps.q58(spark, sf)
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
