@@ -61,9 +61,23 @@ object GraftTable {
     def snapshotOfName: Long =
       path.split('/').last.takeWhile(_.isDigit).toLong
   }
+  /** Stats-encoding version stamped into every commit/checkpoint this
+    * code writes. Version 2 = the −1 unknown-null-count sentinel;
+    * manifests WITHOUT the stamp predate it (their code clamped
+    * unknown counts to 0), so replay treats their nulls==0 as unknown
+    * — null-count pruning declines on those files instead of trusting
+    * a count that may never have been computed. */
+  private[lake] val statsVersionCurrent = 2
+
+  /** `statsVersion` defaults to None — NOT to the current version —
+    * because json4s fills missing JSON fields from constructor
+    * defaults: a Some default would stamp every legacy manifest as
+    * current at parse time. toJson stamps unconditionally instead
+    * (everything this code writes is by definition current). */
   case class Commit(snapshotId: Long, parentId: Option[Long], timestampMs: Long,
       operation: String, adds: Seq[FileEntry], removes: Seq[String],
-      properties: Map[String, String], schemaJson: Option[String])
+      properties: Map[String, String], schemaJson: Option[String],
+      statsVersion: Option[Int] = None)
 
   case class Snapshot(snapshotId: Long, timestampMs: Long, operation: String,
       files: Seq[FileEntry], properties: Map[String, String], schemaJson: Option[String])
@@ -269,7 +283,8 @@ object GraftTable {
         ("eqCols" -> f.eqCols))) ~
       ("removes" -> c.removes) ~
       ("properties" -> c.properties) ~
-      ("schemaJson" -> c.schemaJson)
+      ("schemaJson" -> c.schemaJson) ~
+      ("statsVersion" -> statsVersionCurrent)
     JsonMethods.compact(JsonMethods.render(json))
   }
 
@@ -338,6 +353,17 @@ object GraftTable {
     computed
   }
 
+  /** Adds of a pre-stamp manifest (statsVersion absent) have their
+    * nulls==0 counts demoted to the −1 unknown sentinel at replay:
+    * that code clamped unknown counts to 0, so a recorded zero cannot
+    * be told apart from a never-computed one. Positive counts were
+    * always real and stay trusted. Downstream pruning needs no
+    * version awareness — it only ever sees normalized entries. */
+  private def versionedAdds(c: Commit): Seq[FileEntry] =
+    if (c.statsVersion.nonEmpty) c.adds
+    else c.adds.map(f => f.copy(stats = f.stats.view.mapValues(s =>
+      if (s.nulls == 0L) s.copy(nulls = -1L) else s).toMap))
+
   private def replayState(root: String, ids: Seq[Long], target: Long): Snapshot = {
     val ckpt = listCheckpointIds(root).filter(_ <= target).sorted.lastOption
     var files = Map.empty[String, FileEntry]
@@ -347,14 +373,14 @@ object GraftTable {
     var ts = 0L
     ckpt.foreach { k =>
       val c = parseCommit(Files.readString(logDir(root).resolve(f"checkpoint-$k%d.json")))
-      files = c.adds.map(f => f.path -> f).toMap
+      files = versionedAdds(c).map(f => f.path -> f).toMap
       props = c.properties; schema = c.schemaJson; op = c.operation; ts = c.timestampMs
     }
     val from = ckpt.map(_ + 1).getOrElse(ids.min)
     ids.filter(id => id >= from && id <= target).foreach { id =>
       val c = parseCommit(Files.readString(commitPath(root, id)))
       files = files -- c.removes
-      files = files ++ c.adds.map(f => f.path -> f)
+      files = files ++ versionedAdds(c).map(f => f.path -> f)
       // a REPLACE commit carries the table's COMPLETE new config —
       // properties reset wholesale (the old partition spec, dropped-col
       // tombstones etc. must not merge through); other ops layer
@@ -2030,7 +2056,7 @@ object GraftTable {
     val delta = scala.collection.mutable.LinkedHashMap.empty[String, Option[FileEntry]]
     tail.foreach { c =>
       c.removes.foreach(p => delta(p) = None)
-      c.adds.foreach(e => delta(e.path) = Some(e))
+      versionedAdds(c).foreach(e => delta(e.path) = Some(e))
     }
     var props = meta.properties - "graft.ckpt.file-count"
     var schemaJ = meta.schemaJson
@@ -2048,7 +2074,16 @@ object GraftTable {
     // full FileEntry); untouched paths resolve from the checkpoint
     val touched = delta.keySet.toSeq
     val tailAdds = delta.values.flatten.toSeq
-    val ckDf0 = spark.read.parquet(logDir(root).resolve(s"ckptfiles-$k.parquet").toString)
+    val ckRaw = spark.read.parquet(logDir(root).resolve(s"ckptfiles-$k.parquet").toString)
+    // a pre-stamp parquet checkpoint carries the clamped-to-0 null
+    // counts: demote its zeros to the unknown sentinel, the executor
+    // twin of versionedAdds (the stamp lives on the ckptmeta commit)
+    val ckDf0 =
+      if (meta.statsVersion.nonEmpty) ckRaw
+      else ckRaw.withColumn("stats", expr(
+        "transform_values(stats, (k, v) -> named_struct(" +
+          "'min', v.min, 'max', v.max, " +
+          "'nulls', CASE WHEN v.nulls = 0 THEN CAST(-1 AS BIGINT) ELSE v.nulls END))"))
     // exclude tail-touched paths via an anti-join, not an isin literal
     // list: a huge post-checkpoint rewrite (manifests not yet
     // compacted) stays a normal join instead of either a giant

@@ -1194,6 +1194,57 @@ class LakeV2Spec extends SparkSpec {
       "checkpoint-parquet all_files must equal the driver path's rows")
   }
 
+  test("pre-stamp manifests never trust nulls==0: IS NULL declines to prune") {
+    // round-7 ADVICE (low): manifests written before the -1
+    // unknown-null sentinel clamped unknown counts to 0, and nothing
+    // distinguished them from genuine zeros. Commits now carry a
+    // statsVersion stamp; replay demotes an UNSTAMPED manifest's
+    // zeros to the unknown sentinel, so null-count pruning declines
+    // rather than trusting a count that may never have been computed.
+    import spark.implicits._
+    import GraftTable.{IsNull => GIsNull, NotNull => GNotNull}
+    val root = freshRoot("stats-version")
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(col("id"),
+      concat(lit("v"), col("id")).as("s"),                       // zero nulls
+      when(lit(false), lit("x")).as("t")).repartition(2)         // ALL nulls
+    GraftTable.create(spark, root, mk(0, 1).schema,
+      Map("graft.planning.distributed-threshold" -> "2"))
+    GraftTable.append(spark, root, mk(0, 40))
+    // stamped manifest: a genuine zero prunes IS NULL entirely
+    val (_, total, live) = GraftTable.scan(spark, root, Seq(GIsNull("s")))
+    assert(total == 2 && live == 0, s"stamped zeros must prune (live=$live total=$total)")
+    // strip the stamp from the commit — the legacy-manifest shape
+    val cp = java.nio.file.Paths.get(root, "_graft_log", "0000000001.json")
+    def strip(p: java.nio.file.Path): Unit = {
+      val s = Files.readString(p)
+      val out = s.replaceAll(",\\s*\"statsVersion\"\\s*:\\s*2", "")
+      assert(out != s, s"no stamp found to strip in $p")
+      Files.writeString(p, out)
+    }
+    strip(cp)
+    val (_, t2, l2) = GraftTable.scan(spark, root, Seq(GIsNull("s")))
+    assert(t2 == 2 && l2 == 2, s"legacy zeros must NOT prune IS NULL (live=$l2)")
+    // positive counts were always real: all-null files still fail
+    // IS NOT NULL even in a legacy manifest
+    val (_, _, l3) = GraftTable.scan(spark, root, Seq(GNotNull("t")))
+    assert(l3 == 0, s"legacy positive null counts stay trusted (live=$l3)")
+    // distributed twin: checkpoint while stamped (parquet bakes raw
+    // zeros), then strip the checkpoint+meta stamps — planScan must
+    // demote the parquet's zeros and agree with the driver replay
+    GraftTable.append(spark, root, mk(40, 60))   // restore stamped state is NOT needed; ckpt reflects live state
+    GraftTable.rewriteManifests(root)
+    strip(java.nio.file.Paths.get(root, "_graft_log", "checkpoint-2.json"))
+    strip(java.nio.file.Paths.get(root, "_graft_log", "ckptmeta-2.json"))
+    GraftTable.append(spark, root, mk(60, 70).repartition(1))   // stamped tail
+    val plan = GraftTable.planScan(spark, root, Seq(GIsNull("s")))
+    assert(plan.distributed, "must exercise the checkpoint-parquet path")
+    val (_, dt, dl) = GraftTable.scan(spark, root, Seq(GIsNull("s")))
+    assert(plan.totalFiles == dt.toLong && plan.liveFiles == dl.toLong,
+      s"planner disagreement (dist=${plan.liveFiles} driver=$dl)")
+    assert(dl == dt - 1,
+      s"ckpt files keep IS NULL (unknown), only the stamped tail file prunes (live=$dl total=$dt)")
+  }
+
   test("long uncheckpointed tails stay distributed: tail joins replace isin caps") {
     // round-7 verdict #3: a tail touching >10k paths used to fall back
     // to the O(table) driver path (and planScan to a giant isin list);
