@@ -271,4 +271,57 @@ class PruningPropertySpec extends SparkSpec {
     }
     assert(totalCases >= 2800, s"only $totalCases cases ran")
   }
+
+  test("distributed planner agrees with the driver planner on random predicates") {
+    // predCond is the executor-side TWIN of mayMatch/mayMatchPartition;
+    // twin drift is exactly where the round-7/8 type-dispatch bugs
+    // lived (decimal text order). Random predicates over tables whose
+    // checkpoint forces the distributed path must produce the same
+    // live-file count and the same rows as the driver planner.
+    val layouts = Seq(
+      ("identity(c0)", DecimalType(9, 2)),   // the inversion-prone type
+      ("identity(c0)", StringType),
+      ("identity(c0)", TimestampType))
+    for (((spec, c0dt), ti) <- layouts.zipWithIndex) {
+      val dts = Seq(c0dt, LongType, DoubleType, DateType)
+      val schema = StructType(StructField("id", LongType, nullable = false) +:
+        dts.zipWithIndex.map { case (dt, i) => StructField(s"c$i", dt, nullable = true) })
+      def rows(lo: Int, hi: Int) = (lo until hi).map { i =>
+        Row.fromSeq(i.toLong +: dts.zipWithIndex.map { case (dt, ci) =>
+          if (rnd.nextDouble() < 0.15) null
+          else randValue(dt) match {
+            case s: String if ci == 0 => s.filter(_ < 0x80) match {
+              case "" => "pad"; case t => t
+            }
+            case v => v
+          }
+        })
+      }
+      val root = freshRoot(s"dist$ti")
+      GraftTable.create(spark, root, schema,
+        Map(GraftTable.specProp -> spec,
+          "graft.planning.distributed-threshold" -> "2"))
+      val part1 = rows(0, 50)
+      val part2 = rows(50, 70)
+      GraftTable.append(spark, root, spark.createDataFrame(part1.asJava, schema))
+      GraftTable.rewriteManifests(root)   // parquet checkpoint
+      // a post-checkpoint tail so the tail-resolution path participates
+      GraftTable.append(spark, root, spark.createDataFrame(part2.asJava, schema))
+      val pools: Seq[IndexedSeq[Any]] = (0 until dts.length).map(i =>
+        (part1 ++ part2).flatMap(r => Option(r.get(i + 1))).toIndexedSeq)
+      for (_ <- 0 until 12) {
+        val conjs = Seq.fill(1 + rnd.nextInt(2))(randConj(dts, pools))
+        val preds = GraftTable.predsOf(spark, schema, conjs.map(toColumn).reduce(_ && _))
+        val plan = GraftTable.planScan(spark, root, preds)
+        assert(plan.distributed, s"layout $ti must plan distributed")
+        val (ddf, dtotal, dlive) = GraftTable.scan(spark, root, preds)
+        assert(plan.totalFiles == dtotal.toLong && plan.liveFiles == dlive.toLong,
+          s"seed=$seed layout=$ti: planner disagreement under " +
+            s"[${conjs.mkString(" AND ")}] (preds=$preds, " +
+            s"dist=${plan.liveFiles} driver=$dlive)")
+        assert(plan.df.except(ddf).isEmpty && ddf.except(plan.df).isEmpty,
+          s"seed=$seed layout=$ti: row mismatch under [${conjs.mkString(" AND ")}]")
+      }
+    }
+  }
 }
