@@ -107,6 +107,19 @@ object GraftTable {
       scala.util.Try(Files.readString(generationPath(root)).trim.toLong).getOrElse(0L)
     else 0L
 
+  /** Atomic REPLACE of the generation marker: executors read it
+    * concurrently (GenerationGuard) and a torn in-place write would
+    * read as generation 0 — which replaceFrom would then bump to 1,
+    * REGRESSING a multi-generation counter back into a value a live
+    * stream may have pinned. Temp write + rename is atomic on POSIX
+    * and maps to an overwriting put on an object store. */
+  private def writeGeneration(root: String, gen: Long): Unit = {
+    val tmp = logDir(root).resolve(s".tmp-gen-${UUID.randomUUID()}")
+    Files.writeString(tmp, gen.toString)
+    Files.move(tmp, generationPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   // ── partition spec ──────────────────────────────────────────────────
 
   /** Declared partition transforms (the Iceberg partition-spec
@@ -1041,7 +1054,7 @@ object GraftTable {
     // the commit race has still staged files into data/ for a window —
     // killing the stream is the safe side of that race.)
     val newGen = currentGeneration(root) + 1
-    Files.write(generationPath(root), newGen.toString.getBytes("UTF-8"))
+    writeGeneration(root, newGen)
     val adds = staged.files.sortBy(_.path).zipWithIndex.map { case (f, i) =>
       val name = f"$id%010d-$i%05d-${UUID.randomUUID()}.parquet"
       val dst = dataDir(root).resolve(name)
@@ -1153,7 +1166,9 @@ object GraftTable {
           Some(entry)
         }
       }
-    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val walk = Files.walk(tmp)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
     adds
   }
 
@@ -1220,9 +1235,11 @@ object GraftTable {
     // carry the key columns' min/max per shard: CDC (deleteVictims)
     // and rewrite_equality_deletes can then bound which data files a
     // keyed delete can touch instead of scanning the table. Only
-    // statsTypes columns — the pruning comparator (cmp) has no
-    // order for e.g. DecimalType's unscaled-integer stats text,
-    // and a wrong order silently drops victims
+    // statsTypes columns — parquet FOOTER stats render decimals as
+    // UNSCALED-integer text ('12500' for 125.00), which cmp's
+    // BigDecimal branch would parse at the wrong magnitude and
+    // silently drop victims; partition-tuple text (scaled, from CAST
+    // AS STRING) is the only decimal rendering the comparators accept
     val statCols = cols.filter(c => statsTypes.contains(
       schema.fields(schema.fieldIndex(c)).dataType)).toSet
     val adds = stageDeleteParts(spark, root, tmp) { (records, size, st) =>
@@ -1413,7 +1430,11 @@ object GraftTable {
 
   /** Simple comparison predicate for stats pruning. Values are text:
     * numbers in decimal, dates ISO, timestamps as epoch-MICROS,
-    * strings raw (compared as UTF-8 bytes). */
+    * strings raw (compared as UTF-8 bytes). Hand-built decimal values
+    * should be representable in the column's decimal type (everything
+    * extractPreds/toPred emit is, via the analyzer's cast): a wider
+    * literal still returns correct rows, but the distributed planner
+    * keeps files the driver planner would prune (see predCond). */
   sealed trait Pred { def colName: String }
   case class Gt(colName: String, v: String) extends Pred
   case class Lt(colName: String, v: String) extends Pred
@@ -1883,11 +1904,14 @@ object GraftTable {
       case IntegerType | LongType | ShortType | ByteType |
            TimestampType | TimestampNTZType => c.cast("long")
       case DoubleType | FloatType => c.cast("double")
-      // DecimalType text inverts under string order too — cast back to
-      // the column's own type (tuple text was rendered FROM that type,
-      // so the cast is exact; an unrepresentable literal yields null,
-      // which the identity branch below keeps conservatively)
-      case d: DecimalType => c.cast(d)
+      // DecimalType text inverts under string order too — compare at
+      // max precision with the column's scale: tuple text (rendered
+      // FROM the column type) always fits, and a predicate literal
+      // fits up to 38-scale integer digits, matching the driver's
+      // unbounded BigDecimal compare for any literal the analyzer can
+      // produce. A wider hand-built literal yields null, which the
+      // identity branch below keeps conservatively (under-prune only).
+      case d: DecimalType => c.cast(DecimalType(38, d.scale))
       case _ => c   // strings: binary order; ISO dates: lexicographic
     }
     // lazily: null-membership preds carry no value, and no branch
@@ -2397,16 +2421,33 @@ object GraftTable {
     * rows again from new files). Run `removeOrphanFiles` before
     * attaching a stream to a table that may hold crashed writes. */
   def readStreamAppendOnly(spark: SparkSession, root: String): DataFrame = {
-    val schema = DataType.fromJson(state(root).schemaJson.getOrElse(
-      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    // pin the generation BEFORE reading the schema: a REPLACE landing
+    // between the two then leaves a STALE pin (old generation) with
+    // the new schema — the guard fires on the first batch. The other
+    // order would pin the new generation against the OLD schema and
+    // pass silently, which is the exact corruption the guard exists
+    // to catch. (replaceFrom bumps the marker before its moves, so a
+    // stream starting mid-replace pins the new generation and reads
+    // the post-replace schema: consistent.)
     val pinnedGen = currentGeneration(root)
+    val snap = state(root)
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val guarded = !snap.properties.get("graft.stream.generation-guard").contains("false")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_generation_ok", es => GenerationGuard(es(0), es(1)), "built-in")
-    val raw = spark.readStream
+    var raw = spark.readStream
       .schema(physReadSchema(schema))
       .option("pathGlobFilter", "*.parquet")
       .parquet(s"$root/data")
-      .filter(call_function("graft_generation_ok", lit(root), lit(pinnedGen)))
+    // trade-off: the guard is nondeterministic, so Catalyst will not
+    // push a user filter stacked above it down into the parquet
+    // source. Correct-by-default wins; pipelines that filter heavily
+    // on the stream AND manage replaces operationally can set the
+    // table property graft.stream.generation-guard=false to trade the
+    // guard back for source-level pushdown.
+    if (guarded)
+      raw = raw.filter(call_function("graft_generation_ok", lit(root), lit(pinnedGen)))
     if (hasRenames(schema)) logicalProject(raw, schema) else raw
   }
 

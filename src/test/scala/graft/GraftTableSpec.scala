@@ -14,16 +14,8 @@ import graft.sources.Tables
   * expiry, orphan removal, stats pruning, diagnostics. */
 class GraftTableSpec extends SparkSpec {
 
-  private def freshRoot(name: String): String = {
-    val p = Paths.get("/root/repo/target/graft-lake-test", name)
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
-    Files.createDirectories(p.getParent)
-    p.toString
-  }
+  private def freshRoot(name: String): String =
+    scratchRoot("graft-lake-test", name)
 
   test("create persists schema + table properties; double create fails") {
     val root = freshRoot("create")

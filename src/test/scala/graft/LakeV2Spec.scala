@@ -16,16 +16,8 @@ import graft.sources.Tables
   * metadata views, and distributed (executor-side) scan planning. */
 class LakeV2Spec extends SparkSpec {
 
-  private def freshRoot(name: String): String = {
-    val p = Paths.get("/root/repo/target/graft-lakev2-test", name)
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
-    Files.createDirectories(p.getParent)
-    p.toString
-  }
+  private def freshRoot(name: String): String =
+    scratchRoot("graft-lakev2-test", name)
 
   // ── partition spec ──────────────────────────────────────────────────
 

@@ -28,16 +28,8 @@ class PruningPropertySpec extends SparkSpec {
   private val seed = 20260813L
   private val rnd = new Random(seed)
 
-  private def freshRoot(name: String): String = {
-    val p = java.nio.file.Paths.get("/root/repo/target/graft-pruneprop-test", name)
-    if (java.nio.file.Files.exists(p)) {
-      val s = java.nio.file.Files.walk(p)
-      try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-      finally s.close()
-    }
-    java.nio.file.Files.createDirectories(p.getParent)
-    p.toString
-  }
+  private def freshRoot(name: String): String =
+    scratchRoot("graft-pruneprop-test", name)
 
   private val typePool: Seq[DataType] = Seq(ByteType, ShortType, IntegerType,
     LongType, FloatType, DoubleType, DecimalType(9, 2), StringType, DateType,

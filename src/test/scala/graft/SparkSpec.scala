@@ -58,6 +58,21 @@ abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.spark
   val sf: String = SparkSpec.sf
 
+  /** Wipe-and-recreate a scratch table root at target/<dir>/<name> —
+    * the one shared copy of the per-suite freshRoot helpers. */
+  protected def scratchRoot(dir: String, name: String): String = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get("/root/repo/target", dir, name)
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally s.close()
+    }
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
+
   /** The formatted physical plan, for scan/pushdown/broadcast asserts. */
   def plan(df: org.apache.spark.sql.DataFrame): String = {
     val e = df.queryExecution.explainString(
