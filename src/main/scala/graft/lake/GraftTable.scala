@@ -311,6 +311,14 @@ object GraftTable {
       try s.iterator().asScala.toSeq finally s.close()
     }
 
+  /** Recursively delete a directory tree, closing the walk stream
+    * (an unclosed Files.walk holds directory handles until GC). */
+  private def deleteTree(p: Path): Unit = {
+    val w = Files.walk(p)
+    try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally w.close()
+  }
+
   private[lake] def listCommitIds(root: String): Seq[Long] =
     listDir(logDir(root))
       .map(_.getFileName.toString)
@@ -642,7 +650,7 @@ object GraftTable {
       }
     }
     // clean the stage dir (crc/_SUCCESS leftovers + partition dirs)
-    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    deleteTree(tmp)
     entries
   }
 
@@ -1166,9 +1174,7 @@ object GraftTable {
           Some(entry)
         }
       }
-    val walk = Files.walk(tmp)
-    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    finally walk.close()
+    deleteTree(tmp)
     adds
   }
 
@@ -3122,7 +3128,7 @@ object GraftTable {
                      _: java.nio.file.DirectoryNotEmptyException |
                      _: java.nio.file.AccessDeniedException =>
           // lost the race to an identical writer: discard the stage
-          Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          deleteTree(tmp)
         }
       }
     }
@@ -3153,7 +3159,7 @@ object GraftTable {
       Files.deleteIfExists(logDir(root).resolve(s"ckptmeta-$k.json"))
       val pq = logDir(root).resolve(s"ckptfiles-$k.parquet")
       if (Files.exists(pq))
-        Files.walk(pq).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        deleteTree(pq)
     }
   }
 
@@ -3234,7 +3240,7 @@ object GraftTable {
           p.getFileName.toString.startsWith(".ckpt-stage-")))
       .filter(p => Files.getLastModifiedTime(p).toMillis < olderThanMs)
     if (!dryRun) staleStages.foreach { p =>
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      deleteTree(p)
     }
     orphans.map { case (d, p) => s"$d/${p.getFileName}" } ++
       staleStages.map(p => p.getFileName.toString)

@@ -263,6 +263,38 @@ class StreamingSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("generation guard opt-out: the stream survives a REPLACE when disabled") {
+    // the guard's nondeterministic filter blocks source pushdown for
+    // stacked user filters, so tables that manage replaces
+    // operationally can trade it back — documenting that the property
+    // really does disarm the guard (and what that gives up: the
+    // stream keeps running across the REPLACE)
+    import spark.implicits._
+    import graft.lake.GraftTable
+    val base = Files.createTempDirectory("graft-genguard-off")
+    val root = base.resolve("t").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    GraftTable.create(spark, root, df.schema,
+      Map("graft.stream.generation-guard" -> "false"))
+    GraftTable.append(spark, root, df)
+    val q = GraftTable.readStreamAppendOnly(spark, root)
+      .writeStream.format("memory").queryName("genguard_off")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("genguard_off").count() == 2L)
+    val stagedRoot = base.resolve("staged").toString
+    val staged = Seq((10L, "x")).toDF("id", "v")
+    GraftTable.create(spark, stagedRoot, staged.schema)
+    GraftTable.append(spark, stagedRoot, staged)
+    GraftTable.replaceFrom(root, stagedRoot)
+    q.processAllAvailable()   // must NOT throw with the guard disabled
+    assert(q.isActive, "opted-out stream keeps running across a REPLACE")
+    assert(spark.table("genguard_off").count() == 3L,
+      "the new-generation file streams through (the documented trade)")
+    q.stop()
+  }
+
   test("batch sessionization splits on >30min gaps with per-user ordinals") {
     val sess = Streams.q44(spark, sf)
     val firstUser = sess.limit(1).collect().head
