@@ -1793,24 +1793,31 @@ object GraftTable {
     // the values: fail loudly rather than mis-apply the delete)
     val prevToLive: Map[String, String] = schema.fields.flatMap(f =>
       prevNames(f).map(h => h.toLowerCase -> f.name)).toMap
-    eqD.foreach { case (p, _, cols) =>
-      val snapId = p.split('/').last.takeWhile(_.isDigit).toLong
-      val liveCols = cols.map { c =>
-        schema.fieldNames.find(_.equalsIgnoreCase(c))
-          .orElse(prevToLive.get(c.toLowerCase))
-          .getOrElse(throw new IllegalArgumentException(
-            s"equality-delete file $p keys on '$c', which is not in the read " +
-              "schema (dropped after the delete was written); narrow the change " +
-              "range to end before the DROP COLUMN, or run " +
-              "rewrite_equality_deletes before dropping delete-key columns"))
+    // one anti-join per (snapshot, key-columns) GROUP, not per file: a
+    // sharded equality delete commits many key files at one snapshot,
+    // and joining them file-by-file would stack O(shards) anti-joins
+    // into the plan — same sequence bound + same keys = one union read
+    eqD.groupBy { case (p, _, cols) =>
+      (p.split('/').last.takeWhile(_.isDigit).toLong, cols)
+    }.toSeq.sortBy { case ((snapId, cols), _) => (snapId, cols.mkString(",")) }
+      .foreach { case ((snapId, cols), files) =>
+        val liveCols = cols.map { c =>
+          schema.fieldNames.find(_.equalsIgnoreCase(c))
+            .orElse(prevToLive.get(c.toLowerCase))
+            .getOrElse(throw new IllegalArgumentException(
+              s"equality-delete file(s) ${files.map(_._1).mkString(", ")} key on " +
+                s"'$c', which is not in the read schema (dropped after the delete " +
+                "was written); narrow the change range to end before the DROP " +
+                "COLUMN, or run rewrite_equality_deletes before dropping " +
+                "delete-key columns"))
+        }
+        val keys = spark.read.parquet(files.map(f => s"$root/${f._1}"): _*)
+          .select(cols.map(c => col(c).as(s"_gfk_$c")): _*).distinct()
+        val cond = cols.zip(liveCols).map { case (c, lc) =>
+          df(lc) <=> keys(s"_gfk_$c") }.reduce(_ && _) &&
+          df("_gf_snap") <= lit(snapId)
+        df = df.join(keys, cond, "left_anti")
       }
-      val keys = spark.read.parquet(s"$root/$p")
-        .select(cols.map(c => col(c).as(s"_gfk_$c")): _*).distinct()
-      val cond = cols.zip(liveCols).map { case (c, lc) =>
-        df(lc) <=> keys(s"_gfk_$c") }.reduce(_ && _) &&
-        df("_gf_snap") <= lit(snapId)
-      df = df.join(keys, cond, "left_anti")
-    }
     df
   }
 
@@ -1955,7 +1962,11 @@ object GraftTable {
         !(col("records") > lit(0L) && st.getField("nulls") >= col("records"))
       case _: IsNull => st.getField("nulls") =!= lit(0L)
     }
-    val statsCond = when(st.isNull, lit(true)).otherwise(statsOk)
+    // coalesce: an undecidable stats compare (corrupt or
+    // unparseable stat text failing a cast) keeps the file instead
+    // of null-propagating into a prune — the driver twin would throw
+    // loudly there; the executor side degrades to a wider scan
+    val statsCond = when(st.isNull, lit(true)).otherwise(coalesce(statsOk, lit(true)))
     // partition tuples: exact compare — widenColumn refuses
     // float→double on layout columns, so everFloat never applies here
     lazy val v = castv(lit(raw))

@@ -188,6 +188,13 @@ class LakeV2Spec extends SparkSpec {
     assert(delFiles.count() > 1,
       s"large key set must shard the eq-delete write (got ${delFiles.count()})")
     val live = GraftTable.read(spark, root)
+    // shards of ONE delete commit apply as ONE anti-join, not O(shards)
+    val antiJoins = live.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }.size
+    assert(antiJoins == 1,
+      s"sharded eq-delete files must union into one anti-join, got $antiJoins")
     assert(live.count() == 500 && live.filter(col("id") < 500).count() == 0)
     GraftTable.rewriteEqualityDeletes(spark, root)
     assert(GraftTable.filesTable(spark, root).filter(col("content") === 2).count() == 0)
