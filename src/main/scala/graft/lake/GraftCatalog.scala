@@ -58,9 +58,7 @@ object GraftCatalog {
   def dropTable(warehouse: String, ns: String, table: String): Unit = {
     val p = Paths.get(tableRoot(warehouse, ns, table))
     require(Files.isDirectory(p.resolve("_graft_log")), s"not a table: $ns.$table")
-    val s = Files.walk(p)
-    try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    finally s.close()
+    GraftTable.deleteTree(p)
   }
 
   /** Register every table in the namespace as `ns__table` temp views

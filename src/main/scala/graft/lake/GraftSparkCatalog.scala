@@ -90,13 +90,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       val stale = try s.iterator().asScala
         .filter(p => scala.util.Try(newestMtime(p) < cutoff).getOrElse(false)).toSeq
       finally s.close()
-      stale.foreach { p =>
-        scala.util.Try {
-          val w = Files.walk(p)
-          try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-          finally w.close()
-        }
-      }
+      stale.foreach(p => scala.util.Try(GraftTable.deleteTree(p)))
     }
   }
 
@@ -325,9 +319,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val root = Paths.get(rootOf(ident.namespace.toIndexedSeq, ident.name))
     if (isInternalNs(ident.namespace) || !isTable(root.toString)) false
     else {
-      val s = Files.walk(root)
-      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally s.close()
+      GraftTable.deleteTree(root)
       true
     }
   }
@@ -396,9 +388,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         val nonEmpty = try s.iterator().asScala.nonEmpty finally s.close()
         require(!nonEmpty, s"namespace not empty: ${namespace.mkString(".")}")
       }
-      val s = Files.walk(p)
-      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally s.close()
+      GraftTable.deleteTree(p)
       true
     }
   }
@@ -423,12 +413,7 @@ private[lake] class GraftStagedTable(fqName: String, stagingRoot: String,
     finalRoot: String, ident: Identifier, replace: Boolean)
     extends GraftSparkTable(fqName, stagingRoot, None) with StagedTable {
 
-  private def rmTree(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
+  private def rmTree(p: java.nio.file.Path): Unit = GraftTable.deleteTree(p)
 
   override def commitStagedChanges(): Unit = {
     val target = Paths.get(finalRoot)

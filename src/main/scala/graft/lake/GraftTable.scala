@@ -312,8 +312,9 @@ object GraftTable {
     }
 
   /** Recursively delete a directory tree, closing the walk stream
-    * (an unclosed Files.walk holds directory handles until GC). */
-  private def deleteTree(p: Path): Unit = {
+    * (an unclosed Files.walk holds directory handles until GC). No-op
+    * on a missing path. */
+  private[graft] def deleteTree(p: Path): Unit = if (Files.exists(p)) {
     val w = Files.walk(p)
     try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     finally w.close()
@@ -1082,9 +1083,15 @@ object GraftTable {
     // not its history — refs are the one property family that merges
     // through so pinned pre-replace snapshots stay reachable
     val refs = snap.properties.view.filterKeys(_.startsWith("graft.ref.")).toMap
+    // operational config rides through too (else a documented
+    // stream-guard opt-out silently re-arms at the very REPLACE it
+    // exists to permit); an explicit setting on the staged table wins
+    val opCfg = snap.properties.view
+      .filterKeys(_ == "graft.stream.generation-guard").toMap
+      .filterNot { case (k, _) => staged.properties.contains(k) }
     commitOrCleanup(root, id, Commit(id, Some(snap.snapshotId),
       System.currentTimeMillis(), "replace", adds, snap.files.map(_.path),
-      staged.properties ++ refs + ("graft.generation" -> newGen.toString),
+      staged.properties ++ refs ++ opCfg + ("graft.generation" -> newGen.toString),
       staged.schemaJson))
     id
   }

@@ -28,11 +28,7 @@ object LakeOps {
     // q26 failure)
     val p = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft-lake-${ProcessHandle.current().pid()}", name)
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
+    GraftTable.deleteTree(p)
     Files.createDirectories(p.getParent)
     p.toString
   }

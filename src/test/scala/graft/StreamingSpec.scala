@@ -293,6 +293,21 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("genguard_off").count() == 3L,
       "the new-generation file streams through (the documented trade)")
     q.stop()
+    // the opt-out SURVIVES the replace (properties reset wholesale,
+    // but operational config rides through like graft.ref.*): a fresh
+    // stream stays unguarded across the NEXT replace too
+    val q2 = GraftTable.readStreamAppendOnly(spark, root)
+      .writeStream.format("memory").queryName("genguard_off2")
+      .option("checkpointLocation", base.resolve("ckpt2").toString)
+      .start()
+    q2.processAllAvailable()
+    val staged2 = base.resolve("staged2").toString
+    GraftTable.create(spark, staged2, staged.schema)
+    GraftTable.append(spark, staged2, Seq((20L, "y")).toDF("id", "v"))
+    GraftTable.replaceFrom(root, staged2)
+    q2.processAllAvailable()
+    assert(q2.isActive, "opt-out must survive a REPLACE, not silently re-arm")
+    q2.stop()
   }
 
   test("batch sessionization splits on >30min gaps with per-user ordinals") {
