@@ -77,6 +77,31 @@ class NewQueryPlanSpec extends SparkSpec {
     info(s"q36 exchanges: $exchanges")
   }
 
+  test("no undeclared cartesian/BNLJ in any plan-only query") {
+    // the scale-killer sweep, generalized: every non-lifecycle query's
+    // physical plan must stay equi-join shaped. Declared exceptions
+    // (SURVEY §5): q34/q35 are the all-pairs correctness baselines,
+    // q48's seed-assignment pass is an intentional O(N·K) broadcast
+    // against a FIXED-size seed set. Lake lifecycle queries (create/
+    // append/compact side effects at plan-build time) are excluded for
+    // cost, not because they'd be exempt — their reads are plain scans.
+    val allPairsDeclared = Set("q34_dedup_embcos", "q35_ann_brute", "q48_ann_ivf")
+    val lifecycle = Set("q23_lake_snapshots", "q24_lake_files", "q25_lake_timetravel",
+      "q26_lake_compaction", "q27_lake_merge", "q28_lake_mor_delete",
+      "q29_lake_partition_prune", "q54_lake_sql", "q57_lake_changes",
+      "q61_decontam_bloom", "q62_lake_entries", "q63_lake_replace")
+    val names = SparkEntry.queries.keySet -- lifecycle -- allPairsDeclared
+    val offenders = names.toSeq.sorted.flatMap { n =>
+      val df = SparkEntry.queries(n)(spark, sf)
+      val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+      if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoop"))
+        Some(n)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"undeclared all-pairs plan shape in: ${offenders.mkString(", ")}")
+  }
+
   test("q58 scan reads only doc_id and text") {
     val df = graft.operators.TextOps.q58(spark, sf)
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
