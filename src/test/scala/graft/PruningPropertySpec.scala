@@ -273,7 +273,11 @@ class PruningPropertySpec extends SparkSpec {
     val layouts = Seq(
       ("identity(c0)", DecimalType(9, 2)),   // the inversion-prone type
       ("identity(c0)", StringType),
-      ("identity(c0)", TimestampType))
+      ("identity(c0)", TimestampType),
+      ("days(c0)", TimestampType),           // time-bucket range compare
+      ("months(c0)", DateType),
+      ("bucket(4,c0)", LongType),            // equality-only transforms
+      ("truncate(3,c0)", StringType))
     for (((spec, c0dt), ti) <- layouts.zipWithIndex) {
       val dts = Seq(c0dt, LongType, DoubleType, DateType)
       val schema = StructType(StructField("id", LongType, nullable = false) +:
