@@ -75,8 +75,10 @@ object Bench {
     val totalsJson = totals.map(fmt).mkString("[", ",", "]")
     // `queries` and `medians` are intentionally the same map: the
     // driver contract reads `queries`, regression tooling reads the
-    // explicitly-named `medians`
-    println(s"""{"metric":"total","value":${fmt(median(totals))},"unit":"sec","queries":${qjson(medians)},"medians":${qjson(medians)},"runs":$runsJson,"totals":$totalsJson,"n_runs":$nRuns,"failed":$failed,"sf":"$sfDir"}""")
+    // explicitly-named `medians`. `medians` goes LAST because the
+    // driver captures only a 2 KB tail of this line — a mid-line
+    // position truncated it out of BENCH_r08.json entirely.
+    println(s"""{"metric":"total","value":${fmt(median(totals))},"unit":"sec","queries":${qjson(medians)},"runs":$runsJson,"totals":$totalsJson,"n_runs":$nRuns,"failed":$failed,"sf":"$sfDir","medians":${qjson(medians)}}""")
     spark.stop()
   }
 }

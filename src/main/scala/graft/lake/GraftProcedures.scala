@@ -93,18 +93,88 @@ object GraftProcedures {
   private val updateRe =
     """(?is)\s*UPDATE\s+((?:\w+\.)*\w+)\s+SET\s+(.+?)\s*;?\s*""".r
   private val mergeRe =
-    ("""(?is)\s*MERGE\s+INTO\s+((?:\w+\.)*\w+)(?:\s+AS)?(?:\s+(?!USING\b)\w+)?""" +
-      """\s+USING\s+(\(.*\)|(?:\w+\.)*\w+)(?:\s+AS)?(?:\s+(?!ON\b)\w+)?""" +
-      """\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
-      """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
+    ("""(?is)\s*MERGE\s+INTO\s+((?:\w+\.)*\w+)(?:\s+AS)?(?:\s+(?!USING\b)(\w+))?""" +
+      """\s+USING\s+(\(.*\)|(?:\w+\.)*\w+)(?:\s+AS)?(?:\s+(?!ON\b)(\w+))?""" +
+      """\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*""").r
 
   def parseRowLevel(sqlText: String): Option[LogicalPlan] = sqlText match {
     case updateRe(tbl, rest) if isGraftTable(tbl) =>
       val (sets, where) = splitWhere(rest)
       Some(GraftUpdateCommand(stripCatalog(tbl), sets, where))
-    case mergeRe(tbl, src, on) if isGraftTable(tbl) =>
-      Some(GraftMergeCommand(stripCatalog(tbl), src, on))
+    case mergeRe(tbl, tAlias, src, sAlias, on, whenTail) if isGraftTable(tbl) =>
+      Some(GraftMergeCommand(stripCatalog(tbl), src, on, whenTail,
+        Option(tAlias), Option(sAlias)))
     case _ => None
+  }
+
+  /** Rewrite alias-qualified column references in a clause expression
+    * to the joined-frame convention GraftTable.merge evaluates under:
+    * `srcAlias.c` → `_gs_c`, `tgtAlias.c` → `c`. Scans OUTSIDE string
+    * literals only, so `'s.x'` stays a literal. Unqualified names
+    * resolve against the target row (the joined frame carries target
+    * columns unprefixed) — reference source-only columns (a CDC `op`
+    * flag) via the source alias, as SQL would require anyway. */
+  private[lake] def rewriteQualifiers(s: String, srcQuals: Set[String],
+      tgtQuals: Set[String]): String = {
+    val sb = new StringBuilder
+    var i = 0; var q: Char = 0
+    val n = s.length
+    def isIdent(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+    while (i < n) {
+      val c = s.charAt(i)
+      if (q != 0) {
+        sb += c
+        if (c == '\\' && i + 1 < n) { sb += s.charAt(i + 1); i += 1 }
+        else if (c == q) q = 0
+        i += 1
+      }
+      else if (c == '\'' || c == '"') { q = c; sb += c; i += 1 }
+      else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && isIdent(s.charAt(i))) i += 1
+        val word = s.substring(start, i)
+        if (i + 1 < n && s.charAt(i) == '.' &&
+            Character.isJavaIdentifierStart(s.charAt(i + 1))) {
+          var j = i + 1
+          while (j < n && isIdent(s.charAt(j))) j += 1
+          val colName = s.substring(i + 1, j)
+          if (srcQuals.exists(_.equalsIgnoreCase(word))) {
+            sb ++= GraftTable.mergeSourcePrefix + colName; i = j
+          } else if (tgtQuals.exists(_.equalsIgnoreCase(word))) {
+            sb ++= colName; i = j
+          } else sb ++= word   // foreign qualifier: leave it, dot next pass
+        } else sb ++= word
+      }
+      else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Split a WHEN-clause tail at each top-level `WHEN` keyword
+    * (outside quotes and parens); segments keep their leading WHEN. */
+  private[lake] def splitWhenClauses(s: String): Seq[String] = {
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var depth = 0; var q: Char = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != 0) {
+        if (c == '\\') i += 1
+        else if (c == q) q = 0
+      }
+      else if (c == '\'' || c == '"') q = c
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && s.regionMatches(true, i, "WHEN", 0, 4) &&
+          (i == 0 || s.charAt(i - 1).isWhitespace) &&
+          (i + 4 < s.length && s.charAt(i + 4).isWhitespace)) {
+        starts += i; i += 3
+      }
+      i += 1
+    }
+    starts.zipAll(starts.drop(1).map(Some(_)), 0, None).map {
+      case (a, Some(b)) => s.substring(a, b).trim
+      case (a, None) => s.substring(a).trim
+    }.toSeq
   }
 
   /** Split `SET ... [WHERE cond]` at the first top-level WHERE — the
@@ -325,19 +395,40 @@ case class GraftUpdateCommand(table: String, setClause: String,
   }
 }
 
-/** `MERGE INTO t USING src ON t.k = src.k [AND ...] WHEN MATCHED THEN
-  * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` → GraftTable.merge —
-  * the whole-row upsert form (what Iceberg's docs call the
-  * "replace-by-key" merge). `src` is a table/view name or a
-  * parenthesized subquery; each ON conjunct must equate the SAME
-  * column name on both sides (those become the merge keys). */
-case class GraftMergeCommand(table: String, source: String,
-    onClause: String) extends LeafRunnableCommand {
+/** `MERGE INTO t [AS a] USING src [AS b] ON t.k = src.k [AND ...]
+  * WHEN ...` → GraftTable.merge with the full clause grammar the
+  * reference's Iceberg extensions accept:
+  *
+  * {{{
+  *   WHEN MATCHED [AND cond] THEN UPDATE SET *
+  *   WHEN MATCHED [AND cond] THEN UPDATE SET c = expr, ...
+  *   WHEN MATCHED [AND cond] THEN DELETE
+  *   WHEN NOT MATCHED [AND cond] THEN INSERT *
+  *   WHEN NOT MATCHED [AND cond] THEN INSERT (c, ...) VALUES (expr, ...)
+  * }}}
+  *
+  * `src` is a table/view name or a parenthesized subquery; each ON
+  * conjunct must equate the SAME column name on both sides (those
+  * become the merge keys). Clause conditions and value expressions
+  * may qualify columns with either side's alias/name; unqualified
+  * names resolve to the target row. */
+case class GraftMergeCommand(table: String, source: String, onClause: String,
+    whenTail: String, tgtAlias: Option[String], srcAlias: Option[String])
+    extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("result", StringType, nullable = false)())
 
+  private val updClauseRe =
+    """(?is)\s*WHEN\s+MATCHED\s*(?:AND\s+(.+?)\s*)?THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
+  private val delClauseRe =
+    """(?is)\s*WHEN\s+MATCHED\s*(?:AND\s+(.+?)\s*)?THEN\s+DELETE\s*""".r
+  private val insClauseRe =
+    """(?is)\s*WHEN\s+NOT\s+MATCHED\s*(?:AND\s+(.+?)\s*)?THEN\s+INSERT\s+(.+?)\s*""".r
+  private val insListRe = """(?s)\s*\((.*?)\)\s*VALUES\s*\((.*)\)\s*""".r
+
   override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.expr
     val root = GraftProcedures.resolveRoot(spark, table)
     val src =
       if (source.trim.startsWith("("))
@@ -354,7 +445,49 @@ case class GraftMergeCommand(table: String, source: String,
         case _ => throw new IllegalArgumentException(s"bad ON conjunct: '$eq'")
       }
     }
-    val id = GraftTable.merge(spark, root, src, keyCols)
+    // which qualifiers mean "source side" / "target side" in clause
+    // expressions: the declared alias plus the bare relation name
+    val srcQuals = (srcAlias.toSeq ++
+      (if (source.trim.startsWith("(")) Seq.empty
+       else Seq(GraftProcedures.stripCatalog(source.trim).split('.').last))).toSet
+    val tgtQuals = (tgtAlias.toSeq :+ table.split('.').last).toSet
+    def rw(s: String): String =
+      GraftProcedures.rewriteQualifiers(s, srcQuals, tgtQuals)
+    val clauses: Seq[GraftTable.MergeClause] =
+      GraftProcedures.splitWhenClauses(whenTail).map {
+        case insClauseRe(cond, insertSpec) =>
+          val values = insertSpec.trim match {
+            case "*" => None
+            case insListRe(colList, exprList) =>
+              val cols = GraftProcedures.splitTop(colList, ',')
+                .map(c => GraftProcedures.resolveColumn(rw(c.trim).split('.').last, fields))
+              val exprs = GraftProcedures.splitTop(exprList, ',').map(v => expr(rw(v.trim)))
+              require(cols.length == exprs.length,
+                s"INSERT column list and VALUES arity differ: $insertSpec")
+              Some(cols.zip(exprs).toMap)
+            case other => throw new IllegalArgumentException(
+              s"bad INSERT spec in MERGE clause: '$other' (want * or (cols) VALUES (exprs))")
+          }
+          GraftTable.MergeInsert(Option(cond).map(c => expr(rw(c))), values)
+        case delClauseRe(cond) =>
+          GraftTable.MergeDelete(Option(cond).map(c => expr(rw(c))))
+        case updClauseRe(cond, setSpec) =>
+          val set = setSpec.trim match {
+            case "*" => None
+            case s => Some(GraftProcedures.splitTop(s, ',').map { a =>
+              a.split("=", 2) match {
+                case Array(k, v) =>
+                  GraftProcedures.resolveColumn(rw(k.trim).split('.').last, fields) ->
+                    expr(rw(v.trim))
+                case _ => throw new IllegalArgumentException(s"bad SET assignment: '$a'")
+              }
+            }.toMap)
+          }
+          GraftTable.MergeUpdate(Option(cond).map(c => expr(rw(c))), set)
+        case other => throw new IllegalArgumentException(
+          s"unrecognized MERGE clause: '$other'")
+      }
+    val id = GraftTable.merge(spark, root, src, keyCols, clauses)
     Seq(Row(s"snapshot_id=$id"))
   }
 }

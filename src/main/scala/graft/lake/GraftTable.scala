@@ -94,18 +94,38 @@ object GraftTable {
 
   /** Replace-generation marker: a tiny denormalized copy of the
     * `graft.generation` table property, readable by an executor in one
-    * small-file read (no log replay). Absent = generation 0. Both the
-    * stream-start pin and the per-batch guard read THIS file, so a
-    * lost marker degrades to "no guard" consistently rather than to a
-    * spurious mismatch. */
+    * small-file read (no log replay). Absent = generation 0. Streams
+    * pin the COMMITTED property (atomic with the schema they capture);
+    * only the per-task guard reads this file, and it fires on
+    * marker > pin, so a lost marker degrades to "no guard" rather
+    * than to a spurious mismatch. */
   private def generationPath(root: String): Path = logDir(root).resolve("GENERATION")
 
-  /** The table's replace-generation counter (0 until the first
-    * REPLACE TABLE; replaceFrom bumps it). */
+  /** The committed twin of the marker: bumped in the SAME commit that
+    * changes what live streams would silently misread (REPLACE, and
+    * the rename/drop/widen schema evolutions). Streams pin THIS value
+    * — it is atomic with the schema they capture — while the marker
+    * stays the executor-readable per-task check. */
+  private[lake] val generationProp = "graft.generation"
+
+  /** The table's replace/evolution generation counter as the MARKER
+    * file reports it (0 until the first bump). This is the per-task
+    * fast read; the committed source of truth is `generationProp`. */
   def currentGeneration(root: String): Long =
     if (Files.exists(generationPath(root)))
       scala.util.Try(Files.readString(generationPath(root)).trim.toLong).getOrElse(0L)
     else 0L
+
+  private def committedGeneration(props: Map[String, String]): Long =
+    props.get(generationProp).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .getOrElse(0L)
+
+  /** One past the max of marker and committed property: a marker lost
+    * to a log-only copy/restore (it lives outside the commit chain)
+    * cannot regress the committed counter, and a marker left ahead by
+    * a lost commit race stays monotonic. */
+  private def nextGeneration(root: String, props: Map[String, String]): Long =
+    math.max(currentGeneration(root), committedGeneration(props)) + 1
 
   /** Atomic REPLACE of the generation marker: executors read it
     * concurrently (GenerationGuard) and a torn in-place write would
@@ -381,10 +401,20 @@ object GraftTable {
     * be told apart from a never-computed one. Positive counts were
     * always real and stay trusted. Downstream pruning needs no
     * version awareness — it only ever sees normalized entries. */
-  private def versionedAdds(c: Commit): Seq[FileEntry] =
-    if (c.statsVersion.nonEmpty) c.adds
-    else c.adds.map(f => f.copy(stats = f.stats.view.mapValues(s =>
-      if (s.nulls == 0L) s.copy(nulls = -1L) else s).toMap))
+  private def versionedAdds(c: Commit): Seq[FileEntry] = c.statsVersion match {
+    case Some(v) if v == statsVersionCurrent => c.adds
+    case Some(v) if v > statsVersionCurrent =>
+      // a FUTURE stamp means different stats semantics this code does
+      // not know; treating it as current could mis-prune silently —
+      // the stamp exists precisely to make this loud
+      throw new IllegalStateException(
+        s"manifest for snapshot ${c.snapshotId} carries stats version $v " +
+          s"but this code understands <= $statsVersionCurrent; upgrade graft " +
+          "before reading this table")
+    case _ =>   // pre-stamp (None) or an unknown older stamp: demote
+      c.adds.map(f => f.copy(stats = f.stats.view.mapValues(s =>
+        if (s.nulls == 0L) s.copy(nulls = -1L) else s).toMap))
+  }
 
   private def replayState(root: String, ids: Seq[Long], target: Long): Snapshot = {
     val ckpt = listCheckpointIds(root).filter(_ <= target).sorted.lastOption
@@ -721,6 +751,30 @@ object GraftTable {
     id
   }
 
+  /** Rename/drop/widen change what a pinned-schema stream reads from
+    * files written AFTER them (missing physical names → silent nulls;
+    * widened types → runtime parquet errors at best): bump the stream
+    * generation in the SAME commit, marker first (mirroring
+    * replaceFrom), healing the marker back to the committed counter
+    * if the commit loses its race. addColumn stays bump-free — a
+    * pinned old schema never requests the new column, so every row a
+    * live stream delivers across it is still exactly correct. */
+  private def commitEvolution(root: String, snap: Snapshot, op: String,
+      props: Map[String, String], schemaJson: String): Long = {
+    val id = snap.snapshotId + 1   // planned against snap: conflicts fail loudly
+    val newGen = nextGeneration(root, snap.properties)
+    writeGeneration(root, newGen)
+    val c = Commit(id, Some(id - 1), System.currentTimeMillis(), op,
+      Seq.empty, Seq.empty, props + (generationProp -> newGen.toString),
+      Some(schemaJson))
+    try writeAtomic(commitPath(root, id), toJson(c))
+    catch { case e: Throwable =>
+      scala.util.Try(writeGeneration(root, committedGeneration(state(root).properties)))
+      throw e
+    }
+    id
+  }
+
   // ── rename / drop column (metadata-only schema evolution) ───────────
   // A renamed column keeps its historical physical names in the
   // field's metadata (`graft.prev-names`) INSIDE the per-snapshot
@@ -802,11 +856,7 @@ object GraftTable {
       .putStringArray(prevNamesKey, (prevNames(f) :+ f.name).toArray)
       .build()
     val ns = StructType(cur.fields.updated(idx, StructField(to, f.dataType, f.nullable, md)))
-    val id = snap.snapshotId + 1
-    val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "rename_column",
-      Seq.empty, Seq.empty, Map.empty, Some(ns.json))
-    writeAtomic(commitPath(root, id), toJson(c))
-    id
+    commitEvolution(root, snap, "rename_column", Map.empty, ns.json)
   }
 
   /** ALTER TABLE ... DROP COLUMN — metadata-only: the column leaves
@@ -824,11 +874,8 @@ object GraftTable {
     requireEvolvable(snap, f.name, "drop")
     val tomb = (droppedCols(snap.properties) ++ (f.name +: prevNames(f))).distinct
     val ns = StructType(cur.fields.patch(idx, Nil, 1))
-    val id = snap.snapshotId + 1
-    val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "drop_column",
-      Seq.empty, Seq.empty, Map(droppedColsProp -> tomb.mkString(",")), Some(ns.json))
-    writeAtomic(commitPath(root, id), toJson(c))
-    id
+    commitEvolution(root, snap, "drop_column",
+      Map(droppedColsProp -> tomb.mkString(",")), ns.json)
   }
 
   /** ALTER TABLE ... ALTER COLUMN c TYPE t — metadata-only type
@@ -873,11 +920,7 @@ object GraftTable {
           .withMetadata(f.metadata).putBoolean(wasFloatKey, true).build())
       else f.copy(dataType = to)
     val ns = StructType(cur.fields.updated(idx, nf))
-    val id = snap.snapshotId + 1   // planned against snap: conflicts fail loudly
-    val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "widen_column",
-      Seq.empty, Seq.empty, Map.empty, Some(ns.json))
-    writeAtomic(commitPath(root, id), toJson(c))
-    id
+    commitEvolution(root, snap, "widen_column", Map.empty, ns.json)
   }
 
   private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
@@ -1061,8 +1104,12 @@ object GraftTable {
     // its next batch loudly instead of silently serving alien files
     // under the schema it pinned at start. (A replace that then loses
     // the commit race has still staged files into data/ for a window —
-    // killing the stream is the safe side of that race.)
-    val newGen = currentGeneration(root) + 1
+    // killing the stream is the safe side of that race.) Streams pin
+    // the COMMITTED generationProp, not this marker, so the
+    // marker-ahead window between here and the commit reads as a
+    // mismatch — exactly the window where a starting stream could
+    // otherwise capture the old schema against new-generation files.
+    val newGen = nextGeneration(root, snap.properties)
     writeGeneration(root, newGen)
     val adds = staged.files.sortBy(_.path).zipWithIndex.map { case (f, i) =>
       val name = f"$id%010d-$i%05d-${UUID.randomUUID()}.parquet"
@@ -1089,10 +1136,19 @@ object GraftTable {
     val opCfg = snap.properties.view
       .filterKeys(_ == "graft.stream.generation-guard").toMap
       .filterNot { case (k, _) => staged.properties.contains(k) }
-    commitOrCleanup(root, id, Commit(id, Some(snap.snapshotId),
+    try commitOrCleanup(root, id, Commit(id, Some(snap.snapshotId),
       System.currentTimeMillis(), "replace", adds, snap.files.map(_.path),
-      staged.properties ++ refs ++ opCfg + ("graft.generation" -> newGen.toString),
+      staged.properties ++ refs ++ opCfg + (generationProp -> newGen.toString),
       staged.schemaJson))
+    catch { case e: Throwable =>
+      // the marker bumped above but the generation never committed:
+      // left alone it would disagree with generationProp FOREVER and
+      // every future property-pinned stream start would fail its first
+      // batch. Heal it back to whatever actually won the race (a
+      // concurrent replace's committed counter, or the old value).
+      scala.util.Try(writeGeneration(root, committedGeneration(state(root).properties)))
+      throw e
+    }
     id
   }
 
@@ -1367,6 +1423,63 @@ object GraftTable {
     id
   }
 
+  // ── MERGE ───────────────────────────────────────────────────────────
+
+  /** Clause model for the generalized MERGE (the SQL grammar's
+    * `WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE` and
+    * `WHEN NOT MATCHED [AND cond] THEN INSERT ...`). Clause conditions
+    * and value expressions see the TARGET row's columns under their
+    * own names and the SOURCE row's columns under `mergeSourcePrefix`
+    * (the SQL front door rewrites alias-qualified references to this
+    * convention). Clauses apply in order: the first whose condition
+    * evaluates true wins for each row, standard MERGE semantics. */
+  sealed trait MergeClause { def condition: Option[Column] }
+  /** `set = None` is SET * (whole row from source); a partial map
+    * leaves unlisted target columns unchanged. */
+  case class MergeUpdate(condition: Option[Column],
+      set: Option[Map[String, Column]] = None) extends MergeClause
+  case class MergeDelete(condition: Option[Column]) extends MergeClause
+  /** `values = None` is INSERT *; an explicit map fills unlisted
+    * columns with NULL (the SQL INSERT-column-list rule). */
+  case class MergeInsert(condition: Option[Column],
+      values: Option[Map[String, Column]] = None) extends MergeClause
+
+  /** Source-column namespace inside merge clause expressions. Starts
+    * with the reserved `_g` prefix (renameColumn refuses user columns
+    * there), so it can never collide with a target name. */
+  val mergeSourcePrefix = "_gs_"
+
+  private val mergeDefaultClauses: Seq[MergeClause] =
+    Seq(MergeUpdate(None, None), MergeInsert(None, None))
+
+  /** Key min/max bounds from the source → stats-overlap pruning
+    * predicates, so a keyed merge against a large table touches the
+    * few files that may hold those keys, not the table. */
+  private def sourceKeyBoundPreds(source: DataFrame, keyCols: Seq[String],
+      types: Map[String, DataType]): Seq[Pred] = {
+    val boundAggs = keyCols.filter(c => statsTypes.contains(types(c))).flatMap { c =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))
+    }
+    if (boundAggs.isEmpty) Seq.empty
+    else {
+      val r = source.agg(boundAggs.head, boundAggs.tail: _*).collect().head
+      keyCols.filter(c => statsTypes.contains(types(c))).flatMap { c =>
+        def render(v: Any): Option[String] = v match {
+          case null => None
+          case d: java.sql.Date => Some(d.toString)
+          case d: java.time.LocalDate => Some(d.toString)
+          case t: java.sql.Timestamp => Some((t.getTime * 1000L + t.getNanos / 1000 % 1000).toString)
+          case t: java.time.Instant => Some((t.getEpochSecond * 1000000L + t.getNano / 1000).toString)
+          case t: java.time.LocalDateTime =>
+            Some((t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000).toString)
+          case x => Some(x.toString)
+        }
+        render(r.getAs[Any](s"__mn_$c")).map(Ge(c, _)).toSeq ++
+          render(r.getAs[Any](s"__mx_$c")).map(Le(c, _)).toSeq
+      }
+    }
+  }
+
   /** MERGE INTO (upsert, copy-on-write): `source` rows replace target
     * rows with equal `keyCols` (WHEN MATCHED THEN UPDATE SET *) and
     * are inserted otherwise (WHEN NOT MATCHED THEN INSERT *). Only
@@ -1383,29 +1496,7 @@ object GraftTable {
     require(keyCols.nonEmpty && keyCols.forall(types.contains), s"bad merge keys: $keyCols")
     val dup = source.groupBy(keyCols.map(col): _*).count().filter(col("count") > 1).limit(1).count()
     require(dup == 0L, "MERGE source has duplicate keys (ON clause would match a target row twice)")
-    // key bounds from the source → stats-overlap pruning predicates
-    val boundAggs = keyCols.filter(c => statsTypes.contains(types(c))).flatMap { c =>
-      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))
-    }
-    val preds: Seq[Pred] =
-      if (boundAggs.isEmpty) Seq.empty
-      else {
-        val r = source.agg(boundAggs.head, boundAggs.tail: _*).collect().head
-        keyCols.filter(c => statsTypes.contains(types(c))).flatMap { c =>
-          def render(v: Any): Option[String] = v match {
-            case null => None
-            case d: java.sql.Date => Some(d.toString)
-            case d: java.time.LocalDate => Some(d.toString)
-            case t: java.sql.Timestamp => Some((t.getTime * 1000L + t.getNanos / 1000 % 1000).toString)
-            case t: java.time.Instant => Some((t.getEpochSecond * 1000000L + t.getNano / 1000).toString)
-            case t: java.time.LocalDateTime =>
-              Some((t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000).toString)
-            case x => Some(x.toString)
-          }
-          render(r.getAs[Any](s"__mn_$c")).map(Ge(c, _)).toSeq ++
-            render(r.getAs[Any](s"__mx_$c")).map(Le(c, _)).toSeq
-        }
-      }
+    val preds = sourceKeyBoundPreds(source, keyCols, types)
     val dataFiles = snap.files.filter(_.isData)
     val deletes = snap.files.filter(_.isDelete)
     val touched =
@@ -1417,6 +1508,108 @@ object GraftTable {
     val kept = readFiles(spark, root, schema, touched, deletes)
       .join(src.select(keyCols.map(col): _*), keyCols, "left_anti")
     val adds = writeDataFiles(spark, root, kept.unionByName(src), id, snap.properties)
+    commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
+      "merge", adds, touched.map(_.path), Map.empty, None))
+    id
+  }
+
+  /** Generalized MERGE with the full clause grammar. The plan is one
+    * full-outer join of the touched files against the prefixed source,
+    * then a per-row first-true-clause projection — one shuffle, no
+    * driver loops, same key-bounds file pruning as the plain upsert
+    * (NOT MATCHED detection within touched files is exact because any
+    * target row holding a source key lives in a touched file by
+    * construction). The plain two-clause upsert delegates to the
+    * anti-join fast path above. */
+  def merge(spark: SparkSession, root: String, source: DataFrame,
+      keyCols: Seq[String], clauses: Seq[MergeClause]): Long = {
+    if (clauses == mergeDefaultClauses) return merge(spark, root, source, keyCols)
+    val snap = state(root)
+    val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    require(keyCols.nonEmpty && keyCols.forall(types.contains), s"bad merge keys: $keyCols")
+    require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
+    val srcCols = source.columns.toSeq
+    require(srcCols.forall(!_.toLowerCase.startsWith("_g")),
+      "MERGE source columns may not use the reserved _g prefix")
+    require(keyCols.forall(k => srcCols.exists(_.equalsIgnoreCase(k))),
+      s"MERGE source lacks key columns: ${keyCols.filterNot(k => srcCols.exists(_.equalsIgnoreCase(k)))}")
+    val usesStar = clauses.exists {
+      case MergeUpdate(_, None) => true
+      case MergeInsert(_, None) => true
+      case _ => false
+    }
+    if (usesStar) require(schema.fieldNames.forall(f => srcCols.exists(_.equalsIgnoreCase(f))),
+      s"SET * / INSERT * needs every target column in the source; missing: " +
+        schema.fieldNames.filterNot(f => srcCols.exists(_.equalsIgnoreCase(f))).mkString(", "))
+    clauses.foreach {
+      case MergeUpdate(_, Some(set)) =>
+        require(set.keySet.subsetOf(schema.fieldNames.toSet),
+          s"unknown SET columns: ${set.keySet -- schema.fieldNames}")
+      case MergeInsert(_, Some(vals)) =>
+        require(vals.keySet.subsetOf(schema.fieldNames.toSet),
+          s"unknown INSERT columns: ${vals.keySet -- schema.fieldNames}")
+      case _ => ()
+    }
+    val dup = source.groupBy(keyCols.map(col): _*).count().filter(col("count") > 1).limit(1).count()
+    require(dup == 0L, "MERGE source has duplicate keys (ON clause would match a target row twice)")
+    val preds = sourceKeyBoundPreds(source, keyCols, types)
+    val dataFiles = snap.files.filter(_.isData)
+    val delFiles = snap.files.filter(_.isDelete)
+    val touched =
+      if (preds.isEmpty) dataFiles
+      else prunedData(types, tableSpec(snap.properties), preds, dataFiles,
+        statAliases(schema))
+    val id = snap.snapshotId + 1
+    // presence flags (not key-null checks: a target row may legally
+    // carry null keys — it never matches, but it still exists)
+    val tPresent = "_gt_present"
+    val sPresent = mergeSourcePrefix + "_present"
+    val tgt = readFiles(spark, root, schema, touched, delFiles)
+      .withColumn(tPresent, lit(true))
+    val srcRen = source
+      .select(srcCols.map(c => col(c).as(mergeSourcePrefix + c)): _*)
+      .withColumn(sPresent, lit(true))
+    val joinCond = keyCols.map(k => tgt(k) === srcRen(mergeSourcePrefix + k))
+      .reduce(_ && _)
+    val joined = tgt.join(srcRen, joinCond, "full_outer")
+    val matchedClauses = clauses.collect {
+      case u: MergeUpdate => u
+      case d: MergeDelete => d
+    }
+    val insertClauses = clauses.collect { case i: MergeInsert => i }
+    val isMatched = col(tPresent).isNotNull && col(sPresent).isNotNull
+    // first-true-clause fold: when(c1, v1).otherwise(when(c2, v2)...)
+    // — a null condition counts false, the SQL rule
+    def chain(cs: Seq[(Option[Column], Column)], dflt: Column): Column =
+      cs.foldRight(dflt) { case ((c, v), acc) =>
+        when(coalesce(c.getOrElse(lit(true)), lit(false)), v).otherwise(acc)
+      }
+    val keep =
+      when(isMatched, chain(matchedClauses.collect {
+        case MergeUpdate(c, _) => (c, lit(true))
+        case MergeDelete(c) => (c, lit(false))
+      }, lit(true)))
+      .when(col(tPresent).isNotNull, lit(true))   // target-only: carry over
+      .otherwise(chain(insertClauses.map(ic => (ic.condition, lit(true))), lit(false)))
+    def fieldVal(f: StructField): Column = {
+      def sCol = col(mergeSourcePrefix + f.name)
+      val tCol = col(f.name)
+      when(isMatched, chain(matchedClauses.collect {
+        case MergeUpdate(c, None) => (c, sCol)
+        case MergeUpdate(c, Some(set)) => (c, set.getOrElse(f.name, tCol))
+        case MergeDelete(c) => (c, tCol)   // dropped by `keep` anyway
+      }, tCol))
+      .when(col(tPresent).isNotNull, tCol)
+      .otherwise(chain(insertClauses.map {
+        case MergeInsert(c, None) => (c, sCol)
+        case MergeInsert(c, Some(vals)) => (c, vals.getOrElse(f.name, lit(null)))
+      }, lit(null)))   // unmatched-by-any-clause source rows drop via `keep`
+      .cast(f.dataType).as(f.name)
+    }
+    val out = joined.filter(keep)
+      .select(schema.fields.map(fieldVal).toIndexedSeq: _*)
+    val adds = writeDataFiles(spark, root, out, id, snap.properties)
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "merge", adds, touched.map(_.path), Map.empty, None))
     id
@@ -2445,16 +2638,18 @@ object GraftTable {
     * rows again from new files). Run `removeOrphanFiles` before
     * attaching a stream to a table that may hold crashed writes. */
   def readStreamAppendOnly(spark: SparkSession, root: String): DataFrame = {
-    // pin the generation BEFORE reading the schema: a REPLACE landing
-    // between the two then leaves a STALE pin (old generation) with
-    // the new schema — the guard fires on the first batch. The other
-    // order would pin the new generation against the OLD schema and
-    // pass silently, which is the exact corruption the guard exists
-    // to catch. (replaceFrom bumps the marker before its moves, so a
-    // stream starting mid-replace pins the new generation and reads
-    // the post-replace schema: consistent.)
-    val pinnedGen = currentGeneration(root)
+    // pin the generation from the COMMITTED generationProp of the
+    // same snapshot the schema comes from — atomic with the schema by
+    // construction, so no interleaving with a concurrent REPLACE can
+    // produce a (new generation, old schema) pin that passes the
+    // guard silently. A stream starting mid-replace (marker already
+    // bumped, commit not yet landed) pins the OLD committed value
+    // against the already-ahead marker and fails its first batch
+    // loudly — the safe side. (Pinning the MARKER here instead would
+    // pin the new generation against the old schema in exactly that
+    // window: the silent corruption the guard exists to catch.)
     val snap = state(root)
+    val pinnedGen = committedGeneration(snap.properties)
     val schema = DataType.fromJson(snap.schemaJson.getOrElse(
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
     val guarded = !snap.properties.get("graft.stream.generation-guard").contains("false")
@@ -2493,10 +2688,16 @@ object GraftTable {
       val root = left.eval(null).toString
       val expected = right.eval(null).asInstanceOf[Long]
       val gen = currentGeneration(root)
-      if (gen != expected) throw new IllegalStateException(
+      // strictly-greater, not !=: the counter is monotonic (nextGeneration
+      // takes max(marker, committed)), so marker BELOW the pin can only
+      // mean the marker file itself was lost — degrade to "no guard"
+      // consistently rather than spuriously killing every stream
+      if (gen > expected) throw new IllegalStateException(
         s"graft table at $root moved to generation $gen while this stream pinned " +
-          s"generation $expected: REPLACE TABLE committed under a live stream. " +
-          "Stop streams before a REPLACE, then restart them against the new generation.")
+          s"generation $expected: REPLACE TABLE or schema evolution " +
+          "(rename/drop/widen column) committed under a live stream. Stop " +
+          "streams before such commits, then restart them against the new " +
+          "generation and schema.")
     }
     override protected def evalInternal(input: InternalRow): Any = true
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

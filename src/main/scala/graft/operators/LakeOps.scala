@@ -305,7 +305,54 @@ object LakeOps {
         "replace_commits", "cdc_inserts_after")
   }
 
+  // ── q64: full-grammar SQL MERGE (upsert with tombstones), oracle ────
+  /** CDC-style apply through the SQL MERGE grammar itself: an op flag
+    * drives WHEN MATCHED DELETE (tombstones), a conditional partial-SET
+    * UPDATE, and an explicit-column-list INSERT. Runs the real parser
+    * entry (GraftProcedures.parseRowLevel) + command execution — the
+    * shared Verify session cannot inject parsers post-build, so the
+    * statement goes through the same recognize→run path the
+    * spark.sql.extensions door uses. */
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch("q64-wh")
+    val root = Paths.get(wh, "lab", "q64").toString
+    Files.createDirectories(Paths.get(wh, "lab"))
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    GraftTable.create(s, root, base.schema)
+    GraftTable.append(s, root, base.filter(col("o_orderkey") % 7 === 0).repartition(4))
+    // disjoint op classes over the key space: matched tombstones,
+    // matched updates, unmatched inserts, unmatched tombstones (no-op)
+    base.filter(col("o_orderkey") % 14 === 0).withColumn("op", lit("D"))
+      .unionByName(base.filter(col("o_orderkey") % 14 === 7).withColumn("op", lit("U")))
+      .unionByName(base.filter(col("o_orderkey") % 7 === 3).withColumn("op", lit("I")))
+      .unionByName(base.filter(col("o_orderkey") % 7 === 5).withColumn("op", lit("D")))
+      .createOrReplaceTempView("q64_src")
+    val mergeSql =
+      """MERGE INTO graft.lab.q64 AS t USING q64_src AS s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET o_orderstatus = 'U', o_totalprice = s.o_totalprice * 2
+        |WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+        |  VALUES (s.o_orderkey, s.o_custkey, 'I', s.o_totalprice)""".stripMargin
+    val whConf = "spark.sql.catalog.graft.warehouse"
+    val prev = s.conf.getOption(whConf)
+    s.conf.set(whConf, wh)
+    try {
+      val plan = graft.lake.GraftProcedures.parseRowLevel(mergeSql).getOrElse(
+        throw new IllegalStateException("MERGE grammar not recognized by parseRowLevel"))
+      plan.asInstanceOf[org.apache.spark.sql.execution.command.LeafRunnableCommand].run(s)
+    } finally prev match {
+      case Some(v) => s.conf.set(whConf, v)
+      case None => s.conf.unset(whConf)
+    }
+    GraftTable.read(s, root)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_lake_merge_full" -> q64 _,
     "q57_lake_changes" -> q57 _,
     "q62_lake_entries" -> q62 _,
     "q63_lake_replace" -> q63 _,
@@ -359,6 +406,18 @@ object LakeOps {
     "q29_lake_partition_prune" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
         |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q64_lake_merge_full" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 14 = 7 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN o_orderkey % 14 = 7 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 14 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'I' AS o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 7 = 3)
         |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -718,6 +718,58 @@ class SqlFrontDoorSpec extends SparkSpec {
     assert(spark.sql("SELECT tag FROM graft.rl.t WHERE id = 300").head().getString(0) == "ci")
   }
 
+  test("MERGE full grammar: matched DELETE, conditional clauses, partial SET, INSERT list") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
+    spark.sql("DROP TABLE IF EXISTS graft.rl.g")
+    spark.sql("CREATE TABLE graft.rl.g (id BIGINT, v DOUBLE, tag STRING)")
+    spark.sql("INSERT INTO graft.rl.g SELECT id, CAST(id AS DOUBLE), 'x' FROM range(20)")
+    // CDC-style source: op flag drives tombstones vs updates vs inserts.
+    // ids 0-4 op=D (delete), 5-9 op=U (update), 25-29 op=I (insert),
+    // 30-34 op=D unmatched (tombstone for absent row: must be a no-op)
+    spark.sql("""SELECT id, CAST(id * 10 AS DOUBLE) AS v,
+      |  CASE WHEN id < 5 OR id >= 30 THEN 'D' WHEN id < 10 THEN 'U' ELSE 'I' END AS op
+      |FROM range(35) WHERE id < 10 OR id >= 25""".stripMargin)
+      .createOrReplaceTempView("rl_cdc")
+    spark.sql("""MERGE INTO graft.rl.g AS t USING rl_cdc AS s ON t.id = s.id
+      |WHEN MATCHED AND s.op = 'D' THEN DELETE
+      |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.v, tag = 'upd'
+      |WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    // deletes: 0-4 gone; 30-34 never existed and must NOT be inserted
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.rl.g WHERE id < 5").head().getLong(0) == 0)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.rl.g WHERE id >= 30").head().getLong(0) == 0)
+    // conditional partial SET: 5-9 updated (v = id*10, tag = 'upd')
+    assert(spark.sql("SELECT v, tag FROM graft.rl.g WHERE id = 7").head().toSeq == Seq(70.0, "upd"))
+    // untouched matched rows (10-19, no source row) carry over intact
+    assert(spark.sql("SELECT v, tag FROM graft.rl.g WHERE id = 15").head().toSeq == Seq(15.0, "x"))
+    // INSERT with explicit column list: unlisted tag is NULL
+    assert(spark.sql("SELECT v FROM graft.rl.g WHERE id = 27").head().getDouble(0) == 270.0)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.rl.g WHERE id >= 25 AND tag IS NULL")
+      .head().getLong(0) == 5)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.rl.g").head().getLong(0) == 20)
+    // clause ORDER matters: first-true wins — a catch-all UPDATE before
+    // a DELETE means the DELETE never fires
+    spark.sql("DROP TABLE IF EXISTS graft.rl.g2")
+    spark.sql("CREATE TABLE graft.rl.g2 (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.rl.g2 SELECT id, CAST(1.0 AS DOUBLE) FROM range(5)")
+    spark.sql("SELECT id, CAST(2.0 AS DOUBLE) AS v FROM range(5)")
+      .createOrReplaceTempView("rl_g2src")
+    spark.sql("""MERGE INTO graft.rl.g2 USING rl_g2src ON id = id
+      |WHEN MATCHED THEN UPDATE SET *
+      |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.rl.g2 WHERE v = 2.0").head().getLong(0) == 5,
+      "first-true clause must win: UPDATE shadows the later DELETE")
+    // a matched row whose source matches NO clause condition carries over
+    spark.sql("DROP TABLE IF EXISTS graft.rl.g3")
+    spark.sql("CREATE TABLE graft.rl.g3 (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.rl.g3 SELECT id, CAST(id AS DOUBLE) FROM range(4)")
+    spark.sql("SELECT id, CAST(99.0 AS DOUBLE) AS v FROM range(4)")
+      .createOrReplaceTempView("rl_g3src")
+    spark.sql("""MERGE INTO graft.rl.g3 USING rl_g3src ON id = id
+      |WHEN MATCHED AND id > 100 THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT SUM(v) AS s FROM graft.rl.g3").head().getDouble(0) == 6.0,
+      "no-clause-applies matched rows must carry over unchanged")
+  }
+
   test("CALL create_changes_view exposes the CDC feed to SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
     spark.sql("DROP TABLE IF EXISTS graft.rl.cdc")

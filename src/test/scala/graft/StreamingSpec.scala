@@ -310,6 +310,72 @@ class StreamingSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("schema evolution under a live stream terminates it with the generation error") {
+    // widen/rename/drop change what the pinned schema reads from files
+    // written AFTER them (widened long values served as int would be a
+    // runtime parquet error at best) — evolution commits bump the
+    // generation exactly like REPLACE so the stream dies loudly instead
+    import spark.implicits._
+    import graft.lake.GraftTable
+    val base = Files.createTempDirectory("graft-evoguard")
+    val root = base.resolve("t").toString
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")   // id is INT
+    GraftTable.create(spark, root, df.schema)
+    GraftTable.append(spark, root, df)
+    val q = GraftTable.readStreamAppendOnly(spark, root)
+      .writeStream.format("memory").queryName("evoguard_stream")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("evoguard_stream").count() == 2L)
+    GraftTable.widenColumn(root, "id", org.apache.spark.sql.types.LongType)
+    // post-widen files carry int64 pages the pinned int32 schema
+    // cannot read — the batch that would serve them must die instead
+    GraftTable.append(spark, root, Seq((3L, "c")).toDF("id", "v"))
+    val err = intercept[Exception] { q.processAllAvailable() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(err).exists(c => Option(c.getMessage).exists(_.contains("generation"))),
+      s"stream must die with the generation error, got: $err")
+    assert(spark.table("evoguard_stream").count() == 2L,
+      "no post-evolution row may reach the sink under the pinned schema")
+    q.stop()
+    // a FRESH stream pins the post-widen generation + schema: consistent
+    val q2 = GraftTable.readStreamAppendOnly(spark, root)
+      .writeStream.format("memory").queryName("evoguard_stream2")
+      .option("checkpointLocation", base.resolve("ckpt2").toString)
+      .start()
+    q2.processAllAvailable()
+    assert(spark.table("evoguard_stream2").count() == 3L)
+    q2.stop()
+  }
+
+  test("a stream starting mid-replace (marker ahead of commit) fails loudly") {
+    // the ADVICE race: replaceFrom bumps the marker BEFORE its moves
+    // and commit. A stream starting in that window must NOT pin the
+    // bumped marker against the old schema and pass silently — it pins
+    // the COMMITTED generation property and its first batch dies.
+    import spark.implicits._
+    import graft.lake.GraftTable
+    val base = Files.createTempDirectory("graft-midreplace")
+    val root = base.resolve("t").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    GraftTable.create(spark, root, df.schema)
+    GraftTable.append(spark, root, df)
+    // simulate the mid-replace window: marker bumped, commit not landed
+    Files.writeString(java.nio.file.Paths.get(root, "_graft_log", "GENERATION"), "1")
+    val q = GraftTable.readStreamAppendOnly(spark, root)
+      .writeStream.format("memory").queryName("midreplace_stream")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    val err = intercept[Exception] { q.processAllAvailable() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(err).exists(c => Option(c.getMessage).exists(_.contains("generation"))),
+      s"mid-replace stream start must fail its first batch loudly, got: $err")
+    q.stop()
+  }
+
   test("batch sessionization splits on >30min gaps with per-user ordinals") {
     val sess = Streams.q44(spark, sf)
     val firstUser = sess.limit(1).collect().head
