@@ -92,6 +92,8 @@ object GraftProcedures {
 
   private val updateRe =
     """(?is)\s*UPDATE\s+((?:\w+\.)*\w+)\s+SET\s+(.+?)\s*;?\s*""".r
+  private val deleteRe =
+    """(?is)\s*DELETE\s+FROM\s+((?:\w+\.)*\w+)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val mergeRe =
     ("""(?is)\s*MERGE\s+INTO\s+((?:\w+\.)*\w+)(?:\s+AS)?(?:\s+(?!USING\b)(\w+))?""" +
       """\s+USING\s+(\(.*\)|(?:\w+\.)*\w+)(?:\s+AS)?(?:\s+(?!ON\b)(\w+))?""" +
@@ -104,8 +106,21 @@ object GraftProcedures {
     case mergeRe(tbl, tAlias, src, sAlias, on, whenTail) if isGraftTable(tbl) =>
       Some(GraftMergeCommand(stripCatalog(tbl), src, on, whenTail,
         Option(tAlias), Option(sAlias)))
+    // DELETE is intercepted ONLY for subquery predicates: pushable
+    // filters keep Spark's SupportsDelete path (metadata-only deletes,
+    // source pushdown); a subquery WHERE would error there, so it
+    // routes to the analyzer-backed CoW rewrite instead
+    case deleteRe(tbl, where) if containsSubquery(where) && isGraftTable(tbl) =>
+      Some(GraftDeleteCommand(stripCatalog(tbl), where))
     case _ => None
   }
+
+  /** Does an expression's text contain a subquery? Conservative on
+    * purpose: a false positive (e.g. '(select' inside a string
+    * literal) just routes through the analyzer-backed path, which
+    * handles plain predicates identically. */
+  private[lake] def containsSubquery(s: String): Boolean =
+    "(?is)\\(\\s*SELECT\\b".r.findFirstIn(s).isDefined
 
   /** Rewrite alias-qualified column references in a clause expression
     * to the joined-frame convention GraftTable.merge evaluates under:
@@ -382,15 +397,48 @@ case class GraftUpdateCommand(table: String, setClause: String,
     import org.apache.spark.sql.functions.{expr, lit}
     val root = GraftProcedures.resolveRoot(spark, table)
     val fields = GraftTable.tableSchema(root).fieldNames.toSeq
-    val sets = GraftProcedures.splitTop(setClause, ',').map { a =>
+    val setsText = GraftProcedures.splitTop(setClause, ',').map { a =>
       a.split("=", 2) match {
         case Array(k, v) =>
-          GraftProcedures.resolveColumn(k.trim, fields) -> expr(v.trim)
+          GraftProcedures.resolveColumn(k.trim, fields) -> v.trim
         case _ => throw new IllegalArgumentException(s"bad SET assignment: '$a'")
       }
     }.toMap
-    val id = GraftTable.update(spark, root,
-      where.map(expr).getOrElse(lit(true)), sets)
+    // a subquery anywhere (WHERE or a SET expression) needs the full
+    // analyzer — the Column path cannot resolve it. The predicate runs
+    // over a generated temp view, so strip the table-name qualifier
+    // off column references (correlated EXISTS writes `t.c`).
+    val id =
+      if ((where.toSeq ++ setsText.values).exists(GraftProcedures.containsSubquery)) {
+        val tq = Set(table.split('.').last)
+        GraftTable.updateWhereSubquery(spark, root,
+          GraftProcedures.rewriteQualifiers(where.getOrElse("true"), Set.empty, tq),
+          setsText.view.mapValues(v =>
+            GraftProcedures.rewriteQualifiers(v, Set.empty, tq)).toMap)
+      }
+      else GraftTable.update(spark, root,
+        where.map(expr).getOrElse(lit(true)),
+        setsText.view.mapValues(v => expr(v)).toMap)
+    Seq(Row(s"snapshot_id=$id"))
+  }
+}
+
+/** `DELETE FROM t WHERE <subquery predicate>` → the analyzer-backed
+  * CoW rewrite (plain predicates never reach this command — they stay
+  * on Spark's SupportsDelete path). */
+case class GraftDeleteCommand(table: String, where: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftProcedures.resolveRoot(spark, table)
+    // the predicate runs over a generated temp view: strip the
+    // table-name qualifier off column refs (correlated EXISTS style)
+    val id = GraftTable.deleteWhereSubquery(spark, root,
+      GraftProcedures.rewriteQualifiers(where, Set.empty,
+        Set(table.split('.').last)))
     Seq(Row(s"snapshot_id=$id"))
   }
 }

@@ -1025,36 +1025,32 @@ object GraftTable {
     * unpruned files are rewritten with the same filter. */
   def overwriteWhere(spark: SparkSession, root: String, condition: Column,
       replacement: Option[DataFrame] = None, prunePreds: Seq[Pred] = Nil): Long = {
-    val snap = state(root)
-    val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
+    val planner = ckptPlanner(spark, root, None)
+    val (schema, props) = dmlHeader(planner, root)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     // explicit preds win; otherwise extract them from the condition —
     // a keyed delete then rewrites only files whose stats can match
     val effective =
       if (prunePreds.nonEmpty) prunePreds
       else extractPreds(conditionExpr(spark, schema, condition), types)
-    val dataFiles = snap.files.filter(_.isData)
-    val deletes = snap.files.filter(_.isDelete)
-    val touched =
-      if (effective.isEmpty) dataFiles
-      else prunedData(types, tableSpec(snap.properties), effective, dataFiles,
-        statAliases(schema))
-    val id = snap.snapshotId + 1   // planned against snap: conflicts fail loudly
+    val (baseId, victimPaths, deletes, _) =
+      dmlVictims(spark, root, planner, schema, types, effective)
+    val id = baseId + 1   // planned against baseId: conflicts fail loudly
     // the rewrite must apply any live position-delete files — a CoW
     // overwrite of MoR-deleted rows would otherwise resurrect them
-    val kept = readFiles(spark, root, schema, touched, deletes)
+    val kept = readPaths(spark, root, schema, victimPaths, deletes)
       .filter(!coalesce(condition, lit(false)))
     val toWrite = replacement.map(kept.unionByName(_)).getOrElse(kept)
-    val adds = writeDataFiles(spark, root, toWrite, id, snap.properties)
+    val adds = writeDataFiles(spark, root, toWrite, id, props)
     // a full-table rewrite leaves no rows the delete files could refer
     // to: retire them — and the historical column names — in the
     // same commit
-    val dropDeletes = if (effective.isEmpty) deletes.map(_.path) else Seq.empty
+    val dropDeletes = if (effective.isEmpty) deletes.map(_._1) else Seq.empty
     val (retSchemaJ, retProps) =
-      if (effective.isEmpty) retiredNamesMeta(schema, snap.properties)
+      if (effective.isEmpty) retiredNamesMeta(schema, props)
       else (None, Map.empty[String, String])
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
-      "overwrite", adds, touched.map(_.path) ++ dropDeletes, retProps, retSchemaJ))
+      "overwrite", adds, victimPaths ++ dropDeletes, retProps, retSchemaJ))
     id
   }
 
@@ -1159,7 +1155,10 @@ object GraftTable {
     * and defers the rewrite to rewritePositionDeletes/compaction. */
   def deleteWhere(spark: SparkSession, root: String, condition: Column,
       prunePreds: Seq[Pred] = Nil): Long =
-    if (state(root).properties.get("write.delete.mode").contains("merge-on-read"))
+    // dispatch off the planner header, not state(root): on a
+    // million-file table the mode lookup alone must not replay the log
+    if (dmlHeader(ckptPlanner(spark, root, None), root)._2
+        .get("write.delete.mode").contains("merge-on-read"))
       deleteWhereMoR(spark, root, condition, prunePreds)
     else overwriteWhere(spark, root, condition, None, prunePreds)
 
@@ -1173,20 +1172,16 @@ object GraftTable {
     * together — so no single task ever funnels the whole match set. */
   def deleteWhereMoR(spark: SparkSession, root: String, condition: Column,
       prunePreds: Seq[Pred] = Nil): Long = {
-    val snap = state(root)
-    val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
+    val planner = ckptPlanner(spark, root, None)
+    val (schema, props) = dmlHeader(planner, root)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     val effective =
       if (prunePreds.nonEmpty) prunePreds
       else extractPreds(conditionExpr(spark, schema, condition), types)
-    val dataFiles = snap.files.filter(_.isData)
-    val deletes = snap.files.filter(_.isDelete)
-    val touched =
-      if (effective.isEmpty) dataFiles
-      else prunedData(types, tableSpec(snap.properties), effective, dataFiles,
-        statAliases(schema))
-    val id = snap.snapshotId + 1
-    if (touched.isEmpty) {
+    val (baseId, victimPaths, deletes, _) =
+      dmlVictims(spark, root, planner, schema, types, effective)
+    val id = baseId + 1
+    if (victimPaths.isEmpty) {
       commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
         "delete", Seq.empty, Seq.empty, Map.empty, None))
       return id
@@ -1194,8 +1189,7 @@ object GraftTable {
     // positions of matching rows NOT already deleted (an already-
     // deleted row re-listed would be harmless — distinct on apply —
     // but would inflate the delete-file row count diagnostics)
-    val matches = liveRowsWithIds(spark, root, schema, touched.map(_.path),
-        deletes.map(f => (f.path, f.content.getOrElse(1), f.eqCols.getOrElse(Seq.empty))))
+    val matches = liveRowsWithIds(spark, root, schema, victimPaths, deletes)
       .filter(coalesce(condition, lit(false)))
       .select(col("_gf_path").as("file_path"), col("_gf_pos").as("pos"))
     val tmp = Paths.get(root, s".stage-${UUID.randomUUID()}")
@@ -1204,9 +1198,9 @@ object GraftTable {
     // so no extra count job runs over the scan. Hashing on file_path
     // keeps one data file's positions inside one delete file, and the
     // narrow-delete case stays a single file.
-    val perShard = snap.properties.get("graft.delete.files-per-shard")
+    val perShard = props.get("graft.delete.files-per-shard")
       .map(_.toInt).getOrElse(64)
-    val shards = math.min(4096, math.max(1, touched.size / math.max(1, perShard)))
+    val shards = math.min(4096, math.max(1, victimPaths.size / math.max(1, perShard)))
     val staged = if (shards > 1) matches.repartition(shards, col("file_path"))
                  else matches.coalesce(1)
     staged.write.parquet(tmp.toString)
@@ -1395,31 +1389,27 @@ object GraftTable {
     * ORIGINAL row (one atomic projection, standard UPDATE semantics). */
   def update(spark: SparkSession, root: String, condition: Column,
       set: Map[String, Column], prunePreds: Seq[Pred] = Nil): Long = {
-    val snap = state(root)
-    val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
+    val planner = ckptPlanner(spark, root, None)
+    val (schema, props) = dmlHeader(planner, root)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     require(set.keySet.subsetOf(schema.fieldNames.toSet),
       s"unknown update columns: ${set.keySet -- schema.fieldNames}")
     val effective =
       if (prunePreds.nonEmpty) prunePreds
       else extractPreds(conditionExpr(spark, schema, condition), types)
-    val dataFiles = snap.files.filter(_.isData)
-    val deletes = snap.files.filter(_.isDelete)
-    val touched =
-      if (effective.isEmpty) dataFiles
-      else prunedData(types, tableSpec(snap.properties), effective, dataFiles,
-        statAliases(schema))
-    val id = snap.snapshotId + 1
+    val (baseId, victimPaths, deletes, _) =
+      dmlVictims(spark, root, planner, schema, types, effective)
+    val id = baseId + 1
     val cond = coalesce(condition, lit(false))
-    val projected = readFiles(spark, root, schema, touched, deletes)
+    val projected = readPaths(spark, root, schema, victimPaths, deletes)
       .select(schema.fields.map { f =>
         set.get(f.name)
           .map(e => when(cond, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
           .getOrElse(col(f.name))
       }.toIndexedSeq: _*)
-    val adds = writeDataFiles(spark, root, projected, id, snap.properties)
+    val adds = writeDataFiles(spark, root, projected, id, props)
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
-      "update", adds, touched.map(_.path), Map.empty, None))
+      "update", adds, victimPaths, Map.empty, None))
     id
   }
 
@@ -1490,26 +1480,22 @@ object GraftTable {
     * result nondeterministic, so we fail loudly). */
   def merge(spark: SparkSession, root: String, source: DataFrame,
       keyCols: Seq[String]): Long = {
-    val snap = state(root)
-    val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
+    val planner = ckptPlanner(spark, root, None)
+    val (schema, props) = dmlHeader(planner, root)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     require(keyCols.nonEmpty && keyCols.forall(types.contains), s"bad merge keys: $keyCols")
     val dup = source.groupBy(keyCols.map(col): _*).count().filter(col("count") > 1).limit(1).count()
     require(dup == 0L, "MERGE source has duplicate keys (ON clause would match a target row twice)")
     val preds = sourceKeyBoundPreds(source, keyCols, types)
-    val dataFiles = snap.files.filter(_.isData)
-    val deletes = snap.files.filter(_.isDelete)
-    val touched =
-      if (preds.isEmpty) dataFiles
-      else prunedData(types, tableSpec(snap.properties), preds, dataFiles,
-        statAliases(schema))
-    val id = snap.snapshotId + 1
+    val (baseId, victimPaths, deletes, _) =
+      dmlVictims(spark, root, planner, schema, types, preds)
+    val id = baseId + 1
     val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    val kept = readFiles(spark, root, schema, touched, deletes)
+    val kept = readPaths(spark, root, schema, victimPaths, deletes)
       .join(src.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val adds = writeDataFiles(spark, root, kept.unionByName(src), id, snap.properties)
+    val adds = writeDataFiles(spark, root, kept.unionByName(src), id, props)
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
-      "merge", adds, touched.map(_.path), Map.empty, None))
+      "merge", adds, victimPaths, Map.empty, None))
     id
   }
 
@@ -1524,8 +1510,8 @@ object GraftTable {
   def merge(spark: SparkSession, root: String, source: DataFrame,
       keyCols: Seq[String], clauses: Seq[MergeClause]): Long = {
     if (clauses == mergeDefaultClauses) return merge(spark, root, source, keyCols)
-    val snap = state(root)
-    val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
+    val planner = ckptPlanner(spark, root, None)
+    val (schema, props) = dmlHeader(planner, root)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     require(keyCols.nonEmpty && keyCols.forall(types.contains), s"bad merge keys: $keyCols")
     require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
@@ -1554,18 +1540,14 @@ object GraftTable {
     val dup = source.groupBy(keyCols.map(col): _*).count().filter(col("count") > 1).limit(1).count()
     require(dup == 0L, "MERGE source has duplicate keys (ON clause would match a target row twice)")
     val preds = sourceKeyBoundPreds(source, keyCols, types)
-    val dataFiles = snap.files.filter(_.isData)
-    val delFiles = snap.files.filter(_.isDelete)
-    val touched =
-      if (preds.isEmpty) dataFiles
-      else prunedData(types, tableSpec(snap.properties), preds, dataFiles,
-        statAliases(schema))
-    val id = snap.snapshotId + 1
+    val (baseId, victimPaths, delFiles, _) =
+      dmlVictims(spark, root, planner, schema, types, preds)
+    val id = baseId + 1
     // presence flags (not key-null checks: a target row may legally
     // carry null keys — it never matches, but it still exists)
     val tPresent = "_gt_present"
     val sPresent = mergeSourcePrefix + "_present"
-    val tgt = readFiles(spark, root, schema, touched, delFiles)
+    val tgt = readPaths(spark, root, schema, victimPaths, delFiles)
       .withColumn(tPresent, lit(true))
     val srcRen = source
       .select(srcCols.map(c => col(c).as(mergeSourcePrefix + c)): _*)
@@ -1609,9 +1591,9 @@ object GraftTable {
     }
     val out = joined.filter(keep)
       .select(schema.fields.map(fieldVal).toIndexedSeq: _*)
-    val adds = writeDataFiles(spark, root, out, id, snap.properties)
+    val adds = writeDataFiles(spark, root, out, id, props)
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
-      "merge", adds, touched.map(_.path), Map.empty, None))
+      "merge", adds, victimPaths, Map.empty, None))
     id
   }
 
@@ -2269,7 +2251,34 @@ object GraftTable {
     * driver-side. Run rewriteManifests periodically to keep the tail
     * short, exactly as Iceberg/Delta checkpointing assumes. */
   def planScan(spark: SparkSession, root: String, preds: Seq[Pred],
-      asOf: Option[Long] = None): ScanPlan = {
+      asOf: Option[Long] = None): ScanPlan =
+    ckptPlanner(spark, root, asOf) match {
+      case None =>
+        val (df, total, live) = scan(spark, root, preds, asOf)
+        ScanPlan(df, total.toLong, live.toLong, distributed = false)
+      case Some(p) =>
+        val types = p.schema.fields.map(f => f.name -> f.dataType).toMap
+        val (dataPaths, deletes, totalData) = p.prune(preds)
+        val df = applyPreds(readPaths(spark, root, p.schema, dataPaths, deletes),
+          types, preds)
+        ScanPlan(df, totalData, dataPaths.size.toLong, distributed = true)
+    }
+
+  /** The checkpoint-backed distributed planner shared by planScan and
+    * row-level DML victim selection: the table header (target
+    * snapshot, properties, schema) resolves from ckptmeta + ordered
+    * tail replay, and `prune` runs the stats/partition prune as a
+    * Spark job over the ckptfiles parquet — returning (live data
+    * paths, live delete files, total data count) with only the
+    * SURVIVORS ever reaching the driver. None when no checkpoint
+    * covers the target or the file count sits below the planning
+    * threshold (the exact driver path is cheaper there). */
+  private[lake] case class CkptPlanner(targetId: Long,
+      properties: Map[String, String], schema: StructType,
+      prune: Seq[Pred] => (Seq[String], Seq[(String, Int, Seq[String])], Long))
+
+  private def ckptPlanner(spark: SparkSession, root: String,
+      asOf: Option[Long]): Option[CkptPlanner] = {
     val ids = listCommitIds(root)
     require(ids.nonEmpty, s"not a GraftTable (empty log): $root")
     val target = asOf.getOrElse(ids.max)
@@ -2279,11 +2288,7 @@ object GraftTable {
     val metaOpt = ck.map(k =>
       parseCommit(Files.readString(logDir(root).resolve(s"ckptmeta-$k.json"))))
     val (ckCount, threshold) = metaOpt.map(scaleOf).getOrElse((0L, 1000L))
-    def driverPlan: ScanPlan = {
-      val (df, total, live) = scan(spark, root, preds, asOf)
-      ScanPlan(df, total.toLong, live.toLong, distributed = false)
-    }
-    if (ck.isEmpty || ckCount < threshold) return driverPlan
+    if (ck.isEmpty || ckCount < threshold) return None
     val k = ck.get
     val meta = metaOpt.get
     val tail = ids.filter(id => id > k && id <= target)
@@ -2315,45 +2320,172 @@ object GraftTable {
     // full FileEntry); untouched paths resolve from the checkpoint
     val touched = delta.keySet.toSeq
     val tailAdds = delta.values.flatten.toSeq
-    val ckRaw = spark.read.parquet(logDir(root).resolve(s"ckptfiles-$k.parquet").toString)
-    // a pre-stamp parquet checkpoint carries the clamped-to-0 null
-    // counts: demote its zeros to the unknown sentinel, the executor
-    // twin of versionedAdds (the stamp lives on the ckptmeta commit)
-    val ckDf0 =
-      if (meta.statsVersion.nonEmpty) ckRaw
-      else ckRaw.withColumn("stats", expr(
-        "transform_values(stats, (k, v) -> named_struct(" +
-          "'min', v.min, 'max', v.max, " +
-          "'nulls', CASE WHEN v.nulls = 0 THEN CAST(-1 AS BIGINT) ELSE v.nulls END))"))
-    // exclude tail-touched paths via an anti-join, not an isin literal
-    // list: a huge post-checkpoint rewrite (manifests not yet
-    // compacted) stays a normal join instead of either a giant
-    // expression tree or an O(table) driver fallback
-    val ckDf =
-      if (touched.isEmpty) ckDf0
-      else {
-        import spark.implicits._
-        ckDf0.join(touched.toDF("_tpath"), col("path") === col("_tpath"), "left_anti")
+    Some(CkptPlanner(target, props, schema, { preds =>
+      val ckRaw = spark.read.parquet(logDir(root).resolve(s"ckptfiles-$k.parquet").toString)
+      // a pre-stamp parquet checkpoint carries the clamped-to-0 null
+      // counts: demote its zeros to the unknown sentinel, the executor
+      // twin of versionedAdds (the stamp lives on the ckptmeta commit)
+      val ckDf0 =
+        if (meta.statsVersion.nonEmpty) ckRaw
+        else ckRaw.withColumn("stats", expr(
+          "transform_values(stats, (k, v) -> named_struct(" +
+            "'min', v.min, 'max', v.max, " +
+            "'nulls', CASE WHEN v.nulls = 0 THEN CAST(-1 AS BIGINT) ELSE v.nulls END))"))
+      // exclude tail-touched paths via an anti-join, not an isin literal
+      // list: a huge post-checkpoint rewrite (manifests not yet
+      // compacted) stays a normal join instead of either a giant
+      // expression tree or an O(table) driver fallback
+      val ckDf =
+        if (touched.isEmpty) ckDf0
+        else {
+          import spark.implicits._
+          ckDf0.join(touched.toDF("_tpath"), col("path") === col("_tpath"), "left_anti")
+        }
+      val aliases = statAliases(schema)
+      val pruneCond = preds.map(predCond(types, spec, _, aliases))
+        .foldLeft(col("content") === 0)(_ && _)
+      // ONE job returns live paths + the (tiny) delete list + the total
+      val rows = ckDf
+        .withColumn("live", pruneCond)
+        .filter(col("content") =!= 0 || col("live"))
+        .select(col("path"), col("content"), col("live"), col("eqcols"))
+        .collect()
+      val ckLive = rows.filter(r => r.getInt(1) == 0 && r.getBoolean(2)).map(_.getString(0))
+      val ckDeletes = rows.filter(_.getInt(1) != 0)
+        .map(r => (r.getString(0), r.getInt(1), r.getSeq[String](3)))
+      val tailLive = prunedData(types, spec, preds, tailAdds, aliases)
+      val dataPaths = ckLive.toSeq ++ tailLive.map(_.path)
+      val deletes = ckDeletes.toSeq ++ tailAdds.filter(_.isDelete)
+        .map(f => (f.path, f.content.getOrElse(1), f.eqCols.getOrElse(Seq.empty)))
+      val totalData = ckDf.filter(col("content") === 0).count() + tailAdds.count(_.isData)
+      (dataPaths, deletes, totalData)
+    }))
+  }
+
+  /** Row-level DML victim selection (r8 verdict: the last driver-memory
+    * ceiling): with a live checkpoint above the planning threshold and
+    * real pruning predicates, victims resolve through the SAME
+    * distributed prune reads use — the driver holds only the victim
+    * paths (which the commit must name in `removes` regardless) plus
+    * the live delete-file list, never the full entry list. Without a
+    * checkpoint, or with no predicates (a full-table rewrite is
+    * O(table) by definition), the exact driver path plans as before.
+    * Returns (base snapshot id, victim data paths, live delete files,
+    * planned-distributed). */
+  private def dmlVictims(spark: SparkSession, root: String,
+      planner: Option[CkptPlanner], schema: StructType,
+      types: Map[String, DataType], preds: Seq[Pred])
+      : (Long, Seq[String], Seq[(String, Int, Seq[String])], Boolean) =
+    planner match {
+      case Some(p) if preds.nonEmpty =>
+        val (victims, dels, _) = p.prune(preds)
+        (p.targetId, victims, dels, true)
+      case _ =>
+        val snap = state(root)
+        val dataFiles = snap.files.filter(_.isData)
+        val touched =
+          if (preds.isEmpty) dataFiles
+          else prunedData(types, tableSpec(snap.properties), preds, dataFiles,
+            statAliases(schema))
+        (snap.snapshotId, touched.map(_.path),
+          snap.files.filter(_.isDelete)
+            .map(f => (f.path, f.content.getOrElse(1), f.eqCols.getOrElse(Seq.empty))),
+          false)
+    }
+
+  /** Header (schema + properties) for DML planning: off the checkpoint
+    * planner when one is live (no full replay), else the cached
+    * driver state. */
+  private def dmlHeader(planner: Option[CkptPlanner],
+      root: String): (StructType, Map[String, String]) =
+    planner.map(p => (p.schema, p.properties)).getOrElse {
+      val s = state(root)
+      (DataType.fromJson(s.schemaJson.getOrElse(
+        state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType], s.properties)
+    }
+
+  /** DELETE whose WHERE needs the full SQL analyzer — IN/EXISTS/scalar
+    * subqueries the Column front door cannot express. The live rows
+    * (MoR deletes applied) are exposed as a temp view carrying their
+    * _gf_path file identity, the predicate runs through spark.sql, and
+    * victims resolve to exactly the files HOLDING matching rows — only
+    * those rewrite. A subquery predicate offers no stats bounds, so
+    * the SCAN is O(table) by nature; the REWRITE is not. MoR tables
+    * take the CoW rewrite here too: a position-delete write would need
+    * the same full victim scan, and one correct path beats mode purity
+    * for the rare subquery delete. */
+  def deleteWhereSubquery(spark: SparkSession, root: String, whereSql: String): Long =
+    rewriteBySql(spark, root, whereSql, None)
+
+  /** UPDATE twin of deleteWhereSubquery: `set` maps column → SQL
+    * expression text (subqueries welcome there too); matching rows in
+    * victim files rewrite with the assignments applied, every other
+    * row carries over byte-identical. */
+  def updateWhereSubquery(spark: SparkSession, root: String, whereSql: String,
+      set: Map[String, String]): Long =
+    rewriteBySql(spark, root, whereSql, Some(set))
+
+  private def rewriteBySql(spark: SparkSession, root: String, whereSql: String,
+      set: Option[Map[String, String]]): Long = {
+    val planner = ckptPlanner(spark, root, None)
+    val (schema, props) = dmlHeader(planner, root)
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    set.foreach(s => require(s.keySet.subsetOf(schema.fieldNames.toSet),
+      s"unknown update columns: ${s.keySet -- schema.fieldNames}"))
+    val (baseId, allPaths, deletes, _) =
+      dmlVictims(spark, root, planner, schema, types, Seq.empty)
+    val id = baseId + 1
+    val op = if (set.isEmpty) "overwrite" else "update"
+    val view = s"graft_dml_${UUID.randomUUID().toString.replace("-", "")}"
+    liveRowsWithIds(spark, root, schema, allPaths, deletes)
+      .drop("_gf_pos", "_gf_snap").createOrReplaceTempView(view)
+    try {
+      // files that actually hold matching rows (match on the unique
+      // file NAME — _gf_path is an absolute URI, paths are relative)
+      val victimNames = spark.sql(
+        s"SELECT DISTINCT _gf_path FROM $view WHERE $whereSql")
+        .collect().map(_.getString(0).split('/').last).toSet
+      val victims = allPaths.filter(p => victimNames.contains(p.split('/').last))
+      if (victims.isEmpty) {
+        commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
+          op, Seq.empty, Seq.empty, Map.empty, None))
+        return id
       }
-    val aliases = statAliases(schema)
-    val pruneCond = preds.map(predCond(types, spec, _, aliases))
-      .foldLeft(col("content") === 0)(_ && _)
-    // ONE job returns live paths + the (tiny) delete list + the total
-    val rows = ckDf
-      .withColumn("live", pruneCond)
-      .filter(col("content") =!= 0 || col("live"))
-      .select(col("path"), col("content"), col("live"), col("eqcols"))
-      .collect()
-    val ckLive = rows.filter(r => r.getInt(1) == 0 && r.getBoolean(2)).map(_.getString(0))
-    val ckDeletes = rows.filter(_.getInt(1) != 0)
-      .map(r => (r.getString(0), r.getInt(1), r.getSeq[String](3)))
-    val tailLive = prunedData(types, spec, preds, tailAdds, aliases)
-    val dataPaths = ckLive.toSeq ++ tailLive.map(_.path)
-    val deletes = ckDeletes.toSeq ++ tailAdds.filter(_.isDelete)
-      .map(f => (f.path, f.content.getOrElse(1), f.eqCols.getOrElse(Seq.empty)))
-    val totalData = ckDf.filter(col("content") === 0).count() + tailAdds.count(_.isData)
-    val df = applyPreds(readPaths(spark, root, schema, dataPaths, deletes), types, preds)
-    ScanPlan(df, totalData, dataPaths.size.toLong, distributed = true)
+      val fieldsSql = schema.fields.map { f =>
+        set.flatMap(_.get(f.name)) match {
+          case Some(v) =>
+            // same atomic-projection rule as update(): assignments see
+            // the ORIGINAL row, matched via the full SQL predicate
+            s"CASE WHEN coalesce(($whereSql), false) " +
+              s"THEN CAST(($v) AS ${f.dataType.sql}) ELSE `${f.name}` END AS `${f.name}`"
+          case None => s"`${f.name}`"
+        }
+      }.mkString(", ")
+      val keepSql = if (set.isEmpty) s"NOT coalesce(($whereSql), false)" else "true"
+      import spark.implicits._
+      val rewritten = spark.sql(
+        s"SELECT $fieldsSql, _gf_path FROM $view WHERE $keepSql")
+        .withColumn("_gf_name", regexp_extract(col("_gf_path"), "([^/]+)$", 1))
+        .join(victimNames.toSeq.toDF("_vn"), col("_gf_name") === col("_vn"), "left_semi")
+        .drop("_gf_path", "_gf_name")
+      val adds = writeDataFiles(spark, root, rewritten, id, props)
+      commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
+        op, adds, victims, Map.empty, None))
+      id
+    } finally spark.catalog.dropTempView(view)
+  }
+
+  /** Diagnostic/test probe for how a row-level DML with these
+    * predicates selects its victims RIGHT NOW: (victim data paths,
+    * live delete paths, planned-distributed). deleteWhere / update /
+    * merge / overwriteWhere run this exact path. */
+  def planDmlProbe(spark: SparkSession, root: String,
+      preds: Seq[Pred]): (Seq[String], Seq[String], Boolean) = {
+    val planner = ckptPlanner(spark, root, None)
+    val (schema, _) = dmlHeader(planner, root)
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val (_, victims, dels, dist) = dmlVictims(spark, root, planner, schema, types, preds)
+    (victims, dels.map(_._1), dist)
   }
 
   // ── change data capture ─────────────────────────────────────────────

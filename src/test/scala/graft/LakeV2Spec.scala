@@ -503,6 +503,48 @@ class LakeV2Spec extends SparkSpec {
     assert(!GraftTable.planScan(spark, small, Seq(Lt("n_nationkey", "5"))).distributed)
   }
 
+  test("row-level DML plans victims off the checkpoint above the threshold") {
+    // the r8 verdict's last driver-memory ceiling: deleteWhere/update/
+    // merge/overwriteWhere victim selection must ride the same
+    // checkpoint + tail path planScan uses, never state(root).files
+    val n = Tables.nation(spark, sf)
+    def build(root: String, props: Map[String, String]): Unit = {
+      GraftTable.create(spark, root, n.schema,
+        props ++ Map("graft.write-partitions" -> "4",
+          "graft.partition-columns" -> "n_regionkey"))
+      GraftTable.append(spark, root, n)
+      GraftTable.append(spark, root, n.withColumn("n_nationkey", col("n_nationkey") + 100))
+      GraftTable.rewriteManifests(root)
+      // post-checkpoint tail commit: victims must be planned in too
+      GraftTable.append(spark, root, n.withColumn("n_nationkey", col("n_nationkey") + 200))
+    }
+    val root = freshRoot("dmlplan")
+    build(root, Map("graft.planning.distributed-threshold" -> "4"))
+    val twin = freshRoot("dmlplan-twin")
+    build(twin, Map.empty)   // default threshold 1000: driver path
+    val preds = Seq(Gt("n_nationkey", "195"))
+    val (victims, _, dist) = GraftTable.planDmlProbe(spark, root, preds)
+    val (dVictims, _, dDist) = GraftTable.planDmlProbe(spark, twin, preds)
+    assert(dist, "above the threshold DML victims must plan distributed")
+    assert(!dDist, "below the threshold DML victims stay on the driver")
+    assert(victims.size == dVictims.size,
+      s"planner parity: distributed picked ${victims.size} victims, driver ${dVictims.size}")
+    // the real DML: its commit's removes set must BE the probe's victim set
+    val pre = GraftTable.state(root)
+    GraftTable.deleteWhere(spark, root, col("n_nationkey") > 195)
+    val post = GraftTable.state(root)
+    val removed = pre.files.map(_.path).toSet -- post.files.map(_.path).toSet
+    assert(removed == victims.toSet,
+      s"commit victims (${removed.size}) != probe victims (${victims.size})")
+    assert(removed.size < pre.files.count(_.isData),
+      "pruning must leave untouched files out of the rewrite")
+    // identical end state through the driver-planned twin
+    GraftTable.deleteWhere(spark, twin, col("n_nationkey") > 195)
+    val (a, b) = (GraftTable.read(spark, root), GraftTable.read(spark, twin))
+    assert(a.count() == 50 && a.except(b).isEmpty && b.except(a).isEmpty,
+      "checkpoint-planned DML must produce the driver-planned result")
+  }
+
   test("null-count pruning agrees between the driver and distributed planners") {
     import GraftTable.{IsNull => GIsNull, NotNull => GNotNull}
     val root = freshRoot("nullprune")

@@ -770,6 +770,54 @@ class SqlFrontDoorSpec extends SparkSpec {
       "no-clause-applies matched rows must carry over unchanged")
   }
 
+  test("DELETE and UPDATE with subquery predicates route through the analyzer") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
+    spark.sql("DROP TABLE IF EXISTS graft.rl.sq")
+    // clustered on id so the victim keys land in FEW files — the
+    // rewrite must then touch only those, not the table
+    spark.sql("""CREATE TABLE graft.rl.sq (id BIGINT, v DOUBLE)
+      |TBLPROPERTIES ('graft.partition-columns'='id', 'graft.write-partitions'='4',
+      |  'write.distribution-mode'='range')""".stripMargin)
+    spark.sql("INSERT INTO graft.rl.sq SELECT id, CAST(id AS DOUBLE) FROM range(100)")
+    spark.sql("SELECT id AS k FROM range(5)").createOrReplaceTempView("sq_kill")
+    val sqRoot = root("rl", "sq")
+    val preFiles = GraftTable.state(sqRoot).files.count(_.isData)
+    // IN-subquery DELETE: previously errored on the SupportsDelete path
+    spark.sql("DELETE FROM graft.rl.sq WHERE id IN (SELECT k FROM sq_kill)")
+    assert(spark.sql("SELECT COUNT(*) AS c, MIN(id) AS m FROM graft.rl.sq")
+      .head().toSeq == Seq(95L, 5L))
+    val st1 = GraftTable.state(sqRoot)
+    assert(st1.operation == "overwrite")
+    // only files HOLDING matches rewrote (ids 0-4 cluster into one of 4 files)
+    val removed1 = preFiles - st1.files.count(_.isData) +
+      st1.files.count(f => f.isData && f.snapshotOfName == st1.snapshotId)
+    assert(removed1 < preFiles,
+      s"subquery delete must rewrite only victim files (rewrote $removed1 of $preFiles)")
+    // self-referential scalar subquery
+    spark.sql("DELETE FROM graft.rl.sq WHERE v >= (SELECT MAX(v) FROM graft.rl.sq)")
+    assert(spark.sql("SELECT COUNT(*) AS c, MAX(id) AS m FROM graft.rl.sq")
+      .head().toSeq == Seq(94L, 98L))
+    // NOT EXISTS form
+    spark.sql("SELECT id AS keep FROM range(50, 200)").createOrReplaceTempView("sq_keep")
+    spark.sql("DELETE FROM graft.rl.sq WHERE NOT EXISTS " +
+      "(SELECT 1 FROM sq_keep WHERE sq_keep.keep = sq.id)")
+    assert(spark.sql("SELECT COUNT(*) AS c, MIN(id) AS m FROM graft.rl.sq")
+      .head().toSeq == Seq(49L, 50L))
+    // UPDATE with an IN-subquery WHERE (Column path can't resolve it)
+    spark.sql("SELECT id AS k FROM range(50, 55)").createOrReplaceTempView("sq_bump")
+    spark.sql("UPDATE graft.rl.sq SET v = v + 1000 WHERE id IN (SELECT k FROM sq_bump)")
+    assert(spark.sql("SELECT SUM(CASE WHEN v >= 1000 THEN 1 ELSE 0 END) AS c " +
+      "FROM graft.rl.sq").head().getLong(0) == 5L)
+    assert(spark.sql("SELECT v FROM graft.rl.sq WHERE id = 52").head().getDouble(0) == 1052.0)
+    assert(spark.sql("SELECT v FROM graft.rl.sq WHERE id = 60").head().getDouble(0) == 60.0)
+    // UPDATE with a scalar subquery in the SET expression itself
+    spark.sql("UPDATE graft.rl.sq SET v = (SELECT MIN(k) FROM sq_bump) WHERE id = 60")
+    assert(spark.sql("SELECT v FROM graft.rl.sq WHERE id = 60").head().getDouble(0) == 50.0)
+    // plain-predicate DELETE still rides the SupportsDelete path
+    spark.sql("DELETE FROM graft.rl.sq WHERE id >= 90")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.rl.sq").head().getLong(0) == 40L)
+  }
+
   test("CALL create_changes_view exposes the CDC feed to SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
     spark.sql("DROP TABLE IF EXISTS graft.rl.cdc")
