@@ -3,6 +3,7 @@ package graft
 import scala.util.Random
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.lake.GraftTable
 
@@ -12,29 +13,37 @@ import graft.lake.GraftTable
   * surface — how position deletes (anti-join by file name + row
   * ordinal), sharded equality deletes (anti-join under the Iceberg
   * sequence rule: later appends are NOT affected), prev-name
-  * translation under renames, and maintenance rewrites compose.
+  * translation under renames, type widening, and maintenance rewrites
+  * compose.
   *
-  * Random lifecycles interleave all of them, and after EVERY op the
-  * table's read() must equal a driver-side recomputation over a plain
-  * row multiset. Keys are drawn from a SMALL id space on purpose:
-  * duplicates and post-delete re-appends happen constantly, so a
-  * sequence-rule slip (an equality delete bleeding into a later
-  * append) or a resurrection (a rewrite dropping a delete file too
-  * early / too late) shows up as a multiset mismatch within a few
-  * ops. Shard thresholds and the distributed-planning threshold are
-  * forced low so the sharded write paths and the checkpoint DML
-  * planner run at test scale. */
+  * Random lifecycles interleave all of them, and after EVERY op two
+  * things must hold against a driver-side row-multiset oracle:
+  *   1. the table's read() equals the oracle, and
+  *   2. the CDC feed for the op's commits, applied to the PREVIOUS
+  *      oracle (delete a sub-multiset, then add the inserts), yields
+  *      the new oracle — so changes() can never invent, drop, or
+  *      double-count a row change, and maintenance commits provably
+  *      emit nothing.
+  *
+  * Keys are drawn from a SMALL id space on purpose: duplicates and
+  * post-delete re-appends happen constantly, so a sequence-rule slip
+  * (an equality delete bleeding into a later append) or a resurrection
+  * (a rewrite dropping a delete file too early / too late) shows up as
+  * a multiset mismatch within a few ops. Shard thresholds and the
+  * distributed-planning threshold are forced low so the sharded write
+  * paths and the checkpoint DML planner run at test scale. */
 class MorPropertySpec extends SparkSpec {
 
   private def freshRoot(name: String): String =
     scratchRoot("graft-morprop-test", name)
 
-  test("random MoR lifecycles: read() equals the driver oracle after every op") {
+  test("random MoR lifecycles: read() and the CDC feed match the driver oracle after every op") {
     import spark.implicits._
     val rnd = new Random(20260813L)
     val lifecycles = 36
     val opsPer = 13
     var checks = 0
+    var cdcChecks = 0
     for (lc <- 0 until lifecycles) {
       val root = freshRoot(s"t$lc")
       val template = Seq.empty[(Long, Int, String)].toDF("id", "grp", "v")
@@ -43,33 +52,65 @@ class MorPropertySpec extends SparkSpec {
           "graft.delete.files-per-shard" -> "1",     // shard position deletes
           "graft.delete.rows-per-shard" -> "4",      // shard equality deletes
           "graft.planning.distributed-threshold" -> "6"))
-      // oracle: the surviving row multiset, updated per op
-      var oracle = Vector.empty[(Long, Int, String)]
+      // oracle: the surviving row multiset, updated per op (grp held as
+      // Long so the same oracle spans the int->long widen commit)
+      var oracle = Vector.empty[(Long, Long, String)]
       var vName = "v"
       var renames = 0
+      var widened = false
       def append(): Unit = {
         val rows = (0 until 3 + rnd.nextInt(8)).map { _ =>
-          (rnd.nextInt(40).toLong, rnd.nextInt(5), rnd.alphanumeric.take(4).mkString)
+          (rnd.nextInt(40).toLong, rnd.nextInt(5).toLong, rnd.alphanumeric.take(4).mkString)
         }
         oracle ++= rows
-        GraftTable.append(spark, root, rows.toDF("id", "grp", vName))
+        // the appended frame must carry the table's CURRENT grp type
+        val df = if (widened) rows.toDF("id", "grp", vName)
+          else rows.map(r => (r._1, r._2.toInt, r._3)).toDF("id", "grp", vName)
+        GraftTable.append(spark, root, df)
       }
       def check(): Unit = {
         val got = GraftTable.read(spark, root)
-          .select(col("id"), col("grp"), col(vName))
-          .as[(Long, Int, String)].collect().toVector.sorted
+          .select(col("id"), col("grp").cast(LongType), col(vName))
+          .as[(Long, Long, String)].collect().toVector.sorted
         assert(got == oracle.sorted,
           s"lifecycle $lc after $checks checks: table ${got.size} rows vs " +
             s"oracle ${oracle.size} (first diff: " +
             s"${(got.diff(oracle.sorted) ++ oracle.sorted.diff(got)).headOption})")
         checks += 1
       }
+      // CDC reconciliation: the feed over (prevSnap, now] must carry a
+      // delete sub-multiset of the previous oracle and inserts that
+      // complete it to the new oracle
+      def cdcCheck(prevSnap: Long, prevOracle: Vector[(Long, Long, String)]): Unit = {
+        val cur = GraftTable.latestSnapshotId(root)
+        if (cur == prevSnap) {
+          assert(prevOracle.sorted == oracle.sorted,
+            s"lifecycle $lc: no commit but the oracle moved")
+        } else {
+          val ch = GraftTable.changes(spark, root, prevSnap, cur)
+            .select(col("id"), col("grp").cast(LongType), col(vName),
+              col("_change_type"))
+            .as[(Long, Long, String, String)].collect().toVector
+          val ins = ch.filter(_._4 == "insert").map(t => (t._1, t._2, t._3))
+          val del = ch.filter(_._4 == "delete").map(t => (t._1, t._2, t._3))
+          assert(del.diff(prevOracle).isEmpty,
+            s"lifecycle $lc: CDC deletes rows never live: ${del.diff(prevOracle).take(3)}")
+          val applied = (prevOracle.diff(del) ++ ins).sorted
+          assert(applied == oracle.sorted,
+            s"lifecycle $lc snapshots ($prevSnap, $cur]: CDC replay has " +
+              s"${applied.size} rows vs oracle ${oracle.size} (first diff: " +
+              s"${(applied.diff(oracle.sorted) ++ oracle.sorted.diff(applied)).headOption})")
+          cdcChecks += 1
+        }
+      }
       append(); check()
       for (_ <- 0 until opsPer) {
-        rnd.nextInt(8) match {
+        val prevSnap = GraftTable.latestSnapshotId(root)
+        val prevOracle = oracle
+        rnd.nextInt(9) match {
           case 0 | 1 => append()
           case 2 =>   // position delete by group predicate
-            val g = rnd.nextInt(5)
+            val g = rnd.nextInt(5).toLong
             GraftTable.deleteWhere(spark, root, col("grp") === g)
             oracle = oracle.filterNot(_._2 == g)
           case 3 =>   // position delete by id range
@@ -95,14 +136,22 @@ class MorPropertySpec extends SparkSpec {
               case 1 => GraftTable.rewriteEqualityDeletes(spark, root)
               case _ => GraftTable.rewriteManifests(root)
             }
+          case 7 =>   // widen grp int->long mid-lifecycle: later files
+                      // carry long pages, earlier files int pages, and
+                      // both read + CDC must serve the widened type
+            if (widened) append()
+            else { GraftTable.widenColumn(root, "grp", LongType); widened = true }
           case _ =>   // compaction (applies live deletes while binpacking)
             GraftTable.rewriteDataFiles(spark, root, targetFileSizeBytes = 1L << 20,
               minInputFiles = 2)
         }
         check()
+        cdcCheck(prevSnap, prevOracle)
       }
     }
     assert(checks >= 500, s"property run too small: $checks checks")
-    info(s"$checks op-level oracle checks across $lifecycles lifecycles green")
+    assert(cdcChecks >= 250, s"CDC property run too small: $cdcChecks checks")
+    info(s"$checks op-level oracle checks ($cdcChecks with CDC replay) " +
+      s"across $lifecycles lifecycles green")
   }
 }
