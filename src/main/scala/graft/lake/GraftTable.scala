@@ -3565,23 +3565,53 @@ object GraftTable {
 
   /** remove_orphan_files (reference: SPARK_ICEBERG_GUIDE.md §8.6):
     * data files referenced by NO retained snapshot and older than the
-    * horizon. Returns deleted (or would-delete, if dryRun) paths. */
+    * horizon. Returns deleted (or would-delete, if dryRun) paths.
+    *
+    * Referenced = every file ADDED by any retained commit or
+    * checkpoint (one forward pass — a full per-snapshot replay would
+    * be O(commits²) for the same answer, since removed files stay
+    * referenced by the older snapshots that still list them). Above
+    * the shared planning threshold the checkpoints' O(table) add
+    * lists stay in their `ckptfiles-K.parquet` form and membership is
+    * a distributed anti-join; the driver then holds only the
+    * directory listing (which any FS engine must enumerate to sweep)
+    * and the retained commits' adds — planScan's split, applied to
+    * maintenance. */
   def removeOrphanFiles(root: String, olderThanMs: Long,
       dryRun: Boolean = false): Seq[String] = {
-    // one forward pass: every file ADDED by any retained commit or
-    // checkpoint is referenced (a full per-snapshot replay would be
-    // O(commits²) for the same answer — removed files stay referenced
-    // by the older snapshots that still list them)
-    val referenced: Set[String] =
-      (listCommitIds(root).map(id => Files.readString(commitPath(root, id))) ++
-        listCheckpointIds(root).map(k =>
-          Files.readString(logDir(root).resolve(s"checkpoint-$k.json"))))
-        .flatMap(s => parseCommit(s).adds.map(_.path)).toSet
-    val orphans = (listDir(dataDir(root)).map(("data", _)) ++
+    val candidates = (listDir(dataDir(root)).map(("data", _)) ++
         listDir(deleteDir(root)).map(("deletes", _)))
       .filter { case (_, p) => p.getFileName.toString.endsWith(".parquet") }
-      .filter { case (d, p) => !referenced.contains(s"$d/${p.getFileName}") }
       .filter { case (_, p) => Files.getLastModifiedTime(p).toMillis < olderThanMs }
+    val ckIds = listCheckpointIds(root)
+    val ckParquets = ckIds.map(k => logDir(root).resolve(s"ckptfiles-$k.parquet"))
+    val overThreshold = ckIds.nonEmpty && {
+      val (count, threshold) = ckptScale(root, ckIds.max)
+      count >= threshold
+    }
+    val sparkOpt = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val orphans: Seq[(String, Path)] =
+      if (overThreshold && sparkOpt.isDefined && ckParquets.forall(Files.exists(_))) {
+        val spark = sparkOpt.get
+        import spark.implicits._
+        val commitAdds = listCommitIds(root)
+          .flatMap(id => parseCommit(Files.readString(commitPath(root, id)))
+            .adds.map(_.path))
+        val referenced = ckParquets.map(p =>
+            spark.read.parquet(p.toString).select(col("path")))
+          .foldLeft(commitAdds.toDF("path"))(_ union _)
+        val byRel = candidates.map { case (d, p) => s"$d/${p.getFileName}" -> (d, p) }.toMap
+        byRel.keys.toSeq.toDF("path")
+          .join(referenced, Seq("path"), "left_anti")
+          .as[String].collect().toSeq.sorted.map(byRel)
+      } else {
+        val referenced: Set[String] =
+          (listCommitIds(root).map(id => Files.readString(commitPath(root, id))) ++
+            ckIds.map(k =>
+              Files.readString(logDir(root).resolve(s"checkpoint-$k.json"))))
+            .flatMap(s => parseCommit(s).adds.map(_.path)).toSet
+        candidates.filter { case (d, p) => !referenced.contains(s"$d/${p.getFileName}") }
+      }
     if (!dryRun) orphans.foreach { case (_, p) => Files.deleteIfExists(p) }
     // crashed writers can also leave whole .stage-*/.ckpt-stage-* dirs
     // at the root — sweep them past the same horizon

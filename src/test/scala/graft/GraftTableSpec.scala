@@ -344,6 +344,40 @@ class GraftTableSpec extends SparkSpec {
       "live data must survive orphan removal")
   }
 
+  test("remove_orphan_files: distributed anti-join path matches the driver path") {
+    // twin tables, identical content + planted orphans; one forced over
+    // the planning threshold (membership runs as a Spark anti-join
+    // against ckptfiles parquet), one under it (driver Set) — the sweep
+    // must agree exactly
+    val n = Tables.nation(spark, sf)
+    val roots = Seq("1" -> freshRoot("orphan-dist"), "1000000" -> freshRoot("orphan-drv"))
+      .map { case (threshold, root) =>
+        GraftTable.create(spark, root, n.schema,
+          Map("graft.planning.distributed-threshold" -> threshold))
+        GraftTable.append(spark, root, n)
+        GraftTable.deleteWhere(spark, root, col("n_regionkey") === 0)
+        GraftTable.rewriteManifests(root)   // checkpoint: ckptfiles parquet
+        GraftTable.append(spark, root, n.where(col("n_regionkey") === 1))
+        for (i <- 0 until 3)
+          Files.writeString(Paths.get(root, "data", s"999999999$i-00000-dead.parquet"),
+            "not really parquet")
+        root
+      }
+    val horizon = System.currentTimeMillis() + 1000
+    val Seq(dist, drv) = roots.map(r =>
+      GraftTable.removeOrphanFiles(r, horizon, dryRun = true).sorted)
+    assert(dist == drv, s"distributed sweep $dist != driver sweep $drv")
+    assert(dist.size == 3 && dist.forall(_.contains("-dead.parquet")))
+    // wet run on the distributed table: orphans go, live rows survive,
+    // and files removed by the pre-checkpoint delete are NOT swept
+    // (they stay referenced by retained snapshots)
+    val before = GraftTable.read(spark, roots.head).count()
+    GraftTable.removeOrphanFiles(roots.head, horizon)
+    assert(GraftTable.read(spark, roots.head).count() == before)
+    assert(GraftTable.read(spark, roots.head, Some(1L)).count() == n.count(),
+      "time travel to the pre-delete snapshot must survive the sweep")
+  }
+
   test("set_properties commits take effect; distribution-mode clusters appends for pruning") {
     val root = freshRoot("props")
     val c = Tables.customer(spark, sf)
