@@ -26,16 +26,22 @@ import org.json4s.jackson.JsonMethods
   * {{{
   *   data/<snapshot>-<n>-<uuid>.parquet     immutable data files
   *   _graft_log/000000000N.json             commit N (adds/removes)
-  *   _graft_log/checkpoint-N.json           full file list at N
+  *   _graft_log/checkpoint-N.json           full file list at N (only
+  *                                          below the planning threshold)
+  *   _graft_log/ckptmeta-N.json             O(1) checkpoint header
+  *   _graft_log/ckptfiles-N.parquet         the file list as parquet
   * }}}
   *
   * Commit protocol: write to a temp name, atomic-rename into place,
   * fail if the target exists — single-writer locally; on an object
-  * store the rename becomes the store's put-if-absent. Metadata stays
-  * O(files) JSON; per-file min/max column stats let scans prune files
-  * before Spark ever lists splits. At 100 TB the log replay and orphan
-  * scan become Spark jobs over the log directory — the format needs no
-  * change, only the driver-side loops below would move to executors.
+  * store the rename becomes the store's put-if-absent. Per-file
+  * min/max column stats let scans prune files before Spark ever lists
+  * splits. Above the planning threshold the O(table) planes all run
+  * as Spark jobs over the ckptfiles parquet — scan planning, DML
+  * victim selection, the metadata views, the orphan sweep, and the
+  * checkpoint build itself (a distributed delta off the previous
+  * checkpoint; no full-list JSON is ever serialized on the driver) —
+  * so only O(retained tail actions) ever sits in driver memory.
   */
 object GraftTable {
 
@@ -362,6 +368,55 @@ object GraftTable {
       .filter(_.matches("ckptfiles-\\d+\\.parquet"))
       .map(_.stripPrefix("ckptfiles-").stripSuffix(".parquet").toLong).sorted
 
+  /** Checkpoint ids usable as a replay seed: legacy JSON checkpoints
+    * plus parquet-authoritative ones (ckptmeta + ckptfiles, written
+    * WITHOUT a JSON twin above the planning threshold — serializing a
+    * million-entry JSON on the driver is exactly the allocation the
+    * distributed checkpoint build exists to avoid). */
+  private def seedCheckpointIds(root: String): Seq[Long] =
+    (listCheckpointIds(root) ++ listCkptFilesIds(root).filter(k =>
+      Files.exists(logDir(root).resolve(s"ckptmeta-$k.json")))).distinct.sorted
+
+  /** The checkpoint commit at `k` with its full add list: from
+    * checkpoint-N.json when present, else collected off the ckptfiles
+    * parquet. The collect is the DRIVER FALLBACK plane (state(),
+    * sub-threshold metadata views) — distributed planners read the
+    * parquet as a DataFrame and never come through here. */
+  private def checkpointCommit(root: String, k: Long): Commit = {
+    val json = logDir(root).resolve(s"checkpoint-$k.json")
+    if (Files.exists(json)) parseCommit(Files.readString(json))
+    else {
+      val meta = parseCommit(Files.readString(logDir(root).resolve(s"ckptmeta-$k.json")))
+      val spark = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .getOrElse(throw new IllegalStateException(
+          s"checkpoint $k at $root is parquet-only; reading it needs an active SparkSession"))
+      val entries = spark.read
+        .parquet(logDir(root).resolve(s"ckptfiles-$k.parquet").toString)
+        .collect().toSeq.map(ckptRowToEntry)
+      meta.copy(adds = entries,
+        properties = meta.properties - "graft.ckpt.file-count")
+    }
+  }
+
+  /** ckptfiles parquet row → FileEntry (the write-side twin lives in
+    * writeCheckpointArtifacts). Empty maps/arrays normalize to None —
+    * functionally identical through partitionValues/isDelete/eqCols
+    * accessors. */
+  private def ckptRowToEntry(r: Row): FileEntry = {
+    val stats = Option(r.getAs[scala.collection.Map[String, Row]]("stats"))
+      .map(_.map { case (n, s) => n -> ColStats(Option(s.getAs[String]("min")),
+        Option(s.getAs[String]("max")), s.getAs[Long]("nulls")) }.toMap)
+      .getOrElse(Map.empty[String, ColStats])
+    val part = Option(r.getAs[scala.collection.Map[String, String]]("partition"))
+      .map(_.toMap).filter(_.nonEmpty)
+    val eq = Option(r.getAs[scala.collection.Seq[String]]("eqcols"))
+      .map(_.toSeq).filter(_.nonEmpty)
+    val content = r.getAs[Int]("content")
+    FileEntry(r.getAs[String]("path"), r.getAs[Long]("sizeBytes"),
+      r.getAs[Long]("records"), stats, part,
+      if (content == 0) None else Some(content), eq)
+  }
+
   /** Replay cache: one SQL query touches state() several times
     * (schema, stats, pushdown checks, the scan itself) and each replay
     * is O(files) JSON parsing — at a million files that IS the planning
@@ -417,14 +472,14 @@ object GraftTable {
   }
 
   private def replayState(root: String, ids: Seq[Long], target: Long): Snapshot = {
-    val ckpt = listCheckpointIds(root).filter(_ <= target).sorted.lastOption
+    val ckpt = seedCheckpointIds(root).filter(_ <= target).sorted.lastOption
     var files = Map.empty[String, FileEntry]
     var props = Map.empty[String, String]
     var schema: Option[String] = None
     var op = ""
     var ts = 0L
     ckpt.foreach { k =>
-      val c = parseCommit(Files.readString(logDir(root).resolve(f"checkpoint-$k%d.json")))
+      val c = checkpointCommit(root, k)
       files = versionedAdds(c).map(f => f.path -> f).toMap
       props = c.properties; schema = c.schemaJson; op = c.operation; ts = c.timestampMs
     }
@@ -3021,7 +3076,7 @@ object GraftTable {
   def entriesTable(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val ids = listCommitIds(root)
-    val ck = listCheckpointIds(root).filter(_ <= ids.min).sorted.lastOption
+    val ck = seedCheckpointIds(root).filter(_ <= ids.min).sorted.lastOption
     // actions across the retained log; removes resolve through the
     // adds seen so far in the window (always newer than any seed)
     val within = scala.collection.mutable.Map.empty[String, FileEntry]
@@ -3046,8 +3101,7 @@ object GraftTable {
       // seed only when something needs it: the sub-threshold JSON path
       val seed = scala.collection.mutable.Map.empty[String, FileEntry]
       if (unresolved.nonEmpty) ck.foreach { k =>
-        parseCommit(Files.readString(logDir(root).resolve(s"checkpoint-$k.json")))
-          .adds.foreach(f => seed(f.path) = f)
+        checkpointCommit(root, k).adds.foreach(f => seed(f.path) = f)
       }
       acts.map { case (st, snap, p, f) =>
         row(st, snap, p, f.orElse(if (st == 2) seed.get(p) else None))
@@ -3090,13 +3144,12 @@ object GraftTable {
   def allFilesTable(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val ids = listCommitIds(root)
-    val ckIds = listCheckpointIds(root)
+    val ckIds = seedCheckpointIds(root)
     def driverPath: DataFrame = {
       val all = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
-      (ckIds.map(k =>
-          Files.readString(logDir(root).resolve(s"checkpoint-$k.json"))) ++
-        ids.map(id => Files.readString(commitPath(root, id))))
-        .foreach(s => parseCommit(s).adds.foreach(f => all.getOrElseUpdate(f.path, f)))
+      (ckIds.map(k => checkpointCommit(root, k)) ++
+        ids.map(id => parseCommit(Files.readString(commitPath(root, id)))))
+        .foreach(c => c.adds.foreach(f => all.getOrElseUpdate(f.path, f)))
       val livePaths = state(root).files.map(_.path).toSet
       all.values.toSeq.sortBy(_.path)
         .map(f => (f.path, f.content.getOrElse(0), f.records, f.sizeBytes,
@@ -3418,22 +3471,29 @@ object GraftTable {
 
   /** Metadata compaction — rewrite_manifests (reference:
     * SPARK_ICEBERG_GUIDE.md §8.4): collapse the commit history into a
-    * checkpoint so readers replay O(1) files instead of O(commits). */
+    * checkpoint so readers replay O(1) files instead of O(commits).
+    * Above the planning threshold the new checkpoint is built as a
+    * distributed delta off the previous one (writeCheckpointDelta) —
+    * no full state replay, no O(table) JSON on the driver. */
   def rewriteManifests(root: String): Long = {
-    val snap = state(root)
-    writeCheckpointArtifacts(root, snap)
-    snap.snapshotId
+    val target = latestSnapshotId(root)
+    if (!writeCheckpointDelta(root, target))
+      writeCheckpointArtifacts(root, state(root))
+    target
   }
 
-  /** One checkpoint = three artifacts at the same snapshot id:
-    *  - checkpoint-N.json       full file list (legacy replay path)
+  /** One checkpoint = artifacts at the same snapshot id:
+    *  - checkpoint-N.json       full file list — written only by the
+    *                            sub-threshold driver build; the
+    *                            distributed delta build skips it and
+    *                            the parquet is authoritative
     *  - ckptmeta-N.json         properties/schema + file COUNT, no adds
     *                            (O(1) parse, lets planScan decide
     *                            driver-vs-distributed without touching
     *                            the file list)
     *  - ckptfiles-N.parquet     the file list as parquet, readable by
     *                            executors for distributed pruning
-    * All three are derived state: losing a put-if-absent race to an
+    * All are derived state: losing a put-if-absent race to an
     * identical writer is fine. */
   /** ckptfiles-N.parquet rows as explicit Row + schema: a case-class
     * Dataset here trips Janino on the nested-in-object encoder (Spark
@@ -3452,6 +3512,28 @@ object GraftTable {
     StructField("content", IntegerType, nullable = false),
     StructField("eqcols", ArrayType(StringType))))
 
+  private def entryToCkptRow(f: FileEntry): Row =
+    Row(f.path, f.sizeBytes, f.records,
+      f.stats.map { case (n, v) => n -> Row(v.min.orNull, v.max.orNull, v.nulls) },
+      f.partitionValues, f.content.getOrElse(0), f.eqCols.getOrElse(Seq.empty))
+
+  /** Write a DataFrame already in ckptFilesSchema shape to
+    * `ckptfiles-$id.parquet` via stage + atomic move. Losing the move
+    * race to an identical writer is fine (derived state). */
+  private def stageCkptParquet(root: String, id: Long, df: DataFrame): Unit = {
+    val target = logDir(root).resolve(s"ckptfiles-$id.parquet")
+    if (Files.exists(target)) return
+    val tmp = Paths.get(root, s".ckpt-stage-${UUID.randomUUID()}")
+    df.write.parquet(tmp.toString)
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.DirectoryNotEmptyException |
+                 _: java.nio.file.AccessDeniedException =>
+      // lost the race to an identical writer: discard the stage
+      deleteTree(tmp)
+    }
+  }
+
   private def writeCheckpointArtifacts(root: String, snap: Snapshot): Unit = {
     val schemaJ = snap.schemaJson.orElse(
       state(root, Some(listCommitIds(root).min)).schemaJson)
@@ -3462,27 +3544,94 @@ object GraftTable {
       toJson(c.copy(adds = Seq.empty, properties = snap.properties +
         ("graft.ckpt.file-count" -> snap.files.size.toString))))
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach { spark =>
-      val target = logDir(root).resolve(s"ckptfiles-${snap.snapshotId}.parquet")
-      if (!Files.exists(target)) {
-        val rows = snap.files.map(f => Row(f.path, f.sizeBytes, f.records,
-          f.stats.map { case (n, v) => n -> Row(v.min.orNull, v.max.orNull, v.nulls) },
-          f.partitionValues, f.content.getOrElse(0), f.eqCols.getOrElse(Seq.empty)))
-        val tmp = Paths.get(root, s".ckpt-stage-${UUID.randomUUID()}")
-        // keep the list sharded ~100k entries per part file — at
-        // millions of files no single task writes the whole manifest
-        val parts = math.max(1, rows.size / 100000)
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(rows.toSeq, parts), ckptFilesSchema)
-          .write.parquet(tmp.toString)
-        try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException |
-                     _: java.nio.file.DirectoryNotEmptyException |
-                     _: java.nio.file.AccessDeniedException =>
-          // lost the race to an identical writer: discard the stage
-          deleteTree(tmp)
-        }
-      }
+      // keep the list sharded ~100k entries per part file — at
+      // millions of files no single task writes the whole manifest
+      val rows = snap.files.map(entryToCkptRow)
+      stageCkptParquet(root, snap.snapshotId, spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size / 100000)),
+        ckptFilesSchema))
     }
+  }
+
+  /** Parquet-authoritative checkpoint at `target`, built as a
+    * DISTRIBUTED DELTA off the previous parquet checkpoint: survivors
+    * (an anti-join on tail-touched paths — ckptPlanner's last-action-
+    * wins discipline) union the tail's adds, written as a Spark job.
+    * The driver holds O(tail actions), never the file list, and NO
+    * checkpoint JSON is serialized — at a million files that JSON is
+    * itself a ~GB driver allocation. replayState and the sub-threshold
+    * views seed such checkpoints from the parquet (checkpointCommit).
+    * Returns false — caller falls back to the legacy driver build —
+    * when there is no previous parquet checkpoint, the table sits
+    * below the planning threshold, or no SparkSession is active. */
+  private def writeCheckpointDelta(root: String, target: Long): Boolean = {
+    val sparkOpt = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    if (sparkOpt.isEmpty) return false
+    val spark = sparkOpt.get
+    // complete parquet+meta pair at target → done; a bare legacy JSON
+    // or a crashed partial write falls through and gets repaired
+    if (listCkptFilesIds(root).contains(target) &&
+      Files.exists(logDir(root).resolve(s"ckptmeta-$target.json"))) return true
+    val prevOpt = listCkptFilesIds(root).filter(k => k < target &&
+      Files.exists(logDir(root).resolve(s"ckptmeta-$k.json"))).sorted.lastOption
+    if (prevOpt.isEmpty) return false
+    val prev = prevOpt.get
+    val meta = parseCommit(Files.readString(logDir(root).resolve(s"ckptmeta-$prev.json")))
+    val (count, threshold) = scaleOf(meta)
+    if (count < threshold) return false
+    val ids = listCommitIds(root)
+    require(ids.contains(target),
+      s"snapshot $target not in log (expired or never existed); have ${ids.min}..${ids.max}")
+    val tail = ids.filter(id => id > prev && id <= target)
+      .map(id => parseCommit(Files.readString(commitPath(root, id))))
+    val delta = scala.collection.mutable.LinkedHashMap.empty[String, Option[FileEntry]]
+    tail.foreach { c =>
+      c.removes.foreach(p => delta(p) = None)
+      versionedAdds(c).foreach(e => delta(e.path) = Some(e))
+    }
+    var props = meta.properties - "graft.ckpt.file-count"
+    var schemaJ = meta.schemaJson
+    tail.foreach { c =>
+      // same wholesale-reset rule as replayState
+      props = if (c.operation == "replace") c.properties
+              else props ++ c.properties
+      schemaJ = c.schemaJson.orElse(schemaJ)
+    }
+    val ts = tail.lastOption.map(_.timestampMs).getOrElse(meta.timestampMs)
+    val prevRaw = spark.read.parquet(logDir(root).resolve(s"ckptfiles-$prev.parquet").toString)
+    // the new checkpoint's meta is stamped CURRENT, so a pre-stamp
+    // previous list must have its clamped-to-0 null counts demoted
+    // before they're carried forward (ckptPlanner's executor twin of
+    // versionedAdds); a future stamp is the same loud error as replay
+    val prevDf = meta.statsVersion match {
+      case Some(v) if v == statsVersionCurrent => prevRaw
+      case Some(v) if v > statsVersionCurrent =>
+        throw new IllegalStateException(
+          s"checkpoint $prev carries stats version $v but this code understands " +
+            s"<= $statsVersionCurrent; upgrade graft before rewriting manifests")
+      case _ => prevRaw.withColumn("stats", expr(
+        "transform_values(stats, (k, v) -> named_struct(" +
+          "'min', v.min, 'max', v.max, " +
+          "'nulls', CASE WHEN v.nulls = 0 THEN CAST(-1 AS BIGINT) ELSE v.nulls END))"))
+    }
+    import spark.implicits._
+    val touched = delta.keySet.toSeq
+    val survivors =
+      if (touched.isEmpty) prevDf
+      else prevDf.join(touched.toDF("path"), Seq("path"), "left_anti")
+    val adds = delta.values.flatten.toSeq.map(entryToCkptRow)
+    val addsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(adds, math.max(1, adds.size / 100000)),
+      ckptFilesSchema)
+    val cols = ckptFilesSchema.fieldNames.map(col(_))
+    stageCkptParquet(root, target, survivors.select(cols: _*).unionByName(addsDf))
+    // count off the written parquet footers — no second pass over data
+    val newCount = spark.read
+      .parquet(logDir(root).resolve(s"ckptfiles-$target.parquet").toString).count()
+    writeCheckpoint(logDir(root).resolve(s"ckptmeta-$target.json"),
+      toJson(Commit(target, None, ts, "checkpoint", Seq.empty, Seq.empty,
+        props + ("graft.ckpt.file-count" -> newCount.toString), schemaJ)))
+    true
   }
 
   /** Checkpoints are derived state: a pre-existing one at the same id
@@ -3503,9 +3652,11 @@ object GraftTable {
     val cutoff = math.min(ids.sorted.takeRight(retainLast).head,
       if (pinned.isEmpty) Long.MaxValue else pinned.min)
     if (cutoff <= ids.min) return
-    writeCheckpointArtifacts(root, state(root, Some(cutoff)))
+    if (!writeCheckpointDelta(root, cutoff))
+      writeCheckpointArtifacts(root, state(root, Some(cutoff)))
     ids.filter(_ < cutoff).foreach(id => Files.deleteIfExists(commitPath(root, id)))
-    listCheckpointIds(root).filter(_ < cutoff).foreach { k =>
+    (listCheckpointIds(root) ++ listCkptFilesIds(root))
+      .distinct.filter(_ < cutoff).foreach { k =>
       Files.deleteIfExists(logDir(root).resolve(s"checkpoint-$k.json"))
       Files.deleteIfExists(logDir(root).resolve(s"ckptmeta-$k.json"))
       val pq = logDir(root).resolve(s"ckptfiles-$k.parquet")
@@ -3583,7 +3734,7 @@ object GraftTable {
         listDir(deleteDir(root)).map(("deletes", _)))
       .filter { case (_, p) => p.getFileName.toString.endsWith(".parquet") }
       .filter { case (_, p) => Files.getLastModifiedTime(p).toMillis < olderThanMs }
-    val ckIds = listCheckpointIds(root)
+    val ckIds = seedCheckpointIds(root)
     val ckParquets = ckIds.map(k => logDir(root).resolve(s"ckptfiles-$k.parquet"))
     val overThreshold = ckIds.nonEmpty && {
       val (count, threshold) = ckptScale(root, ckIds.max)
@@ -3606,10 +3757,10 @@ object GraftTable {
           .as[String].collect().toSeq.sorted.map(byRel)
       } else {
         val referenced: Set[String] =
-          (listCommitIds(root).map(id => Files.readString(commitPath(root, id))) ++
-            ckIds.map(k =>
-              Files.readString(logDir(root).resolve(s"checkpoint-$k.json"))))
-            .flatMap(s => parseCommit(s).adds.map(_.path)).toSet
+          (listCommitIds(root).map(id =>
+              parseCommit(Files.readString(commitPath(root, id)))) ++
+            ckIds.map(k => checkpointCommit(root, k)))
+            .flatMap(_.adds.map(_.path)).toSet
         candidates.filter { case (d, p) => !referenced.contains(s"$d/${p.getFileName}") }
       }
     if (!dryRun) orphans.foreach { case (_, p) => Files.deleteIfExists(p) }

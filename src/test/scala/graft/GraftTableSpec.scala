@@ -344,6 +344,51 @@ class GraftTableSpec extends SparkSpec {
       "live data must survive orphan removal")
   }
 
+  test("distributed delta checkpoints are parquet-authoritative and replay without JSON") {
+    import spark.implicits._
+    val root = freshRoot("ckpt-delta")
+    val df0 = (1L to 40L).map(i => (i, i % 4, s"r$i")).toDF("id", "grp", "v")
+    GraftTable.create(spark, root, df0.schema,
+      Map("write.delete.mode" -> "merge-on-read",
+        "graft.planning.distributed-threshold" -> "1"))
+    GraftTable.append(spark, root, df0)
+    GraftTable.rewriteManifests(root)            // first checkpoint: legacy (no prev)
+    val ck1 = GraftTable.latestSnapshotId(root)
+    assert(Files.exists(Paths.get(root, "_graft_log", s"checkpoint-$ck1.json")))
+    // row-changing tail: MoR position + equality deletes, a re-append —
+    // content=1/2 entries and eqcols must survive the parquet round trip
+    GraftTable.deleteWhere(spark, root, col("grp") === 0)
+    GraftTable.deleteEqualityMoR(spark, root, Seq(7L, 9L).toDF("id"))
+    GraftTable.append(spark, root, Seq((100L, 9L, "x"), (101L, 9L, "y")).toDF("id", "grp", "v"))
+    val expected = GraftTable.read(spark, root).as[(Long, Long, String)].collect().sorted
+    def norm(fs: Seq[GraftTable.FileEntry]) =
+      fs.map(f => (f.path, f.sizeBytes, f.records, f.stats, f.partitionValues,
+        f.content.getOrElse(0), f.eqCols.getOrElse(Seq.empty))).sortBy(_._1)
+    val filesBefore = norm(GraftTable.state(root).files)
+    val t = GraftTable.rewriteManifests(root)    // delta build off ck1's parquet
+    assert(!Files.exists(Paths.get(root, "_graft_log", s"checkpoint-$t.json")),
+      "above the threshold the checkpoint must be parquet-only")
+    assert(Files.exists(Paths.get(root, "_graft_log", s"ckptmeta-$t.json")))
+    assert(Files.exists(Paths.get(root, "_graft_log", s"ckptfiles-$t.parquet")))
+    // a post-checkpoint commit forces a fresh replay seeded off the parquet
+    GraftTable.append(spark, root, Seq((200L, 1L, "z")).toDF("id", "grp", "v"))
+    val after = GraftTable.state(root).files
+    val newPaths = after.map(_.path).toSet -- filesBefore.map(_._1).toSet
+    assert(newPaths.nonEmpty)
+    assert(norm(after.filterNot(f => newPaths(f.path))) == filesBefore,
+      "parquet-seeded replay must reproduce pre-checkpoint entries exactly, stats included")
+    val expected2 = (expected :+ ((200L, 1L, "z"))).sorted.toSeq
+    assert(GraftTable.read(spark, root).as[(Long, Long, String)]
+      .collect().sorted.toSeq == expected2)
+    // expire past the parquet-only checkpoint: the cutoff checkpoint is
+    // itself a delta build; old artifacts (ck1's parquet too) are swept
+    GraftTable.expireSnapshots(root, retainLast = 1)
+    assert(!Files.exists(Paths.get(root, "_graft_log", s"ckptfiles-$ck1.parquet")))
+    assert(GraftTable.read(spark, root).as[(Long, Long, String)]
+      .collect().sorted.toSeq == expected2)
+    assertThrows[IllegalArgumentException] { GraftTable.read(spark, root, Some(ck1)) }
+  }
+
   test("remove_orphan_files: distributed anti-join path matches the driver path") {
     // twin tables, identical content + planted orphans; one forced over
     // the planning threshold (membership runs as a Spark anti-join
