@@ -451,8 +451,10 @@ case class GraftDeleteCommand(table: String, where: String)
   *   WHEN MATCHED [AND cond] THEN UPDATE SET *
   *   WHEN MATCHED [AND cond] THEN UPDATE SET c = expr, ...
   *   WHEN MATCHED [AND cond] THEN DELETE
-  *   WHEN NOT MATCHED [AND cond] THEN INSERT *
-  *   WHEN NOT MATCHED [AND cond] THEN INSERT (c, ...) VALUES (expr, ...)
+  *   WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT *
+  *   WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT (c, ...) VALUES (expr, ...)
+  *   WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET c = expr, ...
+  *   WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE
   * }}}
   *
   * `src` is a table/view name or a parenthesized subquery; each ON
@@ -472,7 +474,11 @@ case class GraftMergeCommand(table: String, source: String, onClause: String,
   private val delClauseRe =
     """(?is)\s*WHEN\s+MATCHED\s*(?:AND\s+(.+?)\s*)?THEN\s+DELETE\s*""".r
   private val insClauseRe =
-    """(?is)\s*WHEN\s+NOT\s+MATCHED\s*(?:AND\s+(.+?)\s*)?THEN\s+INSERT\s+(.+?)\s*""".r
+    """(?is)\s*WHEN\s+NOT\s+MATCHED\s*(?:BY\s+TARGET\s*)?(?:AND\s+(.+?)\s*)?THEN\s+INSERT\s+(.+?)\s*""".r
+  private val updBySourceRe =
+    """(?is)\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(.+?)\s*)?THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
+  private val delBySourceRe =
+    """(?is)\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(.+?)\s*)?THEN\s+DELETE\s*""".r
   private val insListRe = """(?s)\s*\((.*?)\)\s*VALUES\s*\((.*)\)\s*""".r
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -501,8 +507,26 @@ case class GraftMergeCommand(table: String, source: String, onClause: String,
     val tgtQuals = (tgtAlias.toSeq :+ table.split('.').last).toSet
     def rw(s: String): String =
       GraftProcedures.rewriteQualifiers(s, srcQuals, tgtQuals)
+    def parseSet(setSpec: String): Map[String, org.apache.spark.sql.Column] =
+      GraftProcedures.splitTop(setSpec, ',').map { a =>
+        a.split("=", 2) match {
+          case Array(k, v) =>
+            GraftProcedures.resolveColumn(rw(k.trim).split('.').last, fields) ->
+              expr(rw(v.trim))
+          case _ => throw new IllegalArgumentException(s"bad SET assignment: '$a'")
+        }
+      }.toMap
     val clauses: Seq[GraftTable.MergeClause] =
       GraftProcedures.splitWhenClauses(whenTail).map {
+        // BY SOURCE before the plain NOT MATCHED pattern: both start
+        // with WHEN NOT MATCHED, only the THEN verb disambiguates
+        case updBySourceRe(cond, setSpec) =>
+          require(setSpec.trim != "*",
+            "SET * is not valid in WHEN NOT MATCHED BY SOURCE (there is no source row)")
+          GraftTable.MergeUpdateBySource(
+            Option(cond).map(c => expr(rw(c))), parseSet(setSpec))
+        case delBySourceRe(cond) =>
+          GraftTable.MergeDeleteBySource(Option(cond).map(c => expr(rw(c))))
         case insClauseRe(cond, insertSpec) =>
           val values = insertSpec.trim match {
             case "*" => None
@@ -522,14 +546,7 @@ case class GraftMergeCommand(table: String, source: String, onClause: String,
         case updClauseRe(cond, setSpec) =>
           val set = setSpec.trim match {
             case "*" => None
-            case s => Some(GraftProcedures.splitTop(s, ',').map { a =>
-              a.split("=", 2) match {
-                case Array(k, v) =>
-                  GraftProcedures.resolveColumn(rw(k.trim).split('.').last, fields) ->
-                    expr(rw(v.trim))
-                case _ => throw new IllegalArgumentException(s"bad SET assignment: '$a'")
-              }
-            }.toMap)
+            case s => Some(parseSet(s))
           }
           GraftTable.MergeUpdate(Option(cond).map(c => expr(rw(c))), set)
         case other => throw new IllegalArgumentException(

@@ -1488,6 +1488,17 @@ object GraftTable {
     * columns with NULL (the SQL INSERT-column-list rule). */
   case class MergeInsert(condition: Option[Column],
       values: Option[Map[String, Column]] = None) extends MergeClause
+  /** `WHEN NOT MATCHED BY SOURCE` clauses: apply to TARGET rows with
+    * no source match. There is no source row, so SET * is impossible
+    * (the map is required) and any source-column reference in the
+    * condition/values evaluates null (condition → false, the SQL
+    * three-valued rule). A BY SOURCE clause widens victim selection to
+    * every live data file — any target row can change, so key-bounds
+    * pruning no longer applies (Delta disables file skipping for these
+    * clauses for the same reason). */
+  case class MergeUpdateBySource(condition: Option[Column],
+      set: Map[String, Column]) extends MergeClause
+  case class MergeDeleteBySource(condition: Option[Column]) extends MergeClause
 
   /** Source-column namespace inside merge clause expressions. Starts
     * with the reserved `_g` prefix (renameColumn refuses user columns
@@ -1560,8 +1571,9 @@ object GraftTable {
     * driver loops, same key-bounds file pruning as the plain upsert
     * (NOT MATCHED detection within touched files is exact because any
     * target row holding a source key lives in a touched file by
-    * construction). The plain two-clause upsert delegates to the
-    * anti-join fast path above. */
+    * construction). NOT MATCHED BY SOURCE clauses widen the victims to
+    * every live data file — any target row can change. The plain
+    * two-clause upsert delegates to the anti-join fast path above. */
   def merge(spark: SparkSession, root: String, source: DataFrame,
       keyCols: Seq[String], clauses: Seq[MergeClause]): Long = {
     if (clauses == mergeDefaultClauses) return merge(spark, root, source, keyCols)
@@ -1590,11 +1602,22 @@ object GraftTable {
       case MergeInsert(_, Some(vals)) =>
         require(vals.keySet.subsetOf(schema.fieldNames.toSet),
           s"unknown INSERT columns: ${vals.keySet -- schema.fieldNames}")
+      case MergeUpdateBySource(_, set) =>
+        require(set.keySet.subsetOf(schema.fieldNames.toSet),
+          s"unknown SET columns: ${set.keySet -- schema.fieldNames}")
       case _ => ()
     }
     val dup = source.groupBy(keyCols.map(col): _*).count().filter(col("count") > 1).limit(1).count()
     require(dup == 0L, "MERGE source has duplicate keys (ON clause would match a target row twice)")
-    val preds = sourceKeyBoundPreds(source, keyCols, types)
+    val bySourceClauses = clauses.collect {
+      case u: MergeUpdateBySource => u
+      case d: MergeDeleteBySource => d
+    }
+    // a BY SOURCE clause can change ANY target row: no key-bounds
+    // pruning — every live data file is a victim
+    val preds =
+      if (bySourceClauses.nonEmpty) Seq.empty
+      else sourceKeyBoundPreds(source, keyCols, types)
     val (baseId, victimPaths, delFiles, _) =
       dmlVictims(spark, root, planner, schema, types, preds)
     val id = baseId + 1
@@ -1627,7 +1650,11 @@ object GraftTable {
         case MergeUpdate(c, _) => (c, lit(true))
         case MergeDelete(c) => (c, lit(false))
       }, lit(true)))
-      .when(col(tPresent).isNotNull, lit(true))   // target-only: carry over
+      // target-only: BY SOURCE clauses apply in order, else carry over
+      .when(col(tPresent).isNotNull, chain(bySourceClauses.collect {
+        case MergeUpdateBySource(c, _) => (c, lit(true))
+        case MergeDeleteBySource(c) => (c, lit(false))
+      }, lit(true)))
       .otherwise(chain(insertClauses.map(ic => (ic.condition, lit(true))), lit(false)))
     def fieldVal(f: StructField): Column = {
       def sCol = col(mergeSourcePrefix + f.name)
@@ -1637,7 +1664,10 @@ object GraftTable {
         case MergeUpdate(c, Some(set)) => (c, set.getOrElse(f.name, tCol))
         case MergeDelete(c) => (c, tCol)   // dropped by `keep` anyway
       }, tCol))
-      .when(col(tPresent).isNotNull, tCol)
+      .when(col(tPresent).isNotNull, chain(bySourceClauses.collect {
+        case MergeUpdateBySource(c, set) => (c, set.getOrElse(f.name, tCol))
+        case MergeDeleteBySource(c) => (c, tCol)   // dropped by `keep` anyway
+      }, tCol))
       .otherwise(chain(insertClauses.map {
         case MergeInsert(c, None) => (c, sCol)
         case MergeInsert(c, Some(vals)) => (c, vals.getOrElse(f.name, lit(null)))
@@ -2422,17 +2452,18 @@ object GraftTable {
     * real pruning predicates, victims resolve through the SAME
     * distributed prune reads use — the driver holds only the victim
     * paths (which the commit must name in `removes` regardless) plus
-    * the live delete-file list, never the full entry list. Without a
-    * checkpoint, or with no predicates (a full-table rewrite is
-    * O(table) by definition), the exact driver path plans as before.
-    * Returns (base snapshot id, victim data paths, live delete files,
-    * planned-distributed). */
+    * the live delete-file list, never the full entry list. Empty preds
+    * (a full-table rewrite, O(table) by definition) still ride the
+    * planner — prune(Seq.empty) keeps everything but never replays
+    * FileEntries on the driver. Without a checkpoint the exact driver
+    * path plans as before. Returns (base snapshot id, victim data
+    * paths, live delete files, planned-distributed). */
   private def dmlVictims(spark: SparkSession, root: String,
       planner: Option[CkptPlanner], schema: StructType,
       types: Map[String, DataType], preds: Seq[Pred])
       : (Long, Seq[String], Seq[(String, Int, Seq[String])], Boolean) =
     planner match {
-      case Some(p) if preds.nonEmpty =>
+      case Some(p) =>
         val (victims, dels, _) = p.prune(preds)
         (p.targetId, victims, dels, true)
       case _ =>

@@ -47,8 +47,15 @@ class MorPropertySpec extends SparkSpec {
     for (lc <- 0 until lifecycles) {
       val root = freshRoot(s"t$lc")
       val template = Seq.empty[(Long, Int, String)].toDF("id", "grp", "v")
+      // every third lifecycle runs identity-partitioned on grp: the
+      // partition tuples must survive the delta-checkpoint parquet
+      // round trip, and DML victim selection composes partition
+      // pruning with stats pruning
+      val partProps = if (lc % 3 == 0)
+        Map("graft.partition-columns" -> "grp", "graft.write-partitions" -> "2")
+      else Map.empty[String, String]
       GraftTable.create(spark, root, template.schema,
-        Map("write.delete.mode" -> "merge-on-read",
+        partProps ++ Map("write.delete.mode" -> "merge-on-read",
           "graft.delete.files-per-shard" -> "1",     // shard position deletes
           "graft.delete.rows-per-shard" -> "4",      // shard equality deletes
           "graft.planning.distributed-threshold" -> "6"))

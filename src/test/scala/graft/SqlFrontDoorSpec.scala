@@ -770,6 +770,40 @@ class SqlFrontDoorSpec extends SparkSpec {
       "no-clause-applies matched rows must carry over unchanged")
   }
 
+  test("MERGE NOT MATCHED BY SOURCE clauses update/delete unmatched target rows") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
+    spark.sql("DROP TABLE IF EXISTS graft.rl.bs")
+    spark.sql("CREATE TABLE graft.rl.bs (id BIGINT, v DOUBLE, tag STRING)")
+    spark.sql("INSERT INTO graft.rl.bs SELECT id, CAST(id AS DOUBLE), 'x' FROM range(20)")
+    // source covers ids 5..14: matched rows update; target-only rows
+    // (0-4, 15-19) hit the BY SOURCE clauses — stale rows ≥ 15 are
+    // tombstoned, the rest flagged; source-only ids 25-27 insert
+    spark.sql("""SELECT id, CAST(id * 10 AS DOUBLE) AS v FROM range(28)
+      |WHERE (id >= 5 AND id < 15) OR id >= 25""".stripMargin)
+      .createOrReplaceTempView("rl_bs_src")
+    spark.sql("""MERGE INTO graft.rl.bs AS t USING rl_bs_src AS s ON t.id = s.id
+      |WHEN MATCHED THEN UPDATE SET v = s.v
+      |WHEN NOT MATCHED BY TARGET THEN INSERT (id, v) VALUES (s.id, s.v)
+      |WHEN NOT MATCHED BY SOURCE AND t.id >= 15 THEN DELETE
+      |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'stale'""".stripMargin)
+    // matched: updated, tag intact
+    assert(spark.sql("SELECT v, tag FROM graft.rl.bs WHERE id = 7").head().toSeq == Seq(70.0, "x"))
+    // BY SOURCE DELETE: 15-19 gone
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.rl.bs WHERE id >= 15 AND id < 20")
+      .head().getLong(0) == 0)
+    // BY SOURCE UPDATE with partial SET: 0-4 flagged, v unchanged
+    assert(spark.sql("SELECT v, tag FROM graft.rl.bs WHERE id = 2").head().toSeq == Seq(2.0, "stale"))
+    // BY TARGET INSERT alias: 25-27 inserted
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.rl.bs WHERE id >= 25").head().getLong(0) == 3)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.rl.bs").head().getLong(0) == 18)
+    // SET * cannot apply without a source row
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO graft.rl.bs USING rl_bs_src ON id = id
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *""".stripMargin)
+    }
+    assert(e.getMessage.contains("SET *"), s"wrong error: ${e.getMessage}")
+  }
+
   test("DELETE and UPDATE with subquery predicates route through the analyzer") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
     spark.sql("DROP TABLE IF EXISTS graft.rl.sq")
