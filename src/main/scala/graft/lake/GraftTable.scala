@@ -3655,13 +3655,33 @@ object GraftTable {
       spark.sparkContext.parallelize(adds, math.max(1, adds.size / 100000)),
       ckptFilesSchema)
     val cols = ckptFilesSchema.fieldNames.map(col(_))
-    stageCkptParquet(root, target, survivors.select(cols: _*).unionByName(addsDf))
-    // count off the written parquet footers — no second pass over data
-    val newCount = spark.read
-      .parquet(logDir(root).resolve(s"ckptfiles-$target.parquet").toString).count()
+    val newDf = survivors.select(cols: _*).unionByName(addsDf)
+    // stage the parquet, COUNT it off the staged footers, then write
+    // meta BEFORE the atomic move — every reader that finds the
+    // parquet must find the meta (ckptPlanner reads it untried), so a
+    // crash mid-write can only leave a harmless meta-without-parquet,
+    // which the next build repairs (the short-circuit needs both)
+    val targetPq = logDir(root).resolve(s"ckptfiles-$target.parquet")
+    if (Files.exists(targetPq)) {
+      writeCheckpoint(logDir(root).resolve(s"ckptmeta-$target.json"),
+        toJson(Commit(target, None, ts, "checkpoint", Seq.empty, Seq.empty,
+          props + ("graft.ckpt.file-count" ->
+            spark.read.parquet(targetPq.toString).count().toString), schemaJ)))
+      return true
+    }
+    val tmp = Paths.get(root, s".ckpt-stage-${UUID.randomUUID()}")
+    newDf.write.parquet(tmp.toString)
+    val newCount = spark.read.parquet(tmp.toString).count()
     writeCheckpoint(logDir(root).resolve(s"ckptmeta-$target.json"),
       toJson(Commit(target, None, ts, "checkpoint", Seq.empty, Seq.empty,
         props + ("graft.ckpt.file-count" -> newCount.toString), schemaJ)))
+    try Files.move(tmp, targetPq, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.DirectoryNotEmptyException |
+                 _: java.nio.file.AccessDeniedException =>
+      // lost the race to an identical writer: discard the stage
+      deleteTree(tmp)
+    }
     true
   }
 
@@ -3686,7 +3706,12 @@ object GraftTable {
     if (!writeCheckpointDelta(root, cutoff))
       writeCheckpointArtifacts(root, state(root, Some(cutoff)))
     ids.filter(_ < cutoff).foreach(id => Files.deleteIfExists(commitPath(root, id)))
-    (listCheckpointIds(root) ++ listCkptFilesIds(root))
+    // sweep by ANY artifact present — a crashed delta build can leave
+    // a meta without its parquet, which must still expire
+    (listCheckpointIds(root) ++ listCkptFilesIds(root) ++
+      listDir(logDir(root)).map(_.getFileName.toString)
+        .filter(_.matches("ckptmeta-\\d+\\.json"))
+        .map(_.stripPrefix("ckptmeta-").stripSuffix(".json").toLong))
       .distinct.filter(_ < cutoff).foreach { k =>
       Files.deleteIfExists(logDir(root).resolve(s"checkpoint-$k.json"))
       Files.deleteIfExists(logDir(root).resolve(s"ckptmeta-$k.json"))
