@@ -3749,24 +3749,71 @@ object GraftTable {
 
   /** DESCRIBE TABLE EXTENDED (reference: SPARK_ICEBERG_GUIDE.md §8.7):
     * schema fields, properties, and size diagnostics as one key/value
-    * table. */
+    * table. Above the planning threshold the size rollups run as a
+    * Spark aggregation over checkpoint survivors, combined with the
+    * driver-held tail adds — the same split every other O(table)
+    * plane uses; the file list never materializes driver-side. */
   def describeTable(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    val snap = state(root)
-    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
-      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val ids = listCommitIds(root)
+    require(ids.nonEmpty, s"not a GraftTable (empty log): $root")
+    val target = ids.max
+    val ckOpt = listCkptFilesIds(root).filter(k => k <= target &&
+      Files.exists(logDir(root).resolve(s"ckptmeta-$k.json"))).sorted.lastOption
+      .filter { k => val (count, threshold) = ckptScale(root, k); count >= threshold }
+    val (schema, props, stats) = ckOpt match {
+      case None =>
+        val snap = state(root)
+        val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+          state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+        (schema, snap.properties, Seq(
+          ("files", snap.files.count(_.isData).toString),
+          // content=1 diagnostics (reference: SPARK_ICEBERG_GUIDE.md
+          // §8.10 counts data vs delete files)
+          ("delete_files", snap.files.count(_.isDelete).toString),
+          ("delete_records", snap.files.filter(_.isDelete).map(_.records).sum.toString),
+          ("total_bytes", snap.files.filter(_.isData).map(_.sizeBytes).sum.toString),
+          ("total_records", snap.files.filter(_.isData).map(_.records).sum.toString)))
+      case Some(k) =>
+        val meta = parseCommit(Files.readString(logDir(root).resolve(s"ckptmeta-$k.json")))
+        val tail = ids.filter(id => id > k && id <= target)
+          .map(id => parseCommit(Files.readString(commitPath(root, id))))
+        val delta = scala.collection.mutable.LinkedHashMap.empty[String, Option[FileEntry]]
+        tail.foreach { c =>
+          c.removes.foreach(p => delta(p) = None)
+          c.adds.foreach(e => delta(e.path) = Some(e))
+        }
+        var props = meta.properties - "graft.ckpt.file-count"
+        var schemaJ = meta.schemaJson
+        tail.foreach { c =>
+          props = if (c.operation == "replace") c.properties else props ++ c.properties
+          schemaJ = c.schemaJson.orElse(schemaJ)
+        }
+        val schema = DataType.fromJson(schemaJ.get).asInstanceOf[StructType]
+        val ckDf = spark.read.parquet(logDir(root).resolve(s"ckptfiles-$k.parquet").toString)
+        val touched = delta.keySet.toSeq
+        val surv = if (touched.isEmpty) ckDf
+          else ckDf.join(touched.toDF("path"), Seq("path"), "left_anti")
+        // ONE job: per-content rollups over checkpoint survivors
+        val agg = surv.groupBy(col("content") === 0)
+          .agg(count(lit(1)).as("n"), sum(col("records")).as("recs"),
+            sum(col("sizeBytes")).as("bytes"))
+          .collect().map(r => r.getBoolean(0) ->
+            (r.getLong(1), r.getAs[Long]("recs"), r.getAs[Long]("bytes"))).toMap
+        val (ckData, ckDel) = (agg.getOrElse(true, (0L, 0L, 0L)), agg.getOrElse(false, (0L, 0L, 0L)))
+        val tailAdds = delta.values.flatten.toSeq
+        val (tData, tDel) = (tailAdds.filter(_.isData), tailAdds.filter(_.isDelete))
+        (schema, props, Seq(
+          ("files", (ckData._1 + tData.size).toString),
+          ("delete_files", (ckDel._1 + tDel.size).toString),
+          ("delete_records", (ckDel._2 + tDel.map(_.records).sum).toString),
+          ("total_bytes", (ckData._3 + tData.map(_.sizeBytes).sum).toString),
+          ("total_records", (ckData._2 + tData.map(_.records).sum).toString)))
+    }
     val rows =
       schema.fields.map(f => ("col: " + f.name, f.dataType.simpleString)).toSeq ++
-      snap.properties.toSeq.sortBy(_._1).map { case (k, v) => ("prop: " + k, v) } ++
-      Seq(
-        ("snapshot_id", snap.snapshotId.toString),
-        ("files", snap.files.count(_.isData).toString),
-        // content=1 diagnostics (reference: SPARK_ICEBERG_GUIDE.md
-        // §8.10 counts data vs delete files)
-        ("delete_files", snap.files.count(_.isDelete).toString),
-        ("delete_records", snap.files.filter(_.isDelete).map(_.records).sum.toString),
-        ("total_bytes", snap.files.filter(_.isData).map(_.sizeBytes).sum.toString),
-        ("total_records", snap.files.filter(_.isData).map(_.records).sum.toString))
+      props.toSeq.sortBy(_._1).map { case (k, v) => ("prop: " + k, v) } ++
+      (("snapshot_id", target.toString) +: stats)
     rows.toDF("key", "value")
   }
 

@@ -380,6 +380,19 @@ class GraftTableSpec extends SparkSpec {
     val expected2 = (expected :+ ((200L, 1L, "z"))).sorted.toSeq
     assert(GraftTable.read(spark, root).as[(Long, Long, String)]
       .collect().sorted.toSeq == expected2)
+    // describe's rollups run as a Spark agg over checkpoint survivors
+    // + the tail — they must equal the driver state's numbers exactly
+    val d = GraftTable.describeTable(spark, root).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val snapNow = GraftTable.state(root)
+    assert(d("files").toInt == snapNow.files.count(_.isData))
+    assert(d("delete_files").toInt == snapNow.files.count(_.isDelete))
+    assert(d("delete_records").toLong ==
+      snapNow.files.filter(_.isDelete).map(_.records).sum)
+    assert(d("total_records").toLong ==
+      snapNow.files.filter(_.isData).map(_.records).sum)
+    assert(d("total_bytes").toLong ==
+      snapNow.files.filter(_.isData).map(_.sizeBytes).sum)
     // expire past the parquet-only checkpoint: the cutoff checkpoint is
     // itself a delta build; old artifacts (ck1's parquet too) are swept
     GraftTable.expireSnapshots(root, retainLast = 1)
