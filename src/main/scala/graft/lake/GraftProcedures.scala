@@ -97,7 +97,9 @@ object GraftProcedures {
   private val mergeRe =
     ("""(?is)\s*MERGE\s+INTO\s+((?:\w+\.)*\w+)(?:\s+AS)?(?:\s+(?!USING\b)(\w+))?""" +
       """\s+USING\s+(\(.*\)|(?:\w+\.)*\w+)(?:\s+AS)?(?:\s+(?!ON\b)(\w+))?""" +
-      """\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*""").r
+      // the clause tail starts at WHEN [NOT] MATCHED, not at any WHEN —
+      // a CASE WHEN inside the ON condition must not end it early
+      """\s+ON\s+(.+?)\s+(WHEN\s+(?:NOT\s+)?MATCHED\b.+?)\s*;?\s*""").r
 
   def parseRowLevel(sqlText: String): Option[LogicalPlan] = sqlText match {
     case updateRe(tbl, rest) if isGraftTable(tbl) =>
@@ -165,9 +167,22 @@ object GraftProcedures {
     sb.toString
   }
 
-  /** Split a WHEN-clause tail at each top-level `WHEN` keyword
-    * (outside quotes and parens); segments keep their leading WHEN. */
+  /** Split a WHEN-clause tail at each top-level `WHEN [NOT] MATCHED`
+    * keyword (outside quotes and parens); segments keep their leading
+    * WHEN. Requiring the MATCHED lookahead keeps an unparenthesized
+    * `CASE WHEN ... END` inside a SET/VALUES expression from being
+    * mistaken for a clause boundary. */
   private[lake] def splitWhenClauses(s: String): Seq[String] = {
+    def followsMatched(from: Int): Boolean = {
+      var j = from
+      while (j < s.length && s.charAt(j).isWhitespace) j += 1
+      if (s.regionMatches(true, j, "NOT", 0, 3) &&
+          j + 3 < s.length && s.charAt(j + 3).isWhitespace) {
+        j += 3
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+      }
+      s.regionMatches(true, j, "MATCHED", 0, 7)
+    }
     val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
     var depth = 0; var q: Char = 0; var i = 0
     while (i < s.length) {
@@ -181,7 +196,8 @@ object GraftProcedures {
       else if (c == ')') depth -= 1
       else if (depth == 0 && s.regionMatches(true, i, "WHEN", 0, 4) &&
           (i == 0 || s.charAt(i - 1).isWhitespace) &&
-          (i + 4 < s.length && s.charAt(i + 4).isWhitespace)) {
+          (i + 4 < s.length && s.charAt(i + 4).isWhitespace) &&
+          followsMatched(i + 4)) {
         starts += i; i += 3
       }
       i += 1
@@ -405,17 +421,15 @@ case class GraftUpdateCommand(table: String, setClause: String,
       }
     }.toMap
     // a subquery anywhere (WHERE or a SET expression) needs the full
-    // analyzer — the Column path cannot resolve it. The predicate runs
-    // over a generated temp view, so strip the table-name qualifier
-    // off column references (correlated EXISTS writes `t.c`).
+    // analyzer — the Column path cannot resolve it. The generated temp
+    // view is exposed UNDER THE TABLE'S NAME so `t.c` references —
+    // correlated ones inside subquery bodies included — resolve by
+    // normal SQL scoping (text-stripping the qualifier would rebind
+    // them to the inner relation when names collide).
     val id =
-      if ((where.toSeq ++ setsText.values).exists(GraftProcedures.containsSubquery)) {
-        val tq = Set(table.split('.').last)
-        GraftTable.updateWhereSubquery(spark, root,
-          GraftProcedures.rewriteQualifiers(where.getOrElse("true"), Set.empty, tq),
-          setsText.view.mapValues(v =>
-            GraftProcedures.rewriteQualifiers(v, Set.empty, tq)).toMap)
-      }
+      if ((where.toSeq ++ setsText.values).exists(GraftProcedures.containsSubquery))
+        GraftTable.updateWhereSubquery(spark, root, where.getOrElse("true"),
+          setsText, targetAlias = Some(table.split('.').last))
       else GraftTable.update(spark, root,
         where.map(expr).getOrElse(lit(true)),
         setsText.view.mapValues(v => expr(v)).toMap)
@@ -434,11 +448,10 @@ case class GraftDeleteCommand(table: String, where: String)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftProcedures.resolveRoot(spark, table)
-    // the predicate runs over a generated temp view: strip the
-    // table-name qualifier off column refs (correlated EXISTS style)
-    val id = GraftTable.deleteWhereSubquery(spark, root,
-      GraftProcedures.rewriteQualifiers(where, Set.empty,
-        Set(table.split('.').last)))
+    // the generated temp view is aliased with the table's name so
+    // `t.c` refs (correlated EXISTS style) resolve by SQL scoping
+    val id = GraftTable.deleteWhereSubquery(spark, root, where,
+      targetAlias = Some(table.split('.').last))
     Seq(Row(s"snapshot_id=$id"))
   }
 }

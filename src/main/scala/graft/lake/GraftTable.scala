@@ -1079,8 +1079,13 @@ object GraftTable {
     * of files, not the table. Correctness never depends on it:
     * unpruned files are rewritten with the same filter. */
   def overwriteWhere(spark: SparkSession, root: String, condition: Column,
-      replacement: Option[DataFrame] = None, prunePreds: Seq[Pred] = Nil): Long = {
-    val planner = ckptPlanner(spark, root, None)
+      replacement: Option[DataFrame] = None, prunePreds: Seq[Pred] = Nil): Long =
+    overwriteWhereImpl(spark, root, condition, replacement, prunePreds,
+      ckptPlanner(spark, root, None))
+
+  private def overwriteWhereImpl(spark: SparkSession, root: String,
+      condition: Column, replacement: Option[DataFrame], prunePreds: Seq[Pred],
+      planner: Option[CkptPlanner]): Long = {
     val (schema, props) = dmlHeader(planner, root)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     // explicit preds win; otherwise extract them from the condition —
@@ -1209,13 +1214,17 @@ object GraftTable {
     * the rows; `merge-on-read` records position-delete files instead
     * and defers the rewrite to rewritePositionDeletes/compaction. */
   def deleteWhere(spark: SparkSession, root: String, condition: Column,
-      prunePreds: Seq[Pred] = Nil): Long =
+      prunePreds: Seq[Pred] = Nil): Long = {
     // dispatch off the planner header, not state(root): on a
-    // million-file table the mode lookup alone must not replay the log
-    if (dmlHeader(ckptPlanner(spark, root, None), root)._2
+    // million-file table the mode lookup alone must not replay the
+    // log — and the ONE planner built here threads through to the
+    // chosen branch (each construction re-parses the whole tail)
+    val planner = ckptPlanner(spark, root, None)
+    if (dmlHeader(planner, root)._2
         .get("write.delete.mode").contains("merge-on-read"))
-      deleteWhereMoR(spark, root, condition, prunePreds)
-    else overwriteWhere(spark, root, condition, None, prunePreds)
+      deleteWhereMoRImpl(spark, root, condition, prunePreds, planner)
+    else overwriteWhereImpl(spark, root, condition, None, prunePreds, planner)
+  }
 
   /** Merge-on-read DELETE: position-delete files (content=1) listing
     * (file_path, pos) of every matching row — the write is O(matches),
@@ -1226,8 +1235,13 @@ object GraftTable {
     * hash(file_path) — one delete file per shard, all committed
     * together — so no single task ever funnels the whole match set. */
   def deleteWhereMoR(spark: SparkSession, root: String, condition: Column,
-      prunePreds: Seq[Pred] = Nil): Long = {
-    val planner = ckptPlanner(spark, root, None)
+      prunePreds: Seq[Pred] = Nil): Long =
+    deleteWhereMoRImpl(spark, root, condition, prunePreds,
+      ckptPlanner(spark, root, None))
+
+  private def deleteWhereMoRImpl(spark: SparkSession, root: String,
+      condition: Column, prunePreds: Seq[Pred],
+      planner: Option[CkptPlanner]): Long = {
     val (schema, props) = dmlHeader(planner, root)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     val effective =
@@ -1560,8 +1574,15 @@ object GraftTable {
     val kept = readPaths(spark, root, schema, victimPaths, deletes)
       .join(src.select(keyCols.map(col): _*), keyCols, "left_anti")
     val adds = writeDataFiles(spark, root, kept.unionByName(src), id, props)
+    // a full-table rewrite (no key bounds) leaves no rows the delete
+    // files could refer to: retire them like overwriteWhere does, or
+    // every such merge accretes dead-but-live delete files forever
+    val dropDeletes = if (preds.isEmpty) deletes.map(_._1) else Seq.empty
+    val (retSchemaJ, retProps) =
+      if (preds.isEmpty) retiredNamesMeta(schema, props)
+      else (None, Map.empty[String, String])
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
-      "merge", adds, victimPaths, Map.empty, None))
+      "merge", adds, victimPaths ++ dropDeletes, retProps, retSchemaJ))
     id
   }
 
@@ -1677,8 +1698,15 @@ object GraftTable {
     val out = joined.filter(keep)
       .select(schema.fields.map(fieldVal).toIndexedSeq: _*)
     val adds = writeDataFiles(spark, root, out, id, props)
+    // full-table rewrite (BY SOURCE clauses, or no derivable key
+    // bounds): no surviving file predates this commit, so live delete
+    // files and historical column names retire with it
+    val dropDeletes = if (preds.isEmpty) delFiles.map(_._1) else Seq.empty
+    val (retSchemaJ, retProps) =
+      if (preds.isEmpty) retiredNamesMeta(schema, props)
+      else (None, Map.empty[String, String])
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
-      "merge", adds, victimPaths, Map.empty, None))
+      "merge", adds, victimPaths ++ dropDeletes, retProps, retSchemaJ))
     id
   }
 
@@ -2346,7 +2374,7 @@ object GraftTable {
         val (dataPaths, deletes, totalData) = p.prune(preds)
         val df = applyPreds(readPaths(spark, root, p.schema, dataPaths, deletes),
           types, preds)
-        ScanPlan(df, totalData, dataPaths.size.toLong, distributed = true)
+        ScanPlan(df, totalData(), dataPaths.size.toLong, distributed = true)
     }
 
   /** The checkpoint-backed distributed planner shared by planScan and
@@ -2354,13 +2382,16 @@ object GraftTable {
     * snapshot, properties, schema) resolves from ckptmeta + ordered
     * tail replay, and `prune` runs the stats/partition prune as a
     * Spark job over the ckptfiles parquet — returning (live data
-    * paths, live delete files, total data count) with only the
-    * SURVIVORS ever reaching the driver. None when no checkpoint
-    * covers the target or the file count sits below the planning
-    * threshold (the exact driver path is cheaper there). */
+    * paths, live delete files, total-data-count THUNK) with only the
+    * SURVIVORS ever reaching the driver. The count is lazy because
+    * only planScan's diagnostics want it — DML victim selection
+    * discards it, and forcing it there would cost every row-level op
+    * a second full-manifest job. None when no checkpoint covers the
+    * target or the file count sits below the planning threshold (the
+    * exact driver path is cheaper there). */
   private[lake] case class CkptPlanner(targetId: Long,
       properties: Map[String, String], schema: StructType,
-      prune: Seq[Pred] => (Seq[String], Seq[(String, Int, Seq[String])], Long))
+      prune: Seq[Pred] => (Seq[String], Seq[(String, Int, Seq[String])], () => Long))
 
   private def ckptPlanner(spark: SparkSession, root: String,
       asOf: Option[Long]): Option[CkptPlanner] = {
@@ -2442,7 +2473,8 @@ object GraftTable {
       val dataPaths = ckLive.toSeq ++ tailLive.map(_.path)
       val deletes = ckDeletes.toSeq ++ tailAdds.filter(_.isDelete)
         .map(f => (f.path, f.content.getOrElse(1), f.eqCols.getOrElse(Seq.empty)))
-      val totalData = ckDf.filter(col("content") === 0).count() + tailAdds.count(_.isData)
+      val totalData = () =>
+        ckDf.filter(col("content") === 0).count() + tailAdds.count(_.isData)
       (dataPaths, deletes, totalData)
     }))
   }
@@ -2500,19 +2532,26 @@ object GraftTable {
     * take the CoW rewrite here too: a position-delete write would need
     * the same full victim scan, and one correct path beats mode purity
     * for the rare subquery delete. */
-  def deleteWhereSubquery(spark: SparkSession, root: String, whereSql: String): Long =
-    rewriteBySql(spark, root, whereSql, None)
+  def deleteWhereSubquery(spark: SparkSession, root: String, whereSql: String,
+      targetAlias: Option[String] = None): Long =
+    rewriteBySql(spark, root, whereSql, None, targetAlias)
 
   /** UPDATE twin of deleteWhereSubquery: `set` maps column → SQL
     * expression text (subqueries welcome there too); matching rows in
     * victim files rewrite with the assignments applied, every other
     * row carries over byte-identical. */
   def updateWhereSubquery(spark: SparkSession, root: String, whereSql: String,
-      set: Map[String, String]): Long =
-    rewriteBySql(spark, root, whereSql, Some(set))
+      set: Map[String, String], targetAlias: Option[String] = None): Long =
+    rewriteBySql(spark, root, whereSql, Some(set), targetAlias)
 
+  /** `targetAlias`: expose the generated view under the TARGET's name,
+    * so `t.c` references — including correlated ones INSIDE subquery
+    * bodies — resolve through normal SQL scoping. Rewriting the
+    * predicate text instead would strip `t.` inside a subquery too,
+    * and the bare name then resolves inner-scope-first to the wrong
+    * relation when the inner table has a same-named column. */
   private def rewriteBySql(spark: SparkSession, root: String, whereSql: String,
-      set: Option[Map[String, String]]): Long = {
+      set: Option[Map[String, String]], targetAlias: Option[String] = None): Long = {
     val planner = ckptPlanner(spark, root, None)
     val (schema, props) = dmlHeader(planner, root)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
@@ -2523,13 +2562,15 @@ object GraftTable {
     val id = baseId + 1
     val op = if (set.isEmpty) "overwrite" else "update"
     val view = s"graft_dml_${UUID.randomUUID().toString.replace("-", "")}"
+    val vview = view + "_victims"
     liveRowsWithIds(spark, root, schema, allPaths, deletes)
       .drop("_gf_pos", "_gf_snap").createOrReplaceTempView(view)
+    val from = targetAlias.fold(view)(a => s"$view AS `$a`")
     try {
       // files that actually hold matching rows (match on the unique
       // file NAME — _gf_path is an absolute URI, paths are relative)
       val victimNames = spark.sql(
-        s"SELECT DISTINCT _gf_path FROM $view WHERE $whereSql")
+        s"SELECT DISTINCT _gf_path FROM $from WHERE $whereSql")
         .collect().map(_.getString(0).split('/').last).toSet
       val victims = allPaths.filter(p => victimNames.contains(p.split('/').last))
       if (victims.isEmpty) {
@@ -2548,17 +2589,30 @@ object GraftTable {
         }
       }.mkString(", ")
       val keepSql = if (set.isEmpty) s"NOT coalesce(($whereSql), false)" else "true"
-      import spark.implicits._
+      // the REWRITE reads only the victim files — a second view over
+      // just those, so picking 1 victim out of 1000 files rescans 1
+      // (subqueries in the predicate reference catalog tables, never
+      // this view, so restricting it cannot change their results)
+      liveRowsWithIds(spark, root, schema, victims, deletes)
+        .drop("_gf_pos", "_gf_snap").createOrReplaceTempView(vview)
+      val fromV = targetAlias.fold(vview)(a => s"$vview AS `$a`")
       val rewritten = spark.sql(
-        s"SELECT $fieldsSql, _gf_path FROM $view WHERE $keepSql")
-        .withColumn("_gf_name", regexp_extract(col("_gf_path"), "([^/]+)$", 1))
-        .join(victimNames.toSeq.toDF("_vn"), col("_gf_name") === col("_vn"), "left_semi")
-        .drop("_gf_path", "_gf_name")
+        s"SELECT $fieldsSql FROM $fromV WHERE $keepSql")
       val adds = writeDataFiles(spark, root, rewritten, id, props)
+      // every live file held a matching row → full rewrite: retire the
+      // delete files and historical names with it (overwriteWhere's rule)
+      val fullRewrite = victims.size == allPaths.size
+      val dropDeletes = if (fullRewrite) deletes.map(_._1) else Seq.empty
+      val (retSchemaJ, retProps) =
+        if (fullRewrite) retiredNamesMeta(schema, props)
+        else (None, Map.empty[String, String])
       commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
-        op, adds, victims, Map.empty, None))
+        op, adds, victims ++ dropDeletes, retProps, retSchemaJ))
       id
-    } finally spark.catalog.dropTempView(view)
+    } finally {
+      spark.catalog.dropTempView(view)
+      scala.util.Try(spark.catalog.dropTempView(vview))
+    }
   }
 
   /** Diagnostic/test probe for how a row-level DML with these

@@ -802,6 +802,64 @@ class SqlFrontDoorSpec extends SparkSpec {
         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *""".stripMargin)
     }
     assert(e.getMessage.contains("SET *"), s"wrong error: ${e.getMessage}")
+    // a full-table merge on a MoR table retires its delete files: no
+    // surviving file predates the commit, so keeping them would
+    // accrete dead-but-live delete files forever
+    spark.sql("DROP TABLE IF EXISTS graft.rl.bs2")
+    spark.sql("""CREATE TABLE graft.rl.bs2 (id BIGINT, v DOUBLE)
+      |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.rl.bs2 SELECT id, CAST(id AS DOUBLE) FROM range(10)")
+    spark.sql("DELETE FROM graft.rl.bs2 WHERE id = 3")
+    val r2 = root("rl", "bs2")
+    assert(GraftTable.state(r2).files.exists(_.isDelete), "setup: MoR delete file expected")
+    spark.sql("SELECT id FROM range(0)").createOrReplaceTempView("rl_bs2_src")
+    spark.sql("""MERGE INTO graft.rl.bs2 USING rl_bs2_src ON id = id
+      |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = v + 1""".stripMargin)
+    assert(GraftTable.state(r2).files.count(_.isDelete) == 0,
+      "full-table merge must retire live delete files")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.rl.bs2").head().getLong(0) == 9)
+    assert(spark.sql("SELECT v FROM graft.rl.bs2 WHERE id = 5").head().getDouble(0) == 6.0)
+  }
+
+  test("MERGE tolerates unparenthesized CASE WHEN in SET and ON expressions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
+    spark.sql("DROP TABLE IF EXISTS graft.rl.cw")
+    spark.sql("CREATE TABLE graft.rl.cw (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.rl.cw SELECT id, CAST(id AS DOUBLE) FROM range(6)")
+    spark.sql("""SELECT id, CAST(id * 10 AS DOUBLE) AS v,
+      |  CASE WHEN id % 2 = 0 THEN 'U' ELSE 'K' END AS op
+      |FROM range(8)""".stripMargin).createOrReplaceTempView("rl_cw_src")
+    // the CASE's WHEN/THEN must not be mistaken for clause boundaries
+    spark.sql("""MERGE INTO graft.rl.cw AS t USING rl_cw_src AS s ON t.id = s.id
+      |WHEN MATCHED THEN UPDATE SET v = CASE WHEN s.op = 'U' THEN s.v ELSE t.v END
+      |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, CASE WHEN s.op = 'U' THEN s.v ELSE -1.0 END)""".stripMargin)
+    assert(spark.sql("SELECT v FROM graft.rl.cw WHERE id = 4").head().getDouble(0) == 40.0)
+    assert(spark.sql("SELECT v FROM graft.rl.cw WHERE id = 3").head().getDouble(0) == 3.0,
+      "op='K' matched rows keep their value")
+    assert(spark.sql("SELECT v FROM graft.rl.cw WHERE id = 6").head().getDouble(0) == 60.0)
+    assert(spark.sql("SELECT v FROM graft.rl.cw WHERE id = 7").head().getDouble(0) == -1.0)
+  }
+
+  test("correlated subquery DML resolves target refs when inner columns collide") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
+    spark.sql("DROP TABLE IF EXISTS graft.rl.sqc")
+    spark.sql("CREATE TABLE graft.rl.sqc (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.rl.sqc SELECT id, CAST(id AS DOUBLE) FROM range(10)")
+    // inner relation carries BOTH a k and an id column: a text-level
+    // qualifier strip would rebind `sqc.id` to the inner id (row (2,2)
+    // makes the EXISTS true for every outer row → deletes everything)
+    spark.sql("SELECT * FROM VALUES (1L, 5L), (2L, 2L), (3L, 7L) AS t(id, k)")
+      .createOrReplaceTempView("sqc_src")
+    spark.sql("""DELETE FROM graft.rl.sqc WHERE EXISTS
+      |  (SELECT 1 FROM sqc_src u WHERE u.k = sqc.id)""".stripMargin)
+    assert(spark.sql("SELECT id FROM graft.rl.sqc ORDER BY id").collect().map(_.getLong(0)).toSeq
+      == Seq(0L, 1L, 3L, 4L, 6L, 8L, 9L),
+      "only ids {2,5,7} (the correlated matches) may be deleted")
+    // UPDATE twin: correlated scalar subquery in SET with the collision
+    spark.sql("""UPDATE graft.rl.sqc SET v =
+      |  (SELECT CAST(COUNT(*) AS DOUBLE) FROM sqc_src u WHERE u.k > sqc.id)""".stripMargin)
+    assert(spark.sql("SELECT v FROM graft.rl.sqc WHERE id = 4").head().getDouble(0) == 2.0)
+    assert(spark.sql("SELECT v FROM graft.rl.sqc WHERE id = 8").head().getDouble(0) == 0.0)
   }
 
   test("DELETE and UPDATE with subquery predicates route through the analyzer") {
