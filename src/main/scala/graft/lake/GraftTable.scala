@@ -2393,6 +2393,86 @@ object GraftTable {
       properties: Map[String, String], schema: StructType,
       prune: Seq[Pred] => (Seq[String], Seq[(String, Int, Seq[String])], () => Long))
 
+  /** Meta + ordered tail replay for the newest parquet checkpoint at
+    * or before `target` — THE shared replay discipline behind scan
+    * planning, the delta checkpoint build, and the describe rollups,
+    * factored once so the three planes can never diverge:
+    *  - files: for every path the tail touches, the LAST action wins
+    *    (a rollback commit that re-adds a path removed by an earlier
+    *    tail commit keeps that file live; a flat union of removes
+    *    would silently drop its rows)
+    *  - properties: reset wholesale across a REPLACE (the old
+    *    generation's spec/tombstones must not merge through), layered
+    *    otherwise — replayState's rule
+    *  - schema: the last one declared
+    * None when no parquet+meta checkpoint covers `target`; callers
+    * gate on `belowThreshold` themselves. */
+  private case class CkptTail(ck: Long, meta: Commit, tail: Seq[Commit],
+      delta: scala.collection.mutable.LinkedHashMap[String, Option[FileEntry]],
+      props: Map[String, String], schemaJson: Option[String]) {
+    def belowThreshold: Boolean = { val (c, t) = scaleOf(meta); c < t }
+    def timestampMs: Long = tail.lastOption.map(_.timestampMs).getOrElse(meta.timestampMs)
+    def touched: Seq[String] = delta.keySet.toSeq
+    def tailAdds: Seq[FileEntry] = delta.values.flatten.toSeq
+  }
+
+  private def ckptTail(root: String, target: Long): Option[CkptTail] =
+    listCkptFilesIds(root).filter(k => k <= target &&
+      Files.exists(logDir(root).resolve(s"ckptmeta-$k.json"))).sorted.lastOption
+      .map { k =>
+        val meta = parseCommit(Files.readString(logDir(root).resolve(s"ckptmeta-$k.json")))
+        val tail = listCommitIds(root).filter(id => id > k && id <= target)
+          .map(id => parseCommit(Files.readString(commitPath(root, id))))
+        val delta = scala.collection.mutable.LinkedHashMap.empty[String, Option[FileEntry]]
+        tail.foreach { c =>
+          c.removes.foreach(p => delta(p) = None)
+          versionedAdds(c).foreach(e => delta(e.path) = Some(e))
+        }
+        var props = meta.properties - "graft.ckpt.file-count"
+        var schemaJ = meta.schemaJson
+        tail.foreach { c =>
+          props = if (c.operation == "replace") c.properties
+                  else props ++ c.properties
+          schemaJ = c.schemaJson.orElse(schemaJ)
+        }
+        CkptTail(k, meta, tail, delta, props, schemaJ)
+      }
+
+  /** The checkpoint's parquet as a DataFrame with its stats encoding
+    * normalized to CURRENT: a pre-stamp list carries clamped-to-0 null
+    * counts — demote its zeros to the unknown sentinel (the executor
+    * twin of versionedAdds; the stamp lives on the ckptmeta commit) —
+    * and a FUTURE stamp is the same loud error as replay. */
+  private def ckptFilesDf(spark: SparkSession, root: String, ct: CkptTail): DataFrame = {
+    val raw = spark.read.parquet(logDir(root).resolve(s"ckptfiles-${ct.ck}.parquet").toString)
+    ct.meta.statsVersion match {
+      case Some(v) if v == statsVersionCurrent => raw
+      case Some(v) if v > statsVersionCurrent =>
+        throw new IllegalStateException(
+          s"checkpoint ${ct.ck} carries stats version $v but this code understands " +
+            s"<= $statsVersionCurrent; upgrade graft before reading this table")
+      case _ => raw.withColumn("stats", expr(
+        "transform_values(stats, (k, v) -> named_struct(" +
+          "'min', v.min, 'max', v.max, " +
+          "'nulls', CASE WHEN v.nulls = 0 THEN CAST(-1 AS BIGINT) ELSE v.nulls END))"))
+    }
+  }
+
+  /** Checkpoint survivors: the parquet list minus tail-touched paths,
+    * via an anti-join, not an isin literal list — a huge post-
+    * checkpoint rewrite (manifests not yet compacted) stays a normal
+    * join instead of either a giant expression tree or an O(table)
+    * driver fallback. */
+  private def ckptSurvivorsDf(spark: SparkSession, root: String, ct: CkptTail): DataFrame = {
+    val ckDf0 = ckptFilesDf(spark, root, ct)
+    if (ct.touched.isEmpty) ckDf0
+    else {
+      import spark.implicits._
+      ckDf0.join(ct.touched.toDF("_tpath"), col("path") === col("_tpath"), "left_anti")
+        .drop("_tpath")
+    }
+  }
+
   private def ckptPlanner(spark: SparkSession, root: String,
       asOf: Option[Long]): Option[CkptPlanner] = {
     val ids = listCommitIds(root)
@@ -2400,63 +2480,18 @@ object GraftTable {
     val target = asOf.getOrElse(ids.max)
     require(ids.contains(target),   // same loud contract as state()
       s"snapshot $target not in log (expired or never existed); have ${ids.min}..${ids.max}")
-    val ck = listCkptFilesIds(root).filter(_ <= target).sorted.lastOption
-    val metaOpt = ck.map(k =>
-      parseCommit(Files.readString(logDir(root).resolve(s"ckptmeta-$k.json"))))
-    val (ckCount, threshold) = metaOpt.map(scaleOf).getOrElse((0L, 1000L))
-    if (ck.isEmpty || ckCount < threshold) return None
-    val k = ck.get
-    val meta = metaOpt.get
-    val tail = ids.filter(id => id > k && id <= target)
-      .map(id => parseCommit(Files.readString(commitPath(root, id))))
-    // ordered tail replay (the same discipline as replayState): for
-    // every path the tail touches, the LAST action wins — so a
-    // rollback commit that re-adds a path removed by an earlier tail
-    // commit keeps that file live. A flat union of removes would
-    // filter the re-added file out of both the checkpoint list and
-    // the tail adds and silently drop its rows from the scan.
-    val delta = scala.collection.mutable.LinkedHashMap.empty[String, Option[FileEntry]]
-    tail.foreach { c =>
-      c.removes.foreach(p => delta(p) = None)
-      versionedAdds(c).foreach(e => delta(e.path) = Some(e))
-    }
-    var props = meta.properties - "graft.ckpt.file-count"
-    var schemaJ = meta.schemaJson
-    tail.foreach { c =>
-      // same wholesale-reset rule as replayState: a REPLACE in the
-      // tail must not let the old generation's spec/tombstones merge
-      props = if (c.operation == "replace") c.properties
-              else props ++ c.properties
-      schemaJ = c.schemaJson.orElse(schemaJ)
-    }
-    val schema = DataType.fromJson(schemaJ.get).asInstanceOf[StructType]
+    val ctOpt = ckptTail(root, target).filterNot(_.belowThreshold)
+    if (ctOpt.isEmpty) return None
+    val ct = ctOpt.get
+    val schema = DataType.fromJson(ct.schemaJson.get).asInstanceOf[StructType]
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
-    val spec = tableSpec(props)
+    val spec = tableSpec(ct.props)
+    val props = ct.props
     // tail-touched paths resolve from the delta (re-adds carry their
     // full FileEntry); untouched paths resolve from the checkpoint
-    val touched = delta.keySet.toSeq
-    val tailAdds = delta.values.flatten.toSeq
+    val tailAdds = ct.tailAdds
     Some(CkptPlanner(target, props, schema, { preds =>
-      val ckRaw = spark.read.parquet(logDir(root).resolve(s"ckptfiles-$k.parquet").toString)
-      // a pre-stamp parquet checkpoint carries the clamped-to-0 null
-      // counts: demote its zeros to the unknown sentinel, the executor
-      // twin of versionedAdds (the stamp lives on the ckptmeta commit)
-      val ckDf0 =
-        if (meta.statsVersion.nonEmpty) ckRaw
-        else ckRaw.withColumn("stats", expr(
-          "transform_values(stats, (k, v) -> named_struct(" +
-            "'min', v.min, 'max', v.max, " +
-            "'nulls', CASE WHEN v.nulls = 0 THEN CAST(-1 AS BIGINT) ELSE v.nulls END))"))
-      // exclude tail-touched paths via an anti-join, not an isin literal
-      // list: a huge post-checkpoint rewrite (manifests not yet
-      // compacted) stays a normal join instead of either a giant
-      // expression tree or an O(table) driver fallback
-      val ckDf =
-        if (touched.isEmpty) ckDf0
-        else {
-          import spark.implicits._
-          ckDf0.join(touched.toDF("_tpath"), col("path") === col("_tpath"), "left_anti")
-        }
+      val ckDf = ckptSurvivorsDf(spark, root, ct)
       val aliases = statAliases(schema)
       val pruneCond = preds.map(predCond(types, spec, _, aliases))
         .foldLeft(col("content") === 0)(_ && _)
@@ -3657,54 +3692,20 @@ object GraftTable {
     // or a crashed partial write falls through and gets repaired
     if (listCkptFilesIds(root).contains(target) &&
       Files.exists(logDir(root).resolve(s"ckptmeta-$target.json"))) return true
-    val prevOpt = listCkptFilesIds(root).filter(k => k < target &&
-      Files.exists(logDir(root).resolve(s"ckptmeta-$k.json"))).sorted.lastOption
-    if (prevOpt.isEmpty) return false
-    val prev = prevOpt.get
-    val meta = parseCommit(Files.readString(logDir(root).resolve(s"ckptmeta-$prev.json")))
-    val (count, threshold) = scaleOf(meta)
-    if (count < threshold) return false
     val ids = listCommitIds(root)
     require(ids.contains(target),
       s"snapshot $target not in log (expired or never existed); have ${ids.min}..${ids.max}")
-    val tail = ids.filter(id => id > prev && id <= target)
-      .map(id => parseCommit(Files.readString(commitPath(root, id))))
-    val delta = scala.collection.mutable.LinkedHashMap.empty[String, Option[FileEntry]]
-    tail.foreach { c =>
-      c.removes.foreach(p => delta(p) = None)
-      versionedAdds(c).foreach(e => delta(e.path) = Some(e))
-    }
-    var props = meta.properties - "graft.ckpt.file-count"
-    var schemaJ = meta.schemaJson
-    tail.foreach { c =>
-      // same wholesale-reset rule as replayState
-      props = if (c.operation == "replace") c.properties
-              else props ++ c.properties
-      schemaJ = c.schemaJson.orElse(schemaJ)
-    }
-    val ts = tail.lastOption.map(_.timestampMs).getOrElse(meta.timestampMs)
-    val prevRaw = spark.read.parquet(logDir(root).resolve(s"ckptfiles-$prev.parquet").toString)
-    // the new checkpoint's meta is stamped CURRENT, so a pre-stamp
-    // previous list must have its clamped-to-0 null counts demoted
-    // before they're carried forward (ckptPlanner's executor twin of
-    // versionedAdds); a future stamp is the same loud error as replay
-    val prevDf = meta.statsVersion match {
-      case Some(v) if v == statsVersionCurrent => prevRaw
-      case Some(v) if v > statsVersionCurrent =>
-        throw new IllegalStateException(
-          s"checkpoint $prev carries stats version $v but this code understands " +
-            s"<= $statsVersionCurrent; upgrade graft before rewriting manifests")
-      case _ => prevRaw.withColumn("stats", expr(
-        "transform_values(stats, (k, v) -> named_struct(" +
-          "'min', v.min, 'max', v.max, " +
-          "'nulls', CASE WHEN v.nulls = 0 THEN CAST(-1 AS BIGINT) ELSE v.nulls END))"))
-    }
-    import spark.implicits._
-    val touched = delta.keySet.toSeq
-    val survivors =
-      if (touched.isEmpty) prevDf
-      else prevDf.join(touched.toDF("path"), Seq("path"), "left_anti")
-    val adds = delta.values.flatten.toSeq.map(entryToCkptRow)
+    // target itself has no parquet+meta pair (checked above), so the
+    // shared replay resolves to a strictly earlier checkpoint
+    val ctOpt = ckptTail(root, target).filterNot(_.belowThreshold)
+    if (ctOpt.isEmpty) return false
+    val ct = ctOpt.get
+    val (props, schemaJ, ts) = (ct.props, ct.schemaJson, ct.timestampMs)
+    // the new checkpoint's meta is stamped CURRENT, so ckptFilesDf
+    // (inside ckptSurvivorsDf) normalizes a pre-stamp previous list
+    // before its stats are carried forward
+    val survivors = ckptSurvivorsDf(spark, root, ct)
+    val adds = ct.tailAdds.map(entryToCkptRow)
     val addsDf = spark.createDataFrame(
       spark.sparkContext.parallelize(adds, math.max(1, adds.size / 100000)),
       ckptFilesSchema)
@@ -3812,10 +3813,7 @@ object GraftTable {
     val ids = listCommitIds(root)
     require(ids.nonEmpty, s"not a GraftTable (empty log): $root")
     val target = ids.max
-    val ckOpt = listCkptFilesIds(root).filter(k => k <= target &&
-      Files.exists(logDir(root).resolve(s"ckptmeta-$k.json"))).sorted.lastOption
-      .filter { k => val (count, threshold) = ckptScale(root, k); count >= threshold }
-    val (schema, props, stats) = ckOpt match {
+    val (schema, props, stats) = ckptTail(root, target).filterNot(_.belowThreshold) match {
       case None =>
         val snap = state(root)
         val schema = DataType.fromJson(snap.schemaJson.getOrElse(
@@ -3828,36 +3826,18 @@ object GraftTable {
           ("delete_records", snap.files.filter(_.isDelete).map(_.records).sum.toString),
           ("total_bytes", snap.files.filter(_.isData).map(_.sizeBytes).sum.toString),
           ("total_records", snap.files.filter(_.isData).map(_.records).sum.toString)))
-      case Some(k) =>
-        val meta = parseCommit(Files.readString(logDir(root).resolve(s"ckptmeta-$k.json")))
-        val tail = ids.filter(id => id > k && id <= target)
-          .map(id => parseCommit(Files.readString(commitPath(root, id))))
-        val delta = scala.collection.mutable.LinkedHashMap.empty[String, Option[FileEntry]]
-        tail.foreach { c =>
-          c.removes.foreach(p => delta(p) = None)
-          c.adds.foreach(e => delta(e.path) = Some(e))
-        }
-        var props = meta.properties - "graft.ckpt.file-count"
-        var schemaJ = meta.schemaJson
-        tail.foreach { c =>
-          props = if (c.operation == "replace") c.properties else props ++ c.properties
-          schemaJ = c.schemaJson.orElse(schemaJ)
-        }
-        val schema = DataType.fromJson(schemaJ.get).asInstanceOf[StructType]
-        val ckDf = spark.read.parquet(logDir(root).resolve(s"ckptfiles-$k.parquet").toString)
-        val touched = delta.keySet.toSeq
-        val surv = if (touched.isEmpty) ckDf
-          else ckDf.join(touched.toDF("path"), Seq("path"), "left_anti")
-        // ONE job: per-content rollups over checkpoint survivors
-        val agg = surv.groupBy(col("content") === 0)
+      case Some(ct) =>
+        val schema = DataType.fromJson(ct.schemaJson.get).asInstanceOf[StructType]
+        // ONE job: per-content rollups over checkpoint survivors,
+        // combined with the driver-held tail adds
+        val agg = ckptSurvivorsDf(spark, root, ct).groupBy(col("content") === 0)
           .agg(count(lit(1)).as("n"), sum(col("records")).as("recs"),
             sum(col("sizeBytes")).as("bytes"))
           .collect().map(r => r.getBoolean(0) ->
             (r.getLong(1), r.getAs[Long]("recs"), r.getAs[Long]("bytes"))).toMap
         val (ckData, ckDel) = (agg.getOrElse(true, (0L, 0L, 0L)), agg.getOrElse(false, (0L, 0L, 0L)))
-        val tailAdds = delta.values.flatten.toSeq
-        val (tData, tDel) = (tailAdds.filter(_.isData), tailAdds.filter(_.isDelete))
-        (schema, props, Seq(
+        val (tData, tDel) = (ct.tailAdds.filter(_.isData), ct.tailAdds.filter(_.isDelete))
+        (schema, ct.props, Seq(
           ("files", (ckData._1 + tData.size).toString),
           ("delete_files", (ckDel._1 + tDel.size).toString),
           ("delete_records", (ckDel._2 + tDel.map(_.records).sum).toString),
