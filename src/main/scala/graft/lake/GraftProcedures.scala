@@ -34,6 +34,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftProcedures.parseCall(sqlText)
+      .orElse(GraftProcedures.parseAlterSpec(sqlText))
       .orElse(GraftProcedures.parseRowLevel(sqlText))
       .getOrElse(delegate.parsePlan(sqlText))
 
@@ -114,6 +115,31 @@ object GraftProcedures {
     // routes to the analyzer-backed CoW rewrite instead
     case deleteRe(tbl, where) if containsSubquery(where) && isGraftTable(tbl) =>
       Some(GraftDeleteCommand(stripCatalog(tbl), where))
+    case _ => None
+  }
+
+  // ── partition-spec evolution DDL ────────────────────────────────────
+  // The Iceberg-extensions ALTER TABLE grammar the reference stack
+  // loads (reference: spark-defaults.conf:11,
+  // IcebergSparkSessionExtensions): ADD/DROP/REPLACE PARTITION FIELD.
+  // Spark's own parser rejects these forms, so the delegating parser
+  // recognizes them before the delegate ever sees the text; they fire
+  // only when the target resolves to an existing GraftTable root.
+
+  private val addFieldRe =
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.)*\w+)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+  private val dropFieldRe =
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.)*\w+)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+  private val replaceFieldRe =
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.)*\w+)\s+REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+?)\s*;?\s*""".r
+
+  def parseAlterSpec(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case replaceFieldRe(tbl, from, to) if isGraftTable(tbl) =>
+      Some(GraftAlterSpecCommand(stripCatalog(tbl), "replace", from.trim, Some(to.trim)))
+    case addFieldRe(tbl, term) if isGraftTable(tbl) =>
+      Some(GraftAlterSpecCommand(stripCatalog(tbl), "add", term.trim, None))
+    case dropFieldRe(tbl, term) if isGraftTable(tbl) =>
+      Some(GraftAlterSpecCommand(stripCatalog(tbl), "drop", term.trim, None))
     case _ => None
   }
 
@@ -452,6 +478,27 @@ case class GraftDeleteCommand(table: String, where: String)
     // `t.c` refs (correlated EXISTS style) resolve by SQL scoping
     val id = GraftTable.deleteWhereSubquery(spark, root, where,
       targetAlias = Some(table.split('.').last))
+    Seq(Row(s"snapshot_id=$id"))
+  }
+}
+
+/** `ALTER TABLE t ADD|DROP PARTITION FIELD <term>` and
+  * `ALTER TABLE t REPLACE PARTITION FIELD <old> WITH <new>` →
+  * GraftTable partition-spec evolution (metadata-only; old files keep
+  * their spec, new writes use the new one). */
+case class GraftAlterSpecCommand(table: String, action: String,
+    term: String, to: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftProcedures.resolveRoot(spark, table)
+    val id = action match {
+      case "add" => GraftTable.addPartitionField(root, term)
+      case "drop" => GraftTable.dropPartitionField(root, term)
+      case "replace" => GraftTable.replacePartitionField(root, term, to.get)
+    }
     Seq(Row(s"snapshot_id=$id"))
   }
 }

@@ -59,8 +59,14 @@ object GraftTable {
       stats: Map[String, ColStats],
       partition: Option[Map[String, String]] = None,
       content: Option[Int] = None,
-      eqCols: Option[Seq[String]] = None) {
+      eqCols: Option[Seq[String]] = None,
+      specId: Option[Int] = None) {
     def partitionValues: Map[String, String] = partition.getOrElse(Map.empty)
+    /** The partition spec this file was written under, as an index
+      * into the table's spec history. Absent = spec 0 (every file of
+      * a never-evolved table — and every pre-evolution log entry —
+      * was written under the create-time spec). */
+    def specIdOr0: Int = specId.getOrElse(0)
     def isDelete: Boolean = content.exists(_ != 0)
     def isData: Boolean = !isDelete
     /** The snapshot that wrote this file (file-name prefix). */
@@ -203,6 +209,51 @@ object GraftTable {
   private def tableSpec(props: Map[String, String]): Seq[PTransform] =
     props.get(specProp).map(parsePartitionSpec).getOrElse(Seq.empty)
 
+  /** Spec-evolution history (Iceberg's partition-spec list): every
+    * spec the table has ever written under, `;`-joined in spec-id
+    * order (spec strings never contain `;`; an unpartitioned spec is
+    * the empty string). `graft.partition-spec` stays the CURRENT spec
+    * — the history's last entry — so pre-evolution readers of that
+    * property keep working. Absent = a never-evolved table: a
+    * one-entry history of the current spec at id 0, which is exactly
+    * what every already-written file's absent specId stamp means. */
+  val specHistoryProp = "graft.partition-spec-history"
+
+  /** All specs ever active, indexed by spec-id. */
+  private[lake] def specHistory(props: Map[String, String]): IndexedSeq[Seq[PTransform]] =
+    props.get(specHistoryProp) match {
+      case Some(h) => h.split(";", -1).toIndexedSeq.map(s =>
+        if (s.trim.isEmpty) Seq.empty else parsePartitionSpec(s))
+      case None => IndexedSeq(tableSpec(props))
+    }
+
+  /** The spec-id new writes stamp: the history's last entry. */
+  private[lake] def currentSpecId(props: Map[String, String]): Int =
+    props.get(specHistoryProp).map(_.split(";", -1).length - 1).getOrElse(0)
+
+  /** Per-file spec dispatch: the file's own spec from the history.
+    * Clamped to the last entry for an out-of-range stamp (cannot
+    * happen through this code — REPLACE rewrites every file and
+    * resets the property set wholesale — but a hand-edited log should
+    * degrade to current-spec pruning, not throw). */
+  private def specForFile(specs: IndexedSeq[Seq[PTransform]], f: FileEntry): Seq[PTransform] =
+    specs(math.min(f.specIdOr0, specs.size - 1))
+
+  /** render ∘ parse = identity: the spec string evolveSpec commits
+    * round-trips through parsePartitionSpec. */
+  private[lake] def renderTransform(t: PTransform): String = t match {
+    case PIdentity(c) => s"identity($c)"
+    case PBucket(c, n) => s"bucket($n,$c)"
+    case PTruncate(c, w) => s"truncate($w,$c)"
+    case PDays(c) => s"days($c)"
+    case PMonths(c) => s"months($c)"
+    case PYears(c) => s"years($c)"
+    case PHours(c) => s"hours($c)"
+  }
+
+  private[lake] def renderSpec(spec: Seq[PTransform]): String =
+    spec.map(renderTransform).mkString(",")
+
   /** The transform as a Column producing the RENDERED partition value
     * (string) — the same text form the pruning comparisons use:
     * numbers decimal, dates ISO, timestamps as UTC dates for days(). */
@@ -319,7 +370,8 @@ object GraftTable {
           k -> (("min" -> v.min) ~ ("max" -> v.max) ~ ("nulls" -> v.nulls)) }) ~
         ("partition" -> f.partition) ~
         ("content" -> f.content) ~
-        ("eqCols" -> f.eqCols))) ~
+        ("eqCols" -> f.eqCols) ~
+        ("specId" -> f.specId))) ~
       ("removes" -> c.removes) ~
       ("properties" -> c.properties) ~
       ("schemaJson" -> c.schemaJson) ~
@@ -412,9 +464,12 @@ object GraftTable {
     val eq = Option(r.getAs[scala.collection.Seq[String]]("eqcols"))
       .map(_.toSeq).filter(_.nonEmpty)
     val content = r.getAs[Int]("content")
+    // a pre-evolution checkpoint parquet has no specId column at all
+    val spec = scala.util.Try(r.fieldIndex("specId")).toOption
+      .filterNot(r.isNullAt).map(r.getInt)
     FileEntry(r.getAs[String]("path"), r.getAs[Long]("sizeBytes"),
       r.getAs[Long]("records"), stats, part,
-      if (content == 0) None else Some(content), eq)
+      if (content == 0) None else Some(content), eq, spec)
   }
 
   /** Replay cache: one SQL query touches state() several times
@@ -732,7 +787,10 @@ object GraftTable {
         val dst = dataDir(root).resolve(name)
         Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
         Some(FileEntry(s"data/$name", Files.size(dst), records,
-          st.view.filterKeys(statNames).toMap, tupleOf(src)))
+          st.view.filterKeys(statNames).toMap, tupleOf(src),
+          // id 0 stays unstamped: identical meaning, and pre-evolution
+          // manifests/checkpoints stay byte-compatible
+          specId = Some(currentSpecId(props)).filter(_ != 0)))
       }
     }
     // clean the stage dir (crc/_SUCCESS leftovers + partition dirs)
@@ -776,6 +834,144 @@ object GraftTable {
     * SPARK_ICEBERG_GUIDE.md §§8.2, 8.9): a properties-only commit. */
   def setProperties(root: String, props: Map[String, String]): Long =
     commit(root, latestSnapshotId(root), "set_properties", Seq.empty, Seq.empty, props)
+
+  // ── partition-spec evolution ────────────────────────────────────────
+
+  /** One partition-spec term from DDL text: Iceberg's grammar accepts
+    * a bare column (identity), singular time names (`day(ts)`), and
+    * any case for the transform name — normalize all of those into
+    * graft's canonical vocabulary before parsing. */
+  private[lake] def parseSpecTerm(s: String): PTransform = {
+    val t = s.trim
+    if (!t.contains("(")) return PIdentity(t)
+    val fnRe = """(?is)^\s*(\w+)\s*\((.*)\)\s*$""".r
+    val norm = t match {
+      case fnRe(fn, args) =>
+        val f = fn.toLowerCase match {
+          case "day" => "days"
+          case "month" => "months"
+          case "year" => "years"
+          case "hour" => "hours"
+          case other => other
+        }
+        s"$f(${args.trim})"
+      case _ => t
+    }
+    parsePartitionSpec(norm) match {
+      case Seq(one) => one
+      case _ => throw new IllegalArgumentException(s"expected one partition term, got '$s'")
+    }
+  }
+
+  /** Evolve-time validation, mirroring transformCol's write-time type
+    * requirements so a bad field fails HERE, not at the first append.
+    * Resolves the source column case-insensitively to its canonical
+    * schema name (pruning matches transform sources exactly). */
+  private def resolveSpecTerm(schema: StructType, t: PTransform): PTransform = {
+    val f = schema.fields.find(_.name.equalsIgnoreCase(t.col)).getOrElse(
+      throw new IllegalArgumentException(
+        s"partition field ${renderTransform(t)}: no column '${t.col}' in schema"))
+    def timeOk(needTs: Boolean): Unit = f.dataType match {
+      case TimestampType | TimestampNTZType => ()
+      case DateType if !needTs => ()
+      case dt => throw new IllegalArgumentException(
+        s"partition field ${renderTransform(t)} needs a ${if (needTs) "timestamp" else "date/timestamp"} column, got ${dt.simpleString}")
+    }
+    t match {
+      case PDays(_) | PMonths(_) | PYears(_) => timeOk(needTs = false)
+      case PHours(_) => timeOk(needTs = true)
+      case PTruncate(_, w) => f.dataType match {
+        case StringType | IntegerType | LongType => ()
+        case dt => throw new IllegalArgumentException(
+          s"truncate($w,${f.name}) needs string/int/long, got ${dt.simpleString}")
+      }
+      case _ => ()
+    }
+    t match {
+      case PIdentity(_) => PIdentity(f.name)
+      case PBucket(_, n) => PBucket(f.name, n)
+      case PTruncate(_, w) => PTruncate(f.name, w)
+      case PDays(_) => PDays(f.name)
+      case PMonths(_) => PMonths(f.name)
+      case PYears(_) => PYears(f.name)
+      case PHours(_) => PHours(f.name)
+    }
+  }
+
+  /** The spec-evolution commit shared by add/drop/replace: append the
+    * new spec to the history, point `graft.partition-spec` at it.
+    * Metadata-only — no data file is touched; old files keep pruning
+    * under the spec that wrote them (per-file spec-id dispatch in
+    * BOTH planners), new writes cluster and stamp under the new spec.
+    * No generation bump: a pinned-schema stream reads rows
+    * identically across the boundary (row semantics are unchanged —
+    * only the physical layout of FUTURE files moves). This is
+    * Iceberg's flagship "re-partition without rewriting" (reference:
+    * spark-defaults.conf:11 loads IcebergSparkSessionExtensions,
+    * whose ALTER TABLE grammar this mirrors). */
+  private def evolveSpecTo(root: String,
+      next: (Seq[PTransform], StructType) => Seq[PTransform]): Long = {
+    val snap = state(root)
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val cur = tableSpec(snap.properties)
+    val spec = next(cur, schema)
+    require(spec.map(_.label.toLowerCase).distinct.size == spec.size,
+      s"duplicate partition transforms in '${renderSpec(spec)}'")
+    val hist = specHistory(snap.properties).map(renderSpec) :+ renderSpec(spec)
+    commit(root, snap.snapshotId, "evolve_spec", Seq.empty, Seq.empty,
+      Map(specProp -> renderSpec(spec), specHistoryProp -> hist.mkString(";")))
+  }
+
+  /** ALTER TABLE t ADD PARTITION FIELD <transform>(c). */
+  def addPartitionField(root: String, term: String): Long =
+    evolveSpecTo(root, { (cur, schema) =>
+      val t = resolveSpecTerm(schema, parseSpecTerm(term))
+      require(!cur.exists(_.label.equalsIgnoreCase(t.label)),
+        s"partition field ${t.label} already in spec '${renderSpec(cur)}'")
+      cur :+ t
+    })
+
+  /** ALTER TABLE t DROP PARTITION FIELD <transform>(c) — also accepts
+    * the field by label or bare source column. Dropping the last
+    * field leaves the table unpartitioned going forward; the old
+    * cohort still prunes on its recorded tuples. */
+  def dropPartitionField(root: String, term: String): Long =
+    evolveSpecTo(root, { (cur, _) =>
+      val matches = cur.filter(specFieldMatches(term))
+      require(matches.nonEmpty,
+        s"no partition field matching '$term' in spec '${renderSpec(cur)}'")
+      require(matches.size == 1,
+        s"'$term' is ambiguous in spec '${renderSpec(cur)}': ${matches.map(_.label).mkString(", ")}")
+      cur.filterNot(_ == matches.head)
+    })
+
+  /** ALTER TABLE t REPLACE PARTITION FIELD <old> WITH <new> — drop +
+    * add in one commit, the new field taking the old one's position
+    * (so `.partitions` tuples keep a stable column order). */
+  def replacePartitionField(root: String, from: String, to: String): Long =
+    evolveSpecTo(root, { (cur, schema) =>
+      val matches = cur.filter(specFieldMatches(from))
+      require(matches.nonEmpty,
+        s"no partition field matching '$from' in spec '${renderSpec(cur)}'")
+      require(matches.size == 1,
+        s"'$from' is ambiguous in spec '${renderSpec(cur)}': ${matches.map(_.label).mkString(", ")}")
+      val t = resolveSpecTerm(schema, parseSpecTerm(to))
+      require(!cur.filterNot(_ == matches.head).exists(_.label.equalsIgnoreCase(t.label)),
+        s"partition field ${t.label} already in spec '${renderSpec(cur)}'")
+      cur.map(x => if (x == matches.head) t else x)
+    })
+
+  /** DROP/REPLACE field matching: the full transform term
+    * (`days(ts)`), the rendered label (`ts_day`), or — uniquely —
+    * the bare source column. */
+  private def specFieldMatches(term: String)(t: PTransform): Boolean = {
+    val s = term.trim
+    if (s.contains("("))
+      scala.util.Try(parseSpecTerm(s)).toOption.exists(p =>
+        renderTransform(p).equalsIgnoreCase(renderTransform(t)))
+    else t.label.equalsIgnoreCase(s) || t.col.equalsIgnoreCase(s)
+  }
 
   /** ALTER TABLE ... ADD COLUMN — metadata-only schema evolution: a
     * commit carrying the widened schema. Existing data files are
@@ -961,8 +1157,10 @@ object GraftTable {
       // partition directory values were rendered as float text; the
       // partition-tuple pruners compare that text exactly (no
       // conservative path), so widening a layout-driving float column
-      // would silently mis-prune — refuse until a rewrite
-      val layout = tableSpec(snap.properties).map(_.col) ++
+      // would silently mis-prune — refuse until a rewrite. ALL specs
+      // in the history count: per-file dispatch prunes the old cohort
+      // under its old spec, whose tuples are float-rendered too.
+      val layout = specHistory(snap.properties).flatten.map(_.col) ++
         snap.properties.get("graft.partition-columns").toSeq
           .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
       require(!layout.exists(_.equalsIgnoreCase(f.name)),
@@ -1992,12 +2190,18 @@ object GraftTable {
   /** Combined metadata pruning for data files: partition tuple first
     * (exact, cheapest), then per-file min/max stats. Partition specs
     * never need aliases — requireEvolvable forbids renaming a
-    * partition-source column. */
-  private def prunedData(types: Map[String, DataType], spec: Seq[PTransform],
+    * partition-source column. Each file is pruned under ITS OWN spec
+    * (per-file spec-id dispatch), so after spec evolution the old
+    * cohort keeps pruning exactly on its old transforms — a days(ts)
+    * file still drops on a ts predicate after the table moved to
+    * bucket(16,id). */
+  private def prunedData(types: Map[String, DataType],
+      specs: IndexedSeq[Seq[PTransform]],
       preds: Seq[Pred], files: Seq[FileEntry],
       aliases: StatAliases = StatAliases.empty): Seq[FileEntry] =
     files.filter(f => f.isData &&
-      mayMatchPartition(types, spec, preds)(f) && mayMatch(types, preds, aliases)(f))
+      mayMatchPartition(types, specForFile(specs, f), preds)(f) &&
+      mayMatch(types, preds, aliases)(f))
 
   /** Read a set of data files, applying the snapshot's position-delete
     * files (merge-on-read): rows are addressed by the parquet source's
@@ -2126,7 +2330,7 @@ object GraftTable {
     val schema = DataType.fromJson(snap.schemaJson.getOrElse(
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
-    prunedData(types, tableSpec(snap.properties), preds,
+    prunedData(types, specHistory(snap.properties), preds,
       snap.files.filter(_.isData), statAliases(schema))
   }
 
@@ -2148,9 +2352,9 @@ object GraftTable {
     val schema = DataType.fromJson(snap.schemaJson.getOrElse(
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
-    val spec = tableSpec(snap.properties)
     val dataFiles = snap.files.filter(_.isData)
-    val live = prunedData(types, spec, preds, dataFiles, statAliases(schema))
+    val live = prunedData(types, specHistory(snap.properties), preds, dataFiles,
+      statAliases(schema))
     val df = readFiles(spark, root, schema, live, snap.files.filter(_.isDelete))
     (applyPreds(df, types, preds), dataFiles.size, live.size)
   }
@@ -2202,8 +2406,13 @@ object GraftTable {
     * Column over a checkpoint file-list row — the executor-side twin
     * of mayMatch/mayMatchPartition. Spark compares strings in UTF-8
     * binary order (same as utf8Cmp) and the numeric casts mirror
-    * cmp()'s type dispatch, so both planners prune identically. */
-  private def predCond(types: Map[String, DataType], spec: Seq[PTransform],
+    * cmp()'s type dispatch, so both planners prune identically.
+    * Takes the full spec HISTORY: each checkpoint row dispatches on
+    * its own `specId` column (specForFile's executor twin), so a
+    * mixed-spec table prunes each cohort under the spec that wrote
+    * it. */
+  private def predCond(types: Map[String, DataType],
+      specs: IndexedSeq[Seq[PTransform]],
       p: Pred, aliases: StatAliases = StatAliases.empty): Column = {
     val dt = types(p.colName)
     def castv(c: Column): Column = dt match {
@@ -2265,7 +2474,8 @@ object GraftTable {
     // partition tuples: exact compare — widenColumn refuses
     // float→double on layout columns, so everFloat never applies here
     lazy val v = castv(lit(raw))
-    val partConds = spec.filter(_.col == p.colName).map { t =>
+    def partCondsFor(spec: Seq[PTransform]): Seq[Column] =
+      spec.filter(_.col == p.colName).map { t =>
       val pv = col("partition").getItem(t.label)
       // string-typed transform outputs render NULL and '' as the same
       // sentinel — those files can never be pruned by null-membership
@@ -2317,7 +2527,24 @@ object GraftTable {
             .otherwise(coalesce(cond, lit(true)))
       }
     }
-    (statsCond +: partConds).reduce(_ && _)
+    def andAll(cs: Seq[Column]): Column =
+      cs.reduceOption(_ && _).getOrElse(lit(true))
+    // per-row spec dispatch (specForFile's executor twin): a CASE on
+    // the row's specId selects the conjuncts of the spec that wrote
+    // the file; an absent/null stamp is spec 0, an out-of-range stamp
+    // clamps to the last (current) spec. Never-evolved tables (the
+    // common case — a one-entry history) skip the CASE entirely, so
+    // the pre-evolution plan shape is unchanged.
+    val partCond: Column =
+      if (specs.size <= 1)
+        andAll(partCondsFor(specs.headOption.getOrElse(Seq.empty)))
+      else {
+        val sid = coalesce(col("specId"), lit(0))
+        specs.init.zipWithIndex.foldRight(andAll(partCondsFor(specs.last))) {
+          case ((sp, i), acc) => when(sid === lit(i), andAll(partCondsFor(sp))).otherwise(acc)
+        }
+      }
+    statsCond && partCond
   }
 
   /** Read only enough data files to cover `n` rows (manifest record
@@ -2347,7 +2574,7 @@ object GraftTable {
     val schema = DataType.fromJson(snap.schemaJson.getOrElse(
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
-    val live = prunedData(types, tableSpec(snap.properties), preds,
+    val live = prunedData(types, specHistory(snap.properties), preds,
       snap.files.filter(_.isData), statAliases(schema))
     (math.max(1L, live.map(_.sizeBytes).sum), live.map(_.records).sum)
   }
@@ -2444,7 +2671,13 @@ object GraftTable {
     * twin of versionedAdds; the stamp lives on the ckptmeta commit) —
     * and a FUTURE stamp is the same loud error as replay. */
   private def ckptFilesDf(spark: SparkSession, root: String, ct: CkptTail): DataFrame = {
-    val raw = spark.read.parquet(logDir(root).resolve(s"ckptfiles-${ct.ck}.parquet").toString)
+    val raw0 = spark.read.parquet(logDir(root).resolve(s"ckptfiles-${ct.ck}.parquet").toString)
+    // a pre-evolution checkpoint has no specId column: add it as null
+    // (= spec 0) so predCond's dispatch and the delta build's select
+    // see one schema
+    val raw =
+      if (raw0.columns.contains("specId")) raw0
+      else raw0.withColumn("specId", lit(null).cast(IntegerType))
     ct.meta.statsVersion match {
       case Some(v) if v == statsVersionCurrent => raw
       case Some(v) if v > statsVersionCurrent =>
@@ -2485,7 +2718,7 @@ object GraftTable {
     val ct = ctOpt.get
     val schema = DataType.fromJson(ct.schemaJson.get).asInstanceOf[StructType]
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
-    val spec = tableSpec(ct.props)
+    val specs = specHistory(ct.props)
     val props = ct.props
     // tail-touched paths resolve from the delta (re-adds carry their
     // full FileEntry); untouched paths resolve from the checkpoint
@@ -2493,7 +2726,7 @@ object GraftTable {
     Some(CkptPlanner(target, props, schema, { preds =>
       val ckDf = ckptSurvivorsDf(spark, root, ct)
       val aliases = statAliases(schema)
-      val pruneCond = preds.map(predCond(types, spec, _, aliases))
+      val pruneCond = preds.map(predCond(types, specs, _, aliases))
         .foldLeft(col("content") === 0)(_ && _)
       // ONE job returns live paths + the (tiny) delete list + the total
       val rows = ckDf
@@ -2504,7 +2737,7 @@ object GraftTable {
       val ckLive = rows.filter(r => r.getInt(1) == 0 && r.getBoolean(2)).map(_.getString(0))
       val ckDeletes = rows.filter(_.getInt(1) != 0)
         .map(r => (r.getString(0), r.getInt(1), r.getSeq[String](3)))
-      val tailLive = prunedData(types, spec, preds, tailAdds, aliases)
+      val tailLive = prunedData(types, specs, preds, tailAdds, aliases)
       val dataPaths = ckLive.toSeq ++ tailLive.map(_.path)
       val deletes = ckDeletes.toSeq ++ tailAdds.filter(_.isDelete)
         .map(f => (f.path, f.content.getOrElse(1), f.eqCols.getOrElse(Seq.empty)))
@@ -2538,7 +2771,7 @@ object GraftTable {
         val dataFiles = snap.files.filter(_.isData)
         val touched =
           if (preds.isEmpty) dataFiles
-          else prunedData(types, tableSpec(snap.properties), preds, dataFiles,
+          else prunedData(types, specHistory(snap.properties), preds, dataFiles,
             statAliases(schema))
         (snap.snapshotId, touched.map(_.path),
           snap.files.filter(_.isDelete)
@@ -2739,7 +2972,7 @@ object GraftTable {
   /** Ops that never change live row content, only file layout. */
   private def maintenanceOps(op: String): Boolean = op match {
     case "create" | "add_column" | "rename_column" | "drop_column" |
-         "widen_column" | "set_properties" | "checkpoint" |
+         "widen_column" | "set_properties" | "evolve_spec" | "checkpoint" |
          "rewrite_data_files" | "rewrite_data_files_sorted" |
          "rewrite_data_files_zorder" | "rewrite_position_deletes" |
          "rewrite_equality_deletes" => true
@@ -3023,7 +3256,7 @@ object GraftTable {
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     val preds = extractPreds(conditionExpr(spark, schema, condition), types)
-    val live = prunedData(types, tableSpec(snap.properties), preds,
+    val live = prunedData(types, specHistory(snap.properties), preds,
       snap.files.filter(_.isData), statAliases(schema))
     readFiles(spark, root, schema, live, snap.files.filter(_.isDelete))
       .filter(condition)
@@ -3049,15 +3282,20 @@ object GraftTable {
     // data (no driver materialization of millions of entries)
     val ids = listCommitIds(root)
     val target = asOf.getOrElse(if (ids.nonEmpty) ids.max else -1L)
-    if (listCkptFilesIds(root).contains(target))
-      spark.read.parquet(logDir(root).resolve(s"ckptfiles-$target.parquet").toString)
-        .select(col("path").as("file_path"), col("sizeBytes").as("file_size_in_bytes"),
+    if (listCkptFilesIds(root).contains(target)) {
+      val raw = spark.read.parquet(logDir(root).resolve(s"ckptfiles-$target.parquet").toString)
+      val sid =   // pre-evolution checkpoints have no specId column
+        if (raw.columns.contains("specId")) coalesce(col("specId"), lit(0))
+        else lit(0)
+      raw.select(col("path").as("file_path"), col("sizeBytes").as("file_size_in_bytes"),
           col("records").as("record_count"), col("content"),
-          partStringCol(col("partition")).as("partition"))
-    else
+          partStringCol(col("partition")).as("partition"), sid.as("spec_id"))
+    } else
       state(root, asOf).files
-        .map(f => (f.path, f.sizeBytes, f.records, f.content.getOrElse(0), partString(f)))
-        .toDF("file_path", "file_size_in_bytes", "record_count", "content", "partition")
+        .map(f => (f.path, f.sizeBytes, f.records, f.content.getOrElse(0), partString(f),
+          f.specIdOr0))
+        .toDF("file_path", "file_size_in_bytes", "record_count", "content", "partition",
+          "spec_id")
   }
 
   /** `.partitions` metadata view (the Iceberg sibling): one row per
@@ -3397,7 +3635,7 @@ object GraftTable {
         val types = schema.fields.map(f => f.name -> f.dataType).toMap
         val preds = extractPreds(conditionExpr(spark, schema, cond), types)
         if (preds.isEmpty) smallAll
-        else prunedData(types, tableSpec(snap.properties), preds, smallAll,
+        else prunedData(types, specHistory(snap.properties), preds, smallAll,
           statAliases(schema))
     }
     if (small.size < minInputFiles) return snap.snapshotId
@@ -3630,12 +3868,16 @@ object GraftTable {
       StructField("nulls", LongType, nullable = false))))),
     StructField("partition", MapType(StringType, StringType)),
     StructField("content", IntegerType, nullable = false),
-    StructField("eqcols", ArrayType(StringType))))
+    StructField("eqcols", ArrayType(StringType)),
+    // nullable: null = spec 0, same as the JSON manifests' absent
+    // stamp (and what every pre-evolution checkpoint reads as)
+    StructField("specId", IntegerType)))
 
   private def entryToCkptRow(f: FileEntry): Row =
     Row(f.path, f.sizeBytes, f.records,
       f.stats.map { case (n, v) => n -> Row(v.min.orNull, v.max.orNull, v.nulls) },
-      f.partitionValues, f.content.getOrElse(0), f.eqCols.getOrElse(Seq.empty))
+      f.partitionValues, f.content.getOrElse(0), f.eqCols.getOrElse(Seq.empty),
+      f.specId.map(Int.box).orNull)
 
   /** Write a DataFrame already in ckptFilesSchema shape to
     * `ckptfiles-$id.parquet` via stage + atomic move. Losing the move

@@ -111,10 +111,11 @@ class MorPropertySpec extends SparkSpec {
         }
       }
       append(); check()
+      var specOn = false
       for (_ <- 0 until opsPer) {
         val prevSnap = GraftTable.latestSnapshotId(root)
         val prevOracle = oracle
-        rnd.nextInt(9) match {
+        rnd.nextInt(10) match {
           case 0 | 1 => append()
           case 2 =>   // position delete by group predicate
             val g = rnd.nextInt(5).toLong
@@ -148,9 +149,17 @@ class MorPropertySpec extends SparkSpec {
                       // both read + CDC must serve the widened type
             if (widened) append()
             else { GraftTable.widenColumn(root, "grp", LongType); widened = true }
-          case _ =>   // compaction (applies live deletes while binpacking)
+          case 8 =>   // compaction (applies live deletes while binpacking)
             GraftTable.rewriteDataFiles(spark, root, targetFileSizeBytes = 1L << 20,
               minInputFiles = 2)
+          case _ =>   // partition-spec evolution mid-lifecycle:
+                      // metadata-only, rows must not move; earlier
+                      // files keep pruning (and DML victim selection)
+                      // under the spec that wrote them, and the CDC
+                      // replay must see an empty feed for the commit
+            if (specOn) GraftTable.dropPartitionField(root, "bucket(2,id)")
+            else GraftTable.addPartitionField(root, "bucket(2,id)")
+            specOn = !specOn
         }
         check()
         cdcCheck(prevSnap, prevOracle)

@@ -320,4 +320,82 @@ class PruningPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("spec evolution: mixed-spec cohorts prune exactly, driver and distributed") {
+    // per-file spec-id dispatch (round-9 verdict #1): a table whose
+    // files were written under DIFFERENT specs must prune each cohort
+    // under the spec that wrote it — never over-prune (coverage
+    // oracle), and the checkpoint planner must agree with the driver.
+    val dts: Seq[DataType] = Seq(LongType, TimestampType, StringType, DoubleType)
+    val schema = StructType(StructField("id", LongType, nullable = false) +:
+      dts.zipWithIndex.map { case (dt, i) => StructField(s"c$i", dt, nullable = true) })
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    // (create-time spec, fields to drop, fields to add)
+    val transitions = Seq(
+      (Some("identity(c0)"), Seq("c0"), Seq("days(c1)")),
+      (Some("bucket(4,c0)"), Seq("bucket(4,c0)"), Seq.empty[String]),
+      (None, Seq.empty[String], Seq("identity(c0)")),
+      (Some("days(c1)"), Seq("days(c1)"), Seq("bucket(4,c0)", "truncate(3,c2)")),
+      (Some("truncate(3,c2)"), Seq.empty[String], Seq("months(c1)")))
+    var cases = 0
+    for (((spec0, drops, adds), ti) <- transitions.zipWithIndex) {
+      def rows(lo: Int, hi: Int) = (lo until hi).map { i =>
+        Row.fromSeq(i.toLong +: dts.zipWithIndex.map { case (dt, ci) =>
+          if (rnd.nextDouble() < 0.15) null
+          else randValue(dt) match {
+            case s: String => s.filter(_ < 0x80) match { case "" => "pad"; case t => t }
+            case v => v
+          }
+        })
+      }
+      val root = freshRoot(s"evo$ti")
+      GraftTable.create(spark, root, schema,
+        Map("graft.write-partitions" -> "3",
+          "graft.planning.distributed-threshold" -> "2") ++
+          spec0.map(GraftTable.specProp -> _))
+      val part1 = rows(0, 60)
+      GraftTable.append(spark, root, spark.createDataFrame(part1.asJava, schema))
+      drops.foreach(GraftTable.dropPartitionField(root, _))
+      adds.foreach(GraftTable.addPartitionField(root, _))
+      val part2 = rows(60, 120)
+      GraftTable.append(spark, root, spark.createDataFrame(part2.asJava, schema))
+      GraftTable.rewriteManifests(root)   // mixed-spec parquet checkpoint
+      val part3 = rows(120, 140)          // post-checkpoint tail, new spec
+      GraftTable.append(spark, root, spark.createDataFrame(part3.asJava, schema))
+
+      val allFiles = GraftTable.liveDataFiles(root, Nil)
+      val tagged = spark.read.schema(schema)
+        .parquet(allFiles.map(f => s"$root/${f.path}"): _*)
+        .select(struct(schema.fieldNames.map(col).toSeq: _*).as("r"),
+          col("_metadata.file_path").as("fp"))
+        .collect()
+        .map(r => (r.getStruct(0), r.getString(1).split('/').last))
+      assert(tagged.length == 140, s"transition $ti: ${tagged.length} rows")
+      val pools: Seq[IndexedSeq[Any]] = (0 until dts.length).map(i =>
+        tagged.flatMap(t => Option(t._1.get(i + 1))).toIndexedSeq)
+
+      for (_ <- 0 until 30) {
+        val conjs = Seq.fill(1 + rnd.nextInt(2))(randConj(dts, pools))
+        val preds = GraftTable.predsOf(spark, schema, conjs.map(toColumn).reduce(_ && _))
+        // coverage: no matching row may lose its file (driver planner)
+        val live = GraftTable.liveDataFiles(root, preds)
+          .map(_.path.split('/').last).toSet
+        tagged.foreach { case (row, file) =>
+          if (rowMatches(dts, row, conjs) && !live.contains(file))
+            fail(s"seed=$seed transition=$ti: file $file holds matching row " +
+              s"$row but was pruned under [${conjs.mkString(" AND ")}] (preds=$preds)")
+        }
+        // parity: the checkpoint planner's per-row spec-id dispatch
+        // must agree with the driver's per-entry dispatch exactly
+        val plan = GraftTable.planScan(spark, root, preds)
+        assert(plan.distributed, s"transition $ti must plan distributed")
+        val (_, _, dlive) = GraftTable.scan(spark, root, preds)
+        assert(plan.liveFiles == dlive.toLong,
+          s"seed=$seed transition=$ti: planner disagreement under " +
+            s"[${conjs.mkString(" AND ")}] (dist=${plan.liveFiles} driver=$dlive)")
+        cases += 1
+      }
+    }
+    assert(cases >= 150, s"only $cases cases ran")
+  }
 }
