@@ -153,7 +153,12 @@ object GraftProcedures {
   /** Rewrite alias-qualified column references in a clause expression
     * to the joined-frame convention GraftTable.merge evaluates under:
     * `srcAlias.c` → `_gs_c`, `tgtAlias.c` → `c`. Scans OUTSIDE string
-    * literals only, so `'s.x'` stays a literal. Unqualified names
+    * literals only, so `'s.x'` stays a literal; `` `backticked` ``
+    * segments are understood as single identifiers (so a backticked
+    * alias still rewrites, and a backticked foreign name is never
+    * split at its dots). A foreign qualifier consumes its WHOLE
+    * dotted chain verbatim — `db.t.c` must not have a later segment
+    * rebound just because it equals an alias. Unqualified names
     * resolve against the target row (the joined frame carries target
     * columns unprefixed) — reference source-only columns (a CDC `op`
     * flag) via the source alias, as SQL would require anyway. */
@@ -163,6 +168,18 @@ object GraftProcedures {
     var i = 0; var q: Char = 0
     val n = s.length
     def isIdent(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+    // an identifier starting at `from`, plain or backtick-quoted:
+    // (logical name, raw text to re-emit, end index)
+    def scanIdent(from: Int): Option[(String, String, Int)] =
+      if (from < n && s.charAt(from) == '`') {
+        val close = s.indexOf('`', from + 1)
+        if (close < 0) None
+        else Some((s.substring(from + 1, close), s.substring(from, close + 1), close + 1))
+      } else if (from < n && Character.isJavaIdentifierStart(s.charAt(from))) {
+        var j = from
+        while (j < n && isIdent(s.charAt(j))) j += 1
+        Some((s.substring(from, j), s.substring(from, j), j))
+      } else None
     while (i < n) {
       val c = s.charAt(i)
       if (q != 0) {
@@ -172,23 +189,27 @@ object GraftProcedures {
         i += 1
       }
       else if (c == '\'' || c == '"') { q = c; sb += c; i += 1 }
-      else if (Character.isJavaIdentifierStart(c)) {
-        val start = i
-        while (i < n && isIdent(s.charAt(i))) i += 1
-        val word = s.substring(start, i)
-        if (i + 1 < n && s.charAt(i) == '.' &&
-            Character.isJavaIdentifierStart(s.charAt(i + 1))) {
-          var j = i + 1
-          while (j < n && isIdent(s.charAt(j))) j += 1
-          val colName = s.substring(i + 1, j)
-          if (srcQuals.exists(_.equalsIgnoreCase(word))) {
-            sb ++= GraftTable.mergeSourcePrefix + colName; i = j
-          } else if (tgtQuals.exists(_.equalsIgnoreCase(word))) {
-            sb ++= colName; i = j
-          } else sb ++= word   // foreign qualifier: leave it, dot next pass
-        } else sb ++= word
+      else scanIdent(i) match {
+        case None => sb += c; i += 1
+        case Some((word, raw, end)) =>
+          val col = if (end < n && s.charAt(end) == '.') scanIdent(end + 1) else None
+          col match {
+            case Some((colName, colRaw, colEnd)) if srcQuals.exists(_.equalsIgnoreCase(word)) =>
+              val pref = GraftTable.mergeSourcePrefix + colName
+              sb ++= (if (colRaw.startsWith("`")) s"`$pref`" else pref); i = colEnd
+            case Some((_, colRaw, colEnd)) if tgtQuals.exists(_.equalsIgnoreCase(word)) =>
+              sb ++= colRaw; i = colEnd
+            case Some(_) =>
+              // foreign qualifier: emit the whole dotted chain verbatim
+              sb ++= raw; i = end
+              var chained = true
+              while (chained && i < n && s.charAt(i) == '.') scanIdent(i + 1) match {
+                case Some((_, nraw, nend)) => sb += '.'; sb ++= nraw; i = nend
+                case None => chained = false
+              }
+            case None => sb ++= raw; i = end
+          }
       }
-      else { sb += c; i += 1 }
     }
     sb.toString
   }
@@ -518,10 +539,12 @@ case class GraftAlterSpecCommand(table: String, action: String,
   * }}}
   *
   * `src` is a table/view name or a parenthesized subquery; each ON
-  * conjunct must equate the SAME column name on both sides (those
-  * become the merge keys). Clause conditions and value expressions
-  * may qualify columns with either side's alias/name; unqualified
-  * names resolve to the target row. */
+  * conjunct equates one target key with one source key (the merge
+  * keys). Differently-named sides — `ON t.id = s.key` — are accepted
+  * when both sides are alias-qualified; unqualified conjuncts use
+  * the same-name rule. Clause conditions and value expressions may
+  * qualify columns with either side's alias/name; unqualified names
+  * resolve to the target row. */
 case class GraftMergeCommand(table: String, source: String, onClause: String,
     whenTail: String, tgtAlias: Option[String], srcAlias: Option[String])
     extends LeafRunnableCommand {
@@ -549,22 +572,39 @@ case class GraftMergeCommand(table: String, source: String, onClause: String,
         spark.sql(source.trim.stripPrefix("(").stripSuffix(")"))
       else spark.table(source.trim)
     val fields = GraftTable.tableSchema(root).fieldNames.toSeq
-    val keyCols = onClause.split("(?i)\\s+AND\\s+").toSeq.map { eq =>
-      eq.split("=", 2) match {
-        case Array(l, r) =>
-          val (lc, rc) = (l.trim.split('.').last, r.trim.split('.').last)
-          require(lc.equalsIgnoreCase(rc),
-            s"MERGE ON must equate same-named key columns, got '$eq'")
-          GraftProcedures.resolveColumn(lc, fields)
-        case _ => throw new IllegalArgumentException(s"bad ON conjunct: '$eq'")
-      }
-    }
-    // which qualifiers mean "source side" / "target side" in clause
-    // expressions: the declared alias plus the bare relation name
+    // which qualifiers mean "source side" / "target side" in ON and
+    // clause expressions: the declared alias plus the bare relation name
     val srcQuals = (srcAlias.toSeq ++
       (if (source.trim.startsWith("(")) Seq.empty
        else Seq(GraftProcedures.stripCatalog(source.trim).split('.').last))).toSet
     val tgtQuals = (tgtAlias.toSeq :+ table.split('.').last).toSet
+    // Each ON conjunct equates a target key with a source key. The
+    // names may differ (Iceberg: ON t.id = s.key) — the sides are told
+    // apart by their alias qualifiers; unqualified or foreign-
+    // qualified conjuncts fall back to the same-name rule.
+    val keyPairs = onClause.split("(?i)\\s+AND\\s+").toSeq.map { eq =>
+      eq.split("=", 2) match {
+        case Array(l, r) =>
+          def qualAndCol(ref: String): (Option[String], String) = {
+            val parts = ref.trim.split('.')
+            (if (parts.length >= 2) Some(parts(parts.length - 2)) else None, parts.last)
+          }
+          val (lq, lc) = qualAndCol(l); val (rq, rc) = qualAndCol(r)
+          def in(quals: Set[String], q: Option[String]) =
+            q.exists(x => quals.exists(_.equalsIgnoreCase(x)))
+          val (tc, sc) =
+            if (in(tgtQuals, lq) && in(srcQuals, rq)) (lc, rc)
+            else if (in(srcQuals, lq) && in(tgtQuals, rq)) (rc, lc)
+            else {
+              require(lc.equalsIgnoreCase(rc),
+                s"MERGE ON with differently-named keys needs alias-qualified sides, got '$eq'")
+              (lc, rc)
+            }
+          (GraftProcedures.resolveColumn(tc, fields),
+            GraftProcedures.resolveColumn(sc, src.columns.toSeq))
+        case _ => throw new IllegalArgumentException(s"bad ON conjunct: '$eq'")
+      }
+    }
     def rw(s: String): String =
       GraftProcedures.rewriteQualifiers(s, srcQuals, tgtQuals)
     def parseSet(setSpec: String): Map[String, org.apache.spark.sql.Column] =
@@ -612,7 +652,7 @@ case class GraftMergeCommand(table: String, source: String, onClause: String,
         case other => throw new IllegalArgumentException(
           s"unrecognized MERGE clause: '$other'")
       }
-    val id = GraftTable.merge(spark, root, src, keyCols, clauses)
+    val id = GraftTable.merge(spark, root, src, keyPairs, clauses)
     Seq(Row(s"snapshot_id=$id"))
   }
 }

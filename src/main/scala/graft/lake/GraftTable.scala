@@ -1720,31 +1720,46 @@ object GraftTable {
   private val mergeDefaultClauses: Seq[MergeClause] =
     Seq(MergeUpdate(None, None), MergeInsert(None, None))
 
-  /** Key min/max bounds from the source → stats-overlap pruning
-    * predicates, so a keyed merge against a large table touches the
-    * few files that may hold those keys, not the table. */
-  private def sourceKeyBoundPreds(source: DataFrame, keyCols: Seq[String],
+  /** ONE aggregation pass over the source yields both the MERGE
+    * cardinality check and the key min/max pruning bounds: group by
+    * the source-side key columns (map-side partial agg shrinks the
+    * shuffle to one row per distinct key), then fold the groups into
+    * a single row — max group size plus per-key min/max (min over
+    * distinct keys equals min over all rows). Replaces what used to
+    * be two separate jobs (a duplicate-count pass, then a bounds
+    * pass), so a 100 TB source is scanned once before the merge join
+    * instead of twice. Rows with a null in any key column are exempt
+    * from the cardinality rule — null never equals a target key, so
+    * such rows only reach NOT MATCHED clauses, where duplicates are
+    * ordinary inserts. `keyPairs` maps target key name → source key
+    * name (they differ when MERGE ON equates differently-named
+    * columns); bounds come from source values but are emitted under
+    * the TARGET name, which is what file pruning compares against. */
+  private def sourceKeyAnalysis(source: DataFrame, keyPairs: Seq[(String, String)],
       types: Map[String, DataType]): Seq[Pred] = {
-    val boundAggs = keyCols.filter(c => statsTypes.contains(types(c))).flatMap { c =>
-      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))
-    }
-    if (boundAggs.isEmpty) Seq.empty
-    else {
-      val r = source.agg(boundAggs.head, boundAggs.tail: _*).collect().head
-      keyCols.filter(c => statsTypes.contains(types(c))).flatMap { c =>
-        def render(v: Any): Option[String] = v match {
-          case null => None
-          case d: java.sql.Date => Some(d.toString)
-          case d: java.time.LocalDate => Some(d.toString)
-          case t: java.sql.Timestamp => Some((t.getTime * 1000L + t.getNanos / 1000 % 1000).toString)
-          case t: java.time.Instant => Some((t.getEpochSecond * 1000000L + t.getNano / 1000).toString)
-          case t: java.time.LocalDateTime =>
-            Some((t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000).toString)
-          case x => Some(x.toString)
-        }
-        render(r.getAs[Any](s"__mn_$c")).map(Ge(c, _)).toSeq ++
-          render(r.getAs[Any](s"__mx_$c")).map(Le(c, _)).toSeq
+    val srcKeys = keyPairs.map(_._2)
+    val grouped = source.groupBy(srcKeys.map(col): _*).agg(count(lit(1)).as("__gcnt"))
+    val allKeysNotNull = srcKeys.map(col(_).isNotNull).reduce(_ && _)
+    val boundPairs = keyPairs.filter { case (t, _) => statsTypes.contains(types(t)) }
+    val aggs = max(when(allKeysNotNull, col("__gcnt"))).as("__dup") +:
+      boundPairs.flatMap { case (t, sc) =>
+        Seq(min(col(sc)).as(s"__mn_$t"), max(col(sc)).as(s"__mx_$t")) }
+    val r = grouped.agg(aggs.head, aggs.tail: _*).collect().head
+    require(r.isNullAt(0) || r.getLong(0) <= 1L,
+      "MERGE source has duplicate keys (ON clause would match a target row twice)")
+    boundPairs.flatMap { case (t, _) =>
+      def render(v: Any): Option[String] = v match {
+        case null => None
+        case d: java.sql.Date => Some(d.toString)
+        case d: java.time.LocalDate => Some(d.toString)
+        case t: java.sql.Timestamp => Some((t.getTime * 1000L + t.getNanos / 1000 % 1000).toString)
+        case t: java.time.Instant => Some((t.getEpochSecond * 1000000L + t.getNano / 1000).toString)
+        case t: java.time.LocalDateTime =>
+          Some((t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000).toString)
+        case x => Some(x.toString)
       }
+      render(r.getAs[Any](s"__mn_$t")).map(Ge(t, _)).toSeq ++
+        render(r.getAs[Any](s"__mx_$t")).map(Le(t, _)).toSeq
     }
   }
 
@@ -1762,9 +1777,7 @@ object GraftTable {
     val (schema, props) = dmlHeader(planner, root)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     require(keyCols.nonEmpty && keyCols.forall(types.contains), s"bad merge keys: $keyCols")
-    val dup = source.groupBy(keyCols.map(col): _*).count().filter(col("count") > 1).limit(1).count()
-    require(dup == 0L, "MERGE source has duplicate keys (ON clause would match a target row twice)")
-    val preds = sourceKeyBoundPreds(source, keyCols, types)
+    val preds = sourceKeyAnalysis(source, keyCols.map(k => (k, k)), types)
     val (baseId, victimPaths, deletes, _) =
       dmlVictims(spark, root, planner, schema, types, preds)
     val id = baseId + 1
@@ -1794,18 +1807,30 @@ object GraftTable {
     * every live data file — any target row can change. The plain
     * two-clause upsert delegates to the anti-join fast path above. */
   def merge(spark: SparkSession, root: String, source: DataFrame,
-      keyCols: Seq[String], clauses: Seq[MergeClause]): Long = {
-    if (clauses == mergeDefaultClauses) return merge(spark, root, source, keyCols)
+      keyCols: Seq[String], clauses: Seq[MergeClause]): Long =
+    merge(spark, root, source, keyCols.map(k => (k, k)), clauses)
+
+  /** As above, with `keyPairs` = (target key, source key) per ON
+    * conjunct: Iceberg accepts `ON t.id = s.key` with differently-
+    * named sides, so the key columns need not share a name. The
+    * source side is renamed into the `_gs_` namespace wholesale, so
+    * only the join condition cares about the pairing. */
+  def merge(spark: SparkSession, root: String, source: DataFrame,
+      keyPairs: Seq[(String, String)], clauses: Seq[MergeClause])(
+      implicit d: DummyImplicit): Long = {
+    if (clauses == mergeDefaultClauses && keyPairs.forall(p => p._1.equalsIgnoreCase(p._2)))
+      return merge(spark, root, source, keyPairs.map(_._1))
     val planner = ckptPlanner(spark, root, None)
     val (schema, props) = dmlHeader(planner, root)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val keyCols = keyPairs.map(_._1)
     require(keyCols.nonEmpty && keyCols.forall(types.contains), s"bad merge keys: $keyCols")
     require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
     val srcCols = source.columns.toSeq
     require(srcCols.forall(!_.toLowerCase.startsWith("_g")),
       "MERGE source columns may not use the reserved _g prefix")
-    require(keyCols.forall(k => srcCols.exists(_.equalsIgnoreCase(k))),
-      s"MERGE source lacks key columns: ${keyCols.filterNot(k => srcCols.exists(_.equalsIgnoreCase(k)))}")
+    require(keyPairs.forall(p => srcCols.exists(_.equalsIgnoreCase(p._2))),
+      s"MERGE source lacks key columns: ${keyPairs.collect { case (_, s) if !srcCols.exists(_.equalsIgnoreCase(s)) => s }}")
     val usesStar = clauses.exists {
       case MergeUpdate(_, None) => true
       case MergeInsert(_, None) => true
@@ -1826,31 +1851,40 @@ object GraftTable {
           s"unknown SET columns: ${set.keySet -- schema.fieldNames}")
       case _ => ()
     }
-    val dup = source.groupBy(keyCols.map(col): _*).count().filter(col("count") > 1).limit(1).count()
-    require(dup == 0L, "MERGE source has duplicate keys (ON clause would match a target row twice)")
+    // one source pass: cardinality check + pruning bounds together
+    // (bounds are computed even when BY SOURCE clauses discard them —
+    // they ride the same job for free, the collect row is one row)
+    val boundPreds = sourceKeyAnalysis(source, keyPairs, types)
     val bySourceClauses = clauses.collect {
       case u: MergeUpdateBySource => u
       case d: MergeDeleteBySource => d
     }
     // a BY SOURCE clause can change ANY target row: no key-bounds
     // pruning — every live data file is a victim
-    val preds =
-      if (bySourceClauses.nonEmpty) Seq.empty
-      else sourceKeyBoundPreds(source, keyCols, types)
+    val preds = if (bySourceClauses.nonEmpty) Seq.empty else boundPreds
     val (baseId, victimPaths, delFiles, _) =
       dmlVictims(spark, root, planner, schema, types, preds)
     val id = baseId + 1
     // presence flags (not key-null checks: a target row may legally
-    // carry null keys — it never matches, but it still exists)
-    val tPresent = "_gt_present"
-    val sPresent = mergeSourcePrefix + "_present"
+    // carry null keys — it never matches, but it still exists).
+    // Names are picked FRESH against the joined frame: create() only
+    // reserves _gp_/_gf targets and the _gs_ prefixing maps a source
+    // column `_present` onto `_gs__present`, so any fixed name could
+    // be clobbered by a legal user column (advisor finding, round 9)
+    val takenNames = (schema.fieldNames.toSeq ++ srcCols.map(mergeSourcePrefix + _))
+      .map(_.toLowerCase).toSet
+    def freshFlag(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(n => takenNames.contains(n.toLowerCase)).next()
+    val tPresent = freshFlag("_gt_present")
+    val sPresent = freshFlag("_g#s_present")
     val tgt = readPaths(spark, root, schema, victimPaths, delFiles)
       .withColumn(tPresent, lit(true))
     val srcRen = source
       .select(srcCols.map(c => col(c).as(mergeSourcePrefix + c)): _*)
       .withColumn(sPresent, lit(true))
-    val joinCond = keyCols.map(k => tgt(k) === srcRen(mergeSourcePrefix + k))
-      .reduce(_ && _)
+    val joinCond = keyPairs.map { case (tk, sk) =>
+      tgt(tk) === srcRen(mergeSourcePrefix + sk)
+    }.reduce(_ && _)
     val joined = tgt.join(srcRen, joinCond, "full_outer")
     val matchedClauses = clauses.collect {
       case u: MergeUpdate => u

@@ -369,6 +369,14 @@ class LakeV2Spec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       GraftTable.merge(spark, root, source.unionAll(source), Seq("n_nationkey"))
     }
+    // ...but null-keyed rows are exempt: null never equals a target
+    // key, so two of them are two ordinary inserts, not a breach
+    val nulls = source.limit(1)
+      .withColumn("n_nationkey", lit(null).cast(n.schema("n_nationkey").dataType))
+    val before = GraftTable.read(spark, root).count()
+    GraftTable.merge(spark, root, nulls.unionAll(nulls), Seq("n_nationkey"))
+    assert(GraftTable.read(spark, root).count() == before + 2,
+      "null-keyed source rows must insert, not trip the cardinality rule")
   }
 
   test("merge rewrites only files whose stats overlap the source keys") {

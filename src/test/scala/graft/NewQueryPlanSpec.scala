@@ -102,6 +102,56 @@ class NewQueryPlanSpec extends SparkSpec {
       s"undeclared all-pairs plan shape in: ${offenders.mkString(", ")}")
   }
 
+  test("merge runs ONE pre-join source pass: cardinality + bounds share a job") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.lake.GraftTable
+    import graft.sources.Tables
+    // round 9 found merge paying a SECOND full source scan for the
+    // duplicate-key pre-check before the bounds aggregation — on a
+    // 100 TB source that is a whole extra scan+shuffle. Both now ride
+    // one job (groupBy keys → fold), so the total job count of a small
+    // merge is pinned: analysis + victim read/write, nothing more. A
+    // regression that re-splits the pre-work shows up as +1 here.
+    val p = Paths.get("/root/repo/target/graft-planspec", "merge-jobs")
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+    Files.createDirectories(p.getParent)
+    val root = p.toString
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    GraftTable.append(spark, root, n)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        sites.add(js.stageInfos.map(si => si.name.takeWhile(_ != '\n')).mkString("+"))
+      }
+    }
+    val source = n.filter(col("n_nationkey") < 3)
+      .withColumn("n_name", concat(col("n_name"), lit("_m")))
+    spark.sparkContext.addSparkListener(listener)
+    val counted =
+      try {
+        GraftTable.merge(spark, root, source, Seq("n_nationkey"))
+        // listener delivery is async: poll until the count is stable
+        var last = -1; var cur = jobs.get(); var spins = 0
+        while (cur != last && spins < 50) {
+          last = cur; Thread.sleep(100); cur = jobs.get(); spins += 1
+        }
+        cur
+      } finally spark.sparkContext.removeSparkListener(listener)
+    info(s"merge jobs: $counted; sites: ${sites.toArray.mkString(" | ")}")
+    assert(counted <= 3,
+      s"a plain merge must launch at most 3 jobs (1 source analysis + victim read/write), got $counted")
+  }
+
   test("q58 scan reads only doc_id and text") {
     val df = graft.operators.TextOps.q58(spark, sf)
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)

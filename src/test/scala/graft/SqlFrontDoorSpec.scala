@@ -770,6 +770,48 @@ class SqlFrontDoorSpec extends SparkSpec {
       "no-clause-applies matched rows must carry over unchanged")
   }
 
+  test("MERGE ON differently-named keys; backticked refs; null keys exempt from cardinality") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
+    spark.sql("DROP TABLE IF EXISTS graft.rl.rk")
+    spark.sql("CREATE TABLE graft.rl.rk (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.rl.rk SELECT id, CAST(id AS DOUBLE) FROM range(10)")
+    // the staging feed names its key column differently (Iceberg
+    // accepts ON t.id = s.key); backticked source refs must rewrite too
+    spark.sql("SELECT id + 5 AS key, CAST(100.0 AS DOUBLE) AS amount FROM range(10)")
+      .createOrReplaceTempView("rl_rk_src")
+    spark.sql("""MERGE INTO graft.rl.rk AS t USING rl_rk_src AS s ON t.id = s.key
+      |WHEN MATCHED THEN UPDATE SET v = `s`.`amount`
+      |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.key, s.amount)""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.rl.rk").head().getLong(0) == 15,
+      "keys 5..9 update in place, 10..14 insert")
+    assert(spark.sql("SELECT v FROM graft.rl.rk WHERE id = 7").head().getDouble(0) == 100.0)
+    assert(spark.sql("SELECT v FROM graft.rl.rk WHERE id = 14").head().getDouble(0) == 100.0)
+    assert(spark.sql("SELECT v FROM graft.rl.rk WHERE id = 3").head().getDouble(0) == 3.0,
+      "rows below the source key range stay untouched")
+    // the ON conjunct works with the sides reversed
+    spark.sql("SELECT CAST(7 AS BIGINT) AS key, CAST(-1.0 AS DOUBLE) AS amount")
+      .createOrReplaceTempView("rl_rk_one")
+    spark.sql("""MERGE INTO graft.rl.rk AS t USING rl_rk_one AS s ON s.key = t.id
+      |WHEN MATCHED THEN UPDATE SET v = s.amount""".stripMargin)
+    assert(spark.sql("SELECT v FROM graft.rl.rk WHERE id = 7").head().getDouble(0) == -1.0)
+    // cardinality rule through SQL: duplicate non-null keys fail…
+    spark.sql("SELECT CAST(id AS BIGINT) AS key, CAST(0.0 AS DOUBLE) AS amount " +
+      "FROM (SELECT 1 AS id UNION ALL SELECT 1)").createOrReplaceTempView("rl_rk_dup")
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO graft.rl.rk AS t USING rl_rk_dup AS s ON t.id = s.key
+        |WHEN MATCHED THEN UPDATE SET v = s.amount""".stripMargin)
+    }
+    assert(e.getMessage.contains("duplicate keys"), s"wrong error: ${e.getMessage}")
+    // …but two null-keyed rows are two legal inserts (null never
+    // matches a target key), not a cardinality breach
+    spark.sql("SELECT CAST(NULL AS BIGINT) AS key, CAST(9.0 AS DOUBLE) AS amount " +
+      "FROM range(2)").createOrReplaceTempView("rl_rk_nulls")
+    spark.sql("""MERGE INTO graft.rl.rk AS t USING rl_rk_nulls AS s ON t.id = s.key
+      |WHEN MATCHED THEN UPDATE SET v = s.amount
+      |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.key, s.amount)""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.rl.rk WHERE id IS NULL").head().getLong(0) == 2)
+  }
+
   test("MERGE NOT MATCHED BY SOURCE clauses update/delete unmatched target rows") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
     spark.sql("DROP TABLE IF EXISTS graft.rl.bs")
