@@ -24,15 +24,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects natively; read nanos as long and convert to a
-    * microsecond timestamp (integer DIV — ns since epoch exceeds
-    * double precision).
+  /** events.parquet's `ts` physical type has drifted across testdata
+    * generations: TIMESTAMP(NANOS) (Spark's reader rejects it natively;
+    * with nanosAsLong it surfaces as LongType ns-since-epoch) vs
+    * timestamp[us] without timezone (surfaces as TIMESTAMP_NTZ). Branch
+    * on the loaded type and normalize every variant to a session-local
+    * TimestampType so downstream `unix_micros`/`window`/watermark code
+    * sees one type. The session runs UTC, so NTZ → TZ preserves the
+    * instant the DuckDB oracle reads.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    normalizeEventTs(load(s, d, "events"))
+  }
+
+  /** See [[events]]: LongType = legacy nanos-as-long (integer DIV —
+    * ns since epoch exceeds double precision), NTZ = cast, TZ = as-is.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

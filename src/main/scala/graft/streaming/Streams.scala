@@ -36,19 +36,19 @@ object Streams {
       .orderBy(col("window_start"), col("event_type"))
 
   /** Streaming twin of q42 (used by StreamingSpec): same plan over a
-    * file stream with a 10-minute watermark. */
+    * file stream with a 10-minute watermark. The stream schema is the
+    * RAW on-disk schema (a one-off batch read discovers it — nanos
+    * generations surface ts as LongType, µs generations as NTZ) and
+    * [[Tables.normalizeEventTs]] applies the same type branch as the
+    * batch loader before the watermark. */
   def windowedAggStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.events(s, dir).schema
+    val rawSchema = Tables.load(s, dir, "events").schema
     val raw = s.readStream
-      .schema(org.apache.spark.sql.types.StructType(schema.map {
-        case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
-        case f => f
-      }))
+      .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    windowedAgg(raw.withWatermark("ts", "10 minutes"))
+    windowedAgg(Tables.normalizeEventTs(raw).withWatermark("ts", "10 minutes"))
   }
 
   // ── sessionization ──────────────────────────────────────────────────
