@@ -35,6 +35,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftProcedures.parseCall(sqlText)
       .orElse(GraftProcedures.parseAlterSpec(sqlText))
+      .orElse(GraftProcedures.parseWriteOrder(sqlText))
       .orElse(GraftProcedures.parseRowLevel(sqlText))
       .getOrElse(delegate.parsePlan(sqlText))
 
@@ -140,6 +141,34 @@ object GraftProcedures {
       Some(GraftAlterSpecCommand(stripCatalog(tbl), "add", term.trim, None))
     case dropFieldRe(tbl, term) if isGraftTable(tbl) =>
       Some(GraftAlterSpecCommand(stripCatalog(tbl), "drop", term.trim, None))
+    case _ => None
+  }
+
+  // ── write sort-order DDL ────────────────────────────────────────────
+  // The Iceberg-extensions write-ordering grammar (same extension jar
+  // as the PARTITION FIELD forms): ORDERED BY couples a sort with
+  // range distribution, LOCALLY ORDERED BY sorts within tasks only,
+  // DISTRIBUTED BY PARTITION hash-clusters (with an optional local
+  // sort), UNORDERED clears. Spark's parser rejects all of these.
+
+  private val distByPartRe =
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.)*\w+)\s+WRITE\s+DISTRIBUTED\s+BY\s+PARTITION(?:\s+LOCALLY\s+ORDERED\s+BY\s+(.+?))?\s*;?\s*""".r
+  private val locallyOrderedRe =
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.)*\w+)\s+WRITE\s+LOCALLY\s+ORDERED\s+BY\s+(.+?)\s*;?\s*""".r
+  private val orderedRe =
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.)*\w+)\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*""".r
+  private val unorderedRe =
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.)*\w+)\s+WRITE\s+UNORDERED\s*;?\s*""".r
+
+  def parseWriteOrder(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case distByPartRe(tbl, terms) if isGraftTable(tbl) =>
+      Some(GraftWriteOrderCommand(stripCatalog(tbl), Option(terms), "hash"))
+    case locallyOrderedRe(tbl, terms) if isGraftTable(tbl) =>
+      Some(GraftWriteOrderCommand(stripCatalog(tbl), Some(terms), "none"))
+    case orderedRe(tbl, terms) if isGraftTable(tbl) =>
+      Some(GraftWriteOrderCommand(stripCatalog(tbl), Some(terms), "range"))
+    case unorderedRe(tbl) if isGraftTable(tbl) =>
+      Some(GraftWriteOrderCommand(stripCatalog(tbl), None, "none"))
     case _ => None
   }
 
@@ -366,9 +395,17 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         val id = arg("strategy") match {
           case Some("sort") =>
             require(whereCond.isEmpty, "where is binpack-only: sort rewrites all live rows")
-            val cols = arg("sort_order").getOrElse(throw new IllegalArgumentException(
-              "strategy => 'sort' needs sort_order => 'c1,c2,...'"))
-              .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            // no explicit sort_order → the table's declared WRITE
+            // ORDERED BY order (Iceberg's default for this procedure)
+            val cols = arg("sort_order")
+              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+              .orElse {
+                val declared = GraftTable.declaredSortColumns(root)
+                if (declared.nonEmpty) Some(declared) else None
+              }
+              .getOrElse(throw new IllegalArgumentException(
+                "strategy => 'sort' needs sort_order => 'c1,c2,...' " +
+                  "(or a table-level WRITE ORDERED BY)"))
             GraftTable.rewriteDataFilesSorted(spark, root, cols, tfs)
           case Some("zorder") =>
             require(whereCond.isEmpty, "where is binpack-only: zorder rewrites all live rows")
@@ -520,6 +557,50 @@ case class GraftAlterSpecCommand(table: String, action: String,
       case "drop" => GraftTable.dropPartitionField(root, term)
       case "replace" => GraftTable.replacePartitionField(root, term, to.get)
     }
+    Seq(Row(s"snapshot_id=$id"))
+  }
+}
+
+/** `ALTER TABLE t WRITE [LOCALLY] ORDERED BY c [ASC|DESC], … |
+  * DISTRIBUTED BY PARTITION [LOCALLY ORDERED BY …] | UNORDERED` →
+  * GraftTable.setWriteOrder: a properties-only commit every later
+  * write honors (sort within tasks; ORDERED BY also range-distributes
+  * on the sort key). NULLS FIRST/LAST is accepted-and-normalized only
+  * where it matches each direction's Spark default (ASC…FIRST,
+  * DESC…LAST) — anything else would silently write a different order
+  * than declared, so it is rejected loudly. */
+case class GraftWriteOrderCommand(table: String, terms: Option[String],
+    mode: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftProcedures.resolveRoot(spark, table)
+    val parsed = terms.map(_.trim).filter(_.nonEmpty).toSeq.flatMap { t =>
+      GraftProcedures.splitTop(t, ',').map { term =>
+        val toks = term.trim.split("\\s+").toSeq
+        val (colToks, nulls) = toks.map(_.toUpperCase) match {
+          case ts if ts.takeRight(2) == Seq("NULLS", "FIRST") => (toks.dropRight(2), Some("FIRST"))
+          case ts if ts.takeRight(2) == Seq("NULLS", "LAST") => (toks.dropRight(2), Some("LAST"))
+          case _ => (toks, None)
+        }
+        val asc = colToks.map(_.toUpperCase) match {
+          case Seq(_) => true
+          case Seq(_, "ASC") => true
+          case Seq(_, "DESC") => false
+          case _ => throw new IllegalArgumentException(
+            s"bad sort-order term '$term' (want col [ASC|DESC] [NULLS FIRST|LAST])")
+        }
+        nulls.foreach { n =>
+          require(if (asc) n == "FIRST" else n == "LAST",
+            s"'$term': only the default null ordering is supported " +
+              "(ASC NULLS FIRST / DESC NULLS LAST)")
+        }
+        (colToks.head.replace("`", ""), asc)
+      }
+    }
+    val id = GraftTable.setWriteOrder(root, parsed, mode)
     Seq(Row(s"snapshot_id=$id"))
   }
 }

@@ -254,6 +254,68 @@ object GraftTable {
   private[lake] def renderSpec(spec: Seq[PTransform]): String =
     spec.map(renderTransform).mkString(",")
 
+  // ── declarative write sort order ────────────────────────────────────
+
+  /** Iceberg's `ALTER TABLE t WRITE ORDERED BY c1, c2 DESC` analog: a
+    * table property every subsequent write honors automatically — the
+    * machinery rewrite_data_files(strategy=>'sort') applies on demand,
+    * made a standing property of the table. `WRITE ORDERED BY` sets
+    * range distribution + a within-task sort (each output file covers
+    * a tight disjoint range of the sort key, so min/max stats prune
+    * like a clustered index); `WRITE LOCALLY ORDERED BY` sorts within
+    * whatever distribution the table already uses; `WRITE UNORDERED`
+    * clears it. Rendered `c ASC,c DESC`, comma-joined, parse∘render
+    * = identity. */
+  val sortOrderProp = "graft.sort-order"
+
+  /** (column, ascending) terms; empty/absent = unordered. */
+  private[lake] def parseSortOrder(s: String): Seq[(String, Boolean)] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { term =>
+      term.split("\\s+").toSeq match {
+        case Seq(c) => (c, true)
+        case Seq(c, dir) if dir.equalsIgnoreCase("ASC") => (c, true)
+        case Seq(c, dir) if dir.equalsIgnoreCase("DESC") => (c, false)
+        case _ => throw new IllegalArgumentException(
+          s"bad sort-order term '$term' (want col [ASC|DESC])")
+      }
+    }
+
+  private[lake] def sortOrderOf(props: Map[String, String]): Seq[(String, Boolean)] =
+    props.get(sortOrderProp).map(parseSortOrder).getOrElse(Seq.empty)
+
+  /** Sort terms that survive against the frame actually being written:
+    * schema evolution may have dropped or renamed a sort column since
+    * the order was declared; a write must keep succeeding then (the
+    * order silently stops covering the dead name — Iceberg's behavior
+    * when a sorted-by column is dropped), not fail every append. */
+  private def liveSortCols(df: DataFrame, props: Map[String, String]): Seq[Column] = {
+    val names = df.schema.fieldNames
+    sortOrderOf(props).flatMap { case (c, asc) =>
+      names.find(_.equalsIgnoreCase(c)).map(n => if (asc) col(n).asc else col(n).desc)
+    }
+  }
+
+  /** The table's declared sort columns (for procedure defaults:
+    * rewrite_data_files(strategy=>'sort') with no explicit order). */
+  def declaredSortColumns(root: String): Seq[String] =
+    sortOrderOf(state(root).properties).map(_._1)
+
+  /** `ALTER TABLE … WRITE ORDERED BY / LOCALLY ORDERED BY / UNORDERED`
+    * → one properties-only commit carrying both the order and the
+    * distribution mode it implies (Iceberg couples them the same way:
+    * ordered ⇒ range, locally ordered / unordered ⇒ none). */
+  def setWriteOrder(root: String, terms: Seq[(String, Boolean)],
+      distributionMode: String): Long = {
+    val schema = tableSchema(root)
+    terms.foreach { case (c, _) =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"sort column '$c' not in table schema ${schema.fieldNames.mkString("(", ", ", ")")}")
+    }
+    val rendered = terms.map { case (c, asc) => if (asc) s"$c ASC" else s"$c DESC" }.mkString(",")
+    setProperties(root, Map(
+      sortOrderProp -> rendered, "write.distribution-mode" -> distributionMode))
+  }
+
   /** The transform as a Column producing the RENDERED partition value
     * (string) — the same text form the pruning comparisons use:
     * numbers decimal, dates ISO, timestamps as UTC dates for days(). */
@@ -742,10 +804,20 @@ object GraftTable {
     val spec = tableSpec(props)
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val tmp = Paths.get(root, s".stage-${UUID.randomUUID()}")
+    // declared sort order: every write path (append, CoW rewrite,
+    // merge, compaction) sorts rows within each task before the file
+    // writer runs, so files come out key-clustered without the caller
+    // opting in. Partitioned writes prefix the sort with the partition
+    // tuple — the committer's own required ordering on partition
+    // columns is then already satisfied and Spark inserts no second
+    // sort that would undo this one.
+    val sortCols = liveSortCols(df, props)
     withMicrosTimestamps(spark) {
-      if (spec.isEmpty)
-        df.write.option("compression", codec).parquet(tmp.toString)
-      else {
+      if (spec.isEmpty) {
+        val sorted =
+          if (sortCols.isEmpty) df else df.sortWithinPartitions(sortCols: _*)
+        sorted.write.option("compression", codec).parquet(tmp.toString)
+      } else {
         // partitioned write: derive one rendered string column per
         // transform, let Spark's partitioned committer split files by
         // tuple (the _gp_ columns live only in the directory names,
@@ -753,7 +825,11 @@ object GraftTable {
         val withParts = spec.zipWithIndex.foldLeft(df) { case (d, (t, i)) =>
           d.withColumn(s"_gp_$i", transformCol(t, types(t.col)))
         }
-        withParts.write.option("compression", codec)
+        val sorted =
+          if (sortCols.isEmpty) withParts
+          else withParts.sortWithinPartitions(
+            spec.indices.map(i => col(s"_gp_$i").asc) ++ sortCols: _*)
+        sorted.write.option("compression", codec)
           .partitionBy(spec.indices.map(i => s"_gp_$i"): _*)
           .parquet(tmp.toString)
       }
@@ -1204,11 +1280,19 @@ object GraftTable {
     // explicit count pins the file count (AQE would otherwise coalesce
     // small shuffles into one output file, defeating the clustering)
     val n = props.get("graft.write-partitions").map(_.toInt)
-    if (cols.isEmpty) df
+    val sortCols = liveSortCols(df, props)
+    if (cols.isEmpty && sortCols.isEmpty) df
     else props.getOrElse("write.distribution-mode", "hash") match {
-      case "range" => n.map(df.repartitionByRange(_, cols: _*))
-        .getOrElse(df.repartitionByRange(cols: _*))
+      case "range" =>
+        // a declared sort order extends the range key past the
+        // partition transforms: files then cover tight DISJOINT sort
+        // ranges (WRITE ORDERED BY's global-order contract) instead of
+        // each task owning an arbitrary slice of every key
+        val rangeCols = cols ++ sortCols
+        n.map(df.repartitionByRange(_, rangeCols: _*))
+          .getOrElse(df.repartitionByRange(rangeCols: _*))
       case "none" => df
+      case _ if cols.isEmpty => df   // hash mode clusters partition values only
       case _ => n.map(df.repartition(_, cols: _*))
         .getOrElse(df.repartition(cols: _*))
     }

@@ -351,7 +351,82 @@ object LakeOps {
       .orderBy(col("o_orderkey"))
   }
 
+  // ── q65: partition-spec evolution end-to-end, oracle-checked ────────
+  /** Spec evolution under the correctness gate (round-10 shipped the
+    * feature spec-only; the driver could not see it): two cohorts of
+    * files written under DIFFERENT partition specs — identity(status)
+    * first, bucket(custkey) after an evolve — served by one read whose
+    * per-file spec-id dispatch must prune each cohort under its own
+    * spec and still return exactly the SQL answer. The requires pin
+    * the interesting invariants (mixed stamps present, pruning
+    * actually skipped cohort-1 files); the oracle pins the rows. */
+  def q65(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("q65")
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    GraftTable.create(s, root, o.schema,
+      Map(GraftTable.specProp -> "identity(o_orderstatus)"))
+    GraftTable.append(s, root, o.filter(col("o_orderkey") % 2 === 0).repartition(2)) // spec 0
+    GraftTable.replacePartitionField(root, "o_orderstatus", "bucket(8, o_custkey)")
+    GraftTable.append(s, root, o.filter(col("o_orderkey") % 2 === 1).repartition(2)) // spec 1
+    val files = GraftTable.state(root).files.filter(_.isData)
+    require(files.exists(_.specIdOr0 == 0) && files.exists(_.specIdOr0 == 1),
+      "both spec cohorts must be live")
+    val preds = GraftTable.predsOf(s, GraftTable.tableSchema(root),
+      col("o_orderstatus") === lit("F"))
+    require(GraftTable.liveDataFiles(root, preds).size < files.size,
+      "the identity(o_orderstatus) cohort must partition-prune under its own spec")
+    GraftTable.read(s, root).filter(col("o_orderstatus") === lit("F"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // ── q66: declarative write sort order, oracle-checked ───────────────
+  /** `ALTER TABLE … WRITE ORDERED BY` as a gate query: the order is a
+    * standing table property, so a plain append comes out
+    * range-distributed + file-sorted with tight disjoint key ranges —
+    * a clustered-index layout no caller opted into per-write. Runs
+    * the real DDL grammar (parseWriteOrder → command), then requires
+    * the layout (disjoint ranges, key-pruned plan) and oracles the
+    * rows. */
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch("q66-wh")
+    val root = Paths.get(wh, "lab", "q66").toString
+    Files.createDirectories(Paths.get(wh, "lab"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    GraftTable.create(s, root, c.schema, Map("graft.write-partitions" -> "8"))
+    // run the REAL DDL grammar (parseWriteOrder → command), q64-style:
+    // the shared Verify session cannot inject parsers post-build
+    val whConf = "spark.sql.catalog.graft.warehouse"
+    val prev = s.conf.getOption(whConf)
+    s.conf.set(whConf, wh)
+    try graft.lake.GraftProcedures
+      .parseWriteOrder("ALTER TABLE graft.lab.q66 WRITE ORDERED BY c_custkey")
+      .getOrElse(throw new IllegalStateException("WRITE ORDERED BY grammar not recognized"))
+      .asInstanceOf[org.apache.spark.sql.execution.command.LeafRunnableCommand].run(s)
+    finally prev match {
+      case Some(v) => s.conf.set(whConf, v)
+      case None => s.conf.unset(whConf)
+    }
+    GraftTable.append(s, root, c.orderBy(rand(7)))   // scrambled input
+    val files = GraftTable.state(root).files.filter(_.isData)
+    require(files.size > 1, s"need >1 file to show the clustered layout, got ${files.size}")
+    val ranges = files.map(f =>
+      (f.stats("c_custkey").min.get.toLong, f.stats("c_custkey").max.get.toLong)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => require(hi < lo, s"file key ranges overlap: $ranges")
+      case _ => ()
+    }
+    val preds = GraftTable.predsOf(s, GraftTable.tableSchema(root), col("c_custkey") <= lit(100L))
+    require(GraftTable.liveDataFiles(root, preds).size < files.size,
+      "a range filter on the sort key must plan a strict file subset")
+    GraftTable.read(s, root).filter(col("c_custkey") <= lit(100L))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_lake_spec_evolve" -> q65 _,
+    "q66_lake_write_ordered" -> q66 _,
     "q64_lake_merge_full" -> q64 _,
     "q57_lake_changes" -> q57 _,
     "q62_lake_entries" -> q62 _,
@@ -366,6 +441,16 @@ object LakeOps {
     "q29_lake_partition_prune" -> q29 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q65_lake_spec_evolve" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q66_lake_write_ordered" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey <= 100
+        |ORDER BY c_custkey""".stripMargin,
+
     "q57_lake_changes" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders)
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

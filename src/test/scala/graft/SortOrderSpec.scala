@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.lake.GraftTable
+
+/** Declarative write sort order (`ALTER TABLE … WRITE ORDERED BY`):
+  * the property commits through the SQL front door, every later
+  * append honors it (range distribution + within-file sort), and the
+  * resulting files carry tight disjoint min/max ranges so stats
+  * pruning skips non-matching files — a standing clustered-index
+  * layout, not a one-off rewrite. */
+class SortOrderSpec extends SparkSpec {
+  private val wh = SparkSpec.sqlWarehouse
+  private def root(t: String) = s"$wh/so/$t"
+
+  private def mkTable(name: String): String = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.so")
+    spark.sql(s"DROP TABLE IF EXISTS graft.so.$name")
+    spark.sql(s"CREATE TABLE graft.so.$name (id BIGINT, grp STRING, v DOUBLE)")
+    root(name)
+  }
+
+  import spark.implicits._
+  private def shuffled(n: Int) = {
+    val rnd = new scala.util.Random(7)
+    rnd.shuffle((1 to n).toList)
+      .map(i => (i.toLong, s"g${i % 4}", i * 1.5)).toDF("id", "grp", "v")
+      .repartition(4)   // rows scattered across tasks, unsorted
+  }
+
+  test("WRITE ORDERED BY sets the order + range mode; appends emit disjoint sorted files") {
+    mkTable("t1")
+    // pin the shuffle fan-out: AQE would coalesce this tiny append
+    // into one file (right at scale, but disjointness needs >1 here)
+    spark.sql("ALTER TABLE graft.so.t1 SET TBLPROPERTIES ('graft.write-partitions'='4')")
+    spark.sql("ALTER TABLE graft.so.t1 WRITE ORDERED BY id")
+    val st0 = GraftTable.state(root("t1"))
+    assert(st0.properties(GraftTable.sortOrderProp) == "id ASC")
+    assert(st0.properties("write.distribution-mode") == "range")
+
+    shuffled(1000).createOrReplaceTempView("so_src")
+    spark.sql("INSERT INTO graft.so.t1 SELECT * FROM so_src")
+
+    val st = GraftTable.state(root("t1"))
+    val files = st.files.filter(_.isData)
+    assert(files.size > 1, s"need several files to show disjoint ranges, got ${files.size}")
+    // range distribution: per-file [min,max] on the sort key must not
+    // overlap (each file owns one slice of the keyspace)
+    val ranges = files.map { f =>
+      (f.stats("id").min.get.toLong, f.stats("id").max.get.toLong)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"file key ranges overlap: $ranges")
+      case _ => ()
+    }
+    // within-file order: reading one file in parquet row order must
+    // yield ascending ids (the local sort ran before the writer)
+    val one = spark.read.parquet(s"${root("t1")}/${files.head.path}")
+      .select("id").as[Long].collect()
+    assert(one.sameElements(one.sorted), "rows inside a file must be sorted by id")
+  }
+
+  test("sorted layout prunes: a point filter plans a strict file subset") {
+    val schema = GraftTable.tableSchema(root("t1"))
+    val preds = GraftTable.predsOf(spark, schema, col("id") === 17L)
+    val planned = GraftTable.liveDataFiles(root("t1"), preds)
+    val all = GraftTable.state(root("t1")).files.count(_.isData)
+    assert(planned.size == 1 && all > 1,
+      s"point lookup on the sort key must plan exactly the owning file " +
+        s"(got ${planned.size} of $all) — disjoint ranges make stats a clustered index")
+    assert(spark.table("graft.so.t1").filter(col("id") === 17L).count() == 1L)
+  }
+
+  test("LOCALLY ORDERED BY sorts within tasks without a range exchange") {
+    mkTable("t2")
+    spark.sql("ALTER TABLE graft.so.t2 WRITE LOCALLY ORDERED BY v DESC NULLS LAST")
+    val st0 = GraftTable.state(root("t2"))
+    assert(st0.properties(GraftTable.sortOrderProp) == "v DESC")
+    assert(st0.properties("write.distribution-mode") == "none")
+    shuffled(200).writeTo("graft.so.t2").append()
+    val files = GraftTable.state(root("t2")).files.filter(_.isData)
+    files.foreach { f =>
+      val vs = spark.read.parquet(s"${root("t2")}/${f.path}")
+        .select("v").as[Double].collect()
+      assert(vs.sameElements(vs.sorted.reverse), s"${f.path} not DESC-sorted on v")
+    }
+  }
+
+  test("WRITE UNORDERED clears the order; bad columns and bad null order are rejected") {
+    spark.sql("ALTER TABLE graft.so.t2 WRITE UNORDERED")
+    val st = GraftTable.state(root("t2"))
+    assert(st.properties(GraftTable.sortOrderProp) == "")
+    assert(st.properties("write.distribution-mode") == "none")
+
+    val e1 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.so.t2 WRITE ORDERED BY nope"))
+    assert(e1.getMessage.contains("not in table schema"))
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.so.t2 WRITE ORDERED BY v ASC NULLS LAST"))
+    assert(e2.getMessage.contains("default null ordering"))
+  }
+
+  test("DISTRIBUTED BY PARTITION hash-clusters with an optional local sort") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.so")
+    spark.sql("DROP TABLE IF EXISTS graft.so.t3")
+    spark.sql("CREATE TABLE graft.so.t3 (id BIGINT, grp STRING, v DOUBLE) " +
+      "PARTITIONED BY (identity(grp))")
+    spark.sql("ALTER TABLE graft.so.t3 WRITE DISTRIBUTED BY PARTITION LOCALLY ORDERED BY id")
+    val st0 = GraftTable.state(root("t3"))
+    assert(st0.properties(GraftTable.sortOrderProp) == "id ASC")
+    assert(st0.properties("write.distribution-mode") == "hash")
+    shuffled(400).writeTo("graft.so.t3").append()
+    val files = GraftTable.state(root("t3")).files.filter(_.isData)
+    assert(files.forall(_.partitionValues.keySet == Set("grp")))
+    // hash clustering: one file per partition value (4 groups, no
+    // per-task fragment explosion), each internally sorted by id
+    assert(files.size == 4, s"hash distribution must pack each grp into one file, got ${files.size}")
+    files.foreach { f =>
+      val ids = spark.read.parquet(s"${root("t3")}/${f.path}")
+        .select("id").as[Long].collect()
+      assert(ids.sameElements(ids.sorted), s"${f.path} not sorted by id")
+    }
+  }
+
+  test("rewrite_data_files(strategy=>'sort') defaults to the declared WRITE ORDERED BY") {
+    // t1 declared ORDERED BY id in the first test; no sort_order arg
+    spark.sql("CALL graft_system.rewrite_data_files(table => 'so.t1', strategy => 'sort')")
+    val st = GraftTable.state(root("t1"))
+    assert(st.operation == "rewrite_data_files_sorted")
+    // an unordered table still demands an explicit sort_order
+    val e = intercept[Exception](
+      spark.sql("CALL graft_system.rewrite_data_files(table => 'so.t2', strategy => 'sort')"))
+    assert(e.getMessage.contains("needs sort_order"))
+  }
+
+  test("a dropped sort column stops covering writes instead of failing them") {
+    mkTable("t4")
+    spark.sql("ALTER TABLE graft.so.t4 WRITE ORDERED BY v")
+    spark.sql("ALTER TABLE graft.so.t4 DROP COLUMN v")
+    // append with the declared sort column gone: must still succeed
+    Seq((1L, "a"), (2L, "b")).toDF("id", "grp").writeTo("graft.so.t4").append()
+    assert(spark.table("graft.so.t4").count() == 2L)
+  }
+}
