@@ -424,6 +424,12 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
               where = whereCond)
         }
         Seq(Row(s"snapshot_id=$id"))
+      case "cherrypick_snapshot" =>
+        Seq(Row(s"snapshot_id=${GraftTable.cherrypickSnapshot(root,
+          required("snapshot_id", "arg1").toLong)}"))
+      case "abandon_staged_snapshot" =>
+        Seq(Row(s"snapshot_id=${GraftTable.abandonStagedSnapshot(root,
+          required("snapshot_id", "arg1").toLong)}"))
       case "rewrite_manifests" =>
         Seq(Row(s"snapshot_id=${GraftTable.rewriteManifests(root)}"))
       case "rewrite_position_deletes" =>
@@ -453,9 +459,11 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         val id = GraftTable.rollbackToSnapshot(root, required("snapshot_id", "arg1").toLong)
         Seq(Row(s"snapshot_id=$id"))
       case "create_tag" =>
+        // default = the MAIN head (a pending staged commit at the raw
+        // log head is not taggable lineage)
         val id = GraftTable.createTag(root, required("tag", "arg1"),
           arg("snapshot_id", "arg2").map(_.toLong)
-            .getOrElse(GraftTable.latestSnapshotId(root)))
+            .getOrElse(GraftTable.state(root).snapshotId))
         Seq(Row(s"snapshot_id=$id"))
       case "drop_tag" =>
         Seq(Row(s"snapshot_id=${GraftTable.dropTag(root, required("tag", "arg1"))}"))

@@ -653,7 +653,17 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
               val cond = fs.flatMap(GraftRelation.toCondition)
                 .reduceOption(_ && _).getOrElse(lit(true))
               GraftTable.overwriteWhere(data.sparkSession, root, cond, Some(data))
-            case None => GraftTable.append(data.sparkSession, root, data)
+            case None =>
+              // Iceberg's WAP contract: a session-level spark.wap.id
+              // stages the write ONLY when the table opted in
+              val wapId = data.sparkSession.conf.getOption("spark.wap.id")
+                .map(_.trim).filter(_.nonEmpty)
+                .filter(_ => GraftTable.state(root).properties
+                  .get("write.wap.enabled").contains("true"))
+              wapId match {
+                case Some(w) => GraftTable.appendStaged(data.sparkSession, root, data, w)
+                case None => GraftTable.append(data.sparkSession, root, data)
+              }
           }
       }
     }

@@ -219,11 +219,22 @@ object GraftTable {
     * what every already-written file's absent specId stamp means. */
   val specHistoryProp = "graft.partition-spec-history"
 
+  /** Parsed-history memo keyed by the property string itself: every
+    * planning call re-derives the history from the snapshot's props,
+    * and while one parse is cheap, DML-heavy lifecycles hit this
+    * dozens of times per commit chain. Histories are append-only and
+    * tiny (a handful of specs), so value identity is the right key
+    * and the map stays bounded per distinct table lineage. */
+  private val specHistoryMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[Seq[PTransform]]]()
+
   /** All specs ever active, indexed by spec-id. */
   private[lake] def specHistory(props: Map[String, String]): IndexedSeq[Seq[PTransform]] =
     props.get(specHistoryProp) match {
-      case Some(h) => h.split(";", -1).toIndexedSeq.map(s =>
-        if (s.trim.isEmpty) Seq.empty else parsePartitionSpec(s))
+      case Some(h) =>
+        if (specHistoryMemo.size > 1024) specHistoryMemo.clear()  // bounded
+        specHistoryMemo.computeIfAbsent(h, _.split(";", -1).toIndexedSeq.map(s =>
+          if (s.trim.isEmpty) Seq.empty else parsePartitionSpec(s)))
       case None => IndexedSeq(tableSpec(props))
     }
 
@@ -546,12 +557,40 @@ object GraftTable {
   private val stateCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long, Long), Snapshot]()
 
+  /** Is the commit at `id` a staged (WAP) snapshot? Memoized by the
+    * commit file's identity (size + nanosecond mtime, the stateCache
+    * discipline) — every default-target state() asks this about the
+    * head, and re-parsing the head JSON per call would tax exactly
+    * the commit-heavy lifecycles that are cheapest today. */
+  private val stagedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), java.lang.Boolean]()
+
+  private[lake] def isStagedId(root: String, id: Long): Boolean = {
+    val p = commitPath(root, id)
+    val key = (root, id, Files.size(p),
+      Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS))
+    if (stagedMemo.size > 4096) stagedMemo.clear()   // bounded
+    stagedMemo.computeIfAbsent(key,
+      _ => Boolean.box(isStaged(parseCommit(Files.readString(p)))))
+  }
+
+  /** The main lineage's head: the newest commit that is not staged.
+    * Commit 0 (create) can never be staged, so the walk terminates. */
+  private def mainHeadId(root: String, ids: Seq[Long]): Long = {
+    val sorted = ids.sorted
+    var i = sorted.length - 1
+    while (i > 0 && isStagedId(root, sorted(i))) i -= 1
+    sorted(i)
+  }
+
   /** Replay the log (from the newest checkpoint ≤ asOf) to the state
-    * at snapshot `asOf` (default: latest). */
+    * at snapshot `asOf` (default: the main-lineage head — the newest
+    * NON-staged commit; a pending WAP snapshot is invisible here and
+    * readable only by its explicit id). */
   def state(root: String, asOf: Option[Long] = None): Snapshot = {
     val ids = listCommitIds(root)
     require(ids.nonEmpty, s"not a GraftTable (empty log): $root")
-    val target = asOf.getOrElse(ids.max)
+    val target = asOf.getOrElse(mainHeadId(root, ids))
     require(ids.contains(target),
       s"snapshot $target not in log (expired or never existed); have ${ids.min}..${ids.max}")
     val latest = commitPath(root, ids.max)
@@ -603,15 +642,20 @@ object GraftTable {
     val from = ckpt.map(_ + 1).getOrElse(ids.min)
     ids.filter(id => id >= from && id <= target).foreach { id =>
       val c = parseCommit(Files.readString(commitPath(root, id)))
-      files = files -- c.removes
-      files = files ++ versionedAdds(c).map(f => f.path -> f)
-      // a REPLACE commit carries the table's COMPLETE new config —
-      // properties reset wholesale (the old partition spec, dropped-col
-      // tombstones etc. must not merge through); other ops layer
-      props = if (c.operation == "replace") c.properties
-              else props ++ c.properties
-      schema = c.schemaJson.orElse(schema)
-      op = c.operation; ts = c.timestampMs
+      // a STAGED (WAP) commit is in the log but not in the main
+      // lineage: its effects apply only when it is itself the replay
+      // target (the audit read); every other replay folds past it
+      if (!isStaged(c) || id == target) {
+        files = files -- c.removes
+        files = files ++ versionedAdds(c).map(f => f.path -> f)
+        // a REPLACE commit carries the table's COMPLETE new config —
+        // properties reset wholesale (the old partition spec, dropped-col
+        // tombstones etc. must not merge through); other ops layer
+        props = if (c.operation == "replace") c.properties
+                else props ++ c.properties
+        schema = c.schemaJson.orElse(schema)
+        op = c.operation; ts = c.timestampMs
+      }
     }
     Snapshot(target, ts, op, files.values.toSeq.sortBy(_.path), props, schema)
   }
@@ -903,6 +947,14 @@ object GraftTable {
     try writeAtomic(commitPath(root, id), toJson(c))
     catch { case e: IllegalStateException =>
       c.adds.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
+      // data writes commit at main-head+1; if THAT slot is held by a
+      // pending staged (WAP) snapshot, the generic concurrent-commit
+      // error would send the user hunting a race that isn't there
+      val staged = scala.util.Try(isStagedId(root, id)).getOrElse(false)
+      if (staged) throw new IllegalStateException(
+        s"snapshot $id is a pending staged (WAP) commit: publish it with " +
+          "CALL graft_system.cherrypick_snapshot or retire it with " +
+          "abandon_staged_snapshot before writing to main", e)
       throw e
     }
 
@@ -2766,8 +2818,11 @@ object GraftTable {
       Files.exists(logDir(root).resolve(s"ckptmeta-$k.json"))).sorted.lastOption
       .map { k =>
         val meta = parseCommit(Files.readString(logDir(root).resolve(s"ckptmeta-$k.json")))
+        // staged (WAP) commits fold past the tail exactly as replay
+        // does — unless the target IS the staged id (the audit read)
         val tail = listCommitIds(root).filter(id => id > k && id <= target)
           .map(id => parseCommit(Files.readString(commitPath(root, id))))
+          .filter(c => !isStaged(c) || c.snapshotId == target)
         val delta = scala.collection.mutable.LinkedHashMap.empty[String, Option[FileEntry]]
         tail.foreach { c =>
           c.removes.foreach(p => delta(p) = None)
@@ -3025,8 +3080,12 @@ object GraftTable {
     * skipped: they move rows between files without changing them. */
   def readIncremental(spark: SparkSession, root: String, fromExclusive: Long,
       toInclusive: Long): DataFrame = {
-    val (schema, commits) = commitRange(root, fromExclusive, toInclusive)
-    val bad = commits.filterNot(c => c.operation == "append" || maintenanceOps(c.operation))
+    val (schema, allCommits) = commitRange(root, fromExclusive, toInclusive)
+    // staged (WAP) commits are not on the main lineage: nothing was
+    // appended until a cherrypick publishes them (which IS an append)
+    val commits = allCommits.filterNot(isStaged)
+    val bad = commits.filterNot(c =>
+      c.operation == "append" || c.operation == "cherrypick" || maintenanceOps(c.operation))
     // don't advertise changes() for a range it refuses too: a replace
     // boundary is uncrossable by either API — say so directly
     require(!bad.exists(_.operation == "replace"),
@@ -3036,7 +3095,9 @@ object GraftTable {
     require(bad.isEmpty,
       s"readIncremental covers append-only ranges; snapshot(s) " +
         s"${bad.map(c => s"${c.snapshotId}=${c.operation}").mkString(", ")} change rows — use changes()")
-    val added = commits.filter(_.operation == "append").flatMap(_.adds).filter(_.isData)
+    val added = commits
+      .filter(c => c.operation == "append" || c.operation == "cherrypick")
+      .flatMap(_.adds).filter(_.isData)
     readFiles(spark, root, schema, added, Seq.empty)
   }
 
@@ -3060,7 +3121,10 @@ object GraftTable {
     * diffs megabytes. */
   def changes(spark: SparkSession, root: String, fromExclusive: Long,
       toInclusive: Long): DataFrame = {
-    val (endSchema, commits) = commitRange(root, fromExclusive, toInclusive)
+    val (endSchema, allCommits) = commitRange(root, fromExclusive, toInclusive)
+    // staged (WAP) commits change no live rows; their rows enter the
+    // feed at the cherrypick that publishes them
+    val commits = allCommits.filterNot(isStaged)
     // a REPLACE restarts the schema lineage: the old generation's rows
     // cannot be represented under the end schema (columns need not
     // correspond at all), so a range crossing one fails loudly rather
@@ -3093,7 +3157,7 @@ object GraftTable {
          "widen_column" | "set_properties" | "evolve_spec" | "checkpoint" |
          "rewrite_data_files" | "rewrite_data_files_sorted" |
          "rewrite_data_files_zorder" | "rewrite_position_deletes" |
-         "rewrite_equality_deletes" => true
+         "rewrite_equality_deletes" | "wap_abandon" => true
     case _ => false
   }
 
@@ -3201,7 +3265,9 @@ object GraftTable {
   private def changesOf(spark: SparkSession, root: String, c: Commit,
       endSchema: StructType): Option[DataFrame] = {
     if (maintenanceOps(c.operation)) return None
-    if (c.operation == "append")
+    // a cherrypick publishes a staged append's rows: pure inserts at
+    // the CHERRYPICK's snapshot, the moment they became live
+    if (c.operation == "append" || c.operation == "cherrypick")
       return Some(readFiles(spark, root, endSchema, c.adds.filter(_.isData), Seq.empty)
         .withColumn("_change_type", lit("insert")))
     val prev = state(root, Some(c.parentId.getOrElse(c.snapshotId - 1)))
@@ -3472,7 +3538,9 @@ object GraftTable {
     * would only add rows. */
   def refsTable(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    (Seq(("main", "BRANCH", latestSnapshotId(root))) ++
+    // main = the main-lineage head, which a pending staged (WAP)
+    // commit at the raw log head does not advance
+    (Seq(("main", "BRANCH", state(root).snapshotId)) ++
       tags(root).toSeq.sortBy(_._1).map { case (n, id) => (n, "TAG", id) })
       .toDF("name", "type", "snapshot_id")
   }
@@ -3487,6 +3555,8 @@ object GraftTable {
   def createTag(root: String, name: String, snapshotId: Long): Long = {
     require(listCommitIds(root).contains(snapshotId),
       s"cannot tag snapshot $snapshotId: not in log")
+    require(!isStagedId(root, snapshotId),
+      s"cannot tag staged (WAP) snapshot $snapshotId: publish it first")
     require(!tags(root).contains(name), s"tag '$name' already exists")
     setProperties(root, Map(s"graft.ref.tag.$name" -> snapshotId.toString))
   }
@@ -3514,6 +3584,93 @@ object GraftTable {
     val t = tags(root)
     require(t.contains(name), s"no such tag: '$name' (have ${t.keys.mkString(", ")})")
     read(spark, root, Some(t(name)))
+  }
+
+  // ── WAP: write-audit-publish staged commits ─────────────────────────
+  // Iceberg's spark.wap.id workflow on the linear log: a staged commit
+  // is written into the log (its data files are durable and
+  // log-referenced, so orphan cleanup never eats them) but is NOT part
+  // of the main lineage — replay folds past it, so plain reads, CDC,
+  // incremental reads, and every planner ignore it until published.
+  // The AUDIT reads it explicitly (`VERSION AS OF <staged id>`);
+  // PUBLISH is cherrypick_snapshot, a new head commit re-applying the
+  // staged adds BY REFERENCE (no data copy — the Iceberg fast-append
+  // cherry-pick); ABANDON is a metadata commit that permanently
+  // retires the staged id (its files reclaim via expire_snapshots +
+  // remove_orphan_files once the staged commit ages out).
+  //
+  // Caveat (same family as auto-compact's): readStreamAppendOnly
+  // streams the data DIRECTORY, beneath snapshot visibility — staged
+  // files would reach that stream before publication. Don't stage
+  // writes into a table consumed by the directory stream.
+
+  /** On the COMMIT's properties, not the table's: replay skips staged
+    * commits wholesale, so the markers never leak into table props. */
+  val wapStagedProp = "graft.wap.staged"
+  val wapIdProp = "graft.wap.id"
+
+  private def isStaged(c: Commit): Boolean =
+    c.properties.get(wapStagedProp).contains("true")
+
+  /** Stage an append under a WAP id: durable + auditable, invisible to
+    * main until cherrypicked. No auto-compact (maintenance must not
+    * commit against a staged base). */
+  def appendStaged(spark: SparkSession, root: String, df: DataFrame,
+      wapId: String): Long = {
+    require(wapId.trim.nonEmpty, "wap id must be non-empty")
+    val snap = state(root)   // main head
+    val id = snap.snapshotId + 1
+    val adds = writeDataFiles(spark, root, distribute(df, snap.properties), id, snap.properties)
+    commitOrCleanup(root, id, Commit(id, Some(snap.snapshotId),
+      System.currentTimeMillis(), "wap_append", adds, Seq.empty,
+      Map(wapStagedProp -> "true", wapIdProp -> wapId), None))
+    id
+  }
+
+  /** Publish a staged snapshot onto the main head:
+    * `CALL graft_system.cherrypick_snapshot(table, snapshot_id)`.
+    * Metadata-only — the new commit lists the staged files by
+    * reference. Staged commits are append-only, so there is nothing
+    * to conflict-check against main commits that landed meanwhile. */
+  def cherrypickSnapshot(root: String, stagedId: Long): Long = {
+    require(listCommitIds(root).contains(stagedId),
+      s"no snapshot $stagedId in the log (expired or never existed)")
+    val c = parseCommit(Files.readString(commitPath(root, stagedId)))
+    require(isStaged(c),
+      s"cherrypick_snapshot publishes staged (WAP) snapshots; " +
+        s"$stagedId is a committed '${c.operation}'")
+    val snap = state(root)
+    require(!snap.properties.contains(s"graft.wap.published.$stagedId"),
+      s"staged snapshot $stagedId is already published")
+    require(!snap.properties.contains(s"graft.wap.abandoned.$stagedId"),
+      s"staged snapshot $stagedId was abandoned")
+    // id = raw log head + 1 (NOT main head + 1): the pending staged
+    // commit occupies main-head+1, and publishing must land after it
+    val id = listCommitIds(root).max + 1
+    writeAtomic(commitPath(root, id), toJson(Commit(id, Some(snap.snapshotId),
+      System.currentTimeMillis(), "cherrypick", versionedAdds(c), Seq.empty,
+      Map(s"graft.wap.published.$stagedId" ->
+        c.properties.getOrElse(wapIdProp, "")), None)))
+    id
+  }
+
+  /** Permanently retire a staged snapshot without publishing it. The
+    * marker commit moves the raw log head past the staged id, so main
+    * data writes unblock; the staged files become reclaimable once
+    * expire_snapshots drops the staged commit itself. */
+  def abandonStagedSnapshot(root: String, stagedId: Long): Long = {
+    require(listCommitIds(root).contains(stagedId),
+      s"no snapshot $stagedId in the log (expired or never existed)")
+    require(isStagedId(root, stagedId),
+      s"abandon_staged_snapshot retires staged (WAP) snapshots only; " +
+        s"$stagedId is committed")
+    val snap = state(root)
+    require(!snap.properties.contains(s"graft.wap.published.$stagedId"),
+      s"staged snapshot $stagedId is already published")
+    require(!snap.properties.contains(s"graft.wap.abandoned.$stagedId"),
+      s"staged snapshot $stagedId was already abandoned")
+    commit(root, listCommitIds(root).max, "wap_abandon", Seq.empty, Seq.empty,
+      Map(s"graft.wap.abandoned.$stagedId" -> "true"))
   }
 
   private val entriesCols = Seq("status", "snapshot_id", "file_path", "content",
@@ -3952,7 +4109,9 @@ object GraftTable {
     * distributed delta off the previous one (writeCheckpointDelta) —
     * no full state replay, no O(table) JSON on the driver. */
   def rewriteManifests(root: String): Long = {
-    val target = latestSnapshotId(root)
+    // MAIN head, not the raw log head: a checkpoint at a pending
+    // staged (WAP) id would seed every later replay with audit state
+    val target = state(root).snapshotId
     if (!writeCheckpointDelta(root, target))
       writeCheckpointArtifacts(root, state(root))
     target
@@ -4115,8 +4274,12 @@ object GraftTable {
     // tagged snapshots are pinned (Iceberg's ref-retention rule):
     // expiry never advances past the oldest tag
     val pinned = tags(root).values
-    val cutoff = math.min(ids.sorted.takeRight(retainLast).head,
+    var cutoff = math.min(ids.sorted.takeRight(retainLast).head,
       if (pinned.isEmpty) Long.MaxValue else pinned.min)
+    // the cutoff becomes a CHECKPOINT of the main lineage — never
+    // seed it from a staged (WAP) commit's audit state
+    while (cutoff > ids.min && isStagedId(root, cutoff))
+      cutoff = ids.filter(_ < cutoff).max
     if (cutoff <= ids.min) return
     if (!writeCheckpointDelta(root, cutoff))
       writeCheckpointArtifacts(root, state(root, Some(cutoff)))
@@ -4148,10 +4311,13 @@ object GraftTable {
     expireSnapshots(root, retain)
   }
 
-  /** Snapshot ids committed at or before the UTC millisecond horizon. */
+  /** Snapshot ids committed at or before the UTC millisecond horizon.
+    * Staged (WAP) commits are excluded: time travel by timestamp
+    * resolves the MAIN lineage (the audit read is by explicit id). */
   def snapshotIdsAtOrBefore(root: String, tsMs: Long): Seq[Long] =
     listCommitIds(root).filter { id =>
-      parseCommit(Files.readString(commitPath(root, id))).timestampMs <= tsMs
+      val c = parseCommit(Files.readString(commitPath(root, id)))
+      c.timestampMs <= tsMs && !isStaged(c)
     }
 
   /** Time travel by UTC timestamp: read the last snapshot committed at
@@ -4278,6 +4444,9 @@ object GraftTable {
   /** rollback_to_snapshot (reference: SPARK_ICEBERG_GUIDE.md §8.8):
     * a NEW commit restoring an old file set — history is append-only. */
   def rollbackToSnapshot(root: String, snapshotId: Long): Long = {
+    require(!isStagedId(root, snapshotId),
+      s"cannot roll back to staged (WAP) snapshot $snapshotId — " +
+        "publish it with cherrypick_snapshot instead")
     val target = state(root, Some(snapshotId))
     val current = state(root)
     // a rollback restores FILE SETS, not schema/properties — crossing

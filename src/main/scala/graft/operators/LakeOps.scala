@@ -424,7 +424,39 @@ object LakeOps {
       .orderBy(col("c_custkey"))
   }
 
+  // ── q67: write-audit-publish lifecycle, oracle-checked ──────────────
+  /** WAP under the gate: half the rows land normally, the other half
+    * are STAGED under a wap id — main reads, CDC, and the main ref
+    * must not see them (the requires) — then audited by explicit
+    * snapshot id and published by cherrypick (metadata-only, by file
+    * reference). The final table must be exactly the full input: the
+    * oracle is a plain SELECT of the source. */
+  def q67(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("q67")
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    GraftTable.create(s, root, c.schema, Map("write.wap.enabled" -> "true"))
+    GraftTable.append(s, root, c.filter(col("c_custkey") % 2 === 0).repartition(2))
+    val mainHead = GraftTable.state(root).snapshotId
+    val mainRows = GraftTable.read(s, root).count()
+    val stagedId = GraftTable.appendStaged(s, root,
+      c.filter(col("c_custkey") % 2 === 1).repartition(2), "gate_wap")
+    require(GraftTable.read(s, root).count() == mainRows &&
+      GraftTable.state(root).snapshotId == mainHead,
+      "staged rows must be invisible to main")
+    require(GraftTable.changes(s, root, mainHead, stagedId).count() == 0,
+      "staged rows must be invisible to CDC")
+    val audit = GraftTable.read(s, root, Some(stagedId)).count()
+    require(audit == c.count(), "the audit read must see base + staged")
+    val pubId = GraftTable.cherrypickSnapshot(root, stagedId)
+    require(GraftTable.changes(s, root, mainHead, pubId)
+      .filter(col("_commit_snapshot_id") === pubId).count() == audit - mainRows,
+      "published rows must enter the CDC feed at the cherrypick snapshot")
+    GraftTable.read(s, root).orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_lake_wap" -> q67 _,
     "q65_lake_spec_evolve" -> q65 _,
     "q66_lake_write_ordered" -> q66 _,
     "q64_lake_merge_full" -> q64 _,
@@ -441,6 +473,11 @@ object LakeOps {
     "q29_lake_partition_prune" -> q29 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q67_lake_wap" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
     "q65_lake_spec_evolve" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderstatus = 'F'

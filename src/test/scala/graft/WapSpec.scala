@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.lake.GraftTable
+
+/** Write-audit-publish (Iceberg's spark.wap.id workflow): a staged
+  * commit is durable and auditable by explicit snapshot id but
+  * invisible to main reads, CDC, incremental reads, time travel by
+  * timestamp, and checkpoints until cherrypick_snapshot publishes it
+  * (by file reference, no data copy). Abandon retires it. */
+class WapSpec extends SparkSpec {
+  import spark.implicits._
+  private val wh = SparkSpec.sqlWarehouse
+  private def root(t: String) = s"$wh/wap/$t"
+
+  private def freshTable(name: String, props: String = "'write.wap.enabled'='true'"): String = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.wap")
+    spark.sql(s"DROP TABLE IF EXISTS graft.wap.$name")
+    spark.sql(s"CREATE TABLE graft.wap.$name (id BIGINT, v STRING) TBLPROPERTIES ($props)")
+    root(name)
+  }
+
+  test("stage via spark.wap.id -> invisible to main, auditable by id, published by cherrypick") {
+    val r = freshTable("t1")
+    spark.sql("INSERT INTO graft.wap.t1 VALUES (1, 'base'), (2, 'base')")   // 1
+    val mainHead = GraftTable.state(r).snapshotId
+
+    spark.conf.set("spark.wap.id", "etl_20260813")
+    try spark.sql("INSERT INTO graft.wap.t1 VALUES (3, 'staged'), (4, 'staged')")  // 2 staged
+    finally spark.conf.unset("spark.wap.id")
+
+    val stagedId = GraftTable.latestSnapshotId(r)
+    assert(stagedId == mainHead + 1)
+    // main: unchanged — count, head, refs
+    assert(spark.table("graft.wap.t1").count() == 2L)
+    assert(GraftTable.state(r).snapshotId == mainHead)
+    val mainRef = GraftTable.refsTable(spark, r)
+      .filter(col("name") === "main").head().getLong(2)
+    assert(mainRef == mainHead, "a pending staged commit must not advance the main ref")
+    // audit: the staged snapshot by explicit id sees base + staged
+    val audit = spark.sql(s"SELECT COUNT(*) AS c FROM graft.wap.t1 VERSION AS OF $stagedId")
+      .head().getLong(0)
+    assert(audit == 4L)
+
+    // publish: a new head commit re-applies the staged files by reference
+    spark.sql(s"CALL graft_system.cherrypick_snapshot(table => 'wap.t1', snapshot_id => $stagedId)")
+    assert(spark.table("graft.wap.t1").count() == 4L)
+    val published = GraftTable.state(r)
+    assert(published.operation == "cherrypick" && published.snapshotId == stagedId + 1)
+    // no data copy: the published files ARE the staged files
+    val stagedPaths = GraftTable.state(r, Some(stagedId)).files.map(_.path).toSet
+    assert(published.files.map(_.path).toSet == stagedPaths)
+
+    // CDC: the rows enter the feed at the CHERRYPICK snapshot, not the staged id
+    val feed = GraftTable.changes(spark, r, mainHead, published.snapshotId)
+    assert(feed.filter(col("_commit_snapshot_id") === stagedId).count() == 0L)
+    assert(feed.filter(col("_commit_snapshot_id") === published.snapshotId &&
+      col("_change_type") === "insert").count() == 2L)
+    // incremental read over the same range: exactly the published rows
+    assert(GraftTable.readIncremental(spark, r, mainHead, published.snapshotId).count() == 2L)
+    // double publish refused
+    val e = intercept[Exception](GraftTable.cherrypickSnapshot(r, stagedId))
+    assert(e.getMessage.contains("already published"))
+  }
+
+  test("a pending staged head blocks main data writes with a WAP-specific error; abandon unblocks") {
+    val r = freshTable("t2")
+    spark.sql("INSERT INTO graft.wap.t2 VALUES (1, 'base')")
+    GraftTable.appendStaged(spark, r, Seq((9L, "staged")).toDF("id", "v"), "wap_x")
+    val stagedId = GraftTable.latestSnapshotId(r)
+
+    val e = intercept[IllegalStateException](
+      GraftTable.append(spark, r, Seq((2L, "main")).toDF("id", "v")))
+    assert(e.getMessage.contains("staged (WAP) commit"),
+      s"the collision must explain itself, got: ${e.getMessage}")
+
+    GraftTable.abandonStagedSnapshot(r, stagedId)
+    GraftTable.append(spark, r, Seq((2L, "main")).toDF("id", "v"))
+    assert(spark.table("graft.wap.t2").count() == 2L)   // staged row never published
+    // an abandoned snapshot cannot be published after the fact
+    val e2 = intercept[Exception](GraftTable.cherrypickSnapshot(r, stagedId))
+    assert(e2.getMessage.contains("abandoned"))
+  }
+
+  test("metadata commits pass a pending staged head; lineage guards hold") {
+    val r = freshTable("t3")
+    spark.sql("INSERT INTO graft.wap.t3 VALUES (1, 'base')")
+    val mainHead = GraftTable.state(r).snapshotId
+    GraftTable.appendStaged(spark, r, Seq((7L, "staged")).toDF("id", "v"), "wap_y")
+    val stagedId = GraftTable.latestSnapshotId(r)
+
+    // a properties commit lands after the staged id and main reads stay clean
+    GraftTable.setProperties(r, Map("audit.note" -> "pending"))
+    assert(GraftTable.state(r).snapshotId == stagedId + 1)
+    assert(spark.table("graft.wap.t3").count() == 1L)
+    // ...and main data writes are unblocked by the moved head
+    GraftTable.append(spark, r, Seq((2L, "main")).toDF("id", "v"))
+    assert(spark.table("graft.wap.t3").count() == 2L)
+
+    // guards: tagging / rolling back to a staged snapshot refuse
+    assert(intercept[Exception](GraftTable.createTag(r, "bad", stagedId))
+      .getMessage.contains("staged"))
+    assert(intercept[Exception](GraftTable.rollbackToSnapshot(r, stagedId))
+      .getMessage.contains("staged"))
+    // time travel by timestamp never resolves to the staged snapshot
+    assert(!GraftTable.snapshotIdsAtOrBefore(r, Long.MaxValue).contains(stagedId))
+    // cherrypick of a plain committed snapshot refuses
+    assert(intercept[Exception](GraftTable.cherrypickSnapshot(r, mainHead))
+      .getMessage.contains("staged"))
+
+    // the staged snapshot is STILL publishable after main moved on
+    GraftTable.cherrypickSnapshot(r, stagedId)
+    assert(spark.table("graft.wap.t3").count() == 3L)
+  }
+
+  test("checkpoints and expiry stay on the main lineage around staged commits") {
+    val r = freshTable("t4")
+    spark.sql("INSERT INTO graft.wap.t4 VALUES (1, 'base')")
+    GraftTable.appendStaged(spark, r, Seq((8L, "staged")).toDF("id", "v"), "wap_z")
+    val stagedId = GraftTable.latestSnapshotId(r)
+    // a checkpoint with a pending staged head must seed from MAIN state
+    GraftTable.rewriteManifests(r)
+    assert(spark.table("graft.wap.t4").count() == 1L,
+      "checkpoint must not leak staged files into main replay")
+    GraftTable.cherrypickSnapshot(r, stagedId)
+    assert(spark.table("graft.wap.t4").count() == 2L)
+
+    // abandon-then-expire reclaims: stage, abandon, age past it, sweep
+    val r2 = freshTable("t5")
+    spark.sql("INSERT INTO graft.wap.t5 VALUES (1, 'base')")
+    GraftTable.appendStaged(spark, r2, Seq((9L, "dead")).toDF("id", "v"), "wap_d")
+    val deadId = GraftTable.latestSnapshotId(r2)
+    val deadFiles = GraftTable.state(r2, Some(deadId)).files.map(_.path).toSet --
+      GraftTable.state(r2).files.map(_.path).toSet
+    assert(deadFiles.nonEmpty)
+    GraftTable.abandonStagedSnapshot(r2, deadId)
+    (1 to 3).foreach(i =>
+      GraftTable.append(spark, r2, Seq((10L + i, "more")).toDF("id", "v")))
+    GraftTable.expireSnapshots(r2, retainLast = 2)   // drops the staged commit json
+    val swept = GraftTable.removeOrphanFiles(r2,
+      olderThanMs = System.currentTimeMillis() + 60000, dryRun = true)
+    assert(deadFiles.forall(f => swept.exists(_.endsWith(f))),
+      s"abandoned+expired staged files must surface as orphans: $deadFiles vs $swept")
+    assert(spark.table("graft.wap.t5").count() == 4L)
+  }
+}
