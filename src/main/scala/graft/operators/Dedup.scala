@@ -106,6 +106,73 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  // ── incremental dedup against a lake-persisted LSH index ───────────
+  /** The cross-batch corpus workflow: at 100 TB you cannot re-minhash
+    * the whole corpus per ingestion batch, so the LSH band index —
+    * one (doc_id, band, sig) row per band per document — is PERSISTED
+    * as a lake table, and each new batch (a) dedups against the index
+    * with the same bucket join the one-shot operator uses (candidates
+    * only where band signatures collide, exact-Jaccard verify on the
+    * candidate pairs alone), then (b) appends the SURVIVORS' bands so
+    * the index stays current for the next batch. One snapshot per
+    * batch: the index table's history IS the ingestion audit trail.
+    * Corpus = doc_id % 3 != 0 (pre-indexed), batch = % 3 == 0; the
+    * result is the batch documents that are not near-dups of the
+    * corpus — oracle-checked end to end through the md5 chain. */
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.GraftTable
+    graft.functions.GraftFunctions.register(s)
+    val root = LakeOps.scratch("q68-index")
+    val shArr = Tables.documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text")))).as("arr"))
+      .filter(size(col("arr")) > 0)
+      .cache()
+    val mh = shArr.select(col("doc_id"),
+      graft.functions.GraftFunctions.minhash16(col("arr")).as("mh"))
+    val bands = mh.select(col("doc_id"),
+      explode(array((0 until nPerms / 2).map(b => struct(lit(b).as("band"),
+        md5(concat_ws("|", element_at(col("mh"), 2 * b + 1),
+          element_at(col("mh"), 2 * b + 2))).as("sig"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .cache()
+    val corpusBands = bands.filter(col("doc_id") % 3 =!= 0)
+    val batchBands = bands.filter(col("doc_id") % 3 === 0)
+    // persist the index; read it BACK from the lake — the incremental
+    // step must work from the durable table, not this job's lineage
+    GraftTable.create(s, root, corpusBands.schema)
+    GraftTable.append(s, root, corpusBands.repartition(4, col("sig")))
+    val idx = GraftTable.read(s, root)
+    val cand = batchBands.as("b")
+      .join(idx.as("a"), col("b.band") === col("a.band") && col("b.sig") === col("a.sig"))
+      .select(col("b.doc_id").as("bd"), col("a.doc_id").as("cd")).distinct()
+    val sh = shArr.select(col("doc_id"), explode(col("arr")).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dups = cand
+      .join(sh.as("s1"), col("bd") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("cd") === col("s2.doc_id") && col("s1.sh") === col("s2.sh"))
+      .groupBy(col("bd"), col("cd")).agg(count(lit(1)).as("shared"))
+      .join(sizes.as("sa"), col("bd") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("cd") === col("sb.doc_id"))
+      .filter(col("shared").cast("double") /
+        (col("sa.n") + col("sb.n") - col("shared")) >= lit(jaccardThreshold))
+      .select(col("bd")).distinct()
+    val survivors = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .join(dups, col("doc_id") === col("bd"), "left_anti")
+      .select(col("doc_id"))
+    // the incremental contract: survivors' bands extend the index for
+    // the NEXT batch, one snapshot per ingestion
+    val survivorBands = batchBands.join(survivors, Seq("doc_id"), "left_semi")
+    GraftTable.append(s, root, survivorBands.repartition(4, col("sig")))
+    val before = corpusBands.count()
+    val after = GraftTable.read(s, root).count()
+    require(after == before + survivorBands.count(),
+      s"index must grow by exactly the survivors' bands ($before -> $after)")
+    survivors.orderBy(col("doc_id"))
+  }
+
   // ── §2.3/39 SimHash (64-bit) ────────────────────────────────────────
   /** The signature is one codegen-adjacent native expression per doc
     * (graft.functions.SimHash64) — no 64× bit explosion. LSH: any pair
@@ -230,7 +297,8 @@ object Dedup {
     "q31_dedup_minhash" -> q31 _,
     "q31x_minhash_prod" -> q31x _,
     "q32_dedup_simhash" -> q32 _,
-    "q52_dup_clusters" -> q52 _)
+    "q52_dup_clusters" -> q52 _,
+    "q68_dedup_incremental" -> q68 _)
 
   /** Shared CTE chain producing the verified MinHash pair set (used by
     * both the q31 oracle and q52's clustering oracle). */
@@ -268,6 +336,26 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "q31_dedup_minhash" -> minhashPairsOracle,
     "q31x_minhash_prod" -> minhashPairsOracle,
+
+    // batch (doc_id % 3 = 0) vs corpus (% 3 != 0) only — never
+    // batch×batch; a batch doc survives unless some corpus doc clears
+    // the exact-Jaccard bar among its band-collision candidates
+    "q68_dedup_incremental" ->
+      s"""WITH $minhashChainSql,
+         |xcand AS (SELECT DISTINCT b.doc_id AS bd, a.doc_id AS cd
+         |          FROM bands b JOIN bands a
+         |          ON a.band = b.band AND a.sig = b.sig
+         |          WHERE b.doc_id % 3 = 0 AND a.doc_id % 3 <> 0),
+         |xshd AS (SELECT bd, cd, COUNT(*) AS shared
+         |         FROM xcand JOIN sh s1 ON s1.doc_id = bd
+         |                    JOIN sh s2 ON s2.doc_id = cd AND s1.sh = s2.sh
+         |         GROUP BY bd, cd),
+         |dups AS (SELECT DISTINCT bd FROM xshd
+         |         JOIN sz sa ON bd = sa.doc_id JOIN sz sb ON cd = sb.doc_id
+         |         WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= $jaccardThreshold)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT bd FROM dups)
+         |ORDER BY doc_id""".stripMargin,
 
     "q52_dup_clusters" ->
       s"""WITH RECURSIVE $minhashChainSql,

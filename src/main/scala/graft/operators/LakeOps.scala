@@ -21,7 +21,7 @@ import graft.sources.Tables
   */
 object LakeOps {
 
-  private def scratch(name: String): String = {
+  private[operators] def scratch(name: String): String = {
     // per-PROCESS scratch root: Verify and Bench may run concurrently
     // on the same box, and a shared path would let one process delete
     // the other's staged writes mid-query (observed as an intermittent
