@@ -842,6 +842,20 @@ object GraftTable {
     }
   }
 
+  /** Iceberg's `write.parquet.bloom-filter-enabled.column.<col>=true`
+    * → the parquet writer's per-column bloom option. Blooms serve the
+    * case stats cannot: point lookups on a column the file layout is
+    * NOT clustered on (min/max spans everything, but the row-group
+    * bloom answers "definitely absent" before any page reads — at
+    * 100 TB that is most of an id-probe's bill). Spark's reader uses
+    * them automatically for pushed `=` filters. */
+  private def bloomOptions(props: Map[String, String]): Map[String, String] =
+    props.collect {
+      case (k, v) if k.startsWith("write.parquet.bloom-filter-enabled.column.") =>
+        s"parquet.bloom.filter.enabled#${
+          k.stripPrefix("write.parquet.bloom-filter-enabled.column.")}" -> v
+    }
+
   private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
       snapshotId: Long, props: Map[String, String]): Seq[FileEntry] = {
     val codec = props.getOrElse("write.parquet.compression-codec", "snappy")
@@ -860,7 +874,8 @@ object GraftTable {
       if (spec.isEmpty) {
         val sorted =
           if (sortCols.isEmpty) df else df.sortWithinPartitions(sortCols: _*)
-        sorted.write.option("compression", codec).parquet(tmp.toString)
+        sorted.write.option("compression", codec).options(bloomOptions(props))
+          .parquet(tmp.toString)
       } else {
         // partitioned write: derive one rendered string column per
         // transform, let Spark's partitioned committer split files by
@@ -873,7 +888,7 @@ object GraftTable {
           if (sortCols.isEmpty) withParts
           else withParts.sortWithinPartitions(
             spec.indices.map(i => col(s"_gp_$i").asc) ++ sortCols: _*)
-        sorted.write.option("compression", codec)
+        sorted.write.option("compression", codec).options(bloomOptions(props))
           .partitionBy(spec.indices.map(i => s"_gp_$i"): _*)
           .parquet(tmp.toString)
       }

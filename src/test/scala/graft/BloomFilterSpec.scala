@@ -1,0 +1,46 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+
+import graft.lake.GraftTable
+
+/** `write.parquet.bloom-filter-enabled.column.<col>` (the Iceberg
+  * property) must reach the parquet writer: the row-group footer then
+  * carries a bloom filter for that column — the "definitely absent"
+  * answer for point lookups on columns the file layout is not
+  * clustered on — and only for that column. */
+class BloomFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom property writes per-column bloom filters; other columns stay clean") {
+    val root = "/root/repo/target/graft-planspec/bloom-t"
+    GraftTable.deleteTree(java.nio.file.Paths.get(root))
+    val df = (1L to 2000L).map(i => (i, s"name_$i", i * 2.0)).toDF("id", "nm", "v")
+    GraftTable.create(spark, root, df.schema,
+      Map("write.parquet.bloom-filter-enabled.column.nm" -> "true"))
+    GraftTable.append(spark, root, df.coalesce(1))
+
+    val file = GraftTable.state(root).files.filter(_.isData).head
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(s"$root/${file.path}"), new Configuration()))
+    try {
+      val cols = reader.getFooter.getBlocks.asScala.head.getColumns.asScala
+        .map(c => c.getPath.toDotString -> c.getBloomFilterOffset).toMap
+      assert(cols("nm") >= 0, s"nm must carry a bloom filter, offsets: $cols")
+      assert(cols("id") < 0 && cols("v") < 0,
+        s"only the opted-in column gets a bloom, offsets: $cols")
+      // the bloom answers membership: present value hits, absent misses
+      val bloom = reader.readBloomFilter(
+        reader.getFooter.getBlocks.asScala.head.getColumns.asScala
+          .find(_.getPath.toDotString == "nm").get)
+      val hash = bloom.hash(org.apache.parquet.io.api.Binary.fromString("name_77"))
+      assert(bloom.findHash(hash), "a stored value must test present")
+      val missing = bloom.hash(org.apache.parquet.io.api.Binary.fromString("nope_xyz"))
+      assert(!bloom.findHash(missing), "an absent value should miss (fp chance ~1%)")
+    } finally reader.close()
+  }
+}
