@@ -3659,6 +3659,20 @@ object GraftTable {
       s"staged snapshot $stagedId is already published")
     require(!snap.properties.contains(s"graft.wap.abandoned.$stagedId"),
       s"staged snapshot $stagedId was abandoned")
+    // Conflict validation (Iceberg's cherry-pick aborts on conflicts):
+    // equality deletes apply by the Iceberg sequence rule, and here a
+    // file's sequence derives from its NAME's snapshot prefix — the
+    // staged files carry the STAGE id. An equality delete committed
+    // between stage and publish would therefore backdate the published
+    // rows under itself (they were not live when it ran). Refuse and
+    // ask for a re-stage rather than silently delete the new rows.
+    val eqAfter = listCommitIds(root).filter(_ > stagedId)
+      .map(id => parseCommit(Files.readString(commitPath(root, id))))
+      .filter(c => !isStaged(c) && c.adds.exists(_.content.contains(2)))
+    require(eqAfter.isEmpty,
+      s"cannot cherrypick $stagedId: equality delete(s) landed after it " +
+        s"(snapshot(s) ${eqAfter.map(_.snapshotId).mkString(", ")}) and would " +
+        "wrongly apply to the published rows — re-stage the batch instead")
     // id = raw log head + 1 (NOT main head + 1): the pending staged
     // commit occupies main-head+1, and publishing must land after it
     val id = listCommitIds(root).max + 1

@@ -115,7 +115,7 @@ class MorPropertySpec extends SparkSpec {
       for (_ <- 0 until opsPer) {
         val prevSnap = GraftTable.latestSnapshotId(root)
         val prevOracle = oracle
-        rnd.nextInt(10) match {
+        rnd.nextInt(11) match {
           case 0 | 1 => append()
           case 2 =>   // position delete by group predicate
             val g = rnd.nextInt(5).toLong
@@ -152,7 +152,7 @@ class MorPropertySpec extends SparkSpec {
           case 8 =>   // compaction (applies live deletes while binpacking)
             GraftTable.rewriteDataFiles(spark, root, targetFileSizeBytes = 1L << 20,
               minInputFiles = 2)
-          case _ =>   // partition-spec evolution mid-lifecycle:
+          case 9 =>   // partition-spec evolution mid-lifecycle:
                       // metadata-only, rows must not move; earlier
                       // files keep pruning (and DML victim selection)
                       // under the spec that wrote them, and the CDC
@@ -160,6 +160,30 @@ class MorPropertySpec extends SparkSpec {
             if (specOn) GraftTable.dropPartitionField(root, "bucket(2,id)")
             else GraftTable.addPartitionField(root, "bucket(2,id)")
             specOn = !specOn
+          case _ =>   // write-audit-publish: staged rows invisible to
+                      // main (the outer check sees the oracle either
+                      // way); the AUDIT read must see oracle+staged
+                      // while pending; publish adds the rows, abandon
+                      // never surfaces them; CDC replay reconciles the
+                      // whole stage→resolve window (publish = inserts
+                      // at the cherrypick, abandon = empty feed)
+            val rows = (0 until 2 + rnd.nextInt(6)).map { _ =>
+              (rnd.nextInt(40).toLong, rnd.nextInt(5).toLong,
+                rnd.alphanumeric.take(4).mkString)
+            }
+            val df = if (widened) rows.toDF("id", "grp", vName)
+              else rows.map(r => (r._1, r._2.toInt, r._3)).toDF("id", "grp", vName)
+            val stagedId = GraftTable.appendStaged(spark, root, df, s"wap$lc$checks")
+            val audit = GraftTable.read(spark, root, Some(stagedId))
+              .select(col("id"), col("grp").cast(LongType), col(vName))
+              .as[(Long, Long, String)].collect().toVector.sorted
+            assert(audit == (oracle ++ rows).sorted,
+              s"lifecycle $lc: audit read of staged $stagedId has ${audit.size} " +
+                s"rows vs oracle+staged ${(oracle ++ rows).size}")
+            if (rnd.nextBoolean()) {
+              GraftTable.cherrypickSnapshot(root, stagedId)
+              oracle ++= rows
+            } else GraftTable.abandonStagedSnapshot(root, stagedId)
         }
         check()
         cdcCheck(prevSnap, prevOracle)

@@ -113,6 +113,28 @@ class WapSpec extends SparkSpec {
     assert(spark.table("graft.wap.t3").count() == 3L)
   }
 
+  test("cherrypick refuses when an equality delete landed after the stage") {
+    val r = freshTable("t6")
+    spark.sql("INSERT INTO graft.wap.t6 VALUES (1, 'base'), (2, 'base')")
+    GraftTable.appendStaged(spark, r, Seq((1L, "staged_dup")).toDF("id", "v"), "wap_c")
+    val stagedId = GraftTable.latestSnapshotId(r)
+    // move the head past the stage, then equality-delete id=1: the
+    // staged file's NAME-derived sequence predates this delete, so a
+    // later cherrypick would wrongly erase the published row
+    GraftTable.setProperties(r, Map("note" -> "pass-the-stage"))
+    GraftTable.deleteEqualityMoR(spark, r, Seq(1L).toDF("id"))
+    val e = intercept[Exception](GraftTable.cherrypickSnapshot(r, stagedId))
+    assert(e.getMessage.contains("equality delete"),
+      s"conflicting publish must abort, got: ${e.getMessage}")
+    // the batch re-stages cleanly and publishes
+    GraftTable.abandonStagedSnapshot(r, stagedId)
+    GraftTable.appendStaged(spark, r, Seq((1L, "staged_dup")).toDF("id", "v"), "wap_c2")
+    GraftTable.cherrypickSnapshot(r, GraftTable.latestSnapshotId(r))
+    // id=1 base row deleted by the eq delete; the re-staged row (later
+    // sequence) survives alongside id=2
+    assert(spark.table("graft.wap.t6").count() == 2L)
+  }
+
   test("checkpoints and expiry stay on the main lineage around staged commits") {
     val r = freshTable("t4")
     spark.sql("INSERT INTO graft.wap.t4 VALUES (1, 'base')")
