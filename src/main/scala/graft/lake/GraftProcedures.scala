@@ -487,7 +487,8 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
           s"unknown procedure graft_system.$other (have rewrite_data_files, " +
             "rewrite_manifests, rewrite_position_deletes, rewrite_equality_deletes, " +
             "expire_snapshots, remove_orphan_files, rollback_to_snapshot, " +
-            "create_tag, drop_tag, create_changes_view)")
+            "create_tag, drop_tag, create_changes_view, cherrypick_snapshot, " +
+            "abandon_staged_snapshot)")
     }
   }
 }
