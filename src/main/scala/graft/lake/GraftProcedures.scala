@@ -36,6 +36,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     GraftProcedures.parseCall(sqlText)
       .orElse(GraftProcedures.parseAlterSpec(sqlText))
       .orElse(GraftProcedures.parseWriteOrder(sqlText))
+      .orElse(GraftProcedures.parseInsertOverwriteDynamic(sqlText))
       .orElse(GraftProcedures.parseRowLevel(sqlText))
       .getOrElse(delegate.parsePlan(sqlText))
 
@@ -159,6 +160,37 @@ object GraftProcedures {
     """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.)*\w+)\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*""".r
   private val unorderedRe =
     """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.)*\w+)\s+WRITE\s+UNORDERED\s*;?\s*""".r
+
+  // ── dynamic INSERT OVERWRITE ────────────────────────────────────────
+  // Spark's planner has no V1 fallback for OverwritePartitionsDynamic,
+  // so SQL `INSERT OVERWRITE` under partitionOverwriteMode=dynamic
+  // cannot reach the V1Write bridge — the delegating parser routes it
+  // to GraftTable.overwriteDynamic instead. Static mode (the default)
+  // falls through to the delegate and the existing by-filter path, so
+  // nothing changes there. The guarded conditions: dynamic mode is ON
+  // in the active session, the target is a partitioned graft table,
+  // and there is no PARTITION clause (static per-partition overwrite
+  // keeps Spark's own resolution).
+
+  private val insertOverwriteRe =
+    """(?is)\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?((?:\w+\.)*\w+)\s+((?:SELECT|WITH|VALUES|TABLE|FROM)\b.+?)\s*;?\s*""".r
+
+  private def dynamicModeOn: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.exists(
+      _.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        .equalsIgnoreCase("dynamic"))
+
+  private def hasPartitionSpec(spark: org.apache.spark.sql.SparkSession,
+      tbl: String): Boolean =
+    scala.util.Try(GraftTable.state(resolveRoot(spark, stripCatalog(tbl)))
+      .properties.get(GraftTable.specProp).exists(_.trim.nonEmpty)).getOrElse(false)
+
+  def parseInsertOverwriteDynamic(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case insertOverwriteRe(tbl, query) if dynamicModeOn && isGraftTable(tbl) &&
+        org.apache.spark.sql.SparkSession.getActiveSession.exists(hasPartitionSpec(_, tbl)) =>
+      Some(GraftDynamicOverwriteCommand(stripCatalog(tbl), query))
+    case _ => None
+  }
 
   def parseWriteOrder(sqlText: String): Option[LogicalPlan] = sqlText match {
     case distByPartRe(tbl, terms) if isGraftTable(tbl) =>
@@ -566,6 +598,33 @@ case class GraftAlterSpecCommand(table: String, action: String,
       case "drop" => GraftTable.dropPartitionField(root, term)
       case "replace" => GraftTable.replacePartitionField(root, term, to.get)
     }
+    Seq(Row(s"snapshot_id=$id"))
+  }
+}
+
+/** `INSERT OVERWRITE t <query>` under partitionOverwriteMode=dynamic →
+  * GraftTable.overwriteDynamic: one commit that retires exactly the
+  * data files whose partition tuple appears in the incoming rows —
+  * untouched partitions carry over (Iceberg/Hive dynamic semantics).
+  * Columns resolve BY POSITION with store-assignment casts, the same
+  * contract Spark's own INSERT applies. */
+case class GraftDynamicOverwriteCommand(table: String, query: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val root = GraftProcedures.resolveRoot(spark, table)
+    val schema = GraftTable.tableSchema(root)
+    val raw = spark.sql(query)
+    require(raw.columns.length == schema.fields.length,
+      s"INSERT OVERWRITE provides ${raw.columns.length} columns but " +
+        s"${table} has ${schema.fields.length}")
+    val aligned = raw.toDF(schema.fieldNames.toIndexedSeq: _*)
+      .select(schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+    val id = GraftTable.overwriteDynamic(spark, root, aligned)
     Seq(Row(s"snapshot_id=$id"))
   }
 }

@@ -523,11 +523,14 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
   override def properties(): util.Map[String, String] =
     GraftTable.state(root, asOf).properties.asJava
 
-  // OVERWRITE_DYNAMIC is deliberately absent: Spark's V1 write
-  // fallback only covers append and overwrite-by-filter, so SQL
-  // INSERT OVERWRITE in dynamic mode would need a native BATCH_WRITE
-  // path (no V1 fallback exists for OverwritePartitionsDynamic). Use
-  // GraftTable.overwriteDynamic from the API instead.
+  // OVERWRITE_DYNAMIC is deliberately absent from the CAPABILITIES:
+  // Spark's V1 write fallback only covers append and
+  // overwrite-by-filter (no V1 fallback exists for
+  // OverwritePartitionsDynamic). SQL INSERT OVERWRITE under
+  // partitionOverwriteMode=dynamic is still served — the delegating
+  // parser recognizes it (GraftProcedures.parseInsertOverwriteDynamic)
+  // and routes to GraftTable.overwriteDynamic before the planner ever
+  // consults these capabilities.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)

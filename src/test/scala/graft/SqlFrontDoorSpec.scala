@@ -638,6 +638,35 @@ class SqlFrontDoorSpec extends SparkSpec {
     assert(old.head().getLong(0) == 30L)
   }
 
+  test("SQL INSERT OVERWRITE honors partitionOverwriteMode=dynamic") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dyn")
+    spark.sql("DROP TABLE IF EXISTS graft.dyn.sq")
+    spark.sql("CREATE TABLE graft.dyn.sq (id BIGINT, region BIGINT) PARTITIONED BY (region)")
+    spark.sql("INSERT INTO graft.dyn.sq SELECT id, id % 3 FROM range(30)")
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try {
+      // columns resolve by position with casts, Spark's INSERT contract
+      spark.sql("""INSERT OVERWRITE graft.dyn.sq
+        |SELECT CAST(id + 100 AS INT) AS renamed, 1L FROM range(5)""".stripMargin)
+    } finally prev match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None => spark.conf.unset(modeKey)
+    }
+    val byRegion = spark.sql(
+      "SELECT region, COUNT(*) AS c FROM graft.dyn.sq GROUP BY region ORDER BY region")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byRegion == Map(0L -> 10L, 1L -> 5L, 2L -> 10L),
+      s"dynamic mode must replace only region 1, got $byRegion")
+    assert(spark.sql("SELECT operation FROM graft.dyn.sq.snapshots ORDER BY snapshot_id")
+      .collect().map(_.getString(0)).last == "overwrite_dynamic")
+    // static mode (the default) keeps Spark's path: full-table overwrite
+    spark.sql("INSERT OVERWRITE graft.dyn.sq SELECT id + 500, 2L FROM range(4)")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.dyn.sq").head().getLong(0) == 4L,
+      "static INSERT OVERWRITE must truncate-and-insert")
+  }
+
   test("ALTER TABLE RENAME keeps live MoR deletes applying") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ren")
     spark.sql("DROP TABLE IF EXISTS graft.ren.a")
