@@ -1434,7 +1434,8 @@ object GraftTable {
 
   private def overwriteWhereImpl(spark: SparkSession, root: String,
       condition: Column, replacement: Option[DataFrame], prunePreds: Seq[Pred],
-      planner: Option[CkptPlanner]): Long = {
+      planner: Option[CkptPlanner], stagedProps: Map[String, String] = Map.empty,
+      opName: String = "overwrite"): Long = {
     val (schema, props) = dmlHeader(planner, root)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     // explicit preds win; otherwise extract them from the condition —
@@ -1456,10 +1457,10 @@ object GraftTable {
     // same commit
     val dropDeletes = if (effective.isEmpty) deletes.map(_._1) else Seq.empty
     val (retSchemaJ, retProps) =
-      if (effective.isEmpty) retiredNamesMeta(schema, props)
+      if (effective.isEmpty && stagedProps.isEmpty) retiredNamesMeta(schema, props)
       else (None, Map.empty[String, String])
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
-      "overwrite", adds, victimPaths ++ dropDeletes, retProps, retSchemaJ))
+      opName, adds, victimPaths ++ dropDeletes, retProps ++ stagedProps, retSchemaJ))
     id
   }
 
@@ -3099,8 +3100,12 @@ object GraftTable {
     // staged (WAP) commits are not on the main lineage: nothing was
     // appended until a cherrypick publishes them (which IS an append)
     val commits = allCommits.filterNot(isStaged)
+    // a cherrypick with removes published a row-level rewrite — that
+    // range is not append-only
     val bad = commits.filterNot(c =>
-      c.operation == "append" || c.operation == "cherrypick" || maintenanceOps(c.operation))
+      c.operation == "append" ||
+        (c.operation == "cherrypick" && c.removes.isEmpty) ||
+        maintenanceOps(c.operation))
     // don't advertise changes() for a range it refuses too: a replace
     // boundary is uncrossable by either API — say so directly
     require(!bad.exists(_.operation == "replace"),
@@ -3280,9 +3285,11 @@ object GraftTable {
   private def changesOf(spark: SparkSession, root: String, c: Commit,
       endSchema: StructType): Option[DataFrame] = {
     if (maintenanceOps(c.operation)) return None
-    // a cherrypick publishes a staged append's rows: pure inserts at
-    // the CHERRYPICK's snapshot, the moment they became live
-    if (c.operation == "append" || c.operation == "cherrypick")
+    // a cherrypick of a staged APPEND publishes pure inserts at the
+    // CHERRYPICK's snapshot, the moment they became live; one that
+    // carries removes published a row-level rewrite and takes the
+    // generic before-vs-after diff below like any overwrite
+    if (c.operation == "append" || (c.operation == "cherrypick" && c.removes.isEmpty))
       return Some(readFiles(spark, root, endSchema, c.adds.filter(_.isData), Seq.empty)
         .withColumn("_change_type", lit("insert")))
     val prev = state(root, Some(c.parentId.getOrElse(c.snapshotId - 1)))
@@ -3642,11 +3649,35 @@ object GraftTable {
     id
   }
 
+  /** Stage a copy-on-write DELETE/overwrite under a WAP id: the
+    * rewrite runs now (files durable), but main keeps serving the
+    * victims until cherrypick publishes the swap. Row-level stages
+    * are ALWAYS copy-on-write — staged MoR delete files would
+    * interact with the sequence rule at publish time; a CoW rewrite
+    * has no such coupling, only the victim-liveness check cherrypick
+    * performs. */
+  def overwriteWhereStaged(spark: SparkSession, root: String, condition: Column,
+      wapId: String, replacement: Option[DataFrame] = None): Long = {
+    require(wapId.trim.nonEmpty, "wap id must be non-empty")
+    overwriteWhereImpl(spark, root, condition, replacement, Nil,
+      ckptPlanner(spark, root, None),
+      stagedProps = Map(wapStagedProp -> "true", wapIdProp -> wapId),
+      opName = "wap_overwrite")
+  }
+
+  /** Staged DELETE WHERE (audit a destructive delete before it goes
+    * live): sugar over [[overwriteWhereStaged]]. */
+  def deleteWhereStaged(spark: SparkSession, root: String, condition: Column,
+      wapId: String): Long =
+    overwriteWhereStaged(spark, root, condition, wapId)
+
   /** Publish a staged snapshot onto the main head:
     * `CALL graft_system.cherrypick_snapshot(table, snapshot_id)`.
-    * Metadata-only — the new commit lists the staged files by
-    * reference. Staged commits are append-only, so there is nothing
-    * to conflict-check against main commits that landed meanwhile. */
+    * Metadata-only — the new commit lists the staged adds AND removes
+    * by reference. Append-only stages have nothing to conflict-check;
+    * a row-level stage validates every victim is STILL live on main
+    * (a main commit that rewrote one since means the staged rewrite
+    * is based on rows that no longer exist — refuse, re-stage). */
   def cherrypickSnapshot(root: String, stagedId: Long): Long = {
     require(listCommitIds(root).contains(stagedId),
       s"no snapshot $stagedId in the log (expired or never existed)")
@@ -3673,11 +3704,19 @@ object GraftTable {
       s"cannot cherrypick $stagedId: equality delete(s) landed after it " +
         s"(snapshot(s) ${eqAfter.map(_.snapshotId).mkString(", ")}) and would " +
         "wrongly apply to the published rows — re-stage the batch instead")
+    // row-level stage: every victim the staged rewrite replaces must
+    // still be live on main, else the swap is based on stale rows
+    val live = snap.files.map(_.path).toSet
+    val gone = c.removes.filterNot(live.contains)
+    require(gone.isEmpty,
+      s"cannot cherrypick $stagedId: ${gone.size} file(s) it rewrites were " +
+        s"changed on main since the stage (${gone.take(3).mkString(", ")}…) — " +
+        "re-stage against the current state")
     // id = raw log head + 1 (NOT main head + 1): the pending staged
     // commit occupies main-head+1, and publishing must land after it
     val id = listCommitIds(root).max + 1
     writeAtomic(commitPath(root, id), toJson(Commit(id, Some(snap.snapshotId),
-      System.currentTimeMillis(), "cherrypick", versionedAdds(c), Seq.empty,
+      System.currentTimeMillis(), "cherrypick", versionedAdds(c), c.removes,
       Map(s"graft.wap.published.$stagedId" ->
         c.properties.getOrElse(wapIdProp, "")), None)))
     id

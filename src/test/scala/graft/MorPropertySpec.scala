@@ -160,29 +160,39 @@ class MorPropertySpec extends SparkSpec {
             if (specOn) GraftTable.dropPartitionField(root, "bucket(2,id)")
             else GraftTable.addPartitionField(root, "bucket(2,id)")
             specOn = !specOn
-          case _ =>   // write-audit-publish: staged rows invisible to
-                      // main (the outer check sees the oracle either
-                      // way); the AUDIT read must see oracle+staged
-                      // while pending; publish adds the rows, abandon
-                      // never surfaces them; CDC replay reconciles the
-                      // whole stage→resolve window (publish = inserts
-                      // at the cherrypick, abandon = empty feed)
-            val rows = (0 until 2 + rnd.nextInt(6)).map { _ =>
-              (rnd.nextInt(40).toLong, rnd.nextInt(5).toLong,
-                rnd.alphanumeric.take(4).mkString)
+          case _ =>   // write-audit-publish: a staged append OR a
+                      // staged CoW delete — invisible to main either
+                      // way (the outer check sees the oracle); the
+                      // AUDIT read must see the would-be state while
+                      // pending; publish applies it, abandon never
+                      // surfaces it; CDC replay reconciles the whole
+                      // stage→resolve window (published appends =
+                      // inserts at the cherrypick, published deletes =
+                      // the generic before/after diff, abandon = empty)
+            val stageDelete = rnd.nextBoolean()
+            val (stagedId, wouldBe) = if (stageDelete) {
+              val lo = rnd.nextInt(40).toLong
+              val sid = GraftTable.deleteWhereStaged(spark, root,
+                col("id") >= lo && col("id") < lo + 8, s"wapd$lc$checks")
+              (sid, oracle.filterNot(r => r._1 >= lo && r._1 < lo + 8))
+            } else {
+              val rows = (0 until 2 + rnd.nextInt(6)).map { _ =>
+                (rnd.nextInt(40).toLong, rnd.nextInt(5).toLong,
+                  rnd.alphanumeric.take(4).mkString)
+              }
+              val df = if (widened) rows.toDF("id", "grp", vName)
+                else rows.map(r => (r._1, r._2.toInt, r._3)).toDF("id", "grp", vName)
+              (GraftTable.appendStaged(spark, root, df, s"wap$lc$checks"), oracle ++ rows)
             }
-            val df = if (widened) rows.toDF("id", "grp", vName)
-              else rows.map(r => (r._1, r._2.toInt, r._3)).toDF("id", "grp", vName)
-            val stagedId = GraftTable.appendStaged(spark, root, df, s"wap$lc$checks")
             val audit = GraftTable.read(spark, root, Some(stagedId))
               .select(col("id"), col("grp").cast(LongType), col(vName))
               .as[(Long, Long, String)].collect().toVector.sorted
-            assert(audit == (oracle ++ rows).sorted,
-              s"lifecycle $lc: audit read of staged $stagedId has ${audit.size} " +
-                s"rows vs oracle+staged ${(oracle ++ rows).size}")
+            assert(audit == wouldBe.sorted,
+              s"lifecycle $lc: audit read of staged $stagedId " +
+                s"(delete=$stageDelete) has ${audit.size} rows vs ${wouldBe.size}")
             if (rnd.nextBoolean()) {
               GraftTable.cherrypickSnapshot(root, stagedId)
-              oracle ++= rows
+              oracle = wouldBe
             } else GraftTable.abandonStagedSnapshot(root, stagedId)
         }
         check()

@@ -113,6 +113,33 @@ class WapSpec extends SparkSpec {
     assert(spark.table("graft.wap.t3").count() == 3L)
   }
 
+  test("staged CoW delete: main serves victims until publish; stale victims refuse") {
+    val r = freshTable("t7")
+    spark.sql("INSERT INTO graft.wap.t7 SELECT id, 'x' FROM range(100)")
+    val stagedId = GraftTable.deleteWhereStaged(spark, r, col("id") < 40L, "wap_del")
+    // main intact; audit shows the post-delete state
+    assert(spark.table("graft.wap.t7").count() == 100L)
+    assert(GraftTable.read(spark, r, Some(stagedId)).count() == 60L)
+    // publish applies the swap; CDC over the window shows net -40
+    val before = GraftTable.state(r).snapshotId
+    val pubId = GraftTable.cherrypickSnapshot(r, stagedId)
+    assert(spark.table("graft.wap.t7").count() == 60L)
+    val feed = GraftTable.changes(spark, r, before, pubId)
+    val dels = feed.filter(col("_change_type") === "delete").count()
+    val ins = feed.filter(col("_change_type") === "insert").count()
+    assert(dels - ins == 40L, s"published delete must net -40 rows, got -$dels +$ins")
+
+    // conflict: a main rewrite invalidates the staged victims
+    val r2 = freshTable("t8")
+    spark.sql("INSERT INTO graft.wap.t8 SELECT id, 'x' FROM range(50)")
+    val s2 = GraftTable.deleteWhereStaged(spark, r2, col("id") < 10L, "wap_del2")
+    GraftTable.setProperties(r2, Map("n" -> "1"))   // move the head past the stage
+    GraftTable.rewriteDataFiles(spark, r2, minInputFiles = 1)   // compaction rewrites victims
+    val e = intercept[Exception](GraftTable.cherrypickSnapshot(r2, s2))
+    assert(e.getMessage.contains("changed on main"),
+      s"stale-victim publish must refuse, got: ${e.getMessage}")
+  }
+
   test("cherrypick refuses when an equality delete landed after the stage") {
     val r = freshTable("t6")
     spark.sql("INSERT INTO graft.wap.t6 VALUES (1, 'base'), (2, 'base')")
