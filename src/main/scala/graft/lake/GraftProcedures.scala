@@ -388,6 +388,17 @@ object GraftProcedures {
     out.toSeq
   }
 
+  /** A set `spark.wap.id` must never silently bypass staging: write
+    * shapes that can stage do (append, DELETE, INSERT OVERWRITE);
+    * the rest refuse loudly through this guard. */
+  private[lake] def requireNotWap(spark: SparkSession, root: String,
+      what: String): Unit =
+    require(GraftTable.activeWapId(spark, root).isEmpty,
+      s"spark.wap.id is set and this table has write.wap.enabled, but $what " +
+        "cannot be staged yet — it would commit LIVE and bypass the " +
+        "write-audit-publish contract. Unset spark.wap.id, or use " +
+        "appendStaged/deleteWhereStaged/overwriteWhereStaged")
+
   /** ns.table under the graft catalog's warehouse, or an absolute
     * table-root path. */
   private[lake] def resolveRoot(spark: SparkSession, t: String): String =
@@ -537,6 +548,7 @@ case class GraftUpdateCommand(table: String, setClause: String,
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{expr, lit}
     val root = GraftProcedures.resolveRoot(spark, table)
+    GraftProcedures.requireNotWap(spark, root, "UPDATE")
     val fields = GraftTable.tableSchema(root).fieldNames.toSeq
     val setsText = GraftProcedures.splitTop(setClause, ',').map { a =>
       a.split("=", 2) match {
@@ -573,6 +585,7 @@ case class GraftDeleteCommand(table: String, where: String)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftProcedures.resolveRoot(spark, table)
+    GraftProcedures.requireNotWap(spark, root, "DELETE with a subquery predicate")
     // the generated temp view is aliased with the table's name so
     // `t.c` refs (correlated EXISTS style) resolve by SQL scoping
     val id = GraftTable.deleteWhereSubquery(spark, root, where,
@@ -617,6 +630,7 @@ case class GraftDynamicOverwriteCommand(table: String, query: String)
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.col
     val root = GraftProcedures.resolveRoot(spark, table)
+    GraftProcedures.requireNotWap(spark, root, "dynamic INSERT OVERWRITE")
     val schema = GraftTable.tableSchema(root)
     val raw = spark.sql(query)
     require(raw.columns.length == schema.fields.length,
@@ -716,6 +730,7 @@ case class GraftMergeCommand(table: String, source: String, onClause: String,
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.expr
     val root = GraftProcedures.resolveRoot(spark, table)
+    GraftProcedures.requireNotWap(spark, root, "MERGE INTO")
     val src =
       if (source.trim.startsWith("("))
         spark.sql(source.trim.stripPrefix("(").stripSuffix(")"))

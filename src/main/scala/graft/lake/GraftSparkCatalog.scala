@@ -488,7 +488,12 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val cond = filters.flatMap(GraftRelation.toCondition)
       .reduceOption(_ && _).getOrElse(lit(true))
-    GraftTable.deleteWhere(spark, root, cond)
+    // an active wap id stages the delete (CoW): main serves the rows
+    // until cherrypick — never a silent bypass of the WAP contract
+    GraftTable.activeWapId(spark, root) match {
+      case Some(w) => GraftTable.deleteWhereStaged(spark, root, cond, w)
+      case None => GraftTable.deleteWhere(spark, root, cond)
+    }
   }
 
   private def spark: SparkSession =
@@ -651,22 +656,27 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
       }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
-          (data: DataFrame, _: Boolean) => overwriteFilters match {
-            case Some(fs) =>
-              val cond = fs.flatMap(GraftRelation.toCondition)
-                .reduceOption(_ && _).getOrElse(lit(true))
-              GraftTable.overwriteWhere(data.sparkSession, root, cond, Some(data))
-            case None =>
-              // Iceberg's WAP contract: a session-level spark.wap.id
-              // stages the write ONLY when the table opted in
-              val wapId = data.sparkSession.conf.getOption("spark.wap.id")
-                .map(_.trim).filter(_.nonEmpty)
-                .filter(_ => GraftTable.state(root).properties
-                  .get("write.wap.enabled").contains("true"))
-              wapId match {
-                case Some(w) => GraftTable.appendStaged(data.sparkSession, root, data, w)
-                case None => GraftTable.append(data.sparkSession, root, data)
-              }
+          (data: DataFrame, _: Boolean) => {
+            // Iceberg's WAP contract: a session-level spark.wap.id
+            // stages the write ONLY when the table opted in — and
+            // then it stages EVERY write shape, never a silent bypass
+            val wapId = GraftTable.activeWapId(data.sparkSession, root)
+            overwriteFilters match {
+              case Some(fs) =>
+                val cond = fs.flatMap(GraftRelation.toCondition)
+                  .reduceOption(_ && _).getOrElse(lit(true))
+                wapId match {
+                  case Some(w) => GraftTable.overwriteWhereStaged(
+                    data.sparkSession, root, cond, w, Some(data))
+                  case None =>
+                    GraftTable.overwriteWhere(data.sparkSession, root, cond, Some(data))
+                }
+              case None =>
+                wapId match {
+                  case Some(w) => GraftTable.appendStaged(data.sparkSession, root, data, w)
+                  case None => GraftTable.append(data.sparkSession, root, data)
+                }
+            }
           }
       }
     }

@@ -3634,6 +3634,14 @@ object GraftTable {
   private def isStaged(c: Commit): Boolean =
     c.properties.get(wapStagedProp).contains("true")
 
+  /** The session's active WAP id FOR THIS TABLE: `spark.wap.id` is
+    * set and the table opted in via `write.wap.enabled`. Every SQL
+    * write path consults this — a set wap id must never silently
+    * bypass staging (it either stages or refuses loudly). */
+  def activeWapId(spark: SparkSession, root: String): Option[String] =
+    spark.conf.getOption("spark.wap.id").map(_.trim).filter(_.nonEmpty)
+      .filter(_ => state(root).properties.get("write.wap.enabled").contains("true"))
+
   /** Stage an append under a WAP id: durable + auditable, invisible to
     * main until cherrypicked. No auto-compact (maintenance must not
     * commit against a staged base). */

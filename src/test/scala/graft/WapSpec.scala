@@ -140,6 +140,37 @@ class WapSpec extends SparkSpec {
       s"stale-victim publish must refuse, got: ${e.getMessage}")
   }
 
+  test("a set spark.wap.id never silently bypasses staging in SQL") {
+    val r = freshTable("t9")
+    spark.sql("INSERT INTO graft.wap.t9 SELECT id, 'x' FROM range(20)")
+    spark.conf.set("spark.wap.id", "sql_wap")
+    try {
+      // DELETE FROM stages (CoW): main intact until publish
+      spark.sql("DELETE FROM graft.wap.t9 WHERE id < 5")
+      assert(spark.table("graft.wap.t9").count() == 20L,
+        "DELETE under wap.id must stage, not commit live")
+      val stagedId = GraftTable.latestSnapshotId(r)
+      assert(GraftTable.read(spark, r, Some(stagedId)).count() == 15L)
+      GraftTable.cherrypickSnapshot(r, stagedId)
+      assert(spark.table("graft.wap.t9").count() == 15L)
+      // shapes that cannot stage refuse loudly instead of bypassing
+      Seq((1L, "y")).toDF("id", "v").createOrReplaceTempView("wap_src")
+      val eu = intercept[Exception](
+        spark.sql("UPDATE graft.wap.t9 SET v = 'z' WHERE id = 7"))
+      assert(eu.getMessage.contains("wap"), s"got: ${eu.getMessage}")
+      val em = intercept[Exception](
+        spark.sql("""MERGE INTO graft.wap.t9 AS t USING wap_src AS s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+      assert(em.getMessage.contains("wap"), s"got: ${em.getMessage}")
+      // a table that did NOT opt in ignores wap.id (Iceberg semantics)
+      spark.sql("DROP TABLE IF EXISTS graft.wap.plain")
+      spark.sql("CREATE TABLE graft.wap.plain (id BIGINT)")
+      spark.sql("INSERT INTO graft.wap.plain SELECT id FROM range(3)")
+      assert(spark.table("graft.wap.plain").count() == 3L,
+        "a non-opted-in table must write live under wap.id")
+    } finally spark.conf.unset("spark.wap.id")
+  }
+
   test("cherrypick refuses when an equality delete landed after the stage") {
     val r = freshTable("t6")
     spark.sql("INSERT INTO graft.wap.t6 VALUES (1, 'base'), (2, 'base')")
