@@ -44,6 +44,10 @@ object GraftBroadcastHints extends Rule[LogicalPlan] {
           if (st.sizeInBytes.isPresent) Some(st.sizeInBytes.getAsLong) else None
         case _ => None
       }
+      // the native batch scan exposes its post-pruning manifest size to
+      // THIS rule only (not SupportsReportStatistics — see its scaladoc:
+      // honest V2 stats would let Spark broadcast an exploded side)
+      case b: GraftBatchScan => Some(b.estimatedSizeBytes)
       case _ => None
     }
     // only walk through row-preserving / row-reducing nodes: a

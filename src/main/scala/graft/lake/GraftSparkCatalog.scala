@@ -592,7 +592,35 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
       }
       override def isPartiallyPushed: Boolean = true
 
-      override def build(): Scan = if (countStarAggs > 0) buildCountScan() else buildDataScan()
+      override def build(): Scan =
+        if (countStarAggs > 0) buildCountScan()
+        else buildNativeScan().getOrElse(buildDataScan())
+
+      /** The native columnar Batch path (GraftBatchScan) when the
+        * snapshot is eligible: same pruning, same vectorized parquet
+        * reader, but no Row bridge — plus runtime (DPP) file pruning
+        * and storage-partitioned joins, which the V1 wrapper
+        * structurally cannot surface. `spark.graft.native-scan.enabled`
+        * = false is the session kill switch back to the V1 plane. */
+      private def buildNativeScan(): Option[Scan] = {
+        if (!spark.conf.get("spark.graft.native-scan.enabled", "true").toBoolean)
+          return None
+        val full = schema()
+        val types = full.fields.map(f => f.name -> f.dataType).toMap
+        val preds = pushed.flatMap(GraftRelation.toPred(_, types)).toIndexedSeq
+        GraftTable.planNativeScan(spark, root, preds, asOf).map { np =>
+          // a pushed LIMIT on an unfiltered scan: read just enough
+          // files to cover n rows (the native twin of readFirstFiles)
+          val entries = limit match {
+            case Some(n) if pushed.isEmpty =>
+              var cum = 0L
+              np.entries.takeWhile { f => val need = cum < n; cum += f.records; need }
+            case _ => np.entries
+          }
+          new GraftBatchScan(spark, fqName, root,
+            np.copy(entries = entries), required.getOrElse(np.schema), pushed)
+        }
+      }
 
       private def buildCountScan(): Scan = new V1Scan {
         private val countSchema = StructType((0 until countStarAggs).map(i =>
@@ -740,25 +768,30 @@ private[graft] object GraftRelation {
     * IN list prunes as its conservative [min, max] value range (the
     * everyday `k IN (...)` lookup must not scan the table at 100 TB),
     * and BOTH sides of a conjunction contribute. */
+  /** External filter value → the stats-text rendering pruning compares
+    * against (shared by pushed-filter translation and the native
+    * scan's runtime DPP prune). None for null or unrenderable. */
+  private[lake] def renderValue(v: Any): Option[String] = v match {
+    case null => None
+    case d: java.sql.Date => Some(d.toString)
+    case d: java.time.LocalDate => Some(d.toString)
+    case t: java.sql.Timestamp =>
+      Some((t.getTime * 1000L + t.getNanos / 1000 % 1000).toString)
+    case t: java.time.Instant =>
+      Some((t.getEpochSecond * 1000000L + t.getNano / 1000).toString)
+    case t: java.time.LocalDateTime =>
+      Some((t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000).toString)
+    case x @ (_: Int | _: Long | _: Double | _: Float | _: Short | _: Byte | _: String) =>
+      Some(x.toString)
+    // decimal text prunes partition tuples only (cmp orders it via
+    // BigDecimal); footer stats never carry decimals (statsTypes)
+    case d: java.math.BigDecimal => Some(d.toString)
+    case d: scala.math.BigDecimal => Some(d.toString)
+    case _ => None
+  }
+
   def toPred(f: Filter, types: Map[String, DataType]): Seq[Pred] = {
-    def render(v: Any): Option[String] = v match {
-      case null => None
-      case d: java.sql.Date => Some(d.toString)
-      case d: java.time.LocalDate => Some(d.toString)
-      case t: java.sql.Timestamp =>
-        Some((t.getTime * 1000L + t.getNanos / 1000 % 1000).toString)
-      case t: java.time.Instant =>
-        Some((t.getEpochSecond * 1000000L + t.getNano / 1000).toString)
-      case t: java.time.LocalDateTime =>
-        Some((t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000).toString)
-      case x @ (_: Int | _: Long | _: Double | _: Float | _: Short | _: Byte | _: String) =>
-        Some(x.toString)
-      // decimal text prunes partition tuples only (cmp orders it via
-      // BigDecimal); footer stats never carry decimals (statsTypes)
-      case d: java.math.BigDecimal => Some(d.toString)
-      case d: scala.math.BigDecimal => Some(d.toString)
-      case _ => None
-    }
+    def render(v: Any): Option[String] = renderValue(v)
     def mk(attr: String, v: Any, ctor: (String, String) => Pred): Seq[Pred] =
       if (types.contains(attr)) render(v).map(ctor(attr, _)).toSeq else Seq.empty
     f match {

@@ -4544,4 +4544,108 @@ object GraftTable {
       target.files.filter(f => !currentPaths.contains(f.path)),
       (currentPaths -- targetPaths).toSeq.sorted)
   }
+
+  // ── native DSv2 batch-scan planning ─────────────────────────────────
+
+  /** Hive's null-partition sentinel, exposed for the native scan's
+    * partition-key decoding (SPJ keys render null tuples back to a
+    * null key value). */
+  private[lake] val nullPartitionSentinel: String = nullPart
+
+  /** Everything GraftBatchScan needs from one planning pass: the
+    * snapshot's logical schema, the data files surviving partition +
+    * stats pruning on the pushed predicates, and the spec history for
+    * per-file partition dispatch. `distributedPlanned` records which
+    * plane produced the entries (checkpoint-plane survivors carry NO
+    * stats maps — runtime filters there prune by partition tuple only,
+    * which mayMatch's empty-stats conservatism makes automatic). */
+  private[lake] case class NativePlan(schema: StructType,
+      entries: Seq[FileEntry], specs: IndexedSeq[Seq[PTransform]],
+      currentSpecId: Int, distributedPlanned: Boolean)
+
+  /** Plan a scan for the native (DSv2 Batch / columnar) read path, or
+    * None when the snapshot needs read-time semantics only the
+    * DataFrame plane provides — live MoR delete files (anti-joins) or
+    * rename coalescing (physical→logical projection). Widened types
+    * and ADD-COLUMN null-fill stay native: both planes hand the SAME
+    * explicit read schema to the same vectorized parquet reader.
+    *
+    * Below the planning threshold the driver's entry list prunes
+    * exactly as scan() does; above it the prune runs as ONE Spark job
+    * over the checkpoint parquet and only survivors (path, size,
+    * records, partition, specId — no stats maps) reach the driver,
+    * the same discipline as planScan. A live delete file discovered by
+    * that job falls back (returns None) — the V1 plane re-plans, so
+    * MoR-heavy tables above threshold pay one extra metadata job. */
+  private[lake] def planNativeScan(spark: SparkSession, root: String,
+      preds: Seq[Pred], asOf: Option[Long]): Option[NativePlan] = {
+    val ids = listCommitIds(root)
+    if (ids.isEmpty) return None
+    val target = asOf.getOrElse(ids.max)
+    if (!ids.contains(target)) return None   // V1 plane raises the loud error
+    ckptTail(root, target).filterNot(_.belowThreshold) match {
+      case Some(ct) =>
+        val schema = DataType.fromJson(ct.schemaJson.get).asInstanceOf[StructType]
+        if (hasRenames(schema) || ct.tailAdds.exists(_.isDelete)) return None
+        val types = schema.fields.map(f => f.name -> f.dataType).toMap
+        val specs = specHistory(ct.props)
+        val aliases = statAliases(schema)
+        val keepCond = preds.map(predCond(types, specs, _, aliases))
+          .foldLeft(lit(true))(_ && _)
+        val rows = ckptSurvivorsDf(spark, root, ct)
+          .filter(col("content") =!= 0 || keepCond)
+          .select(col("path"), col("sizeBytes"), col("records"),
+            col("content"), col("partition"), col("specId"))
+          .collect()
+        if (rows.exists(_.getInt(3) != 0)) return None   // live MoR deletes
+        val ckEntries = rows.map { r =>
+          val part = Option(r.getAs[scala.collection.Map[String, String]]("partition"))
+            .map(_.toMap).filter(_.nonEmpty)
+          val spec = Option.when(!r.isNullAt(5))(r.getInt(5))
+          FileEntry(r.getString(0), r.getLong(1), r.getLong(2),
+            Map.empty, part, None, None, spec)
+        }.toSeq
+        val tailLive = prunedData(types, specs, preds, ct.tailAdds, aliases)
+        Some(NativePlan(schema, ckEntries ++ tailLive, specs,
+          specs.size - 1, distributedPlanned = true))
+      case None =>
+        val snap = state(root, asOf)
+        if (snap.files.exists(_.isDelete)) return None
+        val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+          state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+        if (hasRenames(schema)) return None
+        val types = schema.fields.map(f => f.name -> f.dataType).toMap
+        val specs = specHistory(snap.properties)
+        val entries = prunedData(types, specs, preds,
+          snap.files.filter(_.isData), statAliases(schema))
+        Some(NativePlan(schema, entries, specs,
+          specs.size - 1, distributedPlanned = false))
+    }
+  }
+
+  /** Re-prune `entries` under a runtime (DPP) equality filter: a file
+    * survives when ANY of the join-key values could live in it, per
+    * the SAME per-value partition + stats checks the planners use. A
+    * null value matches no row of an equi-join and is dropped; a value
+    * the stats text cannot render disables the prune entirely (keep
+    * everything — runtime filters are an optimization, never a
+    * correctness gate; Spark re-applies the join regardless). */
+  private[lake] def runtimePruneEntries(schema: StructType,
+      specs: IndexedSeq[Seq[PTransform]], entries: Seq[FileEntry],
+      attr: String, values: Seq[Any]): Seq[FileEntry] = {
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    if (!types.contains(attr)) return entries
+    val aliases = statAliases(schema)
+    val rendered = values.map(v => v -> GraftRelation.renderValue(v))
+    if (rendered.exists { case (v, r) => v != null && r.isEmpty }) return entries
+    val vs = rendered.flatMap(_._2)
+    if (vs.isEmpty) return Seq.empty   // only-null join keys: nothing matches
+    entries.filter { f =>
+      vs.exists { v =>
+        val p = Seq(Eq(attr, v))
+        mayMatchPartition(types, specForFile(specs, f), p)(f) &&
+          mayMatch(types, p, aliases)(f)
+      }
+    }
+  }
 }

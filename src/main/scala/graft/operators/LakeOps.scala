@@ -455,7 +455,75 @@ object LakeOps {
     GraftTable.read(s, root).orderBy(col("c_custkey"))
   }
 
+  // ── q69: runtime (DPP) file pruning through the native scan ─────────
+  /** The native DSv2 batch path under the gate: a lake fact table
+    * partitioned by identity(o_orderpriority) joined to a tiny dim
+    * whose filter selects 2 of the 5 priorities. The join key values
+    * are only known at EXECUTION time — Spark's dynamic partition
+    * pruning hands them to GraftBatchScan.filter, which re-prunes the
+    * file list before any parquet is read. The requires pin that (a)
+    * the plan used the native scan with a runtime-pruning subquery and
+    * (b) execution actually dropped non-matching partitions' files.
+    * The rows themselves are a plain join — fully oracle-checked. */
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch("q69-wh")
+    Files.createDirectories(Paths.get(wh))
+    s.conf.set("spark.sql.catalog.graft_dpp", "graft.lake.GraftSparkCatalog")
+    s.conf.set("spark.sql.catalog.graft_dpp.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_dpp.lab")
+    s.sql("DROP TABLE IF EXISTS graft_dpp.lab.fact")
+    s.sql("DROP TABLE IF EXISTS graft_dpp.lab.dim")
+    s.sql("""CREATE TABLE graft_dpp.lab.fact
+      (o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)
+      PARTITIONED BY (o_orderpriority)""")
+    s.sql("CREATE TABLE graft_dpp.lab.dim (o_orderpriority STRING, tag STRING)")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .createOrReplaceTempView("q69_src")
+    s.sql("INSERT INTO graft_dpp.lab.fact SELECT * FROM q69_src")
+    s.sql("""INSERT INTO graft_dpp.lab.dim VALUES
+      ('1-URGENT', 'keep'), ('2-HIGH', 'keep'), ('4-NOT SPECIFIED', 'drop')""")
+    val useStats = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val prev = s.conf.getOption(useStats)
+    s.conf.set(useStats, "false")
+    try {
+      // BROADCAST hint: without it the sizeless V2 dim plans as a
+      // sort-merge join and AQE's adaptive DPP cannot reuse the
+      // broadcast it later creates (canonical mismatch through the
+      // inserted shuffle stage) — the runtime filter degrades to
+      // `true`. In a GraftSession the GraftBroadcastHints rule fills
+      // this hint automatically from the manifest size.
+      val q = s.sql("""SELECT /*+ BROADCAST(d) */
+          f.o_orderkey, f.o_orderpriority, f.o_totalprice
+        FROM graft_dpp.lab.fact f JOIN graft_dpp.lab.dim d
+          ON f.o_orderpriority = d.o_orderpriority
+        WHERE d.tag = 'keep'
+        ORDER BY o_orderkey""")
+      val sc = q.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            if r.scan.isInstanceOf[graft.lake.GraftBatchScan] &&
+              r.scan.asInstanceOf[graft.lake.GraftBatchScan].plannedFileCount > 3 =>
+          r.scan.asInstanceOf[graft.lake.GraftBatchScan]
+      }.getOrElse(throw new IllegalStateException(
+        "the fact side must plan through the native GraftBatchScan"))
+      require(q.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode).contains("dynamicpruning"),
+        "the plan must carry a runtime-pruning subquery on the fact scan")
+      // execute THIS QueryExecution (count()/write would plan a NEW
+      // scan instance, and the captured one would never run)
+      q.queryExecution.toRdd.count()
+      require(sc.liveFileCount < sc.plannedFileCount,
+        s"runtime filter must drop non-matching partitions' files " +
+          s"(kept ${sc.liveFileCount} of ${sc.plannedFileCount})")
+      q
+    } finally prev match {
+      case Some(v) => s.conf.set(useStats, v)
+      case None => s.conf.unset(useStats)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_lake_dpp" -> q69 _,
     "q67_lake_wap" -> q67 _,
     "q65_lake_spec_evolve" -> q65 _,
     "q66_lake_write_ordered" -> q66 _,
@@ -473,6 +541,11 @@ object LakeOps {
     "q29_lake_partition_prune" -> q29 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q69_lake_dpp" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q67_lake_wap" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer

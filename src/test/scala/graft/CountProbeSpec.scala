@@ -33,7 +33,16 @@ class CountProbeSpec extends SparkSpec {
       spark.sql(s"INSERT INTO graft.p.lim SELECT id + ${i * 1000} FROM range(1000)"))
     val df = spark.sql("SELECT * FROM graft.p.lim LIMIT 10")
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
-    assert(p.contains("PushedLimit"), s"limit must push into the scan:\n$p")
+    // native batch plane: the scan's planned file set is the subset
+    // covering 10 rows (1 of the 4 files); V1 plane: PushedLimit
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val subset = df.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation
+          if r.scan.isInstanceOf[graft.lake.GraftBatchScan] =>
+        r.scan.asInstanceOf[graft.lake.GraftBatchScan].plannedFileCount
+    }
+    assert(subset.exists(_ < 4) || p.contains("PushedLimit"),
+      s"limit must push into the scan (planned $subset files):\n$p")
     assert(df.count() == 10)
     // full reads are unaffected
     assert(spark.sql("SELECT COUNT(*) FROM graft.p.lim").head().getLong(0) == 4000L)

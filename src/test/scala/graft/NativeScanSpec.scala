@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+
+import graft.lake.{GraftBatchScan, GraftTable}
+import graft.sources.Tables
+
+/** The native DSv2 batch read path: columnar scans (no Row bridge),
+  * parity with the V1 plane, fallback on MoR/rename snapshots, runtime
+  * (DPP) file pruning, and storage-partitioned joins. */
+class NativeScanSpec extends SparkSpec {
+
+  private val wh = SparkSpec.sqlWarehouse
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    import scala.jdk.CollectionConverters._
+    Seq("nsc").foreach { ns =>
+      val p = java.nio.file.Paths.get(wh, ns)
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try s.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally s.close()
+      }
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsc")
+  }
+
+  private def nativeScanOf(df: DataFrame): Option[GraftBatchScan] =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation if r.scan.isInstanceOf[GraftBatchScan] =>
+        r.scan.asInstanceOf[GraftBatchScan]
+    }
+
+  test("eligible snapshots read through the native columnar batch scan") {
+    spark.sql("""CREATE TABLE graft.nsc.cust (c_custkey BIGINT, c_name STRING,
+      |c_acctbal DOUBLE, c_nationkey BIGINT)""".stripMargin)
+    Tables.customer(spark, sf)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      .createOrReplaceTempView("cust_src")
+    spark.sql("INSERT INTO graft.nsc.cust SELECT * FROM cust_src")
+
+    val q = spark.sql(
+      "SELECT c_custkey, c_acctbal FROM graft.nsc.cust WHERE c_acctbal > 0")
+    assert(nativeScanOf(q).isDefined, "eligible table must plan native")
+    val p = plan(q)
+    assert(p.contains("GraftBatchScan"), s"expected native scan in plan:\n$p")
+    // parity with the V1 plane (kill switch) — identical rows
+    val native = q.collect().toSeq.sortBy(_.getLong(0))
+    spark.conf.set("spark.graft.native-scan.enabled", "false")
+    try {
+      val q2 = spark.sql(
+        "SELECT c_custkey, c_acctbal FROM graft.nsc.cust WHERE c_acctbal > 0")
+      assert(nativeScanOf(q2).isEmpty)
+      assert(q2.collect().toSeq.sortBy(_.getLong(0)) == native)
+      assert(native.size == Tables.customer(spark, sf)
+        .filter(col("c_acctbal") > 0).count())
+    } finally spark.conf.unset("spark.graft.native-scan.enabled")
+  }
+
+  test("native scan is columnar (vectorized) and prunes columns + files") {
+    val q = spark.sql(
+      "SELECT c_name FROM graft.nsc.cust WHERE c_custkey = 7")
+    val sc = nativeScanOf(q)
+    assert(sc.isDefined)
+    // stats pruning on the pushed c_custkey = 7 happened at plan time
+    assert(sc.get.plannedFileCount <= 1)
+    assert(sc.get.readSchema().fieldNames.toSet == Set("c_name", "c_custkey"))
+    val p = plan(q)
+    assert(p.contains("ColumnarToRow") || p.contains("Columnar"),
+      s"native scan should feed columnar batches:\n$p")
+    assert(q.collect().map(_.getString(0)).toSeq ==
+      Tables.customer(spark, sf).filter(col("c_custkey") === 7)
+        .select("c_name").collect().map(_.getString(0)).toSeq)
+  }
+
+  test("ADD COLUMN null-fill and time travel stay native; MoR deletes and renames fall back") {
+    spark.sql("CREATE TABLE graft.nsc.evo (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.nsc.evo VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE graft.nsc.evo ADD COLUMN extra DOUBLE")
+    spark.sql("INSERT INTO graft.nsc.evo VALUES (3, 'c', 1.5)")
+    val q = spark.sql("SELECT id, v, extra FROM graft.nsc.evo ORDER BY id")
+    assert(nativeScanOf(q).isDefined, "missing-column null-fill is native")
+    assert(q.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.get(2)))).toSeq ==
+      Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(1.5))))
+
+    // time travel: VERSION AS OF the pre-ADD snapshot (create=0,
+    // insert=1; the ALTER is commit 2), still native
+    val v1 = spark.sql("SELECT * FROM graft.nsc.evo VERSION AS OF 1")
+    assert(nativeScanOf(v1).isDefined)
+    assert(v1.columns.toSeq == Seq("id", "v") && v1.count() == 2)
+
+    // a rename forces the coalescing V1 plane
+    spark.sql("ALTER TABLE graft.nsc.evo RENAME COLUMN v TO label")
+    val renamed = spark.sql("SELECT id, label FROM graft.nsc.evo ORDER BY id")
+    assert(nativeScanOf(renamed).isEmpty, "renames need the V1 coalesce plane")
+    assert(renamed.collect().map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+
+    // a MoR position delete forces the anti-join V1 plane
+    spark.sql("""CREATE TABLE graft.nsc.mor (id BIGINT, v STRING)
+      |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.nsc.mor VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("DELETE FROM graft.nsc.mor WHERE id = 2")
+    val mor = spark.sql("SELECT id FROM graft.nsc.mor ORDER BY id")
+    assert(nativeScanOf(mor).isEmpty, "live MoR deletes need the V1 plane")
+    assert(mor.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("runtime (DPP) filtering prunes partition files at execution time") {
+    spark.sql("""CREATE TABLE graft.nsc.sales (day_k BIGINT, amount DOUBLE)
+      |PARTITIONED BY (day_k)""".stripMargin)
+    import spark.implicits._
+    (0L until 8L).map(d => (d, d * 10.0)).toDF("day_k", "amount")
+      .repartition(1).createOrReplaceTempView("sales_src")
+    spark.sql("INSERT INTO graft.nsc.sales SELECT * FROM sales_src")
+    spark.sql("CREATE TABLE graft.nsc.dim (day_k BIGINT, tag STRING)")
+    spark.sql("INSERT INTO graft.nsc.dim VALUES (1, 'keep'), (2, 'keep'), (5, 'drop')")
+
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val q = spark.sql("""SELECT s.day_k, s.amount, d.tag
+        |FROM graft.nsc.sales s JOIN graft.nsc.dim d ON s.day_k = d.day_k
+        |WHERE d.tag = 'keep'""".stripMargin)
+      val sc = nativeScanOf(q)
+      assert(sc.isDefined)
+      val planText = plan(q)
+      assert(planText.contains("dynamicpruning"),
+        s"expected a runtime pruning subquery:\n$planText")
+      val rows = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+      assert(rows == Seq((1L, 10.0), (2L, 20.0)))
+      // 8 single-day files planned; the runtime filter kept only day 1+2
+      assert(sc.get.plannedFileCount == 8, s"planned ${sc.get.plannedFileCount}")
+      assert(sc.get.liveFileCount == 2,
+        s"runtime filter should keep 2 of 8 files, kept ${sc.get.liveFileCount}")
+    } finally
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+  }
+
+  test("storage-partitioned join: co-partitioned graft tables join with no shuffle") {
+    spark.sql("""CREATE TABLE graft.nsc.spj_a (k BIGINT, a DOUBLE)
+      |PARTITIONED BY (k)""".stripMargin)
+    spark.sql("""CREATE TABLE graft.nsc.spj_b (k BIGINT, b STRING)
+      |PARTITIONED BY (k)""".stripMargin)
+    import spark.implicits._
+    (0L until 6L).flatMap(k => Seq.fill(4)((k, k * 1.0))).toDF("k", "a")
+      .createOrReplaceTempView("spj_a_src")
+    (0L until 6L).map(k => (k, s"t$k")).toDF("k", "b")
+      .createOrReplaceTempView("spj_b_src")
+    spark.sql("INSERT INTO graft.nsc.spj_a SELECT * FROM spj_a_src")
+    spark.sql("INSERT INTO graft.nsc.spj_b SELECT * FROM spj_b_src")
+
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = spark.sql("""SELECT a.k, a.a, b.b
+        |FROM graft.nsc.spj_a a JOIN graft.nsc.spj_b b ON a.k = b.k""".stripMargin)
+      val sc = nativeScanOf(q)
+      assert(sc.isDefined && sc.get.keyGrouped, "scan should be key-grouped")
+      val rows = q.collect()
+      assert(rows.length == 24)
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"storage-partitioned join must not shuffle either side:\n$p")
+      // parity under the kill switch (shuffled join, same rows)
+      spark.conf.set("spark.graft.native-scan.enabled", "false")
+      val q2 = spark.sql("""SELECT a.k, a.a, b.b
+        |FROM graft.nsc.spj_a a JOIN graft.nsc.spj_b b ON a.k = b.k""".stripMargin)
+      assert(q2.collect().map(_.toString).sorted.toSeq ==
+        rows.map(_.toString).sorted.toSeq)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.graft.native-scan.enabled")
+    }
+  }
+
+  test("native LIMIT pushdown reads a file subset; aggregates still answered from metadata") {
+    // 3 insert commits = 3 files; LIMIT 2 needs only the first file
+    spark.sql("CREATE TABLE graft.nsc.lim (id BIGINT)")
+    (0 until 3).foreach(i =>
+      spark.sql(s"INSERT INTO graft.nsc.lim VALUES (${i * 2}), (${i * 2 + 1})"))
+    val totalFiles = GraftTable.state(s"$wh/nsc/lim").files.count(_.isData)
+    val q = spark.sql("SELECT id FROM graft.nsc.lim LIMIT 2")
+    val sc = nativeScanOf(q)
+    assert(sc.isDefined && sc.get.plannedFileCount <= 2 &&
+      sc.get.plannedFileCount < totalFiles,
+      s"LIMIT 2 should read a file subset, planned ${sc.map(_.plannedFileCount)} of $totalFiles")
+    assert(q.collect().length == 2)
+    // COUNT(*) keeps the metadata-only path (no batch scan at all)
+    val c = spark.sql("SELECT COUNT(*) AS n FROM graft.nsc.lim")
+    assert(nativeScanOf(c).isEmpty)
+    assert(c.head().getLong(0) == 6L)
+  }
+}

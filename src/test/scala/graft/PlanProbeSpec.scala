@@ -15,7 +15,14 @@ class PlanProbeSpec extends SparkSpec {
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
     assert(p.contains("GreaterThan(id,500)"),
       s"filter must be pushed into the scan:\n$p")
-    assert(p.contains("ReadSchema: struct<id:bigint>"),
+    // native batch plane: the scan's readSchema is pruned to `id`
+    // (and shows as the output attribute list); V1 plane: ReadSchema
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val pruned = df.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation =>
+        r.scan.readSchema().fieldNames.toSeq == Seq("id")
+    }
+    assert(pruned.contains(true) || p.contains("ReadSchema: struct<id:bigint>"),
       s"projection must prune the read schema to the selected column:\n$p")
     assert(df.count() == 499)
   }
