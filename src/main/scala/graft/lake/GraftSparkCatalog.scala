@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** The SQL front door as a real DataSource-v2 catalog — the reference's
@@ -43,7 +43,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * protocol (snapshot isolation, conflict detection) is unchanged.
   */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog {
+    with StagingTableCatalog with FunctionCatalog {
+
+  // ── functions ───────────────────────────────────────────────────────
+  // The partition transforms as catalog-loadable V2 functions. Spark's
+  // storage-partitioned-join planner proves two scans hash identically
+  // by resolving each side's transform through ITS table's
+  // FunctionCatalog and comparing the bound functions' canonical names
+  // — identity needs no function, but bucket(n, col) does.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    ident.name match {
+      case "bucket" => GraftBucketFunction
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
 
   private var catalogName: String = "graft"
   private var warehouse: String = _
@@ -396,6 +413,59 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   private def activeSpark: SparkSession =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .getOrElse(throw new IllegalStateException("no active SparkSession"))
+}
+
+/** The graft `bucket(n, col)` partition transform as a V2 function —
+  * the computation is transformCol's write-time rendering exactly:
+  * `crc32(CAST(col AS STRING)) pmod n` (GraftTable.scala transformCol;
+  * transformLit is the driver-side twin). Storage-partitioned joins
+  * over bucket-partitioned tables hang off this: both scans resolve
+  * `bucket` here and Spark matches the bound canonical names. The
+  * canonical name carries the input type — equal values of different
+  * types render to the same text, but cross-type joins change cast
+  * semantics, so only same-type sides co-partition. */
+private[graft] object GraftBucketFunction extends functions.UnboundFunction {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n INT, col): crc32(CAST(col AS STRING)) pmod n — graft's partition transform"
+
+  override def bind(inputType: StructType): functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket takes (n INT, col); got $inputType")
+    val colType = inputType.fields(1).dataType
+    colType match {
+      case IntegerType | LongType | ShortType | ByteType | StringType |
+           org.apache.spark.sql.types.DateType => ()
+      case other => throw new UnsupportedOperationException(
+        s"graft bucket binds over int/long/short/byte/string/date columns, got $other")
+    }
+    new functions.ScalarFunction[java.lang.Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, colType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = s"graft.bucket($colType)"
+      override def isResultNullable: Boolean = true   // null key → null bucket
+      override def produceResult(input: InternalRow): java.lang.Integer = {
+        if (input.isNullAt(0) || input.isNullAt(1)) return null
+        val n = input.getInt(0)
+        val rendered = colType match {
+          case IntegerType => input.getInt(1).toString
+          case LongType => input.getLong(1).toString
+          case ShortType => input.getShort(1).toString
+          case ByteType => input.getByte(1).toString
+          case StringType => input.getUTF8String(1).toString
+          case org.apache.spark.sql.types.DateType =>
+            java.time.LocalDate.ofEpochDay(input.getInt(1).toLong).toString
+          case other => throw new IllegalStateException(s"bind() gated $other out")
+        }
+        val crc = new java.util.zip.CRC32()
+        crc.update(rendered.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Int.box((crc.getValue % n).toInt)   // crc32 ∈ [0, 2^32): pmod is plain mod
+      }
+    }
+  }
 }
 
 /** A staged (not-yet-visible) GraftTable for atomic CTAS/RTAS: the

@@ -465,7 +465,35 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  // ── §2.3 TF-IDF keyword extraction (top terms per document) ─────────
+  /** Per-document top-3 terms ranked by the TF-IDF ORDER (tf DESC,
+    * df ASC, term ASC) — the classic keyword-extraction signal with
+    * the float actually factored out: for a FIXED corpus, idf is a
+    * strictly decreasing function of df, so ranking by (tf, −df) is
+    * ranking by (tf, idf) without computing a single logarithm, and
+    * every emitted column is an exact integer both engines agree on
+    * bit-for-bit. 100 TB shape: one shuffle for per-doc term counts,
+    * one (much smaller, vocabulary-sized) for document frequencies, a
+    * vocabulary join, and a per-doc window — no all-pairs anything. */
+  def q70(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("term"))
+      .filter(length(col("term")) >= 4)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("term").asc)).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_text_tfidf" -> q70 _,
     "q61_decontam_bloom" -> q61 _,
     "q60_text_chunk" -> q60 _,
     "q58_text_pii" -> q58 _,
@@ -489,6 +517,22 @@ object TextOps {
     s"CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(${listSql(stopwords.toMap.apply(l))}, t))) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "q70_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  WHERE LEN(term) >= 4 GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |r AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rnk
+        |  FROM tf JOIN dfreq USING (term))
+        |SELECT doc_id, rnk, term, tf, df FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+
     "q60_text_chunk" ->
       """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
         |    LEN(STRING_SPLIT(text, ' ')) AS n FROM documents),

@@ -178,6 +178,75 @@ class NativeScanSpec extends SparkSpec {
     }
   }
 
+  test("storage-partitioned join over BUCKET-partitioned tables (FunctionCatalog-resolved)") {
+    spark.sql("""CREATE TABLE graft.nsc.bkt_a (k BIGINT, a DOUBLE)
+      |PARTITIONED BY (bucket(3, k))""".stripMargin)
+    spark.sql("""CREATE TABLE graft.nsc.bkt_b (k BIGINT, b STRING)
+      |PARTITIONED BY (bucket(3, k))""".stripMargin)
+    import spark.implicits._
+    (0L until 30L).map(k => (k, k * 1.0)).toDF("k", "a")
+      .createOrReplaceTempView("bkt_a_src")
+    (0L until 30L).map(k => (k, s"t$k")).toDF("k", "b")
+      .createOrReplaceTempView("bkt_b_src")
+    spark.sql("INSERT INTO graft.nsc.bkt_a SELECT * FROM bkt_a_src")
+    spark.sql("INSERT INTO graft.nsc.bkt_b SELECT * FROM bkt_b_src")
+
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = spark.sql("""SELECT a.k, a.a, b.b
+        |FROM graft.nsc.bkt_a a JOIN graft.nsc.bkt_b b ON a.k = b.k""".stripMargin)
+      val sc = nativeScanOf(q)
+      assert(sc.isDefined && sc.get.keyGrouped, "bucketed scan should be key-grouped")
+      val rows = q.collect()
+      assert(rows.length == 30)
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucket SPJ must not shuffle either side:\n$p")
+      // parity under the kill switch
+      spark.conf.set("spark.graft.native-scan.enabled", "false")
+      val q2 = spark.sql("""SELECT a.k, a.a, b.b
+        |FROM graft.nsc.bkt_a a JOIN graft.nsc.bkt_b b ON a.k = b.k""".stripMargin)
+      assert(q2.collect().map(_.toString).sorted.toSeq ==
+        rows.map(_.toString).sorted.toSeq)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.graft.native-scan.enabled")
+    }
+  }
+
+  test("the catalog's bucket function matches the write-side transform exactly") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val bound = graft.lake.GraftBucketFunction.bind(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.LongType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    // write-side rendering: pmod(crc32(cast(col as string)), n)
+    import spark.implicits._
+    val expected = Seq(17L, 0L, 999999L, -5L).toDF("c")
+      .selectExpr("pmod(crc32(cast(c as string)), 3) AS b")
+      .collect().map(_.getLong(0).toInt).toSeq
+    val got = Seq(17L, 0L, 999999L, -5L).map(v =>
+      bound.produceResult(InternalRow(3, v)).toInt)
+    assert(got == expected, s"function/write-transform mismatch: $got vs $expected")
+    assert(bound.produceResult(InternalRow(3, null)) == null)
+    // string flavor agrees too
+    val bs = graft.lake.GraftBucketFunction.bind(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.StringType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    val expS = Seq("a", "BUILDING", "").toDF("c")
+      .selectExpr("pmod(crc32(cast(c as string)), 4) AS b")
+      .collect().map(_.getLong(0).toInt).toSeq
+    val gotS = Seq("a", "BUILDING", "").map(v =>
+      bs.produceResult(InternalRow(4, UTF8String.fromString(v))).toInt)
+    assert(gotS == expS)
+  }
+
   test("native LIMIT pushdown reads a file subset; aggregates still answered from metadata") {
     // 3 insert commits = 3 files; LIMIT 2 needs only the first file
     spark.sql("CREATE TABLE graft.nsc.lim (id BIGINT)")
