@@ -1,0 +1,115 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+
+/** The CDC change feed as a Structured Streaming SOURCE — Delta's
+  * `readChangeFeed` / Iceberg's changelog-as-stream workflow
+  * (reference: the Iceberg runtime the guide's spark-defaults.conf
+  * loads serves the same feed through its changelog tables):
+  *
+  * {{{
+  *   spark.readStream.format("graft-cdc")
+  *     .option("path", tableRoot)
+  *     .option("startingSnapshotId", "0")   // default: head at start
+  *     .load()
+  * }}}
+  *
+  * Offsets ARE snapshot ids: each micro-batch serves
+  * `GraftTable.changes(prev, head]` — appends emit their added rows as
+  * `insert`, row-level ops emit `delete`/`insert` diffs of touched
+  * files only, maintenance commits emit nothing, staged (WAP) commits
+  * enter the feed only at their publishing cherrypick. Exactly-once
+  * falls out of the range semantics: the feed for (a, b] is a pure
+  * function of the log, and the engine checkpoints offsets.
+  *
+  * Loud-failure contract inherited from `changes`: a range crossing
+  * REPLACE TABLE or an expired commit throws mid-stream rather than
+  * serving a silently-partial feed — restart from a fresh
+  * startingSnapshotId after expiry, exactly like Delta CDF. */
+class GraftCdcStreamProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-cdc"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.get("path").orElse(parameters.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-cdc needs .option(\"path\", <table root>)"))
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    ("graft-cdc", GraftCdcStreamProvider.cdcSchema(rootOf(parameters)))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val root = rootOf(parameters)
+    val start = parameters.get("startingSnapshotId").map(_.toLong)
+      .getOrElse(GraftCdcStreamProvider.mainHead(root))
+    new GraftCdcSource(ctx, root, start)
+  }
+}
+
+private[lake] object GraftCdcStreamProvider {
+  /** End schema of the table + the three CDC columns (the same shape
+    * GraftTable.changes emits). */
+  def cdcSchema(root: String): StructType = {
+    val snap = GraftTable.state(root)
+    val base = DataType.fromJson(snap.schemaJson.getOrElse(
+      GraftTable.state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    base.add("_change_type", StringType)
+      .add("_commit_snapshot_id", LongType)
+      .add("_commit_timestamp_ms", LongType)
+  }
+
+  /** Latest published (non-staged) snapshot id — a staged WAP head
+    * must not become an offset bound that later re-serves its rows
+    * out of order once published. */
+  def mainHead(root: String): Long =
+    GraftTable.listCommitIds(root)
+      .filterNot(id => GraftTable.isStagedId(root, id)).max
+}
+
+/** One table's CDC feed as a V1 streaming Source: `getOffset` is the
+  * published log head, `getBatch(a, b]` delegates to the batch
+  * `changes` engine — per-commit cost scales with what each commit
+  * touched (SURVEY §5's CDC rule), never with table size. */
+private[lake] class GraftCdcSource(ctx: SQLContext, root: String,
+    startExclusive: Long) extends Source {
+
+  override val schema: StructType = GraftCdcStreamProvider.cdcSchema(root)
+
+  override def getOffset: Option[V1Offset] = {
+    val head = GraftCdcStreamProvider.mainHead(root)
+    if (head <= startExclusive) None else Some(LongOffset(head))
+  }
+
+  private def bound(o: V1Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json().toLong   // engine-restored SerializedOffset
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val from = start.map(bound).getOrElse(startExclusive)
+    val raw = GraftTable.changes(ctx.sparkSession, root, from, bound(end))
+    // conform to the schema PINNED at stream start: a column ADDED
+    // mid-stream stays out of the feed until a restart re-pins (the
+    // Delta-CDF contract); a pinned column the range no longer serves
+    // (dropped mid-stream) null-fills rather than failing the engine's
+    // schema assertion
+    val conformed = raw.select(schema.fields.toSeq.map { f =>
+      if (raw.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    // the engine asserts getBatch returns an isStreaming=true frame;
+    // only the internal constructor makes one
+    org.apache.spark.sql.GraftSqlShims.internalCreateStreamingDataFrame(
+      ctx.sparkSession, conformed.queryExecution.toRdd, schema)
+  }
+
+  override def stop(): Unit = ()
+}

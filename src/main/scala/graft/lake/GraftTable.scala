@@ -3383,6 +3383,17 @@ object GraftTable {
     * snapshot references them (and a retried append would deliver the
     * rows again from new files). Run `removeOrphanFiles` before
     * attaching a stream to a table that may hold crashed writes. */
+  /** The CDC change feed as a STREAM (provider "graft-cdc"): every
+    * published commit after `fromExclusive` (default: the log head at
+    * stream start) arrives as one micro-batch of `_change_type` rows —
+    * the streaming twin of `changes`, with its exactly-once and
+    * loud-failure semantics (see GraftCdcStreamProvider). */
+  def readStreamChanges(spark: SparkSession, root: String,
+      fromExclusive: Option[Long] = None): DataFrame = {
+    val r = spark.readStream.format("graft-cdc").option("path", root)
+    fromExclusive.fold(r)(id => r.option("startingSnapshotId", id.toString)).load()
+  }
+
   def readStreamAppendOnly(spark: SparkSession, root: String): DataFrame = {
     // pin the generation from the COMMITTED generationProp of the
     // same snapshot the schema comes from — atomic with the schema by

@@ -1,0 +1,18 @@
+package org.apache.spark.sql
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** The one `private[sql]` bridge graft needs: a V1 streaming Source's
+  * `getBatch` must return a DataFrame marked `isStreaming=true`
+  * (MicroBatchExecution asserts it), and no public API constructs one
+  * — Spark's own file stream source calls this same internal method.
+  * Nothing else may be added here; every other integration point goes
+  * through public connector APIs. */
+object GraftSqlShims {
+  def internalCreateStreamingDataFrame(spark: SparkSession,
+      rdd: RDD[InternalRow], schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+}
