@@ -492,7 +492,72 @@ object TextOps {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  // ── §2.3 BPE merge training (distributed, word-frequency space) ─────
+  /** Byte-pair-encoding merge learning (Sennrich et al. 2016, public
+    * paper) the way production tokenizer trainers actually run it: the
+    * corpus collapses ONCE into a (word, count) frequency table — the
+    * only pass whose cost scales with corpus bytes — and every merge
+    * iteration runs over that vocabulary-sized table: explode adjacent
+    * symbol pairs weighted by word count, pick the max (ties broken
+    * lexicographically so the table is deterministic), then rewrite
+    * each word's symbol array with ONE left-to-right greedy fold (the
+    * `aggregate` higher-order function — codegen'd, no UDF). 100 TB:
+    * the corpus pass is one shuffle; iterations touch only the vocab
+    * table (millions of rows at web scale, never corpus-sized), and
+    * localCheckpoint per round keeps planning O(1) — the
+    * connected-components lesson (SURVEY §8). The driver sees one
+    * argmax row per round: metadata, not data. */
+  def bpeMerges(s: SparkSession, dir: String, nMerges: Int): Seq[(Long, String, String, Long)] = {
+    val words = Tables.documents(s, dir)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var vocab = words.select(split(col("w"), "").as("syms"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val top = vocab
+        // a fully-merged word has one symbol and no pairs — and
+        // sequence(1, 0) DESCENDS rather than emitting empty
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))")).as("p"),
+          col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("total"))
+        .orderBy(col("total").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < 2) done = true
+      else {
+        val (a, b, n) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((step.toLong, a, b, n))
+        // symbols are [a-z]+ concatenations — safe to inline in SQL text
+        vocab = vocab.withColumn("syms", expr(
+          s"aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> " +
+            s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$a' AND x = '$b' " +
+            s"THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b')) " +
+            s"ELSE concat(acc, array(x)) END)"))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The learned merge table as the gate artifact (rows-only: the
+    * training loop is iterative, not one SQL statement). */
+  def q71(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeMerges(s, dir, nMerges = 24)
+      .toDF("step", "left", "right", "pair_count")
+      .orderBy(col("step"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_text_bpe" -> q71 _,
     "q70_text_tfidf" -> q70 _,
     "q61_decontam_bloom" -> q61 _,
     "q60_text_chunk" -> q60 _,

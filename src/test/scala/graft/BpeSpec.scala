@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+import graft.sources.Tables
+
+/** Distributed BPE merge training cross-checked against an
+  * independent in-memory reference implementation (same algorithm,
+  * plain Scala collections, written from the paper — not from the
+  * Spark code), on the real sf corpus. */
+class BpeSpec extends SparkSpec {
+
+  private def applyMergeRef(syms: Vector[String], a: String, b: String): Vector[String] =
+    syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+      else acc :+ x
+    }
+
+  private def refBpe(wordCounts: Map[String, Long], n: Int): Seq[(Long, String, String, Long)] = {
+    var vocab: Vector[(Vector[String], Long)] =
+      wordCounts.toVector.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= n && !done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+          pc(p) = pc.getOrElse(p, 0L) + c
+        }
+      }
+      if (pc.isEmpty || pc.values.max < 2) done = true
+      else {
+        val ((a, b), cnt) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((step.toLong, a, b, cnt))
+        vocab = vocab.map { case (syms, c) => (applyMergeRef(syms, a, b), c) }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("distributed BPE merge table equals the in-memory reference on the sf corpus") {
+    val wordCounts: Map[String, Long] = Tables.documents(spark, sf)
+      .select("text").collect().iterator
+      .flatMap(r => "[a-z]+".r.findAllIn(r.getString(0).toLowerCase))
+      .filter(_.length >= 2)
+      .foldLeft(Map.empty[String, Long]) { (m, w) => m.updated(w, m.getOrElse(w, 0L) + 1L) }
+    val want = refBpe(wordCounts, 16)
+    val got = TextOps.bpeMerges(spark, sf, 16)
+    assert(got == want, s"merge tables diverge:\n got=$got\nwant=$want")
+    assert(got.size == 16, "sf corpus supports at least 16 merges")
+    // merge counts are non-increasing only per pair lifetime, but the
+    // table must be strictly deterministic: re-running reproduces it
+    assert(TextOps.bpeMerges(spark, sf, 16) == got)
+  }
+
+  test("the greedy fold merges left-to-right without double-consuming symbols") {
+    import spark.implicits._
+    def fold(a: String, b: String) = expr(
+      s"aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> " +
+        s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$a' AND x = '$b' " +
+        s"THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b')) " +
+        s"ELSE concat(acc, array(x)) END)")
+    // overlapping run: (a,a) over aaa merges once then leaves the tail
+    assert(Seq(Seq("a", "a", "a", "b")).toDF("syms").select(fold("a", "a"))
+      .head().getSeq[String](0) == Seq("aa", "a", "b"))
+    // alternation: (a,b) over abab merges BOTH occurrences in one pass
+    assert(Seq(Seq("a", "b", "a", "b")).toDF("syms").select(fold("a", "b"))
+      .head().getSeq[String](0) == Seq("ab", "ab"))
+    // merged output can immediately seed the next match: (aa,b) after
+    // an (a,a) pass — exactness of element_at(acc,-1) on merged symbols
+    assert(Seq(Seq("aa", "b", "c")).toDF("syms").select(fold("aa", "b"))
+      .head().getSeq[String](0) == Seq("aab", "c"))
+  }
+}
