@@ -630,23 +630,104 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
       override def pushedFilters(): Array[Filter] = pushed
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = Some(requiredSchema)
-      // COUNT(*) with no grouping, no filters, and no delete files is
-      // answered from the manifest's per-file record counts — an O(1)
-      // metadata read instead of a table scan (the classic lake-format
-      // trick; Spark only offers the aggregate when every filter was
-      // fully pushed, and we refuse whenever a residual could change
-      // the count)
-      private var countStarAggs = 0
-      private def canCountStar(agg: Aggregation): Boolean =
-        agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
-          agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]) &&
-          pushed.isEmpty &&
-          GraftTable.state(root, asOf).files.forall(_.isData)
-      override def supportCompletePushDown(agg: Aggregation): Boolean = canCountStar(agg)
+      // COUNT(*) / MIN(col) / MAX(col) with no grouping, no filters,
+      // and no delete files are answered from the manifest — counts
+      // from per-file record counts, MIN/MAX by folding the per-file
+      // footer stats (the classic lake-format metadata query: "what's
+      // the data range" without touching a byte of parquet). Refusal
+      // rules keep it exact: any residual filter, any MoR delete file,
+      // a renamed column (stats live under historical names), a type
+      // whose stats TEXT doesn't round-trip exactly (strings truncate,
+      // float/double widenings re-render), or any file missing the
+      // column's stats (all-null files and pre-ADD-COLUMN files are
+      // indistinguishable from never-harvested) → full scan.
+      private var pushedAgg: Option[(StructType, Seq[Any])] = None
+
+      private def planAggPushdown(agg: Aggregation): Option[(StructType, Seq[Any])] = {
+        if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty ||
+          pushed.nonEmpty) return None
+        val snap = GraftTable.state(root, asOf)
+        if (!snap.files.forall(_.isData)) return None
+        val full = schema()
+        if (full.fields.exists(f => GraftTable.prevNames(f).nonEmpty)) return None
+        val entries = snap.files
+
+        // exact text→value round-trips only (the same renderings the
+        // stats writer used); strings may be truncated, decimals are
+        // never harvested, float/double text may be either-rendered
+        def parse(dt: DataType, s: String): Option[Any] = dt match {
+          case IntegerType => s.toIntOption
+          case LongType => s.toLongOption
+          case ShortType => s.toShortOption
+          case ByteType => s.toByteOption
+          case org.apache.spark.sql.types.DateType =>
+            scala.util.Try(java.sql.Date.valueOf(s)).toOption
+          case TimestampType =>
+            s.toLongOption.map { us =>
+              val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+              t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+              t
+            }
+          case TimestampNTZType =>
+            s.toLongOption.map(us => java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC))
+          case _ => None
+        }
+        def ord(dt: DataType): Option[Ordering[Any]] = dt match {
+          case IntegerType => Some(Ordering.by(_.asInstanceOf[Int]))
+          case LongType => Some(Ordering.by(_.asInstanceOf[Long]))
+          case ShortType => Some(Ordering.by(_.asInstanceOf[Short]))
+          case ByteType => Some(Ordering.by(_.asInstanceOf[Byte]))
+          case org.apache.spark.sql.types.DateType =>
+            Some(Ordering.by(_.asInstanceOf[java.sql.Date].getTime))
+          case TimestampType =>
+            Some(Ordering.by { v: Any => val t = v.asInstanceOf[java.sql.Timestamp]
+              (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L })
+          case TimestampNTZType =>
+            Some(Ordering.by(_.asInstanceOf[java.time.LocalDateTime]
+              .toEpochSecond(java.time.ZoneOffset.UTC)))
+          case _ => None
+        }
+        def minMax(colExpr: org.apache.spark.sql.connector.expressions.Expression,
+            isMin: Boolean): Option[(DataType, Any)] = colExpr match {
+          case ref: org.apache.spark.sql.connector.expressions.NamedReference
+              if ref.fieldNames.length == 1 =>
+            val name = ref.fieldNames.head
+            for {
+              f <- full.fields.find(_.name.equalsIgnoreCase(name))
+              o <- ord(f.dataType)
+              vals <- {
+                val per = entries.map(_.stats.get(f.name).flatMap(st =>
+                  (if (isMin) st.min else st.max).flatMap(parse(f.dataType, _))))
+                if (per.exists(_.isEmpty)) None else Some(per.flatten)
+              }
+            } yield (f.dataType,
+              if (vals.isEmpty) null
+              else if (isMin) vals.min(o) else vals.max(o))
+          case _ => None
+        }
+        val out = agg.aggregateExpressions.toSeq.map {
+          case _: CountStar => Some((LongType: DataType, entries.map(_.records).sum: Any))
+          case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
+            minMax(m.column, isMin = true)
+          case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
+            minMax(m.column, isMin = false)
+          case _ => None
+        }
+        if (out.exists(_.isEmpty)) None
+        else Some((
+          StructType(out.flatten.zipWithIndex.map { case ((dt, _), i) =>
+            org.apache.spark.sql.types.StructField(s"agg_$i", dt, nullable = true)
+          }),
+          out.flatten.map(_._2)))
+      }
+
+      override def supportCompletePushDown(agg: Aggregation): Boolean =
+        planAggPushdown(agg).isDefined
       override def pushAggregation(agg: Aggregation): Boolean = {
-        val ok = canCountStar(agg)
-        if (ok) countStarAggs = agg.aggregateExpressions.length
-        ok
+        pushedAgg = planAggPushdown(agg)
+        pushedAgg.isDefined
       }
       // LIMIT n on an unfiltered scan: read just enough files to cover
       // n rows (manifest record counts), not the table — Spark still
@@ -662,9 +743,10 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
       }
       override def isPartiallyPushed: Boolean = true
 
-      override def build(): Scan =
-        if (countStarAggs > 0) buildCountScan()
-        else buildNativeScan().getOrElse(buildDataScan())
+      override def build(): Scan = pushedAgg match {
+        case Some((aggSchema, values)) => buildAggScan(aggSchema, values)
+        case None => buildNativeScan().getOrElse(buildDataScan())
+      }
 
       /** The native columnar Batch path (GraftBatchScan) when the
         * snapshot is eligible: same pruning, same vectorized parquet
@@ -692,24 +774,23 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
         }
       }
 
-      private def buildCountScan(): Scan = new V1Scan {
-        private val countSchema = StructType((0 until countStarAggs).map(i =>
-          org.apache.spark.sql.types.StructField(s"count_star_$i",
-            org.apache.spark.sql.types.LongType, nullable = false)))
-        override def readSchema(): StructType = countSchema
-        override def toV1TableScan[T <: BaseRelation with TableScan](
-            context: SQLContext): T = {
-          val n = GraftTable.state(root, asOf).files.filter(_.isData).map(_.records).sum
-          val out = org.apache.spark.sql.Row.fromSeq(Seq.fill(countStarAggs)(n))
-          val sch = countSchema
-          new BaseRelation with TableScan {
-            override def sqlContext: SQLContext = context
-            override val schema: StructType = sch
-            override def buildScan(): RDD[Row] =
-              context.sparkSession.sparkContext.parallelize(Seq(out), 1)
-          }.asInstanceOf[T]
+      /** One metadata-answered row for a fully-pushed aggregation
+        * (COUNT(*)/MIN/MAX) — the values were folded from the manifest
+        * at push time; no parquet is ever opened. */
+      private def buildAggScan(aggSchema: StructType, values: Seq[Any]): Scan =
+        new V1Scan {
+          override def readSchema(): StructType = aggSchema
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              context: SQLContext): T = {
+            val out = org.apache.spark.sql.Row.fromSeq(values)
+            new BaseRelation with TableScan {
+              override def sqlContext: SQLContext = context
+              override val schema: StructType = aggSchema
+              override def buildScan(): RDD[Row] =
+                context.sparkSession.sparkContext.parallelize(Seq(out), 1)
+            }.asInstanceOf[T]
+          }
         }
-      }
 
       private def buildDataScan(): Scan = new V1Scan with SupportsReportStatistics {
         override def readSchema(): StructType = required.getOrElse(schema())

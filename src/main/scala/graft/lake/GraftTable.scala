@@ -1373,12 +1373,72 @@ object GraftTable {
 
   private def appendWithProps(spark: SparkSession, root: String, df: DataFrame,
       snap: Snapshot, commitProps: Map[String, String]): Long = {
-    val id = snap.snapshotId + 1
-    val adds = writeDataFiles(spark, root, distribute(df, snap.properties), id, snap.properties)
+    val conformed = conformAppendSchema(root, df, snap)
+    val id = conformed.snapshotId + 1
+    val adds = writeDataFiles(spark, root, distribute(df, conformed.properties), id,
+      conformed.properties)
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "append", adds, Seq.empty, commitProps, None))
-    maybeAutoCompact(spark, root, snap.properties)
+    maybeAutoCompact(spark, root, conformed.properties)
     id
+  }
+
+  /** Append-time schema contract (silent schema drift is how lakes
+    * rot): every incoming column must be a live table column
+    * (case-insensitive) with the same type, or a type the table's
+    * WIDENS from (an int frame into a bigint column — the reader
+    * promotes it). Anything else fails loudly — unless the table
+    * opted into Delta-style schema merging (`graft.merge-schema` =
+    * true), which ADD COLUMNs brand-new fields (nullable) and widens
+    * existing ones the incoming type outgrows, as their own metadata
+    * commits BEFORE the data commit. Columns the frame OMITS are
+    * always fine: reads null-fill them. Returns the (possibly
+    * evolved) snapshot the data commit must chain from.
+    * `allowEvolution=false` (staged WAP appends) refuses merging even
+    * when the property is set: a schema commit is visible to main
+    * immediately, which would leak the staged write's shape. */
+  /** Every nested nullability flag forced true, for content-only type
+    * comparison (Spark's asNullable is private[spark]). */
+  private def nullErased(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, nullErased(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(nullErased(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(nullErased(m.keyType), nullErased(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  private def conformAppendSchema(root: String, df: DataFrame,
+      snap: Snapshot, allowEvolution: Boolean = true): Snapshot = {
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val merge = allowEvolution &&
+      snap.properties.get("graft.merge-schema").exists(_.trim.equalsIgnoreCase("true"))
+    var evolved = false
+    df.schema.fields.foreach { in =>
+      schema.fields.find(_.name.equalsIgnoreCase(in.name)) match {
+        // nullability-insensitive compare (array/struct element
+        // nullability flags vary by construction path, not content)
+        case Some(t) if nullErased(t.dataType) == nullErased(in.dataType) => ()
+        case Some(t) if widens(in.dataType, t.dataType) => ()   // reader promotes
+        case Some(t) if merge && widens(t.dataType, in.dataType) =>
+          widenColumn(root, t.name, in.dataType); evolved = true
+        case Some(t) => throw new IllegalArgumentException(
+          s"append schema mismatch on '${t.name}': table has " +
+            s"${t.dataType.simpleString}, incoming ${in.dataType.simpleString}" +
+            (if (merge) "" else
+              " (widenable types evolve automatically under table property graft.merge-schema=true)"))
+        case None if merge =>
+          addColumn(root, StructField(in.name, in.dataType, nullable = true))
+          evolved = true
+        case None => throw new IllegalArgumentException(
+          s"append column '${in.name}' is not in the table schema" +
+            (if (allowEvolution)
+              "; set table property graft.merge-schema=true to add new columns automatically"
+            else " (staged WAP writes never evolve schema — ALTER TABLE first)"))
+      }
+    }
+    if (evolved) state(root) else snap
   }
 
   /** Opt-in auto-compaction (the Delta autoOptimize pattern): when
@@ -3659,7 +3719,7 @@ object GraftTable {
   def appendStaged(spark: SparkSession, root: String, df: DataFrame,
       wapId: String): Long = {
     require(wapId.trim.nonEmpty, "wap id must be non-empty")
-    val snap = state(root)   // main head
+    val snap = conformAppendSchema(root, df, state(root), allowEvolution = false)
     val id = snap.snapshotId + 1
     val adds = writeDataFiles(spark, root, distribute(df, snap.properties), id, snap.properties)
     commitOrCleanup(root, id, Commit(id, Some(snap.snapshotId),

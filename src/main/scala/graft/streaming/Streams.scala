@@ -162,6 +162,36 @@ object Streams {
     attributionJoin(Tables.events(s, dir))
       .orderBy(col("user_id"), col("click_id"), col("view_id"))
 
+  /** Streaming UPSERT into the lake: the CDC-ingestion workflow (a
+    * change stream lands in a keyed table as MERGE-per-micro-batch —
+    * Delta's `foreachBatch` merge idiom). Each micro-batch first
+    * collapses to ONE row per key (last writer in `orderCol` wins —
+    * a batch can carry several updates for one key and MERGE requires
+    * unique source keys), then merges: matched keys update, new keys
+    * insert. One snapshot per micro-batch; the merge prunes rewrite
+    * victims by the batch's key bounds, so the per-batch cost scales
+    * with touched files, not table size. Exactly-once NOTE: merge is
+    * idempotent for pure upserts (replaying a batch re-asserts the
+    * same end state), so a retried micro-batch converges — the
+    * relaxation Delta documents for foreachBatch sinks. */
+  def upsertIntoLake(stream: DataFrame, root: String, keys: Seq[String],
+      orderCol: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*)
+            .orderBy(col(orderCol).desc)
+          val latest = batch
+            .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+          graft.lake.GraftTable.merge(batch.sparkSession, root, latest, keys)
+        }
+        ()
+      }
+      .start()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stream_window" -> q42 _,
     "q44_sessionize" -> q44 _,

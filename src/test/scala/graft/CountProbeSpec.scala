@@ -48,6 +48,43 @@ class CountProbeSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM graft.p.lim").head().getLong(0) == 4000L)
   }
 
+  test("MIN/MAX (and mixed with COUNT) are answered from footer stats") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
+    spark.sql("DROP TABLE IF EXISTS graft.p.mm")
+    spark.sql("CREATE TABLE graft.p.mm (id BIGINT, ts TIMESTAMP_NTZ, price DOUBLE)")
+    (0 until 3).foreach(i => spark.sql(
+      s"""INSERT INTO graft.p.mm SELECT id + ${i * 100},
+         |  TIMESTAMP_NTZ '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, id + ${i * 100}),
+         |  (id + ${i * 100}) * 1.5 FROM range(50)""".stripMargin))
+    val df = spark.sql("SELECT COUNT(*) AS c, MIN(id) AS lo, MAX(id) AS hi, " +
+      "MIN(ts) AS t0, MAX(ts) AS t1 FROM graft.p.mm")
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("PushedAggregates") && p.contains("MIN(id)") && p.contains("MAX(ts)"),
+      s"MIN/MAX must push into the manifest scan:\n$p")
+    val r = df.head()
+    assert(r.getLong(0) == 150L && r.getLong(1) == 0L && r.getLong(2) == 249L)
+    assert(r.getAs[java.time.LocalDateTime](3) ==
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0))
+    assert(r.getAs[java.time.LocalDateTime](4) ==
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 4, 9))
+    // doubles: float/double stats text is not an exact round-trip — refuse
+    val pd = spark.sql("SELECT MIN(price) FROM graft.p.mm").queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!pd.contains("PushedAggregates"), s"double MIN must scan:\n$pd")
+    assert(spark.sql("SELECT MIN(price) FROM graft.p.mm").head().getDouble(0) == 0.0)
+    // a WHERE filter leaves a residual — refuse (the count/extremes change)
+    val pf = spark.sql("SELECT MAX(id) FROM graft.p.mm WHERE id < 10").queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!pf.contains("PushedAggregates"), s"filtered MAX must scan:\n$pf")
+    assert(spark.sql("SELECT MAX(id) FROM graft.p.mm WHERE id < 10").head().getLong(0) == 9L)
+    // a renamed column's stats live under historical names — refuse
+    spark.sql("ALTER TABLE graft.p.mm RENAME COLUMN id TO key")
+    val pr = spark.sql("SELECT MAX(key) FROM graft.p.mm").queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!pr.contains("PushedAggregates"), s"renamed MAX must scan:\n$pr")
+    assert(spark.sql("SELECT MAX(key) FROM graft.p.mm").head().getLong(0) == 249L)
+  }
+
   test("COUNT(*) falls back to a real scan when MoR delete files exist") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
     spark.sql("DROP TABLE IF EXISTS graft.p.cntmor")

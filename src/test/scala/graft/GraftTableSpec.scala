@@ -546,4 +546,51 @@ class GraftTableSpec extends SparkSpec {
     val removed = GraftTable.removeOrphanFiles(root, System.currentTimeMillis() + 1000)
     assert(removed.size == nBefore.toInt)
   }
+
+  test("append validates schema; graft.merge-schema auto-evolves new and widened columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("mergeschema")
+    val df0 = Seq((1L, "a", 7)).toDF("id", "v", "cnt")
+    GraftTable.create(spark, root, df0.schema)
+    GraftTable.append(spark, root, df0)
+
+    // an int frame into the bigint column: the reader promotes — fine
+    GraftTable.append(spark, root,
+      Seq((2, "b", 8)).toDF("id", "v", "cnt"))
+    assert(GraftTable.read(spark, root).count() == 2)
+
+    // unknown column without the property: loud
+    val e1 = intercept[IllegalArgumentException] {
+      GraftTable.append(spark, root, Seq((3L, "c", 9, 1.5)).toDF("id", "v", "cnt", "extra"))
+    }
+    assert(e1.getMessage.contains("extra") && e1.getMessage.contains("merge-schema"))
+    // un-widenable type mismatch: loud regardless
+    val e2 = intercept[IllegalArgumentException] {
+      GraftTable.append(spark, root, Seq(("x", "c", 9)).toDF("id", "v", "cnt"))
+    }
+    assert(e2.getMessage.contains("id"))
+
+    // opt in: new columns ADD (nullable), outgrown columns widen
+    GraftTable.setProperties(root, Map("graft.merge-schema" -> "true"))
+    GraftTable.append(spark, root,
+      Seq((3L, "c", 9L, 1.5)).toDF("id", "v", "cnt", "extra"))  // cnt int->long + extra
+    val rows = GraftTable.read(spark, root)
+      .select("id", "v", "cnt", "extra").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.toString).getOrElse("null"))).toSeq.sorted
+    assert(rows == Seq((1L, "a", 7L, "null"), (2L, "b", 8L, "null"),
+      (3L, "c", 9L, "1.5")), s"got $rows")
+    // the evolution rode in as its own metadata commits before the data
+    val ops = GraftTable.snapshotsTable(spark, root)
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.count(_ == "widen_column") == 1 && ops.count(_ == "add_column") == 1)
+
+    // staged WAP appends never evolve, even with the property set
+    val e3 = intercept[IllegalArgumentException] {
+      GraftTable.appendStaged(spark, root,
+        Seq((4L, "d", 1L, 2.5, "new")).toDF("id", "v", "cnt", "extra", "tag"), "w1")
+    }
+    assert(e3.getMessage.contains("staged"))
+  }
 }

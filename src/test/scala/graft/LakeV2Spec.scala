@@ -315,10 +315,15 @@ class LakeV2Spec extends SparkSpec {
     val app = Future(
       try Right(GraftTable.append(spark, root,
         n.filter(col("n_nationkey") === 0)
-          .withColumn("n_nationkey", lit(900L))
+          // cast to the LOADED key type: the generated nation keys
+          // drift between int32/int64 generations, and the append
+          // schema contract (rightly) refuses a narrowing literal
+          .withColumn("n_nationkey",
+            lit(900L).cast(n.schema("n_nationkey").dataType))
           // must NOT match the racing delete's predicate, or the row
           // count would depend on commit interleaving
-          .withColumn("n_regionkey", lit(99L))))
+          .withColumn("n_regionkey",
+            lit(99L).cast(n.schema("n_regionkey").dataType))))
       catch { case e: IllegalStateException => Left(e) })
     val (dr, ar) = (Await.result(del, 2.minutes), Await.result(app, 2.minutes))
     // at least one side must land; a loser must fail loudly, not silently

@@ -387,6 +387,36 @@ class StreamingSpec extends SparkSpec {
     assert(nSessions >= nUsers, "every user has at least one session")
   }
 
+  test("streaming upsert into the lake: one merge per micro-batch, last writer wins") {
+    import spark.implicits._
+    import graft.lake.GraftTable
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-upsert")
+    val root = base.resolve("t").toString
+    val df0 = Seq((1L, "a", 0L)).toDF("id", "v", "seq")
+    GraftTable.create(spark, root, df0.schema)
+    GraftTable.append(spark, root, df0)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val q = Streams.upsertIntoLake(input.toDS().toDF("id", "v", "seq"),
+      root, Seq("id"), "seq", base.resolve("ckpt").toString)
+    try {
+      // one batch carrying TWO updates for key 1: the higher seq wins
+      input.addData((1L, "b", 1L), (1L, "c", 2L), (2L, "x", 1L))
+      q.processAllAvailable()
+      def table() = GraftTable.read(spark, root)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+      assert(table() == Seq((1L, "c", 2L), (2L, "x", 1L)))
+      // next batch: update one key, insert another
+      input.addData((2L, "y", 2L), (3L, "z", 1L))
+      q.processAllAvailable()
+      assert(table() == Seq((1L, "c", 2L), (2L, "y", 2L), (3L, "z", 1L)))
+      // one merge snapshot per non-empty micro-batch (create+append+2)
+      assert(GraftTable.snapshotsTable(spark, root)
+        .filter(col("operation") === "merge").count() == 2L)
+    } finally q.stop()
+  }
+
   test("CDC stream: every commit arrives as one micro-batch of change rows") {
     import spark.implicits._
     import graft.lake.GraftTable
