@@ -215,7 +215,40 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ── §2.3 SemDeDup: cluster-scoped semantic dedup (Abbas et al.
+  // 2023, public paper) ───────────────────────────────────────────────
+  /** The 100 TB shape of embedding near-dup removal: vectors first
+    * partition into k clusters (the same deterministic md5-seeded
+    * coarse quantizer q48's IVF uses), then near-dup pairs are scored
+    * ONLY within each cluster — the all-pairs O(N²) of q34 becomes
+    * O(Σ cluster²), and the cluster-keyed self-join shuffles each
+    * cluster to one place. Emits the (keep, drop) pairs above the
+    * q34 threshold so the recall trade vs the exact baseline is
+    * directly inspectable. */
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    val e = norms(s, dir)
+    val seeds = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(seedK)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"), col("nrm").as("snrm"))
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("scos").desc, col("seed_id"))
+    val assign = e.join(broadcast(seeds), expr("true"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("seed_id"),
+        (dot(col("v"), col("sv")) / (col("nrm") * col("snrm"))).as("scos"))
+      .withColumn("sr", row_number().over(byVec))
+      .filter(col("sr") === 1)
+      .select(col("seed_id").as("cluster_id"), col("vec_id"), col("v"), col("nrm"))
+    assign.as("a").join(assign.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cluster_id").as("cluster_id"),
+        col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= lit(0.30))
+      .orderBy(col("cluster_id"), col("drop_id"), col("keep_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_dedup_semantic" -> q72 _,
     "q34_dedup_embcos" -> q34 _,
     "q35_ann_brute" -> q35 _,
     "q36_ann_lsh" -> q36 _,
@@ -227,6 +260,28 @@ object Similarity {
       "THEN 1.0 ELSE -1.0 END)"
 
   val oracleSql: Map[String, String] = Map(
+    "q72_dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |FROM embeddings),
+         |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS snrm FROM e
+         |          ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $seedK),
+         |d AS (SELECT e.vec_id, s.seed_id,
+         |    LIST_DOT_PRODUCT(e.v, s.sv) / (e.nrm * s.snrm) AS scos
+         |  FROM e CROSS JOIN seeds s),
+         |ranked AS (SELECT vec_id, seed_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, seed_id) AS sr
+         |  FROM d),
+         |assign AS (SELECT vec_id, seed_id AS cluster_id FROM ranked WHERE sr = 1),
+         |pairs AS (SELECT a.cluster_id, a.vec_id AS keep_id, b.vec_id AS drop_id,
+         |    LIST_DOT_PRODUCT(ea.v, eb.v) / (ea.nrm * eb.nrm) AS cos
+         |  FROM assign a JOIN assign b
+         |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id)
+         |SELECT cluster_id, keep_id, drop_id, cos FROM pairs WHERE cos >= 0.30
+         |ORDER BY cluster_id, drop_id, keep_id""".stripMargin,
+
     "q48_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |  SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm

@@ -85,7 +85,10 @@ class NewQueryPlanSpec extends SparkSpec {
     // against a FIXED-size seed set. Lake lifecycle queries (create/
     // append/compact side effects at plan-build time) are excluded for
     // cost, not because they'd be exempt — their reads are plain scans.
-    val allPairsDeclared = Set("q34_dedup_embcos", "q35_ann_brute", "q48_ann_ivf")
+    // q72's only non-equi shape is the SAME fixed-size seed-assignment
+    // broadcast as q48 — its dedup pairs join equi on cluster_id
+    val allPairsDeclared = Set("q34_dedup_embcos", "q35_ann_brute", "q48_ann_ivf",
+      "q72_dedup_semantic")
     val lifecycle = Set("q23_lake_snapshots", "q24_lake_files", "q25_lake_timetravel",
       "q26_lake_compaction", "q27_lake_merge", "q28_lake_mor_delete",
       "q29_lake_partition_prune", "q54_lake_sql", "q57_lake_changes",
