@@ -10,10 +10,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
       LakeOps.queries ++ Multimodal.queries ++ graft.streaming.Streams.queries ++
-      AsOf.queries
+      AsOf.queries ++ EventOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextOps.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
-      graft.streaming.Streams.oracleSql ++ AsOf.oracleSql ++ LakeOps.oracleSql
+      graft.streaming.Streams.oracleSql ++ AsOf.oracleSql ++ LakeOps.oracleSql ++
+      EventOps.oracleSql
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Event-analytics operators over the events table (SURVEY.md §2.5):
+  * the ordered-sequence and cohort queries every product-analytics
+  * engine ships (funnel, retention), expressed as plain aggregations
+  * + equi-joins so they hold at 100 TB: per-user firsts are min()
+  * aggregates (map-side combine), stage constraints are join filters
+  * on those scalars, and nothing ever windows over the raw event
+  * stream. All emitted values are integers (epoch micros / counts) —
+  * no float hazard against the oracle. */
+object EventOps {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+
+  private val hourUs = 3600000000L
+  private val weekUs = 604800000000L
+
+  // ── q73: ordered funnel view → click → purchase within one hour ────
+  /** Stage semantics: the user's FIRST view anchors the funnel; the
+    * first click strictly after it (within the hour) advances to
+    * stage 2; the first purchase strictly after that click (still
+    * within the view's hour) completes stage 3. Firsts are min-us
+    * aggregates, so ties in the raw stream cannot make the result
+    * order-dependent. */
+  def q73(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("view_us"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("us") > col("view_us") && col("us") <= col("view_us") + hourUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("click_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(v, "user_id").join(c, "user_id")
+      .filter(col("us") > col("click_us") && col("us") <= col("view_us") + hourUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("purchase_us"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_us"), col("click_us"), col("purchase_us"),
+        (lit(1) + col("click_us").isNotNull.cast("int") +
+          col("purchase_us").isNotNull.cast("int")).cast("long").as("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  // ── q74: weekly cohort retention from signup ────────────────────────
+  /** Cohort = the user's first-signup week (integer epoch-week);
+    * a (cohort_week, week_offset) cell counts users from that cohort
+    * active (ANY event) offset weeks later. Distinct (user, week)
+    * activity first, then one equi-join to the cohort scalar —
+    * activity is the only corpus-sized shuffle. */
+  def q74(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(floor(min(col("us")) / lit(weekUs)).cast("long").as("cohort_week"))
+    val active = e.select(col("user_id"),
+      floor(col("us") / lit(weekUs)).cast("long").as("week")).distinct()
+    active.join(cohort, "user_id")
+      .filter(col("week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_event_funnel" -> q73 _,
+    "q74_retention" -> q74 _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q73_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, EPOCH_US(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS view_us FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(us) AS click_us FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us > view_us
+        |        AND us <= view_us + 3600000000 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(us) AS purchase_us
+        |      FROM e JOIN v USING (user_id) JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us > click_us
+        |        AND us <= view_us + 3600000000 GROUP BY e.user_id)
+        |SELECT v.user_id, view_us, click_us, purchase_us,
+        |  CAST(1 + CASE WHEN click_us IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN purchase_us IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+
+    "q74_retention" ->
+      """WITH e AS (SELECT user_id, event_type, EPOCH_US(ts) AS us FROM events),
+        |cohort AS (SELECT user_id,
+        |    CAST(FLOOR(MIN(us) / 604800000000) AS BIGINT) AS cohort_week
+        |  FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id,
+        |    CAST(FLOOR(us / 604800000000) AS BIGINT) AS week FROM e)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohort USING (user_id)
+        |WHERE week >= cohort_week
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin)
+}
