@@ -2027,10 +2027,34 @@ object GraftTable {
     * named sides, so the key columns need not share a name. The
     * source side is renamed into the `_gs_` namespace wholesale, so
     * only the join condition cares about the pairing. */
+  /** Idempotent generalized MERGE — the Delta txn pattern
+    * appendIdempotent uses, extended to merges: the commit records
+    * (appId → version) in its properties, and a retry of an
+    * already-committed version is a no-op returning the current head.
+    * This is the ONLY way a replayed foreachBatch applying ADDITIVE
+    * deltas (an incremental materialized view) can be exactly-once —
+    * plain merge re-adds the delta on replay. */
+  def mergeIdempotent(spark: SparkSession, root: String, source: DataFrame,
+      keyCols: Seq[String], clauses: Seq[MergeClause],
+      appId: String, version: Long): Long = {
+    val key = s"graft.txn.$appId"
+    val snap = state(root)
+    if (snap.properties.get(key).map(_.toLong).exists(_ >= version))
+      return snap.snapshotId   // already applied
+    merge(spark, root, source, keyCols.map(k => (k, k)), clauses,
+      Map(key -> version.toString))
+  }
+
   def merge(spark: SparkSession, root: String, source: DataFrame,
       keyPairs: Seq[(String, String)], clauses: Seq[MergeClause])(
-      implicit d: DummyImplicit): Long = {
-    if (clauses == mergeDefaultClauses && keyPairs.forall(p => p._1.equalsIgnoreCase(p._2)))
+      implicit d: DummyImplicit): Long =
+    merge(spark, root, source, keyPairs, clauses, Map.empty[String, String])
+
+  private def merge(spark: SparkSession, root: String, source: DataFrame,
+      keyPairs: Seq[(String, String)], clauses: Seq[MergeClause],
+      commitProps: Map[String, String]): Long = {
+    if (commitProps.isEmpty && clauses == mergeDefaultClauses &&
+        keyPairs.forall(p => p._1.equalsIgnoreCase(p._2)))
       return merge(spark, root, source, keyPairs.map(_._1))
     val planner = ckptPlanner(spark, root, None)
     val (schema, props) = dmlHeader(planner, root)
@@ -2150,7 +2174,7 @@ object GraftTable {
       if (preds.isEmpty) retiredNamesMeta(schema, props)
       else (None, Map.empty[String, String])
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
-      "merge", adds, victimPaths ++ dropDeletes, retProps, retSchemaJ))
+      "merge", adds, victimPaths ++ dropDeletes, retProps ++ commitProps, retSchemaJ))
     id
   }
 

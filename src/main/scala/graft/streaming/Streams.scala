@@ -192,6 +192,63 @@ object Streams {
       }
       .start()
 
+  /** Incremental materialized aggregate over a lake table, maintained
+    * EXACTLY-ONCE from its CDC stream: the view table holds one row
+    * per group (`groupCols`, `v_sum`, `n_rows`); each micro-batch of
+    * the source's change feed collapses to per-group ADDITIVE deltas
+    * (inserts +v/+1, deletes −v/−1) and lands as ONE idempotent merge
+    * — groups zeroing out delete, existing groups add the delta, new
+    * groups insert. Because the deltas are additive, a replayed batch
+    * would double-count: mergeIdempotent's txn (appId → batchId)
+    * property makes the replay a no-op, which is exactly Delta's txn
+    * pattern for foreachBatch sinks. Per-batch cost scales with the
+    * GROUPS the batch touched (merge prunes victims by key bounds),
+    * never with view or source size — the 100 TB version of a
+    * continuously-fresh rollup. Creates the view table if absent. */
+  def maintainSumView(spark: SparkSession, sourceRoot: String, viewRoot: String,
+      groupCols: Seq[String], valueCol: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.lake.GraftTable
+    if (!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(viewRoot, "_graft_log"))) {
+      val src = GraftTable.tableSchema(sourceRoot)
+      val vType = src(src.fieldIndex(valueCol)).dataType
+      val schema = org.apache.spark.sql.types.StructType(
+        groupCols.map(g => src(src.fieldIndex(g))) ++ Seq(
+          org.apache.spark.sql.types.StructField("v_sum", vType),
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType)))
+      GraftTable.create(spark, viewRoot, schema)
+    }
+    GraftTable.readStreamChanges(spark, sourceRoot, fromExclusive = Some(0L))
+      .writeStream.option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val sign = when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1))
+          val deltas = batch
+            .groupBy(groupCols.map(col): _*)
+            .agg(sum(col(valueCol) * sign).as("d_sum"),
+              sum(sign).cast("long").as("d_n"))
+            .filter(col("d_n") =!= 0 || col("d_sum") =!= 0)
+          val ins: Map[String, org.apache.spark.sql.Column] =
+            groupCols.map(g => g -> col(GraftTable.mergeSourcePrefix + g)).toMap ++ Map(
+              "v_sum" -> col(GraftTable.mergeSourcePrefix + "d_sum"),
+              "n_rows" -> col(GraftTable.mergeSourcePrefix + "d_n"))
+          GraftTable.mergeIdempotent(batch.sparkSession, viewRoot, deltas, groupCols,
+            Seq(
+              GraftTable.MergeDelete(Some(
+                col("n_rows") + col(GraftTable.mergeSourcePrefix + "d_n") === 0)),
+              GraftTable.MergeUpdate(None, Some(Map(
+                "v_sum" -> (col("v_sum") + col(GraftTable.mergeSourcePrefix + "d_sum")),
+                "n_rows" -> (col("n_rows") + col(GraftTable.mergeSourcePrefix + "d_n"))))),
+              GraftTable.MergeInsert(None, Some(ins))),
+            appId = s"graft-mv:$viewRoot", version = batchId)
+        }
+        ()
+      }
+      .start()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stream_window" -> q42 _,
     "q44_sessionize" -> q44 _,
