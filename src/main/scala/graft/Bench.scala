@@ -68,6 +68,13 @@ object Bench {
       val oks = runs.map(_(n)).filter(_ >= 0)
       n -> (if (oks.isEmpty) -1.0 else median(oks))
     }.toMap
+    // per-query MIN over succeeding passes: under external co-tenant
+    // contention the min is the honest lower bound (noise only ever
+    // ADDS time), so a single contended window can't poison the round
+    val mins: Map[String, Double] = names.map { n =>
+      val oks = runs.map(_(n)).filter(_ >= 0)
+      n -> (if (oks.isEmpty) -1.0 else oks.min)
+    }.toMap
     val totals = runs.map(r => r.values.filter(_ >= 0).sum)
     val failed = names.filter(n => runs.exists(_(n) < 0))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -78,7 +85,7 @@ object Bench {
     // explicitly-named `medians`. `medians` goes LAST because the
     // driver captures only a 2 KB tail of this line — a mid-line
     // position truncated it out of BENCH_r08.json entirely.
-    println(s"""{"metric":"total","value":${fmt(median(totals))},"unit":"sec","queries":${qjson(medians)},"runs":$runsJson,"totals":$totalsJson,"n_runs":$nRuns,"failed":$failed,"sf":"$sfDir","medians":${qjson(medians)}}""")
+    println(s"""{"metric":"total","value":${fmt(median(totals))},"unit":"sec","queries":${qjson(medians)},"runs":$runsJson,"totals":$totalsJson,"n_runs":$nRuns,"failed":$failed,"sf":"$sfDir","mins":${qjson(mins)},"medians":${qjson(medians)}}""")
     spark.stop()
   }
 }

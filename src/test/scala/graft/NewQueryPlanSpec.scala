@@ -171,6 +171,40 @@ class NewQueryPlanSpec extends SparkSpec {
       s"merge must not launch raw RDD jobs outside SQL executions, got ${bareJobs.get}")
   }
 
+  test("q31's shingle/minhash caches are real: lambdas never re-inline, AQE scans the cache") {
+    // the md5 gate path caches (a) the shingle-array projection and
+    // (b) the 16-perm signature — both non-codegen lambda work the
+    // band projection references repeatedly. If CollapseProject or an
+    // AQE replan ever bypassed a cache, the minhash cost would
+    // silently double (the r10 verdict's watch item). Pin it: outside
+    // the InMemoryRelations, NO shingle/minhash expression survives
+    // in the optimized plan, and the executed (post-AQE) plan scans
+    // the cache rather than recomputing.
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import graft.functions.GraftFunctions.{MinHashHex, MinHashXx, Shingles}
+    val df = graft.operators.Dedup.q31(spark, sf)
+    try {
+      val opt = df.queryExecution.optimizedPlan
+      val imrs = opt.collect { case r: InMemoryRelation => r }
+      assert(imrs.map(_.cacheBuilder).distinct.size == 2,
+        s"expected exactly the shingle-array + signature caches, got ${imrs.size} IMR refs")
+      val masked = opt.transform { case r: InMemoryRelation =>
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(r.output)
+      }
+      val inlined = masked.collect { case p =>
+        p.expressions.flatMap(_.collect {
+          case e: MinHashHex => e; case e: MinHashXx => e; case e: Shingles => e
+        })
+      }.flatten
+      assert(inlined.isEmpty,
+        s"shingle/minhash lambdas leaked outside the caches: ${inlined.map(_.prettyName)}")
+      assert(df.count() > 0, "q31 finds near-dup pairs at this SF")
+      val exec = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+      assert(exec.contains("InMemoryTableScan"),
+        s"post-AQE plan must scan the cache, not recompute:\n$exec")
+    } finally spark.catalog.clearCache()
+  }
+
   test("q58 scan reads only doc_id and text") {
     val df = graft.operators.TextOps.q58(spark, sf)
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
