@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -556,7 +557,53 @@ object TextOps {
       .orderBy(col("step"))
   }
 
+  // ── §2.3 DSIR-style importance resampling ───────────────────────────
+  /** Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169) re-expressed as hash-partitioned aggregations:
+    * score every raw document by how much more likely its
+    * hashed-bigram features are under a TARGET distribution (here the
+    * English subset — the "high-quality corpus" stand-in) than under
+    * the raw pool, and keep the top-N. Features are word bigrams
+    * hashed into 256 buckets by md5-hex prefix (the paper's hashed
+    * n-gram generative model); per-bucket log-likelihood ratios use
+    * add-one smoothing; the per-doc weight is Σ n_b·log-ratio_b,
+    * accumulated in DECIMAL(18,4) so the sum is order-independent
+    * (oracle hash-parity, SURVEY §4).
+    *
+    * Scale: the bucket model is 256 rows (broadcast both into the
+    * ratio join and the scoring join); everything else is one explode
+    * + two hash aggregations partitioned by doc/bucket — linear at
+    * 100 TB, and the expensive raw-pool statistics pass is shared
+    * with the target pass (one relation, filtered twice). */
+  def q75(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+    // non-distinct word bigrams → 256 buckets keyed by 2-hex md5 prefix
+    val bg = docs.select(col("doc_id"), col("lang"),
+      explode(expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("bgr"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("bgr").cast("binary")), 1, 2).as("b"))
+    val db = bg.groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("n"))
+    val rb = db.groupBy(col("b")).agg(sum(col("n")).as("cr"))
+    val tb = db.filter(col("lang") === "en").groupBy(col("b")).agg(sum(col("n")).as("ct"))
+    val tot = rb.agg(sum(col("cr")).as("nr")).crossJoin(tb.agg(sum(col("ct")).as("nt")))
+    val lr = rb.join(tb, Seq("b"), "left").crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1L)) / (col("nt") + lit(256.0))) -
+          log((col("cr") + lit(1L)) / (col("nr") + lit(256.0)))).as("lr"))
+    db.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum((col("n") * col("lr")).cast(DecimalType(18, 4))).cast("double").as("w"))
+      .orderBy(col("w").desc, col("doc_id"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_importance_sample" -> q75 _,
     "q71_text_bpe" -> q71 _,
     "q70_text_tfidf" -> q70 _,
     "q61_decontam_bloom" -> q61 _,
@@ -582,6 +629,22 @@ object TextOps {
     s"CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(${listSql(stopwords.toMap.apply(l))}, t))) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "q75_importance_sample" ->
+      """WITH t AS (SELECT doc_id, lang, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, lang, SUBSTR(MD5(toks[i] || ' ' || toks[i+1]), 1, 2) AS b
+        |       FROM (SELECT doc_id, lang, toks,
+        |               UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS i FROM t)),
+        |db AS (SELECT doc_id, lang, b, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3),
+        |rb AS (SELECT b, SUM(n) AS cr FROM db GROUP BY 1),
+        |tb AS (SELECT b, SUM(n) AS ct FROM db WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT (SELECT SUM(cr) FROM rb) AS nr, (SELECT SUM(ct) FROM tb) AS nt),
+        |lr AS (SELECT rb.b,
+        |         LN((COALESCE(ct, 0) + 1) / (nt + 256.0)) - LN((cr + 1) / (nr + 256.0)) AS lr
+        |       FROM rb LEFT JOIN tb ON rb.b = tb.b CROSS JOIN tot)
+        |SELECT doc_id, CAST(SUM(CAST(db.n * lr.lr AS DECIMAL(18,4))) AS DOUBLE) AS w
+        |FROM db JOIN lr ON db.b = lr.b
+        |GROUP BY doc_id ORDER BY w DESC, doc_id LIMIT 100""".stripMargin,
+
     "q70_text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS term

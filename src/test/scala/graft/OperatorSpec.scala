@@ -9,6 +9,23 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
   * data-pipeline operators whose driver gate is rows-only. */
 class OperatorSpec extends SparkSpec {
 
+  test("DSIR importance weights rank the target language above the rest") {
+    // q75 targets the English subset: with hashed-bigram bucket models
+    // the mean importance weight of English docs in the selected top-N
+    // must exceed the non-English mean (the resampling pulls the pool
+    // toward the target distribution — the operator's whole point)
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "lang")
+    val w = TextOps.q75(spark, sf).join(docs, Seq("doc_id"))
+      .groupBy((col("lang") === "en").as("is_en"))
+      .agg(avg(col("w")).as("mw"), count(lit(1)).as("n"))
+      .collect().map(r => r.getBoolean(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(w.contains(true) && w(true)._2 > 0, "selected set contains English docs")
+    w.get(false).foreach { case (mwOther, _) =>
+      assert(w(true)._1 > mwOther,
+        s"mean weight en=${w(true)._1} must exceed non-en=$mwOther")
+    }
+  }
+
   test("bloom decontamination never misses an exactly-flagged doc, rarely over-flags") {
     import org.apache.spark.sql.functions.col
     val exact = graft.operators.TextOps.q47(spark, sf)
