@@ -8,6 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.constraints.{Check => V2Check, Constraint => V2Constraint}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal => VLiteral, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
@@ -61,6 +62,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }
+
+  // ALTER TABLE … ADD/DROP CONSTRAINT routes through the catalog only
+  // when it declares the capability; without it Spark refuses at
+  // analysis time
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   private var catalogName: String = "graft"
   private var warehouse: String = _
@@ -297,17 +304,21 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     val widens = changes.collect { case u: TableChange.UpdateColumnType => u }
+    val addCons = changes.collect { case a: TableChange.AddConstraint => a }
+    val dropCons = changes.collect { case d: TableChange.DropConstraint => d }
     val known = changes.count {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty |
            _: TableChange.AddColumn | _: TableChange.RenameColumn |
-           _: TableChange.DeleteColumn | _: TableChange.UpdateColumnType => true
+           _: TableChange.DeleteColumn | _: TableChange.UpdateColumnType |
+           _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
       case _ => false
     }
     require(known == changes.length,
       s"unsupported ALTER TABLE change(s): ${changes.filterNot {
         case _: TableChange.SetProperty | _: TableChange.RemoveProperty |
              _: TableChange.AddColumn | _: TableChange.RenameColumn |
-             _: TableChange.DeleteColumn | _: TableChange.UpdateColumnType => true
+             _: TableChange.DeleteColumn | _: TableChange.UpdateColumnType |
+             _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
         case _ => false
       }.mkString(", ")}")
     require(removes.isEmpty, "UNSET TBLPROPERTIES is not supported (properties are additive commits)")
@@ -329,6 +340,21 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       require(u.fieldNames.length == 1, "nested ALTER COLUMN TYPE not supported")
       GraftTable.widenColumn(root, u.fieldNames.head, u.newDataType)
     }
+    addCons.foreach { a =>
+      a.constraint() match {
+        case c: V2Check =>
+          require(c.enforced(),
+            "NOT ENFORCED CHECK constraints are not supported (graft enforces every CHECK on write)")
+          // Spark's ADD CONSTRAINT exec (AddCheckConstraintExec) has
+          // already scanned existing rows through CheckInvariant by the
+          // time the catalog sees the change — don't scan twice
+          GraftTable.addCheckConstraint(SparkSession.active, root,
+            c.name(), c.predicateSql(), validate = false)
+        case other => throw new UnsupportedOperationException(
+          s"only CHECK constraints are supported (got: ${other.toDDL})")
+      }
+    }
+    dropCons.foreach(d => GraftTable.dropCheckConstraint(root, d.name(), d.ifExists()))
     new GraftSparkTable(fqn(ident), root, None)
   }
 
@@ -597,6 +623,19 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
 
   override def properties(): util.Map[String, String] =
     GraftTable.state(root, asOf).properties.asJava
+
+  /** Live CHECK constraints, reported so Spark's analyzer injects
+    * CheckInvariant validation into every V2 write against this table
+    * (and DESCRIBE shows them). Always VALID: additions validate
+    * existing rows before the property commits. */
+  override def constraints(): Array[V2Constraint] =
+    GraftTable.checkConstraints(GraftTable.state(root, asOf).properties)
+      .map { case (n, sql) =>
+        val b = V2Constraint.check(n).predicateSql(sql)
+        b.enforced(true)
+        b.validationStatus(V2Constraint.ValidationStatus.VALID)
+        b.build()
+      }.toArray
 
   // OVERWRITE_DYNAMIC is deliberately absent from the CAPABILITIES:
   // Spark's V1 write fallback only covers append and

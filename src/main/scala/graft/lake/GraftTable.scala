@@ -856,8 +856,12 @@ object GraftTable {
           k.stripPrefix("write.parquet.bloom-filter-enabled.column.")}" -> v
     }
 
-  private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
+  private def writeDataFiles(spark: SparkSession, root: String, df0: DataFrame,
       snapshotId: Long, props: Map[String, String]): Seq[FileEntry] = {
+    // every table-schema data write (append, CoW rewrite, merge,
+    // compaction) funnels through here — CHECK constraints ride the
+    // write's own row pass
+    val df = enforceConstraints(df0, props)
     val codec = props.getOrElse("write.parquet.compression-codec", "snappy")
     val spec = tableSpec(props)
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -977,6 +981,77 @@ object GraftTable {
     * SPARK_ICEBERG_GUIDE.md §§8.2, 8.9): a properties-only commit. */
   def setProperties(root: String, props: Map[String, String]): Long =
     commit(root, latestSnapshotId(root), "set_properties", Seq.empty, Seq.empty, props)
+
+  // ── CHECK constraints ───────────────────────────────────────────────
+
+  private[graft] val constraintPropPrefix = "graft.constraint."
+
+  /** Live CHECK constraints: (name, predicate SQL). A dropped
+    * constraint leaves an empty-value tombstone — the commit model is
+    * additive (properties are never removed; last write wins on
+    * replay), the same convention the dropped-column tombstones use. */
+  def checkConstraints(props: Map[String, String]): Seq[(String, String)] =
+    props.toSeq
+      .collect { case (k, v) if k.startsWith(constraintPropPrefix) && v.nonEmpty =>
+        k.stripPrefix(constraintPropPrefix) -> v }
+      .sortBy(_._1)
+
+  /** ALTER TABLE … ADD CONSTRAINT name CHECK (sql). Validates every
+    * live row first — SQL-standard semantics: a row violates only when
+    * the predicate evaluates FALSE; UNKNOWN (null) passes — then
+    * commits the constraint as a table property, after which every
+    * write path re-checks rows inline. `validate = false` is for
+    * callers that already validated (Spark's ADD CONSTRAINT exec scans
+    * the table with CheckInvariant before it calls the catalog). */
+  def addCheckConstraint(spark: SparkSession, root: String, name: String,
+      predicateSql: String, validate: Boolean = true): Long = {
+    require(name.nonEmpty && !name.contains("=") && !name.contains("\n"),
+      s"bad constraint name: '$name'")
+    val snap = state(root)
+    require(!checkConstraints(snap.properties).exists(_._1.equalsIgnoreCase(name)),
+      s"constraint $name already exists on $root")
+    if (validate) {
+      val bad = read(spark, root).filter(expr(predicateSql) <=> lit(false)).count()
+      require(bad == 0L,
+        s"cannot add CHECK constraint $name: $bad existing row(s) violate ($predicateSql)")
+    }
+    setProperties(root, Map(constraintPropPrefix + name -> predicateSql))
+  }
+
+  /** ALTER TABLE … DROP CONSTRAINT — an empty-value tombstone commit. */
+  def dropCheckConstraint(root: String, name: String, ifExists: Boolean = false): Long = {
+    val snap = state(root)
+    val live = checkConstraints(snap.properties).find(_._1.equalsIgnoreCase(name))
+    if (live.isEmpty) {
+      require(ifExists, s"no such constraint: $name")
+      snap.snapshotId
+    } else setProperties(root, Map(constraintPropPrefix + live.get._1 -> ""))
+  }
+
+  /** Inline write-side enforcement: rides the write's own pass (no
+    * extra scan); a violating row fails the job before any commit is
+    * attempted. Fail only on FALSE — null results pass, matching both
+    * the SQL standard and Spark's own CheckInvariant. */
+  private def enforceConstraints(df: DataFrame, props: Map[String, String]): DataFrame =
+    checkConstraints(props).foldLeft(df) { case (d, (n, sql)) =>
+      d.filter(isnull(assert_true(!(expr(sql) <=> lit(false)),
+        lit(s"graft CHECK constraint $n violated: ($sql) is false for a row being written"))))
+    }
+
+  /** Renaming/dropping a column out from under a CHECK constraint
+    * would break every later write at analysis time — refuse, the way
+    * Delta and Iceberg do. Reference detection is a conservative
+    * word-boundary match on the predicate text (false positives err
+    * on the safe side; drop the constraint first). */
+  private def requireUnconstrained(props: Map[String, String], colName: String,
+      op: String): Unit = {
+    val p = java.util.regex.Pattern.compile(
+      "(?i)\\b" + java.util.regex.Pattern.quote(colName) + "\\b")
+    val hits = checkConstraints(props).filter { case (_, sql) => p.matcher(sql).find() }
+    require(hits.isEmpty,
+      s"cannot $op column '$colName': referenced by CHECK constraint(s) " +
+        s"${hits.map(_._1).mkString(", ")} — drop the constraint(s) first")
+  }
 
   // ── partition-spec evolution ────────────────────────────────────────
 
@@ -1245,6 +1320,7 @@ object GraftTable {
     requireFreshPhysicalName(snap, cur, to)
     val f = cur.fields(idx)
     requireEvolvable(snap, f.name, "rename")
+    requireUnconstrained(snap.properties, f.name, "rename")
     val md = new org.apache.spark.sql.types.MetadataBuilder()
       .withMetadata(f.metadata)
       .putStringArray(prevNamesKey, (prevNames(f) :+ f.name).toArray)
@@ -1266,6 +1342,7 @@ object GraftTable {
     require(cur.fields.length > 1, "cannot drop the last column")
     val f = cur.fields(idx)
     requireEvolvable(snap, f.name, "drop")
+    requireUnconstrained(snap.properties, f.name, "drop")
     val tomb = (droppedCols(snap.properties) ++ (f.name +: prevNames(f))).distinct
     val ns = StructType(cur.fields.patch(idx, Nil, 1))
     commitEvolution(root, snap, "drop_column",

@@ -23,7 +23,7 @@ class SqlFrontDoorSpec extends SparkSpec {
     // clear only THIS suite's namespaces (the warehouse is shared
     // session-wide; the cached catalog instance keeps its path)
     Seq("lab", "lab2", "tmp", "del", "dyn", "ren", "orph", "zord", "rl", "evo",
-        "ctas", "mv", ".staging").foreach { ns =>
+        "ctas", "mv", "cons", ".staging").foreach { ns =>
       val p = Paths.get(wh, ns)
       if (Files.exists(p)) {
         val s = Files.walk(p)
@@ -1082,5 +1082,59 @@ class SqlFrontDoorSpec extends SparkSpec {
     val (_, total, live) = GraftTable.scan(spark, root("lab2", "nation_t"),
       Seq(GraftTable.Eq("n_regionkey", "2")))
     assert(live < total)
+  }
+
+  test("CHECK constraints: ADD validates existing rows, writes enforce, DROP releases") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cons")
+    spark.sql("CREATE TABLE graft.cons.t (id BIGINT, qty BIGINT, note STRING)")
+    spark.sql("INSERT INTO graft.cons.t VALUES (1, 5, 'a'), (2, 7, NULL)")
+
+    // adding a constraint the existing data violates must refuse
+    spark.sql("INSERT INTO graft.cons.t VALUES (3, -1, 'neg')")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.cons.t ADD CONSTRAINT qty_pos CHECK (qty > 0)")
+    }
+    assert(GraftTable.checkConstraints(
+      GraftTable.state(root("cons", "t")).properties).isEmpty,
+      "a failed ADD CONSTRAINT must not commit the property")
+    spark.sql("DELETE FROM graft.cons.t WHERE qty < 0")
+    spark.sql("ALTER TABLE graft.cons.t ADD CONSTRAINT qty_pos CHECK (qty > 0)")
+    assert(GraftTable.checkConstraints(
+      GraftTable.state(root("cons", "t")).properties) == Seq("qty_pos" -> "qty > 0"))
+
+    // a violating SQL INSERT fails; null passes (SQL standard: UNKNOWN
+    // is not a violation), valid rows land
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO graft.cons.t VALUES (4, 0, 'bad')")
+    }
+    assert(e1.getMessage.toLowerCase.contains("qty"), s"error names the constraint: $e1")
+    spark.sql("INSERT INTO graft.cons.t VALUES (5, NULL, 'nullpass'), (6, 9, 'ok')")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.cons.t").head().getLong(0) == 4)
+
+    // the engine API enforces the same constraint (shared write funnel)
+    val e2 = intercept[Exception] {
+      GraftTable.append(spark, root("cons", "t"),
+        Seq((9L, -3L, "engine")).toDF("id", "qty", "note"))
+    }
+    assert(e2.getMessage.contains("qty_pos") ||
+      Option(e2.getCause).exists(_.getMessage.contains("qty_pos")),
+      s"engine-side violation names the constraint: $e2")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.cons.t").head().getLong(0) == 4,
+      "no partial commit from the failed engine append")
+
+    // renaming/dropping a constrained column refuses while the
+    // constraint lives
+    intercept[Exception] { spark.sql("ALTER TABLE graft.cons.t DROP COLUMN qty") }
+    intercept[Exception] { spark.sql("ALTER TABLE graft.cons.t RENAME COLUMN qty TO q2") }
+
+    // DROP CONSTRAINT releases enforcement; the column ops work again
+    spark.sql("ALTER TABLE graft.cons.t DROP CONSTRAINT qty_pos")
+    spark.sql("INSERT INTO graft.cons.t VALUES (7, -5, 'unconstrained now')")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.cons.t").head().getLong(0) == 5)
+    intercept[Exception] {   // unknown name without IF EXISTS
+      spark.sql("ALTER TABLE graft.cons.t DROP CONSTRAINT nope")
+    }
+    spark.sql("ALTER TABLE graft.cons.t DROP CONSTRAINT IF EXISTS nope")
   }
 }
