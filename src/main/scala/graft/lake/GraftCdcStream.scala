@@ -1,6 +1,7 @@
 package graft.lake
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset => V2Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
@@ -49,7 +50,9 @@ class GraftCdcStreamProvider extends StreamSourceProvider with DataSourceRegiste
     val root = rootOf(parameters)
     val start = parameters.get("startingSnapshotId").map(_.toLong)
       .getOrElse(GraftCdcStreamProvider.mainHead(root))
-    new GraftCdcSource(ctx, root, start)
+    new GraftCdcSource(ctx, root, start,
+      parameters.get("maxSnapshotsPerTrigger").map(_.toInt),
+      parameters.get("maxRowsPerTrigger").map(_.toLong))
   }
 }
 
@@ -76,15 +79,77 @@ private[lake] object GraftCdcStreamProvider {
 /** One table's CDC feed as a V1 streaming Source: `getOffset` is the
   * published log head, `getBatch(a, b]` delegates to the batch
   * `changes` engine — per-commit cost scales with what each commit
-  * touched (SURVEY §5's CDC rule), never with table size. */
+  * touched (SURVEY §5's CDC rule), never with table size.
+  *
+  * ADMISSION CONTROL (the Delta `maxFilesPerTrigger` backfill
+  * workflow): `maxSnapshotsPerTrigger` / `maxRowsPerTrigger` bound
+  * each micro-batch — a stream started at snapshot 0 over a table
+  * with years of history drains in bounded batches instead of one
+  * giant catch-up batch the cluster can't hold. Row budgeting uses
+  * each pending commit's added-record count (maintenance commits
+  * count 0 — the feed emits nothing for them) and always admits at
+  * least one commit, so progress is guaranteed. With
+  * `Trigger.AvailableNow` the head is pinned at start
+  * (prepareForTriggerAvailableNow) and the stream processes exactly
+  * that history, rate-limited, then stops. */
 private[lake] class GraftCdcSource(ctx: SQLContext, root: String,
-    startExclusive: Long) extends Source {
+    startExclusive: Long, maxSnapshotsPerTrigger: Option[Int] = None,
+    maxRowsPerTrigger: Option[Long] = None)
+    extends Source with SupportsTriggerAvailableNow {
 
   override val schema: StructType = GraftCdcStreamProvider.cdcSchema(root)
 
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(GraftCdcStreamProvider.mainHead(root))
+
+  private def publishedHead: Long = {
+    val h = GraftCdcStreamProvider.mainHead(root)
+    availableNowCap.fold(h)(math.min(h, _))
+  }
+
   override def getOffset: Option[V1Offset] = {
-    val head = GraftCdcStreamProvider.mainHead(root)
+    val head = publishedHead
     if (head <= startExclusive) None else Some(LongOffset(head))
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    (maxSnapshotsPerTrigger, maxRowsPerTrigger) match {
+      case (Some(s), Some(r)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(s), ReadLimit.maxRows(r)))
+      case (Some(s), None) => ReadLimit.maxFiles(s)
+      case (None, Some(r)) => ReadLimit.maxRows(r)
+      case _ => ReadLimit.allAvailable()
+    }
+
+  override def reportLatestOffset(): V2Offset = LongOffset(publishedHead)
+
+  override def latestOffset(startOffset: V2Offset, limit: ReadLimit): V2Offset = {
+    val from = Option(startOffset).map {
+      case l: LongOffset => l.offset
+      case other => other.json().toLong
+    }.getOrElse(startExclusive)
+    val head = publishedHead
+    if (head <= from) return null
+    // pending published commits with their admission row counts; the
+    // range is contiguous in the log, so bounding = picking the last
+    // admitted commit id as the end offset
+    val pending = GraftTable.pendingCommitRows(root, from, head)
+    if (pending.isEmpty) return LongOffset(head)   // only staged ids pend
+    def applyOne(l: ReadLimit, ids: Seq[(Long, Long)]): Seq[(Long, Long)] = l match {
+      case _: ReadAllAvailable => ids
+      case m: ReadMaxFiles => ids.take(math.max(1, m.maxFiles))
+      case m: ReadMaxRows =>
+        var cum = 0L
+        val keep = ids.takeWhile { case (_, n) => val ok = cum < m.maxRows(); cum += n; ok }
+        if (keep.isEmpty) ids.take(1) else keep   // always make progress
+      case c: CompositeReadLimit =>
+        c.getReadLimits.foldLeft(ids)((acc, x) => applyOne(x, acc))
+      case _ => ids
+    }
+    val admitted = applyOne(limit, pending)
+    LongOffset(admitted.last._1)
   }
 
   private def bound(o: V1Offset): Long = o match {

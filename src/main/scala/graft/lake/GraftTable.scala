@@ -3332,6 +3332,22 @@ object GraftTable {
     parts.foldLeft(empty)(_.unionByName(_))
   }
 
+  /** Admission-control metadata for the CDC stream source: commit ids
+    * in (fromExclusive, toInclusive] paired with the record count
+    * their data adds carry (0 for maintenance ops — the feed emits
+    * nothing for them), staged (WAP) commits excluded — invisible to
+    * the feed until cherrypicked. Metadata-plane only: one small JSON
+    * read per PENDING commit on the driver, never O(table). */
+  private[lake] def pendingCommitRows(root: String, fromExclusive: Long,
+      toInclusive: Long): Seq[(Long, Long)] =
+    listCommitIds(root)
+      .filter(id => id > fromExclusive && id <= toInclusive).sorted
+      .map(id => parseCommit(Files.readString(commitPath(root, id))))
+      .filterNot(isStaged)
+      .map(c => c.snapshotId -> (
+        if (maintenanceOps(c.operation)) 0L
+        else c.adds.filter(_.content.forall(_ == 0)).map(_.records).sum))
+
   /** Ops that never change live row content, only file layout. */
   private def maintenanceOps(op: String): Boolean = op match {
     case "create" | "add_column" | "rename_column" | "drop_column" |
@@ -3550,9 +3566,14 @@ object GraftTable {
     * the streaming twin of `changes`, with its exactly-once and
     * loud-failure semantics (see GraftCdcStreamProvider). */
   def readStreamChanges(spark: SparkSession, root: String,
-      fromExclusive: Option[Long] = None): DataFrame = {
-    val r = spark.readStream.format("graft-cdc").option("path", root)
-    fromExclusive.fold(r)(id => r.option("startingSnapshotId", id.toString)).load()
+      fromExclusive: Option[Long] = None,
+      maxSnapshotsPerTrigger: Option[Int] = None,
+      maxRowsPerTrigger: Option[Long] = None): DataFrame = {
+    var r = spark.readStream.format("graft-cdc").option("path", root)
+    fromExclusive.foreach(id => r = r.option("startingSnapshotId", id.toString))
+    maxSnapshotsPerTrigger.foreach(n => r = r.option("maxSnapshotsPerTrigger", n.toString))
+    maxRowsPerTrigger.foreach(n => r = r.option("maxRowsPerTrigger", n.toString))
+    r.load()
   }
 
   def readStreamAppendOnly(spark: SparkSession, root: String): DataFrame = {

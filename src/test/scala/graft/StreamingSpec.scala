@@ -463,6 +463,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC stream admission control: a backfill drains in bounded micro-batches") {
+    import spark.implicits._
+    import graft.lake.GraftTable
+    val base = Files.createTempDirectory("graft-cdc-rate")
+    val root = base.resolve("t").toString
+    val df0 = Seq((0L, "x")).toDF("id", "v")
+    GraftTable.create(spark, root, df0.schema)
+    // 6 data commits of 2 rows each = a 12-row history to drain
+    (0 until 6).foreach { i =>
+      GraftTable.append(spark, root,
+        Seq((i * 2L, s"a$i"), (i * 2L + 1, s"b$i")).toDF("id", "v"))
+    }
+
+    // maxSnapshotsPerTrigger=1 + AvailableNow: exactly one commit per
+    // micro-batch, the stream drains the pinned history and STOPS
+    val batches = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val q = GraftTable.readStreamChanges(spark, root, fromExclusive = Some(0L),
+        maxSnapshotsPerTrigger = Some(1))
+      .writeStream.option("checkpointLocation", base.resolve("ck1").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = b.select("_commit_snapshot_id").distinct()
+          .collect().map(_.getLong(0)).toSet
+        batches.synchronized { batches += ids }
+        ()
+      }.start()
+    assert(q.awaitTermination(120000), "AvailableNow must terminate")
+    val nonEmpty = batches.filter(_.nonEmpty)
+    assert(nonEmpty.forall(_.size == 1),
+      s"each micro-batch must carry exactly one snapshot: $batches")
+    assert(nonEmpty.size == 6 && nonEmpty.flatten.toSet.size == 6,
+      s"the 6 data commits drain one per batch: $batches")
+
+    // maxRowsPerTrigger=5 admits whole commits until the budget is
+    // spent: 2-row commits → 3 commits (6 rows ≥ 5) per batch
+    val rows = scala.collection.mutable.ArrayBuffer[Long]()
+    val q2 = GraftTable.readStreamChanges(spark, root, fromExclusive = Some(0L),
+        maxRowsPerTrigger = Some(5L))
+      .writeStream.option("checkpointLocation", base.resolve("ck2").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = b.count()
+        rows.synchronized { rows += n }
+        ()
+      }.start()
+    assert(q2.awaitTermination(120000), "AvailableNow must terminate")
+    val filled = rows.filter(_ > 0)
+    assert(filled.sum == 12, s"the full 12-row history arrives: $rows")
+    assert(filled.max <= 6, s"row budget bounds each batch (5 + one 2-row overshoot): $rows")
+    assert(filled.size >= 2, s"history must split across batches: $rows")
+  }
+
   test("CDC stream: every commit arrives as one micro-batch of change rows") {
     import spark.implicits._
     import graft.lake.GraftTable
