@@ -467,6 +467,13 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
               where = whereCond)
         }
         Seq(Row(s"snapshot_id=$id"))
+      case "copy_into" =>
+        // idempotent landing-zone ingestion: only never-loaded files
+        // load; a retried CALL is a no-op (see GraftTable.copyInto)
+        val (id, nf, nr) = GraftTable.copyInto(spark, root,
+          required("source", "arg1"),
+          force = arg("force", "arg2").exists(_.toBoolean))
+        Seq(Row(s"snapshot_id=$id files_loaded=$nf rows_loaded=$nr"))
       case "cherrypick_snapshot" =>
         Seq(Row(s"snapshot_id=${GraftTable.cherrypickSnapshot(root,
           required("snapshot_id", "arg1").toLong)}"))
@@ -531,7 +538,7 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
             "rewrite_manifests, rewrite_position_deletes, rewrite_equality_deletes, " +
             "expire_snapshots, remove_orphan_files, rollback_to_snapshot, " +
             "create_tag, drop_tag, create_changes_view, cherrypick_snapshot, " +
-            "abandon_staged_snapshot)")
+            "abandon_staged_snapshot, copy_into)")
     }
   }
 }

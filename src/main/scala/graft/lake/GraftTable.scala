@@ -1557,6 +1557,54 @@ object GraftTable {
     appendWithProps(spark, root, df, snap, Map(key -> version.toString))
   }
 
+  private[graft] val copyFilesPropPrefix = "graft.copy.files."
+
+  /** `COPY INTO`-style idempotent file ingestion (the Delta/Databricks
+    * landing-zone workflow): load the parquet files under `sourceDir`
+    * that were NOT loaded before, as ONE append commit whose
+    * properties record the batch's file list (one
+    * `graft.copy.files.<uuid>` key per ingestion batch). The
+    * loaded-file registry is the union of those properties in the
+    * current snapshot — it replays and checkpoints with the table and
+    * makes retried ingestion jobs converge: re-running over the same
+    * directory is a no-op. File identity is the path string (the COPY
+    * INTO contract: re-uploading new bytes to a loaded path does not
+    * reload it); `force = true` reloads everything regardless.
+    * Returns (snapshotId, filesLoaded, rowsLoaded).
+    *
+    * Scale: the registry is metadata (one small key per batch); the
+    * membership test is a set difference on the SAME driver plane
+    * that listed the directory — O(listing), never O(table data). The
+    * data move is one distributed parquet read through the normal
+    * append pipeline, so the schema contract, declared sort order,
+    * bloom filters, and CHECK constraints all apply to copied rows. */
+  def copyInto(spark: SparkSession, root: String, sourceDir: String,
+      force: Boolean = false): (Long, Long, Long) = {
+    val snap = state(root)
+    val loaded: Set[String] = snap.properties.iterator.collect {
+      case (k, v) if k.startsWith(copyFilesPropPrefix) && v.nonEmpty =>
+        v.linesIterator
+    }.flatten.toSet
+    def walkParquet(dir: Path): Seq[Path] = listDir(dir).flatMap { p =>
+      if (Files.isDirectory(p)) walkParquet(p)
+      else if (p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith(".")) Seq(p)
+      else Seq.empty
+    }
+    val all = walkParquet(Paths.get(sourceDir)).map(_.toString).sorted
+    require(all.nonEmpty, s"COPY INTO source has no parquet files: $sourceDir")
+    val fresh = if (force) all else all.filterNot(loaded)
+    if (fresh.isEmpty) return (snap.snapshotId, 0L, 0L)
+    val df = spark.read.parquet(fresh: _*)
+    val id = appendWithProps(spark, root, df, snap,
+      Map(copyFilesPropPrefix + UUID.randomUUID() -> fresh.mkString("\n")))
+    val prevPaths = snap.files.map(_.path).toSet
+    val rows = state(root, Some(id)).files
+      .collect { case f if !prevPaths(f.path) && f.content.forall(_ == 0) => f.records }.sum
+    (id, fresh.size.toLong, rows)
+  }
+
   /** Copy-on-write DELETE/overwrite: files whose stats may contain
     * matching rows are rewritten without them; untouched files are
     * carried over by reference. `prunePreds` (a stats-comparable

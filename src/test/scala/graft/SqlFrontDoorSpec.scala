@@ -23,7 +23,7 @@ class SqlFrontDoorSpec extends SparkSpec {
     // clear only THIS suite's namespaces (the warehouse is shared
     // session-wide; the cached catalog instance keeps its path)
     Seq("lab", "lab2", "tmp", "del", "dyn", "ren", "orph", "zord", "rl", "evo",
-        "ctas", "mv", "cons", ".staging").foreach { ns =>
+        "ctas", "mv", "cons", "cp", ".staging").foreach { ns =>
       val p = Paths.get(wh, ns)
       if (Files.exists(p)) {
         val s = Files.walk(p)
@@ -1082,6 +1082,44 @@ class SqlFrontDoorSpec extends SparkSpec {
     val (_, total, live) = GraftTable.scan(spark, root("lab2", "nation_t"),
       Seq(GraftTable.Eq("n_regionkey", "2")))
     assert(live < total)
+  }
+
+  test("COPY INTO: idempotent landing-zone ingestion, only fresh files load") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cp")
+    spark.sql("CREATE TABLE graft.cp.t (id BIGINT, v STRING)")
+    val zone = Files.createTempDirectory("graft-copy-zone")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.parquet(zone.resolve("batch1").toString)
+    Seq((3L, "c")).toDF("id", "v")
+      .coalesce(1).write.parquet(zone.resolve("batch2").toString)
+
+    def call() = spark.sql(
+      s"CALL graft_system.copy_into(table => 'cp.t', source => '$zone')")
+      .head().getString(0)
+    def count() = spark.sql("SELECT COUNT(*) AS c FROM graft.cp.t").head().getLong(0)
+
+    assert(call().contains("files_loaded=2") && count() == 3)
+    // a retried CALL over the same zone is a no-op
+    assert(call().contains("files_loaded=0 rows_loaded=0") && count() == 3)
+
+    // a new file lands in the zone: only IT loads
+    Seq((4L, "d"), (5L, "e")).toDF("id", "v")
+      .coalesce(1).write.parquet(zone.resolve("batch3").toString)
+    val r3 = call()
+    assert(r3.contains("files_loaded=1") && r3.contains("rows_loaded=2") && count() == 5,
+      s"only the new file loads: $r3")
+
+    // force reloads everything (the explicit escape hatch)
+    val rf = spark.sql(
+      s"CALL graft_system.copy_into(table => 'cp.t', source => '$zone', force => true)")
+      .head().getString(0)
+    assert(rf.contains("files_loaded=3") && count() == 10)
+
+    // the registry rides table state: engine API agrees with SQL
+    val root2 = Paths.get(wh, "cp", "t").toString
+    assert(GraftTable.copyInto(spark, root2, zone.toString) == (
+      GraftTable.state(root2).snapshotId, 0L, 0L))
   }
 
   test("CHECK constraints: ADD validates existing rows, writes enforce, DROP releases") {
