@@ -309,7 +309,44 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  // ── §2.1 UNPIVOT / melt ─────────────────────────────────────────────
+  /** Wide→long reshape: the four lineitem measures melt into
+    * (measure, value) rows, then aggregate per measure. Spark's native
+    * `unpivot` is a narrow projection (no shuffle added by the
+    * reshape itself — the only exchange is the 4-row aggregate). */
+  def q76(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= d("1997-01-01"))
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .orderBy(col("measure"))
+
+  // ── §2.1 GROUPING SETS ──────────────────────────────────────────────
+  /** A non-hierarchical grouping-set combination (not expressible as
+    * rollup or cube): per (status, priority), per priority alone, and
+    * the grand total — with `grouping_id` disambiguating real nulls
+    * from aggregation nulls. One shuffle: Spark expands the sets
+    * map-side and aggregates once. */
+  def q77(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("g77_orders")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM g77_orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+      ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_unpivot" -> q76 _,
+    "q77_grouping_sets" -> q77 _,
     "q01_scan_project" -> q01 _,
     "q02_filter_pushdown" -> q02 _,
     "q03_agg_groupby" -> q03 _,
@@ -338,6 +375,27 @@ object Relational {
   private def ds(e: String) = sumD.format(e)
 
   val oracleSql: Map[String, String] = Map(
+    "q76_unpivot" ->
+      """WITH src AS (SELECT l_quantity, l_extendedprice, l_discount, l_tax
+        |             FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'),
+        |m AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM src
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM src
+        |  UNION ALL SELECT 'l_discount', l_discount FROM src
+        |  UNION ALL SELECT 'l_tax', l_tax FROM src)
+        |SELECT measure, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
+
+    "q77_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice
