@@ -508,12 +508,22 @@ object TextOps {
     * localCheckpoint per round keeps planning O(1) — the
     * connected-components lesson (SURVEY §8). The driver sees one
     * argmax row per round: metadata, not data. */
-  def bpeMerges(s: SparkSession, dir: String, nMerges: Int): Seq[(Long, String, String, Long)] = {
+  def bpeMerges(s: SparkSession, dir: String, nMerges: Int): Seq[(Long, String, String, Long)] =
+    bpeTrain(s, dir, nMerges)._1
+
+  /** The training loop, also returning the trained VOCABULARY — each
+    * distinct word with its final symbol sequence. The loop's fold IS
+    * the encoder (merges applied in learned order), so the vocabulary
+    * comes out encoded for free; corpus encoding then joins
+    * occurrences against it (vocabulary-sized work + one word-keyed
+    * shuffle, never a per-token fold — the 100 TB shape). */
+  private[graft] def bpeTrain(s: SparkSession, dir: String, nMerges: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     val words = Tables.documents(s, dir)
       .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    var vocab = words.select(split(col("w"), "").as("syms"), col("cnt"))
+    var vocab = words.select(col("w"), split(col("w"), "").as("syms"), col("cnt"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var step = 1
@@ -545,7 +555,7 @@ object TextOps {
         step += 1
       }
     }
-    merges.toSeq
+    (merges.toSeq, vocab)
   }
 
   /** The learned merge table as the gate artifact (rows-only: the
@@ -555,6 +565,32 @@ object TextOps {
     bpeMerges(s, dir, nMerges = 24)
       .toDF("step", "left", "right", "pair_count")
       .orderBy(col("step"))
+  }
+
+  /** BPE ENCODING at corpus scale: train 16 merges, then tokenize
+    * every document — per doc, the word count, BPE token count, char
+    * count, and chars-per-token compression ratio. The expensive part
+    * is O(vocabulary): the training fold already left every distinct
+    * word encoded, so the corpus pass is one (doc, word) aggregation
+    * joined word-keyed against the vocabulary — no per-occurrence
+    * fold. Rows-only gate (iterative training has no single-statement
+    * SQL twin); BpeSpec pins the encoding against an independent
+    * in-memory reference encoder. */
+  def q78(s: SparkSession, dir: String): DataFrame = {
+    val (_, vocab) = bpeTrain(s, dir, nMerges = 16)
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+    occ.join(vocab.select(col("w"), size(col("syms")).as("toks")), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("toks")).as("n_tokens"),
+        sum(col("n") * length(col("w"))).as("n_chars"))
+      .withColumn("compression",
+        col("n_chars").cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
   }
 
   // ── §2.3 DSIR-style importance resampling ───────────────────────────
@@ -604,6 +640,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_importance_sample" -> q75 _,
+    "q78_bpe_encode" -> q78 _,
     "q71_text_bpe" -> q71 _,
     "q70_text_tfidf" -> q70 _,
     "q61_decontam_bloom" -> q61 _,

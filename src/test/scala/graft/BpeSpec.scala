@@ -56,6 +56,37 @@ class BpeSpec extends SparkSpec {
     assert(TextOps.bpeMerges(spark, sf, 16) == got)
   }
 
+  test("BPE corpus encoding equals the in-memory reference tokenizer") {
+    // reference: train 16 merges (refBpe), encode every word by the
+    // same sequential fold, total per doc — all in plain Scala
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val allWords = docs.values.iterator
+      .flatMap(t => "[a-z]+".r.findAllIn(t.toLowerCase)).filter(_.length >= 2)
+    val wordCounts = allWords.foldLeft(Map.empty[String, Long]) { (m, w) =>
+      m.updated(w, m.getOrElse(w, 0L) + 1L)
+    }
+    val merges = refBpe(wordCounts, 16)
+    val encoded: Map[String, Int] = wordCounts.keysIterator.map { w =>
+      val syms = merges.foldLeft(w.map(_.toString).toVector) {
+        case (v, (_, a, b, _)) => applyMergeRef(v, a, b)
+      }
+      w -> syms.size
+    }.toMap
+    val want = docs.map { case (id, t) =>
+      val ws = "[a-z]+".r.findAllIn(t.toLowerCase).filter(_.length >= 2).toSeq
+      (id, ws.size.toLong, ws.map(w => encoded(w).toLong).sum, ws.map(_.length.toLong).sum)
+    }.toSeq.sorted
+
+    val got = TextOps.q78(spark, sf)
+      .select("doc_id", "n_words", "n_tokens", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(got == want, s"encoding diverges from the reference\n got=${got.take(5)}…\nwant=${want.take(5)}…")
+    // merges must actually compress: strictly fewer tokens than chars
+    assert(got.forall { case (_, _, toks, chars) => toks < chars },
+      "16 merges over this corpus must shorten every document")
+  }
+
   test("the greedy fold merges left-to-right without double-consuming symbols") {
     import spark.implicits._
     def fold(a: String, b: String) = expr(
