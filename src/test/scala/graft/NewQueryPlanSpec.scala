@@ -86,9 +86,12 @@ class NewQueryPlanSpec extends SparkSpec {
     // append/compact side effects at plan-build time) are excluded for
     // cost, not because they'd be exempt — their reads are plain scans.
     // q72's only non-equi shape is the SAME fixed-size seed-assignment
-    // broadcast as q48 — its dedup pairs join equi on cluster_id
+    // broadcast as q48 — its dedup pairs join equi on cluster_id.
+    // q75's non-equi shape is two ONE-ROW total-count broadcasts (the
+    // smoothing denominators) against the 256-row bucket model — O(1)
+    // sides by construction, nothing all-pairs about it
     val allPairsDeclared = Set("q34_dedup_embcos", "q35_ann_brute", "q48_ann_ivf",
-      "q72_dedup_semantic")
+      "q72_dedup_semantic", "q75_importance_sample")
     val lifecycle = Set("q23_lake_snapshots", "q24_lake_files", "q25_lake_timetravel",
       "q26_lake_compaction", "q27_lake_merge", "q28_lake_mor_delete",
       "q29_lake_partition_prune", "q54_lake_sql", "q57_lake_changes",
