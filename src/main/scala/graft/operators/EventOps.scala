@@ -67,11 +67,45 @@ object EventOps {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  // ── q79: native session windows (30-minute inactivity gap) ─────────
+  /** Spark's built-in `session_window` (the same operator the
+    * streaming path uses with a watermark): per user, events closer
+    * than 30 minutes merge into one session; the window end is the
+    * last event + gap. One shuffle on user_id; the session merge is
+    * in-partition. Everything emitted is integer micros, and the
+    * oracle reproduces the semantics with the classic
+    * gaps-and-islands window construction. */
+  def q79(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_event_funnel" -> q73 _,
-    "q74_retention" -> q74 _)
+    "q74_retention" -> q74 _,
+    "q79_session_window" -> q79 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q79_session_window" ->
+      """WITH e AS (SELECT user_id, EPOCH_US(ts) AS us FROM events),
+        |o AS (SELECT user_id, us,
+        |        LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+        |f AS (SELECT user_id, us,
+        |        CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |      FROM o),
+        |g AS (SELECT user_id, us,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |          ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id, MIN(us) AS session_start_us,
+        |       MAX(us) + 1800000000 AS session_end_us, COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
     "q73_event_funnel" ->
       """WITH e AS (SELECT user_id, event_type, EPOCH_US(ts) AS us FROM events),
         |v AS (SELECT user_id, MIN(us) AS view_us FROM e

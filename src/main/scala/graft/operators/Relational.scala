@@ -344,9 +344,45 @@ object Relational {
       ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
   }
 
+  // ── §2.1 data profiling ─────────────────────────────────────────────
+  /** One-pass column profile (the DESCRIBE/dbt-profile workflow a
+    * training-data pipeline runs before trusting a new drop): per
+    * column — null count, exact NDV, rendered min/max (only for types
+    * whose text rendering is engine-stable: ints, strings, dates;
+    * float min/max stay null rather than risk rendering drift). The
+    * multi-countDistinct plans as ONE logical pass via Spark's expand;
+    * at 100 TB swap `countDistinct` for `approx_count_distinct` to
+    * collapse the expand back to one physical pass. */
+  def q80(s: SparkSession, dir: String): DataFrame = {
+    val render = Set("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate")
+    val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+      "l_shipdate", "l_quantity")
+    val src = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+      col("l_shipdate").cast("date").as("l_shipdate"), col("l_quantity"))
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"ndv_$c")) ++
+        (if (render(c))
+          Seq(min(col(c)).cast("string").as(s"mn_$c"),
+            max(col(c)).cast("string").as(s"mx_$c"))
+        else Seq.empty)
+    }
+    src.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"), col("n_rows"),
+          (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+          col(s"ndv_$c").as("ndv"),
+          (if (render(c)) col(s"mn_$c") else lit(null).cast("string")).as("min_value"),
+          (if (render(c)) col(s"mx_$c") else lit(null).cast("string")).as("max_value"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_unpivot" -> q76 _,
     "q77_grouping_sets" -> q77 _,
+    "q80_profile" -> q80 _,
     "q01_scan_project" -> q01 _,
     "q02_filter_pushdown" -> q02 _,
     "q03_agg_groupby" -> q03 _,
@@ -386,6 +422,22 @@ object Relational {
         |SELECT measure, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
+
+    "q80_profile" -> {
+      val render = Set("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate")
+      val parts = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        "l_shipdate", "l_quantity").map { c =>
+        val mn = if (render(c)) s"CAST(MIN($c) AS VARCHAR)" else "CAST(NULL AS VARCHAR)"
+        val mx = if (render(c)) s"CAST(MAX($c) AS VARCHAR)" else "CAST(NULL AS VARCHAR)"
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS ndv,
+           |  $mn AS min_value, $mx AS max_value FROM s""".stripMargin
+      }
+      s"""WITH s AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+         |  CAST(l_shipdate AS DATE) AS l_shipdate, l_quantity FROM lineitem)
+         |${parts.mkString("\nUNION ALL\n")}
+         |ORDER BY col_name""".stripMargin
+    },
 
     "q77_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
