@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new graft.lake.GraftSqlParser(delegate))
     ext.injectPreCBORule(_ => graft.lake.GraftBroadcastHints)
+    // preCBO: the MV rewrite needs the Aggregate still sitting on the
+    // table-level V2 relation (before scan push-down erases the table)
+    ext.injectPreCBORule(_ => graft.lake.GraftMvRewrite)
     def info(name: String, usage: String) =
       new ExpressionInfo("graft.functions.GraftFunctions", null, name, usage, "")
     ext.injectFunction((FunctionIdentifier("graft_dotd"),

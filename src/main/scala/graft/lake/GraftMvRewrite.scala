@@ -1,0 +1,119 @@
+package graft.lake
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.internal.SQLConf
+
+/** Automatic materialized-view query rewrite — the Hive/BigQuery MV
+  * workflow on top of `Streams.maintainSumView`'s continuously-
+  * maintained rollups: a whole-table `GROUP BY k` sum/count aggregate
+  * over a lake table silently answers from the (tiny, pre-aggregated)
+  * view table instead of scanning the source, when
+  *
+  *   - the view is REGISTERED for the session
+  *     (`spark.graft.mv.views` = comma-separated view roots),
+  *   - the view is FRESH: its recorded `graft.mv.source-snapshot`
+  *     equals the source's current head (a maintenance-only commit on
+  *     the source parks the rewrite until the stream catches up —
+  *     conservative, never wrong), and
+  *   - the aggregate matches the view EXACTLY: grouping on the view's
+  *     group columns, aggregates limited to `sum(valueCol)` /
+  *     `count(*)` / `count(1)`, no filter under the aggregate, no
+  *     DISTINCT, no time travel.
+  *
+  * Anything else falls through to the source scan untouched. At
+  * 100 TB this converts a full-corpus shuffle into a metadata-sized
+  * read, and freshness is free: the streaming maintainer stamps every
+  * MV merge with the highest source snapshot it has folded in.
+  *
+  * The spliced subtree is the view's own optimized read plan with a
+  * Project rebinding the aggregate's output names AND exprIds, so
+  * parent operators resolve unchanged. Semantics match because the
+  * maintainer deletes zeroed groups — the view holds exactly the
+  * groups a fresh GROUP BY would emit. */
+object GraftMvRewrite extends Rule[LogicalPlan] {
+
+  private[graft] val viewsKey = "spark.graft.mv.views"
+
+  /** The source root a plan reads, iff it is a bare (possibly
+    * projected/aliased) scan of a graft V2 relation with no time
+    * travel — any Filter or other node means the aggregate is not the
+    * whole-table rollup the view holds. */
+  private def rootOf(p: LogicalPlan): Option[String] = p match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftSparkTable if t.timeTravel.isEmpty =>
+        Some(Paths.get(t.tableRoot).toAbsolutePath.normalize.toString)
+      case _ => None
+    }
+    case r: DataSourceV2ScanRelation => rootOf(r.relation)
+    case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+      rootOf(child)
+    case SubqueryAlias(_, child) => rootOf(child)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val views = SQLConf.get.getConfString(viewsKey, "")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    if (views.isEmpty) plan
+    else plan.transformDown {
+      case agg: Aggregate =>
+        views.iterator.flatMap(v => rewrite(agg, v)).nextOption().getOrElse(agg)
+    }
+  }
+
+  private def rewrite(agg: Aggregate, viewRoot: String): Option[LogicalPlan] = {
+    val srcRoot = rootOf(agg.child).getOrElse(return None)
+    val vProps = GraftTable.state(viewRoot).properties
+    if (!vProps.get("graft.mv.source").contains(srcRoot)) return None
+    // freshness: the view must reflect the source's exact head
+    val fresh = vProps.get("graft.mv.source-snapshot").map(_.toLong)
+      .contains(GraftTable.state(srcRoot).snapshotId)
+    if (!fresh) return None
+    val groupCols = vProps.getOrElse("graft.mv.group-cols", "").split(",").toSeq
+    val valueCol = vProps.getOrElse("graft.mv.value-col", "")
+    // grouping must be exactly the view's group columns (any order)
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    if (groupAttrs.map(_.name.toLowerCase).toSet !=
+      groupCols.map(_.toLowerCase).toSet) return None
+
+    val spark = SparkSession.active
+    val viewPlan = GraftTable.read(spark, viewRoot).queryExecution.optimizedPlan
+    def viewAttr(name: String): Option[AttributeReference] =
+      viewPlan.output.collectFirst {
+        case a: AttributeReference if a.name.equalsIgnoreCase(name) => a
+      }
+
+    // every output must map onto a view column of the SAME type
+    val outs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        val v = viewAttr(a.name).getOrElse(return None)
+        if (v.dataType != a.dataType) return None
+        Alias(v, a.name)(exprId = a.exprId)
+      case al @ Alias(ae: AggregateExpression, name)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        val v = ae.aggregateFunction match {
+          case Sum(sa: AttributeReference, _) if sa.name.equalsIgnoreCase(valueCol) =>
+            viewAttr("v_sum").getOrElse(return None)
+          case Count(Seq(Literal(1, _))) => viewAttr("n_rows").getOrElse(return None)
+          case Count(Seq()) => viewAttr("n_rows").getOrElse(return None)
+          case _ => return None
+        }
+        if (v.dataType != al.dataType) return None
+        Alias(v, name)(exprId = al.exprId)
+      case _ => return None
+    }
+    logInfo(s"rewriting aggregate over $srcRoot to materialized view $viewRoot")
+    Some(Project(outs, viewPlan))
+  }
+}

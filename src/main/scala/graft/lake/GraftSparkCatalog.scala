@@ -578,6 +578,11 @@ private[lake] class GraftStagedTable(fqName: String, stagingRoot: String,
 private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[Long])
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
+  // for plan rules that need to know WHICH table a V2 relation reads
+  // (GraftMvRewrite matches source scans; time travel never rewrites)
+  private[lake] def tableRoot: String = root
+  private[lake] def timeTravel: Option[Long] = asOf
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => GraftRelation.toCondition(f).isDefined)
 

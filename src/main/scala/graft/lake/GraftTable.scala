@@ -2161,13 +2161,14 @@ object GraftTable {
     * plain merge re-adds the delta on replay. */
   def mergeIdempotent(spark: SparkSession, root: String, source: DataFrame,
       keyCols: Seq[String], clauses: Seq[MergeClause],
-      appId: String, version: Long): Long = {
+      appId: String, version: Long,
+      extraProps: Map[String, String] = Map.empty): Long = {
     val key = s"graft.txn.$appId"
     val snap = state(root)
     if (snap.properties.get(key).map(_.toLong).exists(_ >= version))
       return snap.snapshotId   // already applied
     merge(spark, root, source, keyCols.map(k => (k, k)), clauses,
-      Map(key -> version.toString))
+      extraProps + (key -> version.toString))
   }
 
   def merge(spark: SparkSession, root: String, source: DataFrame,

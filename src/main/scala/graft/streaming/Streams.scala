@@ -218,12 +218,23 @@ object Streams {
           org.apache.spark.sql.types.StructField("v_sum", vType),
           org.apache.spark.sql.types.StructField("n_rows",
             org.apache.spark.sql.types.LongType)))
-      GraftTable.create(spark, viewRoot, schema)
+      // self-describing for GraftMvRewrite: what this view rolls up
+      GraftTable.create(spark, viewRoot, schema, Map(
+        "graft.mv.source" ->
+          java.nio.file.Paths.get(sourceRoot).toAbsolutePath.normalize.toString,
+        "graft.mv.group-cols" -> groupCols.mkString(","),
+        "graft.mv.value-col" -> valueCol))
     }
     GraftTable.readStreamChanges(spark, sourceRoot, fromExclusive = Some(0L))
       .writeStream.option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // the highest source snapshot this view reflects after the
+          // batch lands — GraftMvRewrite's freshness gate (monotone:
+          // later batches serve later commits, last write wins)
+          val srcHead = batch
+            .agg(org.apache.spark.sql.functions.max(col("_commit_snapshot_id")))
+            .head().getLong(0)
           val sign = when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1))
           val deltas = batch
             .groupBy(groupCols.map(col): _*)
@@ -242,7 +253,8 @@ object Streams {
                 "v_sum" -> (col("v_sum") + col(GraftTable.mergeSourcePrefix + "d_sum")),
                 "n_rows" -> (col("n_rows") + col(GraftTable.mergeSourcePrefix + "d_n"))))),
               GraftTable.MergeInsert(None, Some(ins))),
-            appId = s"graft-mv:$viewRoot", version = batchId)
+            appId = s"graft-mv:$viewRoot", version = batchId,
+            extraProps = Map("graft.mv.source-snapshot" -> srcHead.toString))
         }
         ()
       }

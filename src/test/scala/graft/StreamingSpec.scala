@@ -433,6 +433,58 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("MV rewrite: a fresh view answers the whole-table rollup, stale falls back") {
+    import graft.lake.{GraftMvRewrite, GraftTable}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvr")
+    spark.sql("DROP TABLE IF EXISTS graft.mvr.src")
+    spark.sql("CREATE TABLE graft.mvr.src (k STRING, v BIGINT)")
+    spark.sql("INSERT INTO graft.mvr.src VALUES ('a', 1), ('a', 2), ('b', 5)")
+    val srcRoot = java.nio.file.Paths
+      .get(SparkSpec.sqlWarehouse, "mvr", "src").toString
+    val base = Files.createTempDirectory("graft-mvr")
+    val view = base.resolve("view").toString
+    def agg() = spark.sql(
+      "SELECT k, SUM(v) AS s, COUNT(*) AS c FROM graft.mvr.src GROUP BY k")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    val q = Streams.maintainSumView(spark, srcRoot, view,
+      Seq("k"), "v", base.resolve("ckpt").toString)
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    try {
+      spark.conf.set(GraftMvRewrite.viewsKey, view)
+      val hit = agg()
+      // the rewritten plan reads the view's v_sum/n_rows columns; the
+      // fallback aggregates the source's v — key the assertion on that
+      assert(hit.queryExecution.optimizedPlan.toString.contains("v_sum"),
+        s"fresh view must answer the rollup:\n${hit.queryExecution.optimizedPlan}")
+      assert(rows(hit) == Set(("a", 3L, 2L), ("b", 5L, 1L)))
+
+      // source moves while the maintainer is down: the view is stale,
+      // the SAME query silently falls back to the source scan
+      spark.sql("INSERT INTO graft.mvr.src VALUES ('b', 10), ('c', 7)")
+      val miss = agg()
+      assert(!miss.queryExecution.optimizedPlan.toString.contains("v_sum"),
+        "a stale view must never answer")
+      assert(rows(miss) == Set(("a", 3L, 2L), ("b", 15L, 2L), ("c", 7L, 1L)))
+
+      // a shape the view can't answer never rewrites, fresh or not
+      val q2 = Streams.maintainSumView(spark, srcRoot, view,
+        Seq("k"), "v", base.resolve("ckpt").toString)
+      try q2.processAllAvailable() finally q2.stop()
+      assert(agg().queryExecution.optimizedPlan.toString.contains("v_sum"),
+        "caught-up view resumes answering")
+      val filtered = spark.sql(
+        "SELECT k, SUM(v) AS s FROM graft.mvr.src WHERE v > 1 GROUP BY k")
+      assert(!filtered.queryExecution.optimizedPlan.toString.contains("v_sum"),
+        "a filtered aggregate is not the view's rollup")
+      assert(filtered.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("a", 2L), ("b", 15L), ("c", 7L)))
+    } finally spark.conf.unset(GraftMvRewrite.viewsKey)
+  }
+
   test("streaming upsert into the lake: one merge per micro-batch, last writer wins") {
     import spark.implicits._
     import graft.lake.GraftTable
