@@ -522,7 +522,34 @@ object LakeOps {
     }
   }
 
+  // ── q81: `.partitions` metadata view, oracle-checked ────────────────
+  /** The Iceberg `.partitions` sibling under the gate: a table
+    * partitioned by identity(c_mktsegment) must roll up one row per
+    * live partition whose record_count is exactly the SQL GROUP BY of
+    * the source — metadata answering a data question. The checkpoint
+    * is forced first (rewriteManifests) so the rollup runs the
+    * DISTRIBUTED branch: a Spark aggregation over the checkpoint
+    * parquet, never a driver materialization of the file list. The
+    * requires pin the branch taken and that every partition is
+    * multi-file (so the rollup genuinely aggregates). */
+  def q81(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("q81")
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    GraftTable.create(s, root, c.schema,
+      Map(GraftTable.specProp -> "identity(c_mktsegment)"))
+    GraftTable.append(s, root, c.filter(col("c_custkey") % 2 === 0).repartition(2))
+    GraftTable.append(s, root, c.filter(col("c_custkey") % 2 === 1).repartition(2))
+    val head = GraftTable.rewriteManifests(root)
+    require(Files.exists(Paths.get(root, "_graft_log", s"ckptfiles-$head.parquet")),
+      "the rollup must be served from the checkpoint parquet (distributed branch)")
+    val parts = GraftTable.partitionsTable(s, root)
+    require(parts.filter(col("file_count") < 2).isEmpty,
+      "every partition must hold multiple files or the rollup proves nothing")
+    parts.select(col("partition"), col("record_count")).orderBy(col("partition"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_lake_partitions" -> q81 _,
     "q69_lake_dpp" -> q69 _,
     "q67_lake_wap" -> q67 _,
     "q65_lake_spec_evolve" -> q65 _,
@@ -541,6 +568,11 @@ object LakeOps {
     "q29_lake_partition_prune" -> q29 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q81_lake_partitions" ->
+      """SELECT 'c_mktsegment=' || c_mktsegment AS partition,
+        |       COUNT(*) AS record_count
+        |FROM customer GROUP BY 1 ORDER BY partition""".stripMargin,
+
     "q69_lake_dpp" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
