@@ -482,6 +482,14 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
           required("snapshot_id", "arg1").toLong)}"))
       case "rewrite_manifests" =>
         Seq(Row(s"snapshot_id=${GraftTable.rewriteManifests(root)}"))
+      case "compute_table_stats" =>
+        // Iceberg's ANALYZE sibling: per-file HLL sketches, incremental
+        // by default (only never-sketched live files are read)
+        val cols = arg("columns", "arg1")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        val (sketched, id) = GraftStats.refreshTableStats(spark, root, cols,
+          incremental = arg("incremental").forall(_.toBoolean))
+        Seq(Row(s"snapshot_id=$id sketched_files=$sketched"))
       case "rewrite_position_deletes" =>
         Seq(Row(s"snapshot_id=${GraftTable.rewritePositionDeletes(spark, root)}"))
       case "rewrite_equality_deletes" =>
@@ -538,7 +546,7 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
             "rewrite_manifests, rewrite_position_deletes, rewrite_equality_deletes, " +
             "expire_snapshots, remove_orphan_files, rollback_to_snapshot, " +
             "create_tag, drop_tag, create_changes_view, cherrypick_snapshot, " +
-            "abandon_staged_snapshot, copy_into)")
+            "abandon_staged_snapshot, copy_into, compute_table_stats)")
     }
   }
 }

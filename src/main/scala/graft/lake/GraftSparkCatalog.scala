@@ -128,7 +128,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   private val metadataNames =
     Set("snapshots", "files", "history", "partitions", "manifests", "refs",
-      "entries", "metadata_log_entries", "all_files")
+      "entries", "metadata_log_entries", "all_files", "statistics", "ndv")
 
   // ── tables ──────────────────────────────────────────────────────────
 
@@ -1070,6 +1070,8 @@ private[lake] class GraftMetadataTable(fqName: String, root: String, kind: Strin
     case "entries" => GraftTable.entriesTable(s, root)
     case "metadata_log_entries" => GraftTable.metadataLogEntriesTable(s, root)
     case "all_files" => GraftTable.allFilesTable(s, root)
+    case "statistics" => GraftStats.statisticsTable(s, root)
+    case "ndv" => GraftStats.ndvEstimates(s, root)
   }
 
   override def name(): String = fqName

@@ -96,7 +96,7 @@ object GraftTable {
 
   private implicit val formats: Formats = DefaultFormats
 
-  private def logDir(root: String): Path = Paths.get(root, "_graft_log")
+  private[lake] def logDir(root: String): Path = Paths.get(root, "_graft_log")
   private def dataDir(root: String): Path = Paths.get(root, "data")
   /** Position-delete files live OUTSIDE data/ so the append-only
     * directory stream never sees them (their schema differs too). */
@@ -455,7 +455,7 @@ object GraftTable {
   private def parseCommit(s: String): Commit =
     JsonMethods.parse(s).extract[Commit]
 
-  private def listDir(p: Path): Seq[Path] =
+  private[lake] def listDir(p: Path): Seq[Path] =
     if (!Files.isDirectory(p)) Seq.empty
     else {
       val s = Files.list(p)
@@ -2616,13 +2616,13 @@ object GraftTable {
     * appends are NOT affected (the Iceberg sequence-number rule). */
   /** True when any field carries historical physical names (a rename
     * happened at or before this snapshot's schema). */
-  private def hasRenames(schema: StructType): Boolean =
+  private[lake] def hasRenames(schema: StructType): Boolean =
     schema.fields.exists(f => prevNames(f).nonEmpty)
 
   /** The schema to REQUEST from parquet: every logical field plus its
     * historical physical names (files written pre-rename carry those;
     * parquet null-fills whichever of the names a file lacks). */
-  private def physReadSchema(schema: StructType): StructType =
+  private[lake] def physReadSchema(schema: StructType): StructType =
     StructType(schema.fields ++ schema.fields.flatMap(f =>
       prevNames(f).map(h => StructField(h, f.dataType, nullable = true))))
 
@@ -2630,7 +2630,7 @@ object GraftTable {
     * (current name, historical names newest-first). Every file
     * physically contains exactly one of the names, so this is exact,
     * not a heuristic. `keep` columns (MoR row-identity) pass through. */
-  private def logicalProject(df: DataFrame, schema: StructType,
+  private[lake] def logicalProject(df: DataFrame, schema: StructType,
       keep: Seq[String] = Seq.empty): DataFrame =
     df.select(schema.fields.toSeq.map { f =>
       val hs = prevNames(f)

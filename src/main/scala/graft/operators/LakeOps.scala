@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.lake.GraftTable
+import graft.lake.{GraftStats, GraftTable}
 import graft.sources.Tables
 
 /** Lake-lifecycle operators (SURVEY.md §2.2) driven end-to-end as
@@ -548,7 +548,46 @@ object LakeOps {
     parts.select(col("partition"), col("record_count")).orderBy(col("partition"))
   }
 
+  // ── q82: per-file HLL column stats → table NDV estimates ────────────
+  /** Puffin-style column statistics under the gate: per-file HLL
+    * sketches computed incrementally (the second refresh must sketch
+    * ONLY the second append's files — the require on the returned
+    * count), unioned to table-level NDV estimates that must land
+    * within 5% of the exact distinct counts with full live coverage.
+    * Rows-only by design: DataSketches estimates are not reproducible
+    * in DuckDB — the requires ARE the check; the emitted rows pin
+    * coverage exactly and the estimates' determinism. */
+  def q82(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("q82")
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    GraftTable.create(s, root, o.schema)
+    GraftTable.append(s, root, o.filter(col("o_orderkey") % 2 === 0).repartition(2))
+    val (n1, _) = GraftStats.refreshTableStats(s, root)
+    require(n1 == 2, s"full compute must sketch both files, got $n1")
+    GraftTable.append(s, root, o.filter(col("o_orderkey") % 2 === 1).repartition(3))
+    val (n2, _) = GraftStats.refreshTableStats(s, root)
+    require(n2 == 3, s"incremental refresh must sketch ONLY the new files, got $n2")
+    val est = GraftStats.ndvEstimates(s, root)
+    val exact = o.agg(
+      countDistinct(col("o_orderkey")).as("o_orderkey"),
+      countDistinct(col("o_custkey")).as("o_custkey"),
+      countDistinct(col("o_orderstatus")).as("o_orderstatus")).head()
+    est.collect().foreach { r =>
+      val (c, ndv) = (r.getAs[String]("column"), r.getAs[Long]("ndv"))
+      val ex = exact.getAs[Long](c)
+      require(math.abs(ndv - ex).toDouble / ex <= 0.05,
+        s"NDV estimate for $c off by >5%: est=$ndv exact=$ex")
+      require(r.getAs[Long]("covered_files") == r.getAs[Long]("total_files") &&
+        r.getAs[Long]("covered_records") == r.getAs[Long]("total_records"),
+        s"stats must cover every live file after refresh: $r")
+    }
+    est.select(col("column"), col("covered_files"), col("total_files"),
+      col("covered_records"), col("total_records")).orderBy(col("column"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_lake_ndv" -> q82 _,
     "q81_lake_partitions" -> q81 _,
     "q69_lake_dpp" -> q69 _,
     "q67_lake_wap" -> q67 _,
@@ -568,6 +607,14 @@ object LakeOps {
     "q29_lake_partition_prune" -> q29 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q82_lake_ndv" ->
+      """SELECT t.c AS "column",
+        |       CAST(5 AS BIGINT) AS covered_files, CAST(5 AS BIGINT) AS total_files,
+        |       o.n AS covered_records, o.n AS total_records
+        |FROM (VALUES ('o_custkey'), ('o_orderkey'), ('o_orderstatus')) t(c)
+        |CROSS JOIN (SELECT COUNT(*) AS n FROM orders) o
+        |ORDER BY "column"""".stripMargin,
+
     "q81_lake_partitions" ->
       """SELECT 'c_mktsegment=' || c_mktsegment AS partition,
         |       COUNT(*) AS record_count

@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.lake.{GraftStats, GraftTable}
+
+/** Puffin-style per-file HLL column statistics (reference: the Iceberg
+  * runtime spark-defaults.conf:11 loads ships compute_table_stats →
+  * Puffin sketches): incremental refresh, liveness-joined estimates,
+  * `.statistics`/`.ndv` metadata views, CALL front door. */
+class StatsSpec extends SparkSpec {
+
+  private def freshRoot(name: String): String =
+    scratchRoot("graft-stats-test", name)
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("grp", IntegerType, nullable = true),
+    StructField("tag", StringType, nullable = true),
+    StructField("score", DoubleType, nullable = true)))
+
+  private def batch(ids: Range): Seq[Row] =
+    ids.map(i => Row(i.toLong, i % 7, s"tag-${i % 13}", i * 0.5))
+
+  private def df(rows: Seq[Row]) = spark.createDataFrame(rows.asJava, schema)
+
+  private def estimates(root: String): Map[String, (Long, Long, Long, Long, Long)] =
+    GraftStats.ndvEstimates(spark, root).collect().map { r =>
+      r.getAs[String]("column") -> ((r.getAs[Long]("ndv"), r.getAs[Long]("covered_files"),
+        r.getAs[Long]("total_files"), r.getAs[Long]("covered_records"),
+        r.getAs[Long]("total_records")))
+    }.toMap
+
+  test("full compute: estimates within 5% of exact, doubles excluded as ineligible") {
+    val root = freshRoot("full")
+    GraftTable.create(spark, root, schema)
+    GraftTable.append(spark, root, df(batch(0 until 2000)).repartition(3))
+    assert(GraftStats.eligibleColumns(schema) === Seq("id", "grp", "tag"))
+    val (sketched, _) = GraftStats.refreshTableStats(spark, root)
+    assert(sketched === 3)
+    val est = estimates(root)
+    assert(est.keySet === Set("id", "grp", "tag"))
+    assert(math.abs(est("id")._1 - 2000L) <= 100, s"id ndv ${est("id")._1}")
+    assert(est("grp")._1 === 7L)   // HLL is exact at tiny cardinality
+    assert(est("tag")._1 === 13L)
+    est.values.foreach { case (_, cf, tf, cr, tr) =>
+      assert(cf === tf && cf === 3L && cr === tr && cr === 2000L)
+    }
+  }
+
+  test("incremental refresh sketches only new files; survivor sketch bytes carry over") {
+    val root = freshRoot("incr")
+    GraftTable.create(spark, root, schema)
+    GraftTable.append(spark, root, df(batch(0 until 1000)).repartition(2))
+    GraftStats.refreshTableStats(spark, root)
+    val art1 = GraftTable.state(root).properties(GraftStats.statsFileProp)
+    val sk1 = spark.read.parquet(s"$root/_graft_log/$art1")
+      .collect().map(r => (r.getAs[String]("file_name"), r.getAs[String]("column")) ->
+        r.getAs[Array[Byte]]("sketch").toSeq).toMap
+
+    GraftTable.append(spark, root, df(batch(1000 until 1500)).repartition(2))
+    val (sketched, _) = GraftStats.refreshTableStats(spark, root)
+    assert(sketched === 2, "only the second append's files may be read")
+    val art2 = GraftTable.state(root).properties(GraftStats.statsFileProp)
+    assert(art2 !== art1)
+    val rows2 = spark.read.parquet(s"$root/_graft_log/$art2").collect()
+    assert(rows2.length === 4 * 3)   // 4 files x 3 eligible columns
+    // every first-artifact sketch survives BYTE-IDENTICAL (proof of no recompute)
+    sk1.foreach { case (k, bytes) =>
+      val again = rows2.find(r =>
+        (r.getAs[String]("file_name"), r.getAs[String]("column")) == k)
+      assert(again.isDefined && again.get.getAs[Array[Byte]]("sketch").toSeq == bytes,
+        s"survivor sketch changed for $k")
+    }
+    val est = estimates(root)
+    assert(math.abs(est("id")._1 - 1500L) <= 75)
+    assert(est("id")._2 === 4L && est("id")._4 === 1500L)
+  }
+
+  test("deletes age estimates visibly; refresh restores coverage and drops dead sketches") {
+    val root = freshRoot("del")
+    GraftTable.create(spark, root, schema)
+    // two appends with DISJOINT id ranges → per-file stats let
+    // overwriteWhere drop exactly one cohort's files
+    GraftTable.append(spark, root, df(batch(0 until 500)).coalesce(1))
+    GraftTable.append(spark, root, df(batch(500 until 1000)).coalesce(1))
+    GraftStats.refreshTableStats(spark, root)
+    val full = estimates(root)("id")
+    assert(math.abs(full._1 - 1000L) <= 50 && full._2 === 2L && full._3 === 2L &&
+      full._4 === 1000L && full._5 === 1000L, s"unexpected fresh estimate: $full")
+
+    GraftTable.overwriteWhere(spark, root, col("id") >= 500L)
+    val aged = estimates(root)
+    // the dropped file fell out of the liveness join — coverage says so
+    assert(aged("id")._2 === 1L && aged("id")._3 === 1L)
+    assert(aged("id")._4 === 500L && math.abs(aged("id")._1 - 500L) <= 25)
+
+    val (sketched, _) = GraftStats.refreshTableStats(spark, root)
+    assert(sketched === 0, "nothing new to sketch after a pure delete")
+    val art = GraftTable.state(root).properties(GraftStats.statsFileProp)
+    val names = spark.read.parquet(s"$root/_graft_log/$art")
+      .select("file_name").distinct().collect().map(_.getString(0)).toSet
+    assert(names.size === 1, s"dead files' sketches must be dropped from the artifact: $names")
+  }
+
+  test("non-incremental recompute, column subset, and bad-column rejection") {
+    val root = freshRoot("modes")
+    GraftTable.create(spark, root, schema)
+    GraftTable.append(spark, root, df(batch(0 until 300)).coalesce(1))
+    val (n1, _) = GraftStats.refreshTableStats(spark, root, Some(Seq("id", "tag")))
+    assert(n1 === 1)
+    assert(estimates(root).keySet === Set("id", "tag"))
+    // widening the column set re-sketches (the file is not covered for grp)
+    val (n2, _) = GraftStats.refreshTableStats(spark, root, Some(Seq("id", "grp", "tag")))
+    assert(n2 === 1)
+    assert(estimates(root).keySet === Set("id", "grp", "tag"))
+    val (n3, _) = GraftStats.refreshTableStats(spark, root, incremental = false)
+    assert(n3 === 1, "full recompute reads every live file")
+    intercept[IllegalArgumentException] {
+      GraftStats.refreshTableStats(spark, root, Some(Seq("score")))
+    }
+    intercept[IllegalArgumentException] {
+      GraftStats.refreshTableStats(spark, root, Some(Seq("nope")))
+    }
+  }
+
+  test("SQL front door: CALL compute_table_stats + .ndv/.statistics metadata views") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.statslab")
+    spark.sql("DROP TABLE IF EXISTS graft.statslab.t")
+    spark.sql("CREATE TABLE graft.statslab.t (id BIGINT, tag STRING)")
+    spark.sql("INSERT INTO graft.statslab.t SELECT id, 'v' || (id % 11) FROM range(2000)")
+    val res = spark.sql(
+      "CALL graft_system.compute_table_stats(table => 'statslab.t')").head().getString(0)
+    assert(res.contains("sketched_files="), res)
+    val ndv = spark.sql("SELECT * FROM graft.statslab.t.ndv ORDER BY column").collect()
+    assert(ndv.map(_.getAs[String]("column")).toSeq === Seq("id", "tag"))
+    val tagNdv = ndv.find(_.getAs[String]("column") == "tag").get.getAs[Long]("ndv")
+    assert(tagNdv === 11L)
+    val stats = spark.sql("SELECT * FROM graft.statslab.t.statistics").collect()
+    assert(stats.length === 1 && stats.head.getAs[Boolean]("registered"))
+    // a second CALL registers a new artifact; exactly one stays registered
+    spark.sql("CALL graft_system.compute_table_stats(table => 'statslab.t', " +
+      "columns => 'tag')")
+    val stats2 = spark.sql("SELECT * FROM graft.statslab.t.statistics").collect()
+    assert(stats2.length === 2 && stats2.count(_.getAs[Boolean]("registered")) === 1)
+  }
+
+  test("sketch pass is one distributed job shape: per-file groupBy, no driver rows") {
+    val root = freshRoot("shape")
+    GraftTable.create(spark, root, schema)
+    GraftTable.append(spark, root, df(batch(0 until 400)).repartition(4))
+    // count SQL executions, not raw jobs (AQE splits stages into jobs)
+    val before = currentExecId()
+    GraftStats.refreshTableStats(spark, root)
+    val execs = currentExecId() - before
+    assert(execs <= 6, s"refresh should stay a bounded number of SQL executions, ran $execs")
+  }
+
+  private def currentExecId(): Long = {
+    val f = spark.sharedState.statusStore.executionsList()
+    if (f.isEmpty) 0L else f.map(_.executionId).max
+  }
+}
