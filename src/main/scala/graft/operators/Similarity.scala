@@ -247,7 +247,87 @@ object Similarity {
       .orderBy(col("cluster_id"), col("drop_id"), col("keep_id"))
   }
 
+  // ── PQ ANN: product-quantization codes + asymmetric distance ────────
+  /** The memory-compression scale path (Jégou et al. 2011, public
+    * paper): each 64-dim vector compresses to m=8 one-byte codes (one
+    * per 8-dim subspace, nearest of k=16 codewords) — 32× smaller than
+    * the float vector — and query scoring reads ONLY codes through a
+    * per-query lookup table (asymmetric distance computation). The
+    * codebook is the deterministic md5-smallest sample (the q48 seed
+    * trick, so any engine reproduces it; k-means would tune it but
+    * needs iterative training — sampled codebooks are the standard
+    * initialization and keep the whole operator oracle-exact). All
+    * distances are the same sequential-fold arithmetic as DuckDB's
+    * list_dot_product, ties break on code/id, and the output carries
+    * no floats — a hash-match oracle over an approximate index.
+    *
+    * 100 TB shape: encode is O(N·m·k) arithmetic behind a broadcast
+    * (fixed-size codebook); the ADC scan joins the CODES table (8
+    * bytes/vector, not 256) against a broadcast query LUT — the wide
+    * embedding column never rides any shuffle; composes with q48's
+    * IVF lists for sublinear probing. */
+  private val pqM = 8       // subspaces
+  private val pqDsub = 8    // dims per subspace
+  private val pqK = 16      // codewords per subspace
+
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    val e = norms(s, dir)
+    val sub = (v: Column, j: Int) => slice(v, j * pqDsub + 1, pqDsub)
+    val l2 = (a: Column, b: Column) => {
+      val d = zip_with(a, b, (x, y) => x - y)
+      dot(d, d)
+    }
+    // deterministic codebook: the pqK md5-smallest vectors; code id =
+    // rank in that same order (a 16-row window, not a corpus sort)
+    val seeds = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(pqK)
+      .withColumn("code", (row_number().over(
+        Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))) - 1).cast("int"))
+    val cb = seeds.select(col("code"), explode(array((0 until pqM).map(j =>
+        struct(lit(j).as("j"), sub(col("v"), j).as("cw"))): _*)).as("e"))
+      .select(col("e.j").as("j"), col("code"), col("e.cw").as("cw"))
+    // encode: per (vector, subspace) the nearest codeword — argmin via
+    // a (vec,j)-window; rows carry 8-dim subvectors only
+    val subs = e.select(col("vec_id"), explode(array((0 until pqM).map(j =>
+        struct(lit(j).as("j"), sub(col("v"), j).as("s"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.j").as("j"), col("e.s").as("s"))
+    val byVecSub = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("dist"), col("code"))
+    val codes = subs.join(broadcast(cb), Seq("j"))
+      .select(col("vec_id"), col("j"), col("code"), l2(col("s"), col("cw")).as("dist"))
+      .withColumn("r", row_number().over(byVecSub)).filter(col("r") === 1)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    // per-query ADC lookup table: lut[j][c] = L2²(query sub j, codeword c)
+    val lut = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("qid"), explode(array((0 until pqM).map(j =>
+        struct(lit(j).as("j"), sub(col("v"), j).as("qs"))): _*)).as("e"))
+      .select(col("qid"), col("e.j").as("j"), col("e.qs").as("qs"))
+      .join(broadcast(cb), Seq("j"))
+      .select(col("qid"), col("j"), col("code"), l2(col("qs"), col("cw")).as("dist"))
+      .groupBy(col("qid"), col("j"))
+      .agg(transform(array_sort(collect_list(struct(col("code"), col("dist")))),
+        x => x.getField("dist")).as("d16"))
+      .groupBy(col("qid"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("d16")))),
+        x => x.getField("d16")).as("lut"))
+    // ADC scan: codes × broadcast LUT; approx distance is the same
+    // ordered fold both engines run (dot with a ones vector)
+    val ones = array(Seq.fill(pqM)(lit(1.0)): _*)
+    val dists8 = transform(sequence(lit(0), lit(pqM - 1)),
+      j => element_at(element_at(col("lut"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+    val w = Window.partitionBy(col("qid")).orderBy(col("approx"), col("nid"))
+    codes.join(broadcast(lut), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), dot(dists8, ones).as("approx"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_ann_pq" -> q83 _,
     "q72_dedup_semantic" -> q72 _,
     "q34_dedup_embcos" -> q34 _,
     "q35_ann_brute" -> q35 _,
@@ -260,6 +340,41 @@ object Similarity {
       "THEN 1.0 ELSE -1.0 END)"
 
   val oracleSql: Map[String, String] = Map(
+    "q83_ann_pq" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seeds AS (SELECT v,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS code
+         |  FROM e ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $pqK),
+         |cb AS (SELECT t.j, s.code,
+         |    LIST_TRANSFORM(GENERATE_SERIES(1, $pqDsub), i -> s.v[$pqDsub * t.j + i]) AS cw
+         |  FROM seeds s CROSS JOIN GENERATE_SERIES(0, ${pqM - 1}) t(j)),
+         |subs AS (SELECT e.vec_id, t.j,
+         |    LIST_TRANSFORM(GENERATE_SERIES(1, $pqDsub), i -> e.v[$pqDsub * t.j + i]) AS s
+         |  FROM e CROSS JOIN GENERATE_SERIES(0, ${pqM - 1}) t(j)),
+         |enc0 AS (SELECT sub.vec_id, sub.j, cb.code,
+         |    LIST_DOT_PRODUCT(LIST_TRANSFORM(GENERATE_SERIES(1, $pqDsub), i -> sub.s[i] - cb.cw[i]),
+         |                     LIST_TRANSFORM(GENERATE_SERIES(1, $pqDsub), i -> sub.s[i] - cb.cw[i])) AS dist
+         |  FROM subs sub JOIN cb ON sub.j = cb.j),
+         |enc AS (SELECT vec_id, j, code FROM enc0
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, code) = 1),
+         |codes AS (SELECT vec_id, LIST(code ORDER BY j) AS codes FROM enc GROUP BY vec_id),
+         |lut0 AS (SELECT sub.vec_id AS qid, sub.j, cb.code,
+         |    LIST_DOT_PRODUCT(LIST_TRANSFORM(GENERATE_SERIES(1, $pqDsub), i -> sub.s[i] - cb.cw[i]),
+         |                     LIST_TRANSFORM(GENERATE_SERIES(1, $pqDsub), i -> sub.s[i] - cb.cw[i])) AS dist
+         |  FROM subs sub JOIN cb ON sub.j = cb.j WHERE sub.vec_id % 50 = 0),
+         |lut1 AS (SELECT qid, j, LIST(dist ORDER BY code) AS d16 FROM lut0 GROUP BY qid, j),
+         |lut AS (SELECT qid, LIST(d16 ORDER BY j) AS lut FROM lut1 GROUP BY qid),
+         |adc AS (SELECT l.qid, c.vec_id AS nid,
+         |    LIST_DOT_PRODUCT(
+         |      LIST_TRANSFORM(GENERATE_SERIES(0, ${pqM - 1}), j -> l.lut[j + 1][c.codes[j + 1] + 1]),
+         |      [${Seq.fill(pqM)("1.0").mkString(", ")}]) AS approx
+         |  FROM codes c CROSS JOIN lut l WHERE l.qid <> c.vec_id),
+         |rk AS (SELECT qid, nid,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx, nid) AS BIGINT) AS rank
+         |  FROM adc)
+         |SELECT qid, rank, nid FROM rk WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+
     "q72_dedup_semantic" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |  SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm

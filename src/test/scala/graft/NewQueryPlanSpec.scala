@@ -90,8 +90,11 @@ class NewQueryPlanSpec extends SparkSpec {
     // q75's non-equi shape is two ONE-ROW total-count broadcasts (the
     // smoothing denominators) against the 256-row bucket model — O(1)
     // sides by construction, nothing all-pairs about it
+    // q83's only non-equi shape is the ADC scan: 8-byte code rows
+    // against a broadcast per-query lookup table (O(queries) side) —
+    // the PQ design point, not an accidental cartesian
     val allPairsDeclared = Set("q34_dedup_embcos", "q35_ann_brute", "q48_ann_ivf",
-      "q72_dedup_semantic", "q75_importance_sample")
+      "q72_dedup_semantic", "q75_importance_sample", "q83_ann_pq")
     val lifecycle = Set("q23_lake_snapshots", "q24_lake_files", "q25_lake_timetravel",
       "q26_lake_compaction", "q27_lake_merge", "q28_lake_mor_delete",
       "q29_lake_partition_prune", "q54_lake_sql", "q57_lake_changes",

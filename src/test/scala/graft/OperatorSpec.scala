@@ -238,4 +238,45 @@ class OperatorSpec extends SparkSpec {
     // driver's pandas check can't hash an array cell)
     assert(a.forall(r => r.getInt(8) * 16 == r.getString(9).length && r.getInt(8) >= 1))
   }
+
+  test("PQ ANN matches an independent driver-side reconstruction exactly") {
+    // the whole pipeline — md5-sampled codebook, per-subspace argmin
+    // encode, ADC lookup, (approx, nid) ranking — rebuilt in plain
+    // Scala over the same vectors; identical fold arithmetic makes the
+    // comparison exact, not approximate
+    val m = 8; val dsub = 8; val k = 16
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val seedIds = vecs.keys.toSeq
+      .sortBy(id => (TestHashes.md5Hex(id.toString), id)).take(k)
+    val cb: Array[Array[Array[Double]]] =                 // [j][code][dim]
+      Array.tabulate(m)(j => seedIds.toArray.map(id =>
+        vecs(id).slice(j * dsub, j * dsub + dsub)))
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def encode(v: Array[Double]): Array[Int] =
+      Array.tabulate(m) { j =>
+        val sub = v.slice(j * dsub, j * dsub + dsub)
+        (0 until k).minBy(c => (l2(sub, cb(j)(c)), c))
+      }
+    val codes = vecs.map { case (id, v) => id -> encode(v) }
+    val expected = vecs.keys.filter(_ % 50 == 0).toSeq.sorted.flatMap { qid =>
+      val lut = Array.tabulate(m, k)((j, c) =>
+        l2(vecs(qid).slice(j * dsub, j * dsub + dsub), cb(j)(c)))
+      codes.filter(_._1 != qid).toSeq
+        .map { case (nid, cs) =>
+          // fold in subspace order — the dotd/ones arithmetic
+          (nid, (0 until m).foldLeft(0.0)((acc, j) => acc + lut(j)(cs(j))))
+        }
+        .sortBy { case (nid, d) => (d, nid) }.take(5).zipWithIndex
+        .map { case ((nid, _), i) => (qid, (i + 1).toLong, nid) }
+    }
+    val got = Similarity.q83(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
 }
