@@ -379,7 +379,37 @@ object Relational {
       .orderBy(col("col_name"))
   }
 
+  // ── VARIANT: semi-structured payloads as a first-class type ─────────
+  /** Spark 4's VARIANT path end to end: raw JSON payloads (built here
+    * from orders columns so every extracted value is oracle-pinned)
+    * land as the binary-encoded VARIANT type, and the query does TYPED
+    * path extraction with no declared schema — nested-object and
+    * array-index paths, cast-at-extraction, and `try_variant_get`'s
+    * null-on-missing contract (the n_missing column must be 0 rows of
+    * evidence that a miss is NULL, not an error). At 100 TB the win
+    * over q43's per-predicate JSON re-parse: parse once at ingest,
+    * extraction is a codegen'd binary walk, and unused paths prune. */
+  def q84(s: SparkSession, dir: String): DataFrame = {
+    val payload = to_json(struct(
+      col("o_orderkey").as("id"),
+      struct(col("o_orderstatus").as("st"), col("o_totalprice").as("tp")).as("meta"),
+      split(col("o_orderpriority"), "-").as("tags")))
+    val v = parse_json(payload)
+    Tables.orders(s, dir)
+      .select(
+        variant_get(v, "$.meta.st", "string").as("st"),
+        variant_get(v, "$.tags[0]", "string").as("prio_code"),
+        variant_get(v, "$.meta.tp", "double").as("tp"),
+        try_variant_get(v, "$.nope", "string").as("missing"))
+      .filter(col("prio_code") =!= lit("3"))
+      .groupBy(col("st"), col("prio_code"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("tp")).as("revenue"),
+        count(col("missing")).as("n_missing"))
+      .orderBy(col("st"), col("prio_code"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_variant" -> q84 _,
     "q76_unpivot" -> q76 _,
     "q77_grouping_sets" -> q77 _,
     "q80_profile" -> q80 _,
@@ -411,6 +441,14 @@ object Relational {
   private def ds(e: String) = sumD.format(e)
 
   val oracleSql: Map[String, String] = Map(
+    "q84_variant" ->
+      s"""SELECT o_orderstatus AS st, SPLIT_PART(o_orderpriority, '-', 1) AS prio_code,
+         |  COUNT(*) AS n_orders, ${ds("o_totalprice")} AS revenue,
+         |  CAST(0 AS BIGINT) AS n_missing
+         |FROM orders
+         |WHERE SPLIT_PART(o_orderpriority, '-', 1) <> '3'
+         |GROUP BY 1, 2 ORDER BY st, prio_code""".stripMargin,
+
     "q76_unpivot" ->
       """WITH src AS (SELECT l_quantity, l_extendedprice, l_discount, l_tax
         |             FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'),

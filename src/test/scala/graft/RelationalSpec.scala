@@ -63,6 +63,19 @@ class RelationalSpec extends SparkSpec {
       "agg pipeline must be inside whole-stage codegen")
   }
 
+  test("q84 rides the VARIANT type: binary-encoded mid-plan, null on missing paths") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(3).select(
+      parse_json(concat(lit("""{"a": {"b": """), col("id"), lit("}}"))).as("v"))
+    // the intermediate column is genuinely VariantType, not a re-parsed string
+    assert(df.schema("v").dataType.typeName === "variant")
+    val out = df.select(
+      variant_get(col("v"), "$.a.b", "long").as("b"),
+      try_variant_get(col("v"), "$.a.nope", "string").as("miss")).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    assert(out.forall(_.isNullAt(1)), "missing paths must be NULL, not an error")
+  }
+
   test("decimal-accumulated double sum is order-independent") {
     val li = Tables.lineitem(spark, sf)
     val a = li.agg(Relational.dsum(col("l_extendedprice"))).head().getDouble(0)
