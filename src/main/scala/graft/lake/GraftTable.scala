@@ -55,12 +55,19 @@ object GraftTable {
     * before the delete — the Iceberg v2 sequence-number rule, carried
     * here by the snapshot-id file-name prefix). Optional fields so
     * commits from older logs parse. */
+  /** `firstRowId`: row lineage (the Iceberg v3 `_row_id` design) —
+    * this data file's rows are identified as firstRowId + position.
+    * `Some(-1)` marks a file whose row ids are MATERIALIZED in its
+    * physical `_gf_row_id` column (rewrite outputs: identity survives
+    * compaction and re-sorting). `None` = written before the feature
+    * (or still staged): its rows read a NULL `_row_id`. */
   case class FileEntry(path: String, sizeBytes: Long, records: Long,
       stats: Map[String, ColStats],
       partition: Option[Map[String, String]] = None,
       content: Option[Int] = None,
       eqCols: Option[Seq[String]] = None,
-      specId: Option[Int] = None) {
+      specId: Option[Int] = None,
+      firstRowId: Option[Long] = None) {
     def partitionValues: Map[String, String] = partition.getOrElse(Map.empty)
     /** The partition spec this file was written under, as an index
       * into the table's spec history. Absent = spec 0 (every file of
@@ -444,7 +451,8 @@ object GraftTable {
         ("partition" -> f.partition) ~
         ("content" -> f.content) ~
         ("eqCols" -> f.eqCols) ~
-        ("specId" -> f.specId))) ~
+        ("specId" -> f.specId) ~
+        ("firstRowId" -> f.firstRowId))) ~
       ("removes" -> c.removes) ~
       ("properties" -> c.properties) ~
       ("schemaJson" -> c.schemaJson) ~
@@ -540,9 +548,11 @@ object GraftTable {
     // a pre-evolution checkpoint parquet has no specId column at all
     val spec = scala.util.Try(r.fieldIndex("specId")).toOption
       .filterNot(r.isNullAt).map(r.getInt)
+    val firstRow = scala.util.Try(r.fieldIndex("firstRowId")).toOption
+      .filterNot(r.isNullAt).map(r.getLong)
     FileEntry(r.getAs[String]("path"), r.getAs[Long]("sizeBytes"),
       r.getAs[Long]("records"), stats, part,
-      if (content == 0) None else Some(content), eq, spec)
+      if (content == 0) None else Some(content), eq, spec, firstRow)
   }
 
   /** Replay cache: one SQL query touches state() several times
@@ -897,7 +907,10 @@ object GraftTable {
           .parquet(tmp.toString)
       }
     }
-    val statNames = df.schema.fields.filter(f => statsTypes.contains(f.dataType)).map(_.name).toSet
+    // _gf_* (lineage) columns are physical plumbing, not query columns:
+    // no manifest stats for them
+    val statNames = df.schema.fields.filter(f => statsTypes.contains(f.dataType))
+      .map(_.name).filterNot(_.startsWith("_gf_")).toSet
     // recursive walk: partitioned writes nest files under
     // _gp_0=v0/_gp_1=v1/... — decode each file's tuple from its path
     def walk(dir: Path): Seq[Path] = listDir(dir).flatMap { p =>
@@ -955,6 +968,33 @@ object GraftTable {
     id
   }
 
+  private[graft] val nextRowIdProp = "graft.next-row-id"
+
+  /** Row lineage allocation: every NOT-yet-stamped data file entering
+    * main lineage gets a firstRowId block carved from the table's
+    * `graft.next-row-id` counter (which merges forward through
+    * property replay — a `replace` carries it inside its wholesale
+    * property set because the stamp happens on the commit itself).
+    * Already-stamped entries (rollback re-adds, rewrite outputs with
+    * the -1 materialized marker, cherrypicked re-stamps) keep their
+    * ids; the counter only ratchets past every explicit block so a
+    * restored file can never collide with a future allocation. Staged
+    * (WAP) commits allocate NOTHING — identity is assigned when rows
+    * enter main lineage, so a parallel main-lineage commit between
+    * stage and publish cannot collide. */
+  private def stampRowLineage(c: Commit, baseProps: Map[String, String]): Commit = {
+    val base = baseProps.get(nextRowIdProp).map(_.toLong).getOrElse(0L)
+    var next = base
+    val stamped = c.adds.map { f =>
+      if (f.isData && f.firstRowId.isEmpty) {
+        val s = f.copy(firstRowId = Some(next)); next += f.records; s
+      } else f
+    }
+    val ceiling = stamped.filter(f => f.isData && f.firstRowId.exists(_ >= 0))
+      .map(f => f.firstRowId.get + f.records).foldLeft(next)(math.max)
+    c.copy(adds = stamped, properties = c.properties + (nextRowIdProp -> ceiling.toString))
+  }
+
   /** Write the commit record for freshly-staged data files; if the
     * put-if-absent race is lost, delete those files before rethrowing —
     * they are referenced by no snapshot, and leaving them in `data/`
@@ -962,7 +1002,10 @@ object GraftTable {
     * stream (and a retried append would then deliver the rows twice).
     * Only for commits whose adds were written by THIS operation —
     * rollback re-adds pre-existing files and must not delete them. */
-  private def commitOrCleanup(root: String, id: Long, c: Commit): Unit =
+  private def commitOrCleanup(root: String, id: Long, c0: Commit): Unit = {
+    val c =
+      if (isStaged(c0)) c0
+      else stampRowLineage(c0, state(root, c0.parentId).properties)
     try writeAtomic(commitPath(root, id), toJson(c))
     catch { case e: IllegalStateException =>
       c.adds.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
@@ -976,6 +1019,7 @@ object GraftTable {
           "abandon_staged_snapshot before writing to main", e)
       throw e
     }
+  }
 
   /** ALTER TABLE ... SET TBLPROPERTIES (reference:
     * SPARK_ICEBERG_GUIDE.md §§8.2, 8.9): a properties-only commit. */
@@ -2323,6 +2367,61 @@ object GraftTable {
     readFiles(spark, root, schema, snap.files.filter(_.isData), snap.files.filter(_.isDelete))
   }
 
+  // ── row lineage (`_row_id`, the Iceberg v3 design) ──────────────────
+
+  private val rowIdPhys = StructField("_gf_row_id", LongType, nullable = true)
+
+  /** Attach each row's lineage id given its source file's FileEntry:
+    * inherited (firstRowId + position) for plainly-written files, the
+    * materialized `_gf_row_id` physical column for rewrite outputs
+    * (firstRowId == -1), NULL for pre-lineage files. The per-file
+    * dispatch is a broadcast join on the unique file basename — the
+    * same O(files) metadata the read already planned with. */
+  private def withLineageCol(spark: SparkSession, df: DataFrame,
+      files: Seq[FileEntry]): DataFrame = {
+    import spark.implicits._
+    val m = files.filter(_.isData)
+      .map(f => (f.path.split('/').last, f.firstRowId))
+      .toDF("_gf_lin_name", "_gf_first")
+    df.withColumn("_gf_lin_name", regexp_extract(col("_gf_path"), "([^/]+)$", 1))
+      .join(broadcast(m), Seq("_gf_lin_name"), "left")
+      .withColumn("_gf_row_id",
+        when(col("_gf_first") === lit(-1L), col("_gf_row_id"))
+          .when(col("_gf_first").isNotNull, col("_gf_first") + col("_gf_pos"))
+          .otherwise(lit(null).cast(LongType)))
+      .drop("_gf_lin_name", "_gf_first")
+  }
+
+  /** Read a file set with the `_gf_row_id` lineage column attached —
+    * the rewrite paths' input reader (identity survives compaction
+    * because the rewrite WRITES this column back out). Rides the MoR
+    * core even with no deletes: lineage needs row positions. */
+  private def readFilesWithLineage(spark: SparkSession, root: String,
+      schema: StructType, files: Seq[FileEntry], deletes: Seq[FileEntry]): DataFrame = {
+    val data = files.filter(_.isData)
+    if (data.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(schema.fields :+ rowIdPhys))
+    val core = liveRowsWithIds(spark, root, schema, data.map(_.path),
+      deletes.map(f => (f.path, f.content.getOrElse(1), f.eqCols.getOrElse(Seq.empty))),
+      extraPhys = Seq(rowIdPhys))
+    withLineageCol(spark, core, data).drop("_gf_path", "_gf_pos", "_gf_snap")
+  }
+
+  /** The table read plus a `_row_id` metadata column (Iceberg v3 row
+    * lineage): a stable per-row identity that survives compaction and
+    * re-sorting (rewrites materialize it), assigned when rows enter
+    * main lineage. Files written before the feature read NULL. */
+  def readWithRowIds(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val snap = state(root, asOf)
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    readFilesWithLineage(spark, root, schema, snap.files.filter(_.isData),
+      snap.files.filter(_.isDelete))
+      .withColumnRenamed("_gf_row_id", "_row_id")
+  }
+
   /** Simple comparison predicate for stats pruning. Values are text:
     * numbers in decimal, dates ISO, timestamps as epoch-MICROS,
     * strings raw (compared as UTF-8 bytes). Hand-built decimal values
@@ -2652,10 +2751,13 @@ object GraftTable {
   /** The MoR read core: data rows with their (_gf_path, _gf_pos,
     * _gf_snap) identity columns, all delete files already applied. */
   private def liveRowsWithIds(spark: SparkSession, root: String, schema: StructType,
-      dataPaths: Seq[String], deletes: Seq[(String, Int, Seq[String])]): DataFrame = {
+      dataPaths: Seq[String], deletes: Seq[(String, Int, Seq[String])],
+      extraPhys: Seq[StructField] = Seq.empty): DataFrame = {
     val posD = deletes.filter(_._2 == 1)
     val eqD = deletes.filter(_._2 == 2)
-    var df = spark.read.schema(physReadSchema(schema)).parquet(dataPaths.map(p => s"$root/$p"): _*)
+    var df = spark.read
+      .schema(StructType(physReadSchema(schema).fields ++ extraPhys))
+      .parquet(dataPaths.map(p => s"$root/$p"): _*)
       .withColumn("_gf_path", col("_metadata.file_path"))
       .withColumn("_gf_pos", col("_metadata.row_index"))
       .withColumn("_gf_snap",
@@ -2664,7 +2766,8 @@ object GraftTable {
     // identity is already materialized from _metadata, which a
     // projection would otherwise hide)
     if (hasRenames(schema))
-      df = logicalProject(df, schema, keep = Seq("_gf_path", "_gf_pos", "_gf_snap"))
+      df = logicalProject(df, schema,
+        keep = Seq("_gf_path", "_gf_pos", "_gf_snap") ++ extraPhys.map(_.name))
     if (posD.nonEmpty) {
       // join on the unique file NAME (snapshotId-idx-uuid.parquet), not
       // the absolute URI the delete file recorded: renameTable moves the
@@ -3074,9 +3177,13 @@ object GraftTable {
     // a pre-evolution checkpoint has no specId column: add it as null
     // (= spec 0) so predCond's dispatch and the delta build's select
     // see one schema
-    val raw =
+    val raw1 =
       if (raw0.columns.contains("specId")) raw0
       else raw0.withColumn("specId", lit(null).cast(IntegerType))
+    // pre-lineage checkpoints likewise lack firstRowId: null = no lineage
+    val raw =
+      if (raw1.columns.contains("firstRowId")) raw1
+      else raw1.withColumn("firstRowId", lit(null).cast(LongType))
     ct.meta.statsVersion match {
       case Some(v) if v == statsVersionCurrent => raw
       case Some(v) if v > statsVersionCurrent =>
@@ -3965,10 +4072,15 @@ object GraftTable {
     // id = raw log head + 1 (NOT main head + 1): the pending staged
     // commit occupies main-head+1, and publishing must land after it
     val id = listCommitIds(root).max + 1
-    writeAtomic(commitPath(root, id), toJson(Commit(id, Some(snap.snapshotId),
-      System.currentTimeMillis(), "cherrypick", versionedAdds(c), c.removes,
-      Map(s"graft.wap.published.$stagedId" ->
-        c.properties.getOrElse(wapIdProp, "")), None)))
+    // rows get their lineage ids HERE — when they enter main lineage —
+    // from the MAIN counter, so commits that landed between stage and
+    // publish can never have collided with them
+    writeAtomic(commitPath(root, id), toJson(stampRowLineage(
+      Commit(id, Some(snap.snapshotId),
+        System.currentTimeMillis(), "cherrypick", versionedAdds(c), c.removes,
+        Map(s"graft.wap.published.$stagedId" ->
+          c.properties.getOrElse(wapIdProp, "")), None),
+      snap.properties)))
     id
   }
 
@@ -4286,9 +4398,12 @@ object GraftTable {
           Future.traverse(bins) { bin => Future {
             // apply live position deletes while rewriting: the compacted
             // file must not resurrect MoR-deleted rows (the stale delete
-            // entries keep referencing the retired paths — harmless)
-            val df = readFiles(spark, root, schema, bin, deletes).coalesce(1)
+            // entries keep referencing the retired paths — harmless).
+            // Row lineage rides along: the input's _gf_row_id column is
+            // written back out, and the -1 stamp tells readers to use it
+            val df = readFilesWithLineage(spark, root, schema, bin, deletes).coalesce(1)
             writeDataFiles(spark, root, df, id, snap.properties)
+              .map(f => f.copy(firstRowId = Some(-1L)))
           }}, Duration.Inf).flatten
       } finally pool.shutdown()
     }
@@ -4322,10 +4437,11 @@ object GraftTable {
     val nOut = math.max(1,
       math.ceil(dataFiles.map(_.sizeBytes).sum.toDouble / target).toInt)
     val id = snap.snapshotId + 1
-    val sorted = readFiles(spark, root, schema, dataFiles, deletes)
+    val sorted = readFilesWithLineage(spark, root, schema, dataFiles, deletes)
       .repartitionByRange(nOut, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
     val adds = writeDataFiles(spark, root, sorted, id, snap.properties)
+      .map(f => f.copy(firstRowId = Some(-1L)))   // ids rode the rewrite
     // rewrites ALL live data rows: historical names retire with it
     val (retSchemaJ, retProps) = retiredNamesMeta(schema, snap.properties)
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
@@ -4374,7 +4490,7 @@ object GraftTable {
     val nOut = math.max(1,
       math.ceil(dataFiles.map(_.sizeBytes).sum.toDouble / target).toInt)
     val id = snap.snapshotId + 1
-    val live = readFiles(spark, root, schema, dataFiles, deletes)
+    val live = readFilesWithLineage(spark, root, schema, dataFiles, deletes)
     // interleaved bit indexes must fit a signed Long: shrink the bucket
     // count so bits * k <= 63 (1L << 65 would silently wrap, mapping
     // distinct (bucket, bit) pairs to colliding weights and collapsing
@@ -4412,6 +4528,7 @@ object GraftTable {
       .sortWithinPartitions(col("_gz"))
       .drop("_gz")
     val adds = writeDataFiles(spark, root, ordered, id, snap.properties)
+      .map(f => f.copy(firstRowId = Some(-1L)))   // ids rode the rewrite
     // rewrites ALL live data rows: historical names retire with it
     val (retSchemaJ, retProps) = retiredNamesMeta(schema, snap.properties)
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
@@ -4466,13 +4583,16 @@ object GraftTable {
     StructField("eqcols", ArrayType(StringType)),
     // nullable: null = spec 0, same as the JSON manifests' absent
     // stamp (and what every pre-evolution checkpoint reads as)
-    StructField("specId", IntegerType)))
+    StructField("specId", IntegerType),
+    // nullable: null = no row lineage (pre-feature file); -1 = ids
+    // materialized in the file's _gf_row_id column
+    StructField("firstRowId", LongType)))
 
   private def entryToCkptRow(f: FileEntry): Row =
     Row(f.path, f.sizeBytes, f.records,
       f.stats.map { case (n, v) => n -> Row(v.min.orNull, v.max.orNull, v.nulls) },
       f.partitionValues, f.content.getOrElse(0), f.eqCols.getOrElse(Seq.empty),
-      f.specId.map(Int.box).orNull)
+      f.specId.map(Int.box).orNull, f.firstRowId.map(Long.box).orNull)
 
   /** Write a DataFrame already in ckptFilesSchema shape to
     * `ckptfiles-$id.parquet` via stage + atomic move. Losing the move

@@ -586,7 +586,44 @@ object LakeOps {
       col("covered_records"), col("total_records")).orderBy(col("column"))
   }
 
+  // ── q85: row lineage (_row_id) across the table lifecycle ───────────
+  /** Iceberg-v3-style row identity under the gate: two appends
+    * allocate dense id blocks (0..n-1 as min/max/distinct aggregates —
+    * exact regardless of row→file assignment), compaction MATERIALIZES
+    * ids so every row keeps its identity through the rewrite (the
+    * per-key join counts preservation exactly), and the emitted
+    * aggregates all reduce to the source row count — a full hash
+    * oracle over an identity feature. */
+  def q85(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("q85")
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    GraftTable.create(s, root, c.schema)
+    GraftTable.append(s, root, c.filter(col("c_custkey") % 2 === 0).repartition(2))
+    GraftTable.append(s, root, c.filter(col("c_custkey") % 2 === 1).repartition(2))
+    val before = GraftTable.readWithRowIds(s, root)
+      .select(col("c_custkey"), col("_row_id").as("id_before"))
+    val nFiles = GraftTable.state(root).files.count(_.isData)
+    GraftTable.rewriteDataFiles(s, root, targetFileSizeBytes = 512L * 1024 * 1024)
+    require(GraftTable.state(root).files.count(_.isData) < nFiles,
+      "compaction must actually merge files")
+    require(GraftTable.state(root).files.filter(_.isData)
+      .forall(_.firstRowId.contains(-1L)),
+      "compacted files must carry the materialized-lineage marker")
+    val after = GraftTable.readWithRowIds(s, root)
+      .select(col("c_custkey"), col("_row_id").as("id_after"))
+    before.join(after, Seq("c_custkey"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("id_after")).as("n_ids"),
+        countDistinct(col("id_after")).as("n_distinct_ids"),
+        min(col("id_after")).as("min_id"),
+        max(col("id_after")).as("max_id"),
+        sum(when(col("id_before") === col("id_after"), 1L).otherwise(0L))
+          .as("n_preserved"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_lake_row_lineage" -> q85 _,
     "q82_lake_ndv" -> q82 _,
     "q81_lake_partitions" -> q81 _,
     "q69_lake_dpp" -> q69 _,
@@ -607,6 +644,12 @@ object LakeOps {
     "q29_lake_partition_prune" -> q29 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q85_lake_row_lineage" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(*) AS n_ids, COUNT(*) AS n_distinct_ids,
+        |       CAST(0 AS BIGINT) AS min_id, COUNT(*) - 1 AS max_id,
+        |       COUNT(*) AS n_preserved
+        |FROM customer""".stripMargin,
+
     "q82_lake_ndv" ->
       """SELECT t.c AS "column",
         |       CAST(5 AS BIGINT) AS covered_files, CAST(5 AS BIGINT) AS total_files,

@@ -100,7 +100,8 @@ class NewQueryPlanSpec extends SparkSpec {
       "q29_lake_partition_prune", "q54_lake_sql", "q57_lake_changes",
       "q61_decontam_bloom", "q62_lake_entries", "q63_lake_replace",
       "q65_lake_spec_evolve", "q66_lake_write_ordered", "q67_lake_wap",
-      "q68_dedup_incremental", "q81_lake_partitions", "q82_lake_ndv")
+      "q68_dedup_incremental", "q81_lake_partitions", "q82_lake_ndv",
+      "q85_lake_row_lineage")
     val names = SparkEntry.queries.keySet -- lifecycle -- allPairsDeclared
     val offenders = names.toSeq.sorted.flatMap { n =>
       val df = SparkEntry.queries(n)(spark, sf)
