@@ -261,12 +261,86 @@ object Streams {
       .start()
   }
 
+  // ── transformWithState: per-user type-completion tracker ────────────
+
+  case class Completion(user_id: Long, complete_us: Long)
+
+  /** Batch form: the event time at which each user's event-type set
+    * became COMPLETE (saw all `nTypes` distinct types) — the max over
+    * types of that type's first occurrence. Min/max aggregates only,
+    * so the answer is arrival-order-insensitive and the streaming twin
+    * must converge to exactly these rows. */
+  def typeCompletionBatch(events: DataFrame, nTypes: Int = 5): DataFrame =
+    events.select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"))
+      .groupBy(col("user_id"), col("event_type")).agg(min(col("tsu")).as("mn"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_types"), max(col("mn")).as("complete_us"))
+      .filter(col("n_types") === nTypes)
+      .select(col("user_id"), col("complete_us"))
+
+  def q86(s: SparkSession, dir: String): DataFrame =
+    typeCompletionBatch(Tables.events(s, dir)).orderBy(col("user_id"))
+
+  /** The Spark 4 `transformWithState` twin (StreamingSpec): per-user
+    * MapState(type → min event time) + a ValueState done-flag.
+    * Completion emits EXACTLY ONCE — the done flag survives after the
+    * map state is cleared, so state per completed user shrinks to one
+    * boolean (the 100 TB bound: completed users cost O(1), active
+    * users O(types)). TimeMode.None: the answer is order-insensitive,
+    * no timers needed; requires the RocksDB state store provider (the
+    * transformWithState operator's backing store). */
+  class TypeCompletionProcessor(nTypes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Completion] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var mins: MapState[String, Long] = _
+    @transient private var done: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      mins = getHandle.getMapState[String, Long](
+        "mins", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      done = getHandle.getValueState[Boolean](
+        "done", Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Completion] = {
+      if (done.exists()) return Iterator.empty   // already emitted: O(1) state
+      rows.foreach { e =>
+        if (!mins.containsKey(e.event_type) || e.ts < mins.getValue(e.event_type))
+          mins.updateValue(e.event_type, e.ts)
+      }
+      val entries = mins.iterator().toSeq
+      if (entries.size >= nTypes) {
+        done.update(true)
+        mins.clear()                             // completed: drop the map
+        Iterator.single(Completion(user, entries.map(_._2).max))
+      } else Iterator.empty
+    }
+  }
+
+  def typeCompletionStream(events: Dataset[Event], nTypes: Int = 5): Dataset[Completion] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCompletionProcessor(nTypes),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_type_completion" -> q86 _,
     "q42_stream_window" -> q42 _,
     "q44_sessionize" -> q44 _,
     "q59_stream_join" -> q59 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q86_type_completion" ->
+      """WITH m AS (SELECT user_id, event_type, MIN(EPOCH_US(ts)) AS mn
+        |           FROM events GROUP BY 1, 2)
+        |SELECT user_id, MAX(mn) AS complete_us
+        |FROM m GROUP BY user_id HAVING COUNT(*) = 5
+        |ORDER BY user_id""".stripMargin,
+
     "q59_stream_join" ->
       """WITH c AS (SELECT user_id, EPOCH_US(ts) AS c_us, event_id AS click_id
         |           FROM events WHERE event_type = 'click'),

@@ -638,4 +638,80 @@ class StreamingSpec extends SparkSpec {
     assert(resumed.toSeq.sorted == Seq((5L, 4L), (6L, 5L)),
       s"restart must resume after the last committed offset, got $resumed")
   }
+
+  /** transformWithState needs the RocksDB state store provider; set it
+    * for the query's lifetime and restore the session default after. */
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState completion tracker converges to the batch twin on real events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
+      val all = Tables.events(spark, sf)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts"), col("event_type"))
+        .as[Streams.Event].collect()
+      val out = Streams.typeCompletionStream(input.toDS())
+      val ckpt = Files.createTempDirectory("graft-tws-ckpt")
+      val q = out.writeStream.format("memory").queryName("tws_complete")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.resolve("c").toString)
+        .start()
+      // feed in event-time order across three micro-batches — the later
+      // batches can only ADD types, never lower an emitted completion
+      val sorted = all.sortBy(_.ts)
+      sorted.grouped(math.max(1, sorted.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table("tws_complete").as[Streams.Completion].collect()
+        .map(c => c.user_id -> c.complete_us).toMap
+      val want = Streams.q86(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(want.nonEmpty && got == want,
+        s"stream twin diverged: missing=${want.keySet -- got.keySet} " +
+          s"extra=${got.keySet -- want.keySet}")
+    }
+  }
+
+  test("transformWithState emits exactly once and drops the map state after completion") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
+      val base = 1577836800000000L
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      val out = Streams.typeCompletionStream(input.toDS())
+      val ckpt = Files.createTempDirectory("graft-tws2-ckpt")
+      val q = out.writeStream.format("memory").queryName("tws_once")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.resolve("c").toString)
+        .start()
+      // four types: no emission yet
+      input.addData(types.take(4).zipWithIndex.map { case (t, i) =>
+        Streams.Event(1L, base + i * 1000000L, t) })
+      q.processAllAvailable()
+      assert(spark.table("tws_once").count() == 0)
+      // the fifth type completes the set exactly once
+      input.addData(Streams.Event(1L, base + 9 * 1000000L, "error"))
+      q.processAllAvailable()
+      val first = spark.table("tws_once").as[Streams.Completion].collect()
+      assert(first.toSeq == Seq(Streams.Completion(1L, base + 9 * 1000000L)))
+      // further events (even a full second set) must NOT re-emit
+      input.addData(types.map(t => Streams.Event(1L, base + 20 * 1000000L, t)))
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.table("tws_once").count() == 1, "completion must emit exactly once")
+    }
+  }
 }
