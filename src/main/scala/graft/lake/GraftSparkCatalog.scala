@@ -751,8 +751,26 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
               else if (isMin) vals.min(o) else vals.max(o))
           case _ => None
         }
+        // COUNT(col) = Σ per file (records − null count): exact only
+        // when EVERY file harvested the column's stats AND its null
+        // count is known (-1 = the unknown sentinel → refuse)
+        def countCol(colExpr: org.apache.spark.sql.connector.expressions.Expression)
+            : Option[(DataType, Any)] = colExpr match {
+          case ref: org.apache.spark.sql.connector.expressions.NamedReference
+              if ref.fieldNames.length == 1 =>
+            val name = ref.fieldNames.head
+            full.fields.find(_.name.equalsIgnoreCase(name)).flatMap { f =>
+              val per = entries.map(_.stats.get(f.name).map(_.nulls).filter(_ >= 0L))
+              if (per.exists(_.isEmpty)) None
+              else Some((LongType: DataType,
+                (entries.map(_.records).sum - per.flatten.sum): Any))
+            }
+          case _ => None
+        }
         val out = agg.aggregateExpressions.toSeq.map {
           case _: CountStar => Some((LongType: DataType, entries.map(_.records).sum: Any))
+          case c: org.apache.spark.sql.connector.expressions.aggregate.Count
+              if !c.isDistinct => countCol(c.column)
           case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
             minMax(m.column, isMin = true)
           case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>

@@ -85,6 +85,28 @@ class CountProbeSpec extends SparkSpec {
     assert(spark.sql("SELECT MAX(key) FROM graft.p.mm").head().getLong(0) == 249L)
   }
 
+  test("COUNT(col) is answered from per-file null counts; unknown nulls refuse") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
+    spark.sql("DROP TABLE IF EXISTS graft.p.cc")
+    spark.sql("CREATE TABLE graft.p.cc (id BIGINT, v STRING)")
+    // 100 rows, 40 null v's, split across two files
+    spark.sql("""INSERT INTO graft.p.cc
+      SELECT id, CASE WHEN id % 5 < 3 THEN 'x' END FROM range(50)""")
+    spark.sql("""INSERT INTO graft.p.cc
+      SELECT id + 50, CASE WHEN id % 5 < 3 THEN 'y' END FROM range(50)""")
+    val df = spark.sql("SELECT COUNT(v) AS nv, COUNT(id) AS ni, COUNT(*) AS n FROM graft.p.cc")
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("PushedAggregates") && p.contains("COUNT(v)"),
+      s"COUNT(col) must answer from manifest null counts:\n$p")
+    val r = df.head()
+    assert(r.getLong(0) == 60L && r.getLong(1) == 100L && r.getLong(2) == 100L)
+    // COUNT(DISTINCT col) is NOT answerable from counts — must scan
+    val pd = spark.sql("SELECT COUNT(DISTINCT v) FROM graft.p.cc").queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!pd.contains("PushedAggregates"), s"distinct count must scan:\n$pd")
+    assert(spark.sql("SELECT COUNT(DISTINCT v) FROM graft.p.cc").head().getLong(0) == 2L)
+  }
+
   test("COUNT(*) falls back to a real scan when MoR delete files exist") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
     spark.sql("DROP TABLE IF EXISTS graft.p.cntmor")
