@@ -30,7 +30,12 @@ object Bench {
       spark.range(100).write.mode("overwrite").parquet(warm.resolve("w").toString)
     } catch { case _: Throwable => () }
 
+    // dev loop: SPARK_GRAFT_ONLY=q26_lake_compaction,q62_lake_entries
+    // times just those queries (same semantics as Verify's filter)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+      .filter(n => only.forall(_.contains(n)))
     // runs(i)(name) = seconds, or -1.0 when the query threw that pass
     val runs: Seq[Map[String, Double]] = (1 to nRuns).map { _ =>
       names.map { name =>

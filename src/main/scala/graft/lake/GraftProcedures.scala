@@ -474,6 +474,11 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
           required("source", "arg1"),
           force = arg("force", "arg2").exists(_.toBoolean))
         Seq(Row(s"snapshot_id=$id files_loaded=$nf rows_loaded=$nr"))
+      case "add_files" =>
+        // zero-copy adoption (Iceberg add_files/snapshot): hard-link +
+        // footer harvest, never a row rewrite; retried CALLs no-op
+        val (id, nf, nr) = GraftTable.addFiles(spark, root, required("source", "arg1"))
+        Seq(Row(s"snapshot_id=$id files_added=$nf rows_added=$nr"))
       case "cherrypick_snapshot" =>
         Seq(Row(s"snapshot_id=${GraftTable.cherrypickSnapshot(root,
           required("snapshot_id", "arg1").toLong)}"))
@@ -546,7 +551,7 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
             "rewrite_manifests, rewrite_position_deletes, rewrite_equality_deletes, " +
             "expire_snapshots, remove_orphan_files, rollback_to_snapshot, " +
             "create_tag, drop_tag, create_changes_view, cherrypick_snapshot, " +
-            "abandon_staged_snapshot, copy_into, compute_table_stats)")
+            "abandon_staged_snapshot, copy_into, compute_table_stats, add_files)")
     }
   }
 }

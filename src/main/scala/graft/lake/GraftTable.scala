@@ -1649,6 +1649,70 @@ object GraftTable {
     (id, fresh.size.toLong, rows)
   }
 
+  private[graft] val addFilesPropPrefix = "graft.addfiles."
+
+  /** ZERO-COPY adoption — the Iceberg `add_files`/`snapshot` migration
+    * workflow: existing parquet files register as table data WITHOUT a
+    * row rewrite. Each source file hard-links into `data/` (same
+    * filesystem; the object-store analog is a metadata pointer — a
+    * copy is the fallback when linking is impossible) and its manifest
+    * entry harvests the parquet FOOTER for records + column stats, so
+    * adopted files prune exactly like written ones. The incoming
+    * schema must conform to the table's (same append contract — a
+    * silent type drift would corrupt every later read); partitioned
+    * tables refuse (adopted files carry no partition tuples, so every
+    * read would full-scan them — rewrite via COPY INTO instead).
+    * Idempotent: an already-adopted source path is skipped, so a
+    * retried CALL is a no-op. Returns (snapshot, files added, rows). */
+  def addFiles(spark: SparkSession, root: String, sourceDir: String): (Long, Long, Long) = {
+    val snap = state(root)
+    require(tableSpec(snap.properties).isEmpty,
+      "add_files adopts unpartitioned layouts only: adopted files carry no " +
+        "partition tuples (use COPY INTO to rewrite into the partition spec)")
+    val loaded: Set[String] = snap.properties.iterator.collect {
+      case (k, v) if k.startsWith(addFilesPropPrefix) && v.nonEmpty => v.linesIterator
+    }.flatten.toSet
+    def walkParquet(dir: Path): Seq[Path] = listDir(dir).flatMap { p =>
+      if (Files.isDirectory(p)) walkParquet(p)
+      else if (p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith(".")) Seq(p)
+      else Seq.empty
+    }
+    val all = walkParquet(Paths.get(sourceDir)).map(_.toString).sorted
+    require(all.nonEmpty, s"add_files source has no parquet files: $sourceDir")
+    val fresh = all.filterNot(loaded)
+    if (fresh.isEmpty) return (snap.snapshotId, 0L, 0L)
+    // schema contract: footer-declared columns must conform (no
+    // evolution here — adoption must never mutate the table's schema)
+    conformAppendSchema(root, spark.read.parquet(fresh: _*), snap, allowEvolution = false)
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val statNames = schema.fields.filter(f => statsTypes.contains(f.dataType))
+      .map(_.name).toSet
+    val id = snap.snapshotId + 1
+    Files.createDirectories(dataDir(root))
+    val linked = fresh.zipWithIndex.map { case (src, i) =>
+      val name = f"$id%010d-$i%05d-${UUID.randomUUID()}.parquet"
+      val dst = dataDir(root).resolve(name)
+      try Files.createLink(dst, Paths.get(src))
+      catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        Files.copy(Paths.get(src), dst)   // cross-device: copy is the fallback
+      }
+      dst.toString
+    }
+    val stats = footerStats(spark, linked).map { case (p, r, s) => p -> (r, s) }.toMap
+    val entries = linked.map { p =>
+      val (records, st) = stats(p)
+      FileEntry(s"data/${Paths.get(p).getFileName}", Files.size(Paths.get(p)), records,
+        st.view.filterKeys(statNames).toMap)
+    }
+    commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
+      "add_files", entries, Seq.empty,
+      Map(addFilesPropPrefix + UUID.randomUUID() -> fresh.mkString("\n")), None))
+    (id, fresh.size.toLong, entries.map(_.records).sum)
+  }
+
   /** Copy-on-write DELETE/overwrite: files whose stats may contain
     * matching rows are rewritten without them; untouched files are
     * carried over by reference. `prunePreds` (a stats-comparable
@@ -2395,7 +2459,9 @@ object GraftTable {
   /** Read a file set with the `_gf_row_id` lineage column attached —
     * the rewrite paths' input reader (identity survives compaction
     * because the rewrite WRITES this column back out). Rides the MoR
-    * core even with no deletes: lineage needs row positions. */
+    * core even with no deletes: lineage needs row positions.
+    * `spark.graft.row-lineage.rewrite=false` is the session kill
+    * switch back to the plain (identity-losing) rewrite read. */
   private def readFilesWithLineage(spark: SparkSession, root: String,
       schema: StructType, files: Seq[FileEntry], deletes: Seq[FileEntry]): DataFrame = {
     val data = files.filter(_.isData)
@@ -2407,6 +2473,21 @@ object GraftTable {
       extraPhys = Seq(rowIdPhys))
     withLineageCol(spark, core, data).drop("_gf_path", "_gf_pos", "_gf_snap")
   }
+
+  private[lake] def lineageRewriteEnabled(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.row-lineage.rewrite", "true").toBoolean
+
+  /** Rewrite-input reader: with lineage (default) or plain when the
+    * kill switch is off — rewritten rows then lose their ids (entries
+    * stay unstamped → readers report NULL, never a wrong id). */
+  private def readFilesForRewrite(spark: SparkSession, root: String,
+      schema: StructType, files: Seq[FileEntry], deletes: Seq[FileEntry]): DataFrame =
+    if (lineageRewriteEnabled(spark)) readFilesWithLineage(spark, root, schema, files, deletes)
+    else readFiles(spark, root, schema, files, deletes)
+
+  private def stampRewriteAdds(spark: SparkSession, adds: Seq[FileEntry]): Seq[FileEntry] =
+    if (lineageRewriteEnabled(spark)) adds.map(f => f.copy(firstRowId = Some(-1L)))
+    else adds
 
   /** The table read plus a `_row_id` metadata column (Iceberg v3 row
     * lineage): a stable per-row identity that survives compaction and
@@ -4401,9 +4482,8 @@ object GraftTable {
             // entries keep referencing the retired paths — harmless).
             // Row lineage rides along: the input's _gf_row_id column is
             // written back out, and the -1 stamp tells readers to use it
-            val df = readFilesWithLineage(spark, root, schema, bin, deletes).coalesce(1)
-            writeDataFiles(spark, root, df, id, snap.properties)
-              .map(f => f.copy(firstRowId = Some(-1L)))
+            val df = readFilesForRewrite(spark, root, schema, bin, deletes).coalesce(1)
+            stampRewriteAdds(spark, writeDataFiles(spark, root, df, id, snap.properties))
           }}, Duration.Inf).flatten
       } finally pool.shutdown()
     }
@@ -4437,11 +4517,11 @@ object GraftTable {
     val nOut = math.max(1,
       math.ceil(dataFiles.map(_.sizeBytes).sum.toDouble / target).toInt)
     val id = snap.snapshotId + 1
-    val sorted = readFilesWithLineage(spark, root, schema, dataFiles, deletes)
+    val sorted = readFilesForRewrite(spark, root, schema, dataFiles, deletes)
       .repartitionByRange(nOut, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-    val adds = writeDataFiles(spark, root, sorted, id, snap.properties)
-      .map(f => f.copy(firstRowId = Some(-1L)))   // ids rode the rewrite
+    val adds = stampRewriteAdds(spark,
+      writeDataFiles(spark, root, sorted, id, snap.properties))
     // rewrites ALL live data rows: historical names retire with it
     val (retSchemaJ, retProps) = retiredNamesMeta(schema, snap.properties)
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
@@ -4490,7 +4570,7 @@ object GraftTable {
     val nOut = math.max(1,
       math.ceil(dataFiles.map(_.sizeBytes).sum.toDouble / target).toInt)
     val id = snap.snapshotId + 1
-    val live = readFilesWithLineage(spark, root, schema, dataFiles, deletes)
+    val live = readFilesForRewrite(spark, root, schema, dataFiles, deletes)
     // interleaved bit indexes must fit a signed Long: shrink the bucket
     // count so bits * k <= 63 (1L << 65 would silently wrap, mapping
     // distinct (bucket, bit) pairs to colliding weights and collapsing
@@ -4527,8 +4607,8 @@ object GraftTable {
       .repartitionByRange(nOut, col("_gz"))
       .sortWithinPartitions(col("_gz"))
       .drop("_gz")
-    val adds = writeDataFiles(spark, root, ordered, id, snap.properties)
-      .map(f => f.copy(firstRowId = Some(-1L)))   // ids rode the rewrite
+    val adds = stampRewriteAdds(spark,
+      writeDataFiles(spark, root, ordered, id, snap.properties))
     // rewrites ALL live data rows: historical names retire with it
     val (retSchemaJ, retProps) = retiredNamesMeta(schema, snap.properties)
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),

@@ -1429,4 +1429,65 @@ class LakeV2Spec extends SparkSpec {
     assert(plan.df.count() == want.count())
     assert(plan.df.except(want).isEmpty)
   }
+
+  // ── add_files: zero-copy adoption ───────────────────────────────────
+
+  test("add_files adopts parquet by hard link + footer harvest: no rewrite, stats prune, retry no-op") {
+    val root = freshRoot("addfiles")
+    val srcDir = Paths.get(scratchRoot("graft-lakev2-test", "addfiles-src"))
+    Files.createDirectories(srcDir)
+    val n = Tables.nation(spark, sf).select(col("n_nationkey"), col("n_name"))
+    // two key-ranged source files (so the harvested stats can prune)
+    n.filter(col("n_nationkey") < 12).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir.resolve("lo").toString)
+    n.filter(col("n_nationkey") >= 12).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir.resolve("hi").toString)
+    GraftTable.create(spark, root, n.schema)
+    val (id, nf, nr) = GraftTable.addFiles(spark, root, srcDir.toString)
+    assert(nf == 2L && nr == 25L)
+    // zero copy: every adopted file IS the source file (same inode)
+    val srcFiles = Files.walk(srcDir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .filterNot(_.getFileName.toString.startsWith("_")).toSeq
+    val adopted = GraftTable.state(root).files.filter(_.isData)
+    assert(adopted.size == 2)
+    adopted.foreach { f =>
+      val p = Paths.get(root, f.path)
+      assert(srcFiles.exists(s => Files.isSameFile(s, p)),
+        s"adopted file must hard-link a source file: ${f.path}")
+    }
+    // rows read back exactly; harvested footer stats prune
+    assert(GraftTable.read(spark, root).except(n).isEmpty &&
+      n.except(GraftTable.read(spark, root)).isEmpty)
+    val (pruned, total, live) = GraftTable.scan(spark, root, Seq(Lt("n_nationkey", "5")))
+    assert(live < total, "footer-harvested stats must prune adopted files")
+    assert(pruned.count() == 5)
+    // row lineage was assigned at adoption
+    val ids = GraftTable.readWithRowIds(spark, root).select("_row_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 25L))
+    // a retried CALL is a no-op
+    val (id2, nf2, _) = GraftTable.addFiles(spark, root, srcDir.toString)
+    assert(nf2 == 0L && id2 == id, "a retried add_files must adopt nothing and commit nothing")
+    assert(GraftTable.read(spark, root).count() == 25)
+    // schema drift refuses
+    val bad = Paths.get(scratchRoot("graft-lakev2-test", "addfiles-bad"))
+    Tables.nation(spark, sf).select(col("n_nationkey").cast("string").as("n_nationkey"),
+      col("n_name")).coalesce(1).write.mode("overwrite").parquet(bad.toString)
+    intercept[IllegalArgumentException] {
+      GraftTable.addFiles(spark, root, bad.toString)
+    }
+  }
+
+  test("add_files refuses partitioned tables") {
+    val root = freshRoot("addfiles-part")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema,
+      Map(GraftTable.specProp -> "identity(n_regionkey)"))
+    val src = Paths.get(scratchRoot("graft-lakev2-test", "addfiles-part-src"))
+    n.coalesce(1).write.mode("overwrite").parquet(src.toString)
+    intercept[IllegalArgumentException] {
+      GraftTable.addFiles(spark, root, src.toString)
+    }
+  }
 }
