@@ -622,7 +622,41 @@ object LakeOps {
           .as("n_preserved"))
   }
 
+  // ── q87: add_files zero-copy adoption, oracle-checked ───────────────
+  /** The Iceberg snapshot/migrate workflow under the gate: existing
+    * parquet (two key-ranged directories) registers via hard link +
+    * footer harvest — the requires pin that NOT ONE ROW was rewritten
+    * (every adopted file is the same inode as a source file) and that
+    * the harvested stats prune; the rows must read back as exactly the
+    * source table. */
+  def q87(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("q87")
+    val srcDir = Paths.get(scratch("q87-src"))
+    Files.createDirectories(srcDir)
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    val mid = sup.agg(max(col("s_suppkey"))).head().getLong(0) / 2
+    sup.filter(col("s_suppkey") <= mid).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir.resolve("lo").toString)
+    sup.filter(col("s_suppkey") > mid).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir.resolve("hi").toString)
+    GraftTable.create(s, root, sup.schema)
+    val (_, nf, _) = GraftTable.addFiles(s, root, srcDir.toString)
+    require(nf == 2, s"both source files must adopt, got $nf")
+    val adopted = GraftTable.state(root).files.filter(_.isData)
+    require(adopted.forall(f => Files.walk(srcDir).iterator().asScala
+        .exists(p => p.toString.endsWith(".parquet") &&
+          Files.isSameFile(p, Paths.get(root, f.path)))),
+      "adoption must be zero-copy: every table file is a source inode")
+    val preds = GraftTable.predsOf(s, GraftTable.tableSchema(root),
+      col("s_suppkey") <= lit(mid))
+    require(GraftTable.liveDataFiles(root, preds).size < adopted.size,
+      "harvested footer stats must prune adopted files")
+    GraftTable.read(s, root).orderBy(col("s_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_lake_add_files" -> q87 _,
     "q85_lake_row_lineage" -> q85 _,
     "q82_lake_ndv" -> q82 _,
     "q81_lake_partitions" -> q81 _,
@@ -644,6 +678,10 @@ object LakeOps {
     "q29_lake_partition_prune" -> q29 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q87_lake_add_files" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
     "q85_lake_row_lineage" ->
       """SELECT COUNT(*) AS n_rows, COUNT(*) AS n_ids, COUNT(*) AS n_distinct_ids,
         |       CAST(0 AS BIGINT) AS min_id, COUNT(*) - 1 AS max_id,
