@@ -576,7 +576,20 @@ private[lake] class GraftStagedTable(fqName: String, stagingRoot: String,
   * GraftTable.deleteWhere, honoring write.delete.mode (CoW rewrite or
   * a merge-on-read position-delete file). */
 private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[Long])
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_row_id` (Iceberg v3 row lineage) as a SQL-visible metadata
+    * column: `SELECT _row_id, * FROM graft.ns.t`. Resolved only when
+    * referenced — plain reads never pay for it. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_row_id"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "row lineage id: stable across compaction/sort rewrites; NULL for pre-lineage files"
+    })
 
   // for plan rules that need to know WHICH table a V2 relation reads
   // (GraftMvRewrite matches source scans; time travel never rewrites)
@@ -807,7 +820,35 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
 
       override def build(): Scan = pushedAgg match {
         case Some((aggSchema, values)) => buildAggScan(aggSchema, values)
+        case None if required.exists(_.fieldNames.contains("_row_id")) =>
+          buildRowIdScan(required.get)
         case None => buildNativeScan().getOrElse(buildDataScan())
+      }
+
+      /** Scan serving the `_row_id` metadata column: the lineage read
+        * (per-file firstRowId dispatch / materialized column), file-
+        * pruned on the pushed filters; every filter is still re-applied
+        * row-wise above (all were returned residual). The native
+        * columnar path can't carry the per-row position arithmetic, so
+        * this plane owns lineage reads. */
+      private def buildRowIdScan(req: StructType): Scan = new V1Scan {
+        override def readSchema(): StructType = req
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val pushedF = pushed
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override val schema: StructType = req
+            override def buildScan(): RDD[Row] = {
+              val s = context.sparkSession
+              val full = GraftSparkTable.this.schema()
+              val types = full.fields.map(f => f.name -> f.dataType).toMap
+              val preds = pushedF.flatMap(GraftRelation.toPred(_, types)).toIndexedSeq
+              GraftTable.readWithRowIdsPruned(s, root, asOf, preds)
+                .select(req.fieldNames.toIndexedSeq.map(col): _*).rdd
+            }
+          }.asInstanceOf[T]
+        }
       }
 
       /** The native columnar Batch path (GraftBatchScan) when the

@@ -2494,12 +2494,21 @@ object GraftTable {
     * re-sorting (rewrites materialize it), assigned when rows enter
     * main lineage. Files written before the feature read NULL. */
   def readWithRowIds(spark: SparkSession, root: String,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None): DataFrame =
+    readWithRowIdsPruned(spark, root, asOf, Seq.empty)
+
+  /** readWithRowIds with stats/partition FILE pruning on `preds` —
+    * the SQL metadata-column scan's entry point (predicates are still
+    * re-applied row-wise above; pruning only shrinks the file list). */
+  private[lake] def readWithRowIdsPruned(spark: SparkSession, root: String,
+      asOf: Option[Long], preds: Seq[Pred]): DataFrame = {
     val snap = state(root, asOf)
     val schema = DataType.fromJson(snap.schemaJson.getOrElse(
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
-    readFilesWithLineage(spark, root, schema, snap.files.filter(_.isData),
-      snap.files.filter(_.isDelete))
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val data = prunedData(types, specHistory(snap.properties), preds,
+      snap.files.filter(_.isData), statAliases(schema))
+    readFilesWithLineage(spark, root, schema, data, snap.files.filter(_.isDelete))
       .withColumnRenamed("_gf_row_id", "_row_id")
   }
 

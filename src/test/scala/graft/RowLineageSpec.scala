@@ -134,6 +134,28 @@ class RowLineageSpec extends SparkSpec {
       s"post-rollback ids must come from the high-water counter, got $fresh")
   }
 
+  test("_row_id is a SQL metadata column: resolved on reference, absent from SELECT *") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
+    spark.sql("DROP TABLE IF EXISTS graft.rl.lineage")
+    spark.sql("CREATE TABLE graft.rl.lineage (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.rl.lineage SELECT id, 'v' || id FROM range(30)")
+    // SELECT * must NOT include the metadata column
+    assert(spark.sql("SELECT * FROM graft.rl.lineage").columns.toSeq === Seq("k", "v"))
+    val rows = spark.sql(
+      "SELECT _row_id, k FROM graft.rl.lineage ORDER BY _row_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L until 30L))
+    // filters still work (file pruning + row-wise residual)
+    val some = spark.sql(
+      "SELECT _row_id FROM graft.rl.lineage WHERE k >= 25 ORDER BY _row_id").collect()
+    assert(some.length === 5 && some.forall(!_.isNullAt(0)))
+    // compaction keeps the SQL-visible ids too
+    spark.sql("CALL graft_system.rewrite_data_files(table => 'rl.lineage')")
+    val after = spark.sql(
+      "SELECT _row_id, k FROM graft.rl.lineage ORDER BY _row_id").collect()
+    assert(after.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("lineage survives the checkpoint parquet roundtrip") {
     val root = freshRoot("ckpt")
     GraftTable.create(spark, root, schema)
