@@ -638,7 +638,44 @@ object TextOps {
       .limit(100)
   }
 
+  // ── line-level corpus dedup (CCNet-style boilerplate removal) ───────
+  /** The pre-training cleanup that document-level dedup can't do:
+    * SEGMENTS repeated across documents (headers, footers, shared
+    * passages in near-dup docs) are dropped while each document's
+    * unique content survives. Text splits into 6-token lines; a line
+    * seen in ≥2 DISTINCT documents is boilerplate; survivors
+    * reassemble in original order. 100 TB shape: one line-keyed
+    * shuffle for the census (map-side combined), the boilerplate set
+    * is corpus-small and broadcasts into the anti-join, one doc-keyed
+    * shuffle to reassemble — never any pairwise comparison. */
+  def q88(s: SparkSession, dir: String): DataFrame = {
+    val w = 6
+    val lines = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), greatest(ceil(size(col("t")) / lit(w.toDouble)), lit(1L))
+            .cast("int") - 1),
+          i => array_join(slice(col("t"), i * w + 1, lit(w)), " ")))
+        .as(Seq("pos", "line")))
+    val boiler = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("line"))
+    val kept = lines.join(broadcast(boiler), Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), " ").as("text_clean"))
+    lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_line_dedup" -> q88 _,
     "q75_importance_sample" -> q75 _,
     "q78_bpe_encode" -> q78 _,
     "q71_text_bpe" -> q71 _,
@@ -666,6 +703,23 @@ object TextOps {
     s"CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(${listSql(stopwords.toMap.apply(l))}, t))) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "q88_line_dedup" ->
+      """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        |lines AS (SELECT doc_id, i AS pos, ARRAY_TO_STRING(t[6*i+1 : 6*i+6], ' ') AS line
+        |  FROM toks, UNNEST(GENERATE_SERIES(0,
+        |    GREATEST(CAST(CEIL(LEN(t)/6.0) AS BIGINT), 1) - 1)) g(i)),
+        |b AS (SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT l.* FROM lines l ANTI JOIN b USING (line)),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_total FROM lines GROUP BY doc_id),
+        |k AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |        STRING_AGG(line, ' ' ORDER BY pos) AS text_clean
+        |      FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        |       t.n_total - COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_dropped,
+        |       COALESCE(k.text_clean, '') AS text_clean
+        |FROM tot t LEFT JOIN k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q75_importance_sample" ->
       """WITH t AS (SELECT doc_id, lang, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
         |bg AS (SELECT doc_id, lang, SUBSTR(MD5(toks[i] || ' ' || toks[i+1]), 1, 2) AS b
