@@ -408,7 +408,43 @@ object Relational {
       .orderBy(col("st"), col("prio_code"))
   }
 
+  // ── time-RANGE window frame (trailing 7-day revenue) ────────────────
+  /** RANGE BETWEEN over event time — the frame rows-based windows
+    * can't express: each order sees the sum of the SAME customer's
+    * orders in the trailing 7 days, however many rows that is. Ordered
+    * by integer epoch-days in both engines so the frame bounds mean
+    * the identical row set; decimal-accumulated so the sum is
+    * order-independent. One customer-keyed shuffle. */
+  def q89(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"))
+      .rangeBetween(-6, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("d", datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
+      .withColumn("trailing_7d",
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("trailing_7d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // ── percentile_cont (exact interpolated quantiles) ───────────────────
+  /** WITHIN GROUP ordered-set aggregates: exact interpolated median and
+    * p90 per group — both engines run the standard lo + (hi−lo)·frac
+    * interpolation over the sorted values, so the doubles agree bit-
+    * for-bit. (The approximate sketch path is q22; this is the exact
+    * complement.) */
+  def q90(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50_qty"),
+        expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_window_range" -> q89 _,
+    "q90_percentile" -> q90 _,
     "q84_variant" -> q84 _,
     "q76_unpivot" -> q76 _,
     "q77_grouping_sets" -> q77 _,
@@ -441,6 +477,22 @@ object Relational {
   private def ds(e: String) = sumD.format(e)
 
   val oracleSql: Map[String, String] = Map(
+    "q89_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q90_percentile" ->
+      """SELECT l_returnflag,
+        |  PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,
+        |  PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q84_variant" ->
       s"""SELECT o_orderstatus AS st, SPLIT_PART(o_orderpriority, '-', 1) AS prio_code,
          |  COUNT(*) AS n_orders, ${ds("o_totalprice")} AS revenue,
