@@ -674,7 +674,31 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ── corpus-frequency familiarity (rare-sequence novelty signal) ─────
+  /** The curation signal between per-doc quality rules (q38) and DSIR
+    * reweighting (q75): score each document by how familiar its word
+    * SEQUENCES are to the corpus — the sum over its bigrams of the
+    * corpus-wide count of that bigram. Low scores flag novel/garbled
+    * text, high scores flag templated text; all-integer arithmetic so
+    * the oracle is exact. One bigram-keyed census shuffle (map-side
+    * combined) + one bigram-keyed join + one doc-keyed rollup. */
+  def q91(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bg = toks.select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1))))
+      .as("b"))
+    val census = bg.groupBy(col("b")).agg(count(lit(1)).as("n"))
+    bg.join(census, Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("n")).as("familiarity"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_text_familiarity" -> q91 _,
     "q88_line_dedup" -> q88 _,
     "q75_importance_sample" -> q75 _,
     "q78_bpe_encode" -> q78 _,
@@ -703,6 +727,16 @@ object TextOps {
     s"CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(${listSql(stopwords.toMap.apply(l))}, t))) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "q91_text_familiarity" ->
+      """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+        |       FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) g(i)
+        |       WHERE LEN(t) >= 2),
+        |c AS (SELECT b, COUNT(*) AS n FROM bg GROUP BY b)
+        |SELECT bg.doc_id, COUNT(*) AS n_bigrams, CAST(SUM(c.n) AS BIGINT) AS familiarity
+        |FROM bg JOIN c USING (b) GROUP BY bg.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "q88_line_dedup" ->
       """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
         |lines AS (SELECT doc_id, i AS pos, ARRAY_TO_STRING(t[6*i+1 : 6*i+6], ' ') AS line
