@@ -442,7 +442,32 @@ object Relational {
         count(lit(1)).as("n_items"))
       .orderBy(col("l_returnflag"))
 
+  // ── recursive CTE (Spark 4's WITH RECURSIVE / UnionLoop) ────────────
+  /** The gap-filled time series every dashboard needs and plain SQL
+    * can't produce: a month spine generated by a RECURSIVE CTE (the
+    * anchor and stop bounds read from the data, so regenerated
+    * testdata date ranges can't break it), left-joined to orders so
+    * empty months surface as zero rows. ~80 recursion levels — well
+    * under Spark's default 100 cap; each level is O(1) metadata, the
+    * single data pass is the join. */
+  def q92(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("q92_orders")
+    s.sql("""
+      WITH RECURSIVE months(m) AS (
+        SELECT trunc(CAST(MIN(o_orderdate) AS DATE), 'MM') FROM q92_orders
+        UNION ALL
+        SELECT add_months(m, 1) FROM months
+        WHERE m < (SELECT trunc(CAST(MAX(o_orderdate) AS DATE), 'MM') FROM q92_orders)
+      )
+      SELECT date_format(m, 'yyyy-MM-dd') AS month, COUNT(o.o_orderkey) AS n_orders,
+        COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0D) AS revenue
+      FROM months
+      LEFT JOIN q92_orders o ON trunc(CAST(o.o_orderdate AS DATE), 'MM') = months.m
+      GROUP BY 1 ORDER BY month""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_recursive_spine" -> q92 _,
     "q89_window_range" -> q89 _,
     "q90_percentile" -> q90 _,
     "q84_variant" -> q84 _,
@@ -477,6 +502,19 @@ object Relational {
   private def ds(e: String) = sumD.format(e)
 
   val oracleSql: Map[String, String] = Map(
+    "q92_recursive_spine" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS DATE) FROM orders
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        |  WHERE m < (SELECT CAST(DATE_TRUNC('month', MAX(o_orderdate)) AS DATE) FROM orders)
+        |)
+        |SELECT STRFTIME(CAST(m AS DATE), '%Y-%m-%d') AS month, COUNT(o.o_orderkey) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS revenue
+        |FROM months
+        |LEFT JOIN orders o ON CAST(DATE_TRUNC('month', o.o_orderdate) AS DATE) = CAST(months.m AS DATE)
+        |GROUP BY 1 ORDER BY month""".stripMargin,
+
     "q89_window_range" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
