@@ -466,7 +466,27 @@ object Relational {
       GROUP BY 1 ORDER BY month""")
   }
 
+  // ── LATERAL join (correlated subquery in FROM) ──────────────────────
+  /** Per-group top-k as the optimizer's DecorrelateInnerQuery rewrites
+    * it: each nation joins LATERALLY to its own top-2 customers by
+    * balance — the correlated-LIMIT shape windows also express, but
+    * LATERAL keeps the subquery arbitrary (any projection/filter/sort
+    * per outer row). Decorrelation turns it into one partitioned rank,
+    * not 25 subqueries. */
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("q93_nation")
+    Tables.customer(s, dir).createOrReplaceTempView("q93_customer")
+    s.sql("""
+      SELECT n.n_name, t.c_custkey, t.c_acctbal
+      FROM q93_nation n JOIN LATERAL (
+        SELECT c_custkey, c_acctbal FROM q93_customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_lateral_topk" -> q93 _,
     "q92_recursive_spine" -> q92 _,
     "q89_window_range" -> q89 _,
     "q90_percentile" -> q90 _,
@@ -502,6 +522,14 @@ object Relational {
   private def ds(e: String) = sumD.format(e)
 
   val oracleSql: Map[String, String] = Map(
+    "q93_lateral_topk" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n JOIN LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t ON TRUE
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin,
+
     "q92_recursive_spine" ->
       """WITH RECURSIVE months(m) AS (
         |  SELECT CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS DATE) FROM orders
