@@ -128,7 +128,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   private val metadataNames =
     Set("snapshots", "files", "history", "partitions", "manifests", "refs",
-      "entries", "metadata_log_entries", "all_files", "statistics", "ndv")
+      "entries", "metadata_log_entries", "all_files", "statistics", "ndv",
+      "position_deletes")
 
   // ── tables ──────────────────────────────────────────────────────────
 
@@ -1130,6 +1131,7 @@ private[lake] class GraftMetadataTable(fqName: String, root: String, kind: Strin
     case "metadata_log_entries" => GraftTable.metadataLogEntriesTable(s, root)
     case "all_files" => GraftTable.allFilesTable(s, root)
     case "statistics" => GraftStats.statisticsTable(s, root)
+    case "position_deletes" => GraftTable.positionDeletesTable(s, root)
     case "ndv" => GraftStats.ndvEstimates(s, root)
   }
 

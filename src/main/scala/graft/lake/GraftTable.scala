@@ -3970,6 +3970,27 @@ object GraftTable {
         .toDF("partition", "file_count", "record_count", "total_size_in_bytes")
   }
 
+  /** `.position_deletes` metadata view (the Iceberg sibling): every
+    * LIVE position-delete row — which (data file, position) pairs are
+    * masked, and the delete file carrying each. A distributed parquet
+    * read of the delete files themselves (no driver materialization);
+    * data-file paths render as the basename the MoR anti-join matches
+    * on, so the view is stable across table renames. */
+  def positionDeletesTable(spark: SparkSession, root: String): DataFrame = {
+    val posD = state(root).files.filter(_.content.contains(1))
+    if (posD.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("file_path", StringType), StructField("pos", LongType),
+        StructField("delete_file_path", StringType))))
+    else spark.read.parquet(posD.map(f => s"$root/${f.path}"): _*)
+      .select(
+        regexp_extract(col("file_path"), "([^/]+)$", 1).as("file_path"),
+        col("pos"),
+        concat(lit("deletes/"),
+          regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1))
+          .as("delete_file_path"))
+  }
+
   /** `.manifests` metadata view: the physical metadata files readers
     * replay — every commit JSON plus every checkpoint artifact. */
   def manifestsTable(spark: SparkSession, root: String): DataFrame = {

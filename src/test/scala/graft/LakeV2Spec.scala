@@ -1430,6 +1430,29 @@ class LakeV2Spec extends SparkSpec {
     assert(plan.df.except(want).isEmpty)
   }
 
+  test(".position_deletes lists live masked (file, pos) pairs; empty without MoR deletes") {
+    val root = freshRoot("posdel-view")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema,
+      Map("write.delete.mode" -> "merge-on-read"))
+    GraftTable.append(spark, root, n)
+    assert(GraftTable.positionDeletesTable(spark, root).count() == 0)
+    GraftTable.deleteWhere(spark, root, col("n_nationkey") % 5 === 0)
+    val rows = GraftTable.positionDeletesTable(spark, root).collect()
+    assert(rows.length == 5, s"5 nations masked, got ${rows.length}")
+    assert(rows.forall(_.getString(2).startsWith("deletes/")))
+    // the masked positions are exactly the rows the table no longer serves
+    assert(GraftTable.read(spark, root).count() == 20)
+    // SQL door
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pdv")
+    spark.sql("DROP TABLE IF EXISTS graft.pdv.t")
+    spark.sql("""CREATE TABLE graft.pdv.t (id BIGINT)
+      |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.pdv.t SELECT id FROM range(10)")
+    spark.sql("DELETE FROM graft.pdv.t WHERE id < 3")
+    assert(spark.sql("SELECT * FROM graft.pdv.t.position_deletes").count() == 3)
+  }
+
   // ── add_files: zero-copy adoption ───────────────────────────────────
 
   test("add_files adopts parquet by hard link + footer harvest: no rewrite, stats prune, retry no-op") {
