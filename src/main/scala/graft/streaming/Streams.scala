@@ -327,6 +327,56 @@ object Streams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  // ── transformWithState timers: inactivity alerts ────────────────────
+
+  case class Alert(user_id: Long, last_seen_us: Long)
+
+  /** Event-time TIMERS through the transformWithState API (the feature
+    * flatMapGroupsWithState only approximates with its single timeout):
+    * each user's state re-arms one timer at last-seen + gap; when the
+    * WATERMARK passes it, handleExpiredTimer fires, emits the alert,
+    * and clears the user's state — inactive users cost nothing after
+    * their alert, the 100 TB bound. */
+  class InactivityProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventW, Alert] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var lastSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long](
+        "lastSeen", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[EventW],
+        timerValues: TimerValues): Iterator[Alert] = {
+      val newest = rows.map(_.ts).max.max(if (lastSeen.exists()) lastSeen.get() else Long.MinValue)
+      if (!lastSeen.exists() || newest > lastSeen.get()) {
+        if (lastSeen.exists())
+          getHandle.deleteTimer(lastSeen.get() / 1000L + gapMs)  // re-arm
+        lastSeen.update(newest)
+        getHandle.registerTimer(newest / 1000L + gapMs)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Alert] = {
+      val last = lastSeen.get()
+      lastSeen.clear()                 // alerted: state drops to zero
+      Iterator.single(Alert(user, last))
+    }
+  }
+
+  def inactivityAlerts(events: Dataset[Event], gapMs: Long): Dataset[Alert] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.withColumn("ets", expr("timestamp_micros(ts)")).as[EventW]
+      .withWatermark("ets", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new InactivityProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_type_completion" -> q86 _,
     "q42_stream_window" -> q42 _,

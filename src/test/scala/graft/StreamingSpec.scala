@@ -684,6 +684,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time timers fire inactivity alerts and clear state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
+      val base = 1577836800000000L
+      val gapMs = 30L * 60 * 1000
+      val out = Streams.inactivityAlerts(input.toDS(), gapMs)
+      val ckpt = Files.createTempDirectory("graft-tws-timer-ckpt")
+      val q = out.writeStream.format("memory").queryName("tws_alerts")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.resolve("c").toString)
+        .start()
+      // user 7 sends twice (the second re-arms the timer), then goes silent
+      input.addData(Streams.Event(7L, base, "a"))
+      q.processAllAvailable()
+      input.addData(Streams.Event(7L, base + 60L * 1000000, "b"))
+      q.processAllAvailable()
+      assert(spark.table("tws_alerts").count() == 0, "no alert while active")
+      // user 8's later traffic advances the watermark past 7's horizon:
+      // one batch moves the watermark, the next fires the pending timer
+      input.addData(Streams.Event(8L, base + 10L * gapMs * 1000, "x"))
+      q.processAllAvailable()
+      input.addData(Streams.Event(8L, base + 11L * gapMs * 1000, "y"))
+      q.processAllAvailable()
+      val alerts = spark.table("tws_alerts").as[Streams.Alert].collect()
+        .filter(_.user_id == 7L)
+      q.stop()
+      assert(alerts.toSeq == Seq(Streams.Alert(7L, base + 60L * 1000000)),
+        s"one alert at the RE-ARMED horizon (got ${alerts.toSeq})")
+    }
+  }
+
   test("transformWithState emits exactly once and drops the map state after completion") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
