@@ -93,8 +93,10 @@ class NewQueryPlanSpec extends SparkSpec {
     // q83's only non-equi shape is the ADC scan: 8-byte code rows
     // against a broadcast per-query lookup table (O(queries) side) —
     // the PQ design point, not an accidental cartesian
+    // q94 composes q48's fixed-size seed-assignment broadcast with
+    // q83's broadcast LUT — the same two declared O(N·K) shapes
     val allPairsDeclared = Set("q34_dedup_embcos", "q35_ann_brute", "q48_ann_ivf",
-      "q72_dedup_semantic", "q75_importance_sample", "q83_ann_pq")
+      "q72_dedup_semantic", "q75_importance_sample", "q83_ann_pq", "q94_ann_ivfpq")
     val lifecycle = Set("q23_lake_snapshots", "q24_lake_files", "q25_lake_timetravel",
       "q26_lake_compaction", "q27_lake_merge", "q28_lake_mor_delete",
       "q29_lake_partition_prune", "q54_lake_sql", "q57_lake_changes",
