@@ -161,6 +161,47 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("c_user") == 1L)
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched views only after the watermark closes them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    val views = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    def ts(min: Int) = new java.sql.Timestamp(1577836800000L + min * 60000L)
+    val c = clicks.toDS().toDF("c_ts", "c_user").withWatermark("c_ts", "10 minutes")
+    val v = views.toDS().toDF("v_ts", "v_user").withWatermark("v_ts", "10 minutes")
+    // view LEFT OUTER click within the 15-min attribution window: the
+    // unmatched-view row can only emit once the watermark proves no
+    // matching click can still arrive — the state-cleanup contract
+    val joined = v.join(c,
+      col("c_user") === col("v_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 15 MINUTES"),
+      "left_outer")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssoj-ckpt")
+    val q = joined.writeStream.format("memory").queryName("ssoj")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.resolve("c").toString)
+      .start()
+    views.addData((ts(0), 1L), (ts(0), 2L))
+    clicks.addData((ts(5), 1L))            // user 1 converts
+    q.processAllAvailable()
+    val early = spark.table("ssoj").collect()
+    assert(early.count(r => !r.isNullAt(2)) == 1 &&
+      early.forall(r => !r.isNullAt(2)),
+      s"user 2's unmatched view must NOT emit while a click can still arrive: ${early.toSeq}")
+    // far-future traffic on both sides advances the watermark past
+    // user 2's window; the next batch flushes the null-padded row
+    clicks.addData((ts(120), 9L)); views.addData((ts(120), 9L))
+    q.processAllAvailable()
+    clicks.addData((ts(130), 9L)); views.addData((ts(130), 9L))
+    q.processAllAvailable()
+    val rows = spark.table("ssoj").collect()
+    q.stop()
+    val u2 = rows.filter(_.getAs[Long]("v_user") == 2L)
+    assert(u2.length == 1 && u2.head.isNullAt(2),
+      s"user 2's view must emit exactly once, null-padded: ${u2.toSeq}")
+  }
+
   test("streaming exact-dedup keeps first occurrence across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
