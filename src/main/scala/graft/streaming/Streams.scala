@@ -327,6 +327,62 @@ object Streams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  // ── transformWithState initial state: warm-start from history ───────
+
+  case class SeenType(user_id: Long, event_type: String, first_us: Long)
+
+  /** The type-completion tracker WARM-STARTED from a batch of
+    * historical per-(user, type) first-occurrence rows (the lake's
+    * rollup) — a restarted pipeline resumes where history left off
+    * instead of re-streaming it. handleInitialState seeds the MapState
+    * row by row before any stream batch runs; the stream then only
+    * delivers the increment. */
+  class TypeCompletionWarmProcessor(nTypes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, Event, Completion, SeenType] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var mins: MapState[String, Long] = _
+    @transient private var done: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      mins = getHandle.getMapState[String, Long](
+        "mins", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      done = getHandle.getValueState[Boolean](
+        "done", Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInitialState(user: Long, row: SeenType,
+        timerValues: TimerValues): Unit =
+      if (!mins.containsKey(row.event_type) || row.first_us < mins.getValue(row.event_type))
+        mins.updateValue(row.event_type, row.first_us)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Completion] = {
+      if (done.exists()) return Iterator.empty
+      rows.foreach { e =>
+        if (!mins.containsKey(e.event_type) || e.ts < mins.getValue(e.event_type))
+          mins.updateValue(e.event_type, e.ts)
+      }
+      val entries = mins.iterator().toSeq
+      if (entries.size >= nTypes) {
+        done.update(true)
+        mins.clear()
+        Iterator.single(Completion(user, entries.map(_._2).max))
+      } else Iterator.empty
+    }
+  }
+
+  def typeCompletionStreamWarm(events: Dataset[Event], history: Dataset[SeenType],
+      nTypes: Int = 5): Dataset[Completion] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCompletionWarmProcessor(nTypes),
+        TimeMode.None(), OutputMode.Append(),
+        history.groupByKey(_.user_id))
+  }
+
   // ── transformWithState timers: inactivity alerts ────────────────────
 
   case class Alert(user_id: Long, last_seen_us: Long)

@@ -725,6 +725,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState warm-starts from batch initial state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
+      val base = 1577836800000000L
+      // history: user 1 already saw 4 types; user 2 saw 2
+      val history = Seq(
+        Streams.SeenType(1L, "view", base), Streams.SeenType(1L, "click", base + 1),
+        Streams.SeenType(1L, "purchase", base + 2), Streams.SeenType(1L, "signup", base + 3),
+        Streams.SeenType(2L, "view", base), Streams.SeenType(2L, "click", base + 1)).toDS()
+      val out = Streams.typeCompletionStreamWarm(input.toDS(), history)
+      val ckpt = Files.createTempDirectory("graft-tws-warm-ckpt")
+      val q = out.writeStream.format("memory").queryName("tws_warm")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.resolve("c").toString)
+        .start()
+      // one stream event completes user 1 (history supplied the rest);
+      // the same event type leaves user 2 at 3 of 5
+      input.addData(Streams.Event(1L, base + 100, "error"),
+        Streams.Event(2L, base + 100, "error"))
+      q.processAllAvailable()
+      val got = spark.table("tws_warm").as[Streams.Completion].collect()
+      q.stop()
+      assert(got.toSeq == Seq(Streams.Completion(1L, base + 100)),
+        s"history + one increment must complete user 1 only: ${got.toSeq}")
+    }
+  }
+
   test("transformWithState event-time timers fire inactivity alerts and clear state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
