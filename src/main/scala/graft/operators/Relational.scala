@@ -452,12 +452,18 @@ object Relational {
     * single data pass is the join. */
   def q92(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("q92_orders")
-    s.sql("""
+    // bounds resolve ONCE (a two-value aggregate) and enter the
+    // recursion as literals: a scalar subquery in the recursive term
+    // would re-run per level — ~80 full scans of orders for an
+    // 80-month spine (measured 12s vs sub-second at sf0.1)
+    val b = s.sql("SELECT date_format(trunc(CAST(MIN(o_orderdate) AS DATE), 'MM'), 'yyyy-MM-dd'), " +
+      "date_format(trunc(CAST(MAX(o_orderdate) AS DATE), 'MM'), 'yyyy-MM-dd') FROM q92_orders").head()
+    val (lo, hi) = (b.getString(0), b.getString(1))
+    s.sql(s"""
       WITH RECURSIVE months(m) AS (
-        SELECT trunc(CAST(MIN(o_orderdate) AS DATE), 'MM') FROM q92_orders
+        SELECT DATE'$lo' AS m
         UNION ALL
-        SELECT add_months(m, 1) FROM months
-        WHERE m < (SELECT trunc(CAST(MAX(o_orderdate) AS DATE), 'MM') FROM q92_orders)
+        SELECT add_months(m, 1) FROM months WHERE m < DATE'$hi'
       )
       SELECT date_format(m, 'yyyy-MM-dd') AS month, COUNT(o.o_orderkey) AS n_orders,
         COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0D) AS revenue
