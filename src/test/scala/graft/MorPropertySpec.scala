@@ -83,6 +83,18 @@ class MorPropertySpec extends SparkSpec {
           s"lifecycle $lc after $checks checks: table ${got.size} rows vs " +
             s"oracle ${oracle.size} (first diff: " +
             s"${(got.diff(oracle.sorted) ++ oracle.sorted.diff(got)).headOption})")
+        // row-lineage invariant (sampled for cost): every live row in
+        // THIS alphabet entered main lineage through a stamping commit,
+        // so _row_id must be non-null and UNIQUE after every compose of
+        // MoR deletes, rewrites, WAP resolves, renames, and evolution
+        if (checks % 2 == 0) {
+          val ids = GraftTable.readWithRowIds(spark, root).select(col("_row_id"))
+            .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+          assert(ids.length == oracle.size && ids.forall(_.isDefined),
+            s"lifecycle $lc: ${ids.count(_.isEmpty)} rows lost their lineage id")
+          assert(ids.flatten.distinct.length == ids.length,
+            s"lifecycle $lc: duplicate _row_id after op compose")
+        }
         checks += 1
       }
       // CDC reconciliation: the feed over (prevSnap, now] must carry a
