@@ -87,10 +87,13 @@ object Bench {
     val totalsJson = totals.map(fmt).mkString("[", ",", "]")
     // `queries` and `medians` are intentionally the same map: the
     // driver contract reads `queries`, regression tooling reads the
-    // explicitly-named `medians`. `medians` goes LAST because the
-    // driver captures only a 2 KB tail of this line — a mid-line
-    // position truncated it out of BENCH_r08.json entirely.
-    println(s"""{"metric":"total","value":${fmt(median(totals))},"unit":"sec","queries":${qjson(medians)},"runs":$runsJson,"totals":$totalsJson,"n_runs":$nRuns,"failed":$failed,"sf":"$sfDir","mins":${qjson(mins)},"medians":${qjson(medians)}}""")
+    // explicitly-named `medians`. ALL compact headline fields
+    // (value/totals/failed/n_runs/sf) go FIRST, before any per-query
+    // map: the driver's capture window has truncated this line
+    // mid-map two rounds running (BENCH_r08 lost `medians`, BENCH_r11
+    // lost `totals`/`failed`) — a truncated tail must only ever cost
+    // per-query detail, never the headline.
+    println(s"""{"metric":"total","value":${fmt(median(totals))},"unit":"sec","n_runs":$nRuns,"sf":"$sfDir","totals":$totalsJson,"failed":$failed,"queries":${qjson(medians)},"mins":${qjson(mins)},"medians":${qjson(medians)},"runs":$runsJson}""")
     spark.stop()
   }
 }

@@ -48,8 +48,15 @@ class GraftCdcStreamProvider extends StreamSourceProvider with DataSourceRegiste
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val root = rootOf(parameters)
+    // Default-start ("head at stream start") must be resolved ONCE and
+    // survive recovery: createSource re-runs on every restart, and a
+    // crash before batch 0 commits would otherwise re-resolve `head`
+    // at restart time — silently skipping commits that landed in
+    // between (or inverting the range). Persist the first resolution
+    // under metadataPath (the FileStreamSource pattern) and reuse it.
+    // An explicit startingSnapshotId is stable by construction.
     val start = parameters.get("startingSnapshotId").map(_.toLong)
-      .getOrElse(GraftCdcStreamProvider.mainHead(root))
+      .getOrElse(GraftCdcStreamProvider.resolveInitialStart(ctx, metadataPath, root))
     new GraftCdcSource(ctx, root, start,
       parameters.get("maxSnapshotsPerTrigger").map(_.toInt),
       parameters.get("maxRowsPerTrigger").map(_.toLong))
@@ -74,6 +81,35 @@ private[lake] object GraftCdcStreamProvider {
   def mainHead(root: String): Long =
     GraftTable.listCommitIds(root)
       .filterNot(id => GraftTable.isStagedId(root, id)).max
+
+  /** First-start head resolution, durably pinned under the stream's
+    * metadataPath. Write is tmp-file + rename; if a concurrent or
+    * crashed earlier attempt already renamed the marker, that earlier
+    * resolution wins (it is the one batch 0 may have been planned
+    * against). */
+  def resolveInitialStart(ctx: SQLContext, metadataPath: String, root: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(metadataPath)
+    val fs = dir.getFileSystem(ctx.sparkSession.sessionState.newHadoopConf())
+    val marker = new Path(dir, "graft-cdc-start")
+    def readMarker(): Long = {
+      val in = fs.open(marker)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+    if (fs.exists(marker)) readMarker()
+    else {
+      val head = mainHead(root)
+      fs.mkdirs(dir)
+      val tmp = new Path(dir, s".graft-cdc-start.${java.util.UUID.randomUUID}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(head.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.rename(tmp, marker)) head
+      else { fs.delete(tmp, false); readMarker() }
+    }
+  }
 }
 
 /** One table's CDC feed as a V1 streaming Source: `getOffset` is the

@@ -739,12 +739,17 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
           case ByteType => Some(Ordering.by(_.asInstanceOf[Byte]))
           case org.apache.spark.sql.types.DateType =>
             Some(Ordering.by(_.asInstanceOf[java.sql.Date].getTime))
+          // order on exact epoch MICROS (what the stats text stores):
+          // toEpochSecond alone drops the sub-second component and two
+          // files whose bounds share a whole second would tie — picking
+          // an arbitrary (possibly wrong) min/max; `/ 1000L` truncates
+          // toward zero and mis-orders pre-1970 fractional seconds
           case TimestampType =>
             Some(Ordering.by { v: Any => val t = v.asInstanceOf[java.sql.Timestamp]
-              (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L })
+              Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L })
           case TimestampNTZType =>
-            Some(Ordering.by(_.asInstanceOf[java.time.LocalDateTime]
-              .toEpochSecond(java.time.ZoneOffset.UTC)))
+            Some(Ordering.by { v: Any => val d = v.asInstanceOf[java.time.LocalDateTime]
+              d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000L })
           case _ => None
         }
         def minMax(colExpr: org.apache.spark.sql.connector.expressions.Expression,

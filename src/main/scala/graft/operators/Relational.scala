@@ -447,10 +447,13 @@ object Relational {
     * can't produce: a month spine generated by a RECURSIVE CTE (the
     * anchor and stop bounds read from the data, so regenerated
     * testdata date ranges can't break it), left-joined to orders so
-    * empty months surface as zero rows. ~80 recursion levels — well
-    * under Spark's default 100 cap; each level is O(1) metadata, the
+    * empty months surface as zero rows. ~80 recursion levels on the
+    * current data, but the span is data-driven: raise Spark's default
+    * 100-level cap so a regenerated orders table spanning ≥100 months
+    * can't fail the gate at runtime. Each level is O(1) metadata, the
     * single data pass is the join. */
   def q92(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.cteRecursionLevelLimit", 100000)
     Tables.orders(s, dir).createOrReplaceTempView("q92_orders")
     // bounds resolve ONCE (a two-value aggregate) and enter the
     // recursion as literals: a scalar subquery in the recursive term

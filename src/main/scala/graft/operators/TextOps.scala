@@ -645,9 +645,12 @@ object TextOps {
     * unique content survives. Text splits into 6-token lines; a line
     * seen in ≥2 DISTINCT documents is boilerplate; survivors
     * reassemble in original order. 100 TB shape: one line-keyed
-    * shuffle for the census (map-side combined), the boilerplate set
-    * is corpus-small and broadcasts into the anti-join, one doc-keyed
-    * shuffle to reassemble — never any pairwise comparison. */
+    * shuffle for the census (map-side combined), an UNHINTED anti-join
+    * on the boilerplate set (at web scale every repeated 6-token
+    * segment is billions of rows — a forced broadcast would collect it
+    * to the driver and OOM; AQE broadcasts it at runtime exactly when
+    * its measured size is genuinely small), one doc-keyed shuffle to
+    * reassemble — never any pairwise comparison. */
   def q88(s: SparkSession, dir: String): DataFrame = {
     val w = 6
     val lines = Tables.documents(s, dir)
@@ -660,7 +663,7 @@ object TextOps {
     val boiler = lines.groupBy(col("line"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("line"))
-    val kept = lines.join(broadcast(boiler), Seq("line"), "left_anti")
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),

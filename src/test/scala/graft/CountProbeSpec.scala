@@ -85,6 +85,35 @@ class CountProbeSpec extends SparkSpec {
     assert(spark.sql("SELECT MAX(key) FROM graft.p.mm").head().getLong(0) == 249L)
   }
 
+  test("MIN/MAX timestamp pushdown orders on exact epoch micros") {
+    // two files whose bounds share the same whole SECOND but differ in
+    // micros: ordering by toEpochSecond ties and returns an arbitrary
+    // file's value; plus a pre-1970 fractional-second LTZ value, where
+    // truncate-toward-zero (getTime/1000) flips the sign of the
+    // sub-second part and mis-orders it against post-1970 values
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
+    spark.sql("DROP TABLE IF EXISTS graft.p.mmus")
+    spark.sql("CREATE TABLE graft.p.mmus (ts TIMESTAMP_NTZ, lt TIMESTAMP)")
+    spark.sql("""INSERT INTO graft.p.mmus VALUES
+      (TIMESTAMP_NTZ '2024-01-01 00:00:00.0005', timestamp_micros(-500000)),
+      (TIMESTAMP_NTZ '2024-01-01 00:00:00.7',    timestamp_micros(-500000))""")
+    spark.sql("""INSERT INTO graft.p.mmus VALUES
+      (TIMESTAMP_NTZ '2024-01-01 00:00:00.0002', timestamp_micros(200000)),
+      (TIMESTAMP_NTZ '2024-01-01 00:00:00.4',    timestamp_micros(200000))""")
+    val df = spark.sql("""SELECT MIN(ts) AS t0, MAX(ts) AS t1,
+      unix_micros(MIN(lt)) AS l0, unix_micros(MAX(lt)) AS l1 FROM graft.p.mmus""")
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("PushedAggregates") && p.contains("MIN(ts)"),
+      s"timestamp MIN/MAX must push into the manifest scan:\n$p")
+    val r = df.head()
+    assert(r.getAs[java.time.LocalDateTime](0) ==
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0, 200000))   // .0002 → 200µs = 200000ns
+    assert(r.getAs[java.time.LocalDateTime](1) ==
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0, 700000000))
+    assert(r.getLong(2) == -500000L, "pre-1970 fractional MIN must win")
+    assert(r.getLong(3) == 200000L)
+  }
+
   test("COUNT(col) is answered from per-file null counts; unknown nulls refuse") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
     spark.sql("DROP TABLE IF EXISTS graft.p.cc")

@@ -214,6 +214,19 @@ class NewQueryPlanSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("q88's boilerplate anti-join carries no static broadcast hint") {
+    // the boilerplate-line set is corpus-dependent — at web scale it is
+    // billions of rows, so a forced broadcast() hint is a driver OOM
+    // waiting to happen. The join must stay unhinted: AQE broadcasts
+    // at runtime when (and only when) the measured size is small.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = graft.operators.TextOps.q88(spark, sf)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty,
+      s"q88 must not pin a join strategy: ${hints.map(_.hints).mkString(", ")}")
+    assert(df.count() > 0, "q88 still produces per-document rows")
+  }
+
   test("q58 scan reads only doc_id and text") {
     val df = graft.operators.TextOps.q58(spark, sf)
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)

@@ -608,6 +608,40 @@ class StreamingSpec extends SparkSpec {
     assert(filled.size >= 2, s"history must split across batches: $rows")
   }
 
+  test("CDC default start survives a restart before batch 0 commits") {
+    import spark.implicits._
+    import graft.lake.GraftTable
+    val base = Files.createTempDirectory("graft-cdc-restart")
+    val root = base.resolve("t").toString
+    GraftTable.create(spark, root, Seq((0L, "x")).toDF("id", "v").schema)
+    GraftTable.append(spark, root, Seq((1L, "a")).toDF("id", "v"))
+
+    // first start in default ("head at start") mode pins head=1 and
+    // persists the pin under metadataPath
+    val provider = new graft.lake.GraftCdcStreamProvider
+    val metaPath = base.resolve("ckpt/sources/0").toString
+    val a = provider.createSource(spark.sqlContext, metaPath, None, "graft-cdc",
+      Map("path" -> root))
+    assert(a.getOffset.isEmpty, "nothing to serve at the pin")
+
+    // a commit lands, then the query crash-restarts BEFORE batch 0
+    // commits: createSource re-runs with the same metadataPath and
+    // must reuse the PERSISTED pin (head=1), not re-resolve head=2 —
+    // otherwise commit 2 is silently skipped
+    GraftTable.append(spark, root, Seq((2L, "b")).toDF("id", "v"))
+    val b = provider.createSource(spark.sqlContext, metaPath, None, "graft-cdc",
+      Map("path" -> root))
+    assert(b.getOffset ==
+      Some(org.apache.spark.sql.execution.streaming.runtime.LongOffset(2L)),
+      "restart must serve the commit that landed after the original pin")
+
+    // a genuinely NEW stream (fresh metadataPath) pins at the current head
+    val c = provider.createSource(spark.sqlContext,
+      base.resolve("ckpt2/sources/0").toString, None, "graft-cdc",
+      Map("path" -> root))
+    assert(c.getOffset.isEmpty)
+  }
+
   test("CDC stream: every commit arrives as one micro-batch of change rows") {
     import spark.implicits._
     import graft.lake.GraftTable
