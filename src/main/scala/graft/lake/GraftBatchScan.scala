@@ -120,8 +120,12 @@ private[graft] class GraftBatchScan(
   override def description(): String = {
     val preds = if (pushedFilters.isEmpty) "" else
       s", pushed: [${pushedFilters.mkString(", ")}]"
-    s"GraftBatchScan $tableName files=${currentEntries.size}/${initialEntries.size}$preds"
+    val mor = if (plan.deletes.isEmpty) "" else s", deletes=${plan.deletes.size}"
+    s"GraftBatchScan $tableName files=${currentEntries.size}/${initialEntries.size}$mor$preds"
   }
+
+  /** Live MoR delete files this scan serves natively (spec observability). */
+  private[graft] def morDeleteCount: Int = plan.deletes.size
 
   // ── partition planning ──────────────────────────────────────────────
 
@@ -208,19 +212,25 @@ private[graft] class GraftBatchScan(
     * null-fill, widened-type promotion, predicate pushdown, and
     * vectorized/columnar reading — the SAME reader stack the V1
     * plane's spark.read.parquet uses, minus the Row bridge. */
-  override def createReaderFactory(): PartitionReaderFactory = {
+  /** One vectorized parquet reader factory for (file schema, requested
+    * schema, filters) — the requested schema rides the broadcast hadoop
+    * conf exactly as Spark's own ParquetScan.createReaderFactory sets
+    * it up, so per-file clipping, missing-column null-fill, widened
+    * types, pushdown, and columnar reads all behave identically. */
+  private def mkParquetFactory(dataSchema: StructType, requested: StructType,
+      filters: Array[Filter]): ParquetPartitionReaderFactory = {
     val sqlConf = spark.sessionState.conf
     val hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
-    val readDataSchemaAsJson = readDataSchema.json
+    val requestedJson = requested.json
     hadoopConf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[ParquetReadSupport].getName)
-    hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readDataSchemaAsJson)
-    hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, readDataSchemaAsJson)
+    hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requestedJson)
+    hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, requestedJson)
     hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
     hadoopConf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
       sqlConf.nestedSchemaPruningEnabled)
     hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
-    ParquetWriteSupport.setSchema(readDataSchema, hadoopConf)
+    ParquetWriteSupport.setSchema(requested, hadoopConf)
     hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
       sqlConf.isParquetBinaryAsString)
     hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
@@ -233,9 +243,60 @@ private[graft] class GraftBatchScan(
       sqlConf.legacyParquetNanosAsLong)
     val broadcasted = spark.sparkContext.broadcast(
       new SerializableConfiguration(hadoopConf))
-    GraftReaderFactory(ParquetPartitionReaderFactory(sqlConf, broadcasted,
-      plan.schema, readDataSchema, StructType(Nil), pushedFilters, None,
-      new ParquetOptions(Map.empty[String, String], sqlConf)))
+    ParquetPartitionReaderFactory(sqlConf, broadcasted,
+      dataSchema, requested, StructType(Nil), filters, None,
+      new ParquetOptions(Map.empty[String, String], sqlConf))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    if (plan.deletes.isEmpty)
+      GraftReaderFactory(mkParquetFactory(plan.schema, readDataSchema, pushedFilters))
+    else morReaderFactory()
+
+  /** MoR snapshots read natively: dirty files re-read through an
+    * EXTENDED schema (projection-pruned eq-delete key columns added
+    * back, plus Spark's generated `_tmp_metadata_row_index` column)
+    * and filter per row against deletion vectors / key sets; clean
+    * files keep the plain factory. See GraftMorRead.scala. */
+  private def morReaderFactory(): GraftMorReaderFactory = {
+    val posDeletes = plan.deletes.filter(_.content.contains(1))
+      .map(f => (s"$root/${f.path}", f.sizeBytes))
+    val posSchema = StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("pos", LongType, nullable = false)))
+    // one group per (snapshot, key columns): same sequence bound, same
+    // keys — shard files of one keyed delete share one key set
+    val eqGroupsRaw = plan.deletes.filter(_.content.contains(2))
+      .groupBy(f => (f.snapshotOfName, f.eqCols.getOrElse(Seq.empty)))
+      .toSeq.sortBy { case ((s, cs), _) => (s, cs.mkString(",")) }
+    val eqColsNeeded = eqGroupsRaw.flatMap(_._1._2).distinct
+      .filterNot(readDataSchema.fieldNames.contains)
+    val riName = org.apache.spark.sql.execution.datasources.parquet
+      .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
+    // the row-index field must be NULLABLE: the vectorized reader
+    // null-fills nullable missing columns (a required miss throws) and
+    // its RowIndexGenerator then overwrites the vector with real
+    // indexes, matched by name
+    val extSchema = StructType(readDataSchema.fields ++
+      eqColsNeeded.map(c =>
+        plan.schema.fields.find(_.name == c).get.copy(nullable = true)) :+
+      StructField(riName, LongType, nullable = true))
+    val ordOf = extSchema.fieldNames.zipWithIndex.toMap
+    val eqGroups = eqGroupsRaw.map { case ((snapId, cols), fs) =>
+      val fields = cols.map(c => plan.schema.fields.find(_.name == c).get)
+      GraftEqGroup(snapId, cols,
+        fs.map(f => (s"$root/${f.path}", f.sizeBytes)),
+        cols.map(ordOf).toArray, fields.map(_.dataType).toArray,
+        mkParquetFactory(StructType(fields), StructType(fields), Array.empty))
+    }
+    GraftMorReaderFactory(
+      plain = mkParquetFactory(plan.schema, readDataSchema, pushedFilters),
+      extended = mkParquetFactory(plan.schema, extSchema, pushedFilters),
+      nOut = readDataSchema.length,
+      riOrd = extSchema.length - 1,
+      posDeletes = posDeletes,
+      posFactory = mkParquetFactory(posSchema, posSchema, Array.empty),
+      eqGroups = eqGroups)
   }
 }
 

@@ -607,7 +607,11 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
     // until cherrypick — never a silent bypass of the WAP contract
     GraftTable.activeWapId(spark, root) match {
       case Some(w) => GraftTable.deleteWhereStaged(spark, root, cond, w)
-      case None => GraftTable.deleteWhere(spark, root, cond)
+      // key-membership predicates on MoR tables route to an
+      // equality-delete file (O(keys)); the rest plan position
+      // deletes / CoW rewrites as before
+      case None => GraftTable.deleteWhereRouted(spark, root,
+        filters.toIndexedSeq, cond)
     }
   }
 

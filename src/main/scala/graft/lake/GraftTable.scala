@@ -1977,6 +1977,76 @@ object GraftTable {
     id
   }
 
+  /** SQL front-door DELETE routing: a pure key-membership predicate
+    * (`k IN (...)`, `k = v`, or a conjunction of equalities, plus at
+    * most one IN) on a merge-on-read table becomes an EQUALITY-delete
+    * file — O(keys) written, no matching-file scan at all, the shape
+    * a petabyte keyed delete needs. Everything else (ranges, nulls,
+    * unsupported key types) takes the standard position-delete /
+    * copy-on-write path. One planner header serves both branches. */
+  def deleteWhereRouted(spark: SparkSession, root: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter], condition: Column): Long = {
+    val planner = ckptPlanner(spark, root, None)
+    val (schema, props) = dmlHeader(planner, root)
+    val mor = props.get("write.delete.mode").contains("merge-on-read")
+    if (mor) equalityKeyFrame(spark, schema, filters) match {
+      case Some(keys) => return deleteEqualityMoR(spark, root, keys)
+      case None => ()
+    }
+    if (mor) deleteWhereMoRImpl(spark, root, condition, Nil, planner)
+    else overwriteWhereImpl(spark, root, condition, None, Nil, planner)
+  }
+
+  /** The key DataFrame for a routable membership predicate, or None.
+    * Strict by design: exact live column names, non-null values whose
+    * runtime class matches the column type (SQL `IN` never matches
+    * NULL, but the eq-delete anti-join is null-SAFE — a null value
+    * slipping through would delete null-keyed rows the statement did
+    * not ask for). */
+  private def equalityKeyFrame(spark: SparkSession, schema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Option[DataFrame] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    if (filters.isEmpty) return None
+    def boxOf(dt: DataType): Option[Class[_]] = dt match {
+      case IntegerType => Some(classOf[java.lang.Integer])
+      case LongType => Some(classOf[java.lang.Long])
+      case ShortType => Some(classOf[java.lang.Short])
+      case ByteType => Some(classOf[java.lang.Byte])
+      case StringType => Some(classOf[String])
+      case BooleanType => Some(classOf[java.lang.Boolean])
+      case _ => None
+    }
+    var eqs = List.empty[(String, Any)]
+    var inF: Option[(String, Seq[Any])] = None
+    filters.foreach {
+      case EqualTo(a, v) if v != null => eqs = (a, v) :: eqs
+      case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) && inF.isEmpty =>
+        inF = Some((a, vs.toSeq))
+      case _ => return None
+    }
+    val cols = eqs.map(_._1) ++ inF.map(_._1).toList
+    if (cols.distinct.size != cols.size) return None
+    val fields = cols.map(c => schema.fields.find(_.name == c) match {
+      case Some(f) => f
+      case None => return None
+    })
+    val boxes = fields.map(f => boxOf(f.dataType) match {
+      case Some(b) => b
+      case None => return None
+    })
+    val eqOk = eqs.map(_._2).zip(boxes.take(eqs.size))
+      .forall { case (v, b) => b.isInstance(v) }
+    val inOk = inF.forall { case (_, vs) => vs.forall(boxes.last.isInstance(_)) }
+    if (!eqOk || !inOk) return None
+    val rows = inF match {
+      case Some((_, vs)) => vs.map(v => Row.fromSeq(eqs.map(_._2) :+ v))
+      case None => Seq(Row.fromSeq(eqs.map(_._2)))
+    }
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 1),
+      StructType(fields.map(_.copy(nullable = false)))))
+  }
+
   /** Merge-on-read DELETE by key VALUES — an equality-delete file
     * (content=2, the other Iceberg v2 delete flavor; guide scope:
     * rewrite_equality_deletes). `keys` holds distinct values of a
@@ -5033,14 +5103,43 @@ object GraftTable {
     * which mayMatch's empty-stats conservatism makes automatic). */
   private[lake] case class NativePlan(schema: StructType,
       entries: Seq[FileEntry], specs: IndexedSeq[Seq[PTransform]],
-      currentSpecId: Int, distributedPlanned: Boolean)
+      currentSpecId: Int, distributedPlanned: Boolean,
+      deletes: Seq[FileEntry] = Seq.empty)
+
+  /** Equality-delete key types the native reader can hash-set
+    * (structural boxed equality matches Spark's null-safe equality
+    * after −0.0 normalization; Decimal/binary/nested stay on V1). */
+  private[lake] def eqKeyHashable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | ShortType | ByteType | StringType |
+         BooleanType | DateType | TimestampType | TimestampNTZType |
+         FloatType | DoubleType => true
+    case _ => false
+  }
+
+  /** MoR snapshots stay native when every live delete file is servable
+    * by the deletion-vector reader: position deletes always are;
+    * equality deletes need hashable key columns still present under
+    * their live names. `spark.graft.native-scan.mor.enabled=false`
+    * routes MoR snapshots back to the V1 anti-join plane. */
+  private def morNativeEligible(spark: SparkSession, schema: StructType,
+      deletes: Seq[FileEntry]): Boolean =
+    deletes.isEmpty ||
+      (spark.conf.get("spark.graft.native-scan.mor.enabled", "true").toBoolean &&
+        deletes.forall { d =>
+          d.content.contains(1) || (d.content.contains(2) &&
+            d.eqCols.exists(cs => cs.nonEmpty && cs.forall(c =>
+              schema.fields.find(_.name == c).exists(f => eqKeyHashable(f.dataType)))))
+        })
 
   /** Plan a scan for the native (DSv2 Batch / columnar) read path, or
     * None when the snapshot needs read-time semantics only the
-    * DataFrame plane provides — live MoR delete files (anti-joins) or
-    * rename coalescing (physical→logical projection). Widened types
-    * and ADD-COLUMN null-fill stay native: both planes hand the SAME
-    * explicit read schema to the same vectorized parquet reader.
+    * DataFrame plane provides — rename coalescing (physical→logical
+    * projection) or a delete shape the deletion-vector reader can't
+    * serve. Live MoR delete files ride along in `deletes` and apply
+    * as per-file row-index / key-set filters inside the columnar
+    * reader (GraftMorReaderFactory). Widened types and ADD-COLUMN
+    * null-fill stay native: both planes hand the SAME explicit read
+    * schema to the same vectorized parquet reader.
     *
     * Below the planning threshold the driver's entry list prunes
     * exactly as scan() does; above it the prune runs as ONE Spark job
@@ -5058,40 +5157,50 @@ object GraftTable {
     ckptTail(root, target).filterNot(_.belowThreshold) match {
       case Some(ct) =>
         val schema = DataType.fromJson(ct.schemaJson.get).asInstanceOf[StructType]
-        if (hasRenames(schema) || ct.tailAdds.exists(_.isDelete)) return None
+        if (hasRenames(schema)) return None
         val types = schema.fields.map(f => f.name -> f.dataType).toMap
         val specs = specHistory(ct.props)
         val aliases = statAliases(schema)
         val keepCond = preds.map(predCond(types, specs, _, aliases))
           .foldLeft(lit(true))(_ && _)
+        // delete files always survive the prune filter (they apply to
+        // whatever data files remain, regardless of the predicates)
         val rows = ckptSurvivorsDf(spark, root, ct)
           .filter(col("content") =!= 0 || keepCond)
           .select(col("path"), col("sizeBytes"), col("records"),
-            col("content"), col("partition"), col("specId"))
+            col("content"), col("partition"), col("specId"), col("eqcols"))
           .collect()
-        if (rows.exists(_.getInt(3) != 0)) return None   // live MoR deletes
-        val ckEntries = rows.map { r =>
+        val ckDeletes = rows.filter(_.getInt(3) != 0).map { r =>
+          FileEntry(r.getString(0), r.getLong(1), r.getLong(2), Map.empty,
+            None, Some(r.getInt(3)),
+            Option(r.getAs[scala.collection.Seq[String]]("eqcols")).map(_.toSeq))
+        }.toSeq
+        val deletes = ckDeletes ++ ct.tailAdds.filter(_.isDelete)
+        if (!morNativeEligible(spark, schema, deletes)) return None
+        val ckEntries = rows.filter(_.getInt(3) == 0).map { r =>
           val part = Option(r.getAs[scala.collection.Map[String, String]]("partition"))
             .map(_.toMap).filter(_.nonEmpty)
           val spec = Option.when(!r.isNullAt(5))(r.getInt(5))
           FileEntry(r.getString(0), r.getLong(1), r.getLong(2),
             Map.empty, part, None, None, spec)
         }.toSeq
-        val tailLive = prunedData(types, specs, preds, ct.tailAdds, aliases)
+        val tailLive = prunedData(types, specs, preds,
+          ct.tailAdds.filter(_.isData), aliases)
         Some(NativePlan(schema, ckEntries ++ tailLive, specs,
-          specs.size - 1, distributedPlanned = true))
+          specs.size - 1, distributedPlanned = true, deletes))
       case None =>
         val snap = state(root, asOf)
-        if (snap.files.exists(_.isDelete)) return None
         val schema = DataType.fromJson(snap.schemaJson.getOrElse(
           state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
         if (hasRenames(schema)) return None
+        val deletes = snap.files.filter(_.isDelete)
+        if (!morNativeEligible(spark, schema, deletes)) return None
         val types = schema.fields.map(f => f.name -> f.dataType).toMap
         val specs = specHistory(snap.properties)
         val entries = prunedData(types, specs, preds,
           snap.files.filter(_.isData), statAliases(schema))
         Some(NativePlan(schema, entries, specs,
-          specs.size - 1, distributedPlanned = false))
+          specs.size - 1, distributedPlanned = false, deletes))
     }
   }
 

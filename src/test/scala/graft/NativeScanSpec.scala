@@ -100,14 +100,24 @@ class NativeScanSpec extends SparkSpec {
     assert(nativeScanOf(renamed).isEmpty, "renames need the V1 coalesce plane")
     assert(renamed.collect().map(_.getString(1)).toSeq == Seq("a", "b", "c"))
 
-    // a MoR position delete forces the anti-join V1 plane
+    // a MoR position delete stays NATIVE: the deletion-vector reader
+    // applies it as a row-index filter (round-12; previously V1)
     spark.sql("""CREATE TABLE graft.nsc.mor (id BIGINT, v STRING)
       |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
     spark.sql("INSERT INTO graft.nsc.mor VALUES (1, 'a'), (2, 'b'), (3, 'c')")
     spark.sql("DELETE FROM graft.nsc.mor WHERE id = 2")
     val mor = spark.sql("SELECT id FROM graft.nsc.mor ORDER BY id")
-    assert(nativeScanOf(mor).isEmpty, "live MoR deletes need the V1 plane")
+    val morScan = nativeScanOf(mor)
+    assert(morScan.isDefined && morScan.get.morDeleteCount > 0,
+      "live MoR deletes are served natively via deletion vectors")
     assert(mor.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // the MoR kill switch routes back to the V1 anti-join plane
+    spark.conf.set("spark.graft.native-scan.mor.enabled", "false")
+    try {
+      val v1 = spark.sql("SELECT id FROM graft.nsc.mor ORDER BY id")
+      assert(nativeScanOf(v1).isEmpty, "mor kill switch must fall back")
+      assert(v1.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    } finally spark.conf.unset("spark.graft.native-scan.mor.enabled")
   }
 
   test("runtime (DPP) filtering prunes partition files at execution time") {
@@ -245,6 +255,143 @@ class NativeScanSpec extends SparkSpec {
     val gotS = Seq("a", "BUILDING", "").map(v =>
       bs.produceResult(InternalRow(4, UTF8String.fromString(v))).toInt)
     assert(gotS == expS)
+  }
+
+  test("MoR deletion vectors: batch-crossing position deletes, pruned-key equality deletes, sequence rule") {
+    spark.sql("""CREATE TABLE graft.nsc.dv (id BIGINT, grp BIGINT, v STRING)
+      |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    import spark.implicits._
+    // one 12k-row file: deletes must apply across several 4096-row
+    // vectorized batches (deletion-vector cursor carry), including a
+    // fully-deleted leading batch
+    (0L until 12000L).map(i => (i, i % 5, s"v${i % 11}")).toDF("id", "grp", "v")
+      .coalesce(1).createOrReplaceTempView("dv_src")
+    spark.sql("INSERT INTO graft.nsc.dv SELECT * FROM dv_src")
+    spark.sql("DELETE FROM graft.nsc.dv WHERE id < 5000")      // leading batches
+    // scattered delete (non-Filter-convertible predicate → direct API)
+    GraftTable.deleteWhereMoR(spark, s"$wh/nsc/dv", col("id") % 7 === 0)
+    // equality delete keyed on a column the projection below PRUNES —
+    // the reader adds it back internally and strips it before output
+    GraftTable.deleteEqualityMoR(spark, s"$wh/nsc/dv", Seq("v3", "v8").toDF("v"))
+    // post-delete append: the sequence rule must NOT delete these rows
+    spark.sql("INSERT INTO graft.nsc.dv VALUES (100000, 1, 'v3'), (100001, 2, 'v8')")
+
+    val oracle: Seq[Long] =
+      ((0L until 12000L).filter(i => i >= 5000 && i % 7 != 0)
+        .filterNot(i => Set(3L, 8L).contains(i % 11)) ++
+        Seq(100000L, 100001L)).sorted
+
+    val q = spark.sql("SELECT id FROM graft.nsc.dv")   // v pruned away
+    val sc = nativeScanOf(q)
+    assert(sc.isDefined && sc.get.morDeleteCount >= 3,
+      s"native scan must carry the live delete files, got ${sc.map(_.morDeleteCount)}")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == oracle)
+    val q2 = spark.sql("SELECT id, grp, v FROM graft.nsc.dv WHERE grp = 1")
+    assert(nativeScanOf(q2).isDefined)
+    val nativeRows = q2.collect().map(_.toString).sorted.toSeq
+    // row-based (non-vectorized) reader: same truncation + filtering
+    spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+    try {
+      val qr = spark.sql("SELECT id FROM graft.nsc.dv")
+      assert(nativeScanOf(qr).isDefined)
+      assert(qr.collect().map(_.getLong(0)).sorted.toSeq == oracle)
+    } finally spark.conf.unset("spark.sql.parquet.enableVectorizedReader")
+    // V1 anti-join plane parity
+    spark.conf.set("spark.graft.native-scan.enabled", "false")
+    try {
+      assert(spark.sql("SELECT id FROM graft.nsc.dv")
+        .collect().map(_.getLong(0)).sorted.toSeq == oracle)
+      assert(spark.sql("SELECT id, grp, v FROM graft.nsc.dv WHERE grp = 1")
+        .collect().map(_.toString).sorted.toSeq == nativeRows)
+    } finally spark.conf.unset("spark.graft.native-scan.enabled")
+  }
+
+  test("randomized MoR lifecycles read identical rows through the native and V1 planes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (lc <- 0 until 3) {
+      // lifecycle 2 is identity-partitioned: deletion vectors must
+      // compose with partition pruning and key-grouped planning
+      val part = if (lc == 2) " PARTITIONED BY (grp)" else ""
+      spark.sql(s"""CREATE TABLE graft.nsc.rl$lc (id BIGINT, grp BIGINT, v STRING)$part
+        |TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+        | 'graft.delete.files-per-shard'='1', 'graft.delete.rows-per-shard'='4')"""
+        .stripMargin)
+      val root = s"$wh/nsc/rl$lc"
+      var oracle = Vector.empty[(Long, Long, String)]
+      def check(): Unit = {
+        val q = spark.sql(s"SELECT id, grp, v FROM graft.nsc.rl$lc")
+        if (GraftTable.state(root).files.exists(_.isDelete))
+          assert(nativeScanOf(q).exists(_.morDeleteCount > 0),
+            s"lifecycle $lc must stay native under live deletes")
+        val got = q.as[(Long, Long, String)].collect().toVector.sorted
+        assert(got == oracle.sorted,
+          s"lifecycle $lc: ${got.size} rows vs oracle ${oracle.size}, first diff " +
+            s"${(got.diff(oracle.sorted) ++ oracle.sorted.diff(got)).headOption}")
+      }
+      for (op <- 0 until 10) {
+        rnd.nextInt(4) match {
+          case 0 | 1 =>   // append a handful of rows (dup ids welcome)
+            val rows = (0 until 3 + rnd.nextInt(6)).map(_ =>
+              (rnd.nextInt(40).toLong, rnd.nextInt(4).toLong,
+                s"w${rnd.nextInt(9)}"))
+            oracle ++= rows
+            rows.toDF("id", "grp", "v").createOrReplaceTempView("rl_src")
+            spark.sql(s"INSERT INTO graft.nsc.rl$lc SELECT * FROM rl_src")
+          case 2 =>       // predicate position delete
+            val cut = rnd.nextInt(40)
+            val keepGrp = rnd.nextInt(4)
+            spark.sql(
+              s"DELETE FROM graft.nsc.rl$lc WHERE id >= $cut AND grp = $keepGrp")
+            oracle = oracle.filterNot(r => r._1 >= cut && r._2 == keepGrp)
+          case 3 =>       // sharded equality delete on (v)
+            val vs = Seq.fill(1 + rnd.nextInt(3))(s"w${rnd.nextInt(9)}").distinct
+            GraftTable.deleteEqualityMoR(spark, root, vs.toDF("v"))
+            oracle = oracle.filterNot(r => vs.contains(r._3))
+        }
+        check()
+      }
+      // end-of-life V1 parity on the composed delete state
+      val native = spark.sql(s"SELECT id, grp, v FROM graft.nsc.rl$lc")
+        .collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.graft.native-scan.enabled", "false")
+      try assert(spark.sql(s"SELECT id, grp, v FROM graft.nsc.rl$lc")
+        .collect().map(_.toString).sorted.toSeq == native)
+      finally spark.conf.unset("spark.graft.native-scan.enabled")
+    }
+  }
+
+  test("A/B: native MoR read vs the V1 anti-join plane (timing in spec log)") {
+    spark.sql("""CREATE TABLE graft.nsc.ab (id BIGINT, grp BIGINT, v DOUBLE)
+      |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    import spark.implicits._
+    (0L until 200000L).map(i => (i, i % 97, i * 0.5)).toDF("id", "grp", "v")
+      .coalesce(2).createOrReplaceTempView("ab_src")
+    spark.sql("INSERT INTO graft.nsc.ab SELECT * FROM ab_src")
+    GraftTable.deleteWhereMoR(spark, s"$wh/nsc/ab", col("id") % 10 === 0)  // 10%
+    def run(): (Long, Double) = {
+      val r = spark.sql(
+        "SELECT COUNT(*) AS n, SUM(v) AS s FROM graft.nsc.ab WHERE grp < 50").head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    def time(passes: Int): (Double, (Long, Double)) = {
+      var best = Double.MaxValue; var out: (Long, Double) = null
+      (0 until passes).foreach { _ =>
+        val t0 = System.nanoTime(); out = run()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      (best, out)
+    }
+    val sc = nativeScanOf(spark.sql("SELECT id FROM graft.nsc.ab"))
+    assert(sc.exists(_.morDeleteCount > 0), "A/B table must read natively")
+    val (tNative, rNative) = time(3)
+    spark.conf.set("spark.graft.native-scan.mor.enabled", "false")
+    val (tV1, rV1) =
+      try time(3) finally spark.conf.unset("spark.graft.native-scan.mor.enabled")
+    info(f"[mor-ab] native=$tNative%.3fs v1-bridge=$tV1%.3fs (${tV1 / tNative}%.2fx)")
+    assert(rNative == rV1, s"planes disagree: $rNative vs $rV1")
+    val expectN = (0L until 200000L).count(i => i % 10 != 0 && i % 97 < 50)
+    assert(rNative._1 == expectN, s"count ${rNative._1} != oracle $expectN")
   }
 
   test("native LIMIT pushdown reads a file subset; aggregates still answered from metadata") {

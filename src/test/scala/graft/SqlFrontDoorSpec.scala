@@ -1175,4 +1175,47 @@ class SqlFrontDoorSpec extends SparkSpec {
     }
     spark.sql("ALTER TABLE graft.cons.t DROP CONSTRAINT IF EXISTS nope")
   }
+
+  test("keyed DELETE on a MoR table routes to an equality-delete file (O(keys))") {
+    import graft.lake.GraftTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.eqr")
+    spark.sql("DROP TABLE IF EXISTS graft.eqr.t")
+    spark.sql("""CREATE TABLE graft.eqr.t (id BIGINT, v STRING)
+      |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    val root = s"${SparkSpec.sqlWarehouse}/eqr/t"
+    spark.sql("INSERT INTO graft.eqr.t SELECT id, concat('v', id % 7) FROM range(1000)")
+
+    def deleteFiles(): Seq[GraftTable.FileEntry] =
+      GraftTable.state(root).files.filter(_.isDelete)
+
+    // IN-list delete → ONE equality-delete file, no data-file scan shape
+    spark.sql("DELETE FROM graft.eqr.t WHERE id IN (5, 17, 400)")
+    assert(deleteFiles().map(_.content) == Seq(Some(2)),
+      s"IN delete must write an equality-delete file, got ${deleteFiles()}")
+    assert(deleteFiles().head.eqCols.contains(Seq("id")))
+    // composite equality (a=.. AND b=..) routes too
+    spark.sql("DELETE FROM graft.eqr.t WHERE id = 100 AND v = 'v2'")
+    assert(deleteFiles().count(_.content.contains(2)) == 2)
+    // a RANGE predicate cannot be a key set → position deletes
+    spark.sql("DELETE FROM graft.eqr.t WHERE id >= 990")
+    assert(deleteFiles().exists(_.content.contains(1)),
+      "range delete must stay on the position-delete path")
+
+    // semantics: rows gone, later appends with the same keys SURVIVE
+    // (the sequence rule bounds the equality delete)
+    spark.sql("INSERT INTO graft.eqr.t VALUES (5, 'reborn')")
+    val ids = spark.sql("SELECT id FROM graft.eqr.t").collect().map(_.getLong(0))
+    val expected = ((0L until 1000L)
+      .filterNot(Set(5L, 17L, 400L)).filterNot(_ == 100L)
+      .filterNot(_ >= 990L) :+ 5L).sorted
+    assert(ids.sorted.toSeq == expected)
+    // and the native scan serves all three delete flavors together
+    val q = spark.sql("SELECT id FROM graft.eqr.t")
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val native = q.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation
+          if r.scan.isInstanceOf[graft.lake.GraftBatchScan] => r.scan
+    }
+    assert(native.isDefined, "mixed delete flavors must stay native")
+  }
 }
