@@ -412,7 +412,141 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ── q95: the durable IVF-PQ index as lake tables ────────────────────
+  /** q94's three-tier index PERSISTED in the lake — the production
+    * vector-search workflow (FAISS IVFPQ on disk, via the q68
+    * incremental-index pattern): `centroids` (coarse lists) and
+    * `codebook` (PQ codewords) freeze at first build and never change;
+    * `codes` gains ONE append per ingestion batch encoding only
+    * vectors not yet indexed (anti-join against the durable table —
+    * O(new vectors) work per batch, never a re-encode). Because the
+    * codebook is frozen and encoding is a pure function of
+    * (vector, codebook), previously-written codes are byte-identical
+    * across refreshes — pinned by AnnIndexSpec. Returns the count of
+    * newly encoded vectors; a refresh with nothing new commits
+    * NOTHING (idempotent re-runs leave no empty snapshots). */
+  def annIndexRefresh(s: SparkSession, root: String, batch: DataFrame): Long = {
+    import graft.lake.GraftTable
+    val (ctRoot, cbRoot, cdRoot) =
+      (s"$root/centroids", s"$root/codebook", s"$root/codes")
+    val sub = (v: Column, j: Int) => slice(v, j * pqDsub + 1, pqDsub)
+    val l2 = (a: Column, b: Column) => {
+      val d = zip_with(a, b, (x, y) => x - y); dot(d, d)
+    }
+    val exists = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(cdRoot))
+    if (!exists) {
+      val seeds = batch.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(seedK)
+        .select(col("vec_id").as("list_id"), col("v").as("sv"), col("nrm").as("snrm"))
+      GraftTable.create(s, ctRoot, seeds.schema)
+      GraftTable.append(s, ctRoot, seeds.coalesce(1))
+      val pseeds = batch.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(pqK)
+        .withColumn("code", (row_number().over(
+          Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))) - 1).cast("int"))
+      val cbDf = pseeds.select(col("code"), explode(array((0 until pqM).map(j =>
+          struct(lit(j).as("j"), sub(col("v"), j).as("cw"))): _*)).as("e"))
+        .select(col("e.j").as("j"), col("code"), col("e.cw").as("cw"))
+      GraftTable.create(s, cbRoot, cbDf.schema)
+      GraftTable.append(s, cbRoot, cbDf.coalesce(1))
+    }
+    val cents = GraftTable.read(s, ctRoot)
+    val cb = GraftTable.read(s, cbRoot)
+    val newVecs = (if (exists)
+      batch.join(GraftTable.read(s, cdRoot).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+    else batch).cache()
+    try {
+      val byVec = Window.partitionBy(col("vec_id"))
+        .orderBy(col("scos").desc, col("list_id"))
+      val assign = newVecs.join(broadcast(cents), expr("true"))
+        .select(col("vec_id"), col("list_id"),
+          (dot(col("v"), col("sv")) / (col("nrm") * col("snrm"))).as("scos"))
+        .withColumn("sr", row_number().over(byVec)).filter(col("sr") === 1)
+        .select(col("vec_id"), col("list_id"))
+      val subs = newVecs.select(col("vec_id"), explode(array((0 until pqM).map(j =>
+          struct(lit(j).as("j"), sub(col("v"), j).as("s"))): _*)).as("e"))
+        .select(col("vec_id"), col("e.j").as("j"), col("e.s").as("s"))
+      val byVecSub = Window.partitionBy(col("vec_id"), col("j"))
+        .orderBy(col("dist"), col("code"))
+      val enc = subs.join(broadcast(cb), Seq("j"))
+        .select(col("vec_id"), col("j"), col("code"), l2(col("s"), col("cw")).as("dist"))
+        .withColumn("r", row_number().over(byVecSub)).filter(col("r") === 1)
+        .groupBy(col("vec_id"))
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
+          x => x.getField("code")).as("codes"))
+      val newCodes = assign.join(enc, Seq("vec_id")).cache()
+      try {
+        val n = newCodes.count()
+        if (!exists) GraftTable.create(s, cdRoot, newCodes.schema)
+        if (n > 0) GraftTable.append(s, cdRoot, newCodes.coalesce(2))
+        n
+      } finally newCodes.unpersist(blocking = false)
+    } finally newVecs.unpersist(blocking = false)
+  }
+
+  /** Gate query: build the durable index in TWO batches (even vec_ids
+    * freeze the centroids/codebook, odd vec_ids arrive incrementally),
+    * prove a no-op refresh encodes nothing, then answer IVF-PQ top-3
+    * reading every tier back from the lake tables. */
+  def q95(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.GraftTable
+    val root = LakeOps.scratch("q95-index")
+    val e = norms(s, dir)
+    annIndexRefresh(s, root, e.filter(pmod(col("vec_id"), lit(2)) === 0))
+    annIndexRefresh(s, root, e.filter(pmod(col("vec_id"), lit(2)) === 1))
+    require(annIndexRefresh(s, root, e) == 0, "re-refresh must encode nothing")
+    val cents = GraftTable.read(s, s"$root/centroids")
+    val cb = GraftTable.read(s, s"$root/codebook")
+    val codes = GraftTable.read(s, s"$root/codes")
+    val queries = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val sub = (v: Column, j: Int) => slice(v, j * pqDsub + 1, pqDsub)
+    val l2 = (a: Column, b: Column) => {
+      val d = zip_with(a, b, (x, y) => x - y); dot(d, d)
+    }
+    val byQ = Window.partitionBy(col("qid")).orderBy(col("scos").desc, col("list_id"))
+    val probes = queries.join(broadcast(cents), expr("true"))
+      .select(col("vec_id").as("qid"), col("list_id"),
+        (dot(col("v"), col("sv")) / (col("nrm") * col("snrm"))).as("scos"))
+      .withColumn("sr", row_number().over(byQ)).filter(col("sr") <= nprobe)
+      .select(col("qid"), col("list_id"))
+    val cand = probes.join(codes, Seq("list_id"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), col("codes"))
+    val lut = queries.select(col("vec_id").as("qid"),
+        explode(array((0 until pqM).map(j =>
+          struct(lit(j).as("j"), sub(col("v"), j).as("qs"))): _*)).as("e"))
+      .select(col("qid"), col("e.j").as("j"), col("e.qs").as("qs"))
+      .join(broadcast(cb), Seq("j"))
+      .select(col("qid"), col("j"), col("code"), l2(col("qs"), col("cw")).as("dist"))
+      .groupBy(col("qid"), col("j"))
+      .agg(transform(array_sort(collect_list(struct(col("code"), col("dist")))),
+        x => x.getField("dist")).as("d16"))
+      .groupBy(col("qid"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("d16")))),
+        x => x.getField("d16")).as("lut"))
+    val ones = array(Seq.fill(pqM)(lit(1.0)): _*)
+    val dists8 = transform(sequence(lit(0), lit(pqM - 1)),
+      j => element_at(element_at(col("lut"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+    val wApprox = Window.partitionBy(col("qid")).orderBy(col("approx"), col("nid"))
+    val top10 = cand.join(broadcast(lut), Seq("qid"))
+      .select(col("qid"), col("nid"), dot(dists8, ones).as("approx"))
+      .withColumn("pr", row_number().over(wApprox)).filter(col("pr") <= 10)
+    val wExact = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    top10
+      .join(e.as("q"), col("qid") === col("q.vec_id"))
+      .join(e.as("n"), col("nid") === col("n.vec_id"))
+      .select(col("qid"), col("nid"),
+        (dot(col("q.v"), col("n.v")) / (col("q.nrm") * col("n.nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("nid"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_ann_lake_index" -> q95 _,
     "q94_ann_ivfpq" -> q94 _,
     "q83_ann_pq" -> q83 _,
     "q72_dedup_semantic" -> q72 _,
@@ -427,6 +561,66 @@ object Similarity {
       "THEN 1.0 ELSE -1.0 END)"
 
   val oracleSql: Map[String, String] = Map(
+    // q95 = q94's math with the centroids/codebook frozen from the
+    // FIRST ingestion batch (even vec_ids) — the durable-index oracle
+    "q95_ann_lake_index" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |FROM embeddings),
+         |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS snrm FROM e
+         |          WHERE vec_id % 2 = 0
+         |          ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $seedK),
+         |d AS (SELECT e.vec_id, s.seed_id,
+         |    LIST_DOT_PRODUCT(e.v, s.sv) / (e.nrm * s.snrm) AS scos
+         |  FROM e CROSS JOIN seeds s),
+         |ranked AS (SELECT vec_id, seed_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, seed_id) AS sr
+         |  FROM d),
+         |idx AS (SELECT vec_id AS nid, seed_id AS list_id FROM ranked WHERE sr = 1),
+         |probes AS (SELECT vec_id AS qid, seed_id AS list_id FROM ranked
+         |           WHERE sr <= $nprobe AND vec_id % 50 = 0),
+         |cand AS (SELECT DISTINCT p.qid, i.nid
+         |         FROM probes p JOIN idx i ON p.list_id = i.list_id
+         |         WHERE p.qid <> i.nid),
+         |pseeds AS (SELECT v,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS code
+         |  FROM e WHERE vec_id % 2 = 0
+         |  ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $pqK),
+         |cb AS (SELECT t.j, s.code,
+         |    LIST_TRANSFORM(GENERATE_SERIES(1, $pqDsub), i -> s.v[$pqDsub * t.j + i]) AS cw
+         |  FROM pseeds s CROSS JOIN GENERATE_SERIES(0, ${pqM - 1}) t(j)),
+         |subs AS (SELECT e.vec_id, t.j,
+         |    LIST_TRANSFORM(GENERATE_SERIES(1, $pqDsub), i -> e.v[$pqDsub * t.j + i]) AS s
+         |  FROM e CROSS JOIN GENERATE_SERIES(0, ${pqM - 1}) t(j)),
+         |enc0 AS (SELECT sub.vec_id, sub.j, cb.code,
+         |    LIST_DOT_PRODUCT(LIST_TRANSFORM(GENERATE_SERIES(1, $pqDsub), i -> sub.s[i] - cb.cw[i]),
+         |                     LIST_TRANSFORM(GENERATE_SERIES(1, $pqDsub), i -> sub.s[i] - cb.cw[i])) AS dist
+         |  FROM subs sub JOIN cb ON sub.j = cb.j),
+         |enc AS (SELECT vec_id, j, code FROM enc0
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, code) = 1),
+         |codes AS (SELECT vec_id, LIST(code ORDER BY j) AS codes FROM enc GROUP BY vec_id),
+         |lut0 AS (SELECT sub.vec_id AS qid, sub.j, cb.code,
+         |    LIST_DOT_PRODUCT(LIST_TRANSFORM(GENERATE_SERIES(1, $pqDsub), i -> sub.s[i] - cb.cw[i]),
+         |                     LIST_TRANSFORM(GENERATE_SERIES(1, $pqDsub), i -> sub.s[i] - cb.cw[i])) AS dist
+         |  FROM subs sub JOIN cb ON sub.j = cb.j WHERE sub.vec_id % 50 = 0),
+         |lut1 AS (SELECT qid, j, LIST(dist ORDER BY code) AS d16 FROM lut0 GROUP BY qid, j),
+         |lut AS (SELECT qid, LIST(d16 ORDER BY j) AS lut FROM lut1 GROUP BY qid),
+         |adc AS (SELECT c.qid, c.nid,
+         |    LIST_DOT_PRODUCT(
+         |      LIST_TRANSFORM(GENERATE_SERIES(0, ${pqM - 1}), j -> l.lut[j + 1][cd.codes[j + 1] + 1]),
+         |      [${Seq.fill(pqM)("1.0").mkString(", ")}]) AS approx
+         |  FROM cand c JOIN codes cd ON cd.vec_id = c.nid JOIN lut l ON l.qid = c.qid),
+         |top10 AS (SELECT qid, nid FROM adc
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx, nid) <= 10),
+         |exact AS (SELECT t.qid, t.nid,
+         |    LIST_DOT_PRODUCT(q.v, n.v) / (q.nrm * n.nrm) AS cos
+         |  FROM top10 t JOIN e q ON q.vec_id = t.qid JOIN e n ON n.vec_id = t.nid),
+         |rk AS (SELECT qid, nid,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+         |  FROM exact)
+         |SELECT qid, rank, nid FROM rk WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin,
+
     "q94_ann_ivfpq" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |  SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm

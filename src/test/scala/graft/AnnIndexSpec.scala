@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.GraftTable
+import graft.operators.Similarity
+
+/** The durable IVF-PQ index contract (SURVEY §2.3 / q95): centroids and
+  * codebook freeze at first build; each refresh encodes ONLY new
+  * vectors and appends one snapshot; old codes are byte-identical
+  * across refreshes; a refresh with nothing new commits nothing. */
+class AnnIndexSpec extends SparkSpec {
+
+  test("incremental refreshes append only new codes and never disturb old ones") {
+    val root = scratchRoot("graft-annindex-test", "t")
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.dotd(col("v"), col("v"))))
+    val batch1 = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val batch2 = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+
+    def codesRows(): Map[Long, (Long, Seq[Int])] =
+      GraftTable.read(spark, s"$root/codes")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getSeq[Int](2).toSeq)).toMap
+
+    // batch 1 creates all three tables and encodes exactly its vectors
+    val n1 = Similarity.annIndexRefresh(spark, root, batch1)
+    assert(n1 == batch1.count(), s"first refresh must encode batch 1, got $n1")
+    val snap1 = GraftTable.latestSnapshotId(s"$root/codes")
+    val rows1 = codesRows()
+    assert(rows1.size == n1)
+
+    // batch 2: one more snapshot, only NEW vec_ids, old codes unchanged
+    val n2 = Similarity.annIndexRefresh(spark, root, batch2)
+    assert(n2 == batch2.count(), s"second refresh must encode batch 2, got $n2")
+    assert(GraftTable.latestSnapshotId(s"$root/codes") == snap1 + 1,
+      "one ingestion batch = one codes snapshot")
+    val rows2 = codesRows()
+    assert(rows2.size == rows1.size + n2)
+    rows1.foreach { case (id, enc) =>
+      assert(rows2(id) == enc,
+        s"vec $id: codes changed across refresh ($enc -> ${rows2(id)})")
+    }
+
+    // centroids + codebook froze at first build (create + one append)
+    assert(GraftTable.latestSnapshotId(s"$root/centroids") == 1L)
+    assert(GraftTable.latestSnapshotId(s"$root/codebook") == 1L)
+
+    // idempotence: nothing new → zero encoded, zero commits
+    assert(Similarity.annIndexRefresh(spark, root, e) == 0L)
+    assert(GraftTable.latestSnapshotId(s"$root/codes") == snap1 + 1,
+      "a no-op refresh must not commit an empty snapshot")
+    assert(codesRows() == rows2)
+  }
+}
