@@ -482,6 +482,12 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
       case "cherrypick_snapshot" =>
         Seq(Row(s"snapshot_id=${GraftTable.cherrypickSnapshot(root,
           required("snapshot_id", "arg1").toLong)}"))
+      case "cherrypick_wap" =>
+        // publish EVERY staged snapshot under one wap id atomically —
+        // the branch-batch workflow (stage N commits, audit, one
+        // publish, one CDC boundary)
+        Seq(Row(s"snapshot_id=${GraftTable.cherrypickWap(root,
+          required("wap_id", "arg1"))}"))
       case "abandon_staged_snapshot" =>
         Seq(Row(s"snapshot_id=${GraftTable.abandonStagedSnapshot(root,
           required("snapshot_id", "arg1").toLong)}"))
@@ -551,7 +557,8 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
             "rewrite_manifests, rewrite_position_deletes, rewrite_equality_deletes, " +
             "expire_snapshots, remove_orphan_files, rollback_to_snapshot, " +
             "create_tag, drop_tag, create_changes_view, cherrypick_snapshot, " +
-            "abandon_staged_snapshot, copy_into, compute_table_stats, add_files)")
+            "cherrypick_wap, abandon_staged_snapshot, copy_into, " +
+            "compute_table_stats, add_files)")
     }
   }
 }

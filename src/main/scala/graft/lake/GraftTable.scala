@@ -426,6 +426,19 @@ object GraftTable {
     * writer's commit — a hard link both is atomic and fails with
     * FileAlreadyExistsException when the target exists, which is
     * exactly the object-store conditional-put this stands in for. */
+  /** Place one immutable, uniquely-named artifact (data / delete /
+    * replace-generation file) at its final path. ATOMIC_MOVE on a
+    * rename-capable FS; the object-store twin is a plain PUT —
+    * correctness never depends on rename atomicity here because every
+    * name is unique (snapshot-prefix + uuid) and unreferenced until
+    * the commit JSON wins its put-if-absent createLink. Pluggable so
+    * LakeV2Spec can drive a full lifecycle through a copy+delete shim
+    * (the no-rename-filesystem probe). Checkpoint staging keeps its
+    * own rename: it races identical writers over DERIVED state and
+    * discards losers. */
+  @volatile private[graft] var placeArtifact: (Path, Path) => Unit =
+    (src, dst) => Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+
   private[graft] def writeAtomic(target: Path, content: String): Unit = {
     val tmp = target.getParent.resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, content)
@@ -937,7 +950,7 @@ object GraftTable {
       else {
         val name = f"$snapshotId%010d-$i%05d-${UUID.randomUUID()}.parquet"
         val dst = dataDir(root).resolve(name)
-        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+        placeArtifact(src, dst)
         Some(FileEntry(s"data/$name", Files.size(dst), records,
           st.view.filterKeys(statNames).toMap, tupleOf(src),
           // id 0 stays unstamped: identical meaning, and pre-evolution
@@ -1730,6 +1743,16 @@ object GraftTable {
       planner: Option[CkptPlanner], stagedProps: Map[String, String] = Map.empty,
       opName: String = "overwrite"): Long = {
     val (schema, props) = dmlHeader(planner, root)
+    // a partition-aligned DELETE (no replacement, not staged) drops
+    // whole files by reference — no scan, no rewrite
+    if (replacement.isEmpty && stagedProps.isEmpty)
+      metadataDropVictims(spark, root, planner, schema, props, condition)
+        .foreach { case (baseId, victims) =>
+          val id = baseId + 1
+          commitOrCleanup(root, id, Commit(id, Some(baseId),
+            System.currentTimeMillis(), opName, Seq.empty, victims, Map.empty, None))
+          return id
+        }
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     // explicit preds win; otherwise extract them from the condition —
     // a keyed delete then rewrites only files whose stats can match
@@ -1738,7 +1761,13 @@ object GraftTable {
       else extractPreds(conditionExpr(spark, schema, condition), types)
     val (baseId, victimPaths, deletes, _) =
       dmlVictims(spark, root, planner, schema, types, effective)
-    val id = baseId + 1   // planned against baseId: conflicts fail loudly
+    // planned against baseId: main-lineage conflicts fail loudly at
+    // the put-if-absent; a STAGED rewrite instead stacks at the raw
+    // log head (other stages may pend) — its conflicts are validated
+    // at publish time (victim liveness / duplicate-removes rules)
+    val id =
+      if (stagedProps.isEmpty) baseId + 1
+      else math.max(baseId, listCommitIds(root).max) + 1
     // the rewrite must apply any live position-delete files — a CoW
     // overwrite of MoR-deleted rows would otherwise resurrect them
     val kept = readPaths(spark, root, schema, victimPaths, deletes)
@@ -1752,7 +1781,11 @@ object GraftTable {
     val (retSchemaJ, retProps) =
       if (effective.isEmpty && stagedProps.isEmpty) retiredNamesMeta(schema, props)
       else (None, Map.empty[String, String])
-    commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
+    // a staged commit's parent is its PLANNING base (main head), not
+    // whatever staged commit happens to occupy the previous log slot
+    commitOrCleanup(root, id, Commit(id,
+      Some(if (stagedProps.isEmpty) id - 1 else baseId),
+      System.currentTimeMillis(),
       opName, adds, victimPaths ++ dropDeletes, retProps ++ stagedProps, retSchemaJ))
     id
   }
@@ -1813,8 +1846,7 @@ object GraftTable {
     val adds = staged.files.sortBy(_.path).zipWithIndex.map { case (f, i) =>
       val name = f"$id%010d-$i%05d-${UUID.randomUUID()}.parquet"
       val dst = dataDir(root).resolve(name)
-      Files.move(Paths.get(stagedRoot, f.path), dst,
-        StandardCopyOption.ATOMIC_MOVE)
+      placeArtifact(Paths.get(stagedRoot, f.path), dst)
       // rename preserves mtime: a staged write older than the orphan
       // horizon would sit in data/ as an unreferenced "old" file for
       // the move→commit window, where a concurrent
@@ -1886,6 +1918,16 @@ object GraftTable {
       condition: Column, prunePreds: Seq[Pred],
       planner: Option[CkptPlanner]): Long = {
     val (schema, props) = dmlHeader(planner, root)
+    // partition-aligned predicates delete by METADATA even under MoR:
+    // dropping whole files by reference beats writing their every row
+    // ordinal into position-delete files
+    metadataDropVictims(spark, root, planner, schema, props, condition)
+      .foreach { case (baseId, victims) =>
+        val id = baseId + 1
+        commitOrCleanup(root, id, Commit(id, Some(baseId),
+          System.currentTimeMillis(), "delete", Seq.empty, victims, Map.empty, None))
+        return id
+      }
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     val effective =
       if (prunePreds.nonEmpty) prunePreds
@@ -1939,7 +1981,7 @@ object GraftTable {
         else {
           Files.createDirectories(deleteDir(root))
           val (name, entry) = mk(records, Files.size(src), st)
-          Files.move(src, deleteDir(root).resolve(name), StandardCopyOption.ATOMIC_MOVE)
+          placeArtifact(src, deleteDir(root).resolve(name))
           Some(entry)
         }
       }
@@ -1989,7 +2031,12 @@ object GraftTable {
     val planner = ckptPlanner(spark, root, None)
     val (schema, props) = dmlHeader(planner, root)
     val mor = props.get("write.delete.mode").contains("merge-on-read")
-    if (mor) equalityKeyFrame(spark, schema, filters) match {
+    // a keyed delete on identity-PARTITION columns is better than an
+    // equality-delete file: whole files drop by metadata — let the
+    // MoR impl's metadata path take it before eq routing
+    val partitionAligned = mor &&
+      metadataDropVictims(spark, root, planner, schema, props, condition).isDefined
+    if (mor && !partitionAligned) equalityKeyFrame(spark, schema, filters) match {
       case Some(keys) => return deleteEqualityMoR(spark, root, keys)
       case None => ()
     }
@@ -3277,7 +3324,14 @@ object GraftTable {
     * exact driver path is cheaper there). */
   private[lake] case class CkptPlanner(targetId: Long,
       properties: Map[String, String], schema: StructType,
-      prune: Seq[Pred] => (Seq[String], Seq[(String, Int, Seq[String])], () => Long))
+      prune: Seq[Pred] => (Seq[String], Seq[(String, Int, Seq[String])], () => Long),
+      /** Metadata-delete support (both closures are Spark jobs over the
+        * checkpoint parquet, never a driver file list): the DISTINCT
+        * (partition tuple, specId) pairs of live data files — O(live
+        * partitions) driver rows — and a resolver from satisfied
+        * partition strings to victim paths. */
+      partitionPlane: () => (Seq[(Option[Map[String, String]], Int)],
+        Set[String] => Seq[String]))
 
   /** Meta + ordered tail replay for the newest parquet checkpoint at
     * or before `target` — THE shared replay discipline behind scan
@@ -3410,6 +3464,32 @@ object GraftTable {
       val totalData = () =>
         ckDf.filter(col("content") === 0).count() + tailAdds.count(_.isData)
       (dataPaths, deletes, totalData)
+    }, () => {
+      val ckDf = ckptSurvivorsDf(spark, root, ct)
+      // dedupe on the RENDERED tuple: set ops on MAP columns are
+      // unsupported, and the string is the join key downstream anyway
+      val pairs = ckDf.filter(col("content") === 0)
+        .select(col("partition"), coalesce(col("specId"), lit(0)).as("sid"),
+          partStringCol(coalesce(col("partition"),
+            map().cast("map<string,string>"))).as("_gps"))
+        .dropDuplicates("_gps", "sid").collect()
+        .map(r => (Option(r.getAs[scala.collection.Map[String, String]](0))
+          .map(_.toMap).filter(_.nonEmpty), r.getInt(1))).toSeq
+      val tailPairs = tailAdds.filter(_.isData)
+        .map(f => (f.partition.filter(_.nonEmpty), f.specIdOr0)).distinct
+      val resolve = (sat: Set[String]) =>
+        if (sat.isEmpty) Seq.empty[String]
+        else {
+          import spark.implicits._
+          val satDf = sat.toSeq.toDF("_gsat")
+          val ckVictims = ckDf.filter(col("content") === 0)
+            .join(satDf, partStringCol(col("partition")) === col("_gsat"), "left_semi")
+            .select(col("path")).collect().map(_.getString(0)).toSeq
+          ckVictims ++ tailAdds.filter(f => f.isData &&
+            f.partition.filter(_.nonEmpty).exists(m => sat.contains(tupleString(m))))
+            .map(_.path)
+        }
+      ((pairs ++ tailPairs).distinct, resolve)
     }))
   }
 
@@ -3444,6 +3524,112 @@ object GraftTable {
             .map(f => (f.path, f.content.getOrElse(1), f.eqCols.getOrElse(Seq.empty))),
           false)
     }
+
+  /** Rendered-tuple-text → external value for local predicate
+    * evaluation (the inverse of the identity transform's rendering:
+    * timestamps are epoch micros, dates ISO, numbers decimal text,
+    * strings raw). None = type unsupported → decline the fast path. */
+  private def parsePartValue(dt: DataType, raw: String): Option[Any] = dt match {
+    case IntegerType => raw.toIntOption
+    case LongType => raw.toLongOption
+    case ShortType => raw.toShortOption
+    case ByteType => raw.toByteOption
+    case StringType => Some(raw)
+    case BooleanType => raw.toBooleanOption
+    case DoubleType => raw.toDoubleOption
+    case FloatType => raw.toFloatOption
+    case DateType => scala.util.Try(java.sql.Date.valueOf(raw)).toOption
+    case TimestampType => raw.toLongOption.map { us =>
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt); t
+    }
+    case TimestampNTZType => raw.toLongOption.map(us =>
+      java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
+    case _ => None
+  }
+
+  private def partValueParseable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | ShortType | ByteType | StringType |
+         BooleanType | DoubleType | FloatType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  private def tupleString(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")
+
+  /** DELETE as a pure METADATA operation (Iceberg's metadata delete):
+    * when the predicate references ONLY identity-partition columns of
+    * the table's CURRENT spec, its truth value is constant per data
+    * file — an identity tuple pins those columns for every row — so
+    * no scan and no rewrite is needed: victims are exactly the files
+    * of satisfied partitions, removed by reference in one commit. A
+    * petabyte day-partitioned `DELETE WHERE day < X` costs one
+    * metadata pass instead of reading every dropped partition to
+    * discover zero survivors. The predicate itself is evaluated ONCE
+    * per distinct live partition tuple against a local literal frame
+    * (Spark's own semantics — arbitrary expressions allowed, not just
+    * pruning-convertible ones; NULL-valued predicates keep the file,
+    * matching the row path's coalesce(cond, false)).
+    *
+    * Declines (None → the row-level path) when: the predicate is
+    * nondeterministic or touches any non-identity-partition column;
+    * any live data file predates the current spec or lacks tuple
+    * values (its rows are NOT pinned); or a partition value fails to
+    * parse. */
+  private def metadataDropVictims(spark: SparkSession, root: String,
+      planner: Option[CkptPlanner], schema: StructType,
+      props: Map[String, String], condition: Column): Option[(Long, Seq[String])] = {
+    val expr = conditionExpr(spark, schema, condition)
+    if (!expr.deterministic) return None
+    val refs = expr.references.map(_.name).toSet
+    if (refs.isEmpty) return None
+    val idCols = tableSpec(props).collect { case PIdentity(c) => c }.toSet
+    if (!refs.subsetOf(idCols)) return None
+    val curSpecId = specHistory(props).size - 1
+    val refFields = schema.fields.filter(f => refs.contains(f.name)).toSeq
+    if (refFields.size != refs.size) return None
+    // type-support decline BEFORE any planner job (decimals etc.)
+    if (!refFields.forall(f => partValueParseable(f.dataType))) return None
+    val (pairsAndBase, resolve): ((Seq[(Option[Map[String, String]], Int)], Long),
+        Set[String] => Seq[String]) = planner match {
+      case Some(p) =>
+        val (pairs, res) = p.partitionPlane()
+        ((pairs, p.targetId), res)
+      case None =>
+        val snap = state(root)
+        val files = snap.files.filter(_.isData)
+        ((files.map(f => (f.partition.filter(_.nonEmpty), f.specIdOr0)).distinct,
+          snap.snapshotId),
+          (sat: Set[String]) => files.filter(f =>
+            f.partition.filter(_.nonEmpty)
+              .exists(m => sat.contains(tupleString(m)))).map(_.path))
+    }
+    val (pairs, baseId) = pairsAndBase
+    // every live data file must be pinned by the CURRENT spec's tuples
+    if (pairs.exists { case (t, sid) =>
+      sid != curSpecId || !t.exists(m => refs.forall(m.contains)) }) return None
+    val tuples = pairs.flatMap(_._1).distinct
+    val parsed = tuples.map { m =>
+      val vals = refFields.map { f =>
+        val raw = m(f.name)
+        if (raw == nullPart) Some(null) else parsePartValue(f.dataType, raw)
+      }
+      m -> (if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get)))
+    }
+    if (parsed.exists(_._2.isEmpty)) return None
+    val rows = parsed.zipWithIndex.map { case ((_, v), i) => Row.fromSeq(i +: v.get) }
+    val local = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(StructField("_gidx", IntegerType, nullable = false) +:
+        refFields.map(_.copy(nullable = true))))
+    val satIdx = local.filter(condition).select(col("_gidx"))
+      .collect().map(_.getInt(0)).toSet
+    val sat = parsed.zipWithIndex.collect {
+      case ((m, _), i) if satIdx(i) => tupleString(m) }.toSet
+    Some((baseId, resolve(sat)))
+  }
 
   /** Header (schema + properties) for DML planning: off the checkpoint
     * planner when one is live (no full replay), else the cached
@@ -4179,7 +4365,10 @@ object GraftTable {
       wapId: String): Long = {
     require(wapId.trim.nonEmpty, "wap id must be non-empty")
     val snap = conformAppendSchema(root, df, state(root), allowEvolution = false)
-    val id = snap.snapshotId + 1
+    // raw-log-head + 1, NOT main-head + 1: staged commits STACK (N
+    // stages under one wap id, published together by cherrypickWap),
+    // while main data writes still block on the first pending stage
+    val id = math.max(snap.snapshotId, listCommitIds(root).max) + 1
     val adds = writeDataFiles(spark, root, distribute(df, snap.properties), id, snap.properties)
     commitOrCleanup(root, id, Commit(id, Some(snap.snapshotId),
       System.currentTimeMillis(), "wap_append", adds, Seq.empty,
@@ -4261,6 +4450,59 @@ object GraftTable {
         System.currentTimeMillis(), "cherrypick", versionedAdds(c), c.removes,
         Map(s"graft.wap.published.$stagedId" ->
           c.properties.getOrElse(wapIdProp, "")), None),
+      snap.properties)))
+    id
+  }
+
+  /** Publish EVERY unpublished staged snapshot carrying `wapId` in ONE
+    * atomic cherrypick — the remaining Nessie-branch workflow (stage a
+    * whole batch of commits, audit them together, publish once)
+    * without a commit DAG: the publish commit lists the UNION of the
+    * group's adds and removes by reference, so main moves in a single
+    * snapshot and the CDC feed sees exactly one boundary. Group
+    * members are independent stages against main (the staging writers
+    * always stage on the main head — stacking does not exist), so the
+    * only intra-group conflict is two row-level stages rewriting the
+    * same file, which would double-apply its replacement rows —
+    * refused, like every other conflict, in favor of a re-stage.
+    * Cross-group rules are the single-snapshot publish's, validated
+    * from the group's EARLIEST member. Metadata-plane: one pass over
+    * the retained log's commit JSONs (expire_snapshots bounds it). */
+  def cherrypickWap(root: String, wapId: String): Long = {
+    require(wapId.trim.nonEmpty, "wap id must be non-empty")
+    val snap = state(root)
+    val all = listCommitIds(root).sorted
+      .map(id => parseCommit(Files.readString(commitPath(root, id))))
+    val group = all.filter(c => isStaged(c) &&
+        c.properties.get(wapIdProp).contains(wapId))
+      .filterNot(c =>
+        snap.properties.contains(s"graft.wap.published.${c.snapshotId}") ||
+          snap.properties.contains(s"graft.wap.abandoned.${c.snapshotId}"))
+    require(group.nonEmpty, s"no unpublished staged snapshots carry wap id '$wapId'")
+    val minId = group.map(_.snapshotId).min
+    val eqAfter = all.filter(c => c.snapshotId > minId && !isStaged(c) &&
+      c.adds.exists(_.content.contains(2)))
+    require(eqAfter.isEmpty,
+      s"cannot publish wap id '$wapId': equality delete(s) landed after its " +
+        s"first stage (snapshot(s) ${eqAfter.map(_.snapshotId).mkString(", ")}) " +
+        "and would wrongly apply to the published rows — re-stage the batch")
+    val removes = group.flatMap(_.removes)
+    require(removes.distinct.size == removes.size,
+      s"cannot publish wap id '$wapId': two staged snapshots rewrite the same " +
+        s"file(s) ${removes.diff(removes.distinct).distinct.take(3).mkString(", ")} " +
+        "— their row-level changes would double-apply; re-stage them serially")
+    val live = snap.files.map(_.path).toSet
+    val gone = removes.filterNot(live.contains)
+    require(gone.isEmpty,
+      s"cannot publish wap id '$wapId': ${gone.size} file(s) it rewrites were " +
+        s"changed on main since staging (${gone.take(3).mkString(", ")}…) — " +
+        "re-stage against the current state")
+    val id = listCommitIds(root).max + 1
+    writeAtomic(commitPath(root, id), toJson(stampRowLineage(
+      Commit(id, Some(snap.snapshotId), System.currentTimeMillis(), "cherrypick",
+        group.flatMap(versionedAdds), removes,
+        group.map(c => s"graft.wap.published.${c.snapshotId}" -> wapId).toMap,
+        None),
       snap.properties)))
     id
   }

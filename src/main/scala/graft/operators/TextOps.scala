@@ -558,12 +558,28 @@ object TextOps {
     (merges.toSeq, vocab)
   }
 
-  /** The learned merge table as the gate artifact (rows-only: the
-    * training loop is iterative, not one SQL statement). */
+  /** Trained merge tables captured when the gate queries run. Verify
+    * dumps `oracleSql` AFTER running every query on the same data, so
+    * the DYNAMIC BPE oracles below always see the merges of the run
+    * being checked — DuckDB then re-applies them INDEPENDENTLY (a
+    * recursive CTE re-derives every word's symbol sequence from
+    * characters) rather than trusting any Spark-computed state. */
+  @volatile private var mergesStash24: Option[Seq[(Long, String, String, Long)]] = None
+  @volatile private var mergesStash16: Option[Seq[(Long, String, String, Long)]] = None
+
+  /** The learned merge table as the gate artifact, hash-oracled: the
+    * oracle carries the merge PAIRS as literals (training is
+    * iterative; argmax-per-round has no single-statement SQL twin) but
+    * recomputes every `pair_count` from scratch — DuckDB replays the
+    * merges over the corpus and counts the chosen pair's occurrences
+    * in each intermediate state, so a fold/count defect on either
+    * engine hash-mismatches. BpeSpec separately pins the argmax CHOICE
+    * against an independent in-memory trainer. */
   def q71(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    bpeMerges(s, dir, nMerges = 24)
-      .toDF("step", "left", "right", "pair_count")
+    val ms = bpeMerges(s, dir, nMerges = 24)
+    mergesStash24 = Some(ms)
+    ms.toDF("step", "left", "right", "pair_count")
       .orderBy(col("step"))
   }
 
@@ -573,11 +589,13 @@ object TextOps {
     * is O(vocabulary): the training fold already left every distinct
     * word encoded, so the corpus pass is one (doc, word) aggregation
     * joined word-keyed against the vocabulary — no per-occurrence
-    * fold. Rows-only gate (iterative training has no single-statement
-    * SQL twin); BpeSpec pins the encoding against an independent
-    * in-memory reference encoder. */
+    * fold. Hash-oracled dynamically: DuckDB re-derives the vocabulary
+    * from characters by replaying the merge literals, then recomputes
+    * every per-doc aggregate independently; BpeSpec additionally pins
+    * the encoding against an independent in-memory reference encoder. */
   def q78(s: SparkSession, dir: String): DataFrame = {
-    val (_, vocab) = bpeTrain(s, dir, nMerges = 16)
+    val (ms, vocab) = bpeTrain(s, dir, nMerges = 16)
+    mergesStash16 = Some(ms)
     val occ = Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
@@ -729,7 +747,79 @@ object TextOps {
   private def hitsSql(l: String) =
     s"CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(${listSql(stopwords.toMap.apply(l))}, t))) AS BIGINT)"
 
-  val oracleSql: Map[String, String] = Map(
+  /** Shared DuckDB CTE text: replay `ms` over the corpus — every word
+    * re-derived from characters, one leftmost pair-merge per recursion
+    * row (provably equal to the greedy left fold: a merge of (l, r)
+    * can never create a new (l, r) adjacency to its left). `entered`
+    * marks each word's arrival state at a step, i.e. the vocabulary
+    * AFTER merges 1..step-1. */
+  private def bpeReplaySql(ms: Seq[(Long, String, String, Long)]): String = {
+    val n = ms.size
+    val values = ms.map { case (s, l, r, _) => s"($s, '$l', '$r')" }.mkString(", ")
+    s"""WITH RECURSIVE merges(step, l, r) AS (VALUES $values),
+       |words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS w
+       |    FROM documents) t
+       |  WHERE LENGTH(w) >= 2 GROUP BY w),
+       |apply(w, cnt, syms, step, entered) AS (
+       |  SELECT w, cnt, STR_SPLIT(w, ''), 1, TRUE FROM words
+       |  UNION ALL
+       |  SELECT w, cnt,
+       |    CASE WHEN pos IS NULL THEN syms
+       |         ELSE syms[1:pos-1] || [lr] || syms[pos+2:LEN(syms)] END,
+       |    CASE WHEN pos IS NULL THEN step + 1 ELSE step END,
+       |    pos IS NULL
+       |  FROM (
+       |    SELECT a.w, a.cnt, a.syms, a.step, m.l || m.r AS lr,
+       |      LIST_FILTER(GENERATE_SERIES(1, LEN(a.syms) - 1),
+       |        i -> a.syms[i] = m.l AND a.syms[i + 1] = m.r)[1] AS pos
+       |    FROM apply a JOIN merges m ON m.step = a.step
+       |    WHERE a.step <= $n) t)""".stripMargin
+  }
+
+  /** Dynamic BPE oracles — present only when the matching gate query
+    * ran in this process (Verify always runs queries first). */
+  private def bpeOracleSql: Map[String, String] = {
+    val q71o = mergesStash24.map { ms =>
+      "q71_text_bpe" ->
+        s"""${bpeReplaySql(ms)},
+           |chosen AS (SELECT st.step, m.l, m.r,
+           |    CAST(SUM(st.cnt * LEN(LIST_FILTER(
+           |      GENERATE_SERIES(1, LEN(st.syms) - 1),
+           |      i -> st.syms[i] = m.l AND st.syms[i + 1] = m.r))) AS BIGINT)
+           |      AS pair_count
+           |  FROM (SELECT * FROM apply WHERE entered) st
+           |  JOIN merges m ON m.step = st.step
+           |  GROUP BY st.step, m.l, m.r)
+           |SELECT CAST(step AS BIGINT) AS step, l AS "left", r AS "right",
+           |  pair_count
+           |FROM chosen ORDER BY step""".stripMargin
+    }
+    val q78o = mergesStash16.map { ms =>
+      val n = ms.size
+      "q78_bpe_encode" ->
+        s"""${bpeReplaySql(ms)},
+           |vocab AS (SELECT w, LEN(syms) AS toks FROM apply
+           |          WHERE step = ${n + 1} AND entered),
+           |occ AS (SELECT doc_id, w, COUNT(*) AS n FROM (
+           |    SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS w
+           |    FROM documents) t
+           |  WHERE LENGTH(w) >= 2 GROUP BY doc_id, w),
+           |agg AS (SELECT o.doc_id,
+           |    CAST(SUM(o.n) AS BIGINT) AS n_words,
+           |    CAST(SUM(o.n * v.toks) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(o.n * LENGTH(o.w)) AS BIGINT) AS n_chars
+           |  FROM occ o JOIN vocab v USING (w) GROUP BY o.doc_id)
+           |SELECT doc_id, n_words, n_tokens, n_chars,
+           |  CAST(n_chars AS DOUBLE) / n_tokens AS compression
+           |FROM agg ORDER BY doc_id""".stripMargin
+    }
+    (q71o.toList ++ q78o.toList).toMap
+  }
+
+  def oracleSql: Map[String, String] = staticOracleSql ++ bpeOracleSql
+
+  private val staticOracleSql: Map[String, String] = Map(
     "q91_text_familiarity" ->
       """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
         |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b

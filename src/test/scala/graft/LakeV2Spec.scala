@@ -1513,4 +1513,95 @@ class LakeV2Spec extends SparkSpec {
       GraftTable.addFiles(spark, root, src.toString)
     }
   }
+
+  test("partition-aligned DELETE is metadata-only: files drop by reference, nothing is read") {
+    import spark.implicits._
+    val root = freshRoot("meta-delete")
+    val df = (0L until 300L).map(i => (i, i % 3, s"r$i")).toDF("id", "grp", "v")
+    GraftTable.create(spark, root, df.schema,
+      Map(GraftTable.specProp -> "identity(grp)"))
+    GraftTable.append(spark, root, df.repartition(2))
+    val before = GraftTable.state(root).files.filter(_.isData)
+    val g1 = before.filter(_.partitionValues.get("grp").contains("1")).map(_.path).toSet
+    assert(g1.nonEmpty && g1.size < before.size)
+
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      GraftTable.deleteWhere(spark, root, col("grp") === 1L)
+      Thread.sleep(700)   // let task-end events drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(bytesRead.get() == 0,
+      s"a partition-aligned delete must read no data (read ${bytesRead.get()} bytes)")
+    val after = GraftTable.state(root).files.filter(_.isData).map(_.path).toSet
+    assert(after == before.map(_.path).toSet -- g1,
+      "exactly partition grp=1's files must drop, by reference")
+    assert(GraftTable.read(spark, root).count() == 200L)
+
+    // MoR mode + an ARBITRARY partition-column expression (not even
+    // pruning-convertible): still metadata — no delete files written
+    val root2 = freshRoot("meta-delete-mor")
+    GraftTable.create(spark, root2, df.schema,
+      Map(GraftTable.specProp -> "identity(grp)",
+        "write.delete.mode" -> "merge-on-read"))
+    GraftTable.append(spark, root2, df.repartition(2))
+    GraftTable.deleteWhereMoR(spark, root2, col("grp") % 2 === 0)
+    assert(GraftTable.state(root2).files.forall(_.isData),
+      "partition-aligned MoR delete must not write delete files")
+    assert(GraftTable.read(spark, root2).select("grp").distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    // a predicate touching a non-partition column takes the row path
+    GraftTable.deleteWhere(spark, root, col("grp") === 0L && col("id") < 10L)
+    assert(GraftTable.read(spark, root).count() == 196L)
+  }
+
+  test("full lifecycle through a no-rename (put-style copy+delete) placement shim") {
+    // the object-store probe: a store with no rename offers only PUT
+    // (here: copy) + DELETE. Every immutable artifact placement runs
+    // through the shim; the commit log itself is already put-if-absent
+    // (createLink). If any lifecycle step silently depended on rename
+    // atomicity for correctness, this composed run would corrupt state
+    // or double-apply — the reads below would diverge from the oracle.
+    import spark.implicits._
+    val prev = GraftTable.placeArtifact
+    val placed = new java.util.concurrent.atomic.AtomicInteger
+    GraftTable.placeArtifact = (src, dst) => {
+      Files.copy(src, dst)
+      Files.delete(src)
+      placed.incrementAndGet()
+      ()
+    }
+    try {
+      val root = freshRoot("no-rename")
+      val df0 = (0L until 200L).map(i => (i, s"v${i % 9}")).toDF("id", "v")
+      GraftTable.create(spark, root, df0.schema,
+        Map("write.delete.mode" -> "merge-on-read"))
+      GraftTable.append(spark, root, df0.repartition(3))
+      // MoR position + equality deletes, then a CoW overwrite
+      GraftTable.deleteWhereMoR(spark, root, col("id") % 10 === 0)
+      GraftTable.deleteEqualityMoR(spark, root, Seq("v3").toDF("v"))
+      GraftTable.overwriteWhere(spark, root, col("id") >= 190L)
+      // WAP stage + publish, maintenance rewrites, snapshot expiry
+      val staged = GraftTable.appendStaged(spark, root,
+        Seq((500L, "staged")).toDF("id", "v"), "shim_wap")
+      GraftTable.cherrypickSnapshot(root, staged)
+      GraftTable.rewritePositionDeletes(spark, root)
+      GraftTable.rewriteDataFiles(spark, root)
+      val oracle = ((0L until 200L)
+        .filterNot(_ % 10 == 0).filterNot(i => i % 9 == 3 && i % 10 != 0)
+        .filterNot(_ >= 190L) :+ 500L).sorted
+      assert(GraftTable.read(spark, root)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq == oracle)
+      assert(placed.get() > 5, s"the shim must have carried the writes (${placed.get()})")
+      // time travel across the composed history still replays cleanly
+      assert(GraftTable.read(spark, root, Some(1L)).count() == 200L)
+    } finally GraftTable.placeArtifact = prev
+  }
 }

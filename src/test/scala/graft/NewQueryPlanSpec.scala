@@ -95,8 +95,13 @@ class NewQueryPlanSpec extends SparkSpec {
     // the PQ design point, not an accidental cartesian
     // q94 composes q48's fixed-size seed-assignment broadcast with
     // q83's broadcast LUT — the same two declared O(N·K) shapes
+    // q95 is q94's construction reading the DURABLE index tables: the
+    // coarse-probe broadcast against the fixed-size centroids table is
+    // the same declared O(N·K) shape (plus index-build side effects at
+    // plan time, the lifecycle pattern)
     val allPairsDeclared = Set("q34_dedup_embcos", "q35_ann_brute", "q48_ann_ivf",
-      "q72_dedup_semantic", "q75_importance_sample", "q83_ann_pq", "q94_ann_ivfpq")
+      "q72_dedup_semantic", "q75_importance_sample", "q83_ann_pq", "q94_ann_ivfpq",
+      "q95_ann_lake_index")
     val lifecycle = Set("q23_lake_snapshots", "q24_lake_files", "q25_lake_timetravel",
       "q26_lake_compaction", "q27_lake_merge", "q28_lake_mor_delete",
       "q29_lake_partition_prune", "q54_lake_sql", "q57_lake_changes",

@@ -223,4 +223,64 @@ class WapSpec extends SparkSpec {
       s"abandoned+expired staged files must surface as orphans: $deadFiles vs $swept")
     assert(spark.table("graft.wap.t5").count() == 4L)
   }
+
+  test("multi-snapshot staging: N stages under one wap id publish atomically as ONE commit") {
+    val r = freshTable("t7")
+    spark.sql("INSERT INTO graft.wap.t7 VALUES (1, 'base'), (2, 'kill-me')")
+    val mainHead = GraftTable.state(r).snapshotId
+
+    // three stages under one id — two appends + a CoW delete — STACK
+    // in the log (raw-head slots), all invisible to main
+    val s1 = GraftTable.appendStaged(spark, r, Seq((3L, "b1")).toDF("id", "v"), "nightly")
+    val s2 = GraftTable.appendStaged(spark, r, Seq((4L, "b2")).toDF("id", "v"), "nightly")
+    val s3 = GraftTable.deleteWhereStaged(spark, r, col("id") === 2L, "nightly")
+    assert(Seq(s1, s2, s3) == Seq(mainHead + 1, mainHead + 2, mainHead + 3),
+      s"stages must stack in raw log slots, got ($s1, $s2, $s3)")
+    // a foreign wap id stages alongside, untouched by the group publish
+    val sOther = GraftTable.appendStaged(spark, r,
+      Seq((9L, "other")).toDF("id", "v"), "other_id")
+    assert(spark.table("graft.wap.t7").count() == 2L, "stages stay invisible")
+    // the audit read of each staged id sees base + that stage only
+    assert(GraftTable.read(spark, r, Some(s1)).count() == 3L)
+
+    // ONE publish commit applies the whole group
+    val pub = GraftTable.cherrypickWap(r, "nightly")
+    assert(GraftTable.state(r).snapshotId == pub)
+    assert(spark.table("graft.wap.t7").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L))
+
+    // CDC sees exactly one boundary carrying all the group's changes
+    val ch = GraftTable.changes(spark, r, mainHead, pub).cache()
+    assert(ch.select("_commit_snapshot_id").distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(pub),
+      "the whole batch must enter the feed at the single publish commit")
+    val byType = ch.groupBy("_change_type").count()
+      .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(byType == Map("insert" -> 2L, "delete" -> 1L), s"feed shape: $byType")
+    ch.unpersist()
+
+    // markers: the group is published (jointly and individually),
+    // re-publish refuses, the foreign stage still pends and publishes
+    assert(intercept[Exception](GraftTable.cherrypickWap(r, "nightly"))
+      .getMessage.contains("no unpublished"))
+    assert(intercept[Exception](GraftTable.cherrypickSnapshot(r, s2))
+      .getMessage.contains("already published"))
+    spark.sql("CALL graft_system.cherrypick_wap(table => 'wap.t7', wap_id => 'other_id')")
+    assert(spark.table("graft.wap.t7").count() == 4L)
+  }
+
+  test("group publish refuses when two staged rewrites touch the same file") {
+    val r = freshTable("t8")
+    // ONE base data file, so both staged deletes must rewrite it
+    GraftTable.append(spark, r,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    assert(GraftTable.state(r).files.count(_.isData) == 1)
+    GraftTable.deleteWhereStaged(spark, r, col("id") === 1L, "clash")
+    GraftTable.deleteWhereStaged(spark, r, col("id") === 2L, "clash")
+    val e = intercept[IllegalArgumentException](GraftTable.cherrypickWap(r, "clash"))
+    assert(e.getMessage.contains("rewrite the same"), e.getMessage)
+    // table unharmed; individual publishes resolve serially: the first
+    // lands, the second's victims are stale → loud refusal
+    assert(spark.table("graft.wap.t8").count() == 2L)
+  }
 }
