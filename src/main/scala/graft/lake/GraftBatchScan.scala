@@ -248,16 +248,29 @@ private[graft] class GraftBatchScan(
       new ParquetOptions(Map.empty[String, String], sqlConf))
   }
 
+  /** `_row_id` (row lineage) requested through the scan's output. */
+  private val rowIdRequested: Boolean =
+    readDataSchema.fieldNames.contains("_row_id")
+
+  /** The parquet-facing projection: everything but the computed
+    * `_row_id` metadata column. */
+  private val dataCols: StructType =
+    StructType(readDataSchema.fields.filterNot(_.name == "_row_id"))
+
   override def createReaderFactory(): PartitionReaderFactory =
-    if (plan.deletes.isEmpty)
+    if (plan.deletes.isEmpty && !rowIdRequested)
       GraftReaderFactory(mkParquetFactory(plan.schema, readDataSchema, pushedFilters))
     else morReaderFactory()
 
-  /** MoR snapshots read natively: dirty files re-read through an
-    * EXTENDED schema (projection-pruned eq-delete key columns added
-    * back, plus Spark's generated `_tmp_metadata_row_index` column)
-    * and filter per row against deletion vectors / key sets; clean
-    * files keep the plain factory. See GraftMorRead.scala. */
+  /** The wrapping read path — MoR snapshots and/or `_row_id` lineage:
+    * files re-read through an EXTENDED schema (projection-pruned
+    * eq-delete key columns added back, the materialized `_gf_row_id`
+    * physical column when lineage is requested, plus Spark's generated
+    * `_tmp_metadata_row_index` column); rows filter against deletion
+    * vectors / key sets and `_row_id` computes per file as
+    * firstRowId + row_index (or the materialized column, or NULL for
+    * pre-lineage files). Clean files with no lineage request keep the
+    * plain factory. See GraftMorRead.scala. */
   private def morReaderFactory(): GraftMorReaderFactory = {
     val posDeletes = plan.deletes.filter(_.content.contains(1))
       .map(f => (s"$root/${f.path}", f.sizeBytes))
@@ -270,16 +283,17 @@ private[graft] class GraftBatchScan(
       .groupBy(f => (f.snapshotOfName, f.eqCols.getOrElse(Seq.empty)))
       .toSeq.sortBy { case ((s, cs), _) => (s, cs.mkString(",")) }
     val eqColsNeeded = eqGroupsRaw.flatMap(_._1._2).distinct
-      .filterNot(readDataSchema.fieldNames.contains)
+      .filterNot(dataCols.fieldNames.contains)
     val riName = org.apache.spark.sql.execution.datasources.parquet
       .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
     // the row-index field must be NULLABLE: the vectorized reader
     // null-fills nullable missing columns (a required miss throws) and
     // its RowIndexGenerator then overwrites the vector with real
     // indexes, matched by name
-    val extSchema = StructType(readDataSchema.fields ++
+    val extSchema = StructType(dataCols.fields ++
       eqColsNeeded.map(c =>
-        plan.schema.fields.find(_.name == c).get.copy(nullable = true)) :+
+        plan.schema.fields.find(_.name == c).get.copy(nullable = true)) ++
+      (if (rowIdRequested) Seq(GraftTable.rowIdPhys) else Seq.empty) :+
       StructField(riName, LongType, nullable = true))
     val ordOf = extSchema.fieldNames.zipWithIndex.toMap
     val eqGroups = eqGroupsRaw.map { case ((snapId, cols), fs) =>
@@ -289,11 +303,20 @@ private[graft] class GraftBatchScan(
         cols.map(ordOf).toArray, fields.map(_.dataType).toArray,
         mkParquetFactory(StructType(fields), StructType(fields), Array.empty))
     }
+    // output ordinal -> extended ordinal; -1 = the computed _row_id
+    val dataOrd = dataCols.fieldNames.zipWithIndex.toMap
+    val outCols = readDataSchema.fieldNames.map(n =>
+      if (n == "_row_id") -1 else dataOrd(n))
     GraftMorReaderFactory(
-      plain = mkParquetFactory(plan.schema, readDataSchema, pushedFilters),
+      plain = mkParquetFactory(plan.schema, dataCols, pushedFilters),
       extended = mkParquetFactory(plan.schema, extSchema, pushedFilters),
-      nOut = readDataSchema.length,
+      outCols = outCols,
       riOrd = extSchema.length - 1,
+      gfOrd = if (rowIdRequested) ordOf(GraftTable.rowIdPhys.name) else -1,
+      lineage = if (rowIdRequested)
+        Some(plan.entries.map(f =>
+          f.path.split('/').last -> f.firstRowId).toMap)
+      else None,
       posDeletes = posDeletes,
       posFactory = mkParquetFactory(posSchema, posSchema, Array.empty),
       eqGroups = eqGroups)

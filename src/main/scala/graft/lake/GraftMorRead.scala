@@ -13,12 +13,11 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarArray, ColumnarBatch, ColumnarMap}
 import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
 
-/** Merge-on-read service for the native DSv2 columnar scan — the
-  * Iceberg-v3 deletion-vector shape (reference: the Iceberg runtime the
-  * guide's spark-defaults.conf loads reads MoR tables the same way):
-  * instead of falling back to the V1 row bridge whenever a snapshot
-  * carries live delete files, each data file's deletes are applied as a
-  * ROW-INDEX FILTER around Spark's own vectorized parquet reader.
+/** The native scan's WRAPPING read path — merge-on-read deletes and/or
+  * the `_row_id` lineage column (reference: the Iceberg runtime the
+  * guide's spark-defaults.conf loads serves both the same way):
+  * instead of falling back to the V1 row bridge, per-file work applies
+  * around Spark's own vectorized parquet reader.
   *
   *  - '''Position deletes''' become per-data-file deletion vectors: the
   *    delete parquet parses ONCE PER EXECUTOR (soft-referenced cache,
@@ -26,40 +25,60 @@ import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
   *    basename → sorted row ordinals; each task merge-walks its file's
   *    vector against the ascending row indexes the reader emits via
   *    the `_tmp_metadata_row_index` generated column — O(batch) per
-  *    batch, no join, no shuffle.
+  *    batch, no join, no shuffle (the Iceberg-v3 deletion-vector
+  *    shape).
   *  - '''Equality deletes''' load their (tiny, by design — that is the
   *    point of a keyed delete) key files into per-executor hash sets
   *    and drop matching rows of data files whose snapshot-id file-name
-  *    prefix is ≤ the delete's (the Iceberg sequence-number rule) —
+  *    prefix is STRICTLY BELOW the delete's (the Iceberg sequence
+  *    rule — strict so a one-commit upsert's own data files escape
+  *    their companion delete) —
   *    the same in-memory key-set application Iceberg's own readers
   *    use. Key columns the projection pruned away are read back just
   *    for the dirty files and stripped before the batch leaves the
   *    reader.
+  *  - '''Row lineage''' (`_row_id`): per data file, NULL for
+  *    pre-lineage files, the materialized `_gf_row_id` physical column
+  *    for rewrite outputs, firstRowId + row_index otherwise — all
+  *    zero-copy vector views over the reader's own columns, no
+  *    per-row driver arithmetic.
   *
   * Rows-only filtering preserves every upstream property: pushed
   * parquet predicates stay pushed (deletes only remove rows), pruned
   * files stay pruned, storage-partitioned grouping survives, and live
   * batches leave as zero-copy views (an index indirection over the
   * reader's own vectors — Iceberg's ColumnVectorWithFilter shape), so
-  * a mostly-clean table pays near-zero MoR tax. `rewrite_data_files` /
-  * `rewrite_position_deletes` remain the way to retire the tax
+  * a mostly-clean table pays near-zero tax. `rewrite_data_files` /
+  * `rewrite_position_deletes` remain the way to retire the MoR tax
   * entirely. */
 private[lake] case class GraftEqGroup(snapId: Long, cols: Seq[String],
     files: Seq[(String, Long)], keyOrds: Array[Int], keyTypes: Array[DataType],
     factory: ParquetPartitionReaderFactory)
 
-/** One data file's delete work: the merged deletion vector (sorted row
-  * ordinals) + the equality groups whose sequence bound admits it. */
+/** Per-file `_row_id` mode. */
+private[lake] sealed trait GraftRowIdMode
+private[lake] case object GraftNoLineage extends GraftRowIdMode
+private[lake] case object GraftNullId extends GraftRowIdMode
+private[lake] case object GraftMaterializedId extends GraftRowIdMode
+private[lake] case class GraftBaseId(base: Long) extends GraftRowIdMode
+
+/** One data file's read work: the merged deletion vector (sorted row
+  * ordinals), the equality groups whose sequence bound admits it, and
+  * its lineage mode. */
 private[lake] case class GraftMorWork(dv: Array[Long],
-    eqs: Seq[(Array[Int], Array[DataType], java.util.HashSet[AnyRef])]) {
-  def isEmpty: Boolean = dv.isEmpty && eqs.isEmpty
+    eqs: Seq[(Array[Int], Array[DataType], java.util.HashSet[AnyRef])],
+    rowId: GraftRowIdMode) {
+  def hasDeletes: Boolean = dv.nonEmpty || eqs.nonEmpty
+  def needsExtended: Boolean = hasDeletes || rowId != GraftNoLineage
 }
 
 private[lake] case class GraftMorReaderFactory(
     plain: ParquetPartitionReaderFactory,
     extended: ParquetPartitionReaderFactory,
-    nOut: Int,
+    outCols: Array[Int],                 // output ordinal -> extended ordinal; -1 = _row_id
     riOrd: Int,
+    gfOrd: Int,                          // materialized _gf_row_id ordinal, or -1
+    lineage: Option[Map[String, Option[Long]]],  // fileName -> firstRowId
     posDeletes: Seq[(String, Long)],
     posFactory: ParquetPartitionReaderFactory,
     eqGroups: Seq[GraftEqGroup]) extends PartitionReaderFactory {
@@ -78,26 +97,34 @@ private[lake] case class GraftMorReaderFactory(
     val dv =
       if (posDeletes.isEmpty) Array.emptyLongArray
       else GraftMorCache.deletionVector(name, posDeletes, posFactory)
-    val eqs = eqGroups.filter(_.snapId >= snap)
+    val eqs = eqGroups.filter(_.snapId > snap)
       .map(g => (g.keyOrds, g.keyTypes, GraftMorCache.keySet(g)))
       .filter(!_._3.isEmpty)
-    GraftMorWork(dv, eqs)
+    val mode = lineage match {
+      case None => GraftNoLineage
+      case Some(m) => m.getOrElse(name, None) match {
+        case None => GraftNullId
+        case Some(-1L) => GraftMaterializedId
+        case Some(base) => GraftBaseId(base)
+      }
+    }
+    GraftMorWork(dv, eqs, mode)
   }
 
-  /** A clean file (no vector, no admitted equality group) reads through
-    * the plain factory — identical cost to a non-MoR scan. */
+  /** A clean file with no lineage request reads through the plain
+    * factory — identical cost to a non-wrapped scan. */
   private[lake] def columnarFor(f: PartitionedFile)
       : (PartitionReader[ColumnarBatch], GraftMorWork) = {
     val w = workFor(f)
-    if (w.isEmpty) (plain.createColumnarReader(one(f)), null)
-    else (extended.createColumnarReader(one(f)), w)
+    if (w.needsExtended) (extended.createColumnarReader(one(f)), w)
+    else (plain.createColumnarReader(one(f)), null)
   }
 
   private[lake] def rowFor(f: PartitionedFile)
       : (PartitionReader[InternalRow], GraftMorWork) = {
     val w = workFor(f)
-    if (w.isEmpty) (plain.createReader(one(f)), null)
-    else (extended.createReader(one(f)), w)
+    if (w.needsExtended) (extended.createReader(one(f)), w)
+    else (plain.createReader(one(f)), null)
   }
 
   /** Row r of batch b matches some admitted equality-delete key. */
@@ -227,7 +254,7 @@ private[lake] object GraftMorCache {
   /** One equality-delete group's key set, values COPIED out of the
     * reader's reused buffers. */
   def keySet(g: GraftEqGroup): java.util.HashSet[AnyRef] = {
-    val ck = g.files.map(_._1).mkString("")
+    val ck = g.files.map(_._1).mkString("")
     val ref = eqCache.get(ck)
     val hit = if (ref == null) null else ref.get()
     if (hit != null) return hit
@@ -251,9 +278,8 @@ private[lake] object GraftMorCache {
   }
 }
 
-/** Sequential per-file columnar reader applying each file's delete
-  * work; clean files pass batches through untouched (minus nothing —
-  * they came from the plain factory at output arity already). */
+/** Sequential per-file columnar reader applying each file's work;
+  * clean no-lineage files pass batches through untouched. */
 private[lake] class GraftMorColumnarReader(files: Array[PartitionedFile],
     fac: GraftMorReaderFactory) extends PartitionReader[ColumnarBatch] {
 
@@ -279,7 +305,7 @@ private[lake] class GraftMorColumnarReader(files: Array[PartitionedFile],
       if (cur.next()) {
         val b = cur.get()
         if (work == null) { out = b; return true }
-        val f = filter(b)
+        val f = rebuild(b)
         if (f != null) { out = f; return true }
         // batch fully deleted: keep draining this file
       } else { cur.close(); cur = null }
@@ -287,35 +313,52 @@ private[lake] class GraftMorColumnarReader(files: Array[PartitionedFile],
     false
   }
 
-  /** Live-row indirection over the reader's vectors; null when the
-    * whole batch is deleted. Row indexes ascend within a file, so one
-    * deletion-vector cursor serves all its batches. */
-  private def filter(b: ColumnarBatch): ColumnarBatch = {
+  /** Zero-copy view over the reader's vectors: delete-filtered through
+    * a live-row index map (null when the whole batch is deleted) and
+    * projected to the output shape, with `_row_id` served as a
+    * computed/delegated vector. Row indexes ascend within a file, so
+    * one deletion-vector cursor serves all its batches. */
+  private def rebuild(b: ColumnarBatch): ColumnarBatch = {
     val n = b.numRows()
-    val ri = b.column(fac.riOrd)
-    val dv = work.dv
-    val map = new Array[Int](n)
-    var k = 0; var c = dvCursor; var r = 0
-    while (r < n) {
-      val idx = ri.getLong(r)
-      while (c < dv.length && dv(c) < idx) c += 1
-      val dead = (c < dv.length && dv(c) == idx) ||
-        (work.eqs.nonEmpty && fac.eqDeadCol(b, r, work))
-      if (!dead) { map(k) = r; k += 1 }
-      r += 1
-    }
-    dvCursor = c
-    if (k == 0) null
-    else {
-      val cols = new Array[ColumnVector](fac.nOut)
-      var j = 0
-      while (j < fac.nOut) {
-        cols(j) =
-          if (k == n) b.column(j) else new GraftIndirectVector(b.column(j), map)
-        j += 1
+    var map: Array[Int] = null
+    var k = n
+    if (work.hasDeletes) {
+      val ri = b.column(fac.riOrd)
+      val dv = work.dv
+      map = new Array[Int](n)
+      k = 0; var c = dvCursor; var r = 0
+      while (r < n) {
+        val idx = ri.getLong(r)
+        while (c < dv.length && dv(c) < idx) c += 1
+        val dead = (c < dv.length && dv(c) == idx) ||
+          (work.eqs.nonEmpty && fac.eqDeadCol(b, r, work))
+        if (!dead) { map(k) = r; k += 1 }
+        r += 1
       }
-      new ColumnarBatch(cols, k)
+      dvCursor = c
+      if (k == 0) return null
+      if (k == n) map = null   // nothing filtered: direct views
     }
+    val cols = new Array[ColumnVector](fac.outCols.length)
+    var j = 0
+    while (j < fac.outCols.length) {
+      val e = fac.outCols(j)
+      cols(j) =
+        if (e >= 0) {
+          if (map == null) b.column(e) else new GraftIndirectVector(b.column(e), map)
+        } else work.rowId match {
+          case GraftNullId => new GraftNullLongVector
+          case GraftMaterializedId =>
+            if (map == null) b.column(fac.gfOrd)
+            else new GraftIndirectVector(b.column(fac.gfOrd), map)
+          case GraftBaseId(base) =>
+            new GraftRowIdVector(b.column(fac.riOrd), base, map)
+          case GraftNoLineage =>
+            throw new IllegalStateException("_row_id requested without lineage info")
+        }
+      j += 1
+    }
+    new ColumnarBatch(cols, k)
   }
 
   override def get(): ColumnarBatch = out
@@ -331,7 +374,7 @@ private[lake] class GraftMorRowReader(files: Array[PartitionedFile],
   private var work: GraftMorWork = _
   private var dvCursor = 0
   private var out: InternalRow = _
-  private val truncated = new GraftTruncatedRow(fac.nOut)
+  private val projected = new GraftProjectedRow(fac.outCols)
 
   private def advanceFile(): Boolean = {
     i += 1
@@ -350,16 +393,30 @@ private[lake] class GraftMorRowReader(files: Array[PartitionedFile],
         val row = cur.get()
         if (work == null) { out = row; return true }
         val idx = row.getLong(fac.riOrd)
-        val dv = work.dv
-        var c = dvCursor
-        while (c < dv.length && dv(c) < idx) c += 1
-        dvCursor = c
-        val dead = (c < dv.length && dv(c) == idx) ||
-          (work.eqs.nonEmpty && fac.eqDeadRow(row, work))
-        if (!dead) { truncated.set(row); out = truncated; return true }
+        if (work.hasDeletes) {
+          val dv = work.dv
+          var c = dvCursor
+          while (c < dv.length && dv(c) < idx) c += 1
+          dvCursor = c
+          val dead = (c < dv.length && dv(c) == idx) ||
+            (work.eqs.nonEmpty && fac.eqDeadRow(row, work))
+          if (dead) { /* skip */ }
+          else { emit(row, idx); return true }
+        } else { emit(row, idx); return true }
       } else { cur.close(); cur = null }
     }
     false
+  }
+
+  private def emit(row: InternalRow, idx: Long): Unit = {
+    val id: java.lang.Long = work.rowId match {
+      case GraftNullId | GraftNoLineage => null
+      case GraftMaterializedId =>
+        if (row.isNullAt(fac.gfOrd)) null else Long.box(row.getLong(fac.gfOrd))
+      case GraftBaseId(base) => Long.box(base + idx)
+    }
+    projected.set(row, id)
+    out = projected
   }
 
   override def get(): InternalRow = out
@@ -395,38 +452,100 @@ private[lake] final class GraftIndirectVector(base: ColumnVector, map: Array[Int
     new GraftIndirectVector(base.getChild(ordinal), map)
 }
 
-/** Read-only view of the extended-schema row truncated to the scan's
-  * output arity (the appended eq-key / row-index columns drop off). */
-private[lake] final class GraftTruncatedRow(n: Int) extends InternalRow {
+/** `_row_id` = firstRowId + row_index, as a view over the generated
+  * row-index vector (live-row mapped when a delete filter is active). */
+private[lake] final class GraftRowIdVector(ri: ColumnVector, base: Long,
+    map: Array[Int]) extends ColumnVector(LongType) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = false
+  override def numNulls: Int = 0
+  override def isNullAt(i: Int): Boolean = false
+  override def getLong(i: Int): Long =
+    base + ri.getLong(if (map == null) i else map(i))
+  override def getBoolean(i: Int): Boolean = throw new UnsupportedOperationException
+  override def getByte(i: Int): Byte = throw new UnsupportedOperationException
+  override def getShort(i: Int): Short = throw new UnsupportedOperationException
+  override def getInt(i: Int): Int = throw new UnsupportedOperationException
+  override def getFloat(i: Int): Float = throw new UnsupportedOperationException
+  override def getDouble(i: Int): Double = throw new UnsupportedOperationException
+  override def getArray(i: Int): ColumnarArray = throw new UnsupportedOperationException
+  override def getMap(i: Int): ColumnarMap = throw new UnsupportedOperationException
+  override def getDecimal(i: Int, p: Int, s: Int): Decimal =
+    throw new UnsupportedOperationException
+  override def getUTF8String(i: Int): UTF8String =
+    throw new UnsupportedOperationException
+  override def getBinary(i: Int): Array[Byte] = throw new UnsupportedOperationException
+  override def getInterval(i: Int): CalendarInterval =
+    throw new UnsupportedOperationException
+  override def getChild(ordinal: Int): ColumnVector =
+    throw new UnsupportedOperationException
+}
+
+/** All-null LongType vector (`_row_id` of pre-lineage files). */
+private[lake] final class GraftNullLongVector extends ColumnVector(LongType) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = true
+  override def numNulls: Int = -1
+  override def isNullAt(i: Int): Boolean = true
+  override def getLong(i: Int): Long = 0L
+  override def getBoolean(i: Int): Boolean = throw new UnsupportedOperationException
+  override def getByte(i: Int): Byte = throw new UnsupportedOperationException
+  override def getShort(i: Int): Short = throw new UnsupportedOperationException
+  override def getInt(i: Int): Int = throw new UnsupportedOperationException
+  override def getFloat(i: Int): Float = throw new UnsupportedOperationException
+  override def getDouble(i: Int): Double = throw new UnsupportedOperationException
+  override def getArray(i: Int): ColumnarArray = throw new UnsupportedOperationException
+  override def getMap(i: Int): ColumnarMap = throw new UnsupportedOperationException
+  override def getDecimal(i: Int, p: Int, s: Int): Decimal =
+    throw new UnsupportedOperationException
+  override def getUTF8String(i: Int): UTF8String =
+    throw new UnsupportedOperationException
+  override def getBinary(i: Int): Array[Byte] = throw new UnsupportedOperationException
+  override def getInterval(i: Int): CalendarInterval =
+    throw new UnsupportedOperationException
+  override def getChild(ordinal: Int): ColumnVector =
+    throw new UnsupportedOperationException
+}
+
+/** Read-only projection of the extended-schema row to the scan's
+  * output shape: appended eq-key / physical-lineage / row-index
+  * columns drop off, and `_row_id` serves from a per-row computed
+  * value. */
+private[lake] final class GraftProjectedRow(outCols: Array[Int]) extends InternalRow {
   private var row: InternalRow = _
-  def set(r: InternalRow): Unit = row = r
-  override def numFields: Int = n
+  private var rowId: java.lang.Long = _
+  def set(r: InternalRow, id: java.lang.Long): Unit = { row = r; rowId = id }
+  override def numFields: Int = outCols.length
   override def setNullAt(i: Int): Unit = throw new UnsupportedOperationException
   override def update(i: Int, v: Any): Unit = throw new UnsupportedOperationException
   override def copy(): InternalRow = {
-    val w = new GraftTruncatedRow(n); w.set(row.copy()); w
+    val w = new GraftProjectedRow(outCols); w.set(row.copy(), rowId); w
   }
-  override def isNullAt(i: Int): Boolean = row.isNullAt(i)
-  override def getBoolean(i: Int): Boolean = row.getBoolean(i)
-  override def getByte(i: Int): Byte = row.getByte(i)
-  override def getShort(i: Int): Short = row.getShort(i)
-  override def getInt(i: Int): Int = row.getInt(i)
-  override def getLong(i: Int): Long = row.getLong(i)
-  override def getFloat(i: Int): Float = row.getFloat(i)
-  override def getDouble(i: Int): Double = row.getDouble(i)
-  override def getDecimal(i: Int, p: Int, s: Int): Decimal = row.getDecimal(i, p, s)
-  override def getUTF8String(i: Int): UTF8String = row.getUTF8String(i)
-  override def getBinary(i: Int): Array[Byte] = row.getBinary(i)
+  override def isNullAt(i: Int): Boolean =
+    if (outCols(i) < 0) rowId == null else row.isNullAt(outCols(i))
+  override def getBoolean(i: Int): Boolean = row.getBoolean(outCols(i))
+  override def getByte(i: Int): Byte = row.getByte(outCols(i))
+  override def getShort(i: Int): Short = row.getShort(outCols(i))
+  override def getInt(i: Int): Int = row.getInt(outCols(i))
+  override def getLong(i: Int): Long =
+    if (outCols(i) < 0) rowId.longValue() else row.getLong(outCols(i))
+  override def getFloat(i: Int): Float = row.getFloat(outCols(i))
+  override def getDouble(i: Int): Double = row.getDouble(outCols(i))
+  override def getDecimal(i: Int, p: Int, s: Int): Decimal =
+    row.getDecimal(outCols(i), p, s)
+  override def getUTF8String(i: Int): UTF8String = row.getUTF8String(outCols(i))
+  override def getBinary(i: Int): Array[Byte] = row.getBinary(outCols(i))
   override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
-    row.getGeography(i)
+    row.getGeography(outCols(i))
   override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
-    row.getGeometry(i)
-  override def getInterval(i: Int): CalendarInterval = row.getInterval(i)
+    row.getGeometry(outCols(i))
+  override def getInterval(i: Int): CalendarInterval = row.getInterval(outCols(i))
   override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal =
-    row.getVariant(i)
+    row.getVariant(outCols(i))
   override def getStruct(i: Int, numFields: Int): InternalRow =
-    row.getStruct(i, numFields)
-  override def getArray(i: Int): ArrayData = row.getArray(i)
-  override def getMap(i: Int): MapData = row.getMap(i)
-  override def get(i: Int, dt: DataType): AnyRef = row.get(i, dt)
+    row.getStruct(outCols(i), numFields)
+  override def getArray(i: Int): ArrayData = row.getArray(outCols(i))
+  override def getMap(i: Int): MapData = row.getMap(outCols(i))
+  override def get(i: Int, dt: DataType): AnyRef =
+    if (outCols(i) < 0) rowId else row.get(outCols(i), dt)
 }

@@ -831,16 +831,18 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
       override def build(): Scan = pushedAgg match {
         case Some((aggSchema, values)) => buildAggScan(aggSchema, values)
         case None if required.exists(_.fieldNames.contains("_row_id")) =>
-          buildRowIdScan(required.get)
+          // lineage reads plan NATIVE too (round 12): the wrapping
+          // reader serves _row_id as firstRowId + row_index (or the
+          // materialized column) — V1 only for renames etc.
+          buildNativeScan().getOrElse(buildRowIdScan(required.get))
         case None => buildNativeScan().getOrElse(buildDataScan())
       }
 
-      /** Scan serving the `_row_id` metadata column: the lineage read
-        * (per-file firstRowId dispatch / materialized column), file-
-        * pruned on the pushed filters; every filter is still re-applied
-        * row-wise above (all were returned residual). The native
-        * columnar path can't carry the per-row position arithmetic, so
-        * this plane owns lineage reads. */
+      /** V1 scan serving the `_row_id` metadata column: the lineage
+        * read (per-file firstRowId dispatch / materialized column),
+        * file-pruned on the pushed filters; every filter is still
+        * re-applied row-wise above (all were returned residual). Used
+        * when the native plane declines the snapshot. */
       private def buildRowIdScan(req: StructType): Scan = new V1Scan {
         override def readSchema(): StructType = req
         override def toV1TableScan[T <: BaseRelation with TableScan](

@@ -2098,10 +2098,12 @@ object GraftTable {
     * (content=2, the other Iceberg v2 delete flavor; guide scope:
     * rewrite_equality_deletes). `keys` holds distinct values of a
     * column subset; rows equal (null-safely) on those columns are
-    * deleted from data files committed AT OR BEFORE this delete —
-    * appends after it are untouched (sequence-number semantics via
-    * the snapshot-id file-name prefix). The write is O(keys): deleting
-    * a billion rows by key costs one tiny file. */
+    * deleted from data files committed STRICTLY BEFORE this delete —
+    * appends at or after it are untouched (sequence-number semantics
+    * via the snapshot-id file-name prefix; strict, as in Iceberg, so
+    * upsertEqualityMoR's one-commit delete+append composes). The
+    * write is O(keys): deleting a billion rows by key costs one tiny
+    * file. */
   def deleteEqualityMoR(spark: SparkSession, root: String, keys: DataFrame): Long = {
     val snap = state(root)
     val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
@@ -2109,39 +2111,97 @@ object GraftTable {
     require(cols.nonEmpty && cols.forall(schema.fieldNames.contains),
       s"equality-delete columns must be table columns; got $cols")
     val id = snap.snapshotId + 1
-    val tmp = Paths.get(root, s".stage-${UUID.randomUUID()}")
     // The key set is usually tiny (that's the point of eq-deletes),
     // but nothing bounds it: above `graft.delete.rows-per-shard`
     // distinct keys the write shards on hash(key). The count runs off
     // the persisted distinct set, so the dedup shuffle executes once.
-    val rowsPerShard = snap.properties.get("graft.delete.rows-per-shard")
-      .map(_.toLong).getOrElse(32L * 1024 * 1024)
     val distinctKeys = keys.distinct().persist()
-    try {
-      val n = distinctKeys.count()
-      val shards = math.min(1024L, math.max(1L, (n + rowsPerShard - 1) / rowsPerShard)).toInt
-      val staged = if (shards > 1) distinctKeys.repartition(shards, cols.map(col): _*)
-                   else distinctKeys.coalesce(1)
-      staged.write.parquet(tmp.toString)
-    } finally distinctKeys.unpersist()
-    // carry the key columns' min/max per shard: CDC (deleteVictims)
-    // and rewrite_equality_deletes can then bound which data files a
-    // keyed delete can touch instead of scanning the table. Only
-    // statsTypes columns — parquet FOOTER stats render decimals as
-    // UNSCALED-integer text ('12500' for 125.00), which cmp's
-    // BigDecimal branch would parse at the wrong magnitude and
-    // silently drop victims; partition-tuple text (scaled, from CAST
-    // AS STRING) is the only decimal rendering the comparators accept
+    val adds =
+      try stageEqualityKeys(spark, root, distinctKeys, cols, id,
+        snap.properties, schema)
+      finally distinctKeys.unpersist()
+    commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
+      "delete", adds, Seq.empty, Map.empty, None))
+    id
+  }
+
+  /** Stage a (pre-distinct'd, key-projected) frame as sharded
+    * equality-delete files named under snapshot `id`. Carries the key
+    * columns' min/max per shard: CDC (deleteVictims) and
+    * rewrite_equality_deletes then bound which data files a keyed
+    * delete can touch instead of scanning the table. Only statsTypes
+    * columns — parquet FOOTER stats render decimals as UNSCALED-
+    * integer text ('12500' for 125.00), which cmp's BigDecimal branch
+    * would parse at the wrong magnitude and silently drop victims;
+    * partition-tuple text (scaled, from CAST AS STRING) is the only
+    * decimal rendering the comparators accept. */
+  private def stageEqualityKeys(spark: SparkSession, root: String,
+      distinctKeys: DataFrame, cols: Seq[String], id: Long,
+      props: Map[String, String], schema: StructType): Seq[FileEntry] = {
+    val tmp = Paths.get(root, s".stage-${UUID.randomUUID()}")
+    val rowsPerShard = props.get("graft.delete.rows-per-shard")
+      .map(_.toLong).getOrElse(32L * 1024 * 1024)
+    val n = distinctKeys.count()
+    val shards = math.min(1024L, math.max(1L, (n + rowsPerShard - 1) / rowsPerShard)).toInt
+    val staged = if (shards > 1) distinctKeys.repartition(shards, cols.map(col): _*)
+                 else distinctKeys.coalesce(1)
+    staged.write.parquet(tmp.toString)
     val statCols = cols.filter(c => statsTypes.contains(
       schema.fields(schema.fieldIndex(c)).dataType)).toSet
-    val adds = stageDeleteParts(spark, root, tmp) { (records, size, st) =>
+    stageDeleteParts(spark, root, tmp) { (records, size, st) =>
       val name = f"$id%010d-eqdelete-${UUID.randomUUID()}.parquet"
       (name, FileEntry(s"deletes/$name", size, records,
         st.view.filterKeys(statCols).toMap, None, Some(2), Some(cols)))
     }
-    commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
-      "delete", adds, Seq.empty, Map.empty, None))
-    id
+  }
+
+  /** Flink-style merge-on-read UPSERT: ONE commit carrying BOTH an
+    * equality-delete file keyed on `keyCols` (killing prior versions
+    * of the batch's keys — it applies to files committed STRICTLY
+    * before this snapshot, the Iceberg sequence rule, which the
+    * batch's own data files escape by sharing the commit's snapshot
+    * prefix) AND the batch's data files. The write is O(batch): no
+    * victim scan, no rewrite — the 100 TB CDC-ingestion shape
+    * (Flink's Iceberg upsert writer); standing deletes retire at
+    * rewrite_equality_deletes / compaction. Readers never see the
+    * intermediate state (delete and insert land atomically), and the
+    * CDC feed diffs the commit into per-key delete+insert pairs at one
+    * boundary via the generic rewrite diff. Duplicate keys WITHIN a
+    * batch are refused (which version wins would be nondeterministic —
+    * merge's contract). `txn` = (appId, version) makes replays no-ops
+    * for exactly-once streaming sinks. */
+  def upsertEqualityMoR(spark: SparkSession, root: String, batch: DataFrame,
+      keyCols: Seq[String], txn: Option[(String, Long)] = None): Long = {
+    val snap = state(root)
+    val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
+    require(keyCols.nonEmpty && keyCols.forall(schema.fieldNames.contains),
+      s"upsert key columns must be table columns; got $keyCols")
+    txn.foreach { case (appId, version) =>
+      if (snap.properties.get(s"graft.txn.$appId").map(_.toLong).exists(_ >= version))
+        return snap.snapshotId   // already applied
+    }
+    // schema contract only — never evolve mid-upsert (a schema commit
+    // between version checks would break the txn replay guarantee)
+    val conformed = conformAppendSchema(root, batch, snap, allowEvolution = false)
+    val id = conformed.snapshotId + 1
+    val persisted = batch.persist()
+    try {
+      val n = persisted.count()
+      val keys = persisted.select(keyCols.map(col): _*).distinct().persist()
+      try {
+        require(keys.count() == n,
+          s"upsert batch carries duplicate keys on (${keyCols.mkString(", ")}) — " +
+            "dedupe to one version per key first (same contract as merge)")
+        val dataAdds = writeDataFiles(spark, root,
+          distribute(persisted, snap.properties), id, snap.properties)
+        val eqAdds = stageEqualityKeys(spark, root, keys, keyCols, id,
+          snap.properties, schema)
+        commitOrCleanup(root, id, Commit(id, Some(id - 1),
+          System.currentTimeMillis(), "upsert", dataAdds ++ eqAdds, Seq.empty,
+          txn.map { case (a, v) => s"graft.txn.$a" -> v.toString }.toMap, None))
+        id
+      } finally keys.unpersist(blocking = false)
+    } finally persisted.unpersist(blocking = false)
   }
 
   /** rewrite_equality_deletes: fold every live equality-delete file
@@ -2200,7 +2260,7 @@ object GraftTable {
     val aliases = statAliases(schema)
     val affected = dataFiles.filter { f =>
       deleteBounds.exists { case (delSnap, preds) =>
-        f.snapshotOfName <= delSnap && mayMatch(types, preds, aliases)(f)
+        f.snapshotOfName < delSnap && mayMatch(types, preds, aliases)(f)
       }
     }
     val id = snap.snapshotId + 1
@@ -2550,7 +2610,7 @@ object GraftTable {
 
   // ── row lineage (`_row_id`, the Iceberg v3 design) ──────────────────
 
-  private val rowIdPhys = StructField("_gf_row_id", LongType, nullable = true)
+  private[lake] val rowIdPhys = StructField("_gf_row_id", LongType, nullable = true)
 
   /** Attach each row's lineage id given its source file's FileEntry:
     * inherited (firstRowId + position) for plainly-written files, the
@@ -3020,7 +3080,7 @@ object GraftTable {
           .select(cols.map(c => col(c).as(s"_gfk_$c")): _*).distinct()
         val cond = cols.zip(liveCols).map { case (c, lc) =>
           df(lc) <=> keys(s"_gfk_$c") }.reduce(_ && _) &&
-          df("_gf_snap") <= lit(snapId)
+          df("_gf_snap") < lit(snapId)
         df = df.join(keys, cond, "left_anti")
       }
     df
@@ -4030,7 +4090,7 @@ object GraftTable {
               st.min.map(Ge(lc, _)).toSeq ++ st.max.map(Le(lc, _)).toSeq)
           }
       }
-      candidates.filter(f => f.snapshotOfName <= d.snapshotOfName &&
+      candidates.filter(f => f.snapshotOfName < d.snapshotOfName &&
         mayMatch(types, bounds, aliases)(f))
     }
     (pos ++ eq).distinctBy(_.path)
@@ -5410,7 +5470,8 @@ object GraftTable {
         val rows = ckptSurvivorsDf(spark, root, ct)
           .filter(col("content") =!= 0 || keepCond)
           .select(col("path"), col("sizeBytes"), col("records"),
-            col("content"), col("partition"), col("specId"), col("eqcols"))
+            col("content"), col("partition"), col("specId"), col("eqcols"),
+            col("firstRowId"))
           .collect()
         val ckDeletes = rows.filter(_.getInt(3) != 0).map { r =>
           FileEntry(r.getString(0), r.getLong(1), r.getLong(2), Map.empty,
@@ -5424,7 +5485,8 @@ object GraftTable {
             .map(_.toMap).filter(_.nonEmpty)
           val spec = Option.when(!r.isNullAt(5))(r.getInt(5))
           FileEntry(r.getString(0), r.getLong(1), r.getLong(2),
-            Map.empty, part, None, None, spec)
+            Map.empty, part, None, None, spec,
+            Option.when(!r.isNullAt(7))(r.getLong(7)))
         }.toSeq
         val tailLive = prunedData(types, specs, preds,
           ct.tailAdds.filter(_.isData), aliases)

@@ -455,6 +455,44 @@ object LakeOps {
     GraftTable.read(s, root).orderBy(col("c_custkey"))
   }
 
+  // ── q96: one-commit MoR upsert lifecycle, oracle-checked ────────────
+  /** Three OVERLAPPING keyed upsert batches (Flink's Iceberg
+    * upsert-writer shape) land one commit each: an equality-delete
+    * file killing prior versions of the batch's keys plus the batch's
+    * data files, under a single snapshot — the strict sequence rule
+    * keeps each batch's own rows alive. The final table holds exactly
+    * the LAST version of every key, which plain SQL derives from the
+    * batch predicates; price bumps are double additions both engines
+    * compute bit-identically. The requires pin the O(batch) contract:
+    * every commit is an 'upsert' carrying BOTH file kinds, and no
+    * standing data file is ever rewritten. */
+  def q96(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("q96")
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .cache()
+    GraftTable.create(s, root, o.schema, Map("write.delete.mode" -> "merge-on-read"))
+    def upsert(pred: org.apache.spark.sql.Column, bump: Double): Long = GraftTable.upsertEqualityMoR(
+      s, root,
+      o.filter(pred).withColumn("o_totalprice", col("o_totalprice") + lit(bump)),
+      Seq("o_orderkey"))
+    val ids = Seq(
+      upsert(col("o_orderkey") % 2 === 0, 0.0),
+      upsert(col("o_orderkey") % 3 === 0, 1.0),
+      upsert(col("o_orderkey") % 5 === 0, 2.0))
+    val files = GraftTable.state(root).files
+    ids.foreach { id =>
+      val adds = files.filter(_.snapshotOfName == id)
+      require(adds.exists(_.isData) && adds.exists(_.content.contains(2)),
+        s"upsert $id must land data AND eq-delete files in one commit")
+    }
+    require(files.count(_.isData) >= 3 &&
+      GraftTable.snapshotsTable(s, root)
+        .filter(col("operation") === "upsert").count() == 3,
+      "three upsert commits, no rewrites")
+    GraftTable.read(s, root).orderBy(col("o_orderkey"))
+  }
+
   // ── q69: runtime (DPP) file pruning through the native scan ─────────
   /** The native DSv2 batch path under the gate: a lake fact table
     * partitioned by identity(o_orderpriority) joined to a tiny dim
@@ -661,6 +699,7 @@ object LakeOps {
     "q82_lake_ndv" -> q82 _,
     "q81_lake_partitions" -> q81 _,
     "q69_lake_dpp" -> q69 _,
+    "q96_lake_upsert" -> q96 _,
     "q67_lake_wap" -> q67 _,
     "q65_lake_spec_evolve" -> q65 _,
     "q66_lake_write_ordered" -> q66 _,
@@ -710,6 +749,15 @@ object LakeOps {
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
+
+    "q96_lake_upsert" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 2.0
+        |       WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q65_lake_spec_evolve" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

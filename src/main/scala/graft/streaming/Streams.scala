@@ -192,6 +192,36 @@ object Streams {
       }
       .start()
 
+  /** The MERGE-free streaming upsert (Flink's Iceberg upsert writer):
+    * each micro-batch lands as ONE merge-on-read commit carrying an
+    * equality-delete file (killing prior versions of the batch's keys
+    * in strictly-earlier snapshots) plus the batch's data files —
+    * O(batch) per trigger, no victim scan, no rewrite, which is what a
+    * high-rate CDC ingestion needs at 100 TB (upsertIntoLake's merge
+    * rewrites every touched file per trigger). Exactly-once across
+    * restarts via the txn (checkpoint id, batchId) pattern: a replayed
+    * batch is a committed-version no-op. Late duplicates WITHIN a
+    * batch collapse to the highest `orderCol` version first. Standing
+    * delete files retire at rewrite_equality_deletes / compaction. */
+  def upsertIntoLakeMoR(stream: DataFrame, root: String, keys: Seq[String],
+      orderCol: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*)
+            .orderBy(col(orderCol).desc)
+          val latest = batch
+            .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+          graft.lake.GraftTable.upsertEqualityMoR(batch.sparkSession, root,
+            latest, keys, txn = Some((s"graft-mor-upsert-$checkpointDir", batchId)))
+        }
+        ()
+      }
+      .start()
+
   /** Incremental materialized aggregate over a lake table, maintained
     * EXACTLY-ONCE from its CDC stream: the view table holds one row
     * per group (`groupCols`, `v_sum`, `n_rows`); each micro-batch of

@@ -1514,6 +1514,61 @@ class LakeV2Spec extends SparkSpec {
     }
   }
 
+  test("one-commit MoR upsert: eq-delete + data files land atomically; strict sequence rule") {
+    import spark.implicits._
+    val root = freshRoot("mor-upsert")
+    val df0 = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("id", "v", "ver")
+    GraftTable.create(spark, root, df0.schema,
+      Map("write.delete.mode" -> "merge-on-read"))
+    GraftTable.append(spark, root, df0)
+
+    // ONE commit: updates keys 1,2 and inserts 4 — its own rows must
+    // survive its own equality delete (the strict sequence rule)
+    val id = GraftTable.upsertEqualityMoR(spark, root,
+      Seq((1L, "a2", 2L), (2L, "b2", 2L), (4L, "d", 2L)).toDF("id", "v", "ver"),
+      Seq("id"))
+    val c = GraftTable.state(root)
+    assert(c.snapshotId == id && c.operation == "upsert")
+    val adds = GraftTable.state(root).files.filter(_.snapshotOfName == id)
+    assert(adds.exists(_.isData) && adds.exists(_.content.contains(2)),
+      s"the upsert commit must carry data AND eq-delete files, got $adds")
+    def rows() = GraftTable.read(spark, root)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(rows() == Seq((1L, "a2", 2L), (2L, "b2", 2L), (3L, "c", 1L), (4L, "d", 2L)))
+
+    // a SECOND upsert of the same key supersedes the first's row
+    // (snapshot id+1 > id: the new delete reaches the old upsert file)
+    GraftTable.upsertEqualityMoR(spark, root,
+      Seq((1L, "a3", 3L)).toDF("id", "v", "ver"), Seq("id"))
+    assert(rows() == Seq((1L, "a3", 3L), (2L, "b2", 2L), (3L, "c", 1L), (4L, "d", 2L)))
+
+    // CDC: the first upsert is ONE boundary of per-key delete+insert
+    val ch = GraftTable.changes(spark, root, id - 1, id)
+      .select(col("id"), col("v"), col("_change_type"))
+      .as[(Long, String, String)].collect().toSeq.sorted
+    assert(ch == Seq((1L, "a", "delete"), (1L, "a2", "insert"),
+      (2L, "b", "delete"), (2L, "b2", "insert"), (4L, "d", "insert")), s"got $ch")
+
+    // duplicate in-batch keys refuse; txn replay is a no-op
+    intercept[IllegalArgumentException] {
+      GraftTable.upsertEqualityMoR(spark, root,
+        Seq((7L, "x", 1L), (7L, "y", 2L)).toDF("id", "v", "ver"), Seq("id"))
+    }
+    val head = GraftTable.latestSnapshotId(root)
+    GraftTable.upsertEqualityMoR(spark, root,
+      Seq((9L, "z", 1L)).toDF("id", "v", "ver"), Seq("id"),
+      txn = Some(("app1", 5L)))
+    assert(GraftTable.upsertEqualityMoR(spark, root,
+      Seq((9L, "zz", 2L)).toDF("id", "v", "ver"), Seq("id"),
+      txn = Some(("app1", 5L))) == head + 1, "replayed txn version must no-op")
+    assert(rows().contains((9L, "z", 1L)) && !rows().exists(_._2 == "zz"))
+
+    // rewrite_equality_deletes folds the standing deletes away
+    GraftTable.rewriteEqualityDeletes(spark, root)
+    assert(GraftTable.state(root).files.forall(f => !f.content.contains(2)))
+    assert(rows().size == 5)
+  }
+
   test("partition-aligned DELETE is metadata-only: files drop by reference, nothing is read") {
     import spark.implicits._
     val root = freshRoot("meta-delete")

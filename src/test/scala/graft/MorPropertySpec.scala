@@ -127,8 +127,20 @@ class MorPropertySpec extends SparkSpec {
       for (_ <- 0 until opsPer) {
         val prevSnap = GraftTable.latestSnapshotId(root)
         val prevOracle = oracle
-        rnd.nextInt(11) match {
+        rnd.nextInt(12) match {
           case 0 | 1 => append()
+          case 11 =>  // one-commit MoR upsert (eq-delete + data files
+                      // under ONE snapshot — the strict sequence rule
+                      // keeps the batch's own rows alive while killing
+                      // every prior version of its keys)
+            val rows = (0 until 2 + rnd.nextInt(6)).map(_ =>
+                (rnd.nextInt(44).toLong, rnd.nextInt(5).toLong,
+                  rnd.alphanumeric.take(4).mkString))
+              .distinctBy(_._1)
+            val df = if (widened) rows.toDF("id", "grp", vName)
+              else rows.map(r => (r._1, r._2.toInt, r._3)).toDF("id", "grp", vName)
+            GraftTable.upsertEqualityMoR(spark, root, df, Seq("id"))
+            oracle = oracle.filterNot(r => rows.exists(_._1 == r._1)) ++ rows
           case 2 =>   // position delete by group predicate
             val g = rnd.nextInt(5).toLong
             GraftTable.deleteWhere(spark, root, col("grp") === g)

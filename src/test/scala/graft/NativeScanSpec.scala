@@ -394,6 +394,50 @@ class NativeScanSpec extends SparkSpec {
     assert(rNative._1 == expectN, s"count ${rNative._1} != oracle $expectN")
   }
 
+  test("_row_id serves through the native scan: base, materialized, null, MoR-composed") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE graft.nsc.rid (id BIGINT, v STRING)
+      |TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+      | 'write.wap.enabled'='true')""".stripMargin)
+    val root = s"$wh/nsc/rid"
+    spark.sql("INSERT INTO graft.nsc.rid SELECT id, concat('v', id) FROM range(100)")
+    val q = spark.sql("SELECT _row_id, id FROM graft.nsc.rid")
+    assert(nativeScanOf(q).isDefined, "lineage reads must plan native now")
+    val base = q.collect().map(r => (r.getLong(1), r.getLong(0))).toMap
+    assert(base.size == 100 && base.values.toSet.size == 100)
+
+    // MoR delete composes with lineage: survivors keep their ids
+    GraftTable.deleteWhereMoR(spark, root, col("id") % 10 === 3)
+    val q2 = spark.sql("SELECT _row_id, id FROM graft.nsc.rid")
+    assert(nativeScanOf(q2).exists(_.morDeleteCount > 0))
+    val after = q2.collect().map(r => (r.getLong(1), r.getLong(0))).toMap
+    assert(after.size == 90 && after.forall { case (id, rid) => base(id) == rid })
+
+    // compaction MATERIALIZES ids; still native, identity preserved
+    GraftTable.rewriteDataFiles(spark, root)
+    val q3 = spark.sql("SELECT _row_id, id FROM graft.nsc.rid")
+    assert(nativeScanOf(q3).isDefined)
+    val rw = q3.collect().map(r => (r.getLong(1), r.getLong(0))).toMap
+    assert(rw == after, "identity must survive compaction through the native plane")
+
+    // staged (pre-publish) rows audit-read with NULL _row_id
+    val stagedId = GraftTable.appendStaged(spark, root,
+      Seq((500L, "s")).toDF("id", "v"), "rid_wap")
+    val audit = spark.sql(s"SELECT _row_id, id FROM graft.nsc.rid VERSION AS OF $stagedId")
+    assert(nativeScanOf(audit).isDefined)
+    val srows = audit.collect().filter(_.getLong(1) == 500L)
+    assert(srows.length == 1 && srows.head.isNullAt(0),
+      "staged rows have no lineage id until publish")
+
+    // V1 parity on the composed state
+    spark.conf.set("spark.graft.native-scan.enabled", "false")
+    try {
+      val v1 = spark.sql("SELECT _row_id, id FROM graft.nsc.rid")
+      assert(nativeScanOf(v1).isEmpty)
+      assert(v1.collect().map(r => (r.getLong(1), r.getLong(0))).toMap == rw)
+    } finally spark.conf.unset("spark.graft.native-scan.enabled")
+  }
+
   test("native LIMIT pushdown reads a file subset; aggregates still answered from metadata") {
     // 3 insert commits = 3 files; LIMIT 2 needs only the first file
     spark.sql("CREATE TABLE graft.nsc.lim (id BIGINT)")

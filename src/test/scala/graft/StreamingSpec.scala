@@ -526,6 +526,43 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset(GraftMvRewrite.viewsKey)
   }
 
+  test("MoR streaming upsert: one eq-delete+append commit per micro-batch, no rewrite") {
+    import spark.implicits._
+    import graft.lake.GraftTable
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-mor-upsert")
+    val root = base.resolve("t").toString
+    val df0 = Seq((1L, "a", 0L)).toDF("id", "v", "seq")
+    GraftTable.create(spark, root, df0.schema,
+      Map("write.delete.mode" -> "merge-on-read"))
+    GraftTable.append(spark, root, df0)
+    val baseFile = GraftTable.state(root).files.filter(_.isData).map(_.path).toSet
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val q = Streams.upsertIntoLakeMoR(input.toDS().toDF("id", "v", "seq"),
+      root, Seq("id"), "seq", base.resolve("ckpt").toString)
+    try {
+      def table() = GraftTable.read(spark, root)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+      // in-batch duplicates collapse to the highest seq before landing
+      input.addData((1L, "b", 1L), (1L, "c", 2L), (2L, "x", 1L))
+      q.processAllAvailable()
+      assert(table() == Seq((1L, "c", 2L), (2L, "x", 1L)))
+      input.addData((2L, "y", 2L), (3L, "z", 1L))
+      q.processAllAvailable()
+      assert(table() == Seq((1L, "c", 2L), (2L, "y", 2L), (3L, "z", 1L)))
+      // one UPSERT snapshot per non-empty micro-batch, each O(batch):
+      // eq-delete + data files only — the pre-existing base data file
+      // is NEVER rewritten (merge would rewrite it every trigger)
+      assert(GraftTable.snapshotsTable(spark, root)
+        .filter(col("operation") === "upsert").count() == 2L)
+      assert(GraftTable.state(root).files.map(_.path).toSet
+        .intersect(baseFile) == baseFile,
+        "the MoR upsert sink must never rewrite standing data files")
+      assert(GraftTable.state(root).files.count(_.content.contains(2)) == 2)
+    } finally q.stop()
+  }
+
   test("streaming upsert into the lake: one merge per micro-batch, last writer wins") {
     import spark.implicits._
     import graft.lake.GraftTable
