@@ -75,12 +75,12 @@ private[lake] object GraftCdcStreamProvider {
       .add("_commit_timestamp_ms", LongType)
   }
 
-  /** Latest published (non-staged) snapshot id — a staged WAP head
-    * must not become an offset bound that later re-serves its rows
-    * out of order once published. */
+  /** Latest published (on-main) snapshot id — a staged WAP or branch
+    * head must not become an offset bound that later re-serves its
+    * rows out of order once published. */
   def mainHead(root: String): Long =
     GraftTable.listCommitIds(root)
-      .filterNot(id => GraftTable.isStagedId(root, id)).max
+      .filterNot(id => GraftTable.isOffMainId(root, id)).max
 
   /** First-start head resolution, durably pinned under the stream's
     * metadataPath. Write is tmp-file + rename; if a concurrent or

@@ -527,6 +527,20 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
       case "rollback_to_snapshot" =>
         val id = GraftTable.rollbackToSnapshot(root, required("snapshot_id", "arg1").toLong)
         Seq(Row(s"snapshot_id=$id"))
+      case "create_branch" =>
+        // default base = the MAIN head (the same rule as create_tag:
+        // off-main snapshots are not forkable lineage)
+        val id = GraftTable.createBranch(root, required("branch", "arg1"),
+          arg("snapshot_id", "arg2").map(_.toLong))
+        Seq(Row(s"snapshot_id=$id"))
+      case "drop_branch" =>
+        Seq(Row(s"snapshot_id=${GraftTable.dropBranch(root, required("branch", "arg1"))}"))
+      case "fast_forward" =>
+        // Iceberg's fast_forward(table, 'main', branch): publish the
+        // branch onto main in ONE by-reference commit; refuses when
+        // main diverged past the branch base
+        Seq(Row(s"snapshot_id=${GraftTable.fastForward(root,
+          required("branch", "arg1"))}"))
       case "create_tag" =>
         // default = the MAIN head (a pending staged commit at the raw
         // log head is not taggable lineage)
@@ -546,8 +560,10 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
           GraftTable.tags(root).getOrElse(s, throw new IllegalArgumentException(
             s"'$s' is neither a snapshot id nor a tag on $root")))
         val from = snapOf(required("from_snapshot", "arg1"))
+        // default end = the MAIN head: a pending staged or branch
+        // commit at the raw log head is not a published offset
         val to = arg("to_snapshot", "arg2").map(snapOf)
-          .getOrElse(GraftTable.latestSnapshotId(root))
+          .getOrElse(GraftTable.state(root).snapshotId)
         val view = arg("view", "arg3").getOrElse("graft_changes")
         GraftTable.changes(spark, root, from, to).createOrReplaceTempView(view)
         Seq(Row(s"view=$view"))
@@ -558,7 +574,8 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
             "expire_snapshots, remove_orphan_files, rollback_to_snapshot, " +
             "create_tag, drop_tag, create_changes_view, cherrypick_snapshot, " +
             "cherrypick_wap, abandon_staged_snapshot, copy_into, " +
-            "compute_table_stats, add_files)")
+            "compute_table_stats, add_files, create_branch, drop_branch, " +
+            "fast_forward)")
     }
   }
 }

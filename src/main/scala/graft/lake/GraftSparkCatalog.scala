@@ -166,6 +166,16 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       val baseRoot = Paths.get(warehouse, ident.namespace: _*).toString
       if (!isTable(baseRoot)) throw new NoSuchTableException(ident)
       new GraftMetadataTable(fqn(ident), baseRoot, ident.name)
+    } else if (ident.namespace.length >= 1 && ident.name.startsWith("branch_")) {
+      // Iceberg's branch identifier: graft.lab.t.branch_dev reads the
+      // branch's head and WRITES to the branch (INSERT INTO / DELETE)
+      val baseRoot = Paths.get(warehouse, ident.namespace: _*).toString
+      if (!isTable(baseRoot)) throw new NoSuchTableException(ident)
+      val b = ident.name.stripPrefix("branch_")
+      if (!GraftTable.branches(baseRoot).contains(b))
+        throw new NoSuchTableException(ident)
+      new GraftSparkTable(fqn(ident), baseRoot,
+        Some(GraftTable.branchHeadId(baseRoot, b)), branch = Some(b))
     } else throw new NoSuchTableException(ident)
   }
 
@@ -181,9 +191,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val snapshotId = version.toLongOption
       .filter(GraftTable.listCommitIds(root).contains)
       .orElse(GraftTable.tags(root).get(version))
+      .orElse(GraftTable.branches(root).get(version)
+        .map(_ => GraftTable.branchHeadId(root, version)))
       .getOrElse(throw new IllegalArgumentException(
-        s"VERSION AS OF '$version': not a snapshot id or tag of ${fqn(ident)} " +
-          s"(tags: ${GraftTable.tags(root).keys.mkString(", ")})"))
+        s"VERSION AS OF '$version': not a snapshot id, tag, or branch of ${fqn(ident)} " +
+          s"(tags: ${GraftTable.tags(root).keys.mkString(", ")}; " +
+          s"branches: ${GraftTable.branches(root).keys.mkString(", ")})"))
     new GraftSparkTable(fqn(ident), root, Some(snapshotId))
   }
 
@@ -576,7 +589,8 @@ private[lake] class GraftStagedTable(fqName: String, stagingRoot: String,
   * and TRUNCATE TABLE route through SupportsDelete onto
   * GraftTable.deleteWhere, honoring write.delete.mode (CoW rewrite or
   * a merge-on-read position-delete file). */
-private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[Long])
+private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[Long],
+    branch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
@@ -603,6 +617,12 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val cond = filters.flatMap(GraftRelation.toCondition)
       .reduceOption(_ && _).getOrElse(lit(true))
+    // a branch identifier deletes ON THE BRANCH (CoW against branch
+    // state; main keeps serving every row it owns)
+    if (branch.isDefined) {
+      GraftTable.deleteWhereOnBranch(spark, root, cond, branch.get)
+      return
+    }
     // an active wap id stages the delete (CoW): main serves the rows
     // until cherrypick — never a silent bypass of the WAP contract
     GraftTable.activeWapId(spark, root) match {
@@ -955,7 +975,12 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
             // stages the write ONLY when the table opted in — and
             // then it stages EVERY write shape, never a silent bypass
             val wapId = GraftTable.activeWapId(data.sparkSession, root)
-            overwriteFilters match {
+            if (branch.isDefined) {
+              require(overwriteFilters.isEmpty,
+                s"INSERT OVERWRITE into a branch identifier is unsupported — " +
+                  s"DELETE FROM $fqName WHERE ... then INSERT INTO it")
+              GraftTable.appendToBranch(data.sparkSession, root, data, branch.get)
+            } else overwriteFilters match {
               case Some(fs) =>
                 val cond = fs.flatMap(GraftRelation.toCondition)
                   .reduceOption(_ && _).getOrElse(lit(true))

@@ -580,36 +580,59 @@ object GraftTable {
   private val stateCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long, Long), Snapshot]()
 
-  /** Is the commit at `id` a staged (WAP) snapshot? Memoized by the
-    * commit file's identity (size + nanosecond mtime, the stateCache
-    * discipline) — every default-target state() asks this about the
-    * head, and re-parsing the head JSON per call would tax exactly
-    * the commit-heavy lifecycles that are cheapest today. */
-  private val stagedMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), java.lang.Boolean]()
+  /** A commit's off-main classification: (staged WAP?, branch-commit
+    * (name, base-at-write)?). At most one is set — a commit is on
+    * exactly one lineage. Memoized by the commit file's identity
+    * (size + nanosecond mtime, the stateCache discipline) — every
+    * default-target state() asks this about the head, and re-parsing
+    * the head JSON per call would tax exactly the commit-heavy
+    * lifecycles that are cheapest today. */
+  private val kindMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, Long), (java.lang.Boolean, Option[(String, Long)])]()
 
-  private[lake] def isStagedId(root: String, id: Long): Boolean = {
+  private def commitKind(root: String, id: Long): (Boolean, Option[(String, Long)]) = {
     val p = commitPath(root, id)
     val key = (root, id, Files.size(p),
       Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS))
-    if (stagedMemo.size > 4096) stagedMemo.clear()   // bounded
-    stagedMemo.computeIfAbsent(key,
-      _ => Boolean.box(isStaged(parseCommit(Files.readString(p)))))
+    if (kindMemo.size > 4096) kindMemo.clear()   // bounded
+    val (s, b) = kindMemo.computeIfAbsent(key, { _ =>
+      val c = parseCommit(Files.readString(p))
+      (Boolean.box(isStaged(c)), branchInfo(c))
+    })
+    (s.booleanValue(), b)
   }
 
-  /** The main lineage's head: the newest commit that is not staged.
-    * Commit 0 (create) can never be staged, so the walk terminates. */
+  private[lake] def isStagedId(root: String, id: Long): Boolean =
+    commitKind(root, id)._1
+
+  /** (branch name, branch base) of the commit at `id`, when it is a
+    * branch-lineage commit. */
+  private[lake] def branchInfoOfId(root: String, id: Long): Option[(String, Long)] =
+    commitKind(root, id)._2
+
+  /** Off the main lineage: a staged (WAP) or branch commit. */
+  private[lake] def isOffMainId(root: String, id: Long): Boolean = {
+    val (s, b) = commitKind(root, id); s || b.isDefined
+  }
+
+  /** The main lineage's head: the newest commit that is neither staged
+    * nor a branch write. Commit 0 (create) can never be off-main, so
+    * the walk terminates. */
   private def mainHeadId(root: String, ids: Seq[Long]): Long = {
     val sorted = ids.sorted
     var i = sorted.length - 1
-    while (i > 0 && isStagedId(root, sorted(i))) i -= 1
+    while (i > 0 && isOffMainId(root, sorted(i))) i -= 1
     sorted(i)
   }
 
   /** Replay the log (from the newest checkpoint ≤ asOf) to the state
     * at snapshot `asOf` (default: the main-lineage head — the newest
-    * NON-staged commit; a pending WAP snapshot is invisible here and
-    * readable only by its explicit id). */
+    * commit that is neither staged nor a branch write; a pending WAP
+    * snapshot is invisible here and readable only by its explicit id).
+    * A BRANCH-commit target resolves its whole branch lineage (main up
+    * to the branch's base, then that branch's commits) — so time
+    * travel to any branch snapshot serves the branch's state, not an
+    * audit single-fold. */
   def state(root: String, asOf: Option[Long] = None): Snapshot = {
     val ids = listCommitIds(root)
     require(ids.nonEmpty, s"not a GraftTable (empty log): $root")
@@ -650,8 +673,36 @@ object GraftTable {
         if (s.nulls == 0L) s.copy(nulls = -1L) else s).toMap))
   }
 
+  /** The lineage a replay target selects, as an include-rule over
+    * commits — THE one definition shared by replayState and the
+    * checkpoint-tail replay so the two planes can never diverge:
+    *  - main target (or staged audit target): on-main commits, plus
+    *    the target itself when it is a staged (WAP) audit read;
+    *  - branch target: on-main commits up to the branch's BASE (read
+    *    off the target commit itself — historically stable across
+    *    fast-forwards), then commits of the same branch EPOCH (same
+    *    name AND same base: a fast-forward advances the base, so
+    *    pre-publish branch commits belong to the retired epoch and a
+    *    drop-and-recreate never resurrects a namesake's commits). */
+  private[lake] case class Lineage(target: Long, branch: Option[(String, Long)]) {
+    /** Newest checkpoint id usable as the replay seed: checkpoints
+      * summarize MAIN lineage, so a branch replay may only seed from
+      * one at or before the branch's base. */
+    def ckptCeiling: Long = branch.map(_._2).getOrElse(target)
+    def includes(c: Commit): Boolean = branch match {
+      case None => !isStaged(c) && branchInfo(c).isEmpty || c.snapshotId == target
+      case Some((name, base)) =>
+        (c.snapshotId <= base && !isStaged(c) && branchInfo(c).isEmpty) ||
+          (branchInfo(c).contains((name, base)) && c.snapshotId <= target)
+    }
+  }
+
+  private[lake] def lineageOf(root: String, target: Long): Lineage =
+    Lineage(target, branchInfoOfId(root, target))
+
   private def replayState(root: String, ids: Seq[Long], target: Long): Snapshot = {
-    val ckpt = seedCheckpointIds(root).filter(_ <= target).sorted.lastOption
+    val lin = lineageOf(root, target)
+    val ckpt = seedCheckpointIds(root).filter(_ <= lin.ckptCeiling).sorted.lastOption
     var files = Map.empty[String, FileEntry]
     var props = Map.empty[String, String]
     var schema: Option[String] = None
@@ -665,10 +716,11 @@ object GraftTable {
     val from = ckpt.map(_ + 1).getOrElse(ids.min)
     ids.filter(id => id >= from && id <= target).foreach { id =>
       val c = parseCommit(Files.readString(commitPath(root, id)))
-      // a STAGED (WAP) commit is in the log but not in the main
-      // lineage: its effects apply only when it is itself the replay
-      // target (the audit read); every other replay folds past it
-      if (!isStaged(c) || id == target) {
+      // an OFF-MAIN (staged WAP or branch) commit is in the log but
+      // not in the main lineage: a staged commit's effects apply only
+      // when it is itself the replay target (the audit read); a
+      // branch commit's apply only under its branch's lineage rule
+      if (lin.includes(c)) {
         files = files -- c.removes
         files = files ++ versionedAdds(c).map(f => f.path -> f)
         // a REPLACE commit carries the table's COMPLETE new config —
@@ -1017,20 +1069,38 @@ object GraftTable {
     * rollback re-adds pre-existing files and must not delete them. */
   private def commitOrCleanup(root: String, id: Long, c0: Commit): Unit = {
     val c =
-      if (isStaged(c0)) c0
+      if (isStaged(c0) || branchInfo(c0).isDefined) c0   // off-main: ids assigned at publish
       else stampRowLineage(c0, state(root, c0.parentId).properties)
-    try writeAtomic(commitPath(root, id), toJson(c))
-    catch { case e: IllegalStateException =>
-      c.adds.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
-      // data writes commit at main-head+1; if THAT slot is held by a
-      // pending staged (WAP) snapshot, the generic concurrent-commit
-      // error would send the user hunting a race that isn't there
-      val staged = scala.util.Try(isStagedId(root, id)).getOrElse(false)
-      if (staged) throw new IllegalStateException(
-        s"snapshot $id is a pending staged (WAP) commit: publish it with " +
-          "CALL graft_system.cherrypick_snapshot or retire it with " +
-          "abandon_staged_snapshot before writing to main", e)
-      throw e
+    var slot = id
+    while (true) {
+      try { writeAtomic(commitPath(root, slot), toJson(c.copy(snapshotId = slot))); return }
+      catch { case e: IllegalStateException =>
+        // Slot occupied. Commits on a DIFFERENT lineage than this one
+        // (a branch commit under a main write, a main or other-branch
+        // commit under a branch write) change nothing this write
+        // planned against — SLIDE to the next slot, keeping parentId
+        // (= the planning base; parent chains are already
+        // non-contiguous, see cherrypick). Same-lineage occupants are
+        // real snapshot-isolation conflicts and stay loud; a pending
+        // staged (WAP) snapshot keeps blocking MAIN writes by the WAP
+        // discipline (publish or abandon first), but never blocks
+        // branch writes.
+        val occStaged = scala.util.Try(isStagedId(root, slot)).getOrElse(false)
+        val occBranch = scala.util.Try(branchInfoOfId(root, slot)).getOrElse(None)
+        val mine = branchInfo(c)
+        val slide = !isStaged(c) && (
+          if (occStaged) mine.isDefined   // stage blocks MAIN writes, never a branch
+          else occBranch != mine)         // any cross-lineage occupant: no shared state
+        if (slide) { slot += 1 }
+        else {
+          c.adds.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
+          if (occStaged) throw new IllegalStateException(
+            s"snapshot $slot is a pending staged (WAP) commit: publish it with " +
+              "CALL graft_system.cherrypick_snapshot or retire it with " +
+              "abandon_staged_snapshot before writing to main", e)
+          throw e
+        }
+      }
     }
   }
 
@@ -3416,16 +3486,17 @@ object GraftTable {
     def tailAdds: Seq[FileEntry] = delta.values.flatten.toSeq
   }
 
-  private def ckptTail(root: String, target: Long): Option[CkptTail] =
-    listCkptFilesIds(root).filter(k => k <= target &&
+  private def ckptTail(root: String, target: Long): Option[CkptTail] = {
+    val lin = lineageOf(root, target)
+    listCkptFilesIds(root).filter(k => k <= lin.ckptCeiling &&
       Files.exists(logDir(root).resolve(s"ckptmeta-$k.json"))).sorted.lastOption
       .map { k =>
         val meta = parseCommit(Files.readString(logDir(root).resolve(s"ckptmeta-$k.json")))
-        // staged (WAP) commits fold past the tail exactly as replay
-        // does — unless the target IS the staged id (the audit read)
+        // off-main (staged WAP / branch) commits fold past the tail
+        // exactly as replay does — the shared Lineage rule decides
         val tail = listCommitIds(root).filter(id => id > k && id <= target)
           .map(id => parseCommit(Files.readString(commitPath(root, id))))
-          .filter(c => !isStaged(c) || c.snapshotId == target)
+          .filter(lin.includes)
         val delta = scala.collection.mutable.LinkedHashMap.empty[String, Option[FileEntry]]
         tail.foreach { c =>
           c.removes.foreach(p => delta(p) = None)
@@ -3440,6 +3511,7 @@ object GraftTable {
         }
         CkptTail(k, meta, tail, delta, props, schemaJ)
       }
+  }
 
   /** The checkpoint's parquet as a DataFrame with its stats encoding
     * normalized to CURRENT: a pre-stamp list carries clamped-to-0 null
@@ -3490,7 +3562,7 @@ object GraftTable {
       asOf: Option[Long]): Option[CkptPlanner] = {
     val ids = listCommitIds(root)
     require(ids.nonEmpty, s"not a GraftTable (empty log): $root")
-    val target = asOf.getOrElse(ids.max)
+    val target = asOf.getOrElse(mainHeadId(root, ids))
     require(ids.contains(target),   // same loud contract as state()
       s"snapshot $target not in log (expired or never existed); have ${ids.min}..${ids.max}")
     val ctOpt = ckptTail(root, target).filterNot(_.belowThreshold)
@@ -3820,14 +3892,16 @@ object GraftTable {
   def readIncremental(spark: SparkSession, root: String, fromExclusive: Long,
       toInclusive: Long): DataFrame = {
     val (schema, allCommits) = commitRange(root, fromExclusive, toInclusive)
-    // staged (WAP) commits are not on the main lineage: nothing was
-    // appended until a cherrypick publishes them (which IS an append)
-    val commits = allCommits.filterNot(isStaged)
-    // a cherrypick with removes published a row-level rewrite — that
-    // range is not append-only
+    // off-main (staged WAP / branch) commits are not on the main
+    // lineage: nothing was appended until a cherrypick or
+    // fast_forward publishes them (which IS an append)
+    val commits = allCommits.filterNot(isOffMain)
+    // a cherrypick/fast_forward with removes published a row-level
+    // rewrite — that range is not append-only
     val bad = commits.filterNot(c =>
       c.operation == "append" ||
-        (c.operation == "cherrypick" && c.removes.isEmpty) ||
+        ((c.operation == "cherrypick" || c.operation == "fast_forward") &&
+          c.removes.isEmpty) ||
         maintenanceOps(c.operation))
     // don't advertise changes() for a range it refuses too: a replace
     // boundary is uncrossable by either API — say so directly
@@ -3839,7 +3913,8 @@ object GraftTable {
       s"readIncremental covers append-only ranges; snapshot(s) " +
         s"${bad.map(c => s"${c.snapshotId}=${c.operation}").mkString(", ")} change rows — use changes()")
     val added = commits
-      .filter(c => c.operation == "append" || c.operation == "cherrypick")
+      .filter(c => c.operation == "append" || c.operation == "cherrypick" ||
+        c.operation == "fast_forward")
       .flatMap(_.adds).filter(_.isData)
     readFiles(spark, root, schema, added, Seq.empty)
   }
@@ -3865,9 +3940,10 @@ object GraftTable {
   def changes(spark: SparkSession, root: String, fromExclusive: Long,
       toInclusive: Long): DataFrame = {
     val (endSchema, allCommits) = commitRange(root, fromExclusive, toInclusive)
-    // staged (WAP) commits change no live rows; their rows enter the
-    // feed at the cherrypick that publishes them
-    val commits = allCommits.filterNot(isStaged)
+    // off-main (staged WAP / branch) commits change no live rows;
+    // their rows enter the feed at the cherrypick or fast_forward
+    // that publishes them
+    val commits = allCommits.filterNot(isOffMain)
     // a REPLACE restarts the schema lineage: the old generation's rows
     // cannot be represented under the end schema (columns need not
     // correspond at all), so a range crossing one fails loudly rather
@@ -3905,7 +3981,7 @@ object GraftTable {
     listCommitIds(root)
       .filter(id => id > fromExclusive && id <= toInclusive).sorted
       .map(id => parseCommit(Files.readString(commitPath(root, id))))
-      .filterNot(isStaged)
+      .filterNot(isOffMain)
       .map(c => c.snapshotId -> (
         if (maintenanceOps(c.operation)) 0L
         else c.adds.filter(_.content.forall(_ == 0)).map(_.records).sum))
@@ -4028,7 +4104,9 @@ object GraftTable {
     // CHERRYPICK's snapshot, the moment they became live; one that
     // carries removes published a row-level rewrite and takes the
     // generic before-vs-after diff below like any overwrite
-    if (c.operation == "append" || (c.operation == "cherrypick" && c.removes.isEmpty))
+    if (c.operation == "append" ||
+        ((c.operation == "cherrypick" || c.operation == "fast_forward") &&
+          c.removes.isEmpty))
       return Some(readFiles(spark, root, endSchema, c.adds.filter(_.isData), Seq.empty)
         .withColumn("_change_type", lit("insert")))
     val prev = state(root, Some(c.parentId.getOrElse(c.snapshotId - 1)))
@@ -4242,7 +4320,7 @@ object GraftTable {
     // file list IS that parquet — the metadata table scales like the
     // data (no driver materialization of millions of entries)
     val ids = listCommitIds(root)
-    val target = asOf.getOrElse(if (ids.nonEmpty) ids.max else -1L)
+    val target = asOf.getOrElse(if (ids.nonEmpty) mainHeadId(root, ids) else -1L)
     if (listCkptFilesIds(root).contains(target)) {
       val raw = spark.read.parquet(logDir(root).resolve(s"ckptfiles-$target.parquet").toString)
       val sid =   // pre-evolution checkpoints have no specId column
@@ -4269,7 +4347,7 @@ object GraftTable {
   def partitionsTable(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val ids = listCommitIds(root)
-    val target = asOf.getOrElse(if (ids.nonEmpty) ids.max else -1L)
+    val target = asOf.getOrElse(if (ids.nonEmpty) mainHeadId(root, ids) else -1L)
     if (listCkptFilesIds(root).contains(target))
       spark.read.parquet(logDir(root).resolve(s"ckptfiles-$target.parquet").toString)
         .filter(col("content") === 0)
@@ -4330,15 +4408,16 @@ object GraftTable {
     rows.toDF("path", "kind", "size_in_bytes")
   }
 
-  /** `.refs` metadata view: named references → snapshot ids. GraftTable
-    * has a single writable branch (`main`, the latest snapshot); the
-    * schema matches the Iceberg sibling so a branching implementation
-    * would only add rows. */
+  /** `.refs` metadata view: named references → snapshot ids — `main`,
+    * every live branch (at its HEAD, the Iceberg refs semantics), and
+    * every tag. */
   def refsTable(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     // main = the main-lineage head, which a pending staged (WAP)
-    // commit at the raw log head does not advance
+    // commit or a branch write at the raw log head does not advance
     (Seq(("main", "BRANCH", state(root).snapshotId)) ++
+      branches(root).keys.toSeq.sorted.map(n =>
+        (n, "BRANCH", branchHeadId(root, n))) ++
       tags(root).toSeq.sortBy(_._1).map { case (n, id) => (n, "TAG", id) })
       .toDF("name", "type", "snapshot_id")
   }
@@ -4382,6 +4461,205 @@ object GraftTable {
     val t = tags(root)
     require(t.contains(name), s"no such tag: '$name' (have ${t.keys.mkString(", ")})")
     read(spark, root, Some(t(name)))
+  }
+
+  // ── branches (mutable named refs — the Nessie/Iceberg-branch
+  //    workflow on the linear log) ──────────────────────────────────────
+  // A branch is a named off-main lineage: its REF (`graft.ref.branch.
+  // <name>` → base snapshot id) rides the table-properties machinery
+  // like tags, and its WRITES are commits that carry the branch name +
+  // base on their COMMIT properties — in the log (durable, orphan-safe,
+  // expire-aware) but skipped by every main-lineage replay, the same
+  // discipline as staged WAP snapshots. Branch state replays main up
+  // to the base, then the branch's own commits; because each branch
+  // commit records the base it was written under, historical branch
+  // snapshots stay time-travelable even after a fast-forward advances
+  // the ref (the base-epoch rule in Lineage). Publishing is Iceberg's
+  // fast_forward: ONE main commit applying the branch's net file
+  // changes by reference — no data copied, CDC sees one boundary —
+  // allowed exactly when main has not moved past the base (the
+  // ancestor precondition); diverged branches refuse, like Iceberg.
+  // Branch writes never block main and main never blocks a branch:
+  // cross-lineage commit-slot collisions slide (commitOrCleanup).
+  //
+  // Same caveat as WAP: branch data files land in data/, beneath
+  // readStreamAppendOnly's directory-stream visibility — don't write
+  // branches into a table consumed by the directory stream.
+
+  private[lake] val branchNameProp = "graft.branch.name"
+  private[lake] val branchBaseProp = "graft.branch.base"
+  private def branchRefKey(name: String) = s"graft.ref.branch.$name"
+
+  /** (name, base) when `c` is a branch-lineage commit. */
+  private def branchInfo(c: Commit): Option[(String, Long)] =
+    for {
+      n <- c.properties.get(branchNameProp).filter(_.nonEmpty)
+      b <- c.properties.get(branchBaseProp).flatMap(_.toLongOption)
+    } yield (n, b)
+
+  /** Off the main lineage: staged (WAP) or branch commit. */
+  private def isOffMain(c: Commit): Boolean =
+    isStaged(c) || branchInfo(c).isDefined
+
+  /** Live branches: name → CURRENT base snapshot id (the ref value;
+    * advanced by fast_forward). Malformed hand-set values are
+    * tolerated exactly like tags(). */
+  def branches(root: String): Map[String, Long] =
+    state(root).properties.iterator.flatMap { case (k, v) =>
+      if (k.startsWith("graft.ref.branch.") && v.nonEmpty)
+        v.toLongOption.map(k.stripPrefix("graft.ref.branch.") -> _)
+      else None
+    }.toMap
+
+  /** Create branch `name` at `snapshotId` (default: current main
+    * head). The ref commit is a plain set_properties — it replays,
+    * checkpoints, and CDC-skips like any metadata change. */
+  def createBranch(root: String, name: String,
+      snapshotId: Option[Long] = None): Long = {
+    require(name.trim.nonEmpty && !name.contains('.') && !name.contains('/'),
+      s"invalid branch name '$name'")
+    val base = snapshotId.getOrElse(state(root).snapshotId)
+    require(listCommitIds(root).contains(base),
+      s"cannot branch from snapshot $base: not in log")
+    require(!isOffMainId(root, base),
+      s"cannot branch from off-main snapshot $base: branches fork the MAIN " +
+        "lineage (publish or fast-forward first)")
+    require(!branches(root).contains(name), s"branch '$name' already exists")
+    require(!tags(root).contains(name),
+      s"a tag named '$name' already exists — refs share one namespace")
+    setProperties(root, Map(branchRefKey(name) -> base.toString))
+  }
+
+  /** Drop a branch ref. Its commits stay in the log (skipped by every
+    * replay) until expire_snapshots ages them out — the abandoned-WAP
+    * reclamation story. */
+  def dropBranch(root: String, name: String): Long = {
+    val key = branchRefKey(name)
+    require(state(root).properties.get(key).exists(_.nonEmpty),
+      s"no such branch: '$name'")
+    setProperties(root, Map(key -> ""))
+  }
+
+  /** The branch's head snapshot id: its newest commit in the current
+    * base epoch, or the base itself when nothing was written since
+    * creation / the last fast-forward (Iceberg: a fresh branch points
+    * at the snapshot it forked from). */
+  def branchHeadId(root: String, name: String): Long = {
+    val bs = branches(root)
+    require(bs.contains(name),
+      s"no such branch: '$name' (have ${bs.keys.mkString(", ")})")
+    val base = bs(name)
+    listCommitIds(root)
+      .filter(id => id > base && branchInfoOfId(root, id).contains((name, base)))
+      .sorted.lastOption.getOrElse(base)
+  }
+
+  /** Read the branch's current state (time travel to its head). */
+  def readBranch(spark: SparkSession, root: String, name: String): DataFrame =
+    read(spark, root, Some(branchHeadId(root, name)))
+
+  /** Append rows to a branch. Plans against BRANCH state; the commit
+    * stacks at the raw log head and is invisible to main. Schema is
+    * table-level (Iceberg): branch writes conform to the branch's
+    * schema and never evolve it. */
+  def appendToBranch(spark: SparkSession, root: String, df: DataFrame,
+      name: String): Long = {
+    val head = branchHeadId(root, name)
+    val base = branches(root)(name)
+    val snap = conformAppendSchema(root, df, state(root, Some(head)),
+      allowEvolution = false)
+    val id = math.max(snap.snapshotId, listCommitIds(root).max) + 1
+    val adds = writeDataFiles(spark, root, distribute(df, snap.properties), id,
+      snap.properties)
+    commitOrCleanup(root, id, Commit(id, Some(snap.snapshotId),
+      System.currentTimeMillis(), "branch_append", adds, Seq.empty,
+      Map(branchNameProp -> name, branchBaseProp -> base.toString), None))
+    latestBranchCommit(root, name, base)
+  }
+
+  /** DELETE WHERE on a branch — always copy-on-write (branch delete
+    * FILES would couple to the sequence rule at publish; a CoW
+    * rewrite's only publish concern is victim liveness, checked by
+    * fast_forward's ancestor precondition). Victims are chosen from
+    * the BRANCH's file set by the same stats pruning the main path
+    * uses; main keeps serving every file it owns. */
+  def deleteWhereOnBranch(spark: SparkSession, root: String, condition: Column,
+      name: String): Long = {
+    val head = branchHeadId(root, name)
+    val base = branches(root)(name)
+    val snap = state(root, Some(head))
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val preds = extractPreds(conditionExpr(spark, schema, condition), types)
+    val dataFiles = snap.files.filter(_.isData)
+    val victims =
+      if (preds.isEmpty) dataFiles
+      else prunedData(types, specHistory(snap.properties), preds, dataFiles,
+        statAliases(schema))
+    val deletes = snap.files.filter(_.isDelete)
+      .map(f => (f.path, f.content.getOrElse(1), f.eqCols.getOrElse(Seq.empty)))
+    val id = math.max(head, listCommitIds(root).max) + 1
+    val kept = readPaths(spark, root, schema, victims.map(_.path), deletes)
+      .filter(!coalesce(condition, lit(false)))
+    val adds = writeDataFiles(spark, root, kept, id, snap.properties)
+    commitOrCleanup(root, id, Commit(id, Some(head),
+      System.currentTimeMillis(), "branch_overwrite", adds, victims.map(_.path),
+      Map(branchNameProp -> name, branchBaseProp -> base.toString), None))
+    latestBranchCommit(root, name, base)
+  }
+
+  /** The id the branch write actually landed at (commitOrCleanup may
+    * have slid it past foreign commits). */
+  private def latestBranchCommit(root: String, name: String, base: Long): Long =
+    listCommitIds(root)
+      .filter(id => id > base && branchInfoOfId(root, id).contains((name, base))).max
+
+  /** Publish a branch onto main — Iceberg's
+    * `CALL fast_forward(table, 'main', branch)`: requires main's head
+    * to still BE the branch's base (the ancestor precondition; a
+    * diverged main refuses, re-branch from the new head), then ONE
+    * commit applies the branch's net file changes by reference and
+    * advances the ref to the new main head, starting a fresh branch
+    * epoch. Rows get their lineage ids here, when they enter main —
+    * the cherrypick discipline. */
+  def fastForward(root: String, name: String): Long = {
+    val head = branchHeadId(root, name)
+    val base = branches(root)(name)
+    val mainSnap = state(root)
+    // the ancestor precondition, honestly stated for a linear log: no
+    // main commit since the base may have changed DATA or SCHEMA.
+    // Property-only commits (this branch's own ref, tags, other refs)
+    // are lineage-neutral — the branch still descends from main's
+    // file state. Anything else (appends, deletes, evolutions, another
+    // branch's publish) means main diverged: refuse, like Iceberg.
+    val diverged = listCommitIds(root)
+      .filter(id => id > base && id <= mainSnap.snapshotId)
+      .filterNot(id => isOffMainId(root, id))
+      .map(id => parseCommit(Files.readString(commitPath(root, id))))
+      .filterNot(_.operation == "set_properties")
+    require(diverged.isEmpty,
+      s"cannot fast-forward '$name': main advanced past the branch base $base " +
+        s"(snapshot(s) ${diverged.map(c => s"${c.snapshotId}=${c.operation}")
+          .mkString(", ")}) — the branch no longer descends from main's " +
+        "head; create a fresh branch from the current head and re-apply")
+    require(head != base, s"branch '$name' has no commits to publish")
+    val branchSnap = state(root, Some(head))
+    val basePaths = mainSnap.files.map(_.path).toSet
+    val branchByPath = branchSnap.files.map(f => f.path -> f).toMap
+    val adds = branchSnap.files.filterNot(f => basePaths.contains(f.path))
+      .sortBy(_.path)
+    val removes = (basePaths -- branchByPath.keySet).toSeq.sorted
+    val id = listCommitIds(root).max + 1
+    // by-reference cherrypick shape: no cleanup-on-failure here — the
+    // adds are the BRANCH's files, still referenced by its commits
+    writeAtomic(commitPath(root, id), toJson(stampRowLineage(
+      Commit(id, Some(mainSnap.snapshotId), System.currentTimeMillis(), "fast_forward",
+        adds, removes,
+        Map(branchRefKey(name) -> id.toString,
+          s"graft.branch.published.$name" -> head.toString), None),
+      mainSnap.properties)))
+    id
   }
 
   // ── WAP: write-audit-publish staged commits ─────────────────────────
@@ -5191,14 +5469,16 @@ object GraftTable {
   def expireSnapshots(root: String, retainLast: Int): Unit = {
     val ids = listCommitIds(root)
     if (ids.size <= retainLast) return
-    // tagged snapshots are pinned (Iceberg's ref-retention rule):
-    // expiry never advances past the oldest tag
-    val pinned = tags(root).values
+    // tagged snapshots are pinned (Iceberg's ref-retention rule),
+    // and so is every live branch's base — a branch replay seeds from
+    // checkpoints at or before its base, so the base must survive
+    // (branch COMMITS sit above their base and survive a fortiori)
+    val pinned = tags(root).values ++ branches(root).values
     var cutoff = math.min(ids.sorted.takeRight(retainLast).head,
       if (pinned.isEmpty) Long.MaxValue else pinned.min)
     // the cutoff becomes a CHECKPOINT of the main lineage — never
-    // seed it from a staged (WAP) commit's audit state
-    while (cutoff > ids.min && isStagedId(root, cutoff))
+    // seed it from a staged (WAP) or branch commit's state
+    while (cutoff > ids.min && isOffMainId(root, cutoff))
       cutoff = ids.filter(_ < cutoff).max
     if (cutoff <= ids.min) return
     if (!writeCheckpointDelta(root, cutoff))
@@ -5237,7 +5517,7 @@ object GraftTable {
   def snapshotIdsAtOrBefore(root: String, tsMs: Long): Seq[Long] =
     listCommitIds(root).filter { id =>
       val c = parseCommit(Files.readString(commitPath(root, id)))
-      c.timestampMs <= tsMs && !isStaged(c)
+      c.timestampMs <= tsMs && !isOffMain(c)
     }
 
   /** Time travel by UTC timestamp: read the last snapshot committed at
@@ -5258,7 +5538,7 @@ object GraftTable {
     import spark.implicits._
     val ids = listCommitIds(root)
     require(ids.nonEmpty, s"not a GraftTable (empty log): $root")
-    val target = ids.max
+    val target = mainHeadId(root, ids)
     val (schema, props, stats) = ckptTail(root, target).filterNot(_.belowThreshold) match {
       case None =>
         val snap = state(root)
@@ -5367,6 +5647,9 @@ object GraftTable {
     require(!isStagedId(root, snapshotId),
       s"cannot roll back to staged (WAP) snapshot $snapshotId — " +
         "publish it with cherrypick_snapshot instead")
+    require(branchInfoOfId(root, snapshotId).isEmpty,
+      s"cannot roll back main to branch snapshot $snapshotId — " +
+        "publish the branch with fast_forward instead")
     val target = state(root, Some(snapshotId))
     val current = state(root)
     // a rollback restores FILE SETS, not schema/properties — crossing
@@ -5454,7 +5737,7 @@ object GraftTable {
       preds: Seq[Pred], asOf: Option[Long]): Option[NativePlan] = {
     val ids = listCommitIds(root)
     if (ids.isEmpty) return None
-    val target = asOf.getOrElse(ids.max)
+    val target = asOf.getOrElse(mainHeadId(root, ids))
     if (!ids.contains(target)) return None   // V1 plane raises the loud error
     ckptTail(root, target).filterNot(_.belowThreshold) match {
       case Some(ct) =>

@@ -455,6 +455,43 @@ object LakeOps {
     GraftTable.read(s, root).orderBy(col("c_custkey"))
   }
 
+  // ── q97: branch lifecycle, oracle-checked ───────────────────────────
+  /** Branch refs under the gate (the reference's Nessie workflow,
+    * rebuilt on the linear log): evens land on main, a branch forks,
+    * the odds land ON THE BRANCH plus a CoW branch delete of a whole
+    * segment — main must see none of it (count, CDC; the requires) —
+    * then fast_forward publishes the branch's net changes as ONE
+    * by-reference commit (one CDC boundary, the third require). The
+    * final table is every customer outside the deleted segment: a
+    * plain predicate the oracle re-derives from the raw parquet. */
+  def q97(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("q97")
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    GraftTable.create(s, root, c.schema)
+    GraftTable.append(s, root, c.filter(col("c_custkey") % 2 === 0).repartition(2))
+    val mainHead = GraftTable.state(root).snapshotId
+    val mainRows = GraftTable.read(s, root).count()
+    GraftTable.createBranch(root, "etl")
+    GraftTable.appendToBranch(s, root,
+      c.filter(col("c_custkey") % 2 === 1).repartition(2), "etl")
+    GraftTable.deleteWhereOnBranch(s, root, col("c_mktsegment") === "BUILDING", "etl")
+    val branchHead = GraftTable.branchHeadId(root, "etl")
+    require(GraftTable.read(s, root).count() == mainRows,
+      "branch writes must be invisible to main")
+    require(GraftTable.changes(s, root, mainHead, branchHead).count() == 0,
+      "branch writes must be invisible to the CDC feed")
+    val expected = c.filter(col("c_mktsegment") =!= "BUILDING").count()
+    require(GraftTable.readBranch(s, root, "etl").count() == expected,
+      "the branch read must serve base + branch writes")
+    val pubId = GraftTable.fastForward(root, "etl")
+    require(GraftTable.state(root).operation == "fast_forward")
+    require(GraftTable.changes(s, root, branchHead, pubId)
+      .select(col("_commit_snapshot_id")).distinct().count() == 1,
+      "fast_forward must publish as ONE CDC boundary")
+    GraftTable.read(s, root).orderBy(col("c_custkey"))
+  }
+
   // ── q96: one-commit MoR upsert lifecycle, oracle-checked ────────────
   /** Three OVERLAPPING keyed upsert batches (Flink's Iceberg
     * upsert-writer shape) land one commit each: an equality-delete
@@ -700,6 +737,7 @@ object LakeOps {
     "q81_lake_partitions" -> q81 _,
     "q69_lake_dpp" -> q69 _,
     "q96_lake_upsert" -> q96 _,
+    "q97_lake_branch" -> q97 _,
     "q67_lake_wap" -> q67 _,
     "q65_lake_spec_evolve" -> q65 _,
     "q66_lake_write_ordered" -> q66 _,
@@ -748,6 +786,12 @@ object LakeOps {
     "q67_lake_wap" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q97_lake_branch" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT (c_mktsegment = 'BUILDING')
         |ORDER BY c_custkey""".stripMargin,
 
     "q96_lake_upsert" ->

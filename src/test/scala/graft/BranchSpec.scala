@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.lake.GraftTable
+
+/** Branch refs — the Nessie/Iceberg-branch workflow on the linear
+  * log (reference: the Nessie service in docker-compose.yml; Iceberg
+  * branch DDL + fast_forward): a branch forks the main lineage at a
+  * base snapshot, accumulates its own commits invisibly to main (and
+  * vice versa — neither lineage blocks the other), serves reads via
+  * `VERSION AS OF '<branch>'` / the `t.branch_<name>` identifier, and
+  * publishes with fast_forward as ONE by-reference commit when main
+  * has not diverged past the base. */
+class BranchSpec extends SparkSpec {
+  import spark.implicits._
+  private val wh = SparkSpec.sqlWarehouse
+  private def root(t: String) = s"$wh/br/$t"
+
+  private def freshTable(name: String): String = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.br")
+    spark.sql(s"DROP TABLE IF EXISTS graft.br.$name")
+    spark.sql(s"CREATE TABLE graft.br.$name (id BIGINT, v STRING)")
+    root(name)
+  }
+
+  test("create/drop branch: refs row at head, base validation, one ref namespace") {
+    val r = freshTable("t1")
+    spark.sql("INSERT INTO graft.br.t1 VALUES (1, 'a'), (2, 'b')")   // snap 1
+    val base = GraftTable.state(r).snapshotId
+
+    spark.sql("CALL graft_system.create_branch(table => 'br.t1', branch => 'dev')")
+    assert(GraftTable.branches(r) == Map("dev" -> base))
+    assert(GraftTable.branchHeadId(r, "dev") == base,
+      "a fresh branch points at the snapshot it forked from")
+    // .refs: main + dev, both BRANCH type, dev at its head (= base)
+    val refs = GraftTable.refsTable(spark, r).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+    assert(refs.contains(("dev", "BRANCH", base)))
+    // duplicate / tag-collision / off-main-base refusals
+    intercept[IllegalArgumentException] { GraftTable.createBranch(r, "dev") }
+    GraftTable.createTag(r, "v1", base)
+    intercept[IllegalArgumentException] { GraftTable.createBranch(r, "v1") }
+
+    spark.sql("CALL graft_system.drop_branch(table => 'br.t1', branch => 'dev')")
+    assert(GraftTable.branches(r).isEmpty)
+    intercept[IllegalArgumentException] { GraftTable.branchHeadId(r, "dev") }
+  }
+
+  test("branch writes are invisible to main; main writes are invisible to the branch; neither blocks the other") {
+    val r = freshTable("t2")
+    spark.sql("INSERT INTO graft.br.t2 VALUES (1, 'main'), (2, 'main')")
+    val base = GraftTable.state(r).snapshotId
+    GraftTable.createBranch(r, "dev")
+
+    // two branch appends + one CoW branch delete
+    spark.sql("INSERT INTO graft.br.t2.branch_dev VALUES (10, 'dev'), (11, 'dev')")
+    spark.sql("INSERT INTO graft.br.t2.branch_dev VALUES (12, 'dev')")
+    spark.sql("DELETE FROM graft.br.t2.branch_dev WHERE id = 11")
+
+    // main: untouched — count, head ref, CDC head, timestamp travel
+    assert(spark.table("graft.br.t2").count() == 2L)
+    assert(GraftTable.state(r).snapshotId <= base + 1,   // +1 = the ref commit
+      "branch data commits must not advance main")
+    val feed = GraftTable.changes(spark, r, 0L, GraftTable.state(r).snapshotId)
+    assert(feed.filter(col("v") === "dev").count() == 0L)
+
+    // branch: base rows + dev rows − the deleted one, via all three doors
+    val api = GraftTable.readBranch(spark, r, "dev")
+    assert(api.count() == 4L && api.filter(col("id") === 11).count() == 0L)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.br.t2 VERSION AS OF 'dev'")
+      .head().getLong(0) == 4L)
+    assert(spark.table("graft.br.t2.branch_dev").count() == 4L)
+
+    // main writes SLIDE past the pending branch commits (no blocking)
+    spark.sql("INSERT INTO graft.br.t2 VALUES (3, 'main')")
+    assert(spark.table("graft.br.t2").count() == 3L)
+    // and the branch still reads its own lineage, not main's new row
+    assert(GraftTable.readBranch(spark, r, "dev").filter(col("id") === 3).count() == 0L)
+    // a raw-head branch commit never leaks into main metadata defaults
+    assert(GraftTable.filesTable(spark, r).count() ==
+      GraftTable.state(r).files.size.toLong)
+  }
+
+  test("fast_forward publishes the branch's net changes as ONE by-reference commit") {
+    val r = freshTable("t3")
+    spark.sql("INSERT INTO graft.br.t3 VALUES (1, 'keep'), (2, 'drop')")
+    val base = GraftTable.state(r).snapshotId
+    GraftTable.createBranch(r, "etl")
+
+    spark.sql("INSERT INTO graft.br.t3.branch_etl VALUES (3, 'new'), (4, 'new')")
+    spark.sql("DELETE FROM graft.br.t3.branch_etl WHERE v = 'drop'")
+    val branchHead = GraftTable.branchHeadId(r, "etl")
+    val branchPaths = GraftTable.state(r, Some(branchHead)).files.map(_.path).toSet
+
+    val mainBefore = GraftTable.state(r).snapshotId
+    spark.sql("CALL graft_system.fast_forward(table => 'br.t3', branch => 'etl')")
+    val pub = GraftTable.state(r)
+    assert(pub.operation == "fast_forward")
+    // main == branch state, by file REFERENCE (no data copied)
+    assert(pub.files.map(_.path).toSet == branchPaths)
+    assert(spark.table("graft.br.t3").as[(Long, String)].collect().toSet ==
+      Set((1L, "keep"), (3L, "new"), (4L, "new")))
+    // ONE CDC boundary: every published row enters at the ff snapshot
+    val feed = GraftTable.changes(spark, r, mainBefore, pub.snapshotId)
+    assert(feed.select(col("_commit_snapshot_id")).distinct().collect()
+      .map(_.getLong(0)).toSet == Set(pub.snapshotId))
+    // rows got lineage ids when they entered main (the cherrypick rule)
+    val ids = GraftTable.readWithRowIds(spark, r).select(col("_row_id"))
+      .collect().map(x => Option(x.get(0)))
+    assert(ids.forall(_.isDefined) && ids.flatten.distinct.length == ids.length)
+    // the ref advanced to the publish commit: a fresh epoch
+    assert(GraftTable.branches(r)("etl") == pub.snapshotId)
+    assert(GraftTable.branchHeadId(r, "etl") == pub.snapshotId)
+
+    // second epoch: branch writes stack on the NEW base
+    spark.sql("INSERT INTO graft.br.t3.branch_etl VALUES (5, 'round2')")
+    assert(spark.table("graft.br.t3").count() == 3L)
+    assert(GraftTable.readBranch(spark, r, "etl").count() == 4L)
+    // historical branch snapshot (old epoch) still time-travels
+    assert(spark.sql(s"SELECT COUNT(*) AS c FROM graft.br.t3 VERSION AS OF $branchHead")
+      .head().getLong(0) == 3L)
+    // publish round 2 and converge
+    GraftTable.fastForward(r, "etl")
+    assert(spark.table("graft.br.t3").count() == 4L)
+  }
+
+  test("fast_forward refuses a diverged main (the ancestor precondition)") {
+    val r = freshTable("t4")
+    spark.sql("INSERT INTO graft.br.t4 VALUES (1, 'a')")
+    GraftTable.createBranch(r, "dev")
+    spark.sql("INSERT INTO graft.br.t4.branch_dev VALUES (2, 'dev')")
+    spark.sql("INSERT INTO graft.br.t4 VALUES (3, 'main')")   // main diverges
+    val e = intercept[IllegalArgumentException] { GraftTable.fastForward(r, "dev") }
+    assert(e.getMessage.contains("diverge") || e.getMessage.contains("advanced"),
+      s"unexpected message: ${e.getMessage}")
+    // both lineages stay intact and readable after the refusal
+    assert(spark.table("graft.br.t4").count() == 2L)
+    assert(GraftTable.readBranch(spark, r, "dev").count() == 2L)
+  }
+
+  test("expire_snapshots pins live branch bases; drop unpins; rollback refuses branch snapshots") {
+    val r = freshTable("t5")
+    spark.sql("INSERT INTO graft.br.t5 VALUES (1, 'a')")            // 1
+    val base = GraftTable.state(r).snapshotId
+    GraftTable.createBranch(r, "old")                               // 2 (ref)
+    spark.sql("INSERT INTO graft.br.t5.branch_old VALUES (9, 'b')") // 3 (branch)
+    val bHead = GraftTable.branchHeadId(r, "old")
+    spark.sql("INSERT INTO graft.br.t5 VALUES (2, 'a')")
+    spark.sql("INSERT INTO graft.br.t5 VALUES (3, 'a')")
+
+    intercept[IllegalArgumentException] { GraftTable.rollbackToSnapshot(r, bHead) }
+
+    def liveIds() = GraftTable.snapshotsTable(spark, r)
+      .select(col("snapshot_id")).collect().map(_.getLong(0)).toSet
+    GraftTable.expireSnapshots(r, retainLast = 1)
+    // the branch base (and a fortiori its commits) survived the expiry
+    assert(liveIds().contains(base))
+    assert(GraftTable.readBranch(spark, r, "old").count() == 2L)
+    assert(spark.table("graft.br.t5").count() == 3L)
+
+    GraftTable.dropBranch(r, "old")
+    GraftTable.expireSnapshots(r, retainLast = 1)
+    assert(!liveIds().contains(base),
+      "a dropped branch no longer pins expiry")
+    assert(spark.table("graft.br.t5").count() == 3L)
+  }
+
+  test("branch replay composes with main checkpoints (ckpt ceiling = branch base)") {
+    val r = freshTable("t6")
+    spark.sql("INSERT INTO graft.br.t6 VALUES (1, 'a'), (2, 'b')")
+    GraftTable.rewriteManifests(r)           // checkpoint at the base
+    GraftTable.createBranch(r, "dev")
+    spark.sql("INSERT INTO graft.br.t6.branch_dev VALUES (3, 'dev')")
+    // a LATER main commit + checkpoint must not seed the branch replay
+    spark.sql("INSERT INTO graft.br.t6 VALUES (4, 'main')")
+    GraftTable.rewriteManifests(r)
+    val b = GraftTable.readBranch(spark, r, "dev").as[(Long, String)].collect().toSet
+    assert(b == Set((1L, "a"), (2L, "b"), (3L, "dev")),
+      s"branch state polluted by a post-base checkpoint: $b")
+    assert(spark.table("graft.br.t6").count() == 3L)
+  }
+}
