@@ -274,6 +274,8 @@ private[graft] class GraftBatchScan(
   private def morReaderFactory(): GraftMorReaderFactory = {
     val posDeletes = plan.deletes.filter(_.content.contains(1))
       .map(f => (s"$root/${f.path}", f.sizeBytes))
+    val dvDeletes = plan.deletes.filter(_.content.contains(3))
+      .map(f => (s"$root/${f.path}", f.sizeBytes))
     val posSchema = StructType(Seq(
       StructField("file_path", StringType, nullable = false),
       StructField("pos", LongType, nullable = false)))
@@ -319,7 +321,9 @@ private[graft] class GraftBatchScan(
       else None,
       posDeletes = posDeletes,
       posFactory = mkParquetFactory(posSchema, posSchema, Array.empty),
-      eqGroups = eqGroups)
+      eqGroups = eqGroups,
+      dvDeletes = dvDeletes,
+      dvFactory = mkParquetFactory(GraftDv.schema, GraftDv.schema, Array.empty))
   }
 }
 

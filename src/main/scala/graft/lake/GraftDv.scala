@@ -1,0 +1,87 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deletion-vector containers — the Iceberg-v3 delete-compaction shape
+  * (v3 stores one roaring bitmap per data file in Puffin container
+  * files; reference: the Iceberg runtime the guide's
+  * spark-defaults.conf loads ships the same machinery). A container is
+  * an ordinary parquet of `(name, dv)` rows — one row per data file,
+  * `dv` the serialized roaring bitmap of its deleted row ordinals —
+  * committed as a delete `FileEntry` with `content = 3`. Containers
+  * are position deletes under a denser encoding: they ride every
+  * existing metadata plane (commit JSON, checkpoint parquet, WAP
+  * unions, rewrite carry-over) through the same `(path, content,
+  * eqCols)` tuples, apply by data-file NAME exactly like content=1
+  * files (rename-stable), and coexist with later position deletes
+  * until the next `rewrite_position_deletes(mode => 'dv')` folds both
+  * into a fresh container.
+  *
+  * RoaringBitmap comes from Spark's own runtime jars (it ships one for
+  * shuffle tracking) — no new dependency. Row ordinals are
+  * int-indexed: a single parquet data file holding > 2^31 rows is far
+  * beyond any sane target file size, and encode refuses loudly rather
+  * than truncate. */
+private[lake] object GraftDv {
+
+  /** Container parquet schema. `name` = the target data file's unique
+    * basename (snapshotId-idx-uuid.parquet), the same key the MoR
+    * anti-join and deletion-vector reader match on. */
+  val schema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("dv", BinaryType, nullable = false)))
+
+  def encode(positions: Iterator[Long]): Array[Byte] = {
+    val rb = new org.roaringbitmap.RoaringBitmap()
+    positions.foreach { p =>
+      require(p >= 0 && p <= Int.MaxValue,
+        s"row ordinal $p exceeds the deletion-vector int range")
+      rb.add(p.toInt)
+    }
+    rb.runOptimize()
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    rb.serialize(dos)
+    dos.flush()
+    bos.toByteArray
+  }
+
+  /** Deleted ordinals, ascending (roaring iterates sorted). */
+  def decode(bytes: Array[Byte]): Array[Long] = {
+    val rb = new org.roaringbitmap.RoaringBitmap()
+    rb.deserialize(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    val out = new Array[Long](rb.getCardinality)
+    var i = 0
+    val it = rb.iterator()
+    while (it.hasNext) { out(i) = it.next().toLong; i += 1 }
+    out
+  }
+
+  /** Containers exploded back to `(name, pos)` rows — the V1
+    * anti-join's input shape. The decode runs executor-side (a typed
+    * flatMap over the container rows), never on the driver: containers
+    * covering millions of files stay distributed. */
+  def positionsDf(spark: SparkSession, absPaths: Seq[String],
+      nameCol: String, posCol: String): DataFrame = {
+    import spark.implicits._
+    spark.read.schema(schema).parquet(absPaths: _*)
+      .as[(String, Array[Byte])]
+      .flatMap { case (n, b) => decode(b).iterator.map(p => (n, p)) }
+      .toDF(nameCol, posCol)
+  }
+
+  /** Container rows plus their source container file, exploded — the
+    * `.position_deletes` metadata view's DV half. */
+  def positionsWithSourceDf(spark: SparkSession, absPaths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val src: Column = regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1)
+    spark.read.schema(schema).parquet(absPaths: _*)
+      .select(col("name"), col("dv"), src.as("src"))
+      .as[(String, Array[Byte], String)]
+      .flatMap { case (n, b, s) => decode(b).iterator.map(p => (n, p, s)) }
+      .toDF("file_path", "pos", "delete_file_path")
+  }
+}

@@ -81,7 +81,10 @@ private[lake] case class GraftMorReaderFactory(
     lineage: Option[Map[String, Option[Long]]],  // fileName -> firstRowId
     posDeletes: Seq[(String, Long)],
     posFactory: ParquetPartitionReaderFactory,
-    eqGroups: Seq[GraftEqGroup]) extends PartitionReaderFactory {
+    eqGroups: Seq[GraftEqGroup],
+    dvDeletes: Seq[(String, Long)] = Seq.empty,  // content=3 containers
+    dvFactory: ParquetPartitionReaderFactory = null)
+  extends PartitionReaderFactory {
 
   private def files(p: InputPartition): Array[PartitionedFile] = p match {
     case f: FilePartition => f.files
@@ -94,9 +97,18 @@ private[lake] case class GraftMorReaderFactory(
   private def workFor(f: PartitionedFile): GraftMorWork = {
     val name = f.toPath.getName
     val snap = name.takeWhile(_.isDigit).toLong
-    val dv =
+    val fromPos =
       if (posDeletes.isEmpty) Array.emptyLongArray
       else GraftMorCache.deletionVector(name, posDeletes, posFactory)
+    val fromDv =
+      if (dvDeletes.isEmpty) Array.emptyLongArray
+      else GraftMorCache.dvVector(name, dvDeletes, dvFactory)
+    val dv =
+      if (fromDv.isEmpty) fromPos
+      else if (fromPos.isEmpty) fromDv
+      else { // a post-conversion delete stacks on the container: merge
+        val a = Array.concat(fromPos, fromDv); java.util.Arrays.sort(a); a
+      }
     val eqs = eqGroups.filter(_.snapId > snap)
       .map(g => (g.keyOrds, g.keyTypes, GraftMorCache.keySet(g)))
       .filter(!_._3.isEmpty)
@@ -199,6 +211,56 @@ private[lake] object GraftMorCache {
     }.toMap
     posCache.put(path, new SoftReference(m))
     m
+  }
+
+  private val dvCache =
+    new ConcurrentHashMap[String, SoftReference[Map[String, Array[Long]]]]()
+
+  /** Test hook: drop every parse-once cache so an A/B can measure the
+    * COLD delete-application cost (the steady state is cache-equal by
+    * design). */
+  private[lake] def clearForTest(): Unit = {
+    posCache.clear(); eqCache.clear(); dvCache.clear()
+  }
+
+  /** One DV container (parquet of (name, serialized roaring bitmap))
+    * as basename -> sorted ordinals — the parse-once sibling of
+    * parsedPositions, decoding each bitmap exactly once per executor. */
+  private def parsedDvs(path: String, size: Long,
+      factory: ParquetPartitionReaderFactory): Map[String, Array[Long]] = {
+    val ref = dvCache.get(path)
+    val hit = if (ref == null) null else ref.get()
+    if (hit != null) return hit
+    val acc = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+    val r = factory.createReader(FilePartition(0, Array(pf(path, size))))
+    try while (r.next()) {
+      val row = r.get()
+      val name = row.getUTF8String(0).toString
+      val ords = GraftDv.decode(row.getBinary(1))
+      // one container holds one row per name by construction; a
+      // hand-crafted duplicate merges rather than shadows
+      acc.get(name) match {
+        case None => acc(name) = ords
+        case Some(prev) =>
+          val a = Array.concat(prev, ords); java.util.Arrays.sort(a); acc(name) = a
+      }
+    } finally r.close()
+    val m = acc.toMap
+    dvCache.put(path, new SoftReference(m))
+    m
+  }
+
+  /** The deletion vector for one data file from DV containers. */
+  def dvVector(name: String, containers: Seq[(String, Long)],
+      factory: ParquetPartitionReaderFactory): Array[Long] = {
+    val parts = containers.flatMap { case (p, s) =>
+      parsedDvs(p, s, factory).get(name) }
+    parts match {
+      case Seq() => Array.emptyLongArray
+      case Seq(only) => only
+      case many =>
+        val a = Array.concat(many: _*); java.util.Arrays.sort(a); a
+    }
   }
 
   /** The deletion vector for one data file: ordinals from every live

@@ -502,7 +502,16 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
           incremental = arg("incremental").forall(_.toBoolean))
         Seq(Row(s"snapshot_id=$id sketched_files=$sketched"))
       case "rewrite_position_deletes" =>
-        Seq(Row(s"snapshot_id=${GraftTable.rewritePositionDeletes(spark, root)}"))
+        // default mode folds deletes into their data files (the v2
+        // shape); mode => 'dv' compacts them into a deletion-vector
+        // container instead (the v3 shape — zero data bytes rewritten)
+        val id = arg("mode", "arg1") match {
+          case Some("dv") => GraftTable.rewriteDeletesToDV(spark, root)
+          case Some(other) => throw new IllegalArgumentException(
+            s"rewrite_position_deletes mode '$other' (have: dv, or omit for data-fold)")
+          case None => GraftTable.rewritePositionDeletes(spark, root)
+        }
+        Seq(Row(s"snapshot_id=$id"))
       case "rewrite_equality_deletes" =>
         Seq(Row(s"snapshot_id=${GraftTable.rewriteEqualityDeletes(spark, root)}"))
       case "expire_snapshots" =>

@@ -2034,8 +2034,33 @@ object GraftTable {
     }
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "delete", adds, Seq.empty, Map.empty, None))
+    maybeAutoDvCompact(spark, root, props)
     id
   }
+
+  /** Test hook: see GraftMorCache.clearForTest. */
+  private[graft] def clearMorCachesForTest(): Unit = GraftMorCache.clearForTest()
+
+  /** Opt-in automatic delete compaction (the Iceberg-v3 sibling of
+    * maybeAutoCompact): when `graft.delete.auto-dv.min-files` is set
+    * and at least that many position-semantics delete files (content
+    * 1 or 3) are live after a MoR delete, fold them into one
+    * deletion-vector container so high-churn delete workloads never
+    * accumulate a per-read stack of delete files. Best-effort by the
+    * same contract: the DELETE is already durable — a lost race, an
+    * executor failure, or a malformed property value skips the
+    * compaction (the next delete retries). */
+  private def maybeAutoDvCompact(spark: SparkSession, root: String,
+      props: Map[String, String]): Unit =
+    props.get("graft.delete.auto-dv.min-files")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .foreach { minFiles =>
+        try {
+          val n = state(root).files.count(f =>
+            f.content.contains(1) || f.content.contains(3))
+          if (n >= minFiles) rewriteDeletesToDV(spark, root)
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
 
   /** Move every non-empty staged parquet part into deletes/ under a
     * caller-minted name/entry, then drop the staging dir. The size
@@ -2066,26 +2091,86 @@ object GraftTable {
     * the content=1 diagnostics count to zero. */
   def rewritePositionDeletes(spark: SparkSession, root: String): Long = {
     val snap = state(root)
-    val posDeletes = snap.files.filter(_.content.contains(1))
+    val posDeletes = snap.files.filter(f =>
+      f.content.contains(1) || f.content.contains(3))
     if (posDeletes.isEmpty) return snap.snapshotId
     val schema = DataType.fromJson(snap.schemaJson.getOrElse(
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
     val dataFiles = snap.files.filter(_.isData)
     // which data files actually carry deleted positions? (match on the
-    // unique file NAME — _metadata.file_path is an absolute URI)
-    val affectedNames = spark.read.parquet(posDeletes.map(f => s"$root/${f.path}"): _*)
-      .select(col("file_path")).distinct()
-      .collect().map(r => r.getString(0).split('/').last).toSet
-    val affected = dataFiles.filter(f => affectedNames.contains(f.path.split('/').last))
+    // unique file NAME — _metadata.file_path is an absolute URI; a DV
+    // container names its victims in its own `name` column)
+    val affectedNames =
+      posDeletes.filter(_.content.contains(1)) match {
+        case Seq() => Set.empty[String]
+        case ps => spark.read.parquet(ps.map(f => s"$root/${f.path}"): _*)
+          .select(col("file_path")).distinct()
+          .collect().map(r => r.getString(0).split('/').last).toSet
+      }
+    val dvNames = posDeletes.filter(_.content.contains(3)) match {
+      case Seq() => Set.empty[String]
+      case ds => spark.read.schema(GraftDv.schema)
+        .parquet(ds.map(f => s"$root/${f.path}"): _*)
+        .select(col("name")).distinct().collect().map(_.getString(0)).toSet
+    }
+    val allNames = affectedNames ++ dvNames
+    val affected = dataFiles.filter(f => allNames.contains(f.path.split('/').last))
     val id = snap.snapshotId + 1
     // apply ALL deletes while rewriting (equality deletes included —
     // the rewritten file must not resurrect any deleted row), but only
-    // the position-delete files retire in this commit
+    // the position-semantics delete files retire in this commit
     val rewritten = readFiles(spark, root, schema, affected, snap.files.filter(_.isDelete))
     val adds = writeDataFiles(spark, root, rewritten, id, snap.properties)
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "rewrite_position_deletes", adds,
       affected.map(_.path) ++ posDeletes.map(_.path), Map.empty, None))
+    id
+  }
+
+  /** `rewrite_position_deletes(mode => 'dv')` — the Iceberg-v3 delete
+    * compaction: fold every live position-delete file AND every prior
+    * deletion-vector container into ONE fresh container (parquet of
+    * `(name, dv)` roaring bitmaps, content=3), retiring the inputs in
+    * the same commit. Data files are NOT touched — zero data bytes
+    * rewritten — which is the entire point: standing deletes stop
+    * costing a per-read parse of N stacked position-delete files and
+    * become one compact bitmap load per executor. Delete entries whose
+    * target file died (rewritten/removed since) are dropped, so the
+    * container never carries debris. The build is one distributed
+    * groupByKey over the delete rows (bitmaps assemble from an
+    * iterator, never a materialized per-file list); maintenance-class:
+    * CDC emits nothing. */
+  def rewriteDeletesToDV(spark: SparkSession, root: String): Long = {
+    import spark.implicits._
+    val snap = state(root)
+    val pos = snap.files.filter(_.content.contains(1))
+    val dvs = snap.files.filter(_.content.contains(3))
+    if (pos.isEmpty && dvs.size <= 1) return snap.snapshotId   // already compact
+    val baseName = (c: Column) => regexp_extract(c, "([^/]+)$", 1)
+    val posPart = Option.when(pos.nonEmpty)(
+      spark.read.parquet(pos.map(f => s"$root/${f.path}"): _*)
+        .select(baseName(col("file_path")).as("_gf_name"), col("pos").as("_gf_pos")))
+    val dvPart = Option.when(dvs.nonEmpty)(
+      GraftDv.positionsDf(spark, dvs.map(f => s"$root/${f.path}"), "_gf_name", "_gf_pos"))
+    val liveNames = snap.files.filter(_.isData)
+      .map(_.path.split('/').last).toDF("_gf_name")
+    val all = (posPart.toSeq ++ dvPart).reduce(_.unionByName(_))
+      .join(liveNames, Seq("_gf_name"), "left_semi")   // drop dead-target debris
+      .distinct()
+    val id = snap.snapshotId + 1
+    val container = all.as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (n, it) => (n, GraftDv.encode(it.map(_._2))) }
+      .toDF("name", "dv")
+      .repartition(1).sortWithinPartitions("name")
+    val tmp = Paths.get(root, s".stage-${UUID.randomUUID()}")
+    container.write.parquet(tmp.toString)
+    val adds = stageDeleteParts(spark, root, tmp) { (records, size, _) =>
+      val name = f"$id%010d-dv-${UUID.randomUUID()}.parquet"
+      (name, FileEntry(s"deletes/$name", size, records, Map.empty, None, Some(3)))
+    }
+    commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
+      "rewrite_position_deletes", adds, (pos ++ dvs).map(_.path), Map.empty, None))
     id
   }
 
@@ -3091,6 +3176,7 @@ object GraftTable {
       dataPaths: Seq[String], deletes: Seq[(String, Int, Seq[String])],
       extraPhys: Seq[StructField] = Seq.empty): DataFrame = {
     val posD = deletes.filter(_._2 == 1)
+    val dvD = deletes.filter(_._2 == 3)
     val eqD = deletes.filter(_._2 == 2)
     var df = spark.read
       .schema(StructType(physReadSchema(schema).fields ++ extraPhys))
@@ -3105,15 +3191,21 @@ object GraftTable {
     if (hasRenames(schema))
       df = logicalProject(df, schema,
         keep = Seq("_gf_path", "_gf_pos", "_gf_snap") ++ extraPhys.map(_.name))
-    if (posD.nonEmpty) {
+    if (posD.nonEmpty || dvD.nonEmpty) {
       // join on the unique file NAME (snapshotId-idx-uuid.parquet), not
       // the absolute URI the delete file recorded: renameTable moves the
       // table directory, and a URI match would silently stop applying
       // live deletes after a rename (rewritePositionDeletes already
-      // matches by name for the same reason)
+      // matches by name for the same reason). Deletion-vector
+      // containers (content=3) explode to the same (name, pos) shape
+      // executor-side and union in — one anti-join either way.
       val baseName = (c: Column) => regexp_extract(c, "([^/]+)$", 1)
-      val del = spark.read.parquet(posD.map(d => s"$root/${d._1}"): _*)
-        .select(baseName(col("file_path")).as("_gf_name"), col("pos").as("_gf_pos"))
+      val posPart = Option.when(posD.nonEmpty)(
+        spark.read.parquet(posD.map(d => s"$root/${d._1}"): _*)
+          .select(baseName(col("file_path")).as("_gf_name"), col("pos").as("_gf_pos")))
+      val dvPart = Option.when(dvD.nonEmpty)(
+        GraftDv.positionsDf(spark, dvD.map(d => s"$root/${d._1}"), "_gf_name", "_gf_pos"))
+      val del = (posPart.toSeq ++ dvPart).reduce(_.unionByName(_))
         .distinct()   // re-deleting an already-deleted row is a no-op
       df = df.withColumn("_gf_name", baseName(col("_gf_path")))
         .join(del, Seq("_gf_name", "_gf_pos"), "left_anti")
@@ -4148,12 +4240,23 @@ object GraftTable {
     val prevToLive: Map[String, String] = schema.fields.flatMap(f =>
       prevNames(f).map(h => h.toLowerCase -> f.name)).toMap
     val posFiles = deleteEntries.filter(_.content.contains(1))
+    val dvFiles = deleteEntries.filter(_.content.contains(3))
     val pos: Seq[FileEntry] =
-      if (posFiles.isEmpty) Seq.empty
+      if (posFiles.isEmpty && dvFiles.isEmpty) Seq.empty
       else {
-        val names = spark.read.parquet(posFiles.map(f => s"$root/${f.path}"): _*)
-          .select(regexp_extract(col("file_path"), "([^/]+)$", 1)).distinct()
-          .collect().map(_.getString(0)).toSet
+        val posNames =
+          if (posFiles.isEmpty) Set.empty[String]
+          else spark.read.parquet(posFiles.map(f => s"$root/${f.path}"): _*)
+            .select(regexp_extract(col("file_path"), "([^/]+)$", 1)).distinct()
+            .collect().map(_.getString(0)).toSet
+        // a DV container NAMES its victims in its own name column — no
+        // bitmap decode needed for victim discovery
+        val dvNames =
+          if (dvFiles.isEmpty) Set.empty[String]
+          else spark.read.schema(GraftDv.schema)
+            .parquet(dvFiles.map(f => s"$root/${f.path}"): _*)
+            .select(col("name")).distinct().collect().map(_.getString(0)).toSet
+        val names = posNames ++ dvNames
         candidates.filter(f => names.contains(f.path.split('/').last))
       }
     val eq = deleteEntries.filter(_.content.contains(2)).flatMap { d =>
@@ -4371,18 +4474,25 @@ object GraftTable {
     * data-file paths render as the basename the MoR anti-join matches
     * on, so the view is stable across table renames. */
   def positionDeletesTable(spark: SparkSession, root: String): DataFrame = {
-    val posD = state(root).files.filter(_.content.contains(1))
-    if (posD.isEmpty)
+    val files = state(root).files
+    val posD = files.filter(_.content.contains(1))
+    val dvD = files.filter(_.content.contains(3))
+    val posPart = Option.when(posD.nonEmpty)(
+      spark.read.parquet(posD.map(f => s"$root/${f.path}"): _*)
+        .select(
+          regexp_extract(col("file_path"), "([^/]+)$", 1).as("file_path"),
+          col("pos"),
+          regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1)
+            .as("delete_file_path")))
+    val dvPart = Option.when(dvD.nonEmpty)(
+      GraftDv.positionsWithSourceDf(spark, dvD.map(f => s"$root/${f.path}")))
+    val parts = posPart.toSeq ++ dvPart
+    if (parts.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
         StructField("file_path", StringType), StructField("pos", LongType),
         StructField("delete_file_path", StringType))))
-    else spark.read.parquet(posD.map(f => s"$root/${f.path}"): _*)
-      .select(
-        regexp_extract(col("file_path"), "([^/]+)$", 1).as("file_path"),
-        col("pos"),
-        concat(lit("deletes/"),
-          regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1))
-          .as("delete_file_path"))
+    else parts.reduce(_.unionByName(_))
+      .withColumn("delete_file_path", concat(lit("deletes/"), col("delete_file_path")))
   }
 
   /** `.manifests` metadata view: the physical metadata files readers
@@ -5711,9 +5821,10 @@ object GraftTable {
     deletes.isEmpty ||
       (spark.conf.get("spark.graft.native-scan.mor.enabled", "true").toBoolean &&
         deletes.forall { d =>
-          d.content.contains(1) || (d.content.contains(2) &&
-            d.eqCols.exists(cs => cs.nonEmpty && cs.forall(c =>
-              schema.fields.find(_.name == c).exists(f => eqKeyHashable(f.dataType)))))
+          d.content.contains(1) || d.content.contains(3) ||
+            (d.content.contains(2) &&
+              d.eqCols.exists(cs => cs.nonEmpty && cs.forall(c =>
+                schema.fields.find(_.name == c).exists(f => eqKeyHashable(f.dataType)))))
         })
 
   /** Plan a scan for the native (DSv2 Batch / columnar) read path, or

@@ -144,6 +144,17 @@ object LakeOps {
     // rewrites, reads anti-join the delete files
     GraftTable.deleteWhere(s, root, col("c_acctbal") < 0)
     GraftTable.deleteWhere(s, root, col("c_mktsegment") === lit("BUILDING"))
+    // Iceberg-v3 delete compaction under the gate: the two stacked
+    // position-delete files fold into ONE deletion-vector container —
+    // zero data bytes rewritten — and the read serves from the bitmap
+    val dataBefore = GraftTable.state(root).files.filter(_.isData).map(_.path).toSet
+    GraftTable.rewriteDeletesToDV(s, root)
+    val files = GraftTable.state(root).files
+    require(files.count(_.content.contains(1)) == 0 &&
+      files.count(_.content.contains(3)) == 1,
+      "DV conversion must retire the position-delete files into one container")
+    require(files.filter(_.isData).map(_.path).toSet == dataBefore,
+      "DV conversion must rewrite zero data files")
     GraftTable.deleteEqualityMoR(s, root,
       c.filter(col("c_acctbal") > 9990).select(col("c_custkey")))
     GraftTable.read(s, root)
