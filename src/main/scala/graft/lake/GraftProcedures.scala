@@ -559,6 +559,12 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         Seq(Row(s"snapshot_id=$id"))
       case "drop_tag" =>
         Seq(Row(s"snapshot_id=${GraftTable.dropTag(root, required("tag", "arg1"))}"))
+      case "branch_changes_view" =>
+        // the branch AUDIT feed: what would publish if fast_forward ran
+        val view = arg("view", "arg2").getOrElse("graft_branch_changes")
+        GraftTable.changesOnBranch(spark, root, required("branch", "arg1"))
+          .createOrReplaceTempView(view)
+        Seq(Row(s"view=$view"))
       case "create_changes_view" =>
         // SQL door for the CDC feed: a CALL can only return a fixed
         // schema, so the feed (whose schema is the table's) lands in a

@@ -4062,6 +4062,38 @@ object GraftTable {
     parts.foldLeft(empty)(_.unionByName(_))
   }
 
+  /** Branch-scoped CDC — the audit feed for WHAT a branch changed
+    * before publishing: every row-level change the branch's commits
+    * made in its current epoch (base, head], under the same schema
+    * and `_change_type`/`_commit_*` columns as changes(). Per-commit
+    * diffs resolve prev/cur through state(), which replays branch
+    * lineage for branch targets, so deletes and merges on the branch
+    * diff exactly like their main-lineage twins. The publish itself
+    * still surfaces in the MAIN feed as one fast_forward boundary. */
+  def changesOnBranch(spark: SparkSession, root: String,
+      name: String): DataFrame = {
+    val base = branches(root).getOrElse(name,
+      throw new IllegalArgumentException(s"no such branch: '$name'"))
+    val head = branchHeadId(root, name)
+    val snap = state(root, Some(head))
+    val endSchema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val commits = listCommitIds(root)
+      .filter(id => id > base && id <= head)
+      .filter(id => branchInfoOfId(root, id).contains((name, base)))
+      .sorted
+      .map(id => parseCommit(Files.readString(commitPath(root, id))))
+    val parts = commits.flatMap { c =>
+      changesOf(spark, root, c, endSchema).map(
+        _.withColumn("_commit_snapshot_id", lit(c.snapshotId))
+          .withColumn("_commit_timestamp_ms", lit(c.timestampMs)))
+    }
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      endSchema.add("_change_type", StringType)
+        .add("_commit_snapshot_id", LongType).add("_commit_timestamp_ms", LongType))
+    parts.foldLeft(empty)(_.unionByName(_))
+  }
+
   /** Admission-control metadata for the CDC stream source: commit ids
     * in (fromExclusive, toInclusive] paired with the record count
     * their data adds carry (0 for maintenance ops — the feed emits
@@ -4196,7 +4228,7 @@ object GraftTable {
     // CHERRYPICK's snapshot, the moment they became live; one that
     // carries removes published a row-level rewrite and takes the
     // generic before-vs-after diff below like any overwrite
-    if (c.operation == "append" ||
+    if (c.operation == "append" || c.operation == "branch_append" ||
         ((c.operation == "cherrypick" || c.operation == "fast_forward") &&
           c.removes.isEmpty))
       return Some(readFiles(spark, root, endSchema, c.adds.filter(_.isData), Seq.empty)
@@ -4715,6 +4747,43 @@ object GraftTable {
     val adds = writeDataFiles(spark, root, kept, id, snap.properties)
     commitOrCleanup(root, id, Commit(id, Some(head),
       System.currentTimeMillis(), "branch_overwrite", adds, victims.map(_.path),
+      Map(branchNameProp -> name, branchBaseProp -> base.toString), None))
+    latestBranchCommit(root, name, base)
+  }
+
+  /** Keyed MERGE (upsert) on a branch — the plain two-clause shape
+    * (matched → replace, not-matched → insert), planned entirely
+    * against BRANCH state with the same key-bounds file pruning the
+    * main-lineage merge uses. Copy-on-write like every branch write;
+    * stale delete files a full-table branch merge leaves behind refer
+    * only to retired paths (harmless, same as partial CoW on main).
+    * SQL MERGE INTO a branch identifier is out of scope — INSERT and
+    * DELETE cover the SQL surface; merge is the API door. */
+  def mergeOnBranch(spark: SparkSession, root: String, source: DataFrame,
+      keyCols: Seq[String], name: String): Long = {
+    val head = branchHeadId(root, name)
+    val base = branches(root)(name)
+    val snap = state(root, Some(head))
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    require(keyCols.nonEmpty && keyCols.forall(types.contains),
+      s"bad merge keys: $keyCols")
+    val preds = sourceKeyAnalysis(source, keyCols.map(k => (k, k)), types)
+    val dataFiles = snap.files.filter(_.isData)
+    val victims =
+      if (preds.isEmpty) dataFiles
+      else prunedData(types, specHistory(snap.properties), preds, dataFiles,
+        statAliases(schema))
+    val deletes = snap.files.filter(_.isDelete)
+      .map(f => (f.path, f.content.getOrElse(1), f.eqCols.getOrElse(Seq.empty)))
+    val id = math.max(head, listCommitIds(root).max) + 1
+    val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val kept = readPaths(spark, root, schema, victims.map(_.path), deletes)
+      .join(src.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val adds = writeDataFiles(spark, root, kept.unionByName(src), id, snap.properties)
+    commitOrCleanup(root, id, Commit(id, Some(head),
+      System.currentTimeMillis(), "branch_merge", adds, victims.map(_.path),
       Map(branchNameProp -> name, branchBaseProp -> base.toString), None))
     latestBranchCommit(root, name, base)
   }

@@ -165,6 +165,39 @@ class BranchSpec extends SparkSpec {
     assert(spark.table("graft.br.t5").count() == 3L)
   }
 
+  test("mergeOnBranch: keyed upsert against branch state, invisible to main") {
+    val r = freshTable("t7")
+    spark.sql("INSERT INTO graft.br.t7 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    GraftTable.createBranch(r, "dev")
+    val src = Seq((2L, "b2"), (9L, "new")).toDF("id", "v")
+    GraftTable.mergeOnBranch(spark, r, src, Seq("id"), "dev")
+    assert(GraftTable.readBranch(spark, r, "dev").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b2"), (3L, "c"), (9L, "new")))
+    assert(spark.table("graft.br.t7").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")), "branch merge must be invisible to main")
+    GraftTable.fastForward(r, "dev")
+    assert(spark.table("graft.br.t7").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b2"), (3L, "c"), (9L, "new")))
+  }
+
+  test("changesOnBranch: the branch audit feed diffs branch commits; main feed stays clean") {
+    val r = freshTable("t8")
+    spark.sql("INSERT INTO graft.br.t8 VALUES (1, 'a'), (2, 'b')")
+    GraftTable.createBranch(r, "dev")
+    spark.sql("INSERT INTO graft.br.t8.branch_dev VALUES (3, 'c')")
+    spark.sql("DELETE FROM graft.br.t8.branch_dev WHERE id = 2")
+    spark.sql("CALL graft_system.branch_changes_view(table => 'br.t8', branch => 'dev')")
+    val feed = spark.table("graft_branch_changes")
+      .select(col("id"), col("_change_type")).as[(Long, String)].collect().toSet
+    assert(feed == Set((3L, "insert"), (2L, "delete")), s"audit feed wrong: $feed")
+    // the audit feed is exactly the branch's net effect; main CDC sees nothing
+    val mainFeed = GraftTable.changes(spark, r, 0L, GraftTable.state(r).snapshotId)
+    assert(mainFeed.filter(col("id") === 3).count() == 0)
+    // a fresh branch (no commits) audits empty
+    GraftTable.createBranch(r, "idle")
+    assert(GraftTable.changesOnBranch(spark, r, "idle").count() == 0)
+  }
+
   test("branch replay composes with main checkpoints (ckpt ceiling = branch base)") {
     val r = freshTable("t6")
     spark.sql("INSERT INTO graft.br.t6 VALUES (1, 'a'), (2, 'b')")
