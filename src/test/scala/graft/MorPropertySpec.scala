@@ -127,7 +127,7 @@ class MorPropertySpec extends SparkSpec {
       for (_ <- 0 until opsPer) {
         val prevSnap = GraftTable.latestSnapshotId(root)
         val prevOracle = oracle
-        rnd.nextInt(12) match {
+        rnd.nextInt(13) match {
           case 0 | 1 => append()
           case 11 =>  // one-commit MoR upsert (eq-delete + data files
                       // under ONE snapshot — the strict sequence rule
@@ -163,9 +163,10 @@ class MorPropertySpec extends SparkSpec {
             GraftTable.renameColumn(root, vName, nn)
             vName = nn
           case 6 =>   // maintenance must never change visible rows
-            rnd.nextInt(3) match {
+            rnd.nextInt(4) match {
               case 0 => GraftTable.rewritePositionDeletes(spark, root)
               case 1 => GraftTable.rewriteEqualityDeletes(spark, root)
+              case 2 => GraftTable.rewriteDeletesToDV(spark, root)
               case _ => GraftTable.rewriteManifests(root)
             }
           case 7 =>   // widen grp int->long mid-lifecycle: later files
@@ -184,6 +185,41 @@ class MorPropertySpec extends SparkSpec {
             if (specOn) GraftTable.dropPartitionField(root, "bucket(2,id)")
             else GraftTable.addPartitionField(root, "bucket(2,id)")
             specOn = !specOn
+          case 12 =>  // branch fork → writes → audit → publish-or-drop,
+                      // against whatever random state the lifecycle
+                      // reached (MoR deletes live, renames, widen,
+                      // spec evolution): branch reads must serve the
+                      // branch oracle, main must not move until (and
+                      // unless) fast_forward publishes — and the outer
+                      // cdcCheck then reconciles the WHOLE fork→resolve
+                      // window as one boundary (or none, on drop)
+            val bn = s"b$lc$checks"
+            GraftTable.createBranch(root, bn)
+            var bOracle = oracle
+            val rows = (0 until 2 + rnd.nextInt(5)).map(_ =>
+              (rnd.nextInt(40).toLong, rnd.nextInt(5).toLong,
+                rnd.alphanumeric.take(4).mkString))
+            bOracle ++= rows
+            val bdf = if (widened) rows.toDF("id", "grp", vName)
+              else rows.map(r => (r._1, r._2.toInt, r._3)).toDF("id", "grp", vName)
+            GraftTable.appendToBranch(spark, root, bdf, bn)
+            if (rnd.nextBoolean()) {
+              val lo = rnd.nextInt(40).toLong
+              GraftTable.deleteWhereOnBranch(spark, root,
+                col("id") >= lo && col("id") < lo + 5, bn)
+              bOracle = bOracle.filterNot(r => r._1 >= lo && r._1 < lo + 5)
+            }
+            val bGot = GraftTable.readBranch(spark, root, bn)
+              .select(col("id"), col("grp").cast(LongType), col(vName))
+              .as[(Long, Long, String)].collect().toVector.sorted
+            assert(bGot == bOracle.sorted,
+              s"lifecycle $lc: branch read has ${bGot.size} rows vs " +
+                s"oracle ${bOracle.size} (first diff: " +
+                s"${(bGot.diff(bOracle.sorted) ++ bOracle.sorted.diff(bGot)).headOption})")
+            if (rnd.nextBoolean()) {
+              GraftTable.fastForward(root, bn)
+              oracle = bOracle
+            } else GraftTable.dropBranch(root, bn)
           case _ =>   // write-audit-publish: a staged append OR a
                       // staged CoW delete — invisible to main either
                       // way (the outer check sees the oracle); the
