@@ -17,6 +17,9 @@ import graft.functions.GraftFunctions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new graft.lake.GraftSqlParser(delegate))
+    // stored-view resolution: the analyzer piece Spark 4.1 does not
+    // yet provide for DSv2 view catalogs
+    ext.injectResolutionRule(session => graft.lake.GraftViewSubstitution(session))
     ext.injectPreCBORule(_ => graft.lake.GraftBroadcastHints)
     // preCBO: the MV rewrite needs the Aggregate still sitting on the
     // table-level V2 relation (before scan push-down erases the table)

@@ -34,6 +34,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftProcedures.parseCall(sqlText)
+      .orElse(GraftProcedures.parseViewDdl(sqlText))
       .orElse(GraftProcedures.parseAlterSpec(sqlText))
       .orElse(GraftProcedures.parseWriteOrder(sqlText))
       .orElse(GraftProcedures.parseInsertOverwriteDynamic(sqlText))
@@ -83,6 +84,60 @@ object GraftProcedures {
         case Array(v) => s"arg$i" -> unquote(v)
       }
     }.toMap
+  }
+
+  // ── catalog view DDL ────────────────────────────────────────────────
+  // Spark's own parser routes CREATE VIEW to the SESSION catalog and
+  // has no DSv2 view path yet; multi-part targets under the graft
+  // warehouse intercept here (single-part and TEMP/GLOBAL forms keep
+  // Spark's temp-view machinery — the regex requires VIEW directly
+  // after CREATE [OR REPLACE] and at least one dot in the name).
+
+  private val createViewRe =
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+((?:\w+\.)+\w+)\s+AS\s+(.+?)\s*;?\s*""".r
+  private val dropViewRe =
+    """(?is)\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?((?:\w+\.)+\w+)\s*;?\s*""".r
+
+  /** (warehouse, namespace dirs, name) for a multi-part identifier
+    * addressing a configured GraftSparkCatalog: explicit
+    * `cat.ns….name` for ANY catalog whose `spark.sql.catalog.<cat>`
+    * is GraftSparkCatalog, or bare `ns….name` under the default
+    * `graft` catalog. Reading the WAREHOUSE from the conf keyed by the
+    * identifier's own catalog name (never a hardcoded one) keeps
+    * multi-catalog sessions — and the cached-catalog-instance
+    * discipline — intact. */
+  private[lake] def graftViewAddress(spark: SparkSession,
+      t: String): Option[(String, Seq[String], String)] = {
+    val parts = t.split('.').toSeq
+    def whOf(cat: String): Option[String] =
+      spark.conf.getOption(s"spark.sql.catalog.$cat")
+        .filter(_ == "graft.lake.GraftSparkCatalog")
+        .flatMap(_ => spark.conf.getOption(s"spark.sql.catalog.$cat.warehouse"))
+    val explicit = Option.when(parts.length >= 3)(parts.head).flatMap(whOf)
+      .map(wh => (wh, parts.tail.init, parts.last))
+    explicit.orElse(
+      Option.when(parts.length >= 2)(()).flatMap(_ => whOf("graft"))
+        .map(wh => (wh, parts.init, parts.last)))
+  }
+
+  /** As graftViewAddress, but only when the namespace directory exists
+    * — the DDL-interception guard: anything else (other catalogs, hive
+    * databases) declines so Spark's own paths keep their behavior. */
+  private def viewTarget(t: String): Option[(String, Seq[String], String)] =
+    SparkSession.getActiveSession.flatMap(graftViewAddress(_, t))
+      .filter { case (wh, ns, _) =>
+        java.nio.file.Files.isDirectory(Paths.get(wh, ns: _*)) }
+
+  def parseViewDdl(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case createViewRe(orReplace, t, query) =>
+      viewTarget(t).map { case (wh, ns, name) =>
+        GraftCreateViewCommand(wh, ns, name, query, orReplace != null)
+      }
+    case dropViewRe(ifExists, t) =>
+      viewTarget(t).map { case (wh, ns, name) =>
+        GraftDropViewCommand(wh, ns, name, ifExists != null)
+      }
+    case _ => None
   }
 
   // ── row-level SQL (UPDATE / MERGE INTO) ─────────────────────────────
@@ -426,7 +481,8 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
       s"procedure $proc needs argument ${names.head} (got: ${args.keys.mkString(", ")})"))
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val root = GraftProcedures.resolveRoot(spark, required("table", "arg0"))
+    // lazy: the view procedures address the WAREHOUSE, not a table
+    lazy val root = GraftProcedures.resolveRoot(spark, required("table", "arg0"))
     proc match {
       case "rewrite_data_files" =>
         val tfs = arg("target_file_size_bytes").map(_.toLong).getOrElse(-1L)
@@ -559,6 +615,27 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         Seq(Row(s"snapshot_id=$id"))
       case "drop_tag" =>
         Seq(Row(s"snapshot_id=${GraftTable.dropTag(root, required("tag", "arg1"))}"))
+      case "view_history" =>
+        // the Iceberg view-version lineage: one row per stored version
+        val ident = required("view", "arg1")
+        val (wh, ns, vn) = GraftProcedures.graftViewAddress(spark, ident)
+          .getOrElse(throw new IllegalArgumentException(
+            s"'$ident' does not address a graft catalog view"))
+        val d = GraftViews.load(wh, ns, vn).getOrElse(
+          throw new IllegalArgumentException(s"no such view: $ident"))
+        d.versions.map(v => Row(
+          s"version=${v.versionId} current=${v.versionId == d.currentVersionId} " +
+            s"sql=${v.sql}"))
+      case "views" =>
+        val ident = required("namespace", "arg1")
+        // namespace addressing: cat.ns… or bare ns… under graft —
+        // reuse the view resolver with a placeholder leaf
+        val (wh, ns, leaf) = GraftProcedures.graftViewAddress(spark, ident + "._")
+          .getOrElse(throw new IllegalArgumentException(
+            s"'$ident' does not address a graft catalog namespace"))
+        require(leaf == "_", "internal: namespace resolution")
+        val vs = GraftViews.list(wh, ns)
+        if (vs.isEmpty) Seq(Row("views=0")) else vs.map(v => Row(v))
       case "branch_changes_view" =>
         // the branch AUDIT feed: what would publish if fast_forward ran
         val view = arg("view", "arg2").getOrElse("graft_branch_changes")
@@ -592,6 +669,37 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
             "compute_table_stats, add_files, create_branch, drop_branch, " +
             "fast_forward)")
     }
+  }
+}
+
+/** `CREATE [OR REPLACE] VIEW graft.ns.v AS <query>` → the versioned
+  * GraftViews store. The query is ANALYZED now (via spark.sql) so a
+  * broken definition fails at CREATE, and the analyzed schema is
+  * recorded as the definition-time shape; reads stay late-binding. */
+case class GraftCreateViewCommand(wh: String, ns: Seq[String], name: String,
+    query: String, orReplace: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val schema = spark.sql(query).schema   // analyze-or-fail, capture shape
+    require(!java.nio.file.Files.isDirectory(
+      Paths.get(wh, (ns :+ name): _*).resolve("_graft_log")),
+      s"cannot create view ${(ns :+ name).mkString(".")}: a table with that name exists")
+    val d = GraftViews.createOrReplace(wh, ns, name, query, schema, orReplace)
+    Seq(Row(s"view=${(ns :+ name).mkString(".")} version=${d.currentVersionId}"))
+  }
+}
+
+/** `DROP VIEW [IF EXISTS] graft.ns.v`. */
+case class GraftDropViewCommand(wh: String, ns: Seq[String], name: String,
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dropped = GraftViews.drop(wh, ns, name)
+    require(dropped || ifExists,
+      s"no such view: ${(ns :+ name).mkString(".")}")
+    Seq(Row(s"dropped=$dropped"))
   }
 }
 

@@ -44,7 +44,58 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * protocol (snapshot isolation, conflict detection) is unchanged.
   */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog with FunctionCatalog {
+    with StagingTableCatalog with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
+
+  // ── views (DSv2 ViewCatalog over the GraftViews store) ──────────────
+  // Spark 4.1's analyzer does not consult this interface yet —
+  // GraftViewSubstitution does the relation resolution — but the
+  // catalog speaks the standard API so tooling (and a future Spark)
+  // can list/load/alter graft views like any other view catalog.
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    GraftViews.list(warehouse, namespace.toSeq)
+      .map(n => Identifier.of(namespace.toArray, n)).toArray
+
+  override def loadView(ident: Identifier): org.apache.spark.sql.connector.catalog.View =
+    GraftViews.load(warehouse, ident.namespace.toSeq, ident.name)
+      .map(d => new GraftView(ident, catalogName, d))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViews.exists(warehouse, ident.namespace.toSeq, ident.name)
+
+  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    require(!isTable(rootOf(ident.namespace.toIndexedSeq, ident.name)),
+      s"cannot create view ${ident.name}: a table with that name exists")
+    val d = GraftViews.createOrReplace(warehouse, ident.namespace.toSeq,
+      ident.name, info.sql(), info.schema(), orReplace = false,
+      Option(info.properties()).map(_.asScala.toMap).getOrElse(Map.empty))
+    new GraftView(ident, catalogName, d)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val sets = changes.collect {
+      case s: ViewChange.SetProperty => s.property() -> s.value() }.toMap
+    val removes = changes.collect {
+      case r: ViewChange.RemoveProperty => r.property() }
+    val d = GraftViews.updateProperties(warehouse, ident.namespace.toSeq,
+      ident.name, sets, removes)
+    new GraftView(ident, catalogName, d)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftViews.drop(warehouse, ident.namespace.toSeq, ident.name)
+
+  override def renameView(from: Identifier, to: Identifier): Unit =
+    GraftViews.rename(warehouse, from.namespace.toSeq, from.name,
+      to.namespace.toSeq, to.name)
 
   // ── functions ───────────────────────────────────────────────────────
   // The partition transforms as catalog-loadable V2 functions. Spark's

@@ -4442,8 +4442,14 @@ object GraftTable {
     import spark.implicits._
     listCommitIds(root).map { id =>
       val c = parseCommit(Files.readString(commitPath(root, id)))
-      (c.snapshotId, c.timestampMs, c.operation, c.adds.size.toLong, c.removes.size.toLong)
-    }.toDF("snapshot_id", "committed_at_ms", "operation", "added_files", "removed_files")
+      // the Iceberg snapshot-summary record counts, straight off the
+      // commit's own adds (metadata-plane; no replay, no file reads)
+      (c.snapshotId, c.timestampMs, c.operation, c.adds.size.toLong,
+        c.removes.size.toLong,
+        c.adds.filter(_.isData).map(_.records).sum,
+        c.adds.filter(_.isDelete).map(_.records).sum)
+    }.toDF("snapshot_id", "committed_at_ms", "operation", "added_files",
+      "removed_files", "added_records", "added_delete_records")
   }
 
   private def partString(f: FileEntry): String =

@@ -503,6 +503,54 @@ object LakeOps {
     GraftTable.read(s, root).orderBy(col("c_custkey"))
   }
 
+  // ── q98: catalog-persisted versioned views, oracle-checked ──────────
+  /** The view lifecycle under the gate: a graft table holds orders, a
+    * stored view aggregates it, CREATE OR REPLACE appends a second
+    * version (the require pins the version lineage), and the final
+    * SELECT resolves through the CURRENT definition late-bound against
+    * rows appended AFTER the replace — so the oracle is the replaced
+    * SQL over the full input, recomputable by DuckDB. */
+  def q98(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch("q98-wh")
+    Files.createDirectories(Paths.get(wh))
+    // own catalog NAME (the q54/q69 discipline): Spark caches the
+    // catalog instance per name with the warehouse it first saw, so a
+    // shared name would poison every later "graft" user in-session
+    s.conf.set("spark.sql.catalog.graft_vw", "graft.lake.GraftSparkCatalog")
+    s.conf.set("spark.sql.catalog.graft_vw.warehouse", wh)
+    locally {
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_vw.lab")
+      s.sql("DROP TABLE IF EXISTS graft_vw.lab.q98")
+      s.sql("""CREATE TABLE graft_vw.lab.q98
+        (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+         o_totalprice DOUBLE)""")
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      o.filter(col("o_orderkey") % 2 === 0).createOrReplaceTempView("q98_src_a")
+      s.sql("INSERT INTO graft_vw.lab.q98 SELECT * FROM q98_src_a")
+      s.sql("DROP VIEW IF EXISTS graft_vw.lab.q98_by_status")
+      // version 1: plain count — then REPLACED by the decimal-summed
+      // aggregate both engines compute bit-identically
+      s.sql("""CREATE VIEW graft_vw.lab.q98_by_status AS
+        SELECT o_orderstatus, COUNT(*) AS n FROM graft_vw.lab.q98
+        GROUP BY o_orderstatus""")
+      s.sql("""CREATE OR REPLACE VIEW graft_vw.lab.q98_by_status AS
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM graft_vw.lab.q98 GROUP BY o_orderstatus""")
+      val hist = s.sql(
+        "CALL graft_system.view_history(view => 'graft_vw.lab.q98_by_status')").collect()
+      require(hist.length == 2 && hist.last.getString(0).contains("current=true"),
+        s"view history must show two versions, got ${hist.length}")
+      // late-binding: rows appended AFTER the replace flow through
+      o.filter(col("o_orderkey") % 2 === 1).createOrReplaceTempView("q98_src_b")
+      s.sql("INSERT INTO graft_vw.lab.q98 SELECT * FROM q98_src_b")
+      s.sql("""SELECT o_orderstatus, n, total FROM graft_vw.lab.q98_by_status
+        ORDER BY o_orderstatus""")
+    }
+  }
+
   // ── q96: one-commit MoR upsert lifecycle, oracle-checked ────────────
   /** Three OVERLAPPING keyed upsert batches (Flink's Iceberg
     * upsert-writer shape) land one commit each: an equality-delete
@@ -749,6 +797,7 @@ object LakeOps {
     "q69_lake_dpp" -> q69 _,
     "q96_lake_upsert" -> q96 _,
     "q97_lake_branch" -> q97 _,
+    "q98_lake_view" -> q98 _,
     "q67_lake_wap" -> q67 _,
     "q65_lake_spec_evolve" -> q65 _,
     "q66_lake_write_ordered" -> q66 _,
@@ -798,6 +847,12 @@ object LakeOps {
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
+
+    "q98_lake_view" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q97_lake_branch" ->
       """SELECT c_custkey, c_name, c_mktsegment

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog}
+import org.apache.spark.sql.functions._
+import graft.lake.GraftTable
+
+/** Catalog-persisted versioned SQL views (the Iceberg view-spec shape
+  * on the graft warehouse): CREATE [OR REPLACE] VIEW / DROP VIEW via
+  * the parser front door, relation resolution via the injected
+  * substitution rule (late-binding — the stored SQL re-resolves
+  * against current table state), version history, and the standard
+  * DSv2 ViewCatalog API. */
+class ViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def setup(): Unit = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.vw")
+    spark.sql("DROP TABLE IF EXISTS graft.vw.t")
+    spark.sql("CREATE TABLE graft.vw.t (id BIGINT, grp STRING, v DOUBLE)")
+    spark.sql("""INSERT INTO graft.vw.t VALUES
+      (1, 'a', 10.0), (2, 'a', 20.0), (3, 'b', 30.0)""")
+  }
+
+  test("create, select through, late-binding, versioned replace, drop") {
+    setup()
+    spark.sql("DROP VIEW IF EXISTS graft.vw.agg")
+    spark.sql("""CREATE VIEW graft.vw.agg AS
+      SELECT grp, SUM(v) AS total FROM graft.vw.t GROUP BY grp""")
+    assert(spark.sql("SELECT * FROM graft.vw.agg ORDER BY grp")
+      .as[(String, Double)].collect().toSeq == Seq(("a", 30.0), ("b", 30.0)))
+
+    // late-binding: new base rows are visible without touching the view
+    spark.sql("INSERT INTO graft.vw.t VALUES (4, 'b', 5.0)")
+    assert(spark.sql("SELECT total FROM graft.vw.agg WHERE grp = 'b'")
+      .head().getDouble(0) == 35.0)
+
+    // a view composes like any relation (joins, further aggregation)
+    assert(spark.sql("""SELECT COUNT(*) FROM graft.vw.agg a
+      JOIN graft.vw.t t ON a.grp = t.grp""").head().getLong(0) == 4L)
+
+    // CREATE without OR REPLACE refuses; OR REPLACE appends a version
+    intercept[Exception] {
+      spark.sql("CREATE VIEW graft.vw.agg AS SELECT 1 AS one") }
+    spark.sql("""CREATE OR REPLACE VIEW graft.vw.agg AS
+      SELECT grp, COUNT(*) AS n FROM graft.vw.t GROUP BY grp""")
+    assert(spark.sql("SELECT n FROM graft.vw.agg WHERE grp = 'a'")
+      .head().getLong(0) == 2L)
+    val hist = spark.sql(
+      "CALL graft_system.view_history(view => 'vw.agg')").collect()
+    assert(hist.length == 2 && hist.last.getString(0).contains("current=true"))
+
+    spark.sql("DROP VIEW graft.vw.agg")
+    intercept[Exception] { spark.sql("SELECT * FROM graft.vw.agg").collect() }
+    spark.sql("DROP VIEW IF EXISTS graft.vw.agg")   // no-op, no error
+    intercept[Exception] { spark.sql("DROP VIEW graft.vw.agg") }
+  }
+
+  test("nested views resolve; a broken definition fails at CREATE") {
+    setup()
+    spark.sql("DROP VIEW IF EXISTS graft.vw.base")
+    spark.sql("DROP VIEW IF EXISTS graft.vw.outer")
+    spark.sql("CREATE VIEW graft.vw.base AS SELECT id, v FROM graft.vw.t WHERE v > 5")
+    spark.sql("""CREATE VIEW graft.vw.outer AS
+      SELECT SUM(v) AS s FROM graft.vw.base""")
+    assert(spark.sql("SELECT s FROM graft.vw.outer").head().getDouble(0) == 60.0)
+    // analysis happens at CREATE: a bad column refuses immediately
+    intercept[Exception] {
+      spark.sql("CREATE VIEW graft.vw.bad AS SELECT nope FROM graft.vw.t") }
+    // view name may not shadow a table
+    intercept[Exception] {
+      spark.sql("CREATE VIEW graft.vw.t AS SELECT 1 AS one") }
+    // temp views keep Spark's own machinery (single-part name)
+    spark.sql("CREATE OR REPLACE TEMP VIEW tmpv AS SELECT 42 AS x")
+    assert(spark.sql("SELECT x FROM tmpv").head().getInt(0) == 42)
+  }
+
+  test("the DSv2 ViewCatalog API serves the same store") {
+    setup()
+    spark.sql("DROP VIEW IF EXISTS graft.vw.api")
+    spark.sql("CREATE VIEW graft.vw.api AS SELECT id FROM graft.vw.t")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[ViewCatalog]
+    val ident = Identifier.of(Array("vw"), "api")
+    assert(cat.viewExists(ident))
+    assert(cat.listViews("vw").map(_.name).contains("api"))
+    val v = cat.loadView(ident)
+    assert(v.query().contains("SELECT id FROM graft.vw.t"))
+    assert(v.schema().fieldNames.toSeq == Seq("id"))
+    assert(v.properties().get("current-version-id") == "1")
+    cat.renameView(ident, Identifier.of(Array("vw"), "api2"))
+    assert(!cat.viewExists(ident))
+    assert(spark.sql("SELECT COUNT(*) FROM graft.vw.api2").head().getLong(0) == 3L)
+    assert(cat.dropView(Identifier.of(Array("vw"), "api2")))
+  }
+}
