@@ -257,6 +257,10 @@ private[graft] class GraftBatchScan(
   private val dataCols: StructType =
     StructType(readDataSchema.fields.filterNot(_.name == "_row_id"))
 
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    GraftMorMetrics.supported
+
   override def createReaderFactory(): PartitionReaderFactory =
     if (plan.deletes.isEmpty && !rowIdRequested)
       GraftReaderFactory(mkParquetFactory(plan.schema, readDataSchema, pushedFilters))

@@ -72,6 +72,37 @@ private[lake] case class GraftMorWork(dv: Array[Long],
   def needsExtended: Boolean = hasDeletes || rowId != GraftNoLineage
 }
 
+/** DSv2 custom metrics: per-task delete-filter observability for the
+  * native MoR read, surfaced in the Spark UI / SQLMetrics next to the
+  * built-in scan numbers. Sum-aggregated across tasks. One CONCRETE
+  * 0-arg class per metric: SQLAppStatusListener re-instantiates the
+  * metric BY CLASS NAME on the driver to aggregate task values. */
+class GraftMorDeletedRowsMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = GraftMorMetrics.deletedRows
+  override def description(): String =
+    "rows filtered by MoR deletes (deletion vectors + equality keys)"
+}
+
+class GraftMorDirtyFilesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = GraftMorMetrics.dirtyFiles
+  override def description(): String = "data files read with delete work attached"
+}
+
+private[lake] case class GraftTaskMetric(metricName: String, v: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = v
+}
+
+private[lake] object GraftMorMetrics {
+  val deletedRows = "graftMorDeletedRows"
+  val dirtyFiles = "graftMorFilesWithDeletes"
+  def supported: Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new GraftMorDeletedRowsMetric, new GraftMorDirtyFilesMetric)
+}
+
 private[lake] case class GraftMorReaderFactory(
     plain: ParquetPartitionReaderFactory,
     extended: ParquetPartitionReaderFactory,
@@ -350,6 +381,8 @@ private[lake] class GraftMorColumnarReader(files: Array[PartitionedFile],
   private var work: GraftMorWork = _
   private var dvCursor = 0
   private var out: ColumnarBatch = _
+  private var deletedRows = 0L
+  private var dirtyFiles = 0L
 
   private def advanceFile(): Boolean = {
     i += 1
@@ -357,9 +390,15 @@ private[lake] class GraftMorColumnarReader(files: Array[PartitionedFile],
     else {
       val (r, w) = fac.columnarFor(files(i))
       cur = r; work = w; dvCursor = 0
+      if (w != null && w.hasDeletes) dirtyFiles += 1
       true
     }
   }
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector
+      .metric.CustomTaskMetric] = Array(
+    GraftTaskMetric(GraftMorMetrics.deletedRows, deletedRows),
+    GraftTaskMetric(GraftMorMetrics.dirtyFiles, dirtyFiles))
 
   override def next(): Boolean = {
     while (true) {
@@ -398,6 +437,7 @@ private[lake] class GraftMorColumnarReader(files: Array[PartitionedFile],
         r += 1
       }
       dvCursor = c
+      deletedRows += n - k
       if (k == 0) return null
       if (k == n) map = null   // nothing filtered: direct views
     }
@@ -436,6 +476,8 @@ private[lake] class GraftMorRowReader(files: Array[PartitionedFile],
   private var work: GraftMorWork = _
   private var dvCursor = 0
   private var out: InternalRow = _
+  private var deletedRows = 0L
+  private var dirtyFiles = 0L
   private val projected = new GraftProjectedRow(fac.outCols)
 
   private def advanceFile(): Boolean = {
@@ -444,9 +486,15 @@ private[lake] class GraftMorRowReader(files: Array[PartitionedFile],
     else {
       val (r, w) = fac.rowFor(files(i))
       cur = r; work = w; dvCursor = 0
+      if (w != null && w.hasDeletes) dirtyFiles += 1
       true
     }
   }
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector
+      .metric.CustomTaskMetric] = Array(
+    GraftTaskMetric(GraftMorMetrics.deletedRows, deletedRows),
+    GraftTaskMetric(GraftMorMetrics.dirtyFiles, dirtyFiles))
 
   override def next(): Boolean = {
     while (true) {
@@ -462,7 +510,7 @@ private[lake] class GraftMorRowReader(files: Array[PartitionedFile],
           dvCursor = c
           val dead = (c < dv.length && dv(c) == idx) ||
             (work.eqs.nonEmpty && fac.eqDeadRow(row, work))
-          if (dead) { /* skip */ }
+          if (dead) { deletedRows += 1 }
           else { emit(row, idx); return true }
         } else { emit(row, idx); return true }
       } else { cur.close(); cur = null }

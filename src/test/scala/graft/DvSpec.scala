@@ -194,6 +194,45 @@ class DvSpec extends SparkSpec {
     assert(dvBytes < stackedBytes, "the bitmap container must be smaller")
   }
 
+  test("native scan reports delete-filter custom metrics (SQLMetrics)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    spark.sql("DROP TABLE IF EXISTS graft.dv.m")
+    spark.sql("""CREATE TABLE graft.dv.m (id BIGINT, v DOUBLE)
+      |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    (0L until 10000L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .coalesce(2).createOrReplaceTempView("m_src")
+    spark.sql("INSERT INTO graft.dv.m SELECT * FROM m_src")
+    GraftTable.deleteWhereMoR(spark, root("m"), col("id") % 4 === 0)   // 2500 rows
+    GraftTable.rewriteDeletesToDV(spark, root("m"))
+
+    val q = spark.sql("SELECT SUM(v) AS s FROM graft.dv.m")
+    // collect(), not head(): head() builds a separate LIMIT query
+    // execution, leaving q's own plan (whose metrics we assert) unrun
+    assert(q.collect()(0).getDouble(0) ==
+      (0L until 10000L).filter(_ % 4 != 0).map(_ * 1.0).sum)
+    Thread.sleep(300)   // let task-completion accumulator updates land
+    // deep traversal: AQE hides the scan inside materialized query
+    // stages, which read as LEAVES of the final plan
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: allNodes(s.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val scanMetrics = allNodes(q.queryExecution.executedPlan)
+      .filter(_.isInstanceOf[org.apache.spark.sql.execution.datasources
+        .v2.BatchScanExec])
+      .flatMap(_.metrics).toMap
+    assert(scanMetrics.contains("graftMorDeletedRows"),
+      s"custom metric missing; have ${scanMetrics.keys.mkString(", ")}")
+    assert(scanMetrics("graftMorDeletedRows").value == 2500L,
+      s"deleted-rows metric: ${scanMetrics("graftMorDeletedRows").value}")
+    assert(scanMetrics("graftMorFilesWithDeletes").value == 2L,
+      s"dirty-files metric: ${scanMetrics("graftMorFilesWithDeletes").value}")
+  }
+
   test("SQL front door: CALL rewrite_position_deletes(mode => 'dv')") {
     freshMor("t5")
     spark.sql("DELETE FROM graft.dv.t5 WHERE c_acctbal < 0")
