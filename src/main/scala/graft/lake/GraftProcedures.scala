@@ -595,8 +595,13 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
       case "create_branch" =>
         // default base = the MAIN head (the same rule as create_tag:
         // off-main snapshots are not forkable lineage)
-        val id = GraftTable.createBranch(root, required("branch", "arg1"),
-          arg("snapshot_id", "arg2").map(_.toLong))
+        val id = arg("max_ref_age_ms").map(_.toLong) match {
+          case Some(maxAge) => GraftTable.createBranchRetained(root,
+            required("branch", "arg1"), maxAge,
+            arg("snapshot_id", "arg2").map(_.toLong))
+          case None => GraftTable.createBranch(root, required("branch", "arg1"),
+            arg("snapshot_id", "arg2").map(_.toLong))
+        }
         Seq(Row(s"snapshot_id=$id"))
       case "drop_branch" =>
         Seq(Row(s"snapshot_id=${GraftTable.dropBranch(root, required("branch", "arg1"))}"))
@@ -608,10 +613,13 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
           required("branch", "arg1"))}"))
       case "create_tag" =>
         // default = the MAIN head (a pending staged commit at the raw
-        // log head is not taggable lineage)
+        // log head is not taggable lineage); max_ref_age_ms = the
+        // Iceberg RETAIN clause — this tag ages out of
+        // expire_snapshots after that long
         val id = GraftTable.createTag(root, required("tag", "arg1"),
           arg("snapshot_id", "arg2").map(_.toLong)
-            .getOrElse(GraftTable.state(root).snapshotId))
+            .getOrElse(GraftTable.state(root).snapshotId),
+          arg("max_ref_age_ms").map(_.toLong))
         Seq(Row(s"snapshot_id=$id"))
       case "drop_tag" =>
         Seq(Row(s"snapshot_id=${GraftTable.dropTag(root, required("tag", "arg1"))}"))

@@ -114,11 +114,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         .NoSuchFunctionException(ident)
     }
 
-  // ALTER TABLE … ADD/DROP CONSTRAINT routes through the catalog only
-  // when it declares the capability; without it Spark refuses at
-  // analysis time
+  // ALTER TABLE … ADD/DROP CONSTRAINT and column DEFAULTs route
+  // through the catalog only when it declares the capability; without
+  // it Spark refuses at analysis time
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private var catalogName: String = "graft"
   private var warehouse: String = _
@@ -326,9 +327,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     if (!replace && isTable(finalRoot)) throw new TableAlreadyExistsException(ident)
     if (mustExist && !isTable(finalRoot)) throw new NoSuchTableException(ident)
     // (CatalogV2Util.v2ColumnsToStructType is private[sql]); COMMENTs
-    // ride along as StructField metadata so CTAS doesn't drop them
+    // and column DEFAULTs ride along as StructField metadata so
+    // CREATE/REPLACE with explicit columns doesn't drop them
     val schema = StructType(columns.map { c =>
-      val f = org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+      Option(c.defaultValue()).foreach { dv =>
+        md.putString(GraftTable.currentDefaultKey,
+          Option(dv.getSql).getOrElse(connectorLiteralSql(dv.getValue)))
+        md.putString(GraftTable.existsDefaultKey, connectorLiteralSql(dv.getValue))
+      }
+      val f = org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable(), md.build())
       Option(c.comment()).fold(f)(f.withComment)
     })
     Files.createDirectories(stagingDirOf)
@@ -359,6 +368,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** Render the analyzer's folded connector literal back to SQL text —
+    * the frozen representation EXISTS_DEFAULT stores. LiteralValue
+    * carries the INTERNAL value, which the catalyst Literal
+    * constructor takes as-is. */
+  private def connectorLiteralSql(l: VLiteral[_]): String =
+    org.apache.spark.sql.catalyst.expressions.Literal(l.value, l.dataType).sql
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     requireExternal(ident)
     val root = rootOf(ident.namespace.toIndexedSeq, ident.name)
@@ -371,11 +387,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val widens = changes.collect { case u: TableChange.UpdateColumnType => u }
     val addCons = changes.collect { case a: TableChange.AddConstraint => a }
     val dropCons = changes.collect { case d: TableChange.DropConstraint => d }
+    val setDefaults = changes.collect { case u: TableChange.UpdateColumnDefaultValue => u }
     val known = changes.count {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty |
            _: TableChange.AddColumn | _: TableChange.RenameColumn |
            _: TableChange.DeleteColumn | _: TableChange.UpdateColumnType |
-           _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
+           _: TableChange.AddConstraint | _: TableChange.DropConstraint |
+           _: TableChange.UpdateColumnDefaultValue => true
       case _ => false
     }
     require(known == changes.length,
@@ -383,15 +401,41 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         case _: TableChange.SetProperty | _: TableChange.RemoveProperty |
              _: TableChange.AddColumn | _: TableChange.RenameColumn |
              _: TableChange.DeleteColumn | _: TableChange.UpdateColumnType |
-             _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
+             _: TableChange.AddConstraint | _: TableChange.DropConstraint |
+             _: TableChange.UpdateColumnDefaultValue => true
         case _ => false
       }.mkString(", ")}")
     require(removes.isEmpty, "UNSET TBLPROPERTIES is not supported (properties are additive commits)")
     if (sets.nonEmpty) GraftTable.setProperties(root, sets.toMap)
     adds.foreach { a =>
       require(a.fieldNames.length == 1, "nested ADD COLUMN not supported")
+      // DEFAULT: the write-default is the declared SQL text; the
+      // initial default is the analyzer's FOLDED literal, frozen here
+      // forever (Iceberg v3 initial-default). Both live in the
+      // field's metadata under Spark's own resolver keys, so SQL
+      // INSERT defaults and parquet missing-column fills both engage
+      // with no further wiring (GraftTable Scaladoc has the design).
+      val md = Option(a.defaultValue()).map { dv =>
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(GraftTable.currentDefaultKey,
+            Option(dv.getSql).getOrElse(connectorLiteralSql(dv.getValue)))
+          .putString(GraftTable.existsDefaultKey, connectorLiteralSql(dv.getValue))
+          .build()
+      }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
       GraftTable.addColumn(root,
-        org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType, a.isNullable))
+        org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
+          a.isNullable, md))
+    }
+    setDefaults.foreach { u =>
+      require(u.fieldNames.length == 1, "nested ALTER COLUMN not supported")
+      // SET DEFAULT carries a DefaultValue (sql and/or expression);
+      // DROP DEFAULT arrives as an absent/empty default → None
+      val sql = Option(u.newCurrentDefault()).flatMap {
+          case cdv: ColumnDefaultValue =>
+            Option(cdv.getSql).orElse(Some(connectorLiteralSql(cdv.getValue)))
+          case dv => Option(dv.getSql)
+        }.orElse(Option(u.newDefaultValue()).map(_.trim).filter(_.nonEmpty))
+      GraftTable.setColumnDefault(root, u.fieldNames.head, sql)
     }
     renames.foreach { r =>
       require(r.fieldNames.length == 1, "nested RENAME COLUMN not supported")

@@ -751,6 +751,7 @@ object GraftTable {
     // MoR row identity through reads — user columns must not collide
     schema.fieldNames.filter(n => n.startsWith("_gp_") || n.startsWith("_gf")).foreach(n =>
       throw new IllegalArgumentException(s"column name '$n' uses a reserved graft prefix"))
+    schema.fields.foreach(validateFieldDefaults)
     val c = Commit(0L, None, System.currentTimeMillis(), "create",
       Seq.empty, Seq.empty, properties, Some(schema.json))
     writeAtomic(commitPath(root, 0L), toJson(c))
@@ -1340,6 +1341,7 @@ object GraftTable {
     // here the honest answer is to refuse until a full rewrite retires
     // the old physical name
     requireFreshPhysicalName(snap, cur, field.name)
+    validateFieldDefaults(field)
     val id = snap.snapshotId + 1   // planned against snap: conflicts fail loudly
     val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "add_column",
       Seq.empty, Seq.empty, Map.empty, Some(cur.add(field).json))
@@ -1401,6 +1403,100 @@ object GraftTable {
     props.get(droppedColsProp).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
 
+  // ── default column values (the Iceberg v3 initial/write defaults) ──
+  // Stored under Spark's OWN resolver metadata keys, which makes both
+  // halves of the feature fall out of machinery that already exists:
+  //   EXISTS_DEFAULT  (initial-default) — Spark's parquet readers fill
+  //     a requested column that is PHYSICALLY ABSENT from a file with
+  //     this frozen literal, per file. A file written before the ADD
+  //     COLUMN lacks the column → every row reads the default; a file
+  //     written after carries it → explicit NULLs stay NULL. That is
+  //     exactly Iceberg's initial-default read rule, with the file's
+  //     own schema as the sequence discriminator — no per-file joins.
+  //   CURRENT_DEFAULT (write-default) — Spark's analyzer fills omitted
+  //     columns in SQL INSERTs from this key; graft's own append paths
+  //     materialize it via fillWriteDefaults, so data files always
+  //     physically carry defaulted columns and a later SET DEFAULT
+  //     never rewrites history.
+  private[lake] val existsDefaultKey = "EXISTS_DEFAULT"
+  private[lake] val currentDefaultKey = "CURRENT_DEFAULT"
+
+  private[lake] def existsDefault(f: StructField): Option[String] =
+    if (f.metadata.contains(existsDefaultKey))
+      Some(f.metadata.getString(existsDefaultKey)) else None
+
+  private[lake] def currentDefault(f: StructField): Option[String] =
+    if (f.metadata.contains(currentDefaultKey))
+      Some(f.metadata.getString(currentDefaultKey)) else None
+
+  /** A default must be a literal the column's type can hold: parse,
+    * fold, cast — loudly, at DDL time, never at read time. */
+  private def validateDefault(name: String, dt: DataType, sql: String): Unit = {
+    val e = scala.util.Try(
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql))
+      .getOrElse(throw new IllegalArgumentException(
+        s"default for '$name' does not parse: $sql"))
+    require(e.foldable, s"default for '$name' must be a constant expression: $sql")
+    scala.util.Try(org.apache.spark.sql.catalyst.expressions.Cast(
+      e, dt, Some("UTC")).eval()).getOrElse(
+      throw new IllegalArgumentException(
+        s"default for '$name' does not fit ${dt.simpleString}: $sql"))
+  }
+
+  private def validateFieldDefaults(f: StructField): Unit = {
+    existsDefault(f).foreach(validateDefault(f.name, f.dataType, _))
+    currentDefault(f).foreach(validateDefault(f.name, f.dataType, _))
+  }
+
+  /** Materialize write-defaults for columns the incoming frame OMITS,
+    * so every data file physically carries its defaulted columns and
+    * EXISTS_DEFAULT only ever serves files that predate the column.
+    * A column with an initial default but NO current one (DROP
+    * DEFAULT) must materialize explicit NULLs for the same reason —
+    * leaving it out of the file would read back as the initial
+    * default. Columns with no defaults at all stay omitted — reads
+    * null-fill them, same as before. */
+  private def fillWriteDefaults(df: DataFrame, schema: StructType): DataFrame =
+    schema.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
+      else currentDefault(f) match {
+        case Some(sql) => d.withColumn(f.name, expr(sql).cast(f.dataType))
+        case None if existsDefault(f).isDefined =>
+          d.withColumn(f.name, lit(null).cast(f.dataType))
+        case None => d
+      }
+    }
+
+  /** ALTER TABLE ... ALTER COLUMN SET/DROP DEFAULT — updates the
+    * WRITE default only. The initial default (EXISTS_DEFAULT) is
+    * frozen at ADD COLUMN time, like Iceberg's initial-default: rows
+    * that predate the column must read the same value forever. */
+  def setColumnDefault(root: String, name: String, default: Option[String]): Long = {
+    val snap = state(root)
+    val cur = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val idx = cur.fields.indexWhere(_.name.equalsIgnoreCase(name))
+    require(idx >= 0, s"no such column: $name")
+    val f = cur.fields(idx)
+    default.foreach(validateDefault(f.name, f.dataType, _))
+    val mb = new MetadataBuilder().withMetadata(f.metadata)
+    default match {
+      case Some(sql) => mb.putString(currentDefaultKey, sql)
+      case None => mb.remove(currentDefaultKey)
+    }
+    val ns = StructType(cur.fields.updated(idx,
+      StructField(f.name, f.dataType, f.nullable, mb.build())))
+    // bump-free like addColumn (no commitEvolution): a pinned-schema
+    // stream never sees write-defaults — appended files carry every
+    // schema column physically — so killing live streams here would
+    // be pure collateral
+    val id = snap.snapshotId + 1
+    val c = Commit(id, Some(id - 1), System.currentTimeMillis(), "set_default",
+      Seq.empty, Seq.empty, Map.empty, Some(ns.json))
+    writeAtomic(commitPath(root, id), toJson(c))
+    id
+  }
+
   /** Rename/drop preconditions shared with addColumn: the name must
     * not collide with any live logical name, any historical physical
     * name, or a dropped column's tombstone. */
@@ -1448,6 +1544,14 @@ object GraftTable {
     val f = cur.fields(idx)
     requireEvolvable(snap, f.name, "rename")
     requireUnconstrained(snap.properties, f.name, "rename")
+    // a renamed defaulted column would request the NEW name from old
+    // files — absent there, so the reader fills the default, and the
+    // rename coalesce would take it over the real values sitting under
+    // the old physical name. Refuse, same philosophy as
+    // requireFreshPhysicalName: honest until a rewrite materializes.
+    require(existsDefault(f).isEmpty,
+      s"cannot rename '$from': it carries an initial default " +
+        "(a full rewrite_data_files materializes it and re-opens rename)")
     val md = new org.apache.spark.sql.types.MetadataBuilder()
       .withMetadata(f.metadata)
       .putStringArray(prevNamesKey, (prevNames(f) :+ f.name).toArray)
@@ -1579,7 +1683,9 @@ object GraftTable {
       snap: Snapshot, commitProps: Map[String, String]): Long = {
     val conformed = conformAppendSchema(root, df, snap)
     val id = conformed.snapshotId + 1
-    val adds = writeDataFiles(spark, root, distribute(df, conformed.properties), id,
+    val filled = fillWriteDefaults(df, DataType.fromJson(conformed.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType])
+    val adds = writeDataFiles(spark, root, distribute(filled, conformed.properties), id,
       conformed.properties)
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "append", adds, Seq.empty, commitProps, None))
@@ -1872,7 +1978,9 @@ object GraftTable {
       "dynamic partition overwrite needs a declared partition spec " +
         s"($specProp); use overwriteWhere/truncate on unpartitioned tables")
     val id = snap.snapshotId + 1
-    val adds = writeDataFiles(spark, root, distribute(df, snap.properties), id, snap.properties)
+    val filled = fillWriteDefaults(df, DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType])
+    val adds = writeDataFiles(spark, root, distribute(filled, snap.properties), id, snap.properties)
     val newTuples = adds.flatMap(_.partition).toSet
     val removes = snap.files.filter(f =>
       f.isData && f.partition.exists(newTuples.contains))
@@ -2348,7 +2456,8 @@ object GraftTable {
           s"upsert batch carries duplicate keys on (${keyCols.mkString(", ")}) — " +
             "dedupe to one version per key first (same contract as merge)")
         val dataAdds = writeDataFiles(spark, root,
-          distribute(persisted, snap.properties), id, snap.properties)
+          distribute(fillWriteDefaults(persisted, schema), snap.properties),
+          id, snap.properties)
         val eqAdds = stageEqualityKeys(spark, root, keys, keyCols, id,
           snap.properties, schema)
         commitOrCleanup(root, id, Commit(id, Some(id - 1),
@@ -4561,13 +4670,25 @@ object GraftTable {
     * every tag. */
   def refsTable(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
+    val props = state(root).properties
+    def retention(kind: String, n: String, sid: Long): (Option[Long], Option[Long]) = {
+      val (created, over) = refRetention(root, props, kind, n, sid)
+      (Some(created).filter(_ > 0L), over.orElse(refLongProp(props, tableMaxRefAgeProp)))
+    }
     // main = the main-lineage head, which a pending staged (WAP)
-    // commit or a branch write at the raw log head does not advance
-    (Seq(("main", "BRANCH", state(root).snapshotId)) ++
-      branches(root).keys.toSeq.sorted.map(n =>
-        (n, "BRANCH", branchHeadId(root, n))) ++
-      tags(root).toSeq.sortBy(_._1).map { case (n, id) => (n, "TAG", id) })
-      .toDF("name", "type", "snapshot_id")
+    // commit or a branch write at the raw log head does not advance;
+    // it is not a property ref and never carries a retention
+    (Seq(("main", "BRANCH", state(root).snapshotId,
+        None: Option[Long], None: Option[Long])) ++
+      branches(root).toSeq.sortBy(_._1).map { case (n, base) =>
+        val (c, m) = retention("branch", n, base)
+        (n, "BRANCH", branchHeadId(root, n), c, m)
+      } ++
+      tags(root).toSeq.sortBy(_._1).map { case (n, id) =>
+        val (c, m) = retention("tag", n, id)
+        (n, "TAG", id, c, m)
+      })
+      .toDF("name", "type", "snapshot_id", "created_at_ms", "max_ref_age_ms")
   }
 
   // ── tags (immutable named snapshot refs) ────────────────────────────
@@ -4577,13 +4698,43 @@ object GraftTable {
   // and CDC-skip exactly like any other metadata change; an empty
   // value marks a dropped tag (properties only ever merge forward).
 
-  def createTag(root: String, name: String, snapshotId: Long): Long = {
+  // ── ref retention (Iceberg's max-ref-age rule) ──────────────────────
+  // Every ref records its creation time; a per-ref RETAIN override or
+  // the table-level `history.expire.max-ref-age-ms` property lets
+  // expire_snapshots age refs out (main never expires). Companion
+  // properties ride the same merge-forward machinery as the ref
+  // itself; "" marks them dropped.
+  private def refCreatedKey(kind: String, name: String) = s"graft.ref.created.$kind.$name"
+  private def refMaxAgeKey(kind: String, name: String) = s"graft.ref.maxage.$kind.$name"
+  private[lake] val tableMaxRefAgeProp = "history.expire.max-ref-age-ms"
+  private[lake] val minSnapshotsProp = "history.expire.min-snapshots-to-keep"
+
+  private def refLongProp(props: Map[String, String], key: String): Option[Long] =
+    props.get(key).filter(_.nonEmpty).flatMap(_.toLongOption)
+
+  /** (createdAtMs, maxRefAgeMs override) for a live ref. A ref from
+    * before creation stamps existed falls back to its snapshot's
+    * commit timestamp — conservative for tags created late on old
+    * snapshots, but those predate the feature by definition. */
+  private def refRetention(root: String, props: Map[String, String],
+      kind: String, name: String, snapshotId: Long): (Long, Option[Long]) = {
+    val created = refLongProp(props, refCreatedKey(kind, name)).getOrElse {
+      val p = commitPath(root, snapshotId)
+      if (Files.exists(p)) parseCommit(Files.readString(p)).timestampMs else 0L
+    }
+    (created, refLongProp(props, refMaxAgeKey(kind, name)))
+  }
+
+  def createTag(root: String, name: String, snapshotId: Long,
+      maxRefAgeMs: Option[Long] = None): Long = {
     require(listCommitIds(root).contains(snapshotId),
       s"cannot tag snapshot $snapshotId: not in log")
     require(!isStagedId(root, snapshotId),
       s"cannot tag staged (WAP) snapshot $snapshotId: publish it first")
     require(!tags(root).contains(name), s"tag '$name' already exists")
-    setProperties(root, Map(s"graft.ref.tag.$name" -> snapshotId.toString))
+    setProperties(root, Map(s"graft.ref.tag.$name" -> snapshotId.toString,
+      refCreatedKey("tag", name) -> System.currentTimeMillis().toString) ++
+      maxRefAgeMs.map(refMaxAgeKey("tag", name) -> _.toString))
   }
 
   def dropTag(root: String, name: String): Long = {
@@ -4591,7 +4742,8 @@ object GraftTable {
     // must still be droppable, or the table could never be repaired
     val key = s"graft.ref.tag.$name"
     require(state(root).properties.get(key).exists(_.nonEmpty), s"no such tag: '$name'")
-    setProperties(root, Map(key -> ""))
+    setProperties(root, Map(key -> "",
+      refCreatedKey("tag", name) -> "", refMaxAgeKey("tag", name) -> ""))
   }
 
   def tags(root: String): Map[String, Long] =
@@ -4675,7 +4827,17 @@ object GraftTable {
     require(!branches(root).contains(name), s"branch '$name' already exists")
     require(!tags(root).contains(name),
       s"a tag named '$name' already exists — refs share one namespace")
-    setProperties(root, Map(branchRefKey(name) -> base.toString))
+    setProperties(root, Map(branchRefKey(name) -> base.toString,
+      refCreatedKey("branch", name) -> System.currentTimeMillis().toString))
+  }
+
+  /** createBranch with a per-ref retention override (RETAIN n): the
+    * branch expires out of expire_snapshots once older than
+    * `maxRefAgeMs`, regardless of the table-level default. */
+  def createBranchRetained(root: String, name: String, maxRefAgeMs: Long,
+      snapshotId: Option[Long] = None): Long = {
+    createBranch(root, name, snapshotId)
+    setProperties(root, Map(refMaxAgeKey("branch", name) -> maxRefAgeMs.toString))
   }
 
   /** Drop a branch ref. Its commits stay in the log (skipped by every
@@ -4685,7 +4847,8 @@ object GraftTable {
     val key = branchRefKey(name)
     require(state(root).properties.get(key).exists(_.nonEmpty),
       s"no such branch: '$name'")
-    setProperties(root, Map(key -> ""))
+    setProperties(root, Map(key -> "",
+      refCreatedKey("branch", name) -> "", refMaxAgeKey("branch", name) -> ""))
   }
 
   /** The branch's head snapshot id: its newest commit in the current
@@ -4717,7 +4880,9 @@ object GraftTable {
     val snap = conformAppendSchema(root, df, state(root, Some(head)),
       allowEvolution = false)
     val id = math.max(snap.snapshotId, listCommitIds(root).max) + 1
-    val adds = writeDataFiles(spark, root, distribute(df, snap.properties), id,
+    val filled = fillWriteDefaults(df, DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType])
+    val adds = writeDataFiles(spark, root, distribute(filled, snap.properties), id,
       snap.properties)
     commitOrCleanup(root, id, Commit(id, Some(snap.snapshotId),
       System.currentTimeMillis(), "branch_append", adds, Seq.empty,
@@ -4892,7 +5057,9 @@ object GraftTable {
     // stages under one wap id, published together by cherrypickWap),
     // while main data writes still block on the first pending stage
     val id = math.max(snap.snapshotId, listCommitIds(root).max) + 1
-    val adds = writeDataFiles(spark, root, distribute(df, snap.properties), id, snap.properties)
+    val filled = fillWriteDefaults(df, DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType])
+    val adds = writeDataFiles(spark, root, distribute(filled, snap.properties), id, snap.properties)
     commitOrCleanup(root, id, Commit(id, Some(snap.snapshotId),
       System.currentTimeMillis(), "wap_append", adds, Seq.empty,
       Map(wapStagedProp -> "true", wapIdProp -> wapId), None))
@@ -5241,9 +5408,14 @@ object GraftTable {
       props: Map[String, String]): (Option[String], Map[String, String]) = {
     // graft.was-float retires on the same condition: once no surviving
     // file carries float-rendered stats, the conservative two-way
-    // bounds are pure pruning loss — reclaim exact pruning
+    // bounds are pure pruning loss — reclaim exact pruning.
+    // EXISTS_DEFAULT (initial-default) retires too: the rewrite read
+    // materialized the default into every surviving file, so no file
+    // can be missing the column any more — and retiring it re-opens
+    // RENAME for the column. CURRENT_DEFAULT (write-default) stays.
     def stale(f: StructField): Boolean =
-      prevNames(f).nonEmpty || f.metadata.contains(wasFloatKey)
+      prevNames(f).nonEmpty || f.metadata.contains(wasFloatKey) ||
+        f.metadata.contains(existsDefaultKey)
     val hasPrev = schema.fields.exists(stale)
     val hasTombs = droppedCols(props).nonEmpty
     val cleanedJson =
@@ -5251,7 +5423,8 @@ object GraftTable {
       else Some(StructType(schema.fields.map { f =>
         if (!stale(f)) f
         else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata).remove(prevNamesKey).remove(wasFloatKey).build())
+          .withMetadata(f.metadata).remove(prevNamesKey).remove(wasFloatKey)
+          .remove(existsDefaultKey).build())
       }).json)
     (cleanedJson, if (hasTombs) Map(droppedColsProp -> "") else Map.empty)
   }
@@ -5651,15 +5824,50 @@ object GraftTable {
   /** expire_snapshots (reference: SPARK_ICEBERG_GUIDE.md §8.5):
     * checkpoint at the cutoff, then drop older commits/checkpoints.
     * Time travel before the cutoff correctly fails afterwards. */
-  def expireSnapshots(root: String, retainLast: Int): Unit = {
+  def expireSnapshots(root: String, retainLast: Int): Unit =
+    expireSnapshots(root, retainLast, System.currentTimeMillis())
+
+  /** Drop refs older than their retention (per-ref RETAIN override,
+    * else `history.expire.max-ref-age-ms`) — Iceberg's max-ref-age
+    * rule, the half of expiry that UNpins: an aged-out tag or branch
+    * stops protecting its snapshots in the same pass. `main` (the
+    * live head) is not a property ref and never expires. Returns the
+    * dropped ref names. */
+  private def expireAgedRefs(root: String, nowMs: Long): Seq[String] = {
+    val props = state(root).properties
+    val tableMax = refLongProp(props, tableMaxRefAgeProp)
+    def aged(kind: String, refs: Map[String, Long]): Seq[(String, String)] =
+      refs.toSeq.flatMap { case (n, sid) =>
+        val (created, over) = refRetention(root, props, kind, n, sid)
+        over.orElse(tableMax).collect {
+          case maxAge if nowMs - created > maxAge => kind -> n
+        }
+      }
+    val victims = aged("tag", tags(root)) ++ aged("branch", branches(root))
+    if (victims.nonEmpty)
+      setProperties(root, victims.flatMap { case (kind, n) =>
+        val refKey = if (kind == "tag") s"graft.ref.tag.$n" else branchRefKey(n)
+        Seq(refKey -> "", refCreatedKey(kind, n) -> "", refMaxAgeKey(kind, n) -> "")
+      }.toMap)
+    victims.map(_._2)
+  }
+
+  def expireSnapshots(root: String, retainLast: Int, nowMs: Long): Unit = {
+    expireAgedRefs(root, nowMs)
+    // `history.expire.min-snapshots-to-keep` is a floor the caller's
+    // retain_last cannot cut under (Iceberg's branch-retention knob,
+    // table-level here — graft's main IS the branch being expired)
+    val retain = math.max(retainLast,
+      refLongProp(state(root).properties, minSnapshotsProp)
+        .map(_.toInt).getOrElse(0))
     val ids = listCommitIds(root)
-    if (ids.size <= retainLast) return
+    if (ids.size <= retain) return
     // tagged snapshots are pinned (Iceberg's ref-retention rule),
     // and so is every live branch's base — a branch replay seeds from
     // checkpoints at or before its base, so the base must survive
     // (branch COMMITS sit above their base and survive a fortiori)
     val pinned = tags(root).values ++ branches(root).values
-    var cutoff = math.min(ids.sorted.takeRight(retainLast).head,
+    var cutoff = math.min(ids.sorted.takeRight(retain).head,
       if (pinned.isEmpty) Long.MaxValue else pinned.min)
     // the cutoff becomes a CHECKPOINT of the main lineage — never
     // seed it from a staged (WAP) or branch commit's state

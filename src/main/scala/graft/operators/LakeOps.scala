@@ -551,6 +551,80 @@ object LakeOps {
     }
   }
 
+  // ── q99: column defaults lifecycle (Iceberg v3 semantics) ───────────
+  /** The full default-value story on one table, row-level-oracled:
+    * pre-add files read back the frozen initial default, a
+    * write-default fills an INSERT that omits the column, explicit
+    * values and explicit NULLs pass through untouched, and SET
+    * DEFAULT redirects only FUTURE omitted writes. Every row's
+    * priority_class is a pure function of (o_orderkey, o_totalprice),
+    * so DuckDB reconstructs the exact table from orders alone. */
+  def q99(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch("q99-wh")
+    Files.createDirectories(Paths.get(wh))
+    // own catalog NAME (the q54/q69/q98 discipline): a shared "graft"
+    // would cache this scratch warehouse for every later user
+    s.conf.set("spark.sql.catalog.graft_def", "graft.lake.GraftSparkCatalog")
+    s.conf.set("spark.sql.catalog.graft_def.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_def.lab")
+    s.sql("DROP TABLE IF EXISTS graft_def.lab.t")
+    s.sql("CREATE TABLE graft_def.lab.t (o_orderkey BIGINT, o_totalprice DOUBLE)")
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      .createOrReplaceTempView("q99_src")
+    // wave 0 lands BEFORE the column exists → initial default on read
+    s.sql("INSERT INTO graft_def.lab.t SELECT * FROM q99_src WHERE o_orderkey % 4 = 0")
+    s.sql("""ALTER TABLE graft_def.lab.t
+      ADD COLUMN priority_class STRING DEFAULT 'standard'""")
+    // wave 1 omits the column → write-default, materialized in-file
+    s.sql("""INSERT INTO graft_def.lab.t (o_orderkey, o_totalprice)
+      SELECT * FROM q99_src WHERE o_orderkey % 4 = 1""")
+    // wave 2 writes explicit values INCLUDING explicit NULLs — which
+    // must stay NULL (defaults are per-file, never per-null)
+    s.sql("""INSERT INTO graft_def.lab.t
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_totalprice > 150000.0 THEN 'high' ELSE NULL END
+      FROM q99_src WHERE o_orderkey % 4 = 2""")
+    s.sql("ALTER TABLE graft_def.lab.t ALTER COLUMN priority_class SET DEFAULT 'bulk'")
+    // wave 3 omits again → the NEW write-default; wave 0 must still
+    // read 'standard' (the initial default is frozen at ADD COLUMN)
+    s.sql("""INSERT INTO graft_def.lab.t (o_orderkey, o_totalprice)
+      SELECT * FROM q99_src WHERE o_orderkey % 4 = 3""")
+    s.sql("""SELECT o_orderkey, o_totalprice, priority_class
+      FROM graft_def.lab.t ORDER BY o_orderkey""")
+  }
+
+  // ── q100: ref-retention lifecycle (Iceberg max-ref-age) ─────────────
+  /** Tags and branches age OUT of expiry: a short-RETAIN tag and
+    * branch pin history only until the injected clock passes their
+    * retention, then one expire_snapshots drops the refs, unpins
+    * their snapshots, and truncates the log — while the CURRENT rows
+    * (what the oracle checks) are untouched by the whole dance. The
+    * requires pin the retention behavior itself; the returned rows
+    * pin that expiry never corrupts live data. */
+  def q100(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("q100")
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    GraftTable.create(s, root, c.schema)
+    GraftTable.append(s, root, c.filter(col("c_custkey") % 2 === 0))     // 1
+    val now = System.currentTimeMillis()
+    GraftTable.createTag(root, "nightly", 1L, maxRefAgeMs = Some(60000L)) // 2
+    GraftTable.createBranchRetained(root, "audit", 60000L)                // 3+4
+    GraftTable.append(s, root, c.filter(col("c_custkey") % 2 === 1))     // 5
+    // within retention: both refs pin snapshot 1 through an expiry
+    GraftTable.expireSnapshots(root, 1, now + 1000L)
+    require(GraftTable.read(s, root, Some(1L)).count() > 0,
+      "retained refs must pin their snapshots through expiry")
+    // past retention: refs age out and the SAME pass truncates
+    GraftTable.expireSnapshots(root, 1, now + 3600000L)
+    val refNames = GraftTable.refsTable(s, root)
+      .select("name").collect().map(_.getString(0)).toSet
+    require(refNames == Set("main"), s"aged refs must drop, got $refNames")
+    require(scala.util.Try(GraftTable.read(s, root, Some(1L)).count()).isFailure,
+      "the unpinned snapshot must expire")
+    GraftTable.read(s, root).orderBy("c_custkey")
+  }
+
   // ── q96: one-commit MoR upsert lifecycle, oracle-checked ────────────
   /** Three OVERLAPPING keyed upsert batches (Flink's Iceberg
     * upsert-writer shape) land one commit each: an equality-delete
@@ -798,6 +872,8 @@ object LakeOps {
     "q96_lake_upsert" -> q96 _,
     "q97_lake_branch" -> q97 _,
     "q98_lake_view" -> q98 _,
+    "q99_lake_default" -> q99 _,
+    "q100_lake_ref_expiry" -> q100 _,
     "q67_lake_wap" -> q67 _,
     "q65_lake_spec_evolve" -> q65 _,
     "q66_lake_write_ordered" -> q66 _,
@@ -859,6 +935,21 @@ object LakeOps {
         |FROM customer
         |WHERE NOT (c_mktsegment = 'BUILDING')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q100_lake_ref_expiry" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q99_lake_default" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 4 = 0 THEN 'standard'
+        |       WHEN o_orderkey % 4 = 1 THEN 'standard'
+        |       WHEN o_orderkey % 4 = 2 THEN
+        |         (CASE WHEN o_totalprice > 150000.0 THEN 'high' ELSE NULL END)
+        |       ELSE 'bulk' END AS priority_class
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q96_lake_upsert" ->
       """SELECT o_orderkey, o_custkey,

@@ -212,4 +212,43 @@ class BranchSpec extends SparkSpec {
       s"branch state polluted by a post-base checkpoint: $b")
     assert(spark.table("graft.br.t6").count() == 3L)
   }
+
+  test("max-ref-age: aged refs drop out of expire_snapshots and unpin their snapshots") {
+    val r = freshTable("t9")
+    spark.sql("INSERT INTO graft.br.t9 VALUES (1, 'a')")             // snap 1
+    val now = System.currentTimeMillis()
+    // per-ref RETAIN override: this tag lives 1 s regardless of the
+    // table default; the branch follows the table-level knob
+    GraftTable.createTag(r, "nightly", 1L, maxRefAgeMs = Some(1000L))
+    GraftTable.createBranch(r, "audit")
+    GraftTable.setProperties(r, Map("history.expire.max-ref-age-ms" -> "3600000"))
+    spark.sql("INSERT INTO graft.br.t9 VALUES (2, 'b')")
+    spark.sql("INSERT INTO graft.br.t9 VALUES (3, 'c')")
+    // .refs surfaces the retention bookkeeping
+    val refs = GraftTable.refsTable(spark, r).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(!refs("nightly").isNullAt(3) && refs("nightly").getLong(4) == 1000L)
+    assert(refs("audit").getLong(4) == 3600000L, "table default shows on the branch row")
+    assert(refs("main").isNullAt(4), "main never carries a retention")
+    // 2 s later: the tag is aged out, the branch (1 h default) is not
+    GraftTable.expireSnapshots(r, 1, now + 2000L)
+    val after = GraftTable.refsTable(spark, r).collect().map(_.getString(0)).toSet
+    assert(after == Set("main", "audit"), s"got $after")
+    // far future: the branch ages out too, and with no pins left a
+    // second expiry truncates history past the old tag target
+    GraftTable.expireSnapshots(r, 1, now + 7200000L)
+    assert(GraftTable.refsTable(spark, r).collect().map(_.getString(0)).toSet == Set("main"))
+    GraftTable.expireSnapshots(r, 1, now + 7200000L)
+    assertThrows[IllegalArgumentException] { GraftTable.read(spark, r, Some(1L)) }
+  }
+
+  test("min-snapshots-to-keep floors retain_last during expiry") {
+    val r = freshTable("t10")
+    (1 to 5).foreach(i => spark.sql(s"INSERT INTO graft.br.t10 VALUES ($i, 'x')"))
+    GraftTable.setProperties(r, Map("history.expire.min-snapshots-to-keep" -> "4"))
+    GraftTable.expireSnapshots(r, 1)
+    // the floor (4) wins over retain_last (1)
+    val kept = GraftTable.snapshotsTable(spark, r).count()
+    assert(kept >= 4, s"kept only $kept commits under a floor of 4")
+  }
 }

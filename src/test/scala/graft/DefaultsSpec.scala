@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.lake.GraftTable
+
+/** Column default values — the Iceberg v3 initial/write-default pair
+  * (reference: the guide's schema-evolution workflow; Iceberg spec v3
+  * "Default values"). graft stores both under Spark's own resolver
+  * metadata keys, so the read half (EXISTS_DEFAULT fills a column
+  * physically absent from a file) and the SQL-write half
+  * (CURRENT_DEFAULT fills omitted INSERT columns) ride machinery
+  * Spark already ships; graft supplies the DDL wiring, the
+  * append-side materialization, and the evolution rules. */
+class DefaultsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(name: String): String = scratchRoot("defaults-spec", name)
+
+  private val baseSchema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def defaulted(name: String, dt: DataType, sql: String): StructField =
+    StructField(name, dt, nullable = true,
+      new MetadataBuilder().putString("CURRENT_DEFAULT", sql)
+        .putString("EXISTS_DEFAULT", sql).build())
+
+  test("initial default: rows from files that predate the column read the default") {
+    val root = freshRoot("initial")
+    GraftTable.create(spark, root, baseSchema)
+    GraftTable.append(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    GraftTable.addColumn(root, defaulted("score", IntegerType, "7"))
+    // a post-add append that carries the column, including an EXPLICIT
+    // null — which must stay null (the default is per-FILE, not per-null)
+    GraftTable.append(spark, root,
+      Seq((3L, "c", Some(9)), (4L, "d", None: Option[Int])).toDF("id", "v", "score"))
+    val got = GraftTable.read(spark, root).orderBy("id")
+      .select("id", "score").as[(Long, Option[Int])].collect().toSeq
+    assert(got == Seq((1L, Some(7)), (2L, Some(7)), (3L, Some(9)), (4L, None)))
+  }
+
+  test("write default: an append that omits the column materializes it physically") {
+    val root = freshRoot("writedef")
+    GraftTable.create(spark, root, baseSchema)
+    GraftTable.addColumn(root, defaulted("tag", StringType, "'unset'"))
+    GraftTable.append(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    // physical check: read the raw data file with NO default metadata —
+    // the value must be IN the file, not conjured by the reader
+    val raw = spark.read.parquet(s"$root/data")
+    assert(raw.columns.contains("tag"))
+    assert(raw.select("tag").as[String].collect().toSeq == Seq("unset"))
+  }
+
+  test("SET DEFAULT changes future writes only; DROP DEFAULT writes explicit nulls") {
+    val root = freshRoot("setdrop")
+    GraftTable.create(spark, root, baseSchema)
+    GraftTable.append(spark, root, Seq((1L, "old")).toDF("id", "v"))
+    GraftTable.addColumn(root, defaulted("tier", StringType, "'bronze'"))
+    GraftTable.append(spark, root, Seq((2L, "b")).toDF("id", "v"))     // bronze
+    GraftTable.setColumnDefault(root, "tier", Some("'silver'"))
+    GraftTable.append(spark, root, Seq((3L, "c")).toDF("id", "v"))     // silver
+    GraftTable.setColumnDefault(root, "tier", None)                    // DROP DEFAULT
+    GraftTable.append(spark, root, Seq((4L, "d")).toDF("id", "v"))     // explicit null
+    val got = GraftTable.read(spark, root).orderBy("id")
+      .select("tier").as[Option[String]].collect().toSeq
+    // row 1 predates the column → the FROZEN initial default, not silver
+    assert(got == Seq(Some("bronze"), Some("bronze"), Some("silver"), None))
+  }
+
+  test("SQL front door: ADD COLUMN DEFAULT, INSERT fills omitted columns, SET/DROP DEFAULT") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.defspec")
+    spark.sql("DROP TABLE IF EXISTS graft.defspec.t")
+    spark.sql("CREATE TABLE graft.defspec.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.defspec.t VALUES (1, 'a')")
+    spark.sql("ALTER TABLE graft.defspec.t ADD COLUMN score INT DEFAULT 5")
+    spark.sql("INSERT INTO graft.defspec.t (id, v) VALUES (2, 'b')")        // filled by analyzer
+    spark.sql("INSERT INTO graft.defspec.t VALUES (3, 'c', DEFAULT)")        // DEFAULT keyword
+    spark.sql("INSERT INTO graft.defspec.t VALUES (4, 'd', NULL)")           // explicit null
+    spark.sql("ALTER TABLE graft.defspec.t ALTER COLUMN score SET DEFAULT 11")
+    spark.sql("INSERT INTO graft.defspec.t (id, v) VALUES (5, 'e')")
+    spark.sql("ALTER TABLE graft.defspec.t ALTER COLUMN score DROP DEFAULT")
+    val got = spark.sql("SELECT id, score FROM graft.defspec.t ORDER BY id")
+      .as[(Long, Option[Int])].collect().toSeq
+    assert(got == Seq((1L, Some(5)), (2L, Some(5)), (3L, Some(5)),
+      (4L, None), (5L, Some(11))))
+  }
+
+  test("CREATE TABLE with DEFAULT: analyzer fills INSERTs from day one") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.defspec")
+    spark.sql("DROP TABLE IF EXISTS graft.defspec.c")
+    spark.sql("CREATE TABLE graft.defspec.c (id BIGINT, region STRING DEFAULT 'emea')")
+    spark.sql("INSERT INTO graft.defspec.c (id) VALUES (1)")
+    spark.sql("INSERT INTO graft.defspec.c VALUES (2, 'apac')")
+    val got = spark.sql("SELECT id, region FROM graft.defspec.c ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "emea"), (2L, "apac")))
+  }
+
+  test("native columnar scan serves initial defaults (no V1 fallback, no decline)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.defspec")
+    spark.sql("DROP TABLE IF EXISTS graft.defspec.n")
+    spark.sql("CREATE TABLE graft.defspec.n (id BIGINT)")
+    spark.sql("INSERT INTO graft.defspec.n VALUES (1), (2)")
+    spark.sql("ALTER TABLE graft.defspec.n ADD COLUMN w DOUBLE DEFAULT 2.5")
+    spark.sql("INSERT INTO graft.defspec.n VALUES (3, 9.0)")
+    val df = spark.sql("SELECT id, w FROM graft.defspec.n ORDER BY id")
+    assert(plan(df).contains("GraftBatchScan"),
+      "a defaulted-column read must still plan the native columnar scan")
+    assert(df.as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 2.5), (2L, 2.5), (3L, 9.0)))
+  }
+
+  test("MoR position deletes compose with initial defaults") {
+    val root = freshRoot("mor")
+    GraftTable.create(spark, root, baseSchema)
+    GraftTable.append(spark, root, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    GraftTable.addColumn(root, defaulted("flag", StringType, "'y'"))
+    GraftTable.deleteWhereMoR(spark, root, col("id") === 2L)
+    val got = GraftTable.read(spark, root).orderBy("id")
+      .select("id", "flag").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "y"), (3L, "y")))
+  }
+
+  test("equality deletes match initial-default values in pre-add files (sequence rule)") {
+    val root = freshRoot("eqdel")
+    GraftTable.create(spark, root, baseSchema)
+    GraftTable.append(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    GraftTable.addColumn(root, defaulted("grp", StringType, "'g0'"))
+    GraftTable.append(spark, root, Seq((3L, "c", "g1")).toDF("id", "v", "grp"))
+    // the upsert keys on grp: old rows' grp IS 'g0' once defaults
+    // apply, so the new version must replace BOTH pre-add rows
+    GraftTable.upsertEqualityMoR(spark, root,
+      Seq((9L, "z", "g0")).toDF("id", "v", "grp"), Seq("grp"))
+    val got = GraftTable.read(spark, root).orderBy("id")
+      .select("id", "grp").as[(Long, String)].collect().toSeq
+    assert(got == Seq((3L, "g1"), (9L, "g0")))
+  }
+
+  test("CDC changes feed carries defaults for rows read out of pre-add files") {
+    val root = freshRoot("cdc")
+    GraftTable.create(spark, root, baseSchema)
+    GraftTable.append(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    GraftTable.addColumn(root, defaulted("src", StringType, "'bulk'"))
+    val before = GraftTable.state(root).snapshotId
+    GraftTable.deleteWhereMoR(spark, root, col("id") === 1L)
+    val feed = GraftTable.changes(spark, root, before, GraftTable.state(root).snapshotId)
+    val deleted = feed.filter(col("_change_type") === "delete")
+      .select("id", "src").as[(Long, String)].collect().toSeq
+    assert(deleted == Seq((1L, "bulk")),
+      "the CDC delete image must show the initial default, not null")
+  }
+
+  test("full rewrite materializes defaults and retires EXISTS_DEFAULT; rename re-opens") {
+    val root = freshRoot("retire")
+    GraftTable.create(spark, root, baseSchema)
+    GraftTable.append(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    GraftTable.addColumn(root, defaulted("q", IntegerType, "3"))
+    // rename refused while the initial default is live
+    val e = intercept[IllegalArgumentException](GraftTable.renameColumn(root, "q", "q2"))
+    assert(e.getMessage.contains("initial default"))
+    // a full sorted rewrite (every live file replaced) retires it
+    GraftTable.rewriteDataFilesSorted(spark, root, Seq("id"))
+    val f = GraftTable.tableSchema(root).fields.find(_.name == "q").get
+    assert(!f.metadata.contains("EXISTS_DEFAULT"),
+      "a full rewrite leaves no file missing the column — the initial default must retire")
+    assert(f.metadata.contains("CURRENT_DEFAULT"), "the write default survives")
+    GraftTable.renameColumn(root, "q", "q2")   // now allowed
+    assert(GraftTable.read(spark, root).select("q2").as[Int].collect().toSeq == Seq(3))
+  }
+
+  test("time travel before the ADD COLUMN sees neither column nor defaults") {
+    val root = freshRoot("tt")
+    GraftTable.create(spark, root, baseSchema)
+    val s1 = GraftTable.append(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    GraftTable.addColumn(root, defaulted("z", LongType, "0"))
+    assert(!GraftTable.read(spark, root, Some(s1)).columns.contains("z"))
+    assert(GraftTable.read(spark, root).columns.contains("z"))
+  }
+
+  test("defaults validate loudly at DDL time: non-literal and ill-typed refused") {
+    val root = freshRoot("validate")
+    GraftTable.create(spark, root, baseSchema)
+    intercept[IllegalArgumentException] {
+      GraftTable.addColumn(root, defaulted("bad", IntegerType, "id + 1"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.addColumn(root, defaulted("bad", IntegerType, "'not-an-int'"))
+    }
+  }
+}
