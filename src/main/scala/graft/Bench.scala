@@ -88,13 +88,21 @@ object Bench {
     val totalsJson = totals.map(fmt).mkString("[", ",", "]")
     // `queries` and `medians` are intentionally the same map: the
     // driver contract reads `queries`, regression tooling reads the
-    // explicitly-named `medians`. ALL compact headline fields
-    // (value/totals/failed/n_runs/sf) go FIRST, before any per-query
-    // map: the driver's capture window has truncated this line
-    // mid-map two rounds running (BENCH_r08 lost `medians`, BENCH_r11
-    // lost `totals`/`failed`) — a truncated tail must only ever cost
-    // per-query detail, never the headline.
-    println(s"""{"metric":"total","value":${fmt(median(totals))},"unit":"sec","n_runs":$nRuns,"sf":"$sfDir","totals":$totalsJson,"failed":$failed,"queries":${qjson(medians)},"mins":${qjson(mins)},"medians":${qjson(medians)},"runs":$runsJson}""")
+    // explicitly-named `medians`. Field ORDER is load-bearing:
+    // BENCH_r11's captured artifact proves the driver stores the LAST
+    // ~2000 chars of stdout (its `tail` ends exactly at this line's
+    // closing brace + sbt's [success] line), so the compact headline
+    // (value/totals/failed/n_runs/sf) must sit at the END of the line
+    // — r11 printed it first and lost it to the front truncation. Big
+    // maps go least-critical-first (runs, then queries/mins, then
+    // medians adjacent to the tail window), so a truncated capture
+    // costs per-run detail, never the headline or the median tail.
+    val line = s"""{"metric":"total","runs":$runsJson,"queries":${qjson(medians)},"mins":${qjson(mins)},"medians":${qjson(medians)},"value":${fmt(median(totals))},"unit":"sec","n_runs":$nRuns,"sf":"$sfDir","totals":$totalsJson,"failed":$failed}"""
+    // the complete artifact also lands on disk for post-hoc reads —
+    // the stdout capture window is the driver's, not ours
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), line + "\n")
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }
