@@ -611,6 +611,12 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         // main diverged past the branch base
         Seq(Row(s"snapshot_id=${GraftTable.fastForward(root,
           required("branch", "arg1"))}"))
+      case "merge_branch" =>
+        // the Nessie merge: publish a DIVERGED branch onto main's
+        // current head in one by-reference commit; file-level
+        // conflicts (both sides rewrote the same rows) refuse loudly
+        Seq(Row(s"snapshot_id=${GraftTable.mergeBranch(spark, root,
+          required("branch", "arg1"))}"))
       case "create_tag" =>
         // default = the MAIN head (a pending staged commit at the raw
         // log head is not taggable lineage); max_ref_age_ms = the

@@ -4101,8 +4101,8 @@ object GraftTable {
     // rewrite — that range is not append-only
     val bad = commits.filterNot(c =>
       c.operation == "append" ||
-        ((c.operation == "cherrypick" || c.operation == "fast_forward") &&
-          c.removes.isEmpty) ||
+        ((c.operation == "cherrypick" || c.operation == "fast_forward" ||
+          c.operation == "merge_branch") && c.removes.isEmpty) ||
         maintenanceOps(c.operation))
     // don't advertise changes() for a range it refuses too: a replace
     // boundary is uncrossable by either API — say so directly
@@ -4115,7 +4115,7 @@ object GraftTable {
         s"${bad.map(c => s"${c.snapshotId}=${c.operation}").mkString(", ")} change rows — use changes()")
     val added = commits
       .filter(c => c.operation == "append" || c.operation == "cherrypick" ||
-        c.operation == "fast_forward")
+        c.operation == "fast_forward" || c.operation == "merge_branch")
       .flatMap(_.adds).filter(_.isData)
     readFiles(spark, root, schema, added, Seq.empty)
   }
@@ -4225,7 +4225,7 @@ object GraftTable {
          "widen_column" | "set_properties" | "evolve_spec" | "checkpoint" |
          "rewrite_data_files" | "rewrite_data_files_sorted" |
          "rewrite_data_files_zorder" | "rewrite_position_deletes" |
-         "rewrite_equality_deletes" | "wap_abandon" => true
+         "rewrite_equality_deletes" | "wap_abandon" | "set_default" => true
     case _ => false
   }
 
@@ -4338,8 +4338,8 @@ object GraftTable {
     // carries removes published a row-level rewrite and takes the
     // generic before-vs-after diff below like any overwrite
     if (c.operation == "append" || c.operation == "branch_append" ||
-        ((c.operation == "cherrypick" || c.operation == "fast_forward") &&
-          c.removes.isEmpty))
+        ((c.operation == "cherrypick" || c.operation == "fast_forward" ||
+          c.operation == "merge_branch") && c.removes.isEmpty))
       return Some(readFiles(spark, root, endSchema, c.adds.filter(_.isData), Seq.empty)
         .withColumn("_change_type", lit("insert")))
     val prev = state(root, Some(c.parentId.getOrElse(c.snapshotId - 1)))
@@ -5005,6 +5005,106 @@ object GraftTable {
     // adds are the BRANCH's files, still referenced by its commits
     writeAtomic(commitPath(root, id), toJson(stampRowLineage(
       Commit(id, Some(mainSnap.snapshotId), System.currentTimeMillis(), "fast_forward",
+        adds, removes,
+        Map(branchRefKey(name) -> id.toString,
+          s"graft.branch.published.$name" -> head.toString), None),
+      mainSnap.properties)))
+    id
+  }
+
+  /** MERGE a DIVERGED branch into main — the Nessie merge on the
+    * linear log. Nessie merges a branch by applying its changes onto
+    * the target and conflicts when both sides changed the same
+    * content; Nessie's content granularity is the whole TABLE, ours
+    * is the FILE — strictly finer, so appends on both sides commute
+    * (Iceberg's fast-append rule) and only genuine row-level overlap
+    * refuses. One commit applies the branch's net file delta since
+    * its base onto main's CURRENT head — main may have moved past the
+    * base, which is exactly the divergence fast_forward refuses.
+    *
+    * Conflict rules, all loud (re-branch from the new head and
+    * re-apply to resolve):
+    *  - a file BOTH sides removed/rewrote since the base — the same
+    *    rows were row-level-changed twice; no file-level resolution
+    *    exists;
+    *  - equality-delete files added by EITHER side since the base —
+    *    after the lineages interleave, the sequence rule cannot scope
+    *    an equality delete to "my lineage's files only", so it would
+    *    kill rows the deleting side never saw; fold deletes into data
+    *    (rewrite_equality_deletes / rewrite_data_files) first;
+    *  - a position-delete/DV file on one side whose TARGET data file
+    *    the other side removed — the delete's rows were rewritten
+    *    out from under it (target discovery via the same
+    *    deleteVictims read CDC uses: pos deletes name their victims,
+    *    one small read per delete file);
+    *  - a schema or partition-spec change on either side since the
+    *    base — schema evolution publishes through fast_forward's
+    *    clean-ancestor path only.
+    *
+    * The merge commit carries the branch's adds and removes BY
+    * REFERENCE (no data copy), advances the ref to the merge id
+    * (fresh epoch — historical branch snapshots keep time-traveling),
+    * and rows entering main get their lineage ids here, the
+    * cherrypick discipline. CDC sees ONE boundary: an append-only
+    * branch surfaces as pure inserts; a branch with removes takes the
+    * generic before-vs-after diff, exactly like a published rewrite. */
+  def mergeBranch(spark: SparkSession, root: String, name: String): Long = {
+    val base = branches(root).getOrElse(name,
+      throw new IllegalArgumentException(s"no such branch: '$name'"))
+    val head = branchHeadId(root, name)
+    require(head != base, s"branch '$name' has no commits to merge")
+    val mainSnap = state(root)
+    val baseSnap = state(root, Some(base))
+    val branchSnap = state(root, Some(head))
+    def schemaOf(s: Snapshot): String =
+      s.schemaJson.getOrElse(state(root, Some(0L)).schemaJson.get)
+    require(schemaOf(mainSnap) == schemaOf(baseSnap),
+      s"cannot merge '$name': main changed schema since the branch base $base — " +
+        "re-branch from the current head and re-apply")
+    require(schemaOf(branchSnap) == schemaOf(baseSnap),
+      s"cannot merge '$name': the branch changed schema; schema evolution " +
+        "publishes through fast_forward (clean ancestor) only")
+    require(mainSnap.properties.get(specProp) == baseSnap.properties.get(specProp) &&
+        branchSnap.properties.get(specProp) == baseSnap.properties.get(specProp),
+      s"cannot merge '$name': the partition spec changed since the branch base")
+    val basePaths = baseSnap.files.map(_.path).toSet
+    val branchByPath = branchSnap.files.map(f => f.path -> f).toMap
+    val mainPaths = mainSnap.files.map(_.path).toSet
+    val adds = branchSnap.files.filterNot(f => basePaths.contains(f.path)).sortBy(_.path)
+    val removes = (basePaths -- branchByPath.keySet).toSeq.sorted
+    val mainRemoved = basePaths -- mainPaths
+    val both = removes.filter(mainRemoved.contains)
+    require(both.isEmpty,
+      s"cannot merge '$name': both main and the branch rewrote file(s) " +
+        s"${both.take(3).mkString(", ")}${if (both.size > 3) "…" else ""} since " +
+        s"base $base — the same rows changed on both sides; re-branch and re-apply")
+    val mainNewFiles = mainSnap.files.filterNot(f => basePaths.contains(f.path))
+    val eqSides = Seq("the branch" -> adds, "main" -> mainNewFiles)
+      .filter(_._2.exists(_.content.contains(2))).map(_._1)
+    require(eqSides.isEmpty,
+      s"cannot merge '$name': ${eqSides.mkString(" and ")} added equality-delete " +
+        "file(s) since the base, whose sequence-rule scope cannot survive the " +
+        "lineage interleave — fold them (rewrite_equality_deletes) and retry")
+    val schema = DataType.fromJson(schemaOf(mainSnap)).asInstanceOf[StructType]
+    def overlap(deletes: Seq[FileEntry], removedPaths: Set[String]): Seq[String] =
+      if (deletes.isEmpty || removedPaths.isEmpty) Seq.empty
+      else deleteVictims(spark, root, schema, deletes,
+        baseSnap.files.filter(f => f.isData && removedPaths.contains(f.path)))
+        .map(_.path)
+    val branchOnGone = overlap(adds.filter(_.isDelete), mainRemoved)
+    require(branchOnGone.isEmpty,
+      s"cannot merge '$name': the branch position-deleted rows from file(s) " +
+        s"${branchOnGone.take(3).mkString(", ")} that main has since rewritten")
+    val mainOnGone = overlap(mainNewFiles.filter(_.isDelete), removes.toSet)
+    require(mainOnGone.isEmpty,
+      s"cannot merge '$name': main position-deleted rows from file(s) " +
+        s"${mainOnGone.take(3).mkString(", ")} that the branch rewrote — the " +
+        "branch's rewrite would resurrect them")
+    val id = listCommitIds(root).max + 1
+    // by-reference: the adds are the branch's files, still referenced
+    // by its commits — no cleanup-on-failure, like fast_forward
+    writeAtomic(commitPath(root, id), toJson(stampRowLineage(
+      Commit(id, Some(mainSnap.snapshotId), System.currentTimeMillis(), "merge_branch",
         adds, removes,
         Map(branchRefKey(name) -> id.toString,
           s"graft.branch.published.$name" -> head.toString), None),

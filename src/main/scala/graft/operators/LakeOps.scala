@@ -503,6 +503,46 @@ object LakeOps {
     GraftTable.read(s, root).orderBy(col("c_custkey"))
   }
 
+  // ── q101: diverged-branch merge lifecycle, oracle-checked ───────────
+  /** The Nessie-merge workflow on one table: main and a branch BOTH
+    * advance past the fork point — main appends a third slice, the
+    * branch appends its slice and CoW-deletes a segment — then ONE
+    * merge_branch commit publishes the branch delta onto main's moved
+    * head (exactly the divergence fast_forward refuses; the requires
+    * pin that refusal, branch invisibility, and the single CDC
+    * boundary). Every surviving row is a pure function of
+    * (c_custkey, c_mktsegment), so DuckDB reconstructs the final
+    * table from customer alone: main's post-fork slice is untouched
+    * by the branch's delete, the other slices lose 'BUILDING'. */
+  def q101(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("q101")
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    GraftTable.create(s, root, c.schema)
+    GraftTable.append(s, root, c.filter(col("c_custkey") % 3 === 0).repartition(2))
+    GraftTable.createBranch(root, "etl")
+    // branch: append slice B, then delete 'BUILDING' across its lineage
+    GraftTable.appendToBranch(s, root,
+      c.filter(col("c_custkey") % 3 === 1).repartition(2), "etl")
+    GraftTable.deleteWhereOnBranch(s, root, col("c_mktsegment") === "BUILDING", "etl")
+    // main DIVERGES: appends slice C after the fork
+    GraftTable.append(s, root, c.filter(col("c_custkey") % 3 === 2).repartition(2))
+    val mainHead = GraftTable.state(root).snapshotId
+    require(scala.util.Try(GraftTable.fastForward(root, "etl")).isFailure,
+      "fast_forward must refuse a diverged main")
+    require(GraftTable.changes(s, root, 0L, mainHead)
+      .filter(col("c_custkey") % 3 === 1).count() == 0,
+      "branch writes must be invisible to the main CDC feed")
+    val mergeId = GraftTable.mergeBranch(s, root, "etl")
+    require(GraftTable.state(root).operation == "merge_branch")
+    require(GraftTable.changes(s, root, mainHead, mergeId)
+      .select(col("_commit_snapshot_id")).distinct().count() == 1,
+      "merge_branch must publish as ONE CDC boundary")
+    require(GraftTable.branches(root)("etl") == mergeId,
+      "the ref must advance to the merge commit (fresh epoch)")
+    GraftTable.read(s, root).orderBy(col("c_custkey"))
+  }
+
   // ── q98: catalog-persisted versioned views, oracle-checked ──────────
   /** The view lifecycle under the gate: a graft table holds orders, a
     * stored view aggregates it, CREATE OR REPLACE appends a second
@@ -874,6 +914,7 @@ object LakeOps {
     "q98_lake_view" -> q98 _,
     "q99_lake_default" -> q99 _,
     "q100_lake_ref_expiry" -> q100 _,
+    "q101_lake_merge" -> q101 _,
     "q67_lake_wap" -> q67 _,
     "q65_lake_spec_evolve" -> q65 _,
     "q66_lake_write_ordered" -> q66 _,
@@ -939,6 +980,12 @@ object LakeOps {
     "q100_lake_ref_expiry" ->
       """SELECT c_custkey, c_name, c_acctbal
         |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q101_lake_merge" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey % 3 = 2 OR c_mktsegment <> 'BUILDING'
         |ORDER BY c_custkey""".stripMargin,
 
     "q99_lake_default" ->

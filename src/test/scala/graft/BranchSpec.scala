@@ -242,6 +242,101 @@ class BranchSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] { GraftTable.read(spark, r, Some(1L)) }
   }
 
+  test("merge_branch publishes a DIVERGED branch: appends commute, one CDC boundary, ref advances") {
+    val r = freshTable("t11")
+    spark.sql("INSERT INTO graft.br.t11 VALUES (1, 'keep'), (2, 'drop')")
+    GraftTable.createBranch(r, "etl")
+    // branch: append + CoW delete (rewrites the base file)
+    spark.sql("INSERT INTO graft.br.t11.branch_etl VALUES (10, 'etl')")
+    spark.sql("DELETE FROM graft.br.t11.branch_etl WHERE v = 'drop'")
+    // main DIVERGES with its own appends — fast_forward must refuse...
+    spark.sql("INSERT INTO graft.br.t11 VALUES (3, 'main')")
+    intercept[IllegalArgumentException] { GraftTable.fastForward(r, "etl") }
+    // ...but merge_branch publishes the branch delta onto the moved head
+    val mainBefore = GraftTable.state(r).snapshotId
+    val mergeId = spark.sql(
+      "CALL graft_system.merge_branch(table => 'br.t11', branch => 'etl')")
+      .head().getString(0).stripPrefix("snapshot_id=").toLong
+    assert(spark.table("graft.br.t11").as[(Long, String)].collect().toSet ==
+      Set((1L, "keep"), (3L, "main"), (10L, "etl")))
+    // ONE CDC boundary at the merge commit; the branch's delete surfaces
+    val feed = GraftTable.changes(spark, r, mainBefore, mergeId)
+    assert(feed.select(col("_commit_snapshot_id")).distinct().collect()
+      .map(_.getLong(0)).toSet == Set(mergeId))
+    assert(feed.select(col("id"), col("_change_type")).as[(Long, String)]
+      .collect().toSet == Set((10L, "insert"), (2L, "delete")))
+    // merged rows got main lineage ids (the cherrypick discipline)
+    val ids = GraftTable.readWithRowIds(spark, r).select(col("_row_id"))
+      .collect().map(x => Option(x.get(0)))
+    assert(ids.forall(_.isDefined) && ids.flatten.distinct.length == ids.length)
+    // ref advanced to the merge commit: a fresh epoch that keeps working
+    assert(GraftTable.branches(r)("etl") == mergeId)
+    spark.sql("INSERT INTO graft.br.t11.branch_etl VALUES (11, 'round2')")
+    assert(GraftTable.readBranch(spark, r, "etl").count() == 4L)
+    assert(spark.table("graft.br.t11").count() == 3L)
+  }
+
+  test("merge_branch refuses row-level overlap: both sides rewrote the same file") {
+    val r = freshTable("t12")
+    spark.sql("INSERT INTO graft.br.t12 VALUES (1, 'a')")   // file 1
+    spark.sql("INSERT INTO graft.br.t12 VALUES (2, 'b')")   // file 2
+    GraftTable.createBranch(r, "dev")
+    spark.sql("DELETE FROM graft.br.t12.branch_dev WHERE id = 1")  // branch rewrites file 1
+    spark.sql("DELETE FROM graft.br.t12 WHERE id = 1")             // main rewrites it too
+    val e = intercept[IllegalArgumentException] { GraftTable.mergeBranch(spark, r, "dev") }
+    assert(e.getMessage.contains("rewrote"), s"unexpected: ${e.getMessage}")
+    // both lineages intact after the refusal
+    assert(spark.table("graft.br.t12").as[(Long, String)].collect().toSet ==
+      Set((2L, "b")))
+    assert(GraftTable.readBranch(spark, r, "dev").as[(Long, String)].collect().toSet ==
+      Set((2L, "b")))
+  }
+
+  test("merge_branch refuses post-base equality deletes; pos-delete x rewrite overlap refuses; disjoint MoR merges") {
+    val r = freshTable("t13")
+    spark.sql("INSERT INTO graft.br.t13 VALUES (1, 'a')")
+    spark.sql("INSERT INTO graft.br.t13 VALUES (2, 'b')")   // second file
+    GraftTable.createBranch(r, "dev")
+    spark.sql("INSERT INTO graft.br.t13.branch_dev VALUES (9, 'dev')")
+    // main lands an EQUALITY delete since the base → un-mergeable
+    GraftTable.upsertEqualityMoR(spark, r, Seq((1L, "a1")).toDF("id", "v"), Seq("id"))
+    val e1 = intercept[IllegalArgumentException] { GraftTable.mergeBranch(spark, r, "dev") }
+    assert(e1.getMessage.contains("equality"), s"unexpected: ${e1.getMessage}")
+
+    // fresh table: main POSITION-deletes from the file the branch rewrote
+    val r2 = freshTable("t14")
+    // ONE file holding both rows (coalesce(1) → one write task)
+    GraftTable.append(spark, r2, Seq((1L, "a"), (10L, "aa")).toDF("id", "v").coalesce(1))
+    spark.sql("INSERT INTO graft.br.t14 VALUES (2, 'b')")                // file 2
+    GraftTable.createBranch(r2, "dev")
+    spark.sql("DELETE FROM graft.br.t14.branch_dev WHERE id = 1")        // CoW rewrites file 1
+    GraftTable.deleteWhereMoR(spark, r2, col("id") === 10L)              // MoR pos delete, file 1
+    val e2 = intercept[IllegalArgumentException] { GraftTable.mergeBranch(spark, r2, "dev") }
+    assert(e2.getMessage.contains("position-deleted"), s"unexpected: ${e2.getMessage}")
+
+    // disjoint: main MoR-deletes from a file the branch never touched →
+    // merge succeeds and the deletion stays effective
+    val r3 = freshTable("t15")
+    spark.sql("INSERT INTO graft.br.t15 VALUES (1, 'a'), (2, 'b')")
+    GraftTable.createBranch(r3, "dev")
+    spark.sql("INSERT INTO graft.br.t15.branch_dev VALUES (9, 'dev')")
+    GraftTable.deleteWhereMoR(spark, r3, col("id") === 2L)
+    GraftTable.mergeBranch(spark, r3, "dev")
+    assert(spark.table("graft.br.t15").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (9L, "dev")))
+  }
+
+  test("merge_branch refuses schema changes on either side since the base") {
+    val r = freshTable("t16")
+    spark.sql("INSERT INTO graft.br.t16 VALUES (1, 'a')")
+    GraftTable.createBranch(r, "dev")
+    spark.sql("ALTER TABLE graft.br.t16 ADD COLUMN extra INT")   // main evolves
+    // the branch writes under ITS schema (the base's two columns)
+    GraftTable.appendToBranch(spark, r, Seq((2L, "dev")).toDF("id", "v"), "dev")
+    val e = intercept[IllegalArgumentException] { GraftTable.mergeBranch(spark, r, "dev") }
+    assert(e.getMessage.contains("schema"), s"unexpected: ${e.getMessage}")
+  }
+
   test("min-snapshots-to-keep floors retain_last during expiry") {
     val r = freshTable("t10")
     (1 to 5).foreach(i => spark.sql(s"INSERT INTO graft.br.t10 VALUES ($i, 'x')"))
