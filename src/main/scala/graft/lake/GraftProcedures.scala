@@ -611,6 +611,11 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         // main diverged past the branch base
         Seq(Row(s"snapshot_id=${GraftTable.fastForward(root,
           required("branch", "arg1"))}"))
+      case "recover_transactions" =>
+        // complete the seals of cross-table transactions that decided
+        // but crashed before sealing (idempotent)
+        val done = GraftTable.recoverTransactions(root)
+        Seq(Row(s"sealed=${done.size}"))
       case "merge_branch" =>
         // the Nessie merge: publish a DIVERGED branch onto main's
         // current head in one by-reference commit; file-level

@@ -588,18 +588,23 @@ object GraftTable {
     * the head JSON per call would tax exactly the commit-heavy
     * lifecycles that are cheapest today. */
   private val kindMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long, Long), (java.lang.Boolean, Option[(String, Long)])]()
+    (String, Long, Long, Long),
+    (java.lang.Boolean, Option[String], Option[(String, Long)])]()
 
   private def commitKind(root: String, id: Long): (Boolean, Option[(String, Long)]) = {
     val p = commitPath(root, id)
     val key = (root, id, Files.size(p),
       Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS))
     if (kindMemo.size > 4096) kindMemo.clear()   // bounded
-    val (s, b) = kindMemo.computeIfAbsent(key, { _ =>
+    val (s, txn, b) = kindMemo.computeIfAbsent(key, { _ =>
       val c = parseCommit(Files.readString(p))
-      (Boolean.box(isStaged(c)), branchInfo(c))
+      (Boolean.box(isStaged(c)), c.properties.get(txnDecisionProp), branchInfo(c))
     })
-    (s.booleanValue(), b)
+    // the staged bit of a TRANSACTION stage is time-varying (the
+    // decision file lands after the commit file), so the memo stores
+    // the decision PATH and the committed check runs per call — the
+    // decision itself memoizes hard once present (it is immutable)
+    (s.booleanValue() && !txn.exists(p2 => decisionOf(p2).contains("committed")), b)
   }
 
   private[lake] def isStagedId(root: String, id: Long): Boolean =
@@ -690,9 +695,9 @@ object GraftTable {
       * one at or before the branch's base. */
     def ckptCeiling: Long = branch.map(_._2).getOrElse(target)
     def includes(c: Commit): Boolean = branch match {
-      case None => !isStaged(c) && branchInfo(c).isEmpty || c.snapshotId == target
+      case None => !effectiveStaged(c) && branchInfo(c).isEmpty || c.snapshotId == target
       case Some((name, base)) =>
-        (c.snapshotId <= base && !isStaged(c) && branchInfo(c).isEmpty) ||
+        (c.snapshotId <= base && !effectiveStaged(c) && branchInfo(c).isEmpty) ||
           (branchInfo(c).contains((name, base)) && c.snapshotId <= target)
     }
   }
@@ -4100,7 +4105,7 @@ object GraftTable {
     // a cherrypick/fast_forward with removes published a row-level
     // rewrite — that range is not append-only
     val bad = commits.filterNot(c =>
-      c.operation == "append" ||
+      c.operation == "append" || c.operation == "txn_append" ||
         ((c.operation == "cherrypick" || c.operation == "fast_forward" ||
           c.operation == "merge_branch") && c.removes.isEmpty) ||
         maintenanceOps(c.operation))
@@ -4114,7 +4119,8 @@ object GraftTable {
       s"readIncremental covers append-only ranges; snapshot(s) " +
         s"${bad.map(c => s"${c.snapshotId}=${c.operation}").mkString(", ")} change rows — use changes()")
     val added = commits
-      .filter(c => c.operation == "append" || c.operation == "cherrypick" ||
+      .filter(c => c.operation == "append" || c.operation == "txn_append" ||
+        c.operation == "cherrypick" ||
         c.operation == "fast_forward" || c.operation == "merge_branch")
       .flatMap(_.adds).filter(_.isData)
     readFiles(spark, root, schema, added, Seq.empty)
@@ -4338,6 +4344,7 @@ object GraftTable {
     // carries removes published a row-level rewrite and takes the
     // generic before-vs-after diff below like any overwrite
     if (c.operation == "append" || c.operation == "branch_append" ||
+        c.operation == "txn_append" ||
         ((c.operation == "cherrypick" || c.operation == "fast_forward" ||
           c.operation == "merge_branch") && c.removes.isEmpty))
       return Some(readFiles(spark, root, endSchema, c.adds.filter(_.isData), Seq.empty)
@@ -4799,7 +4806,7 @@ object GraftTable {
 
   /** Off the main lineage: staged (WAP) or branch commit. */
   private def isOffMain(c: Commit): Boolean =
-    isStaged(c) || branchInfo(c).isDefined
+    effectiveStaged(c) || branchInfo(c).isDefined
 
   /** Live branches: name → CURRENT base snapshot id (the ref value;
     * advanced by fast_forward). Malformed hand-set values are
@@ -5202,6 +5209,9 @@ object GraftTable {
     require(isStaged(c),
       s"cherrypick_snapshot publishes staged (WAP) snapshots; " +
         s"$stagedId is a committed '${c.operation}'")
+    require(!c.properties.contains(txnDecisionProp),
+      s"snapshot $stagedId belongs to a cross-table transaction — it " +
+        "publishes atomically with its group via GraftTransaction.commit()")
     val snap = state(root)
     require(!snap.properties.contains(s"graft.wap.published.$stagedId"),
       s"staged snapshot $stagedId is already published")
@@ -5216,7 +5226,7 @@ object GraftTable {
     // ask for a re-stage rather than silently delete the new rows.
     val eqAfter = listCommitIds(root).filter(_ > stagedId)
       .map(id => parseCommit(Files.readString(commitPath(root, id))))
-      .filter(c => !isStaged(c) && c.adds.exists(_.content.contains(2)))
+      .filter(c => !effectiveStaged(c) && c.adds.exists(_.content.contains(2)))
     require(eqAfter.isEmpty,
       s"cannot cherrypick $stagedId: equality delete(s) landed after it " +
         s"(snapshot(s) ${eqAfter.map(_.snapshotId).mkString(", ")}) and would " +
@@ -5270,7 +5280,7 @@ object GraftTable {
           snap.properties.contains(s"graft.wap.abandoned.${c.snapshotId}"))
     require(group.nonEmpty, s"no unpublished staged snapshots carry wap id '$wapId'")
     val minId = group.map(_.snapshotId).min
-    val eqAfter = all.filter(c => c.snapshotId > minId && !isStaged(c) &&
+    val eqAfter = all.filter(c => c.snapshotId > minId && !effectiveStaged(c) &&
       c.adds.exists(_.content.contains(2)))
     require(eqAfter.isEmpty,
       s"cannot publish wap id '$wapId': equality delete(s) landed after its " +
@@ -5307,6 +5317,10 @@ object GraftTable {
     require(isStagedId(root, stagedId),
       s"abandon_staged_snapshot retires staged (WAP) snapshots only; " +
         s"$stagedId is committed")
+    require(!parseCommit(Files.readString(commitPath(root, stagedId)))
+        .properties.contains(txnDecisionProp),
+      s"snapshot $stagedId belongs to a cross-table transaction — retire " +
+        "its whole group via GraftTransaction.abort()")
     val snap = state(root)
     require(!snap.properties.contains(s"graft.wap.published.$stagedId"),
       s"staged snapshot $stagedId is already published")
@@ -5314,6 +5328,169 @@ object GraftTable {
       s"staged snapshot $stagedId was already abandoned")
     commit(root, listCommitIds(root).max, "wap_abandon", Seq.empty, Seq.empty,
       Map(s"graft.wap.abandoned.$stagedId" -> "true"))
+  }
+
+  // ── cross-table transactions ────────────────────────────────────────
+  // The Nessie capability Iceberg itself lacks: N tables change in ONE
+  // atomic decision. Writes stage as invisible commits (the WAP
+  // discipline) carrying the absolute path of a DECISION file; the
+  // transaction commits by creating that file (put-if-absent — the
+  // single atomic event) with content "committed". Replay consults the
+  // decision: a staged commit whose decision reads "committed" is a
+  // main-lineage commit AT ITS OWN SLOT, so every table's staged
+  // changes become visible in the same instant, with no per-table
+  // publish step to crash between — all-or-nothing across tables by
+  // construction.
+  //
+  // Why in-place visibility is safe for consumers: a pending stage
+  // occupies main-head+1, so main data writes BLOCK until the decision
+  // (the WAP slot rule), and commit() additionally validates the
+  // stages are still the newest commits on every table — therefore no
+  // CDC/incremental consumer can have latched an offset PAST the
+  // staged ids before they become visible, and the feed serves them on
+  // its next poll. (A metadata-only commit racing into the
+  // microseconds between that validation and the decision write is the
+  // one window where a consumer polling at exactly that instant could
+  // latch past a stage — the same order-of-arrival caveat any
+  // optimistic catalog carries.)
+  //
+  // Caches: the decision flips visibility without touching the commit
+  // log, so state() results cached before the decision go stale until
+  // any next commit. commit() therefore SEALS each table with a
+  // best-effort property commit right after deciding — the seal busts
+  // caches and gives CDC a fresh head; a crash between decision and
+  // seal leaves the transaction fully committed (fresh replays see it)
+  // and recoverTransactions completes the seals.
+  //
+  // Row lineage: txn rows keep a NULL _row_id (the documented staged-
+  // file state) — in-place visibility has no publishing commit to
+  // allocate ids from, and a later rewrite materializes them.
+
+  private[lake] val txnDecisionProp = "graft.txn.decision"
+
+  /** Decision contents memoize HARD once seen — a decision file is
+    * immutable after its put-if-absent creation. Absence is never
+    * cached (the file may land any moment). */
+  private val decisionMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[lake] def decisionOf(path: String): Option[String] = {
+    val m = decisionMemo.get(path)
+    if (m != null) return Some(m)
+    val p = Paths.get(path)
+    if (!Files.exists(p)) None
+    else {
+      val v = Files.readString(p).trim
+      decisionMemo.put(path, v)
+      Some(v)
+    }
+  }
+
+  private def txnCommitted(c: Commit): Boolean =
+    c.properties.get(txnDecisionProp).exists(p => decisionOf(p).contains("committed"))
+
+  /** Staged for VISIBILITY purposes: a raw staged commit whose
+    * transaction has committed is a main-lineage commit. */
+  private def effectiveStaged(c: Commit): Boolean = isStaged(c) && !txnCommitted(c)
+
+  /** Begin a cross-table transaction. `txnDir` holds the decision
+    * files — ONE directory per catalog/warehouse is the intended
+    * shape, so unrelated transactions never contend. */
+  def beginTransaction(txnDir: String): GraftTransaction = {
+    Files.createDirectories(Paths.get(txnDir))
+    new GraftTransaction(txnDir, java.util.UUID.randomUUID().toString)
+  }
+
+  /** First-writer-wins arbitration: commit() and abort() race to
+    * create the SAME file; put-if-absent picks exactly one verdict. */
+  private[lake] def decide(decisionPath: String, verdict: String): Unit =
+    try writeAtomic(Paths.get(decisionPath), verdict)
+    catch { case e: IllegalStateException =>
+      val existing = decisionOf(decisionPath)
+      if (!existing.contains(verdict)) throw new IllegalStateException(
+        s"transaction already decided as ${existing.getOrElse("?")}", e)
+    }
+
+  /** No stage may stack on a FOREIGN pending stage (another
+    * transaction's, or a plain WAP stage): two undecided groups
+    * interleaved at the tail would let the later one become visible
+    * first and a consumer latch past the earlier — refuse at stage
+    * time, the same serialization the WAP slot rule gives main
+    * writes. */
+  private def requireNoForeignPending(root: String, decisionPath: String): Unit = {
+    val ids = listCommitIds(root)
+    val mh = mainHeadId(root, ids)
+    val foreign = ids.filter(id => id > mh && isStagedId(root, id)).filterNot { id =>
+      parseCommit(Files.readString(commitPath(root, id)))
+        .properties.get(txnDecisionProp).contains(decisionPath)
+    }
+    require(foreign.isEmpty,
+      s"cannot stage into $root: pending staged snapshot(s) " +
+        s"${foreign.mkString(", ")} from another transaction or WAP group — " +
+        "decide or abandon them first")
+  }
+
+  private[lake] def stageAppendInTxn(spark: SparkSession, root: String,
+      df: DataFrame, decisionPath: String): Long = {
+    requireNoForeignPending(root, decisionPath)
+    val snap = conformAppendSchema(root, df, state(root), allowEvolution = false)
+    val id = math.max(snap.snapshotId, listCommitIds(root).max) + 1
+    val filled = fillWriteDefaults(df, DataType.fromJson(snap.schemaJson.getOrElse(
+      state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType])
+    val adds = writeDataFiles(spark, root, distribute(filled, snap.properties), id,
+      snap.properties)
+    commitOrCleanup(root, id, Commit(id, Some(snap.snapshotId),
+      System.currentTimeMillis(), "txn_append", adds, Seq.empty,
+      Map(wapStagedProp -> "true", txnDecisionProp -> decisionPath), None))
+    id
+  }
+
+  private[lake] def stageOverwriteInTxn(spark: SparkSession, root: String,
+      condition: Column, replacement: Option[DataFrame],
+      decisionPath: String): Long = {
+    requireNoForeignPending(root, decisionPath)
+    overwriteWhereImpl(spark, root, condition, replacement, Nil,
+      ckptPlanner(spark, root, None),
+      stagedProps = Map(wapStagedProp -> "true", txnDecisionProp -> decisionPath),
+      opName = "txn_overwrite")
+  }
+
+  /** Best-effort post-decision seal: a tiny property commit that busts
+    * state caches and advances the head for CDC consumers. Never
+    * fails the (already durable) transaction. */
+  private[lake] def sealTxn(root: String, txnId: String,
+      stagedIds: Seq[Long], verdict: String): Unit = {
+    val props =
+      if (verdict == "committed") Map(s"graft.txn.sealed.$txnId" -> "true")
+      else stagedIds.map(i => s"graft.wap.abandoned.$i" -> "true").toMap +
+        (s"graft.txn.sealed.$txnId" -> "aborted")
+    var attempts = 0
+    while (attempts < 5) {
+      try { setProperties(root, props); return }
+      catch { case _: IllegalStateException => attempts += 1 }   // slot race: retry
+    }
+  }
+
+  /** Complete the seals of transactions that DECIDED but crashed
+    * before sealing: scans the tail staged commits, and for each whose
+    * decision file exists, applies the committed seal or the aborted
+    * abandon-markers. Idempotent; returns the sealed decision paths. */
+  def recoverTransactions(root: String): Seq[String] = {
+    val ids = listCommitIds(root)
+    val mh = mainHeadId(root, ids)
+    // committed stages are on-main now (isStagedId is decision-aware),
+    // so scan ABOVE the pre-decision head by raw parse
+    val tail = ids.filter(_ > math.min(mh, ids.max - 64))   // bounded scan
+      .map(id => parseCommit(Files.readString(commitPath(root, id))))
+      .filter(isStaged)
+    val decided = tail.groupBy(_.properties.get(txnDecisionProp)).collect {
+      case (Some(path), cs) if decisionOf(path).isDefined => (path, cs)
+    }
+    decided.toSeq.sortBy(_._1).map { case (path, cs) =>
+      val verdict = decisionOf(path).get
+      val txnId = Paths.get(path).getFileName.toString.stripSuffix(".decision")
+      val already = state(root).properties.contains(s"graft.txn.sealed.$txnId")
+      if (!already) sealTxn(root, txnId, cs.map(_.snapshotId), verdict)
+      path
+    }
   }
 
   private val entriesCols = Seq("status", "snapshot_id", "file_path", "content",
@@ -6308,6 +6485,99 @@ object GraftTable {
         mayMatchPartition(types, specForFile(specs, f), p)(f) &&
           mayMatch(types, p, aliases)(f)
       }
+    }
+  }
+}
+
+/** A cross-table transaction handle (see the "cross-table
+  * transactions" section in [[GraftTable]] for the protocol): stage
+  * writes into any number of tables, then ONE atomic decision-file
+  * write makes all of them visible — or none. Nessie's headline
+  * capability (multi-table commits) without a commit DAG.
+  *
+  * Staging rules, all loud:
+  *  - a row-level op (deleteWhere/overwriteWhere) must be the table's
+  *    FIRST op in the transaction — it plans against the
+  *    pre-transaction state, so staging it after an append would
+  *    silently miss the appended rows;
+  *  - at most one row-level op per table per transaction (two would
+  *    double-apply their shared victims);
+  *  - staging refuses while a FOREIGN stage (another transaction's or
+  *    a WAP group's) is pending on the table.
+  * commit() validates the stages are still the newest commits on
+  * every table (optimistic concurrency — a table that moved refuses
+  * the whole transaction), then decides. Not thread-safe; one writer
+  * per handle. */
+final class GraftTransaction private[lake] (val txnDir: String, val id: String) {
+  import java.nio.file.Paths
+  import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+  private val decisionPath = Paths.get(txnDir, s"$id.decision").toString
+  private val staged =
+    scala.collection.mutable.LinkedHashMap.empty[String, Vector[Long]]
+  private val rowLevel = scala.collection.mutable.Set.empty[String]
+  private var decided = false
+
+  private def requireOpen(): Unit =
+    require(!decided, s"transaction $id is already decided")
+
+  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
+    requireOpen()
+    val sid = GraftTable.stageAppendInTxn(spark, root, df, decisionPath)
+    staged(root) = staged.getOrElse(root, Vector.empty) :+ sid
+    sid
+  }
+
+  def deleteWhere(spark: SparkSession, root: String, condition: Column): Long =
+    overwriteWhere(spark, root, condition, None)
+
+  def overwriteWhere(spark: SparkSession, root: String, condition: Column,
+      replacement: Option[DataFrame]): Long = {
+    requireOpen()
+    require(!staged.contains(root),
+      s"a row-level op must be the table's FIRST op in a transaction " +
+        s"(it plans against the pre-transaction state); $root already has " +
+        s"staged snapshot(s) ${staged(root).mkString(", ")}")
+    val sid = GraftTable.stageOverwriteInTxn(spark, root, condition,
+      replacement, decisionPath)
+    rowLevel += root
+    staged(root) = Vector(sid)
+    sid
+  }
+
+  /** The atomic decision: after this returns, every staged change on
+    * every table is visible; if it throws, none is (abort to clean
+    * up). Validation-then-decide is optimistic — a table that
+    * advanced past its stages refuses the whole transaction. */
+  def commit(): Unit = {
+    requireOpen()
+    require(staged.nonEmpty, "empty transaction: nothing staged")
+    staged.foreach { case (root, ids) =>
+      val mine = ids.toSet
+      val above = GraftTable.listCommitIds(root)
+        .filter(_ > ids.min).filterNot(mine.contains)
+      require(above.isEmpty,
+        s"cannot commit transaction $id: $root advanced past its staged " +
+          s"commits (snapshot(s) ${above.mkString(", ")}) — abort and retry")
+    }
+    GraftTable.decide(decisionPath, "committed")
+    decided = true
+    // best-effort seals (cache-bust + CDC head); recoverTransactions
+    // completes them after a crash
+    staged.foreach { case (root, ids) =>
+      GraftTable.sealTxn(root, id, ids, "committed")
+    }
+  }
+
+  /** Retire every staged commit without publishing: the decision file
+    * records "aborted" (so a racing commit() cannot revive them) and
+    * each table gets abandoned-markers, unblocking main writes. */
+  def abort(): Unit = {
+    requireOpen()
+    GraftTable.decide(decisionPath, "aborted")
+    decided = true
+    staged.foreach { case (root, ids) =>
+      GraftTable.sealTxn(root, id, ids, "aborted")
     }
   }
 }

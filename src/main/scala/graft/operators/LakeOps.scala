@@ -543,6 +543,49 @@ object LakeOps {
     GraftTable.read(s, root).orderBy(col("c_custkey"))
   }
 
+  // ── q102: cross-table atomic transaction lifecycle, oracle-checked ──
+  /** Nessie's multi-table commit on two graft tables holding disjoint
+    * orders slices: one transaction stages a row-level DELETE on table
+    * A plus appends to BOTH tables and publishes them with ONE atomic
+    * decision; a second transaction stages on both and aborts without
+    * a trace. The requires pin pre-decision invisibility on both
+    * tables and the all-or-nothing flip; the returned union is a pure
+    * function of (o_orderkey, o_totalprice), so DuckDB reconstructs it
+    * from orders alone. */
+  def q102(s: SparkSession, dir: String): DataFrame = {
+    val rootA = scratch("q102-a")
+    val rootB = scratch("q102-b")
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    GraftTable.create(s, rootA, o.schema)
+    GraftTable.create(s, rootB, o.schema)
+    GraftTable.append(s, rootA, o.filter(col("o_orderkey") % 4 === 0))
+    GraftTable.append(s, rootB, o.filter(col("o_orderkey") % 4 === 1))
+    val (aBase, bBase) = (GraftTable.read(s, rootA).count(),
+      GraftTable.read(s, rootB).count())
+    val txn = GraftTable.beginTransaction(scratch("q102-txns"))
+    txn.deleteWhere(s, rootA, col("o_totalprice") < 30000.0)
+    txn.append(s, rootA, o.filter(col("o_orderkey") % 4 === 2))
+    txn.append(s, rootB, o.filter(col("o_orderkey") % 4 === 3))
+    require(GraftTable.read(s, rootA).count() == aBase &&
+        GraftTable.read(s, rootB).count() == bBase,
+      "staged transaction writes must be invisible on every table")
+    txn.commit()
+    require(GraftTable.read(s, rootA).count() > aBase &&
+        GraftTable.read(s, rootB).count() > bBase,
+      "a committed transaction must be visible on every table")
+    val txn2 = GraftTable.beginTransaction(scratch("q102-txns"))
+    txn2.append(s, rootA, o.filter(col("o_orderkey") % 4 === 0).limit(5)
+      .withColumn("o_totalprice", lit(-1.0)))
+    txn2.append(s, rootB, o.filter(col("o_orderkey") % 4 === 1).limit(5)
+      .withColumn("o_totalprice", lit(-1.0)))
+    txn2.abort()
+    val out = GraftTable.read(s, rootA).unionByName(GraftTable.read(s, rootB))
+    require(out.filter(col("o_totalprice") < 0).count() == 0,
+      "an aborted transaction must leave no trace on any table")
+    out.orderBy(col("o_orderkey"))
+  }
+
   // ── q98: catalog-persisted versioned views, oracle-checked ──────────
   /** The view lifecycle under the gate: a graft table holds orders, a
     * stored view aggregates it, CREATE OR REPLACE appends a second
@@ -915,6 +958,7 @@ object LakeOps {
     "q99_lake_default" -> q99 _,
     "q100_lake_ref_expiry" -> q100 _,
     "q101_lake_merge" -> q101 _,
+    "q102_lake_txn" -> q102 _,
     "q67_lake_wap" -> q67 _,
     "q65_lake_spec_evolve" -> q65 _,
     "q66_lake_write_ordered" -> q66 _,
@@ -987,6 +1031,12 @@ object LakeOps {
         |FROM customer
         |WHERE c_custkey % 3 = 2 OR c_mktsegment <> 'BUILDING'
         |ORDER BY c_custkey""".stripMargin,
+
+    "q102_lake_txn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE NOT (o_orderkey % 4 = 0 AND o_totalprice < 30000.0)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q99_lake_default" ->
       """SELECT o_orderkey, o_totalprice,

@@ -1,0 +1,183 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.GraftTable
+
+/** Cross-table atomic transactions — Nessie's headline capability
+  * (multi-table commits; reference: the Nessie service in
+  * docker-compose.yml) on graft's linear logs: writes stage as
+  * invisible WAP-style commits carrying a decision-file path, and ONE
+  * put-if-absent decision write flips every table's staged commits
+  * into main lineage at the same instant. All-or-nothing across
+  * tables with no per-table publish step to crash between. */
+class TxnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(name: String): String = scratchRoot("txn-spec", name)
+  private def txnDir(name: String): String = scratchRoot("txn-spec", s"$name-txns")
+
+  private def mk(root: String, rows: Seq[(Long, String)]): Unit = {
+    GraftTable.create(spark, root,
+      rows.toDF("id", "v").schema)
+    if (rows.nonEmpty) GraftTable.append(spark, root, rows.toDF("id", "v"))
+  }
+
+  test("commit makes N tables' staged changes visible atomically; abort never does") {
+    val (r1, r2) = (freshRoot("a1"), freshRoot("a2"))
+    mk(r1, Seq((1L, "base")))
+    mk(r2, Seq((10L, "base")))
+    val t = GraftTable.beginTransaction(txnDir("a"))
+    t.append(spark, r1, Seq((2L, "txn")).toDF("id", "v"))
+    t.append(spark, r2, Seq((20L, "txn")).toDF("id", "v"))
+    t.append(spark, r2, Seq((21L, "txn")).toDF("id", "v"))   // stages stack
+    // invisible everywhere before the decision
+    assert(GraftTable.read(spark, r1).count() == 1L)
+    assert(GraftTable.read(spark, r2).count() == 1L)
+    t.commit()
+    assert(GraftTable.read(spark, r1).as[(Long, String)].collect().toSet ==
+      Set((1L, "base"), (2L, "txn")))
+    assert(GraftTable.read(spark, r2).as[(Long, String)].collect().toSet ==
+      Set((10L, "base"), (20L, "txn"), (21L, "txn")))
+    // the CDC feed serves the transaction's rows (no latched-past gap:
+    // the stages were the tail when the decision landed)
+    val feed = GraftTable.changes(spark, r2, 1L, GraftTable.state(r2).snapshotId)
+    assert(feed.filter(col("_change_type") === "insert").count() == 2L)
+    // further writes proceed normally on both tables
+    GraftTable.append(spark, r1, Seq((3L, "after")).toDF("id", "v"))
+    assert(GraftTable.read(spark, r1).count() == 3L)
+
+    // abort: a second transaction stages and retires without a trace
+    val t2 = GraftTable.beginTransaction(txnDir("a"))
+    t2.append(spark, r1, Seq((9L, "never")).toDF("id", "v"))
+    t2.append(spark, r2, Seq((99L, "never")).toDF("id", "v"))
+    t2.abort()
+    assert(GraftTable.read(spark, r1).filter(col("id") === 9).count() == 0L)
+    assert(GraftTable.read(spark, r2).filter(col("id") === 99).count() == 0L)
+    // the decided handle refuses further use; tables accept new writes
+    intercept[IllegalArgumentException] {
+      t2.append(spark, r1, Seq((5L, "x")).toDF("id", "v"))
+    }
+    GraftTable.append(spark, r2, Seq((30L, "after")).toDF("id", "v"))
+    assert(GraftTable.read(spark, r2).count() == 4L)
+  }
+
+  test("row-level op in a transaction: delete + append commit together; ordering rule is loud") {
+    val (r1, r2) = (freshRoot("b1"), freshRoot("b2"))
+    mk(r1, Seq((1L, "keep"), (2L, "drop")))
+    mk(r2, Seq((10L, "base")))
+    val t = GraftTable.beginTransaction(txnDir("b"))
+    t.deleteWhere(spark, r1, col("v") === "drop")
+    t.append(spark, r1, Seq((3L, "txn")).toDF("id", "v"))   // append AFTER delete: fine
+    t.append(spark, r2, Seq((20L, "txn")).toDF("id", "v"))
+    assert(GraftTable.read(spark, r1).count() == 2L, "staged delete must be invisible")
+    t.commit()
+    assert(GraftTable.read(spark, r1).as[(Long, String)].collect().toSet ==
+      Set((1L, "keep"), (3L, "txn")))
+    assert(GraftTable.read(spark, r2).count() == 2L)
+    // a row-level op AFTER an append on the same table refuses — it
+    // would plan against pre-transaction state and miss the append
+    val t2 = GraftTable.beginTransaction(txnDir("b"))
+    t2.append(spark, r1, Seq((4L, "x")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException] {
+      t2.deleteWhere(spark, r1, col("id") === 4L)
+    }
+    assert(e.getMessage.contains("FIRST"), s"unexpected: ${e.getMessage}")
+    t2.abort()
+  }
+
+  test("foreign pending stages refuse; main data writes block until the decision") {
+    val r = freshRoot("c1")
+    mk(r, Seq((1L, "base")))
+    val t1 = GraftTable.beginTransaction(txnDir("c"))
+    t1.append(spark, r, Seq((2L, "t1")).toDF("id", "v"))
+    // another transaction cannot interleave on the same table
+    val t2 = GraftTable.beginTransaction(txnDir("c"))
+    val e1 = intercept[IllegalArgumentException] {
+      t2.append(spark, r, Seq((3L, "t2")).toDF("id", "v"))
+    }
+    assert(e1.getMessage.contains("pending"), s"unexpected: ${e1.getMessage}")
+    // a plain main write blocks on the pending stage (the WAP slot rule)
+    intercept[IllegalStateException] {
+      GraftTable.append(spark, r, Seq((4L, "main")).toDF("id", "v"))
+    }
+    t1.commit()
+    // after the decision both proceed
+    t2.append(spark, r, Seq((3L, "t2")).toDF("id", "v"))
+    t2.commit()
+    GraftTable.append(spark, r, Seq((4L, "main")).toDF("id", "v"))
+    assert(GraftTable.read(spark, r).count() == 4L)
+  }
+
+  test("optimistic concurrency: a commit that lands above the stages refuses the transaction") {
+    val r = freshRoot("d1")
+    mk(r, Seq((1L, "base")))
+    val t = GraftTable.beginTransaction(txnDir("d"))
+    t.append(spark, r, Seq((2L, "txn")).toDF("id", "v"))
+    // a metadata commit slips in above the stage (property commits
+    // land at the raw head and never block)
+    GraftTable.setProperties(r, Map("owner" -> "someone"))
+    val e = intercept[IllegalArgumentException] { t.commit() }
+    assert(e.getMessage.contains("advanced past"), s"unexpected: ${e.getMessage}")
+    t.abort()
+    assert(GraftTable.read(spark, r).count() == 1L)
+    GraftTable.append(spark, r, Seq((3L, "after")).toDF("id", "v"))
+    assert(GraftTable.read(spark, r).count() == 2L)
+  }
+
+  test("crash between decision and seal: fresh state is committed; recoverTransactions completes the seals") {
+    val (r1, r2) = (freshRoot("e1"), freshRoot("e2"))
+    mk(r1, Seq((1L, "base")))
+    mk(r2, Seq((10L, "base")))
+    val t = GraftTable.beginTransaction(txnDir("e"))
+    t.append(spark, r1, Seq((2L, "txn")).toDF("id", "v"))
+    t.append(spark, r2, Seq((20L, "txn")).toDF("id", "v"))
+    // simulate the crash: the decision file lands but commit() (and
+    // its seals) never runs — write the decision by hand
+    Files.writeString(Paths.get(t.txnDir, s"${t.id}.decision"), "committed")
+    // recovery completes the seals; afterwards every reader sees the
+    // transaction on both tables
+    GraftTable.recoverTransactions(r1)
+    GraftTable.recoverTransactions(r2)
+    assert(GraftTable.read(spark, r1).as[(Long, String)].collect().toSet ==
+      Set((1L, "base"), (2L, "txn")))
+    assert(GraftTable.read(spark, r2).as[(Long, String)].collect().toSet ==
+      Set((10L, "base"), (20L, "txn")))
+    // idempotent
+    assert(GraftTable.recoverTransactions(r1).size <= 1)
+    GraftTable.append(spark, r1, Seq((3L, "after")).toDF("id", "v"))
+    assert(GraftTable.read(spark, r1).count() == 3L)
+  }
+
+  test("txn stages are fenced off the WAP publish/abandon doors; WAP pending blocks txn staging") {
+    val r = freshRoot("f1")
+    mk(r, Seq((1L, "base")))
+    GraftTable.setProperties(r, Map("write.wap.enabled" -> "true"))
+    val t = GraftTable.beginTransaction(txnDir("f"))
+    val sid = t.append(spark, r, Seq((2L, "txn")).toDF("id", "v"))
+    val e1 = intercept[IllegalArgumentException] {
+      GraftTable.cherrypickSnapshot(r, sid)
+    }
+    assert(e1.getMessage.contains("transaction"), s"unexpected: ${e1.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      GraftTable.abandonStagedSnapshot(r, sid)
+    }
+    assert(e2.getMessage.contains("transaction"), s"unexpected: ${e2.getMessage}")
+    t.abort()
+    // WAP stage pending → txn staging refuses (one pending group rule)
+    val wapId = GraftTable.appendStaged(spark, r,
+      Seq((5L, "wap")).toDF("id", "v"), "audit-1")
+    val t2 = GraftTable.beginTransaction(txnDir("f"))
+    val e3 = intercept[IllegalArgumentException] {
+      t2.append(spark, r, Seq((6L, "txn")).toDF("id", "v"))
+    }
+    assert(e3.getMessage.contains("pending"), s"unexpected: ${e3.getMessage}")
+    GraftTable.cherrypickSnapshot(r, wapId)
+    t2.append(spark, r, Seq((6L, "txn")).toDF("id", "v"))
+    t2.commit()
+    assert(GraftTable.read(spark, r).as[(Long, String)].collect().toSet ==
+      Set((1L, "base"), (5L, "wap"), (6L, "txn")))
+  }
+}
