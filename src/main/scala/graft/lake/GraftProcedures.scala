@@ -622,6 +622,12 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         // conflicts (both sides rewrote the same rows) refuse loudly
         Seq(Row(s"snapshot_id=${GraftTable.mergeBranch(spark, root,
           required("branch", "arg1"))}"))
+      case "rebase_branch" =>
+        // the Nessie rebase: carry a branch FORWARD onto main's
+        // current head (one off-main squash commit in a fresh epoch,
+        // then the ref flips); same file-level conflict rules as merge
+        Seq(Row(s"snapshot_id=${GraftTable.rebaseBranch(spark, root,
+          required("branch", "arg1"))}"))
       case "create_tag" =>
         // default = the MAIN head (a pending staged commit at the raw
         // log head is not taggable lineage); max_ref_age_ms = the

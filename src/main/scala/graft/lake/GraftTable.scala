@@ -5061,19 +5061,42 @@ object GraftTable {
     val head = branchHeadId(root, name)
     require(head != base, s"branch '$name' has no commits to merge")
     val mainSnap = state(root)
+    val (adds, removes) =
+      threeWayDelta(spark, root, name, "merge", base, mainSnap, head)
+    val id = listCommitIds(root).max + 1
+    // by-reference: the adds are the branch's files, still referenced
+    // by its commits — no cleanup-on-failure, like fast_forward
+    writeAtomic(commitPath(root, id), toJson(stampRowLineage(
+      Commit(id, Some(mainSnap.snapshotId), System.currentTimeMillis(), "merge_branch",
+        adds, removes,
+        Map(branchRefKey(name) -> id.toString,
+          s"graft.branch.published.$name" -> head.toString), None),
+      mainSnap.properties)))
+    id
+  }
+
+  /** The (adds, removes) a branch's net file delta since its base
+    * contributes when its lineage re-joins main's CURRENT head —
+    * shared by mergeBranch (delta lands ON main) and rebaseBranch
+    * (delta re-parents UNDER the branch at a new base). The conflict
+    * space is identical in both directions: the two lineages
+    * interleave either way, so the same file-granular rules apply. */
+  private def threeWayDelta(spark: SparkSession, root: String, name: String,
+      verb: String, base: Long, mainSnap: Snapshot,
+      head: Long): (Seq[FileEntry], Seq[String]) = {
     val baseSnap = state(root, Some(base))
     val branchSnap = state(root, Some(head))
     def schemaOf(s: Snapshot): String =
       s.schemaJson.getOrElse(state(root, Some(0L)).schemaJson.get)
     require(schemaOf(mainSnap) == schemaOf(baseSnap),
-      s"cannot merge '$name': main changed schema since the branch base $base — " +
+      s"cannot $verb '$name': main changed schema since the branch base $base — " +
         "re-branch from the current head and re-apply")
     require(schemaOf(branchSnap) == schemaOf(baseSnap),
-      s"cannot merge '$name': the branch changed schema; schema evolution " +
+      s"cannot $verb '$name': the branch changed schema; schema evolution " +
         "publishes through fast_forward (clean ancestor) only")
     require(mainSnap.properties.get(specProp) == baseSnap.properties.get(specProp) &&
         branchSnap.properties.get(specProp) == baseSnap.properties.get(specProp),
-      s"cannot merge '$name': the partition spec changed since the branch base")
+      s"cannot $verb '$name': the partition spec changed since the branch base")
     val basePaths = baseSnap.files.map(_.path).toSet
     val branchByPath = branchSnap.files.map(f => f.path -> f).toMap
     val mainPaths = mainSnap.files.map(_.path).toSet
@@ -5082,14 +5105,14 @@ object GraftTable {
     val mainRemoved = basePaths -- mainPaths
     val both = removes.filter(mainRemoved.contains)
     require(both.isEmpty,
-      s"cannot merge '$name': both main and the branch rewrote file(s) " +
+      s"cannot $verb '$name': both main and the branch rewrote file(s) " +
         s"${both.take(3).mkString(", ")}${if (both.size > 3) "…" else ""} since " +
         s"base $base — the same rows changed on both sides; re-branch and re-apply")
     val mainNewFiles = mainSnap.files.filterNot(f => basePaths.contains(f.path))
     val eqSides = Seq("the branch" -> adds, "main" -> mainNewFiles)
       .filter(_._2.exists(_.content.contains(2))).map(_._1)
     require(eqSides.isEmpty,
-      s"cannot merge '$name': ${eqSides.mkString(" and ")} added equality-delete " +
+      s"cannot $verb '$name': ${eqSides.mkString(" and ")} added equality-delete " +
         "file(s) since the base, whose sequence-rule scope cannot survive the " +
         "lineage interleave — fold them (rewrite_equality_deletes) and retry")
     val schema = DataType.fromJson(schemaOf(mainSnap)).asInstanceOf[StructType]
@@ -5100,22 +5123,67 @@ object GraftTable {
         .map(_.path)
     val branchOnGone = overlap(adds.filter(_.isDelete), mainRemoved)
     require(branchOnGone.isEmpty,
-      s"cannot merge '$name': the branch position-deleted rows from file(s) " +
+      s"cannot $verb '$name': the branch position-deleted rows from file(s) " +
         s"${branchOnGone.take(3).mkString(", ")} that main has since rewritten")
     val mainOnGone = overlap(mainNewFiles.filter(_.isDelete), removes.toSet)
     require(mainOnGone.isEmpty,
-      s"cannot merge '$name': main position-deleted rows from file(s) " +
+      s"cannot $verb '$name': main position-deleted rows from file(s) " +
         s"${mainOnGone.take(3).mkString(", ")} that the branch rewrote — the " +
         "branch's rewrite would resurrect them")
+    (adds, removes)
+  }
+
+  /** REBASE a branch onto main's current head — Nessie's other verb,
+    * completing the branch lifecycle (merge publishes the branch's
+    * work onto main; rebase carries it FORWARD so work continues after
+    * main moved). The branch's net file delta since its base re-parents
+    * as ONE off-main squash commit in a fresh epoch based at main's
+    * head, then the ref flips to that base. Same file-granular conflict
+    * rules as merge (the lineages interleave either way); no data
+    * bytes copy (by-reference, like fast_forward); rows stay off-main
+    * so lineage ids still mint at publish time.
+    *
+    * Crash ordering: the squash commit lands FIRST but carries the NEW
+    * base, so it is invisible in the current epoch; a crash before the
+    * ref flip leaves the branch intact at the old base and the orphan
+    * squash ages out with expire_snapshots — never a half-rebased ref.
+    *
+    * An empty branch (no commits since base/last publish) re-points to
+    * main's head with just the ref flip — Nessie's trivial rebase.
+    * History is not rewritten: old-epoch branch snapshots keep
+    * time-traveling by id until expired. */
+  def rebaseBranch(spark: SparkSession, root: String, name: String): Long = {
+    val base = branches(root).getOrElse(name,
+      throw new IllegalArgumentException(s"no such branch: '$name'"))
+    val head = branchHeadId(root, name)
+    val mainSnap = state(root)
+    val newBase = mainSnap.snapshotId
+    // "moved" means fast_forward's divergence: a non-off-main commit
+    // that changed data or schema. Property-only movement (ref
+    // commits, tags) is lineage-neutral — rebasing over it would be
+    // pure ref churn, and fast_forward already publishes across it.
+    val moved = listCommitIds(root)
+      .filter(id => id > base && id <= newBase)
+      .filterNot(id => isOffMainId(root, id))
+      .exists(id => parseCommit(Files.readString(commitPath(root, id)))
+        .operation != "set_properties")
+    require(moved,
+      s"branch '$name': main has not advanced past base $base — nothing to " +
+        "rebase onto (publish with fast_forward, or keep working)")
+    if (head == base) {
+      setProperties(root, Map(branchRefKey(name) -> newBase.toString))
+      return newBase
+    }
+    val (adds, removes) =
+      threeWayDelta(spark, root, name, "rebase", base, mainSnap, head)
     val id = listCommitIds(root).max + 1
-    // by-reference: the adds are the branch's files, still referenced
-    // by its commits — no cleanup-on-failure, like fast_forward
-    writeAtomic(commitPath(root, id), toJson(stampRowLineage(
-      Commit(id, Some(mainSnap.snapshotId), System.currentTimeMillis(), "merge_branch",
+    // by-reference like fast_forward: the adds are the branch's files,
+    // still referenced by its old-epoch commits — no cleanup-on-failure
+    writeAtomic(commitPath(root, id), toJson(
+      Commit(id, Some(newBase), System.currentTimeMillis(), "branch_rebase",
         adds, removes,
-        Map(branchRefKey(name) -> id.toString,
-          s"graft.branch.published.$name" -> head.toString), None),
-      mainSnap.properties)))
+        Map(branchNameProp -> name, branchBaseProp -> newBase.toString), None)))
+    setProperties(root, Map(branchRefKey(name) -> newBase.toString))
     id
   }
 

@@ -337,6 +337,63 @@ class BranchSpec extends SparkSpec {
     assert(e.getMessage.contains("schema"), s"unexpected: ${e.getMessage}")
   }
 
+  test("rebase_branch carries a branch FORWARD onto a moved main; work continues; fast_forward then publishes") {
+    val r = freshTable("t17")
+    spark.sql("INSERT INTO graft.br.t17 VALUES (1, 'keep'), (2, 'drop')")
+    GraftTable.createBranch(r, "etl")
+    // branch: append + CoW delete (rewrites the base file)
+    spark.sql("INSERT INTO graft.br.t17.branch_etl VALUES (10, 'etl')")
+    spark.sql("DELETE FROM graft.br.t17.branch_etl WHERE v = 'drop'")
+    val oldEpochHead = GraftTable.branchHeadId(r, "etl")
+    // main diverges — the branch cannot fast_forward out...
+    spark.sql("INSERT INTO graft.br.t17 VALUES (3, 'main')")
+    intercept[IllegalArgumentException] { GraftTable.fastForward(r, "etl") }
+    // ...so rebase re-parents the branch's delta under the new head
+    val mainHead = GraftTable.state(r).snapshotId
+    spark.sql("CALL graft_system.rebase_branch(table => 'br.t17', branch => 'etl')")
+    assert(GraftTable.branches(r)("etl") == mainHead, "ref flipped to main's head")
+    // branch view = main head content + the branch's delta; main untouched
+    assert(GraftTable.readBranch(spark, r, "etl").as[(Long, String)].collect().toSet ==
+      Set((1L, "keep"), (3L, "main"), (10L, "etl")))
+    assert(spark.table("graft.br.t17").as[(Long, String)].collect().toSet ==
+      Set((1L, "keep"), (2L, "drop"), (3L, "main")))
+    // history is not rewritten: the old-epoch head still time-travels
+    assert(GraftTable.read(spark, r, Some(oldEpochHead)).as[(Long, String)]
+      .collect().toSet == Set((1L, "keep"), (10L, "etl")))
+    // work continues in the new epoch, then fast_forward publishes clean
+    spark.sql("INSERT INTO graft.br.t17.branch_etl VALUES (11, 'round2')")
+    GraftTable.fastForward(r, "etl")
+    assert(spark.table("graft.br.t17").as[(Long, String)].collect().toSet ==
+      Set((1L, "keep"), (3L, "main"), (10L, "etl"), (11L, "round2")))
+  }
+
+  test("rebase_branch: empty branch re-points; same conflict rules as merge; no-divergence refuses") {
+    val r = freshTable("t18")
+    spark.sql("INSERT INTO graft.br.t18 VALUES (1, 'a')")
+    GraftTable.createBranch(r, "dev")
+    // main hasn't moved (the ref commit is property-only): refuse
+    val e0 = intercept[IllegalArgumentException] { GraftTable.rebaseBranch(spark, r, "dev") }
+    assert(e0.getMessage.contains("nothing to rebase"), s"unexpected: ${e0.getMessage}")
+    // empty branch + moved main: rebase is just the ref flip
+    spark.sql("INSERT INTO graft.br.t18 VALUES (2, 'b')")
+    val h = GraftTable.state(r).snapshotId
+    GraftTable.rebaseBranch(spark, r, "dev")
+    assert(GraftTable.branches(r)("dev") == h)
+    assert(GraftTable.readBranch(spark, r, "dev").count() == 2L)
+    // and a second rebase over the flip commit alone refuses again
+    val e0b = intercept[IllegalArgumentException] { GraftTable.rebaseBranch(spark, r, "dev") }
+    assert(e0b.getMessage.contains("nothing to rebase"), s"unexpected: ${e0b.getMessage}")
+    // both-rewrote conflict refuses, both lineages intact
+    spark.sql("DELETE FROM graft.br.t18.branch_dev WHERE id = 1")
+    spark.sql("DELETE FROM graft.br.t18 WHERE id = 1")
+    val e1 = intercept[IllegalArgumentException] { GraftTable.rebaseBranch(spark, r, "dev") }
+    assert(e1.getMessage.contains("rewrote"), s"unexpected: ${e1.getMessage}")
+    assert(GraftTable.readBranch(spark, r, "dev").as[(Long, String)].collect().toSet ==
+      Set((2L, "b")))
+    assert(spark.table("graft.br.t18").as[(Long, String)].collect().toSet ==
+      Set((2L, "b")))
+  }
+
   test("min-snapshots-to-keep floors retain_last during expiry") {
     val r = freshTable("t10")
     (1 to 5).foreach(i => spark.sql(s"INSERT INTO graft.br.t10 VALUES ($i, 'x')"))
