@@ -23,10 +23,14 @@ import org.apache.spark.util.SerializableConfiguration
   * input partitions are the manifest-pruned parquet files, read by
   * Spark's own vectorized columnar parquet reader
   * (ParquetPartitionReaderFactory) — no Row bridge, whole-stage
-  * codegen consumes ColumnarBatches directly. Eligibility is decided
-  * by GraftTable.planNativeScan (no live MoR delete files, no rename
-  * coalescing); everything else falls back to the V1 relation plane,
-  * which owns those read-time semantics.
+  * codegen consumes ColumnarBatches directly. MoR delete files apply
+  * as per-file row-index / key-set filters inside the reader, and
+  * RENAMED columns resolve per file to whichever physical name the
+  * file carries (footer field set, cached per executor — the Iceberg
+  * name-mapping shape). Eligibility is decided by
+  * GraftTable.planNativeScan; the rare remaining shapes (non-hashable
+  * or renamed equality-delete keys, retired-name reuse) fall back to
+  * the V1 relation plane, which owns those read-time semantics.
   *
   * Two scale features live here that the V1 bridge structurally
   * cannot express (reference: the Iceberg runtime the guide's
@@ -261,8 +265,12 @@ private[graft] class GraftBatchScan(
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     GraftMorMetrics.supported
 
+  /** Rename alternatives that matter to THIS scan's output. */
+  private val outRenames: Seq[(String, Seq[String])] =
+    plan.renames.filter { case (n, _) => dataCols.fieldNames.contains(n) }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    if (plan.deletes.isEmpty && !rowIdRequested)
+    if (plan.deletes.isEmpty && !rowIdRequested && outRenames.isEmpty)
       GraftReaderFactory(mkParquetFactory(plan.schema, readDataSchema, pushedFilters))
     else morReaderFactory()
 
@@ -296,9 +304,17 @@ private[graft] class GraftBatchScan(
     // null-fills nullable missing columns (a required miss throws) and
     // its RowIndexGenerator then overwrites the vector with real
     // indexes, matched by name
+    // historical-name twins of renamed output columns (nullable, same
+    // type): each file physically carries exactly ONE of a column's
+    // names; the reader resolves which per file and serves that vector
+    val histTwins = outRenames.flatMap { case (cur, hists) =>
+      val dt = plan.schema.fields.find(_.name == cur).get.dataType
+      hists.map(h => StructField(h, dt, nullable = true))
+    }
     val extSchema = StructType(dataCols.fields ++
       eqColsNeeded.map(c =>
         plan.schema.fields.find(_.name == c).get.copy(nullable = true)) ++
+      histTwins ++
       (if (rowIdRequested) Seq(GraftTable.rowIdPhys) else Seq.empty) :+
       StructField(riName, LongType, nullable = true))
     val ordOf = extSchema.fieldNames.zipWithIndex.toMap
@@ -313,6 +329,16 @@ private[graft] class GraftBatchScan(
     val dataOrd = dataCols.fieldNames.zipWithIndex.toMap
     val outCols = readDataSchema.fieldNames.map(n =>
       if (n == "_row_id") -1 else dataOrd(n))
+    // per renamed output column: candidate names (current first, then
+    // historical newest-first) and their extended ordinals
+    val renames = outRenames.map { case (cur, hists) =>
+      GraftRenameAlt(readDataSchema.fieldNames.indexOf(cur),
+        (cur +: hists).toArray, (cur +: hists).map(ordOf).toArray)
+    }
+    val bcConf =
+      if (renames.isEmpty) null
+      else spark.sparkContext.broadcast(new SerializableConfiguration(
+        spark.sessionState.newHadoopConfWithOptions(Map.empty)))
     GraftMorReaderFactory(
       plain = mkParquetFactory(plan.schema, dataCols, pushedFilters),
       extended = mkParquetFactory(plan.schema, extSchema, pushedFilters),
@@ -327,7 +353,9 @@ private[graft] class GraftBatchScan(
       posFactory = mkParquetFactory(posSchema, posSchema, Array.empty),
       eqGroups = eqGroups,
       dvDeletes = dvDeletes,
-      dvFactory = mkParquetFactory(GraftDv.schema, GraftDv.schema, Array.empty))
+      dvFactory = mkParquetFactory(GraftDv.schema, GraftDv.schema, Array.empty),
+      renames = renames,
+      renameConf = bcConf)
   }
 }
 

@@ -62,14 +62,23 @@ private[lake] case object GraftNullId extends GraftRowIdMode
 private[lake] case object GraftMaterializedId extends GraftRowIdMode
 private[lake] case class GraftBaseId(base: Long) extends GraftRowIdMode
 
+/** One renamed output column's physical-name alternatives: candidate
+  * names (current first, then historical newest-first) with their
+  * extended-schema ordinals. Each file physically carries exactly ONE
+  * of the names; the reader picks that one per file. */
+private[lake] case class GraftRenameAlt(outOrd: Int, names: Array[String],
+    extOrds: Array[Int])
+
 /** One data file's read work: the merged deletion vector (sorted row
-  * ordinals), the equality groups whose sequence bound admits it, and
-  * its lineage mode. */
+  * ordinals), the equality groups whose sequence bound admits it, its
+  * lineage mode, and — for files written under pre-rename names — the
+  * per-file output→extended column remap (null = factory default). */
 private[lake] case class GraftMorWork(dv: Array[Long],
     eqs: Seq[(Array[Int], Array[DataType], java.util.HashSet[AnyRef])],
-    rowId: GraftRowIdMode) {
+    rowId: GraftRowIdMode, cols: Array[Int] = null) {
   def hasDeletes: Boolean = dv.nonEmpty || eqs.nonEmpty
-  def needsExtended: Boolean = hasDeletes || rowId != GraftNoLineage
+  def needsExtended: Boolean = hasDeletes || rowId != GraftNoLineage ||
+    cols != null
 }
 
 /** DSv2 custom metrics: per-task delete-filter observability for the
@@ -114,7 +123,10 @@ private[lake] case class GraftMorReaderFactory(
     posFactory: ParquetPartitionReaderFactory,
     eqGroups: Seq[GraftEqGroup],
     dvDeletes: Seq[(String, Long)] = Seq.empty,  // content=3 containers
-    dvFactory: ParquetPartitionReaderFactory = null)
+    dvFactory: ParquetPartitionReaderFactory = null,
+    renames: Seq[GraftRenameAlt] = Seq.empty,
+    renameConf: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.SerializableConfiguration] = null)
   extends PartitionReaderFactory {
 
   private def files(p: InputPartition): Array[PartitionedFile] = p match {
@@ -151,7 +163,26 @@ private[lake] case class GraftMorReaderFactory(
         case Some(base) => GraftBaseId(base)
       }
     }
-    GraftMorWork(dv, eqs, mode)
+    // renamed columns: resolve which physical name THIS file carries
+    // (footer field set, parsed once per executor) and remap the
+    // output ordinal to that name's vector; a file with neither name
+    // (pre-ADD-COLUMN) keeps the current name — the reader null-fills
+    val cols: Array[Int] =
+      if (renames.isEmpty) null
+      else {
+        val fields = GraftMorCache.fileFields(
+          f.toPath.toString, renameConf.value.value)
+        var remapped: Array[Int] = null
+        renames.foreach { a =>
+          val k = a.names.indexWhere(fields.contains)
+          if (k > 0) {
+            if (remapped == null) remapped = outCols.clone()
+            remapped(a.outOrd) = a.extOrds(k)
+          }
+        }
+        remapped
+      }
+    GraftMorWork(dv, eqs, mode, cols)
   }
 
   /** A clean file with no lineage request reads through the plain
@@ -251,7 +282,33 @@ private[lake] object GraftMorCache {
     * COLD delete-application cost (the steady state is cache-equal by
     * design). */
   private[lake] def clearForTest(): Unit = {
-    posCache.clear(); eqCache.clear(); dvCache.clear()
+    posCache.clear(); eqCache.clear(); dvCache.clear(); fieldsCache.clear()
+  }
+
+  private val fieldsCache =
+    new ConcurrentHashMap[String, SoftReference[java.util.HashSet[String]]]()
+
+  /** The TOP-LEVEL field names a parquet file physically carries —
+    * one footer read per file per executor (soft-cached; files are
+    * immutable so staleness cannot occur). This is how renamed
+    * columns resolve: exactly one of (current, historical…) names is
+    * present in any given file. */
+  def fileFields(path: String,
+      conf: org.apache.hadoop.conf.Configuration): java.util.HashSet[String] = {
+    val ref = fieldsCache.get(path)
+    val hit = if (ref == null) null else ref.get()
+    if (hit != null) return hit
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val s = new java.util.HashSet[String]()
+    try {
+      val fields = reader.getFileMetaData.getSchema.getFields
+      var i = 0
+      while (i < fields.size()) { s.add(fields.get(i).getName); i += 1 }
+    } finally reader.close()
+    fieldsCache.put(path, new SoftReference(s))
+    s
   }
 
   /** One DV container (parquet of (name, serialized roaring bitmap))
@@ -441,10 +498,11 @@ private[lake] class GraftMorColumnarReader(files: Array[PartitionedFile],
       if (k == 0) return null
       if (k == n) map = null   // nothing filtered: direct views
     }
-    val cols = new Array[ColumnVector](fac.outCols.length)
+    val oc = if (work.cols != null) work.cols else fac.outCols
+    val cols = new Array[ColumnVector](oc.length)
     var j = 0
-    while (j < fac.outCols.length) {
-      val e = fac.outCols(j)
+    while (j < oc.length) {
+      val e = oc(j)
       cols(j) =
         if (e >= 0) {
           if (map == null) b.column(e) else new GraftIndirectVector(b.column(e), map)
@@ -478,7 +536,7 @@ private[lake] class GraftMorRowReader(files: Array[PartitionedFile],
   private var out: InternalRow = _
   private var deletedRows = 0L
   private var dirtyFiles = 0L
-  private val projected = new GraftProjectedRow(fac.outCols)
+  private var projected = new GraftProjectedRow(fac.outCols)
 
   private def advanceFile(): Boolean = {
     i += 1
@@ -486,6 +544,9 @@ private[lake] class GraftMorRowReader(files: Array[PartitionedFile],
     else {
       val (r, w) = fac.rowFor(files(i))
       cur = r; work = w; dvCursor = 0
+      // renamed files read through a per-file output→extended remap
+      projected = new GraftProjectedRow(
+        if (w != null && w.cols != null) w.cols else fac.outCols)
       if (w != null && w.hasDeletes) dirtyFiles += 1
       true
     }

@@ -6427,7 +6427,26 @@ object GraftTable {
   private[lake] case class NativePlan(schema: StructType,
       entries: Seq[FileEntry], specs: IndexedSeq[Seq[PTransform]],
       currentSpecId: Int, distributedPlanned: Boolean,
-      deletes: Seq[FileEntry] = Seq.empty)
+      deletes: Seq[FileEntry] = Seq.empty,
+      renames: Seq[(String, Seq[String])] = Seq.empty)
+
+  /** (logical name, historical names newest-first) for every renamed
+    * column — the native reader resolves which name each FILE
+    * physically carries (footer field set, cached per executor) and
+    * serves that vector under the logical name. */
+  private def renameAlts(schema: StructType): Seq[(String, Seq[String])] =
+    schema.fields.toSeq.flatMap { f =>
+      val hs = prevNames(f)
+      if (hs.isEmpty) None else Some(f.name -> hs.reverse)
+    }
+
+  /** A historical name that is ALSO a live field name would make the
+    * reader's extended schema ambiguous — that snapshot stays on V1
+    * (the coalesce projection disambiguates positionally there). */
+  private def renamesAmbiguous(schema: StructType): Boolean = {
+    val live = schema.fieldNames.toSet
+    schema.fields.exists(f => prevNames(f).exists(live.contains))
+  }
 
   /** Equality-delete key types the native reader can hash-set
     * (structural boxed equality matches Spark's null-safe equality
@@ -6452,14 +6471,20 @@ object GraftTable {
           d.content.contains(1) || d.content.contains(3) ||
             (d.content.contains(2) &&
               d.eqCols.exists(cs => cs.nonEmpty && cs.forall(c =>
-                schema.fields.find(_.name == c).exists(f => eqKeyHashable(f.dataType)))))
+                // a RENAMED eq-key column would need per-file key-ordinal
+                // remapping inside the reader — that combo stays on V1
+                schema.fields.find(_.name == c).exists(f =>
+                  eqKeyHashable(f.dataType) && prevNames(f).isEmpty))))
         })
 
   /** Plan a scan for the native (DSv2 Batch / columnar) read path, or
     * None when the snapshot needs read-time semantics only the
-    * DataFrame plane provides — rename coalescing (physical→logical
-    * projection) or a delete shape the deletion-vector reader can't
-    * serve. Live MoR delete files ride along in `deletes` and apply
+    * DataFrame plane provides — a delete shape the deletion-vector
+    * reader can't serve (non-hashable or renamed equality keys).
+    * Renamed columns stay native: the plan carries the rename
+    * alternatives and the wrapping reader resolves which name each
+    * file physically carries (footer field set, cached per executor).
+    * Live MoR delete files ride along in `deletes` and apply
     * as per-file row-index / key-set filters inside the columnar
     * reader (GraftMorReaderFactory). Widened types and ADD-COLUMN
     * null-fill stay native: both planes hand the SAME explicit read
@@ -6481,7 +6506,7 @@ object GraftTable {
     ckptTail(root, target).filterNot(_.belowThreshold) match {
       case Some(ct) =>
         val schema = DataType.fromJson(ct.schemaJson.get).asInstanceOf[StructType]
-        if (hasRenames(schema)) return None
+        if (renamesAmbiguous(schema)) return None
         val types = schema.fields.map(f => f.name -> f.dataType).toMap
         val specs = specHistory(ct.props)
         val aliases = statAliases(schema)
@@ -6513,12 +6538,13 @@ object GraftTable {
         val tailLive = prunedData(types, specs, preds,
           ct.tailAdds.filter(_.isData), aliases)
         Some(NativePlan(schema, ckEntries ++ tailLive, specs,
-          specs.size - 1, distributedPlanned = true, deletes))
+          specs.size - 1, distributedPlanned = true, deletes,
+          renameAlts(schema)))
       case None =>
         val snap = state(root, asOf)
         val schema = DataType.fromJson(snap.schemaJson.getOrElse(
           state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
-        if (hasRenames(schema)) return None
+        if (renamesAmbiguous(schema)) return None
         val deletes = snap.files.filter(_.isDelete)
         if (!morNativeEligible(spark, schema, deletes)) return None
         val types = schema.fields.map(f => f.name -> f.dataType).toMap
@@ -6526,7 +6552,8 @@ object GraftTable {
         val entries = prunedData(types, specs, preds,
           snap.files.filter(_.isData), statAliases(schema))
         Some(NativePlan(schema, entries, specs,
-          specs.size - 1, distributedPlanned = false, deletes))
+          specs.size - 1, distributedPlanned = false, deletes,
+          renameAlts(schema)))
     }
   }
 

@@ -8,8 +8,9 @@ import graft.lake.{GraftBatchScan, GraftTable}
 import graft.sources.Tables
 
 /** The native DSv2 batch read path: columnar scans (no Row bridge),
-  * parity with the V1 plane, fallback on MoR/rename snapshots, runtime
-  * (DPP) file pruning, and storage-partitioned joins. */
+  * parity with the V1 plane, MoR deletes and renamed columns served
+  * in-reader, runtime (DPP) file pruning, and storage-partitioned
+  * joins. */
 class NativeScanSpec extends SparkSpec {
 
   private val wh = SparkSpec.sqlWarehouse
@@ -77,7 +78,7 @@ class NativeScanSpec extends SparkSpec {
         .select("c_name").collect().map(_.getString(0)).toSeq)
   }
 
-  test("ADD COLUMN null-fill and time travel stay native; MoR deletes and renames fall back") {
+  test("ADD COLUMN null-fill, time travel, MoR deletes, and renames all stay native") {
     spark.sql("CREATE TABLE graft.nsc.evo (id BIGINT, v STRING)")
     spark.sql("INSERT INTO graft.nsc.evo VALUES (1, 'a'), (2, 'b')")
     spark.sql("ALTER TABLE graft.nsc.evo ADD COLUMN extra DOUBLE")
@@ -94,10 +95,11 @@ class NativeScanSpec extends SparkSpec {
     assert(nativeScanOf(v1).isDefined)
     assert(v1.columns.toSeq == Seq("id", "v") && v1.count() == 2)
 
-    // a rename forces the coalescing V1 plane
+    // a rename stays NATIVE: the reader resolves which physical name
+    // each file carries (round-12; previously the V1 coalesce plane)
     spark.sql("ALTER TABLE graft.nsc.evo RENAME COLUMN v TO label")
     val renamed = spark.sql("SELECT id, label FROM graft.nsc.evo ORDER BY id")
-    assert(nativeScanOf(renamed).isEmpty, "renames need the V1 coalesce plane")
+    assert(nativeScanOf(renamed).isDefined, "renames are served natively")
     assert(renamed.collect().map(_.getString(1)).toSeq == Seq("a", "b", "c"))
 
     // a MoR position delete stays NATIVE: the deletion-vector reader
@@ -118,6 +120,55 @@ class NativeScanSpec extends SparkSpec {
       assert(nativeScanOf(v1).isEmpty, "mor kill switch must fall back")
       assert(v1.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
     } finally spark.conf.unset("spark.graft.native-scan.mor.enabled")
+  }
+
+  test("renamed columns read natively across eras: per-file name resolution, filters, MoR compose, V1 parity") {
+    spark.sql("CREATE TABLE graft.nsc.ren (id BIGINT, v STRING, n BIGINT)")
+    spark.sql("INSERT INTO graft.nsc.ren VALUES (1, 'a', 10), (2, 'b', 20)")   // era 1: v, n
+    spark.sql("ALTER TABLE graft.nsc.ren RENAME COLUMN v TO w")
+    spark.sql("INSERT INTO graft.nsc.ren VALUES (3, 'c', 30)")                 // era 2: w, n
+    spark.sql("ALTER TABLE graft.nsc.ren RENAME COLUMN w TO label")
+    spark.sql("ALTER TABLE graft.nsc.ren ADD COLUMN extra DOUBLE")
+    spark.sql("INSERT INTO graft.nsc.ren VALUES (4, 'd', 40, 1.5)")            // era 3: label, n, extra
+    spark.sql("ALTER TABLE graft.nsc.ren RENAME COLUMN extra TO bonus")
+
+    // twice-renamed column + renamed-after-ADD column, three file eras
+    val q = spark.sql("SELECT id, label, bonus FROM graft.nsc.ren ORDER BY id")
+    val sc = nativeScanOf(q)
+    assert(sc.isDefined, "renamed snapshots must plan native")
+    val rows = q.collect().map(r =>
+      (r.getLong(0), r.getString(1), Option(r.get(2)))).toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", None), (3L, "c", None),
+      (4L, "d", Some(1.5))), s"got $rows")
+
+    // a filter on the renamed column is exact across eras (filters are
+    // residual: parquet pushdown skips files lacking the current name)
+    val f = spark.sql("SELECT id FROM graft.nsc.ren WHERE label = 'b'")
+    assert(nativeScanOf(f).isDefined)
+    assert(f.collect().map(_.getLong(0)).toSeq == Seq(2L))
+
+    // parity with the V1 coalesce plane (kill switch)
+    spark.conf.set("spark.graft.native-scan.enabled", "false")
+    try {
+      val v1 = spark.sql("SELECT id, label, bonus FROM graft.nsc.ren ORDER BY id")
+      assert(nativeScanOf(v1).isEmpty)
+      assert(v1.collect().map(r =>
+        (r.getLong(0), r.getString(1), Option(r.get(2)))).toSeq == rows)
+    } finally spark.conf.unset("spark.graft.native-scan.enabled")
+
+    // MoR deletes compose with rename resolution in one native pass
+    spark.sql("""CREATE TABLE graft.nsc.renmor (id BIGINT, v STRING)
+      |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.nsc.renmor VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("ALTER TABLE graft.nsc.renmor RENAME COLUMN v TO label")
+    spark.sql("INSERT INTO graft.nsc.renmor VALUES (4, 'd')")
+    spark.sql("DELETE FROM graft.nsc.renmor WHERE id IN (2, 4)")
+    val m = spark.sql("SELECT id, label FROM graft.nsc.renmor ORDER BY id")
+    val msc = nativeScanOf(m)
+    assert(msc.isDefined && msc.get.morDeleteCount > 0,
+      "rename + MoR deletes must compose natively")
+    assert(m.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (3L, "c")))
   }
 
   test("runtime (DPP) filtering prunes partition files at execution time") {
