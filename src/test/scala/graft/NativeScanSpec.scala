@@ -364,30 +364,35 @@ class NativeScanSpec extends SparkSpec {
       // lifecycle 2 is identity-partitioned: deletion vectors must
       // compose with partition pruning and key-grouped planning
       val part = if (lc == 2) " PARTITIONED BY (grp)" else ""
-      spark.sql(s"""CREATE TABLE graft.nsc.rl$lc (id BIGINT, grp BIGINT, v STRING)$part
+      spark.sql(s"""CREATE TABLE graft.nsc.rl$lc
+        |(id BIGINT, grp BIGINT, v STRING, tag0 STRING)$part
         |TBLPROPERTIES ('write.delete.mode'='merge-on-read',
         | 'graft.delete.files-per-shard'='1', 'graft.delete.rows-per-shard'='4')"""
         .stripMargin)
       val root = s"$wh/nsc/rl$lc"
-      var oracle = Vector.empty[(Long, Long, String)]
+      // the payload column renames mid-lifecycle (tag0 -> tag1 -> ...):
+      // the native reader must resolve each file era's physical name
+      var tagGen = 0
+      def tag = s"tag$tagGen"
+      var oracle = Vector.empty[(Long, Long, String, String)]
       def check(): Unit = {
-        val q = spark.sql(s"SELECT id, grp, v FROM graft.nsc.rl$lc")
+        val q = spark.sql(s"SELECT id, grp, v, $tag FROM graft.nsc.rl$lc")
         if (GraftTable.state(root).files.exists(_.isDelete))
           assert(nativeScanOf(q).exists(_.morDeleteCount > 0),
             s"lifecycle $lc must stay native under live deletes")
-        val got = q.as[(Long, Long, String)].collect().toVector.sorted
+        val got = q.as[(Long, Long, String, String)].collect().toVector.sorted
         assert(got == oracle.sorted,
           s"lifecycle $lc: ${got.size} rows vs oracle ${oracle.size}, first diff " +
             s"${(got.diff(oracle.sorted) ++ oracle.sorted.diff(got)).headOption}")
       }
-      for (op <- 0 until 10) {
-        rnd.nextInt(4) match {
+      for (op <- 0 until 12) {
+        rnd.nextInt(5) match {
           case 0 | 1 =>   // append a handful of rows (dup ids welcome)
             val rows = (0 until 3 + rnd.nextInt(6)).map(_ =>
               (rnd.nextInt(40).toLong, rnd.nextInt(4).toLong,
-                s"w${rnd.nextInt(9)}"))
+                s"w${rnd.nextInt(9)}", s"t${rnd.nextInt(5)}"))
             oracle ++= rows
-            rows.toDF("id", "grp", "v").createOrReplaceTempView("rl_src")
+            rows.toDF("id", "grp", "v", tag).createOrReplaceTempView("rl_src")
             spark.sql(s"INSERT INTO graft.nsc.rl$lc SELECT * FROM rl_src")
           case 2 =>       // predicate position delete
             val cut = rnd.nextInt(40)
@@ -399,14 +404,18 @@ class NativeScanSpec extends SparkSpec {
             val vs = Seq.fill(1 + rnd.nextInt(3))(s"w${rnd.nextInt(9)}").distinct
             GraftTable.deleteEqualityMoR(spark, root, vs.toDF("v"))
             oracle = oracle.filterNot(r => vs.contains(r._3))
+          case 4 =>       // rename the tag column: older files keep their
+            // era's physical name; reads must stay native regardless
+            spark.sql(s"ALTER TABLE graft.nsc.rl$lc RENAME COLUMN $tag TO tag${tagGen + 1}")
+            tagGen += 1
         }
         check()
       }
-      // end-of-life V1 parity on the composed delete state
-      val native = spark.sql(s"SELECT id, grp, v FROM graft.nsc.rl$lc")
+      // end-of-life V1 parity on the composed delete + rename state
+      val native = spark.sql(s"SELECT id, grp, v, $tag FROM graft.nsc.rl$lc")
         .collect().map(_.toString).sorted.toSeq
       spark.conf.set("spark.graft.native-scan.enabled", "false")
-      try assert(spark.sql(s"SELECT id, grp, v FROM graft.nsc.rl$lc")
+      try assert(spark.sql(s"SELECT id, grp, v, $tag FROM graft.nsc.rl$lc")
         .collect().map(_.toString).sorted.toSeq == native)
       finally spark.conf.unset("spark.graft.native-scan.enabled")
     }
