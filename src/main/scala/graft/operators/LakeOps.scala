@@ -586,6 +586,45 @@ object LakeOps {
     out.orderBy(col("o_orderkey"))
   }
 
+  // ── q103: branch rebase-then-publish lifecycle, oracle-checked ──────
+  /** The Nessie-rebase workflow on one table: a branch appends a slice
+    * and deletes a segment, main diverges past the fork with its own
+    * slice, rebase carries the branch FORWARD onto the moved head (the
+    * squash epoch — the requires pin fast_forward's refusal before and
+    * branch invisibility to main CDC), work CONTINUES on the rebased
+    * branch (a second segment delete that now sees main's slice too),
+    * and a clean fast_forward publishes everything. The pre-rebase
+    * delete saw slices A+B only; the post-rebase delete saw A+B+C —
+    * so every surviving row is a pure function of
+    * (c_custkey, c_mktsegment) and DuckDB reconstructs the final table
+    * from customer alone. */
+  def q103(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch("q103")
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    GraftTable.create(s, root, c.schema)
+    GraftTable.append(s, root, c.filter(col("c_custkey") % 3 === 0).repartition(2))
+    GraftTable.createBranch(root, "etl")
+    GraftTable.appendToBranch(s, root,
+      c.filter(col("c_custkey") % 3 === 1).repartition(2), "etl")
+    GraftTable.deleteWhereOnBranch(s, root, col("c_mktsegment") === "MACHINERY", "etl")
+    // main DIVERGES: appends slice C after the fork
+    GraftTable.append(s, root, c.filter(col("c_custkey") % 3 === 2).repartition(2))
+    val mainHead = GraftTable.state(root).snapshotId
+    require(scala.util.Try(GraftTable.fastForward(root, "etl")).isFailure,
+      "fast_forward must refuse a diverged main")
+    GraftTable.rebaseBranch(s, root, "etl")
+    require(GraftTable.branches(root)("etl") == mainHead,
+      "the ref must flip to main's pre-rebase head (the new base)")
+    require(GraftTable.read(s, root).filter(col("c_custkey") % 3 === 1).count() == 0,
+      "rebase must leave main untouched (branch rows stay invisible)")
+    // work continues on the rebased branch: this delete sees slice C
+    GraftTable.deleteWhereOnBranch(s, root, col("c_mktsegment") === "BUILDING", "etl")
+    // main has not moved since the rebase → the clean publish verb works
+    GraftTable.fastForward(root, "etl")
+    GraftTable.read(s, root).orderBy(col("c_custkey"))
+  }
+
   // ── q98: catalog-persisted versioned views, oracle-checked ──────────
   /** The view lifecycle under the gate: a graft table holds orders, a
     * stored view aggregates it, CREATE OR REPLACE appends a second
@@ -959,6 +998,7 @@ object LakeOps {
     "q100_lake_ref_expiry" -> q100 _,
     "q101_lake_merge" -> q101 _,
     "q102_lake_txn" -> q102 _,
+    "q103_lake_rebase" -> q103 _,
     "q67_lake_wap" -> q67 _,
     "q65_lake_spec_evolve" -> q65 _,
     "q66_lake_write_ordered" -> q66 _,
@@ -1037,6 +1077,13 @@ object LakeOps {
         |FROM orders
         |WHERE NOT (o_orderkey % 4 = 0 AND o_totalprice < 30000.0)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q103_lake_rebase" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT (c_mktsegment = 'MACHINERY' AND c_custkey % 3 < 2)
+        |  AND c_mktsegment <> 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
 
     "q99_lake_default" ->
       """SELECT o_orderkey, o_totalprice,
