@@ -625,6 +625,43 @@ object LakeOps {
     GraftTable.read(s, root).orderBy(col("c_custkey"))
   }
 
+  // ── q104: renamed columns through the native scan, oracle-checked ───
+  /** Rename-native under the gate: three file eras of one table —
+    * written as (c_name, c_acctbal), then RENAME to cust_name, then to
+    * customer_name with c_acctbal → balance — read back through the
+    * SQL front door with a filter on the twice-renamed column. The
+    * require pins that the read planned through GraftBatchScan (the
+    * native columnar path, which resolves each era's physical name per
+    * file) rather than the V1 coalesce plane. Values are untouched by
+    * the lifecycle, so DuckDB reconstructs the result from customer
+    * with the final aliases. */
+  def q104(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch("q104-wh")
+    Files.createDirectories(Paths.get(wh))
+    s.conf.set("spark.sql.catalog.graft_rn", "graft.lake.GraftSparkCatalog")
+    s.conf.set("spark.sql.catalog.graft_rn.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_rn.lab")
+    s.sql("DROP TABLE IF EXISTS graft_rn.lab.t")
+    s.sql("""CREATE TABLE graft_rn.lab.t
+      (c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE)""")
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .createOrReplaceTempView("q104_src")
+    s.sql("INSERT INTO graft_rn.lab.t SELECT * FROM q104_src WHERE c_custkey % 3 = 0")
+    s.sql("ALTER TABLE graft_rn.lab.t RENAME COLUMN c_name TO cust_name")
+    s.sql("INSERT INTO graft_rn.lab.t SELECT * FROM q104_src WHERE c_custkey % 3 = 1")
+    s.sql("ALTER TABLE graft_rn.lab.t RENAME COLUMN cust_name TO customer_name")
+    s.sql("ALTER TABLE graft_rn.lab.t RENAME COLUMN c_acctbal TO balance")
+    s.sql("INSERT INTO graft_rn.lab.t SELECT * FROM q104_src WHERE c_custkey % 3 = 2")
+    val q = s.sql("""SELECT c_custkey, customer_name, balance
+      FROM graft_rn.lab.t WHERE balance > 0 ORDER BY c_custkey""")
+    require(q.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.scan.isInstanceOf[graft.lake.GraftBatchScan] => r
+    }.isDefined, "renamed snapshots must plan through the native columnar scan")
+    q
+  }
+
   // ── q98: catalog-persisted versioned views, oracle-checked ──────────
   /** The view lifecycle under the gate: a graft table holds orders, a
     * stored view aggregates it, CREATE OR REPLACE appends a second
@@ -999,6 +1036,7 @@ object LakeOps {
     "q101_lake_merge" -> q101 _,
     "q102_lake_txn" -> q102 _,
     "q103_lake_rebase" -> q103 _,
+    "q104_lake_rename" -> q104 _,
     "q67_lake_wap" -> q67 _,
     "q65_lake_spec_evolve" -> q65 _,
     "q66_lake_write_ordered" -> q66 _,
@@ -1083,6 +1121,12 @@ object LakeOps {
         |FROM customer
         |WHERE NOT (c_mktsegment = 'MACHINERY' AND c_custkey % 3 < 2)
         |  AND c_mktsegment <> 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q104_lake_rename" ->
+      """SELECT c_custkey, c_name AS customer_name, c_acctbal AS balance
+        |FROM customer
+        |WHERE c_acctbal > 0
         |ORDER BY c_custkey""".stripMargin,
 
     "q99_lake_default" ->
