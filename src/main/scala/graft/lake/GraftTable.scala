@@ -5469,7 +5469,7 @@ object GraftTable {
 
   /** First-writer-wins arbitration: commit() and abort() race to
     * create the SAME file; put-if-absent picks exactly one verdict. */
-  private[lake] def decide(decisionPath: String, verdict: String): Unit =
+  private[graft] def decide(decisionPath: String, verdict: String): Unit =
     try writeAtomic(Paths.get(decisionPath), verdict)
     catch { case e: IllegalStateException =>
       val existing = decisionOf(decisionPath)

@@ -151,6 +151,51 @@ class TxnSpec extends SparkSpec {
     assert(GraftTable.read(spark, r1).count() == 3L)
   }
 
+  test("racing commit() and abort() on one decision file: exactly one verdict wins") {
+    // the protocol's heart is decide()'s put-if-absent: whichever of
+    // commit/abort creates the file first wins, the loser throws, and
+    // replay everywhere agrees with the single verdict. Race them on
+    // REAL threads across many rounds.
+    for (round <- 0 until 8) {
+      val (r1, r2) = (freshRoot(s"r$round-1"), freshRoot(s"r$round-2"))
+      mk(r1, Seq((1L, "base")))
+      mk(r2, Seq((10L, "base")))
+      val t = GraftTable.beginTransaction(txnDir(s"race$round"))
+      t.append(spark, r1, Seq((2L, "txn")).toDF("id", "v"))
+      t.append(spark, r2, Seq((20L, "txn")).toDF("id", "v"))
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      def racer(name: String)(body: => Unit) = new Thread(() => {
+        gate.await()
+        try { body; outcomes.add(s"$name-won") }
+        catch { case _: IllegalStateException => outcomes.add(s"$name-lost") }
+      }, name)
+      // race the RAW decide calls (the GraftTransaction handle is
+      // single-writer by contract; the decision file is the shared state)
+      val dp = java.nio.file.Paths.get(t.txnDir, s"${t.id}.decision").toString
+      val ths = Seq(
+        racer("commit") { GraftTable.decide(dp, "committed") },
+        racer("abort") { GraftTable.decide(dp, "aborted") })
+      ths.foreach(_.start()); gate.countDown(); ths.foreach(_.join())
+      val res = outcomes.toArray.map(_.toString).toSet
+      assert(res == Set("commit-won", "abort-lost") ||
+        res == Set("abort-won", "commit-lost"), s"round $round: $res")
+      // replay agrees with the single verdict on BOTH tables
+      val committed = res.contains("commit-won")
+      val n1 = GraftTable.read(spark, r1).count()
+      val n2 = GraftTable.read(spark, r2).count()
+      if (committed) assert(n1 == 2L && n2 == 2L, s"round $round: $n1/$n2")
+      else {
+        assert(n1 == 1L && n2 == 1L, s"round $round: $n1/$n2")
+        // abandoned markers land via recovery so main writes unblock
+        GraftTable.recoverTransactions(r1)
+        GraftTable.recoverTransactions(r2)
+        GraftTable.append(spark, r1, Seq((3L, "after")).toDF("id", "v"))
+        assert(GraftTable.read(spark, r1).count() == 2L)
+      }
+    }
+  }
+
   test("txn stages are fenced off the WAP publish/abandon doors; WAP pending blocks txn staging") {
     val r = freshRoot("f1")
     mk(r, Seq((1L, "base")))
