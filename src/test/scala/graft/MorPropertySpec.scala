@@ -65,6 +65,11 @@ class MorPropertySpec extends SparkSpec {
       var vName = "v"
       var renames = 0
       var widened = false
+      // rows committed via a cross-table transaction carry the
+      // documented NULL _row_id (in-place visibility has no publishing
+      // commit to allocate from) — after the first such commit the
+      // lineage invariant relaxes to "unique among non-null"
+      var txnRows = false
       def append(): Unit = {
         val rows = (0 until 3 + rnd.nextInt(8)).map { _ =>
           (rnd.nextInt(40).toLong, rnd.nextInt(5).toLong, rnd.alphanumeric.take(4).mkString)
@@ -90,9 +95,10 @@ class MorPropertySpec extends SparkSpec {
         if (checks % 2 == 0) {
           val ids = GraftTable.readWithRowIds(spark, root).select(col("_row_id"))
             .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
-          assert(ids.length == oracle.size && ids.forall(_.isDefined),
+          assert(ids.length == oracle.size &&
+            (txnRows || ids.forall(_.isDefined)),
             s"lifecycle $lc: ${ids.count(_.isEmpty)} rows lost their lineage id")
-          assert(ids.flatten.distinct.length == ids.length,
+          assert(ids.flatten.distinct.length == ids.flatten.length,
             s"lifecycle $lc: duplicate _row_id after op compose")
         }
         checks += 1
@@ -127,8 +133,52 @@ class MorPropertySpec extends SparkSpec {
       for (_ <- 0 until opsPer) {
         val prevSnap = GraftTable.latestSnapshotId(root)
         val prevOracle = oracle
-        rnd.nextInt(13) match {
+        rnd.nextInt(14) match {
           case 0 | 1 => append()
+          case 10 =>  // cross-table transaction against whatever state
+                      // the lifecycle reached: stage (optionally a
+                      // leading CoW delete +) an append on THIS table
+                      // plus an append on a sibling table, then ONE
+                      // decision commits or aborts both; pre-decision
+                      // reads must not move, and the outer cdcCheck
+                      // reconciles a committed window at the stages'
+                      // own slots (an aborted one must be empty)
+            val sibling = freshRoot(s"t$lc-sib$checks")
+            GraftTable.create(spark, sibling,
+              Seq.empty[(Long, String)].toDF("k", "w").schema)
+            GraftTable.append(spark, sibling, Seq((1L, "base")).toDF("k", "w"))
+            val txn = GraftTable.beginTransaction(freshRoot(s"t$lc-txns"))
+            var wouldBe = oracle
+            if (rnd.nextBoolean()) {
+              val lo = rnd.nextInt(40).toLong
+              txn.deleteWhere(spark, root, col("id") >= lo && col("id") < lo + 6)
+              wouldBe = wouldBe.filterNot(r => r._1 >= lo && r._1 < lo + 6)
+            }
+            val rows = (0 until 2 + rnd.nextInt(5)).map(_ =>
+              (rnd.nextInt(40).toLong, rnd.nextInt(5).toLong,
+                rnd.alphanumeric.take(4).mkString))
+            val tdf = if (widened) rows.toDF("id", "grp", vName)
+              else rows.map(r => (r._1, r._2.toInt, r._3)).toDF("id", "grp", vName)
+            txn.append(spark, root, tdf)
+            txn.append(spark, sibling, Seq((2L, "txn")).toDF("k", "w"))
+            // staged work is invisible on EVERY table pre-decision
+            val pre = GraftTable.read(spark, root)
+              .select(col("id"), col("grp").cast(LongType), col(vName))
+              .as[(Long, Long, String)].collect().toVector.sorted
+            assert(pre == oracle.sorted,
+              s"lifecycle $lc: pre-decision read moved (${pre.size} vs ${oracle.size})")
+            assert(GraftTable.read(spark, sibling).count() == 1L)
+            if (rnd.nextBoolean()) {
+              txn.commit()
+              oracle = wouldBe ++ rows
+              txnRows = true
+              assert(GraftTable.read(spark, sibling).count() == 2L,
+                s"lifecycle $lc: committed txn invisible on the sibling")
+            } else {
+              txn.abort()
+              assert(GraftTable.read(spark, sibling).count() == 1L,
+                s"lifecycle $lc: aborted txn leaked on the sibling")
+            }
           case 11 =>  // one-commit MoR upsert (eq-delete + data files
                       // under ONE snapshot — the strict sequence rule
                       // keeps the batch's own rows alive while killing
