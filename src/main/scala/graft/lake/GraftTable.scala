@@ -6464,9 +6464,17 @@ object GraftTable {
     * their live names. `spark.graft.native-scan.mor.enabled=false`
     * routes MoR snapshots back to the V1 anti-join plane. */
   private def morNativeEligible(spark: SparkSession, schema: StructType,
-      deletes: Seq[FileEntry]): Boolean =
+      deletes: Seq[FileEntry]): Boolean = {
+    // equality keys load into PER-EXECUTOR hash sets — fine for the
+    // keyed-delete workloads they exist for, but a pathological
+    // many-gigabyte key set must take the distributed V1 anti-join
+    // instead of OOMing every executor. Bound by the on-disk bytes of
+    // live eq-delete files (the in-memory set is the same order).
+    val eqBytesCap = spark.conf
+      .get("spark.graft.native-scan.eq.max-bytes", (64L << 20).toString).toLong
     deletes.isEmpty ||
       (spark.conf.get("spark.graft.native-scan.mor.enabled", "true").toBoolean &&
+        deletes.filter(_.content.contains(2)).map(_.sizeBytes).sum <= eqBytesCap &&
         deletes.forall { d =>
           d.content.contains(1) || d.content.contains(3) ||
             (d.content.contains(2) &&
@@ -6476,6 +6484,7 @@ object GraftTable {
                 schema.fields.find(_.name == c).exists(f =>
                   eqKeyHashable(f.dataType) && prevNames(f).isEmpty))))
         })
+  }
 
   /** Plan a scan for the native (DSv2 Batch / columnar) read path, or
     * None when the snapshot needs read-time semantics only the

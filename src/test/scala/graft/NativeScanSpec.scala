@@ -171,6 +171,25 @@ class NativeScanSpec extends SparkSpec {
       Seq((1L, "a"), (3L, "c")))
   }
 
+  test("oversized equality-delete key sets fall back to the distributed V1 anti-join") {
+    spark.sql("""CREATE TABLE graft.nsc.eqcap (id BIGINT, v STRING)
+      |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.nsc.eqcap VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("DELETE FROM graft.nsc.eqcap WHERE id IN (2)")   // eq-delete routed
+    // under the default cap the keyed delete serves natively...
+    val q = spark.sql("SELECT id FROM graft.nsc.eqcap ORDER BY id")
+    assert(nativeScanOf(q).exists(_.morDeleteCount > 0))
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // ...but a cap below the key files' size refuses the per-executor
+    // hash set and takes the distributed anti-join, same rows
+    spark.conf.set("spark.graft.native-scan.eq.max-bytes", "1")
+    try {
+      val v1 = spark.sql("SELECT id FROM graft.nsc.eqcap ORDER BY id")
+      assert(nativeScanOf(v1).isEmpty, "oversized eq keys must fall back")
+      assert(v1.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    } finally spark.conf.unset("spark.graft.native-scan.eq.max-bytes")
+  }
+
   test("runtime (DPP) filtering prunes partition files at execution time") {
     spark.sql("""CREATE TABLE graft.nsc.sales (day_k BIGINT, amount DOUBLE)
       |PARTITIONED BY (day_k)""".stripMargin)
