@@ -473,6 +473,41 @@ class NativeScanSpec extends SparkSpec {
     assert(rNative._1 == expectN, s"count ${rNative._1} != oracle $expectN")
   }
 
+  test("A/B: rename-native read vs the V1 coalesce plane (timing in spec log)") {
+    spark.sql("CREATE TABLE graft.nsc.renab (id BIGINT, v STRING, x DOUBLE)")
+    import spark.implicits._
+    (0L until 750000L).map(i => (i, s"w${i % 997}", i * 0.5)).toDF("id", "v", "x")
+      .coalesce(3).createOrReplaceTempView("renab_src")
+    spark.sql("INSERT INTO graft.nsc.renab SELECT * FROM renab_src")   // era 1: v
+    spark.sql("ALTER TABLE graft.nsc.renab RENAME COLUMN v TO label")
+    (750000L until 1500000L).map(i => (i, s"w${i % 997}", i * 0.5))
+      .toDF("id", "label", "x").coalesce(3).createOrReplaceTempView("renab_src2")
+    spark.sql("INSERT INTO graft.nsc.renab SELECT * FROM renab_src2") // era 2: label
+    def run(): (Long, Double) = {
+      // full-table string+double aggregate: the cost difference is the
+      // read plane itself (columnar batches vs the V1 Row bridge)
+      val r = spark.sql("""SELECT COUNT(DISTINCT label) AS n,
+        SUM(x * LENGTH(label)) AS s FROM graft.nsc.renab""").head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    def time(passes: Int): (Double, (Long, Double)) = {
+      var best = Double.MaxValue; var out: (Long, Double) = null
+      (0 until passes).foreach { _ =>
+        val t0 = System.nanoTime(); out = run()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      (best, out)
+    }
+    assert(nativeScanOf(spark.sql("SELECT id FROM graft.nsc.renab")).isDefined,
+      "A/B table must read natively despite the rename")
+    val (tNative, rNative) = time(3)
+    spark.conf.set("spark.graft.native-scan.enabled", "false")
+    val (tV1, rV1) =
+      try time(3) finally spark.conf.unset("spark.graft.native-scan.enabled")
+    info(f"[rename-ab] native=$tNative%.3fs v1-coalesce=$tV1%.3fs (${tV1 / tNative}%.2fx)")
+    assert(rNative == rV1, s"planes disagree: $rNative vs $rV1")
+  }
+
   test("_row_id serves through the native scan: base, materialized, null, MoR-composed") {
     import spark.implicits._
     spark.sql("""CREATE TABLE graft.nsc.rid (id BIGINT, v STRING)
