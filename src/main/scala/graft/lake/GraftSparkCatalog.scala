@@ -948,7 +948,8 @@ private[lake] class GraftSparkTable(fqName: String, root: String, asOf: Option[L
         case None if required.exists(_.fieldNames.contains("_row_id")) =>
           // lineage reads plan NATIVE too (round 12): the wrapping
           // reader serves _row_id as firstRowId + row_index (or the
-          // materialized column) — V1 only for renames etc.
+          // materialized column) — V1 only for the rare ineligible
+          // shapes (oversized/renamed eq-delete keys, name reuse)
           buildNativeScan().getOrElse(buildRowIdScan(required.get))
         case None => buildNativeScan().getOrElse(buildDataScan())
       }

@@ -604,7 +604,8 @@ object GraftTable {
     // decision file lands after the commit file), so the memo stores
     // the decision PATH and the committed check runs per call — the
     // decision itself memoizes hard once present (it is immutable)
-    (s.booleanValue() && !txn.exists(p2 => decisionOf(p2).contains("committed")), b)
+    (s.booleanValue() &&
+      !txn.exists(p2 => decisionFor(root, p2).contains("committed")), b)
   }
 
   private[lake] def isStagedId(root: String, id: Long): Boolean =
@@ -689,21 +690,23 @@ object GraftTable {
     *    name AND same base: a fast-forward advances the base, so
     *    pre-publish branch commits belong to the retired epoch and a
     *    drop-and-recreate never resurrects a namesake's commits). */
-  private[lake] case class Lineage(target: Long, branch: Option[(String, Long)]) {
+  private[lake] case class Lineage(root: String, target: Long,
+      branch: Option[(String, Long)]) {
     /** Newest checkpoint id usable as the replay seed: checkpoints
       * summarize MAIN lineage, so a branch replay may only seed from
       * one at or before the branch's base. */
     def ckptCeiling: Long = branch.map(_._2).getOrElse(target)
     def includes(c: Commit): Boolean = branch match {
-      case None => !effectiveStaged(c) && branchInfo(c).isEmpty || c.snapshotId == target
+      case None =>
+        !effectiveStaged(root, c) && branchInfo(c).isEmpty || c.snapshotId == target
       case Some((name, base)) =>
-        (c.snapshotId <= base && !effectiveStaged(c) && branchInfo(c).isEmpty) ||
+        (c.snapshotId <= base && !effectiveStaged(root, c) && branchInfo(c).isEmpty) ||
           (branchInfo(c).contains((name, base)) && c.snapshotId <= target)
     }
   }
 
   private[lake] def lineageOf(root: String, target: Long): Lineage =
-    Lineage(target, branchInfoOfId(root, target))
+    Lineage(root, target, branchInfoOfId(root, target))
 
   private def replayState(root: String, ids: Seq[Long], target: Long): Snapshot = {
     val lin = lineageOf(root, target)
@@ -2153,6 +2156,10 @@ object GraftTable {
 
   /** Test hook: see GraftMorCache.clearForTest. */
   private[graft] def clearMorCachesForTest(): Unit = GraftMorCache.clearForTest()
+
+  /** Test hook: drop the in-memory decision memo so specs can prove
+    * the on-disk decision/mirror files alone carry the verdict. */
+  private[graft] def clearDecisionMemoForTest(): Unit = decisionMemo.clear()
 
   /** Opt-in automatic delete compaction (the Iceberg-v3 sibling of
     * maybeAutoCompact): when `graft.delete.auto-dv.min-files` is set
@@ -4101,7 +4108,7 @@ object GraftTable {
     // off-main (staged WAP / branch) commits are not on the main
     // lineage: nothing was appended until a cherrypick or
     // fast_forward publishes them (which IS an append)
-    val commits = allCommits.filterNot(isOffMain)
+    val commits = allCommits.filterNot(isOffMain(root, _))
     // a cherrypick/fast_forward with removes published a row-level
     // rewrite — that range is not append-only
     val bad = commits.filterNot(c =>
@@ -4150,7 +4157,7 @@ object GraftTable {
     // off-main (staged WAP / branch) commits change no live rows;
     // their rows enter the feed at the cherrypick or fast_forward
     // that publishes them
-    val commits = allCommits.filterNot(isOffMain)
+    val commits = allCommits.filterNot(isOffMain(root, _))
     // a REPLACE restarts the schema lineage: the old generation's rows
     // cannot be represented under the end schema (columns need not
     // correspond at all), so a range crossing one fails loudly rather
@@ -4220,7 +4227,7 @@ object GraftTable {
     listCommitIds(root)
       .filter(id => id > fromExclusive && id <= toInclusive).sorted
       .map(id => parseCommit(Files.readString(commitPath(root, id))))
-      .filterNot(isOffMain)
+      .filterNot(isOffMain(root, _))
       .map(c => c.snapshotId -> (
         if (maintenanceOps(c.operation)) 0L
         else c.adds.filter(_.content.forall(_ == 0)).map(_.records).sum))
@@ -4805,8 +4812,8 @@ object GraftTable {
     } yield (n, b)
 
   /** Off the main lineage: staged (WAP) or branch commit. */
-  private def isOffMain(c: Commit): Boolean =
-    effectiveStaged(c) || branchInfo(c).isDefined
+  private def isOffMain(root: String, c: Commit): Boolean =
+    effectiveStaged(root, c) || branchInfo(c).isDefined
 
   /** Live branches: name → CURRENT base snapshot id (the ref value;
     * advanced by fast_forward). Malformed hand-set values are
@@ -5294,7 +5301,7 @@ object GraftTable {
     // ask for a re-stage rather than silently delete the new rows.
     val eqAfter = listCommitIds(root).filter(_ > stagedId)
       .map(id => parseCommit(Files.readString(commitPath(root, id))))
-      .filter(c => !effectiveStaged(c) && c.adds.exists(_.content.contains(2)))
+      .filter(c => !effectiveStaged(root, c) && c.adds.exists(_.content.contains(2)))
     require(eqAfter.isEmpty,
       s"cannot cherrypick $stagedId: equality delete(s) landed after it " +
         s"(snapshot(s) ${eqAfter.map(_.snapshotId).mkString(", ")}) and would " +
@@ -5348,7 +5355,7 @@ object GraftTable {
           snap.properties.contains(s"graft.wap.abandoned.${c.snapshotId}"))
     require(group.nonEmpty, s"no unpublished staged snapshots carry wap id '$wapId'")
     val minId = group.map(_.snapshotId).min
-    val eqAfter = all.filter(c => c.snapshotId > minId && !effectiveStaged(c) &&
+    val eqAfter = all.filter(c => c.snapshotId > minId && !effectiveStaged(root, c) &&
       c.adds.exists(_.content.contains(2)))
     require(eqAfter.isEmpty,
       s"cannot publish wap id '$wapId': equality delete(s) landed after its " +
@@ -5443,6 +5450,7 @@ object GraftTable {
   private[lake] def decisionOf(path: String): Option[String] = {
     val m = decisionMemo.get(path)
     if (m != null) return Some(m)
+    if (decisionMemo.size > 4096) decisionMemo.clear()   // bounded
     val p = Paths.get(path)
     if (!Files.exists(p)) None
     else {
@@ -5452,12 +5460,31 @@ object GraftTable {
     }
   }
 
-  private def txnCommitted(c: Commit): Boolean =
-    c.properties.get(txnDecisionProp).exists(p => decisionOf(p).contains("committed"))
+  /** Per-table MIRROR of a transaction's decision, written by the seal
+    * into the table's OWN log dir: a committed transaction's visibility
+    * must not depend forever on the external decision file — with the
+    * mirror, a table directory is self-contained (relocatable, works
+    * after the txn dir is retired). The original decision file remains
+    * authoritative for the decision→seal window. */
+  private def decisionMirror(root: String, txnId: String): String =
+    s"$root/_graft_log/txn-$txnId.decision"
+
+  private def txnIdOfDecision(path: String): String =
+    Paths.get(path).getFileName.toString.stripSuffix(".decision")
+
+  /** The verdict, from the decision file or the table-local mirror. */
+  private def decisionFor(root: String, path: String): Option[String] =
+    decisionOf(path).orElse(
+      decisionOf(decisionMirror(root, txnIdOfDecision(path))))
+
+  private def txnCommitted(root: String, c: Commit): Boolean =
+    c.properties.get(txnDecisionProp)
+      .exists(p => decisionFor(root, p).contains("committed"))
 
   /** Staged for VISIBILITY purposes: a raw staged commit whose
     * transaction has committed is a main-lineage commit. */
-  private def effectiveStaged(c: Commit): Boolean = isStaged(c) && !txnCommitted(c)
+  private def effectiveStaged(root: String, c: Commit): Boolean =
+    isStaged(c) && !txnCommitted(root, c)
 
   /** Begin a cross-table transaction. `txnDir` holds the decision
     * files — ONE directory per catalog/warehouse is the intended
@@ -5526,6 +5553,11 @@ object GraftTable {
     * fails the (already durable) transaction. */
   private[lake] def sealTxn(root: String, txnId: String,
       stagedIds: Seq[Long], verdict: String): Unit = {
+    // mirror the verdict into the table's own log dir FIRST: once
+    // sealed, this table's committed-txn visibility no longer depends
+    // on the external decision file (self-contained / relocatable)
+    try writeAtomic(Paths.get(decisionMirror(root, txnId)), verdict)
+    catch { case _: IllegalStateException => () }   // already mirrored
     val props =
       if (verdict == "committed") Map(s"graft.txn.sealed.$txnId" -> "true")
       else stagedIds.map(i => s"graft.wap.abandoned.$i" -> "true").toMap +
@@ -6255,7 +6287,7 @@ object GraftTable {
   def snapshotIdsAtOrBefore(root: String, tsMs: Long): Seq[Long] =
     listCommitIds(root).filter { id =>
       val c = parseCommit(Files.readString(commitPath(root, id)))
-      c.timestampMs <= tsMs && !isOffMain(c)
+      c.timestampMs <= tsMs && !isOffMain(root, c)
     }
 
   /** Time travel by UTC timestamp: read the last snapshot committed at

@@ -196,6 +196,30 @@ class TxnSpec extends SparkSpec {
     }
   }
 
+  test("sealed tables are self-contained: committed txns survive losing the decision dir") {
+    val (r1, r2) = (freshRoot("m1"), freshRoot("m2"))
+    mk(r1, Seq((1L, "base")))
+    mk(r2, Seq((10L, "base")))
+    val td = txnDir("m")
+    val t = GraftTable.beginTransaction(td)
+    t.append(spark, r1, Seq((2L, "txn")).toDF("id", "v"))
+    t.append(spark, r2, Seq((20L, "txn")).toDF("id", "v"))
+    t.commit()   // seals both tables (decision mirrored into each log)
+    // the external decision dir is retired AND the in-memory memo
+    // dropped: visibility must now come from the per-table mirrors
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(Paths.get(td))
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+    GraftTable.clearDecisionMemoForTest()
+    assert(GraftTable.read(spark, r1).count() == 2L,
+      "committed txn must stay visible without the decision dir")
+    assert(GraftTable.read(spark, r2).count() == 2L)
+    // and the feed still serves the committed rows
+    assert(GraftTable.changes(spark, r1, 1L, GraftTable.state(r1).snapshotId)
+      .filter(col("_change_type") === "insert").count() == 1L)
+  }
+
   test("txn stages are fenced off the WAP publish/abandon doors; WAP pending blocks txn staging") {
     val r = freshRoot("f1")
     mk(r, Seq((1L, "base")))
