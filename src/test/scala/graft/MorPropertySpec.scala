@@ -266,7 +266,33 @@ class MorPropertySpec extends SparkSpec {
               s"lifecycle $lc: branch read has ${bGot.size} rows vs " +
                 s"oracle ${bOracle.size} (first diff: " +
                 s"${(bGot.diff(bOracle.sorted) ++ bOracle.sorted.diff(bGot)).headOption})")
-            if (rnd.nextBoolean()) {
+            if (rnd.nextInt(3) == 0) {
+              // main DIVERGES mid-branch (appends its own rows the
+              // branch's delete never saw) and the fork resolves via
+              // the Nessie verbs: MERGE publishes the branch delta
+              // onto the moved head; REBASE carries the branch forward
+              // and a clean fast_forward then publishes. Either way
+              // the final multiset is branch-oracle ∪ main's new rows.
+              val mRows = (0 until 2 + rnd.nextInt(4)).map(_ =>
+                (rnd.nextInt(40).toLong, rnd.nextInt(5).toLong,
+                  rnd.alphanumeric.take(4).mkString))
+              val mdf = if (widened) mRows.toDF("id", "grp", vName)
+                else mRows.map(r => (r._1, r._2.toInt, r._3)).toDF("id", "grp", vName)
+              GraftTable.append(spark, root, mdf)
+              if (rnd.nextBoolean()) {
+                GraftTable.mergeBranch(spark, root, bn)
+              } else {
+                GraftTable.rebaseBranch(spark, root, bn)
+                val rGot = GraftTable.readBranch(spark, root, bn)
+                  .select(col("id"), col("grp").cast(LongType), col(vName))
+                  .as[(Long, Long, String)].collect().toVector.sorted
+                assert(rGot == (bOracle ++ mRows).sorted,
+                  s"lifecycle $lc: rebased branch has ${rGot.size} rows vs " +
+                    s"${(bOracle ++ mRows).size}")
+                GraftTable.fastForward(root, bn)
+              }
+              oracle = bOracle ++ mRows
+            } else if (rnd.nextBoolean()) {
               GraftTable.fastForward(root, bn)
               oracle = bOracle
             } else GraftTable.dropBranch(root, bn)
