@@ -5569,6 +5569,38 @@ object GraftTable {
     }
   }
 
+  /** A cross-table CONSISTENT read point — the read-side complement of
+    * GraftTransaction (Nessie reads N tables at one commit hash; on
+    * per-table logs, per-table snapshot ids are pinned instead): every
+    * cross-table transaction is either fully visible at ALL returned
+    * ids or fully invisible. Reads then time-travel: `read(s, root,
+    * Some(ids(root)))`.
+    *
+    * Why optimistic double-capture suffices: a PENDING transaction's
+    * stages sit ABOVE every table's main head (the WAP slot rule), so
+    * heads captured while it is undecided exclude it everywhere; once
+    * DECIDED, its stages join main in place, which MOVES the head of
+    * every staged table with no new commit needed — so a decision
+    * landing between the two capture passes shows up as a changed head
+    * and retries. Two equal passes therefore bracket no decision, and
+    * the pinned ids agree on every transaction. */
+  def consistentSnapshot(roots: Seq[String], retries: Int = 5): Map[String, Long] = {
+    def capture(): Map[String, Long] =
+      roots.map(r => r -> state(r).snapshotId).toMap
+    var prev = capture()
+    var attempt = 0
+    while (attempt < retries) {
+      val cur = capture()
+      if (cur == prev) return cur
+      prev = cur
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"no consistent read point after $retries retries — tables " +
+        s"${roots.mkString(", ")} are being written continuously; retry or " +
+        "pause cross-table transactions")
+  }
+
   /** Complete the seals of transactions that DECIDED but crashed
     * before sealing: scans the tail staged commits, and for each whose
     * decision file exists, applies the committed seal or the aborted

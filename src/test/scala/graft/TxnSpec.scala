@@ -196,6 +196,34 @@ class TxnSpec extends SparkSpec {
     }
   }
 
+  test("consistentSnapshot pins all-or-nothing read points across tables") {
+    val (r1, r2) = (freshRoot("c2a"), freshRoot("c2b"))
+    mk(r1, Seq((1L, "base")))
+    mk(r2, Seq((10L, "base")))
+    val t = GraftTable.beginTransaction(txnDir("cs"))
+    t.append(spark, r1, Seq((2L, "txn")).toDF("id", "v"))
+    t.append(spark, r2, Seq((20L, "txn")).toDF("id", "v"))
+    // pins taken while the txn is PENDING exclude it on BOTH tables —
+    // even read AFTER the decision lands (stages sit above the heads)
+    val pre = GraftTable.consistentSnapshot(Seq(r1, r2))
+    t.commit()
+    assert(GraftTable.read(spark, r1, Some(pre(r1))).count() == 1L,
+      "a pre-decision pin must exclude the txn everywhere, even post-commit")
+    assert(GraftTable.read(spark, r2, Some(pre(r2))).count() == 1L)
+    // pins taken after the decision include it on BOTH tables
+    val post = GraftTable.consistentSnapshot(Seq(r1, r2))
+    assert(GraftTable.read(spark, r1, Some(post(r1))).count() == 2L)
+    assert(GraftTable.read(spark, r2, Some(post(r2))).count() == 2L)
+    // a decision landing between the two capture passes moves the head
+    // (no new commit file needed) — that is the retry signal
+    val t2 = GraftTable.beginTransaction(txnDir("cs"))
+    t2.append(spark, r1, Seq((3L, "t2")).toDF("id", "v"))
+    val h1 = GraftTable.state(r1).snapshotId
+    t2.commit()
+    assert(GraftTable.state(r1).snapshotId != h1,
+      "an in-place decision must move the main head")
+  }
+
   test("sealed tables are self-contained: committed txns survive losing the decision dir") {
     val (r1, r2) = (freshRoot("m1"), freshRoot("m2"))
     mk(r1, Seq((1L, "base")))
