@@ -616,6 +616,14 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         // but crashed before sealing (idempotent)
         val done = GraftTable.recoverTransactions(root)
         Seq(Row(s"sealed=${done.size}"))
+      case "consistent_snapshot" =>
+        // cross-table all-or-nothing read point: one row per table,
+        // "<table>=<snapshot_id>", read back with VERSION AS OF
+        val tables = required("tables", "arg0")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val roots = tables.map(t => t -> GraftProcedures.resolveRoot(spark, t))
+        val pins = GraftTable.consistentSnapshot(roots.map(_._2))
+        roots.map { case (t, r) => Row(s"$t=${pins(r)}") }
       case "merge_branch" =>
         // the Nessie merge: publish a DIVERGED branch onto main's
         // current head in one by-reference commit; file-level

@@ -224,6 +224,35 @@ class TxnSpec extends SparkSpec {
       "an in-place decision must move the main head")
   }
 
+  test("CALL graft_system.consistent_snapshot pins SQL-readable ids across tables") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.txnsql")
+    spark.sql("DROP TABLE IF EXISTS graft.txnsql.a")
+    spark.sql("DROP TABLE IF EXISTS graft.txnsql.b")
+    spark.sql("CREATE TABLE graft.txnsql.a (id BIGINT, v STRING)")
+    spark.sql("CREATE TABLE graft.txnsql.b (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.txnsql.a VALUES (1, 'x')")
+    spark.sql("INSERT INTO graft.txnsql.b VALUES (2, 'y'), (3, 'z')")
+    val rows = spark.sql(
+      "CALL graft_system.consistent_snapshot(tables => 'txnsql.a,txnsql.b')")
+      .collect().map(_.getString(0))
+    assert(rows.length == 2, rows.mkString(", "))
+    val pins = rows.map { s =>
+      val Array(t, id) = s.split("="); t -> id.toLong
+    }.toMap
+    // the pinned ids time-travel through the SQL door
+    assert(spark.sql(
+      s"SELECT * FROM graft.txnsql.a VERSION AS OF ${pins("txnsql.a")}")
+      .count() == 1L)
+    assert(spark.sql(
+      s"SELECT * FROM graft.txnsql.b VERSION AS OF ${pins("txnsql.b")}")
+      .count() == 2L)
+    // writes after the pin never leak into pinned reads
+    spark.sql("INSERT INTO graft.txnsql.a VALUES (9, 'later')")
+    assert(spark.sql(
+      s"SELECT * FROM graft.txnsql.a VERSION AS OF ${pins("txnsql.a")}")
+      .count() == 1L)
+  }
+
   test("sealed tables are self-contained: committed txns survive losing the decision dir") {
     val (r1, r2) = (freshRoot("m1"), freshRoot("m2"))
     mk(r1, Seq((1L, "base")))
