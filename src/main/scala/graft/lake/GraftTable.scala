@@ -6286,6 +6286,20 @@ object GraftTable {
     if (!writeCheckpointDelta(root, cutoff))
       writeCheckpointArtifacts(root, state(root, Some(cutoff)))
     ids.filter(_ < cutoff).foreach(id => Files.deleteIfExists(commitPath(root, id)))
+    // retire decision MIRRORS whose transactions have no commits left
+    // in the retained log — their visibility already folded into the
+    // cutoff checkpoint, so the verdict carries no information here
+    // (the txn dir's own decision file, shared by other tables, is
+    // untouched)
+    val liveTxn = listCommitIds(root)
+      .map(id => parseCommit(Files.readString(commitPath(root, id))))
+      .flatMap(_.properties.get(txnDecisionProp))
+      .map(txnIdOfDecision).toSet
+    listDir(logDir(root)).map(_.getFileName.toString)
+      .filter(n => n.startsWith("txn-") && n.endsWith(".decision"))
+      .map(_.stripPrefix("txn-").stripSuffix(".decision"))
+      .filterNot(liveTxn.contains)
+      .foreach(id => Files.deleteIfExists(logDir(root).resolve(s"txn-$id.decision")))
     // sweep by ANY artifact present — a crashed delta build can leave
     // a meta without its parquet, which must still expire
     (listCheckpointIds(root) ++ listCkptFilesIds(root) ++

@@ -277,6 +277,32 @@ class TxnSpec extends SparkSpec {
       .filter(col("_change_type") === "insert").count() == 1L)
   }
 
+  test("expire_snapshots retires mirrors of fully-expired txns; live ones survive") {
+    val r = freshRoot("x1")
+    mk(r, Seq((1L, "base")))
+    val t = GraftTable.beginTransaction(txnDir("x"))
+    t.append(spark, r, Seq((2L, "txn")).toDF("id", "v"))
+    t.commit()
+    def mirrors() = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(Paths.get(r, "_graft_log"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("txn-") && n.endsWith(".decision")).toVector
+      finally s.close()
+    }
+    assert(mirrors().size == 1, "the seal must have mirrored the verdict")
+    // more history, then expire: while the txn commit is retained the
+    // mirror survives; once expired past it, the mirror retires too
+    GraftTable.append(spark, r, Seq((3L, "a")).toDF("id", "v"))
+    GraftTable.expireSnapshots(r, 10)
+    assert(mirrors().size == 1)
+    GraftTable.append(spark, r, Seq((4L, "b")).toDF("id", "v"))
+    GraftTable.expireSnapshots(r, 1)
+    assert(mirrors().isEmpty, "expired txn's mirror must retire")
+    assert(GraftTable.read(spark, r).count() == 4L,
+      "visibility folded into the checkpoint before the mirror retired")
+  }
+
   test("txn stages are fenced off the WAP publish/abandon doors; WAP pending blocks txn staging") {
     val r = freshRoot("f1")
     mk(r, Seq((1L, "base")))
