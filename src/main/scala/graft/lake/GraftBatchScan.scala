@@ -304,10 +304,21 @@ private[graft] class GraftBatchScan(
     // null-fills nullable missing columns (a required miss throws) and
     // its RowIndexGenerator then overwrites the vector with real
     // indexes, matched by name
-    // historical-name twins of renamed output columns (nullable, same
-    // type): each file physically carries exactly ONE of a column's
-    // names; the reader resolves which per file and serves that vector
-    val histTwins = outRenames.flatMap { case (cur, hists) =>
+    // equality-delete key columns that were RENAMED need the same
+    // per-file resolution as renamed output columns: data files
+    // written before the rename carry the old physical name, and the
+    // key readback must find the values there or the delete silently
+    // stops applying to old files (the delete FILES always carry
+    // current names — a rename under live eq-deletes is refused)
+    val eqKeyRenames: Seq[(String, Seq[String])] =
+      eqGroupsRaw.flatMap(_._1._2).distinct
+        .flatMap(c => plan.renames.find(_._1 == c))
+        .filterNot(r => outRenames.exists(_._1 == r._1))
+    // historical-name twins of renamed output + eq-key columns
+    // (nullable, same type): each file physically carries exactly ONE
+    // of a column's names; the reader resolves which per file and
+    // serves that vector
+    val histTwins = (outRenames ++ eqKeyRenames).flatMap { case (cur, hists) =>
       val dt = plan.schema.fields.find(_.name == cur).get.dataType
       hists.map(h => StructField(h, dt, nullable = true))
     }
@@ -320,10 +331,17 @@ private[graft] class GraftBatchScan(
     val ordOf = extSchema.fieldNames.zipWithIndex.toMap
     val eqGroups = eqGroupsRaw.map { case ((snapId, cols), fs) =>
       val fields = cols.map(c => plan.schema.fields.find(_.name == c).get)
+      val anyAlt = cols.exists(c => plan.renames.exists(_._1 == c))
+      val altNames: Array[Array[String]] =
+        if (!anyAlt) null
+        else cols.map(c => (c +: plan.renames.find(_._1 == c)
+          .map(_._2).getOrElse(Seq.empty)).toArray).toArray
       GraftEqGroup(snapId, cols,
         fs.map(f => (s"$root/${f.path}", f.sizeBytes)),
         cols.map(ordOf).toArray, fields.map(_.dataType).toArray,
-        mkParquetFactory(StructType(fields), StructType(fields), Array.empty))
+        mkParquetFactory(StructType(fields), StructType(fields), Array.empty),
+        altNames = altNames,
+        altOrds = if (anyAlt) altNames.map(_.map(ordOf)) else null)
     }
     // output ordinal -> extended ordinal; -1 = the computed _row_id
     val dataOrd = dataCols.fieldNames.zipWithIndex.toMap
@@ -336,7 +354,7 @@ private[graft] class GraftBatchScan(
         (cur +: hists).toArray, (cur +: hists).map(ordOf).toArray)
     }
     val bcConf =
-      if (renames.isEmpty) null
+      if (renames.isEmpty && eqGroups.forall(_.altNames == null)) null
       else spark.sparkContext.broadcast(new SerializableConfiguration(
         spark.sessionState.newHadoopConfWithOptions(Map.empty)))
     GraftMorReaderFactory(

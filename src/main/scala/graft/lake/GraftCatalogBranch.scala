@@ -1,0 +1,184 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.JsonMethods
+import org.json4s.JsonDSL._
+
+/** Catalog-level (multi-table) branches — Nessie's actual git-for-data
+  * model (reference: docker-compose.yml:6 runs Nessie as the Iceberg
+  * catalog; the guide's branch workflow is per-catalog, not
+  * per-table), composed from two existing primitives:
+  *
+  *  - per-table branch refs (GraftTable.createBranch and the branch
+  *    write/read/merge verbs), and
+  *  - the cross-table decision-file transaction (put-if-absent
+  *    arbitration + per-table seals).
+  *
+  * `create` pins a CONSISTENT base across every member table
+  * (consistentSnapshot's double-capture) and forks a same-named table
+  * branch at each pin — so the catalog branch observes one cross-table
+  * moment, like a Nessie commit hash. Writes route to the per-table
+  * branches (`append`/`deleteWhere` here are thin routers). `merge`
+  * publishes ALL tables through ONE decision file: each table stages
+  * its branch's three-way merge delta (same conflict rules as
+  * mergeBranch — appends commute, row-level overlap refuses) as an
+  * undecided transaction commit, and the single decision flip makes
+  * every table's publish visible at once — a reader polling mid-merge
+  * sees either no table published or all of them, never a torn
+  * namespace. A crash between stage and decision leaves everything
+  * invisible (the stages are undecided); `abortMerge` retires them and
+  * the branch work survives for a retry.
+  *
+  * Scale: create is O(tables) metadata reads; merge is O(changed
+  * files) metadata per table plus one tiny decision write — no data
+  * bytes move (publishes are by-reference), so a 100-table namespace
+  * branch merges in catalog time, not table-scan time. */
+object GraftCatalogBranch {
+
+  private implicit val formats: Formats = DefaultFormats
+
+  /** The catalog branch's durable descriptor: member tables with the
+    * consistent base snapshot each was forked at. */
+  case class Descriptor(name: String, createdMs: Long, tables: Map[String, Long])
+
+  private def descPath(dir: String, name: String) =
+    Paths.get(dir, s"$name.json")
+
+  def load(dir: String, name: String): Descriptor = {
+    val p = descPath(dir, name)
+    require(Files.exists(p), s"no such catalog branch: '$name' in $dir")
+    JsonMethods.parse(Files.readString(p)).extract[Descriptor]
+  }
+
+  def exists(dir: String, name: String): Boolean =
+    Files.exists(descPath(dir, name))
+
+  /** Fork catalog branch `name` over `roots` at one consistent
+    * cross-table moment. The descriptor write is put-if-absent — the
+    * branch NAME is claimed atomically; a lost race or a partial
+    * per-table fork rolls the created table branches back. */
+  def create(dir: String, name: String, roots: Seq[String]): Descriptor = {
+    require(roots.nonEmpty, "a catalog branch needs at least one table")
+    require(roots.distinct.size == roots.size, s"duplicate roots in $roots")
+    Files.createDirectories(Paths.get(dir))
+    val pins = GraftTable.consistentSnapshot(roots)
+    val d = Descriptor(name, System.currentTimeMillis(), pins)
+    GraftTable.writeAtomic(descPath(dir, name), JsonMethods.compact(
+      JsonMethods.render(("name" -> d.name) ~ ("createdMs" -> d.createdMs) ~
+        ("tables" -> d.tables))))
+    val forked = scala.collection.mutable.ListBuffer.empty[String]
+    try {
+      roots.foreach { r =>
+        GraftTable.createBranch(r, name, Some(pins(r))); forked += r
+      }
+      d
+    } catch { case e: Throwable =>
+      forked.foreach(r => scala.util.Try(GraftTable.dropBranch(r, name)))
+      Files.deleteIfExists(descPath(dir, name))
+      throw e
+    }
+  }
+
+  private def requireMember(d: Descriptor, root: String): Unit =
+    require(d.tables.contains(root),
+      s"$root is not a member of catalog branch '${d.name}' " +
+        s"(have ${d.tables.keys.mkString(", ")})")
+
+  /** Write routers: a catalog-branch write is the per-table branch
+    * write on the member's same-named branch. */
+  def append(spark: SparkSession, dir: String, name: String, root: String,
+      df: DataFrame): Long = {
+    requireMember(load(dir, name), root)
+    GraftTable.appendToBranch(spark, root, df, name)
+  }
+
+  def deleteWhere(spark: SparkSession, dir: String, name: String, root: String,
+      condition: Column): Long = {
+    requireMember(load(dir, name), root)
+    GraftTable.deleteWhereOnBranch(spark, root, condition, name)
+  }
+
+  def read(spark: SparkSession, dir: String, name: String, root: String): DataFrame = {
+    requireMember(load(dir, name), root)
+    GraftTable.readBranch(spark, root, name)
+  }
+
+  /** Test/fault hook: thrown instead of the decision write when a
+    * simulated crash is requested; carries the decision path so the
+    * orchestration can be resolved (aborted) and retried. */
+  final class MergeCrash private[lake] (val decisionPath: String,
+      val staged: Map[String, Long])
+    extends RuntimeException("simulated crash between stage and decision")
+
+  /** Publish the catalog branch: every member table with branch
+    * commits stages its merge delta under ONE decision file, then the
+    * single put-if-absent decision makes all of them visible — or, on
+    * any validation failure, NONE (the stages are retired as aborted).
+    * Returns root → published snapshot id for the tables that had
+    * work. The descriptor retires on success; per-table branches stay
+    * (fresh epoch at the publish id), like mergeBranch. */
+  def merge(spark: SparkSession, dir: String, name: String,
+      crashBeforeDecide: Boolean = false): Map[String, Long] = {
+    val d = load(dir, name)
+    val roots = d.tables.keys.toSeq.sorted
+    val stem = s"$name-merge-${java.util.UUID.randomUUID()}"
+    val decisionPath = Paths.get(dir, s"$stem.decision").toString
+    val staged = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    try {
+      roots.foreach { r =>
+        GraftTable.stageBranchPublishInTxn(spark, r, name, decisionPath)
+          .foreach(id => staged(r) = id)
+      }
+      require(staged.nonEmpty,
+        s"catalog branch '$name' has no commits to merge on any member table")
+      if (crashBeforeDecide) throw new MergeCrash(decisionPath, staged.toMap)
+      // optimistic validation, the GraftTransaction.commit rule: a
+      // table that advanced past its stage refuses the WHOLE merge
+      staged.foreach { case (r, id) =>
+        val above = GraftTable.listCommitIds(r).filter(_ > id)
+        require(above.isEmpty,
+          s"cannot merge catalog branch '$name': $r advanced past its staged " +
+            s"publish $id (snapshot(s) ${above.mkString(", ")}) — retry")
+      }
+      GraftTable.decide(decisionPath, "committed")
+      staged.foreach { case (r, id) =>
+        GraftTable.sealTxn(r, stem, Seq(id), "committed")
+      }
+      Files.deleteIfExists(descPath(dir, name))
+      staged.toMap
+    } catch {
+      case e: MergeCrash => throw e   // simulated hard crash: stages stay undecided
+      case e: Throwable =>
+        if (staged.nonEmpty) {
+          scala.util.Try(GraftTable.decide(decisionPath, "aborted"))
+          staged.foreach { case (r, id) =>
+            scala.util.Try(GraftTable.sealTxn(r, stem, Seq(id), "aborted"))
+          }
+        }
+        throw e
+    }
+  }
+
+  /** Resolve a crashed merge (stages exist, decision absent): decides
+    * "aborted" so a racing resumed merge cannot half-publish, then
+    * retires the stages. The branch work itself is untouched — call
+    * `merge` again to retry. */
+  def abortMerge(decisionPath: String, staged: Map[String, Long]): Unit = {
+    GraftTable.decide(decisionPath, "aborted")
+    val stem = Paths.get(decisionPath).getFileName.toString.stripSuffix(".decision")
+    staged.foreach { case (r, id) =>
+      scala.util.Try(GraftTable.sealTxn(r, stem, Seq(id), "aborted"))
+    }
+  }
+
+  /** Drop the catalog branch: per-table branch refs and the
+    * descriptor. Branch commits age out with expire_snapshots. */
+  def drop(dir: String, name: String): Unit = {
+    val d = load(dir, name)
+    d.tables.keys.foreach(r => scala.util.Try(GraftTable.dropBranch(r, name)))
+    Files.deleteIfExists(descPath(dir, name))
+  }
+}

@@ -53,7 +53,16 @@ import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
   * entirely. */
 private[lake] case class GraftEqGroup(snapId: Long, cols: Seq[String],
     files: Seq[(String, Long)], keyOrds: Array[Int], keyTypes: Array[DataType],
-    factory: ParquetPartitionReaderFactory)
+    factory: ParquetPartitionReaderFactory,
+    // per key column: candidate physical names (current first, then
+    // historical newest-first) with their extended-schema ordinals —
+    // non-null when a key column was RENAMED, so data files written
+    // before the rename carry the old physical name and the key
+    // readback must pick the right vector per file (the delete files
+    // themselves always carry current names: renaming a column with
+    // live eq-deletes on it is refused at DDL time)
+    altNames: Array[Array[String]] = null,
+    altOrds: Array[Array[Int]] = null)
 
 /** Per-file `_row_id` mode. */
 private[lake] sealed trait GraftRowIdMode
@@ -153,7 +162,25 @@ private[lake] case class GraftMorReaderFactory(
         val a = Array.concat(fromPos, fromDv); java.util.Arrays.sort(a); a
       }
     val eqs = eqGroups.filter(_.snapId > snap)
-      .map(g => (g.keyOrds, g.keyTypes, GraftMorCache.keySet(g)))
+      .map { g =>
+        // renamed key columns: pick the ordinal of whichever physical
+        // name THIS file carries (same footer-fieldset resolution the
+        // output remap uses); a file with neither name (pre-ADD-COLUMN)
+        // keeps the current ordinal — the reader null-fills it, which
+        // IS that file's value for the column, so null-key semantics
+        // stay exact
+        val ords =
+          if (g.altOrds == null) g.keyOrds
+          else {
+            val fields = GraftMorCache.fileFields(
+              f.toPath.toString, renameConf.value.value)
+            Array.tabulate(g.keyOrds.length) { j =>
+              val k = g.altNames(j).indexWhere(fields.contains)
+              if (k >= 0) g.altOrds(j)(k) else g.keyOrds(j)
+            }
+          }
+        (ords, g.keyTypes, GraftMorCache.keySet(g))
+      }
       .filter(!_._3.isEmpty)
     val mode = lineage match {
       case None => GraftNoLineage
@@ -404,7 +431,9 @@ private[lake] object GraftMorCache {
   /** One equality-delete group's key set, values COPIED out of the
     * reader's reused buffers. */
   def keySet(g: GraftEqGroup): java.util.HashSet[AnyRef] = {
-    val ck = g.files.map(_._1).mkString("")
+    // NUL-joined: path concatenation without a separator could in
+    // principle collide two distinct file lists into one cache key
+    val ck = g.files.map(_._1).mkString("\u0000")
     val ref = eqCache.get(ck)
     val hit = if (ref == null) null else ref.get()
     if (hit != null) return hit
@@ -507,7 +536,7 @@ private[lake] class GraftMorColumnarReader(files: Array[PartitionedFile],
         if (e >= 0) {
           if (map == null) b.column(e) else new GraftIndirectVector(b.column(e), map)
         } else work.rowId match {
-          case GraftNullId => new GraftNullLongVector
+          case GraftNullId => new GraftNullLongVector(k)
           case GraftMaterializedId =>
             if (map == null) b.column(fac.gfOrd)
             else new GraftIndirectVector(b.column(fac.gfOrd), map)
@@ -652,11 +681,13 @@ private[lake] final class GraftRowIdVector(ri: ColumnVector, base: Long,
     throw new UnsupportedOperationException
 }
 
-/** All-null LongType vector (`_row_id` of pre-lineage files). */
-private[lake] final class GraftNullLongVector extends ColumnVector(LongType) {
+/** All-null LongType vector (`_row_id` of pre-lineage files).
+  * `rows` is the owning batch's row count — the ColumnVector contract
+  * says numNulls is the number of nulls, and every row here is null. */
+private[lake] final class GraftNullLongVector(rows: Int) extends ColumnVector(LongType) {
   override def close(): Unit = ()
   override def hasNull: Boolean = true
-  override def numNulls: Int = -1
+  override def numNulls: Int = rows
   override def isNullAt(i: Int): Boolean = true
   override def getLong(i: Int): Long = 0L
   override def getBoolean(i: Int): Boolean = throw new UnsupportedOperationException

@@ -693,14 +693,19 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         GraftTable.changes(spark, root, from, to).createOrReplaceTempView(view)
         Seq(Row(s"view=$view"))
       case other =>
+        // keep in sync with the match arms above — a typo should list
+        // the FULL capability surface
+        val have = Seq("rewrite_data_files", "copy_into", "add_files",
+          "cherrypick_snapshot", "cherrypick_wap", "abandon_staged_snapshot",
+          "rewrite_manifests", "compute_table_stats",
+          "rewrite_position_deletes", "rewrite_equality_deletes",
+          "expire_snapshots", "remove_orphan_files", "rollback_to_snapshot",
+          "create_branch", "drop_branch", "fast_forward",
+          "recover_transactions", "consistent_snapshot", "merge_branch",
+          "rebase_branch", "create_tag", "drop_tag", "view_history", "views",
+          "branch_changes_view", "create_changes_view").sorted
         throw new IllegalArgumentException(
-          s"unknown procedure graft_system.$other (have rewrite_data_files, " +
-            "rewrite_manifests, rewrite_position_deletes, rewrite_equality_deletes, " +
-            "expire_snapshots, remove_orphan_files, rollback_to_snapshot, " +
-            "create_tag, drop_tag, create_changes_view, cherrypick_snapshot, " +
-            "cherrypick_wap, abandon_staged_snapshot, copy_into, " +
-            "compute_table_stats, add_files, create_branch, drop_branch, " +
-            "fast_forward)")
+          s"unknown procedure graft_system.$other (have ${have.mkString(", ")})")
     }
   }
 }

@@ -1075,22 +1075,84 @@ object GraftTable {
     * would surface phantom rows to `readStreamAppendOnly`'s directory
     * stream (and a retried append would then deliver the rows twice).
     * Only for commits whose adds were written by THIS operation —
-    * rollback re-adds pre-existing files and must not delete them. */
-  private def commitOrCleanup(root: String, id: Long, c0: Commit): Unit = {
-    val c =
-      if (isStaged(c0) || branchInfo(c0).isDefined) c0   // off-main: ids assigned at publish
-      else stampRowLineage(c0, state(root, c0.parentId).properties)
+    * rollback re-adds pre-existing files and must not delete them.
+    *
+    * Returns the snapshot id the commit LANDED at. Cross-lineage
+    * occupants make the write slide to a later slot, so the planned id
+    * and the landed id can differ — every caller that surfaces a
+    * snapshot id (time travel, CDC bounds, procedure output) must
+    * surface the LANDED one, or it would name a foreign commit. */
+  /** Operations a concurrent-writer auto-retry is safe for (Iceberg's
+    * `commit.retry` behavior): appends add files other writers never
+    * reference; maintenance rewrites replace a specific victim file
+    * set without changing row semantics. Everything row-semantic
+    * (delete/update/merge/upsert/overwrite) planned against a stale
+    * head stays a loud conflict — retrying those silently changes
+    * WHICH rows the statement affects. */
+  private val autoRetryOps: Set[String] = Set(
+    "append", "add_files",
+    "rewrite_data_files", "rewrite_data_files_sorted",
+    "rewrite_data_files_zorder", "rewrite_position_deletes",
+    "rewrite_equality_deletes", "rewrite_manifests")
+
+  private val maxCommitRetries = 20
+
+  /** A lost same-slot race against `occ` is transparently retryable
+    * iff the occupant left this write's plan intact: no wholesale
+    * state swap (replace/rollback), no schema change, no new CHECK
+    * constraint this write's rows were never validated against, and
+    * file-disjointness — the occupant retired none of the files this
+    * commit retires (a shared victim means the rewrite's inputs are
+    * gone: genuine conflict). Two sequence-rule hazards on top:
+    *
+    *  - an APPEND's data files are named with the PLANNED id; an
+    *    occupant equality delete whose sequence (its file-name prefix)
+    *    exceeds that planned id would wrongly cover the appended rows
+    *    (the delete committed first, so the append's rows must
+    *    survive it) — refuse those, accept deletes at or below the
+    *    planned prefix (strict `<` admission already excludes them);
+    *  - a REWRITE's output holds rows copied from its victims WITHOUT
+    *    any concurrently-committed delete applied, and the output's
+    *    younger name prefix can escape that delete's sequence scope —
+    *    deleted rows would resurrect (Iceberg's rewrite-vs-delete
+    *    conflict, validateNoNewDeleteFiles). Any delete-content add on
+    *    the occupant fails a rewrite retry. */
+  private def retryCompatible(mine: Commit, occ: Commit, plannedId: Long): Boolean = {
+    val appendClass = mine.operation == "append" || mine.operation == "add_files"
+    def deleteHazard: Boolean =
+      if (appendClass)
+        occ.adds.exists(f => f.content.contains(2) &&
+          f.path.split('/').last.takeWhile(_.isDigit).toLong > plannedId)
+      else occ.adds.exists(_.isDelete)
+    autoRetryOps.contains(mine.operation) &&
+      occ.operation != "replace" && occ.operation != "rollback" &&
+      occ.schemaJson.isEmpty &&
+      !occ.properties.exists { case (k, v) =>
+        k.startsWith(constraintPropPrefix) && v.nonEmpty } &&
+      occ.removes.toSet.intersect(mine.removes.toSet).isEmpty &&
+      !deleteHazard
+  }
+
+  private def commitOrCleanup(root: String, id: Long, c0: Commit): Long = {
+    val offMain = isStaged(c0) || branchInfo(c0).isDefined
+    // off-main: ids assigned at publish
+    var c = if (offMain) c0 else stampRowLineage(c0, state(root, c0.parentId).properties)
     var slot = id
+    var retries = 0
     while (true) {
-      try { writeAtomic(commitPath(root, slot), toJson(c.copy(snapshotId = slot))); return }
+      try { writeAtomic(commitPath(root, slot), toJson(c.copy(snapshotId = slot))); return slot }
       catch { case e: IllegalStateException =>
         // Slot occupied. Commits on a DIFFERENT lineage than this one
         // (a branch commit under a main write, a main or other-branch
         // commit under a branch write) change nothing this write
         // planned against — SLIDE to the next slot, keeping parentId
         // (= the planning base; parent chains are already
-        // non-contiguous, see cherrypick). Same-lineage occupants are
-        // real snapshot-isolation conflicts and stay loud; a pending
+        // non-contiguous, see cherrypick). A same-lineage MAIN
+        // occupant is a lost optimistic-concurrency race: when both
+        // sides are file-disjoint (two appends; an append under a
+        // compaction) RETRY against the new head — reparent, restamp
+        // row lineage from the occupant's counter — like Iceberg's
+        // commit.retry. Genuine row conflicts stay loud; a pending
         // staged (WAP) snapshot keeps blocking MAIN writes by the WAP
         // discipline (publish or abandon first), but never blocks
         // branch writes.
@@ -1101,6 +1163,16 @@ object GraftTable {
           if (occStaged) mine.isDefined   // stage blocks MAIN writes, never a branch
           else occBranch != mine)         // any cross-lineage occupant: no shared state
         if (slide) { slot += 1 }
+        else if (!offMain && !occStaged && occBranch.isEmpty &&
+            retries < maxCommitRetries &&
+            scala.util.Try(parseCommit(Files.readString(commitPath(root, slot))))
+              .toOption.exists(retryCompatible(c0, _, id))) {
+          retries += 1
+          val parent = Some(slot)
+          c = stampRowLineage(c0.copy(parentId = parent),
+            state(root, parent).properties)
+          slot += 1
+        }
         else {
           c.adds.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
           if (occStaged) throw new IllegalStateException(
@@ -1111,6 +1183,7 @@ object GraftTable {
         }
       }
     }
+    slot // unreachable: the loop exits only via return or throw
   }
 
   /** ALTER TABLE ... SET TBLPROPERTIES (reference:
@@ -1695,10 +1768,10 @@ object GraftTable {
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType])
     val adds = writeDataFiles(spark, root, distribute(filled, conformed.properties), id,
       conformed.properties)
-    commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
-      "append", adds, Seq.empty, commitProps, None))
+    val landed = commitOrCleanup(root, id, Commit(id, Some(id - 1),
+      System.currentTimeMillis(), "append", adds, Seq.empty, commitProps, None))
     maybeAutoCompact(spark, root, conformed.properties)
-    id
+    landed
   }
 
   /** Append-time schema contract (silent schema drift is how lakes
@@ -1904,10 +1977,10 @@ object GraftTable {
       FileEntry(s"data/${Paths.get(p).getFileName}", Files.size(Paths.get(p)), records,
         st.view.filterKeys(statNames).toMap)
     }
-    commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
-      "add_files", entries, Seq.empty,
+    val landed = commitOrCleanup(root, id, Commit(id, Some(id - 1),
+      System.currentTimeMillis(), "add_files", entries, Seq.empty,
       Map(addFilesPropPrefix + UUID.randomUUID() -> fresh.mkString("\n")), None))
-    (id, fresh.size.toLong, entries.map(_.records).sum)
+    (landed, fresh.size.toLong, entries.map(_.records).sum)
   }
 
   /** Copy-on-write DELETE/overwrite: files whose stats may contain
@@ -1933,9 +2006,8 @@ object GraftTable {
       metadataDropVictims(spark, root, planner, schema, props, condition)
         .foreach { case (baseId, victims) =>
           val id = baseId + 1
-          commitOrCleanup(root, id, Commit(id, Some(baseId),
+          return commitOrCleanup(root, id, Commit(id, Some(baseId),
             System.currentTimeMillis(), opName, Seq.empty, victims, Map.empty, None))
-          return id
         }
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     // explicit preds win; otherwise extract them from the condition —
@@ -1971,7 +2043,6 @@ object GraftTable {
       Some(if (stagedProps.isEmpty) id - 1 else baseId),
       System.currentTimeMillis(),
       opName, adds, victimPaths ++ dropDeletes, retProps ++ stagedProps, retSchemaJ))
-    id
   }
 
   /** Dynamic partition overwrite (Iceberg's INSERT OVERWRITE behavior
@@ -1994,7 +2065,6 @@ object GraftTable {
       f.isData && f.partition.exists(newTuples.contains))
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "overwrite_dynamic", adds, removes.map(_.path), Map.empty, None))
-    id
   }
 
   /** REPLACE TABLE ... AS SELECT as ONE commit in the EXISTING
@@ -2066,7 +2136,6 @@ object GraftTable {
       scala.util.Try(writeGeneration(root, committedGeneration(state(root).properties)))
       throw e
     }
-    id
   }
 
   /** DELETE ... WHERE honoring the table's `write.delete.mode`
@@ -2102,17 +2171,20 @@ object GraftTable {
 
   private def deleteWhereMoRImpl(spark: SparkSession, root: String,
       condition: Column, prunePreds: Seq[Pred],
-      planner: Option[CkptPlanner]): Long = {
+      planner: Option[CkptPlanner],
+      precomputedDrop: Option[Option[(Long, Seq[String])]] = None): Long = {
     val (schema, props) = dmlHeader(planner, root)
     // partition-aligned predicates delete by METADATA even under MoR:
     // dropping whole files by reference beats writing their every row
-    // ordinal into position-delete files
-    metadataDropVictims(spark, root, planner, schema, props, condition)
+    // ordinal into position-delete files. deleteWhereRouted already
+    // computed the victim set to pick this route — don't re-run the
+    // partition-plane jobs when it hands the result down.
+    precomputedDrop
+      .getOrElse(metadataDropVictims(spark, root, planner, schema, props, condition))
       .foreach { case (baseId, victims) =>
         val id = baseId + 1
-        commitOrCleanup(root, id, Commit(id, Some(baseId),
+        return commitOrCleanup(root, id, Commit(id, Some(baseId),
           System.currentTimeMillis(), "delete", Seq.empty, victims, Map.empty, None))
-        return id
       }
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     val effective =
@@ -2122,9 +2194,8 @@ object GraftTable {
       dmlVictims(spark, root, planner, schema, types, effective)
     val id = baseId + 1
     if (victimPaths.isEmpty) {
-      commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
-        "delete", Seq.empty, Seq.empty, Map.empty, None))
-      return id
+      return commitOrCleanup(root, id, Commit(id, Some(id - 1),
+        System.currentTimeMillis(), "delete", Seq.empty, Seq.empty, Map.empty, None))
     }
     // positions of matching rows NOT already deleted (an already-
     // deleted row re-listed would be harmless — distinct on apply —
@@ -2148,10 +2219,10 @@ object GraftTable {
       val name = f"$id%010d-delete-${UUID.randomUUID()}.parquet"
       (name, FileEntry(s"deletes/$name", size, records, Map.empty, None, Some(1)))
     }
-    commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
-      "delete", adds, Seq.empty, Map.empty, None))
+    val landed = commitOrCleanup(root, id, Commit(id, Some(id - 1),
+      System.currentTimeMillis(), "delete", adds, Seq.empty, Map.empty, None))
     maybeAutoDvCompact(spark, root, props)
-    id
+    landed
   }
 
   /** Test hook: see GraftMorCache.clearForTest. */
@@ -2244,7 +2315,6 @@ object GraftTable {
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "rewrite_position_deletes", adds,
       affected.map(_.path) ++ posDeletes.map(_.path), Map.empty, None))
-    id
   }
 
   /** `rewrite_position_deletes(mode => 'dv')` — the Iceberg-v3 delete
@@ -2291,7 +2361,6 @@ object GraftTable {
     }
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "rewrite_position_deletes", adds, (pos ++ dvs).map(_.path), Map.empty, None))
-    id
   }
 
   /** SQL front-door DELETE routing: a pure key-membership predicate
@@ -2307,15 +2376,17 @@ object GraftTable {
     val (schema, props) = dmlHeader(planner, root)
     val mor = props.get("write.delete.mode").contains("merge-on-read")
     // a keyed delete on identity-PARTITION columns is better than an
-    // equality-delete file: whole files drop by metadata — let the
-    // MoR impl's metadata path take it before eq routing
-    val partitionAligned = mor &&
-      metadataDropVictims(spark, root, planner, schema, props, condition).isDefined
-    if (mor && !partitionAligned) equalityKeyFrame(spark, schema, filters) match {
+    // equality-delete file: whole files drop by metadata — computed
+    // ONCE here and threaded into the MoR impl so the routing decision
+    // and the commit share the same partition-plane pass
+    val drop =
+      if (mor) metadataDropVictims(spark, root, planner, schema, props, condition)
+      else None
+    if (mor && drop.isEmpty) equalityKeyFrame(spark, schema, filters) match {
       case Some(keys) => return deleteEqualityMoR(spark, root, keys)
       case None => ()
     }
-    if (mor) deleteWhereMoRImpl(spark, root, condition, Nil, planner)
+    if (mor) deleteWhereMoRImpl(spark, root, condition, Nil, planner, Some(drop))
     else overwriteWhereImpl(spark, root, condition, None, Nil, planner)
   }
 
@@ -2397,7 +2468,6 @@ object GraftTable {
       finally distinctKeys.unpersist()
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "delete", adds, Seq.empty, Map.empty, None))
-    id
   }
 
   /** Stage a (pre-distinct'd, key-projected) frame as sharded
@@ -2475,7 +2545,6 @@ object GraftTable {
         commitOrCleanup(root, id, Commit(id, Some(id - 1),
           System.currentTimeMillis(), "upsert", dataAdds ++ eqAdds, Seq.empty,
           txn.map { case (a, v) => s"graft.txn.$a" -> v.toString }.toMap, None))
-        id
       } finally keys.unpersist(blocking = false)
     } finally persisted.unpersist(blocking = false)
   }
@@ -2545,7 +2614,6 @@ object GraftTable {
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "rewrite_equality_deletes", adds,
       affected.map(_.path) ++ eqDeletes.map(_.path), Map.empty, None))
-    id
   }
 
   /** UPDATE ... SET expr (copy-on-write): files whose stats/partition
@@ -2575,7 +2643,6 @@ object GraftTable {
     val adds = writeDataFiles(spark, root, projected, id, props)
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "update", adds, victimPaths, Map.empty, None))
-    id
   }
 
   // ── MERGE ───────────────────────────────────────────────────────────
@@ -2692,7 +2759,6 @@ object GraftTable {
       else (None, Map.empty[String, String])
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "merge", adds, victimPaths ++ dropDeletes, retProps, retSchemaJ))
-    id
   }
 
   /** Generalized MERGE with the full clause grammar. The plan is one
@@ -2862,7 +2928,6 @@ object GraftTable {
       else (None, Map.empty[String, String])
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "merge", adds, victimPaths ++ dropDeletes, retProps ++ commitProps, retSchemaJ))
-    id
   }
 
   // ── read / time travel / pruning ────────────────────────────────────
@@ -4039,9 +4104,8 @@ object GraftTable {
         .collect().map(_.getString(0).split('/').last).toSet
       val victims = allPaths.filter(p => victimNames.contains(p.split('/').last))
       if (victims.isEmpty) {
-        commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
-          op, Seq.empty, Seq.empty, Map.empty, None))
-        return id
+        return commitOrCleanup(root, id, Commit(id, Some(id - 1),
+          System.currentTimeMillis(), op, Seq.empty, Seq.empty, Map.empty, None))
       }
       val fieldsSql = schema.fields.map { f =>
         set.flatMap(_.get(f.name)) match {
@@ -4073,7 +4137,6 @@ object GraftTable {
         else (None, Map.empty[String, String])
       commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
         op, adds, victims ++ dropDeletes, retProps, retSchemaJ))
-      id
     } finally {
       spark.catalog.dropTempView(view)
       scala.util.Try(spark.catalog.dropTempView(vview))
@@ -4901,7 +4964,6 @@ object GraftTable {
     commitOrCleanup(root, id, Commit(id, Some(snap.snapshotId),
       System.currentTimeMillis(), "branch_append", adds, Seq.empty,
       Map(branchNameProp -> name, branchBaseProp -> base.toString), None))
-    latestBranchCommit(root, name, base)
   }
 
   /** DELETE WHERE on a branch — always copy-on-write (branch delete
@@ -4933,7 +4995,6 @@ object GraftTable {
     commitOrCleanup(root, id, Commit(id, Some(head),
       System.currentTimeMillis(), "branch_overwrite", adds, victims.map(_.path),
       Map(branchNameProp -> name, branchBaseProp -> base.toString), None))
-    latestBranchCommit(root, name, base)
   }
 
   /** Keyed MERGE (upsert) on a branch — the plain two-clause shape
@@ -4970,14 +5031,7 @@ object GraftTable {
     commitOrCleanup(root, id, Commit(id, Some(head),
       System.currentTimeMillis(), "branch_merge", adds, victims.map(_.path),
       Map(branchNameProp -> name, branchBaseProp -> base.toString), None))
-    latestBranchCommit(root, name, base)
   }
-
-  /** The id the branch write actually landed at (commitOrCleanup may
-    * have slid it past foreign commits). */
-  private def latestBranchCommit(root: String, name: String, base: Long): Long =
-    listCommitIds(root)
-      .filter(id => id > base && branchInfoOfId(root, id).contains((name, base))).max
 
   /** Publish a branch onto main — Iceberg's
     * `CALL fast_forward(table, 'main', branch)`: requires main's head
@@ -5080,6 +5134,41 @@ object GraftTable {
           s"graft.branch.published.$name" -> head.toString), None),
       mainSnap.properties)))
     id
+  }
+
+  /** Stage a branch's publish — the same merge delta mergeBranch
+    * commits, but as an UNDECIDED transaction commit under
+    * `decisionPath`: the catalog-branch building block, where N
+    * tables stage their same-named branch's publish and ONE
+    * put-if-absent decision file then makes all of them visible
+    * atomically (Nessie's multi-table branch merge, composed from the
+    * r12 branch-ref and decision-file primitives). The staged commit
+    * carries the ref advance and published marker in its properties,
+    * so the branch epoch flips exactly when the transaction commits —
+    * never before. Adds are BY REFERENCE (the branch's own files), so
+    * no cleanup-on-failure, like fast_forward. Returns None when the
+    * branch has nothing to publish on this table. Rows entering main
+    * this way keep the documented NULL `_row_id` of transaction
+    * commits (no publishing commit to allocate from); a later rewrite
+    * materializes ids. */
+  private[lake] def stageBranchPublishInTxn(spark: SparkSession, root: String,
+      name: String, decisionPath: String): Option[Long] = {
+    val base = branches(root).getOrElse(name,
+      throw new IllegalArgumentException(s"no such branch: '$name' on $root"))
+    val head = branchHeadId(root, name)
+    if (head == base) return None
+    requireNoForeignPending(root, decisionPath)
+    val mainSnap = state(root)
+    val (adds, removes) =
+      threeWayDelta(spark, root, name, "merge", base, mainSnap, head)
+    val id = math.max(mainSnap.snapshotId, listCommitIds(root).max) + 1
+    writeAtomic(commitPath(root, id), toJson(
+      Commit(id, Some(mainSnap.snapshotId), System.currentTimeMillis(),
+        "txn_branch_publish", adds, removes,
+        Map(wapStagedProp -> "true", txnDecisionProp -> decisionPath,
+          branchRefKey(name) -> id.toString,
+          s"graft.branch.published.$name" -> head.toString), None)))
+    Some(id)
   }
 
   /** The (adds, removes) a branch's net file delta since its base
@@ -5245,7 +5334,6 @@ object GraftTable {
     commitOrCleanup(root, id, Commit(id, Some(snap.snapshotId),
       System.currentTimeMillis(), "wap_append", adds, Seq.empty,
       Map(wapStagedProp -> "true", wapIdProp -> wapId), None))
-    id
   }
 
   /** Stage a copy-on-write DELETE/overwrite under a WAP id: the
@@ -5535,7 +5623,6 @@ object GraftTable {
     commitOrCleanup(root, id, Commit(id, Some(snap.snapshotId),
       System.currentTimeMillis(), "txn_append", adds, Seq.empty,
       Map(wapStagedProp -> "true", txnDecisionProp -> decisionPath), None))
-    id
   }
 
   private[lake] def stageOverwriteInTxn(spark: SparkSession, root: String,
@@ -5936,7 +6023,6 @@ object GraftTable {
     }
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "rewrite_data_files", adds, small.map(_.path), retProps, retSchemaJ))
-    id
   }
 
   /** Sort-based rewrite — rewrite_data_files(strategy => 'sort')
@@ -5974,7 +6060,6 @@ object GraftTable {
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "rewrite_data_files_sorted", adds,
       dataFiles.map(_.path) ++ deletes.map(_.path), retProps, retSchemaJ))
-    id
   }
 
   /** Z-order rewrite — rewrite_data_files(strategy => 'zorder'), the
@@ -6061,7 +6146,6 @@ object GraftTable {
     commitOrCleanup(root, id, Commit(id, Some(id - 1), System.currentTimeMillis(),
       "rewrite_data_files_zorder", adds,
       dataFiles.map(_.path) ++ deletes.map(_.path), retProps, retSchemaJ))
-    id
   }
 
   /** Metadata compaction — rewrite_manifests (reference:
@@ -6557,10 +6641,12 @@ object GraftTable {
           d.content.contains(1) || d.content.contains(3) ||
             (d.content.contains(2) &&
               d.eqCols.exists(cs => cs.nonEmpty && cs.forall(c =>
-                // a RENAMED eq-key column would need per-file key-ordinal
-                // remapping inside the reader — that combo stays on V1
+                // renamed eq-key columns stay native: the reader
+                // resolves each data file's physical key name per file
+                // (GraftEqGroup.altOrds), the same footer-fieldset
+                // remap renamed output columns use
                 schema.fields.find(_.name == c).exists(f =>
-                  eqKeyHashable(f.dataType) && prevNames(f).isEmpty))))
+                  eqKeyHashable(f.dataType)))))
         })
   }
 

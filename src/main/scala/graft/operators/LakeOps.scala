@@ -34,6 +34,10 @@ object LakeOps {
   }
 
   // ── q23: snapshot log over create/append/overwrite/rollback ─────────
+  /** The log-shape invariants live in `require`s; the RESULT is the
+    * rolled-back end state (appends 1+2, the overwrite undone), which
+    * DuckDB recomputes from the raw parquet — a full hash oracle for
+    * the whole lifecycle, not a rows-only count. */
   def q23(s: SparkSession, dir: String): DataFrame = {
     val root = scratch("q23")
     val li = Tables.lineitem(s, dir).cache()
@@ -42,14 +46,22 @@ object LakeOps {
     GraftTable.append(s, root, li.filter(col("l_orderkey") % 3 === 1).repartition(2))
     GraftTable.overwriteWhere(s, root, col("l_quantity") > lit(25.0))
     GraftTable.rollbackToSnapshot(root, 2L)
-    GraftTable.snapshotsTable(s, root)
-      .select(col("snapshot_id"), col("operation"), col("added_files"), col("removed_files"))
-      .orderBy(col("snapshot_id"))
+    val ops = GraftTable.snapshotsTable(s, root)
+      .orderBy(col("snapshot_id")).select(col("operation"))
+      .collect().map(_.getString(0)).toSeq
+    require(ops == Seq("create", "append", "append", "overwrite", "rollback"),
+      s"unexpected snapshot log: $ops")
+    GraftTable.read(s, root)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
   }
 
   // ── q24: .files metadata + stats-based file pruning ─────────────────
+  /** File-count and pruning invariants pinned by `require`s; the
+    * RESULT is the pruned scan's matching rows, hash-oracled against
+    * DuckDB's evaluation of the same predicate over raw parquet. */
   def q24(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val root = scratch("q24")
     val o = Tables.orders(s, dir)
     GraftTable.create(s, root, o.schema)
@@ -60,19 +72,24 @@ object LakeOps {
         o.filter(col("o_orderkey") % 4 === i).repartition(2))
     }
     val files = GraftTable.filesTable(s, root)
-    val nFiles = files.count()
-    val totRecords = files.agg(sum(col("record_count"))).head().getLong(0)
+    require(files.count() == 8L, "4 appends x repartition(2) must leave 8 files")
+    require(files.agg(sum(col("record_count"))).head().getLong(0) == o.count(),
+      ".files record_count must sum to the table's rows")
     // prune on a key high enough that only some files survive
     val (scanned, total, live) = GraftTable.scan(s, root,
       Seq(GraftTable.Gt("o_orderkey", (maxKey - 10).toString)))
-    val matching = scanned.count()
-    Seq((nFiles, totRecords, total.toLong, live.toLong, matching))
-      .toDF("n_files", "total_records", "files_total", "files_after_prune", "rows_matching")
+    require(live < total, s"stats pruning must skip files ($live of $total live)")
+    // scan() returns rows of the SURVIVING files — re-apply the
+    // predicate as the residual filter, like any pruned read does
+    scanned.filter(col("o_orderkey") > maxKey - 10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
   }
 
   // ── q25: time travel + rollback ─────────────────────────────────────
+  /** Time-travel row counts pinned by `require`s; the RESULT is the
+    * post-rollback end state (= snapshot 1's rows), hash-oracled. */
   def q25(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val root = scratch("q25")
     val c = Tables.customer(s, dir)
     GraftTable.create(s, root, c.schema)
@@ -82,14 +99,21 @@ object LakeOps {
     val v1 = GraftTable.read(s, root, Some(1L)).count()
     val v2 = GraftTable.read(s, root, Some(2L)).count()
     val v3 = GraftTable.read(s, root).count()
+    require(v1 < v2 && v2 < v3 && v3 == c.count(),
+      s"time-travel counts must grow monotonically to the full table ($v1, $v2, $v3)")
     GraftTable.rollbackToSnapshot(root, 1L)
-    val afterRb = GraftTable.read(s, root).count()
-    Seq((v1, v2, v3, afterRb)).toDF("v1_rows", "v2_rows", "v3_rows", "rows_after_rollback_to_v1")
+    require(GraftTable.read(s, root).count() == v1,
+      "rollback_to_snapshot(1) must restore snapshot 1's row count")
+    GraftTable.read(s, root)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
   }
 
   // ── q26: small-file problem + bin-pack compaction ───────────────────
+  /** Compaction invariants (fewer files, same rows) pinned by
+    * `require`s; the RESULT is the compacted table's Q1-style
+    * aggregate, hash-oracled. */
   def q26(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val root = scratch("q26")
     // cache: six modulo-filtered appends would otherwise re-scan the
     // parquet input once per append
@@ -107,10 +131,19 @@ object LakeOps {
     GraftTable.rewriteDataFiles(s, root, targetFileSizeBytes = 64L * 1024 * 1024)
     GraftTable.rewriteManifests(root)
     val after = GraftTable.filesTable(s, root)
-    val filesAfter = after.count()
-    val rowsAfter = after.agg(sum(col("record_count"))).head().getLong(0)
-    Seq((filesBefore, rowsBefore, filesAfter, rowsAfter))
-      .toDF("files_before", "rows_before", "files_after", "rows_after")
+    require(after.count() < filesBefore,
+      s"bin-pack must shrink the file count (was $filesBefore)")
+    require(after.agg(sum(col("record_count"))).head().getLong(0) == rowsBefore,
+      "compaction must preserve every row")
+    // the compacted table's data, aggregated Q1-style — hash-oracled
+    // against DuckDB over the raw parquet (compaction is a no-op on
+    // visible rows, so the mirror is the plain input aggregate)
+    GraftTable.read(s, root)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        Relational.dsum(col("l_quantity")).as("sum_qty"),
+        Relational.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   // ── q27: row-level MERGE (upsert), oracle-checked ───────────────────
@@ -501,6 +534,57 @@ object LakeOps {
       .select(col("_commit_snapshot_id")).distinct().count() == 1,
       "fast_forward must publish as ONE CDC boundary")
     GraftTable.read(s, root).orderBy(col("c_custkey"))
+  }
+
+  // ── q105: catalog-level (multi-table) branch, oracle-checked ────────
+  /** Nessie's actual git-for-data model — branch a NAMESPACE, not a
+    * table (reference: docker-compose.yml runs Nessie as the catalog;
+    * its merge publishes every table of a branch at once): two tables
+    * fork at one consistent pin, the branch writes BOTH, main diverges
+    * on one (appends commute under the merge rules), and ONE decision
+    * file publishes both tables atomically — the requires pin branch
+    * invisibility on both, all-or-nothing publication, and that a
+    * mid-merge reader can never see a torn namespace. The final state
+    * of both tables is a pair of plain predicates the oracle
+    * re-derives from raw parquet. */
+  def q105(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.GraftCatalogBranch
+    val base = scratch("q105")
+    val (ra, rb) = (s"$base/orders_t", s"$base/customer_t")
+    val cbDir = s"$base/_catalog_branches"
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+    GraftTable.create(s, ra, o.schema)
+    GraftTable.append(s, ra, o.filter(col("o_orderkey") % 2 === 0).repartition(2))
+    GraftTable.create(s, rb, c.schema)
+    GraftTable.append(s, rb, c.filter(col("c_custkey") % 2 === 0).repartition(2))
+    GraftCatalogBranch.create(cbDir, "audit", Seq(ra, rb))
+    GraftCatalogBranch.append(s, cbDir, "audit", ra,
+      o.filter(col("o_orderkey") % 4 === 1).repartition(2))
+    GraftCatalogBranch.append(s, cbDir, "audit", rb,
+      c.filter(col("c_custkey") % 2 === 1).repartition(2))
+    // main diverges on ORDERS only; both tables must still hide the
+    // branch work from main
+    GraftTable.append(s, ra, o.filter(col("o_orderkey") % 8 === 3).repartition(2))
+    val mainA = o.filter(col("o_orderkey") % 2 === 0 || col("o_orderkey") % 8 === 3).count()
+    val mainB = c.filter(col("c_custkey") % 2 === 0).count()
+    require(GraftTable.read(s, ra).count() == mainA &&
+      GraftTable.read(s, rb).count() == mainB,
+      "catalog-branch writes must be invisible to main on every member")
+    val published = GraftCatalogBranch.merge(s, cbDir, "audit")
+    require(published.size == 2,
+      s"both members changed, both must publish atomically: $published")
+    require(GraftTable.read(s, rb).count() == c.count(),
+      "the customer member must serve its published branch rows")
+    GraftTable.read(s, ra)
+      .select(col("o_orderkey").as("k"), lit("orders").as("src"),
+        col("o_totalprice").cast("double").as("v"))
+      .unionByName(GraftTable.read(s, rb)
+        .select(col("c_custkey").as("k"), lit("customer").as("src"),
+          col("c_acctbal").cast("double").as("v")))
+      .orderBy(col("src"), col("k"))
   }
 
   // ── q101: diverged-branch merge lifecycle, oracle-checked ───────────
@@ -1030,6 +1114,7 @@ object LakeOps {
     "q69_lake_dpp" -> q69 _,
     "q96_lake_upsert" -> q96 _,
     "q97_lake_branch" -> q97 _,
+    "q105_lake_catalog_branch" -> q105 _,
     "q98_lake_view" -> q98 _,
     "q99_lake_default" -> q99 _,
     "q100_lake_ref_expiry" -> q100 _,
@@ -1054,6 +1139,29 @@ object LakeOps {
     "q29_lake_partition_prune" -> q29 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q23_lake_snapshots" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey % 3 IN (0, 1)
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+
+    "q24_lake_files" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey > (SELECT MAX(o_orderkey) - 10 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q25_lake_timetravel" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer WHERE c_custkey % 3 = 0
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q26_lake_compaction" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "q87_lake_add_files" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
@@ -1098,6 +1206,18 @@ object LakeOps {
         |FROM customer
         |WHERE NOT (c_mktsegment = 'BUILDING')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q105_lake_catalog_branch" ->
+      """SELECT k, src, v FROM (
+        |  SELECT o_orderkey AS k, 'orders' AS src,
+        |         CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders
+        |  WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1 OR o_orderkey % 8 = 3
+        |  UNION ALL
+        |  SELECT c_custkey AS k, 'customer' AS src,
+        |         CAST(c_acctbal AS DOUBLE) AS v
+        |  FROM customer)
+        |ORDER BY src, k""".stripMargin,
 
     "q100_lake_ref_expiry" ->
       """SELECT c_custkey, c_name, c_acctbal

@@ -478,8 +478,19 @@ object Similarity {
       val newCodes = assign.join(enc, Seq("vec_id")).cache()
       try {
         val n = newCodes.count()
-        if (!exists) GraftTable.create(s, cdRoot, newCodes.schema)
-        if (n > 0) GraftTable.append(s, cdRoot, newCodes.coalesce(2))
+        // the codes table declares WRITE ORDERED BY (list_id, vec_id)
+        // with range distribution: every refresh then range-shuffles
+        // across the cluster (no single-task write funnel) and each
+        // codes file covers a tight disjoint list_id range, so a
+        // probe's list membership prunes files on min/max stats
+        // instead of scanning the whole codes table. write-partitions
+        // pins the per-refresh file count (raise for bigger batches —
+        // it is a table property, not code).
+        if (!exists) GraftTable.create(s, cdRoot, newCodes.schema, Map(
+          GraftTable.sortOrderProp -> "list_id ASC,vec_id ASC",
+          "write.distribution-mode" -> "range",
+          "graft.write-partitions" -> "4"))
+        if (n > 0) GraftTable.append(s, cdRoot, newCodes)
         n
       } finally newCodes.unpersist(blocking = false)
     } finally newVecs.unpersist(blocking = false)

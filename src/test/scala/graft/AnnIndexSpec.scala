@@ -52,5 +52,21 @@ class AnnIndexSpec extends SparkSpec {
     assert(GraftTable.latestSnapshotId(s"$root/codes") == snap1 + 1,
       "a no-op refresh must not commit an empty snapshot")
     assert(codesRows() == rows2)
+
+    // the scale contract of the range-clustered codes layout: each
+    // refresh writes MULTIPLE files covering disjoint list_id ranges
+    // (no single-task write funnel), and a one-list probe prunes to a
+    // strict subset of the table's files on min/max stats
+    val allFiles = GraftTable.liveDataFiles(s"$root/codes", Nil)
+    assert(allFiles.size >= 4,
+      s"range-distributed refreshes should write several files, got ${allFiles.size}")
+    val someList = GraftTable.read(spark, s"$root/codes")
+      .select(min(col("list_id"))).collect()(0).getLong(0)
+    val preds = GraftTable.predsOf(spark,
+      GraftTable.tableSchema(s"$root/codes"), col("list_id") === someList)
+    val pruned = GraftTable.liveDataFiles(s"$root/codes", preds)
+    assert(pruned.nonEmpty && pruned.size < allFiles.size,
+      s"a single-list probe should stats-prune codes files: " +
+        s"read ${pruned.size} of ${allFiles.size}")
   }
 }

@@ -79,6 +79,17 @@ class BranchSpec extends SparkSpec {
     // a raw-head branch commit never leaks into main metadata defaults
     assert(GraftTable.filesTable(spark, r).count() ==
       GraftTable.state(r).files.size.toLong)
+
+    // a slid main write's RETURNED id is the landed slot, not the
+    // planned one: time travel on it must serve main's new state
+    val landed = GraftTable.append(spark, r,
+      Seq((4L, "main")).toDF("id", "v")
+        .select(col("id").cast(GraftTable.tableSchema(r)("id").dataType), col("v")))
+    assert(landed == GraftTable.state(r).snapshotId,
+      s"append past pending branch commits returned $landed but main head " +
+        s"is ${GraftTable.state(r).snapshotId}")
+    assert(GraftTable.read(spark, r, Some(landed)).count() == 4L,
+      "time travel on the returned id must include the slid append")
   }
 
   test("fast_forward publishes the branch's net changes as ONE by-reference commit") {

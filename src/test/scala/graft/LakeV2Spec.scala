@@ -349,6 +349,59 @@ class LakeV2Spec extends SparkSpec {
     assert(rows.count() == expected, s"delete=$dr append=$ar")
   }
 
+  test("N concurrent appenders all commit via auto-retry, no caller loops") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val root = freshRoot("retry-appends")
+    import spark.implicits._
+    val schema = Seq((0L, "seed")).toDF("k", "tag").schema
+    GraftTable.create(spark, root, schema)
+    val writers = 6
+    // every appender plans against the SAME head — a guaranteed
+    // slot pile-up the optimistic retry must absorb without any
+    // caller-side loop (Iceberg's commit.retry contract)
+    val ids = Await.result(Future.sequence((0 until writers).map(w => Future(
+      GraftTable.append(spark, root,
+        Seq.tabulate(10)(i => (w * 100L + i, s"w$w")).toDF("k", "tag"))))),
+      3.minutes)
+    assert(ids.toSet.size == writers, s"landed ids must be distinct: $ids")
+    val got = GraftTable.read(spark, root)
+    assert(got.count() == writers * 10L)
+    assert(got.select("tag").distinct().count() == writers)
+    // each returned id is the commit that holds ITS writer's rows —
+    // the landed slot, not the planned one (time travel correctness)
+    ids.zipWithIndex.foreach { case (id, _) =>
+      val atId = GraftTable.read(spark, root, Some(id))
+      val prev = GraftTable.read(spark, root, Some(id - 1))
+      assert(atId.count() == prev.count() + 10,
+        s"snapshot $id must add exactly its writer's 10 rows")
+    }
+    // row lineage survived the retries: re-stamped against each
+    // landed parent, so ids stay table-wide unique
+    val rowIds = GraftTable.readWithRowIds(spark, root).select("_row_id")
+      .as[Long].collect()
+    assert(rowIds.length == writers * 10 && rowIds.toSet.size == rowIds.length,
+      "auto-retried appends must not collide _row_id blocks")
+  }
+
+  test("append racing a compaction: both commit (file-disjoint auto-retry)") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val root = freshRoot("retry-maint")
+    val n = Tables.nation(spark, sf)
+    GraftTable.create(spark, root, n.schema)
+    (0 until 4).foreach(_ => GraftTable.append(spark, root, n.limit(5)))
+    val compact = Future(GraftTable.rewriteDataFiles(spark, root))
+    val app = Future(GraftTable.append(spark, root, n.limit(3)))
+    Await.result(compact, 2.minutes); Await.result(app, 2.minutes)
+    assert(GraftTable.read(spark, root).count() == 23L)
+    // the log replays cleanly and no staged debris survived
+    assert(GraftTable.state(root).files.forall(f =>
+      Files.exists(Paths.get(root, f.path))))
+  }
+
   // ── row-level MERGE / UPDATE ────────────────────────────────────────
 
   test("merge upserts: matched keys replaced, unmatched inserted, others untouched") {
@@ -1615,6 +1668,104 @@ class LakeV2Spec extends SparkSpec {
     // a predicate touching a non-partition column takes the row path
     GraftTable.deleteWhere(spark, root, col("grp") === 0L && col("id") < 10L)
     assert(GraftTable.read(spark, root).count() == 196L)
+  }
+
+  test("op alphabet under injected placement crashes: nothing half-applies, orphan sweep reclaims, retry converges") {
+    // the conditional-put backend's crash story, property-style: for
+    // every op class that places artifacts, kill the writer BETWEEN
+    // artifact placement and the log link (placement k throws), then
+    // assert (1) the table replays to the pre-op state — the
+    // put-if-absent log is the only commit point, so a crash before it
+    // is a non-event; (2) remove_orphan_files reclaims every stray
+    // artifact and stage dir the corpse left; (3) a plain retry of the
+    // op converges to the oracle. Runs through the put-style (copy +
+    // delete) shim so no step can lean on rename atomicity either.
+    import spark.implicits._
+    val root = freshRoot("fault-inject")
+    val prev = GraftTable.placeArtifact
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    @volatile var crashAt = Int.MaxValue
+    GraftTable.placeArtifact = (src, dst) => {
+      if (counter.incrementAndGet() == crashAt)
+        throw new java.io.IOException("injected placement crash")
+      Files.copy(src, dst); Files.delete(src)
+      ()
+    }
+    def arm(k: Int): Unit = { counter.set(0); crashAt = k }
+    def disarm(): Unit = crashAt = Int.MaxValue
+    try {
+      val df0 = (0L until 120L).map(i => (i, i % 5, s"v${i % 7}")).toDF("id", "grp", "v")
+      GraftTable.create(spark, root, df0.schema, Map(
+        "write.delete.mode" -> "merge-on-read",
+        "graft.delete.files-per-shard" -> "1",
+        "graft.delete.rows-per-shard" -> "8"))
+      GraftTable.append(spark, root, df0.repartition(3))
+      def rows(): Vector[(Long, Long, String)] = GraftTable.read(spark, root)
+        .as[(Long, Long, String)].collect().toVector.sorted
+      var oracle: Vector[(Long, Long, String)] = rows()
+
+      // (name, run the op for variant t, the variant's oracle effect) —
+      // every (op, crash-point) iteration gets a fresh variant so a
+      // silently-duplicated write cannot hide in set semantics
+      type Frame = Vector[(Long, Long, String)]
+      val alphabet: Seq[(String, Long => Unit, (Frame, Long) => Frame)] = Seq(
+        ("append", t => GraftTable.append(spark, root,
+          Seq((1000L + 2 * t, 0L, "new"), (1001L + 2 * t, 1L, "new"))
+            .toDF("id", "grp", "v").repartition(2)),
+          (o, t) => (o :+ ((1000L + 2 * t, 0L, "new"))
+            :+ ((1001L + 2 * t, 1L, "new"))).sorted),
+        ("mor-pos-delete", t => GraftTable.deleteWhereMoR(spark, root,
+          col("id") >= 5 * t && col("id") < 5 * (t + 1)),
+          (o, t) => o.filterNot(r => r._1 >= 5 * t && r._1 < 5 * (t + 1))),
+        ("eq-delete", t => GraftTable.deleteEqualityMoR(spark, root,
+          Seq(s"v${2 + t}").toDF("v")),
+          (o, t) => o.filterNot(_._3 == s"v${2 + t}")),
+        ("upsert", t => GraftTable.upsertEqualityMoR(spark, root,
+          Seq((30L + t, 9L, "up"), (2000L + t, 9L, "up")).toDF("id", "grp", "v"),
+          Seq("id")),
+          (o, t) => (o.filterNot(_._1 == 30L + t)
+            :+ ((30L + t, 9L, "up")) :+ ((2000L + t, 9L, "up"))).sorted),
+        ("cow-overwrite", t => GraftTable.overwriteWhere(spark, root,
+          col("id") >= 110L + 5 * t && col("id") < 115L + 5 * t),
+          (o, t) => o.filterNot(r => r._1 >= 110L + 5 * t && r._1 < 115L + 5 * t)),
+        ("wap-stage", t => {
+          val sid = GraftTable.appendStaged(spark, root,
+            Seq((3000L + t, 4L, "wap")).toDF("id", "grp", "v"),
+            s"fi-${java.util.UUID.randomUUID()}")
+          GraftTable.cherrypickSnapshot(root, sid)
+          ()
+        }, (o, t) => (o :+ ((3000L + t, 4L, "wap"))).sorted),
+        ("rewrite-pos-deletes",
+          _ => { GraftTable.rewritePositionDeletes(spark, root); () },
+          (o, _) => o),
+        ("compaction",
+          _ => { GraftTable.rewriteDataFiles(spark, root); () },
+          (o, _) => o))
+
+      var vtag = 0L
+      for ((name, run, effect) <- alphabet; k <- Seq(1, 2)) {
+        arm(k)
+        val died = scala.util.Try(run(vtag)).isFailure
+        disarm()
+        if (died) {
+          assert(rows() == oracle,
+            s"$name crash@$k: a crashed op must be a non-event")
+          // the corpse's debris reclaims; afterwards nothing is orphaned
+          GraftTable.removeOrphanFiles(root, System.currentTimeMillis() + 60000)
+          assert(GraftTable.removeOrphanFiles(root,
+            System.currentTimeMillis() + 60000, dryRun = true).isEmpty,
+            s"$name crash@$k: orphan sweep must reclaim all debris")
+          run(vtag)   // plain retry converges
+        }
+        // an op that placed fewer than k artifacts just succeeded —
+        // equally valid: the crash point was past its placement count
+        oracle = effect(oracle, vtag).sorted
+        assert(rows() == oracle, s"$name crash@$k: retry must converge")
+        vtag += 1
+      }
+    } finally {
+      GraftTable.placeArtifact = prev
+    }
   }
 
   test("full lifecycle through a no-rename (put-style copy+delete) placement shim") {

@@ -133,7 +133,7 @@ class MorPropertySpec extends SparkSpec {
       for (_ <- 0 until opsPer) {
         val prevSnap = GraftTable.latestSnapshotId(root)
         val prevOracle = oracle
-        rnd.nextInt(14) match {
+        rnd.nextInt(15) match {
           case 0 | 1 => append()
           case 10 =>  // cross-table transaction against whatever state
                       // the lifecycle reached: stage (optionally a
@@ -296,6 +296,26 @@ class MorPropertySpec extends SparkSpec {
               GraftTable.fastForward(root, bn)
               oracle = bOracle
             } else GraftTable.dropBranch(root, bn)
+          case 13 =>  // two appenders race the same head: the commit
+                      // auto-retry must land BOTH (no caller loop), and
+                      // the outer cdcCheck then reconciles the pair of
+                      // commits as one CDC window against the oracle
+            val mk = () => (0 until 2 + rnd.nextInt(5)).map(_ =>
+              (rnd.nextInt(40).toLong, rnd.nextInt(5).toLong,
+                rnd.alphanumeric.take(4).mkString))
+            val (r1, r2) = (mk(), mk())
+            oracle ++= r1; oracle ++= r2
+            def raceDf(rows: Seq[(Long, Long, String)]) =
+              if (widened) rows.toDF("id", "grp", vName)
+              else rows.map(r => (r._1, r._2.toInt, r._3)).toDF("id", "grp", vName)
+            import scala.concurrent.{Await, ExecutionContext, Future}
+            import scala.concurrent.duration._
+            implicit val ec: ExecutionContext = ExecutionContext.global
+            val f1 = Future(GraftTable.append(spark, root, raceDf(r1)))
+            val f2 = Future(GraftTable.append(spark, root, raceDf(r2)))
+            val (id1, id2) =
+              (Await.result(f1, 2.minutes), Await.result(f2, 2.minutes))
+            assert(id1 != id2, s"lifecycle $lc: racing appends share slot $id1")
           case _ =>   // write-audit-publish: a staged append OR a
                       // staged CoW delete — invisible to main either
                       // way (the outer check sees the oracle); the

@@ -171,6 +171,37 @@ class NativeScanSpec extends SparkSpec {
       Seq((1L, "a"), (3L, "c")))
   }
 
+  test("eq-delete keys on a RENAMED column stay native: per-file key remap hits old-named files") {
+    spark.sql("""CREATE TABLE graft.nsc.reneq (k BIGINT, v STRING)
+      |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.nsc.reneq VALUES (1,'a'),(2,'b'),(3,'c')")  // era 1: k
+    spark.sql("ALTER TABLE graft.nsc.reneq RENAME COLUMN k TO key")
+    spark.sql("INSERT INTO graft.nsc.reneq VALUES (4,'d'),(5,'e')")          // era 2: key
+    // keyed DELETE routes to an equality-delete file keying on 'key';
+    // victims live in BOTH eras — id 2 sits in a file whose physical
+    // key column is still named 'k', so the key readback must resolve
+    // the old name per file or the delete silently misses it
+    spark.sql("DELETE FROM graft.nsc.reneq WHERE key IN (2, 4)")
+    val want = Seq((1L, "a"), (3L, "c"), (5L, "e"))
+    val q = spark.sql("SELECT key, v FROM graft.nsc.reneq ORDER BY key")
+    val sc = nativeScanOf(q)
+    assert(sc.isDefined && sc.get.morDeleteCount > 0,
+      "renamed eq-delete keys must stay on the native scan")
+    assert(q.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == want)
+    // a projection that PRUNES the key column still applies the delete
+    // (the key reads back through the extended schema, old name or new)
+    val p = spark.sql("SELECT v FROM graft.nsc.reneq ORDER BY v")
+    assert(nativeScanOf(p).isDefined)
+    assert(p.collect().map(_.getString(0)).toSeq == Seq("a", "c", "e"))
+    // V1 parity (kill switch)
+    spark.conf.set("spark.graft.native-scan.enabled", "false")
+    try {
+      val v1 = spark.sql("SELECT key, v FROM graft.nsc.reneq ORDER BY key")
+      assert(nativeScanOf(v1).isEmpty)
+      assert(v1.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == want)
+    } finally spark.conf.unset("spark.graft.native-scan.enabled")
+  }
+
   test("oversized equality-delete key sets fall back to the distributed V1 anti-join") {
     spark.sql("""CREATE TABLE graft.nsc.eqcap (id BIGINT, v STRING)
       |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
@@ -393,9 +424,14 @@ class NativeScanSpec extends SparkSpec {
       // the native reader must resolve each file era's physical name
       var tagGen = 0
       def tag = s"tag$tagGen"
+      // the eq-KEY column renames too (v -> v1 -> ...): every later
+      // equality delete keys on the NEW name while older files carry
+      // the old physical name — the per-file key-ordinal remap
+      var vGen = 0
+      def vName = if (vGen == 0) "v" else s"v$vGen"
       var oracle = Vector.empty[(Long, Long, String, String)]
       def check(): Unit = {
-        val q = spark.sql(s"SELECT id, grp, v, $tag FROM graft.nsc.rl$lc")
+        val q = spark.sql(s"SELECT id, grp, $vName, $tag FROM graft.nsc.rl$lc")
         if (GraftTable.state(root).files.exists(_.isDelete))
           assert(nativeScanOf(q).exists(_.morDeleteCount > 0),
             s"lifecycle $lc must stay native under live deletes")
@@ -404,6 +440,15 @@ class NativeScanSpec extends SparkSpec {
           s"lifecycle $lc: ${got.size} rows vs oracle ${oracle.size}, first diff " +
             s"${(got.diff(oracle.sorted) ++ oracle.sorted.diff(got)).headOption}")
       }
+      // prologue: era-1 rows land under physical key name 'v', then
+      // the key column renames — EVERY equality delete below must
+      // remap its key ordinal on these files or silently miss them
+      val pro = (0 until 4).map(i => (i.toLong, i % 4L, s"w${i % 9}", "t0"))
+      oracle ++= pro
+      pro.toDF("id", "grp", "v", tag).createOrReplaceTempView("rl_src")
+      spark.sql(s"INSERT INTO graft.nsc.rl$lc SELECT * FROM rl_src")
+      spark.sql(s"ALTER TABLE graft.nsc.rl$lc RENAME COLUMN v TO v1")
+      vGen = 1
       for (op <- 0 until 12) {
         rnd.nextInt(5) match {
           case 0 | 1 =>   // append a handful of rows (dup ids welcome)
@@ -411,7 +456,7 @@ class NativeScanSpec extends SparkSpec {
               (rnd.nextInt(40).toLong, rnd.nextInt(4).toLong,
                 s"w${rnd.nextInt(9)}", s"t${rnd.nextInt(5)}"))
             oracle ++= rows
-            rows.toDF("id", "grp", "v", tag).createOrReplaceTempView("rl_src")
+            rows.toDF("id", "grp", vName, tag).createOrReplaceTempView("rl_src")
             spark.sql(s"INSERT INTO graft.nsc.rl$lc SELECT * FROM rl_src")
           case 2 =>       // predicate position delete
             val cut = rnd.nextInt(40)
@@ -419,22 +464,31 @@ class NativeScanSpec extends SparkSpec {
             spark.sql(
               s"DELETE FROM graft.nsc.rl$lc WHERE id >= $cut AND grp = $keepGrp")
             oracle = oracle.filterNot(r => r._1 >= cut && r._2 == keepGrp)
-          case 3 =>       // sharded equality delete on (v)
+          case 3 =>       // sharded equality delete on the (renamed) key
             val vs = Seq.fill(1 + rnd.nextInt(3))(s"w${rnd.nextInt(9)}").distinct
-            GraftTable.deleteEqualityMoR(spark, root, vs.toDF("v"))
+            GraftTable.deleteEqualityMoR(spark, root, vs.toDF(vName))
             oracle = oracle.filterNot(r => vs.contains(r._3))
-          case 4 =>       // rename the tag column: older files keep their
-            // era's physical name; reads must stay native regardless
-            spark.sql(s"ALTER TABLE graft.nsc.rl$lc RENAME COLUMN $tag TO tag${tagGen + 1}")
-            tagGen += 1
+          case 4 =>       // rename a column: older files keep their era's
+            // physical name; reads must stay native regardless. The
+            // KEY column renames only while no live eq-delete keys on
+            // it (the DDL rule); the tag column renames any time.
+            val keyLocked = GraftTable.state(root).files
+              .exists(f => f.isDelete && f.content.contains(2))
+            if (keyLocked || rnd.nextBoolean()) {
+              spark.sql(s"ALTER TABLE graft.nsc.rl$lc RENAME COLUMN $tag TO tag${tagGen + 1}")
+              tagGen += 1
+            } else {
+              spark.sql(s"ALTER TABLE graft.nsc.rl$lc RENAME COLUMN $vName TO v${vGen + 1}")
+              vGen += 1
+            }
         }
         check()
       }
       // end-of-life V1 parity on the composed delete + rename state
-      val native = spark.sql(s"SELECT id, grp, v, $tag FROM graft.nsc.rl$lc")
+      val native = spark.sql(s"SELECT id, grp, $vName, $tag FROM graft.nsc.rl$lc")
         .collect().map(_.toString).sorted.toSeq
       spark.conf.set("spark.graft.native-scan.enabled", "false")
-      try assert(spark.sql(s"SELECT id, grp, v, $tag FROM graft.nsc.rl$lc")
+      try assert(spark.sql(s"SELECT id, grp, $vName, $tag FROM graft.nsc.rl$lc")
         .collect().map(_.toString).sorted.toSeq == native)
       finally spark.conf.unset("spark.graft.native-scan.enabled")
     }

@@ -108,7 +108,7 @@ class NewQueryPlanSpec extends SparkSpec {
       "q61_decontam_bloom", "q62_lake_entries", "q63_lake_replace",
       "q65_lake_spec_evolve", "q66_lake_write_ordered", "q67_lake_wap",
       "q68_dedup_incremental", "q81_lake_partitions", "q82_lake_ndv",
-      "q85_lake_row_lineage", "q87_lake_add_files")
+      "q85_lake_row_lineage", "q87_lake_add_files", "q105_lake_catalog_branch")
     val names = SparkEntry.queries.keySet -- lifecycle -- allPairsDeclared
     val offenders = names.toSeq.sorted.flatMap { n =>
       val df = SparkEntry.queries(n)(spark, sf)

@@ -679,6 +679,54 @@ class StreamingSpec extends SparkSpec {
     assert(c.getOffset.isEmpty)
   }
 
+  test("CDC stream crosses merge_branch boundaries: each merge arrives as ONE micro-batch") {
+    import spark.implicits._
+    import graft.lake.GraftTable
+    val base = Files.createTempDirectory("graft-cdc-merge")
+    val root = base.resolve("t").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    GraftTable.create(spark, root, df.schema)
+    GraftTable.append(spark, root, df)
+    val q = GraftTable.readStreamChanges(spark, root, fromExclusive = Some(0L))
+      .writeStream.format("memory").queryName("cdc_merge")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // mid-stream: a branch forks and writes; main diverges with its
+      // own append — the live feed serves main only
+      GraftTable.createBranch(root, "dev")
+      GraftTable.appendToBranch(spark, root,
+        Seq((10L, "d1"), (11L, "d2")).toDF("id", "v"), "dev")
+      GraftTable.append(spark, root, Seq((3L, "c")).toDF("id", "v"))
+      q.processAllAvailable()
+      def feed() = spark.table("cdc_merge")
+        .select("id", "v", "_change_type", "_commit_snapshot_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(feed().count(_._1 >= 10L) == 0,
+        "branch rows must not reach the live feed before the merge")
+      // the APPEND-ONLY merge arrives as pure inserts, one commit batch
+      val mergeId = GraftTable.mergeBranch(spark, root, "dev")
+      q.processAllAvailable()
+      val m1 = feed().filter(_._4 == mergeId)
+      assert(m1.toSet == Set((10L, "d1", "insert", mergeId),
+        (11L, "d2", "insert", mergeId)),
+        s"append-only merge must arrive as pure inserts: ${m1.toSeq}")
+      // a merge WITH removes (branch CoW delete) serves the generic
+      // before-vs-after diff — still ONE stream boundary
+      GraftTable.createBranch(root, "fix")
+      GraftTable.deleteWhereOnBranch(spark, root, col("id") === 2L, "fix")
+      GraftTable.appendToBranch(spark, root,
+        Seq((20L, "f1")).toDF("id", "v"), "fix")
+      val merge2 = GraftTable.mergeBranch(spark, root, "fix")
+      q.processAllAvailable()
+      val m2 = feed().filter(_._4 == merge2)
+      assert(m2.toSet == Set((2L, "b", "delete", merge2),
+        (20L, "f1", "insert", merge2)),
+        s"merge with removes must arrive as one diff batch: ${m2.toSeq}")
+    } finally q.stop()
+  }
+
   test("CDC stream: every commit arrives as one micro-batch of change rows") {
     import spark.implicits._
     import graft.lake.GraftTable

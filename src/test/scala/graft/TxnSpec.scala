@@ -332,4 +332,95 @@ class TxnSpec extends SparkSpec {
     assert(GraftTable.read(spark, r).as[(Long, String)].collect().toSet ==
       Set((1L, "base"), (5L, "wap"), (6L, "txn")))
   }
+
+  test("catalog branch: fork N tables at one pin, merge all through one decision; crash between stage and decision publishes nothing") {
+    import graft.lake.GraftCatalogBranch
+    val (r1, r2) = (freshRoot("g1"), freshRoot("g2"))
+    val dir = txnDir("g")
+    mk(r1, Seq((1L, "base")))
+    mk(r2, Seq((10L, "base")))
+    GraftCatalogBranch.create(dir, "release", Seq(r1, r2))
+    // branch writes on both; a branch delete on one
+    GraftCatalogBranch.append(spark, dir, "release", r1,
+      Seq((2L, "br")).toDF("id", "v"))
+    GraftCatalogBranch.append(spark, dir, "release", r2,
+      Seq((20L, "br"), (21L, "drop-me")).toDF("id", "v"))
+    GraftCatalogBranch.deleteWhere(spark, dir, "release", r2, col("id") === 21L)
+    // main diverges on r1 with a commuting append
+    GraftTable.append(spark, r1, Seq((3L, "main")).toDF("id", "v"))
+    assert(GraftTable.read(spark, r1).count() == 2L &&
+      GraftTable.read(spark, r2).count() == 1L,
+      "branch work must be invisible to main on every member")
+    assert(GraftCatalogBranch.read(spark, dir, "release", r2)
+      .as[(Long, String)].collect().toSet == Set((10L, "base"), (20L, "br")))
+
+    // CRASH between stage and decision: stages exist, decision absent —
+    // NOTHING is visible on any member (no torn namespace)
+    val crash = intercept[GraftCatalogBranch.MergeCrash] {
+      GraftCatalogBranch.merge(spark, dir, "release", crashBeforeDecide = true)
+    }
+    assert(crash.staged.size == 2, s"both members staged: ${crash.staged}")
+    assert(GraftTable.read(spark, r1).count() == 2L &&
+      GraftTable.read(spark, r2).count() == 1L,
+      "undecided stages must stay invisible everywhere")
+    // resolve the crash: abort retires the stages, branch work survives
+    GraftCatalogBranch.abortMerge(crash.decisionPath, crash.staged)
+    assert(GraftTable.read(spark, r1).count() == 2L &&
+      GraftTable.read(spark, r2).count() == 1L)
+    assert(GraftCatalogBranch.read(spark, dir, "release", r1)
+      .filter(col("v") === "br").count() == 1L,
+      "the branch work must survive an aborted merge for retry")
+
+    // clean retry: ONE decision publishes BOTH members atomically
+    val published = GraftCatalogBranch.merge(spark, dir, "release")
+    assert(published.keySet == Set(r1, r2))
+    assert(GraftTable.read(spark, r1).as[(Long, String)].collect().toSet ==
+      Set((1L, "base"), (2L, "br"), (3L, "main")))
+    assert(GraftTable.read(spark, r2).as[(Long, String)].collect().toSet ==
+      Set((10L, "base"), (20L, "br")))
+    // published ids are the members' current heads... and the branch
+    // refs advanced to them (fresh epoch), so work can continue
+    published.foreach { case (r, id) =>
+      assert(GraftTable.branches(r)("release") == id,
+        s"$r: branch ref must advance to the publish id $id")
+    }
+    // descriptor retired; per-table writes proceed normally
+    assert(!GraftCatalogBranch.exists(dir, "release"))
+    GraftTable.append(spark, r2, Seq((30L, "after")).toDF("id", "v"))
+    assert(GraftTable.read(spark, r2).count() == 3L)
+  }
+
+  test("catalog branch merge: a member that advanced past its stage refuses the WHOLE merge; row-conflict on one member publishes neither") {
+    import graft.lake.GraftCatalogBranch
+    val (r1, r2) = (freshRoot("h1"), freshRoot("h2"))
+    val dir = txnDir("h")
+    // both rows in ONE file: the conflict is two sides rewriting the
+    // same file, so the victims must share one
+    GraftTable.create(spark, r1, Seq((1L, "x")).toDF("id", "v").schema)
+    GraftTable.append(spark, r1,
+      Seq((1L, "keep"), (2L, "victim")).toDF("id", "v").coalesce(1))
+    mk(r2, Seq((10L, "base")))
+    GraftCatalogBranch.create(dir, "hot", Seq(r1, r2))
+    // r1's branch rewrites a file (CoW delete); main then rewrites the
+    // SAME file — a genuine row-level conflict on ONE member
+    GraftCatalogBranch.deleteWhere(spark, dir, "hot", r1, col("id") === 2L)
+    GraftCatalogBranch.append(spark, dir, "hot", r2,
+      Seq((20L, "br")).toDF("id", "v"))
+    GraftTable.overwriteWhere(spark, r1, col("id") === 1L)
+    val e = intercept[IllegalArgumentException] {
+      GraftCatalogBranch.merge(spark, dir, "hot")
+    }
+    assert(e.getMessage.contains("both main and the branch"),
+      s"unexpected: ${e.getMessage}")
+    // neither member published — r2's clean work is NOT half-applied
+    assert(GraftTable.read(spark, r2).count() == 1L,
+      "a one-member conflict must refuse the whole catalog merge")
+    // r1 serves main's own state: the overwrite dropped id=1, the
+    // branch's delete of id=2 never published
+    assert(GraftTable.read(spark, r1).as[(Long, String)].collect().toSet ==
+      Set((2L, "victim")))
+    // the aborted stages unblock future writes on the clean member
+    GraftTable.append(spark, r2, Seq((11L, "after")).toDF("id", "v"))
+    assert(GraftTable.read(spark, r2).count() == 2L)
+  }
 }
