@@ -464,6 +464,15 @@ object GraftProcedures {
           "spark.sql.catalog.graft.warehouse is not set; pass an absolute table path instead"))
       Paths.get(wh, t.split('.').toIndexedSeq: _*).toString
     }
+
+  /** Default home of catalog-branch descriptors + merge decision
+    * files: one directory per warehouse, like the txn dir. */
+  private[lake] def catalogBranchDir(spark: SparkSession): String = {
+    val wh = spark.conf.getOption("spark.sql.catalog.graft.warehouse").getOrElse(
+      throw new IllegalArgumentException(
+        "spark.sql.catalog.graft.warehouse is not set; pass dir => '/abs/path'"))
+    Paths.get(wh, "_catalog_branches").toString
+  }
 }
 
 /** Eagerly-executed plan node for a graft_system procedure. */
@@ -692,6 +701,30 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         val view = arg("view", "arg3").getOrElse("graft_changes")
         GraftTable.changes(spark, root, from, to).createOrReplaceTempView(view)
         Seq(Row(s"view=$view"))
+      case "create_catalog_branch" =>
+        // CALL graft_system.create_catalog_branch(name => 'rel',
+        //   tables => 'ns.t1,ns.t2') — fork N tables at one
+        // consistent pin (the Nessie multi-table branch)
+        val name = required("name", "arg0")
+        val roots = required("tables", "arg1").split(",").map(_.trim)
+          .filter(_.nonEmpty).map(GraftProcedures.resolveRoot(spark, _)).toSeq
+        val dir = arg("dir").getOrElse(GraftProcedures.catalogBranchDir(spark))
+        val d = GraftCatalogBranch.create(dir, name, roots)
+        d.tables.toSeq.sortBy(_._1).map { case (r, pin) =>
+          Row(s"$r: base_snapshot_id=$pin")
+        }
+      case "merge_catalog_branch" =>
+        val name = required("name", "arg0")
+        val dir = arg("dir").getOrElse(GraftProcedures.catalogBranchDir(spark))
+        val published = GraftCatalogBranch.merge(spark, dir, name)
+        published.toSeq.sortBy(_._1).map { case (r, id) =>
+          Row(s"$r: snapshot_id=$id")
+        }
+      case "drop_catalog_branch" =>
+        val name = required("name", "arg0")
+        val dir = arg("dir").getOrElse(GraftProcedures.catalogBranchDir(spark))
+        GraftCatalogBranch.drop(dir, name)
+        Seq(Row(s"dropped=$name"))
       case other =>
         // keep in sync with the match arms above — a typo should list
         // the FULL capability surface
@@ -703,7 +736,9 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
           "create_branch", "drop_branch", "fast_forward",
           "recover_transactions", "consistent_snapshot", "merge_branch",
           "rebase_branch", "create_tag", "drop_tag", "view_history", "views",
-          "branch_changes_view", "create_changes_view").sorted
+          "branch_changes_view", "create_changes_view",
+          "create_catalog_branch", "merge_catalog_branch",
+          "drop_catalog_branch").sorted
         throw new IllegalArgumentException(
           s"unknown procedure graft_system.$other (have ${have.mkString(", ")})")
     }

@@ -1095,7 +1095,14 @@ object GraftTable {
     "rewrite_data_files_zorder", "rewrite_position_deletes",
     "rewrite_equality_deletes", "rewrite_manifests")
 
+  /** Default retry budget; a table overrides with Iceberg's own
+    * `commit.retry.num-retries` property (0 disables auto-retry). */
   private val maxCommitRetries = 20
+
+  private def commitRetryBudget(props: Map[String, String]): Int =
+    props.get("commit.retry.num-retries")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(maxCommitRetries)
 
   /** A lost same-slot race against `occ` is transparently retryable
     * iff the occupant left this write's plan intact: no wholesale
@@ -1137,6 +1144,8 @@ object GraftTable {
     val offMain = isStaged(c0) || branchInfo(c0).isDefined
     // off-main: ids assigned at publish
     var c = if (offMain) c0 else stampRowLineage(c0, state(root, c0.parentId).properties)
+    lazy val retryBudget =
+      if (offMain) 0 else commitRetryBudget(state(root, c0.parentId).properties)
     var slot = id
     var retries = 0
     while (true) {
@@ -1164,7 +1173,7 @@ object GraftTable {
           else occBranch != mine)         // any cross-lineage occupant: no shared state
         if (slide) { slot += 1 }
         else if (!offMain && !occStaged && occBranch.isEmpty &&
-            retries < maxCommitRetries &&
+            retries < retryBudget &&
             scala.util.Try(parseCommit(Files.readString(commitPath(root, slot))))
               .toOption.exists(retryCompatible(c0, _, id))) {
           retries += 1

@@ -23,7 +23,8 @@ class SqlFrontDoorSpec extends SparkSpec {
     // clear only THIS suite's namespaces (the warehouse is shared
     // session-wide; the cached catalog instance keeps its path)
     Seq("lab", "lab2", "tmp", "del", "dyn", "ren", "orph", "zord", "rl", "evo",
-        "ctas", "mv", "cons", "cp", ".staging").foreach { ns =>
+        "ctas", "mv", "cons", "cp", "cbr", "_catalog_branches",
+        ".staging").foreach { ns =>
       val p = Paths.get(wh, ns)
       if (Files.exists(p)) {
         val s = Files.walk(p)
@@ -1217,5 +1218,35 @@ class SqlFrontDoorSpec extends SparkSpec {
           if r.scan.isInstanceOf[graft.lake.GraftBatchScan] => r.scan
     }
     assert(native.isDefined, "mixed delete flavors must stay native")
+  }
+
+  test("CALL catalog-branch procedures: fork N tables, branch writes through SQL, one-decision merge") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cbr")
+    spark.sql("CREATE TABLE graft.cbr.a (id BIGINT, v STRING)")
+    spark.sql("CREATE TABLE graft.cbr.b (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.cbr.a VALUES (1, 'base')")
+    spark.sql("INSERT INTO graft.cbr.b VALUES (10, 'base')")
+    val created = spark.sql(
+      "CALL graft_system.create_catalog_branch(name => 'rel', tables => 'cbr.a,cbr.b')")
+      .collect().map(_.getString(0))
+    assert(created.length == 2 && created.forall(_.contains("base_snapshot_id=")))
+    // branch writes ride the EXISTING per-table SQL door (same-named refs)
+    spark.sql("INSERT INTO graft.cbr.a.branch_rel VALUES (2, 'br')")
+    spark.sql("INSERT INTO graft.cbr.b.branch_rel VALUES (20, 'br')")
+    assert(spark.table("graft.cbr.a").count() == 1L &&
+      spark.table("graft.cbr.b").count() == 1L,
+      "branch writes invisible to main on both members")
+    val merged = spark.sql("CALL graft_system.merge_catalog_branch(name => 'rel')")
+      .collect().map(_.getString(0))
+    assert(merged.length == 2 && merged.forall(_.contains("snapshot_id=")))
+    assert(spark.table("graft.cbr.a").count() == 2L &&
+      spark.table("graft.cbr.b").count() == 2L,
+      "one decision publishes both members")
+    // a second catalog branch drops cleanly (refs + descriptor retire)
+    spark.sql("CALL graft_system.create_catalog_branch(name => 'tmp', tables => 'cbr.a')")
+    spark.sql("CALL graft_system.drop_catalog_branch(name => 'tmp')")
+    intercept[Exception] {
+      spark.sql("CALL graft_system.merge_catalog_branch(name => 'tmp')").collect()
+    }
   }
 }
