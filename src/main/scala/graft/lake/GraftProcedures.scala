@@ -701,6 +701,13 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         val view = arg("view", "arg3").getOrElse("graft_changes")
         GraftTable.changes(spark, root, from, to).createOrReplaceTempView(view)
         Seq(Row(s"view=$view"))
+      case "snapshot" =>
+        // CALL graft_system.snapshot(source => 'ns.src', table => 'ns.dst')
+        // — Iceberg's zero-copy clone
+        val src = GraftProcedures.resolveRoot(spark, required("source", "arg0"))
+        val dst = GraftProcedures.resolveRoot(spark, required("table", "arg1"))
+        val id = GraftTable.snapshotTable(spark, src, dst)
+        Seq(Row(s"snapshot_id=$id"))
       case "create_catalog_branch" =>
         // CALL graft_system.create_catalog_branch(name => 'rel',
         //   tables => 'ns.t1,ns.t2') — fork N tables at one
@@ -738,7 +745,7 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
           "rebase_branch", "create_tag", "drop_tag", "view_history", "views",
           "branch_changes_view", "create_changes_view",
           "create_catalog_branch", "merge_catalog_branch",
-          "drop_catalog_branch").sorted
+          "drop_catalog_branch", "snapshot").sorted
         throw new IllegalArgumentException(
           s"unknown procedure graft_system.$other (have ${have.mkString(", ")})")
     }

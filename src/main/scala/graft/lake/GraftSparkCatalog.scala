@@ -181,7 +181,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   private val metadataNames =
     Set("snapshots", "files", "history", "partitions", "manifests", "refs",
       "entries", "metadata_log_entries", "all_files", "statistics", "ndv",
-      "position_deletes")
+      "position_deletes", "properties")
 
   // ── tables ──────────────────────────────────────────────────────────
 
@@ -1265,6 +1265,7 @@ private[lake] class GraftMetadataTable(fqName: String, root: String, kind: Strin
     case "statistics" => GraftStats.statisticsTable(s, root)
     case "position_deletes" => GraftTable.positionDeletesTable(s, root)
     case "ndv" => GraftStats.ndvEstimates(s, root)
+    case "properties" => GraftTable.propertiesTable(s, root)
   }
 
   override def name(): String = fqName

@@ -1140,6 +1140,33 @@ object GraftTable {
       !deleteHazard
   }
 
+  /** A same-lineage commit-slot race this write lost after cleanup —
+    * the signal the snapshot-isolation DML wrapper re-plans on. */
+  final class GraftCommitConflict(msg: String, cause: Throwable)
+    extends IllegalStateException(msg, cause)
+
+  /** Iceberg's `write.<op>.isolation-level`: under the default
+    * `serializable` a row-level statement that lost a commit race
+    * fails loud (the winner may have changed which rows the statement
+    * affects — only the caller can decide that's fine); under
+    * `snapshot` the WHOLE statement re-plans against the new head and
+    * retries, behaving as if it started after the winner — the
+    * Iceberg snapshot-isolation contract. The level is consulted only
+    * on CONFLICT, so the uncontended path pays no extra log replay. */
+  private def withDmlRetry[T](root: String, opKind: String)(op: => T): T = {
+    var attempts = 0
+    while (true) {
+      try return op
+      catch { case e: GraftCommitConflict =>
+        val lvl = state(root).properties
+          .getOrElse(s"write.$opKind.isolation-level", "serializable")
+        attempts += 1
+        if (lvl != "snapshot" || attempts > 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def commitOrCleanup(root: String, id: Long, c0: Commit): Long = {
     val offMain = isStaged(c0) || branchInfo(c0).isDefined
     // off-main: ids assigned at publish
@@ -1188,7 +1215,10 @@ object GraftTable {
             s"snapshot $slot is a pending staged (WAP) commit: publish it with " +
               "CALL graft_system.cherrypick_snapshot or retire it with " +
               "abandon_staged_snapshot before writing to main", e)
-          throw e
+          // typed so the snapshot-isolation DML wrapper can re-plan;
+          // still an IllegalStateException for every existing catcher
+          throw new GraftCommitConflict(
+            s"commit slot $slot lost to a concurrent same-lineage commit", e)
         }
       }
     }
@@ -1992,6 +2022,68 @@ object GraftTable {
     (landed, fresh.size.toLong, entries.map(_.records).sum)
   }
 
+  /** Iceberg's `snapshot` procedure — a zero-copy table CLONE: a new
+    * table whose first snapshot references the SOURCE's current live
+    * files by hard link (an object store would reference the same
+    * keys) — no data bytes move, and the two tables then evolve
+    * independently: writes/compaction/expiry on either never touch
+    * the other (deletion removes a LINK; the shared inode survives
+    * until both sides release it).
+    *
+    * Sequence discipline: cloned file NAMES keep their source
+    * snapshot-id prefixes (the prefixes encode the eq-delete sequence
+    * rule), so the clone's first snapshot id jumps PAST the highest
+    * cloned prefix — a later equality delete on the clone covers
+    * every cloned data file, exactly as if the rows had always lived
+    * there. Parent chains tolerate the gap (the cherrypick precedent).
+    *
+    * Row lineage re-mints: cloned entries drop their source
+    * firstRowId blocks (including materialized markers — the physical
+    * `_gf_row_id` column just goes unread) and stamp fresh blocks from
+    * the clone's own counter, so source and clone `_row_id` spaces are
+    * unrelated. Source refs/tags (they name source snapshot ids), txn
+    * seals, add_files memos, and the row-id counter stay behind;
+    * schema, partition-spec history, sort order, constraints, and
+    * write properties all carry. */
+  def snapshotTable(spark: SparkSession, sourceRoot: String,
+      destRoot: String): Long = {
+    val snap = state(sourceRoot)
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      state(sourceRoot, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
+    val props = snap.properties.filterNot { case (k, _) =>
+      k.startsWith("graft.ref.") || k.startsWith("graft.txn.") ||
+        k.startsWith(addFilesPropPrefix) || k == nextRowIdProp ||
+        // the clone's own lineage holds no REPLACE: its generation
+        // counter restarts (a carried counter with no marker file
+        // would disagree with the clone's state forever)
+        k == generationProp
+    } + ("graft.snapshot.source" -> sourceRoot)
+    create(spark, destRoot, schema, props)
+    val adds = snap.files.map { f =>
+      val src = Paths.get(sourceRoot, f.path)
+      val dst = Paths.get(destRoot, f.path)
+      Files.createDirectories(dst.getParent)
+      try Files.createLink(dst, src)
+      catch {
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(src, dst)
+      }
+      f.copy(firstRowId = None)
+    }
+    val id = adds.map(_.path.split('/').last.takeWhile(_.isDigit))
+      .collect { case s if s.nonEmpty => s.toLong }
+      .foldLeft(0L)(math.max) + 1
+    commitOrCleanup(destRoot, id, Commit(id, Some(0L), System.currentTimeMillis(),
+      "snapshot", adds, Seq.empty, Map.empty, None))
+  }
+
+  /** `.properties` metadata view (the Iceberg sibling): the current
+    * snapshot's table properties as (key, value) rows. */
+  def propertiesTable(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    state(root).properties.toSeq.sortBy(_._1).toDF("key", "value")
+  }
+
   /** Copy-on-write DELETE/overwrite: files whose stats may contain
     * matching rows are rewritten without them; untouched files are
     * carried over by reference. `prunePreds` (a stats-comparable
@@ -2000,9 +2092,11 @@ object GraftTable {
     * of files, not the table. Correctness never depends on it:
     * unpruned files are rewritten with the same filter. */
   def overwriteWhere(spark: SparkSession, root: String, condition: Column,
-      replacement: Option[DataFrame] = None, prunePreds: Seq[Pred] = Nil): Long =
+      replacement: Option[DataFrame] = None,
+      prunePreds: Seq[Pred] = Nil): Long = withDmlRetry(root, "delete") {
     overwriteWhereImpl(spark, root, condition, replacement, prunePreds,
       ckptPlanner(spark, root, None))
+  }
 
   private def overwriteWhereImpl(spark: SparkSession, root: String,
       condition: Column, replacement: Option[DataFrame], prunePreds: Seq[Pred],
@@ -2153,7 +2247,7 @@ object GraftTable {
     * the rows; `merge-on-read` records position-delete files instead
     * and defers the rewrite to rewritePositionDeletes/compaction. */
   def deleteWhere(spark: SparkSession, root: String, condition: Column,
-      prunePreds: Seq[Pred] = Nil): Long = {
+      prunePreds: Seq[Pred] = Nil): Long = withDmlRetry(root, "delete") {
     // dispatch off the planner header, not state(root): on a
     // million-file table the mode lookup alone must not replay the
     // log — and the ONE planner built here threads through to the
@@ -2174,9 +2268,10 @@ object GraftTable {
     * hash(file_path) — one delete file per shard, all committed
     * together — so no single task ever funnels the whole match set. */
   def deleteWhereMoR(spark: SparkSession, root: String, condition: Column,
-      prunePreds: Seq[Pred] = Nil): Long =
+      prunePreds: Seq[Pred] = Nil): Long = withDmlRetry(root, "delete") {
     deleteWhereMoRImpl(spark, root, condition, prunePreds,
       ckptPlanner(spark, root, None))
+  }
 
   private def deleteWhereMoRImpl(spark: SparkSession, root: String,
       condition: Column, prunePreds: Seq[Pred],
@@ -2380,7 +2475,8 @@ object GraftTable {
     * unsupported key types) takes the standard position-delete /
     * copy-on-write path. One planner header serves both branches. */
   def deleteWhereRouted(spark: SparkSession, root: String,
-      filters: Seq[org.apache.spark.sql.sources.Filter], condition: Column): Long = {
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      condition: Column): Long = withDmlRetry(root, "delete") {
     val planner = ckptPlanner(spark, root, None)
     val (schema, props) = dmlHeader(planner, root)
     val mor = props.get("write.delete.mode").contains("merge-on-read")
@@ -2525,7 +2621,8 @@ object GraftTable {
     * merge's contract). `txn` = (appId, version) makes replays no-ops
     * for exactly-once streaming sinks. */
   def upsertEqualityMoR(spark: SparkSession, root: String, batch: DataFrame,
-      keyCols: Seq[String], txn: Option[(String, Long)] = None): Long = {
+      keyCols: Seq[String],
+      txn: Option[(String, Long)] = None): Long = withDmlRetry(root, "merge") {
     val snap = state(root)
     val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
     require(keyCols.nonEmpty && keyCols.forall(schema.fieldNames.contains),
@@ -2630,7 +2727,8 @@ object GraftTable {
     * matching rows; every set expression evaluates against the
     * ORIGINAL row (one atomic projection, standard UPDATE semantics). */
   def update(spark: SparkSession, root: String, condition: Column,
-      set: Map[String, Column], prunePreds: Seq[Pred] = Nil): Long = {
+      set: Map[String, Column],
+      prunePreds: Seq[Pred] = Nil): Long = withDmlRetry(root, "update") {
     val planner = ckptPlanner(spark, root, None)
     val (schema, props) = dmlHeader(planner, root)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
@@ -2746,7 +2844,7 @@ object GraftTable {
     * keys (standard MERGE cardinality rule; violations make the
     * result nondeterministic, so we fail loudly). */
   def merge(spark: SparkSession, root: String, source: DataFrame,
-      keyCols: Seq[String]): Long = {
+      keyCols: Seq[String]): Long = withDmlRetry(root, "merge") {
     val planner = ckptPlanner(spark, root, None)
     val (schema, props) = dmlHeader(planner, root)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
@@ -2814,7 +2912,7 @@ object GraftTable {
 
   private def merge(spark: SparkSession, root: String, source: DataFrame,
       keyPairs: Seq[(String, String)], clauses: Seq[MergeClause],
-      commitProps: Map[String, String]): Long = {
+      commitProps: Map[String, String]): Long = withDmlRetry(root, "merge") {
     if (commitProps.isEmpty && clauses == mergeDefaultClauses &&
         keyPairs.forall(p => p._1.equalsIgnoreCase(p._2)))
       return merge(spark, root, source, keyPairs.map(_._1))

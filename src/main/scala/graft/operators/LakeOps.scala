@@ -65,11 +65,17 @@ object LakeOps {
     val root = scratch("q24")
     val o = Tables.orders(s, dir)
     GraftTable.create(s, root, o.schema)
-    // 4 key-ranged appends → per-file o_orderkey stats partition the key space
+    // 4 appends, each RANGE-partitioned on the key → per-file
+    // o_orderkey stats hold disjoint ranges, so the high-key prune
+    // below is deterministic at every scale factor (hash-partitioned
+    // files would each span ~the whole key range — whether stats can
+    // skip any of them then depends on where the modulo classes'
+    // extremes happen to fall)
     val maxKey = o.agg(max(col("o_orderkey"))).head().getLong(0)
     (0 until 4).foreach { i =>
       GraftTable.append(s, root,
-        o.filter(col("o_orderkey") % 4 === i).repartition(2))
+        o.filter(col("o_orderkey") % 4 === i)
+          .repartitionByRange(2, col("o_orderkey")))
     }
     val files = GraftTable.filesTable(s, root)
     require(files.count() == 8L, "4 appends x repartition(2) must leave 8 files")

@@ -349,6 +349,112 @@ class LakeV2Spec extends SparkSpec {
     assert(rows.count() == expected, s"delete=$dr append=$ar")
   }
 
+  test("snapshot clone: zero-copy, independent evolution, sequence-correct deletes, fresh row lineage") {
+    import spark.implicits._
+    val src = freshRoot("snap-src")
+    val df0 = (0L until 60L).map(i => (i, s"v${i % 6}")).toDF("id", "v")
+    GraftTable.create(spark, src, df0.schema,
+      Map("write.delete.mode" -> "merge-on-read"))
+    GraftTable.append(spark, src, df0.repartition(2))
+    GraftTable.deleteWhereMoR(spark, src, col("id") < 5L)          // pos deletes
+    GraftTable.deleteEqualityMoR(spark, src, Seq("v5").toDF("v"))  // eq deletes
+    val dst = freshRoot("snap-dst")
+    GraftTable.snapshotTable(spark, src, dst)
+    def ids(r: String): Set[Long] =
+      GraftTable.read(spark, r).select("id").as[Long].collect().toSet
+    val atClone = ids(src)
+    assert(ids(dst) == atClone,
+      "the clone must serve the source's exact live rows (MoR deletes included)")
+    // zero-copy: the clone references the SAME files by name
+    assert(GraftTable.state(dst).files.map(_.path).toSet ==
+      GraftTable.state(src).files.map(_.path).toSet)
+
+    // independence: a clone write and a source delete never leak across
+    GraftTable.append(spark, dst, Seq((500L, "clone")).toDF("id", "v"))
+    GraftTable.deleteWhereMoR(spark, src, col("id") >= 50L)
+    assert(ids(dst).contains(500L) && !ids(src).contains(500L))
+    assert(ids(src).intersect((50L until 60L).toSet).isEmpty)
+    assert(ids(dst).intersect((50L until 60L).toSet).nonEmpty,
+      "a post-clone source delete must not leak into the clone")
+
+    // sequence rule: the clone's first id jumped past the cloned
+    // prefixes, so a NEW eq-delete on the clone covers CLONED rows
+    GraftTable.deleteEqualityMoR(spark, dst, Seq("v4").toDF("v"))
+    assert(ids(dst).forall(i => i == 500L || i % 6 != 4),
+      "a clone-side eq-delete must cover rows that arrived via the clone")
+
+    // row lineage re-minted: every clone row has a unique non-null id
+    val rid = GraftTable.readWithRowIds(spark, dst)
+      .select("_row_id").as[Long].collect()
+    assert(rid.length == ids(dst).size && rid.toSet.size == rid.length,
+      "clone _row_id must be fresh, non-null, and unique")
+
+    // carried properties serve through the .properties view
+    assert(GraftTable.propertiesTable(spark, dst)
+      .filter(col("key") === "write.delete.mode")
+      .head().getString(1) == "merge-on-read")
+  }
+
+  test("write.delete.isolation-level=snapshot re-plans a raced DML; default serializable stays loud") {
+    import spark.implicits._
+    // deterministic contention: the FIRST delete-file placement
+    // triggers a concurrent append, so the delete's planned slot is
+    // guaranteed taken by the time it commits
+    def contend(root: String)(body: => Unit): Unit = {
+      val prev = GraftTable.placeArtifact
+      @volatile var fired = false
+      GraftTable.placeArtifact = (src, dst) => {
+        // the hook is GLOBAL and suites run in parallel in one JVM —
+        // act ONLY on this test's own table or a concurrent suite's
+        // placement would consume the injection
+        if (!fired && dst.toString.startsWith(root) &&
+            dst.toString.contains("deletes")) {
+          fired = true
+          GraftTable.append(spark, root,
+            Seq((999L, 9L, "late")).toDF("id", "grp", "v"))
+        }
+        prev(src, dst)
+      }
+      try body finally GraftTable.placeArtifact = prev
+    }
+    val df0 = (0L until 100L).map(i => (i, i % 5, s"v$i")).toDF("id", "grp", "v")
+
+    // snapshot isolation: the losing delete re-plans against the new
+    // head and lands AFTER the winner — both effects present
+    val r1 = freshRoot("iso-snap")
+    GraftTable.create(spark, r1, df0.schema, Map(
+      "write.delete.mode" -> "merge-on-read",
+      "write.delete.isolation-level" -> "snapshot"))
+    GraftTable.append(spark, r1, df0)
+    contend(r1) {
+      GraftTable.deleteWhereMoR(spark, r1, col("id") < 10L)
+    }
+    assert(GraftTable.read(spark, r1).count() == 91L,
+      "both the racing append and the re-planned delete must land")
+    val ops = GraftTable.snapshotsTable(spark, r1)
+      .orderBy(col("snapshot_id")).select("operation")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("create", "append", "append", "delete"),
+      s"the delete must land AFTER the race winner: $ops")
+
+    // default (serializable): the same race fails loud — the winner
+    // may have changed which rows the statement affects
+    val r2 = freshRoot("iso-ser")
+    GraftTable.create(spark, r2, df0.schema, Map(
+      "write.delete.mode" -> "merge-on-read"))
+    GraftTable.append(spark, r2, df0)
+    contend(r2) {
+      intercept[IllegalStateException] {
+        GraftTable.deleteWhereMoR(spark, r2, col("id") < 10L)
+      }
+    }
+    assert(GraftTable.read(spark, r2).count() == 101L,
+      "the failed delete must be a non-event; the append survives")
+    // the caller retries explicitly and the statement lands clean
+    GraftTable.deleteWhereMoR(spark, r2, col("id") < 10L)
+    assert(GraftTable.read(spark, r2).count() == 91L)
+  }
+
   test("N concurrent appenders all commit via auto-retry, no caller loops") {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
@@ -1686,9 +1792,14 @@ class LakeV2Spec extends SparkSpec {
     val counter = new java.util.concurrent.atomic.AtomicInteger
     @volatile var crashAt = Int.MaxValue
     GraftTable.placeArtifact = (src, dst) => {
-      if (counter.incrementAndGet() == crashAt)
+      // GLOBAL hook + parallel suites in one JVM: count and crash ONLY
+      // this test's own placements, or a concurrent suite's write
+      // would absorb the injected crash (or be killed by it)
+      if (dst.toString.startsWith(root) &&
+          counter.incrementAndGet() == crashAt)
         throw new java.io.IOException("injected placement crash")
-      Files.copy(src, dst); Files.delete(src)
+      if (dst.toString.startsWith(root)) { Files.copy(src, dst); Files.delete(src) }
+      else prev(src, dst)
       ()
     }
     def arm(k: Int): Unit = { counter.set(0); crashAt = k }

@@ -133,8 +133,29 @@ class MorPropertySpec extends SparkSpec {
       for (_ <- 0 until opsPer) {
         val prevSnap = GraftTable.latestSnapshotId(root)
         val prevOracle = oracle
-        rnd.nextInt(15) match {
+        rnd.nextInt(16) match {
           case 0 | 1 => append()
+          case 15 =>  // zero-copy clone against whatever composed state
+                      // the lifecycle reached (MoR deletes, renames,
+                      // widen, spec evolution): the clone must equal
+                      // the oracle NOW, and later ops on the original
+                      // must never leak into it (checked via a
+                      // mutation probe right away — the clone is then
+                      // abandoned, it shares no state with the source)
+            val cloneRoot = freshRoot(s"t$lc-clone$checks")
+            GraftTable.snapshotTable(spark, root, cloneRoot)
+            val cGot = GraftTable.read(spark, cloneRoot)
+              .select(col("id"), col("grp").cast(LongType), col(vName))
+              .as[(Long, Long, String)].collect().toVector.sorted
+            assert(cGot == oracle.sorted,
+              s"lifecycle $lc: clone has ${cGot.size} rows vs oracle " +
+                s"${oracle.size} (first diff: " +
+                s"${(cGot.diff(oracle.sorted) ++ oracle.sorted.diff(cGot)).headOption})")
+            // mutation probe: delete everything in the clone; the
+            // SOURCE oracle must be untouched (checked by the outer
+            // check()), and vice versa the clone saw a consistent cut
+            GraftTable.overwriteWhere(spark, cloneRoot, lit(true))
+            assert(GraftTable.read(spark, cloneRoot).count() == 0L)
           case 10 =>  // cross-table transaction against whatever state
                       // the lifecycle reached: stage (optionally a
                       // leading CoW delete +) an append on THIS table

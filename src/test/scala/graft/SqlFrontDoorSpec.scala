@@ -1249,4 +1249,23 @@ class SqlFrontDoorSpec extends SparkSpec {
       spark.sql("CALL graft_system.merge_catalog_branch(name => 'tmp')").collect()
     }
   }
+
+  test("CALL snapshot clones a table zero-copy; the .properties view reads through SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cbr")
+    spark.sql("""CREATE TABLE graft.cbr.snapsrc (id BIGINT, v STRING)
+      |TBLPROPERTIES ('write.target-file-size-bytes'='123456')""".stripMargin)
+    spark.sql("INSERT INTO graft.cbr.snapsrc VALUES (1,'a'),(2,'b')")
+    spark.sql(
+      "CALL graft_system.snapshot(source => 'cbr.snapsrc', table => 'cbr.snapdst')")
+    assert(spark.table("graft.cbr.snapdst").count() == 2L)
+    // the clone evolves independently of its source
+    spark.sql("INSERT INTO graft.cbr.snapdst VALUES (3,'c')")
+    assert(spark.table("graft.cbr.snapsrc").count() == 2L)
+    assert(spark.table("graft.cbr.snapdst").count() == 3L)
+    val p = spark.table("graft.cbr.snapdst.properties")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(p("write.target-file-size-bytes") == "123456")
+    assert(p("graft.snapshot.source").endsWith("snapsrc"),
+      s"clone must record its source: ${p.get("graft.snapshot.source")}")
+  }
 }
