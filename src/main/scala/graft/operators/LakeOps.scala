@@ -71,7 +71,9 @@ object LakeOps {
     // files would each span ~the whole key range — whether stats can
     // skip any of them then depends on where the modulo classes'
     // extremes happen to fall)
-    val maxKey = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    // getAs[Number]: the generated key's physical width drifts between
+    // rounds (int64 ↔ int32 — the nation-keys precedent); never assume
+    val maxKey = o.agg(max(col("o_orderkey"))).head().getAs[Number](0).longValue()
     (0 until 4).foreach { i =>
       GraftTable.append(s, root,
         o.filter(col("o_orderkey") % 4 === i)
@@ -1092,7 +1094,8 @@ object LakeOps {
     Files.createDirectories(srcDir)
     val sup = Tables.supplier(s, dir)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
-    val mid = sup.agg(max(col("s_suppkey"))).head().getLong(0) / 2
+    // physical key width drifts between rounds — read as Number
+    val mid = sup.agg(max(col("s_suppkey"))).head().getAs[Number](0).longValue() / 2
     sup.filter(col("s_suppkey") <= mid).coalesce(1)
       .write.mode("overwrite").parquet(srcDir.resolve("lo").toString)
     sup.filter(col("s_suppkey") > mid).coalesce(1)

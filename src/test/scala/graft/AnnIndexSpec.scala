@@ -21,8 +21,8 @@ class AnnIndexSpec extends SparkSpec {
 
     def codesRows(): Map[Long, (Long, Seq[Int])] =
       GraftTable.read(spark, s"$root/codes")
-        .collect().map(r => r.getLong(0) ->
-          (r.getLong(1), r.getSeq[Int](2).toSeq)).toMap
+        .collect().map(r => r.getAs[Number](0).longValue() ->
+          (r.getAs[Number](1).longValue(), r.getSeq[Int](2).toSeq)).toMap
 
     // batch 1 creates all three tables and encodes exactly its vectors
     val n1 = Similarity.annIndexRefresh(spark, root, batch1)
@@ -61,7 +61,7 @@ class AnnIndexSpec extends SparkSpec {
     assert(allFiles.size >= 4,
       s"range-distributed refreshes should write several files, got ${allFiles.size}")
     val someList = GraftTable.read(spark, s"$root/codes")
-      .select(min(col("list_id"))).collect()(0).getLong(0)
+      .select(min(col("list_id"))).collect()(0).getAs[Number](0).longValue()
     val preds = GraftTable.predsOf(spark,
       GraftTable.tableSchema(s"$root/codes"), col("list_id") === someList)
     val pruned = GraftTable.liveDataFiles(s"$root/codes", preds)
