@@ -181,4 +181,56 @@ object GraftCatalogBranch {
     d.tables.keys.foreach(r => scala.util.Try(GraftTable.dropBranch(r, name)))
     Files.deleteIfExists(descPath(dir, name))
   }
+
+  // ── catalog tags — Nessie's immutable multi-table named pin ────────
+
+  private def tagPath(dir: String, name: String) =
+    Paths.get(dir, s"tag-$name.json")
+
+  /** Tag one CONSISTENT cross-table moment under `name`: every member
+    * gets a same-named table tag at its pin (which also pins the
+    * snapshots against expire_snapshots), and the descriptor makes the
+    * grouping durable. Read back per table with `readCatalogTag` /
+    * `VERSION AS OF '<name>'` — every cross-table transaction is
+    * all-or-nothing at the pins (the consistentSnapshot guarantee). */
+  def createTag(dir: String, name: String, roots: Seq[String]): Descriptor = {
+    require(roots.nonEmpty, "a catalog tag needs at least one table")
+    Files.createDirectories(Paths.get(dir))
+    val pins = GraftTable.consistentSnapshot(roots)
+    val d = Descriptor(name, System.currentTimeMillis(), pins)
+    GraftTable.writeAtomic(tagPath(dir, name), JsonMethods.compact(
+      JsonMethods.render(("name" -> d.name) ~ ("createdMs" -> d.createdMs) ~
+        ("tables" -> d.tables))))
+    val tagged = scala.collection.mutable.ListBuffer.empty[String]
+    try {
+      roots.foreach { r =>
+        GraftTable.createTag(r, name, pins(r)); tagged += r
+      }
+      d
+    } catch { case e: Throwable =>
+      tagged.foreach(r => scala.util.Try(GraftTable.dropTag(r, name)))
+      Files.deleteIfExists(tagPath(dir, name))
+      throw e
+    }
+  }
+
+  def loadTag(dir: String, name: String): Descriptor = {
+    val p = tagPath(dir, name)
+    require(Files.exists(p), s"no such catalog tag: '$name' in $dir")
+    JsonMethods.parse(Files.readString(p)).extract[Descriptor]
+  }
+
+  /** Time travel a member table to the catalog tag's pin. */
+  def readCatalogTag(spark: SparkSession, dir: String, name: String,
+      root: String): DataFrame = {
+    val d = loadTag(dir, name)
+    requireMember(d, root)
+    GraftTable.read(spark, root, Some(d.tables(root)))
+  }
+
+  def dropTag(dir: String, name: String): Unit = {
+    val d = loadTag(dir, name)
+    d.tables.keys.foreach(r => scala.util.Try(GraftTable.dropTag(r, name)))
+    Files.deleteIfExists(tagPath(dir, name))
+  }
 }

@@ -732,6 +732,22 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         val dir = arg("dir").getOrElse(GraftProcedures.catalogBranchDir(spark))
         GraftCatalogBranch.drop(dir, name)
         Seq(Row(s"dropped=$name"))
+      case "create_catalog_tag" =>
+        // one consistent named pin across N tables (Nessie's immutable
+        // multi-table tag); read back per table with VERSION AS OF
+        val name = required("name", "arg0")
+        val roots = required("tables", "arg1").split(",").map(_.trim)
+          .filter(_.nonEmpty).map(GraftProcedures.resolveRoot(spark, _)).toSeq
+        val dir = arg("dir").getOrElse(GraftProcedures.catalogBranchDir(spark))
+        val d = GraftCatalogBranch.createTag(dir, name, roots)
+        d.tables.toSeq.sortBy(_._1).map { case (r, pin) =>
+          Row(s"$r: snapshot_id=$pin")
+        }
+      case "drop_catalog_tag" =>
+        val name = required("name", "arg0")
+        val dir = arg("dir").getOrElse(GraftProcedures.catalogBranchDir(spark))
+        GraftCatalogBranch.dropTag(dir, name)
+        Seq(Row(s"dropped=$name"))
       case other =>
         // keep in sync with the match arms above — a typo should list
         // the FULL capability surface
@@ -745,7 +761,8 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
           "rebase_branch", "create_tag", "drop_tag", "view_history", "views",
           "branch_changes_view", "create_changes_view",
           "create_catalog_branch", "merge_catalog_branch",
-          "drop_catalog_branch", "snapshot").sorted
+          "drop_catalog_branch", "create_catalog_tag", "drop_catalog_tag",
+          "snapshot").sorted
         throw new IllegalArgumentException(
           s"unknown procedure graft_system.$other (have ${have.mkString(", ")})")
     }

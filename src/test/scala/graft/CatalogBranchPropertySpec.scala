@@ -1,0 +1,142 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.{GraftCatalogBranch, GraftTable}
+
+/** Property oracle for the catalog-level branch/tag composition: random
+  * multi-table lifecycles interleave main writes, catalog-branch
+  * forks, branch writes on random member subsets, atomic merges,
+  * aborted merges (simulated crash + resolve), drops, and catalog
+  * tags — after EVERY op each table's read() must equal its driver
+  * oracle, branch reads must equal the branch oracle, every tag must
+  * keep serving its pinned multiset forever, and a merge is
+  * all-or-nothing: after it, every changed member serves base+branch
+  * work, or (aborted) every member serves exactly what it served
+  * before. A torn namespace — some members published, others not —
+  * fails within an op or two. */
+class CatalogBranchPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(name: String): String =
+    scratchRoot("graft-cbprop-test", name)
+
+  test("random multi-table branch/tag lifecycles match per-table driver oracles") {
+    val rnd = new Random(20260815L)
+    val lifecycles = 6
+    for (lc <- 0 until lifecycles) {
+      val nTables = 2 + rnd.nextInt(2)
+      val roots = (0 until nTables).map(i => freshRoot(s"l$lc-t$i"))
+      val dir = freshRoot(s"l$lc-cb")
+      // per-table oracle of MAIN; rows are (id, payload)
+      val oracle = scala.collection.mutable.Map(
+        roots.map(_ -> Vector.empty[(Long, String)]): _*)
+      roots.foreach { r =>
+        GraftTable.create(spark, r, Seq((0L, "")).toDF("id", "v").schema)
+        val rows = (0 until 3).map(i => (lc * 100L + i, s"base$i"))
+        oracle(r) ++= rows
+        GraftTable.append(spark, r, rows.toDF("id", "v"))
+      }
+      var next = 1000L
+      def fresh(): (Long, String) = { next += 1; (next, s"r$next") }
+      def readSet(r: String): Vector[(Long, String)] =
+        GraftTable.read(spark, r).as[(Long, String)].collect().toVector.sorted
+      def checkMain(): Unit = roots.foreach { r =>
+        val got = readSet(r)
+        assert(got == oracle(r).sorted,
+          s"lc $lc: $r has ${got.size} rows vs oracle ${oracle(r).size} " +
+            s"(first diff ${(got.diff(oracle(r).sorted) ++
+              oracle(r).sorted.diff(got)).headOption})")
+      }
+      // every live catalog tag pins its multiset forever
+      val tagOracle = scala.collection.mutable.Map
+        .empty[String, Map[String, Vector[(Long, String)]]]
+      def checkTags(): Unit = tagOracle.foreach { case (t, perTable) =>
+        perTable.foreach { case (r, want) =>
+          val got = GraftCatalogBranch.readCatalogTag(spark, dir, t, r)
+            .as[(Long, String)].collect().toVector.sorted
+          assert(got == want,
+            s"lc $lc: tag $t on $r drifted (${got.size} vs ${want.size})")
+        }
+      }
+
+      var branch: Option[String] = None
+      // per member: rows the BRANCH added since its fork (merge
+      // publishes exactly these onto main's CURRENT state — main may
+      // have moved independently, appends commute), plus the member's
+      // main state AT the fork (what branch reads replay up to)
+      var bAdds = Map.empty[String, Vector[(Long, String)]]
+      var forkState = Map.empty[String, Vector[(Long, String)]]
+      var tagN = 0
+      def mergeLive(bn: String): Unit = {
+        val wrote = roots.filter(r => bAdds(r).nonEmpty)
+        if (wrote.nonEmpty) {
+          val published = GraftCatalogBranch.merge(spark, dir, bn)
+          assert(published.keySet == wrote.toSet,
+            s"lc $lc: exactly the branch-written members publish " +
+              s"(${published.keySet} vs ${wrote.toSet})")
+          wrote.foreach(r => oracle(r) = oracle(r) ++ bAdds(r))
+        } else GraftCatalogBranch.drop(dir, bn)
+        branch = None
+      }
+      for (op <- 0 until 10) {
+        rnd.nextInt(6) match {
+          case 0 =>   // main append on a random member (diverges it)
+            val r = roots(rnd.nextInt(nTables))
+            val row = fresh()
+            oracle(r) :+= row
+            GraftTable.append(spark, r, Seq(row).toDF("id", "v"))
+          case 1 if branch.isEmpty =>   // fork the whole namespace
+            val bn = s"b$lc$op"
+            GraftCatalogBranch.create(dir, bn, roots)
+            branch = Some(bn)
+            bAdds = roots.map(r => r -> Vector.empty[(Long, String)]).toMap
+            forkState = roots.map(r => r -> oracle(r)).toMap
+          case 1 | 2 if branch.isDefined =>   // branch write, random member
+            val r = roots(rnd.nextInt(nTables))
+            val row = fresh()
+            bAdds = bAdds.updated(r, bAdds(r) :+ row)
+            GraftCatalogBranch.append(spark, dir, branch.get, r,
+              Seq(row).toDF("id", "v"))
+            // the branch serves its FORK state + its own rows —
+            // post-fork main appends must be invisible to it
+            val got = GraftCatalogBranch.read(spark, dir, branch.get, r)
+              .as[(Long, String)].collect().toVector.sorted
+            assert(got == (forkState(r) ++ bAdds(r)).sorted,
+              s"lc $lc: branch read on $r has ${got.size} rows vs " +
+                s"${(forkState(r) ++ bAdds(r)).size}")
+          case 3 if branch.isDefined =>   // atomic merge (or crash first)
+            val bn = branch.get
+            val wrote = roots.filter(r => bAdds(r).nonEmpty)
+            if (rnd.nextBoolean() && wrote.nonEmpty) {
+              // crash between stage and decision: NOTHING moves;
+              // resolve and fall through to a clean retry
+              val crash = intercept[GraftCatalogBranch.MergeCrash] {
+                GraftCatalogBranch.merge(spark, dir, bn, crashBeforeDecide = true)
+              }
+              checkMain()
+              GraftCatalogBranch.abortMerge(crash.decisionPath, crash.staged)
+              checkMain()
+            }
+            mergeLive(bn)
+          case 4 =>   // catalog tag: one consistent pin, forever checked
+            val tn = s"t$lc-$tagN"; tagN += 1
+            GraftCatalogBranch.createTag(dir, tn, roots)
+            tagOracle(tn) = roots.map(r => r -> oracle(r).sorted).toMap
+          case _ =>   // main append on every member (bulk movement)
+            roots.foreach { r =>
+              val row = fresh()
+              oracle(r) :+= row
+              GraftTable.append(spark, r, Seq(row).toDF("id", "v"))
+            }
+        }
+        checkMain()
+        checkTags()
+      }
+      // drain: a live branch at end-of-life merges or drops cleanly
+      branch.foreach { bn => mergeLive(bn); checkMain(); checkTags() }
+    }
+  }
+}

@@ -1250,6 +1250,29 @@ class SqlFrontDoorSpec extends SparkSpec {
     }
   }
 
+  test("CALL create_catalog_tag pins N tables at one consistent moment; VERSION AS OF reads it back") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cbr")
+    spark.sql("CREATE TABLE graft.cbr.tga (id BIGINT)")
+    spark.sql("CREATE TABLE graft.cbr.tgb (id BIGINT)")
+    spark.sql("INSERT INTO graft.cbr.tga VALUES (1), (2)")
+    spark.sql("INSERT INTO graft.cbr.tgb VALUES (10)")
+    val pinned = spark.sql(
+      "CALL graft_system.create_catalog_tag(name => 'v1', tables => 'cbr.tga,cbr.tgb')")
+      .collect().map(_.getString(0))
+    assert(pinned.length == 2 && pinned.forall(_.contains("snapshot_id=")))
+    // the namespace moves on; the tag keeps serving the pinned moment
+    spark.sql("INSERT INTO graft.cbr.tga VALUES (3)")
+    spark.sql("INSERT INTO graft.cbr.tgb VALUES (11)")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.cbr.tga VERSION AS OF 'v1'")
+      .head().getLong(0) == 2L)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.cbr.tgb VERSION AS OF 'v1'")
+      .head().getLong(0) == 1L)
+    spark.sql("CALL graft_system.drop_catalog_tag(name => 'v1')")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.cbr.tga VERSION AS OF 'v1'").collect()
+    }
+  }
+
   test("CALL snapshot clones a table zero-copy; the .properties view reads through SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cbr")
     spark.sql("""CREATE TABLE graft.cbr.snapsrc (id BIGINT, v STRING)
