@@ -10,12 +10,17 @@ import graft.sources.Tables
   * feature-extraction runs batched per partition so a real decoder
   * (libjpeg, ffmpeg, ...) would amortize init per batch, not per row.
   *
-  * The decode step is a clearly-marked STUB (the container has no
-  * codec libs): it derives deterministic "dimensions" and a "feature"
-  * from the bytes. Everything around it — the binary schema, the
-  * partitioning, the batched mapPartitions shape, the typed output —
-  * is the real 100 TB plumbing: payloads stay columnar and never
-  * transit the driver.
+  * IMAGE payloads decode FOR REAL: the JDK's own `javax.imageio`
+  * readers (PNG/JPEG/BMP/GIF — java.desktop ships them, zero external
+  * deps, headless-safe on BufferedImage) produce true dimensions, a
+  * true aspect-preserving resize, and a mean-luminance feature over
+  * the thumbnail. Payloads no JDK reader claims (audio/video/raw
+  * text) fall back to the clearly-marked deterministic STUB — the
+  * stand-in for the codec libs this container lacks. Everything
+  * around the codec — the binary schema, the partitioning, the
+  * batched mapPartitions shape, the typed output — is the real
+  * 100 TB plumbing: payloads stay columnar and never transit the
+  * driver.
   */
 object Multimodal {
 
@@ -27,16 +32,68 @@ object Multimodal {
   /** Target box for the resize stage (stub keeps aspect ratio). */
   private val thumbMax = 64
 
+  /** Cheap magic-byte gate before handing bytes to ImageIO: the JDK
+    * readers cover PNG, JPEG, GIF, and BMP. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 8 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
+  /** REAL image decode → resize → feature via the JDK's ImageIO: true
+    * native dimensions, an aspect-preserving SCALE_SMOOTH thumbnail,
+    * mean luminance over the thumbnail as the feature, and the
+    * thumbnail's pixel hash as the single "frame". None when no JDK
+    * reader claims the bytes (→ stub fallback). */
+  private def decodeImage(r: MediaRow): Option[DecodedRow] = {
+    if (!looksLikeImage(r.payload)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      val channels = img.getColorModel.getNumComponents
+      val scale = math.min(1.0, thumbMax.toDouble / math.max(w, h))
+      val tw = math.max(1, math.round(w * scale).toInt)
+      val th = math.max(1, math.round(h * scale).toInt)
+      val thumb = new java.awt.image.BufferedImage(tw, th,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = thumb.createGraphics()
+      try g.drawImage(
+        img.getScaledInstance(tw, th, java.awt.Image.SCALE_SMOOTH), 0, 0, null)
+      finally g.dispose()
+      var sum = 0.0
+      var hash = 1125899906842597L
+      var y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) {
+          val rgb = thumb.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) * 0.299 +
+            ((rgb >> 8) & 0xff) * 0.587 + (rgb & 0xff) * 0.114
+          hash = hash * 31 + rgb
+          x += 1
+        }
+        y += 1
+      }
+      Some(DecodedRow(r.doc_id, r.payload.length.toLong, w, h, channels,
+        sum / (tw.toDouble * th * 255.0), tw, th, 1, Array(hash)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** STUB decode → feature-extract → resize → frame-sample pipeline.
-    * Stands in for a real codec chain (libjpeg/ffmpeg are not in this
-    * container); deterministic in the payload bytes so tests are
-    * hash-stable. Everything a real implementation needs is shaped
-    * here: one "codec init" per partition amortized over the batch,
-    * payloads never leaving the executor, typed columnar output.
+    * Stands in for the codec chain this container lacks (ffmpeg, ...);
+    * deterministic in the payload bytes so tests are hash-stable.
+    * Everything a real implementation needs is shaped here: one
+    * "codec init" per partition amortized over the batch, payloads
+    * never leaving the executor, typed columnar output.
     */
-  private def decodeBatchStub(rows: Iterator[MediaRow]): Iterator[DecodedRow] = {
+  private def decodeBatchStub(rows: Iterator[MediaRow]): Iterator[DecodedRow] =
     // per-partition "codec init" happens here (stubbed)
-    rows.map { r =>
+    rows.map(decodeStub)
+
+  private def decodeStub(r: MediaRow): DecodedRow = {
       val bytes = r.payload
       val n = bytes.length
       var acc = 0L
@@ -65,18 +122,28 @@ object Multimodal {
       DecodedRow(r.doc_id, n.toLong, width, height, 3,
         math.sqrt((width.toDouble * height) / (n.toDouble + 1)),
         tw, th, k, hashes)
-    }
+  }
+
+  /** The combined per-partition codec: a real ImageIO decode for
+    * payloads a JDK reader claims, the deterministic stub otherwise. */
+  private def decodeBatch(rows: Iterator[MediaRow]): Iterator[DecodedRow] =
+    rows.map(r => decodeImage(r).getOrElse(decodeStub(r)))
+
+  /** Run the batched decode over an arbitrary binary corpus — the door
+    * a real ingestion pipeline (and the image-decode spec) uses. */
+  def decode(ds: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(decodeBatch _)
   }
 
   /** Synthesize a binary corpus from documents (payload = utf-8 bytes)
     * and run the batched decode. */
   def decodeAll(s: SparkSession, dir: String): Dataset[DecodedRow] = {
     import s.implicits._
-    Tables.documents(s, dir)
+    decode(Tables.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .repartition(col("doc_id"))   // spread payloads before the heavy step
-      .as[MediaRow]
-      .mapPartitions(decodeBatchStub _)
+      .as[MediaRow])
   }
 
   def q41(s: SparkSession, dir: String): DataFrame = {

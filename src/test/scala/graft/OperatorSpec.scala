@@ -239,6 +239,43 @@ class OperatorSpec extends SparkSpec {
     assert(a.forall(r => r.getInt(8) * 16 == r.getString(9).length && r.getInt(8) >= 1))
   }
 
+  test("IMAGE payloads decode for real (JDK ImageIO): true dims, true resize, luminance feature") {
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaRow
+    // real PNGs rendered in-process: a wide white image, a tall black
+    // one, and a small grey one that needs no resize
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val corpus = Seq(
+      MediaRow(1L, png(200, 50, 0xFFFFFF)),   // white, wide
+      MediaRow(2L, png(40, 160, 0x000000)),   // black, tall
+      MediaRow(3L, png(20, 10, 0x808080)),    // grey, under the box
+      MediaRow(4L, "definitely not an image".getBytes("UTF-8")))
+    val got = graft.operators.Multimodal.decode(corpus.toDS().repartition(2))
+      .collect().map(d => d.doc_id -> d).toMap
+    // true native dimensions from the PNG headers
+    assert(got(1L).width == 200 && got(1L).height == 50)
+    assert(got(2L).width == 40 && got(2L).height == 160)
+    // aspect-preserving resize: long edge lands on the 64-box
+    assert(got(1L).thumb_w == 64 && got(1L).thumb_h == 16)
+    assert(got(2L).thumb_h == 64 && got(2L).thumb_w == 16)
+    assert(got(3L).thumb_w == 20 && got(3L).thumb_h == 10,
+      "an image inside the box must not upscale")
+    // mean luminance over the thumbnail: white ~1, black ~0, grey mid
+    assert(got(1L).feat_norm > 0.95 && got(2L).feat_norm < 0.05)
+    assert(math.abs(got(3L).feat_norm - 0x80 / 255.0) < 0.05)
+    // a non-image payload takes the deterministic stub path
+    assert(got(4L).width == 16 + math.floorMod(
+      "definitely not an image".getBytes("UTF-8")
+        .foldLeft(0L)((a, b) => a * 31 + (b & 0xff)), 512).toInt)
+  }
+
   test("PQ ANN matches an independent driver-side reconstruction exactly") {
     // the whole pipeline — md5-sampled codebook, per-subspace argmin
     // encode, ADC lookup, (approx, nid) ranking — rebuilt in plain
