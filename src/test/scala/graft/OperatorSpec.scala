@@ -276,6 +276,48 @@ class OperatorSpec extends SparkSpec {
         .foldLeft(0L)((a, b) => a * 31 + (b & 0xff)), 512).toInt)
   }
 
+  test("AUDIO payloads decode for real (JDK javax.sound): header truth + RMS/peak features") {
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaRow
+    // real WAVs rendered in-process: a 440 Hz sine at half amplitude
+    // and pure silence, both 16-bit mono PCM at 8 kHz
+    def wav(samples: Array[Short], rate: Float): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        bytes(2 * i) = (s & 0xff).toByte; bytes(2 * i + 1) = (s >> 8).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val n = 8000   // one second at 8 kHz
+    val sine = Array.tabulate(n)(i =>
+      (math.sin(2 * math.Pi * 440 * i / 8000.0) * 16384).toShort)
+    val corpus = Seq(
+      MediaRow(1L, wav(sine, 8000f)),
+      MediaRow(2L, wav(Array.fill(n)(0: Short), 8000f)),
+      MediaRow(3L, "not audio at all".getBytes("UTF-8")))
+    val got = graft.operators.Multimodal
+      .decodeAudioAll(corpus.toDS().repartition(2))
+      .collect().map(a => a.doc_id -> a).toMap
+    // header truth
+    assert(got(1L).sample_rate == 8000 && got(1L).channels == 1 &&
+      got(1L).bits == 16 && got(1L).n_frames == n)
+    assert(math.abs(got(1L).duration_s - 1.0) < 1e-6)
+    // a half-amplitude sine has RMS 0.5/sqrt(2) ~ 0.354, peak ~ 0.5
+    assert(math.abs(got(1L).rms - 0.5 / math.sqrt(2)) < 0.01,
+      s"sine RMS was ${got(1L).rms}")
+    assert(math.abs(got(1L).peak - 0.5) < 0.01)
+    // silence is exactly quiet
+    assert(got(2L).rms == 0.0 && got(2L).peak == 0.0)
+    // non-audio marks itself undecodable instead of guessing
+    assert(got(3L).sample_rate == -1 && got(3L).rms.isNaN)
+  }
+
   test("PQ ANN matches an independent driver-side reconstruction exactly") {
     // the whole pipeline — md5-sampled codebook, per-subspace argmin
     // encode, ADC lookup, (approx, nid) ranking — rebuilt in plain
