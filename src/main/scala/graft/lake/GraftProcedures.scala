@@ -701,6 +701,14 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
         val view = arg("view", "arg3").getOrElse("graft_changes")
         GraftTable.changes(spark, root, from, to).createOrReplaceTempView(view)
         Seq(Row(s"view=$view"))
+      case "migrate" =>
+        // CALL graft_system.migrate(source_dir => '/abs/dir',
+        //   table => 'ns.t') — promote a raw parquet directory into a
+        // graft table in place (schema inferred, files hard-linked)
+        val srcDir = required("source_dir", "arg0")
+        val dst = GraftProcedures.resolveRoot(spark, required("table", "arg1"))
+        val (id, nf, rows) = GraftTable.migrate(spark, srcDir, dst)
+        Seq(Row(s"snapshot_id=$id files=$nf rows=$rows"))
       case "snapshot" =>
         // CALL graft_system.snapshot(source => 'ns.src', table => 'ns.dst')
         // — Iceberg's zero-copy clone
@@ -762,7 +770,7 @@ case class GraftCallCommand(proc: String, args: Map[String, String])
           "branch_changes_view", "create_changes_view",
           "create_catalog_branch", "merge_catalog_branch",
           "drop_catalog_branch", "create_catalog_tag", "drop_catalog_tag",
-          "snapshot").sorted
+          "snapshot", "migrate").sorted
         throw new IllegalArgumentException(
           s"unknown procedure graft_system.$other (have ${have.mkString(", ")})")
     }

@@ -2022,6 +2022,24 @@ object GraftTable {
     (landed, fresh.size.toLong, entries.map(_.records).sum)
   }
 
+  /** Iceberg's `migrate` procedure — promote a RAW parquet directory
+    * into a graft table in place, without rewriting a byte: infer the
+    * schema from the files (Spark's parquet schema merge), create the
+    * table at `root`, then adopt every parquet under `sourceDir` via
+    * the add_files hard-link path (footer-harvested stats, zero copy).
+    * The source directory keeps working for legacy readers — the
+    * adopted files are LINKS, and graft never mutates adopted bytes
+    * (CoW rewrites produce new files). Returns (snapshotId, files,
+    * rows), like addFiles. */
+  def migrate(spark: SparkSession, sourceDir: String, root: String,
+      properties: Map[String, String] = Map.empty): (Long, Long, Long) = {
+    require(!Files.isDirectory(logDir(root)), s"table already exists at $root")
+    val schema = spark.read.parquet(sourceDir).schema
+    require(schema.nonEmpty, s"no parquet schema found under $sourceDir")
+    create(spark, root, schema, properties)
+    addFiles(spark, root, sourceDir)
+  }
+
   /** Iceberg's `snapshot` procedure — a zero-copy table CLONE: a new
     * table whose first snapshot references the SOURCE's current live
     * files by hard link (an object store would reference the same

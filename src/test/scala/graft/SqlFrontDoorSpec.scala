@@ -1273,6 +1273,29 @@ class SqlFrontDoorSpec extends SparkSpec {
     }
   }
 
+  test("CALL migrate promotes a raw parquet directory into a table in place") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-migrate-src").toString
+    (0L until 50L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(2).write.mode("overwrite").parquet(srcDir)
+    val out = spark.sql(
+      s"CALL graft_system.migrate(source_dir => '$srcDir', table => 'cbr.migrated')")
+      .head().getString(0)
+    assert(out.contains("rows=50"), s"got $out")
+    assert(spark.table("graft.cbr.migrated").count() == 50L)
+    // the adopted files were linked, not copied — stats prune works
+    // and the original directory still reads
+    assert(spark.sql(
+      "SELECT COUNT(*) AS c FROM graft.cbr.migrated WHERE id < 10").head().getLong(0) == 10L)
+    assert(spark.read.parquet(srcDir).count() == 50L)
+    // re-migrating the same dir refuses (the table exists)
+    intercept[Exception] {
+      spark.sql(
+        s"CALL graft_system.migrate(source_dir => '$srcDir', table => 'cbr.migrated')").collect()
+    }
+  }
+
   test("CALL snapshot clones a table zero-copy; the .properties view reads through SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cbr")
     spark.sql("""CREATE TABLE graft.cbr.snapsrc (id BIGINT, v STRING)
