@@ -2573,7 +2573,8 @@ object GraftTable {
     * upsertEqualityMoR's one-commit delete+append composes). The
     * write is O(keys): deleting a billion rows by key costs one tiny
     * file. */
-  def deleteEqualityMoR(spark: SparkSession, root: String, keys: DataFrame): Long = {
+  def deleteEqualityMoR(spark: SparkSession, root: String,
+      keys: DataFrame): Long = withDmlRetry(root, "delete") {
     val snap = state(root)
     val schema = DataType.fromJson(snap.schemaJson.get).asInstanceOf[StructType]
     val cols = keys.columns.toSeq
