@@ -164,6 +164,51 @@ object TextOps {
         count(lit(1)).as("n_shingles"))
       .orderBy(col("doc_id"))
 
+  // ── exact-substring dedup (Lee et al. 2021, arXiv:2107.06499) ──────
+  /** q106: window-granular EXACT-substring dedup — the "Deduplicating
+    * Training Data Makes Language Models Better" pipeline op: every
+    * 20-token sliding window hashes (stride 1), a window is DUPLICATED
+    * when its hash occurs elsewhere in the corpus and this occurrence
+    * is not the global first (first = min (doc_id, pos), the
+    * keep-first-occurrence rule). The paper builds a suffix array; on
+    * Spark the same answer is one explode (O(tokens) rows, the MinHash
+    * shape) + one hash-keyed shuffle with map-side partial counts —
+    * embarrassingly parallel at 100 TB where a suffix array is not.
+    * Output: per doc, window/duplicate counts + duplicate ratio (the
+    * removal planner's input). */
+  private val subdupW = 20
+
+  def q106(s: SparkSession, dir: String): DataFrame = {
+    val W = subdupW
+    val wins = Tables.documents(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("t")) >= W,
+          transform(sequence(lit(1), size(col("t")) - (W - 1)),
+            i => md5(concat_ws(" ", slice(col("t"), i, lit(W))))))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+    // (doc_id, pos) encoded into one orderable long: the global-first
+    // argmin stays a plain MIN in both engines (pos < 1e6 always —
+    // docs are kilobytes, not gigabytes)
+    val enc = col("doc_id") * 1000000L + col("pos")
+    val firsts = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("n"), min(enc).as("first_enc"))
+    val perDoc = wins.join(firsts, Seq("h"))
+      .withColumn("is_dup", col("n") > 1 && enc =!= col("first_enc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("is_dup").cast("long")).as("n_dup_windows"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        when(coalesce(col("n_windows"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_dup_windows") / col("n_windows")).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   // ── §2.3/47b true winnowing (Schleimer et al. 2003, public paper) ───
   /** Sliding-window minimum over positional k-gram hashes: each window
     * of `w` consecutive shingle hashes contributes its minimum, giving
@@ -721,6 +766,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_text_familiarity" -> q91 _,
     "q88_line_dedup" -> q88 _,
+    "q106_substring_dedup" -> q106 _,
     "q75_importance_sample" -> q75 _,
     "q78_bpe_encode" -> q78 _,
     "q71_text_bpe" -> q71 _,
@@ -828,6 +874,25 @@ object TextOps {
         |c AS (SELECT b, COUNT(*) AS n FROM bg GROUP BY b)
         |SELECT bg.doc_id, COUNT(*) AS n_bigrams, CAST(SUM(c.n) AS BIGINT) AS familiarity
         |FROM bg JOIN c USING (b) GROUP BY bg.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q106_substring_dedup" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, i AS pos, MD5(ARRAY_TO_STRING(toks[i:i+19], ' ')) AS h
+        |      FROM (SELECT doc_id, toks,
+        |              UNNEST(GENERATE_SERIES(1, LEN(toks) - 19)) AS i FROM t)),
+        |f AS (SELECT h, COUNT(*) AS n, MIN(doc_id * 1000000 + pos) AS first_enc
+        |      FROM w GROUP BY h),
+        |d AS (SELECT w.doc_id, COUNT(*) AS n_windows,
+        |        CAST(SUM(CASE WHEN f.n > 1 AND w.doc_id * 1000000 + w.pos <> f.first_enc
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+        |      FROM w JOIN f USING (h) GROUP BY w.doc_id)
+        |SELECT doc.doc_id,
+        |  COALESCE(d.n_windows, CAST(0 AS BIGINT)) AS n_windows,
+        |  COALESCE(d.n_dup_windows, CAST(0 AS BIGINT)) AS n_dup_windows,
+        |  CASE WHEN COALESCE(d.n_windows, 0) = 0 THEN 0.0
+        |       ELSE d.n_dup_windows / d.n_windows END AS dup_ratio
+        |FROM documents doc LEFT JOIN d USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q88_line_dedup" ->
