@@ -178,7 +178,10 @@ object TextOps {
     * removal planner's input). */
   private val subdupW = 20
 
-  def q106(s: SparkSession, dir: String): DataFrame = {
+  /** Every 20-token window flagged with the keep-first-duplicate rule:
+    * (doc_id, pos, is_dup) — shared by the q106 reporter and the q107
+    * scrubber. */
+  private def dupWindows(s: SparkSession, dir: String): DataFrame = {
     val W = subdupW
     val wins = Tables.documents(s, dir)
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
@@ -194,8 +197,13 @@ object TextOps {
     val enc = col("doc_id") * 1000000L + col("pos")
     val firsts = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("n"), min(enc).as("first_enc"))
-    val perDoc = wins.join(firsts, Seq("h"))
-      .withColumn("is_dup", col("n") > 1 && enc =!= col("first_enc"))
+    wins.join(firsts, Seq("h"))
+      .select(col("doc_id"), col("pos"),
+        (col("n") > 1 && enc =!= col("first_enc")).as("is_dup"))
+  }
+
+  def q106(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = dupWindows(s, dir)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
         sum(col("is_dup").cast("long")).as("n_dup_windows"))
@@ -206,6 +214,35 @@ object TextOps {
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
         when(coalesce(col("n_windows"), lit(0L)) === 0, lit(0.0))
           .otherwise(col("n_dup_windows") / col("n_windows")).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q107: the SCRUBBER — q106's flags applied. A token is removed
+    * when some NON-FIRST duplicated window covers it (the first
+    * occurrence of every span survives untouched, so no content is
+    * lost corpus-wide); the cleaned text is the surviving tokens in
+    * order. The token-coverage explode is O(dup windows × W) — at
+    * corpus scale that is O(duplicated bytes), not O(corpus). */
+  def q107(s: SparkSession, dir: String): DataFrame = {
+    val W = subdupW
+    val dupToks = dupWindows(s, dir).filter(col("is_dup"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (W - 1))).as("ti"))
+      .distinct()
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " "))
+        .as(Seq("ti0", "tok")))
+      .select(col("doc_id"), (col("ti0") + 1).as("ti"), col("tok"))
+    val kept = toks.join(dupToks, Seq("doc_id", "ti"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("ti"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_clean"))
+    toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
       .orderBy(col("doc_id"))
   }
 
@@ -767,6 +804,7 @@ object TextOps {
     "q91_text_familiarity" -> q91 _,
     "q88_line_dedup" -> q88 _,
     "q106_substring_dedup" -> q106 _,
+    "q107_substring_scrub" -> q107 _,
     "q75_importance_sample" -> q75 _,
     "q78_bpe_encode" -> q78 _,
     "q71_text_bpe" -> q71 _,
@@ -893,6 +931,30 @@ object TextOps {
         |  CASE WHEN COALESCE(d.n_windows, 0) = 0 THEN 0.0
         |       ELSE d.n_dup_windows / d.n_windows END AS dup_ratio
         |FROM documents doc LEFT JOIN d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q107_substring_scrub" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, i AS pos, MD5(ARRAY_TO_STRING(toks[i:i+19], ' ')) AS h
+        |      FROM (SELECT doc_id, toks,
+        |              UNNEST(GENERATE_SERIES(1, LEN(toks) - 19)) AS i FROM t)),
+        |f AS (SELECT h, COUNT(*) AS n, MIN(doc_id * 1000000 + pos) AS first_enc
+        |      FROM w GROUP BY h),
+        |dt AS (SELECT DISTINCT w.doc_id, pos + j AS ti
+        |       FROM w JOIN f USING (h), UNNEST(GENERATE_SERIES(0, 19)) g(j)
+        |       WHERE f.n > 1 AND w.doc_id * 1000000 + w.pos <> f.first_enc),
+        |tk AS (SELECT doc_id, i AS ti, toks[i] AS tok
+        |       FROM (SELECT doc_id, toks,
+        |               UNNEST(GENERATE_SERIES(1, LEN(toks))) AS i FROM t)),
+        |kept AS (SELECT tk.* FROM tk ANTI JOIN dt USING (doc_id, ti)),
+        |k AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |        STRING_AGG(tok, ' ' ORDER BY ti) AS text_clean
+        |      FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tk GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_tokens,
+        |  tot.n_tokens - COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_removed,
+        |  COALESCE(k.text_clean, '') AS text_clean
+        |FROM tot LEFT JOIN k USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q88_line_dedup" ->
