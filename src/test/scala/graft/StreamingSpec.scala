@@ -727,6 +727,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC stream serves one-commit MoR upserts as delete+insert pairs, live") {
+    import spark.implicits._
+    import graft.lake.GraftTable
+    val base = Files.createTempDirectory("graft-cdc-upsert")
+    val root = base.resolve("t").toString
+    val df = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ver")
+    GraftTable.create(spark, root, df.schema,
+      Map("write.delete.mode" -> "merge-on-read"))
+    GraftTable.append(spark, root, df)
+    val q = GraftTable.readStreamChanges(spark, root, fromExclusive = Some(0L))
+      .writeStream.format("memory").queryName("cdc_upsert")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // a one-commit MoR upsert (eq-delete + data files, the Flink
+      // shape) lands mid-stream: the feed must carry the replaced
+      // key's delete+insert PAIR and the new key's insert, all in one
+      // commit batch
+      val up = GraftTable.upsertEqualityMoR(spark, root,
+        Seq((2L, "b2", 2L), (3L, "c", 1L)).toDF("id", "v", "ver"), Seq("id"))
+      q.processAllAvailable()
+      val got = spark.table("cdc_upsert")
+        .select("id", "v", "_change_type", "_commit_snapshot_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      val batch = got.filter(_._4 == up).toSet
+      assert(batch == Set((2L, "b", "delete", up), (2L, "b2", "insert", up),
+        (3L, "c", "insert", up)),
+        s"upsert must stream as delete+insert pairs: ${batch.toSeq.sorted}")
+    } finally q.stop()
+  }
+
   test("CDC stream: every commit arrives as one micro-batch of change rows") {
     import spark.implicits._
     import graft.lake.GraftTable
