@@ -161,23 +161,24 @@ private[lake] case class GraftMorReaderFactory(
       else { // a post-conversion delete stacks on the container: merge
         val a = Array.concat(fromPos, fromDv); java.util.Arrays.sort(a); a
       }
-    val eqs = eqGroups.filter(_.snapId > snap)
+    val admitted = eqGroups.filter(_.snapId > snap)
+    // renamed key columns: resolve which physical name THIS file
+    // carries ONCE (same footer-fieldset soft cache the output remap
+    // uses) and remap each group's key ordinals; a file with neither
+    // name (pre-ADD-COLUMN) keeps the current ordinal — the reader
+    // null-fills it, which IS that file's value for the column, so
+    // null-key semantics stay exact
+    val fileFields =
+      if (admitted.exists(_.altOrds != null))
+        GraftMorCache.fileFields(f.toPath.toString, renameConf.value.value)
+      else null
+    val eqs = admitted
       .map { g =>
-        // renamed key columns: pick the ordinal of whichever physical
-        // name THIS file carries (same footer-fieldset resolution the
-        // output remap uses); a file with neither name (pre-ADD-COLUMN)
-        // keeps the current ordinal — the reader null-fills it, which
-        // IS that file's value for the column, so null-key semantics
-        // stay exact
         val ords =
           if (g.altOrds == null) g.keyOrds
-          else {
-            val fields = GraftMorCache.fileFields(
-              f.toPath.toString, renameConf.value.value)
-            Array.tabulate(g.keyOrds.length) { j =>
-              val k = g.altNames(j).indexWhere(fields.contains)
-              if (k >= 0) g.altOrds(j)(k) else g.keyOrds(j)
-            }
+          else Array.tabulate(g.keyOrds.length) { j =>
+            val k = g.altNames(j).indexWhere(fileFields.contains)
+            if (k >= 0) g.altOrds(j)(k) else g.keyOrds(j)
           }
         (ords, g.keyTypes, GraftMorCache.keySet(g))
       }
