@@ -172,34 +172,45 @@ object TextOps {
     * is not the global first (first = min (doc_id, pos), the
     * keep-first-occurrence rule). The paper builds a suffix array; on
     * Spark the same answer is one explode (O(tokens) rows, the MinHash
-    * shape) + one hash-keyed shuffle with map-side partial counts —
-    * embarrassingly parallel at 100 TB where a suffix array is not.
+    * shape) + ONE hash-partitioned window pass — embarrassingly
+    * parallel at 100 TB where a suffix array is not.
     * Output: per doc, window/duplicate counts + duplicate ratio (the
     * removal planner's input). */
   private val subdupW = 20
 
   /** Every 20-token window flagged with the keep-first-duplicate rule:
     * (doc_id, pos, is_dup) — shared by the q106 reporter and the q107
-    * scrubber. */
-  private def dupWindows(s: SparkSession, dir: String): DataFrame = {
+    * scrubber.
+    *
+    * Two scale-safety choices, both mirrored in the DuckDB oracle:
+    *  - the window hash is a 64-BIT integer (xxhash64 here, HASH() in
+    *    DuckDB — the values differ across engines but are internal;
+    *    only the induced grouping must agree), so the corpus-sized
+    *    explode shuffles 8-byte keys, not 32-char md5 hex (4× fewer
+    *    key bytes);
+    *  - the global first is `row_number() = 1` under (doc_id, pos)
+    *    ORDERING — no arithmetic encoding, so hash-derived 64-bit
+    *    doc_ids and >1M-token docs are both safe (a `doc_id*K+pos`
+    *    fold would overflow / bleed radixes there), and the whole
+    *    rule costs one shuffle instead of groupBy + join-back. */
+  private def dupWindows(s: SparkSession, dir: String): DataFrame =
+    dupWindowsOf(Tables.documents(s, dir))
+
+  private[graft] def dupWindowsOf(docs: DataFrame): DataFrame = {
     val W = subdupW
-    val wins = Tables.documents(s, dir)
+    val wins = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .select(col("doc_id"), posexplode(
         when(size(col("t")) >= W,
           transform(sequence(lit(1), size(col("t")) - (W - 1)),
-            i => md5(concat_ws(" ", slice(col("t"), i, lit(W))))))
-          .otherwise(array().cast("array<string>"))).as(Seq("pos0", "h")))
+            i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(W))))))
+          .otherwise(array().cast("array<bigint>"))).as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
-    // (doc_id, pos) encoded into one orderable long: the global-first
-    // argmin stays a plain MIN in both engines (pos < 1e6 always —
-    // docs are kilobytes, not gigabytes)
-    val enc = col("doc_id") * 1000000L + col("pos")
-    val firsts = wins.groupBy(col("h"))
-      .agg(count(lit(1)).as("n"), min(enc).as("first_enc"))
-    wins.join(firsts, Seq("h"))
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    wins
       .select(col("doc_id"), col("pos"),
-        (col("n") > 1 && enc =!= col("first_enc")).as("is_dup"))
+        (row_number().over(byHash) > 1).as("is_dup"))
   }
 
   def q106(s: SparkSession, dir: String): DataFrame = {
@@ -916,15 +927,15 @@ object TextOps {
 
     "q106_substring_dedup" ->
       """WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
-        |w AS (SELECT doc_id, i AS pos, MD5(ARRAY_TO_STRING(toks[i:i+19], ' ')) AS h
+        |w AS (SELECT doc_id, i AS pos, HASH(ARRAY_TO_STRING(toks[i:i+19], ' ')) AS h
         |      FROM (SELECT doc_id, toks,
         |              UNNEST(GENERATE_SERIES(1, LEN(toks) - 19)) AS i FROM t)),
-        |f AS (SELECT h, COUNT(*) AS n, MIN(doc_id * 1000000 + pos) AS first_enc
-        |      FROM w GROUP BY h),
-        |d AS (SELECT w.doc_id, COUNT(*) AS n_windows,
-        |        CAST(SUM(CASE WHEN f.n > 1 AND w.doc_id * 1000000 + w.pos <> f.first_enc
-        |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
-        |      FROM w JOIN f USING (h) GROUP BY w.doc_id)
+        |r AS (SELECT doc_id, pos,
+        |        ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) > 1 AS is_dup
+        |      FROM w),
+        |d AS (SELECT doc_id, COUNT(*) AS n_windows,
+        |        CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+        |      FROM r GROUP BY doc_id)
         |SELECT doc.doc_id,
         |  COALESCE(d.n_windows, CAST(0 AS BIGINT)) AS n_windows,
         |  COALESCE(d.n_dup_windows, CAST(0 AS BIGINT)) AS n_dup_windows,
@@ -935,14 +946,15 @@ object TextOps {
 
     "q107_substring_scrub" ->
       """WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
-        |w AS (SELECT doc_id, i AS pos, MD5(ARRAY_TO_STRING(toks[i:i+19], ' ')) AS h
+        |w AS (SELECT doc_id, i AS pos, HASH(ARRAY_TO_STRING(toks[i:i+19], ' ')) AS h
         |      FROM (SELECT doc_id, toks,
         |              UNNEST(GENERATE_SERIES(1, LEN(toks) - 19)) AS i FROM t)),
-        |f AS (SELECT h, COUNT(*) AS n, MIN(doc_id * 1000000 + pos) AS first_enc
-        |      FROM w GROUP BY h),
-        |dt AS (SELECT DISTINCT w.doc_id, pos + j AS ti
-        |       FROM w JOIN f USING (h), UNNEST(GENERATE_SERIES(0, 19)) g(j)
-        |       WHERE f.n > 1 AND w.doc_id * 1000000 + w.pos <> f.first_enc),
+        |r AS (SELECT doc_id, pos,
+        |        ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) > 1 AS is_dup
+        |      FROM w),
+        |dt AS (SELECT DISTINCT doc_id, pos + j AS ti
+        |       FROM r, UNNEST(GENERATE_SERIES(0, 19)) g(j)
+        |       WHERE is_dup),
         |tk AS (SELECT doc_id, i AS ti, toks[i] AS tok
         |       FROM (SELECT doc_id, toks,
         |               UNNEST(GENERATE_SERIES(1, LEN(toks))) AS i FROM t)),

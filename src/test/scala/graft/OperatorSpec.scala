@@ -358,4 +358,54 @@ class OperatorSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === expected)
   }
+
+  test("substring-dedup keep-first rule holds on production id domains " +
+      "(near-Long-max doc_id, >1M-token doc)") {
+    import spark.implicits._
+    // Both cases break any doc_id*K+pos arithmetic argmin encoding:
+    // Long.MaxValue-adjacent ids overflow the multiply, and pos > 1M
+    // bleeds into the doc_id radix. The row_number rule must still
+    // pick the global (doc_id, pos)-min occurrence as the keeper.
+    def write(dir: java.nio.file.Path, docs: Seq[(Long, String)]): String = {
+      docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+      dir.toString
+    }
+    val span = (0 until 20).map(i => s"s$i").mkString(" ")
+
+    // case 1: the shared 20-token span appears in doc 7 (pos 4) and in
+    // a near-Long-max doc (pos 6); doc 7 is the global first, so ONLY
+    // the big-id doc carries a duplicated window
+    val bigId = Long.MaxValue - 1
+    val dir1 = write(java.nio.file.Files.createTempDirectory("graft-subdup-ovf"), Seq(
+      (7L, ((0 until 3).map(i => s"a$i") ++ Seq(span) ++
+        (3 until 6).map(i => s"a$i")).mkString(" ")),
+      (bigId, ((0 until 5).map(i => s"b$i") ++ Seq(span) ++
+        (5 until 8).map(i => s"b$i")).mkString(" "))))
+    val r1 = TextOps.q106(spark, dir1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(r1(7L) == 0L, s"the global-first occurrence must be kept: $r1")
+    assert(r1(bigId) == 1L, s"the later occurrence must be flagged: $r1")
+    // and the scrubber removes exactly that window's 20 tokens
+    val s1 = TextOps.q107(spark, dir1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s1 == Map(7L -> 0L, bigId -> 20L), s"scrub follows the flags: $s1")
+
+    // case 2: one doc of >1M unique tokens repeats a span at pos 4 and
+    // again past the 1M mark — exactly one duplicated window, and it is
+    // the LATER one (q107 would remove 20 tokens, none before pos 1M)
+    val n = 1_000_100
+    val toks = new StringBuilder
+    toks.append((0 until 3).map(i => s"c$i").mkString(" "))
+    toks.append(' ').append(span)
+    (23 until n).foreach(i => toks.append(s" c$i"))
+    toks.append(' ').append(span)
+    val dir2 = write(java.nio.file.Files.createTempDirectory("graft-subdup-1m"),
+      Seq((500L, toks.toString)))
+    val r2 = TextOps.q106(spark, dir2).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).head
+    assert(r2._1 == (n + 20 - 20 + 1).toLong,
+      s"window count over a ${n + 20}-token doc: $r2")
+    assert(r2._2 == 1L,
+      s"exactly the past-1M re-occurrence is flagged: $r2")
+  }
 }
