@@ -2470,11 +2470,24 @@ object GraftTable {
       .join(liveNames, Seq("_gf_name"), "left_semi")   // drop dead-target debris
       .distinct()
     val id = snap.snapshotId + 1
+    // Container write sharded by victim-name hash — same scaling rule
+    // as the pos/eq delete writers: one data file's bitmap stays whole
+    // inside one container, but at millions of dirty files the fold is
+    // no longer a single-task ceiling. Live-data-file count is the
+    // driver-side upper bound on dirty names (no extra count job);
+    // zero-record shards are dropped by stageDeleteParts, so
+    // over-sharding a lightly-dirty table costs nothing. Every read
+    // plane (.position_deletes, MoR apply, CDC) already unions N
+    // containers.
+    val perShard = snap.properties.get("graft.delete.files-per-shard")
+      .map(_.toInt).getOrElse(64)
+    val shards = math.min(4096L,
+      math.max(1L, snap.files.count(_.isData).toLong / math.max(1, perShard))).toInt
     val container = all.as[(String, Long)]
       .groupByKey(_._1)
       .mapGroups { (n, it) => (n, GraftDv.encode(it.map(_._2))) }
       .toDF("name", "dv")
-      .repartition(1).sortWithinPartitions("name")
+      .repartition(shards, col("name")).sortWithinPartitions("name")
     val tmp = Paths.get(root, s".stage-${UUID.randomUUID()}")
     container.write.parquet(tmp.toString)
     val adds = stageDeleteParts(spark, root, tmp) { (records, size, _) =>

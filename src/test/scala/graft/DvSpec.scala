@@ -110,6 +110,63 @@ class DvSpec extends SparkSpec {
     assert(GraftTable.read(spark, r).count() == expected)
   }
 
+  test("many-file fold shards into N containers; stacking + refold keep every read plane whole") {
+    // graft.delete.files-per-shard scales the container write with the
+    // live-data-file count (the same rule as the pos/eq delete
+    // writers) — at millions of dirty files the fold must not be one
+    // write task. Forced low here: 8 data files / 2-per-shard = 4
+    // shard tasks, so the fold lands >1 container file.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    spark.sql(s"DROP TABLE IF EXISTS graft.dv.tshard")
+    val r = root("tshard")
+    val c = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    GraftTable.create(spark, r, c.schema, Map(
+      "write.delete.mode" -> "merge-on-read",
+      "graft.delete.files-per-shard" -> "2"))
+    GraftTable.append(spark, r, c.repartition(8))
+    GraftTable.deleteWhere(spark, r, col("c_acctbal") < 0)   // touches every file
+    val expectedRows = GraftTable.read(spark, r).orderBy(col("c_custkey"))
+      .collect().map(_.toSeq).toSeq
+    val masked = GraftTable.positionDeletesTable(spark, r)
+      .select(col("file_path"), col("pos")).collect().map(_.toSeq).toSet
+
+    GraftTable.rewriteDeletesToDV(spark, r)
+    val counts = contentCounts(r)
+    assert(counts.getOrElse(1, 0) == 0 && counts.getOrElse(3, 0) >= 2,
+      s"a many-file fold must shard into multiple containers, got $counts")
+    // each dirty data file's bitmap lives in exactly ONE container
+    val snap = GraftTable.state(r)
+    val perContainer = snap.files.filter(_.content.contains(3)).map { f =>
+      spark.read.parquet(s"$r/${f.path}").select(col("name"))
+        .collect().map(_.getString(0)).toSet
+    }
+    val overlaps = perContainer.combinations(2)
+      .map { case Seq(a, b) => a.intersect(b).size }.sum
+    assert(overlaps == 0, "victim-name hash sharding must not split one file's bitmap")
+    assert(GraftTable.read(spark, r).orderBy(col("c_custkey"))
+      .collect().map(_.toSeq).toSeq == expectedRows)
+    assert(GraftTable.positionDeletesTable(spark, r)
+      .select(col("file_path"), col("pos")).collect().map(_.toSeq).toSet == masked)
+
+    // stack fresh pos deletes on the sharded containers, then REFOLD:
+    // every content=1 file and every prior container retires in one
+    // commit, and the rows/read planes stay identical
+    val priorContainers = snap.files.filter(_.content.contains(3)).map(_.path).toSet
+    GraftTable.deleteWhere(spark, r, col("c_mktsegment") === "BUILDING")
+    assert(contentCounts(r).getOrElse(1, 0) >= 1)
+    val expected2 = Tables.customer(spark, sf)
+      .filter(col("c_acctbal") >= 0 && col("c_mktsegment") =!= "BUILDING").count()
+    GraftTable.rewriteDeletesToDV(spark, r)
+    val after = contentCounts(r)
+    assert(after.getOrElse(1, 0) == 0 && after.getOrElse(3, 0) >= 2,
+      s"refold must retire stacked deletes into fresh shards, got $after")
+    val nowContainers = GraftTable.state(r).files.filter(_.content.contains(3)).map(_.path).toSet
+    assert(nowContainers.intersect(priorContainers).isEmpty,
+      "refold must retire every prior container")
+    assert(GraftTable.read(spark, r).count() == expected2)
+  }
+
   test("CDC: conversion emits nothing; deletes after conversion diff correctly") {
     val r = freshMor("t4")
     GraftTable.deleteWhere(spark, r, col("c_acctbal") < 0)
