@@ -5810,7 +5810,7 @@ object GraftTable {
     * landing between the two capture passes shows up as a changed head
     * and retries. Two equal passes therefore bracket no decision, and
     * the pinned ids agree on every transaction. */
-  def consistentSnapshot(roots: Seq[String], retries: Int = 5): Map[String, Long] = {
+  def consistentSnapshot(roots: Seq[String], retries: Int = 8): Map[String, Long] = {
     def capture(): Map[String, Long] =
       roots.map(r => r -> state(r).snapshotId).toMap
     var prev = capture()
@@ -5819,12 +5819,22 @@ object GraftTable {
       val cur = capture()
       if (cur == prev) return cur
       prev = cur
+      // A changed capture means a writer landed mid-bracket. Racing it
+      // at full speed keeps losing to a steady writer whose commit
+      // cadence is near the capture pair's duration; bounded
+      // exponential backoff WITH jitter desynchronizes the capture
+      // pair from the writer's rhythm so an equal bracket lands
+      // without the caller looping. Cap 400 ms — a pin is a read-path
+      // primitive, not a lock.
+      val base = math.min(400L, 25L << math.min(attempt, 4))
+      Thread.sleep(base / 2 +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(base))
       attempt += 1
     }
     throw new IllegalStateException(
-      s"no consistent read point after $retries retries — tables " +
-        s"${roots.mkString(", ")} are being written continuously; retry or " +
-        "pause cross-table transactions")
+      s"no consistent read point after $retries backed-off retries — tables " +
+        s"${roots.mkString(", ")} are being written faster than a capture " +
+        "pair completes; retry or pause cross-table transactions")
   }
 
   /** Complete the seals of transactions that DECIDED but crashed

@@ -759,6 +759,95 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC stream crosses cross-table txn and catalog-branch decisions: " +
+      "staged commits never leak, the publish lands as ONE micro-batch, aborts emit nothing") {
+    import spark.implicits._
+    import graft.lake.{GraftCatalogBranch, GraftTable}
+    val base = Files.createTempDirectory("graft-cdc-txn")
+    val r1 = base.resolve("a").toString
+    val r2 = base.resolve("b").toString
+    val df = Seq((1L, "base")).toDF("id", "v")
+    GraftTable.create(spark, r1, df.schema); GraftTable.append(spark, r1, df)
+    GraftTable.create(spark, r2, df.schema)
+    // collect via foreachBatch so BATCH boundaries are observable —
+    // the decision flip must arrive as one micro-batch even when it
+    // publishes SEVERAL staged commits at once
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
+    val q = GraftTable.readStreamChanges(spark, r1, fromExclusive = Some(0L))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+        got.synchronized {
+          got ++= b.select("id", "_commit_snapshot_id", "_change_type").collect()
+            .map(r => (bid, r.getLong(0), r.getString(2), r.getLong(1)))
+        }
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      def ids() = got.synchronized(got.map(_._2).toSet)
+
+      // a cross-table txn stages TWO commits on the streamed table and
+      // one on the other member, mid-stream: PENDING stages are above
+      // main's head, so the live feed must stay silent
+      val t = GraftTable.beginTransaction(base.resolve("txns").toString)
+      t.append(spark, r1, Seq((2L, "txn")).toDF("id", "v"))
+      t.append(spark, r1, Seq((3L, "txn")).toDF("id", "v"))
+      t.append(spark, r2, Seq((20L, "txn")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(!ids().contains(2L) && !ids().contains(3L),
+        s"staged txn commits must not leak pre-decision: $got")
+
+      // the decision flips BOTH staged commits into main at one
+      // instant — they must arrive in exactly ONE micro-batch (two
+      // _commit_snapshot_id values, one batch id)
+      t.commit()
+      q.processAllAvailable()
+      val txnRows = got.synchronized(got.filter(r => r._2 == 2L || r._2 == 3L).toList)
+      assert(txnRows.map(_._2).toSet == Set(2L, 3L), s"txn rows arrive: $got")
+      assert(txnRows.map(_._1).distinct.size == 1,
+        s"the decision flip must be one micro-batch: $txnRows")
+      assert(txnRows.map(_._4).distinct.size == 2,
+        s"both staged commits publish at the flip: $txnRows")
+
+      // an ABORTED txn emits nothing, ever
+      val t2 = GraftTable.beginTransaction(base.resolve("txns").toString)
+      t2.append(spark, r1, Seq((9L, "never")).toDF("id", "v"))
+      q.processAllAvailable()
+      t2.abort()
+      q.processAllAvailable()
+      assert(!ids().contains(9L), s"aborted txn rows must never stream: $got")
+
+      // a CATALOG-branch merge (multi-table fork → one decision file):
+      // branch writes and the crash-before-decide stage are both
+      // invisible; the published merge arrives as one batch
+      val dir = base.resolve("cat").toString
+      GraftCatalogBranch.create(dir, "rel", Seq(r1, r2))
+      GraftCatalogBranch.append(spark, dir, "rel", r1,
+        Seq((5L, "cat")).toDF("id", "v"))
+      GraftCatalogBranch.append(spark, dir, "rel", r2,
+        Seq((50L, "cat")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(!ids().contains(5L), "branch writes must not reach the live feed")
+      val crash = intercept[GraftCatalogBranch.MergeCrash] {
+        GraftCatalogBranch.merge(spark, dir, "rel", crashBeforeDecide = true)
+      }
+      q.processAllAvailable()
+      assert(!ids().contains(5L),
+        "undecided merge stages must not reach the live feed")
+      GraftCatalogBranch.abortMerge(crash.decisionPath, crash.staged)
+      q.processAllAvailable()
+      assert(!ids().contains(5L), "aborted merge stages must never stream")
+      // retry the merge for real: the member's branch row arrives once
+      GraftCatalogBranch.merge(spark, dir, "rel")
+      q.processAllAvailable()
+      val catRows = got.synchronized(got.filter(_._2 == 5L).toList)
+      assert(catRows.size == 1 && catRows.head._3 == "insert",
+        s"the published catalog merge streams exactly once: $catRows")
+    } finally q.stop()
+  }
+
   test("CDC stream: every commit arrives as one micro-batch of change rows") {
     import spark.implicits._
     import graft.lake.GraftTable

@@ -224,6 +224,33 @@ class TxnSpec extends SparkSpec {
       "an in-place decision must move the main head")
   }
 
+  test("consistentSnapshot lands under a continuously-appending competitor (jittered backoff)") {
+    val (r1, r2) = (freshRoot("cw1"), freshRoot("cw2"))
+    mk(r1, Seq((1L, "base")))
+    mk(r2, Seq((10L, "base")))
+    // a writer thread appending to BOTH tables back-to-back for the
+    // whole call window: raw double-capture would keep observing moved
+    // heads; the backed-off capture pair must still find an equal
+    // bracket without the caller adding its own retry loop
+    @volatile var stop = false
+    val writer = new Thread(() => {
+      var i = 100L
+      while (!stop) {
+        GraftTable.append(spark, r1, Seq((i, "w")).toDF("id", "v"))
+        GraftTable.append(spark, r2, Seq((i, "w")).toDF("id", "v"))
+        i += 1
+      }
+    })
+    writer.start()
+    try {
+      val pin = GraftTable.consistentSnapshot(Seq(r1, r2))
+      // the pin is a real all-or-nothing point: both ids resolve and
+      // time-travel reads at them succeed
+      assert(GraftTable.read(spark, r1, Some(pin(r1))).count() >= 1L)
+      assert(GraftTable.read(spark, r2, Some(pin(r2))).count() >= 1L)
+    } finally { stop = true; writer.join() }
+  }
+
   test("CALL graft_system.consistent_snapshot pins SQL-readable ids across tables") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.txnsql")
     spark.sql("DROP TABLE IF EXISTS graft.txnsql.a")
