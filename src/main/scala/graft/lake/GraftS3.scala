@@ -1,0 +1,258 @@
+package graft.lake
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+import java.security.MessageDigest
+import java.time.ZoneOffset
+import java.time.format.DateTimeFormatter
+
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+/** Object-store commit plane: an S3-protocol client for graft's two
+  * storage primitives, built on the JDK alone (java.net.http +
+  * javax.crypto) — no AWS SDK, which this sandbox's frozen jar set
+  * doesn't carry and the library must not depend on.
+  *
+  * graft's commit discipline (reference: the MinIO service in
+  * docker-compose.yml — the reference lakehouse's storage tier) needs
+  * exactly these object operations:
+  *
+  *  - `putIfAbsent` — the commit arbiter. S3 supports atomic
+  *    put-if-absent via the `If-None-Match: *` conditional write
+  *    (public S3 API, also honored by MinIO): the winning writer gets
+  *    200, every loser 412 PreconditionFailed. This is the same
+  *    first-writer-wins primitive `GraftTable.writeAtomic` gets from
+  *    `Files.createLink` on a local FS, so the WHOLE protocol — linear
+  *    log slots, WAP publishes, transaction decision files — transfers
+  *    unchanged.
+  *  - `put` — immutable uniquely-named artifacts (data/delete files).
+  *    Plain PUT: names are unique and unreferenced until the commit
+  *    JSON wins, so no conditional needed (`placeArtifact`'s contract).
+  *  - `get`/`list` — replay and recovery.
+  *
+  * Requests are signed with AWS Signature Version 4 (public spec:
+  * docs.aws.amazon.com/IAM/latest/UserGuide/create-signed-request.html),
+  * implemented from the spec with JDK crypto; `S3ObjectStoreSpec` pins
+  * the signature against AWS's published SigV4 example vector and
+  * drives the full commit protocol through a real HTTP round trip.
+  */
+object GraftS3 {
+
+  final case class Credentials(accessKey: String, secretKey: String)
+
+  // ── SigV4 signing (pure; spec-pinned against the AWS example) ──────
+  object SigV4 {
+    private val hexDigits = "0123456789abcdef"
+
+    def hex(bytes: Array[Byte]): String = {
+      val sb = new StringBuilder(bytes.length * 2)
+      bytes.foreach { b =>
+        sb.append(hexDigits((b >> 4) & 0xf)).append(hexDigits(b & 0xf))
+      }
+      sb.toString
+    }
+
+    def sha256Hex(bytes: Array[Byte]): String =
+      hex(MessageDigest.getInstance("SHA-256").digest(bytes))
+
+    def hmac(key: Array[Byte], data: String): Array[Byte] = {
+      val mac = Mac.getInstance("HmacSHA256")
+      mac.init(new SecretKeySpec(key, "HmacSHA256"))
+      mac.doFinal(data.getBytes(UTF_8))
+    }
+
+    /** URI-encode per the SigV4 canonicalization rules: unreserved
+      * characters pass through, '/' passes through only when
+      * `keepSlash`, everything else %XX upper-hex. */
+    def uriEncode(s: String, keepSlash: Boolean): String = {
+      val sb = new StringBuilder
+      s.getBytes(UTF_8).foreach { b =>
+        val c = (b & 0xff).toChar
+        val unreserved = c.isLetterOrDigit || c == '-' || c == '_' ||
+          c == '.' || c == '~'
+        if (unreserved || (c == '/' && keepSlash)) sb.append(c)
+        else sb.append('%').append(hexDigits((b >> 4) & 0xf).toUpper)
+          .append(hexDigits(b & 0xf).toUpper)
+      }
+      sb.toString
+    }
+
+    /** The Authorization header value for one request. `headers` must
+      * already include host and x-amz-date; every entry is signed.
+      * `amzDate` is the x-amz-date value (yyyyMMdd'T'HHmmss'Z'). */
+    def authorization(method: String, canonicalPath: String,
+        query: Seq[(String, String)], headers: Seq[(String, String)],
+        payloadSha256: String, amzDate: String, region: String,
+        creds: Credentials, service: String = "s3"): String = {
+      val date = amzDate.take(8)
+      val canonicalQuery = query
+        .map { case (k, v) => (uriEncode(k, false), uriEncode(v, false)) }
+        .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+      val lower = headers.map { case (k, v) => (k.toLowerCase, v.trim) }.sortBy(_._1)
+      val canonicalHeaders = lower.map { case (k, v) => s"$k:$v\n" }.mkString
+      val signedHeaders = lower.map(_._1).mkString(";")
+      val canonicalRequest = Seq(method, canonicalPath, canonicalQuery,
+        canonicalHeaders, signedHeaders, payloadSha256).mkString("\n")
+      val scope = s"$date/$region/$service/aws4_request"
+      val stringToSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
+        sha256Hex(canonicalRequest.getBytes(UTF_8))).mkString("\n")
+      val signingKey = hmac(hmac(hmac(hmac(
+        ("AWS4" + creds.secretKey).getBytes(UTF_8), date), region), service),
+        "aws4_request")
+      val signature = hex(hmac(signingKey, stringToSign))
+      s"AWS4-HMAC-SHA256 Credential=${creds.accessKey}/$scope, " +
+        s"SignedHeaders=$signedHeaders, Signature=$signature"
+    }
+  }
+
+  /** Thrown when a conditional PUT loses (HTTP 412) — the object-store
+    * twin of writeAtomic's "concurrent commit detected". */
+  final class PreconditionFailed(val key: String)
+    extends IllegalStateException(s"concurrent commit detected at $key (412)")
+
+  /** Minimal path-style S3 REST client over java.net.http. Every
+    * request is SigV4-signed; unsigned-able servers simply ignore the
+    * header. Payloads are signed (x-amz-content-sha256 = real hash,
+    * not UNSIGNED-PAYLOAD) — commit JSONs are small, so the hash cost
+    * is noise and the integrity check is free. */
+  final class Client(endpoint: URI, bucket: String, region: String,
+      creds: Credentials,
+      http: HttpClient = HttpClient.newHttpClient()) {
+
+    private val amzFmt = DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
+      .withZone(ZoneOffset.UTC)
+    private val hostHeader = {
+      val p = endpoint.getPort
+      if (p == -1) endpoint.getHost else s"${endpoint.getHost}:$p"
+    }
+
+    private def send(method: String, key: String, query: Seq[(String, String)],
+        body: Array[Byte], extraHeaders: Seq[(String, String)]):
+        HttpResponse[Array[Byte]] = {
+      val amzDate = amzFmt.format(java.time.Instant.now())
+      val payloadHash = SigV4.sha256Hex(body)
+      val canonicalPath = SigV4.uriEncode(s"/$bucket/$key", keepSlash = true)
+      val signed = Seq("host" -> hostHeader, "x-amz-date" -> amzDate,
+        "x-amz-content-sha256" -> payloadHash) ++ extraHeaders
+      val auth = SigV4.authorization(method, canonicalPath, query, signed,
+        payloadHash, amzDate, region, creds)
+      val qs =
+        if (query.isEmpty) ""
+        else "?" + query.map { case (k, v) =>
+          s"${SigV4.uriEncode(k, false)}=${SigV4.uriEncode(v, false)}"
+        }.mkString("&")
+      var b = HttpRequest.newBuilder(URI.create(
+          s"${endpoint.getScheme}://$hostHeader$canonicalPath$qs"))
+        .method(method, HttpRequest.BodyPublishers.ofByteArray(body))
+        .header("Authorization", auth)
+        .header("x-amz-date", amzDate)
+        .header("x-amz-content-sha256", payloadHash)
+      extraHeaders.foreach { case (k, v) => b = b.header(k, v) }
+      http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    }
+
+    private def expect(r: HttpResponse[Array[Byte]], codes: Int*): HttpResponse[Array[Byte]] = {
+      require(codes.contains(r.statusCode),
+        s"S3 ${r.request.method} ${r.request.uri} → HTTP ${r.statusCode}: " +
+          new String(r.body(), UTF_8).take(200))
+      r
+    }
+
+    /** Unconditional PUT — immutable uniquely-named artifacts. */
+    def put(key: String, bytes: Array[Byte]): Unit =
+      expect(send("PUT", key, Nil, bytes, Nil), 200)
+
+    /** Conditional PUT (`If-None-Match: *`): true = this writer owns
+      * the key; throws [[PreconditionFailed]] on 412 so callers share
+      * writeAtomic's slot-race control flow. */
+    def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {
+      val r = send("PUT", key, Nil, bytes, Seq("If-None-Match" -> "*"))
+      if (r.statusCode == 412) throw new PreconditionFailed(key)
+      expect(r, 200)
+      true
+    }
+
+    def get(key: String): Option[Array[Byte]] = {
+      val r = send("GET", key, Nil, Array.emptyByteArray, Nil)
+      if (r.statusCode == 404) None else Some(expect(r, 200).body())
+    }
+
+    def delete(key: String): Unit =
+      expect(send("DELETE", key, Nil, Array.emptyByteArray, Nil), 204, 200)
+
+    /** ListObjectsV2 (paged). Minimal XML extraction — keys are
+      * uuid/slot names graft writes itself, never XML-escaped text. */
+    def list(prefix: String): Seq[String] = {
+      val keys = Seq.newBuilder[String]
+      var token: Option[String] = None
+      var more = true
+      while (more) {
+        val q = Seq("list-type" -> "2", "prefix" -> prefix) ++
+          token.map("continuation-token" -> _)
+        val xml = new String(
+          expect(send("GET", "", q, Array.emptyByteArray, Nil), 200).body(), UTF_8)
+        "<Key>([^<]*)</Key>".r.findAllMatchIn(xml).foreach(m => keys += m.group(1))
+        token = "<NextContinuationToken>([^<]*)</NextContinuationToken>".r
+          .findFirstMatchIn(xml).map(_.group(1))
+        more = token.isDefined
+      }
+      keys.result()
+    }
+  }
+
+  /** Mount the object store as `root`'s commit arbiter: every
+    * writeAtomic under `root` must WIN its key remotely (conditional
+    * PUT) before the local file materializes, so the store — not the
+    * local FS — is the source of truth for slot ownership, exactly the
+    * deployment shape with S3/MinIO behind a fleet of writers. Scoped
+    * by root and composed with the previous arbiter (suites run in
+    * parallel in one JVM — same discipline as placeArtifact hooks).
+    * Returns an un-mount handle. */
+  def mountCommitArbiter(root: Path, client: Client): AutoCloseable = {
+    val prev = GraftTable.commitArbiter
+    val rootStr = root.toString
+    GraftTable.commitArbiter = Some { (target, content) =>
+      if (target.toString.startsWith(rootStr))
+        client.putIfAbsent(keyFor(root, target), content.getBytes(UTF_8))
+      else prev.forall(_(target, content))
+    }
+    () => GraftTable.commitArbiter = prev
+  }
+
+  /** Mirror every artifact placed under `root` to the store (data /
+    * delete files land alongside the commit plane), composing with the
+    * previous placement hook for foreign roots. */
+  def mountArtifactMirror(root: Path, client: Client): AutoCloseable = {
+    val prev = GraftTable.placeArtifact
+    val rootStr = root.toString
+    GraftTable.placeArtifact = (src, dst) => {
+      if (dst.toString.startsWith(rootStr)) {
+        client.put(keyFor(root, dst), Files.readAllBytes(src))
+      }
+      prev(src, dst)
+    }
+    () => GraftTable.placeArtifact = prev
+  }
+
+  /** Crash recovery for an arbitrated table: the store holds every WON
+    * commit; a writer that died between winning its slot remotely and
+    * materializing it locally leaves a gap the store can fill. Pull
+    * every missing commit-plane object down; idempotent. Returns the
+    * materialized keys. */
+  def materializeMissing(root: Path, client: Client): Seq[String] =
+    client.list("").flatMap { key =>
+      val local = root.resolve(key)
+      if (Files.exists(local)) None
+      else client.get(key).map { bytes =>
+        Files.createDirectories(local.getParent)
+        Files.write(local, bytes)
+        key
+      }
+    }
+
+  private def keyFor(root: Path, target: Path): String =
+    root.relativize(target).toString.replace(java.io.File.separatorChar, '/')
+}

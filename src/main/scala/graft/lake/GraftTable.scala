@@ -439,7 +439,19 @@ object GraftTable {
   @volatile private[graft] var placeArtifact: (Path, Path) => Unit =
     (src, dst) => Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
 
+  /** Pluggable put-if-absent ARBITER for the commit plane — when
+    * mounted (GraftS3.mountCommitArbiter), the object store decides
+    * slot ownership via conditional PUT BEFORE the local file
+    * materializes, so the store is the source of truth across a fleet
+    * of writers; a remote loss throws the same IllegalStateException
+    * the createLink path does, keeping every slot-race retry loop
+    * unchanged. None (default) = local-FS createLink is the arbiter.
+    * Global hook, suites run in parallel: implementations must scope
+    * on the target path and delegate foreign paths. */
+  @volatile private[graft] var commitArbiter: Option[(Path, String) => Boolean] = None
+
   private[graft] def writeAtomic(target: Path, content: String): Unit = {
+    commitArbiter.foreach(_(target, content))   // loser throws ISE (412)
     val tmp = target.getParent.resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, content)
     try Files.createLink(target, tmp)

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Synthesize sf1 test inputs (10x sf0.1) for scale benching.
+
+The round driver generates sf <= 0.1 only; scale validation an order of
+magnitude up (SURVEY.md section 8g) needs sf1 inputs that are
+regenerable AFTER each testdata refresh. This script builds them the
+same way every round: N key-offset replicas of sf0.1, unioned in
+DuckDB.
+
+- Dimension tables region/nation copy through unchanged (real TPC-H
+  keeps them fixed-size too), so fact->dim joins fan out exactly as a
+  bigger scale factor would.
+- Every other table's key columns are bumped by replica_index * 1e8,
+  which preserves join integrity WITHIN a replica (orders->customer,
+  lineitem->orders/part/supplier, embeddings<->documents by id domain)
+  and keeps replicas disjoint in key space.
+- Non-key payloads (text, embeddings, timestamps) repeat verbatim:
+  dedup/ANN workloads therefore see 10-way duplicate clusters, which is
+  the WORST case for those operators - a deliberate choice, benching
+  their skew handling rather than an artificially friendly corpus.
+
+Driver-side tooling only (duckdb) - never a dependency of the Scala
+library.
+
+Usage: python3 tools/make_sf1.py [src_dir] [dst_dir] [replicas]
+Defaults: /root/testdata/sf0.1 /tmp/sf1 10
+"""
+import sys
+
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+OFFSET = 100_000_000
+
+# key columns to shift per replica; everything else passes through
+KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_THROUGH = ["region", "nation"]
+
+
+def main():
+    import os
+
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    for t in COPY_THROUGH:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
+            f"TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"{t}: copied through")
+    for t, keys in KEYS.items():
+        parts = []
+        for i in range(REPLICAS):
+            off = i * OFFSET
+            repl = ", ".join(f"{k} + {off} AS {k}" for k in keys)
+            parts.append(
+                f"SELECT * REPLACE ({repl}) FROM read_parquet('{SRC}/{t}.parquet')"
+            )
+        union = " UNION ALL ".join(parts)
+        con.execute(f"COPY ({union}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{DST}/{t}.parquet')"
+        ).fetchone()[0]
+        print(f"{t}: {n} rows ({REPLICAS} replicas, keys {keys})")
+
+
+if __name__ == "__main__":
+    main()
