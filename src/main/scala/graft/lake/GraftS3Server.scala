@@ -1,0 +1,108 @@
+package graft.lake
+
+import java.net.InetSocketAddress
+import java.net.URI
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** In-JVM S3 server — the MinIO role in the reference stack
+  * (docker-compose.yml runs MinIO as the local object store under the
+  * lakehouse), shrunk to the API surface graft's commit plane uses:
+  * PUT, conditional PUT (`If-None-Match: *` → 412 on the loser — the
+  * arbitration primitive), GET, DELETE, paged ListObjectsV2. Backed by
+  * one ConcurrentHashMap; `putIfAbsent` on it IS the linearization
+  * point, so racing writers through real HTTP observe true
+  * first-writer-wins.
+  *
+  * Every request's SigV4 signature is VERIFIED against the declared
+  * SignedHeaders (the server knows the secret, like any S3 endpoint) —
+  * a client-side canonicalization bug 403s loudly instead of passing
+  * silently. Test/dev fixture by design (ephemeral port, in-memory),
+  * exactly how the reference uses MinIO; production deployments point
+  * [[GraftS3.Client]] at real S3/MinIO instead. */
+final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
+    extends AutoCloseable {
+  import GraftS3.SigV4
+
+  val objects = new ConcurrentHashMap[String, Array[Byte]]()
+  /** Requests rejected for signature mismatch (0 on a correct client). */
+  val rejected = new AtomicInteger(0)
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  private val pageSize = 100
+
+  private def verify(x: HttpExchange, body: Array[Byte]): Boolean = {
+    val auth = Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+    val m = ("AWS4-HMAC-SHA256 Credential=([^/]+)/(\\d{8})/([^/]+)/s3/aws4_request, " +
+      "SignedHeaders=([^,]+), Signature=([0-9a-f]{64})").r.findFirstMatchIn(auth)
+    m.exists { g =>
+      val headers = g.group(4).split(';').toSeq.map(n =>
+        n -> Option(x.getRequestHeaders.getFirst(n)).getOrElse(""))
+      val amzDate = Option(x.getRequestHeaders.getFirst("x-amz-date")).getOrElse("")
+      val query = Option(x.getRequestURI.getRawQuery).getOrElse("").split('&')
+        .filter(_.nonEmpty).toSeq.map { kv =>
+          val i = kv.indexOf('=')
+          if (i < 0) (kv, "")
+          else (java.net.URLDecoder.decode(kv.take(i), "UTF-8"),
+            java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8"))
+        }
+      SigV4.authorization(x.getRequestMethod, x.getRequestURI.getRawPath,
+        query, headers, SigV4.sha256Hex(body), amzDate, g.group(3), creds) == auth
+    }
+  }
+
+  server.createContext("/", (x: HttpExchange) => {
+    val body = x.getRequestBody.readAllBytes()
+    def respond(code: Int, payload: Array[Byte] = Array.emptyByteArray): Unit = {
+      x.sendResponseHeaders(code, if (payload.isEmpty) -1 else payload.length.toLong)
+      if (payload.nonEmpty) x.getResponseBody.write(payload)
+      x.close()
+    }
+    if (!verify(x, body)) { rejected.incrementAndGet(); respond(403) }
+    else {
+      val path = x.getRequestURI.getRawPath.stripPrefix(s"/$bucket")
+      val key = java.net.URLDecoder.decode(path.stripPrefix("/"), "UTF-8")
+      (x.getRequestMethod, key) match {
+        case ("PUT", k) =>
+          if (Option(x.getRequestHeaders.getFirst("If-None-Match")).contains("*")) {
+            if (objects.putIfAbsent(k, body) != null) respond(412) else respond(200)
+          } else { objects.put(k, body); respond(200) }
+        case ("GET", "") =>   // ListObjectsV2
+          val q = Option(x.getRequestURI.getRawQuery).getOrElse("")
+          def param(name: String) = q.split('&').collectFirst {
+            case kv if kv.startsWith(s"$name=") =>
+              java.net.URLDecoder.decode(kv.drop(name.length + 1), "UTF-8")
+          }
+          val prefix = param("prefix").getOrElse("")
+          val after = param("continuation-token").getOrElse("")
+          val all = objects.keySet.asScala.filter(_.startsWith(prefix))
+            .toSeq.sorted.dropWhile(after.nonEmpty && _ <= after)
+          val page = all.take(pageSize)
+          val next =
+            if (all.size > pageSize)
+              s"<NextContinuationToken>${page.last}</NextContinuationToken>"
+            else ""
+          val xml = "<?xml version=\"1.0\"?><ListBucketResult>" +
+            page.map(k => s"<Contents><Key>$k</Key></Contents>").mkString +
+            next + "</ListBucketResult>"
+          respond(200, xml.getBytes(UTF_8))
+        case ("GET", k) =>
+          Option(objects.get(k)) match {
+            case Some(b) => respond(200, b)
+            case None => respond(404)
+          }
+        case ("DELETE", k) => objects.remove(k); respond(204)
+        case _ => respond(400)
+      }
+    }
+  })
+  server.start()
+
+  val endpoint: URI = new URI(s"http://127.0.0.1:${server.getAddress.getPort}")
+  def client: GraftS3.Client = new GraftS3.Client(endpoint, bucket, "local", creds)
+  override def close(): Unit = server.stop(0)
+}

@@ -204,6 +204,79 @@ object LakeOps {
       .orderBy(col("c_custkey"))
   }
 
+  // ── q108: S3-arbitrated commit plane, oracle-checked ────────────────
+  /** The object-store deployment shape under the gate: an in-JVM S3
+    * server (the MinIO role in the reference's docker-compose stack)
+    * arbitrates EVERY commit of this lifecycle via SigV4-signed
+    * conditional PUTs over real HTTP — create, append, a CoW delete,
+    * then a writer that crashes between winning its log slot remotely
+    * and materializing it locally, recovered from the store. The
+    * commit-plane invariants (exactly one remote-only slot after the
+    * crash, none after recovery, store bytes identical to the local
+    * log, zero signature rejections) pin as requires; the OUTPUT is
+    * the final table rows, which DuckDB recomputes from the raw
+    * parquet — so the arbitrated lifecycle carries a full hash
+    * oracle. */
+  def q108(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.{GraftS3, GraftS3Server}
+    val creds = GraftS3.Credentials("GRAFTKEY", "graft-secret-key")
+    val server = new GraftS3Server("graft", creds)
+    try {
+      val root = Paths.get(scratch("q108"))
+      val client = server.client
+      val unA = GraftS3.mountCommitArbiter(root, client)
+      val unM = GraftS3.mountArtifactMirror(root, client)
+      try {
+        val base = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+        GraftTable.create(s, root.toString, base.schema)
+        GraftTable.append(s, root.toString,
+          base.filter(col("c_custkey") % 2 === 0).repartition(2))
+        GraftTable.deleteWhere(s, root.toString, col("c_acctbal") < 0)
+        // crash between the remote slot win and the local write — only
+        // on the log-slot target; checkpoints keep arbitrating normally
+        val prevArb = GraftTable.commitArbiter
+        GraftTable.commitArbiter = Some { (target, content) =>
+          if (target.toString.startsWith(root.toString) &&
+              target.getFileName.toString.matches("\\d{10}\\.json")) {
+            client.putIfAbsent(
+              root.relativize(target).toString.replace(java.io.File.separatorChar, '/'),
+              content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            throw new IllegalArgumentException("q108 simulated crash after remote win")
+          } else prevArb.forall(_(target, content))
+        }
+        try {
+          GraftTable.append(s, root.toString,
+            base.filter(col("c_custkey") % 2 === 1 &&
+              col("c_mktsegment") === "BUILDING").repartition(2))
+          require(false, "crashed append must not return")
+        } catch {
+          case e: IllegalArgumentException if e.getMessage.contains("q108") => ()
+        } finally GraftTable.commitArbiter = prevArb
+        val logDir = root.resolve("_graft_log")
+        def localSlots = Files.list(logDir).iterator.asScala
+          .map(_.getFileName.toString).filter(_.matches("\\d{10}\\.json")).toSet
+        def remoteSlots = client.list("_graft_log/").map(_.split('/').last)
+          .filter(_.matches("\\d{10}\\.json")).toSet
+        require((remoteSlots -- localSlots).size == 1,
+          "exactly the crashed writer's won slot exists only remotely")
+        GraftS3.materializeMissing(root, client)
+        require(remoteSlots == localSlots,
+          "recovery must materialize the store's missing commits")
+        localSlots.foreach { n =>
+          require(client.get(s"_graft_log/$n").map(_.toSeq) ==
+            Some(Files.readAllBytes(logDir.resolve(n)).toSeq),
+            s"store must hold $n byte-identical to the local log")
+        }
+        require(server.rejected.get == 0,
+          "every request must pass the server-side SigV4 verification")
+        GraftTable.read(s, root.toString)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      } finally { unM.close(); unA.close() }
+    } finally server.close()
+  }
+
   // ── q29: partition-spec pruned read, oracle-checked ─────────────────
   def q29(s: SparkSession, dir: String): DataFrame = {
     val root = scratch("q29")
@@ -1145,9 +1218,17 @@ object LakeOps {
     "q26_lake_compaction" -> q26 _,
     "q27_lake_merge" -> q27 _,
     "q28_lake_mor_delete" -> q28 _,
-    "q29_lake_partition_prune" -> q29 _)
+    "q29_lake_partition_prune" -> q29 _,
+    "q108_lake_s3" -> q108 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q108_lake_s3" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE (c_custkey % 2 = 0 AND c_acctbal >= 0)
+        |   OR (c_custkey % 2 = 1 AND c_mktsegment = 'BUILDING')
+        |ORDER BY c_custkey""".stripMargin,
+
     "q23_lake_snapshots" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_orderkey % 3 IN (0, 1)
