@@ -1204,6 +1204,19 @@ object GraftTable {
         // staged (WAP) snapshot keeps blocking MAIN writes by the WAP
         // discipline (publish or abandon first), but never blocks
         // branch writes.
+        // Remote arbitration (commitArbiter mounted) can surface a 412
+        // BEFORE the winning writer materializes its slot locally —
+        // classifying the occupant from a missing file would downgrade
+        // a retryable append-vs-append race into a spurious conflict.
+        // Wait briefly for the winner's local write; past the bound,
+        // classification falls through to the conservative throw
+        // exactly as before.
+        if (commitArbiter.isDefined) {
+          var waited = 0
+          while (!Files.exists(commitPath(root, slot)) && waited < 50) {
+            Thread.sleep(10); waited += 1
+          }
+        }
         val occStaged = scala.util.Try(isStagedId(root, slot)).getOrElse(false)
         val occBranch = scala.util.Try(branchInfoOfId(root, slot)).getOrElse(None)
         val mine = branchInfo(c)

@@ -150,6 +150,57 @@ class S3ObjectStoreSpec extends SparkSpec {
     } finally { unmountM.close(); unmountA.close(); em.close() }
   }
 
+  test("a 412 loser waits for the remote winner's local materialization, then auto-retries") {
+    // With remote arbitration there is a window where the loser sees
+    // its 412 BEFORE the winner's local slot file exists; classifying
+    // the occupant from the missing file would downgrade a retryable
+    // append-vs-append race into a spurious conflict. Deterministic
+    // interleaving via latches: A wins remotely and PARKS before its
+    // local write until B has lost, so B's retry classifier must wait
+    // out A's materialization.
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val em = new graft.lake.GraftS3Server("graft-slow", creds)
+    val root = Paths.get(scratchRoot("s3-spec", "slow"))
+    val unA = GraftS3.mountCommitArbiter(root, em.client)
+    val mounted = GraftTable.commitArbiter
+    try {
+      GraftTable.create(spark, root.toString,
+        Seq((0L, "x")).toDF("id", "v").schema,
+        Map("commit.retry.num-retries" -> "5"))
+      val winnerWon = new CountDownLatch(1)
+      val loserLost = new CountDownLatch(1)
+      GraftTable.commitArbiter = Some { (target, content) =>
+        val isSlot = target.toString.startsWith(root.toString) &&
+          target.getFileName.toString.matches("\\d{10}\\.json")
+        if (isSlot && Thread.currentThread().getName == "slowA") {
+          val r = mounted.forall(_(target, content))   // remote win
+          winnerWon.countDown()
+          loserLost.await(20, TimeUnit.SECONDS)        // park pre-local-write
+          Thread.sleep(150)
+          r
+        } else if (isSlot) {
+          try mounted.forall(_(target, content))
+          catch { case e: Throwable => loserLost.countDown(); throw e }
+        } else mounted.forall(_(target, content))
+      }
+      val a = new Thread(() => GraftTable.append(spark, root.toString,
+        Seq((2L, "slow")).toDF("id", "v")), "slowA")
+      a.start()
+      assert(winnerWon.await(30, TimeUnit.SECONDS), "A must win its slot remotely")
+      // B races the SAME slot (A is invisible locally), loses remotely,
+      // and must wait out A's materialization then land on the next slot
+      GraftTable.append(spark, root.toString, Seq((3L, "fast")).toDF("id", "v"))
+      a.join(30000)
+      assert(GraftTable.read(spark, root.toString)
+        .as[(Long, String)].collect().toSet == Set((2L, "slow"), (3L, "fast")),
+        "both racers' appends must land")
+      assert(em.rejected.get == 0)
+    } finally {
+      GraftTable.commitArbiter = mounted
+      unA.close(); em.close()
+    }
+  }
+
   test("transaction decision files arbitrate remotely: racing commit vs abort, one verdict") {
     val em = new graft.lake.GraftS3Server("graft-txn", creds)
     val root = Paths.get(scratchRoot("s3-spec", "txn"))
