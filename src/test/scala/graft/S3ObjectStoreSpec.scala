@@ -150,6 +150,53 @@ class S3ObjectStoreSpec extends SparkSpec {
     } finally { unmountM.close(); unmountA.close(); em.close() }
   }
 
+  test("fleet shape: two writers with separate local roots share one bucket — " +
+      "cross-writer sync, loud stale-writer conflicts, full DR from the store") {
+    import graft.lake.GraftTable.GraftCommitConflict
+    val em = new graft.lake.GraftS3Server("graft-fleet", creds)
+    val rootX = Paths.get(scratchRoot("s3-spec", "machine-x"))
+    val rootY = Paths.get(scratchRoot("s3-spec", "machine-y"))
+    val c = em.client
+    val mounts = Seq(
+      GraftS3.mountCommitArbiter(rootX, c), GraftS3.mountArtifactMirror(rootX, c),
+      GraftS3.mountCommitArbiter(rootY, c), GraftS3.mountArtifactMirror(rootY, c))
+    try {
+      def readSet(r: java.nio.file.Path) = GraftTable.read(spark, r.toString)
+        .as[(Long, String)].collect().toSet
+      // machine X creates the table and writes
+      val df = Seq((1L, "x1")).toDF("id", "v")
+      GraftTable.create(spark, rootX.toString, df.schema)
+      GraftTable.append(spark, rootX.toString, df)
+      // machine Y starts from an EMPTY directory: the bucket alone
+      // hydrates the full table (commit plane + mirrored data files)
+      Files.createDirectories(rootY)
+      assert(GraftS3.materializeMissing(rootY, c).nonEmpty)
+      assert(readSet(rootY) == Set((1L, "x1")), "Y hydrates X's table from the store")
+      // Y writes; the slot is arbitrated in the SHARED bucket
+      GraftTable.append(spark, rootY.toString, Seq((2L, "y1")).toDF("id", "v"))
+      // X is now STALE (its local head predates Y's commit): writing
+      // without syncing must fail LOUD — the remote 412 is the fleet's
+      // optimistic-concurrency guard, never silent corruption
+      intercept[GraftCommitConflict] {
+        GraftTable.append(spark, rootX.toString, Seq((3L, "x2")).toDF("id", "v"))
+      }
+      // sync-then-retry converges
+      GraftS3.materializeMissing(rootX, c)
+      assert(readSet(rootX) == Set((1L, "x1"), (2L, "y1")), "X pulls Y's commit")
+      GraftTable.append(spark, rootX.toString, Seq((3L, "x2")).toDF("id", "v"))
+      GraftS3.materializeMissing(rootY, c)
+      assert(readSet(rootY) == Set((1L, "x1"), (2L, "y1"), (3L, "x2")))
+      // DISASTER: machine X loses its entire local root; the bucket
+      // restores table, data and metadata to a blank directory
+      GraftTable.deleteTree(rootX)
+      Files.createDirectories(rootX)
+      assert(GraftS3.materializeMissing(rootX, c).nonEmpty)
+      assert(readSet(rootX) == Set((1L, "x1"), (2L, "y1"), (3L, "x2")),
+        "a blank machine restores the full table from the store alone")
+      assert(em.rejected.get == 0)
+    } finally { mounts.reverse.foreach(_.close()); em.close() }
+  }
+
   test("a 412 loser waits for the remote winner's local materialization, then auto-retries") {
     // With remote arbitration there is a window where the loser sees
     // its 412 BEFORE the winner's local slot file exists; classifying
