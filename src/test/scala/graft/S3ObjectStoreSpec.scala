@@ -197,6 +197,71 @@ class S3ObjectStoreSpec extends SparkSpec {
     } finally { mounts.reverse.foreach(_.close()); em.close() }
   }
 
+  test("randomized arbitrated lifecycles: every op class decides through the store; " +
+      "blank-machine DR converges even past checkpoints and snapshot expiry") {
+    // The op alphabet (append, MoR keyed delete, one-commit upsert,
+    // bin-pack compaction, checkpoint, expire_snapshots) under the
+    // mounted arbiter+mirror, against a driver-side oracle. After each
+    // lifecycle the ENTIRE local root is destroyed and rebuilt from
+    // the bucket alone — including after expiry deleted early commits
+    // locally: the store never forgets, so the restored log replays a
+    // superset lineage to the same head state.
+    import scala.util.Random
+    val rnd = new Random(20260815L)
+    for (lc <- 0 until 4) {
+      val em = new graft.lake.GraftS3Server(s"graft-prop$lc", creds)
+      val root = Paths.get(scratchRoot("s3-spec", s"prop$lc"))
+      val unA = GraftS3.mountCommitArbiter(root, em.client)
+      val unM = GraftS3.mountArtifactMirror(root, em.client)
+      try {
+        val template = Seq.empty[(Long, String)].toDF("id", "v")
+        GraftTable.create(spark, root.toString, template.schema,
+          Map("write.delete.mode" -> "merge-on-read"))
+        var oracle = Vector.empty[(Long, String)]
+        var nextId = 0L
+        def readSet() = GraftTable.read(spark, root.toString)
+          .as[(Long, String)].collect().toVector.sorted
+        for (op <- 0 until 8) {
+          rnd.nextInt(6) match {
+            case 0 | 1 =>   // append fresh keys
+              val rows = (0 until 2 + rnd.nextInt(5)).map { _ =>
+                nextId += 1; (nextId, rnd.alphanumeric.take(4).mkString)
+              }
+              oracle ++= rows
+              GraftTable.append(spark, root.toString, rows.toDF("id", "v"))
+            case 2 if oracle.nonEmpty =>   // MoR keyed delete
+              val victims = rnd.shuffle(oracle).take(1 + rnd.nextInt(3)).map(_._1).toSet
+              oracle = oracle.filterNot(r => victims.contains(r._1))
+              GraftTable.deleteWhere(spark, root.toString,
+                col("id").isInCollection(victims))
+            case 3 =>   // one-commit MoR upsert: replace some, add one
+              val replace = rnd.shuffle(oracle).take(rnd.nextInt(2)).map(_._1)
+              nextId += 1
+              val batch = (replace.map(k => (k, "up")) :+ ((nextId, "new"))).distinct
+              oracle = oracle.filterNot(r => batch.exists(_._1 == r._1)) ++ batch
+              GraftTable.upsertEqualityMoR(spark, root.toString,
+                batch.toDF("id", "v"), Seq("id"))
+            case 4 =>   // bin-pack compaction (no row change)
+              GraftTable.rewriteDataFiles(spark, root.toString)
+            case _ =>   // checkpoint, sometimes followed by expiry
+              GraftTable.rewriteManifests(root.toString)
+              if (rnd.nextBoolean())
+                GraftTable.expireSnapshots(root.toString, 2)
+          }
+          assert(readSet() == oracle.sorted,
+            s"lifecycle $lc op $op diverged from the oracle")
+        }
+        // DISASTER at end of life: blank machine, bucket-only restore
+        GraftTable.deleteTree(root)
+        Files.createDirectories(root)
+        GraftS3.materializeMissing(root, em.client)
+        assert(readSet() == oracle.sorted,
+          s"lifecycle $lc: DR restore diverged from the oracle")
+        assert(em.rejected.get == 0)
+      } finally { unM.close(); unA.close(); em.close() }
+    }
+  }
+
   test("a 412 loser waits for the remote winner's local materialization, then auto-retries") {
     // With remote arbitration there is a window where the loser sees
     // its 412 BEFORE the winner's local slot file exists; classifying
