@@ -8,6 +8,8 @@ import java.security.MessageDigest
 import java.time.ZoneOffset
 import java.time.format.DateTimeFormatter
 
+import scala.jdk.CollectionConverters._
+
 import javax.crypto.Mac
 import javax.crypto.spec.SecretKeySpec
 
@@ -224,9 +226,13 @@ object GraftS3 {
 
   /** Mirror every artifact placed under `root` to the store (data /
     * delete files land alongside the commit plane), composing with the
-    * previous placement hook for foreign roots. */
+    * previous placement hook for foreign roots. Checkpoint-parquet
+    * directories mirror too (the winning build fires checkpointPlaced
+    * once), so a blank-machine restore keeps O(1) replay even after
+    * [[pruneRemote]] dropped the store's copies of expired commits. */
   def mountArtifactMirror(root: Path, client: Client): AutoCloseable = {
     val prev = GraftTable.placeArtifact
+    val prevCkpt = GraftTable.checkpointPlaced
     val rootStr = root.toString
     GraftTable.placeArtifact = (src, dst) => {
       if (dst.toString.startsWith(rootStr)) {
@@ -234,7 +240,16 @@ object GraftS3 {
       }
       prev(src, dst)
     }
-    () => GraftTable.placeArtifact = prev
+    GraftTable.checkpointPlaced = Some { dir =>
+      if (dir.toString.startsWith(rootStr)) {
+        val s = Files.list(dir)
+        try s.iterator().asScala.filter(Files.isRegularFile(_))
+          .foreach(f => client.put(keyFor(root, f), Files.readAllBytes(f)))
+        finally s.close()
+      }
+      prevCkpt.foreach(_(dir))
+    }
+    () => { GraftTable.placeArtifact = prev; GraftTable.checkpointPlaced = prevCkpt }
   }
 
   /** Crash recovery for an arbitrated table: the store holds every WON
@@ -252,6 +267,59 @@ object GraftS3 {
         key
       }
     }
+
+  /** Bucket hygiene — the inverse of [[materializeMissing]], run AFTER
+    * local `expire_snapshots` / `remove_orphan_files`: local retirement
+    * is the policy decision, this mirrors it up so the bucket tracks
+    * the RETAINED lineage instead of growing forever. Two safety
+    * rules make it crash- and fleet-safe:
+    *  - a remote-only commit SLOT above the local head is a crashed or
+    *    foreign writer's WON commit — it is RESCUED (materialized
+    *    locally) rather than destroyed;
+    *  - any object whose name carries a snapshot prefix above the
+    *    pre-rescue head (the rescued commits' data/delete files) is
+    *    protected from this pass — a follow-up materializeMissing
+    *    completes them locally.
+    * Run it from a synced fleet member (it syncs itself down first via
+    * the rescue rule). Returns (rescued slot keys, deleted keys). */
+  def pruneRemote(root: Path, client: Client): (Seq[String], Seq[String]) = {
+    val slotKey = "_graft_log/(\\d{10})\\.json".r
+    def localHead: Long = {
+      val log = root.resolve("_graft_log")
+      if (!Files.exists(log)) 0L
+      else {
+        val s = Files.list(log)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .collect { case n if n.matches("\\d{10}\\.json") => n.take(10).toLong }
+          .foldLeft(0L)(math.max)
+        finally s.close()
+      }
+    }
+    val head = localHead
+    val remote = client.list("")
+    val rescued = remote.flatMap {
+      case k @ slotKey(id) if id.toLong > head && !Files.exists(root.resolve(k)) =>
+        client.get(k).map { bytes =>
+          Files.createDirectories(root.resolve(k).getParent)
+          Files.write(root.resolve(k), bytes)
+          k
+        }
+      case _ => None
+    }
+    // protect everything prefixed above the PRE-rescue head: the
+    // rescued commits' own artifacts (f"$id%010d-..." names) stay for
+    // materializeMissing to complete
+    val prefixed = "(\\d{10})[.-].*".r
+    def protectedKey(k: String): Boolean =
+      k.split('/').last match {
+        case prefixed(id) => id.toLong > head
+        case _ => false
+      }
+    val deleted = remote.filter(k =>
+      !Files.exists(root.resolve(k)) && !protectedKey(k))
+      .map { k => client.delete(k); k }
+    (rescued, deleted)
+  }
 
   private def keyFor(root: Path, target: Path): String =
     root.relativize(target).toString.replace(java.io.File.separatorChar, '/')

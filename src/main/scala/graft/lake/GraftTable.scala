@@ -439,6 +439,15 @@ object GraftTable {
   @volatile private[graft] var placeArtifact: (Path, Path) => Unit =
     (src, dst) => Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
 
+  /** Invoked with the checkpoint-parquet DIRECTORY after a WINNING
+    * atomic move (losers of the identical-writer checkpoint race never
+    * fire it). Lets a mounted object store mirror derived planning
+    * state, so a blank-machine restore keeps O(1) replay even after
+    * the store's copies of expired commits are pruned. Same scoping
+    * discipline as placeArtifact: gate on your own root, delegate the
+    * rest. */
+  @volatile private[graft] var checkpointPlaced: Option[Path => Unit] = None
+
   /** Pluggable put-if-absent ARBITER for the commit plane — when
     * mounted (GraftS3.mountCommitArbiter), the object store decides
     * slot ownership via conditional PUT BEFORE the local file
@@ -6387,7 +6396,10 @@ object GraftTable {
     if (Files.exists(target)) return
     val tmp = Paths.get(root, s".ckpt-stage-${UUID.randomUUID()}")
     df.write.parquet(tmp.toString)
-    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    try {
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      checkpointPlaced.foreach(_(target))
+    }
     catch { case _: java.nio.file.FileAlreadyExistsException |
                  _: java.nio.file.DirectoryNotEmptyException |
                  _: java.nio.file.AccessDeniedException =>
@@ -6472,7 +6484,10 @@ object GraftTable {
     writeCheckpoint(logDir(root).resolve(s"ckptmeta-$target.json"),
       toJson(Commit(target, None, ts, "checkpoint", Seq.empty, Seq.empty,
         props + ("graft.ckpt.file-count" -> newCount.toString), schemaJ)))
-    try Files.move(tmp, targetPq, StandardCopyOption.ATOMIC_MOVE)
+    try {
+      Files.move(tmp, targetPq, StandardCopyOption.ATOMIC_MOVE)
+      checkpointPlaced.foreach(_(targetPq))
+    }
     catch { case _: java.nio.file.FileAlreadyExistsException |
                  _: java.nio.file.DirectoryNotEmptyException |
                  _: java.nio.file.AccessDeniedException =>

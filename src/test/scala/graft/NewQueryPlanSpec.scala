@@ -77,6 +77,21 @@ class NewQueryPlanSpec extends SparkSpec {
     info(s"q36 exchanges: $exchanges")
   }
 
+  test("q106's keep-first rule shuffles the window corpus exactly once") {
+    // Round 14 replaced the groupBy + join-back argmin (TWO shuffles
+    // of the corpus-sized window frame) with one row_number window
+    // pass. Pin it: exactly ONE exchange hash-partitions on the window
+    // hash `h` — a regression to the join-back shape doubles the
+    // dominant shuffle of the most corpus-intensive text operator.
+    val df = graft.operators.TextOps.q106(spark, sf)
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val onHash = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("h#"))
+    assert(onHash == 1,
+      s"windows must shuffle on the hash exactly once, got $onHash:\n$p")
+    info(s"q106 h-exchanges: $onHash")
+  }
+
   test("no undeclared cartesian/BNLJ in any plan-only query") {
     // the scale-killer sweep, generalized: every non-lifecycle query's
     // physical plan must stay equi-join shaped. Declared exceptions

@@ -140,10 +140,16 @@ class S3ObjectStoreSpec extends SparkSpec {
         .filter(isSlot).toSet
       assert((remoteIds -- localIds).size == 1,
         s"the crashed writer's won slot exists only remotely: ${remoteIds -- localIds}")
-      // recovery: materialize the store's missing objects; the crashed
-      // append's rows surface (its data files were mirrored pre-win)
-      val pulled = GraftS3.materializeMissing(root, em.client)
-      assert(pulled.nonEmpty)
+      // a prune pass must NOT destroy the crashed writer's won commit:
+      // the remote-only slot above the local head is RESCUED and its
+      // prefixed artifacts protected
+      val (rescued, deleted) = GraftS3.pruneRemote(root, em.client)
+      assert(rescued.size == 1 && rescued.head.endsWith(".json"),
+        s"the crashed slot must be rescued, not pruned: $rescued / $deleted")
+      // recovery completes with materializeMissing (a no-op here: the
+      // rescue already pulled the slot and the crashed append's data
+      // files never left the local disk); the crashed rows surface
+      GraftS3.materializeMissing(root, em.client)
       assert(GraftTable.read(spark, root.toString)
         .filter(col("v") === "crashed").count() == 1L,
         "recovered commit must serve its rows")
@@ -251,7 +257,17 @@ class S3ObjectStoreSpec extends SparkSpec {
           assert(readSet() == oracle.sorted,
             s"lifecycle $lc op $op diverged from the oracle")
         }
-        // DISASTER at end of life: blank machine, bucket-only restore
+        // bucket hygiene: after local expiry/cleanup the prune pass
+        // mirrors retirement up — no rescues expected (no crash), and
+        // every surviving remote key must exist locally
+        val (rescued, _) = GraftS3.pruneRemote(root, em.client)
+        assert(rescued.isEmpty, s"lifecycle $lc: nothing to rescue, got $rescued")
+        em.client.list("").foreach(k => assert(Files.exists(root.resolve(k)),
+          s"lifecycle $lc: pruned bucket still holds unknown key $k"))
+        // DISASTER at end of life: blank machine, bucket-only restore —
+        // the PRUNED bucket must still restore the full retained state
+        // (checkpoint parquet mirrors make replay whole even where
+        // expiry dropped early commits from both planes)
         GraftTable.deleteTree(root)
         Files.createDirectories(root)
         GraftS3.materializeMissing(root, em.client)
