@@ -73,7 +73,11 @@ object GraftS3 {
       val sb = new StringBuilder
       s.getBytes(UTF_8).foreach { b =>
         val c = (b & 0xff).toChar
-        val unreserved = c.isLetterOrDigit || c == '-' || c == '_' ||
+        // STRICT ASCII check: Char.isLetterOrDigit is true for Latin-1
+        // high bytes (each byte of a multi-byte UTF-8 sequence), which
+        // would leak raw bytes into the canonical form
+        val unreserved = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9') || c == '-' || c == '_' ||
           c == '.' || c == '~'
         if (unreserved || (c == '/' && keepSlash)) sb.append(c)
         else sb.append('%').append(hexDigits((b >> 4) & 0xf).toUpper)
@@ -146,9 +150,12 @@ object GraftS3 {
         else "?" + query.map { case (k, v) =>
           s"${SigV4.uriEncode(k, false)}=${SigV4.uriEncode(v, false)}"
         }.mkString("&")
+      val publisher =
+        if (body.isEmpty) HttpRequest.BodyPublishers.noBody()
+        else HttpRequest.BodyPublishers.ofByteArray(body)
       var b = HttpRequest.newBuilder(URI.create(
           s"${endpoint.getScheme}://$hostHeader$canonicalPath$qs"))
-        .method(method, HttpRequest.BodyPublishers.ofByteArray(body))
+        .method(method, publisher)
         .header("Authorization", auth)
         .header("x-amz-date", amzDate)
         .header("x-amz-content-sha256", payloadHash)

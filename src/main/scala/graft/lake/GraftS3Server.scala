@@ -100,6 +100,10 @@ final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
       }
     }
   })
+  // real handler concurrency (the default executor serializes on the
+  // dispatcher thread): racing writers must hit the map's putIfAbsent
+  // truly concurrently for the linearization claim to mean anything
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
   server.start()
 
   val endpoint: URI = new URI(s"http://127.0.0.1:${server.getAddress.getPort}")

@@ -6396,16 +6396,17 @@ object GraftTable {
     if (Files.exists(target)) return
     val tmp = Paths.get(root, s".ckpt-stage-${UUID.randomUUID()}")
     df.write.parquet(tmp.toString)
-    try {
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-      checkpointPlaced.foreach(_(target))
-    }
+    var won = false
+    try { Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE); won = true }
     catch { case _: java.nio.file.FileAlreadyExistsException |
                  _: java.nio.file.DirectoryNotEmptyException |
                  _: java.nio.file.AccessDeniedException =>
       // lost the race to an identical writer: discard the stage
       deleteTree(tmp)
     }
+    // outside the race try: a mirror failure must stay a loud MIRROR
+    // failure, never read as a lost checkpoint race
+    if (won) checkpointPlaced.foreach(_(target))
   }
 
   private def writeCheckpointArtifacts(root: String, snap: Snapshot): Unit = {
@@ -6484,16 +6485,17 @@ object GraftTable {
     writeCheckpoint(logDir(root).resolve(s"ckptmeta-$target.json"),
       toJson(Commit(target, None, ts, "checkpoint", Seq.empty, Seq.empty,
         props + ("graft.ckpt.file-count" -> newCount.toString), schemaJ)))
-    try {
-      Files.move(tmp, targetPq, StandardCopyOption.ATOMIC_MOVE)
-      checkpointPlaced.foreach(_(targetPq))
-    }
+    var won = false
+    try { Files.move(tmp, targetPq, StandardCopyOption.ATOMIC_MOVE); won = true }
     catch { case _: java.nio.file.FileAlreadyExistsException |
                  _: java.nio.file.DirectoryNotEmptyException |
                  _: java.nio.file.AccessDeniedException =>
       // lost the race to an identical writer: discard the stage
       deleteTree(tmp)
     }
+    // outside the race try: a mirror failure must stay a loud MIRROR
+    // failure, never read as a lost checkpoint race
+    if (won) checkpointPlaced.foreach(_(targetPq))
     true
   }
 

@@ -51,6 +51,11 @@ class S3ObjectStoreSpec extends SparkSpec {
       val c = em.client
       c.put("a/b c/d.json", "payload".getBytes(UTF_8))   // space forces %20 path
       assert(c.get("a/b c/d.json").map(new String(_, UTF_8)) == Some("payload"))
+      // multi-byte UTF-8 key: every byte of the sequence must
+      // %-encode in the canonical path (a Latin-1 isLetterOrDigit
+      // check would leak the raw bytes and break the signature)
+      c.put("é/ключ.json", Array[Byte](7))
+      assert(c.get("é/ключ.json").map(_.toSeq) == Some(Seq(7.toByte)))
       assert(c.get("missing") == None)
       (0 until 250).foreach(i => c.put(f"logs/commit-$i%05d.json", Array[Byte](1)))
       val keys = c.list("logs/")
