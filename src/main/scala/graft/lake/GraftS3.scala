@@ -222,9 +222,10 @@ object GraftS3 {
     * Returns an un-mount handle. */
   def mountCommitArbiter(root: Path, client: Client): AutoCloseable = {
     val prev = GraftTable.commitArbiter
-    val rootStr = root.toString
+    // Path.startsWith is COMPONENT-wise: "/x/t10" must not be captured
+    // by a mount for "/x/t1" (a string prefix check would)
     GraftTable.commitArbiter = Some { (target, content) =>
-      if (target.toString.startsWith(rootStr))
+      if (target.startsWith(root))
         client.putIfAbsent(keyFor(root, target), content.getBytes(UTF_8))
       else prev.forall(_(target, content))
     }
@@ -240,15 +241,14 @@ object GraftS3 {
   def mountArtifactMirror(root: Path, client: Client): AutoCloseable = {
     val prev = GraftTable.placeArtifact
     val prevCkpt = GraftTable.checkpointPlaced
-    val rootStr = root.toString
     GraftTable.placeArtifact = (src, dst) => {
-      if (dst.toString.startsWith(rootStr)) {
+      if (dst.startsWith(root)) {
         client.put(keyFor(root, dst), Files.readAllBytes(src))
       }
       prev(src, dst)
     }
     GraftTable.checkpointPlaced = Some { dir =>
-      if (dir.toString.startsWith(rootStr)) {
+      if (dir.startsWith(root)) {
         val s = Files.list(dir)
         try s.iterator().asScala.filter(Files.isRegularFile(_))
           .foreach(f => client.put(keyFor(root, f), Files.readAllBytes(f)))
@@ -287,8 +287,17 @@ object GraftS3 {
     *    pre-rescue head (the rescued commits' data/delete files) is
     *    protected from this pass — a follow-up materializeMissing
     *    completes them locally.
-    * Run it from a synced fleet member (it syncs itself down first via
-    * the rescue rule). Returns (rescued slot keys, deleted keys). */
+    * Deletion is a strict WHITELIST — only object classes whose local
+    * absence PROVES local retirement are eligible: commit slots and
+    * snapshot-prefixed artifacts at or below the pre-rescue head
+    * (expiry deletes a contiguous prefix; live artifacts exist
+    * locally). Everything else — checkpoint mirrors, txn decisions,
+    * unknown names — is conservatively retained: a fleet member that
+    * never pulled them cannot tell "retired" from "never had", and
+    * the bucket's checkpoint mirror may be the only replay seed left
+    * after another member pruned its expired commits. The retained
+    * surplus is metadata-sized and bounded by checkpoint/txn counts.
+    * Returns (rescued slot keys, deleted keys). */
   def pruneRemote(root: Path, client: Client): (Seq[String], Seq[String]) = {
     val slotKey = "_graft_log/(\\d{10})\\.json".r
     def localHead: Long = {
@@ -313,17 +322,15 @@ object GraftS3 {
         }
       case _ => None
     }
-    // protect everything prefixed above the PRE-rescue head: the
-    // rescued commits' own artifacts (f"$id%010d-..." names) stay for
-    // materializeMissing to complete
     val prefixed = "(\\d{10})[.-].*".r
-    def protectedKey(k: String): Boolean =
-      k.split('/').last match {
-        case prefixed(id) => id.toLong > head
-        case _ => false
+    def retired(k: String): Boolean = k match {
+      case slotKey(id) => id.toLong <= head
+      case _ => k.split('/').last match {
+        case prefixed(id) => id.toLong <= head && !k.contains("ckptfiles-")
+        case _ => false   // ckpt mirrors, decisions, unknown: retain
       }
-    val deleted = remote.filter(k =>
-      !Files.exists(root.resolve(k)) && !protectedKey(k))
+    }
+    val deleted = remote.filter(k => !Files.exists(root.resolve(k)) && retired(k))
       .map { k => client.delete(k); k }
     (rescued, deleted)
   }

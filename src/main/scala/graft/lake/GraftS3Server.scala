@@ -103,10 +103,11 @@ final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
   // real handler concurrency (the default executor serializes on the
   // dispatcher thread): racing writers must hit the map's putIfAbsent
   // truly concurrently for the linearization claim to mean anything
-  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool()
+  server.setExecutor(pool)
   server.start()
 
   val endpoint: URI = new URI(s"http://127.0.0.1:${server.getAddress.getPort}")
   def client: GraftS3.Client = new GraftS3.Client(endpoint, bucket, "local", creds)
-  override def close(): Unit = server.stop(0)
+  override def close(): Unit = { server.stop(0); pool.shutdown() }
 }

@@ -465,7 +465,15 @@ object GraftTable {
     Files.writeString(tmp, content)
     try Files.createLink(target, tmp)
     catch { case e: java.nio.file.FileAlreadyExistsException =>
-      throw new IllegalStateException(
+      // A byte-identical occupant is OUR write already materialized —
+      // a sync poller (materializeMissing) can pull a just-won remote
+      // key before the winner's local link lands — or an idempotent
+      // replay (an agreeing txn decision). Success, not a lost race;
+      // genuinely-concurrent commit payloads always differ (timestamps
+      // + uuid'd file names).
+      val same = scala.util.Try(Files.readString(target) == content)
+        .getOrElse(false)
+      if (!same) throw new IllegalStateException(
         s"concurrent commit detected at $target", e)
     } finally Files.deleteIfExists(tmp)
   }
@@ -5760,6 +5768,16 @@ object GraftTable {
   private[graft] def decide(decisionPath: String, verdict: String): Unit =
     try writeAtomic(Paths.get(decisionPath), verdict)
     catch { case e: IllegalStateException =>
+      // Under remote arbitration the loser can observe its 412 before
+      // the winner's local decision file exists — wait it out before
+      // reading the verdict (the same hazard class commitOrCleanup's
+      // occupant classifier guards against).
+      if (commitArbiter.isDefined) {
+        var waited = 0
+        while (decisionOf(decisionPath).isEmpty && waited < 50) {
+          Thread.sleep(10); waited += 1
+        }
+      }
       val existing = decisionOf(decisionPath)
       if (!existing.contains(verdict)) throw new IllegalStateException(
         s"transaction already decided as ${existing.getOrElse("?")}", e)

@@ -237,7 +237,7 @@ object LakeOps {
         // on the log-slot target; checkpoints keep arbitrating normally
         val prevArb = GraftTable.commitArbiter
         GraftTable.commitArbiter = Some { (target, content) =>
-          if (target.toString.startsWith(root.toString) &&
+          if (target.startsWith(root) &&
               target.getFileName.toString.matches("\\d{10}\\.json")) {
             client.putIfAbsent(
               root.relativize(target).toString.replace(java.io.File.separatorChar, '/'),

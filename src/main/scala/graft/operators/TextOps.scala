@@ -172,8 +172,8 @@ object TextOps {
     * is not the global first (first = min (doc_id, pos), the
     * keep-first-occurrence rule). The paper builds a suffix array; on
     * Spark the same answer is one explode (O(tokens) rows, the MinHash
-    * shape) + ONE hash-partitioned window pass — embarrassingly
-    * parallel at 100 TB where a suffix array is not.
+    * shape) + a hash-keyed agg with map-side partial counts —
+    * embarrassingly parallel at 100 TB where a suffix array is not.
     * Output: per doc, window/duplicate counts + duplicate ratio (the
     * removal planner's input). */
   private val subdupW = 20
@@ -182,23 +182,25 @@ object TextOps {
     * (doc_id, pos, is_dup) — shared by the q106 reporter and the q107
     * scrubber.
     *
-    * Two scale-safety choices, both mirrored in the DuckDB oracle:
+    * Three scale-safety choices, all mirrored in the DuckDB oracle:
     *  - the window hash is a 64-BIT integer (xxhash64 here, HASH() in
     *    DuckDB — the values differ across engines but are internal;
     *    only the induced grouping must agree), so the corpus-sized
     *    explode shuffles 8-byte keys, not 32-char md5 hex (4× fewer
     *    key bytes);
-    *  - the global first is `row_number() = 1` under (doc_id, pos)
-    *    ORDERING — no arithmetic encoding, so hash-derived 64-bit
-    *    doc_ids and >1M-token docs are both safe (a `doc_id*K+pos`
-    *    fold would overflow / bleed radixes there), and the whole
-    *    rule costs one shuffle instead of groupBy + join-back. */
-  private def dupWindows(s: SparkSession, dir: String): DataFrame =
-    dupWindowsOf(Tables.documents(s, dir))
-
-  private[graft] def dupWindowsOf(docs: DataFrame): DataFrame = {
+    *  - the global first is an order-safe STRUCT-min — no arithmetic
+    *    encoding, so hash-derived 64-bit doc_ids and >1M-token docs
+    *    are both safe (a `doc_id*K+pos` fold would overflow / bleed
+    *    radixes there);
+    *  - the argmin is a groupBy + join-back, NOT a row_number window:
+    *    the agg is map-side partial (a boilerplate span repeated 10⁸
+    *    times shrinks to one row per mapper before the shuffle) and
+    *    AQE can split the skewed join — a window pass would serialize
+    *    the hot hash into ONE unsplittable task, exactly the
+    *    dedup-worst-case this operator exists for. */
+  private def dupWindows(s: SparkSession, dir: String): DataFrame = {
     val W = subdupW
-    val wins = docs
+    val wins = Tables.documents(s, dir)
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .select(col("doc_id"), posexplode(
         when(size(col("t")) >= W,
@@ -206,11 +208,13 @@ object TextOps {
             i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(W))))))
           .otherwise(array().cast("array<bigint>"))).as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
-    val byHash = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
-    wins
+    val firsts = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("pos"))).as("fst"))
+    wins.join(firsts, Seq("h"))
       .select(col("doc_id"), col("pos"),
-        (row_number().over(byHash) > 1).as("is_dup"))
+        (col("n") > 1 &&
+          struct(col("doc_id"), col("pos")) =!= col("fst")).as("is_dup"))
   }
 
   def q106(s: SparkSession, dir: String): DataFrame = {
@@ -930,9 +934,10 @@ object TextOps {
         |w AS (SELECT doc_id, i AS pos, HASH(ARRAY_TO_STRING(toks[i:i+19], ' ')) AS h
         |      FROM (SELECT doc_id, toks,
         |              UNNEST(GENERATE_SERIES(1, LEN(toks) - 19)) AS i FROM t)),
-        |r AS (SELECT doc_id, pos,
-        |        ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) > 1 AS is_dup
-        |      FROM w),
+        |f AS (SELECT h, COUNT(*) AS n, MIN(ROW(doc_id, pos)) AS fst FROM w GROUP BY h),
+        |r AS (SELECT w.doc_id, w.pos,
+        |        f.n > 1 AND ROW(w.doc_id, w.pos) <> f.fst AS is_dup
+        |      FROM w JOIN f USING (h)),
         |d AS (SELECT doc_id, COUNT(*) AS n_windows,
         |        CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
         |      FROM r GROUP BY doc_id)
@@ -949,9 +954,10 @@ object TextOps {
         |w AS (SELECT doc_id, i AS pos, HASH(ARRAY_TO_STRING(toks[i:i+19], ' ')) AS h
         |      FROM (SELECT doc_id, toks,
         |              UNNEST(GENERATE_SERIES(1, LEN(toks) - 19)) AS i FROM t)),
-        |r AS (SELECT doc_id, pos,
-        |        ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) > 1 AS is_dup
-        |      FROM w),
+        |f AS (SELECT h, COUNT(*) AS n, MIN(ROW(doc_id, pos)) AS fst FROM w GROUP BY h),
+        |r AS (SELECT w.doc_id, w.pos,
+        |        f.n > 1 AND ROW(w.doc_id, w.pos) <> f.fst AS is_dup
+        |      FROM w JOIN f USING (h)),
         |dt AS (SELECT DISTINCT doc_id, pos + j AS ti
         |       FROM r, UNNEST(GENERATE_SERIES(0, 19)) g(j)
         |       WHERE is_dup),

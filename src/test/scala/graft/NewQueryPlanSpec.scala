@@ -77,18 +77,24 @@ class NewQueryPlanSpec extends SparkSpec {
     info(s"q36 exchanges: $exchanges")
   }
 
-  test("q106's keep-first rule shuffles the window corpus exactly once") {
-    // Round 14 replaced the groupBy + join-back argmin (TWO shuffles
-    // of the corpus-sized window frame) with one row_number window
-    // pass. Pin it: exactly ONE exchange hash-partitions on the window
-    // hash `h` — a regression to the join-back shape doubles the
-    // dominant shuffle of the most corpus-intensive text operator.
+  test("q106's keep-first argmin stays skew-safe: partial agg + join, never a window") {
+    // The keep-first rule must NOT compute through a row_number window
+    // over the hash: a boilerplate span repeated 10⁸ times would
+    // serialize its hash partition into ONE unsplittable task (window
+    // functions have no partial aggregation and AQE cannot split a
+    // window partition). Pin the intended shape: a partial→final
+    // HashAggregate pair on `h` (the hot key shrinks map-side) and a
+    // bounded number of exchanges; zero Window operators.
     val df = graft.operators.TextOps.q106(spark, sf)
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("Window"),
+      s"keep-first must never ride a window over the hash:\n$p")
+    assert(p.contains("partial_count"),
+      s"the hash agg must be map-side partial:\n$p")
     val onHash = p.linesIterator
       .count(l => l.contains("Exchange hashpartitioning") && l.contains("h#"))
-    assert(onHash == 1,
-      s"windows must shuffle on the hash exactly once, got $onHash:\n$p")
+    assert(onHash <= 2,
+      s"bounded h-exchanges (agg + join-back), got $onHash:\n$p")
     info(s"q106 h-exchanges: $onHash")
   }
 
@@ -123,7 +129,12 @@ class NewQueryPlanSpec extends SparkSpec {
       "q61_decontam_bloom", "q62_lake_entries", "q63_lake_replace",
       "q65_lake_spec_evolve", "q66_lake_write_ordered", "q67_lake_wap",
       "q68_dedup_incremental", "q81_lake_partitions", "q82_lake_ndv",
-      "q85_lake_row_lineage", "q87_lake_add_files", "q105_lake_catalog_branch")
+      "q85_lake_row_lineage", "q87_lake_add_files", "q105_lake_catalog_branch",
+      // q108 additionally swaps the GLOBAL commit arbiter for its
+      // crash injection — running it here mid-parallel-suite would
+      // clobber S3ObjectStoreSpec's mounted hook chain (the r13
+      // unscoped-hook flake class), on top of the lifecycle cost
+      "q108_lake_s3")
     val names = SparkEntry.queries.keySet -- lifecycle -- allPairsDeclared
     val offenders = names.toSeq.sorted.flatMap { n =>
       val df = SparkEntry.queries(n)(spark, sf)

@@ -125,7 +125,7 @@ class S3ObjectStoreSpec extends SparkSpec {
       // arbitrating normally for the scenario to target the log slot
       val prevArb = GraftTable.commitArbiter
       GraftTable.commitArbiter = Some { (target, content) =>
-        if (target.toString.startsWith(root.toString) &&
+        if (target.startsWith(root) &&
             target.getFileName.toString.matches("\\d{10}\\.json")) {
           em.client.putIfAbsent(
             root.relativize(target).toString.replace(java.io.File.separatorChar, '/'),
@@ -267,8 +267,17 @@ class S3ObjectStoreSpec extends SparkSpec {
         // every surviving remote key must exist locally
         val (rescued, _) = GraftS3.pruneRemote(root, em.client)
         assert(rescued.isEmpty, s"lifecycle $lc: nothing to rescue, got $rescued")
-        em.client.list("").foreach(k => assert(Files.exists(root.resolve(k)),
-          s"lifecycle $lc: pruned bucket still holds unknown key $k"))
+        // deletion is a strict whitelist: the surviving surplus may
+        // only be conservatively-retained metadata (checkpoint
+        // mirrors, decisions) — never data or commit slots
+        em.client.list("").foreach { k =>
+          val retained = k.contains("ckptfiles-") ||
+            k.split('/').last.startsWith("ckptmeta-") ||
+            k.split('/').last.startsWith("checkpoint-") ||
+            k.endsWith(".decision")
+          assert(Files.exists(root.resolve(k)) || retained,
+            s"lifecycle $lc: pruned bucket still holds unknown key $k")
+        }
         // DISASTER at end of life: blank machine, bucket-only restore —
         // the PRUNED bucket must still restore the full retained state
         // (checkpoint parquet mirrors make replay whole even where
@@ -303,7 +312,7 @@ class S3ObjectStoreSpec extends SparkSpec {
       val winnerWon = new CountDownLatch(1)
       val loserLost = new CountDownLatch(1)
       GraftTable.commitArbiter = Some { (target, content) =>
-        val isSlot = target.toString.startsWith(root.toString) &&
+        val isSlot = target.startsWith(root) &&
           target.getFileName.toString.matches("\\d{10}\\.json")
         if (isSlot && Thread.currentThread().getName == "slowA") {
           val r = mounted.forall(_(target, content))   // remote win
