@@ -1,12 +1,15 @@
 package graft.lake
 
+import java.io.IOException
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, StandardCopyOption}
 import java.security.MessageDigest
 import java.time.ZoneOffset
 import java.time.format.DateTimeFormatter
+import java.util.concurrent.ThreadLocalRandom
+import java.util.concurrent.atomic.AtomicLong
 
 import scala.jdk.CollectionConverters._
 
@@ -29,11 +32,22 @@ import javax.crypto.spec.SecretKeySpec
   *    first-writer-wins primitive `GraftTable.writeAtomic` gets from
   *    `Files.createLink` on a local FS, so the WHOLE protocol — linear
   *    log slots, WAP publishes, transaction decision files — transfers
-  *    unchanged.
-  *  - `put` — immutable uniquely-named artifacts (data/delete files).
-  *    Plain PUT: names are unique and unreferenced until the commit
-  *    JSON wins, so no conditional needed (`placeArtifact`'s contract).
+  *    unchanged. A 412 against a BYTE-IDENTICAL occupant is classified
+  *    as this writer's own earlier PUT whose 200 was lost in transit
+  *    (connection resets are routine against real S3) — success, not a
+  *    lost race; commit JSONs carry a per-writer nonce precisely so
+  *    byte-identity proves ownership.
+  *  - `put` / [[Client.putFile]] — immutable uniquely-named artifacts
+  *    (data/delete files). Plain PUT: names are unique and
+  *    unreferenced until the commit JSON wins, so no conditional
+  *    needed (`placeArtifact`'s contract). Files stream from disk
+  *    (never a whole-file heap buffer) and switch to S3 multipart
+  *    upload above a threshold — single PUT caps at 5 GB on real S3.
   *  - `get`/`list` — replay and recovery.
+  *
+  * Every request retries transient failures (IOException, HTTP
+  * 500/503 SlowDown) with bounded exponential backoff + jitter — real
+  * S3 throttles, and one 503 must never fail a commit.
   *
   * Requests are signed with AWS Signature Version 4 (public spec:
   * docs.aws.amazon.com/IAM/latest/UserGuide/create-signed-request.html),
@@ -59,6 +73,20 @@ object GraftS3 {
 
     def sha256Hex(bytes: Array[Byte]): String =
       hex(MessageDigest.getInstance("SHA-256").digest(bytes))
+
+    /** Streamed SHA-256 of a file — one 64 KiB buffer, never the whole
+      * file on the heap (single-PUT uploads sign the real payload hash
+      * without materializing the payload). */
+    def sha256HexOfFile(file: Path): String = {
+      val md = MessageDigest.getInstance("SHA-256")
+      val in = Files.newInputStream(file)
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+      hex(md.digest())
+    }
 
     def hmac(key: Array[Byte], data: String): Array[Byte] = {
       val mac = Mac.getInstance("HmacSHA256")
@@ -122,11 +150,30 @@ object GraftS3 {
   /** Minimal path-style S3 REST client over java.net.http. Every
     * request is SigV4-signed; unsigned-able servers simply ignore the
     * header. Payloads are signed (x-amz-content-sha256 = real hash,
-    * not UNSIGNED-PAYLOAD) — commit JSONs are small, so the hash cost
-    * is noise and the integrity check is free. */
+    * not UNSIGNED-PAYLOAD) — byte payloads are small commit JSONs and
+    * file payloads hash in one streamed pass, so the integrity check
+    * is effectively free.
+    *
+    * `partSizeBytes` bounds the only per-part heap allocation of
+    * [[putFile]]'s multipart path; `multipartThresholdBytes` picks
+    * single-streamed-PUT vs multipart (real S3 caps single PUT at
+    * 5 GiB and parts at 5 GiB with a 5 MiB minimum — defaults sit far
+    * inside both). `maxAttempts`/`retryBaseMs` bound the transient-
+    * failure retry loop. */
   final class Client(endpoint: URI, bucket: String, region: String,
       creds: Credentials,
-      http: HttpClient = HttpClient.newHttpClient()) {
+      http: HttpClient = HttpClient.newHttpClient(),
+      partSizeBytes: Int = 64 << 20,
+      multipartThresholdBytes: Long = 256L << 20,
+      maxAttempts: Int = 5,
+      retryBaseMs: Long = 25) {
+    require(partSizeBytes > 0 && multipartThresholdBytes > 0 && maxAttempts >= 1)
+
+    /** High-water mark of the largest payload buffer this client ever
+      * allocated for a [[putFile]] — lets specs PROVE the streaming
+      * claim (peak ≤ max(64 KiB hash buffer, partSizeBytes), never the
+      * file size). */
+    private[graft] val peakBufferBytes = new AtomicLong(0)
 
     private val amzFmt = DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
       .withZone(ZoneOffset.UTC)
@@ -135,11 +182,14 @@ object GraftS3 {
       if (p == -1) endpoint.getHost else s"${endpoint.getHost}:$p"
     }
 
-    private def send(method: String, key: String, query: Seq[(String, String)],
-        body: Array[Byte], extraHeaders: Seq[(String, String)]):
-        HttpResponse[Array[Byte]] = {
+    /** One signed request attempt. The publisher is a THUNK so each
+      * retry re-reads its source (ofFile re-opens; ofByteArray is
+      * idempotent) under a fresh signature/date. */
+    private def sendOnce(method: String, key: String,
+        query: Seq[(String, String)], payloadHash: String,
+        publisher: () => HttpRequest.BodyPublisher,
+        extraHeaders: Seq[(String, String)]): HttpResponse[Array[Byte]] = {
       val amzDate = amzFmt.format(java.time.Instant.now())
-      val payloadHash = SigV4.sha256Hex(body)
       val canonicalPath = SigV4.uriEncode(s"/$bucket/$key", keepSlash = true)
       val signed = Seq("host" -> hostHeader, "x-amz-date" -> amzDate,
         "x-amz-content-sha256" -> payloadHash) ++ extraHeaders
@@ -150,17 +200,57 @@ object GraftS3 {
         else "?" + query.map { case (k, v) =>
           s"${SigV4.uriEncode(k, false)}=${SigV4.uriEncode(v, false)}"
         }.mkString("&")
-      val publisher =
-        if (body.isEmpty) HttpRequest.BodyPublishers.noBody()
-        else HttpRequest.BodyPublishers.ofByteArray(body)
       var b = HttpRequest.newBuilder(URI.create(
           s"${endpoint.getScheme}://$hostHeader$canonicalPath$qs"))
-        .method(method, publisher)
+        .method(method, publisher())
         .header("Authorization", auth)
         .header("x-amz-date", amzDate)
         .header("x-amz-content-sha256", payloadHash)
       extraHeaders.foreach { case (k, v) => b = b.header(k, v) }
       http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    }
+
+    /** Bounded exponential backoff + jitter around transient failures:
+      * IOException (connection reset / lost response) and HTTP 500 /
+      * 503 SlowDown — S3 throttles routinely; one 503 must never fail
+      * a commit. NOTE a retried conditional PUT whose FIRST attempt
+      * was durably applied server-side comes back 412 — callers
+      * classify that via the byte-identical-occupant rule, never here. */
+    private def sendRetrying(method: String, key: String,
+        query: Seq[(String, String)], payloadHash: String,
+        publisher: () => HttpRequest.BodyPublisher,
+        extraHeaders: Seq[(String, String)]): HttpResponse[Array[Byte]] = {
+      var attempt = 0
+      while (true) {
+        val r =
+          try sendOnce(method, key, query, payloadHash, publisher, extraHeaders)
+          catch { case e: IOException =>
+            attempt += 1
+            if (attempt >= maxAttempts) throw e
+            backoff(attempt); null
+          }
+        if (r != null) {
+          if (r.statusCode != 500 && r.statusCode != 503) return r
+          attempt += 1
+          if (attempt >= maxAttempts) return r   // expect() reports it loudly
+          backoff(attempt)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    private def backoff(attempt: Int): Unit = {
+      val cap = math.min(retryBaseMs << math.min(attempt, 6), 2000L)
+      Thread.sleep(cap / 2 + ThreadLocalRandom.current().nextLong(cap / 2 + 1))
+    }
+
+    private def send(method: String, key: String, query: Seq[(String, String)],
+        body: Array[Byte], extraHeaders: Seq[(String, String)]):
+        HttpResponse[Array[Byte]] = {
+      val publisher = () =>
+        if (body.isEmpty) HttpRequest.BodyPublishers.noBody()
+        else HttpRequest.BodyPublishers.ofByteArray(body)
+      sendRetrying(method, key, query, SigV4.sha256Hex(body), publisher, extraHeaders)
     }
 
     private def expect(r: HttpResponse[Array[Byte]], codes: Int*): HttpResponse[Array[Byte]] = {
@@ -174,14 +264,100 @@ object GraftS3 {
     def put(key: String, bytes: Array[Byte]): Unit =
       expect(send("PUT", key, Nil, bytes, Nil), 200)
 
+    /** True when the durable occupant of `key` is byte-identical to
+      * `bytes` — under graft's per-writer-nonce'd commit JSONs that
+      * PROVES the occupant is this writer's own earlier PUT. */
+    private def occupantIsOwn(key: String, bytes: Array[Byte]): Boolean =
+      get(key).exists(java.util.Arrays.equals(_, bytes))
+
     /** Conditional PUT (`If-None-Match: *`): true = this writer owns
-      * the key; throws [[PreconditionFailed]] on 412 so callers share
-      * writeAtomic's slot-race control flow. */
+      * the key; throws [[PreconditionFailed]] on a genuine lost race so
+      * callers share writeAtomic's slot-race control flow.
+      *
+      * Lost-response idempotency: real S3 can durably apply the PUT
+      * and then drop the 200 (connection reset). The in-flight retry
+      * then 412s against this writer's OWN object; without the
+      * byte-identical-occupant check the writer would misclassify its
+      * win as a loss, auto-retry onto slot N+1, and the operation
+      * would replay twice once a fleet sync resurrects slot N. This is
+      * the object-store twin of the relaxation `writeAtomic` already
+      * applies to a local occupant. */
     def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {
-      val r = send("PUT", key, Nil, bytes, Seq("If-None-Match" -> "*"))
-      if (r.statusCode == 412) throw new PreconditionFailed(key)
-      expect(r, 200)
-      true
+      val r =
+        try sendRetrying("PUT", key, Nil, SigV4.sha256Hex(bytes),
+          () => HttpRequest.BodyPublishers.ofByteArray(bytes),
+          Seq("If-None-Match" -> "*"))
+        catch { case e: IOException =>
+          // every attempt died in transit — ownership is decided by
+          // what is durably there, not by the lost responses
+          if (occupantIsOwn(key, bytes)) return true else throw e
+        }
+      if (r.statusCode == 412) {
+        if (occupantIsOwn(key, bytes)) true
+        else throw new PreconditionFailed(key)
+      } else { expect(r, 200); true }
+    }
+
+    /** Streaming PUT of a file — the whole file NEVER sits on the
+      * heap. Below the multipart threshold: one PUT whose payload hash
+      * is a streamed pass and whose body is `BodyPublishers.ofFile`
+      * (two sequential disk reads, 64 KiB buffers). Above it: S3
+      * multipart upload (initiate → N part PUTs off one reused
+      * part-size buffer → complete), which is also how artifacts
+      * larger than S3's 5 GiB single-PUT cap must travel. */
+    def putFile(key: String, file: Path): Unit = {
+      val size = Files.size(file)
+      if (size < multipartThresholdBytes) {
+        track(64 * 1024)
+        expect(sendRetrying("PUT", key, Nil, SigV4.sha256HexOfFile(file),
+          () => HttpRequest.BodyPublishers.ofFile(file), Nil), 200)
+      } else multipartUpload(key, file)
+    }
+
+    private def track(n: Long): Unit = peakBufferBytes.getAndUpdate(math.max(_, n))
+
+    private def multipartUpload(key: String, file: Path): Unit = {
+      val initXml = new String(expect(
+        send("POST", key, Seq("uploads" -> ""), Array.emptyByteArray, Nil), 200)
+        .body(), UTF_8)
+      val uploadId = "<UploadId>([^<]*)</UploadId>".r.findFirstMatchIn(initXml)
+        .getOrElse(throw new IllegalStateException(
+          s"initiate multipart returned no UploadId: ${initXml.take(200)}"))
+        .group(1)
+      val in = Files.newInputStream(file)
+      try {
+        val buf = new Array[Byte](partSizeBytes)
+        track(partSizeBytes.toLong)
+        val etags = Seq.newBuilder[(Int, String)]
+        var part = 1
+        var eof = false
+        while (!eof) {
+          var n = 0
+          while (n < buf.length && !eof) {
+            val r = in.read(buf, n, buf.length - n)
+            if (r < 0) eof = true else n += r
+          }
+          if (n > 0) {
+            // safe to reuse buf across parts: http.send is synchronous,
+            // the body is fully transmitted (and any retry re-read)
+            // before the next fill mutates it
+            val body = if (n == buf.length) buf else java.util.Arrays.copyOf(buf, n)
+            val hash = MessageDigest.getInstance("SHA-256")
+            hash.update(body, 0, n)
+            val resp = expect(sendRetrying("PUT", key,
+              Seq("partNumber" -> part.toString, "uploadId" -> uploadId),
+              SigV4.hex(hash.digest()),
+              () => HttpRequest.BodyPublishers.ofByteArray(body), Nil), 200)
+            etags += part -> resp.headers.firstValue("ETag").orElse("")
+            part += 1
+          }
+        }
+        val completeXml = "<CompleteMultipartUpload>" + etags.result().map {
+          case (p, e) => s"<Part><PartNumber>$p</PartNumber><ETag>$e</ETag></Part>"
+        }.mkString + "</CompleteMultipartUpload>"
+        expect(send("POST", key, Seq("uploadId" -> uploadId),
+          completeXml.getBytes(UTF_8), Nil), 200)
+      } finally in.close()
     }
 
     def get(key: String): Option[Array[Byte]] = {
@@ -219,14 +395,22 @@ object GraftS3 {
     * deployment shape with S3/MinIO behind a fleet of writers. Scoped
     * by root and composed with the previous arbiter (suites run in
     * parallel in one JVM — same discipline as placeArtifact hooks).
+    *
+    * `prefix` namespaces every key — mount MULTIPLE table roots into
+    * one bucket with distinct prefixes, or mount one WAREHOUSE root
+    * (each table's keys are then namespaced by its warehouse-relative
+    * path automatically). Without either, two tables sharing a bucket
+    * would arbitrate against each other's `_graft_log` slots.
     * Returns an un-mount handle. */
-  def mountCommitArbiter(root: Path, client: Client): AutoCloseable = {
+  def mountCommitArbiter(root: Path, client: Client,
+      prefix: String = ""): AutoCloseable = {
+    val p = normPrefix(prefix)
     val prev = GraftTable.commitArbiter
     // Path.startsWith is COMPONENT-wise: "/x/t10" must not be captured
     // by a mount for "/x/t1" (a string prefix check would)
     GraftTable.commitArbiter = Some { (target, content) =>
       if (target.startsWith(root))
-        client.putIfAbsent(keyFor(root, target), content.getBytes(UTF_8))
+        client.putIfAbsent(keyFor(root, target, p), content.getBytes(UTF_8))
       else prev.forall(_(target, content))
     }
     () => GraftTable.commitArbiter = prev
@@ -234,24 +418,27 @@ object GraftS3 {
 
   /** Mirror every artifact placed under `root` to the store (data /
     * delete files land alongside the commit plane), composing with the
-    * previous placement hook for foreign roots. Checkpoint-parquet
-    * directories mirror too (the winning build fires checkpointPlaced
-    * once), so a blank-machine restore keeps O(1) replay even after
-    * [[pruneRemote]] dropped the store's copies of expired commits. */
-  def mountArtifactMirror(root: Path, client: Client): AutoCloseable = {
+    * previous placement hook for foreign roots. Artifacts STREAM up
+    * ([[Client.putFile]]: ofFile single PUT, multipart above the
+    * threshold) — a 1 GiB parquet never lands on the committing JVM's
+    * heap. Checkpoint-parquet directories mirror too (the winning
+    * build fires checkpointPlaced once), so a blank-machine restore
+    * keeps O(1) replay even after [[pruneRemote]] dropped the store's
+    * copies of expired commits. */
+  def mountArtifactMirror(root: Path, client: Client,
+      prefix: String = ""): AutoCloseable = {
+    val p = normPrefix(prefix)
     val prev = GraftTable.placeArtifact
     val prevCkpt = GraftTable.checkpointPlaced
     GraftTable.placeArtifact = (src, dst) => {
-      if (dst.startsWith(root)) {
-        client.put(keyFor(root, dst), Files.readAllBytes(src))
-      }
+      if (dst.startsWith(root)) client.putFile(keyFor(root, dst, p), src)
       prev(src, dst)
     }
     GraftTable.checkpointPlaced = Some { dir =>
       if (dir.startsWith(root)) {
         val s = Files.list(dir)
         try s.iterator().asScala.filter(Files.isRegularFile(_))
-          .foreach(f => client.put(keyFor(root, f), Files.readAllBytes(f)))
+          .foreach(f => client.putFile(keyFor(root, f, p), f))
         finally s.close()
       }
       prevCkpt.foreach(_(dir))
@@ -259,49 +446,95 @@ object GraftS3 {
     () => { GraftTable.placeArtifact = prev; GraftTable.checkpointPlaced = prevCkpt }
   }
 
-  /** Crash recovery for an arbitrated table: the store holds every WON
-    * commit; a writer that died between winning its slot remotely and
-    * materializing it locally leaves a gap the store can fill. Pull
-    * every missing commit-plane object down; idempotent. Returns the
-    * materialized keys. */
-  def materializeMissing(root: Path, client: Client): Seq[String] =
-    client.list("").flatMap { key =>
-      val local = root.resolve(key)
+  /** Crash recovery / DR for an arbitrated mount: the store holds
+    * every WON commit; a writer that died between winning its slot
+    * remotely and materializing it locally leaves a gap the store can
+    * fill. Pulls every missing object under `prefix` down (a FULL
+    * bucket walk — DR is inherently O(objects); routine fleet sync
+    * should use [[syncRemote]], which is O(delta)). Idempotent.
+    * Returns the materialized keys. */
+  def materializeMissing(root: Path, client: Client,
+      prefix: String = ""): Seq[String] = {
+    val p = normPrefix(prefix)
+    client.list(p).flatMap { key =>
+      val local = root.resolve(key.stripPrefix(p))
       if (Files.exists(local)) None
-      else client.get(key).map { bytes =>
-        Files.createDirectories(local.getParent)
-        Files.write(local, bytes)
-        key
+      else client.get(key).map { bytes => writeLocalAtomic(local, bytes); key }
+    }
+  }
+
+  /** Routine O(delta) fleet sync for ONE table mounted at `root`:
+    * lists only the table's commit-log prefix (one page per ~1000 new
+    * objects on real S3), pulls the missing log objects, then fetches
+    * exactly the data/delete files the NEW commit JSONs reference via
+    * targeted GETs — never a whole-bucket walk. [[materializeMissing]]
+    * remains the DR path. Returns the pulled keys. */
+  def syncRemote(root: Path, client: Client, prefix: String = ""): Seq[String] = {
+    val p = normPrefix(prefix)
+    val pulled = Seq.newBuilder[String]
+    val isSlot = "_graft_log/\\d{10}\\.json".r
+    client.list(p + "_graft_log/").foreach { key =>
+      val rel = key.stripPrefix(p)
+      val local = root.resolve(rel)
+      if (!Files.exists(local)) client.get(key).foreach { bytes =>
+        writeLocalAtomic(local, bytes)
+        pulled += key
+        if (isSlot.matches(rel)) {
+          // a commit references its files by table-relative path; pull
+          // the ones this machine lacks (adds only: removes point at
+          // files a fully-synced peer already has or never needs)
+          GraftTable.parseCommit(new String(bytes, UTF_8)).adds.foreach { f =>
+            val fLocal = root.resolve(f.path)
+            if (!Files.exists(fLocal))
+              client.get(p + f.path).foreach { fb =>
+                writeLocalAtomic(fLocal, fb)
+                pulled += p + f.path
+              }
+          }
+        }
       }
     }
+    pulled.result()
+  }
 
   /** Bucket hygiene — the inverse of [[materializeMissing]], run AFTER
     * local `expire_snapshots` / `remove_orphan_files`: local retirement
     * is the policy decision, this mirrors it up so the bucket tracks
-    * the RETAINED lineage instead of growing forever. Two safety
-    * rules make it crash- and fleet-safe:
-    *  - a remote-only commit SLOT above the local head is a crashed or
-    *    foreign writer's WON commit — it is RESCUED (materialized
-    *    locally) rather than destroyed;
+    * the RETAINED lineage instead of growing forever. Warehouse-aware:
+    * tables are DISCOVERED from the commit-log slots under the mount
+    * (every `T/_graft_log/NNN.json` names table T), and each key is
+    * judged against ITS OWN table's local head — two tables sharing a
+    * bucket prune independently. Two safety rules make it crash- and
+    * fleet-safe:
+    *  - a remote-only commit SLOT above its table's local head is a
+    *    crashed or foreign writer's WON commit — it is RESCUED
+    *    (materialized locally) rather than destroyed;
     *  - any object whose name carries a snapshot prefix above the
     *    pre-rescue head (the rescued commits' data/delete files) is
     *    protected from this pass — a follow-up materializeMissing
     *    completes them locally.
     * Deletion is a strict WHITELIST — only object classes whose local
     * absence PROVES local retirement are eligible: commit slots and
-    * snapshot-prefixed artifacts at or below the pre-rescue head
-    * (expiry deletes a contiguous prefix; live artifacts exist
+    * snapshot-prefixed artifacts at or below their table's pre-rescue
+    * head (expiry deletes a contiguous prefix; live artifacts exist
     * locally). Everything else — checkpoint mirrors, txn decisions,
-    * unknown names — is conservatively retained: a fleet member that
-    * never pulled them cannot tell "retired" from "never had", and
-    * the bucket's checkpoint mirror may be the only replay seed left
-    * after another member pruned its expired commits. The retained
-    * surplus is metadata-sized and bounded by checkpoint/txn counts.
-    * Returns (rescued slot keys, deleted keys). */
-  def pruneRemote(root: Path, client: Client): (Seq[String], Seq[String]) = {
-    val slotKey = "_graft_log/(\\d{10})\\.json".r
-    def localHead: Long = {
-      val log = root.resolve("_graft_log")
+    * keys owned by no discovered table — is conservatively retained: a
+    * fleet member that never pulled them cannot tell "retired" from
+    * "never had", and the bucket's checkpoint mirror may be the only
+    * replay seed left after another member pruned its expired commits.
+    * The retained surplus is metadata-sized and bounded by
+    * checkpoint/txn counts. Returns (rescued slot keys, deleted keys). */
+  def pruneRemote(root: Path, client: Client,
+      prefix: String = ""): (Seq[String], Seq[String]) = {
+    val p = normPrefix(prefix)
+    val remote = client.list(p)
+    val rels = remote.map(_.stripPrefix(p))
+    // table prefix = everything before "_graft_log/": "" when the
+    // mount root IS the table root, "db/tbl/" under a warehouse mount
+    val slotKey = "(|.*/)_graft_log/(\\d{10})\\.json".r
+    val tables = rels.collect { case slotKey(t, _) => t }.distinct
+    def headFor(t: String): Long = {
+      val log = root.resolve(t + "_graft_log")
       if (!Files.exists(log)) 0L
       else {
         val s = Files.list(log)
@@ -311,30 +544,59 @@ object GraftS3 {
         finally s.close()
       }
     }
-    val head = localHead
-    val remote = client.list("")
-    val rescued = remote.flatMap {
-      case k @ slotKey(id) if id.toLong > head && !Files.exists(root.resolve(k)) =>
-        client.get(k).map { bytes =>
-          Files.createDirectories(root.resolve(k).getParent)
-          Files.write(root.resolve(k), bytes)
-          k
-        }
-      case _ => None
-    }
-    val prefixed = "(\\d{10})[.-].*".r
-    def retired(k: String): Boolean = k match {
-      case slotKey(id) => id.toLong <= head
-      case _ => k.split('/').last match {
-        case prefixed(id) => id.toLong <= head && !k.contains("ckptfiles-")
-        case _ => false   // ckpt mirrors, decisions, unknown: retain
+    val heads = tables.map(t => t -> headFor(t)).toMap
+    // longest-match owner: a nested table root must not be judged by
+    // an enclosing table's head
+    def ownerOf(rel: String): Option[String] =
+      tables.filter(rel.startsWith(_)).sortBy(-_.length).headOption
+    val rescued = remote.flatMap { k =>
+      k.stripPrefix(p) match {
+        case rel @ slotKey(t, id)
+            if id.toLong > heads(t) && !Files.exists(root.resolve(rel)) =>
+          client.get(k).map { bytes =>
+            writeLocalAtomic(root.resolve(rel), bytes); k
+          }
+        case _ => None
       }
     }
-    val deleted = remote.filter(k => !Files.exists(root.resolve(k)) && retired(k))
+    val prefixed = "(\\d{10})[.-].*".r
+    def retired(rel: String): Boolean = rel match {
+      case slotKey(t, id) => id.toLong <= heads(t)
+      case _ => (ownerOf(rel), rel.split('/').last) match {
+        case (Some(t), prefixed(id)) =>
+          id.toLong <= heads(t) && !rel.contains("ckptfiles-")
+        case _ => false   // ckpt mirrors, decisions, unowned: retain
+      }
+    }
+    val deleted = remote
+      .filter { k =>
+        val rel = k.stripPrefix(p)
+        !Files.exists(root.resolve(rel)) && retired(rel)
+      }
       .map { k => client.delete(k); k }
     (rescued, deleted)
   }
 
-  private def keyFor(root: Path, target: Path): String =
-    root.relativize(target).toString.replace(java.io.File.separatorChar, '/')
+  /** Atomic local materialization of a pulled object: stage to a tmp
+    * sibling, then one rename — a torn direct Files.write could hand a
+    * concurrent log replay half a commit JSON, or make the remote
+    * winner's own createLink read mismatched bytes and misclassify its
+    * win as a conflict. REPLACE_EXISTING: a racer that materialized
+    * the same key first wrote the same bytes (remote objects are
+    * immutable), so last-rename-wins is harmless. */
+  private def writeLocalAtomic(local: Path, bytes: Array[Byte]): Unit = {
+    Files.createDirectories(local.getParent)
+    val tmp = local.getParent.resolve(s".s3pull-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, bytes)
+    try Files.move(tmp, local,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    finally Files.deleteIfExists(tmp)
+  }
+
+  private def normPrefix(p: String): String =
+    if (p.isEmpty || p.endsWith("/")) p else p + "/"
+
+  private def keyFor(root: Path, target: Path, prefix: String): String =
+    prefix + root.relativize(target).toString
+      .replace(java.io.File.separatorChar, '/')
 }

@@ -3,7 +3,7 @@ package graft.lake
 import java.net.InetSocketAddress
 import java.net.URI
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentSkipListMap}
 import java.util.concurrent.atomic.AtomicInteger
 
 import scala.jdk.CollectionConverters._
@@ -14,10 +14,19 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * (docker-compose.yml runs MinIO as the local object store under the
   * lakehouse), shrunk to the API surface graft's commit plane uses:
   * PUT, conditional PUT (`If-None-Match: *` → 412 on the loser — the
-  * arbitration primitive), GET, DELETE, paged ListObjectsV2. Backed by
+  * arbitration primitive), GET, DELETE, paged ListObjectsV2, and the
+  * multipart-upload trio (initiate / part PUT / complete). Backed by
   * one ConcurrentHashMap; `putIfAbsent` on it IS the linearization
   * point, so racing writers through real HTTP observe true
   * first-writer-wins.
+  *
+  * Two injectable REAL-S3 failure modes let specs prove the client's
+  * robustness claims instead of assuming a perfect network:
+  *  - [[throttleNext]]: the next N requests are REJECTED with 503
+  *    SlowDown before any state change (S3's routine throttle);
+  *  - [[dropPutResponseFor]]: a matching PUT is durably APPLIED and
+  *    then the connection dies without a response — the lost-200 case
+  *    that makes naive conditional-PUT clients double-commit.
   *
   * Every request's SigV4 signature is VERIFIED against the declared
   * SignedHeaders (the server knows the secret, like any S3 endpoint) —
@@ -32,6 +41,23 @@ final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
   val objects = new ConcurrentHashMap[String, Array[Byte]]()
   /** Requests rejected for signature mismatch (0 on a correct client). */
   val rejected = new AtomicInteger(0)
+  /** Inject: the next N requests 503 (SlowDown) without being applied. */
+  val throttleNext = new AtomicInteger(0)
+  /** Count of requests that were 503'd by [[throttleNext]]. */
+  val throttled = new AtomicInteger(0)
+  /** Inject: a PUT whose key matches is APPLIED, then its response is
+    * dropped (connection closed with no status line) — the lost-200. */
+  @volatile var dropPutResponseFor: String => Boolean = _ => false
+  /** Count of PUT responses dropped by [[dropPutResponseFor]]. */
+  val droppedResponses = new AtomicInteger(0)
+  /** Observability for O(delta)-sync specs. */
+  val listCalls = new AtomicInteger(0)
+  val getCalls = new AtomicInteger(0)
+  val partPuts = new AtomicInteger(0)
+
+  private val uploads =
+    new ConcurrentHashMap[String, ConcurrentSkipListMap[Int, Array[Byte]]]()
+  private val uploadSeq = new AtomicInteger(0)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   private val pageSize = 100
 
@@ -43,17 +69,20 @@ final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
       val headers = g.group(4).split(';').toSeq.map(n =>
         n -> Option(x.getRequestHeaders.getFirst(n)).getOrElse(""))
       val amzDate = Option(x.getRequestHeaders.getFirst("x-amz-date")).getOrElse("")
-      val query = Option(x.getRequestURI.getRawQuery).getOrElse("").split('&')
-        .filter(_.nonEmpty).toSeq.map { kv =>
-          val i = kv.indexOf('=')
-          if (i < 0) (kv, "")
-          else (java.net.URLDecoder.decode(kv.take(i), "UTF-8"),
-            java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8"))
-        }
       SigV4.authorization(x.getRequestMethod, x.getRequestURI.getRawPath,
-        query, headers, SigV4.sha256Hex(body), amzDate, g.group(3), creds) == auth
+        queryParams(x), headers, SigV4.sha256Hex(body), amzDate, g.group(3),
+        creds) == auth
     }
   }
+
+  private def queryParams(x: HttpExchange): Seq[(String, String)] =
+    Option(x.getRequestURI.getRawQuery).getOrElse("").split('&')
+      .filter(_.nonEmpty).toSeq.map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) (kv, "")
+        else (java.net.URLDecoder.decode(kv.take(i), "UTF-8"),
+          java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8"))
+      }
 
   server.createContext("/", (x: HttpExchange) => {
     val body = x.getRequestBody.readAllBytes()
@@ -62,23 +91,58 @@ final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
       if (payload.nonEmpty) x.getResponseBody.write(payload)
       x.close()
     }
-    if (!verify(x, body)) { rejected.incrementAndGet(); respond(403) }
+    if (throttleNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+      throttled.incrementAndGet()
+      respond(503,
+        "<Error><Code>SlowDown</Code><Message>Reduce your request rate.</Message></Error>"
+          .getBytes(UTF_8))
+    } else if (!verify(x, body)) { rejected.incrementAndGet(); respond(403) }
     else {
       val path = x.getRequestURI.getRawPath.stripPrefix(s"/$bucket")
       val key = java.net.URLDecoder.decode(path.stripPrefix("/"), "UTF-8")
+      val params = queryParams(x).toMap
+      def dropOr200(k: String): Unit =
+        if (dropPutResponseFor(k)) {
+          // the mutation is durable; the client never hears about it —
+          // closing without sendResponseHeaders kills the connection
+          droppedResponses.incrementAndGet()
+          x.close()
+        } else respond(200)
       (x.getRequestMethod, key) match {
+        case ("POST", k) if params.contains("uploads") =>
+          val id = s"up-${uploadSeq.incrementAndGet()}"
+          uploads.put(id, new ConcurrentSkipListMap[Int, Array[Byte]]())
+          respond(200, ("<?xml version=\"1.0\"?><InitiateMultipartUploadResult>" +
+            s"<Bucket>$bucket</Bucket><Key>$k</Key><UploadId>$id</UploadId>" +
+            "</InitiateMultipartUploadResult>").getBytes(UTF_8))
+        case ("PUT", _) if params.contains("uploadId") && params.contains("partNumber") =>
+          Option(uploads.get(params("uploadId"))) match {
+            case Some(parts) =>
+              parts.put(params("partNumber").toInt, body)
+              partPuts.incrementAndGet()
+              x.getResponseHeaders.add("ETag",
+                "\"" + SigV4.sha256Hex(body).take(32) + "\"")
+              respond(200)
+            case None => respond(404)
+          }
+        case ("POST", k) if params.contains("uploadId") =>
+          Option(uploads.remove(params("uploadId"))) match {
+            case Some(parts) =>
+              val out = new java.io.ByteArrayOutputStream()
+              parts.values.asScala.foreach(out.write)
+              objects.put(k, out.toByteArray)
+              respond(200, ("<?xml version=\"1.0\"?><CompleteMultipartUploadResult>" +
+                s"<Key>$k</Key></CompleteMultipartUploadResult>").getBytes(UTF_8))
+            case None => respond(404)
+          }
         case ("PUT", k) =>
           if (Option(x.getRequestHeaders.getFirst("If-None-Match")).contains("*")) {
-            if (objects.putIfAbsent(k, body) != null) respond(412) else respond(200)
-          } else { objects.put(k, body); respond(200) }
+            if (objects.putIfAbsent(k, body) != null) respond(412) else dropOr200(k)
+          } else { objects.put(k, body); dropOr200(k) }
         case ("GET", "") =>   // ListObjectsV2
-          val q = Option(x.getRequestURI.getRawQuery).getOrElse("")
-          def param(name: String) = q.split('&').collectFirst {
-            case kv if kv.startsWith(s"$name=") =>
-              java.net.URLDecoder.decode(kv.drop(name.length + 1), "UTF-8")
-          }
-          val prefix = param("prefix").getOrElse("")
-          val after = param("continuation-token").getOrElse("")
+          listCalls.incrementAndGet()
+          val prefix = params.getOrElse("prefix", "")
+          val after = params.getOrElse("continuation-token", "")
           val all = objects.keySet.asScala.filter(_.startsWith(prefix))
             .toSeq.sorted.dropWhile(after.nonEmpty && _ <= after)
           val page = all.take(pageSize)
@@ -91,6 +155,7 @@ final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
             next + "</ListBucketResult>"
           respond(200, xml.getBytes(UTF_8))
         case ("GET", k) =>
+          getCalls.incrementAndGet()
           Option(objects.get(k)) match {
             case Some(b) => respond(200, b)
             case None => respond(404)
@@ -109,5 +174,10 @@ final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
 
   val endpoint: URI = new URI(s"http://127.0.0.1:${server.getAddress.getPort}")
   def client: GraftS3.Client = new GraftS3.Client(endpoint, bucket, "local", creds)
+  /** A client with spec-sized multipart knobs (and fast retries). */
+  def clientWith(partSizeBytes: Int, multipartThresholdBytes: Long): GraftS3.Client =
+    new GraftS3.Client(endpoint, bucket, "local", creds,
+      java.net.http.HttpClient.newHttpClient(),
+      partSizeBytes, multipartThresholdBytes, 5, 5)
   override def close(): Unit = { server.stop(0); pool.shutdown() }
 }

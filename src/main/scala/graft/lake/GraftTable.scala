@@ -469,8 +469,9 @@ object GraftTable {
       // a sync poller (materializeMissing) can pull a just-won remote
       // key before the winner's local link lands — or an idempotent
       // replay (an agreeing txn decision). Success, not a lost race;
-      // genuinely-concurrent commit payloads always differ (timestamps
-      // + uuid'd file names).
+      // genuinely-concurrent commit payloads PROVABLY differ (toJson
+      // stamps a per-serialization writerNonce, so even property-only
+      // commits from independent writers never collide byte-wise).
       val same = scala.util.Try(Files.readString(target) == content)
         .getOrElse(false)
       if (!same) throw new IllegalStateException(
@@ -498,11 +499,20 @@ object GraftTable {
       ("removes" -> c.removes) ~
       ("properties" -> c.properties) ~
       ("schemaJson" -> c.schemaJson) ~
-      ("statsVersion" -> statsVersionCurrent)
+      ("statsVersion" -> statsVersionCurrent) ~
+      // per-serialization nonce: writeAtomic (and the object-store
+      // arbiter's 412 path) treats a byte-identical occupant as "my
+      // own write already materialized" — the nonce makes that PROOF
+      // rather than heuristic, since even two property-only commits
+      // serialized by independent writers in the same millisecond can
+      // no longer collide byte-wise. parseCommit ignores it (json4s
+      // extracts only case-class fields); checkpoint writers that race
+      // identical content already swallow the resulting loss.
+      ("writerNonce" -> UUID.randomUUID().toString)
     JsonMethods.compact(JsonMethods.render(json))
   }
 
-  private def parseCommit(s: String): Commit =
+  private[lake] def parseCommit(s: String): Commit =
     JsonMethods.parse(s).extract[Commit]
 
   private[lake] def listDir(p: Path): Seq[Path] =

@@ -343,6 +343,242 @@ class S3ObjectStoreSpec extends SparkSpec {
     }
   }
 
+  test("lost-response idempotency: a conditional PUT whose 200 is dropped converges to ONE " +
+      "commit — the retry 412s against the writer's OWN bytes and is classified as the win") {
+    val em = new graft.lake.GraftS3Server("graft-lost", creds)
+    val root = Paths.get(scratchRoot("s3-spec", "lost"))
+    val unA = GraftS3.mountCommitArbiter(root, em.client)
+    val unM = GraftS3.mountArtifactMirror(root, em.client)
+    try {
+      GraftTable.create(spark, root.toString, Seq((0L, "x")).toDF("id", "v").schema)
+      GraftTable.append(spark, root.toString, Seq((1L, "base")).toDF("id", "v"))
+      // the NEXT log-slot PUT is durably applied server-side and its
+      // response dropped (connection reset — routine against real S3).
+      // Pre-fix behavior: the writer misreads its own 412, auto-retries
+      // onto slot N+1, and the op double-applies once a fleet sync
+      // resurrects slot N. Post-fix: the retry GETs the occupant, sees
+      // its own nonce'd bytes, and reports the win.
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      em.dropPutResponseFor = k =>
+        k.matches("_graft_log/\\d{10}\\.json") && fired.compareAndSet(false, true)
+      GraftTable.append(spark, root.toString, Seq((2L, "lost200")).toDF("id", "v"))
+      em.dropPutResponseFor = _ => false
+      assert(em.droppedResponses.get == 1, "the injection must have fired")
+      // exactly once: no slid slot, no duplicate rows — even after the
+      // DR pass that would resurrect a phantom won slot
+      GraftS3.materializeMissing(root, em.client)
+      assert(GraftTable.read(spark, root.toString)
+        .as[(Long, String)].collect().toSet == Set((1L, "base"), (2L, "lost200")))
+      val slots = em.client.list("_graft_log/").map(_.split('/').last)
+        .count(_.matches("\\d{10}\\.json"))
+      assert(slots == 3, s"create + 2 appends = 3 slots, never a double-commit: $slots")
+      assert(em.rejected.get == 0)
+    } finally { unM.close(); unA.close(); em.close() }
+  }
+
+  test("503 SlowDown throttling: bounded backoff retries converge with zero duplicate commits") {
+    val em = new graft.lake.GraftS3Server("graft-throttle", creds)
+    val root = Paths.get(scratchRoot("s3-spec", "throttle"))
+    val unA = GraftS3.mountCommitArbiter(root, em.client)
+    val unM = GraftS3.mountArtifactMirror(root, em.client)
+    try {
+      GraftTable.create(spark, root.toString, Seq((0L, "x")).toDF("id", "v").schema)
+      // real S3 throttles mid-lifecycle; the next few requests 503
+      // before any state change — one 503 must never fail a commit
+      em.throttleNext.set(3)
+      GraftTable.append(spark, root.toString, Seq((1L, "throttled")).toDF("id", "v"))
+      assert(em.throttled.get == 3, "the throttle must have fired")
+      assert(GraftTable.read(spark, root.toString)
+        .as[(Long, String)].collect().toSet == Set((1L, "throttled")))
+      val slots = em.client.list("_graft_log/").map(_.split('/').last)
+        .count(_.matches("\\d{10}\\.json"))
+      assert(slots == 2, s"create + 1 append = 2 slots: $slots")
+      // composes with lost-response: throttle + drop on the same commit
+      em.throttleNext.set(2)
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      em.dropPutResponseFor = k =>
+        k.matches("_graft_log/\\d{10}\\.json") && fired.compareAndSet(false, true)
+      GraftTable.append(spark, root.toString, Seq((2L, "both")).toDF("id", "v"))
+      em.dropPutResponseFor = _ => false
+      assert(GraftTable.read(spark, root.toString).count() == 2L)
+      assert(em.rejected.get == 0)
+    } finally { unM.close(); unA.close(); em.close() }
+  }
+
+  test("putFile streams: single PUT below the threshold, multipart above — the whole file " +
+      "never sits on the heap (peak buffer = one part), and DR restores multipart objects") {
+    val em = new graft.lake.GraftS3Server("graft-mp", creds)
+    // spec-sized knobs: 64 KiB parts, 128 KiB threshold
+    val c = em.clientWith(64 * 1024, 128 * 1024)
+    try {
+      val rnd = new java.util.Random(15L)
+      val dir = Files.createDirectories(Paths.get(scratchRoot("s3-spec", "mp")))
+      val small = dir.resolve("small.bin")
+      val big = dir.resolve("big.bin")
+      val smallBytes = new Array[Byte](10 * 1024); rnd.nextBytes(smallBytes)
+      val bigBytes = new Array[Byte](300 * 1024 + 17); rnd.nextBytes(bigBytes)
+      Files.write(small, smallBytes)
+      Files.write(big, bigBytes)
+      c.putFile("art/small.bin", small)
+      assert(em.partPuts.get == 0, "below threshold: one streamed PUT, no parts")
+      assert(em.objects.get("art/small.bin").toSeq == smallBytes.toSeq)
+      c.putFile("art/big.bin", big)
+      assert(em.partPuts.get == 5, s"ceil(300.02K/64K) = 5 parts: ${em.partPuts.get}")
+      assert(em.objects.get("art/big.bin").toSeq == bigBytes.toSeq,
+        "multipart reassembly must be byte-identical")
+      // the streaming claim, PROVEN: the largest buffer the client ever
+      // allocated is one part — far below the file size (a
+      // readAllBytes-based mirror would peak at 300 KiB+)
+      assert(c.peakBufferBytes.get == 64 * 1024,
+        s"peak buffer must be one part, got ${c.peakBufferBytes.get}")
+      assert(c.peakBufferBytes.get < Files.size(big))
+      assert(em.rejected.get == 0, "part PUTs and multipart POSTs all signature-verified")
+    } finally em.close()
+  }
+
+  test("artifact mirror over multipart: a full lifecycle with a tiny threshold round-trips " +
+      "every parquet through multipart and restores a blank machine byte-identically") {
+    val em = new graft.lake.GraftS3Server("graft-mpl", creds)
+    // 2 KiB threshold / 1 KiB parts: every real parquet goes multipart
+    val c = em.clientWith(1024, 2048)
+    val root = Paths.get(scratchRoot("s3-spec", "mpl"))
+    val unA = GraftS3.mountCommitArbiter(root, c)
+    val unM = GraftS3.mountArtifactMirror(root, c)
+    try {
+      val rows = (1L to 2000L).map(i => (i, s"v$i"))
+      GraftTable.create(spark, root.toString, rows.toDF("id", "v").schema)
+      GraftTable.append(spark, root.toString, rows.toDF("id", "v").repartition(2))
+      GraftTable.deleteWhere(spark, root.toString, col("id") % 100 === 0)
+      assert(em.partPuts.get > 0, "parquet artifacts must travel multipart at this threshold")
+      val expect = rows.filterNot(_._1 % 100 == 0).toSet
+      assert(GraftTable.read(spark, root.toString).as[(Long, String)].collect().toSet == expect)
+      // blank-machine DR: every multipart-uploaded artifact restores
+      GraftTable.deleteTree(root)
+      Files.createDirectories(root)
+      GraftS3.materializeMissing(root, c)
+      assert(GraftTable.read(spark, root.toString).as[(Long, String)].collect().toSet == expect,
+        "DR through multipart-mirrored artifacts must serve identical rows")
+      assert(em.rejected.get == 0)
+    } finally { unM.close(); unA.close(); em.close() }
+  }
+
+  test("multi-table bucket namespace: one WAREHOUSE mount keys each table by its relative " +
+      "path; lifecycles arbitrate independently and pruneRemote prunes per-table") {
+    val em = new graft.lake.GraftS3Server("graft-wh", creds)
+    val wh = Paths.get(scratchRoot("s3-spec", "wh"))
+    Files.createDirectories(wh)
+    val c = em.client
+    val unA = GraftS3.mountCommitArbiter(wh, c)
+    val unM = GraftS3.mountArtifactMirror(wh, c)
+    try {
+      val ta = wh.resolve("ta"); val tb = wh.resolve("tb")
+      val schema = Seq((0L, "x")).toDF("id", "v").schema
+      GraftTable.create(spark, ta.toString, schema)
+      GraftTable.create(spark, tb.toString, schema)
+      // the SAME slot numbers land in both tables — without the
+      // per-table namespace they would collide on _graft_log/…0001.json
+      // and table A's commits would arbitrate against table B's
+      (1 to 3).foreach { i =>
+        GraftTable.append(spark, ta.toString, Seq((i.toLong, s"a$i")).toDF("id", "v"))
+        GraftTable.append(spark, tb.toString, Seq((i.toLong, s"b$i")).toDF("id", "v"))
+      }
+      val slots = c.list("").filter(_.matches(".*_graft_log/\\d{10}\\.json"))
+      assert(slots.count(_.startsWith("ta/_graft_log/")) == 4 &&
+        slots.count(_.startsWith("tb/_graft_log/")) == 4,
+        s"create + 3 appends per table, namespaced by table path: $slots")
+      // retire ta's early snapshots LOCALLY; pruneRemote must mirror
+      // exactly that retirement — tb's identically-numbered slots and
+      // artifacts stay untouched
+      GraftTable.expireSnapshots(ta.toString, 1)
+      val tbKeysBefore = c.list("tb/").toSet
+      val (rescued, deleted) = GraftS3.pruneRemote(wh, c)
+      assert(rescued.isEmpty, s"nothing crashed: $rescued")
+      assert(deleted.nonEmpty && deleted.forall(_.startsWith("ta/")),
+        s"only ta's retired lineage prunes: $deleted")
+      assert(c.list("tb/").toSet == tbKeysBefore, "tb's bucket footprint is untouched")
+      // both tables still serve, and a blank-machine warehouse restore
+      // brings BOTH back from the one bucket
+      GraftTable.deleteTree(wh)
+      Files.createDirectories(wh)
+      GraftS3.materializeMissing(wh, c)
+      assert(GraftTable.read(spark, ta.toString).as[(Long, String)].collect().toSet ==
+        Set((1L, "a1"), (2L, "a2"), (3L, "a3")))
+      assert(GraftTable.read(spark, tb.toString).as[(Long, String)].collect().toSet ==
+        Set((1L, "b1"), (2L, "b2"), (3L, "b3")))
+      assert(em.rejected.get == 0)
+    } finally { unM.close(); unA.close(); em.close() }
+  }
+
+  test("explicit key prefixes: two table roots OUTSIDE a common mount share one bucket " +
+      "under distinct prefixes; sync and prune stay table-scoped") {
+    val em = new graft.lake.GraftS3Server("graft-pfx", creds)
+    val c = em.client
+    val r1 = Paths.get(scratchRoot("s3-spec", "pfx1"))
+    val r2 = Paths.get(scratchRoot("s3-spec", "pfx2"))
+    val mounts = Seq(
+      GraftS3.mountCommitArbiter(r1, c, "teams/red"),
+      GraftS3.mountArtifactMirror(r1, c, "teams/red"),
+      GraftS3.mountCommitArbiter(r2, c, "teams/blue"),
+      GraftS3.mountArtifactMirror(r2, c, "teams/blue"))
+    try {
+      val schema = Seq((0L, "x")).toDF("id", "v").schema
+      GraftTable.create(spark, r1.toString, schema)
+      GraftTable.create(spark, r2.toString, schema)
+      GraftTable.append(spark, r1.toString, Seq((1L, "red")).toDF("id", "v"))
+      GraftTable.append(spark, r2.toString, Seq((1L, "blue")).toDF("id", "v"))
+      assert(c.list("teams/red/_graft_log/").nonEmpty &&
+        c.list("teams/blue/_graft_log/").nonEmpty)
+      // prefix-scoped DR restores exactly one table
+      GraftTable.deleteTree(r1)
+      Files.createDirectories(r1)
+      GraftS3.materializeMissing(r1, c, "teams/red")
+      assert(GraftTable.read(spark, r1.toString).as[(Long, String)].collect().toSet ==
+        Set((1L, "red")))
+      // prefix-scoped prune never crosses into the other team's keys
+      GraftTable.expireSnapshots(r2.toString, 1)
+      val (_, deleted) = GraftS3.pruneRemote(r2, c, "teams/blue")
+      assert(deleted.forall(_.startsWith("teams/blue/")), s"prune crossed prefixes: $deleted")
+      assert(em.rejected.get == 0)
+    } finally { mounts.reverse.foreach(_.close()); em.close() }
+  }
+
+  test("syncRemote is O(delta): one new commit syncs with ONE prefix list page and " +
+      "targeted GETs for exactly the referenced artifacts — never a bucket walk") {
+    val em = new graft.lake.GraftS3Server("graft-sync", creds)
+    val c = em.client
+    val rootX = Paths.get(scratchRoot("s3-spec", "sync-x"))
+    val rootY = Paths.get(scratchRoot("s3-spec", "sync-y"))
+    val mounts = Seq(
+      GraftS3.mountCommitArbiter(rootX, c), GraftS3.mountArtifactMirror(rootX, c),
+      GraftS3.mountCommitArbiter(rootY, c), GraftS3.mountArtifactMirror(rootY, c))
+    try {
+      val df = Seq((1L, "x1")).toDF("id", "v")
+      GraftTable.create(spark, rootX.toString, df.schema)
+      GraftTable.append(spark, rootX.toString, df)
+      Files.createDirectories(rootY)
+      GraftS3.materializeMissing(rootY, c)   // initial hydration = DR walk, fine
+      // X lands ONE commit with two data files; Y's routine sync must
+      // cost O(that delta), not O(bucket)
+      GraftTable.append(spark, rootX.toString,
+        Seq((2L, "x2"), (3L, "x3")).toDF("id", "v").repartition(2))
+      em.listCalls.set(0); em.getCalls.set(0)
+      val pulled = GraftS3.syncRemote(rootY, c)
+      assert(em.listCalls.get == 1, s"one log-prefix list page: ${em.listCalls.get}")
+      assert(pulled.count(_.matches("_graft_log/\\d{10}\\.json")) == 1 &&
+        pulled.count(_.startsWith("data/")) >= 1 &&
+        pulled.forall(k => k.startsWith("_graft_log/") || k.startsWith("data/")),
+        s"the new slot + its referenced files, nothing else: $pulled")
+      assert(em.getCalls.get == pulled.size,
+        s"every GET pulled something (targeted, no probing): ${em.getCalls.get} vs $pulled")
+      assert(GraftTable.read(spark, rootY.toString).as[(Long, String)].collect().toSet ==
+        Set((1L, "x1"), (2L, "x2"), (3L, "x3")), "Y serves X's new rows after the delta sync")
+      // idempotent: a second sync lists the same page, pulls nothing
+      val again = GraftS3.syncRemote(rootY, c)
+      assert(again.isEmpty, s"nothing new: $again")
+      assert(em.rejected.get == 0)
+    } finally { mounts.reverse.foreach(_.close()); em.close() }
+  }
+
   test("transaction decision files arbitrate remotely: racing commit vs abort, one verdict") {
     val em = new graft.lake.GraftS3Server("graft-txn", creds)
     val root = Paths.get(scratchRoot("s3-spec", "txn"))
