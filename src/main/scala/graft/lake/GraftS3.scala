@@ -456,7 +456,15 @@ object GraftS3 {
   def materializeMissing(root: Path, client: Client,
       prefix: String = ""): Seq[String] = {
     val p = normPrefix(prefix)
-    client.list(p).flatMap { key =>
+    // ARTIFACTS BEFORE COMMIT SLOTS — the write path's own ordering
+    // (placeArtifact, then the log link): a LIVE reader (a CDC stream,
+    // a concurrent query) replans the moment a new slot materializes,
+    // and must never see a commit whose data files haven't landed yet.
+    // A plain sorted walk gets this exactly backwards ("_graft_log/"
+    // sorts before "data/").
+    val (slots, others) = client.list(p)
+      .partition(_.stripPrefix(p).matches("(.*/)?_graft_log/\\d{10}\\.json"))
+    (others ++ slots).flatMap { key =>
       val local = root.resolve(key.stripPrefix(p))
       if (Files.exists(local)) None
       else client.get(key).map { bytes => writeLocalAtomic(local, bytes); key }
@@ -477,12 +485,14 @@ object GraftS3 {
       val rel = key.stripPrefix(p)
       val local = root.resolve(rel)
       if (!Files.exists(local)) client.get(key).foreach { bytes =>
-        writeLocalAtomic(local, bytes)
-        pulled += key
         if (isSlot.matches(rel)) {
           // a commit references its files by table-relative path; pull
           // the ones this machine lacks (adds only: removes point at
-          // files a fully-synced peer already has or never needs)
+          // files a fully-synced peer already has or never needs).
+          // ARTIFACTS LAND FIRST, the slot LAST — the write path's own
+          // ordering: a live reader (a CDC stream mid-poll) replans
+          // the instant the slot materializes and must never see a
+          // commit whose data files haven't arrived.
           GraftTable.parseCommit(new String(bytes, UTF_8)).adds.foreach { f =>
             val fLocal = root.resolve(f.path)
             if (!Files.exists(fLocal))
@@ -492,6 +502,8 @@ object GraftS3 {
               }
           }
         }
+        writeLocalAtomic(local, bytes)
+        pulled += key
       }
     }
     pulled.result()

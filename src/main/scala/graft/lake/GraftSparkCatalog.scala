@@ -43,6 +43,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * V1Write → InsertableRelation onto append/overwrite — the commit
   * protocol (snapshot isolation, conflict detection) is unchanged.
   */
+object GraftSparkCatalog {
+  /** Guards conf-driven S3 mounts against duplicate hook stacking when
+    * the same catalog is re-initialized (new session, one JVM). */
+  private val s3Mounted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+}
+
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     with StagingTableCatalog with FunctionCatalog
     with org.apache.spark.sql.connector.catalog.ViewCatalog {
@@ -130,6 +137,37 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalArgumentException(
         s"spark.sql.catalog.$name.warehouse must point at a directory"))
     Files.createDirectories(Paths.get(warehouse))
+    // Object-store commit plane by CONF alone — the deployment shape
+    // the reference wires via spark-defaults.conf (its compose stack
+    // points Spark at the MinIO service by config, never API calls):
+    //   spark.sql.catalog.<name>.s3.endpoint    (presence turns it on)
+    //   spark.sql.catalog.<name>.s3.bucket      (required)
+    //   spark.sql.catalog.<name>.s3.access-key / s3.secret-key (required)
+    //   spark.sql.catalog.<name>.s3.region      (default us-east-1)
+    //   spark.sql.catalog.<name>.s3.prefix      (optional key namespace)
+    // Arbiter + artifact mirror mount at WAREHOUSE level, so every
+    // table under this catalog arbitrates its commits against the
+    // store with warehouse-relative key namespacing (multi-table-safe
+    // by construction). The hooks live as long as the session's cached
+    // catalog instance and are scoped to this warehouse root,
+    // delegating foreign paths — same discipline as every other global
+    // hook. The mounted-set guard keeps a re-initialized catalog (new
+    // session, same JVM) from stacking duplicate hooks.
+    Option(options.get("s3.endpoint")).foreach { ep =>
+      def req(k: String) = Option(options.get(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"spark.sql.catalog.$name.$k is required when s3.endpoint is set"))
+      val prefix = Option(options.get("s3.prefix")).getOrElse("")
+      val mountKey = s"$ep|${req("s3.bucket")}|$warehouse|$prefix"
+      if (GraftSparkCatalog.s3Mounted.add(mountKey)) {
+        val client = new GraftS3.Client(java.net.URI.create(ep),
+          req("s3.bucket"),
+          Option(options.get("s3.region")).getOrElse("us-east-1"),
+          GraftS3.Credentials(req("s3.access-key"), req("s3.secret-key")))
+        GraftS3.mountCommitArbiter(Paths.get(warehouse), client, prefix)
+        GraftS3.mountArtifactMirror(Paths.get(warehouse), client, prefix)
+      }
+    }
     sweepStaleStaging()
   }
 

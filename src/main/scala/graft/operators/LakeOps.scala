@@ -277,6 +277,100 @@ object LakeOps {
     } finally server.close()
   }
 
+  // ── q109: hardened S3 fleet plane under the gate, oracle-checked ────
+  /** Round 15's real-endpoint hardening composed into one arbitrated
+    * lifecycle: ONE warehouse-level mount arbitrates TWO tables in one
+    * bucket (keys namespaced by table path — without it their
+    * identically-numbered `_graft_log` slots would collide); the
+    * lifecycle absorbs injected real-S3 faults — two 503 SlowDown
+    * throttles and a commit whose 200 is DROPPED after the server
+    * durably applied it (the lost-response double-commit hazard: the
+    * retry 412s against the writer's own nonce'd bytes and must
+    * classify as the win, landing in exactly ONE slot); parquet
+    * artifacts travel S3 MULTIPART when they exceed the spec-sized
+    * threshold; a second machine follows table A by O(delta)
+    * `syncRemote` (ONE log-prefix list page + targeted GETs, never a
+    * bucket walk); and per-table `pruneRemote` mirrors A's local
+    * expiry up while leaving B's identically-numbered keys untouched.
+    * The OUTPUT is the union of both tables' final rows — table A read
+    * from the SYNCED FOLLOWER's replica, table B from the writer —
+    * which DuckDB recomputes from the raw parquet, so the faulted
+    * fleet lifecycle carries a full hash oracle. */
+  def q109(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.{GraftS3, GraftS3Server}
+    val creds = GraftS3.Credentials("GRAFTKEY", "graft-secret-key")
+    val server = new GraftS3Server("graft-fleet-gate", creds)
+    try {
+      val wh = Paths.get(scratch("q109-wh"))
+      Files.createDirectories(wh)
+      // spec-sized multipart knobs: real parquet crosses the threshold
+      // from sf0.01 up; below it the single PUT still streams (ofFile)
+      val mpThreshold = 128L * 1024
+      val client = server.clientWith(64 * 1024, mpThreshold)
+      val unA = GraftS3.mountCommitArbiter(wh, client)
+      val unM = GraftS3.mountArtifactMirror(wh, client)
+      try {
+        val a = wh.resolve("a"); val b = wh.resolve("b")
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        GraftTable.create(s, a.toString, orders.schema)
+        GraftTable.create(s, b.toString, orders.schema)
+        GraftTable.append(s, a.toString, orders.filter(col("o_orderkey") % 2 === 0))
+        GraftTable.append(s, b.toString, orders.filter(col("o_orderkey") % 2 === 1))
+        require(client.list("a/_graft_log/").nonEmpty &&
+          client.list("b/_graft_log/").nonEmpty,
+          "both tables' commit planes must be namespaced in the one bucket")
+        // machine Y hydrates a REPLICA of table A from the bucket alone
+        val y = Paths.get(scratch("q109-y"))
+        Files.createDirectories(y)
+        GraftS3.materializeMissing(y, client, "a")
+        // fault injection on the NEXT commit: two throttles + its 200
+        // dropped after the durable apply
+        server.throttleNext.set(2)
+        val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+        server.dropPutResponseFor = k =>
+          k.matches("a/_graft_log/\\d{10}\\.json") && fired.compareAndSet(false, true)
+        GraftTable.deleteWhere(s, a.toString, col("o_totalprice") < 50000)
+        server.dropPutResponseFor = _ => false
+        require(server.droppedResponses.get == 1 && server.throttled.get == 2,
+          "both fault injections must fire")
+        // exactly-once: the faulted delete occupies ONE slot (create +
+        // append + delete = 3), never a double-commit via slot N+1
+        require(client.list("a/_graft_log/").count(
+          _.matches("a/_graft_log/\\d{10}\\.json")) == 3,
+          "the lost-200 commit must land in exactly one slot")
+        // multipart engaged whenever any mirrored artifact crossed the
+        // threshold (always from sf0.01 up; tiny smoke SFs stay single)
+        val anyBig = Files.walk(wh).iterator().asScala.exists(p =>
+          Files.isRegularFile(p) && Files.size(p) >= mpThreshold)
+        require(!anyBig || server.partPuts.get > 0,
+          "threshold-crossing artifacts must travel multipart")
+        // the follower syncs the delete with ONE log-prefix list page +
+        // targeted GETs — O(delta), never a bucket walk
+        val lists0 = server.listCalls.get
+        val pulled = GraftS3.syncRemote(y, client, "a")
+        require(server.listCalls.get == lists0 + 1 && pulled.nonEmpty,
+          s"delta sync must cost one list page (pulled $pulled)")
+        // per-table hygiene: A expires locally; prune mirrors exactly
+        // that retirement and never crosses into B's keyspace
+        GraftTable.expireSnapshots(a.toString, 1)
+        val bKeys = client.list("b/").toSet
+        val (rescued, deleted) = GraftS3.pruneRemote(wh, client)
+        require(rescued.isEmpty && deleted.nonEmpty && deleted.forall(_.startsWith("a/")),
+          s"prune mirrors only A's retirement: rescued=$rescued deleted=$deleted")
+        require(client.list("b/").toSet == bKeys, "B's bucket footprint is untouched")
+        require(server.rejected.get == 0,
+          "every request must pass the server-side SigV4 verification")
+        GraftTable.read(s, y.toString)
+          .unionByName(GraftTable.read(s, b.toString))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      } finally { unM.close(); unA.close() }
+    } finally server.close()
+  }
+
   // ── q29: partition-spec pruned read, oracle-checked ─────────────────
   def q29(s: SparkSession, dir: String): DataFrame = {
     val root = scratch("q29")
@@ -1219,9 +1313,17 @@ object LakeOps {
     "q27_lake_merge" -> q27 _,
     "q28_lake_mor_delete" -> q28 _,
     "q29_lake_partition_prune" -> q29 _,
-    "q108_lake_s3" -> q108 _)
+    "q108_lake_s3" -> q108 _,
+    "q109_lake_s3_fleet" -> q109 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q109_lake_s3_fleet" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE (o_orderkey % 2 = 0 AND o_totalprice >= 50000)
+        |   OR o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q108_lake_s3" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         |FROM customer

@@ -183,11 +183,14 @@ object TextOps {
     * scrubber.
     *
     * Three scale-safety choices, all mirrored in the DuckDB oracle:
-    *  - the window hash is a 64-BIT integer (xxhash64 here, HASH() in
-    *    DuckDB — the values differ across engines but are internal;
-    *    only the induced grouping must agree), so the corpus-sized
-    *    explode shuffles 8-byte keys, not 32-char md5 hex (4× fewer
-    *    key bytes);
+    *  - the window key is 128 BITS — a struct of two independently
+    *    seeded xxhash64 values (DuckDB groups by the window text
+    *    itself; the hashes are internal, only the induced grouping
+    *    must agree). 16-byte shuffle keys are still 2× leaner than
+    *    md5 hex, and the birthday bound moves from n²/2⁶⁵ — thousands
+    *    of false duplicate marks at this operator's stated
+    *    10¹¹–10¹²-window design point, each silently scrubbing 20
+    *    good tokens — to n²/2¹²⁹ ≈ never;
     *  - the global first is an order-safe STRUCT-min — no arithmetic
     *    encoding, so hash-derived 64-bit doc_ids and >1M-token docs
     *    are both safe (a `doc_id*K+pos` fold would overflow / bleed
@@ -204,9 +207,14 @@ object TextOps {
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .select(col("doc_id"), posexplode(
         when(size(col("t")) >= W,
-          transform(sequence(lit(1), size(col("t")) - (W - 1)),
-            i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(W))))))
-          .otherwise(array().cast("array<bigint>"))).as(Seq("pos0", "h")))
+          transform(
+            // inner pass materializes each window string once; outer
+            // derives both hash halves from it (no double concat)
+            transform(sequence(lit(1), size(col("t")) - (W - 1)),
+              i => concat_ws(" ", slice(col("t"), i, lit(W)))),
+            w => struct(xxhash64(w).as("h1"), xxhash64(lit(1L), w).as("h2"))))
+          .otherwise(array().cast("array<struct<h1:bigint,h2:bigint>>")))
+        .as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
     val firsts = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("n"),

@@ -130,11 +130,12 @@ class NewQueryPlanSpec extends SparkSpec {
       "q65_lake_spec_evolve", "q66_lake_write_ordered", "q67_lake_wap",
       "q68_dedup_incremental", "q81_lake_partitions", "q82_lake_ndv",
       "q85_lake_row_lineage", "q87_lake_add_files", "q105_lake_catalog_branch",
-      // q108 additionally swaps the GLOBAL commit arbiter for its
-      // crash injection — running it here mid-parallel-suite would
-      // clobber S3ObjectStoreSpec's mounted hook chain (the r13
-      // unscoped-hook flake class), on top of the lifecycle cost
-      "q108_lake_s3")
+      // q108/q109 additionally mount (and q108 swaps) the GLOBAL
+      // commit arbiter for their fault injections — running them here
+      // mid-parallel-suite would clobber S3ObjectStoreSpec's mounted
+      // hook chain (the r13 unscoped-hook flake class), on top of the
+      // lifecycle cost
+      "q108_lake_s3", "q109_lake_s3_fleet")
     val names = SparkEntry.queries.keySet -- lifecycle -- allPairsDeclared
     val offenders = names.toSeq.sorted.flatMap { n =>
       val df = SparkEntry.queries(n)(spark, sf)

@@ -1314,4 +1314,48 @@ class SqlFrontDoorSpec extends SparkSpec {
     assert(p("graft.snapshot.source").endsWith("snapsrc"),
       s"clone must record its source: ${p.get("graft.snapshot.source")}")
   }
+
+  test("object store mounted purely by CONF: DDL + INSERT + DELETE through SQL arbitrate " +
+      "against the bucket with warehouse-namespaced keys, and DR restores the warehouse") {
+    import graft.lake.{GraftS3, GraftS3Server}
+    // the reference's deployment UX: spark-defaults.conf points the
+    // session at the object-store tier; no API calls anywhere below
+    val creds = GraftS3.Credentials("GRAFTKEY", "graft-secret-key")
+    val em = new GraftS3Server("graft-conf", creds)
+    // own catalog NAME + per-pid warehouse (never touch the cached
+    // "graft" instance — its warehouse conf is session-frozen)
+    val wh = scratchRoot("sqlfront", s"s3wh-${ProcessHandle.current().pid()}")
+    try {
+      spark.conf.set("spark.sql.catalog.graft_s3w", "graft.lake.GraftSparkCatalog")
+      spark.conf.set("spark.sql.catalog.graft_s3w.warehouse", wh)
+      spark.conf.set("spark.sql.catalog.graft_s3w.s3.endpoint", em.endpoint.toString)
+      spark.conf.set("spark.sql.catalog.graft_s3w.s3.bucket", "graft-conf")
+      spark.conf.set("spark.sql.catalog.graft_s3w.s3.access-key", creds.accessKey)
+      spark.conf.set("spark.sql.catalog.graft_s3w.s3.secret-key", creds.secretKey)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_s3w.lab")
+      spark.sql("CREATE TABLE graft_s3w.lab.ev (id BIGINT, v STRING)")
+      spark.sql("INSERT INTO graft_s3w.lab.ev VALUES (1,'a'),(2,'b'),(3,'c')")
+      spark.sql("DELETE FROM graft_s3w.lab.ev WHERE id = 2")
+      assert(spark.sql("SELECT id, v FROM graft_s3w.lab.ev ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "a"), (3L, "c")))
+      // every one of those commits was arbitrated in the bucket, keyed
+      // by the table's warehouse-relative path (multi-table-safe)
+      val slots = em.client.list("lab/ev/_graft_log/")
+        .filter(_.matches("lab/ev/_graft_log/\\d{10}\\.json"))
+      assert(slots.size >= 3, s"create + insert + delete commit slots: $slots")
+      slots.foreach { k =>
+        assert(em.client.get(k).map(_.toSeq) ==
+          Some(Files.readAllBytes(Paths.get(wh).resolve(k)).toSeq),
+          s"store must hold $k byte-identical to the local log")
+      }
+      assert(em.rejected.get == 0, "every conf-mounted request signature-verified")
+      // blank-warehouse DR purely from the store, served back via SQL
+      graft.lake.GraftTable.deleteTree(Paths.get(wh, "lab"))
+      GraftS3.materializeMissing(Paths.get(wh), em.client)
+      assert(spark.sql("SELECT id, v FROM graft_s3w.lab.ev ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "a"), (3L, "c")), "SQL serves the restored warehouse")
+    } finally em.close()
+  }
 }

@@ -1057,4 +1057,68 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("tws_once").count() == 1, "completion must emit exactly once")
     }
   }
+
+  test("CDC stream × fleet sync: machine Y streams a table that machine X commits to " +
+      "through the shared bucket — offsets stay exactly-once across hydration, and a " +
+      "lost-response commit never surfaces twice") {
+    import java.nio.file.Paths
+    import graft.lake.{GraftS3, GraftS3Server, GraftTable}
+    import spark.implicits._
+    val creds = GraftS3.Credentials("GRAFTKEY", "graft-secret-key")
+    val em = new GraftS3Server("graft-cdcfleet", creds)
+    val c = em.client
+    val base = Files.createTempDirectory("graft-cdc-fleet")
+    val rootX = base.resolve("machine-x")
+    val rootY = base.resolve("machine-y")
+    val mounts = Seq(
+      GraftS3.mountCommitArbiter(rootX, c), GraftS3.mountArtifactMirror(rootX, c),
+      GraftS3.mountCommitArbiter(rootY, c), GraftS3.mountArtifactMirror(rootY, c))
+    try {
+      // X owns the write side
+      val df = Seq((1L, "a")).toDF("id", "v")
+      GraftTable.create(spark, rootX.toString, df.schema)
+      GraftTable.append(spark, rootX.toString, df)
+      // Y hydrates from the bucket and streams its LOCAL replica
+      Files.createDirectories(rootY)
+      GraftS3.materializeMissing(rootY, c)
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      val q = GraftTable.readStreamChanges(spark, rootY.toString, fromExclusive = Some(0L))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            got ++= b.select("id", "_change_type", "_commit_snapshot_id").collect()
+              .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          }
+          ()
+        }
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        def inserts() = got.synchronized(got.filter(_._2 == "insert").map(_._1).toList)
+        assert(inserts() == List(1L), s"hydrated history streams once: $got")
+        // X commits; the 200 for its log slot is LOST in transit — the
+        // idempotent conditional PUT must converge to ONE commit, and
+        // Y's mid-stream delta sync must surface it exactly once
+        val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+        em.dropPutResponseFor = k =>
+          k.matches("_graft_log/\\d{10}\\.json") && fired.compareAndSet(false, true)
+        GraftTable.append(spark, rootX.toString, Seq((2L, "b")).toDF("id", "v"))
+        em.dropPutResponseFor = _ => false
+        assert(em.droppedResponses.get == 1, "the lost-response injection must fire")
+        GraftS3.syncRemote(rootY, c)
+        q.processAllAvailable()
+        assert(inserts().sorted == List(1L, 2L), s"the lost-200 commit streams ONCE: $got")
+        // another commit + sync keeps the offset chain exactly-once
+        GraftTable.append(spark, rootX.toString, Seq((3L, "c")).toDF("id", "v"))
+        GraftS3.syncRemote(rootY, c)
+        q.processAllAvailable()
+        assert(inserts().sorted == List(1L, 2L, 3L),
+          s"every fleet commit surfaces exactly once, in order: $got")
+        assert(got.synchronized(got.map(_._3).distinct.size) == 3,
+          "three distinct commit snapshots, none replayed")
+        assert(em.rejected.get == 0)
+      } finally q.stop()
+    } finally { mounts.reverse.foreach(_.close()); em.close() }
+  }
 }
