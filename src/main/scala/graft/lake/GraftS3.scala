@@ -324,6 +324,19 @@ object GraftS3 {
         .getOrElse(throw new IllegalStateException(
           s"initiate multipart returned no UploadId: ${initXml.take(200)}"))
         .group(1)
+      try uploadParts(key, file, uploadId)
+      catch { case t: Throwable =>
+        // AbortMultipartUpload — on real S3 an abandoned upload's parts
+        // accrue STORAGE until a lifecycle rule reaps them; the mirror
+        // failure is already loud, the abort just doesn't leak
+        try send("DELETE", key, Seq("uploadId" -> uploadId),
+          Array.emptyByteArray, Nil)
+        catch { case _: Throwable => () }   // best-effort; never mask t
+        throw t
+      }
+    }
+
+    private def uploadParts(key: String, file: Path, uploadId: String): Unit = {
       val in = Files.newInputStream(file)
       try {
         val buf = new Array[Byte](partSizeBytes)

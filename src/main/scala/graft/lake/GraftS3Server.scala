@@ -54,6 +54,12 @@ final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
   val listCalls = new AtomicInteger(0)
   val getCalls = new AtomicInteger(0)
   val partPuts = new AtomicInteger(0)
+  /** Inject: the next N multipart PART PUTs 500 (without being
+    * applied) — drives the client's AbortMultipartUpload path. */
+  val failPartsNext = new AtomicInteger(0)
+  /** Uploads initiated but neither completed nor aborted — real S3
+    * bills for these until a lifecycle rule reaps them. */
+  def openUploads: Int = uploads.size
 
   private val uploads =
     new ConcurrentHashMap[String, ConcurrentSkipListMap[Int, Array[Byte]]]()
@@ -116,7 +122,8 @@ final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
             s"<Bucket>$bucket</Bucket><Key>$k</Key><UploadId>$id</UploadId>" +
             "</InitiateMultipartUploadResult>").getBytes(UTF_8))
         case ("PUT", _) if params.contains("uploadId") && params.contains("partNumber") =>
-          Option(uploads.get(params("uploadId"))) match {
+          if (failPartsNext.getAndUpdate(n => math.max(0, n - 1)) > 0) respond(500)
+          else Option(uploads.get(params("uploadId"))) match {
             case Some(parts) =>
               parts.put(params("partNumber").toInt, body)
               partPuts.incrementAndGet()
@@ -160,6 +167,8 @@ final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
             case Some(b) => respond(200, b)
             case None => respond(404)
           }
+        case ("DELETE", _) if params.contains("uploadId") =>   // abort multipart
+          uploads.remove(params("uploadId")); respond(204)
         case ("DELETE", k) => objects.remove(k); respond(204)
         case _ => respond(400)
       }

@@ -160,10 +160,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       val prefix = Option(options.get("s3.prefix")).getOrElse("")
       val mountKey = s"$ep|${req("s3.bucket")}|$warehouse|$prefix"
       if (GraftSparkCatalog.s3Mounted.add(mountKey)) {
+        def sizeOpt(k: String, dflt: Long): Long =
+          Option(options.get(k)).map(_.toLong).getOrElse(dflt)
         val client = new GraftS3.Client(java.net.URI.create(ep),
           req("s3.bucket"),
           Option(options.get("s3.region")).getOrElse("us-east-1"),
-          GraftS3.Credentials(req("s3.access-key"), req("s3.secret-key")))
+          GraftS3.Credentials(req("s3.access-key"), req("s3.secret-key")),
+          java.net.http.HttpClient.newHttpClient(),
+          sizeOpt("s3.part-size-bytes", 64L << 20).toInt,
+          sizeOpt("s3.multipart-threshold-bytes", 256L << 20))
         GraftS3.mountCommitArbiter(Paths.get(warehouse), client, prefix)
         GraftS3.mountArtifactMirror(Paths.get(warehouse), client, prefix)
       }

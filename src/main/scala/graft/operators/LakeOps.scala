@@ -304,9 +304,11 @@ object LakeOps {
       val wh = Paths.get(scratch("q109-wh"))
       Files.createDirectories(wh)
       // spec-sized multipart knobs: real parquet crosses the threshold
-      // from sf0.01 up; below it the single PUT still streams (ofFile)
+      // from sf0.01 up; below it the single PUT still streams (ofFile).
+      // Parts stay larger than the threshold so part COUNT grows
+      // slowly with SF (sf1 files ≈ tens of parts, not hundreds)
       val mpThreshold = 128L * 1024
-      val client = server.clientWith(64 * 1024, mpThreshold)
+      val client = server.clientWith(256 * 1024, mpThreshold)
       val unA = GraftS3.mountCommitArbiter(wh, client)
       val unM = GraftS3.mountArtifactMirror(wh, client)
       try {
@@ -342,8 +344,11 @@ object LakeOps {
           "the lost-200 commit must land in exactly one slot")
         // multipart engaged whenever any mirrored artifact crossed the
         // threshold (always from sf0.01 up; tiny smoke SFs stay single)
-        val anyBig = Files.walk(wh).iterator().asScala.exists(p =>
-          Files.isRegularFile(p) && Files.size(p) >= mpThreshold)
+        val walk = Files.walk(wh)
+        val anyBig =
+          try walk.iterator().asScala.exists(p =>
+            Files.isRegularFile(p) && Files.size(p) >= mpThreshold)
+          finally walk.close()
         require(!anyBig || server.partPuts.get > 0,
           "threshold-crossing artifacts must travel multipart")
         // the follower syncs the delete with ONE log-prefix list page +

@@ -433,6 +433,13 @@ class S3ObjectStoreSpec extends SparkSpec {
         s"peak buffer must be one part, got ${c.peakBufferBytes.get}")
       assert(c.peakBufferBytes.get < Files.size(big))
       assert(em.rejected.get == 0, "part PUTs and multipart POSTs all signature-verified")
+      // a part failure past the retry budget ABORTS the upload — real
+      // S3 bills for orphaned parts until a lifecycle rule reaps them
+      em.failPartsNext.set(10)
+      intercept[IllegalArgumentException] { c.putFile("art/fail.bin", big) }
+      em.failPartsNext.set(0)
+      assert(em.openUploads == 0, "the failed upload must be aborted, not orphaned")
+      assert(em.objects.get("art/fail.bin") == null, "no partial object materializes")
     } finally em.close()
   }
 
