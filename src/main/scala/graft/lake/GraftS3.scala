@@ -401,6 +401,41 @@ object GraftS3 {
     }
   }
 
+  // ── parallel mirror plumbing ────────────────────────────────────────
+  // A commit placing N artifacts must have them DURABLY remote before
+  // its slot's conditional PUT (a crashed winner's slot must never
+  // reference missing remote artifacts), but nothing orders the
+  // uploads among THEMSELVES — serializing them on the committing
+  // thread makes commit latency the SUM of N uploads. Placements
+  // therefore enqueue onto a bounded daemon pool and the ARBITER
+  // drains the queue before arbitrating any slot: commit latency
+  // becomes the MAX upload, the durability ordering is untouched.
+  // One JVM-wide queue: draining a concurrent writer's uploads too is
+  // a harmless wait, never a correctness hazard.
+  private lazy val mirrorPool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.min(8, Runtime.getRuntime.availableProcessors()),
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-s3-mirror"); t.setDaemon(true); t
+    })
+  private val pendingUploads =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.util.concurrent.Future[_]]()
+
+  /** Await every enqueued upload; a failed upload surfaces LOUDLY as
+    * IllegalArgumentException — deliberately NOT IllegalStateException,
+    * which the slot-race retry loops catch and would misread as a lost
+    * commit race. */
+  private def flushUploads(): Unit = {
+    var f = pendingUploads.poll()
+    while (f != null) {
+      try f.get()
+      catch { case e: java.util.concurrent.ExecutionException =>
+        throw new IllegalArgumentException(
+          s"artifact mirror upload failed: ${e.getCause}", e.getCause)
+      }
+      f = pendingUploads.poll()
+    }
+  }
+
   /** Mount the object store as `root`'s commit arbiter: every
     * writeAtomic under `root` must WIN its key remotely (conditional
     * PUT) before the local file materializes, so the store — not the
@@ -408,6 +443,8 @@ object GraftS3 {
     * deployment shape with S3/MinIO behind a fleet of writers. Scoped
     * by root and composed with the previous arbiter (suites run in
     * parallel in one JVM — same discipline as placeArtifact hooks).
+    * Pending mirror uploads are FLUSHED before any slot under `root`
+    * is arbitrated (see the parallel-mirror plumbing above).
     *
     * `prefix` namespaces every key — mount MULTIPLE table roots into
     * one bucket with distinct prefixes, or mount one WAREHOUSE root
@@ -422,9 +459,10 @@ object GraftS3 {
     // Path.startsWith is COMPONENT-wise: "/x/t10" must not be captured
     // by a mount for "/x/t1" (a string prefix check would)
     GraftTable.commitArbiter = Some { (target, content) =>
-      if (target.startsWith(root))
+      if (target.startsWith(root)) {
+        flushUploads()   // artifacts durably remote BEFORE the slot
         client.putIfAbsent(keyFor(root, target, p), content.getBytes(UTF_8))
-      else prev.forall(_(target, content))
+      } else prev.forall(_(target, content))
     }
     () => GraftTable.commitArbiter = prev
   }
@@ -434,18 +472,27 @@ object GraftS3 {
     * previous placement hook for foreign roots. Artifacts STREAM up
     * ([[Client.putFile]]: ofFile single PUT, multipart above the
     * threshold) — a 1 GiB parquet never lands on the committing JVM's
-    * heap. Checkpoint-parquet directories mirror too (the winning
-    * build fires checkpointPlaced once), so a blank-machine restore
-    * keeps O(1) replay even after [[pruneRemote]] dropped the store's
-    * copies of expired commits. */
+    * heap — and upload IN PARALLEL off a bounded pool (the local move
+    * happens first, then the upload reads the immutable final path);
+    * the commit arbiter drains the queue before any slot PUT, so a
+    * commit waits for the SLOWEST upload, not the sum. Checkpoint
+    * directories mirror synchronously (rare, already batched, and not
+    * followed by an arbitrated write of their own), so a blank-machine
+    * restore keeps O(1) replay even after [[pruneRemote]] dropped the
+    * store's copies of expired commits. */
   def mountArtifactMirror(root: Path, client: Client,
       prefix: String = ""): AutoCloseable = {
     val p = normPrefix(prefix)
     val prev = GraftTable.placeArtifact
     val prevCkpt = GraftTable.checkpointPlaced
     GraftTable.placeArtifact = (src, dst) => {
-      if (dst.startsWith(root)) client.putFile(keyFor(root, dst, p), src)
+      // the local placement first: the upload streams from the final
+      // immutable path (src is consumed by the move)
       prev(src, dst)
+      if (dst.startsWith(root))
+        pendingUploads.add(mirrorPool.submit(new Runnable {
+          def run(): Unit = client.putFile(keyFor(root, dst, p), dst)
+        }))
     }
     GraftTable.checkpointPlaced = Some { dir =>
       if (dir.startsWith(root)) {
@@ -456,7 +503,10 @@ object GraftS3 {
       }
       prevCkpt.foreach(_(dir))
     }
-    () => { GraftTable.placeArtifact = prev; GraftTable.checkpointPlaced = prevCkpt }
+    () => {
+      flushUploads()   // nothing in flight outlives the mount
+      GraftTable.placeArtifact = prev; GraftTable.checkpointPlaced = prevCkpt
+    }
   }
 
   /** Crash recovery / DR for an arbitrated mount: the store holds
@@ -477,11 +527,24 @@ object GraftS3 {
     // sorts before "data/").
     val (slots, others) = client.list(p)
       .partition(_.stripPrefix(p).matches("(.*/)?_graft_log/\\d{10}\\.json"))
-    (others ++ slots).flatMap { key =>
+    def pull(key: String): Option[String] = {
       val local = root.resolve(key.stripPrefix(p))
       if (Files.exists(local)) None
       else client.get(key).map { bytes => writeLocalAtomic(local, bytes); key }
     }
+    // the artifact phase is the DR's byte volume — pull it in parallel
+    // (order-free: unique immutable names, unreferenced until a slot
+    // lands); slots then materialize SEQUENTIALLY in id order, so a
+    // concurrent reader never sees a child commit before its parent
+    val pulledOthers = others
+      .map(k => mirrorPool.submit(new java.util.concurrent.Callable[Option[String]] {
+        def call(): Option[String] = pull(k)
+      }))
+      .flatMap { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    pulledOthers ++ slots.sorted.flatMap(pull)
   }
 
   /** Routine O(delta) fleet sync for ONE table mounted at `root`:

@@ -57,6 +57,12 @@ final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
   /** Inject: the next N multipart PART PUTs 500 (without being
     * applied) — drives the client's AbortMultipartUpload path. */
   val failPartsNext = new AtomicInteger(0)
+  /** Inject: every plain object PUT sleeps this long before applying —
+    * makes upload CONCURRENCY observable via [[maxInflightPuts]]. */
+  @volatile var putDelayMs: Long = 0
+  private val inflightPuts = new AtomicInteger(0)
+  /** High-water mark of concurrently in-flight plain object PUTs. */
+  val maxInflightPuts = new AtomicInteger(0)
   /** Uploads initiated but neither completed nor aborted — real S3
     * bills for these until a lifecycle rule reaps them. */
   def openUploads: Int = uploads.size
@@ -145,7 +151,15 @@ final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
         case ("PUT", k) =>
           if (Option(x.getRequestHeaders.getFirst("If-None-Match")).contains("*")) {
             if (objects.putIfAbsent(k, body) != null) respond(412) else dropOr200(k)
-          } else { objects.put(k, body); dropOr200(k) }
+          } else {
+            val now = inflightPuts.incrementAndGet()
+            maxInflightPuts.getAndUpdate(math.max(_, now))
+            try {
+              if (putDelayMs > 0) Thread.sleep(putDelayMs)
+              objects.put(k, body)
+            } finally inflightPuts.decrementAndGet()
+            dropOr200(k)
+          }
         case ("GET", "") =>   // ListObjectsV2
           listCalls.incrementAndGet()
           val prefix = params.getOrElse("prefix", "")

@@ -586,6 +586,47 @@ class S3ObjectStoreSpec extends SparkSpec {
     } finally { mounts.reverse.foreach(_.close()); em.close() }
   }
 
+  test("the artifact mirror uploads IN PARALLEL and the arbiter flushes before the slot: " +
+      "a multi-file commit waits for the slowest upload, not the sum") {
+    val em = new graft.lake.GraftS3Server("graft-par", creds)
+    val root = Paths.get(scratchRoot("s3-spec", "par"))
+    val unA = GraftS3.mountCommitArbiter(root, em.client)
+    val unM = GraftS3.mountArtifactMirror(root, em.client)
+    try {
+      val rows = (1L to 800L).map(i => (i, s"v$i"))
+      GraftTable.create(spark, root.toString, rows.toDF("id", "v").schema)
+      // 100 ms per object PUT: 8 data files serialized would cost
+      // ≥800 ms of pure injected latency; the pool overlaps them
+      em.putDelayMs = 100
+      val t0 = System.nanoTime()
+      GraftTable.append(spark, root.toString,
+        rows.toDF("id", "v").repartition(8))
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      em.putDelayMs = 0
+      assert(em.maxInflightPuts.get >= 2,
+        s"uploads must overlap: max inflight ${em.maxInflightPuts.get}")
+      // the durability ordering held anyway: by the time the commit
+      // returned, every referenced artifact is remote byte-identical
+      val logDir = root.resolve("_graft_log")
+      Files.list(logDir).iterator.asScala
+        .filter(_.getFileName.toString.matches("\\d{10}\\.json")).foreach { slot =>
+          "\"path\":\"([^\"]+)\"".r.findAllMatchIn(Files.readString(slot))
+            .map(_.group(1)).foreach { path =>
+              assert(em.client.get(path).map(_.toSeq) ==
+                Some(Files.readAllBytes(root.resolve(path)).toSeq),
+                s"commit ${slot.getFileName} references $path — must be remote already")
+            }
+        }
+      // and the table serves — plus a blank-machine DR as the final word
+      GraftTable.deleteTree(root)
+      Files.createDirectories(root)
+      GraftS3.materializeMissing(root, em.client)
+      assert(GraftTable.read(spark, root.toString).count() == 800L,
+        s"DR after parallel mirroring restores every row (commit took ${elapsedMs.toInt} ms)")
+      assert(em.rejected.get == 0)
+    } finally { unM.close(); unA.close(); em.close() }
+  }
+
   test("transaction decision files arbitrate remotely: racing commit vs abort, one verdict") {
     val em = new graft.lake.GraftS3Server("graft-txn", creds)
     val root = Paths.get(scratchRoot("s3-spec", "txn"))
