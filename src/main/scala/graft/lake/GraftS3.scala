@@ -368,9 +368,33 @@ object GraftS3 {
         val completeXml = "<CompleteMultipartUpload>" + etags.result().map {
           case (p, e) => s"<Part><PartNumber>$p</PartNumber><ETag>$e</ETag></Part>"
         }.mkString + "</CompleteMultipartUpload>"
-        expect(send("POST", key, Seq("uploadId" -> uploadId),
-          completeXml.getBytes(UTF_8), Nil), 200)
+        val done = send("POST", key, Seq("uploadId" -> uploadId),
+          completeXml.getBytes(UTF_8), Nil)
+        // lost-response idempotency, multipart edition: a complete that
+        // landed server-side but whose response was dropped makes the
+        // retried POST 404 (the uploadId is consumed) — the object
+        // itself decides: present at the full size ⇒ OUR complete won.
+        // (A lost INITIATE response can still orphan a duplicate
+        // upload id on real S3 — that's what bucket lifecycle rules'
+        // AbortIncompleteMultipartUpload exists for; nothing
+        // client-side can name an id it never received.)
+        if (done.statusCode == 404 && sizeOf(key).contains(Files.size(file))) ()
+        else expect(done, 200)
       } finally in.close()
+    }
+
+    /** Object size via a one-byte ranged GET (Content-Range carries the
+      * total) — existence/size probing without downloading the body.
+      * None on 404; falls back to the body length if the server
+      * ignores Range. */
+    def sizeOf(key: String): Option[Long] = {
+      val r = send("GET", key, Nil, Array.emptyByteArray,
+        Seq("Range" -> "bytes=0-0"))
+      if (r.statusCode == 404) None
+      else if (r.statusCode == 206) {
+        val cr = r.headers.firstValue("Content-Range").orElse("")
+        "/(\\d+)$".r.findFirstMatchIn(cr).map(_.group(1).toLong)
+      } else Some(expect(r, 200).body().length.toLong)
     }
 
     def get(key: String): Option[Array[Byte]] = {
@@ -408,43 +432,125 @@ object GraftS3 {
   // uploads among THEMSELVES — serializing them on the committing
   // thread makes commit latency the SUM of N uploads. Placements
   // therefore enqueue onto a bounded daemon pool and the ARBITER
-  // drains the queue before arbitrating any slot: commit latency
-  // becomes the MAX upload, the durability ordering is untouched.
-  // One JVM-wide queue: draining a concurrent writer's uploads too is
-  // a harmless wait, never a correctness hazard.
+  // awaits them before arbitrating any slot: commit latency becomes
+  // the MAX upload, the durability ordering is untouched.
+  //
+  // The pending set is THREAD-LOCAL: graft places a commit's artifacts
+  // and arbitrates its slot on the same (driver) thread, so awaiting
+  // the CALLER's own uploads is exactly the required barrier. A shared
+  // queue would let a concurrent committer steal this committer's
+  // futures — its flush then returns early and its slot lands with an
+  // upload still in flight (and a failure would abort the WRONG
+  // commit). A JVM-wide registry keeps every outstanding future
+  // reachable for the unmount-time full drain.
   private lazy val mirrorPool = java.util.concurrent.Executors.newFixedThreadPool(
     math.min(8, Runtime.getRuntime.availableProcessors()),
     (r: Runnable) => {
       val t = new Thread(r, "graft-s3-mirror"); t.setDaemon(true); t
     })
-  private val pendingUploads =
-    new java.util.concurrent.ConcurrentLinkedQueue[java.util.concurrent.Future[_]]()
-
-  /** Await every enqueued upload; a failed upload surfaces LOUDLY as
-    * IllegalArgumentException — deliberately NOT IllegalStateException,
-    * which the slot-race retry loops catch and would misread as a lost
-    * commit race. */
-  private def flushUploads(): Unit = {
-    var f = pendingUploads.poll()
-    while (f != null) {
-      try f.get()
-      catch { case e: java.util.concurrent.ExecutionException =>
-        throw new IllegalArgumentException(
-          s"artifact mirror upload failed: ${e.getCause}", e.getCause)
-      }
-      f = pendingUploads.poll()
+  private val ownPending =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[java.util.concurrent.Future[_]]] {
+      override def initialValue() =
+        scala.collection.mutable.ArrayBuffer.empty[java.util.concurrent.Future[_]]
     }
+  private val allPending =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.concurrent.Future[_]]()
+
+  private def enqueueUpload(task: Runnable): Unit = {
+    val f = mirrorPool.submit(task)
+    ownPending.get += f
+    allPending.add(f)
+  }
+
+  /** Rethrow an upload failure LOUDLY as IllegalArgumentException —
+    * deliberately NOT IllegalStateException, which the slot-race retry
+    * loops catch and would misread as a lost commit race. */
+  private def await(f: java.util.concurrent.Future[_]): Unit =
+    try f.get()
+    catch { case e: java.util.concurrent.ExecutionException =>
+      throw new IllegalArgumentException(
+        s"artifact mirror upload failed: ${e.getCause}", e.getCause)
+    }
+
+  /** Await the CALLING THREAD's enqueued uploads (the pre-slot
+    * barrier). The buffer clears even on failure: the failed op aborts
+    * loudly and its local strays are remove_orphan_files' job. */
+  private def flushOwn(): Unit = {
+    val buf = ownPending.get
+    if (buf.nonEmpty)
+      try buf.foreach { f => allPending.remove(f); await(f) }
+      finally buf.clear()
+  }
+
+  /** Await EVERY outstanding upload (unmount-time drain; steal-safe —
+    * Future.get is idempotent under concurrent callers). */
+  private def flushAll(): Unit =
+    allPending.asScala.toSeq.foreach { f => await(f); allPending.remove(f) }
+
+  // ── mount registries ────────────────────────────────────────────────
+  // Mount/unmount is REGISTRY-based, not captured-prev chaining: with
+  // parallel suites (or parallel tables) mounting concurrently, a
+  // chained hook's close() would blindly restore ITS captured prev and
+  // wipe any hook mounted after it (the r13 unscoped-hook flake class,
+  // ABA edition). Here close() removes only its own registry entry;
+  // one dispatcher stays installed while any entry lives, and targets
+  // resolve to the LONGEST matching mount root (component-wise
+  // startsWith — "/x/t10" is never captured by a mount for "/x/t1").
+  private final case class Mount(root: Path, prefix: String, client: Client)
+  private val hookLock = new Object
+  private val arbMounts = new java.util.concurrent.CopyOnWriteArrayList[Mount]()
+  private val mirMounts = new java.util.concurrent.CopyOnWriteArrayList[Mount]()
+  private var arbPrev: Option[(Path, String) => Boolean] = None
+  private var mirPrevPlace: (Path, Path) => Unit = null
+  private var mirPrevCkpt: Option[Path => Unit] = None
+
+  private def ownerOfTarget(mounts: java.util.concurrent.CopyOnWriteArrayList[Mount],
+      target: Path): Option[Mount] = {
+    var best: Mount = null
+    mounts.forEach { m =>
+      if (target.startsWith(m.root) &&
+        (best == null || m.root.getNameCount > best.root.getNameCount)) best = m
+    }
+    Option(best)
+  }
+
+  private lazy val arbDispatch: (Path, String) => Boolean = (target, content) =>
+    ownerOfTarget(arbMounts, target) match {
+      case Some(m) =>
+        flushOwn()   // this thread's artifacts durably remote FIRST
+        m.client.putIfAbsent(keyFor(m.root, target, m.prefix), content.getBytes(UTF_8))
+      case None => arbPrev.forall(_(target, content))
+    }
+
+  private lazy val placeDispatch: (Path, Path) => Unit = (src, dst) => {
+    // the local placement first: the upload streams from the final
+    // immutable path (src is consumed by the move)
+    mirPrevPlace(src, dst)
+    ownerOfTarget(mirMounts, dst).foreach { m =>
+      enqueueUpload(new Runnable {
+        def run(): Unit = m.client.putFile(keyFor(m.root, dst, m.prefix), dst)
+      })
+    }
+  }
+
+  private lazy val ckptDispatch: Path => Unit = dir => {
+    ownerOfTarget(mirMounts, dir).foreach { m =>
+      val s = Files.list(dir)
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .foreach(f => m.client.putFile(keyFor(m.root, f, m.prefix), f))
+      finally s.close()
+    }
+    mirPrevCkpt.foreach(_(dir))
   }
 
   /** Mount the object store as `root`'s commit arbiter: every
     * writeAtomic under `root` must WIN its key remotely (conditional
     * PUT) before the local file materializes, so the store — not the
     * local FS — is the source of truth for slot ownership, exactly the
-    * deployment shape with S3/MinIO behind a fleet of writers. Scoped
-    * by root and composed with the previous arbiter (suites run in
-    * parallel in one JVM — same discipline as placeArtifact hooks).
-    * Pending mirror uploads are FLUSHED before any slot under `root`
-    * is arbitrated (see the parallel-mirror plumbing above).
+    * deployment shape with S3/MinIO behind a fleet of writers.
+    * Registry-scoped (see above); the calling thread's pending mirror
+    * uploads are FLUSHED before any slot under a mounted root is
+    * arbitrated.
     *
     * `prefix` namespaces every key — mount MULTIPLE table roots into
     * one bucket with distinct prefixes, or mount one WAREHOUSE root
@@ -454,58 +560,64 @@ object GraftS3 {
     * Returns an un-mount handle. */
   def mountCommitArbiter(root: Path, client: Client,
       prefix: String = ""): AutoCloseable = {
-    val p = normPrefix(prefix)
-    val prev = GraftTable.commitArbiter
-    // Path.startsWith is COMPONENT-wise: "/x/t10" must not be captured
-    // by a mount for "/x/t1" (a string prefix check would)
-    GraftTable.commitArbiter = Some { (target, content) =>
-      if (target.startsWith(root)) {
-        flushUploads()   // artifacts durably remote BEFORE the slot
-        client.putIfAbsent(keyFor(root, target, p), content.getBytes(UTF_8))
-      } else prev.forall(_(target, content))
+    val m = Mount(root, normPrefix(prefix), client)
+    hookLock.synchronized {
+      if (arbMounts.isEmpty) {
+        val cur = GraftTable.commitArbiter
+        // a custom wrapper may still hold the dispatcher from an
+        // earlier mount cycle — never capture ourselves as prev
+        if (!cur.exists(_ eq arbDispatch)) {
+          arbPrev = cur
+          GraftTable.commitArbiter = Some(arbDispatch)
+        }
+      }
+      arbMounts.add(m)
     }
-    () => GraftTable.commitArbiter = prev
+    () => hookLock.synchronized {
+      arbMounts.remove(m)
+      if (arbMounts.isEmpty && GraftTable.commitArbiter.exists(_ eq arbDispatch))
+        GraftTable.commitArbiter = arbPrev
+    }
   }
 
   /** Mirror every artifact placed under `root` to the store (data /
-    * delete files land alongside the commit plane), composing with the
-    * previous placement hook for foreign roots. Artifacts STREAM up
-    * ([[Client.putFile]]: ofFile single PUT, multipart above the
+    * delete files land alongside the commit plane). Artifacts STREAM
+    * up ([[Client.putFile]]: ofFile single PUT, multipart above the
     * threshold) — a 1 GiB parquet never lands on the committing JVM's
-    * heap — and upload IN PARALLEL off a bounded pool (the local move
-    * happens first, then the upload reads the immutable final path);
-    * the commit arbiter drains the queue before any slot PUT, so a
-    * commit waits for the SLOWEST upload, not the sum. Checkpoint
-    * directories mirror synchronously (rare, already batched, and not
-    * followed by an arbitrated write of their own), so a blank-machine
-    * restore keeps O(1) replay even after [[pruneRemote]] dropped the
-    * store's copies of expired commits. */
+    * heap — and upload IN PARALLEL off a bounded pool; the commit
+    * arbiter awaits the committing thread's uploads before any slot
+    * PUT, so a commit waits for the SLOWEST upload, not the sum.
+    * Checkpoint directories mirror synchronously (rare, already
+    * batched, and not followed by an arbitrated write of their own),
+    * so a blank-machine restore keeps O(1) replay even after
+    * [[pruneRemote]] dropped the store's copies of expired commits. */
   def mountArtifactMirror(root: Path, client: Client,
       prefix: String = ""): AutoCloseable = {
-    val p = normPrefix(prefix)
-    val prev = GraftTable.placeArtifact
-    val prevCkpt = GraftTable.checkpointPlaced
-    GraftTable.placeArtifact = (src, dst) => {
-      // the local placement first: the upload streams from the final
-      // immutable path (src is consumed by the move)
-      prev(src, dst)
-      if (dst.startsWith(root))
-        pendingUploads.add(mirrorPool.submit(new Runnable {
-          def run(): Unit = client.putFile(keyFor(root, dst, p), dst)
-        }))
-    }
-    GraftTable.checkpointPlaced = Some { dir =>
-      if (dir.startsWith(root)) {
-        val s = Files.list(dir)
-        try s.iterator().asScala.filter(Files.isRegularFile(_))
-          .foreach(f => client.putFile(keyFor(root, f, p), f))
-        finally s.close()
+    val m = Mount(root, normPrefix(prefix), client)
+    hookLock.synchronized {
+      if (mirMounts.isEmpty) {
+        if (!(GraftTable.placeArtifact eq placeDispatch)) {
+          mirPrevPlace = GraftTable.placeArtifact
+          GraftTable.placeArtifact = placeDispatch
+        }
+        if (!GraftTable.checkpointPlaced.exists(_ eq ckptDispatch)) {
+          mirPrevCkpt = GraftTable.checkpointPlaced
+          GraftTable.checkpointPlaced = Some(ckptDispatch)
+        }
       }
-      prevCkpt.foreach(_(dir))
+      mirMounts.add(m)
     }
     () => {
-      flushUploads()   // nothing in flight outlives the mount
-      GraftTable.placeArtifact = prev; GraftTable.checkpointPlaced = prevCkpt
+      flushAll()   // nothing in flight outlives the mount
+      hookLock.synchronized {
+        mirMounts.remove(m)
+        if (mirMounts.isEmpty) {
+          if (GraftTable.placeArtifact eq placeDispatch)
+            GraftTable.placeArtifact = mirPrevPlace
+          if (GraftTable.checkpointPlaced.exists(_ eq ckptDispatch))
+            GraftTable.checkpointPlaced = mirPrevCkpt
+        }
+      }
     }
   }
 
@@ -568,15 +680,22 @@ object GraftS3 {
           // ARTIFACTS LAND FIRST, the slot LAST — the write path's own
           // ordering: a live reader (a CDC stream mid-poll) replans
           // the instant the slot materializes and must never see a
-          // commit whose data files haven't arrived.
-          GraftTable.parseCommit(new String(bytes, UTF_8)).adds.foreach { f =>
+          // commit whose data files haven't arrived. A referenced
+          // artifact MISSING remotely (a writer's upload still in
+          // flight) stops the sync BEFORE this slot materializes —
+          // landing the slot anyway would hand the reader exactly the
+          // torn commit this ordering exists to prevent; the next
+          // sync poll completes it.
+          val adds = GraftTable.parseCommit(new String(bytes, UTF_8)).adds
+          val complete = adds.forall { f =>
             val fLocal = root.resolve(f.path)
-            if (!Files.exists(fLocal))
-              client.get(p + f.path).foreach { fb =>
-                writeLocalAtomic(fLocal, fb)
-                pulled += p + f.path
-              }
+            Files.exists(fLocal) || client.get(p + f.path).exists { fb =>
+              writeLocalAtomic(fLocal, fb)
+              pulled += p + f.path
+              true
+            }
           }
+          if (!complete) return pulled.result()
         }
         writeLocalAtomic(local, bytes)
         pulled += key

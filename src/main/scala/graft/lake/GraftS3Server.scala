@@ -144,8 +144,11 @@ final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
               val out = new java.io.ByteArrayOutputStream()
               parts.values.asScala.foreach(out.write)
               objects.put(k, out.toByteArray)
-              respond(200, ("<?xml version=\"1.0\"?><CompleteMultipartUploadResult>" +
-                s"<Key>$k</Key></CompleteMultipartUploadResult>").getBytes(UTF_8))
+              if (dropPutResponseFor(k)) {   // lost-200 for completes too
+                droppedResponses.incrementAndGet(); x.close()
+              } else respond(200,
+                ("<?xml version=\"1.0\"?><CompleteMultipartUploadResult>" +
+                  s"<Key>$k</Key></CompleteMultipartUploadResult>").getBytes(UTF_8))
             case None => respond(404)
           }
         case ("PUT", k) =>
@@ -178,7 +181,14 @@ final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
         case ("GET", k) =>
           getCalls.incrementAndGet()
           Option(objects.get(k)) match {
-            case Some(b) => respond(200, b)
+            case Some(b) =>
+              // one-byte ranged GET = the size probe (Content-Range
+              // carries the total, the body stays one byte)
+              if (Option(x.getRequestHeaders.getFirst("Range")).contains("bytes=0-0")
+                  && b.nonEmpty) {
+                x.getResponseHeaders.add("Content-Range", s"bytes 0-0/${b.length}")
+                respond(206, b.take(1))
+              } else respond(200, b)
             case None => respond(404)
           }
         case ("DELETE", _) if params.contains("uploadId") =>   // abort multipart

@@ -158,7 +158,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         throw new IllegalArgumentException(
           s"spark.sql.catalog.$name.$k is required when s3.endpoint is set"))
       val prefix = Option(options.get("s3.prefix")).getOrElse("")
-      val mountKey = s"$ep|${req("s3.bucket")}|$warehouse|$prefix"
+      // the dedup key carries region + access key: a catalog
+      // re-initialized after credential rotation must mount a client
+      // signing with the NEW key, not silently keep the revoked one
+      val mountKey = s"$ep|${req("s3.bucket")}|$warehouse|$prefix|" +
+        s"${Option(options.get("s3.region")).getOrElse("us-east-1")}|${req("s3.access-key")}"
       if (GraftSparkCatalog.s3Mounted.add(mountKey)) {
         def sizeOpt(k: String, dflt: Long): Long =
           Option(options.get(k)).map(_.toLong).getOrElse(dflt)

@@ -184,13 +184,14 @@ object TextOps {
     *
     * Three scale-safety choices, all mirrored in the DuckDB oracle:
     *  - the window key is 128 BITS — a struct of two independently
-    *    seeded xxhash64 values (DuckDB groups by the window text
-    *    itself; the hashes are internal, only the induced grouping
-    *    must agree). 16-byte shuffle keys are still 2× leaner than
-    *    md5 hex, and the birthday bound moves from n²/2⁶⁵ — thousands
-    *    of false duplicate marks at this operator's stated
-    *    10¹¹–10¹²-window design point, each silently scrubbing 20
-    *    good tokens — to n²/2¹²⁹ ≈ never;
+    *    seeded xxhash64 values (the oracle groups by the window TEXT
+    *    itself, collision-free by construction; the hashes are
+    *    internal, only the induced grouping must agree). 16-byte
+    *    shuffle keys are still 2× leaner than md5 hex, and the
+    *    birthday bound moves from n²/2⁶⁵ — thousands of false
+    *    duplicate marks at this operator's stated 10¹¹–10¹²-window
+    *    design point, each silently scrubbing 20 good tokens — to
+    *    n²/2¹²⁹ ≈ never;
     *  - the global first is an order-safe STRUCT-min — no arithmetic
     *    encoding, so hash-derived 64-bit doc_ids and >1M-token docs
     *    are both safe (a `doc_id*K+pos` fold would overflow / bleed
@@ -207,12 +208,16 @@ object TextOps {
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .select(col("doc_id"), posexplode(
         when(size(col("t")) >= W,
-          transform(
-            // inner pass materializes each window string once; outer
-            // derives both hash halves from it (no double concat)
-            transform(sequence(lit(1), size(col("t")) - (W - 1)),
-              i => concat_ws(" ", slice(col("t"), i, lit(W)))),
-            w => struct(xxhash64(w).as("h1"), xxhash64(lit(1L), w).as("h2"))))
+          // ONE transform emitting 16-byte structs: the window string
+          // is concatenated twice (once per hash half) but stays a
+          // per-ELEMENT transient — a nested transform materializing
+          // array<string> first would hold every window string of the
+          // doc at once (~W × doc bytes in one row, an executor OOM
+          // on the >1M-token docs this operator is specced for)
+          transform(sequence(lit(1), size(col("t")) - (W - 1)),
+            i => struct(
+              xxhash64(concat_ws(" ", slice(col("t"), i, lit(W)))).as("h1"),
+              xxhash64(lit(1L), concat_ws(" ", slice(col("t"), i, lit(W)))).as("h2"))))
           .otherwise(array().cast("array<struct<h1:bigint,h2:bigint>>")))
         .as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
@@ -939,7 +944,7 @@ object TextOps {
 
     "q106_substring_dedup" ->
       """WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
-        |w AS (SELECT doc_id, i AS pos, HASH(ARRAY_TO_STRING(toks[i:i+19], ' ')) AS h
+        |w AS (SELECT doc_id, i AS pos, ARRAY_TO_STRING(toks[i:i+19], ' ') AS h
         |      FROM (SELECT doc_id, toks,
         |              UNNEST(GENERATE_SERIES(1, LEN(toks) - 19)) AS i FROM t)),
         |f AS (SELECT h, COUNT(*) AS n, MIN(ROW(doc_id, pos)) AS fst FROM w GROUP BY h),
@@ -959,7 +964,7 @@ object TextOps {
 
     "q107_substring_scrub" ->
       """WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
-        |w AS (SELECT doc_id, i AS pos, HASH(ARRAY_TO_STRING(toks[i:i+19], ' ')) AS h
+        |w AS (SELECT doc_id, i AS pos, ARRAY_TO_STRING(toks[i:i+19], ' ') AS h
         |      FROM (SELECT doc_id, toks,
         |              UNNEST(GENERATE_SERIES(1, LEN(toks) - 19)) AS i FROM t)),
         |f AS (SELECT h, COUNT(*) AS n, MIN(ROW(doc_id, pos)) AS fst FROM w GROUP BY h),

@@ -440,6 +440,16 @@ class S3ObjectStoreSpec extends SparkSpec {
       em.failPartsNext.set(0)
       assert(em.openUploads == 0, "the failed upload must be aborted, not orphaned")
       assert(em.objects.get("art/fail.bin") == null, "no partial object materializes")
+      // lost-response on COMPLETE: applied server-side, response
+      // dropped — the retried POST 404s (the uploadId is consumed) and
+      // the one-byte ranged size probe classifies the object as ours
+      em.dropPutResponseFor = _ == "art/big2.bin"
+      c.putFile("art/big2.bin", big)
+      em.dropPutResponseFor = _ => false
+      assert(em.droppedResponses.get >= 1, "the complete's 200 must have been dropped")
+      assert(em.objects.get("art/big2.bin").toSeq == bigBytes.toSeq,
+        "a lost-200 complete still lands the object exactly once")
+      assert(em.openUploads == 0)
     } finally em.close()
   }
 
