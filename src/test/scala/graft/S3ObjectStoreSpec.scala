@@ -637,6 +637,50 @@ class S3ObjectStoreSpec extends SparkSpec {
     } finally { unM.close(); unA.close(); em.close() }
   }
 
+  test("registry mounts are ABA-safe: a non-LIFO close never wipes a mount made after it, " +
+      "and a custom capture-and-restore wrapper composes across mount cycles") {
+    import graft.lake.GraftS3Server
+    val em = new GraftS3Server("graft-aba", creds)
+    val c = em.client
+    val rootA = Paths.get(scratchRoot("s3-spec", "aba-a"))
+    val rootB = Paths.get(scratchRoot("s3-spec", "aba-b"))
+    val schema = Seq((0L, "x")).toDF("id", "v").schema
+    // mount A FIRST, then B; close A FIRST (non-LIFO). Captured-prev
+    // chaining would have A's close restore its captured prev and
+    // silently wipe B's later mount — B's commits would stop
+    // arbitrating with no error anywhere (the r13 flake class, ABA
+    // edition). The registry close only removes A's own entry.
+    val mA = GraftS3.mountCommitArbiter(rootA, c)
+    val mB = GraftS3.mountCommitArbiter(rootB, c)
+    mA.close()
+    GraftTable.create(spark, rootB.toString, schema)
+    GraftTable.append(spark, rootB.toString, Seq((1L, "b")).toDF("id", "v"))
+    assert(c.list("_graft_log/").exists(_.matches("_graft_log/\\d{10}\\.json")),
+      "B must still arbitrate after A's non-LIFO close")
+    // a custom wrapper (the q108 crash-injection pattern) captures the
+    // installed hook and restores it — across a mount cycle it must
+    // see the SAME dispatcher on both sides, and a fresh mount during
+    // the wrapper's tenure must not capture the dispatcher as its prev
+    val wrapped = GraftTable.commitArbiter
+    @volatile var sawThrough = 0
+    GraftTable.commitArbiter = Some { (t, content) =>
+      sawThrough += 1; wrapped.forall(_(t, content))
+    }
+    GraftTable.append(spark, rootB.toString, Seq((2L, "b2")).toDF("id", "v"))
+    assert(sawThrough > 0, "the wrapper must intercept")
+    GraftTable.commitArbiter = wrapped
+    mB.close()
+    // after the LAST close the arbiter is fully unmounted: local-only
+    // tables commit without touching the store
+    val before = em.objects.size
+    val rootC = Paths.get(scratchRoot("s3-spec", "aba-c"))
+    GraftTable.create(spark, rootC.toString, schema)
+    GraftTable.append(spark, rootC.toString, Seq((3L, "c")).toDF("id", "v"))
+    assert(em.objects.size == before, "unmounted roots must not arbitrate")
+    assert(em.rejected.get == 0)
+    em.close()
+  }
+
   test("transaction decision files arbitrate remotely: racing commit vs abort, one verdict") {
     val em = new graft.lake.GraftS3Server("graft-txn", creds)
     val root = Paths.get(scratchRoot("s3-spec", "txn"))
