@@ -185,10 +185,11 @@ object GraftS3 {
     /** One signed request attempt. The publisher is a THUNK so each
       * retry re-reads its source (ofFile re-opens; ofByteArray is
       * idempotent) under a fresh signature/date. */
-    private def sendOnce(method: String, key: String,
+    private def sendOnce[T](method: String, key: String,
         query: Seq[(String, String)], payloadHash: String,
         publisher: () => HttpRequest.BodyPublisher,
-        extraHeaders: Seq[(String, String)]): HttpResponse[Array[Byte]] = {
+        extraHeaders: Seq[(String, String)],
+        handler: HttpResponse.BodyHandler[T]): HttpResponse[T] = {
       val amzDate = amzFmt.format(java.time.Instant.now())
       val canonicalPath = SigV4.uriEncode(s"/$bucket/$key", keepSlash = true)
       val signed = Seq("host" -> hostHeader, "x-amz-date" -> amzDate,
@@ -207,7 +208,7 @@ object GraftS3 {
         .header("x-amz-date", amzDate)
         .header("x-amz-content-sha256", payloadHash)
       extraHeaders.foreach { case (k, v) => b = b.header(k, v) }
-      http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+      http.send(b.build(), handler)
     }
 
     /** Bounded exponential backoff + jitter around transient failures:
@@ -219,11 +220,19 @@ object GraftS3 {
     private def sendRetrying(method: String, key: String,
         query: Seq[(String, String)], payloadHash: String,
         publisher: () => HttpRequest.BodyPublisher,
-        extraHeaders: Seq[(String, String)]): HttpResponse[Array[Byte]] = {
+        extraHeaders: Seq[(String, String)]): HttpResponse[Array[Byte]] =
+      sendRetryingAs(method, key, query, payloadHash, publisher, extraHeaders,
+        HttpResponse.BodyHandlers.ofByteArray())
+
+    private def sendRetryingAs[T](method: String, key: String,
+        query: Seq[(String, String)], payloadHash: String,
+        publisher: () => HttpRequest.BodyPublisher,
+        extraHeaders: Seq[(String, String)],
+        handler: HttpResponse.BodyHandler[T]): HttpResponse[T] = {
       var attempt = 0
       while (true) {
         val r =
-          try sendOnce(method, key, query, payloadHash, publisher, extraHeaders)
+          try sendOnce(method, key, query, payloadHash, publisher, extraHeaders, handler)
           catch { case e: IOException =>
             attempt += 1
             if (attempt >= maxAttempts) throw e
@@ -383,18 +392,42 @@ object GraftS3 {
       } finally in.close()
     }
 
-    /** Object size via a one-byte ranged GET (Content-Range carries the
-      * total) — existence/size probing without downloading the body.
-      * None on 404; falls back to the body length if the server
-      * ignores Range. */
+    /** Object size via a one-byte ranged GET (Content-Range carries
+      * the total) — existence/size probing that NEVER buffers a body
+      * (the response body is discarded at the HTTP layer, so even a
+      * Range-ignoring store streams its 200 straight to /dev/null and
+      * the size comes from its Content-Length header). None on 404. */
     def sizeOf(key: String): Option[Long] = {
-      val r = send("GET", key, Nil, Array.emptyByteArray,
-        Seq("Range" -> "bytes=0-0"))
+      val r = sendRetryingAs("GET", key, Nil,
+        SigV4.sha256Hex(Array.emptyByteArray),
+        () => HttpRequest.BodyPublishers.noBody(),
+        Seq("Range" -> "bytes=0-0"),
+        HttpResponse.BodyHandlers.discarding())
+      def header(n: String): Option[String] = {
+        val v = r.headers.firstValue(n)
+        if (v.isPresent) Some(v.get) else None
+      }
       if (r.statusCode == 404) None
-      else if (r.statusCode == 206) {
-        val cr = r.headers.firstValue("Content-Range").orElse("")
-        "/(\\d+)$".r.findFirstMatchIn(cr).map(_.group(1).toLong)
-      } else Some(expect(r, 200).body().length.toLong)
+      else if (r.statusCode == 206)
+        // "bytes 0-0/TOTAL"; an unknown total ("…/*") falls back to a
+        // plain discarded GET whose Content-Length is authoritative
+        header("Content-Range")
+          .flatMap(cr => "/(\\d+)$".r.findFirstMatchIn(cr).map(_.group(1).toLong))
+          .orElse(plainSize(key))
+      else if (r.statusCode == 200)
+        header("Content-Length").map(_.toLong).orElse(plainSize(key))
+      else None
+    }
+
+    /** Last-resort size probe: a plain GET with a DISCARDED body,
+      * reading Content-Length from the headers. */
+    private def plainSize(key: String): Option[Long] = {
+      val r = sendRetryingAs("GET", key, Nil,
+        SigV4.sha256Hex(Array.emptyByteArray),
+        () => HttpRequest.BodyPublishers.noBody(), Nil,
+        HttpResponse.BodyHandlers.discarding())
+      val v = r.headers.firstValue("Content-Length")
+      if (r.statusCode == 200 && v.isPresent) Some(v.get.toLong) else None
     }
 
     def get(key: String): Option[Array[Byte]] = {
@@ -435,32 +468,23 @@ object GraftS3 {
   // awaits them before arbitrating any slot: commit latency becomes
   // the MAX upload, the durability ordering is untouched.
   //
-  // The pending set is THREAD-LOCAL: graft places a commit's artifacts
-  // and arbitrates its slot on the same (driver) thread, so awaiting
-  // the CALLER's own uploads is exactly the required barrier. A shared
-  // queue would let a concurrent committer steal this committer's
-  // futures — its flush then returns early and its slot lands with an
-  // upload still in flight (and a failure would abort the WRONG
-  // commit). A JVM-wide registry keeps every outstanding future
-  // reachable for the unmount-time full drain.
+  // Pending uploads are keyed by the artifact's FINAL LOCAL PATH and
+  // the barrier awaits exactly the paths the commit's own JSON
+  // references. Neither a thread-local nor a shared-queue barrier is
+  // correct here: compaction places its artifacts from WORKER-POOL
+  // threads (rewriteDataFiles runs one write job per bin), so the
+  // committing thread's locals miss them, and a shared queue lets a
+  // concurrent committer steal this committer's futures. Keying by
+  // path makes the barrier thread-agnostic AND failure-precise: the
+  // commit that references a failed upload is the commit that aborts.
+  // min-2 threads: a 1-vCPU box must still overlap uploads.
   private lazy val mirrorPool = java.util.concurrent.Executors.newFixedThreadPool(
-    math.min(8, Runtime.getRuntime.availableProcessors()),
+    math.max(2, math.min(8, Runtime.getRuntime.availableProcessors())),
     (r: Runnable) => {
       val t = new Thread(r, "graft-s3-mirror"); t.setDaemon(true); t
     })
-  private val ownPending =
-    new ThreadLocal[scala.collection.mutable.ArrayBuffer[java.util.concurrent.Future[_]]] {
-      override def initialValue() =
-        scala.collection.mutable.ArrayBuffer.empty[java.util.concurrent.Future[_]]
-    }
-  private val allPending =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.concurrent.Future[_]]()
-
-  private def enqueueUpload(task: Runnable): Unit = {
-    val f = mirrorPool.submit(task)
-    ownPending.get += f
-    allPending.add(f)
-  }
+  private val pendingUploads =
+    new java.util.concurrent.ConcurrentHashMap[Path, java.util.concurrent.Future[_]]()
 
   /** Rethrow an upload failure LOUDLY as IllegalArgumentException —
     * deliberately NOT IllegalStateException, which the slot-race retry
@@ -472,20 +496,41 @@ object GraftS3 {
         s"artifact mirror upload failed: ${e.getCause}", e.getCause)
     }
 
-  /** Await the CALLING THREAD's enqueued uploads (the pre-slot
-    * barrier). The buffer clears even on failure: the failed op aborts
-    * loudly and its local strays are remove_orphan_files' job. */
-  private def flushOwn(): Unit = {
-    val buf = ownPending.get
-    if (buf.nonEmpty)
-      try buf.foreach { f => allPending.remove(f); await(f) }
-      finally buf.clear()
+  /** The pre-slot barrier: await the uploads of exactly the artifacts
+    * `content` references. Commit slots live at
+    * `<tableRoot>/_graft_log/<slot>.json` and reference their files by
+    * table-root-relative path; non-commit payloads (decision files)
+    * parse as no-adds and await nothing. Re-arbitrations of the same
+    * content (slot slides, retries) find the map entries already
+    * consumed and skip — the uploads were awaited the first time. */
+  private def awaitReferenced(target: Path, content: String): Unit = {
+    val adds =
+      try GraftTable.parseCommit(content).adds
+      catch { case _: Throwable => Seq.empty }
+    if (adds.nonEmpty) {
+      val tableRoot = target.getParent.getParent
+      adds.foreach { a =>
+        val f = pendingUploads.remove(tableRoot.resolve(a.path))
+        if (f != null) await(f)
+      }
+    }
   }
 
-  /** Await EVERY outstanding upload (unmount-time drain; steal-safe —
-    * Future.get is idempotent under concurrent callers). */
-  private def flushAll(): Unit =
-    allPending.asScala.toSeq.foreach { f => await(f); allPending.remove(f) }
+  /** Await EVERY outstanding upload (unmount-time drain). Drains the
+    * whole map even on failure — a stuck poisoned entry must not fail
+    * every later unmount in the JVM — then rethrows the first error. */
+  private def flushAll(): Unit = {
+    var firstErr: Throwable = null
+    val it = pendingUploads.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); it.remove()
+      try e.getValue.get()
+      catch { case ex: java.util.concurrent.ExecutionException =>
+        if (firstErr == null) firstErr = ex.getCause }
+    }
+    if (firstErr != null) throw new IllegalArgumentException(
+      s"artifact mirror upload failed: $firstErr", firstErr)
+  }
 
   // ── mount registries ────────────────────────────────────────────────
   // Mount/unmount is REGISTRY-based, not captured-prev chaining: with
@@ -508,8 +553,10 @@ object GraftS3 {
       target: Path): Option[Mount] = {
     var best: Mount = null
     mounts.forEach { m =>
+      // >= : on an equal-root tie the NEWEST mount wins (a remount
+      // after credential rotation must sign with the new key)
       if (target.startsWith(m.root) &&
-        (best == null || m.root.getNameCount > best.root.getNameCount)) best = m
+        (best == null || m.root.getNameCount >= best.root.getNameCount)) best = m
     }
     Option(best)
   }
@@ -517,7 +564,7 @@ object GraftS3 {
   private lazy val arbDispatch: (Path, String) => Boolean = (target, content) =>
     ownerOfTarget(arbMounts, target) match {
       case Some(m) =>
-        flushOwn()   // this thread's artifacts durably remote FIRST
+        awaitReferenced(target, content)   // referenced artifacts durably remote FIRST
         m.client.putIfAbsent(keyFor(m.root, target, m.prefix), content.getBytes(UTF_8))
       case None => arbPrev.forall(_(target, content))
     }
@@ -527,9 +574,16 @@ object GraftS3 {
     // immutable path (src is consumed by the move)
     mirPrevPlace(src, dst)
     ownerOfTarget(mirMounts, dst).foreach { m =>
-      enqueueUpload(new Runnable {
-        def run(): Unit = m.client.putFile(keyFor(m.root, dst, m.prefix), dst)
-      })
+      // WITHOUT a commit arbiter on this root there is no pre-slot
+      // barrier to await the upload — fall back to the synchronous
+      // mirror (the upload is durably remote before the placement
+      // returns, hence before the local commit slot ever writes)
+      if (ownerOfTarget(arbMounts, dst).isEmpty)
+        m.client.putFile(keyFor(m.root, dst, m.prefix), dst)
+      else
+        pendingUploads.put(dst, mirrorPool.submit(new Runnable {
+          def run(): Unit = m.client.putFile(keyFor(m.root, dst, m.prefix), dst)
+        }))
     }
   }
 
@@ -607,9 +661,12 @@ object GraftS3 {
       }
       mirMounts.add(m)
     }
-    () => {
-      flushAll()   // nothing in flight outlives the mount
-      hookLock.synchronized {
+    () =>
+      // nothing in flight outlives the mount — and a failed upload
+      // must still UNMOUNT (a throwing close that leaves the dispatch
+      // installed would poison every later suite in the shared JVM)
+      try flushAll()
+      finally hookLock.synchronized {
         mirMounts.remove(m)
         if (mirMounts.isEmpty) {
           if (GraftTable.placeArtifact eq placeDispatch)
@@ -618,7 +675,6 @@ object GraftS3 {
             GraftTable.checkpointPlaced = mirPrevCkpt
         }
       }
-    }
   }
 
   /** Crash recovery / DR for an arbitrated mount: the store holds

@@ -166,12 +166,19 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       if (GraftSparkCatalog.s3Mounted.add(mountKey)) {
         def sizeOpt(k: String, dflt: Long): Long =
           Option(options.get(k)).map(_.toLong).getOrElse(dflt)
+        val partSize = sizeOpt("s3.part-size-bytes", 64L << 20)
+        // the client buffers one part on the heap, so the knob is an
+        // Int — refuse loudly instead of silently truncating a 5 GiB
+        // setting to 1 GiB (real S3's own part ceiling is 5 GiB, but
+        // parts that large belong on disk, not a byte[])
+        require(partSize >= 1 && partSize <= Int.MaxValue,
+          s"spark.sql.catalog.$name.s3.part-size-bytes must be in [1, ${Int.MaxValue}]: $partSize")
         val client = new GraftS3.Client(java.net.URI.create(ep),
           req("s3.bucket"),
           Option(options.get("s3.region")).getOrElse("us-east-1"),
           GraftS3.Credentials(req("s3.access-key"), req("s3.secret-key")),
           java.net.http.HttpClient.newHttpClient(),
-          sizeOpt("s3.part-size-bytes", 64L << 20).toInt,
+          partSize.toInt,
           sizeOpt("s3.multipart-threshold-bytes", 256L << 20))
         GraftS3.mountCommitArbiter(Paths.get(warehouse), client, prefix)
         GraftS3.mountArtifactMirror(Paths.get(warehouse), client, prefix)

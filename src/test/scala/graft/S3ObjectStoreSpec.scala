@@ -612,11 +612,17 @@ class S3ObjectStoreSpec extends SparkSpec {
       GraftTable.append(spark, root.toString,
         rows.toDF("id", "v").repartition(8))
       val elapsedMs = (System.nanoTime() - t0) / 1e6
-      em.putDelayMs = 0
       assert(em.maxInflightPuts.get >= 2,
         s"uploads must overlap: max inflight ${em.maxInflightPuts.get}")
-      // the durability ordering held anyway: by the time the commit
-      // returned, every referenced artifact is remote byte-identical
+      // compaction places its artifacts from WORKER-POOL threads (one
+      // write job per bin) — the dst-keyed barrier must await those
+      // too before the rewrite's slot arbitrates (a thread-local
+      // barrier would silently miss every one of them)
+      GraftTable.rewriteDataFiles(spark, root.toString)
+      em.putDelayMs = 0
+      // the durability ordering held throughout: by the time each
+      // commit returned, every referenced artifact is remote
+      // byte-identical — including the pool-thread-placed rewrites
       val logDir = root.resolve("_graft_log")
       Files.list(logDir).iterator.asScala
         .filter(_.getFileName.toString.matches("\\d{10}\\.json")).foreach { slot =>
@@ -664,7 +670,10 @@ class S3ObjectStoreSpec extends SparkSpec {
     val wrapped = GraftTable.commitArbiter
     @volatile var sawThrough = 0
     GraftTable.commitArbiter = Some { (t, content) =>
-      sawThrough += 1; wrapped.forall(_(t, content))
+      // gate the count on OUR root (CLAUDE.md hook discipline): a
+      // parallel suite's commit must not be able to satisfy the assert
+      if (t.startsWith(rootB)) sawThrough += 1
+      wrapped.forall(_(t, content))
     }
     GraftTable.append(spark, rootB.toString, Seq((2L, "b2")).toDF("id", "v"))
     assert(sawThrough > 0, "the wrapper must intercept")
