@@ -602,9 +602,10 @@ object GraftS3 {
     * PUT) before the local file materializes, so the store — not the
     * local FS — is the source of truth for slot ownership, exactly the
     * deployment shape with S3/MinIO behind a fleet of writers.
-    * Registry-scoped (see above); the calling thread's pending mirror
-    * uploads are FLUSHED before any slot under a mounted root is
-    * arbitrated.
+    * Registry-scoped (see above); the pending mirror uploads of
+    * exactly the artifacts a commit references are AWAITED before its
+    * slot is arbitrated (awaitReferenced — path-keyed, so placements
+    * from worker-pool threads are covered).
     *
     * `prefix` namespaces every key — mount MULTIPLE table roots into
     * one bucket with distinct prefixes, or mount one WAREHOUSE root
