@@ -154,20 +154,26 @@ object GraftS3 {
     * file payloads hash in one streamed pass, so the integrity check
     * is effectively free.
     *
-    * `partSizeBytes` bounds the only per-part heap allocation of
-    * [[putFile]]'s multipart path; `multipartThresholdBytes` picks
-    * single-streamed-PUT vs multipart (real S3 caps single PUT at
-    * 5 GiB and parts at 5 GiB with a 5 MiB minimum — defaults sit far
-    * inside both). `maxAttempts`/`retryBaseMs` bound the transient-
-    * failure retry loop. */
+    * `partSizeBytes` bounds the per-part heap allocation of
+    * [[putFile]]'s multipart path and `partConcurrency` how many such
+    * buffers one upload holds in flight (peak heap per upload =
+    * partConcurrency × partSizeBytes — a single huge artifact's mirror
+    * latency cuts ~k× because its parts overlap instead of riding one
+    * stream); `multipartThresholdBytes` picks single-streamed-PUT vs
+    * multipart (real S3 caps single PUT at 5 GiB and parts at 5 GiB
+    * with a 5 MiB minimum — defaults sit far inside both).
+    * `maxAttempts`/`retryBaseMs` bound the transient-failure retry
+    * loop. */
   final class Client(endpoint: URI, bucket: String, region: String,
       creds: Credentials,
       http: HttpClient = HttpClient.newHttpClient(),
       partSizeBytes: Int = 64 << 20,
       multipartThresholdBytes: Long = 256L << 20,
       maxAttempts: Int = 5,
-      retryBaseMs: Long = 25) {
-    require(partSizeBytes > 0 && multipartThresholdBytes > 0 && maxAttempts >= 1)
+      retryBaseMs: Long = 25,
+      partConcurrency: Int = 4) {
+    require(partSizeBytes > 0 && multipartThresholdBytes > 0 && maxAttempts >= 1 &&
+      partConcurrency >= 1)
 
     /** High-water mark of the largest payload buffer this client ever
       * allocated for a [[putFile]] — lets specs PROVE the streaming
@@ -348,33 +354,76 @@ object GraftS3 {
     private def uploadParts(key: String, file: Path, uploadId: String): Unit = {
       val in = Files.newInputStream(file)
       try {
-        val buf = new Array[Byte](partSizeBytes)
-        track(partSizeBytes.toLong)
-        val etags = Seq.newBuilder[(Int, String)]
-        var part = 1
-        var eof = false
-        while (!eof) {
-          var n = 0
-          while (n < buf.length && !eof) {
-            val r = in.read(buf, n, buf.length - n)
-            if (r < 0) eof = true else n += r
-          }
-          if (n > 0) {
-            // safe to reuse buf across parts: http.send is synchronous,
-            // the body is fully transmitted (and any retry re-read)
-            // before the next fill mutates it
-            val body = if (n == buf.length) buf else java.util.Arrays.copyOf(buf, n)
-            val hash = MessageDigest.getInstance("SHA-256")
-            hash.update(body, 0, n)
-            val resp = expect(sendRetrying("PUT", key,
-              Seq("partNumber" -> part.toString, "uploadId" -> uploadId),
-              SigV4.hex(hash.digest()),
-              () => HttpRequest.BodyPublishers.ofByteArray(body), Nil), 200)
-            etags += part -> resp.headers.firstValue("ETag").orElse("")
-            part += 1
-          }
+        // Up to `partConcurrency` parts in flight off a rotating buffer
+        // pool: a single huge artifact — otherwise the pre-slot
+        // barrier's worst case, since cross-file parallelism can't help
+        // a one-file commit — overlaps its part PUTs ~k×, at the
+        // documented k×partSize peak-buffer cost (tracked: the proof
+        // spec pins it). Parts run on the DEDICATED part pool:
+        // putFile itself runs on mirrorPool threads, and submitting
+        // subtasks to the same bounded pool would deadlock the moment
+        // every thread holds a file-level task waiting on part-level
+        // tasks. A buffer re-enters rotation only after its part's
+        // future completes, so retries re-reading the buffer never race
+        // the next fill.
+        val pending = scala.collection.mutable.Queue
+          .empty[(Int, Array[Byte], java.util.concurrent.Future[String])]
+        val free = scala.collection.mutable.Queue.empty[Array[Byte]]
+        var allocated = 0
+        val etags = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+        def drainOne(): Unit = {
+          val (p, buf, f) = pending.dequeue()
+          val etag =
+            try f.get()
+            catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+          etags += p -> etag
+          free.enqueue(buf)
         }
-        val completeXml = "<CompleteMultipartUpload>" + etags.result().map {
+        try {
+          var part = 1
+          var eof = false
+          while (!eof) {
+            if (free.isEmpty && allocated >= partConcurrency) drainOne()
+            val buf =
+              if (free.nonEmpty) free.dequeue()
+              else {
+                allocated += 1
+                track(allocated.toLong * partSizeBytes)
+                new Array[Byte](partSizeBytes)
+              }
+            var n = 0
+            while (n < buf.length && !eof) {
+              val r = in.read(buf, n, buf.length - n)
+              if (r < 0) eof = true else n += r
+            }
+            if (n > 0) {
+              val (pNum, len) = (part, n)
+              val hash = MessageDigest.getInstance("SHA-256")
+              hash.update(buf, 0, len)
+              val hashHex = SigV4.hex(hash.digest())
+              pending.enqueue((pNum, buf, partPool.submit(
+                new java.util.concurrent.Callable[String] {
+                  def call(): String =
+                    expect(sendRetrying("PUT", key,
+                      Seq("partNumber" -> pNum.toString, "uploadId" -> uploadId),
+                      hashHex,
+                      () => HttpRequest.BodyPublishers.ofByteArray(buf, 0, len), Nil), 200)
+                      .headers.firstValue("ETag").orElse("")
+                })))
+              part += 1
+            } else free.enqueue(buf)
+          }
+          while (pending.nonEmpty) drainOne()
+        } catch { case t: Throwable =>
+          // a failed part must not leave siblings racing an upload the
+          // caller is about to abort; cancellation failures never mask t
+          pending.foreach { case (_, _, f) =>
+            f.cancel(true)
+            try f.get() catch { case _: Throwable => () }
+          }
+          throw t
+        }
+        val completeXml = "<CompleteMultipartUpload>" + etags.sortBy(_._1).map {
           case (p, e) => s"<Part><PartNumber>$p</PartNumber><ETag>$e</ETag></Part>"
         }.mkString + "</CompleteMultipartUpload>"
         val done = send("POST", key, Seq("uploadId" -> uploadId),
@@ -382,14 +431,64 @@ object GraftS3 {
         // lost-response idempotency, multipart edition: a complete that
         // landed server-side but whose response was dropped makes the
         // retried POST 404 (the uploadId is consumed) — the object
-        // itself decides: present at the full size ⇒ OUR complete won.
+        // itself decides whether OUR complete won. Size equality alone
+        // is weaker than the byte-identity proof used everywhere else
+        // (a same-size foreign object would be silently accepted), so
+        // the probe also compares head+tail byte samples against the
+        // file via ranged GETs — still O(sample), never a re-download.
         // (A lost INITIATE response can still orphan a duplicate
         // upload id on real S3 — that's what bucket lifecycle rules'
         // AbortIncompleteMultipartUpload exists for; nothing
         // client-side can name an id it never received.)
-        if (done.statusCode == 404 && sizeOf(key).contains(Files.size(file))) ()
+        if (done.statusCode == 404 && sizeOf(key).contains(Files.size(file)) &&
+          samplesMatch(key, file)) ()
         else expect(done, 200)
       } finally in.close()
+    }
+
+    /** Head+tail byte-sample identity probe: the object's first and
+      * last `sampleLen` bytes must equal the file's. Proves ownership
+      * far beyond size equality at O(16 KiB) transfer — the
+      * unique-artifact-name contract makes a same-size SAME-SAMPLE
+      * foreign object at the key practically impossible. */
+    private def samplesMatch(key: String, file: Path, sampleLen: Int = 8192): Boolean = {
+      val size = Files.size(file)
+      def fileRange(from: Long, len: Int): Array[Byte] = {
+        val ch = java.nio.channels.FileChannel.open(file)
+        try {
+          val bb = java.nio.ByteBuffer.allocate(len)
+          ch.position(from)
+          while (bb.hasRemaining && ch.read(bb) >= 0) ()
+          java.util.Arrays.copyOf(bb.array(), bb.position())
+        } finally ch.close()
+      }
+      def sample(from: Long, len: Int): Boolean =
+        rangedGet(key, from, from + len - 1)
+          .exists(java.util.Arrays.equals(_, fileRange(from, len)))
+      if (size == 0L) true
+      else {
+        val head = math.min(sampleLen.toLong, size).toInt
+        val tailFrom = math.max(0L, size - sampleLen)
+        sample(0L, head) && (tailFrom == 0L ||
+          sample(tailFrom, (size - tailFrom).toInt))
+      }
+    }
+
+    /** Ranged GET (`bytes=from-to`, inclusive). None on 404; a
+      * Range-ignoring 200 is trimmed client-side. */
+    def rangedGet(key: String, from: Long, to: Long): Option[Array[Byte]] = {
+      val r = sendRetryingAs("GET", key, Nil,
+        SigV4.sha256Hex(Array.emptyByteArray),
+        () => HttpRequest.BodyPublishers.noBody(),
+        Seq("Range" -> s"bytes=$from-$to"),
+        HttpResponse.BodyHandlers.ofByteArray())
+      if (r.statusCode == 206) Some(r.body())
+      else if (r.statusCode == 200) {
+        val b = r.body()
+        if (from >= b.length) Some(Array.emptyByteArray)
+        else Some(java.util.Arrays.copyOfRange(b, from.toInt,
+          math.min(to + 1, b.length.toLong).toInt))
+      } else None
     }
 
     /** Object size via a one-byte ranged GET (Content-Range carries
@@ -439,14 +538,22 @@ object GraftS3 {
       expect(send("DELETE", key, Nil, Array.emptyByteArray, Nil), 204, 200)
 
     /** ListObjectsV2 (paged). Minimal XML extraction — keys are
-      * uuid/slot names graft writes itself, never XML-escaped text. */
-    def list(prefix: String): Seq[String] = {
+      * uuid/slot names graft writes itself, never XML-escaped text.
+      * `startAfter` maps to the public `start-after` parameter (first
+      * request only — continuation paging supersedes it, per the S3
+      * API): keys lexicographically ≤ it are never returned, which is
+      * what makes an idle [[GraftS3.syncRemote]] poll cost ONE empty
+      * page regardless of how many retained log objects exist. */
+    def list(prefix: String, startAfter: Option[String] = None): Seq[String] = {
       val keys = Seq.newBuilder[String]
       var token: Option[String] = None
       var more = true
+      var first = true
       while (more) {
         val q = Seq("list-type" -> "2", "prefix" -> prefix) ++
-          token.map("continuation-token" -> _)
+          token.map("continuation-token" -> _) ++
+          (if (first) startAfter.map("start-after" -> _) else Nil)
+        first = false
         val xml = new String(
           expect(send("GET", "", q, Array.emptyByteArray, Nil), 200).body(), UTF_8)
         "<Key>([^<]*)</Key>".r.findAllMatchIn(xml).foreach(m => keys += m.group(1))
@@ -483,8 +590,25 @@ object GraftS3 {
     (r: Runnable) => {
       val t = new Thread(r, "graft-s3-mirror"); t.setDaemon(true); t
     })
+
+  // Part-level PUTs run on their OWN pool, never on mirrorPool: putFile
+  // executes on mirrorPool threads, and a bounded pool whose every
+  // thread holds a file-level task waiting on part-level subtasks of
+  // the same pool deadlocks permanently.
+  private lazy val partPool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.max(2, math.min(8, Runtime.getRuntime.availableProcessors())),
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-s3-part"); t.setDaemon(true); t
+    })
   private val pendingUploads =
     new java.util.concurrent.ConcurrentHashMap[Path, java.util.concurrent.Future[_]]()
+
+  /** Spec observability: outstanding mirror uploads under `root`. */
+  private[graft] def pendingUploadsUnder(root: Path): Int = {
+    var n = 0
+    pendingUploads.forEach((p, _) => if (p.startsWith(root)) n += 1)
+    n
+  }
 
   /** Rethrow an upload failure LOUDLY as IllegalArgumentException —
     * deliberately NOT IllegalStateException, which the slot-race retry
@@ -516,17 +640,31 @@ object GraftS3 {
     }
   }
 
-  /** Await EVERY outstanding upload (unmount-time drain). Drains the
-    * whole map even on failure — a stuck poisoned entry must not fail
-    * every later unmount in the JVM — then rethrows the first error. */
-  private def flushAll(): Unit = {
+  /** Unmount-time drain, scoped to the closing mount's OWN subtree
+    * (component-wise startsWith — the registry-mount discipline). With
+    * parallel mounts, an unscoped drain would STEAL a concurrent
+    * mount's in-flight entries mid-commit: that committer's
+    * awaitReferenced then finds its path already consumed and
+    * arbitrates its slot while the upload is still in flight — the
+    * same cross-suite steal class the shared-queue barrier had, and
+    * worse, a failure of the stolen upload would surface in the WRONG
+    * mount's close while the victim's commit lands referencing a
+    * never-mirrored artifact. Foreign entries are never drained here;
+    * abandoned ones are consumed by the crash-cleanup hook
+    * ([[discardDispatch]]) instead. Drains the whole subtree even on
+    * failure — a stuck poisoned entry must not fail every later
+    * unmount in the JVM — then rethrows the first error. */
+  private def flushAll(root: Path): Unit = {
     var firstErr: Throwable = null
     val it = pendingUploads.entrySet().iterator()
     while (it.hasNext) {
-      val e = it.next(); it.remove()
-      try e.getValue.get()
-      catch { case ex: java.util.concurrent.ExecutionException =>
-        if (firstErr == null) firstErr = ex.getCause }
+      val e = it.next()
+      if (e.getKey.startsWith(root)) {
+        it.remove()
+        try e.getValue.get()
+        catch { case ex: java.util.concurrent.ExecutionException =>
+          if (firstErr == null) firstErr = ex.getCause }
+      }
     }
     if (firstErr != null) throw new IllegalArgumentException(
       s"artifact mirror upload failed: $firstErr", firstErr)
@@ -548,6 +686,7 @@ object GraftS3 {
   private var arbPrev: Option[(Path, String) => Boolean] = None
   private var mirPrevPlace: (Path, Path) => Unit = null
   private var mirPrevCkpt: Option[Path => Unit] = None
+  private var mirPrevDiscard: Option[Path => Unit] = None
 
   private def ownerOfTarget(mounts: java.util.concurrent.CopyOnWriteArrayList[Mount],
       target: Path): Option[Mount] = {
@@ -585,6 +724,27 @@ object GraftS3 {
           def run(): Unit = m.client.putFile(keyFor(m.root, dst, m.prefix), dst)
         }))
     }
+  }
+
+  /** Crash-cleanup twin of the pre-slot barrier: when GraftTable
+    * deletes a placed-but-never-committed artifact (lost-race cleanup,
+    * orphan sweep), consume its pending-upload entry HERE instead of
+    * letting it linger until unmount — a long-lived mounted driver
+    * must not accumulate one dead entry per failed op. The upload is
+    * awaited (its outcome is moot either way: the artifact is
+    * unreferenced garbage now) and the remote twin is deleted
+    * best-effort, closing the orphan-object window pruneRemote would
+    * otherwise catch only at maintenance time. */
+  private lazy val discardDispatch: Path => Unit = p => {
+    val f = pendingUploads.remove(p)
+    if (f != null) {
+      try f.get() catch { case _: Throwable => () }
+      ownerOfTarget(mirMounts, p).foreach { m =>
+        try m.client.delete(keyFor(m.root, p, m.prefix))
+        catch { case _: Throwable => () }
+      }
+    }
+    mirPrevDiscard.foreach(_(p))
   }
 
   private lazy val ckptDispatch: Path => Unit = dir => {
@@ -659,14 +819,19 @@ object GraftS3 {
           mirPrevCkpt = GraftTable.checkpointPlaced
           GraftTable.checkpointPlaced = Some(ckptDispatch)
         }
+        if (!GraftTable.artifactDiscarded.exists(_ eq discardDispatch)) {
+          mirPrevDiscard = GraftTable.artifactDiscarded
+          GraftTable.artifactDiscarded = Some(discardDispatch)
+        }
       }
       mirMounts.add(m)
     }
     () =>
-      // nothing in flight outlives the mount — and a failed upload
-      // must still UNMOUNT (a throwing close that leaves the dispatch
-      // installed would poison every later suite in the shared JVM)
-      try flushAll()
+      // nothing of THIS mount's in flight outlives it — and a failed
+      // upload must still UNMOUNT (a throwing close that leaves the
+      // dispatch installed would poison every later suite in the
+      // shared JVM)
+      try flushAll(m.root)
       finally hookLock.synchronized {
         mirMounts.remove(m)
         if (mirMounts.isEmpty) {
@@ -674,6 +839,8 @@ object GraftS3 {
             GraftTable.placeArtifact = mirPrevPlace
           if (GraftTable.checkpointPlaced.exists(_ eq ckptDispatch))
             GraftTable.checkpointPlaced = mirPrevCkpt
+          if (GraftTable.artifactDiscarded.exists(_ eq discardDispatch))
+            GraftTable.artifactDiscarded = mirPrevDiscard
         }
       }
   }
@@ -717,16 +884,43 @@ object GraftS3 {
   }
 
   /** Routine O(delta) fleet sync for ONE table mounted at `root`:
-    * lists only the table's commit-log prefix (one page per ~1000 new
-    * objects on real S3), pulls the missing log objects, then fetches
-    * exactly the data/delete files the NEW commit JSONs reference via
-    * targeted GETs — never a whole-bucket walk. [[materializeMissing]]
+    * lists only the table's commit-log prefix STRICTLY AFTER the local
+    * head's slot key (ListObjectsV2 `start-after`), pulls the missing
+    * log objects, then fetches exactly the data/delete files the NEW
+    * commit JSONs reference via targeted GETs — never a whole-bucket
+    * walk. The start-after bound makes the steady state truly O(new):
+    * an idle poll on a table with 100k retained commits costs ONE list
+    * page that comes back (near-)empty, not ~100 pages rescanning the
+    * log forever. Slot keys are all-digit (`%010d.json`) and digits
+    * sort before every letter in ASCII, so the bound skips exactly the
+    * slots at or below the head while letter-named log objects
+    * (checkpoint / ckptmeta / ckptfiles mirrors) still list — those
+    * skip on the local-exists check as before, and their count is
+    * bounded by checkpoint retention, not commit history. A
+    * deliberate corollary: slots the FOLLOWER expired locally are no
+    * longer resurrected by the next poll — local expiry is a cache/
+    * retention decision the sync now respects. [[materializeMissing]]
     * remains the DR path. Returns the pulled keys. */
   def syncRemote(root: Path, client: Client, prefix: String = ""): Seq[String] = {
     val p = normPrefix(prefix)
     val pulled = Seq.newBuilder[String]
     val isSlot = "_graft_log/\\d{10}\\.json".r
-    client.list(p + "_graft_log/").foreach { key =>
+    // Option, not a 0-default: slot 0 is the CREATE commit, so a
+    // follower holding only it must still bound the list at key
+    // 0000000000.json rather than relist the whole log
+    val localHead: Option[Long] = {
+      val log = root.resolve("_graft_log")
+      if (!Files.exists(log)) None
+      else {
+        val s = Files.list(log)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .collect { case n if n.matches("\\d{10}\\.json") => n.take(10).toLong }
+          .maxOption
+        finally s.close()
+      }
+    }
+    val startAfter = localHead.map(h => p + f"_graft_log/$h%010d.json")
+    client.list(p + "_graft_log/", startAfter).foreach { key =>
       val rel = key.stripPrefix(p)
       val local = root.resolve(rel)
       if (!Files.exists(local)) client.get(key).foreach { bytes =>

@@ -50,10 +50,25 @@ final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
   @volatile var dropPutResponseFor: String => Boolean = _ => false
   /** Count of PUT responses dropped by [[dropPutResponseFor]]. */
   val droppedResponses = new AtomicInteger(0)
+  /** Inject: when a multipart COMPLETE's response is dropped, the
+    * stored object is REPLACED with same-size foreign bytes before the
+    * connection dies — the client's retried POST then 404s against an
+    * object that passes a size-only ownership probe but must fail the
+    * byte-sample identity check. */
+  @volatile var corruptDroppedComplete: Boolean = false
   /** Observability for O(delta)-sync specs. */
   val listCalls = new AtomicInteger(0)
   val getCalls = new AtomicInteger(0)
   val partPuts = new AtomicInteger(0)
+  /** GET object keys in arrival order — lets hydration specs assert a
+    * follower fetched EXACTLY the pruned-live file set, nothing more. */
+  val gotKeys = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  /** Inject: every multipart PART PUT sleeps this long before applying —
+    * makes part-level upload CONCURRENCY observable. */
+  @volatile var partDelayMs: Long = 0
+  private val inflightParts = new AtomicInteger(0)
+  /** High-water mark of concurrently in-flight part PUTs. */
+  val maxInflightParts = new AtomicInteger(0)
   /** Inject: the next N multipart PART PUTs 500 (without being
     * applied) — drives the client's AbortMultipartUpload path. */
   val failPartsNext = new AtomicInteger(0)
@@ -131,7 +146,12 @@ final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
           if (failPartsNext.getAndUpdate(n => math.max(0, n - 1)) > 0) respond(500)
           else Option(uploads.get(params("uploadId"))) match {
             case Some(parts) =>
-              parts.put(params("partNumber").toInt, body)
+              val now = inflightParts.incrementAndGet()
+              maxInflightParts.getAndUpdate(math.max(_, now))
+              try {
+                if (partDelayMs > 0) Thread.sleep(partDelayMs)
+                parts.put(params("partNumber").toInt, body)
+              } finally inflightParts.decrementAndGet()
               partPuts.incrementAndGet()
               x.getResponseHeaders.add("ETag",
                 "\"" + SigV4.sha256Hex(body).take(32) + "\"")
@@ -145,6 +165,15 @@ final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
               parts.values.asScala.foreach(out.write)
               objects.put(k, out.toByteArray)
               if (dropPutResponseFor(k)) {   // lost-200 for completes too
+                if (corruptDroppedComplete) {
+                  val o = objects.get(k)
+                  if (o.nonEmpty) {
+                    val f = o.clone()
+                    f(0) = (f(0) ^ 0x5a).toByte
+                    f(f.length - 1) = (f(f.length - 1) ^ 0x5a).toByte
+                    objects.put(k, f)
+                  }
+                }
                 droppedResponses.incrementAndGet(); x.close()
               } else respond(200,
                 ("<?xml version=\"1.0\"?><CompleteMultipartUploadResult>" +
@@ -166,7 +195,11 @@ final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
         case ("GET", "") =>   // ListObjectsV2
           listCalls.incrementAndGet()
           val prefix = params.getOrElse("prefix", "")
-          val after = params.getOrElse("continuation-token", "")
+          // start-after (public ListObjectsV2 param): begin strictly
+          // after the given key; a continuation token supersedes it on
+          // later pages exactly as on real S3
+          val after = params.get("continuation-token")
+            .orElse(params.get("start-after")).getOrElse("")
           val all = objects.keySet.asScala.filter(_.startsWith(prefix))
             .toSeq.sorted.dropWhile(after.nonEmpty && _ <= after)
           val page = all.take(pageSize)
@@ -180,15 +213,24 @@ final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
           respond(200, xml.getBytes(UTF_8))
         case ("GET", k) =>
           getCalls.incrementAndGet()
+          gotKeys.add(k)
           Option(objects.get(k)) match {
             case Some(b) =>
-              // one-byte ranged GET = the size probe (Content-Range
-              // carries the total, the body stays one byte)
-              if (Option(x.getRequestHeaders.getFirst("Range")).contains("bytes=0-0")
-                  && b.nonEmpty) {
-                x.getResponseHeaders.add("Content-Range", s"bytes 0-0/${b.length}")
-                respond(206, b.take(1))
-              } else respond(200, b)
+              // general ranged GET (bytes=a-b): serves the size probe
+              // (0-0 with Content-Range total) and the byte-sample
+              // identity probes
+              val range = Option(x.getRequestHeaders.getFirst("Range"))
+                .flatMap(r => "bytes=(\\d+)-(\\d+)".r.findFirstMatchIn(r))
+              range match {
+                case Some(m) if b.nonEmpty && m.group(1).toLong < b.length =>
+                  val from = m.group(1).toLong
+                  val to = math.min(m.group(2).toLong, b.length - 1L)
+                  x.getResponseHeaders.add("Content-Range",
+                    s"bytes $from-$to/${b.length}")
+                  respond(206,
+                    java.util.Arrays.copyOfRange(b, from.toInt, to.toInt + 1))
+                case _ => respond(200, b)
+              }
             case None => respond(404)
           }
         case ("DELETE", _) if params.contains("uploadId") =>   // abort multipart
@@ -208,9 +250,10 @@ final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
   val endpoint: URI = new URI(s"http://127.0.0.1:${server.getAddress.getPort}")
   def client: GraftS3.Client = new GraftS3.Client(endpoint, bucket, "local", creds)
   /** A client with spec-sized multipart knobs (and fast retries). */
-  def clientWith(partSizeBytes: Int, multipartThresholdBytes: Long): GraftS3.Client =
+  def clientWith(partSizeBytes: Int, multipartThresholdBytes: Long,
+      partConcurrency: Int = 4): GraftS3.Client =
     new GraftS3.Client(endpoint, bucket, "local", creds,
       java.net.http.HttpClient.newHttpClient(),
-      partSizeBytes, multipartThresholdBytes, 5, 5)
+      partSizeBytes, multipartThresholdBytes, 5, 5, partConcurrency)
   override def close(): Unit = { server.stop(0); pool.shutdown() }
 }

@@ -448,6 +448,17 @@ object GraftTable {
     * rest. */
   @volatile private[graft] var checkpointPlaced: Option[Path => Unit] = None
 
+  /** Invoked with the ABSOLUTE path of a placed artifact being deleted
+    * WITHOUT ever being committed — the lost-race cleanup and the
+    * orphan sweep. A mounted mirror (GraftS3) consumes the path's
+    * pending-upload entry here: without it, an op that places
+    * artifacts but dies before arbitration leaves its path-keyed
+    * futures in the map until unmount, and a long-lived driver
+    * mounting once per process would accumulate one dead entry per
+    * failed op. Same scoping discipline as placeArtifact: gate on your
+    * own root, delegate the rest. */
+  @volatile private[graft] var artifactDiscarded: Option[Path => Unit] = None
+
   /** Pluggable put-if-absent ARBITER for the commit plane — when
     * mounted (GraftS3.mountCommitArbiter), the object store decides
     * slot ownership via conditional PUT BEFORE the local file
@@ -1262,7 +1273,11 @@ object GraftTable {
           slot += 1
         }
         else {
-          c.adds.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
+          c.adds.foreach { f =>
+            val abs = Paths.get(root, f.path)
+            Files.deleteIfExists(abs)
+            artifactDiscarded.foreach(_(abs))
+          }
           if (occStaged) throw new IllegalStateException(
             s"snapshot $slot is a pending staged (WAP) commit: publish it with " +
               "CALL graft_system.cherrypick_snapshot or retire it with " +
@@ -6745,7 +6760,10 @@ object GraftTable {
             .flatMap(_.adds.map(_.path)).toSet
         candidates.filter { case (d, p) => !referenced.contains(s"$d/${p.getFileName}") }
       }
-    if (!dryRun) orphans.foreach { case (_, p) => Files.deleteIfExists(p) }
+    if (!dryRun) orphans.foreach { case (_, p) =>
+      Files.deleteIfExists(p)
+      artifactDiscarded.foreach(_(p))
+    }
     // crashed writers can also leave whole .stage-*/.ckpt-stage-* dirs
     // at the root — sweep them past the same horizon
     val staleStages = listDir(Paths.get(root))

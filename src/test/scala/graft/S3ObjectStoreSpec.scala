@@ -426,16 +426,20 @@ class S3ObjectStoreSpec extends SparkSpec {
       assert(em.partPuts.get == 5, s"ceil(300.02K/64K) = 5 parts: ${em.partPuts.get}")
       assert(em.objects.get("art/big.bin").toSeq == bigBytes.toSeq,
         "multipart reassembly must be byte-identical")
-      // the streaming claim, PROVEN: the largest buffer the client ever
-      // allocated is one part — far below the file size (a
-      // readAllBytes-based mirror would peak at 300 KiB+)
-      assert(c.peakBufferBytes.get == 64 * 1024,
-        s"peak buffer must be one part, got ${c.peakBufferBytes.get}")
+      // the streaming claim, PROVEN: the largest buffer set the client
+      // ever allocated is bounded by partConcurrency × partSize (the
+      // documented overlap cost), never the file size — a
+      // readAllBytes-based mirror would peak at 300 KiB+
+      assert(c.peakBufferBytes.get <= 4L * 64 * 1024,
+        s"peak buffers must stay ≤ k×partSize, got ${c.peakBufferBytes.get}")
       assert(c.peakBufferBytes.get < Files.size(big))
       assert(em.rejected.get == 0, "part PUTs and multipart POSTs all signature-verified")
       // a part failure past the retry budget ABORTS the upload — real
-      // S3 bills for orphaned parts until a lifecycle rule reaps them
-      em.failPartsNext.set(10)
+      // S3 bills for orphaned parts until a lifecycle rule reaps them.
+      // The budget must exceed parts×maxAttempts: parallel parts spread
+      // the injected 500s, and a smaller budget could let every part
+      // squeak through under its own retry allowance
+      em.failPartsNext.set(100)
       intercept[IllegalArgumentException] { c.putFile("art/fail.bin", big) }
       em.failPartsNext.set(0)
       assert(em.openUploads == 0, "the failed upload must be aborted, not orphaned")
@@ -589,11 +593,169 @@ class S3ObjectStoreSpec extends SparkSpec {
         s"every GET pulled something (targeted, no probing): ${em.getCalls.get} vs $pulled")
       assert(GraftTable.read(spark, rootY.toString).as[(Long, String)].collect().toSet ==
         Set((1L, "x1"), (2L, "x2"), (3L, "x3")), "Y serves X's new rows after the delta sync")
-      // idempotent: a second sync lists the same page, pulls nothing
+      // idempotent — and START-AFTER bounded: the idle poll passes the
+      // local head's slot key as ListObjectsV2 start-after, so it costs
+      // exactly ONE list call whose response carries ZERO keys (no
+      // letter-named checkpoint objects exist below the planning
+      // threshold), and zero GETs — the steady-state cost of a polling
+      // CDC follower is one empty page regardless of log length
+      em.listCalls.set(0); em.getCalls.set(0)
       val again = GraftS3.syncRemote(rootY, c)
       assert(again.isEmpty, s"nothing new: $again")
+      assert(em.listCalls.get == 1 && em.getCalls.get == 0,
+        s"idle poll = one empty list page: lists=${em.listCalls.get} gets=${em.getCalls.get}")
+      val headKey = c.list("_graft_log/")
+        .filter(_.matches("_graft_log/\\d{10}\\.json")).max
+      assert(c.list("_graft_log/", Some(headKey)).isEmpty,
+        "the server must honor start-after: nothing sorts after the head slot")
+      assert(c.list("_graft_log/", Some("_graft_log/0000000000.json"))
+        .count(_.matches("_graft_log/\\d{10}\\.json")) == 2,
+        "start-after is strict: slots 1 and 2 list, slot 0 does not")
       assert(em.rejected.get == 0)
     } finally { mounts.reverse.foreach(_.close()); em.close() }
+  }
+
+  test("multipart parts OVERLAP within one file: k part buffers in flight cut a single " +
+      "huge artifact's mirror latency, at the documented k×partSize peak-buffer cost") {
+    val em = new graft.lake.GraftS3Server("graft-mpp", creds)
+    // 32 KiB parts, 64 KiB threshold, 4 parts in flight
+    val c = em.clientWith(32 * 1024, 64 * 1024, partConcurrency = 4)
+    try {
+      val rnd = new java.util.Random(16L)
+      val dir = Files.createDirectories(Paths.get(scratchRoot("s3-spec", "mpp")))
+      val wide = dir.resolve("wide.bin")
+      val bytes = new Array[Byte](8 * 32 * 1024 + 7)   // 9 parts
+      rnd.nextBytes(bytes)
+      Files.write(wide, bytes)
+      em.partDelayMs = 120   // makes overlap observable via the high-water mark
+      c.putFile("art/wide.bin", wide)
+      em.partDelayMs = 0
+      assert(em.maxInflightParts.get >= 2,
+        s"parts of ONE file must overlap: max inflight ${em.maxInflightParts.get}")
+      assert(em.objects.get("art/wide.bin").toSeq == bytes.toSeq,
+        "out-of-order part completion must still reassemble byte-identically")
+      assert(c.peakBufferBytes.get <= 4L * 32 * 1024,
+        s"peak buffers bounded by k×partSize: ${c.peakBufferBytes.get}")
+      // a part failure still aborts cleanly with siblings in flight
+      // (budget > parts×maxAttempts so at least one part must exhaust)
+      em.partDelayMs = 50
+      em.failPartsNext.set(100)
+      intercept[IllegalArgumentException] { c.putFile("art/fail.bin", wide) }
+      em.failPartsNext.set(0); em.partDelayMs = 0
+      assert(em.openUploads == 0, "the failed upload must abort, not orphan its parts")
+      assert(em.objects.get("art/fail.bin") == null)
+      assert(em.rejected.get == 0)
+    } finally em.close()
+  }
+
+  test("a 404'd multipart complete is classified as a win only on BYTE-SAMPLE identity: " +
+      "a same-size foreign occupant is rejected, not silently accepted") {
+    val em = new graft.lake.GraftS3Server("graft-mpc", creds)
+    val c = em.clientWith(32 * 1024, 64 * 1024)
+    try {
+      val rnd = new java.util.Random(17L)
+      val dir = Files.createDirectories(Paths.get(scratchRoot("s3-spec", "mpc")))
+      val f = dir.resolve("obj.bin")
+      val bytes = new Array[Byte](3 * 32 * 1024 + 5)
+      rnd.nextBytes(bytes)
+      Files.write(f, bytes)
+      // the complete lands server-side, its 200 is dropped, AND the
+      // stored object is swapped for same-size foreign bytes — a
+      // size-only ownership probe would accept it; the head+tail
+      // byte-sample probe must reject and fail the upload loudly
+      em.corruptDroppedComplete = true
+      em.dropPutResponseFor = _ == "art/foreign.bin"
+      intercept[IllegalArgumentException] { c.putFile("art/foreign.bin", f) }
+      em.dropPutResponseFor = _ => false
+      em.corruptDroppedComplete = false
+      assert(em.droppedResponses.get >= 1)
+      // the positive twin: dropped 200 with the object INTACT is ours
+      em.dropPutResponseFor = _ == "art/ours.bin"
+      c.putFile("art/ours.bin", f)
+      em.dropPutResponseFor = _ => false
+      assert(em.objects.get("art/ours.bin").toSeq == bytes.toSeq)
+      assert(em.rejected.get == 0)
+    } finally em.close()
+  }
+
+  test("unmount drains only its OWN mount's uploads: closing mount A never steals mount B's " +
+      "in-flight entries (the cross-mount flush theft class)") {
+    val em = new graft.lake.GraftS3Server("graft-scope", creds)
+    val c = em.client
+    val rootA = Paths.get(scratchRoot("s3-spec", "scope-a"))
+    val rootB = Paths.get(scratchRoot("s3-spec", "scope-b"))
+    Seq(rootA, rootB).foreach(r => Files.createDirectories(r.resolve("data")))
+    // arbiter mounts make placements enqueue (async barrier path)
+    val mAA = GraftS3.mountCommitArbiter(rootA, c)
+    val mBA = GraftS3.mountCommitArbiter(rootB, c)
+    val mAM = GraftS3.mountArtifactMirror(rootA, c)
+    val mBM = GraftS3.mountArtifactMirror(rootB, c)
+    try {
+      def place(root: java.nio.file.Path, name: String): Unit = {
+        val src = root.resolve(s".stage-$name")
+        Files.write(src, name.getBytes(UTF_8))
+        GraftTable.placeArtifact(src, root.resolve(s"data/$name"))
+      }
+      em.putDelayMs = 150
+      place(rootA, "0000000001-a.parquet")
+      place(rootB, "0000000001-b.parquet")
+      assert(GraftS3.pendingUploadsUnder(rootA) == 1 &&
+        GraftS3.pendingUploadsUnder(rootB) == 1)
+      // closing A's mirror drains A's subtree ONLY: B's entry must
+      // still be pending for B's OWN barrier/flush to consume — an
+      // unscoped drain would steal it mid-commit and surface B's
+      // upload outcome in A's close
+      mAM.close()
+      assert(GraftS3.pendingUploadsUnder(rootA) == 0,
+        "A's close must consume A's entries")
+      assert(GraftS3.pendingUploadsUnder(rootB) == 1,
+        "A's close must NOT consume B's in-flight entry")
+      em.putDelayMs = 0
+      mBM.close()
+      assert(GraftS3.pendingUploadsUnder(rootB) == 0, "B's close drains B")
+      assert(em.objects.get("data/0000000001-a.parquet") != null &&
+        em.objects.get("data/0000000001-b.parquet") != null,
+        "both artifacts are durably remote through their own mounts")
+      assert(em.rejected.get == 0)
+    } finally {
+      em.putDelayMs = 0
+      // registry closes are idempotent — a mid-test assert failure must
+      // not leak the mirror dispatch into later suites
+      Seq(mAM, mBM).foreach(m => try m.close() catch { case _: Throwable => () })
+      mBA.close(); mAA.close(); em.close()
+    }
+  }
+
+  test("crash cleanup consumes pendingUploads: a placed-but-never-committed artifact's " +
+      "entry is dropped (and its remote twin deleted) by the orphan sweep, no unmount needed") {
+    val em = new graft.lake.GraftS3Server("graft-discard", creds)
+    val root = Paths.get(scratchRoot("s3-spec", "discard"))
+    val unA = GraftS3.mountCommitArbiter(root, em.client)
+    val unM = GraftS3.mountArtifactMirror(root, em.client)
+    try {
+      val df = Seq((1L, "live")).toDF("id", "v")
+      GraftTable.create(spark, root.toString, df.schema)
+      GraftTable.append(spark, root.toString, df)
+      // a crashed op: artifact placed (and mirror-enqueued), no commit
+      // ever arbitrates it — its path-keyed future lingers in the map
+      val name = "0000000099-00000-deadbeef.parquet"
+      val src = root.resolve(s".stage-$name")
+      Files.write(src, Array.fill[Byte](64)(7))
+      GraftTable.placeArtifact(src, root.resolve(s"data/$name"))
+      assert(GraftS3.pendingUploadsUnder(root) >= 1,
+        "the abandoned placement must be pending")
+      // the sweep that deletes the staged file also consumes its entry
+      val swept = GraftTable.removeOrphanFiles(root.toString,
+        System.currentTimeMillis() + 60000)
+      assert(swept.contains(s"data/$name"), s"the orphan must sweep: $swept")
+      assert(GraftS3.pendingUploadsUnder(root) == 0,
+        "a long-lived mounted driver must not accumulate dead entries")
+      assert(em.objects.get(s"data/$name") == null,
+        "the unreferenced remote twin is deleted best-effort")
+      // the live table is untouched
+      assert(GraftTable.read(spark, root.toString).count() == 1L)
+      assert(em.rejected.get == 0)
+    } finally { unM.close(); unA.close(); em.close() }
   }
 
   test("the artifact mirror uploads IN PARALLEL and the arbiter flushes before the slot: " +
