@@ -146,7 +146,12 @@ private[graft] class GraftBatchScan(
           math.min(maxSplit, f.sizeBytes - start), Array.empty, 0L, f.sizeBytes))
     }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // on-demand hydration fires with the POST-runtime-filter file list:
+    // a DPP-pruned native scan on a metadata-only fleet follower pulls
+    // exactly the surviving files (plus the MoR delete files the
+    // readers apply), never the table
+    GraftTable.hydrate(root, currentEntries.map(_.path) ++ plan.deletes.map(_.path))
     if (spjActive) {
       val byKey = currentEntries.groupBy(keyOf)
       groupKeys.zipWithIndex.map { case (k, i) =>
@@ -163,6 +168,7 @@ private[graft] class GraftBatchScan(
       FilePartition.getFilePartitions(spark, files, maxSplit)
         .toArray[InputPartition]
     }
+  }
 
   override def outputPartitioning(): Partitioning =
     if (spjActive)

@@ -534,6 +534,36 @@ object GraftS3 {
       if (r.statusCode == 404) None else Some(expect(r, 200).body())
     }
 
+    /** Streamed GET straight to a local file: the body flows through a
+      * bounded pipe to a tmp sibling, then one atomic move — a 100 GB
+      * data file hydrates without ever sitting on the heap (the
+      * download twin of [[putFile]]'s streaming claim), and a torn
+      * transfer can never surface as a half-written artifact to a
+      * concurrent reader. False on 404. Mid-stream failures after the
+      * response line are NOT retried here (the tmp is discarded and
+      * the error rethrown — callers re-request); the pre-stream retry
+      * loop covers the routine 5xx/connection cases. */
+    def getToFile(key: String, dest: Path): Boolean = {
+      val r = sendRetryingAs("GET", key, Nil,
+        SigV4.sha256Hex(Array.emptyByteArray),
+        () => HttpRequest.BodyPublishers.noBody(), Nil,
+        HttpResponse.BodyHandlers.ofInputStream())
+      if (r.statusCode == 404) { r.body().close(); false }
+      else {
+        require(r.statusCode == 200,
+          s"S3 GET $key → HTTP ${r.statusCode}")
+        Files.createDirectories(dest.getParent)
+        val tmp = dest.getParent.resolve(s".s3pull-${java.util.UUID.randomUUID()}")
+        try {
+          val in = r.body()
+          try Files.copy(in, tmp) finally in.close()
+          Files.move(tmp, dest,
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        } finally Files.deleteIfExists(tmp)
+        true
+      }
+    }
+
     def delete(key: String): Unit =
       expect(send("DELETE", key, Nil, Array.emptyByteArray, Nil), 204, 200)
 
@@ -683,6 +713,8 @@ object GraftS3 {
   private val hookLock = new Object
   private val arbMounts = new java.util.concurrent.CopyOnWriteArrayList[Mount]()
   private val mirMounts = new java.util.concurrent.CopyOnWriteArrayList[Mount]()
+  private val hydMounts = new java.util.concurrent.CopyOnWriteArrayList[Mount]()
+  private var hydPrev: Option[(Path, Seq[String]) => Unit] = None
   private var arbPrev: Option[(Path, String) => Boolean] = None
   private var mirPrevPlace: (Path, Path) => Unit = null
   private var mirPrevCkpt: Option[Path => Unit] = None
@@ -755,6 +787,134 @@ object GraftS3 {
       finally s.close()
     }
     mirPrevCkpt.foreach(_(dir))
+  }
+
+  /** The demand-fill data plane: a planned read's pruned file list
+    * arrives here (GraftTable.hydrateFiles) and exactly the locally
+    * MISSING files pull from the store — in parallel, streamed to
+    * disk, atomically materialized. The pre-slot barrier is what makes
+    * this safe with a metadata-only sync: a commit slot is visible
+    * remotely ONLY after every artifact it references is durably
+    * remote, so any file a synced commit names is guaranteed
+    * fetchable; a 404 therefore means a genuinely pruned/foreign
+    * object and fails the read loudly rather than serving a torn
+    * table. */
+  private lazy val hydDispatch: (Path, Seq[String]) => Unit = (tableRoot, rels) => {
+    ownerOfTarget(hydMounts, tableRoot).foreach { m =>
+      val missing = rels.distinct.filter(r => !Files.exists(tableRoot.resolve(r)))
+      if (missing.nonEmpty) {
+        val futs = missing.map { r =>
+          val local = tableRoot.resolve(r)
+          val key = keyFor(m.root, local, m.prefix)
+          r -> mirrorPool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit =
+              if (!m.client.getToFile(key, local))
+                throw new java.nio.file.NoSuchFileException(
+                  s"on-demand hydration: $key is referenced by a synced commit " +
+                    "but missing remotely (pruned or foreign object)")
+          })
+        }
+        futs.foreach { case (_, f) =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      }
+    }
+    hydPrev.foreach(_(tableRoot, rels))
+  }
+
+  /** Mount scan-time lazy hydration for a fleet FOLLOWER at `root`:
+    * with [[syncMetadata]] keeping the commit log current, reads pull
+    * exactly the pruned-live files they plan — the difference between
+    * a REPLICA (eager [[syncRemote]]: every commit's bytes land
+    * whether ever read or not) and a READER (a follower querying one
+    * partition of a 100 TB table transfers that partition). Local
+    * expiry becomes a real cache-eviction policy: [[evictLocalData]]
+    * drops local copies, the next scan re-hydrates. Registry-scoped
+    * like every mount; returns the un-mount handle. */
+  def mountOnDemandHydration(root: Path, client: Client,
+      prefix: String = ""): AutoCloseable = {
+    val m = Mount(root, normPrefix(prefix), client)
+    hookLock.synchronized {
+      if (hydMounts.isEmpty) {
+        val cur = GraftTable.hydrateFiles
+        if (!cur.exists(_ eq hydDispatch)) {
+          hydPrev = cur
+          GraftTable.hydrateFiles = Some(hydDispatch)
+        }
+      }
+      hydMounts.add(m)
+    }
+    () => hookLock.synchronized {
+      hydMounts.remove(m)
+      if (hydMounts.isEmpty && GraftTable.hydrateFiles.exists(_ eq hydDispatch))
+        GraftTable.hydrateFiles = hydPrev
+    }
+  }
+
+  /** The eager METADATA plane of a lazy follower: pull the commit log
+    * (slots, checkpoint headers, checkpoint parquet file-lists — all
+    * KB-to-MB-sized) without touching data/delete bytes. Same
+    * start-after bound as [[syncRemote]], slots materialized LAST and
+    * in id order so a concurrent reader never sees a child commit
+    * before its parent. Safe ONLY with [[mountOnDemandHydration]]
+    * active on `root` (or a reader that never touches data): a synced
+    * slot's data files are pulled at scan time, and the pre-slot
+    * barrier guarantees they are remotely present the moment the slot
+    * is visible. Returns the pulled keys. */
+  def syncMetadata(root: Path, client: Client, prefix: String = ""): Seq[String] = {
+    val p = normPrefix(prefix)
+    val localHead: Option[Long] = {
+      val log = root.resolve("_graft_log")
+      if (!Files.exists(log)) None
+      else {
+        val s = Files.list(log)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .collect { case n if n.matches("\\d{10}\\.json") => n.take(10).toLong }
+          .maxOption
+        finally s.close()
+      }
+    }
+    val startAfter = localHead.map(h => p + f"_graft_log/$h%010d.json")
+    val isSlot = "_graft_log/\\d{10}\\.json".r
+    val (slots, others) = client.list(p + "_graft_log/", startAfter)
+      .partition(k => isSlot.matches(k.stripPrefix(p)))
+    val pulled = Seq.newBuilder[String]
+    def pull(key: String): Unit = {
+      val local = root.resolve(key.stripPrefix(p))
+      if (!Files.exists(local)) client.get(key).foreach { bytes =>
+        writeLocalAtomic(local, bytes)
+        pulled += key
+      }
+    }
+    others.foreach(pull)
+    slots.sorted.foreach(pull)
+    pulled.result()
+  }
+
+  /** The cache-eviction half of the lazy-follower story: drop local
+    * copies of data/delete artifacts whose remote twin is CONFIRMED
+    * present at the same size (a one-byte ranged probe each — never a
+    * download), leaving the metadata plane intact. The next scan that
+    * selects an evicted file re-hydrates it on demand. Returns the
+    * evicted table-relative paths. */
+  def evictLocalData(root: Path, client: Client, prefix: String = ""): Seq[String] = {
+    val p = normPrefix(prefix)
+    val evicted = Seq.newBuilder[String]
+    Seq("data", "deletes").foreach { d =>
+      val dir = root.resolve(d)
+      if (Files.isDirectory(dir)) {
+        val s = Files.list(dir)
+        try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+          val rel = s"$d/${f.getFileName}"
+          if (client.sizeOf(p + rel).contains(Files.size(f))) {
+            Files.delete(f)
+            evicted += rel
+          }
+        } finally s.close()
+      }
+    }
+    evicted.result()
   }
 
   /** Mount the object store as `root`'s commit arbiter: every
@@ -958,15 +1118,25 @@ object GraftS3 {
   /** Bucket hygiene — the inverse of [[materializeMissing]], run AFTER
     * local `expire_snapshots` / `remove_orphan_files`: local retirement
     * is the policy decision, this mirrors it up so the bucket tracks
-    * the RETAINED lineage instead of growing forever. Warehouse-aware:
-    * tables are DISCOVERED from the commit-log slots under the mount
-    * (every `T/_graft_log/NNN.json` names table T), and each key is
-    * judged against ITS OWN table's local head — two tables sharing a
-    * bucket prune independently. Two safety rules make it crash- and
-    * fleet-safe:
+    * the RETAINED lineage instead of growing forever. Warehouse-aware
+    * and PREFIX-SCOPED: tables are discovered from the LOCAL warehouse
+    * (every dir holding a `_graft_log` — prune mirrors LOCAL
+    * retirement, and a table this machine never had has nothing
+    * locally retired; use [[syncRemote]]/[[materializeMissing]] to
+    * acquire foreign tables), each judged against ITS OWN local head.
+    * Listing cost is per-table: ONE small log-prefix page decides
+    * whether anything diverged, and a table whose remote slot set
+    * equals its local slot set is SKIPPED without ever listing its
+    * (artifact-sized) full prefix — so a 1000-table warehouse where
+    * one table expired pays one log page per table plus one full list
+    * for the one table that changed, never a whole-bucket walk. (The
+    * skip's conservative corner: artifacts orphan-removed locally with
+    * NO log change stay remote until the table's next log-changing
+    * prune — delayed deletion, never a wrong one.) Two safety rules
+    * make it crash- and fleet-safe:
     *  - a remote-only commit SLOT above its table's local head is a
-    *    crashed or foreign writer's WON commit — it is RESCUED
-    *    (materialized locally) rather than destroyed;
+    *    crashed writer's WON commit — it is RESCUED (materialized
+    *    locally) rather than destroyed;
     *  - any object whose name carries a snapshot prefix above the
     *    pre-rescue head (the rescued commits' data/delete files) is
     *    protected from this pass — a follow-up materializeMissing
@@ -976,63 +1146,91 @@ object GraftS3 {
     * snapshot-prefixed artifacts at or below their table's pre-rescue
     * head (expiry deletes a contiguous prefix; live artifacts exist
     * locally). Everything else — checkpoint mirrors, txn decisions,
-    * keys owned by no discovered table — is conservatively retained: a
+    * keys owned by no local table — is conservatively retained: a
     * fleet member that never pulled them cannot tell "retired" from
     * "never had", and the bucket's checkpoint mirror may be the only
     * replay seed left after another member pruned its expired commits.
-    * The retained surplus is metadata-sized and bounded by
-    * checkpoint/txn counts. Returns (rescued slot keys, deleted keys). */
+    * Returns (rescued slot keys, deleted keys). */
   def pruneRemote(root: Path, client: Client,
       prefix: String = ""): (Seq[String], Seq[String]) = {
     val p = normPrefix(prefix)
-    val remote = client.list(p)
-    val rels = remote.map(_.stripPrefix(p))
-    // table prefix = everything before "_graft_log/": "" when the
-    // mount root IS the table root, "db/tbl/" under a warehouse mount
-    val slotKey = "(|.*/)_graft_log/(\\d{10})\\.json".r
-    val tables = rels.collect { case slotKey(t, _) => t }.distinct
-    def headFor(t: String): Long = {
+    // local discovery: every dir under root holding a _graft_log is a
+    // table; "" when the mount root IS the table root
+    val tables: Seq[String] = {
+      val acc = Seq.newBuilder[String]
+      def walk(dir: Path, rel: String): Unit = if (Files.isDirectory(dir)) {
+        if (Files.isDirectory(dir.resolve("_graft_log"))) acc += rel
+        else {
+          val s = Files.list(dir)
+          try s.iterator().asScala.filter(Files.isDirectory(_))
+            .foreach(d => walk(d, rel + d.getFileName.toString + "/"))
+          finally s.close()
+        }
+      }
+      walk(root, "")
+      // longest-first so a nested table's keys are never judged by an
+      // enclosing table's head
+      acc.result().sortBy(-_.length)
+    }
+    def localSlots(t: String): Set[String] = {
       val log = root.resolve(t + "_graft_log")
-      if (!Files.exists(log)) 0L
+      if (!Files.exists(log)) Set.empty
       else {
         val s = Files.list(log)
         try s.iterator().asScala.map(_.getFileName.toString)
-          .collect { case n if n.matches("\\d{10}\\.json") => n.take(10).toLong }
-          .foldLeft(0L)(math.max)
+          .filter(_.matches("\\d{10}\\.json")).toSet
         finally s.close()
       }
     }
-    val heads = tables.map(t => t -> headFor(t)).toMap
-    // longest-match owner: a nested table root must not be judged by
-    // an enclosing table's head
-    def ownerOf(rel: String): Option[String] =
-      tables.filter(rel.startsWith(_)).sortBy(-_.length).headOption
-    val rescued = remote.flatMap { k =>
-      k.stripPrefix(p) match {
-        case rel @ slotKey(t, id)
-            if id.toLong > heads(t) && !Files.exists(root.resolve(rel)) =>
-          client.get(k).map { bytes =>
-            writeLocalAtomic(root.resolve(rel), bytes); k
+    val rescuedB = Seq.newBuilder[String]
+    val deletedB = Seq.newBuilder[String]
+    tables.foreach { t =>
+      val local = localSlots(t)
+      val head = local.map(_.take(10).toLong).maxOption.getOrElse(0L)
+      // ONE small page decides whether this table diverged at all
+      val remoteLog = client.list(p + t + "_graft_log/")
+      val remoteSlots = remoteLog.map(_.split('/').last)
+        .filter(_.matches("\\d{10}\\.json")).toSet
+      // rescue first: remote-only slots above the pre-rescue head are
+      // a crashed writer's won commits
+      remoteSlots.diff(local).foreach { n =>
+        if (n.take(10).toLong > head) {
+          val k = p + t + "_graft_log/" + n
+          client.get(k).foreach { bytes =>
+            writeLocalAtomic(root.resolve(t + "_graft_log/" + n), bytes)
+            rescuedB += k
           }
-        case _ => None
+        }
+      }
+      if (remoteSlots != local) {
+        // something retired (or was rescued): list the table's full
+        // prefix once and apply the whitelist under the PRE-RESCUE head
+        val prefixed = "(\\d{10})[.-].*".r
+        // a longer (nested) table owns its own keys
+        val nested = tables.filter(x => x != t && x.startsWith(t))
+        client.list(p + t).foreach { k =>
+          val rel = k.stripPrefix(p)
+          if (!nested.exists(rel.startsWith(_)) && !Files.exists(root.resolve(rel))) {
+            val relIn = rel.stripPrefix(t)
+            val retired =
+              if (relIn.startsWith("_graft_log/")) {
+                // only SLOTS retire from the log plane; checkpoint
+                // mirrors (checkpoint-/ckptmeta-/ckptfiles-) and txn
+                // decisions are conservatively retained — the bucket's
+                // checkpoint may be the only replay seed left after a
+                // peer pruned its expired commits
+                val n = relIn.stripPrefix("_graft_log/")
+                n.matches("\\d{10}\\.json") && n.take(10).toLong <= head
+              } else relIn.split('/').last match {
+                case prefixed(id) => id.toLong <= head
+                case _ => false
+              }
+            if (retired) { client.delete(k); deletedB += k }
+          }
+        }
       }
     }
-    val prefixed = "(\\d{10})[.-].*".r
-    def retired(rel: String): Boolean = rel match {
-      case slotKey(t, id) => id.toLong <= heads(t)
-      case _ => (ownerOf(rel), rel.split('/').last) match {
-        case (Some(t), prefixed(id)) =>
-          id.toLong <= heads(t) && !rel.contains("ckptfiles-")
-        case _ => false   // ckpt mirrors, decisions, unowned: retain
-      }
-    }
-    val deleted = remote
-      .filter { k =>
-        val rel = k.stripPrefix(p)
-        !Files.exists(root.resolve(rel)) && retired(rel)
-      }
-      .map { k => client.delete(k); k }
-    (rescued, deleted)
+    (rescuedB.result(), deletedB.result())
   }
 
   /** Atomic local materialization of a pulled object: stage to a tmp

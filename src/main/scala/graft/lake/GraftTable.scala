@@ -448,6 +448,25 @@ object GraftTable {
     * rest. */
   @volatile private[graft] var checkpointPlaced: Option[Path => Unit] = None
 
+  /** Scan-time on-demand hydration hook: invoked with (table root,
+    * table-relative paths) for exactly the data/delete files a planned
+    * read is about to open — BEFORE any of them is opened. A mounted
+    * object store (GraftS3.mountOnDemandHydration) pulls the locally
+    * missing ones here, which is what turns a fleet follower from a
+    * full REPLICA into a READER: the metadata plane (commit log +
+    * checkpoints, KB-sized) syncs eagerly, while a 100 TB table's data
+    * files transfer only when a pruned scan actually selects them.
+    * None (default) = every referenced file is local, the no-op. Same
+    * scoping discipline as every global hook: gate on your own root,
+    * delegate foreign roots. */
+  @volatile private[graft] var hydrateFiles: Option[(Path, Seq[String]) => Unit] = None
+
+  /** Fire [[hydrateFiles]] for a planned read's file list (both choke
+    * points below call this; double-firing is an idempotent existence
+    * check per path). */
+  private[lake] def hydrate(root: String, rels: Seq[String]): Unit =
+    hydrateFiles.foreach(h => if (rels.nonEmpty) h(Paths.get(root), rels))
+
   /** Invoked with the ABSOLUTE path of a placed artifact being deleted
     * WITHOUT ever being committed — the lost-race cleanup and the
     * orphan sweep. A mounted mirror (GraftS3) consumes the path's
@@ -3555,6 +3574,7 @@ object GraftTable {
       dataPaths: Seq[String], deletes: Seq[(String, Int, Seq[String])]): DataFrame =
     if (dataPaths.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else if (deletes.isEmpty) {
+      hydrate(root, dataPaths)
       val raw = spark.read.schema(physReadSchema(schema))
         .parquet(dataPaths.map(p => s"$root/$p"): _*)
       if (hasRenames(schema)) logicalProject(raw, schema) else raw
@@ -3567,6 +3587,7 @@ object GraftTable {
   private def liveRowsWithIds(spark: SparkSession, root: String, schema: StructType,
       dataPaths: Seq[String], deletes: Seq[(String, Int, Seq[String])],
       extraPhys: Seq[StructField] = Seq.empty): DataFrame = {
+    hydrate(root, dataPaths ++ deletes.map(_._1))
     val posD = deletes.filter(_._2 == 1)
     val dvD = deletes.filter(_._2 == 3)
     val eqD = deletes.filter(_._2 == 2)
@@ -4668,6 +4689,7 @@ object GraftTable {
     val pos: Seq[FileEntry] =
       if (posFiles.isEmpty && dvFiles.isEmpty) Seq.empty
       else {
+        hydrate(root, (posFiles ++ dvFiles).map(_.path))
         val posNames =
           if (posFiles.isEmpty) Set.empty[String]
           else spark.read.parquet(posFiles.map(f => s"$root/${f.path}"): _*)
@@ -4907,6 +4929,7 @@ object GraftTable {
     val files = state(root).files
     val posD = files.filter(_.content.contains(1))
     val dvD = files.filter(_.content.contains(3))
+    hydrate(root, (posD ++ dvD).map(_.path))
     val posPart = Option.when(posD.nonEmpty)(
       spark.read.parquet(posD.map(f => s"$root/${f.path}"): _*)
         .select(

@@ -376,6 +376,71 @@ object LakeOps {
     } finally server.close()
   }
 
+  // ── q110: scan-time lazy hydration for a fleet follower, oracled ────
+  /** The READER-not-REPLICA deployment shape under the gate: a writer
+    * commits a partitioned table through the arbitrated mirror; a
+    * follower syncs ONLY the metadata plane (commit log — KB-sized)
+    * and mounts on-demand hydration, so its pruned scan pulls exactly
+    * the pruned-live partition's files from the store — a
+    * byte-counting require pins that the follower fetched NOTHING
+    * else, and an evict → re-read require pins the cache-eviction
+    * round trip. At 100 TB this is the difference between a follower
+    * that downloads the lake and one that downloads its query. The
+    * OUTPUT is the pruned partition's rows read off the follower,
+    * which DuckDB recomputes from the raw parquet — full hash
+    * oracle. */
+  def q110(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.{GraftS3, GraftS3Server}
+    val creds = GraftS3.Credentials("GRAFTKEY", "graft-secret-key")
+    val server = new GraftS3Server("graft-lazy-gate", creds)
+    try {
+      val x = Paths.get(scratch("q110-x"))
+      val y = Paths.get(scratch("q110-y"))
+      val client = server.client
+      val unA = GraftS3.mountCommitArbiter(x, client)
+      val unM = GraftS3.mountArtifactMirror(x, client)
+      val unH = GraftS3.mountOnDemandHydration(y, client)
+      try {
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+            col("o_totalprice"))
+        GraftTable.create(s, x.toString, orders.schema,
+          Map(GraftTable.specProp -> "identity(o_orderpriority)"))
+        GraftTable.append(s, x.toString, orders)
+        // follower: metadata only — zero data bytes transferred
+        Files.createDirectories(y)
+        server.gotKeys.clear()
+        val meta = GraftS3.syncMetadata(y, client)
+        require(meta.nonEmpty && meta.forall(_.startsWith("_graft_log/")),
+          s"metadata sync pulls only the log: $meta")
+        require(!server.gotKeys.asScala.exists(_.startsWith("data/")),
+          "the metadata plane must not move data bytes")
+        require(!Files.isDirectory(y.resolve("data")),
+          "no data files before a read plans them")
+        // the pruned scan hydrates EXACTLY the pruned-live files
+        server.gotKeys.clear()
+        val preds = Seq(GraftTable.Eq("o_orderpriority", "1-URGENT"))
+        val (df, total, live) = GraftTable.scan(s, y.toString, preds)
+        val out = df.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+        val n = out.count()   // forces the hydrated read
+        require(live < total, s"partition pruning must skip files ($live/$total)")
+        val fetched = server.gotKeys.asScala.filter(_.startsWith("data/")).toSet
+        val expected = GraftTable.liveDataFiles(y.toString, preds).map(_.path).toSet
+        require(fetched == expected,
+          s"the follower must fetch exactly the pruned-live set: $fetched vs $expected")
+        // cache eviction round-trips: drop local copies, re-read equal
+        val evicted = GraftS3.evictLocalData(y, client)
+        require(evicted.toSet == expected, s"evict the hydrated set: $evicted")
+        require(GraftTable.scan(s, y.toString, preds)._1.count() == n,
+          "the evicted partition re-hydrates to the same rows")
+        require(server.rejected.get == 0, "every request SigV4-verified")
+        out
+      } finally { unH.close(); unM.close(); unA.close() }
+    } finally server.close()
+  }
+
   // ── q29: partition-spec pruned read, oracle-checked ─────────────────
   def q29(s: SparkSession, dir: String): DataFrame = {
     val root = scratch("q29")
@@ -1319,9 +1384,15 @@ object LakeOps {
     "q28_lake_mor_delete" -> q28 _,
     "q29_lake_partition_prune" -> q29 _,
     "q108_lake_s3" -> q108 _,
-    "q109_lake_s3_fleet" -> q109 _)
+    "q109_lake_s3_fleet" -> q109 _,
+    "q110_lake_s3_lazy" -> q110 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q110_lake_s3_lazy" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q109_lake_s3_fleet" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders

@@ -135,7 +135,10 @@ class NewQueryPlanSpec extends SparkSpec {
       // mid-parallel-suite would clobber S3ObjectStoreSpec's mounted
       // hook chain (the r13 unscoped-hook flake class), on top of the
       // lifecycle cost
-      "q108_lake_s3", "q109_lake_s3_fleet")
+      "q108_lake_s3", "q109_lake_s3_fleet",
+      // q110 mounts the GLOBAL hydration hook for its lazy-follower
+      // lifecycle — same mid-parallel-suite hazard as q108/q109
+      "q110_lake_s3_lazy")
     val names = SparkEntry.queries.keySet -- lifecycle -- allPairsDeclared
     val offenders = names.toSeq.sorted.flatMap { n =>
       val df = SparkEntry.queries(n)(spark, sf)

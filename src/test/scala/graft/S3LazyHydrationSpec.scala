@@ -1,0 +1,198 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.lake.{GraftS3, GraftS3Server, GraftTable}
+import graft.lake.GraftS3.Credentials
+
+/** Scan-time lazy artifact hydration — the gap between a fleet
+  * REPLICA and a fleet READER: the metadata plane (commit log +
+  * checkpoints, KB-sized) syncs eagerly via `syncMetadata`, while
+  * data/delete files pull on demand when a pruned scan actually
+  * selects them (`mountOnDemandHydration`). A follower querying one
+  * partition of a 100 TB table transfers that partition — proven here
+  * with a byte-counting server assert that the pruned read fetched
+  * EXACTLY the pruned-live file set. Local expiry becomes a real
+  * cache-eviction policy: `evictLocalData` drops local copies and the
+  * next scan re-hydrates. */
+class S3LazyHydrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val creds = Credentials("GRAFTKEY", "graft-lazy-secret")
+
+  private def dataKeys(em: GraftS3Server): Set[String] =
+    em.gotKeys.asScala.filter(k => k.contains("data/") || k.contains("deletes/")).toSet
+
+  test("a metadata-only follower is a READER: the pruned scan hydrates exactly the " +
+      "pruned-live files, eviction round-trips, and a full read completes the set") {
+    val em = new GraftS3Server("graft-lazy", creds)
+    val c = em.client
+    val rootX = Paths.get(scratchRoot("s3-lazy", "x"))
+    val rootY = Paths.get(scratchRoot("s3-lazy", "y"))
+    val unA = GraftS3.mountCommitArbiter(rootX, c)
+    val unM = GraftS3.mountArtifactMirror(rootX, c)
+    val unH = GraftS3.mountOnDemandHydration(rootY, c)
+    try {
+      val rows = (1 to 400).map(i => (i.toLong, i % 4, s"v$i"))
+      val df = rows.toDF("id", "p", "v")
+      GraftTable.create(spark, rootX.toString, df.schema,
+        Map(GraftTable.specProp -> "identity(p)"))
+      GraftTable.append(spark, rootX.toString, df)
+      val more = (401 to 500).map(i => (i.toLong, i % 4, s"v$i"))
+      GraftTable.append(spark, rootX.toString, more.toDF("id", "p", "v"))
+
+      // the follower syncs ONLY the metadata plane — zero data bytes
+      Files.createDirectories(rootY)
+      em.gotKeys.clear()
+      val meta = GraftS3.syncMetadata(rootY, c)
+      assert(meta.nonEmpty && meta.forall(_.startsWith("_graft_log/")),
+        s"metadata sync pulls only the log: $meta")
+      assert(dataKeys(em).isEmpty, "metadata sync must fetch zero data bytes")
+      assert(!Files.isDirectory(rootY.resolve("data")),
+        "no data files materialize before a read plans them")
+
+      // the pruned scan fetches EXACTLY the pruned-live files
+      em.gotKeys.clear()
+      val preds = Seq(GraftTable.Eq("p", "2"))
+      val (dfp, total, live) = GraftTable.scan(spark, rootY.toString, preds)
+      val got = dfp.select(col("id"), col("p"), col("v"))
+        .as[(Long, Int, String)].collect().toSet
+      val want = (rows ++ more).filter(_._2 == 2).toSet
+      assert(got == want, s"the hydrated pruned read serves the partition's rows")
+      assert(live < total, s"partition pruning must skip files (live=$live total=$total)")
+      val expected = GraftTable.liveDataFiles(rootY.toString, preds).map(_.path).toSet
+      assert(dataKeys(em) == expected,
+        s"fetched ${dataKeys(em)} must be exactly the pruned-live set $expected")
+      val localData = Files.list(rootY.resolve("data")).iterator.asScala
+        .map(p => s"data/${p.getFileName}").toSet
+      assert(localData == expected, "only the pruned partition's files are local")
+
+      // cache eviction: local copies drop (remote twins confirmed),
+      // the next identical scan re-hydrates and serves the same rows
+      val evicted = GraftS3.evictLocalData(rootY, c)
+      assert(evicted.toSet == expected, s"evicted $evicted")
+      assert(!Files.list(rootY.resolve("data")).iterator.asScala.hasNext,
+        "eviction empties the local cache")
+      em.gotKeys.clear()
+      val (dfp2, _, _) = GraftTable.scan(spark, rootY.toString, preds)
+      assert(dfp2.select(col("id"), col("p"), col("v"))
+        .as[(Long, Int, String)].collect().toSet == want,
+        "the evicted partition re-hydrates on the next scan")
+      assert(dataKeys(em) == expected, "re-hydration pulls the same pruned set")
+
+      // a FULL read completes the remaining partitions on demand
+      val all = GraftTable.read(spark, rootY.toString)
+        .as[(Long, Int, String)].collect().toSet
+      assert(all == (rows ++ more).toSet, "the unpruned read serves everything")
+      val allFiles = GraftTable.liveDataFiles(rootY.toString, Seq.empty).map(_.path).toSet
+      val localAll = Files.list(rootY.resolve("data")).iterator.asScala
+        .map(p => s"data/${p.getFileName}").toSet
+      assert(localAll == allFiles, "the full read hydrated every live file")
+      assert(em.rejected.get == 0)
+    } finally { unH.close(); unM.close(); unA.close(); em.close() }
+  }
+
+  test("MoR deletes hydrate on demand too: a follower scan pulls the delete files a " +
+      "commit references, and the CDC feed over a metadata-only sync serves live changes") {
+    val em = new GraftS3Server("graft-lazy-mor", creds)
+    val c = em.client
+    val rootX = Paths.get(scratchRoot("s3-lazy", "mor-x"))
+    val rootY = Paths.get(scratchRoot("s3-lazy", "mor-y"))
+    val unA = GraftS3.mountCommitArbiter(rootX, c)
+    val unM = GraftS3.mountArtifactMirror(rootX, c)
+    val unH = GraftS3.mountOnDemandHydration(rootY, c)
+    try {
+      val rows = (1L to 200L).map(i => (i, s"v$i"))
+      val df = rows.toDF("id", "v")
+      GraftTable.create(spark, rootX.toString, df.schema,
+        Map("write.delete.mode" -> "merge-on-read"))
+      GraftTable.append(spark, rootX.toString, df)
+      GraftTable.deleteWhere(spark, rootX.toString, col("id") % 10 === 0)
+
+      Files.createDirectories(rootY)
+      GraftS3.syncMetadata(rootY, c)
+      assert(!Files.isDirectory(rootY.resolve("data")) &&
+        !Files.isDirectory(rootY.resolve("deletes")),
+        "metadata-only: no data or delete bytes yet")
+
+      // the MoR read needs BOTH planes — data files and the delete
+      // files masking them — and must hydrate both on demand
+      val got = GraftTable.read(spark, rootY.toString)
+        .as[(Long, String)].collect().toSet
+      assert(got == rows.filterNot(_._1 % 10 == 0).toSet,
+        "the hydrated MoR read applies the deletes")
+      assert(Files.isDirectory(rootY.resolve("deletes")),
+        "delete files hydrated alongside the data")
+
+      // a live CDC drain over the same metadata-only follower: getBatch
+      // replans per commit and hydrates what each diff touches
+      val base = Files.createTempDirectory("graft-lazy-cdc")
+      val seen = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      val q = GraftTable.readStreamChanges(spark, rootY.toString,
+          fromExclusive = Some(0L))
+        .writeStream.option("checkpointLocation", base.resolve("ck").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.groupBy(col("_change_type")).count()
+            .as[(String, Long)].collect()
+          seen.synchronized { seen ++= n }
+          ()
+        }.start()
+      assert(q.awaitTermination(120000), "AvailableNow must terminate")
+      val byType = seen.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(byType.getOrElse("insert", 0L) == 200L &&
+        byType.getOrElse("delete", 0L) == 20L,
+        s"the CDC feed over a lazy follower serves the full history: $byType")
+      assert(em.rejected.get == 0)
+    } finally { unH.close(); unM.close(); unA.close(); em.close() }
+  }
+
+  test("the native DSv2 scan hydrates its post-DPP file list: a catalog-served pruned " +
+      "query on a lazy follower fetches only the surviving partition") {
+    val em = new GraftS3Server("graft-lazy-native", creds)
+    val c = em.client
+    val whX = Paths.get(scratchRoot("s3-lazy", "nat-whx"))
+    // per-pid warehouse + OWN catalog name (never the shared "graft"
+    // instance: Spark caches catalogs per name, and repointing the
+    // shared one poisons every later suite in this JVM)
+    val whY = Paths.get(scratchRoot("s3-lazy",
+      s"nat-why-${ProcessHandle.current().pid()}"))
+    Files.createDirectories(whX); Files.createDirectories(whY)
+    val unA = GraftS3.mountCommitArbiter(whX, c)
+    val unM = GraftS3.mountArtifactMirror(whX, c)
+    val unH = GraftS3.mountOnDemandHydration(whY, c)
+    try {
+      val rows = (1 to 300).map(i => (i.toLong, i % 3, s"n$i"))
+      val df = rows.toDF("id", "p", "v")
+      val tblX = whX.resolve("ns").resolve("t")
+      GraftTable.create(spark, tblX.toString, df.schema,
+        Map(GraftTable.specProp -> "identity(p)"))
+      GraftTable.append(spark, tblX.toString, df)
+
+      val tblY = whY.resolve("ns").resolve("t")
+      Files.createDirectories(tblY)
+      GraftS3.syncMetadata(tblY, c, "ns/t")
+      assert(!Files.isDirectory(tblY.resolve("data")))
+
+      spark.conf.set("spark.sql.catalog.graft_lazy",
+        "graft.lake.GraftSparkCatalog")
+      spark.conf.set("spark.sql.catalog.graft_lazy.warehouse", whY.toString)
+      em.gotKeys.clear()
+      val got = spark.sql("SELECT id, v FROM graft_lazy.ns.t WHERE p = 1")
+        .as[(Long, String)].collect().toSet
+      assert(got == rows.filter(_._2 == 1).map(r => (r._1, r._3)).toSet,
+        "the catalog-served pruned read is correct on the lazy follower")
+      val fetched = dataKeys(em)
+      val expected = GraftTable.liveDataFiles(tblY.toString,
+        Seq(GraftTable.Eq("p", "1"))).map(f => s"ns/t/${f.path}").toSet
+      assert(fetched == expected,
+        s"the native scan hydrates exactly its planned files: $fetched vs $expected")
+      assert(em.rejected.get == 0)
+    } finally { unH.close(); unM.close(); unA.close(); em.close() }
+  }
+}
