@@ -34,9 +34,16 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * silently. Test/dev fixture by design (ephemeral port, in-memory),
   * exactly how the reference uses MinIO; production deployments point
   * [[GraftS3.Client]] at real S3/MinIO instead. */
-final class GraftS3Server(bucket: String, creds: GraftS3.Credentials)
+final class GraftS3Server(bucket: String, initialCreds: GraftS3.Credentials)
     extends AutoCloseable {
   import GraftS3.SigV4
+
+  @volatile private var creds: GraftS3.Credentials = initialCreds
+
+  /** Server-side credential rotation (the IAM-key-rotation scenario):
+    * from now on only requests signed with `next` verify — lets specs
+    * prove a conf re-mount swaps to the new key on the SAME endpoint. */
+  def rotateCredentials(next: GraftS3.Credentials): Unit = creds = next
 
   val objects = new ConcurrentHashMap[String, Array[Byte]]()
   /** Requests rejected for signature mismatch (0 on a correct client). */

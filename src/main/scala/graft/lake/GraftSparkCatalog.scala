@@ -44,10 +44,46 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * protocol (snapshot isolation, conflict detection) is unchanged.
   */
 object GraftSparkCatalog {
-  /** Guards conf-driven S3 mounts against duplicate hook stacking when
-    * the same catalog is re-initialized (new session, one JVM). */
-  private val s3Mounted =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Conf-driven S3 mounts, keyed by mount IDENTITY (endpoint, bucket,
+    * warehouse, prefix, region — everything except the credentials).
+    * The value retains the full key (credentials included) plus the
+    * AutoCloseable mount handles: a catalog re-initialized with the
+    * SAME identity and key is a no-op (no duplicate hook stacking),
+    * while one re-initialized after a CREDENTIAL ROTATION closes the
+    * superseded mount before registering the new one — without this,
+    * every rotation would leak a registry entry + HTTP client signing
+    * with the revoked key forever, and correctness would rest on the
+    * newest-mount tie-break alone. */
+  private val s3Mounts = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[AutoCloseable])]()
+
+  private def closeQuietly(hs: Seq[AutoCloseable]): Unit =
+    hs.foreach(h => try h.close() catch { case _: Throwable => () })
+
+  /** Spec observability: live conf-mount entries for `warehouse` —
+    * proves a credential rotation REPLACED (not stacked) its mount. */
+  private[graft] def confMountCount(warehouse: String): Int = {
+    var n = 0
+    s3Mounts.forEach((k, _) => if (k.split('|').lift(2).contains(warehouse)) n += 1)
+    n
+  }
+
+  /** Close and forget every conf-driven mount whose warehouse is
+    * `warehouse` — the unmount point a pure-conf deployment otherwise
+    * lacks (a spec's in-JVM server must not stay mounted for the rest
+    * of the shared test JVM; a long-lived driver can detach a
+    * decommissioned store). */
+  def closeConfMounts(warehouse: String): Unit =
+    s3Mounts.synchronized {
+      val it = s3Mounts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.split('|').lift(2).contains(warehouse)) {
+          closeQuietly(e.getValue._2)
+          it.remove()
+        }
+      }
+    }
 }
 
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
@@ -158,30 +194,48 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         throw new IllegalArgumentException(
           s"spark.sql.catalog.$name.$k is required when s3.endpoint is set"))
       val prefix = Option(options.get("s3.prefix")).getOrElse("")
-      // the dedup key carries region + access key: a catalog
-      // re-initialized after credential rotation must mount a client
-      // signing with the NEW key, not silently keep the revoked one
-      val mountKey = s"$ep|${req("s3.bucket")}|$warehouse|$prefix|" +
-        s"${Option(options.get("s3.region")).getOrElse("us-east-1")}|${req("s3.access-key")}"
-      if (GraftSparkCatalog.s3Mounted.add(mountKey)) {
-        def sizeOpt(k: String, dflt: Long): Long =
-          Option(options.get(k)).map(_.toLong).getOrElse(dflt)
-        val partSize = sizeOpt("s3.part-size-bytes", 64L << 20)
-        // the client buffers one part on the heap, so the knob is an
-        // Int — refuse loudly instead of silently truncating a 5 GiB
-        // setting to 1 GiB (real S3's own part ceiling is 5 GiB, but
-        // parts that large belong on disk, not a byte[])
-        require(partSize >= 1 && partSize <= Int.MaxValue,
-          s"spark.sql.catalog.$name.s3.part-size-bytes must be in [1, ${Int.MaxValue}]: $partSize")
-        val client = new GraftS3.Client(java.net.URI.create(ep),
-          req("s3.bucket"),
-          Option(options.get("s3.region")).getOrElse("us-east-1"),
-          GraftS3.Credentials(req("s3.access-key"), req("s3.secret-key")),
-          java.net.http.HttpClient.newHttpClient(),
-          partSize.toInt,
-          sizeOpt("s3.multipart-threshold-bytes", 256L << 20))
-        GraftS3.mountCommitArbiter(Paths.get(warehouse), client, prefix)
-        GraftS3.mountArtifactMirror(Paths.get(warehouse), client, prefix)
+      val region = Option(options.get("s3.region")).getOrElse("us-east-1")
+      // identity excludes the credentials; the full key includes them.
+      // Same identity + same key → already mounted, no-op. Same
+      // identity + NEW key (credential rotation) → the superseded
+      // mount CLOSES (flushing its in-flight uploads) before the
+      // replacement registers, so the registry never accumulates
+      // revoked clients and the fresh mount signs every later request.
+      val identity = s"$ep|${req("s3.bucket")}|$warehouse|$prefix|$region"
+      val fullKey = s"$identity|${req("s3.access-key")}"
+      GraftSparkCatalog.s3Mounts.synchronized {
+        val prev = GraftSparkCatalog.s3Mounts.get(identity)
+        if (prev == null || prev._1 != fullKey) {
+          if (prev != null) GraftSparkCatalog.closeQuietly(prev._2)
+          def sizeOpt(k: String, dflt: Long): Long =
+            Option(options.get(k)).map(_.toLong).getOrElse(dflt)
+          val partSize = sizeOpt("s3.part-size-bytes", 64L << 20)
+          // the client buffers parts on the heap, so the knob is an
+          // Int — refuse loudly instead of silently truncating a 5 GiB
+          // setting to 1 GiB (real S3's own part ceiling is 5 GiB, but
+          // parts that large belong on disk, not a byte[])
+          require(partSize >= 1 && partSize <= Int.MaxValue,
+            s"spark.sql.catalog.$name.s3.part-size-bytes must be in [1, ${Int.MaxValue}]: $partSize")
+          val client = new GraftS3.Client(java.net.URI.create(ep),
+            req("s3.bucket"), region,
+            GraftS3.Credentials(req("s3.access-key"), req("s3.secret-key")),
+            java.net.http.HttpClient.newHttpClient(),
+            partSize.toInt,
+            sizeOpt("s3.multipart-threshold-bytes", 256L << 20),
+            partConcurrency =
+              sizeOpt("s3.part-concurrency", 4).toInt)
+          val root = Paths.get(warehouse)
+          // s3.hydrate-on-demand=true declares this session a lazy
+          // FOLLOWER: reads pull pruned file sets on demand (pair with
+          // GraftS3.syncMetadata); default is the full writer shape
+          val handles =
+            if (Option(options.get("s3.hydrate-on-demand")).exists(_.toBoolean))
+              Seq(GraftS3.mountOnDemandHydration(root, client, prefix))
+            else Seq(
+              GraftS3.mountCommitArbiter(root, client, prefix),
+              GraftS3.mountArtifactMirror(root, client, prefix))
+          GraftSparkCatalog.s3Mounts.put(identity, (fullKey, handles))
+        }
       }
     }
     sweepStaleStaging()

@@ -1,0 +1,182 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.{GraftS3, GraftS3Server, GraftTable}
+import graft.lake.GraftS3.Credentials
+
+/** The randomized MoR op alphabet driven THROUGH the arbitrated S3
+  * plane with live fault injection — the composition the chosen-
+  * scenario S3 specs can't give: every class of committing op
+  * (appends, MoR keyed/equality deletes, one-commit upserts, WAP
+  * stage→publish/abandon, branch fork→resolve, cross-table txns,
+  * compaction, checkpoint+expiry) arbitrates its slots via SigV4'd
+  * conditional PUTs over real HTTP while the server randomly 503s and
+  * drops 200s after durable applies. After EVERY op the table must
+  * equal a driver-side row-multiset oracle AND the CDC feed for the
+  * op's window must replay the previous oracle to the new one
+  * (exactly-once: a lost-200 double-commit would double rows and break
+  * both). Each lifecycle ends with a FOLLOWER restore from the bucket
+  * alone, proving the store carried the whole composed history. */
+class S3MorPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val creds = Credentials("GRAFTKEY", "graft-morprop-secret")
+
+  test("random MoR lifecycles through the arbitrated store: injected 503s and dropped " +
+      "200s never break the per-op oracle, the CDC replay, or a follower restore") {
+    val rnd = new Random(20260816L)
+    val em = new GraftS3Server("graft-morprop", creds)
+    val wh = Paths.get(scratchRoot("s3-morprop", "wh"))
+    Files.createDirectories(wh)
+    val unA = GraftS3.mountCommitArbiter(wh, em.client)
+    val unM = GraftS3.mountArtifactMirror(wh, em.client)
+    var checks = 0
+    var cdcChecks = 0
+    var throttles = 0
+    var drops = 0
+    try {
+      for (lc <- 0 until 4) {
+        val root = wh.resolve(s"t$lc").toString
+        val prefix = s"t$lc"
+        val template = Seq.empty[(Long, String)].toDF("id", "v")
+        GraftTable.create(spark, root, template.schema,
+          Map("write.delete.mode" -> "merge-on-read",
+            "graft.delete.rows-per-shard" -> "4"))
+        var oracle = Vector.empty[(Long, String)]
+        var nextId = 0L
+        def mkRows(n: Int): Seq[(Long, String)] =
+          (0 until n).map { _ => nextId += 1; (nextId, rnd.alphanumeric.take(4).mkString) }
+        def readOf(r: String) = GraftTable.read(spark, r)
+          .as[(Long, String)].collect().toVector.sorted
+        def check(): Unit = {
+          assert(readOf(root) == oracle.sorted,
+            s"lifecycle $lc check $checks: table diverged from the oracle " +
+              s"(${readOf(root).size} vs ${oracle.size})")
+          checks += 1
+        }
+        def cdcCheck(prevSnap: Long, prevOracle: Vector[(Long, String)]): Unit = {
+          val cur = GraftTable.latestSnapshotId(root)
+          if (cur != prevSnap) {
+            val ch = GraftTable.changes(spark, root, prevSnap, cur)
+              .select(col("id"), col("v"), col("_change_type"))
+              .as[(Long, String, String)].collect().toVector
+            val ins = ch.filter(_._3 == "insert").map(t => (t._1, t._2))
+            val del = ch.filter(_._3 == "delete").map(t => (t._1, t._2))
+            assert(del.diff(prevOracle).isEmpty,
+              s"lifecycle $lc: CDC deletes rows never live")
+            val applied = (prevOracle.diff(del) ++ ins).sorted
+            assert(applied == oracle.sorted,
+              s"lifecycle $lc ($prevSnap, $cur]: CDC replay ${applied.size} rows " +
+                s"vs oracle ${oracle.size} — a lost-200 double-commit would land here")
+            cdcChecks += 1
+          }
+        }
+        val first = mkRows(4)
+        oracle ++= first
+        GraftTable.append(spark, root, first.toDF("id", "v"))
+        check()
+        for (_ <- 0 until 10) {
+          val prevSnap = GraftTable.latestSnapshotId(root)
+          val prevOracle = oracle
+          // fault injection ahead of the op: a burst of 503 SlowDowns
+          // and/or the op's next commit slot losing its 200 AFTER the
+          // durable apply (the double-commit hazard)
+          if (rnd.nextInt(3) == 0) {
+            em.throttleNext.set(1 + rnd.nextInt(2)); throttles += 1
+          }
+          if (rnd.nextInt(4) == 0) {
+            val fired = new AtomicBoolean(false)
+            em.dropPutResponseFor = k =>
+              k.matches(s"$prefix/_graft_log/\\d{10}\\.json") &&
+                fired.compareAndSet(false, true)
+            drops += 1
+          }
+          try rnd.nextInt(10) match {
+            case 0 | 1 =>
+              val rows = mkRows(2 + rnd.nextInt(5))
+              oracle ++= rows
+              GraftTable.append(spark, root, rows.toDF("id", "v"))
+            case 2 if oracle.nonEmpty =>   // MoR keyed delete
+              val victims = rnd.shuffle(oracle).take(1 + rnd.nextInt(3)).map(_._1).toSet
+              oracle = oracle.filterNot(r => victims.contains(r._1))
+              GraftTable.deleteWhere(spark, root, col("id").isInCollection(victims))
+            case 3 if oracle.nonEmpty =>   // sharded equality delete
+              val ids = rnd.shuffle(oracle).take(1 + rnd.nextInt(4)).map(_._1).distinct
+              oracle = oracle.filterNot(r => ids.contains(r._1))
+              GraftTable.deleteEqualityMoR(spark, root, ids.toDF("id"))
+            case 4 =>   // one-commit MoR upsert
+              val replace = rnd.shuffle(oracle).take(rnd.nextInt(3)).map(_._1)
+              val batch = (replace.map(k => (k, "up")) ++ mkRows(1)).distinctBy(_._1)
+              oracle = oracle.filterNot(r => batch.exists(_._1 == r._1)) ++ batch
+              GraftTable.upsertEqualityMoR(spark, root, batch.toDF("id", "v"), Seq("id"))
+            case 5 =>   // maintenance never changes visible rows
+              rnd.nextInt(3) match {
+                case 0 => GraftTable.rewriteDataFiles(spark, root)
+                case 1 => GraftTable.rewriteDeletesToDV(spark, root)
+                case _ => GraftTable.rewriteManifests(root)
+              }
+            case 6 =>   // WAP: staged commit, invisible until published
+              val rows = mkRows(2 + rnd.nextInt(4))
+              val sid = GraftTable.appendStaged(spark, root,
+                rows.toDF("id", "v"), s"wap$lc$checks")
+              assert(readOf(root) == oracle.sorted,
+                s"lifecycle $lc: staged rows leaked into main")
+              if (rnd.nextBoolean()) {
+                GraftTable.cherrypickSnapshot(root, sid)
+                oracle ++= rows
+              } else GraftTable.abandonStagedSnapshot(root, sid)
+            case 7 =>   // branch fork → write → publish or drop
+              val bn = s"b$lc$checks"
+              GraftTable.createBranch(root, bn)
+              val rows = mkRows(2 + rnd.nextInt(3))
+              GraftTable.appendToBranch(spark, root, rows.toDF("id", "v"), bn)
+              assert(readOf(root) == oracle.sorted,
+                s"lifecycle $lc: branch rows leaked into main")
+              if (rnd.nextBoolean()) {
+                GraftTable.fastForward(root, bn)
+                oracle ++= rows
+              } else GraftTable.dropBranch(root, bn)
+            case 8 =>   // cross-table txn: the DECISION file arbitrates too
+              val sibling = wh.resolve(s"t$lc-sib$checks").toString
+              GraftTable.create(spark, sibling,
+                Seq.empty[(Long, String)].toDF("k", "w").schema)
+              val txn = GraftTable.beginTransaction(
+                wh.resolve(s"t$lc-txn$checks").toString)
+              val rows = mkRows(1 + rnd.nextInt(4))
+              txn.append(spark, root, rows.toDF("id", "v"))
+              txn.append(spark, sibling, Seq((1L, "s")).toDF("k", "w"))
+              assert(readOf(root) == oracle.sorted,
+                s"lifecycle $lc: staged txn visible pre-decision")
+              if (rnd.nextBoolean()) { txn.commit(); oracle ++= rows }
+              else txn.abort()
+            case _ =>   // checkpoint, sometimes followed by expiry
+              GraftTable.rewriteManifests(root)
+              if (rnd.nextBoolean()) GraftTable.expireSnapshots(root, 2)
+          } finally em.dropPutResponseFor = _ => false
+          check()
+          cdcCheck(prevSnap, prevOracle)
+        }
+        // the follower restore: a second machine materializes THIS
+        // table from the bucket alone (prefix-scoped) and must serve
+        // the composed oracle — the store carried every surviving
+        // commit of the faulted lifecycle exactly once
+        val y = Paths.get(scratchRoot("s3-morprop", s"y$lc"))
+        Files.createDirectories(y)
+        GraftS3.materializeMissing(y, em.client, prefix)
+        assert(readOf(y.toString) == oracle.sorted,
+          s"lifecycle $lc: follower restore diverged from the oracle")
+      }
+      assert(throttles >= 3 && drops >= 3,
+        s"fault injection too small: $throttles throttles, $drops drops")
+      assert(em.rejected.get == 0, "every request signature-verified")
+      info(s"$checks op checks, $cdcChecks CDC replays, " +
+        s"$throttles throttle bursts, $drops dropped 200s — all green")
+    } finally { unM.close(); unA.close(); em.close() }
+  }
+}

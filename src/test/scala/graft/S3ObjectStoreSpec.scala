@@ -512,11 +512,25 @@ class S3ObjectStoreSpec extends SparkSpec {
       // artifacts stay untouched
       GraftTable.expireSnapshots(ta.toString, 1)
       val tbKeysBefore = c.list("tb/").toSet
+      // prefix-scoped listing: one small log page per table decides
+      // divergence; ONLY the diverged table (ta) pays a full-prefix
+      // list — never a whole-bucket walk
+      val lists0 = em.listCalls.get
       val (rescued, deleted) = GraftS3.pruneRemote(wh, c)
+      assert(em.listCalls.get - lists0 == 3,
+        s"2 log pages + 1 full list for the diverged table: ${em.listCalls.get - lists0}")
       assert(rescued.isEmpty, s"nothing crashed: $rescued")
       assert(deleted.nonEmpty && deleted.forall(_.startsWith("ta/")),
         s"only ta's retired lineage prunes: $deleted")
       assert(c.list("tb/").toSet == tbKeysBefore, "tb's bucket footprint is untouched")
+      // steady state: both tables' remote logs now equal their local
+      // logs — a re-prune pays exactly one log page per table and
+      // deletes nothing
+      val lists1 = em.listCalls.get
+      val (r2, d2) = GraftS3.pruneRemote(wh, c)
+      assert(r2.isEmpty && d2.isEmpty)
+      assert(em.listCalls.get - lists1 == 2,
+        s"in-sync tables skip their full-prefix list: ${em.listCalls.get - lists1}")
       // both tables still serve, and a blank-machine warehouse restore
       // brings BOTH back from the one bucket
       GraftTable.deleteTree(wh)

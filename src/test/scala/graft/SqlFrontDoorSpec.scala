@@ -1356,6 +1356,62 @@ class SqlFrontDoorSpec extends SparkSpec {
       assert(spark.sql("SELECT id, v FROM graft_s3w.lab.ev ORDER BY id")
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
         Seq((1L, "a"), (3L, "c")), "SQL serves the restored warehouse")
-    } finally em.close()
+    } finally {
+      // the conf-created mounts must not outlive their in-JVM server:
+      // without this unmount, every later suite's commits under a
+      // colliding root would try to arbitrate against a CLOSED endpoint
+      graft.lake.GraftSparkCatalog.closeConfMounts(wh)
+      em.close()
+    }
+  }
+
+  test("conf-mount credential rotation: re-initializing the catalog with a NEW access key " +
+      "REPLACES (closes) the superseded mount and signs every later request with the new key") {
+    import graft.lake.{GraftS3, GraftS3Server, GraftSparkCatalog}
+    val oldCreds = GraftS3.Credentials("OLDKEY", "old-secret")
+    val newCreds = GraftS3.Credentials("NEWKEY", "new-secret")
+    val em = new GraftS3Server("graft-rot", oldCreds)
+    val wh = scratchRoot("sqlfront", s"s3rot-${ProcessHandle.current().pid()}")
+    try {
+      def confUp(cat: String, creds: GraftS3.Credentials): Unit = {
+        // a fresh catalog NAME per phase forces initialize() to run
+        // again (Spark caches instances per name); both phases point at
+        // the SAME endpoint/bucket/warehouse — one mount identity
+        spark.conf.set(s"spark.sql.catalog.$cat", "graft.lake.GraftSparkCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.endpoint", em.endpoint.toString)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.bucket", "graft-rot")
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.access-key", creds.accessKey)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.secret-key", creds.secretKey)
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rot")
+      }
+      confUp("graft_rot1", oldCreds)
+      spark.sql("CREATE TABLE graft_rot1.rot.t (id BIGINT)")
+      spark.sql("INSERT INTO graft_rot1.rot.t VALUES (1)")
+      assert(em.rejected.get == 0, "old-key requests verify against the old server key")
+      assert(GraftSparkCatalog.confMountCount(wh) == 1)
+      // the store rotates its accepted key; the catalog re-initializes
+      // with the new one — the SAME mount identity must REPLACE its
+      // entry (count stays 1, the revoked client is closed), and every
+      // later commit signs with the new key: zero 403s
+      em.rotateCredentials(newCreds)
+      confUp("graft_rot2", newCreds)
+      assert(GraftSparkCatalog.confMountCount(wh) == 1,
+        "rotation must replace the mount entry, never stack a second")
+      spark.sql("INSERT INTO graft_rot2.rot.t VALUES (2)")
+      assert(em.rejected.get == 0,
+        "post-rotation commits must sign with the NEW key")
+      assert(spark.sql("SELECT id FROM graft_rot2.rot.t ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      // identical re-initialization (same identity, same key) is the
+      // no-op path — no duplicate stacking either
+      confUp("graft_rot3", newCreds)
+      assert(GraftSparkCatalog.confMountCount(wh) == 1)
+    } finally {
+      graft.lake.GraftSparkCatalog.closeConfMounts(wh)
+      assert(graft.lake.GraftSparkCatalog.confMountCount(wh) == 0,
+        "closeConfMounts must fully detach the warehouse")
+      em.close()
+    }
   }
 }
