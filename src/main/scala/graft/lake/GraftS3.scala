@@ -544,24 +544,46 @@ object GraftS3 {
       * the error rethrown — callers re-request); the pre-stream retry
       * loop covers the routine 5xx/connection cases. */
     def getToFile(key: String, dest: Path): Boolean = {
-      val r = sendRetryingAs("GET", key, Nil,
-        SigV4.sha256Hex(Array.emptyByteArray),
-        () => HttpRequest.BodyPublishers.noBody(), Nil,
-        HttpResponse.BodyHandlers.ofInputStream())
-      if (r.statusCode == 404) { r.body().close(); false }
-      else {
-        require(r.statusCode == 200,
-          s"S3 GET $key → HTTP ${r.statusCode}")
-        Files.createDirectories(dest.getParent)
-        val tmp = dest.getParent.resolve(s".s3pull-${java.util.UUID.randomUUID()}")
-        try {
-          val in = r.body()
-          try Files.copy(in, tmp) finally in.close()
-          Files.move(tmp, dest,
-            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        } finally Files.deleteIfExists(tmp)
-        true
+      // own retry loop (not sendRetryingAs): with an ofInputStream
+      // handler every superseded 5xx response carries an OPEN stream
+      // that the shared loop would leak — one stranded connection per
+      // retry would exhaust the HttpClient under hydration fan-out
+      var attempt = 0
+      while (true) {
+        val r =
+          try sendOnce("GET", key, Nil, SigV4.sha256Hex(Array.emptyByteArray),
+            () => HttpRequest.BodyPublishers.noBody(), Nil,
+            HttpResponse.BodyHandlers.ofInputStream())
+          catch { case e: IOException =>
+            attempt += 1
+            if (attempt >= maxAttempts) throw e
+            backoff(attempt); null
+          }
+        if (r != null) r.statusCode match {
+          case 500 | 503 =>
+            r.body().close()
+            attempt += 1
+            if (attempt >= maxAttempts) throw new IllegalArgumentException(
+              s"S3 GET $key → HTTP ${r.statusCode} after $maxAttempts attempts")
+            backoff(attempt)
+          case 404 => r.body().close(); return false
+          case 200 =>
+            Files.createDirectories(dest.getParent)
+            val tmp = dest.getParent.resolve(
+              s".s3pull-${java.util.UUID.randomUUID()}")
+            try {
+              val in = r.body()
+              try Files.copy(in, tmp) finally in.close()
+              Files.move(tmp, dest,
+                StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+            } finally Files.deleteIfExists(tmp)
+            return true
+          case other =>
+            r.body().close()
+            throw new IllegalArgumentException(s"S3 GET $key → HTTP $other")
+        }
       }
+      throw new IllegalStateException("unreachable")
     }
 
     def delete(key: String): Unit =
@@ -681,15 +703,22 @@ object GraftS3 {
     * mount's close while the victim's commit lands referencing a
     * never-mirrored artifact. Foreign entries are never drained here;
     * abandoned ones are consumed by the crash-cleanup hook
-    * ([[discardDispatch]]) instead. Drains the whole subtree even on
-    * failure — a stuck poisoned entry must not fail every later
-    * unmount in the JVM — then rethrows the first error. */
-  private def flushAll(root: Path): Unit = {
+    * ([[discardDispatch]]) instead. NESTED mounts narrow the scope
+    * further: a warehouse mount closing over a still-open table mount
+    * must not consume the table's entries (subtree containment alone
+    * would — the same theft one level down), so an entry drains only
+    * when the closing mount IS its longest-match owner in the still-
+    * registered set (the closer stays registered until after this
+    * drain). Drains everything in scope even on failure — a stuck
+    * poisoned entry must not fail every later unmount in the JVM —
+    * then rethrows the first error. */
+  private def flushAll(m: Mount): Unit = {
     var firstErr: Throwable = null
     val it = pendingUploads.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey.startsWith(root)) {
+      if (e.getKey.startsWith(m.root) &&
+          ownerOfTarget(mirMounts, e.getKey).contains(m)) {
         it.remove()
         try e.getValue.get()
         catch { case ex: java.util.concurrent.ExecutionException =>
@@ -799,6 +828,15 @@ object GraftS3 {
     * fetchable; a 404 therefore means a genuinely pruned/foreign
     * object and fails the read loudly rather than serving a torn
     * table. */
+  /** In-flight hydrations keyed by FINAL LOCAL PATH — the download
+    * twin of [[pendingUploads]]: two concurrent scans (or a scan
+    * racing a CDC replan) that both plan the same missing 100 GB
+    * artifact must share ONE transfer, not double it. Entries remove
+    * on completion; a latecomer that misses both the entry and the
+    * not-yet-visible file re-checks existence inside the task. */
+  private val pendingHydrations =
+    new java.util.concurrent.ConcurrentHashMap[Path, java.util.concurrent.Future[_]]()
+
   private lazy val hydDispatch: (Path, Seq[String]) => Unit = (tableRoot, rels) => {
     ownerOfTarget(hydMounts, tableRoot).foreach { m =>
       val missing = rels.distinct.filter(r => !Files.exists(tableRoot.resolve(r)))
@@ -806,17 +844,20 @@ object GraftS3 {
         val futs = missing.map { r =>
           val local = tableRoot.resolve(r)
           val key = keyFor(m.root, local, m.prefix)
-          r -> mirrorPool.submit(new java.util.concurrent.Callable[Unit] {
-            def call(): Unit =
-              if (!m.client.getToFile(key, local))
-                throw new java.nio.file.NoSuchFileException(
-                  s"on-demand hydration: $key is referenced by a synced commit " +
-                    "but missing remotely (pruned or foreign object)")
-          })
+          val f = pendingHydrations.computeIfAbsent(local,
+            _ => mirrorPool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit =
+                if (!Files.exists(local) && !m.client.getToFile(key, local))
+                  throw new java.nio.file.NoSuchFileException(
+                    s"on-demand hydration: $key is referenced by a synced commit " +
+                      "but missing remotely (pruned or foreign object)")
+            }))
+          (local, f)
         }
-        futs.foreach { case (_, f) =>
+        futs.foreach { case (local, f) =>
           try f.get()
           catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+          finally pendingHydrations.remove(local, f)
         }
       }
     }
@@ -864,18 +905,8 @@ object GraftS3 {
     * is visible. Returns the pulled keys. */
   def syncMetadata(root: Path, client: Client, prefix: String = ""): Seq[String] = {
     val p = normPrefix(prefix)
-    val localHead: Option[Long] = {
-      val log = root.resolve("_graft_log")
-      if (!Files.exists(log)) None
-      else {
-        val s = Files.list(log)
-        try s.iterator().asScala.map(_.getFileName.toString)
-          .collect { case n if n.matches("\\d{10}\\.json") => n.take(10).toLong }
-          .maxOption
-        finally s.close()
-      }
-    }
-    val startAfter = localHead.map(h => p + f"_graft_log/$h%010d.json")
+    val startAfter = localHead(root.resolve("_graft_log"))
+      .map(h => p + f"_graft_log/$h%010d.json")
     val isSlot = "_graft_log/\\d{10}\\.json".r
     val (slots, others) = client.list(p + "_graft_log/", startAfter)
       .partition(k => isSlot.matches(k.stripPrefix(p)))
@@ -991,7 +1022,7 @@ object GraftS3 {
       // upload must still UNMOUNT (a throwing close that leaves the
       // dispatch installed would poison every later suite in the
       // shared JVM)
-      try flushAll(m.root)
+      try flushAll(m)
       finally hookLock.synchronized {
         mirMounts.remove(m)
         if (mirMounts.isEmpty) {
@@ -1065,21 +1096,8 @@ object GraftS3 {
     val p = normPrefix(prefix)
     val pulled = Seq.newBuilder[String]
     val isSlot = "_graft_log/\\d{10}\\.json".r
-    // Option, not a 0-default: slot 0 is the CREATE commit, so a
-    // follower holding only it must still bound the list at key
-    // 0000000000.json rather than relist the whole log
-    val localHead: Option[Long] = {
-      val log = root.resolve("_graft_log")
-      if (!Files.exists(log)) None
-      else {
-        val s = Files.list(log)
-        try s.iterator().asScala.map(_.getFileName.toString)
-          .collect { case n if n.matches("\\d{10}\\.json") => n.take(10).toLong }
-          .maxOption
-        finally s.close()
-      }
-    }
-    val startAfter = localHead.map(h => p + f"_graft_log/$h%010d.json")
+    val startAfter = localHead(root.resolve("_graft_log"))
+      .map(h => p + f"_graft_log/$h%010d.json")
     client.list(p + "_graft_log/", startAfter).foreach { key =>
       val rel = key.stripPrefix(p)
       val local = root.resolve(rel)
@@ -1172,21 +1190,15 @@ object GraftS3 {
       // enclosing table's head
       acc.result().sortBy(-_.length)
     }
-    def localSlots(t: String): Set[String] = {
-      val log = root.resolve(t + "_graft_log")
-      if (!Files.exists(log)) Set.empty
-      else {
-        val s = Files.list(log)
-        try s.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.matches("\\d{10}\\.json")).toSet
-        finally s.close()
-      }
-    }
     val rescuedB = Seq.newBuilder[String]
     val deletedB = Seq.newBuilder[String]
     tables.foreach { t =>
-      val local = localSlots(t)
-      val head = local.map(_.take(10).toLong).maxOption.getOrElse(0L)
+      val local = localSlotNames(root.resolve(t + "_graft_log"))
+      // -1 when NO local slots: a writer that created its _graft_log
+      // dir, won slot 0 (the CREATE) remotely, and crashed before the
+      // local write must have that slot RESCUED — a 0-default would
+      // classify it retired (0 <= 0) and destroy the won commit
+      val head = local.map(_.take(10).toLong).maxOption.getOrElse(-1L)
       // ONE small page decides whether this table diverged at all
       val remoteLog = client.list(p + t + "_graft_log/")
       val remoteSlots = remoteLog.map(_.split('/').last)
@@ -1248,6 +1260,27 @@ object GraftS3 {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     finally Files.deleteIfExists(tmp)
   }
+
+  /** The slot-named (`%010d.json`) files of a local `_graft_log` dir —
+    * THE shared definition of the local commit plane for syncRemote,
+    * syncMetadata, and pruneRemote, factored once so the sync paths
+    * and hygiene can never disagree on what the local head is. */
+  private def localSlotNames(log: Path): Set[String] =
+    if (!Files.isDirectory(log)) Set.empty
+    else {
+      val s = Files.list(log)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("\\d{10}\\.json")).toSet
+      finally s.close()
+    }
+
+  /** Max local slot id, None when the log holds no slots. NEVER
+    * default this to 0: slot 0 is the CREATE commit, and a 0-sentinel
+    * would both skip the start-after bound for a create-only follower
+    * and make prune classify a crashed writer's won CREATE as retired
+    * (id 0 <= head 0) instead of rescuing it. */
+  private def localHead(log: Path): Option[Long] =
+    localSlotNames(log).map(_.take(10).toLong).maxOption
 
   private def normPrefix(p: String): String =
     if (p.isEmpty || p.endsWith("/")) p else p + "/"

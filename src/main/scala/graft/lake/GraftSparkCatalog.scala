@@ -195,14 +195,23 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           s"spark.sql.catalog.$name.$k is required when s3.endpoint is set"))
       val prefix = Option(options.get("s3.prefix")).getOrElse("")
       val region = Option(options.get("s3.region")).getOrElse("us-east-1")
-      // identity excludes the credentials; the full key includes them.
-      // Same identity + same key → already mounted, no-op. Same
-      // identity + NEW key (credential rotation) → the superseded
-      // mount CLOSES (flushing its in-flight uploads) before the
-      // replacement registers, so the registry never accumulates
-      // revoked clients and the fresh mount signs every later request.
+      // identity excludes credentials and shape knobs; the full key
+      // includes ALL of them — the secret too (a secret-only rotation
+      // re-signs with the same access key, and omitting it would keep
+      // the revoked client 403ing forever), and the mount-shape
+      // options (hydrate-on-demand, part sizing), so flipping any of
+      // them re-mounts instead of silently keeping the old shape.
+      // Same identity + same full key → already mounted, no-op. Same
+      // identity + CHANGED full key → the superseded mount CLOSES
+      // (flushing its in-flight uploads) before the replacement
+      // registers, so the registry never accumulates stale clients.
       val identity = s"$ep|${req("s3.bucket")}|$warehouse|$prefix|$region"
-      val fullKey = s"$identity|${req("s3.access-key")}"
+      val fullKey = identity + "|" + Seq(
+        req("s3.access-key"), req("s3.secret-key"),
+        Option(options.get("s3.hydrate-on-demand")).getOrElse(""),
+        Option(options.get("s3.part-size-bytes")).getOrElse(""),
+        Option(options.get("s3.multipart-threshold-bytes")).getOrElse(""),
+        Option(options.get("s3.part-concurrency")).getOrElse("")).mkString("|")
       GraftSparkCatalog.s3Mounts.synchronized {
         val prev = GraftSparkCatalog.s3Mounts.get(identity)
         if (prev == null || prev._1 != fullKey) {

@@ -730,6 +730,30 @@ class S3ObjectStoreSpec extends SparkSpec {
       assert(em.objects.get("data/0000000001-a.parquet") != null &&
         em.objects.get("data/0000000001-b.parquet") != null,
         "both artifacts are durably remote through their own mounts")
+      // NESTED scope: a warehouse mount enclosing rootA must not drain
+      // the still-open rootA-nested mount's entries either — the theft
+      // class one level down (subtree containment is not ownership)
+      val nestedT = rootA.resolve("t")
+      Files.createDirectories(nestedT.resolve("data"))
+      val mWhA2 = GraftS3.mountCommitArbiter(rootA, c)
+      val mWhM2 = GraftS3.mountArtifactMirror(rootA, c)     // warehouse-level
+      val mTA2 = GraftS3.mountCommitArbiter(nestedT, c)
+      val mTM2 = GraftS3.mountArtifactMirror(nestedT, c)    // nested table-level
+      try {
+        em.putDelayMs = 150
+        place(nestedT, "0000000002-t.parquet")
+        assert(GraftS3.pendingUploadsUnder(nestedT) == 1)
+        mWhM2.close()   // the ENCLOSING mount closes first
+        assert(GraftS3.pendingUploadsUnder(nestedT) == 1,
+          "the warehouse close must not steal the nested table mount's entry")
+        em.putDelayMs = 0
+        mTM2.close()
+        assert(GraftS3.pendingUploadsUnder(nestedT) == 0)
+      } finally {
+        em.putDelayMs = 0
+        Seq(mWhM2, mTM2).foreach(m => try m.close() catch { case _: Throwable => () })
+        mTA2.close(); mWhA2.close()
+      }
       assert(em.rejected.get == 0)
     } finally {
       em.putDelayMs = 0
@@ -738,6 +762,27 @@ class S3ObjectStoreSpec extends SparkSpec {
       Seq(mAM, mBM).foreach(m => try m.close() catch { case _: Throwable => () })
       mBA.close(); mAA.close(); em.close()
     }
+  }
+
+  test("a crashed writer's won CREATE commit (slot 0) is rescued by prune, never retired: " +
+      "the no-local-slots case must not collapse onto slot id 0") {
+    val em = new graft.lake.GraftS3Server("graft-create-rescue", creds)
+    val root = Paths.get(scratchRoot("s3-spec", "create-rescue"))
+    // the crashed writer created its _graft_log dir (writeAtomic stages
+    // there), won slot 0 remotely, and died before the local link
+    Files.createDirectories(root.resolve("_graft_log"))
+    try {
+      val c = em.client
+      c.put("_graft_log/0000000000.json", "{\"snapshotId\":0}".getBytes(UTF_8))
+      val (rescued, deleted) = GraftS3.pruneRemote(root, c)
+      assert(rescued == Seq("_graft_log/0000000000.json") && deleted.isEmpty,
+        s"the won CREATE must be rescued, not destroyed: $rescued / $deleted")
+      assert(Files.exists(root.resolve("_graft_log/0000000000.json")),
+        "rescue materializes the slot locally")
+      // idempotent: a second prune finds the planes in sync
+      val (r2, d2) = GraftS3.pruneRemote(root, c)
+      assert(r2.isEmpty && d2.isEmpty)
+    } finally em.close()
   }
 
   test("crash cleanup consumes pendingUploads: a placed-but-never-committed artifact's " +

@@ -1407,6 +1407,18 @@ class SqlFrontDoorSpec extends SparkSpec {
       // no-op path — no duplicate stacking either
       confUp("graft_rot3", newCreds)
       assert(GraftSparkCatalog.confMountCount(wh) == 1)
+      // SECRET-ONLY rotation (same access key): the full key must
+      // cover the secret too, or the re-init is a silent no-op and
+      // every later request 403s with the revoked secret
+      val secretRotated = GraftS3.Credentials("NEWKEY", "rotated-secret-2")
+      em.rotateCredentials(secretRotated)
+      confUp("graft_rot4", secretRotated)
+      assert(GraftSparkCatalog.confMountCount(wh) == 1)
+      spark.sql("INSERT INTO graft_rot4.rot.t VALUES (3)")
+      assert(em.rejected.get == 0,
+        "a secret-only rotation must re-mount and sign with the new secret")
+      assert(spark.sql("SELECT count(*) FROM graft_rot4.rot.t")
+        .collect().head.getLong(0) == 3L)
     } finally {
       graft.lake.GraftSparkCatalog.closeConfMounts(wh)
       assert(graft.lake.GraftSparkCatalog.confMountCount(wh) == 0,
