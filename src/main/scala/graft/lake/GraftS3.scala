@@ -854,11 +854,19 @@ object GraftS3 {
             }))
           (local, f)
         }
+        // await EVERY future (collect the first error, rethrow after
+        // the loop): throwing at the first failed sibling would leave
+        // the rest stranded in the map as COMPLETED futures — a later
+        // evict + re-scan would then adopt the stale future, skip the
+        // download, and fail the read on a missing local file
+        var firstErr: Throwable = null
         futs.foreach { case (local, f) =>
           try f.get()
-          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+          catch { case e: java.util.concurrent.ExecutionException =>
+            if (firstErr == null) firstErr = e.getCause }
           finally pendingHydrations.remove(local, f)
         }
+        if (firstErr != null) throw firstErr
       }
     }
     hydPrev.foreach(_(tableRoot, rels))
@@ -1176,14 +1184,21 @@ object GraftS3 {
     // table; "" when the mount root IS the table root
     val tables: Seq[String] = {
       val acc = Seq.newBuilder[String]
+      // table-internal dirs never contain another table root
+      val internal = Set("_graft_log", "data", "deletes", ".staging")
       def walk(dir: Path, rel: String): Unit = if (Files.isDirectory(dir)) {
         if (Files.isDirectory(dir.resolve("_graft_log"))) acc += rel
-        else {
-          val s = Files.list(dir)
-          try s.iterator().asScala.filter(Files.isDirectory(_))
-            .foreach(d => walk(d, rel + d.getFileName.toString + "/"))
-          finally s.close()
-        }
+        // recurse EVEN under a table root (skipping its internal
+        // dirs): discovery that stopped at the first _graft_log would
+        // leave a locally-nested table out of `tables`, and the
+        // enclosing table's full-prefix pass would then judge the
+        // nested table's keys by the WRONG head
+        val s = Files.list(dir)
+        try s.iterator().asScala
+          .filter(d => Files.isDirectory(d) &&
+            !internal.contains(d.getFileName.toString))
+          .foreach(d => walk(d, rel + d.getFileName.toString + "/"))
+        finally s.close()
       }
       walk(root, "")
       // longest-first so a nested table's keys are never judged by an
@@ -1224,6 +1239,7 @@ object GraftS3 {
           val rel = k.stripPrefix(p)
           if (!nested.exists(rel.startsWith(_)) && !Files.exists(root.resolve(rel))) {
             val relIn = rel.stripPrefix(t)
+            val segs = relIn.split('/')
             val retired =
               if (relIn.startsWith("_graft_log/")) {
                 // only SLOTS retire from the log plane; checkpoint
@@ -1233,10 +1249,20 @@ object GraftS3 {
                 // peer pruned its expired commits
                 val n = relIn.stripPrefix("_graft_log/")
                 n.matches("\\d{10}\\.json") && n.take(10).toLong <= head
-              } else relIn.split('/').last match {
-                case prefixed(id) => id.toLong <= head
-                case _ => false
-              }
+              } else if (segs.length == 2 &&
+                  (segs(0) == "data" || segs(0) == "deletes")) {
+                // artifacts live FLAT in data/ and deletes/ (partition
+                // tuples are metadata, not paths) — only those two
+                // depth-2 shapes retire. Any OTHER subpath (e.g. a
+                // remote-only table nested under this prefix that this
+                // machine never synced) is conservatively retained:
+                // judging foreign keys by this table's head would
+                // destroy a live foreign table's lineage
+                segs(1) match {
+                  case prefixed(id) => id.toLong <= head
+                  case _ => false
+                }
+              } else false
             if (retired) { client.delete(k); deletedB += k }
           }
         }

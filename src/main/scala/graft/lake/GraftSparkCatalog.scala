@@ -195,20 +195,26 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           s"spark.sql.catalog.$name.$k is required when s3.endpoint is set"))
       val prefix = Option(options.get("s3.prefix")).getOrElse("")
       val region = Option(options.get("s3.region")).getOrElse("us-east-1")
-      // identity excludes credentials and shape knobs; the full key
-      // includes ALL of them — the secret too (a secret-only rotation
-      // re-signs with the same access key, and omitting it would keep
-      // the revoked client 403ing forever), and the mount-shape
-      // options (hydrate-on-demand, part sizing), so flipping any of
-      // them re-mounts instead of silently keeping the old shape.
-      // Same identity + same full key → already mounted, no-op. Same
-      // identity + CHANGED full key → the superseded mount CLOSES
-      // (flushing its in-flight uploads) before the replacement
-      // registers, so the registry never accumulates stale clients.
-      val identity = s"$ep|${req("s3.bucket")}|$warehouse|$prefix|$region"
+      // identity = where the mount points PLUS its SHAPE (writer vs
+      // lazy follower): a writer catalog and a hydrate-on-demand
+      // follower catalog legitimately share one warehouse, and keying
+      // them together would let whichever initializes last silently
+      // close the other's arbiter/mirror — a writer committing with no
+      // remote arbitration is the split-brain this registry exists to
+      // prevent. The full key ADDS credentials (the secret too: a
+      // secret-only rotation re-signs with the same access key, and
+      // omitting it would keep the revoked client 403ing forever) and
+      // the client sizing knobs. Same identity + same full key →
+      // already mounted, no-op. Same identity + CHANGED full key → the
+      // superseded mount CLOSES (flushing its in-flight uploads)
+      // before the replacement registers, so the registry never
+      // accumulates stale clients.
+      val hydrate =
+        Option(options.get("s3.hydrate-on-demand")).exists(_.toBoolean)
+      val identity =
+        s"$ep|${req("s3.bucket")}|$warehouse|$prefix|$region|hyd=$hydrate"
       val fullKey = identity + "|" + Seq(
         req("s3.access-key"), req("s3.secret-key"),
-        Option(options.get("s3.hydrate-on-demand")).getOrElse(""),
         Option(options.get("s3.part-size-bytes")).getOrElse(""),
         Option(options.get("s3.multipart-threshold-bytes")).getOrElse(""),
         Option(options.get("s3.part-concurrency")).getOrElse("")).mkString("|")
@@ -238,7 +244,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           // FOLLOWER: reads pull pruned file sets on demand (pair with
           // GraftS3.syncMetadata); default is the full writer shape
           val handles =
-            if (Option(options.get("s3.hydrate-on-demand")).exists(_.toBoolean))
+            if (hydrate)
               Seq(GraftS3.mountOnDemandHydration(root, client, prefix))
             else Seq(
               GraftS3.mountCommitArbiter(root, client, prefix),

@@ -785,6 +785,36 @@ class S3ObjectStoreSpec extends SparkSpec {
     } finally em.close()
   }
 
+  test("prune retains a remote-only FOREIGN table nested under a local table's prefix: " +
+      "unknown subpaths are never judged by the enclosing table's head") {
+    val em = new graft.lake.GraftS3Server("graft-foreign", creds)
+    val root = Paths.get(scratchRoot("s3-spec", "foreign"))
+    Files.createDirectories(root.resolve("_graft_log"))
+    try {
+      val c = em.client
+      // local table: slot 1 only (slot 0 expired locally); remote
+      // still holds both, so the table diverges and prune must delete
+      // exactly the retired slot 0
+      Files.write(root.resolve("_graft_log/0000000001.json"),
+        "{\"snapshotId\":1}".getBytes(UTF_8))
+      c.put("_graft_log/0000000000.json", "{\"snapshotId\":0}".getBytes(UTF_8))
+      c.put("_graft_log/0000000001.json",
+        Files.readAllBytes(root.resolve("_graft_log/0000000001.json")))
+      // a FOREIGN table this machine never synced, nested under the
+      // local table's key prefix — its slot/artifact ids are ≤ the
+      // local head, but they belong to a DIFFERENT table's lineage
+      c.put("sub/_graft_log/0000000000.json", "{\"snapshotId\":0}".getBytes(UTF_8))
+      c.put("sub/data/0000000000-00000-f.parquet", Array[Byte](1, 2, 3))
+      val (rescued, deleted) = GraftS3.pruneRemote(root, c)
+      assert(rescued.isEmpty)
+      assert(deleted == Seq("_graft_log/0000000000.json"),
+        s"only the local table's retired slot prunes: $deleted")
+      assert(em.objects.get("sub/_graft_log/0000000000.json") != null &&
+        em.objects.get("sub/data/0000000000-00000-f.parquet") != null,
+        "the foreign nested table's lineage must be conservatively retained")
+    } finally em.close()
+  }
+
   test("crash cleanup consumes pendingUploads: a placed-but-never-committed artifact's " +
       "entry is dropped (and its remote twin deleted) by the orphan sweep, no unmount needed") {
     val em = new graft.lake.GraftS3Server("graft-discard", creds)

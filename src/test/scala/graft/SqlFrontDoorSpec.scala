@@ -1426,4 +1426,41 @@ class SqlFrontDoorSpec extends SparkSpec {
       em.close()
     }
   }
+
+  test("a writer catalog and a hydrate-on-demand follower catalog share one warehouse " +
+      "identity WITHOUT replacing each other: the shapes are distinct mounts") {
+    import graft.lake.{GraftS3, GraftS3Server, GraftSparkCatalog}
+    val creds = GraftS3.Credentials("WFKEY", "wf-secret")
+    val em = new GraftS3Server("graft-wf", creds)
+    val wh = scratchRoot("sqlfront", s"s3wf-${ProcessHandle.current().pid()}")
+    try {
+      def confUp(cat: String, hydrate: Boolean): Unit = {
+        spark.conf.set(s"spark.sql.catalog.$cat", "graft.lake.GraftSparkCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.endpoint", em.endpoint.toString)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.bucket", "graft-wf")
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.access-key", creds.accessKey)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.secret-key", creds.secretKey)
+        if (hydrate)
+          spark.conf.set(s"spark.sql.catalog.$cat.s3.hydrate-on-demand", "true")
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wf")
+      }
+      confUp("graft_wf_w", hydrate = false)
+      confUp("graft_wf_f", hydrate = true)   // initializes LAST
+      assert(GraftSparkCatalog.confMountCount(wh) == 2,
+        "writer and follower shapes must coexist as distinct mounts")
+      // the follower's later init must NOT have closed the writer's
+      // arbiter/mirror: a commit through the writer catalog still
+      // arbitrates in the bucket
+      spark.sql("CREATE TABLE graft_wf_w.wf.t (id BIGINT)")
+      spark.sql("INSERT INTO graft_wf_w.wf.t VALUES (1)")
+      assert(em.client.list("wf/t/_graft_log/")
+        .exists(_.matches("wf/t/_graft_log/\\d{10}\\.json")),
+        "the writer catalog must still commit through the store")
+      assert(em.rejected.get == 0)
+    } finally {
+      graft.lake.GraftSparkCatalog.closeConfMounts(wh)
+      em.close()
+    }
+  }
 }
