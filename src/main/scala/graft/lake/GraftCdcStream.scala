@@ -77,10 +77,15 @@ private[lake] object GraftCdcStreamProvider {
 
   /** Latest published (on-main) snapshot id — a staged WAP or branch
     * head must not become an offset bound that later re-serves its
-    * rows out of order once published. */
-  def mainHead(root: String): Long =
+    * rows out of order once published. The beforeLogPoll hook fires
+    * FIRST: a mounted auto-sync follower pulls new remote commits
+    * here, so every poll (and the stream-start head resolution) sees
+    * the store's current head with zero manual sync calls. */
+  def mainHead(root: String): Long = {
+    GraftTable.beforeLogPoll.foreach(_(java.nio.file.Paths.get(root)))
     GraftTable.listCommitIds(root)
       .filterNot(id => GraftTable.isOffMainId(root, id)).max
+  }
 
   /** First-start head resolution, durably pinned under the stream's
     * metadataPath. Write is tmp-file + rename; if a concurrent or

@@ -956,6 +956,61 @@ object GraftS3 {
     evicted.result()
   }
 
+  // auto-sync mounts carry a shape flag the generic Mount lacks
+  private final case class SyncMount(root: Path, prefix: String,
+    client: Client, metadataOnly: Boolean)
+  private val syncMounts =
+    new java.util.concurrent.CopyOnWriteArrayList[SyncMount]()
+  private var syncPrev: Option[Path => Unit] = None
+
+  private lazy val pollDispatch: Path => Unit = tableRoot => {
+    var best: SyncMount = null
+    syncMounts.forEach { m =>
+      if (tableRoot.startsWith(m.root) &&
+        (best == null || m.root.getNameCount >= best.root.getNameCount)) best = m
+    }
+    if (best != null) {
+      // warehouse-level mounts: the table's key prefix is the mount
+      // prefix plus the table's warehouse-relative path
+      val rel = best.root.relativize(tableRoot).toString
+        .replace(java.io.File.separatorChar, '/')
+      val pfx = best.prefix + (if (rel.isEmpty) "" else rel + "/")
+      if (best.metadataOnly) syncMetadata(tableRoot, best.client, pfx)
+      else syncRemote(tableRoot, best.client, pfx)
+    }
+    syncPrev.foreach(_(tableRoot))
+  }
+
+  /** Mount LIVE auto-sync for a fleet follower at `root`: the CDC
+    * stream source's every head poll (and its stream-start head
+    * resolution) first pulls new remote commits, so "follow a remote
+    * table live" is one `readStream` with zero manual [[syncRemote]]
+    * calls — the steady-state poll costs one start-after-bounded,
+    * (near-)empty list page. `metadataOnly = true` syncs just the
+    * commit log (pair with [[mountOnDemandHydration]]: the stream's
+    * per-commit diff then hydrates exactly the files it touches);
+    * false pulls each new commit's referenced files eagerly (the
+    * replica shape). Registry-scoped; returns the un-mount handle. */
+  def mountAutoSync(root: Path, client: Client, prefix: String = "",
+      metadataOnly: Boolean = false): AutoCloseable = {
+    val m = SyncMount(root, normPrefix(prefix), client, metadataOnly)
+    hookLock.synchronized {
+      if (syncMounts.isEmpty) {
+        val cur = GraftTable.beforeLogPoll
+        if (!cur.exists(_ eq pollDispatch)) {
+          syncPrev = cur
+          GraftTable.beforeLogPoll = Some(pollDispatch)
+        }
+      }
+      syncMounts.add(m)
+    }
+    () => hookLock.synchronized {
+      syncMounts.remove(m)
+      if (syncMounts.isEmpty && GraftTable.beforeLogPoll.exists(_ eq pollDispatch))
+        GraftTable.beforeLogPoll = syncPrev
+    }
+  }
+
   /** Mount the object store as `root`'s commit arbiter: every
     * writeAtomic under `root` must WIN its key remotely (conditional
     * PUT) before the local file materializes, so the store — not the

@@ -467,6 +467,15 @@ object GraftTable {
   private[lake] def hydrate(root: String, rels: Seq[String]): Unit =
     hydrateFiles.foreach(h => if (rels.nonEmpty) h(Paths.get(root), rels))
 
+  /** Invoked with the table ROOT before the CDC stream source reads
+    * the local log head for a poll: a mounted fleet follower
+    * (GraftS3.mountAutoSync) pulls new remote commits here, making
+    * "follow a remote table live" a single `readStream` with ZERO
+    * manual sync calls — each poll costs one start-after-bounded list
+    * page in the steady state. Same scoping discipline as every
+    * global hook: gate on your own root, delegate the rest. */
+  @volatile private[graft] var beforeLogPoll: Option[Path => Unit] = None
+
   /** Invoked with the ABSOLUTE path of a placed artifact being deleted
     * WITHOUT ever being committed — the lost-race cleanup and the
     * orphan sweep. A mounted mirror (GraftS3) consumes the path's

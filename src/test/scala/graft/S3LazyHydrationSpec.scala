@@ -152,6 +152,51 @@ class S3LazyHydrationSpec extends SparkSpec {
     } finally { unH.close(); unM.close(); unA.close(); em.close() }
   }
 
+  test("live CDC follow of a remote table with ZERO manual sync calls: the stream's head " +
+      "poll auto-syncs the metadata plane and the lazy follower hydrates each diff") {
+    val em = new GraftS3Server("graft-autosync", creds)
+    val c = em.client
+    val rootX = Paths.get(scratchRoot("s3-lazy", "as-x"))
+    val rootY = Paths.get(scratchRoot("s3-lazy", "as-y"))
+    val unA = GraftS3.mountCommitArbiter(rootX, c)
+    val unM = GraftS3.mountArtifactMirror(rootX, c)
+    val unH = GraftS3.mountOnDemandHydration(rootY, c)
+    val unS = GraftS3.mountAutoSync(rootY, c, metadataOnly = true)
+    try {
+      val batch1 = (1L to 50L).map(i => (i, s"a$i"))
+      GraftTable.create(spark, rootX.toString, batch1.toDF("id", "v").schema)
+      GraftTable.append(spark, rootX.toString, batch1.toDF("id", "v"))
+      // bootstrap: the stream's schema resolution reads the LOCAL log
+      // once — after this, every head poll syncs itself via the hook
+      Files.createDirectories(rootY)
+      GraftS3.syncMetadata(rootY, c)
+      val base = Files.createTempDirectory("graft-autosync-ck")
+      val seen = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      val q = GraftTable.readStreamChanges(spark, rootY.toString,
+          fromExclusive = Some(0L))
+        .writeStream.option("checkpointLocation", base.resolve("ck").toString)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.select(col("id"), col("v")).as[(Long, String)].collect()
+          seen.synchronized { seen ++= rows }
+          ()
+        }.start()
+      try {
+        q.processAllAvailable()
+        assert(seen.synchronized(seen.toSet) == batch1.toSet,
+          "the initial history drains through the auto-synced follower")
+        // the writer commits MORE while the stream runs — the follower
+        // issues NO sync calls of its own; the next poll's hook pulls
+        // the new commits and the lazy hydration pulls their files
+        val batch2 = (51L to 80L).map(i => (i, s"b$i"))
+        GraftTable.append(spark, rootX.toString, batch2.toDF("id", "v"))
+        q.processAllAvailable()
+        assert(seen.synchronized(seen.toSet) == (batch1 ++ batch2).toSet,
+          "mid-stream commits surface with zero manual sync calls")
+      } finally q.stop()
+      assert(em.rejected.get == 0)
+    } finally { unS.close(); unH.close(); unM.close(); unA.close(); em.close() }
+  }
+
   test("the native DSv2 scan hydrates its post-DPP file list: a catalog-served pruned " +
       "query on a lazy follower fetches only the surviving partition") {
     val em = new GraftS3Server("graft-lazy-native", creds)
