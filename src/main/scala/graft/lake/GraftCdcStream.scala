@@ -65,8 +65,13 @@ class GraftCdcStreamProvider extends StreamSourceProvider with DataSourceRegiste
 
 private[lake] object GraftCdcStreamProvider {
   /** End schema of the table + the three CDC columns (the same shape
-    * GraftTable.changes emits). */
+    * GraftTable.changes emits). Fires the poll hook FIRST: on a blank
+    * follower the schema itself lives only in the store's commit log,
+    * and without the sync the advertised "one readStream, zero manual
+    * sync calls" contract would die here before the first poll. */
   def cdcSchema(root: String): StructType = {
+    GraftTable.beforeLogPoll.foreach(
+      _(java.nio.file.Paths.get(root).toAbsolutePath.normalize))
     val snap = GraftTable.state(root)
     val base = DataType.fromJson(snap.schemaJson.getOrElse(
       GraftTable.state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
@@ -82,7 +87,11 @@ private[lake] object GraftCdcStreamProvider {
     * here, so every poll (and the stream-start head resolution) sees
     * the store's current head with zero manual sync calls. */
   def mainHead(root: String): Long = {
-    GraftTable.beforeLogPoll.foreach(_(java.nio.file.Paths.get(root)))
+    // normalized: a cwd-relative or dotted stream path must still hit
+    // the mount's component-wise startsWith, or auto-sync silently
+    // stalls the follower at its bootstrap head
+    GraftTable.beforeLogPoll.foreach(
+      _(java.nio.file.Paths.get(root).toAbsolutePath.normalize))
     GraftTable.listCommitIds(root)
       .filterNot(id => GraftTable.isOffMainId(root, id)).max
   }

@@ -749,17 +749,24 @@ object GraftS3 {
   private var mirPrevCkpt: Option[Path => Unit] = None
   private var mirPrevDiscard: Option[Path => Unit] = None
 
-  private def ownerOfTarget(mounts: java.util.concurrent.CopyOnWriteArrayList[Mount],
-      target: Path): Option[Mount] = {
-    var best: Mount = null
+  /** Longest-match owner over any mount-shaped registry. `>=` on the
+    * tie: an equal-root REMOUNT (e.g. after credential rotation) must
+    * win over its predecessor, and registries append, so the newest
+    * equal-root entry is the last one the loop visits. */
+  private def ownerOf[T <: AnyRef](
+      mounts: java.util.concurrent.CopyOnWriteArrayList[T], target: Path)(
+      rootOf: T => Path): Option[T] = {
+    var best: T = null.asInstanceOf[T]
     mounts.forEach { m =>
-      // >= : on an equal-root tie the NEWEST mount wins (a remount
-      // after credential rotation must sign with the new key)
-      if (target.startsWith(m.root) &&
-        (best == null || m.root.getNameCount >= best.root.getNameCount)) best = m
+      if (target.startsWith(rootOf(m)) &&
+        (best == null || rootOf(m).getNameCount >= rootOf(best).getNameCount))
+        best = m
     }
     Option(best)
   }
+
+  private def ownerOfTarget(mounts: java.util.concurrent.CopyOnWriteArrayList[Mount],
+      target: Path): Option[Mount] = ownerOf(mounts, target)(_.root)
 
   private lazy val arbDispatch: (Path, String) => Boolean = (target, content) =>
     ownerOfTarget(arbMounts, target) match {
@@ -964,17 +971,12 @@ object GraftS3 {
   private var syncPrev: Option[Path => Unit] = None
 
   private lazy val pollDispatch: Path => Unit = tableRoot => {
-    var best: SyncMount = null
-    syncMounts.forEach { m =>
-      if (tableRoot.startsWith(m.root) &&
-        (best == null || m.root.getNameCount >= best.root.getNameCount)) best = m
-    }
-    if (best != null) {
+    ownerOf(syncMounts, tableRoot)(_.root).foreach { best =>
       // warehouse-level mounts: the table's key prefix is the mount
-      // prefix plus the table's warehouse-relative path
-      val rel = best.root.relativize(tableRoot).toString
-        .replace(java.io.File.separatorChar, '/')
-      val pfx = best.prefix + (if (rel.isEmpty) "" else rel + "/")
+      // prefix plus the table's warehouse-relative path — exactly
+      // keyFor's rule (syncMetadata/syncRemote re-normalize the
+      // trailing slash themselves)
+      val pfx = keyFor(best.root, tableRoot, best.prefix)
       if (best.metadataOnly) syncMetadata(tableRoot, best.client, pfx)
       else syncRemote(tableRoot, best.client, pfx)
     }
@@ -993,7 +995,10 @@ object GraftS3 {
     * replica shape). Registry-scoped; returns the un-mount handle. */
   def mountAutoSync(root: Path, client: Client, prefix: String = "",
       metadataOnly: Boolean = false): AutoCloseable = {
-    val m = SyncMount(root, normPrefix(prefix), client, metadataOnly)
+    // normalized so a relative/dotted stream path still matches the
+    // component-wise startsWith (the dispatch side normalizes too)
+    val m = SyncMount(root.toAbsolutePath.normalize,
+      normPrefix(prefix), client, metadataOnly)
     hookLock.synchronized {
       if (syncMounts.isEmpty) {
         val cur = GraftTable.beforeLogPoll

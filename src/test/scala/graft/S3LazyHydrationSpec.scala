@@ -166,10 +166,11 @@ class S3LazyHydrationSpec extends SparkSpec {
       val batch1 = (1L to 50L).map(i => (i, s"a$i"))
       GraftTable.create(spark, rootX.toString, batch1.toDF("id", "v").schema)
       GraftTable.append(spark, rootX.toString, batch1.toDF("id", "v"))
-      // bootstrap: the stream's schema resolution reads the LOCAL log
-      // once — after this, every head poll syncs itself via the hook
+      // NO bootstrap sync anywhere: even the stream's schema
+      // resolution self-syncs through the poll hook on this BLANK
+      // follower — the "one readStream, zero manual sync calls"
+      // contract, cold start included
       Files.createDirectories(rootY)
-      GraftS3.syncMetadata(rootY, c)
       val base = Files.createTempDirectory("graft-autosync-ck")
       val seen = scala.collection.mutable.ArrayBuffer[(Long, String)]()
       val q = GraftTable.readStreamChanges(spark, rootY.toString,
@@ -193,6 +194,34 @@ class S3LazyHydrationSpec extends SparkSpec {
         assert(seen.synchronized(seen.toSet) == (batch1 ++ batch2).toSet,
           "mid-stream commits surface with zero manual sync calls")
       } finally q.stop()
+      // the EAGER shape (metadataOnly=false, the default): a second
+      // follower with NO hydration mount — each poll's syncRemote
+      // pulls the new commits' referenced files up front, so the
+      // stream reads plain local parquet
+      val rootZ = Paths.get(scratchRoot("s3-lazy", "as-z"))
+      Files.createDirectories(rootZ)
+      val unS2 = GraftS3.mountAutoSync(rootZ, c)
+      try {
+        val seenZ = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+        val q2 = GraftTable.readStreamChanges(spark, rootZ.toString,
+            fromExclusive = Some(0L))
+          .writeStream.option("checkpointLocation", base.resolve("ck2").toString)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = b.select(col("id"), col("v")).as[(Long, String)].collect()
+            seenZ.synchronized { seenZ ++= rows }
+            ()
+          }.start()
+        try {
+          q2.processAllAvailable()
+          val expectAll = (1L to 80L).map(i =>
+            (i, if (i <= 50) s"a$i" else s"b$i")).toSet
+          assert(seenZ.synchronized(seenZ.toSet) == expectAll,
+            "the eager auto-sync follower drains the full history")
+          assert(Files.isDirectory(rootZ.resolve("data")) &&
+            Files.list(rootZ.resolve("data")).iterator.asScala.nonEmpty,
+            "the eager shape materializes data files at sync time")
+        } finally q2.stop()
+      } finally unS2.close()
       assert(em.rejected.get == 0)
     } finally { unS.close(); unH.close(); unM.close(); unA.close(); em.close() }
   }
