@@ -441,6 +441,71 @@ object LakeOps {
     } finally server.close()
   }
 
+  // ── q111: live auto-synced CDC follow of a remote table, oracled ────
+  /** The zero-touch fleet-follow deployment shape under the gate: a
+    * writer commits through the arbitrated mirror; a BLANK follower
+    * machine mounts auto-sync (metadata-only) + on-demand hydration
+    * and opens ONE `readStream` — no manual sync call anywhere, cold
+    * start included (even the stream's schema resolution self-syncs
+    * through the poll hook). The stream drains the first batch, the
+    * writer commits a second batch MID-STREAM through an injected 503
+    * burst, and the feed must surface it exactly once (requires pin
+    * count == distinct keys — a double-sync or lost-poll would break
+    * either). The OUTPUT is the follower's own hydrated table read,
+    * which DuckDB recomputes from the raw parquet — full hash
+    * oracle over the live-follow lifecycle. */
+  def q111(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.{GraftS3, GraftS3Server}
+    val creds = GraftS3.Credentials("GRAFTKEY", "graft-secret-key")
+    val server = new GraftS3Server("graft-follow-gate", creds)
+    try {
+      val x = Paths.get(scratch("q111-x"))
+      val y = Paths.get(scratch("q111-y"))
+      val client = server.client
+      val unA = GraftS3.mountCommitArbiter(x, client)
+      val unM = GraftS3.mountArtifactMirror(x, client)
+      val unH = GraftS3.mountOnDemandHydration(y, client)
+      val unS = GraftS3.mountAutoSync(y, client, metadataOnly = true)
+      try {
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        GraftTable.create(s, x.toString, orders.schema)
+        GraftTable.append(s, x.toString, orders.filter(col("o_orderkey") % 2 === 0))
+        Files.createDirectories(y)
+        val ck = scratch("q111-ck")
+        val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val q = GraftTable.readStreamChanges(s, y.toString, fromExclusive = Some(0L))
+          .writeStream.option("checkpointLocation", ck)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.select(col("o_orderkey")).collect().foreach(r => seen.add(r.getLong(0)))
+            ()
+          }.start()
+        try {
+          q.processAllAvailable()
+          val afterFirst = seen.size
+          require(afterFirst > 0, "the cold-started follower must drain batch 1")
+          // mid-stream: the writer commits batch 2 through a 503 burst;
+          // the follower's next poll must sync + hydrate it unaided
+          server.throttleNext.set(2)
+          GraftTable.append(s, x.toString,
+            orders.filter(col("o_orderkey") % 2 === 1))
+          q.processAllAvailable()
+          require(server.throttled.get >= 2, "the throttle burst must fire")
+        } finally q.stop()
+        val keys = seen.iterator().asScala.toVector
+        require(keys.size == keys.distinct.size,
+          "the live feed must surface every commit exactly once")
+        require(server.rejected.get == 0, "every request SigV4-verified")
+        // the OUTPUT reads off the FOLLOWER's hydrated replica
+        GraftTable.read(s, y.toString)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      } finally { unS.close(); unH.close(); unM.close(); unA.close() }
+    } finally server.close()
+  }
+
   // ── q29: partition-spec pruned read, oracle-checked ─────────────────
   def q29(s: SparkSession, dir: String): DataFrame = {
     val root = scratch("q29")
@@ -1385,9 +1450,14 @@ object LakeOps {
     "q29_lake_partition_prune" -> q29 _,
     "q108_lake_s3" -> q108 _,
     "q109_lake_s3_fleet" -> q109 _,
-    "q110_lake_s3_lazy" -> q110 _)
+    "q110_lake_s3_lazy" -> q110 _,
+    "q111_lake_s3_follow" -> q111 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q111_lake_s3_follow" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q110_lake_s3_lazy" ->
       """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
         |FROM orders WHERE o_orderpriority = '1-URGENT'

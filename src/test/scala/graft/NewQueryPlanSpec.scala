@@ -136,9 +136,9 @@ class NewQueryPlanSpec extends SparkSpec {
       // hook chain (the r13 unscoped-hook flake class), on top of the
       // lifecycle cost
       "q108_lake_s3", "q109_lake_s3_fleet",
-      // q110 mounts the GLOBAL hydration hook for its lazy-follower
-      // lifecycle — same mid-parallel-suite hazard as q108/q109
-      "q110_lake_s3_lazy")
+      // q110/q111 mount the GLOBAL hydration/auto-sync hooks for their
+      // lazy-follower lifecycles — same mid-parallel-suite hazard
+      "q110_lake_s3_lazy", "q111_lake_s3_follow")
     val names = SparkEntry.queries.keySet -- lifecycle -- allPairsDeclared
     val offenders = names.toSeq.sorted.flatMap { n =>
       val df = SparkEntry.queries(n)(spark, sf)
