@@ -369,6 +369,18 @@ object GraftS3 {
         val pending = scala.collection.mutable.Queue
           .empty[(Int, Array[Byte], java.util.concurrent.Future[String])]
         val free = scala.collection.mutable.Queue.empty[Array[Byte]]
+        // Abort protocol: every part task checks this FIRST — a failed
+        // sibling flips it, queued-but-unstarted parts then return
+        // without issuing their PUT, and the failure path AWAITS every
+        // pending future to actual termination (Future.cancel is
+        // useless here: cancel(true)+get returns immediately with
+        // CancellationException while the task may still be mid-PUT,
+        // so a sibling part could land AFTER the caller's
+        // AbortMultipartUpload — an orphaned, billed part on real S3).
+        // Already-running parts finish their bounded attempt instead
+        // of being interrupted; the abort is issued only once nothing
+        // is in flight.
+        val uploadAborted = new java.util.concurrent.atomic.AtomicBoolean(false)
         var allocated = 0
         val etags = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
         def drainOne(): Unit = {
@@ -403,12 +415,15 @@ object GraftS3 {
               val hashHex = SigV4.hex(hash.digest())
               pending.enqueue((pNum, buf, partPool.submit(
                 new java.util.concurrent.Callable[String] {
-                  def call(): String =
+                  def call(): String = {
+                    if (uploadAborted.get) throw new java.util.concurrent
+                      .CancellationException(s"upload of $key aborted")
                     expect(sendRetrying("PUT", key,
                       Seq("partNumber" -> pNum.toString, "uploadId" -> uploadId),
                       hashHex,
                       () => HttpRequest.BodyPublishers.ofByteArray(buf, 0, len), Nil), 200)
                       .headers.firstValue("ETag").orElse("")
+                  }
                 })))
               part += 1
             } else free.enqueue(buf)
@@ -416,9 +431,14 @@ object GraftS3 {
           while (pending.nonEmpty) drainOne()
         } catch { case t: Throwable =>
           // a failed part must not leave siblings racing an upload the
-          // caller is about to abort; cancellation failures never mask t
+          // caller is about to abort: flip the abort flag (unstarted
+          // parts bail before their PUT) and AWAIT every pending
+          // future to real termination — f.get() on a never-cancelled
+          // future returns only when the task has finished, so nothing
+          // is in flight when the caller issues AbortMultipartUpload.
+          // Sibling failures never mask t.
+          uploadAborted.set(true)
           pending.foreach { case (_, _, f) =>
-            f.cancel(true)
             try f.get() catch { case _: Throwable => () }
           }
           throw t
@@ -890,7 +910,10 @@ object GraftS3 {
     * like every mount; returns the un-mount handle. */
   def mountOnDemandHydration(root: Path, client: Client,
       prefix: String = ""): AutoCloseable = {
-    val m = Mount(root, normPrefix(prefix), client)
+    // normalized so a relative/dotted table root still matches the
+    // component-wise startsWith (GraftTable.hydrate normalizes its
+    // side too — the auto-sync plane's hardening, applied here)
+    val m = Mount(root.toAbsolutePath.normalize, normPrefix(prefix), client)
     hookLock.synchronized {
       if (hydMounts.isEmpty) {
         val cur = GraftTable.hydrateFiles
@@ -898,15 +921,32 @@ object GraftS3 {
           hydPrev = cur
           GraftTable.hydrateFiles = Some(hydDispatch)
         }
+        val curProbe = GraftTable.lazyRootProbe
+        if (!curProbe.exists(_ eq lazyProbe)) {
+          lazyProbePrev = curProbe
+          GraftTable.lazyRootProbe = Some(lazyProbe)
+        }
       }
       hydMounts.add(m)
     }
     () => hookLock.synchronized {
       hydMounts.remove(m)
-      if (hydMounts.isEmpty && GraftTable.hydrateFiles.exists(_ eq hydDispatch))
-        GraftTable.hydrateFiles = hydPrev
+      if (hydMounts.isEmpty) {
+        if (GraftTable.hydrateFiles.exists(_ eq hydDispatch))
+          GraftTable.hydrateFiles = hydPrev
+        if (GraftTable.lazyRootProbe.exists(_ eq lazyProbe))
+          GraftTable.lazyRootProbe = lazyProbePrev
+      }
     }
   }
+
+  /** Is `target` under any on-demand hydration mount? Read paths that
+    * cannot fire the hydrate hook consult this to refuse loudly
+    * instead of silently serving the already-hydrated subset. */
+  private lazy val lazyProbe: Path => Boolean = target =>
+    ownerOfTarget(hydMounts, target).isDefined ||
+      hydMounts.asScala.exists(_.root.startsWith(target))
+  private var lazyProbePrev: Option[Path => Boolean] = None
 
   /** The eager METADATA plane of a lazy follower: pull the commit log
     * (slots, checkpoint headers, checkpoint parquet file-lists — all
@@ -1239,6 +1279,21 @@ object GraftS3 {
     * Returns (rescued slot keys, deleted keys). */
   def pruneRemote(root: Path, client: Client,
       prefix: String = ""): (Seq[String], Seq[String]) = {
+    // WRITER-SIDE ONLY: the retired-artifact rule below reads "not
+    // locally present && id <= local head" as proof of local
+    // retirement, which assumes live artifacts exist locally. A lazy
+    // follower (metadata-only sync / on-demand hydration / evicted
+    // cache) deliberately violates that assumption — running prune
+    // there would delete every live data/delete object REMOTELY and
+    // break the table for the whole fleet. Refuse loudly when the root
+    // overlaps any hydration or metadata-only sync mount.
+    val nroot = root.toAbsolutePath.normalize
+    def overlaps(r: Path) = nroot.startsWith(r) || r.startsWith(nroot)
+    require(!hydMounts.asScala.exists(m => overlaps(m.root)) &&
+        !syncMounts.asScala.exists(m => m.metadataOnly && overlaps(m.root)),
+      s"pruneRemote is writer-side only: $root is (or contains) a lazy-follower " +
+        "root — locally absent artifacts there mean 'not yet hydrated', not " +
+        "'retired', and pruning would destroy the fleet's live objects")
     val p = normPrefix(prefix)
     // local discovery: every dir under root holding a _graft_log is a
     // table; "" when the mount root IS the table root

@@ -463,9 +463,27 @@ object GraftTable {
 
   /** Fire [[hydrateFiles]] for a planned read's file list (both choke
     * points below call this; double-firing is an idempotent existence
-    * check per path). */
+    * check per path). Normalized to ABSOLUTE form before dispatch: the
+    * mount registry matches roots component-wise, and a relative or
+    * dotted table root would silently miss its mount — the read then
+    * fails on a missing local file instead of hydrating (the exact
+    * hazard the auto-sync plane normalizes against). */
   private[lake] def hydrate(root: String, rels: Seq[String]): Unit =
-    hydrateFiles.foreach(h => if (rels.nonEmpty) h(Paths.get(root), rels))
+    hydrateFiles.foreach(h =>
+      if (rels.nonEmpty) h(Paths.get(root).toAbsolutePath.normalize, rels))
+
+  /** True when `root` is a LAZY-FOLLOWER data root (an on-demand
+    * hydration mount covers it): live data files may be locally absent
+    * by design. Read paths that open table-relative files WITHOUT
+    * going through [[hydrate]] must either hydrate first or refuse
+    * loudly on such a root — silently serving the hydrated subset is
+    * the wrong-results class the lazy-follower invariant forbids.
+    * Installed by GraftS3.mountOnDemandHydration; None = no lazy
+    * roots in this JVM. */
+  @volatile private[graft] var lazyRootProbe: Option[Path => Boolean] = None
+
+  private[lake] def isLazyRoot(root: String): Boolean =
+    lazyRootProbe.exists(_(Paths.get(root).toAbsolutePath.normalize))
 
   /** Invoked with the table ROOT before the CDC stream source reads
     * the local log head for a poll: a mounted fleet follower
@@ -2505,6 +2523,9 @@ object GraftTable {
     val schema = DataType.fromJson(snap.schemaJson.getOrElse(
       state(root, Some(0L)).schemaJson.get)).asInstanceOf[StructType]
     val dataFiles = snap.files.filter(_.isData)
+    // the delete files are read DIRECTLY below (not through readPaths),
+    // so a lazy follower must hydrate them here or the read 404s
+    hydrate(root, posDeletes.map(_.path))
     // which data files actually carry deleted positions? (match on the
     // unique file NAME — _metadata.file_path is an absolute URI; a DV
     // container names its victims in its own `name` column)
@@ -2553,6 +2574,9 @@ object GraftTable {
     val pos = snap.files.filter(_.content.contains(1))
     val dvs = snap.files.filter(_.content.contains(3))
     if (pos.isEmpty && dvs.size <= 1) return snap.snapshotId   // already compact
+    // direct parquet reads of the delete inputs below — hydrate first
+    // (lazy-follower discipline, same as rewritePositionDeletes)
+    hydrate(root, (pos ++ dvs).map(_.path))
     val baseName = (c: Column) => regexp_extract(c, "([^/]+)$", 1)
     val posPart = Option.when(pos.nonEmpty)(
       spark.read.parquet(pos.map(f => s"$root/${f.path}"): _*)
@@ -2822,6 +2846,7 @@ object GraftTable {
           else {
             val aggs = cols.flatMap(c => Seq(min(col(c)).cast("string").as(s"mn_$c"),
               max(col(c)).cast("string").as(s"mx_$c")))
+            hydrate(root, Seq(d.path))   // direct read — lazy-follower discipline
             val r = spark.read.parquet(s"$root/${d.path}")
               .agg(aggs.head, aggs.tail: _*).collect().head
             cols.flatMap { c =>
@@ -4775,6 +4800,18 @@ object GraftTable {
   }
 
   def readStreamAppendOnly(spark: SparkSession, root: String): DataFrame = {
+    // The directory stream reads data/ by GLOB, not through the
+    // planned-read choke points, so the hydration hook can never fire
+    // for it — and hydrating once at start would still silently miss
+    // every LATER commit's files (the source polls the directory, and
+    // a metadata-only follower never materializes new data files
+    // unprompted). Refuse loudly: the CDC source (readStreamChanges)
+    // is the follower-safe stream — its per-commit diff hydrates
+    // exactly the files each batch touches.
+    require(!isLazyRoot(root),
+      s"readStreamAppendOnly is not supported on a lazy follower root $root " +
+        "(on-demand hydration mounted): the directory glob would silently " +
+        "serve only already-hydrated files — use readStreamChanges")
     // pin the generation from the COMMITTED generationProp of the
     // same snapshot the schema comes from — atomic with the schema by
     // construction, so no interleaving with a concurrent REPLACE can

@@ -226,6 +226,62 @@ class S3LazyHydrationSpec extends SparkSpec {
     } finally { unS.close(); unH.close(); unM.close(); unA.close(); em.close() }
   }
 
+  test("lazy-follower guardrails: pruneRemote refuses a follower root, the directory " +
+      "stream refuses too, and delete-compaction maintenance hydrates its direct reads") {
+    val em = new GraftS3Server("graft-lazy-guard", creds)
+    val c = em.client
+    val rootX = Paths.get(scratchRoot("s3-lazy", "guard-x"))
+    val rootY = Paths.get(scratchRoot("s3-lazy", "guard-y"))
+    val unA = GraftS3.mountCommitArbiter(rootX, c)
+    val unM = GraftS3.mountArtifactMirror(rootX, c)
+    val unH = GraftS3.mountOnDemandHydration(rootY, c)
+    try {
+      val rows = (1L to 300L).map(i => (i, s"g$i"))
+      val df = rows.toDF("id", "v")
+      GraftTable.create(spark, rootX.toString, df.schema,
+        Map("write.delete.mode" -> "merge-on-read"))
+      GraftTable.append(spark, rootX.toString, df)
+      GraftTable.deleteWhere(spark, rootX.toString, col("id") % 7 === 0)
+      GraftTable.deleteWhere(spark, rootX.toString, col("id") % 11 === 0)
+      Files.createDirectories(rootY)
+      GraftS3.syncMetadata(rootY, c)
+
+      // pruneRemote is WRITER-SIDE ONLY: on this root, "locally
+      // absent" means "not yet hydrated" — running the hygiene op here
+      // would delete every live remote object for the whole fleet
+      val ex = intercept[IllegalArgumentException](GraftS3.pruneRemote(rootY, c))
+      assert(ex.getMessage.contains("writer-side only"))
+      assert(em.objects.keySet.asScala.exists(_.startsWith("data/")),
+        "the refusal fired before any deletion")
+
+      // the append-only directory stream cannot fire the hydrate hook
+      // (it reads data/ by glob): it must refuse loudly, not silently
+      // serve the already-hydrated subset
+      val ex2 = intercept[IllegalArgumentException](
+        GraftTable.readStreamAppendOnly(spark, rootY.toString))
+      assert(ex2.getMessage.contains("readStreamChanges"))
+
+      // delete-compaction maintenance reads its delete inputs directly
+      // (not through readPaths) — those reads hydrate first now, so a
+      // metadata-only follower can fold its deletes to a DV container
+      assert(!Files.isDirectory(rootY.resolve("deletes")))
+      GraftTable.rewriteDeletesToDV(spark, rootY.toString)
+      val want = rows.filterNot(r => r._1 % 7 == 0 || r._1 % 11 == 0).toSet
+      assert(GraftTable.read(spark, rootY.toString)
+        .as[(Long, String)].collect().toSet == want,
+        "the DV-folded follower table serves the MoR-filtered rows")
+
+      // off the mount, pruneRemote works again (the writer shape)
+      unH.close()
+      val (rescued, _) = GraftS3.pruneRemote(rootX, c)
+      assert(rescued.isEmpty)
+      assert(em.rejected.get == 0)
+    } finally {
+      try unH.close() catch { case _: Throwable => () }
+      unM.close(); unA.close(); em.close()
+    }
+  }
+
   test("the native DSv2 scan hydrates its post-DPP file list: a catalog-served pruned " +
       "query on a lazy follower fetches only the surviving partition") {
     val em = new GraftS3Server("graft-lazy-native", creds)
