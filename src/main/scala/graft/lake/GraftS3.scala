@@ -927,6 +927,7 @@ object GraftS3 {
           GraftTable.lazyRootProbe = Some(lazyProbe)
         }
       }
+      installPullLog()
       hydMounts.add(m)
     }
     () => hookLock.synchronized {
@@ -937,6 +938,7 @@ object GraftS3 {
         if (GraftTable.lazyRootProbe.exists(_ eq lazyProbe))
           GraftTable.lazyRootProbe = lazyProbePrev
       }
+      maybeUninstallPullLog()
     }
   }
 
@@ -960,6 +962,7 @@ object GraftS3 {
     * is visible. Returns the pulled keys. */
   def syncMetadata(root: Path, client: Client, prefix: String = ""): Seq[String] = {
     val p = normPrefix(prefix)
+    if (idleAtHead(root, client, p)) return Seq.empty
     val startAfter = localHead(root.resolve("_graft_log"))
       .map(h => p + f"_graft_log/$h%010d.json")
     val isSlot = "_graft_log/\\d{10}\\.json".r
@@ -1047,12 +1050,14 @@ object GraftS3 {
           GraftTable.beforeLogPoll = Some(pollDispatch)
         }
       }
+      installPullLog()
       syncMounts.add(m)
     }
     () => hookLock.synchronized {
       syncMounts.remove(m)
       if (syncMounts.isEmpty && GraftTable.beforeLogPoll.exists(_ eq pollDispatch))
         GraftTable.beforeLogPoll = syncPrev
+      maybeUninstallPullLog()
     }
   }
 
@@ -1202,6 +1207,7 @@ object GraftS3 {
     * remains the DR path. Returns the pulled keys. */
   def syncRemote(root: Path, client: Client, prefix: String = ""): Seq[String] = {
     val p = normPrefix(prefix)
+    if (idleAtHead(root, client, p)) return Seq.empty
     val pulled = Seq.newBuilder[String]
     val isSlot = "_graft_log/\\d{10}\\.json".r
     val startAfter = localHead(root.resolve("_graft_log"))
@@ -1401,6 +1407,68 @@ object GraftS3 {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     finally Files.deleteIfExists(tmp)
   }
+
+  /** O(1) idle-poll probe over the DENSE slot sequence (writers win
+    * slot head+1 or retry above it, so slot N+1 always exists remotely
+    * before N+2 is ever won; expiry retires a contiguous PREFIX):
+    * "anything new?" is exactly "does slot head+1 exist remotely?" —
+    * one ranged byte-probe, never a list page. True = the poll can
+    * return immediately: head+1 is absent AND slot `head` itself is
+    * still present remotely (remote head == local head). The second
+    * probe is what distinguishes genuinely-idle from PRUNED-PAST-US (a
+    * follower rejoining after the writer expired + pruned its slots
+    * sees both absent and must fall back to the listing, which the
+    * start-after bound then serves as before). Steady-state cost: two
+    * byte-probes idle, one when commits exist. Corollary: letter-named
+    * log objects landing with NO new slot (a checkpoint written after
+    * the final commit, a crashed seal's decision mirror) are not
+    * picked up by an IDLE poll — checkpoints are derived state the
+    * next commit's listing (or DR) re-covers, and txn decisions pull
+    * on demand at classification time (GraftTable.pullLogObject). */
+  private def idleAtHead(root: Path, client: Client, p: String): Boolean =
+    localHead(root.resolve("_graft_log")).exists { h =>
+      client.sizeOf(p + f"_graft_log/${h + 1}%010d.json").isEmpty &&
+        client.sizeOf(p + f"_graft_log/$h%010d.json").isDefined
+    }
+
+  /** Best-effort targeted pull of ONE table-relative log object for a
+    * follower root — the liveness path for metadata that can land with
+    * NO accompanying commit slot (a transaction's decision mirror when
+    * the seal crashed before its property commit): the O(1) idle probe
+    * deliberately never lists letter-named keys, so such objects are
+    * pulled on demand at the moment replay needs them. Consults the
+    * auto-sync registry first, then the hydration mounts (both
+    * follower shapes); absence local AND remote = still in doubt, a
+    * no-op — never an error. */
+  private var pullLogPrev: Option[(Path, String) => Unit] = None
+  private lazy val pullLogDispatch: (Path, String) => Unit = (tableRoot, rel) => {
+    val mount = ownerOf(syncMounts, tableRoot)(_.root)
+      .map(m => (m.root, m.prefix, m.client))
+      .orElse(ownerOfTarget(hydMounts, tableRoot)
+        .map(m => (m.root, m.prefix, m.client)))
+    mount.foreach { case (mroot, mpfx, client) =>
+      val local = tableRoot.resolve(rel)
+      if (!Files.exists(local))
+        client.get(keyFor(mroot, local, mpfx)).foreach(writeLocalAtomic(local, _))
+    }
+    pullLogPrev.foreach(_(tableRoot, rel))
+  }
+
+  /** Install/uninstall the on-demand log-object pull; called under
+    * [[hookLock]] by both follower mounts (auto-sync and hydration) —
+    * idempotent, prev captured once, restored when BOTH registries
+    * drain. */
+  private def installPullLog(): Unit = {
+    val cur = GraftTable.pullLogObject
+    if (!cur.exists(_ eq pullLogDispatch)) {
+      pullLogPrev = cur
+      GraftTable.pullLogObject = Some(pullLogDispatch)
+    }
+  }
+  private def maybeUninstallPullLog(): Unit =
+    if (syncMounts.isEmpty && hydMounts.isEmpty &&
+        GraftTable.pullLogObject.exists(_ eq pullLogDispatch))
+      GraftTable.pullLogObject = pullLogPrev
 
   /** The slot-named (`%010d.json`) files of a local `_graft_log` dir —
     * THE shared definition of the local commit plane for syncRemote,

@@ -494,6 +494,18 @@ object GraftTable {
     * global hook: gate on your own root, delegate the rest. */
   @volatile private[graft] var beforeLogPoll: Option[Path => Unit] = None
 
+  /** Best-effort targeted pull of one table-relative LOG object for a
+    * follower root, invoked with (table root, relative path) — the
+    * liveness companion of [[beforeLogPoll]] for metadata that can
+    * land remotely with NO new commit slot (a transaction's decision
+    * mirror when the seal crashed before its property commit): the
+    * follower's O(1) idle poll never lists letter-named keys, so
+    * replay pulls exactly the object it needs at the moment it needs
+    * it. Implementations must no-op on roots they don't own and on
+    * remote absence (still in doubt is a valid state, never an
+    * error). */
+  @volatile private[graft] var pullLogObject: Option[(Path, String) => Unit] = None
+
   /** Invoked with the ABSOLUTE path of a placed artifact being deleted
     * WITHOUT ever being committed — the lost-race cleanup and the
     * orphan sweep. A mounted mirror (GraftS3) consumes the path's
@@ -5835,10 +5847,21 @@ object GraftTable {
   private def txnIdOfDecision(path: String): String =
     Paths.get(path).getFileName.toString.stripSuffix(".decision")
 
-  /** The verdict, from the decision file or the table-local mirror. */
-  private def decisionFor(root: String, path: String): Option[String] =
-    decisionOf(path).orElse(
-      decisionOf(decisionMirror(root, txnIdOfDecision(path))))
+  /** The verdict, from the decision file or the table-local mirror —
+    * and on a fleet follower, from the STORE on demand: a decision
+    * whose seal crashed before its property commit lands remotely with
+    * no new slot, so no poll ever lists it; the mounted pull fetches
+    * the table-local mirror exactly when classification needs it
+    * (best-effort — still-absent everywhere = still in doubt). */
+  private def decisionFor(root: String, path: String): Option[String] = {
+    val mirror = decisionMirror(root, txnIdOfDecision(path))
+    decisionOf(path).orElse(decisionOf(mirror)).orElse(
+      pullLogObject.flatMap { pull =>
+        pull(Paths.get(root).toAbsolutePath.normalize,
+          s"_graft_log/txn-${txnIdOfDecision(path)}.decision")
+        decisionOf(mirror)
+      })
+  }
 
   private def txnCommitted(root: String, c: Commit): Boolean =
     c.properties.get(txnDecisionProp)

@@ -603,21 +603,21 @@ class S3ObjectStoreSpec extends SparkSpec {
         pulled.count(_.startsWith("data/")) >= 1 &&
         pulled.forall(k => k.startsWith("_graft_log/") || k.startsWith("data/")),
         s"the new slot + its referenced files, nothing else: $pulled")
-      assert(em.getCalls.get == pulled.size,
-        s"every GET pulled something (targeted, no probing): ${em.getCalls.get} vs $pulled")
+      assert(em.getCalls.get == pulled.size + 1,
+        s"one head+1 probe (hit) + a targeted GET per pulled object, nothing " +
+          s"else: ${em.getCalls.get} vs $pulled")
       assert(GraftTable.read(spark, rootY.toString).as[(Long, String)].collect().toSet ==
         Set((1L, "x1"), (2L, "x2"), (3L, "x3")), "Y serves X's new rows after the delta sync")
-      // idempotent — and START-AFTER bounded: the idle poll passes the
-      // local head's slot key as ListObjectsV2 start-after, so it costs
-      // exactly ONE list call whose response carries ZERO keys (no
-      // letter-named checkpoint objects exist below the planning
-      // threshold), and zero GETs — the steady-state cost of a polling
-      // CDC follower is one empty page regardless of log length
+      // idempotent — and O(1): the slot sequence is dense, so the idle
+      // poll probes "does slot head+1 exist?" (404) and confirms slot
+      // `head` is still remote (not pruned past us) — TWO byte-probes,
+      // ZERO list pages, regardless of log length or how many
+      // letter-named checkpoint objects the log retains
       em.listCalls.set(0); em.getCalls.set(0)
       val again = GraftS3.syncRemote(rootY, c)
       assert(again.isEmpty, s"nothing new: $again")
-      assert(em.listCalls.get == 1 && em.getCalls.get == 0,
-        s"idle poll = one empty list page: lists=${em.listCalls.get} gets=${em.getCalls.get}")
+      assert(em.listCalls.get == 0 && em.getCalls.get == 2,
+        s"idle poll = two byte-probes, no list: lists=${em.listCalls.get} gets=${em.getCalls.get}")
       val headKey = c.list("_graft_log/")
         .filter(_.matches("_graft_log/\\d{10}\\.json")).max
       assert(c.list("_graft_log/", Some(headKey)).isEmpty,
@@ -625,6 +625,89 @@ class S3ObjectStoreSpec extends SparkSpec {
       assert(c.list("_graft_log/", Some("_graft_log/0000000000.json"))
         .count(_.matches("_graft_log/\\d{10}\\.json")) == 2,
         "start-after is strict: slots 1 and 2 list, slot 0 does not")
+      assert(em.rejected.get == 0)
+    } finally { mounts.reverse.foreach(_.close()); em.close() }
+  }
+
+  test("the O(1) idle poll: zero list pages even with RETAINED CHECKPOINTS, the " +
+      "pruned-past-us fallback re-lists, and a crashed seal's decision pulls on demand") {
+    val em = new graft.lake.GraftS3Server("graft-o1poll", creds)
+    val c = em.client
+    val rootX = Paths.get(scratchRoot("s3-spec", "o1-x"))
+    val rootY = Paths.get(scratchRoot("s3-spec", "o1-y"))
+    val rootZ = Paths.get(scratchRoot("s3-spec", "o1-z"))
+    val mounts = Seq(
+      GraftS3.mountCommitArbiter(rootX, c), GraftS3.mountArtifactMirror(rootX, c),
+      GraftS3.mountOnDemandHydration(rootY, c),
+      GraftS3.mountOnDemandHydration(rootZ, c))
+    try {
+      val df = Seq((1L, "a")).toDF("id", "v")
+      GraftTable.create(spark, rootX.toString, df.schema)
+      GraftTable.append(spark, rootX.toString, df)
+      // an EARLY follower: head pinned at the first append — the
+      // pruned-past-us probe below must push it through the listing
+      Files.createDirectories(rootZ)
+      GraftS3.syncMetadata(rootZ, c)
+      GraftTable.append(spark, rootX.toString, Seq((2L, "b")).toDF("id", "v"))
+      GraftTable.append(spark, rootX.toString, Seq((3L, "c")).toDF("id", "v"))
+      // retained checkpoint keys (checkpoint-/ckptmeta-/ckptfiles-)
+      // land in the bucket via the mounted mirror
+      GraftTable.rewriteManifests(rootX.toString)
+      assert(em.objects.keySet.asScala.exists(_.startsWith("_graft_log/ckptmeta-")),
+        "the precondition this spec exists for: letter-named log keys are retained")
+
+      Files.createDirectories(rootY)
+      val cold = GraftS3.syncMetadata(rootY, c)
+      assert(cold.count(_.matches("_graft_log/\\d{10}\\.json")) == 4,
+        s"cold start pulls the full log: $cold")
+      // THE VERDICT CONDITION: with letter-named checkpoint keys
+      // retained (which ASCII-sort after every digit slot and would
+      // ride every start-after page forever), the idle poll issues
+      // ZERO list requests — two byte-probes decide it
+      em.listCalls.set(0); em.getCalls.set(0)
+      assert(GraftS3.syncMetadata(rootY, c).isEmpty)
+      assert(em.listCalls.get == 0 && em.getCalls.get == 2,
+        s"idle poll with retained checkpoints = two probes, no list: " +
+          s"lists=${em.listCalls.get} gets=${em.getCalls.get}")
+
+      // a transaction whose seal CRASHED: the decision mirror lands
+      // remotely with NO new slot — no poll would ever list it; the
+      // follower's classification pulls it on demand
+      val txnDir = Files.createDirectories(
+        Paths.get(scratchRoot("s3-spec", "o1-txn")))
+      val t = GraftTable.beginTransaction(txnDir.toString)
+      t.append(spark, rootX.toString, Seq((9L, "txn")).toDF("id", "v"))
+      GraftS3.syncMetadata(rootY, c)   // follower sees the STAGED slot
+      assert(GraftTable.read(spark, rootY.toString).as[(Long, String)]
+        .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")),
+        "an undecided transaction's stage is invisible on the follower")
+      // decide + mirror remotely, but CRASH before the seal's property
+      // commit (simulated: the mirror object alone, as sealTxn's first
+      // step would have left it)
+      GraftTable.decide(Paths.get(txnDir.toString, s"${t.id}.decision").toString,
+        "committed")
+      c.putIfAbsent(s"_graft_log/txn-${t.id}.decision", "committed".getBytes(UTF_8))
+      em.listCalls.set(0)
+      assert(GraftS3.syncMetadata(rootY, c).isEmpty, "no new slot — idle")
+      assert(GraftTable.read(spark, rootY.toString).as[(Long, String)]
+        .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c"), (9L, "txn")),
+        "the follower pulls the crashed seal's decision on demand and " +
+          "serves the committed transaction")
+      assert(em.listCalls.get == 0, "decision liveness costs zero list pages")
+
+      // pruned-past-us: the writer expires + prunes its old slots; the
+      // EARLY follower's probe finds neither head+1 nor head remotely
+      // and falls back to the listing, which serves the checkpoint +
+      // retained slots exactly as before
+      GraftTable.expireSnapshots(rootX.toString, 2)
+      GraftS3.pruneRemote(rootX, c)
+      em.listCalls.set(0)
+      val caught = GraftS3.syncMetadata(rootZ, c)
+      assert(em.listCalls.get >= 1, "the fallback must re-list")
+      assert(caught.nonEmpty, s"the rejoining follower pulls the retained tail: $caught")
+      assert(GraftTable.read(spark, rootZ.toString).as[(Long, String)]
+        .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c"), (9L, "txn")),
+        "the rejoined follower replays checkpoint + retained slots")
       assert(em.rejected.get == 0)
     } finally { mounts.reverse.foreach(_.close()); em.close() }
   }
