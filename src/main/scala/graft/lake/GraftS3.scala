@@ -672,6 +672,25 @@ object GraftS3 {
     (r: Runnable) => {
       val t = new Thread(r, "graft-s3-part"); t.setDaemon(true); t
     })
+
+  /** Sizing knob for the DOWNLOAD pool (set before the first hydration
+    * — the pool is created lazily at that size; conf surface:
+    * `s3.hydration-concurrency`, documented next to
+    * `s3.part-concurrency` in GraftSparkCatalog). */
+  @volatile private[graft] var hydrationConcurrency: Int = 8
+
+  // Downloads (scan-time hydration, DR artifact pulls) run on their
+  // OWN pool, never on mirrorPool: a process that is both WRITER and
+  // FOLLOWER (the catalog-branch fleet shape) would otherwise have
+  // commits' pre-slot uploads queueing behind scans' hydrations — a
+  // 1000-file hydration serialized 8-wide would delay every concurrent
+  // commit's barrier by the full transfer time. Separate pools make
+  // upload latency independent of download load (and vice versa).
+  private lazy val hydPool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.max(2, hydrationConcurrency),
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-s3-hyd"); t.setDaemon(true); t
+    })
   private val pendingUploads =
     new java.util.concurrent.ConcurrentHashMap[Path, java.util.concurrent.Future[_]]()
 
@@ -679,6 +698,13 @@ object GraftS3 {
   private[graft] def pendingUploadsUnder(root: Path): Int = {
     var n = 0
     pendingUploads.forEach((p, _) => if (p.startsWith(root)) n += 1)
+    n
+  }
+
+  /** Spec observability: in-flight on-demand hydrations under `root`. */
+  private[graft] def pendingHydrationsUnder(root: Path): Int = {
+    var n = 0
+    pendingHydrations.forEach((p, _) => if (p.startsWith(root)) n += 1)
     n
   }
 
@@ -872,7 +898,7 @@ object GraftS3 {
           val local = tableRoot.resolve(r)
           val key = keyFor(m.root, local, m.prefix)
           val f = pendingHydrations.computeIfAbsent(local,
-            _ => mirrorPool.submit(new java.util.concurrent.Callable[Unit] {
+            _ => hydPool.submit(new java.util.concurrent.Callable[Unit] {
               def call(): Unit =
                 if (!Files.exists(local) && !m.client.getToFile(key, local))
                   throw new java.nio.file.NoSuchFileException(
@@ -1177,7 +1203,7 @@ object GraftS3 {
     // lands); slots then materialize SEQUENTIALLY in id order, so a
     // concurrent reader never sees a child commit before its parent
     val pulledOthers = others
-      .map(k => mirrorPool.submit(new java.util.concurrent.Callable[Option[String]] {
+      .map(k => hydPool.submit(new java.util.concurrent.Callable[Option[String]] {
         def call(): Option[String] = pull(k)
       }))
       .flatMap { f =>

@@ -70,6 +70,10 @@ final class GraftS3Server(bucket: String, initialCreds: GraftS3.Credentials)
   /** GET object keys in arrival order — lets hydration specs assert a
     * follower fetched EXACTLY the pruned-live file set, nothing more. */
   val gotKeys = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  /** Inject: a GET whose key matches sleeps this long before serving —
+    * makes download/upload pool ISOLATION observable (a slow hydration
+    * must not delay a concurrent commit's barrier). */
+  @volatile var getDelayMsFor: String => Long = _ => 0L
   /** Inject: every multipart PART PUT sleeps this long before applying —
     * makes part-level upload CONCURRENCY observable. */
   @volatile var partDelayMs: Long = 0
@@ -221,6 +225,8 @@ final class GraftS3Server(bucket: String, initialCreds: GraftS3.Credentials)
         case ("GET", k) =>
           getCalls.incrementAndGet()
           gotKeys.add(k)
+          val gd = getDelayMsFor(k)
+          if (gd > 0) Thread.sleep(gd)
           Option(objects.get(k)) match {
             case Some(b) =>
               // general ranged GET (bytes=a-b): serves the size probe

@@ -217,7 +217,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         req("s3.access-key"), req("s3.secret-key"),
         Option(options.get("s3.part-size-bytes")).getOrElse(""),
         Option(options.get("s3.multipart-threshold-bytes")).getOrElse(""),
-        Option(options.get("s3.part-concurrency")).getOrElse("")).mkString("|")
+        Option(options.get("s3.part-concurrency")).getOrElse(""),
+        Option(options.get("s3.hydration-concurrency")).getOrElse("")).mkString("|")
       GraftSparkCatalog.s3Mounts.synchronized {
         val prev = GraftSparkCatalog.s3Mounts.get(identity)
         if (prev == null || prev._1 != fullKey) {
@@ -243,6 +244,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           // s3.hydrate-on-demand=true declares this session a lazy
           // FOLLOWER: reads pull pruned file sets on demand (pair with
           // GraftS3.syncMetadata); default is the full writer shape
+          // downloads run on their own pool (uploads must never queue
+          // behind a large hydration); the pool is created lazily at
+          // this size on first use — like part-concurrency, size it
+          // before the first hydration fires
+          Option(options.get("s3.hydration-concurrency"))
+            .foreach(v => GraftS3.hydrationConcurrency = v.toInt)
           val handles =
             if (hydrate)
               Seq(GraftS3.mountOnDemandHydration(root, client, prefix))

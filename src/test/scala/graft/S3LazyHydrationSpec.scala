@@ -226,6 +226,59 @@ class S3LazyHydrationSpec extends SparkSpec {
     } finally { unS.close(); unH.close(); unM.close(); unA.close(); em.close() }
   }
 
+  test("hydration runs on its OWN transfer pool: a pool-saturating slow hydration " +
+      "never delays a concurrent commit's pre-slot barrier") {
+    val em = new GraftS3Server("graft-hyd-pool", creds)
+    val c = em.client
+    val rootX = Paths.get(scratchRoot("s3-lazy", "pool-x"))
+    val rootY = Paths.get(scratchRoot("s3-lazy", "pool-y"))
+    val unA = GraftS3.mountCommitArbiter(rootX, c)
+    val unM = GraftS3.mountArtifactMirror(rootX, c)
+    val unH = GraftS3.mountOnDemandHydration(rootY, c)
+    try {
+      val rows = (1L to 320L).map(i => (i, s"p$i"))
+      // enough files that a follower-side full hydration saturates the
+      // download pool for several delay-widths
+      val df = rows.toDF("id", "v").repartition(16)
+      GraftTable.create(spark, rootX.toString, df.schema)
+      GraftTable.append(spark, rootX.toString, df)
+      Files.createDirectories(rootY)
+      GraftS3.syncMetadata(rootY, c)
+
+      // every data GET crawls; the metadata plane and all PUTs are
+      // untouched — the writer's uploads must be INDEPENDENT of this
+      val delayMs = 6000L
+      em.getDelayMsFor = k => if (k.startsWith("data/")) delayMs else 0L
+      @volatile var hydratedCount = -1L
+      val reader = new Thread(() => {
+        hydratedCount = GraftTable.read(spark, rootY.toString).count()
+      }, "spec-lazy-reader")
+      reader.start()
+      val deadline = System.nanoTime + 30e9.toLong
+      while (GraftS3.pendingHydrationsUnder(rootY) == 0 &&
+        System.nanoTime < deadline) Thread.sleep(20)
+      assert(GraftS3.pendingHydrationsUnder(rootY) > 0,
+        "the slow hydration must be in flight before the writer commits")
+
+      // the writer's commit — mirror upload + pre-slot barrier —
+      // completes while the hydration still crawls: with a SHARED pool
+      // the upload would queue behind a 6 s GET and the barrier would
+      // wait out the queue; with the split pool it never does
+      val t0 = System.nanoTime
+      GraftTable.append(spark, rootX.toString, Seq((999L, "w")).toDF("id", "v"))
+      val commitMs = (System.nanoTime - t0) / 1e6
+      assert(GraftS3.pendingHydrationsUnder(rootY) > 0,
+        "overlap must be real: the hydration is still in flight after the commit")
+      assert(commitMs < delayMs,
+        s"the commit barrier must not queue behind hydration GETs: ${commitMs}ms")
+
+      em.getDelayMsFor = _ => 0L
+      reader.join(180000)
+      assert(hydratedCount == 320L, s"the slow hydration still serves: $hydratedCount")
+      assert(em.rejected.get == 0)
+    } finally { unH.close(); unM.close(); unA.close(); em.close() }
+  }
+
   test("lazy-follower guardrails: pruneRemote refuses a follower root, the directory " +
       "stream refuses too, and delete-compaction maintenance hydrates its direct reads") {
     val em = new GraftS3Server("graft-lazy-guard", creds)
