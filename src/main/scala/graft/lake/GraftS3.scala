@@ -785,10 +785,28 @@ object GraftS3 {
   // resolve to the LONGEST matching mount root (component-wise
   // startsWith — "/x/t10" is never captured by a mount for "/x/t1").
   private final case class Mount(root: Path, prefix: String, client: Client)
+
+  /** A hydration mount additionally carries the local-cache budget and
+    * its LRU bookkeeping: `touched` maps mount-relative artifact path →
+    * local bytes in ACCESS order (a plain LinkedHashMap guarded by the
+    * mount's own monitor — eviction decisions are rare and driver-side),
+    * `trackedBytes` is the running total so budget checks are O(1),
+    * not O(touched files). Only files that passed through the hydrate
+    * hook are tracked — exactly the set a budgeted follower
+    * accumulates. */
+  private final class HydMount(val root: Path, val prefix: String,
+      val client: Client, val maxLocalBytes: Option[Long]) {
+    val touched = new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, true)
+    var trackedBytes = 0L
+    def touch(rel: String, bytes: Long): Unit = {
+      val prev = touched.put(rel, bytes)
+      trackedBytes += bytes - (if (prev == null) 0L else prev.longValue)
+    }
+  }
   private val hookLock = new Object
   private val arbMounts = new java.util.concurrent.CopyOnWriteArrayList[Mount]()
   private val mirMounts = new java.util.concurrent.CopyOnWriteArrayList[Mount]()
-  private val hydMounts = new java.util.concurrent.CopyOnWriteArrayList[Mount]()
+  private val hydMounts = new java.util.concurrent.CopyOnWriteArrayList[HydMount]()
   private var hydPrev: Option[(Path, Seq[String]) => Unit] = None
   private var arbPrev: Option[(Path, String) => Boolean] = None
   private var mirPrevPlace: (Path, Path) => Unit = null
@@ -891,7 +909,7 @@ object GraftS3 {
     new java.util.concurrent.ConcurrentHashMap[Path, java.util.concurrent.Future[_]]()
 
   private lazy val hydDispatch: (Path, Seq[String]) => Unit = (tableRoot, rels) => {
-    ownerOfTarget(hydMounts, tableRoot).foreach { m =>
+    ownerOf(hydMounts, tableRoot)(_.root).foreach { m =>
       val missing = rels.distinct.filter(r => !Files.exists(tableRoot.resolve(r)))
       if (missing.nonEmpty) {
         val futs = missing.map { r =>
@@ -921,8 +939,49 @@ object GraftS3 {
         }
         if (firstErr != null) throw firstErr
       }
+      enforceCacheBudget(m, tableRoot, rels)
     }
     hydPrev.foreach(_(tableRoot, rels))
+  }
+
+  /** The automatic half of the cache-eviction story: after a scan's
+    * hydration batch lands, touch its files in the mount's LRU and —
+    * when a budget is set — evict least-recently-touched artifacts
+    * until tracked local bytes fit, skipping (a) the current request
+    * (the scan about to read them), (b) anything mid-hydration, and
+    * (c) files whose remote twin can't be size-confirmed (the
+    * [[evictLocalData]] safety rule: never delete the only copy). The
+    * budget is therefore honored whenever it exceeds one scan's
+    * working set, which is the invariant a bounded-disk follower
+    * needs at 100 TB; under CONCURRENT scans it is advisory (a file
+    * evicted here may force the other scan to re-hydrate — correct,
+    * just slower). */
+  private def enforceCacheBudget(m: HydMount, tableRoot: Path,
+      rels: Seq[String]): Unit = m.maxLocalBytes.foreach { budget =>
+    m.touched.synchronized {
+      val current = rels.distinct.map(r =>
+        keyFor(m.root, tableRoot.resolve(r), "")).toSet
+      current.foreach { rel =>
+        val local = m.root.resolve(rel)
+        if (Files.exists(local)) m.touch(rel, Files.size(local))
+      }
+      if (m.trackedBytes > budget) {
+        val it = m.touched.entrySet().iterator()
+        while (m.trackedBytes > budget && it.hasNext) {
+          val e = it.next()
+          val rel = e.getKey
+          val local = m.root.resolve(rel)
+          if (!current.contains(rel) && !pendingHydrations.containsKey(local)) {
+            if (!Files.exists(local)) {   // evicted out-of-band: untrack
+              it.remove(); m.trackedBytes -= e.getValue.longValue
+            } else if (m.client.sizeOf(m.prefix + rel).contains(Files.size(local))) {
+              Files.delete(local)
+              it.remove(); m.trackedBytes -= e.getValue.longValue
+            }
+          }
+        }
+      }
+    }
   }
 
   /** Mount scan-time lazy hydration for a fleet FOLLOWER at `root`:
@@ -935,11 +994,12 @@ object GraftS3 {
     * drops local copies, the next scan re-hydrates. Registry-scoped
     * like every mount; returns the un-mount handle. */
   def mountOnDemandHydration(root: Path, client: Client,
-      prefix: String = ""): AutoCloseable = {
+      prefix: String = "", maxLocalBytes: Option[Long] = None): AutoCloseable = {
     // normalized so a relative/dotted table root still matches the
     // component-wise startsWith (GraftTable.hydrate normalizes its
     // side too — the auto-sync plane's hardening, applied here)
-    val m = Mount(root.toAbsolutePath.normalize, normPrefix(prefix), client)
+    val m = new HydMount(root.toAbsolutePath.normalize, normPrefix(prefix),
+      client, maxLocalBytes)
     hookLock.synchronized {
       if (hydMounts.isEmpty) {
         val cur = GraftTable.hydrateFiles
@@ -972,7 +1032,7 @@ object GraftS3 {
     * cannot fire the hydrate hook consult this to refuse loudly
     * instead of silently serving the already-hydrated subset. */
   private lazy val lazyProbe: Path => Boolean = target =>
-    ownerOfTarget(hydMounts, target).isDefined ||
+    ownerOf(hydMounts, target)(_.root).isDefined ||
       hydMounts.asScala.exists(_.root.startsWith(target))
   private var lazyProbePrev: Option[Path => Boolean] = None
 
@@ -1470,7 +1530,7 @@ object GraftS3 {
   private lazy val pullLogDispatch: (Path, String) => Unit = (tableRoot, rel) => {
     val mount = ownerOf(syncMounts, tableRoot)(_.root)
       .map(m => (m.root, m.prefix, m.client))
-      .orElse(ownerOfTarget(hydMounts, tableRoot)
+      .orElse(ownerOf(hydMounts, tableRoot)(_.root)
         .map(m => (m.root, m.prefix, m.client)))
     mount.foreach { case (mroot, mpfx, client) =>
       val local = tableRoot.resolve(rel)

@@ -218,7 +218,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         Option(options.get("s3.part-size-bytes")).getOrElse(""),
         Option(options.get("s3.multipart-threshold-bytes")).getOrElse(""),
         Option(options.get("s3.part-concurrency")).getOrElse(""),
-        Option(options.get("s3.hydration-concurrency")).getOrElse("")).mkString("|")
+        Option(options.get("s3.hydration-concurrency")).getOrElse(""),
+        Option(options.get("s3.local-cache-max-bytes")).getOrElse("")).mkString("|")
       GraftSparkCatalog.s3Mounts.synchronized {
         val prev = GraftSparkCatalog.s3Mounts.get(identity)
         if (prev == null || prev._1 != fullKey) {
@@ -250,9 +251,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           // before the first hydration fires
           Option(options.get("s3.hydration-concurrency"))
             .foreach(v => GraftS3.hydrationConcurrency = v.toInt)
+          // s3.local-cache-max-bytes bounds the follower's local disk:
+          // after each scan's hydration, least-recently-touched
+          // confirmed-remote artifacts evict until local bytes fit
+          // (honored whenever the budget exceeds one scan's working
+          // set; a later scan that needs an evicted file re-hydrates)
+          val cacheBudget = Option(options.get("s3.local-cache-max-bytes"))
+            .map(_.toLong)
           val handles =
             if (hydrate)
-              Seq(GraftS3.mountOnDemandHydration(root, client, prefix))
+              Seq(GraftS3.mountOnDemandHydration(root, client, prefix,
+                maxLocalBytes = cacheBudget))
             else Seq(
               GraftS3.mountCommitArbiter(root, client, prefix),
               GraftS3.mountArtifactMirror(root, client, prefix))

@@ -226,6 +226,68 @@ class S3LazyHydrationSpec extends SparkSpec {
     } finally { unS.close(); unH.close(); unM.close(); unA.close(); em.close() }
   }
 
+  test("a cache budget makes the follower bounded-disk: a multi-partition query " +
+      "sequence stays correct while local data bytes never exceed the budget") {
+    val em = new GraftS3Server("graft-hyd-budget", creds)
+    val c = em.client
+    val rootX = Paths.get(scratchRoot("s3-lazy", "bud-x"))
+    val rootY = Paths.get(scratchRoot("s3-lazy", "bud-y"))
+    val unA = GraftS3.mountCommitArbiter(rootX, c)
+    val unM = GraftS3.mountArtifactMirror(rootX, c)
+    try {
+      val rows = (1 to 2000).map(i => (i.toLong, i % 4, s"budget-row-$i-" + ("x" * 50)))
+      val df = rows.toDF("id", "p", "v")
+      GraftTable.create(spark, rootX.toString, df.schema,
+        Map(GraftTable.specProp -> "identity(p)"))
+      GraftTable.append(spark, rootX.toString, df)
+      val totalBytes = GraftTable.liveDataFiles(rootX.toString, Seq.empty)
+        .map(_.sizeBytes).sum
+      val perPart = (0 to 3).map(p => GraftTable.liveDataFiles(rootX.toString,
+        Seq(GraftTable.Eq("p", p.toString))).map(_.sizeBytes).sum)
+      // below the table size, above any one scan's working set — the
+      // regime a bounded-disk follower runs in
+      val budget = (totalBytes * 2) / 5
+      assert(perPart.max < budget && budget < totalBytes,
+        s"spec preconditions: per-partition ${perPart} vs budget $budget")
+
+      val unH = GraftS3.mountOnDemandHydration(rootY, c,
+        maxLocalBytes = Some(budget))
+      try {
+        Files.createDirectories(rootY)
+        GraftS3.syncMetadata(rootY, c)
+        def localDataBytes: Long = {
+          val dir = rootY.resolve("data")
+          if (!Files.isDirectory(dir)) 0L
+          else {
+            val s = Files.list(dir)
+            try s.iterator.asScala.filter(Files.isRegularFile(_))
+              .map(Files.size).sum
+            finally s.close()
+          }
+        }
+        for (p <- 0 to 3) {
+          val (dfp, _, _) = GraftTable.scan(spark, rootY.toString,
+            Seq(GraftTable.Eq("p", p.toString)))
+          val got = dfp.select(col("id")).as[Long].collect().toSet
+          assert(got == rows.filter(_._2 == p).map(_._1).toSet,
+            s"partition $p reads correctly through the budgeted cache")
+          assert(localDataBytes <= budget,
+            s"after scanning partition $p: ${localDataBytes} bytes local, " +
+              s"budget $budget — the budget must hold between scans")
+        }
+        assert(localDataBytes < totalBytes,
+          "eviction must have dropped earlier partitions (bounded disk is real)")
+        // an evicted partition re-hydrates on demand, still within budget
+        val (df0, _, _) = GraftTable.scan(spark, rootY.toString,
+          Seq(GraftTable.Eq("p", "0")))
+        assert(df0.select(col("id")).as[Long].collect().toSet ==
+          rows.filter(_._2 == 0).map(_._1).toSet)
+        assert(localDataBytes <= budget)
+        assert(em.rejected.get == 0)
+      } finally unH.close()
+    } finally { unM.close(); unA.close(); em.close() }
+  }
+
   test("hydration runs on its OWN transfer pool: a pool-saturating slow hydration " +
       "never delays a concurrent commit's pre-slot barrier") {
     val em = new GraftS3Server("graft-hyd-pool", creds)
