@@ -474,17 +474,24 @@ object LakeOps {
         GraftTable.append(s, x.toString, orders.filter(col("o_orderkey") % 2 === 0))
         Files.createDirectories(y)
         val ck = scratch("q111-ck")
-        val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        // scale-shaped exactly-once pin: NO driver-side key collection —
+        // each batch's keys append to a parquet sink and a per-batch
+        // count accumulates; the final require compares fed rows vs a
+        // DISTRIBUTED distinct-count over the sink (a double-sync or
+        // lost poll breaks one of the two)
+        val sink = scratch("q111-fed")
+        val fed = new java.util.concurrent.atomic.LongAdder
         val q = GraftTable.readStreamChanges(s, y.toString, fromExclusive = Some(0L))
           .writeStream.option("checkpointLocation", ck)
           .foreachBatch { (b: DataFrame, _: Long) =>
-            b.select(col("o_orderkey")).collect().foreach(r => seen.add(r.getLong(0)))
+            val keys = b.select(col("o_orderkey"))
+            keys.write.mode("append").parquet(sink)
+            fed.add(keys.count())
             ()
           }.start()
         try {
           q.processAllAvailable()
-          val afterFirst = seen.size
-          require(afterFirst > 0, "the cold-started follower must drain batch 1")
+          require(fed.sum() > 0, "the cold-started follower must drain batch 1")
           // mid-stream: the writer commits batch 2 through a 503 burst;
           // the follower's next poll must sync + hydrate it unaided
           server.throttleNext.set(2)
@@ -493,9 +500,15 @@ object LakeOps {
           q.processAllAvailable()
           require(server.throttled.get >= 2, "the throttle burst must fire")
         } finally q.stop()
-        val keys = seen.iterator().asScala.toVector
-        require(keys.size == keys.distinct.size,
-          "the live feed must surface every commit exactly once")
+        val fedDf = s.read.parquet(sink)
+        val (sunk, distinct) = {
+          val r = fedDf.agg(count(col("o_orderkey")),
+            countDistinct(col("o_orderkey"))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        require(sunk == fed.sum() && sunk == distinct,
+          s"the live feed must surface every commit exactly once: " +
+            s"fed=${fed.sum()} sunk=$sunk distinct=$distinct")
         require(server.rejected.get == 0, "every request SigV4-verified")
         // the OUTPUT reads off the FOLLOWER's hydrated replica
         GraftTable.read(s, y.toString)
