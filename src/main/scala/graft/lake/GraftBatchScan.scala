@@ -133,14 +133,24 @@ private[graft] class GraftBatchScan(
 
   // ── partition planning ──────────────────────────────────────────────
 
+  /** Per-file scan path: a RANGED-read mount resolves non-local data
+    * files to `grafts3://` URIs (read in place — footer + projected
+    * column chunks over ranged GETs, nothing cached); everything else
+    * reads the local path. Resolved once per planning pass, AFTER
+    * runtime filtering, so only surviving files resolve. */
+  @volatile private var remotePaths: Map[String, String] = Map.empty
+
+  private def pathFor(f: GraftTable.FileEntry): SparkPath =
+    SparkPath.fromPathString(remotePaths.getOrElse(f.path, s"$root/${f.path}"))
+
   private def wholeFile(f: GraftTable.FileEntry): PartitionedFile =
-    PartitionedFile(InternalRow.empty, SparkPath.fromPathString(s"$root/${f.path}"),
+    PartitionedFile(InternalRow.empty, pathFor(f),
       0L, f.sizeBytes, Array.empty, 0L, f.sizeBytes)
 
   private def splitFile(f: GraftTable.FileEntry, maxSplit: Long): Seq[PartitionedFile] =
     if (f.sizeBytes <= maxSplit) Seq(wholeFile(f))
     else {
-      val sp = SparkPath.fromPathString(s"$root/${f.path}")
+      val sp = pathFor(f)
       (0L until f.sizeBytes by maxSplit).map(start =>
         PartitionedFile(InternalRow.empty, sp, start,
           math.min(maxSplit, f.sizeBytes - start), Array.empty, 0L, f.sizeBytes))
@@ -150,8 +160,16 @@ private[graft] class GraftBatchScan(
     // on-demand hydration fires with the POST-runtime-filter file list:
     // a DPP-pruned native scan on a metadata-only fleet follower pulls
     // exactly the surviving files (plus the MoR delete files the
-    // readers apply), never the table
-    GraftTable.hydrate(root, currentEntries.map(_.path) ++ plan.deletes.map(_.path))
+    // readers apply), never the table. Under a RANGED-read mount, data
+    // files resolve to in-place grafts3:// URIs instead and are
+    // EXCLUDED from hydration — the scan transfers column bytes, not
+    // file bytes; MoR delete files (small, read whole, shared across
+    // readers) always hydrate.
+    remotePaths = currentEntries.flatMap(f =>
+      GraftTable.remoteReadPath(root, f.path).map(f.path -> _)).toMap
+    GraftTable.hydrate(root,
+      currentEntries.map(_.path).filterNot(remotePaths.contains) ++
+        plan.deletes.map(_.path))
     if (spjActive) {
       val byKey = currentEntries.groupBy(keyOf)
       groupKeys.zipWithIndex.map { case (k, i) =>
@@ -231,6 +249,9 @@ private[graft] class GraftBatchScan(
       filters: Array[Filter]): ParquetPartitionReaderFactory = {
     val sqlConf = spark.sessionState.conf
     val hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
+    // the in-place scan scheme: lets Path.getFileSystem instantiate
+    // GraftRangedFs for grafts3:// data-file URIs (no-op for local)
+    locally { val (k, v) = GraftRangedFs.confKey; hadoopConf.set(k, v) }
     val requestedJson = requested.json
     hadoopConf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[ParquetReadSupport].getName)
@@ -361,8 +382,11 @@ private[graft] class GraftBatchScan(
     }
     val bcConf =
       if (renames.isEmpty && eqGroups.forall(_.altNames == null)) null
-      else spark.sparkContext.broadcast(new SerializableConfiguration(
-        spark.sessionState.newHadoopConfWithOptions(Map.empty)))
+      else {
+        val hc = spark.sessionState.newHadoopConfWithOptions(Map.empty)
+        locally { val (k, v) = GraftRangedFs.confKey; hc.set(k, v) }
+        spark.sparkContext.broadcast(new SerializableConfiguration(hc))
+      }
     GraftMorReaderFactory(
       plain = mkParquetFactory(plan.schema, dataCols, pushedFilters),
       extended = mkParquetFactory(plan.schema, extSchema, pushedFilters),
@@ -384,6 +408,7 @@ private[graft] class GraftBatchScan(
 }
 
 private[lake] object GraftBatchScan {
+
 
   private[lake] def keyTypeSupported(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | ShortType | ByteType | StringType |

@@ -1,0 +1,247 @@
+package graft.lake
+
+import java.io.{FileNotFoundException, IOException}
+import java.net.URI
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, FSDataInputStream, FSDataOutputStream, FSInputStream, Path => HPath}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** A read-only Hadoop FileSystem (`grafts3://<token>/<key>`) that
+  * serves file bytes straight off [[GraftS3.Client.rangedGet]] — the
+  * piece that closes the gap to the reference deployment's IN-PLACE
+  * object-store reads (reference: spark-defaults.conf:15-20 wires
+  * `fs.s3a.*` so Spark and Trino read MinIO directly over ranged
+  * requests, with no local lake copy anywhere in docker-compose.yml).
+  *
+  * With this scheme on the native scan's paths, a projection-pruned
+  * parquet read transfers the FOOTER plus the selected COLUMN CHUNKS —
+  * column bytes, not file bytes: Spark's vectorized parquet reader
+  * drives `seek`/`read`, each miss of the readahead window becomes one
+  * ranged GET, and columns the projection dropped are never requested.
+  * A 2-of-40-column query on a 1 GB file moves megabytes.
+  *
+  * Client resolution is REGISTRY-first: [[GraftRangedFs.register]]
+  * binds an authority token to a live [[GraftS3.Client]] in this JVM
+  * (local[*] executors share the driver JVM, so scans resolve the
+  * exact mounted client, in-JVM test servers included). On a real
+  * cluster, executor JVMs fall back to conf construction from
+  * `fs.grafts3.<authority>.{endpoint,bucket,region,access-key,
+  * secret-key}` — the same keys a deployment would ship in
+  * spark-defaults, mirroring the s3a shape.
+  *
+  * Hadoop instantiates one FileSystem per (scheme, authority) via
+  * `fs.grafts3.impl`; write operations throw (artifacts are immutable
+  * and travel through the commit plane, never through a filesystem
+  * rename — this FS exists for the scan path only).
+  */
+final class GraftRangedFs extends FileSystem {
+
+  private var fsUri: URI = _
+  private var client: GraftS3.Client = _
+  private var workDir = new HPath("/")
+
+  override def getScheme: String = "grafts3"
+
+  override def initialize(uri: URI, conf: Configuration): Unit = {
+    super.initialize(uri, conf)
+    setConf(conf)
+    fsUri = URI.create(s"${uri.getScheme}://${uri.getAuthority}")
+    val token = uri.getAuthority
+    client = GraftRangedFs.registry.get(token) match {
+      case c: GraftS3.Client => c
+      case null =>
+        def req(k: String): String = {
+          val v = conf.get(s"fs.grafts3.$token.$k")
+          if (v == null) throw new IOException(
+            s"grafts3://$token is not registered in this JVM and " +
+              s"fs.grafts3.$token.$k is not set — executor-side conf " +
+              "construction needs endpoint, bucket, region, access-key, " +
+              "secret-key")
+          v
+        }
+        new GraftS3.Client(URI.create(req("endpoint")), req("bucket"),
+          req("region"),
+          GraftS3.Credentials(req("access-key"), req("secret-key")))
+    }
+  }
+
+  private def keyOf(f: HPath): String = {
+    val raw = f.toUri.getPath
+    raw.stripPrefix("/")
+  }
+
+  override def getUri: URI = fsUri
+
+  override def open(f: HPath, bufferSize: Int): FSDataInputStream = {
+    val key = keyOf(f)
+    val size = client.sizeOf(key).getOrElse(
+      throw new FileNotFoundException(s"grafts3 object not found: $key"))
+    GraftRangedFs.opened.incrementAndGet()
+    // `bufferSize` (io.file.buffer.size — Spark sets 65536) is a
+    // STREAM-BUFFER hint, NOT a prefetch directive: taking it as a
+    // readahead floor turns every small read near a small file's head
+    // into a whole-file fetch and silently destroys the column-pruned
+    // transfer this scheme exists for. The window policy is ours.
+    new FSDataInputStream(new GraftRangedInputStream(client, key, size,
+      GraftRangedFs.readaheadBytes))
+  }
+
+  override def getFileStatus(f: HPath): FileStatus = {
+    val key = keyOf(f)
+    client.sizeOf(key) match {
+      case Some(len) =>
+        new FileStatus(len, false, 1, GraftRangedFs.blockSizeBytes, 0L, f)
+      case None =>
+        // directory probe: any key strictly under this prefix
+        if (client.list(if (key.isEmpty) "" else key + "/").nonEmpty)
+          new FileStatus(0, true, 1, GraftRangedFs.blockSizeBytes, 0L, f)
+        else throw new FileNotFoundException(s"grafts3 object not found: $key")
+    }
+  }
+
+  override def listStatus(f: HPath): Array[FileStatus] = {
+    val key = keyOf(f)
+    val prefix = if (key.isEmpty) "" else key + "/"
+    client.list(prefix).map { k =>
+      val len = client.sizeOf(k).getOrElse(0L)
+      new FileStatus(len, false, 1, GraftRangedFs.blockSizeBytes, 0L,
+        new HPath(s"$getScheme://${fsUri.getAuthority}/$k"))
+    }.toArray
+  }
+
+  override def setWorkingDirectory(dir: HPath): Unit = workDir = dir
+  override def getWorkingDirectory: HPath = workDir
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"grafts3 is a read-only scan filesystem ($op): artifacts are " +
+        "immutable and travel through the commit plane")
+  override def create(f: HPath, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = readOnly("create")
+  override def append(f: HPath, bufferSize: Int,
+      progress: Progressable): FSDataOutputStream = readOnly("append")
+  override def rename(src: HPath, dst: HPath): Boolean = readOnly("rename")
+  override def delete(f: HPath, recursive: Boolean): Boolean = readOnly("delete")
+  override def mkdirs(f: HPath, permission: FsPermission): Boolean =
+    readOnly("mkdirs")
+}
+
+object GraftRangedFs {
+  /** token → live client; the driver-JVM resolution path. */
+  private val registry = new ConcurrentHashMap[String, GraftS3.Client]()
+  private val tokenSeq = new AtomicLong(0)
+
+  /** Spec observability: streams opened through the scheme — proves a
+    * query actually read IN PLACE rather than off a hydrated copy. */
+  private[graft] val opened = new AtomicLong(0)
+
+  /** Default readahead window. The window exists ONLY for the
+    * metadata-parse pattern (footer + page/column indexes: many tiny
+    * sequential reads) — column chunks above [[smallReadMax]] always
+    * fetch their EXACT range — so it is sized small: big enough that a
+    * footer parse costs one or two GETs (footers are KBs;
+    * EOF-clamping keeps tail windows tight anyway), small enough that
+    * a window landing at a small file's head cannot swallow the
+    * column chunks a pruned projection deliberately skipped. A
+    * footer LARGER than [[smallReadMax]] arrives as one exact-size
+    * GET anyway (parquet reads it with a single readFully), so the
+    * window only ever pays for the genuinely tiny reads. */
+  val readaheadBytes: Int = 4 * 1024
+
+  /** Reads at or below this use the readahead window (the
+    * footer/index parse pattern: many tiny sequential reads); larger
+    * reads are column-chunk loads and fetch exactly their range. */
+  val smallReadMax: Int = 8 * 1024
+  /** Reported block size — only consulted for split arithmetic by
+    * generic callers; the native scan splits by manifest sizes. */
+  val blockSizeBytes: Long = 128L << 20
+
+  /** Bind a fresh authority token to `client`; returns (token,
+    * unregister handle). Tokens are unique per registration so a
+    * re-mounted store can never be served by a cached FileSystem
+    * instance holding the predecessor's client. */
+  private[graft] def register(client: GraftS3.Client): (String, AutoCloseable) = {
+    val token = s"m${tokenSeq.incrementAndGet()}"
+    registry.put(token, client)
+    (token, () => registry.remove(token))
+  }
+
+  /** The conf key Spark needs so Path.getFileSystem can instantiate
+    * this scheme; set on every hadoop conf the native scan builds. */
+  private[graft] def confKey: (String, String) =
+    "fs.grafts3.impl" -> classOf[GraftRangedFs].getName
+}
+
+/** Seekable/PositionedReadable stream over ranged GETs with one
+  * readahead window: small reads (footer parse, page headers) hit the
+  * window; reads larger than it (column chunks) fetch EXACTLY their
+  * range. EOF and bounds follow local-file semantics so parquet's
+  * reader can't tell the difference. */
+private[graft] final class GraftRangedInputStream(client: GraftS3.Client,
+    key: String, size: Long, readahead: Int) extends FSInputStream {
+
+  private var pos = 0L
+  private var bufStart = 0L
+  private var buf: Array[Byte] = Array.emptyByteArray
+
+  override def seek(p: Long): Unit = {
+    if (p < 0 || p > size) throw new java.io.EOFException(
+      s"seek($p) outside [0, $size] of grafts3 $key")
+    pos = p
+  }
+  override def getPos: Long = pos
+  override def seekToNewSource(targetPos: Long): Boolean = false
+
+  private def fetch(from: Long, len: Int): Array[Byte] =
+    client.rangedGet(key, from, from + len - 1).getOrElse(
+      throw new IOException(s"grafts3 object vanished mid-read: $key"))
+
+  override def read(): Int = {
+    if (pos >= size) return -1
+    if (pos < bufStart || pos >= bufStart + buf.length) {
+      val len = math.min(readahead.toLong, size - pos).toInt
+      buf = fetch(pos, len); bufStart = pos
+    }
+    val b = buf((pos - bufStart).toInt) & 0xff
+    pos += 1
+    b
+  }
+
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (len == 0) return 0
+    if (pos >= size) return -1
+    val want = math.min(len.toLong, size - pos).toInt
+    // window hit: serve the overlap
+    if (pos >= bufStart && pos < bufStart + buf.length) {
+      val have = math.min(want, (bufStart + buf.length - pos).toInt)
+      System.arraycopy(buf, (pos - bufStart).toInt, b, off, have)
+      pos += have
+      return have
+    }
+    if (want > GraftRangedFs.smallReadMax) {
+      // column-chunk-sized read: exact range, no window churn and no
+      // over-fetch (a 30 KiB chunk must cost 30 KiB, not a window)
+      val got = fetch(pos, want)
+      System.arraycopy(got, 0, b, off, got.length)
+      pos += got.length
+      got.length
+    } else {
+      // window fetch, never smaller than the caller's read: one GET
+      // always satisfies this call in full
+      val len2 = math.min(math.max(readahead, want).toLong, size - pos).toInt
+      buf = fetch(pos, len2); bufStart = pos
+      val have = math.min(want, buf.length)
+      System.arraycopy(buf, 0, b, off, have)
+      pos += have
+      have
+    }
+  }
+
+  override def available(): Int =
+    math.min(Int.MaxValue.toLong, size - pos).toInt
+}

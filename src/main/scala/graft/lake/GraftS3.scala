@@ -588,6 +588,20 @@ object GraftS3 {
             backoff(attempt)
           case 404 => r.body().close(); return false
           case 200 =>
+            // a LARGE artifact (Content-Length is on the response line,
+            // no body consumed yet) downloads as k parallel ranged GETs
+            // instead of one stream — the download twin of multipart
+            // upload: a 5 GiB file's first-touch latency cuts ~k×. The
+            // abandoned stream costs at most the OS socket buffer.
+            val contentLen = {
+              val v = r.headers.firstValue("Content-Length")
+              if (v.isPresent) v.get.toLong else -1L
+            }
+            if (contentLen >= multipartThresholdBytes) {
+              r.body().close()
+              getToFileRanged(key, dest, contentLen)
+              return true
+            }
             Files.createDirectories(dest.getParent)
             val tmp = dest.getParent.resolve(
               s".s3pull-${java.util.UUID.randomUUID()}")
@@ -604,6 +618,71 @@ object GraftS3 {
         }
       }
       throw new IllegalStateException("unreachable")
+    }
+
+    /** Parallel ranged download: `size` bytes of `key` fetched as
+      * partSize-wide ranges, up to `partConcurrency` in flight on the
+      * dedicated range pool (never this caller's pool — the
+      * subtask-of-same-bounded-pool deadlock), each written at its
+      * offset through one shared channel (FileChannel positioned
+      * writes are thread-safe), then ONE atomic move — torn transfers
+      * can never surface, exactly the [[getToFile]] contract. Peak
+      * heap = partConcurrency × partSize (tracked). Rotating-queue
+      * bounded in-flight like [[uploadParts]]; a failed range aborts
+      * the download after draining its siblings. */
+    private def getToFileRanged(key: String, dest: Path, size: Long): Unit = {
+      Files.createDirectories(dest.getParent)
+      val tmp = dest.getParent.resolve(s".s3pull-${java.util.UUID.randomUUID()}")
+      try {
+        val ch = java.nio.channels.FileChannel.open(tmp,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val pending = scala.collection.mutable.Queue
+            .empty[java.util.concurrent.Future[_]]
+          var inFlight = 0
+          def drainOne(): Unit = {
+            val f = pending.dequeue()
+            try f.get()
+            catch { case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause }
+            inFlight -= 1
+          }
+          try {
+            var from = 0L
+            var n = 0
+            while (from < size) {
+              if (inFlight >= partConcurrency) drainOne()
+              val to = math.min(from + partSizeBytes - 1, size - 1)
+              val (f0, t0) = (from, to)
+              n += 1
+              track(math.min(n, partConcurrency).toLong * partSizeBytes)
+              pending.enqueue(rangePool.submit(new java.util.concurrent.Callable[Unit] {
+                def call(): Unit = {
+                  val bytes = rangedGet(key, f0, t0).getOrElse(
+                    throw new java.nio.file.NoSuchFileException(
+                      s"object vanished mid-ranged-download: $key"))
+                  require(bytes.length == (t0 - f0 + 1).toInt,
+                    s"short range [$f0,$t0] of $key: got ${bytes.length}")
+                  val bb = java.nio.ByteBuffer.wrap(bytes)
+                  var off = f0
+                  while (bb.hasRemaining) off += ch.write(bb, off)
+                }
+              }))
+              inFlight += 1
+              from = to + 1
+            }
+            while (pending.nonEmpty) drainOne()
+          } catch { case t: Throwable =>
+            // drain siblings to termination before the tmp is deleted
+            // under them; their failures never mask t
+            pending.foreach(f => try f.get() catch { case _: Throwable => () })
+            throw t
+          }
+        } finally ch.close()
+        Files.move(tmp, dest,
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      } finally Files.deleteIfExists(tmp)
     }
 
     def delete(key: String): Unit =
@@ -671,6 +750,16 @@ object GraftS3 {
     math.max(2, math.min(8, Runtime.getRuntime.availableProcessors())),
     (r: Runnable) => {
       val t = new Thread(r, "graft-s3-part"); t.setDaemon(true); t
+    })
+
+  // Range-level GETs of one large download run on their OWN pool for
+  // the same reason part-level PUTs do: getToFile executes on hydPool
+  // threads, and submitting range subtasks to the same bounded pool
+  // deadlocks once every thread holds a file-level task.
+  private lazy val rangePool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.max(2, math.min(8, Runtime.getRuntime.availableProcessors())),
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-s3-range"); t.setDaemon(true); t
     })
 
   /** Sizing knob for the DOWNLOAD pool (set before the first hydration
@@ -795,7 +884,10 @@ object GraftS3 {
     * hook are tracked — exactly the set a budgeted follower
     * accumulates. */
   private final class HydMount(val root: Path, val prefix: String,
-      val client: Client, val maxLocalBytes: Option[Long]) {
+      val client: Client, val maxLocalBytes: Option[Long],
+      /** (grafts3 authority token, unregister) when this mount serves
+        * data files IN PLACE over ranged reads instead of hydrating. */
+      val ranged: Option[(String, AutoCloseable)]) {
     val touched = new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, true)
     var trackedBytes = 0L
     def touch(rel: String, bytes: Long): Unit = {
@@ -994,12 +1086,14 @@ object GraftS3 {
     * drops local copies, the next scan re-hydrates. Registry-scoped
     * like every mount; returns the un-mount handle. */
   def mountOnDemandHydration(root: Path, client: Client,
-      prefix: String = "", maxLocalBytes: Option[Long] = None): AutoCloseable = {
+      prefix: String = "", maxLocalBytes: Option[Long] = None,
+      readInPlace: Boolean = false): AutoCloseable = {
     // normalized so a relative/dotted table root still matches the
     // component-wise startsWith (GraftTable.hydrate normalizes its
     // side too — the auto-sync plane's hardening, applied here)
     val m = new HydMount(root.toAbsolutePath.normalize, normPrefix(prefix),
-      client, maxLocalBytes)
+      client, maxLocalBytes,
+      if (readInPlace) Some(GraftRangedFs.register(client)) else None)
     hookLock.synchronized {
       if (hydMounts.isEmpty) {
         val cur = GraftTable.hydrateFiles
@@ -1013,20 +1107,43 @@ object GraftS3 {
           GraftTable.lazyRootProbe = Some(lazyProbe)
         }
       }
+      if (readInPlace) {
+        val curRes = GraftTable.resolveRemoteRead
+        if (!curRes.exists(_ eq resolveDispatch)) {
+          resolvePrev = curRes
+          GraftTable.resolveRemoteRead = Some(resolveDispatch)
+        }
+      }
       installPullLog()
       hydMounts.add(m)
     }
     () => hookLock.synchronized {
       hydMounts.remove(m)
+      m.ranged.foreach(_._2.close())
       if (hydMounts.isEmpty) {
         if (GraftTable.hydrateFiles.exists(_ eq hydDispatch))
           GraftTable.hydrateFiles = hydPrev
         if (GraftTable.lazyRootProbe.exists(_ eq lazyProbe))
           GraftTable.lazyRootProbe = lazyProbePrev
       }
+      if (!hydMounts.asScala.exists(_.ranged.isDefined) &&
+          GraftTable.resolveRemoteRead.exists(_ eq resolveDispatch))
+        GraftTable.resolveRemoteRead = resolvePrev
       maybeUninstallPullLog()
     }
   }
+
+  /** In-place read resolution: the owning RANGED mount maps (table
+    * root, rel) to `grafts3://<token>/<remote key>` — the native scan
+    * then reads footer + projected column chunks straight off the
+    * store. Mounts without the ranged shape resolve nothing (their
+    * roots keep hydrating). */
+  private var resolvePrev: Option[(Path, String) => Option[String]] = None
+  private lazy val resolveDispatch: (Path, String) => Option[String] =
+    (tableRoot, rel) =>
+      ownerOf(hydMounts, tableRoot)(_.root).flatMap(m => m.ranged.map { case (token, _) =>
+        s"grafts3://$token/${keyFor(m.root, tableRoot.resolve(rel), m.prefix)}"
+      }).orElse(resolvePrev.flatMap(_(tableRoot, rel)))
 
   /** Is `target` under any on-demand hydration mount? Read paths that
     * cannot fire the hydrate hook consult this to refuse loudly

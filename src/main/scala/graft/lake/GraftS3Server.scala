@@ -74,6 +74,22 @@ final class GraftS3Server(bucket: String, initialCreds: GraftS3.Credentials)
     * makes download/upload pool ISOLATION observable (a slow hydration
     * must not delay a concurrent commit's barrier). */
   @volatile var getDelayMsFor: String => Long = _ => 0L
+  /** Payload bytes served per object key (GET responses only) — lets
+    * ranged-read specs PROVE a projection-pruned scan transferred
+    * column bytes, not file bytes. */
+  val bytesServed = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  /** (key, Range header or "") per object GET, arrival order — shows
+    * the exact ranged-read pattern a scan produced. */
+  val getRequests = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  private val inflightGets = new AtomicInteger(0)
+  /** High-water mark of concurrently in-flight object GETs — makes
+    * ranged-download PARALLELISM observable (with [[getDelayMsFor]]). */
+  val maxInflightGets = new AtomicInteger(0)
+  def bytesServedUnder(prefix: String): Long = {
+    var n = 0L
+    bytesServed.forEach((k, v) => if (k.startsWith(prefix)) n += v.get)
+    n
+  }
   /** Inject: every multipart PART PUT sleeps this long before applying —
     * makes part-level upload CONCURRENCY observable. */
   @volatile var partDelayMs: Long = 0
@@ -225,27 +241,37 @@ final class GraftS3Server(bucket: String, initialCreds: GraftS3.Credentials)
         case ("GET", k) =>
           getCalls.incrementAndGet()
           gotKeys.add(k)
-          val gd = getDelayMsFor(k)
-          if (gd > 0) Thread.sleep(gd)
-          Option(objects.get(k)) match {
-            case Some(b) =>
-              // general ranged GET (bytes=a-b): serves the size probe
-              // (0-0 with Content-Range total) and the byte-sample
-              // identity probes
-              val range = Option(x.getRequestHeaders.getFirst("Range"))
-                .flatMap(r => "bytes=(\\d+)-(\\d+)".r.findFirstMatchIn(r))
-              range match {
-                case Some(m) if b.nonEmpty && m.group(1).toLong < b.length =>
-                  val from = m.group(1).toLong
-                  val to = math.min(m.group(2).toLong, b.length - 1L)
-                  x.getResponseHeaders.add("Content-Range",
-                    s"bytes $from-$to/${b.length}")
-                  respond(206,
-                    java.util.Arrays.copyOfRange(b, from.toInt, to.toInt + 1))
-                case _ => respond(200, b)
-              }
-            case None => respond(404)
-          }
+          val nowG = inflightGets.incrementAndGet()
+          maxInflightGets.getAndUpdate(math.max(_, nowG))
+          getRequests.add(k -> Option(x.getRequestHeaders.getFirst("Range")).getOrElse(""))
+          try {
+            val gd = getDelayMsFor(k)
+            if (gd > 0) Thread.sleep(gd)
+            def serve(payload: Array[Byte], code: Int): Unit = {
+              bytesServed.computeIfAbsent(k,
+                _ => new java.util.concurrent.atomic.AtomicLong())
+                .addAndGet(payload.length)
+              respond(code, payload)
+            }
+            Option(objects.get(k)) match {
+              case Some(b) =>
+                // general ranged GET (bytes=a-b): serves the size probe
+                // (0-0 with Content-Range total) and the byte-sample
+                // identity probes
+                val range = Option(x.getRequestHeaders.getFirst("Range"))
+                  .flatMap(r => "bytes=(\\d+)-(\\d+)".r.findFirstMatchIn(r))
+                range match {
+                  case Some(m) if b.nonEmpty && m.group(1).toLong < b.length =>
+                    val from = m.group(1).toLong
+                    val to = math.min(m.group(2).toLong, b.length - 1L)
+                    x.getResponseHeaders.add("Content-Range",
+                      s"bytes $from-$to/${b.length}")
+                    serve(java.util.Arrays.copyOfRange(b, from.toInt, to.toInt + 1), 206)
+                  case _ => serve(b, 200)
+                }
+              case None => respond(404)
+            }
+          } finally inflightGets.decrementAndGet()
         case ("DELETE", _) if params.contains("uploadId") =>   // abort multipart
           uploads.remove(params("uploadId")); respond(204)
         case ("DELETE", k) => objects.remove(k); respond(204)

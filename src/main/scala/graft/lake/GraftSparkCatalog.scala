@@ -211,8 +211,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       // accumulates stale clients.
       val hydrate =
         Option(options.get("s3.hydrate-on-demand")).exists(_.toBoolean)
+      // s3.read-in-place=true upgrades the follower from hydrating to
+      // READING IN PLACE: the native scan's data files resolve to
+      // grafts3:// URIs served over ranged GETs (footer + projected
+      // column chunks — column bytes, not file bytes), while MoR
+      // delete files and V1-plane reads keep hydrating. Implies the
+      // hydrate-on-demand mount shape.
+      val inPlace =
+        Option(options.get("s3.read-in-place")).exists(_.toBoolean)
       val identity =
-        s"$ep|${req("s3.bucket")}|$warehouse|$prefix|$region|hyd=$hydrate"
+        s"$ep|${req("s3.bucket")}|$warehouse|$prefix|$region|" +
+          s"hyd=${hydrate || inPlace}|inplace=$inPlace"
       val fullKey = identity + "|" + Seq(
         req("s3.access-key"), req("s3.secret-key"),
         Option(options.get("s3.part-size-bytes")).getOrElse(""),
@@ -259,9 +268,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           val cacheBudget = Option(options.get("s3.local-cache-max-bytes"))
             .map(_.toLong)
           val handles =
-            if (hydrate)
+            if (hydrate || inPlace)
               Seq(GraftS3.mountOnDemandHydration(root, client, prefix,
-                maxLocalBytes = cacheBudget))
+                maxLocalBytes = cacheBudget, readInPlace = inPlace))
             else Seq(
               GraftS3.mountCommitArbiter(root, client, prefix),
               GraftS3.mountArtifactMirror(root, client, prefix))

@@ -485,6 +485,27 @@ object GraftTable {
   private[lake] def isLazyRoot(root: String): Boolean =
     lazyRootProbe.exists(_(Paths.get(root).toAbsolutePath.normalize))
 
+  /** Scan-time IN-PLACE read resolution: invoked with (table root,
+    * table-relative artifact path), returns the remote URI the scan
+    * should read the artifact from DIRECTLY (a `grafts3://` path
+    * served over ranged GETs) — or None to read locally/hydrate. The
+    * ranged-read twin of [[hydrateFiles]]: where hydration transfers
+    * the FILE and caches it, in-place resolution transfers only the
+    * bytes the reader actually requests (parquet footer + projected
+    * column chunks) and caches nothing. Installed by
+    * GraftS3.mountOnDemandHydration(readInPlace = true). */
+  @volatile private[graft] var resolveRemoteRead:
+    Option[(Path, String) => Option[String]] = None
+
+  /** Resolve one artifact for a planned read: the remote in-place URI
+    * when a ranged-read mount owns the root AND the file is not
+    * already local (a hydrated copy is the faster read — use it). */
+  private[lake] def remoteReadPath(root: String, rel: String): Option[String] =
+    resolveRemoteRead.flatMap { res =>
+      val nroot = Paths.get(root).toAbsolutePath.normalize
+      if (Files.exists(nroot.resolve(rel))) None else res(nroot, rel)
+    }
+
   /** Invoked with the table ROOT before the CDC stream source reads
     * the local log head for a poll: a mounted fleet follower
     * (GraftS3.mountAutoSync) pulls new remote commits here, making

@@ -519,6 +519,79 @@ object LakeOps {
     } finally server.close()
   }
 
+  // ── q112: IN-PLACE ranged-read follower, oracled ────────────────────
+  /** The reference deployment's own read shape under the gate
+    * (spark-defaults.conf wires fs.s3a.* so Spark reads MinIO in
+    * place; no local lake copy exists in its compose file): a writer
+    * commits a lang-partitioned documents table through the arbitrated
+    * mirror; a follower syncs ONLY the metadata plane and mounts
+    * readInPlace — its catalog-served pruned projection then reads
+    * parquet footers + the SELECTED column chunks straight off the
+    * store over ranged GETs. Requires pin that (a) NOTHING hydrates
+    * locally, (b) only the pruned-live files are touched remotely, and
+    * (c) the transfer is COLUMN bytes, not file bytes (the dropped
+    * `text` column dominates the files; served < half the pruned
+    * bytes). The scan result materializes to local parquet via one
+    * distributed write (the in-JVM store is gone when the driver
+    * re-executes the returned frame) and DuckDB recomputes the same
+    * projection from the raw parquet — full hash oracle. */
+  def q112(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.{GraftRangedFs, GraftS3, GraftS3Server}
+    val creds = GraftS3.Credentials("GRAFTKEY", "graft-secret-key")
+    val server = new GraftS3Server("graft-inplace-gate", creds)
+    try {
+      val x = Paths.get(scratch("q112-x"))
+      val y = Paths.get(scratch("q112-y"))   // scratch() is pid-scoped
+      val client = server.client
+      val unA = GraftS3.mountCommitArbiter(x, client)
+      val unM = GraftS3.mountArtifactMirror(x, client)
+      val unH = GraftS3.mountOnDemandHydration(y, client, readInPlace = true)
+      try {
+        // UNPARTITIONED on purpose: one substantial file per append,
+        // so the byte claim measures COLUMN transfer (the `text` chunk
+        // dominates and is never requested) rather than tiny-file
+        // footer overhead — partition pruning is q110's story
+        val docs = Tables.documents(s, dir).coalesce(1)
+        val tblX = x.resolve("ns").resolve("docs")
+        GraftTable.create(s, tblX.toString, docs.schema)
+        GraftTable.append(s, tblX.toString, docs)
+        val tblY = y.resolve("ns").resolve("docs")
+        Files.createDirectories(tblY)
+        val meta = GraftS3.syncMetadata(tblY, client, "ns/docs")
+        require(meta.nonEmpty && meta.forall(_.startsWith("ns/docs/_graft_log/")),
+          s"metadata sync pulls only the log: $meta")
+        require(!Files.isDirectory(tblY.resolve("data")),
+          "no data bytes before the read")
+        // own catalog name + pid-scoped warehouse (the shared-catalog
+        // poisoning rule)
+        s.conf.set("spark.sql.catalog.graft_ip", "graft.lake.GraftSparkCatalog")
+        s.conf.set("spark.sql.catalog.graft_ip.warehouse", y.toString)
+        server.bytesServed.clear()
+        val opened0 = GraftRangedFs.opened.get
+        val outDir = scratch("q112-out")
+        // ONE distributed pass executes the in-place scan and lands the
+        // (thin) result locally — no driver collect
+        s.sql("""SELECT doc_id, source, n_chars FROM graft_ip.ns.docs
+                 WHERE lang = 'en'""").write.mode("overwrite").parquet(outDir)
+        require(GraftRangedFs.opened.get > opened0,
+          "the scan must read through the grafts3 scheme")
+        require(!Files.isDirectory(tblY.resolve("data")),
+          "in-place reads materialize NOTHING locally")
+        val touched = server.bytesServed.keySet.asScala
+          .filter(_.startsWith("ns/docs/data/")).toSet
+        val liveFiles = GraftTable.liveDataFiles(tblY.toString, Seq.empty)
+        require(touched == liveFiles.map(f => s"ns/docs/${f.path}").toSet,
+          s"exactly the planned live files are read in place: $touched")
+        val served = server.bytesServedUnder("ns/docs/data/")
+        val liveBytes = liveFiles.map(_.sizeBytes).sum
+        require(served < liveBytes / 2,
+          s"column bytes, not file bytes: served $served of $liveBytes live")
+        require(server.rejected.get == 0, "every request SigV4-verified")
+        s.read.parquet(outDir).orderBy(col("doc_id"))
+      } finally { unH.close(); unM.close(); unA.close() }
+    } finally server.close()
+  }
+
   // ── q29: partition-spec pruned read, oracle-checked ─────────────────
   def q29(s: SparkSession, dir: String): DataFrame = {
     val root = scratch("q29")
@@ -1464,9 +1537,15 @@ object LakeOps {
     "q108_lake_s3" -> q108 _,
     "q109_lake_s3_fleet" -> q109 _,
     "q110_lake_s3_lazy" -> q110 _,
-    "q111_lake_s3_follow" -> q111 _)
+    "q111_lake_s3_follow" -> q111 _,
+    "q112_lake_s3_inplace" -> q112 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q112_lake_s3_inplace" ->
+      """SELECT doc_id, source, n_chars
+        |FROM documents WHERE lang = 'en'
+        |ORDER BY doc_id""".stripMargin,
+
     "q111_lake_s3_follow" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,

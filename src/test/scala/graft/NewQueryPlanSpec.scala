@@ -136,9 +136,10 @@ class NewQueryPlanSpec extends SparkSpec {
       // hook chain (the r13 unscoped-hook flake class), on top of the
       // lifecycle cost
       "q108_lake_s3", "q109_lake_s3_fleet",
-      // q110/q111 mount the GLOBAL hydration/auto-sync hooks for their
-      // lazy-follower lifecycles — same mid-parallel-suite hazard
-      "q110_lake_s3_lazy", "q111_lake_s3_follow")
+      // q110/q111/q112 mount the GLOBAL hydration/auto-sync/ranged-read
+      // hooks for their lazy-follower lifecycles — same
+      // mid-parallel-suite hazard
+      "q110_lake_s3_lazy", "q111_lake_s3_follow", "q112_lake_s3_inplace")
     val names = SparkEntry.queries.keySet -- lifecycle -- allPairsDeclared
     val offenders = names.toSeq.sorted.flatMap { n =>
       val df = SparkEntry.queries(n)(spark, sf)
