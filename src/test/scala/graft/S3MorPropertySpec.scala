@@ -179,4 +179,117 @@ class S3MorPropertySpec extends SparkSpec {
         s"$throttles throttle bursts, $drops dropped 200s — all green")
     } finally { unM.close(); unA.close(); em.close() }
   }
+
+  test("the same op alphabet property-tests the READER plane: a metadata-only lazy " +
+      "follower tracks every faulted lifecycle per op, through random cache evictions") {
+    val rnd = new Random(20260817L)
+    val em = new GraftS3Server("graft-morprop-lazy", creds)
+    val wh = Paths.get(scratchRoot("s3-morprop", "lwh"))
+    val fl = Paths.get(scratchRoot("s3-morprop", "lfl"))   // the lazy follower
+    Files.createDirectories(wh); Files.createDirectories(fl)
+    val unA = GraftS3.mountCommitArbiter(wh, em.client)
+    val unM = GraftS3.mountArtifactMirror(wh, em.client)
+    val unH = GraftS3.mountOnDemandHydration(fl, em.client)
+    var followerChecks = 0
+    var evictions = 0
+    var throttles = 0
+    try {
+      for (lc <- 0 until 3) {
+        val root = wh.resolve(s"t$lc").toString
+        val prefix = s"t$lc"
+        val flRoot = fl.resolve(s"t$lc")
+        Files.createDirectories(flRoot)
+        GraftTable.create(spark, root, Seq.empty[(Long, String)].toDF("id", "v").schema,
+          Map("write.delete.mode" -> "merge-on-read",
+            "graft.delete.rows-per-shard" -> "4"))
+        var oracle = Vector.empty[(Long, String)]
+        var nextId = 0L
+        def mkRows(n: Int): Seq[(Long, String)] =
+          (0 until n).map { _ => nextId += 1; (nextId, rnd.alphanumeric.take(4).mkString) }
+        def readOf(r: String) = GraftTable.read(spark, r)
+          .as[(Long, String)].collect().toVector.sorted
+        // THE READER-PLANE INVARIANT, checked after every op: one
+        // metadata-only sync, then the follower's MoR read — which
+        // hydrates exactly what its plan needs, through whatever the
+        // op just did (new data files, delete files, DV folds,
+        // rewrites, published WAP/branch/txn stages) and through any
+        // cache state a random eviction left behind
+        def followerCheck(): Unit = {
+          GraftS3.syncMetadata(flRoot, em.client, prefix)
+          assert(readOf(flRoot.toString) == oracle.sorted,
+            s"lazy lifecycle $lc check $followerChecks: follower diverged " +
+              s"(${readOf(flRoot.toString).size} vs ${oracle.size})")
+          followerChecks += 1
+          if (rnd.nextInt(3) == 0) {
+            GraftS3.evictLocalData(flRoot, em.client, prefix)
+            evictions += 1
+          }
+        }
+        val first = mkRows(4)
+        oracle ++= first
+        GraftTable.append(spark, root, first.toDF("id", "v"))
+        followerCheck()
+        for (_ <- 0 until 8) {
+          // 503 bursts hit the follower's sync + hydration GETs too
+          if (rnd.nextInt(3) == 0) {
+            em.throttleNext.set(1 + rnd.nextInt(2)); throttles += 1
+          }
+          rnd.nextInt(9) match {
+            case 0 | 1 =>
+              val rows = mkRows(2 + rnd.nextInt(5))
+              oracle ++= rows
+              GraftTable.append(spark, root, rows.toDF("id", "v"))
+            case 2 if oracle.nonEmpty =>
+              val victims = rnd.shuffle(oracle).take(1 + rnd.nextInt(3)).map(_._1).toSet
+              oracle = oracle.filterNot(r => victims.contains(r._1))
+              GraftTable.deleteWhere(spark, root, col("id").isInCollection(victims))
+            case 3 if oracle.nonEmpty =>
+              val ids = rnd.shuffle(oracle).take(1 + rnd.nextInt(4)).map(_._1).distinct
+              oracle = oracle.filterNot(r => ids.contains(r._1))
+              GraftTable.deleteEqualityMoR(spark, root, ids.toDF("id"))
+            case 4 =>
+              val replace = rnd.shuffle(oracle).take(rnd.nextInt(3)).map(_._1)
+              val batch = (replace.map(k => (k, "up")) ++ mkRows(1)).distinctBy(_._1)
+              oracle = oracle.filterNot(r => batch.exists(_._1 == r._1)) ++ batch
+              GraftTable.upsertEqualityMoR(spark, root, batch.toDF("id", "v"), Seq("id"))
+            case 5 =>
+              rnd.nextInt(3) match {
+                case 0 => GraftTable.rewriteDataFiles(spark, root)
+                case 1 => GraftTable.rewriteDeletesToDV(spark, root)
+                case _ => GraftTable.rewriteManifests(root)
+              }
+            case 6 =>
+              val rows = mkRows(2 + rnd.nextInt(4))
+              val sid = GraftTable.appendStaged(spark, root,
+                rows.toDF("id", "v"), s"lwap$lc$followerChecks")
+              if (rnd.nextBoolean()) {
+                GraftTable.cherrypickSnapshot(root, sid)
+                oracle ++= rows
+              } else GraftTable.abandonStagedSnapshot(root, sid)
+            case 7 =>
+              val txn = GraftTable.beginTransaction(
+                wh.resolve(s"lt$lc-txn$followerChecks").toString)
+              val rows = mkRows(1 + rnd.nextInt(4))
+              txn.append(spark, root, rows.toDF("id", "v"))
+              if (rnd.nextBoolean()) { txn.commit(); oracle ++= rows }
+              else txn.abort()
+            case _ =>
+              GraftTable.rewriteManifests(root)
+              if (rnd.nextBoolean()) GraftTable.expireSnapshots(root, 2)
+          }
+          followerCheck()
+        }
+        // bounded-disk sanity: after a final eviction the follower's
+        // local data plane drains, and one more read round-trips
+        val evicted = GraftS3.evictLocalData(flRoot, em.client, prefix)
+        assert(readOf(flRoot.toString) == oracle.sorted,
+          s"lazy lifecycle $lc: post-eviction re-read diverged ($evicted evicted)")
+      }
+      assert(evictions >= 3, s"eviction randomness too small: $evictions")
+      assert(throttles >= 3, s"fault injection too small: $throttles")
+      assert(em.rejected.get == 0, "every request signature-verified")
+      info(s"$followerChecks follower checks, $evictions mid-lifecycle evictions, " +
+        s"$throttles throttle bursts — reader plane green")
+    } finally { unH.close(); unM.close(); unA.close(); em.close() }
+  }
 }
