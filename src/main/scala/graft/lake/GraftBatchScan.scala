@@ -250,8 +250,12 @@ private[graft] class GraftBatchScan(
     val sqlConf = spark.sessionState.conf
     val hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
     // the in-place scan scheme: lets Path.getFileSystem instantiate
-    // GraftRangedFs for grafts3:// data-file URIs (no-op for local)
+    // GraftRangedFs for grafts3:// data-file URIs (no-op for local),
+    // plus the per-token client conf so executor JVMs outside the
+    // driver-local registry can rebuild the client (the s3a shape)
     locally { val (k, v) = GraftRangedFs.confKey; hadoopConf.set(k, v) }
+    GraftTable.remoteReadConf.foreach(_().foreach { case (k, v) =>
+      hadoopConf.set(k, v) })
     val requestedJson = requested.json
     hadoopConf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[ParquetReadSupport].getName)
@@ -385,6 +389,8 @@ private[graft] class GraftBatchScan(
       else {
         val hc = spark.sessionState.newHadoopConfWithOptions(Map.empty)
         locally { val (k, v) = GraftRangedFs.confKey; hc.set(k, v) }
+        GraftTable.remoteReadConf.foreach(_().foreach { case (k, v) =>
+          hc.set(k, v) })
         spark.sparkContext.broadcast(new SerializableConfiguration(hc))
       }
     GraftMorReaderFactory(

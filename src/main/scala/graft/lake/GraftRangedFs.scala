@@ -43,6 +43,21 @@ final class GraftRangedFs extends FileSystem {
   private var fsUri: URI = _
   private var client: GraftS3.Client = _
   private var workDir = new HPath("/")
+  /** Artifact names are unique and objects immutable, so a size never
+    * changes once known — caching it halves the remote round-trips
+    * per opened file (HadoopInputFile always getFileStatus-es
+    * immediately before open). Bounded; rebuilt on demand. */
+  private val sizeCache = new ConcurrentHashMap[String, java.lang.Long]()
+
+  private def sizeOfCached(key: String): Option[Long] =
+    Option(sizeCache.get(key)).map(_.longValue).orElse {
+      val s = client.sizeOf(key)
+      s.foreach { v =>
+        if (sizeCache.size > 8192) sizeCache.clear()
+        sizeCache.put(key, v)
+      }
+      s
+    }
 
   override def getScheme: String = "grafts3"
 
@@ -78,7 +93,7 @@ final class GraftRangedFs extends FileSystem {
 
   override def open(f: HPath, bufferSize: Int): FSDataInputStream = {
     val key = keyOf(f)
-    val size = client.sizeOf(key).getOrElse(
+    val size = sizeOfCached(key).getOrElse(
       throw new FileNotFoundException(s"grafts3 object not found: $key"))
     GraftRangedFs.opened.incrementAndGet()
     // `bufferSize` (io.file.buffer.size — Spark sets 65536) is a
@@ -92,7 +107,7 @@ final class GraftRangedFs extends FileSystem {
 
   override def getFileStatus(f: HPath): FileStatus = {
     val key = keyOf(f)
-    client.sizeOf(key) match {
+    sizeOfCached(key) match {
       case Some(len) =>
         new FileStatus(len, false, 1, GraftRangedFs.blockSizeBytes, 0L, f)
       case None =>

@@ -494,6 +494,18 @@ object GraftS3 {
       }
     }
 
+    /** The `fs.grafts3.<token>.*` conf entries a SEPARATE executor JVM
+      * needs to rebuild this client (the registry is driver-local):
+      * shipped on the scan's broadcast hadoop conf, exactly how the
+      * reference deployment ships `fs.s3a.*` credentials in
+      * spark-defaults. */
+    private[lake] def confEntriesFor(token: String): Seq[(String, String)] = Seq(
+      s"fs.grafts3.$token.endpoint" -> endpoint.toString,
+      s"fs.grafts3.$token.bucket" -> bucket,
+      s"fs.grafts3.$token.region" -> region,
+      s"fs.grafts3.$token.access-key" -> creds.accessKey,
+      s"fs.grafts3.$token.secret-key" -> creds.secretKey)
+
     /** Ranged GET (`bytes=from-to`, inclusive). None on 404; a
       * Range-ignoring 200 is trimmed client-side. */
     def rangedGet(key: String, from: Long, to: Long): Option[Array[Byte]] = {
@@ -641,6 +653,12 @@ object GraftS3 {
           val pending = scala.collection.mutable.Queue
             .empty[java.util.concurrent.Future[_]]
           var inFlight = 0
+          // abort protocol, download edition (the uploadParts pattern):
+          // a failed range flips the flag so queued-but-unstarted
+          // siblings bail before issuing their GET + retry ladder, and
+          // the failure path drains every future to real termination
+          // before the tmp is deleted under them
+          val downloadAborted = new java.util.concurrent.atomic.AtomicBoolean(false)
           def drainOne(): Unit = {
             val f = pending.dequeue()
             try f.get()
@@ -659,6 +677,8 @@ object GraftS3 {
               track(math.min(n, partConcurrency).toLong * partSizeBytes)
               pending.enqueue(rangePool.submit(new java.util.concurrent.Callable[Unit] {
                 def call(): Unit = {
+                  if (downloadAborted.get) throw new java.util.concurrent
+                    .CancellationException(s"download of $key aborted")
                   val bytes = rangedGet(key, f0, t0).getOrElse(
                     throw new java.nio.file.NoSuchFileException(
                       s"object vanished mid-ranged-download: $key"))
@@ -674,8 +694,7 @@ object GraftS3 {
             }
             while (pending.nonEmpty) drainOne()
           } catch { case t: Throwable =>
-            // drain siblings to termination before the tmp is deleted
-            // under them; their failures never mask t
+            downloadAborted.set(true)
             pending.foreach(f => try f.get() catch { case _: Throwable => () })
             throw t
           }
@@ -762,11 +781,33 @@ object GraftS3 {
       val t = new Thread(r, "graft-s3-range"); t.setDaemon(true); t
     })
 
-  /** Sizing knob for the DOWNLOAD pool (set before the first hydration
-    * — the pool is created lazily at that size; conf surface:
+  /** Sizing knob for the DOWNLOAD pool (conf surface:
     * `s3.hydration-concurrency`, documented next to
-    * `s3.part-concurrency` in GraftSparkCatalog). */
-  @volatile private[graft] var hydrationConcurrency: Int = 8
+    * `s3.part-concurrency` in GraftSparkCatalog). RESIZES a live pool:
+    * unlike the per-Client part knobs, the download pool is
+    * JVM-global, and a catalog mounted after the first hydration must
+    * still get its configured width — the setter adjusts core/max on
+    * the existing executor instead of being silently ignored. */
+  private[graft] def hydrationConcurrency: Int = hydConcurrency
+  private[graft] def hydrationConcurrency_=(n: Int): Unit = {
+    hydConcurrency = math.max(2, n)
+    hydPoolRef.get() match {
+      case null => ()
+      case pool =>
+        // grow max first / shrink core first: setMaximumPoolSize below
+        // corePoolSize (or vice versa) throws
+        if (hydConcurrency >= pool.getMaximumPoolSize) {
+          pool.setMaximumPoolSize(hydConcurrency)
+          pool.setCorePoolSize(hydConcurrency)
+        } else {
+          pool.setCorePoolSize(hydConcurrency)
+          pool.setMaximumPoolSize(hydConcurrency)
+        }
+    }
+  }
+  @volatile private var hydConcurrency: Int = 8
+  private val hydPoolRef =
+    new java.util.concurrent.atomic.AtomicReference[java.util.concurrent.ThreadPoolExecutor]()
 
   // Downloads (scan-time hydration, DR artifact pulls) run on their
   // OWN pool, never on mirrorPool: a process that is both WRITER and
@@ -775,11 +816,21 @@ object GraftS3 {
   // 1000-file hydration serialized 8-wide would delay every concurrent
   // commit's barrier by the full transfer time. Separate pools make
   // upload latency independent of download load (and vice versa).
-  private lazy val hydPool = java.util.concurrent.Executors.newFixedThreadPool(
-    math.max(2, hydrationConcurrency),
-    (r: Runnable) => {
-      val t = new Thread(r, "graft-s3-hyd"); t.setDaemon(true); t
-    })
+  private def hydPool: java.util.concurrent.ThreadPoolExecutor = {
+    val cur = hydPoolRef.get()
+    if (cur != null) cur
+    else {
+      val fresh = new java.util.concurrent.ThreadPoolExecutor(
+        math.max(2, hydConcurrency), math.max(2, hydConcurrency),
+        60L, java.util.concurrent.TimeUnit.SECONDS,
+        new java.util.concurrent.LinkedBlockingQueue[Runnable](),
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-s3-hyd"); t.setDaemon(true); t
+        })
+      if (hydPoolRef.compareAndSet(null, fresh)) fresh
+      else { fresh.shutdown(); hydPoolRef.get() }
+    }
+  }
   private val pendingUploads =
     new java.util.concurrent.ConcurrentHashMap[Path, java.util.concurrent.Future[_]]()
 
@@ -1045,9 +1096,13 @@ object GraftS3 {
     * [[evictLocalData]] safety rule: never delete the only copy). The
     * budget is therefore honored whenever it exceeds one scan's
     * working set, which is the invariant a bounded-disk follower
-    * needs at 100 TB; under CONCURRENT scans it is advisory (a file
-    * evicted here may force the other scan to re-hydrate — correct,
-    * just slower). */
+    * needs at 100 TB. Under CONCURRENT scans the budget must exceed
+    * the SUM of their working sets: hydration fires at PLAN time, so
+    * a file evicted here while another scan's tasks still hold its
+    * planned local path fails that scan LOUDLY (FileNotFound — never
+    * wrong results); a resubmission re-plans and re-hydrates. Size
+    * the budget for the concurrency level, exactly as one sizes
+    * executor memory. */
   private def enforceCacheBudget(m: HydMount, tableRoot: Path,
       rels: Seq[String]): Unit = m.maxLocalBytes.foreach { budget =>
     m.touched.synchronized {
@@ -1112,6 +1167,7 @@ object GraftS3 {
         if (!curRes.exists(_ eq resolveDispatch)) {
           resolvePrev = curRes
           GraftTable.resolveRemoteRead = Some(resolveDispatch)
+          GraftTable.remoteReadConf = Some(resolveConfDispatch)
         }
       }
       installPullLog()
@@ -1127,8 +1183,10 @@ object GraftS3 {
           GraftTable.lazyRootProbe = lazyProbePrev
       }
       if (!hydMounts.asScala.exists(_.ranged.isDefined) &&
-          GraftTable.resolveRemoteRead.exists(_ eq resolveDispatch))
+          GraftTable.resolveRemoteRead.exists(_ eq resolveDispatch)) {
         GraftTable.resolveRemoteRead = resolvePrev
+        GraftTable.remoteReadConf = None
+      }
       maybeUninstallPullLog()
     }
   }
@@ -1144,6 +1202,18 @@ object GraftS3 {
       ownerOf(hydMounts, tableRoot)(_.root).flatMap(m => m.ranged.map { case (token, _) =>
         s"grafts3://$token/${keyFor(m.root, tableRoot.resolve(rel), m.prefix)}"
       }).orElse(resolvePrev.flatMap(_(tableRoot, rel)))
+
+  /** Conf entries for every live RANGED mount — the scan adds them to
+    * its broadcast hadoop conf so executor JVMs that can't see the
+    * driver-local registry rebuild the client from conf (the s3a
+    * shape; in local[*] the registry wins and these are unused). */
+  private lazy val resolveConfDispatch: () => Seq[(String, String)] = () => {
+    val acc = Seq.newBuilder[(String, String)]
+    hydMounts.forEach(m => m.ranged.foreach { case (token, _) =>
+      acc ++= m.client.confEntriesFor(token)
+    })
+    acc.result()
+  }
 
   /** Is `target` under any on-demand hydration mount? Read paths that
     * cannot fire the hydrate hook consult this to refuse loudly
@@ -1165,7 +1235,7 @@ object GraftS3 {
     * is visible. Returns the pulled keys. */
   def syncMetadata(root: Path, client: Client, prefix: String = ""): Seq[String] = {
     val p = normPrefix(prefix)
-    if (idleAtHead(root, client, p)) return Seq.empty
+    if (idleAtHead(root, client, p)) return pullInDoubtDecisions(root, client, p)
     val startAfter = localHead(root.resolve("_graft_log"))
       .map(h => p + f"_graft_log/$h%010d.json")
     val isSlot = "_graft_log/\\d{10}\\.json".r
@@ -1410,7 +1480,7 @@ object GraftS3 {
     * remains the DR path. Returns the pulled keys. */
   def syncRemote(root: Path, client: Client, prefix: String = ""): Seq[String] = {
     val p = normPrefix(prefix)
-    if (idleAtHead(root, client, p)) return Seq.empty
+    if (idleAtHead(root, client, p)) return pullInDoubtDecisions(root, client, p)
     val pulled = Seq.newBuilder[String]
     val isSlot = "_graft_log/\\d{10}\\.json".r
     val startAfter = localHead(root.resolve("_graft_log"))
@@ -1633,6 +1703,26 @@ object GraftS3 {
       client.sizeOf(p + f"_graft_log/${h + 1}%010d.json").isEmpty &&
         client.sizeOf(p + f"_graft_log/$h%010d.json").isDefined
     }
+
+  /** The idle poll's decision sweep: a crashed seal's txn decision
+    * lands remotely with NO new slot, so the probe alone would never
+    * deliver it — and a MOUNT-LESS follower calling syncMetadata/
+    * syncRemote directly has no pullLogObject hook either. One
+    * targeted GET per locally-in-doubt transaction (usually zero,
+    * computed from the memoized off-main tail — never a list page)
+    * keeps decision liveness for every caller shape. */
+  private def pullInDoubtDecisions(root: Path, client: Client,
+      p: String): Seq[String] = {
+    val pulled = Seq.newBuilder[String]
+    try GraftTable.inDoubtDecisionRels(root.toString).foreach { rel =>
+      val local = root.resolve(rel)
+      if (!Files.exists(local)) client.get(p + rel).foreach { bytes =>
+        writeLocalAtomic(local, bytes)
+        pulled += p + rel
+      }
+    } catch { case _: Throwable => () }   // a torn local log never fails a poll
+    pulled.result()
+  }
 
   /** Best-effort targeted pull of ONE table-relative log object for a
     * follower root — the liveness path for metadata that can land with

@@ -262,9 +262,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
             .foreach(v => GraftS3.hydrationConcurrency = v.toInt)
           // s3.local-cache-max-bytes bounds the follower's local disk:
           // after each scan's hydration, least-recently-touched
-          // confirmed-remote artifacts evict until local bytes fit
-          // (honored whenever the budget exceeds one scan's working
-          // set; a later scan that needs an evicted file re-hydrates)
+          // confirmed-remote artifacts evict until local bytes fit.
+          // Size it above the SUM of concurrent scans' working sets —
+          // an eviction racing a still-running scan fails that scan
+          // loudly (never wrong results); a resubmission re-hydrates
           val cacheBudget = Option(options.get("s3.local-cache-max-bytes"))
             .map(_.toLong)
           val handles =

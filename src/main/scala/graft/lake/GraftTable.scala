@@ -497,6 +497,13 @@ object GraftTable {
   @volatile private[graft] var resolveRemoteRead:
     Option[(Path, String) => Option[String]] = None
 
+  /** Conf entries (`fs.grafts3.<token>.*`) executor JVMs need to
+    * rebuild the ranged-read clients from the scan's broadcast hadoop
+    * conf — the registry that serves local[*] is driver-only. Set
+    * alongside [[resolveRemoteRead]]. */
+  @volatile private[graft] var remoteReadConf:
+    Option[() => Seq[(String, String)]] = None
+
   /** Resolve one artifact for a planned read: the remote in-place URI
     * when a ranged-read mount owns the root AND the file is not
     * already local (a hydrated copy is the faster read — use it). */
@@ -748,6 +755,31 @@ object GraftTable {
   /** Off the main lineage: a staged (WAP) or branch commit. */
   private[lake] def isOffMainId(root: String, id: Long): Boolean = {
     val (s, b) = commitKind(root, id); s || b.isDefined
+  }
+
+  /** Table-relative decision-mirror paths of transactions that are
+    * currently IN DOUBT on this machine: staged txn commits in the
+    * off-main tail whose decision is locally unresolved. The fleet
+    * sync's O(1) idle probe consults this so a decision that landed
+    * remotely with NO new slot (a crashed seal) still syncs — a
+    * targeted GET per in-doubt txn, usually zero, never a list page.
+    * Cost: the same memoized off-main tail walk mainHeadId does. */
+  private[lake] def inDoubtDecisionRels(root: String): Seq[String] = {
+    val sorted = listCommitIds(root).sorted
+    if (sorted.isEmpty) return Seq.empty
+    val acc = Seq.newBuilder[String]
+    var i = sorted.length - 1
+    while (i > 0 && isOffMainId(root, sorted(i))) {
+      val p = commitPath(root, sorted(i))
+      val key = (root, sorted(i), Files.size(p),
+        Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS))
+      Option(kindMemo.get(key)).flatMap(_._2).foreach { path =>
+        if (decisionFor(root, path).isEmpty)
+          acc += s"_graft_log/txn-${txnIdOfDecision(path)}.decision"
+      }
+      i -= 1
+    }
+    acc.result()
   }
 
   /** The main lineage's head: the newest commit that is neither staged

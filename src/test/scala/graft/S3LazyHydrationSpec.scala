@@ -309,7 +309,10 @@ class S3LazyHydrationSpec extends SparkSpec {
 
       // every data GET crawls; the metadata plane and all PUTs are
       // untouched — the writer's uploads must be INDEPENDENT of this
-      val delayMs = 6000L
+      // generous width: the box swings ±40% under co-tenants and the
+      // commit includes a real Spark write job — the assert only needs
+      // commit < ONE GET-width while ~2 delay-waves of hydration run
+      val delayMs = 9000L
       em.getDelayMsFor = k => if (k.startsWith("data/")) delayMs else 0L
       @volatile var hydratedCount = -1L
       val reader = new Thread(() => {

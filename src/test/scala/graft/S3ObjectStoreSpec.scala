@@ -681,11 +681,18 @@ class S3ObjectStoreSpec extends SparkSpec {
       assert(GraftTable.read(spark, rootY.toString).as[(Long, String)]
         .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")),
         "an undecided transaction's stage is invisible on the follower")
-      // decide + mirror remotely, but CRASH before the seal's property
-      // commit (simulated: the mirror object alone, as sealTxn's first
-      // step would have left it)
-      GraftTable.decide(Paths.get(txnDir.toString, s"${t.id}.decision").toString,
-        "committed")
+      // a MOUNT-LESS follower (plain sync API, no hooks) synced at the
+      // same point: the O(1) probe alone would never deliver a
+      // decision that lands with no new slot — the idle poll's
+      // in-doubt sweep must
+      val rootW = Paths.get(scratchRoot("s3-spec", "o1-w"))
+      Files.createDirectories(rootW)
+      GraftS3.syncRemote(rootW, c)
+      // the crashed-seal shape as a FOLLOWER machine sees it: only the
+      // REMOTE decision mirror exists (the external decision file
+      // lives on the writer's disk, unreachable from other machines —
+      // on this shared-FS spec box that means never writing it at all,
+      // or the local read would short-circuit the remote path)
       c.putIfAbsent(s"_graft_log/txn-${t.id}.decision", "committed".getBytes(UTF_8))
       em.listCalls.set(0)
       assert(GraftS3.syncMetadata(rootY, c).isEmpty, "no new slot — idle")
@@ -694,6 +701,23 @@ class S3ObjectStoreSpec extends SparkSpec {
         "the follower pulls the crashed seal's decision on demand and " +
           "serves the committed transaction")
       assert(em.listCalls.get == 0, "decision liveness costs zero list pages")
+      // the mount-less follower: no pullLogObject hook exists, so the
+      // idle poll's targeted in-doubt sweep is its only delivery path
+      em.listCalls.set(0)
+      val swept = GraftS3.syncRemote(rootW, c)
+      assert(swept.exists(_.endsWith(".decision")),
+        s"the idle sweep must pull the crashed seal's decision: $swept")
+      assert(em.listCalls.get == 0, "the sweep is targeted, never a list page")
+      assert(GraftTable.read(spark, rootW.toString).as[(Long, String)]
+        .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c"), (9L, "txn")),
+        "the mount-less follower serves the committed transaction too")
+      // the WRITER machine recovers the same way (its external decision
+      // file "died with the crashed seal"): its next idle poll's sweep
+      // pulls the mirror and the transaction publishes locally
+      assert(GraftS3.syncRemote(rootX, c).exists(_.endsWith(".decision")),
+        "the writer's own idle sweep recovers the decision")
+      assert(GraftTable.read(spark, rootX.toString).as[(Long, String)]
+        .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c"), (9L, "txn")))
 
       // pruned-past-us: the writer expires + prunes its old slots; the
       // EARLY follower's probe finds neither head+1 nor head remotely
