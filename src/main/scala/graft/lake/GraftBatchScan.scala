@@ -234,6 +234,18 @@ private[graft] class GraftBatchScan(
 
   // ── reader factory ──────────────────────────────────────────────────
 
+  /** The in-place scan scheme on a reader-bound hadoop conf: the
+    * fs.grafts3.impl mapping (so Path.getFileSystem can instantiate
+    * GraftRangedFs for grafts3:// URIs — a no-op for local paths) PLUS
+    * the per-token client conf so executor JVMs outside the
+    * driver-local registry rebuild the client (the s3a shape). One
+    * helper, both factory sites: a read path that ships the scheme
+    * without the client conf fails on real clusters only. */
+  private def stampRangedFsConf(hc: org.apache.hadoop.conf.Configuration): Unit = {
+    locally { val (k, v) = GraftRangedFs.confKey; hc.set(k, v) }
+    GraftTable.remoteReadConf.foreach(_().foreach { case (k, v) => hc.set(k, v) })
+  }
+
   /** Mirrors Spark's own ParquetScan.createReaderFactory conf setup:
     * the requested schema rides the broadcast hadoop conf, and the
     * factory handles per-file schema clipping, missing-column
@@ -249,13 +261,7 @@ private[graft] class GraftBatchScan(
       filters: Array[Filter]): ParquetPartitionReaderFactory = {
     val sqlConf = spark.sessionState.conf
     val hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
-    // the in-place scan scheme: lets Path.getFileSystem instantiate
-    // GraftRangedFs for grafts3:// data-file URIs (no-op for local),
-    // plus the per-token client conf so executor JVMs outside the
-    // driver-local registry can rebuild the client (the s3a shape)
-    locally { val (k, v) = GraftRangedFs.confKey; hadoopConf.set(k, v) }
-    GraftTable.remoteReadConf.foreach(_().foreach { case (k, v) =>
-      hadoopConf.set(k, v) })
+    stampRangedFsConf(hadoopConf)
     val requestedJson = requested.json
     hadoopConf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[ParquetReadSupport].getName)
@@ -388,9 +394,7 @@ private[graft] class GraftBatchScan(
       if (renames.isEmpty && eqGroups.forall(_.altNames == null)) null
       else {
         val hc = spark.sessionState.newHadoopConfWithOptions(Map.empty)
-        locally { val (k, v) = GraftRangedFs.confKey; hc.set(k, v) }
-        GraftTable.remoteReadConf.foreach(_().foreach { case (k, v) =>
-          hc.set(k, v) })
+        stampRangedFsConf(hc)
         spark.sparkContext.broadcast(new SerializableConfiguration(hc))
       }
     GraftMorReaderFactory(

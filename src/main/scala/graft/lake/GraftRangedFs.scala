@@ -214,7 +214,12 @@ private[graft] final class GraftRangedInputStream(client: GraftS3.Client,
 
   private def fetch(from: Long, len: Int): Array[Byte] =
     client.rangedGet(key, from, from + len - 1).getOrElse(
-      throw new IOException(s"grafts3 object vanished mid-read: $key"))
+      // FileNotFound, not a bare IOException: a pruned-while-reading
+      // object must keep its missing-file classification (Spark's
+      // ignoreMissingFiles and FNF-aware callers handle it), even when
+      // a cached size let open() succeed after the remote delete
+      throw new FileNotFoundException(
+        s"grafts3 object vanished mid-read (pruned?): $key"))
 
   override def read(): Int = {
     if (pos >= size) return -1

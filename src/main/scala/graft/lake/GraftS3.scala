@@ -827,8 +827,12 @@ object GraftS3 {
         (r: Runnable) => {
           val t = new Thread(r, "graft-s3-hyd"); t.setDaemon(true); t
         })
-      if (hydPoolRef.compareAndSet(null, fresh)) fresh
-      else { fresh.shutdown(); hydPoolRef.get() }
+      if (hydPoolRef.compareAndSet(null, fresh)) {
+        // a setter racing this creation saw null and resized nothing:
+        // re-apply the knob now that the pool is visible
+        hydrationConcurrency = hydConcurrency
+        fresh
+      } else { fresh.shutdown(); hydPoolRef.get() }
     }
   }
   private val pendingUploads =

@@ -727,15 +727,23 @@ object GraftTable {
     (String, Long, Long, Long),
     (java.lang.Boolean, Option[String], Option[(String, Long)])]()
 
-  private def commitKind(root: String, id: Long): (Boolean, Option[(String, Long)]) = {
+  /** The raw memoized classification triple: (staged-at-write?, txn
+    * decision path?, branch info?). The sweep and commitKind both
+    * consume this, so the memo key is built in exactly one place. */
+  private def commitKindRaw(root: String, id: Long):
+      (java.lang.Boolean, Option[String], Option[(String, Long)]) = {
     val p = commitPath(root, id)
     val key = (root, id, Files.size(p),
       Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS))
     if (kindMemo.size > 4096) kindMemo.clear()   // bounded
-    val (s, txn, b) = kindMemo.computeIfAbsent(key, { _ =>
+    kindMemo.computeIfAbsent(key, { _ =>
       val c = parseCommit(Files.readString(p))
       (Boolean.box(isStaged(c)), c.properties.get(txnDecisionProp), branchInfo(c))
     })
+  }
+
+  private def commitKind(root: String, id: Long): (Boolean, Option[(String, Long)]) = {
+    val (s, txn, b) = commitKindRaw(root, id)
     // the staged bit of a TRANSACTION stage is time-varying (the
     // decision file lands after the commit file), so the memo stores
     // the decision PATH and the committed check runs per call — the
@@ -765,21 +773,18 @@ object GraftTable {
     * targeted GET per in-doubt txn, usually zero, never a list page.
     * Cost: the same memoized off-main tail walk mainHeadId does. */
   private[lake] def inDoubtDecisionRels(root: String): Seq[String] = {
-    val sorted = listCommitIds(root).sorted
-    if (sorted.isEmpty) return Seq.empty
-    val acc = Seq.newBuilder[String]
-    var i = sorted.length - 1
-    while (i > 0 && isOffMainId(root, sorted(i))) {
-      val p = commitPath(root, sorted(i))
-      val key = (root, sorted(i), Files.size(p),
-        Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS))
-      Option(kindMemo.get(key)).flatMap(_._2).foreach { path =>
-        if (decisionFor(root, path).isEmpty)
-          acc += s"_graft_log/txn-${txnIdOfDecision(path)}.decision"
-      }
-      i -= 1
-    }
-    acc.result()
+    // EVERY retained commit, not just the contiguous off-main tail:
+    // the write path refuses main commits over a pending stage today,
+    // but the sweep must stay correct for ANY lineage shape the log
+    // can hold (WAP groups, branch tails, future relaxations) rather
+    // than encode that guard twice. The scan is two stat calls per
+    // retained slot on memo hits — retention bounds the log, so an
+    // idle poll pays O(retained), locally, never remotely.
+    listCommitIds(root).filter(_ > 0).flatMap { id =>
+      commitKindRaw(root, id)._2
+        .filter(path => decisionFor(root, path).isEmpty)
+        .map(path => s"_graft_log/txn-${txnIdOfDecision(path)}.decision")
+    }.distinct
   }
 
   /** The main lineage's head: the newest commit that is neither staged

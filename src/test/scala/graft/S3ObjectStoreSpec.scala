@@ -732,6 +732,22 @@ class S3ObjectStoreSpec extends SparkSpec {
       assert(GraftTable.read(spark, rootZ.toString).as[(Long, String)]
         .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c"), (9L, "txn")),
         "the rejoined follower replays checkpoint + retained slots")
+      // a SECOND crashed seal later in the table's life (after main
+      // commits, checkpoints, and expiry churned the log): the sweep
+      // scans every retained id, so the new in-doubt txn resolves the
+      // same way regardless of what sits around it in the log
+      GraftTable.append(spark, rootX.toString, Seq((11L, "d")).toDF("id", "v"))
+      val t2 = GraftTable.beginTransaction(txnDir.toString)
+      t2.append(spark, rootX.toString, Seq((10L, "tx2")).toDF("id", "v"))
+      GraftS3.syncRemote(rootW, c)   // both new slots; tx2 still in doubt
+      c.putIfAbsent(s"_graft_log/txn-${t2.id}.decision", "committed".getBytes(UTF_8))
+      val swept2 = GraftS3.syncRemote(rootW, c)
+      assert(swept2.exists(_.endsWith(".decision")),
+        s"the sweep must deliver the later crashed seal too: $swept2")
+      assert(GraftTable.read(spark, rootW.toString).as[(Long, String)]
+        .collect().toSet ==
+        Set((1L, "a"), (2L, "b"), (3L, "c"), (9L, "txn"), (10L, "tx2"), (11L, "d")),
+        "the second committed transaction publishes on the follower")
       assert(em.rejected.get == 0)
     } finally { mounts.reverse.foreach(_.close()); em.close() }
   }
