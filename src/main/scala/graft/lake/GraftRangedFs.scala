@@ -190,6 +190,18 @@ object GraftRangedFs {
     * this scheme; set on every hadoop conf the native scan builds. */
   private[graft] def confKey: (String, String) =
     "fs.grafts3.impl" -> classOf[GraftRangedFs].getName
+
+  /** Pool for PARALLEL vectored reads: parquet hands EVERY selected
+    * column-chunk range of a row group in one readVectored call, and
+    * serving them concurrently cuts a multi-chunk projection's
+    * row-group latency to the slowest chunk instead of the sum.
+    * Daemon, shared, bounded — one stream's ranges never exhaust it
+    * because each range is one bounded GET. */
+  private[lake] lazy val vectorPool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.max(2, math.min(8, Runtime.getRuntime.availableProcessors())),
+    (r: Runnable) => {
+      val t = new Thread(r, "grafts3-vector"); t.setDaemon(true); t
+    })
 }
 
 /** Seekable/PositionedReadable stream over ranged GETs with one
@@ -220,6 +232,45 @@ private[graft] final class GraftRangedInputStream(client: GraftS3.Client,
       // a cached size let open() succeed after the remote delete
       throw new FileNotFoundException(
         s"grafts3 object vanished mid-read (pruned?): $key"))
+
+  /** PARALLEL vectored reads: parquet's VectorIoBridge delivers every
+    * selected column-chunk range of a row group in ONE call — fanning
+    * them onto the shared pool makes row-group latency the SLOWEST
+    * chunk instead of the sum (the scan-side twin of the k-wide
+    * multipart upload/download). Each range is an independent exact
+    * GET (never the seek-window — the window buffer is not
+    * thread-safe and windows are for tiny metadata reads anyway), so
+    * the stream's position is untouched, exactly as PositionedReadable
+    * requires. */
+  override def readVectored(
+      ranges: java.util.List[_ <: org.apache.hadoop.fs.FileRange],
+      allocate: java.util.function.IntFunction[java.nio.ByteBuffer]): Unit = {
+    ranges.forEach { r =>
+      if (r.getOffset < 0 || r.getOffset + r.getLength > size)
+        throw new java.io.EOFException(
+          s"vectored range [${r.getOffset}, +${r.getLength}) outside " +
+            s"[0, $size] of grafts3 $key")
+    }
+    ranges.forEach { r =>
+      // the FileRange contract: the reader SETS the future (the
+      // default impl does range.setData), callers await getData
+      val fut = new java.util.concurrent.CompletableFuture[java.nio.ByteBuffer]()
+      r.setData(fut)
+      GraftRangedFs.vectorPool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            val bytes = fetch(r.getOffset, r.getLength)
+            if (bytes.length != r.getLength)
+              throw new java.io.EOFException(
+                s"short vectored range of $key: ${bytes.length}/${r.getLength}")
+            val bb = allocate.apply(r.getLength)
+            bb.put(bytes)
+            bb.flip()
+            fut.complete(bb)
+          } catch { case t: Throwable => fut.completeExceptionally(t) }
+      })
+    }
+  }
 
   override def read(): Int = {
     if (pos >= size) return -1

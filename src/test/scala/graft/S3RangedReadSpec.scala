@@ -233,6 +233,71 @@ class S3RangedReadSpec extends SparkSpec {
     } finally { unH.close(); unM.close(); unA.close(); em.close() }
   }
 
+  test("vectored chunk ranges serve in PARALLEL, and a conf-constructed filesystem " +
+      "(no registry — the separate-executor-JVM shape) reads in place") {
+    val em = new GraftS3Server("graft-ranged-vec", creds)
+    val c = em.client
+    val whX = Paths.get(scratchRoot("s3-ranged", "vec-whx"))
+    val whY = Paths.get(scratchRoot("s3-ranged",
+      s"vec-why-${ProcessHandle.current().pid()}"))
+    Files.createDirectories(whX); Files.createDirectories(whY)
+    val unA = GraftS3.mountCommitArbiter(whX, c)
+    val unM = GraftS3.mountArtifactMirror(whX, c)
+    val unH = GraftS3.mountOnDemandHydration(whY, c, readInPlace = true)
+    try {
+      // doc_id and n_chars are NON-ADJACENT chunks (text/lang/source
+      // sit between), so the projection yields TWO consecutive-part
+      // ranges delivered in ONE readVectored call
+      val prnd = new java.util.Random(113L)
+      val rows = (1 to 3000).map { i =>
+        val pad = new Array[Byte](300); prnd.nextBytes(pad)
+        (i.toLong, java.util.Base64.getEncoder.encodeToString(pad),
+          s"l${i % 3}", s"s${i % 5}", i.toLong * 7)
+      }
+      val df = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val tblX = whX.resolve("ns").resolve("v")
+      GraftTable.create(spark, tblX.toString, df.schema)
+      GraftTable.append(spark, tblX.toString, df.coalesce(1))
+      val tblY = whY.resolve("ns").resolve("v")
+      Files.createDirectories(tblY)
+      GraftS3.syncMetadata(tblY, c, "ns/v")
+      spark.conf.set("spark.sql.catalog.graft_rrv", "graft.lake.GraftSparkCatalog")
+      spark.conf.set("spark.sql.catalog.graft_rrv.warehouse", whY.toString)
+      em.getDelayMsFor = k => if (k.startsWith("ns/v/data/")) 300 else 0
+      em.maxInflightGets.set(0)
+      val got = spark.sql("SELECT doc_id, n_chars FROM graft_rrv.ns.v")
+        .as[(Long, Long)].collect().toSet
+      em.getDelayMsFor = _ => 0
+      assert(got == rows.map(r => (r._1, r._5)).toSet,
+        "the two-chunk in-place projection is correct")
+      assert(em.maxInflightGets.get >= 2,
+        s"the row group's chunk ranges must fetch in PARALLEL: " +
+          s"max inflight ${em.maxInflightGets.get}")
+      assert(!Files.isDirectory(tblY.resolve("data")), "nothing hydrated")
+
+      // the executor-JVM shape: a FileSystem built purely from conf
+      // (token absent from the registry) serves byte-identical reads
+      val dataKey = "ns/v/" +
+        GraftTable.liveDataFiles(tblY.toString, Seq.empty).head.path
+      val hc = new org.apache.hadoop.conf.Configuration()
+      locally { val (k, v) = graft.lake.GraftRangedFs.confKey; hc.set(k, v) }
+      Seq("endpoint" -> em.endpoint.toString, "bucket" -> "graft-ranged-vec",
+        "region" -> "local", "access-key" -> creds.accessKey,
+        "secret-key" -> creds.secretKey).foreach { case (k, v) =>
+        hc.set(s"fs.grafts3.confonly.$k", v)
+      }
+      val hp = new org.apache.hadoop.fs.Path(s"grafts3://confonly/$dataKey")
+      val fs = hp.getFileSystem(hc)
+      val st = fs.getFileStatus(hp)
+      val in = fs.open(hp)
+      val bytes = new Array[Byte](st.getLen.toInt)
+      try in.readFully(0L, bytes) finally in.close()
+      assert(bytes.toSeq == em.objects.get(dataKey).toSeq,
+        "the conf-constructed filesystem serves byte-identical reads")
+      assert(em.rejected.get == 0)
+    } finally { unH.close(); unM.close(); unA.close(); em.close() }
+  }
+
   test("the pure-conf deployment shape: s3.read-in-place=true on the catalog serves " +
       "in-place reads with zero mount calls in user code") {
     val em = new GraftS3Server("graft-inplace-conf", creds)
