@@ -46,16 +46,24 @@ final class GraftRangedFs extends FileSystem {
   /** Artifact names are unique and objects immutable, so a size never
     * changes once known — caching it halves the remote round-trips
     * per opened file (HadoopInputFile always getFileStatus-es
-    * immediately before open). Bounded; rebuilt on demand. */
-  private val sizeCache = new ConcurrentHashMap[String, java.lang.Long]()
+    * immediately before open). LRU-bounded (access-order
+    * LinkedHashMap behind a synchronized wrapper — gets reorder, so
+    * the lock covers them too): a scan straddling the capacity
+    * boundary re-probes only the entries it actually evicted, never
+    * the whole cache (the wholesale-clear alternative made one
+    * boundary crossing cost a full re-probe sweep). */
+  private val sizeCache: java.util.Map[String, java.lang.Long] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+          size() > GraftRangedFs.sizeCacheMaxEntries
+      })
 
   private def sizeOfCached(key: String): Option[Long] =
     Option(sizeCache.get(key)).map(_.longValue).orElse {
       val s = client.sizeOf(key)
-      s.foreach { v =>
-        if (sizeCache.size > 8192) sizeCache.clear()
-        sizeCache.put(key, v)
-      }
+      s.foreach(v => sizeCache.put(key, v))
       s
     }
 
@@ -118,11 +126,17 @@ final class GraftRangedFs extends FileSystem {
     }
   }
 
+  /** ListObjectsV2 already ships `<Size>` per key, so a listing issues
+    * ZERO per-key probes (a 10k-file prefix costs the page walk, not
+    * 10k GETs) and pre-warms the size cache for the opens that follow.
+    * The probe remains only for a non-compliant store omitting Size. */
   override def listStatus(f: HPath): Array[FileStatus] = {
     val key = keyOf(f)
     val prefix = if (key.isEmpty) "" else key + "/"
-    client.list(prefix).map { k =>
-      val len = client.sizeOf(k).getOrElse(0L)
+    client.listWithSizes(prefix).map { case (k, sz) =>
+      val len =
+        if (sz >= 0) { sizeCache.put(k, sz); sz }
+        else client.sizeOf(k).getOrElse(0L)
       new FileStatus(len, false, 1, GraftRangedFs.blockSizeBytes, 0L,
         new HPath(s"$getScheme://${fsUri.getAuthority}/$k"))
     }.toArray
@@ -176,14 +190,34 @@ object GraftRangedFs {
     * generic callers; the native scan splits by manifest sizes. */
   val blockSizeBytes: Long = 128L << 20
 
+  /** Max entries in a filesystem instance's size cache. */
+  private[lake] val sizeCacheMaxEntries: Int = 8192
+
   /** Bind a fresh authority token to `client`; returns (token,
     * unregister handle). Tokens are unique per registration so a
     * re-mounted store can never be served by a cached FileSystem
-    * instance holding the predecessor's client. */
+    * instance holding the predecessor's client. Unregistering also
+    * EVICTS the token's FileSystem from Hadoop's global cache: the
+    * cache keys by (scheme, authority, UGI) and holds instances
+    * forever, so a JVM cycling many mounts (test suites, rotating
+    * conf-mounts) would otherwise accumulate one GraftRangedFs — plus
+    * its size cache and, on the conf-fallback path, a conf-built
+    * client — per mount lifetime. `FileSystem.close()` is the public
+    * removal door (there is no single-entry evict API); resolving
+    * BEFORE the registry entry drops means a never-instantiated token
+    * just builds a registry-backed instance and closes it. */
   private[graft] def register(client: GraftS3.Client): (String, AutoCloseable) = {
     val token = s"m${tokenSeq.incrementAndGet()}"
     registry.put(token, client)
-    (token, () => registry.remove(token))
+    (token, () => {
+      try {
+        val conf = new Configuration()
+        locally { val (k, v) = confKey; conf.set(k, v) }
+        FileSystem.get(URI.create(s"grafts3://$token/"), conf).close()
+      } catch { case _: Throwable => () }   // eviction is best-effort
+      registry.remove(token)
+      ()
+    })
   }
 
   /** The conf key Spark needs so Path.getFileSystem can instantiate
@@ -191,17 +225,61 @@ object GraftRangedFs {
   private[graft] def confKey: (String, String) =
     "fs.grafts3.impl" -> classOf[GraftRangedFs].getName
 
+  /** Sizing knob for the vectored-read pool (conf surface:
+    * `s3.vectored-concurrency`, documented next to
+    * `s3.hydration-concurrency` in GraftSparkCatalog). RESIZES a live
+    * pool, exactly the hydration-pool pattern: the pool is JVM-global
+    * and a catalog mounted after the first in-place scan must still
+    * get its configured width — it bounds in-flight ranged GETs per
+    * JVM for EVERY in-place scan, the first knob an operator reaches
+    * for when wide projections meet a rate-limited store. */
+  private[graft] def vectoredConcurrency: Int = vecConcurrency
+  private[graft] def vectoredConcurrency_=(n: Int): Unit = {
+    vecConcurrency = math.max(2, n)
+    vectorPoolRef.get() match {
+      case null => ()
+      case pool =>
+        // grow max first / shrink core first: setMaximumPoolSize below
+        // corePoolSize (or vice versa) throws
+        if (vecConcurrency >= pool.getMaximumPoolSize) {
+          pool.setMaximumPoolSize(vecConcurrency)
+          pool.setCorePoolSize(vecConcurrency)
+        } else {
+          pool.setCorePoolSize(vecConcurrency)
+          pool.setMaximumPoolSize(vecConcurrency)
+        }
+    }
+  }
+  @volatile private var vecConcurrency: Int =
+    math.max(2, math.min(8, Runtime.getRuntime.availableProcessors()))
+  private val vectorPoolRef = new java.util.concurrent.atomic
+    .AtomicReference[java.util.concurrent.ThreadPoolExecutor]()
+
   /** Pool for PARALLEL vectored reads: parquet hands EVERY selected
     * column-chunk range of a row group in one readVectored call, and
     * serving them concurrently cuts a multi-chunk projection's
     * row-group latency to the slowest chunk instead of the sum.
     * Daemon, shared, bounded — one stream's ranges never exhaust it
     * because each range is one bounded GET. */
-  private[lake] lazy val vectorPool = java.util.concurrent.Executors.newFixedThreadPool(
-    math.max(2, math.min(8, Runtime.getRuntime.availableProcessors())),
-    (r: Runnable) => {
-      val t = new Thread(r, "grafts3-vector"); t.setDaemon(true); t
-    })
+  private[graft] def vectorPool: java.util.concurrent.ThreadPoolExecutor = {
+    val cur = vectorPoolRef.get()
+    if (cur != null) cur
+    else {
+      val fresh = new java.util.concurrent.ThreadPoolExecutor(
+        vecConcurrency, vecConcurrency,
+        60L, java.util.concurrent.TimeUnit.SECONDS,
+        new java.util.concurrent.LinkedBlockingQueue[Runnable](),
+        (r: Runnable) => {
+          val t = new Thread(r, "grafts3-vector"); t.setDaemon(true); t
+        })
+      if (vectorPoolRef.compareAndSet(null, fresh)) {
+        // a setter racing this creation saw null and resized nothing:
+        // re-apply the knob now that the pool is visible
+        vectoredConcurrency = vecConcurrency
+        fresh
+      } else { fresh.shutdown(); vectorPoolRef.get() }
+    }
+  }
 }
 
 /** Seekable/PositionedReadable stream over ranged GETs with one

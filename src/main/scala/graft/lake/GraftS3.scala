@@ -646,10 +646,75 @@ object GraftS3 {
       Files.createDirectories(dest.getParent)
       val tmp = dest.getParent.resolve(s".s3pull-${java.util.UUID.randomUUID()}")
       try {
+        // The FIRST range is a STREAMING probe: HTTP permits a server
+        // (or a proxy in front of one) to ignore Range and answer 200
+        // with the whole body. rangedGet would buffer that body on the
+        // heap — and this path only runs for objects at or above the
+        // multipart threshold, so k concurrent ranges against such a
+        // store would mean k whole-object byte arrays. Detecting the
+        // 200 on the probe instead degrades to ONE disk-streamed copy
+        // (the getToFile shape) before any parallel range is issued;
+        // a 206 streams its ≤partSize body to the channel and the
+        // remaining ranges proceed k-wide as before.
+        var attempt = 0
+        var probe: HttpResponse[java.io.InputStream] = null
+        val firstTo = math.min(partSizeBytes.toLong, size) - 1
+        while (probe == null) {
+          val r =
+            try sendOnce("GET", key, Nil, SigV4.sha256Hex(Array.emptyByteArray),
+              () => HttpRequest.BodyPublishers.noBody(),
+              Seq("Range" -> s"bytes=0-$firstTo"),
+              HttpResponse.BodyHandlers.ofInputStream())
+            catch { case e: IOException =>
+              attempt += 1
+              if (attempt >= maxAttempts) throw e
+              backoff(attempt); null
+            }
+          if (r != null) r.statusCode match {
+            case 500 | 503 =>
+              r.body().close()
+              attempt += 1
+              if (attempt >= maxAttempts) throw new IllegalArgumentException(
+                s"S3 GET $key → HTTP ${r.statusCode} after $maxAttempts attempts")
+              backoff(attempt)
+            case 404 =>
+              r.body().close()
+              throw new java.nio.file.NoSuchFileException(
+                s"object vanished mid-ranged-download: $key")
+            case 200 | 206 => probe = r
+            case other =>
+              r.body().close()
+              throw new IllegalArgumentException(s"S3 GET $key → HTTP $other")
+          }
+        }
+        if (probe.statusCode == 200) {
+          // Range-ignoring store: the probe already streams the WHOLE
+          // object — one bounded-buffer copy to disk, no ranged fan-out
+          val in = probe.body()
+          try Files.copy(in, tmp) finally in.close()
+          Files.move(tmp, dest,
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          return
+        }
         val ch = java.nio.channels.FileChannel.open(tmp,
           java.nio.file.StandardOpenOption.CREATE_NEW,
           java.nio.file.StandardOpenOption.WRITE)
         try {
+          // land the probe's own 206 body first (streamed, 64 KiB
+          // buffer — never a part-sized array for bytes already here)
+          val in = probe.body()
+          try {
+            val buf = new Array[Byte](64 * 1024)
+            var off = 0L
+            var n = in.read(buf)
+            while (n >= 0) {
+              val bb = java.nio.ByteBuffer.wrap(buf, 0, n)
+              while (bb.hasRemaining) off += ch.write(bb, off)
+              n = in.read(buf)
+            }
+            require(off == firstTo + 1,
+              s"short probe range [0,$firstTo] of $key: got $off")
+          } finally in.close()
           val pending = scala.collection.mutable.Queue
             .empty[java.util.concurrent.Future[_]]
           var inFlight = 0
@@ -667,7 +732,7 @@ object GraftS3 {
             inFlight -= 1
           }
           try {
-            var from = 0L
+            var from = firstTo + 1
             var n = 0
             while (from < size) {
               if (inFlight >= partConcurrency) drainOne()
@@ -714,11 +779,25 @@ object GraftS3 {
       * API): keys lexicographically ≤ it are never returned, which is
       * what makes an idle [[GraftS3.syncRemote]] poll cost ONE empty
       * page regardless of how many retained log objects exist. */
-    def list(prefix: String, startAfter: Option[String] = None): Seq[String] = {
-      val keys = Seq.newBuilder[String]
+    def list(prefix: String, startAfter: Option[String] = None): Seq[String] =
+      listWithSizes(prefix, startAfter).map(_._1)
+
+    /** ListObjectsV2 WITH the per-key `<Size>` each `<Contents>` block
+      * already ships — callers that need sizes (a generic-FS
+      * listStatus, a size-cache pre-warm) read them off the one list
+      * page instead of issuing one probe per key: listing a 10k-file
+      * prefix costs the page walk, never 10k extra GETs. A store
+      * omitting Size (not spec-compliant, but cheap to tolerate)
+      * yields -1 for that key. */
+    def listWithSizes(prefix: String,
+        startAfter: Option[String] = None): Seq[(String, Long)] = {
+      val keys = Seq.newBuilder[(String, Long)]
       var token: Option[String] = None
       var more = true
       var first = true
+      val contentsRe = "(?s)<Contents>(.*?)</Contents>".r
+      val keyRe = "<Key>([^<]*)</Key>".r
+      val sizeRe = "<Size>(\\d+)</Size>".r
       while (more) {
         val q = Seq("list-type" -> "2", "prefix" -> prefix) ++
           token.map("continuation-token" -> _) ++
@@ -726,7 +805,12 @@ object GraftS3 {
         first = false
         val xml = new String(
           expect(send("GET", "", q, Array.emptyByteArray, Nil), 200).body(), UTF_8)
-        "<Key>([^<]*)</Key>".r.findAllMatchIn(xml).foreach(m => keys += m.group(1))
+        contentsRe.findAllMatchIn(xml).foreach { c =>
+          keyRe.findFirstMatchIn(c.group(1)).foreach { k =>
+            keys += k.group(1) -> sizeRe.findFirstMatchIn(c.group(1))
+              .map(_.group(1).toLong).getOrElse(-1L)
+          }
+        }
         token = "<NextContinuationToken>([^<]*)</NextContinuationToken>".r
           .findFirstMatchIn(xml).map(_.group(1))
         more = token.isDefined
@@ -1108,32 +1192,84 @@ object GraftS3 {
     * the budget for the concurrency level, exactly as one sizes
     * executor memory. */
   private def enforceCacheBudget(m: HydMount, tableRoot: Path,
-      rels: Seq[String]): Unit = m.maxLocalBytes.foreach { budget =>
+      rels: Seq[String]): Unit = m.maxLocalBytes.foreach { _ =>
+    val current = rels.distinct.map(r =>
+      keyFor(m.root, tableRoot.resolve(r), "")).toSet
     m.touched.synchronized {
-      val current = rels.distinct.map(r =>
-        keyFor(m.root, tableRoot.resolve(r), "")).toSet
       current.foreach { rel =>
         val local = m.root.resolve(rel)
         if (Files.exists(local)) m.touch(rel, Files.size(local))
       }
-      if (m.trackedBytes > budget) {
-        val it = m.touched.entrySet().iterator()
-        while (m.trackedBytes > budget && it.hasNext) {
-          val e = it.next()
-          val rel = e.getKey
-          val local = m.root.resolve(rel)
-          if (!current.contains(rel) && !pendingHydrations.containsKey(local)) {
-            if (!Files.exists(local)) {   // evicted out-of-band: untrack
-              it.remove(); m.trackedBytes -= e.getValue.longValue
-            } else if (m.client.sizeOf(m.prefix + rel).contains(Files.size(local))) {
-              Files.delete(local)
-              it.remove(); m.trackedBytes -= e.getValue.longValue
+    }
+    sweepBudget(m, current)
+  }
+
+  /** The eviction sweep shared by the follower cache (above) and the
+    * bounded-disk WRITER (trackMirrored): drop least-recently-touched
+    * tracked artifacts until local bytes fit the budget, skipping the
+    * `current` working set, anything mid-hydration or mid-upload, and
+    * files whose remote twin can't be size-confirmed (never delete the
+    * only copy). The remote size probes run OUTSIDE the mount's
+    * monitor — an eviction sweep is one HTTP round-trip per candidate,
+    * and holding `m.touched` across them would serialize every
+    * concurrent scan's hydration batch on this mount behind network
+    * latency; candidates snapshot under the lock, confirm outside it,
+    * then re-check under it before each delete (a candidate touched or
+    * consumed in between simply survives). */
+  private def sweepBudget(m: HydMount, current: Set[String]): Unit =
+    m.maxLocalBytes.foreach { budget =>
+      // rels whose remote twin failed confirmation this sweep: never
+      // re-picked, so the loop terminates even when nothing is evictable
+      val unconfirmable = scala.collection.mutable.Set.empty[String]
+      var more = true
+      while (more) {
+        more = false
+        val candidates = m.touched.synchronized {
+          if (m.trackedBytes <= budget) return
+          val acc = Seq.newBuilder[(String, Long)]
+          var need = m.trackedBytes - budget
+          val it = m.touched.entrySet().iterator()
+          while (need > 0 && it.hasNext) {
+            val e = it.next()
+            val local = m.root.resolve(e.getKey)
+            if (!current.contains(e.getKey) && !unconfirmable.contains(e.getKey) &&
+                !pendingHydrations.containsKey(local) &&
+                !pendingUploads.containsKey(local)) {
+              acc += e.getKey -> e.getValue.longValue
+              need -= e.getValue.longValue
             }
+          }
+          acc.result()
+        }
+        if (candidates.isEmpty) return
+        // remote confirmation outside the monitor (the whole point)
+        val confirmed = candidates.map { case (rel, _) =>
+          val local = m.root.resolve(rel)
+          val ok = !Files.exists(local) ||
+            m.client.sizeOf(m.prefix + rel).contains(Files.size(local))
+          (rel, ok)
+        }
+        m.touched.synchronized {
+          confirmed.foreach { case (rel, ok) =>
+            val local = m.root.resolve(rel)
+            val tracked = m.touched.get(rel)
+            if (tracked != null && m.trackedBytes > budget &&
+                !current.contains(rel) &&
+                !pendingHydrations.containsKey(local) &&
+                !pendingUploads.containsKey(local)) {
+              if (!Files.exists(local)) {   // evicted out-of-band: untrack
+                m.touched.remove(rel); m.trackedBytes -= tracked.longValue
+                more = true
+              } else if (ok) {
+                Files.delete(local)
+                m.touched.remove(rel); m.trackedBytes -= tracked.longValue
+                more = true
+              } else { unconfirmable += rel; more = true }
+            } else if (!ok) { unconfirmable += rel; more = true }
           }
         }
       }
     }
-  }
 
   /** Mount scan-time lazy hydration for a fleet FOLLOWER at `root`:
     * with [[syncMetadata]] keeping the commit log current, reads pull
@@ -1170,6 +1306,11 @@ object GraftS3 {
         val curRes = GraftTable.resolveRemoteRead
         if (!curRes.exists(_ eq resolveDispatch)) {
           resolvePrev = curRes
+          // capture the conf hook's prev alongside the resolver's (they
+          // install and restore as a PAIR): a chained prior resolver
+          // ships its executor-side conf through remoteReadConf, and an
+          // unconditional None on unmount would silently strand it
+          resolveConfPrev = GraftTable.remoteReadConf
           GraftTable.resolveRemoteRead = Some(resolveDispatch)
           GraftTable.remoteReadConf = Some(resolveConfDispatch)
         }
@@ -1189,7 +1330,7 @@ object GraftS3 {
       if (!hydMounts.asScala.exists(_.ranged.isDefined) &&
           GraftTable.resolveRemoteRead.exists(_ eq resolveDispatch)) {
         GraftTable.resolveRemoteRead = resolvePrev
-        GraftTable.remoteReadConf = None
+        GraftTable.remoteReadConf = resolveConfPrev
       }
       maybeUninstallPullLog()
     }
@@ -1201,6 +1342,7 @@ object GraftS3 {
     * store. Mounts without the ranged shape resolve nothing (their
     * roots keep hydrating). */
   private var resolvePrev: Option[(Path, String) => Option[String]] = None
+  private var resolveConfPrev: Option[() => Seq[(String, String)]] = None
   private lazy val resolveDispatch: (Path, String) => Option[String] =
     (tableRoot, rel) =>
       ownerOf(hydMounts, tableRoot)(_.root).flatMap(m => m.ranged.map { case (token, _) =>

@@ -74,6 +74,12 @@ final class GraftS3Server(bucket: String, initialCreds: GraftS3.Credentials)
     * makes download/upload pool ISOLATION observable (a slow hydration
     * must not delay a concurrent commit's barrier). */
   @volatile var getDelayMsFor: String => Long = _ => 0L
+  /** Inject: object GETs IGNORE the Range header and serve the whole
+    * body as 200 — the Range-ignoring-store shape HTTP permits (Range
+    * is advisory; a proxy or a minimal store may strip it). Clients
+    * must detect the 200 and degrade to streaming, never buffer k
+    * whole objects. */
+  @volatile var ignoreRanges: Boolean = false
   /** Payload bytes served per object key (GET responses only) — lets
     * ranged-read specs PROVE a projection-pruned scan transferred
     * column bytes, not file bytes. */
@@ -234,8 +240,13 @@ final class GraftS3Server(bucket: String, initialCreds: GraftS3.Credentials)
             if (all.size > pageSize)
               s"<NextContinuationToken>${page.last}</NextContinuationToken>"
             else ""
+          // real ListObjectsV2 Contents carry <Size> — clients use it to
+          // pre-warm size caches instead of probing per key
           val xml = "<?xml version=\"1.0\"?><ListBucketResult>" +
-            page.map(k => s"<Contents><Key>$k</Key></Contents>").mkString +
+            page.map { k =>
+              val sz = Option(objects.get(k)).map(_.length).getOrElse(0)
+              s"<Contents><Key>$k</Key><Size>$sz</Size></Contents>"
+            }.mkString +
             next + "</ListBucketResult>"
           respond(200, xml.getBytes(UTF_8))
         case ("GET", k) =>
@@ -259,6 +270,7 @@ final class GraftS3Server(bucket: String, initialCreds: GraftS3.Credentials)
                 // (0-0 with Content-Range total) and the byte-sample
                 // identity probes
                 val range = Option(x.getRequestHeaders.getFirst("Range"))
+                  .filter(_ => !ignoreRanges)
                   .flatMap(r => "bytes=(\\d+)-(\\d+)".r.findFirstMatchIn(r))
                 range match {
                   case Some(m) if b.nonEmpty && m.group(1).toLong < b.length =>

@@ -228,6 +228,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         Option(options.get("s3.multipart-threshold-bytes")).getOrElse(""),
         Option(options.get("s3.part-concurrency")).getOrElse(""),
         Option(options.get("s3.hydration-concurrency")).getOrElse(""),
+        Option(options.get("s3.vectored-concurrency")).getOrElse(""),
         Option(options.get("s3.local-cache-max-bytes")).getOrElse("")).mkString("|")
       GraftSparkCatalog.s3Mounts.synchronized {
         val prev = GraftSparkCatalog.s3Mounts.get(identity)
@@ -260,6 +261,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           // before the first hydration fires
           Option(options.get("s3.hydration-concurrency"))
             .foreach(v => GraftS3.hydrationConcurrency = v.toInt)
+          // s3.vectored-concurrency bounds in-flight ranged GETs per
+          // JVM for in-place scans (parquet's readVectored chunk
+          // fan-out) — live-resizes like the hydration knob
+          Option(options.get("s3.vectored-concurrency"))
+            .foreach(v => GraftRangedFs.vectoredConcurrency = v.toInt)
           // s3.local-cache-max-bytes bounds the follower's local disk:
           // after each scan's hydration, least-recently-touched
           // confirmed-remote artifacts evict until local bytes fit.

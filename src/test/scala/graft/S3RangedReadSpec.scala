@@ -338,4 +338,145 @@ class S3RangedReadSpec extends SparkSpec {
       assert(em.rejected.get == 0)
     } finally { unM.close(); unA.close(); em.close() }
   }
+
+  test("listStatus serves sizes off the ONE list page — ZERO per-key probes — and " +
+      "pre-warms the size cache for the getFileStatus that precedes every open") {
+    val em = new GraftS3Server("graft-ranged-ls", creds)
+    try {
+      val rnd = new java.util.Random(41L)
+      val sizes = (1 to 30).map { i =>
+        val b = new Array[Byte](100 + rnd.nextInt(5000)); rnd.nextBytes(b)
+        em.objects.put(f"dir/obj-$i%03d", b)
+        f"dir/obj-$i%03d" -> b.length.toLong
+      }.toMap
+      val (token, unreg) = GraftRangedFs.register(em.client)
+      try {
+        val hc = new org.apache.hadoop.conf.Configuration()
+        locally { val (k, v) = GraftRangedFs.confKey; hc.set(k, v) }
+        val dir = new org.apache.hadoop.fs.Path(s"grafts3://$token/dir")
+        val fs = dir.getFileSystem(hc)
+        val gets0 = em.getCalls.get
+        val listed = fs.listStatus(dir)
+        assert(em.getCalls.get == gets0,
+          "a listing issues ZERO per-key size probes (ListObjectsV2 ships <Size>)")
+        assert(listed.map(st =>
+          st.getPath.toUri.getPath.stripPrefix("/") -> st.getLen).toMap == sizes,
+          "listed sizes come off the page itself")
+        // pre-warm: the getFileStatus a reader issues before open()
+        // is served from the cache the listing just filled
+        val one = new org.apache.hadoop.fs.Path(s"grafts3://$token/dir/obj-007")
+        assert(fs.getFileStatus(one).getLen == sizes("dir/obj-007"))
+        assert(em.getCalls.get == gets0, "the size cache is pre-warmed by the listing")
+        assert(em.rejected.get == 0)
+      } finally unreg.close()
+    } finally em.close()
+  }
+
+  test("unregister EVICTS the token's FileSystem from Hadoop's global cache: mount " +
+      "cycling cannot accumulate instances, and a stale cached client can never " +
+      "serve an unmounted store") {
+    val em = new GraftS3Server("graft-ranged-evict", creds)
+    try {
+      em.objects.put("d/x", Array[Byte](1, 2, 3))
+      val (token, unreg) = GraftRangedFs.register(em.client)
+      val hc = new org.apache.hadoop.conf.Configuration()
+      locally { val (k, v) = GraftRangedFs.confKey; hc.set(k, v) }
+      val p = new org.apache.hadoop.fs.Path(s"grafts3://$token/d/x")
+      val fs1 = p.getFileSystem(hc)
+      assert(fs1.getFileStatus(p).getLen == 3L)
+      assert(p.getFileSystem(hc) eq fs1, "Hadoop serves the cached instance")
+      unreg.close()
+      // the cache entry is gone: the next lookup re-initializes, and
+      // with the registry entry dropped and no fs.grafts3.<token>.*
+      // conf that re-initialization fails LOUDLY instead of silently
+      // serving the unmounted store through the predecessor instance
+      val err = intercept[Exception] { p.getFileSystem(hc) }
+      assert(err.getMessage.contains("not registered"),
+        s"a fresh (non-cached) initialize must run: ${err.getMessage}")
+    } finally em.close()
+  }
+
+  test("s3.vectored-concurrency live-resizes the shared vectored-read pool (the " +
+      "hydration-knob pattern), with the min-2 floor") {
+    val pool = GraftRangedFs.vectorPool
+    val before = GraftRangedFs.vectoredConcurrency
+    try {
+      GraftRangedFs.vectoredConcurrency = before + 3
+      assert(pool.getCorePoolSize == before + 3 &&
+        pool.getMaximumPoolSize == before + 3,
+        "the LIVE pool resizes — a catalog mounted after the first scan still wins")
+      GraftRangedFs.vectoredConcurrency = 1
+      assert(GraftRangedFs.vectoredConcurrency == 2 && pool.getCorePoolSize == 2,
+        "a 1-vCPU setting still overlaps two ranges (the min-2 floor)")
+    } finally GraftRangedFs.vectoredConcurrency = before
+  }
+
+  test("a Range-IGNORING store degrades the large download to ONE streamed copy — " +
+      "never k whole-object heap buffers — and stays byte-identical") {
+    val em = new GraftS3Server("graft-ranged-ig", creds)
+    val c = em.clientWith(32 * 1024, 64 * 1024, partConcurrency = 4)
+    try {
+      val rnd = new java.util.Random(119L)
+      val bytes = new Array[Byte](9 * 32 * 1024 + 7)
+      rnd.nextBytes(bytes)
+      em.objects.put("data/ig.bin", bytes)
+      em.ignoreRanges = true
+      val dir = Files.createDirectories(Paths.get(scratchRoot("s3-ranged", "ig")))
+      val dest = dir.resolve("ig.bin")
+      em.getCalls.set(0)
+      c.peakBufferBytes.set(0)
+      assert(c.getToFile("data/ig.bin", dest))
+      assert(Files.readAllBytes(dest).toSeq == bytes.toSeq,
+        "the degraded download is byte-identical")
+      // the initial stream attempt + the FIRST-range probe that saw the
+      // 200 and streamed the whole body: two GETs, zero range fan-out
+      assert(em.getCalls.get == 2,
+        s"the 200 must be detected on the FIRST range: ${em.getCalls.get} GETs")
+      assert(c.peakBufferBytes.get < bytes.length,
+        s"no whole-object buffer on this path: peak ${c.peakBufferBytes.get}")
+      assert(em.rejected.get == 0)
+    } finally { em.ignoreRanges = false; em.close() }
+  }
+
+  test("ranged unmount restores the resolver and its conf hook as a PAIR — a chained " +
+      "prior resolver never loses its executor-side conf (r17 ADVICE)") {
+    val em = new GraftS3Server("graft-ranged-prev", creds)
+    try {
+      val whY = Paths.get(scratchRoot("s3-ranged",
+        s"prev-${ProcessHandle.current().pid()}"))
+      Files.createDirectories(whY)
+      // benign-by-construction chained hooks: the resolver resolves
+      // nothing and the conf ships one inert marker key, so even a
+      // window overlapping a concurrent suite's ranged mount leaves
+      // harmless residue
+      val prevResolve: (java.nio.file.Path, String) => Option[String] = (_, _) => None
+      val prevConf: () => Seq[(String, String)] =
+        () => Seq("graft.test.prev-conf-marker" -> "1")
+      val savedResolve = GraftTable.resolveRemoteRead
+      val savedConf = GraftTable.remoteReadConf
+      GraftTable.resolveRemoteRead = Some(prevResolve)
+      GraftTable.remoteReadConf = Some(prevConf)
+      try {
+        val un = GraftS3.mountOnDemandHydration(whY, em.client, readInPlace = true)
+        un.close()
+        val resolverRestored = GraftTable.resolveRemoteRead.exists(_ eq prevResolve)
+        val confRestored = GraftTable.remoteReadConf.exists(_ eq prevConf)
+        // race-tolerant: a concurrent suite's live ranged mount keeps
+        // the dispatch installed (then NEITHER restores — correct); the
+        // r17 bug was the INCONSISTENT half-restore
+        assert(!resolverRestored || confRestored,
+          "restoring the resolver while clobbering its conf hook to None " +
+            "strands a chained resolver's executor conf")
+      } finally {
+        // restore ONLY if the hooks still hold our fakes: blindly
+        // writing saved values would clobber a dispatch a concurrent
+        // suite's ranged mount legitimately re-installed (the fakes
+        // then linger as its captured prev — benign by construction)
+        if (GraftTable.resolveRemoteRead.exists(_ eq prevResolve))
+          GraftTable.resolveRemoteRead = savedResolve
+        if (GraftTable.remoteReadConf.exists(_ eq prevConf))
+          GraftTable.remoteReadConf = savedConf
+      }
+    } finally em.close()
+  }
 }
