@@ -1067,9 +1067,57 @@ object GraftS3 {
     ownerOfTarget(arbMounts, target) match {
       case Some(m) =>
         awaitReferenced(target, content)   // referenced artifacts durably remote FIRST
-        m.client.putIfAbsent(keyFor(m.root, target, m.prefix), content.getBytes(UTF_8))
+        val won = m.client.putIfAbsent(keyFor(m.root, target, m.prefix),
+          content.getBytes(UTF_8))
+        // bounded-disk WRITER: the moment a commit WINS its slot, every
+        // artifact it references is durably remote (the barrier above)
+        // and consumed from the pending-upload map — the local copies
+        // become CACHE, not the only copy, and a budgeted mount may
+        // evict them
+        if (won) trackMirrored(target, content)
+        won
       case None => arbPrev.forall(_(target, content))
     }
+
+  /** The WRITE twin of the follower cache budget (the reference writes
+    * `warehouse=s3a://…` with no node holding a local lake copy —
+    * spark-defaults.conf:10, docker-compose.yml): a writer mounting
+    * arbiter + mirror + a BUDGETED hydration mount on one root gets
+    * bounded local disk. Called for each commit that WON its slot —
+    * its adds are by then durably remote AND their pending-upload
+    * entries consumed, which is exactly the eviction-safety line (an
+    * artifact mid-upload, or uploaded but referenced by a commit still
+    * arbitrating, never reaches here). The adds land in the owning
+    * mount's LRU as most-recent and the shared sweep evicts
+    * least-recently-touched confirmed-remote artifacts until local
+    * bytes fit — so a 100 TB ingest needs the working set's disk, not
+    * the lake's. Reads re-serve evicted artifacts through the SAME
+    * mount's on-demand hydration (or in-place ranged) plane, and
+    * pruneRemote already refuses roots under a hydration mount, so
+    * "locally absent" can never be misread as "retired". Budget is
+    * enforced at COMMIT boundaries: one in-flight op's write set may
+    * transiently overshoot (the cost of mirror-then-evict; streaming
+    * task output straight to the store would trade that for losing
+    * local-read locality on the hot working set). */
+  private def trackMirrored(target: Path, content: String): Unit = {
+    val adds =
+      try GraftTable.parseCommit(content).adds
+      catch { case _: Throwable => Seq.empty }
+    if (adds.nonEmpty) {
+      val tableRoot = target.toAbsolutePath.normalize.getParent.getParent
+      ownerOf(hydMounts, tableRoot)(_.root).filter(_.maxLocalBytes.isDefined)
+        .foreach { m =>
+          m.touched.synchronized {
+            adds.foreach { a =>
+              val local = tableRoot.resolve(a.path)
+              if (Files.exists(local))
+                m.touch(keyFor(m.root, local, ""), Files.size(local))
+            }
+          }
+          sweepBudget(m, Set.empty)
+        }
+    }
+  }
 
   private lazy val placeDispatch: (Path, Path) => Unit = (src, dst) => {
     // the local placement first: the upload streams from the final

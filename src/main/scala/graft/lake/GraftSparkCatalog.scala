@@ -280,7 +280,22 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
                 maxLocalBytes = cacheBudget, readInPlace = inPlace))
             else Seq(
               GraftS3.mountCommitArbiter(root, client, prefix),
-              GraftS3.mountArtifactMirror(root, client, prefix))
+              GraftS3.mountArtifactMirror(root, client, prefix)) ++
+              // a cache budget on the WRITER shape adds the bounded-disk
+              // plane (the write twin of the lazy follower): each WON
+              // commit's artifacts — durably remote by the pre-slot
+              // barrier — enter this mount's LRU and evict until local
+              // bytes fit; reads re-serve evicted files through the same
+              // mount's hydration plane. A 100 TB ingest then needs the
+              // working set's disk, not the lake's (the reference writes
+              // s3a:// directly — no node holds a local lake copy).
+              // Corollaries: pruneRemote refuses this root (locally
+              // absent ≠ retired here), and append-only FILE streaming
+              // of these tables refuses (evicted files would tear it) —
+              // use the CDC stream source instead.
+              cacheBudget.map(b =>
+                GraftS3.mountOnDemandHydration(root, client, prefix,
+                  maxLocalBytes = Some(b))).toSeq
           GraftSparkCatalog.s3Mounts.put(identity, (fullKey, handles))
         }
       }

@@ -592,6 +592,116 @@ object LakeOps {
     } finally server.close()
   }
 
+  // ── q113: writer-side BOUNDED DISK, oracled ─────────────────────────
+  /** The write twin of q112's in-place reader (reference:
+    * spark-defaults.conf writes `warehouse=s3a://…` — no compose node
+    * holds a local lake copy): a writer mounting arbiter + mirror + a
+    * BUDGETED hydration mount ingests, deletes (CoW), and compacts a
+    * table whose TOTAL written bytes far exceed the budget, while its
+    * local data bytes fit the budget at every commit boundary — each
+    * won commit's artifacts are durably remote (the pre-slot barrier),
+    * so the sweep may evict them and reads re-hydrate on demand. The
+    * budget is DATA-RELATIVE (a phase-0 probe measures one full
+    * append: sf0.001 smoke and sf0.1 bench differ 100×), sized above
+    * one op's working set and well below the lifecycle total. The
+    * OUTPUT is the final table rows, which DuckDB recomputes from the
+    * raw parquet — full hash oracle over the bounded-ingest
+    * lifecycle. */
+  def q113(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.{GraftS3, GraftS3Server}
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    // phase 0: a throwaway LOCAL run of the same lifecycle measures
+    // each generation's live bytes — generations re-encode under
+    // rewrite/compaction (row order changes page encodings; at sf0.1
+    // the compacted generation runs ~30% larger than the source
+    // appends), so the budget derives from the LARGEST generation the
+    // lifecycle will actually hold, not from the first append alone.
+    // Data-relative by construction: sf0.001 smoke and sf0.1 bench
+    // differ 100× and both size correctly.
+    val probe = Paths.get(scratch("q113-probe"))
+    GraftTable.create(s, probe.toString, orders.schema)
+    def probeLive: Long = GraftTable.liveDataFiles(probe.toString, Seq.empty)
+      .map(_.sizeBytes).sum
+    (0 until 3).foreach(k => GraftTable.append(s, probe.toString,
+      orders.filter(col("o_orderkey") % 3 === k).repartition(2)))
+    var unit = probeLive
+    GraftTable.deleteWhere(s, probe.toString, col("o_totalprice") < 20000)
+    unit = math.max(unit, probeLive)
+    GraftTable.rewriteDataFiles(s, probe.toString,
+      targetFileSizeBytes = 64L * 1024 * 1024)
+    unit = math.max(unit, probeLive)
+    val budget = (unit * 1.15).toLong
+    GraftTable.deleteTree(probe)
+
+    val creds = GraftS3.Credentials("GRAFTKEY", "graft-secret-key")
+    val server = new GraftS3Server("graft-bounded-gate", creds)
+    try {
+      val wh = Paths.get(scratch("q113-wh"))
+      Files.createDirectories(wh)
+      val client = server.client
+      val unA = GraftS3.mountCommitArbiter(wh, client)
+      val unM = GraftS3.mountArtifactMirror(wh, client)
+      val unH = GraftS3.mountOnDemandHydration(wh, client,
+        maxLocalBytes = Some(budget))
+      try {
+        def localDataBytes: Long = {
+          val st = Files.walk(wh)
+          try st.iterator().asScala.filter(p => Files.isRegularFile(p) && {
+            val d = p.getParent.getFileName.toString
+            d == "data" || d == "deletes"
+          }).map(Files.size).sum
+          finally st.close()
+        }
+        val tbl = wh.resolve("ns").resolve("o")
+        GraftTable.create(s, tbl.toString, orders.schema)
+        (0 until 3).foreach { k =>
+          GraftTable.append(s, tbl.toString,
+            orders.filter(col("o_orderkey") % 3 === k).repartition(2))
+          require(localDataBytes <= budget,
+            s"after append $k: local $localDataBytes must fit budget $budget")
+        }
+        val appendFiles = GraftTable.liveDataFiles(tbl.toString, Seq.empty)
+          .map(_.path).toSet
+        // CoW delete rewrites the matching files: the pre-delete
+        // generation becomes evictable cache the moment the delete's
+        // slot wins
+        GraftTable.deleteWhere(s, tbl.toString, col("o_totalprice") < 20000)
+        require(localDataBytes <= budget,
+          s"post-delete: local $localDataBytes must fit budget $budget")
+        val evicted = appendFiles.filter(p => !Files.exists(tbl.resolve(p)))
+        require(evicted.nonEmpty,
+          "eviction must be real: some append-era files are locally gone")
+        evicted.foreach(p => require(client.sizeOf(s"ns/o/$p").isDefined,
+          s"an evicted file's remote twin must exist: $p"))
+        GraftTable.rewriteDataFiles(s, tbl.toString,
+          targetFileSizeBytes = 64L * 1024 * 1024)
+        require(localDataBytes <= budget,
+          s"post-compaction: local $localDataBytes must fit budget $budget")
+        // the headline claim: the lifecycle WROTE far more than it
+        // ever held locally
+        val remoteData = client.listWithSizes("ns/o/data/").map(_._2).sum
+        require(remoteData > budget * 3 / 2,
+          s"lifecycle wrote $remoteData remotely against budget $budget")
+        require(server.rejected.get == 0,
+          "every request must pass the server-side SigV4 verification")
+        // evict-everything → one re-hydrating read proves the cache
+        // round trip AND leaves the live set local, so the returned
+        // frame replays off local files after the in-JVM store closes
+        GraftS3.evictLocalData(tbl, client, "ns/o")
+        val out = GraftTable.read(s, tbl.toString)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+        require(out.count() > 0, "the re-hydrated read must serve rows")
+        require(localDataBytes <= budget,
+          s"post-read: local $localDataBytes must fit budget $budget")
+        out
+      } finally { unH.close(); unM.close(); unA.close() }
+    } finally server.close()
+  }
+
   // ── q29: partition-spec pruned read, oracle-checked ─────────────────
   def q29(s: SparkSession, dir: String): DataFrame = {
     val root = scratch("q29")
@@ -1538,9 +1648,15 @@ object LakeOps {
     "q109_lake_s3_fleet" -> q109 _,
     "q110_lake_s3_lazy" -> q110 _,
     "q111_lake_s3_follow" -> q111 _,
-    "q112_lake_s3_inplace" -> q112 _)
+    "q112_lake_s3_inplace" -> q112 _,
+    "q113_lake_s3_bounded" -> q113 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q113_lake_s3_bounded" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE NOT (o_totalprice < 20000)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q112_lake_s3_inplace" ->
       """SELECT doc_id, source, n_chars
         |FROM documents WHERE lang = 'en'

@@ -139,7 +139,11 @@ class NewQueryPlanSpec extends SparkSpec {
       // q110/q111/q112 mount the GLOBAL hydration/auto-sync/ranged-read
       // hooks for their lazy-follower lifecycles — same
       // mid-parallel-suite hazard
-      "q110_lake_s3_lazy", "q111_lake_s3_follow", "q112_lake_s3_inplace")
+      "q110_lake_s3_lazy", "q111_lake_s3_follow", "q112_lake_s3_inplace",
+      // q113 mounts the GLOBAL arbiter/mirror/budgeted-hydration trio
+      // for its bounded-writer lifecycle — same mid-parallel-suite
+      // hazard
+      "q113_lake_s3_bounded")
     val names = SparkEntry.queries.keySet -- lifecycle -- allPairsDeclared
     val offenders = names.toSeq.sorted.flatMap { n =>
       val df = SparkEntry.queries(n)(spark, sf)

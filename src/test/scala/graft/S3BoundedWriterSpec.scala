@@ -1,0 +1,216 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.{GraftS3, GraftS3Server, GraftTable}
+import graft.lake.GraftS3.Credentials
+
+/** Writer-side bounded disk — the WRITE twin of the lazy follower
+  * (reference: spark-defaults.conf writes `warehouse=s3a://…`; no node
+  * in its compose file holds a local lake copy): a writer mounting
+  * arbiter + mirror + a BUDGETED hydration mount on one root keeps its
+  * local data bytes under the budget across a whole ingest lifecycle.
+  * The safety line is the commit protocol itself: an artifact becomes
+  * evictable only after the commit that references it WON its slot —
+  * by then the pre-slot barrier has made it durably remote — and the
+  * sweep still refuses to delete any file whose remote twin can't be
+  * size-confirmed (never the only copy). Reads re-serve evicted
+  * artifacts through the same mount's on-demand hydration plane. */
+class S3BoundedWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val creds = Credentials("GRAFTKEY", "graft-bounded-secret")
+
+  /** Local bytes under every data/ and deletes/ dir below `root` —
+    * the disk the budget is about (the commit log and checkpoints are
+    * the KB-sized metadata plane, deliberately not counted). */
+  private def localDataBytes(root: Path): Long = {
+    if (!Files.exists(root)) return 0L
+    val s = Files.walk(root)
+    try s.iterator().asScala.filter { p =>
+      Files.isRegularFile(p) && {
+        val d = p.getParent.getFileName.toString
+        d == "data" || d == "deletes"
+      }
+    }.map(Files.size).sum
+    finally s.close()
+  }
+
+  /** Incompressible payloads: parquet can't deflate them, so byte
+    * budgets measure real transfer/disk, not encoder luck. */
+  private def rows(n: Int, seed: Long) = {
+    val rnd = new java.util.Random(seed)
+    (0 until n).map { i =>
+      val pad = new Array[Byte](150); rnd.nextBytes(pad)
+      (i.toLong, i % 3, java.util.Base64.getEncoder.encodeToString(pad))
+    }
+  }
+
+  test("a budget below total written bytes holds across append + CoW delete + " +
+      "compaction: local data bytes fit at every commit boundary, eviction is real, " +
+      "and the read-back round-trips through re-hydration hash-correct") {
+    val em = new GraftS3Server("graft-bounded-w", creds)
+    val c = em.client
+    val wh = Paths.get(scratchRoot("s3-bounded",
+      s"wh-${ProcessHandle.current().pid()}"))
+    Files.createDirectories(wh)
+    val unA = GraftS3.mountCommitArbiter(wh, c)
+    val unM = GraftS3.mountArtifactMirror(wh, c)
+    var unH: AutoCloseable = null
+    try {
+      val tbl = wh.resolve("ns").resolve("t")
+      val all = rows(2400, 7L)
+      val df = all.toDF("id", "p", "payload")
+      GraftTable.create(spark, tbl.toString, df.schema)
+      (0 until 4).foreach(k => GraftTable.append(spark, tbl.toString,
+        all.filter(_._1 % 4 == k).toDF("id", "p", "payload").coalesce(1)))
+      // the ingest so far — the budget sits UNDER what the rest of the
+      // lifecycle will have written in total, but above one op's
+      // working set (the documented sizing rule, same as the follower)
+      val appendBytes = localDataBytes(wh)
+      val budget = (appendBytes * 0.8).toLong
+      unH = GraftS3.mountOnDemandHydration(wh, c, maxLocalBytes = Some(budget))
+      val appendFiles = GraftTable.liveDataFiles(tbl.toString, Seq.empty)
+        .map(_.path).toSet
+
+      // CoW delete rewrites every file (id % 3 is in all of them): the
+      // pre-delete generation becomes cache and must evict at commit
+      GraftTable.deleteWhere(spark, tbl.toString, col("id") % 3 === 0)
+      assert(localDataBytes(wh) <= budget,
+        s"post-delete local bytes ${localDataBytes(wh)} must fit $budget")
+      val evictedAppends = appendFiles.filter(p => !Files.exists(tbl.resolve(p)))
+      assert(evictedAppends.nonEmpty,
+        "eviction must be real: some pre-delete files are locally gone")
+      evictedAppends.foreach(p => assert(c.sizeOf(s"ns/t/$p").isDefined,
+        s"an evicted file's remote twin must exist: $p"))
+
+      GraftTable.rewriteDataFiles(spark, tbl.toString,
+        targetFileSizeBytes = 64L * 1024 * 1024)
+      assert(localDataBytes(wh) <= budget,
+        s"post-compaction local bytes ${localDataBytes(wh)} must fit $budget")
+
+      // total mirrored data bytes dwarf the budget — the claim under
+      // test: the lifecycle WROTE far more than it ever held locally
+      val remoteData = c.listWithSizes("ns/t/data/").map(_._2).sum
+      assert(remoteData > budget * 2,
+        s"the lifecycle wrote $remoteData remotely against a $budget budget")
+
+      // evict everything confirmable and read back: the read hydrates
+      // the live set on demand and the answer is exact
+      GraftS3.evictLocalData(tbl, c, "ns/t")
+      val expected = all.filterNot(_._1 % 3 == 0).toSet
+      val got = GraftTable.read(spark, tbl.toString)
+        .as[(Long, Int, String)].collect().toSet
+      assert(got == expected, "the bounded writer's table reads back exact")
+      assert(localDataBytes(wh) <= budget,
+        s"post-read local bytes ${localDataBytes(wh)} must fit $budget")
+      assert(em.rejected.get == 0)
+    } finally {
+      if (unH != null) unH.close()
+      unM.close(); unA.close(); em.close()
+    }
+  }
+
+  test("the sweep never deletes the only copy: a file whose remote twin was " +
+      "destroyed stays local (and keeps serving reads) while confirmed files evict " +
+      "in its place") {
+    val em = new GraftS3Server("graft-bounded-oc", creds)
+    val c = em.client
+    val wh = Paths.get(scratchRoot("s3-bounded",
+      s"oc-${ProcessHandle.current().pid()}"))
+    Files.createDirectories(wh)
+    val all = rows(1800, 11L)
+    val unA = GraftS3.mountCommitArbiter(wh, c)
+    val unM = GraftS3.mountArtifactMirror(wh, c)
+    var unH: AutoCloseable = null
+    try {
+      val tbl = wh.resolve("ns").resolve("t")
+      val df = all.toDF("id", "p", "payload")
+      GraftTable.create(spark, tbl.toString, df.schema)
+      def liveSet(): Set[String] =
+        GraftTable.liveDataFiles(tbl.toString, Seq.empty).map(_.path).toSet
+      def appendChunk(k: Int, prev: Set[String]): String = {
+        GraftTable.append(spark, tbl.toString,
+          all.filter(_._1 % 3 == k).toDF("id", "p", "payload").coalesce(1))
+        (liveSet() -- prev).head
+      }
+      val f0 = appendChunk(0, Set.empty)
+      val oneChunk = Files.size(tbl.resolve(f0))
+      unH = GraftS3.mountOnDemandHydration(wh, c,
+        maxLocalBytes = Some((oneChunk * 2.2).toLong))
+      // one read tracks the pre-mount chunk in the LRU (the same touch
+      // every planned read applies) — it is then LRU-first at the sweep
+      assert(GraftTable.read(spark, tbl.toString).count() == 600L)
+      val f1 = appendChunk(1, Set(f0))
+      // FOREIGN destruction of chunk 0's remote twin — from here the
+      // local copy is the ONLY copy and must be unevictable
+      em.objects.remove(s"ns/t/$f0")
+      // chunk 2 pushes tracked bytes over budget: the sweep picks f0
+      // (LRU), fails its remote confirmation, and takes f1 instead
+      val f2 = appendChunk(2, Set(f0, f1))
+      assert(Files.exists(tbl.resolve(f0)),
+        "the unconfirmable file survives the sweep — never the only copy")
+      assert(!Files.exists(tbl.resolve(f1)),
+        "a confirmed-remote file evicts in its place")
+      assert(Files.exists(tbl.resolve(f2)), "the newest chunk is MRU")
+      val got = GraftTable.read(spark, tbl.toString)
+        .as[(Long, Int, String)].collect().toSet
+      assert(got == all.toSet,
+        "no data loss: chunk 0 serves locally, chunk 1 re-hydrates")
+      assert(em.rejected.get == 0)
+    } finally {
+      if (unH != null) unH.close()
+      unM.close(); unA.close(); em.close()
+    }
+  }
+
+  test("the pure-conf door: s3.local-cache-max-bytes on the WRITER catalog shape " +
+      "bounds a partitioned SQL ingest, and pruned reads re-hydrate per partition") {
+    val em = new GraftS3Server("graft-bounded-conf", creds)
+    val wh = Paths.get(scratchRoot("s3-bounded",
+      s"conf-${ProcessHandle.current().pid()}"))
+    Files.createDirectories(wh)
+    val all = rows(1800, 13L)
+    try {
+      all.toDF("id", "p", "payload").createOrReplaceTempView("bw_src")
+      val cat = "graft_bw"
+      try {
+        // budget ≈ 0.55 × the three partitions' bytes: each INSERT's
+        // commit must evict the previous partition's files
+        spark.conf.set(s"spark.sql.catalog.$cat", "graft.lake.GraftSparkCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.endpoint", em.endpoint.toString)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.bucket", "graft-bounded-conf")
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.access-key", creds.accessKey)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.secret-key", creds.secretKey)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.local-cache-max-bytes",
+          (180L * 1024).toString)
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+        spark.sql(s"""CREATE TABLE $cat.ns.t (id BIGINT, p INT, payload STRING)
+          PARTITIONED BY (identity(p))""")
+        (0 until 3).foreach { k =>
+          spark.sql(
+            s"INSERT INTO $cat.ns.t SELECT id, p, payload FROM bw_src WHERE p = $k")
+          assert(localDataBytes(wh) <= 180L * 1024,
+            s"after INSERT $k: local ${localDataBytes(wh)} must fit the conf budget")
+        }
+        val remoteData = em.client.listWithSizes("ns/t/data/").map(_._2).sum
+        assert(remoteData > 180L * 1024,
+          s"the ingest wrote $remoteData against the 180 KiB budget")
+        // a pruned read of the FIRST partition (evicted by now) must
+        // re-hydrate exactly it and still respect the budget after
+        val got = spark.sql(s"SELECT id FROM $cat.ns.t WHERE p = 0")
+          .as[Long].collect().toSet
+        assert(got == all.filter(_._2 == 0).map(_._1).toSet,
+          "the evicted partition reads back exact")
+        assert(localDataBytes(wh) <= 180L * 1024,
+          s"post-read local ${localDataBytes(wh)} must fit the conf budget")
+        assert(em.rejected.get == 0)
+      } finally graft.lake.GraftSparkCatalog.closeConfMounts(wh.toString)
+    } finally em.close()
+  }
+}
