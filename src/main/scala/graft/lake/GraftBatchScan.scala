@@ -300,16 +300,17 @@ private[graft] class GraftBatchScan(
 
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    GraftMorMetrics.supported
+    GraftMorMetrics.supported ++ GraftRangedMetrics.supported
 
   /** Rename alternatives that matter to THIS scan's output. */
   private val outRenames: Seq[(String, Seq[String])] =
     plan.renames.filter { case (n, _) => dataCols.fieldNames.contains(n) }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    if (plan.deletes.isEmpty && !rowIdRequested && outRenames.isEmpty)
-      GraftReaderFactory(mkParquetFactory(plan.schema, readDataSchema, pushedFilters))
-    else morReaderFactory()
+    GraftMeteredFactory(
+      if (plan.deletes.isEmpty && !rowIdRequested && outRenames.isEmpty)
+        GraftReaderFactory(mkParquetFactory(plan.schema, readDataSchema, pushedFilters))
+      else morReaderFactory())
 
   /** The wrapping read path — MoR snapshots and/or `_row_id` lineage:
     * files re-read through an EXTENDED schema (projection-pruned
@@ -461,6 +462,51 @@ private[lake] case class GraftKeyedPartition(index: Int,
     new GenericInternalRow(rawKey.zip(keyTypes).map {
       case (raw, dt) => GraftBatchScan.keyValue(raw, dt)
     }.toArray[Any])
+}
+
+/** Meters the in-place transfer of every reader the delegate builds:
+  * a fresh per-task sink is installed on the TASK thread before the
+  * delegate reader exists, so each GraftRangedInputStream the reader
+  * opens (parquet opens on the task thread) captures exactly this
+  * task's sink — vectored pool fetches included — and the reader
+  * reports the totals as DSv2 task metrics alongside whatever the
+  * delegate already reports (the MoR counters). Purely local scans
+  * report zeros. */
+private[lake] case class GraftMeteredFactory(delegate: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  private def installed(): GraftRangedMetricsSink = {
+    val sink = new GraftRangedMetricsSink
+    GraftRangedFs.taskSink.set(sink)
+    sink
+  }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sink = installed()
+    new GraftMeteredReader(delegate.createReader(p), sink)
+  }
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val sink = installed()
+    new GraftMeteredReader(delegate.createColumnarReader(p), sink)
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    delegate.supportColumnarReads(p)
+}
+
+private[lake] final class GraftMeteredReader[T](delegate: PartitionReader[T],
+    sink: GraftRangedMetricsSink) extends PartitionReader[T] {
+  override def next(): Boolean = delegate.next()
+  override def get(): T = delegate.get()
+  override def close(): Unit = {
+    delegate.close()
+    // clear only our own install: a second reader on this pooled task
+    // thread may already have replaced it
+    if (GraftRangedFs.taskSink.get() eq sink) GraftRangedFs.taskSink.remove()
+  }
+  override def currentMetricsValues(): Array[
+      org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    delegate.currentMetricsValues() ++ Array(
+      GraftTaskMetric(GraftRangedMetrics.bytesServed, sink.bytes.get),
+      GraftTaskMetric(GraftRangedMetrics.gets, sink.gets.get),
+      GraftTaskMetric(GraftRangedMetrics.vectoredRanges, sink.vectored.get))
 }
 
 /** Delegates to Spark's parquet reader factory, unwrapping

@@ -169,6 +169,18 @@ object GraftRangedFs {
     * query actually read IN PLACE rather than off a hydrated copy. */
   private[graft] val opened = new AtomicLong(0)
 
+  /** Per-TASK metrics capture for in-place scans. The reader factory
+    * installs a sink on the task thread before the delegate reader is
+    * built; every GraftRangedInputStream constructed while it is set
+    * (parquet opens files on the task thread) captures it and then
+    * increments it from ANY thread — the vectored pool's range fetches
+    * land in the right task's sink because the capture happened at
+    * open, not at fetch. This is what makes per-task attribution
+    * correct under local[32]'s concurrent tasks, where JVM-global
+    * counters would smear every scan's bytes across all running
+    * tasks. */
+  private[graft] val taskSink = new ThreadLocal[GraftRangedMetricsSink]()
+
   /** Default readahead window. The window exists ONLY for the
     * metadata-parse pattern (footer + page/column indexes: many tiny
     * sequential reads) — column chunks above [[smallReadMax]] always
@@ -293,6 +305,10 @@ private[graft] final class GraftRangedInputStream(client: GraftS3.Client,
   private var pos = 0L
   private var bufStart = 0L
   private var buf: Array[Byte] = Array.emptyByteArray
+  /** Captured at CONSTRUCTION on the opening (task) thread; vectored
+    * pool threads then increment the same sink. Null outside a metered
+    * reader (generic FS callers, driver-side probes). */
+  private val sink: GraftRangedMetricsSink = GraftRangedFs.taskSink.get()
 
   override def seek(p: Long): Unit = {
     if (p < 0 || p > size) throw new java.io.EOFException(
@@ -302,14 +318,20 @@ private[graft] final class GraftRangedInputStream(client: GraftS3.Client,
   override def getPos: Long = pos
   override def seekToNewSource(targetPos: Long): Boolean = false
 
-  private def fetch(from: Long, len: Int): Array[Byte] =
-    client.rangedGet(key, from, from + len - 1).getOrElse(
+  private def fetch(from: Long, len: Int): Array[Byte] = {
+    val got = client.rangedGet(key, from, from + len - 1).getOrElse(
       // FileNotFound, not a bare IOException: a pruned-while-reading
       // object must keep its missing-file classification (Spark's
       // ignoreMissingFiles and FNF-aware callers handle it), even when
       // a cached size let open() succeed after the remote delete
       throw new FileNotFoundException(
         s"grafts3 object vanished mid-read (pruned?): $key"))
+    if (sink != null) {
+      sink.gets.incrementAndGet()
+      sink.bytes.addAndGet(got.length.toLong)
+    }
+    got
+  }
 
   /** PARALLEL vectored reads: parquet's VectorIoBridge delivers every
     * selected column-chunk range of a row group in ONE call — fanning
@@ -330,6 +352,7 @@ private[graft] final class GraftRangedInputStream(client: GraftS3.Client,
             s"[0, $size] of grafts3 $key")
     }
     ranges.forEach { r =>
+      if (sink != null) sink.vectored.incrementAndGet()
       // the FileRange contract: the reader SETS the future (the
       // default impl does range.setData), callers await getData
       val fut = new java.util.concurrent.CompletableFuture[java.nio.ByteBuffer]()
@@ -393,4 +416,49 @@ private[graft] final class GraftRangedInputStream(client: GraftS3.Client,
 
   override def available(): Int =
     math.min(Int.MaxValue.toLong, size - pos).toInt
+}
+
+/** One task's in-place transfer ledger (see GraftRangedFs.taskSink):
+  * payload bytes served over ranged GETs, GET count, and how many of
+  * those arrived through parquet's readVectored fan-out. Atomics —
+  * vectored fetches increment from pool threads. */
+private[graft] final class GraftRangedMetricsSink {
+  val bytes = new AtomicLong(0)
+  val gets = new AtomicLong(0)
+  val vectored = new AtomicLong(0)
+}
+
+/** DSv2 custom metrics for the in-place scan path: transfer efficiency
+  * (the column-bytes-not-file-bytes claim) becomes visible per scan in
+  * the Spark UI / SQLMetrics instead of only in gate requires. One
+  * CONCRETE 0-arg class per metric — SQLAppStatusListener
+  * re-instantiates metrics BY CLASS NAME on the driver to aggregate
+  * task values (the GraftMorMetrics rule). */
+class GraftRangedBytesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = GraftRangedMetrics.bytesServed
+  override def description(): String =
+    "bytes transferred by in-place ranged reads (footer + column chunks)"
+}
+
+class GraftRangedGetsMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = GraftRangedMetrics.gets
+  override def description(): String = "ranged GET requests issued by in-place reads"
+}
+
+class GraftRangedVectoredMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = GraftRangedMetrics.vectoredRanges
+  override def description(): String =
+    "column-chunk ranges served through parallel vectored reads"
+}
+
+private[lake] object GraftRangedMetrics {
+  val bytesServed = "graftRangedBytesServed"
+  val gets = "graftRangedGets"
+  val vectoredRanges = "graftRangedVectoredRanges"
+  def supported: Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new GraftRangedBytesMetric, new GraftRangedGetsMetric,
+      new GraftRangedVectoredMetric)
 }

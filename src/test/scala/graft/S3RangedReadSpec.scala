@@ -339,6 +339,67 @@ class S3RangedReadSpec extends SparkSpec {
     } finally { unM.close(); unA.close(); em.close() }
   }
 
+  test("in-place scans report ranged-read custom metrics (SQLMetrics): the bytes " +
+      "metric cross-checks EXACTLY against the server's own ledger") {
+    val em = new GraftS3Server("graft-ranged-met", creds)
+    val c = em.client
+    val whX = Paths.get(scratchRoot("s3-ranged", "met-whx"))
+    val whY = Paths.get(scratchRoot("s3-ranged",
+      s"met-why-${ProcessHandle.current().pid()}"))
+    Files.createDirectories(whX); Files.createDirectories(whY)
+    val unA = GraftS3.mountCommitArbiter(whX, c)
+    val unM = GraftS3.mountArtifactMirror(whX, c)
+    val unH = GraftS3.mountOnDemandHydration(whY, c, readInPlace = true)
+    try {
+      val prnd = new java.util.Random(211L)
+      val rows = (1 to 2500).map { i =>
+        val pad = new Array[Byte](250); prnd.nextBytes(pad)
+        (i.toLong, java.util.Base64.getEncoder.encodeToString(pad), i.toLong * 3)
+      }
+      val df = rows.toDF("id", "payload", "v")
+      val tblX = whX.resolve("ns").resolve("mm")
+      GraftTable.create(spark, tblX.toString, df.schema)
+      GraftTable.append(spark, tblX.toString, df.coalesce(1))
+      val tblY = whY.resolve("ns").resolve("mm")
+      Files.createDirectories(tblY)
+      GraftS3.syncMetadata(tblY, c, "ns/mm")
+      spark.conf.set("spark.sql.catalog.graft_rmet", "graft.lake.GraftSparkCatalog")
+      spark.conf.set("spark.sql.catalog.graft_rmet.warehouse", whY.toString)
+      em.bytesServed.clear()
+      val q = spark.sql("SELECT SUM(v) AS s FROM graft_rmet.ns.mm")
+      // collect(), not head(): head() builds a separate LIMIT execution
+      assert(q.collect()(0).getLong(0) == rows.map(_._3).sum)
+      Thread.sleep(300)   // let task-completion accumulator updates land
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: allNodes(s.plan)
+        case _ => p +: p.children.flatMap(allNodes)
+      }
+      val m = allNodes(q.queryExecution.executedPlan)
+        .filter(_.isInstanceOf[org.apache.spark.sql.execution.datasources
+          .v2.BatchScanExec])
+        .flatMap(_.metrics).toMap
+      assert(m.contains("graftRangedBytesServed"),
+        s"ranged metrics missing; have ${m.keys.mkString(", ")}")
+      val metered = m("graftRangedBytesServed").value
+      val server = em.bytesServedUnder("ns/mm/data/")
+      // the server additionally serves ~1-byte size probes (one per
+      // cached file-status miss) that the STREAM ledger rightly skips
+      assert(metered > 0 && metered <= server && server - metered <= 16,
+        s"bytes metric must match the server ledger: metered=$metered server=$server")
+      assert(m("graftRangedGets").value >= 2,
+        s"footer + chunk: ${m("graftRangedGets").value} GETs")
+      assert(m("graftRangedVectoredRanges").value >= 1,
+        s"the projected chunks ride readVectored: ${m("graftRangedVectoredRanges").value}")
+      assert(m("graftRangedGets").value >= m("graftRangedVectoredRanges").value,
+        "every vectored range is itself one ranged GET")
+      assert(em.rejected.get == 0)
+    } finally { unH.close(); unM.close(); unA.close(); em.close() }
+  }
+
   test("listStatus serves sizes off the ONE list page — ZERO per-key probes — and " +
       "pre-warms the size cache for the getFileStatus that precedes every open") {
     val em = new GraftS3Server("graft-ranged-ls", creds)
