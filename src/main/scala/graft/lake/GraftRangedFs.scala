@@ -126,12 +126,20 @@ final class GraftRangedFs extends FileSystem {
     }
   }
 
-  /** ListObjectsV2 already ships `<Size>` per key, so a listing issues
-    * ZERO per-key probes (a 10k-file prefix costs the page walk, not
-    * 10k GETs) and pre-warms the size cache for the opens that follow.
-    * The probe remains only for a non-compliant store omitting Size. */
+  /** Hadoop contract: listing a FILE returns that file's own status —
+    * Spark's InMemoryFileIndex listStatus-es every root path it is
+    * handed, so the V1 plane's per-file `spark.read.parquet(grafts3://
+    * …/x.parquet)` reads depend on this arm (without it the index sees
+    * zero leaf files and the scan is silently empty). A DIRECTORY
+    * prefix lists via ListObjectsV2, whose `<Size>` per key means ZERO
+    * per-key probes (a 10k-file prefix costs the page walk, not 10k
+    * GETs) and pre-warms the size cache for the opens that follow; the
+    * per-key probe remains only for a non-compliant store omitting
+    * Size. */
   override def listStatus(f: HPath): Array[FileStatus] = {
     val key = keyOf(f)
+    if (key.nonEmpty && sizeOfCached(key).isDefined)
+      return Array(getFileStatus(f))
     val prefix = if (key.isEmpty) "" else key + "/"
     client.listWithSizes(prefix).map { case (k, sz) =>
       val len =

@@ -513,6 +513,28 @@ object GraftTable {
       if (Files.exists(nroot.resolve(rel))) None else res(nroot, rel)
     }
 
+  /** DataFrameReader options that let the V1 plane's spark.read.parquet
+    * open `grafts3://` URIs — the V1 twin of the native scan's
+    * stampRangedFsConf: the scheme's FileSystem impl plus the
+    * per-token client conf executor JVMs outside the driver-local
+    * registry rebuild from (file-source options merge into the scan's
+    * hadoop conf via newHadoopConfWithOptions). Only consulted when a
+    * read actually resolved a remote path. */
+  private def rangedReadOptions: Map[String, String] =
+    (GraftRangedFs.confKey +: remoteReadConf.map(_()).getOrElse(Seq.empty)).toMap
+
+  /** Resolve a V1 read's data paths: evicted/never-hydrated files on a
+    * ranged mount read IN PLACE (grafts3:// — footer + projected
+    * column chunks; Catalyst pushes the projection into the parquet
+    * scan, so the V1 plane transfers column bytes too), everything
+    * else reads its local path. Returns (per-path URI map, the paths
+    * that still need hydration). */
+  private def resolveV1Reads(root: String,
+      dataPaths: Seq[String]): (Map[String, String], Seq[String]) = {
+    val remote = dataPaths.flatMap(p => remoteReadPath(root, p).map(p -> _)).toMap
+    (remote, dataPaths.filterNot(remote.contains))
+  }
+
   /** Invoked with the table ROOT before the CDC stream source reads
     * the local log head for a poll: a mounted fleet follower
     * (GraftS3.mountAutoSync) pulls new remote commits here, making
@@ -3678,9 +3700,11 @@ object GraftTable {
       dataPaths: Seq[String], deletes: Seq[(String, Int, Seq[String])]): DataFrame =
     if (dataPaths.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else if (deletes.isEmpty) {
-      hydrate(root, dataPaths)
-      val raw = spark.read.schema(physReadSchema(schema))
-        .parquet(dataPaths.map(p => s"$root/$p"): _*)
+      val (remote, toHydrate) = resolveV1Reads(root, dataPaths)
+      hydrate(root, toHydrate)
+      var rd = spark.read.schema(physReadSchema(schema))
+      if (remote.nonEmpty) rd = rd.options(rangedReadOptions)
+      val raw = rd.parquet(dataPaths.map(p => remote.getOrElse(p, s"$root/$p")): _*)
       if (hasRenames(schema)) logicalProject(raw, schema) else raw
     }
     else liveRowsWithIds(spark, root, schema, dataPaths, deletes)
@@ -3691,13 +3715,18 @@ object GraftTable {
   private def liveRowsWithIds(spark: SparkSession, root: String, schema: StructType,
       dataPaths: Seq[String], deletes: Seq[(String, Int, Seq[String])],
       extraPhys: Seq[StructField] = Seq.empty): DataFrame = {
-    hydrate(root, dataPaths ++ deletes.map(_._1))
+    // data files may read IN PLACE on a ranged mount; MoR delete files
+    // always hydrate (small, read whole, shared across readers — the
+    // native plane's rule)
+    val (remote, toHydrate) = resolveV1Reads(root, dataPaths)
+    hydrate(root, toHydrate ++ deletes.map(_._1))
     val posD = deletes.filter(_._2 == 1)
     val dvD = deletes.filter(_._2 == 3)
     val eqD = deletes.filter(_._2 == 2)
-    var df = spark.read
+    var rd = spark.read
       .schema(StructType(physReadSchema(schema).fields ++ extraPhys))
-      .parquet(dataPaths.map(p => s"$root/$p"): _*)
+    if (remote.nonEmpty) rd = rd.options(rangedReadOptions)
+    var df = rd.parquet(dataPaths.map(p => remote.getOrElse(p, s"$root/$p")): _*)
       .withColumn("_gf_path", col("_metadata.file_path"))
       .withColumn("_gf_pos", col("_metadata.row_index"))
       .withColumn("_gf_snap",

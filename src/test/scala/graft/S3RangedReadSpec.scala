@@ -400,6 +400,69 @@ class S3RangedReadSpec extends SparkSpec {
     } finally { unH.close(); unM.close(); unA.close(); em.close() }
   }
 
+  test("the V1 plane reads in place too: a declared native-scan fallback on a ranged " +
+      "follower transfers column bytes (not files) and hydrates only MoR deletes, " +
+      "and a CDC diff read materializes nothing") {
+    val em = new GraftS3Server("graft-ranged-v1", creds)
+    val c = em.client
+    val whX = Paths.get(scratchRoot("s3-ranged", "v1-whx"))
+    val whY = Paths.get(scratchRoot("s3-ranged",
+      s"v1-why-${ProcessHandle.current().pid()}"))
+    Files.createDirectories(whX); Files.createDirectories(whY)
+    val unA = GraftS3.mountCommitArbiter(whX, c)
+    val unM = GraftS3.mountArtifactMirror(whX, c)
+    val unH = GraftS3.mountOnDemandHydration(whY, c, readInPlace = true)
+    try {
+      val prnd = new java.util.Random(311L)
+      val rows = (1L to 3000L).map { i =>
+        val pad = new Array[Byte](300); prnd.nextBytes(pad)
+        (i, java.util.Base64.getEncoder.encodeToString(pad))
+      }
+      val df = rows.toDF("id", "payload")
+      val tblX = whX.resolve("ns").resolve("v1")
+      GraftTable.create(spark, tblX.toString, df.schema,
+        Map("write.delete.mode" -> "merge-on-read"))
+      GraftTable.append(spark, tblX.toString, df.coalesce(1))
+      GraftTable.deleteWhere(spark, tblX.toString, col("id") % 7 === 0)
+
+      val tblY = whY.resolve("ns").resolve("v1")
+      Files.createDirectories(tblY)
+      GraftS3.syncMetadata(tblY, c, "ns/v1")
+      // route the MoR snapshot to the V1 anti-join plane — one of the
+      // DECLARED fallbacks (the same door eq-key overflow takes)
+      spark.conf.set("spark.graft.native-scan.mor.enabled", "false")
+      try {
+        em.bytesServed.clear()
+        val got = GraftTable.read(spark, tblY.toString)
+          .select(col("id")).as[Long].collect().toSet
+        assert(got == rows.map(_._1).filterNot(_ % 7 == 0).toSet,
+          "the V1 MoR read over in-place data files is exact")
+        assert(!Files.isDirectory(tblY.resolve("data")),
+          "V1 data files stay remote — in-place, not hydrated")
+        assert(Files.isDirectory(tblY.resolve("deletes")),
+          "MoR delete files hydrate (small, read whole) on the V1 plane too")
+        // the projection dropped the dominant payload column: Catalyst
+        // pushes the pruning into the V1 parquet scan, so the transfer
+        // is column bytes even without the native reader
+        val servedData = em.bytesServedUnder("ns/v1/data/")
+        val liveBytes = GraftTable.liveDataFiles(tblY.toString, Seq.empty)
+          .map(_.sizeBytes).sum
+        assert(servedData > 0 && servedData < liveBytes / 2,
+          s"V1 in-place is column bytes: served $servedData of $liveBytes live")
+      } finally spark.conf.unset("spark.graft.native-scan.mor.enabled")
+
+      // the CDC diff read (a V1-plane reader by construction) serves
+      // off the store as well: nothing materializes locally
+      val changed = GraftTable.changes(spark, tblY.toString, 1L, 2L)
+        .filter(col("_change_type") === "delete").count()
+      assert(changed == rows.count(_._1 % 7 == 0),
+        "the CDC diff over in-place reads is exact")
+      assert(!Files.isDirectory(tblY.resolve("data")),
+        "the CDC read materializes nothing locally")
+      assert(em.rejected.get == 0)
+    } finally { unH.close(); unM.close(); unA.close(); em.close() }
+  }
+
   test("listStatus serves sizes off the ONE list page — ZERO per-key probes — and " +
       "pre-warms the size cache for the getFileStatus that precedes every open") {
     val em = new GraftS3Server("graft-ranged-ls", creds)
@@ -418,16 +481,21 @@ class S3RangedReadSpec extends SparkSpec {
         val fs = dir.getFileSystem(hc)
         val gets0 = em.getCalls.get
         val listed = fs.listStatus(dir)
-        assert(em.getCalls.get == gets0,
+        // at most ONE probe — the is-it-a-file check on the dir key
+        // itself (the Hadoop list-a-file contract); never O(keys)
+        assert(em.getCalls.get - gets0 <= 1,
           "a listing issues ZERO per-key size probes (ListObjectsV2 ships <Size>)")
         assert(listed.map(st =>
           st.getPath.toUri.getPath.stripPrefix("/") -> st.getLen).toMap == sizes,
           "listed sizes come off the page itself")
         // pre-warm: the getFileStatus a reader issues before open()
         // is served from the cache the listing just filled
+        val gets1 = em.getCalls.get
         val one = new org.apache.hadoop.fs.Path(s"grafts3://$token/dir/obj-007")
         assert(fs.getFileStatus(one).getLen == sizes("dir/obj-007"))
-        assert(em.getCalls.get == gets0, "the size cache is pre-warmed by the listing")
+        assert(em.getCalls.get == gets1, "the size cache is pre-warmed by the listing")
+        // and the list-a-FILE contract: the file's own status comes back
+        assert(fs.listStatus(one).map(_.getLen).toSeq == Seq(sizes("dir/obj-007")))
         assert(em.rejected.get == 0)
       } finally unreg.close()
     } finally em.close()
