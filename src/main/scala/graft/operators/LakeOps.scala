@@ -765,14 +765,17 @@ object LakeOps {
 
   // ── q62: .entries/.metadata_log_entries/.all_files lifecycle ────────
   /** The manifest-entries metadata family under a full lifecycle:
-    * appends, a CoW delete, compaction, then expiry. The summary pins
-    * (a) one status-1 row per added file and status-2 per remove, (b)
-    * removes resolving real record counts through retained adds AND
-    * the −1 sentinel for adds the expiry dropped, (c) one
-    * `.metadata_log_entries` row per retained commit, (d) `.all_files`
-    * keeping removed files visible (live=false) with live records
-    * equal to the surviving table. Rows-only: the lifecycle is not one
-    * SQL statement. */
+    * appends, a CoW delete, compaction, then expiry. Every structural
+    * invariant pins as a `require` — status-1/2 rows present, removes
+    * resolving BOTH through retained adds and to the −1 sentinel for
+    * adds the expiry dropped, one `.metadata_log_entries` row per
+    * retained commit, `.all_files` keeping removed files visible with
+    * live records equal to the surviving table, and the entries-walk's
+    * own live-set reconstruction (adds minus removes) agreeing with
+    * the planner's — and the OUTPUT is the deterministic end state
+    * those entries select (the post-delete survivors), which DuckDB
+    * recomputes from the raw parquet: a full hash oracle over the
+    * metadata family (the r13 pattern that converted q23/q24/q25). */
   def q62(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val root = scratch("q62")
@@ -784,22 +787,35 @@ object LakeOps {
     GraftTable.rewriteDataFiles(s, root, targetFileSizeBytes = 64L * 1024 * 1024)   // 4
     GraftTable.expireSnapshots(root, retainLast = 2)   // ckpt at 3; ids {3,4}
     val e = GraftTable.entriesTable(s, root).cache()
-    val adds = e.filter(col("status") === 1).count()
-    val removes = e.filter(col("status") === 2).count()
-    val preLog = e.filter(col("record_count") === -1L).count()
-    val resolved = e.filter(col("status") === 2 && col("record_count") > 0).count()
-    require(preLog > 0 && resolved > 0,
+    require(e.filter(col("status") === 1).count() > 0 &&
+      e.filter(col("status") === 2).count() > 0,
+      "the walk must carry both adds and removes")
+    require(e.filter(col("record_count") === -1L).count() > 0 &&
+      e.filter(col("status") === 2 && col("record_count") > 0).count() > 0,
       "lifecycle must exercise both remove-resolution paths")
-    val mlRows = GraftTable.metadataLogEntriesTable(s, root).count()
+    require(GraftTable.metadataLogEntriesTable(s, root).count() == 2,
+      "one .metadata_log_entries row per retained commit (retainLast = 2)")
     val af = GraftTable.allFilesTable(s, root).cache()
     val liveRecords = af.filter(col("live"))
       .agg(sum(col("record_count"))).head().getLong(0)
-    val deadFiles = af.filter(!col("live")).count()
+    require(af.filter(!col("live")).count() > 0,
+      ".all_files must keep removed files visible (live = false)")
     require(liveRecords == GraftTable.read(s, root).count(),
       ".all_files live records must equal the table")
-    Seq((adds, removes, preLog, resolved, mlRows, liveRecords, deadFiles))
-      .toDF("entry_adds", "entry_removes", "removes_prelog", "removes_resolved",
-        "metadata_log_rows", "live_records", "dead_files")
+    // the entries walk reconstructs the live set on its own (names are
+    // unique, so adds minus removes IS liveness) and must agree with
+    // the planner — the compaction rewrote every survivor inside the
+    // retained window, so the walk sees the whole live lineage
+    val walkLive = e.filter(col("status") === 1).select(col("file_path"))
+      .except(e.filter(col("status") === 2).select(col("file_path")))
+      .as[String].collect().toSet
+    val planned = GraftTable.liveDataFiles(root, Seq.empty).map(_.path).toSet
+    require(walkLive == planned,
+      s"the entries walk selects exactly the planner's live set: " +
+        s"${walkLive.size} vs ${planned.size}")
+    GraftTable.read(s, root)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
   }
 
   // ── q63: REPLACE TABLE in-lineage lifecycle ─────────────────────────
@@ -810,9 +826,11 @@ object LakeOps {
     * the tag survives the replace, (d) the new schema + partition spec
     * are active with the new files carrying the new spec's tuples, and
     * (e) CDC refuses to cross the boundary but serves the post-replace
-    * side. Rows-only: the lifecycle is not one SQL statement. */
+    * side — ALL as requires; the OUTPUT is the post-replace visible
+    * rows after a follow-up INSERT refills the odd keys, which DuckDB
+    * recomputes from the raw parquet: a full hash oracle over the
+    * REPLACE lifecycle (the r13 pattern). */
   def q63(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val wh = scratch("q63-wh")
     Files.createDirectories(Paths.get(wh))
     s.conf.set("spark.sql.catalog.graft_r", "graft.lake.GraftSparkCatalog")
@@ -850,9 +868,18 @@ object LakeOps {
       |WHERE c_custkey % 2 = 1""".stripMargin)                                 // 4
     val cdcAfter = GraftTable.changes(s, root, snap.snapshotId, snap.snapshotId + 1)
       .filter(col("_change_type") === "insert").count()
-    Seq((preRows, newRows, ttById, ttByTag, replaceCommits, cdcAfter))
-      .toDF("pre_rows", "post_rows", "tt_by_id_rows", "tt_by_tag_rows",
-        "replace_commits", "cdc_inserts_after")
+    // the old rows-only summary, pinned as invariants instead
+    val srcCount = Tables.customer(s, dir).count()
+    val evens = Tables.customer(s, dir).filter(col("c_custkey") % 2 === 0).count()
+    require(preRows == srcCount, s"pre-replace rows $preRows != source $srcCount")
+    require(newRows == evens, s"post-replace rows $newRows != even keys $evens")
+    require(ttById == preRows && ttByTag == preRows,
+      "both time-travel doors must serve the pre-replace generation")
+    require(replaceCommits == 1, s"exactly one replace commit: $replaceCommits")
+    require(cdcAfter == srcCount - evens,
+      s"post-replace CDC inserts $cdcAfter != odd keys ${srcCount - evens}")
+    s.sql("""SELECT c_custkey, c_acctbal, segment
+      |FROM graft_r.lab.cust ORDER BY c_custkey""".stripMargin)
   }
 
   // ── q64: full-grammar SQL MERGE (upsert with tombstones), oracle ────
@@ -1652,6 +1679,16 @@ object LakeOps {
     "q113_lake_s3_bounded" -> q113 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q62_lake_entries" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer WHERE NOT (c_acctbal < 0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q63_lake_replace" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment AS segment
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
     "q113_lake_s3_bounded" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE NOT (o_totalprice < 20000)
