@@ -474,19 +474,24 @@ private[lake] case class GraftKeyedPartition(index: Int,
   * report zeros. */
 private[lake] case class GraftMeteredFactory(delegate: PartitionReaderFactory)
     extends PartitionReaderFactory {
-  private def installed(): GraftRangedMetricsSink = {
+  /** Install a sink, build the delegate reader under it, and UNINSTALL
+    * on a build failure — a stale sink left on the pooled task thread
+    * would adopt a later non-metered stream's bytes. */
+  private def metered[T](build: => PartitionReader[T]): PartitionReader[T] = {
     val sink = new GraftRangedMetricsSink
     GraftRangedFs.taskSink.set(sink)
-    sink
+    val delegate =
+      try build
+      catch { case t: Throwable =>
+        if (GraftRangedFs.taskSink.get() eq sink) GraftRangedFs.taskSink.remove()
+        throw t
+      }
+    new GraftMeteredReader(delegate, sink)
   }
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val sink = installed()
-    new GraftMeteredReader(delegate.createReader(p), sink)
-  }
-  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
-    val sink = installed()
-    new GraftMeteredReader(delegate.createColumnarReader(p), sink)
-  }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    metered(delegate.createReader(p))
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
+    metered(delegate.createColumnarReader(p))
   override def supportColumnarReads(p: InputPartition): Boolean =
     delegate.supportColumnarReads(p)
 }
@@ -495,12 +500,14 @@ private[lake] final class GraftMeteredReader[T](delegate: PartitionReader[T],
     sink: GraftRangedMetricsSink) extends PartitionReader[T] {
   override def next(): Boolean = delegate.next()
   override def get(): T = delegate.get()
-  override def close(): Unit = {
-    delegate.close()
-    // clear only our own install: a second reader on this pooled task
+  override def close(): Unit =
+    // finally: a throwing delegate close must still clear the install;
+    // and clear only our OWN — a second reader on this pooled task
     // thread may already have replaced it
-    if (GraftRangedFs.taskSink.get() eq sink) GraftRangedFs.taskSink.remove()
-  }
+    try delegate.close()
+    finally {
+      if (GraftRangedFs.taskSink.get() eq sink) GraftRangedFs.taskSink.remove()
+    }
   override def currentMetricsValues(): Array[
       org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     delegate.currentMetricsValues() ++ Array(

@@ -138,16 +138,33 @@ final class GraftRangedFs extends FileSystem {
     * Size. */
   override def listStatus(f: HPath): Array[FileStatus] = {
     val key = keyOf(f)
-    if (key.nonEmpty && sizeOfCached(key).isDefined)
-      return Array(getFileStatus(f))
-    val prefix = if (key.isEmpty) "" else key + "/"
-    client.listWithSizes(prefix).map { case (k, sz) =>
-      val len =
-        if (sz >= 0) { sizeCache.put(k, sz); sz }
-        else client.sizeOf(k).getOrElse(0L)
-      new FileStatus(len, false, 1, GraftRangedFs.blockSizeBytes, 0L,
-        new HPath(s"$getScheme://${fsUri.getAuthority}/$k"))
-    }.toArray
+    def fileArm: Option[Array[FileStatus]] =
+      if (key.isEmpty) None
+      else sizeOfCached(key).map(_ => Array(getFileStatus(f)))
+    def dirArm: Array[FileStatus] = {
+      val prefix = if (key.isEmpty) "" else key + "/"
+      client.listWithSizes(prefix).map { case (k, sz) =>
+        val len =
+          if (sz >= 0) { sizeCache.put(k, sz); sz }
+          else client.sizeOf(k).getOrElse(0L)
+        new FileStatus(len, false, 1, GraftRangedFs.blockSizeBytes, 0L,
+          new HPath(s"$getScheme://${fsUri.getAuthority}/$k"))
+      }.toArray
+    }
+    // arm order by the key's SHAPE, so the common case costs no extra
+    // probe: graft artifacts always carry an extension (a dotted last
+    // segment → try the file arm first; one cached-size hit serves the
+    // Hadoop list-a-FILE contract), while table/partition prefixes
+    // never do (→ straight to the one-page listing; probing first
+    // would 404 on every repeated directory listing forever, and
+    // absence is not cacheable — the key may be written later).
+    // Extensionless files still resolve: an empty listing falls back
+    // to the file arm.
+    if (key.split('/').last.contains('.')) fileArm.getOrElse(dirArm)
+    else {
+      val d = dirArm
+      if (d.nonEmpty) d else fileArm.getOrElse(d)
+    }
   }
 
   override def setWorkingDirectory(dir: HPath): Unit = workDir = dir
@@ -258,16 +275,7 @@ object GraftRangedFs {
     vecConcurrency = math.max(2, n)
     vectorPoolRef.get() match {
       case null => ()
-      case pool =>
-        // grow max first / shrink core first: setMaximumPoolSize below
-        // corePoolSize (or vice versa) throws
-        if (vecConcurrency >= pool.getMaximumPoolSize) {
-          pool.setMaximumPoolSize(vecConcurrency)
-          pool.setCorePoolSize(vecConcurrency)
-        } else {
-          pool.setCorePoolSize(vecConcurrency)
-          pool.setMaximumPoolSize(vecConcurrency)
-        }
+      case pool => GraftS3.resizePool(pool, vecConcurrency)
     }
   }
   @volatile private var vecConcurrency: Int =

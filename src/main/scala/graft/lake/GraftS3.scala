@@ -699,22 +699,8 @@ object GraftS3 {
         val ch = java.nio.channels.FileChannel.open(tmp,
           java.nio.file.StandardOpenOption.CREATE_NEW,
           java.nio.file.StandardOpenOption.WRITE)
+        val probeBody = probe.body()
         try {
-          // land the probe's own 206 body first (streamed, 64 KiB
-          // buffer — never a part-sized array for bytes already here)
-          val in = probe.body()
-          try {
-            val buf = new Array[Byte](64 * 1024)
-            var off = 0L
-            var n = in.read(buf)
-            while (n >= 0) {
-              val bb = java.nio.ByteBuffer.wrap(buf, 0, n)
-              while (bb.hasRemaining) off += ch.write(bb, off)
-              n = in.read(buf)
-            }
-            require(off == firstTo + 1,
-              s"short probe range [0,$firstTo] of $key: got $off")
-          } finally in.close()
           val pending = scala.collection.mutable.Queue
             .empty[java.util.concurrent.Future[_]]
           var inFlight = 0
@@ -732,6 +718,11 @@ object GraftS3 {
             inFlight -= 1
           }
           try {
+            // submit the SIBLING ranges first — the probe's 206 already
+            // proved ranged support, so its body can drain on THIS
+            // thread while the siblings transfer in parallel (the
+            // probe-as-first-range would otherwise serialize one full
+            // part of dead time onto every large download)
             var from = firstTo + 1
             var n = 0
             while (from < size) {
@@ -757,13 +748,31 @@ object GraftS3 {
               inFlight += 1
               from = to + 1
             }
+            // the probe's own 206 body lands at offset 0 (streamed,
+            // 64 KiB buffer — never a part-sized array for bytes
+            // already on the socket)
+            locally {
+              val buf = new Array[Byte](64 * 1024)
+              var off = 0L
+              var r = probeBody.read(buf)
+              while (r >= 0) {
+                val bb = java.nio.ByteBuffer.wrap(buf, 0, r)
+                while (bb.hasRemaining) off += ch.write(bb, off)
+                r = probeBody.read(buf)
+              }
+              require(off == firstTo + 1,
+                s"short probe range [0,$firstTo] of $key: got $off")
+            }
             while (pending.nonEmpty) drainOne()
           } catch { case t: Throwable =>
             downloadAborted.set(true)
             pending.foreach(f => try f.get() catch { case _: Throwable => () })
             throw t
           }
-        } finally ch.close()
+        } finally {
+          try probeBody.close() catch { case _: Throwable => () }
+          ch.close()
+        }
         Files.move(tmp, dest,
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       } finally Files.deleteIfExists(tmp)
@@ -877,18 +886,25 @@ object GraftS3 {
     hydConcurrency = math.max(2, n)
     hydPoolRef.get() match {
       case null => ()
-      case pool =>
-        // grow max first / shrink core first: setMaximumPoolSize below
-        // corePoolSize (or vice versa) throws
-        if (hydConcurrency >= pool.getMaximumPoolSize) {
-          pool.setMaximumPoolSize(hydConcurrency)
-          pool.setCorePoolSize(hydConcurrency)
-        } else {
-          pool.setCorePoolSize(hydConcurrency)
-          pool.setMaximumPoolSize(hydConcurrency)
-        }
+      case pool => resizePool(pool, hydConcurrency)
     }
   }
+
+  /** Resize a live fixed-size pool — ONE copy for every knob (the
+    * hydration and vectored pools share it): grow max first / shrink
+    * core first (the inverse order throws), serialized per pool so two
+    * concurrent knob writes can't interleave into core > max. */
+  private[graft] def resizePool(
+      pool: java.util.concurrent.ThreadPoolExecutor, n: Int): Unit =
+    pool.synchronized {
+      if (n >= pool.getMaximumPoolSize) {
+        pool.setMaximumPoolSize(n)
+        pool.setCorePoolSize(n)
+      } else {
+        pool.setCorePoolSize(n)
+        pool.setMaximumPoolSize(n)
+      }
+    }
   @volatile private var hydConcurrency: Int = 8
   private val hydPoolRef =
     new java.util.concurrent.atomic.AtomicReference[java.util.concurrent.ThreadPoolExecutor]()
@@ -1073,8 +1089,16 @@ object GraftS3 {
         // artifact it references is durably remote (the barrier above)
         // and consumed from the pending-upload map — the local copies
         // become CACHE, not the only copy, and a budgeted mount may
-        // evict them
-        if (won) trackMirrored(target, content)
+        // evict them. BEST-EFFORT by construction: the slot is already
+        // durably won, so an eviction hiccup (a transient size-probe
+        // failure, a concurrent evictLocalData racing a delete) must
+        // never surface as a commit failure — the caller would retry
+        // onto slot N+1 and replay a commit that already exists. The
+        // next commit's (or scan's) sweep re-enforces the budget.
+        if (won) {
+          try trackMirrored(target, content)
+          catch { case _: Throwable => () }
+        }
         won
       case None => arbPrev.forall(_(target, content))
     }
@@ -1309,7 +1333,9 @@ object GraftS3 {
                 m.touched.remove(rel); m.trackedBytes -= tracked.longValue
                 more = true
               } else if (ok) {
-                Files.delete(local)
+                // deleteIfExists: a concurrent evictLocalData may have
+                // taken the file between the exists check and here
+                Files.deleteIfExists(local)
                 m.touched.remove(rel); m.trackedBytes -= tracked.longValue
                 more = true
               } else { unconfirmable += rel; more = true }

@@ -369,7 +369,6 @@ class S3RangedReadSpec extends SparkSpec {
       val q = spark.sql("SELECT SUM(v) AS s FROM graft_rmet.ns.mm")
       // collect(), not head(): head() builds a separate LIMIT execution
       assert(q.collect()(0).getLong(0) == rows.map(_._3).sum)
-      Thread.sleep(300)   // let task-completion accumulator updates land
       def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
           : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -384,6 +383,12 @@ class S3RangedReadSpec extends SparkSpec {
         .flatMap(_.metrics).toMap
       assert(m.contains("graftRangedBytesServed"),
         s"ranged metrics missing; have ${m.keys.mkString(", ")}")
+      // task-completion accumulator updates land on the async listener
+      // bus: POLL (never a fixed sleep — this box's co-tenant load can
+      // stall the bus well past any constant)
+      val deadline = System.currentTimeMillis + 30000
+      while (m("graftRangedBytesServed").value == 0 &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
       val metered = m("graftRangedBytesServed").value
       val server = em.bytesServedUnder("ns/mm/data/")
       // the server additionally serves ~1-byte size probes (one per
