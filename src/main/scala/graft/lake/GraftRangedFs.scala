@@ -151,16 +151,17 @@ final class GraftRangedFs extends FileSystem {
           new HPath(s"$getScheme://${fsUri.getAuthority}/$k"))
       }.toArray
     }
-    // arm order by the key's SHAPE, so the common case costs no extra
-    // probe: graft artifacts always carry an extension (a dotted last
-    // segment → try the file arm first; one cached-size hit serves the
-    // Hadoop list-a-FILE contract), while table/partition prefixes
-    // never do (→ straight to the one-page listing; probing first
-    // would 404 on every repeated directory listing forever, and
-    // absence is not cacheable — the key may be written later).
-    // Extensionless files still resolve: an empty listing falls back
-    // to the file arm.
-    if (key.split('/').last.contains('.')) fileArm.getOrElse(dirArm)
+    // arm order by what's KNOWN, so neither shape pays a recurring
+    // probe: a size-cached key IS a file (objects are immutable) —
+    // serve the Hadoop list-a-FILE contract straight off the cache
+    // (Spark's file index always getFileStatus-es the root before
+    // listing it, so the V1 per-file path lands here warm). Anything
+    // else lists first (one page, zero probes — the directory case
+    // must never pay a 404 probe per listing, and absence is not
+    // cacheable since the key may be written later); an EMPTY listing
+    // falls back to the one-off file probe, which covers a cold file
+    // key of any name shape.
+    if (key.nonEmpty && sizeCache.containsKey(key)) Array(getFileStatus(f))
     else {
       val d = dirArm
       if (d.nonEmpty) d else fileArm.getOrElse(d)

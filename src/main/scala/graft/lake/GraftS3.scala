@@ -718,11 +718,30 @@ object GraftS3 {
             inFlight -= 1
           }
           try {
-            // submit the SIBLING ranges first — the probe's 206 already
-            // proved ranged support, so its body can drain on THIS
-            // thread while the siblings transfer in parallel (the
-            // probe-as-first-range would otherwise serialize one full
-            // part of dead time onto every large download)
+            // the probe's 206 body drains on the range pool as the
+            // FIRST sibling: its bytes overlap the ranged fan-out (the
+            // probe-as-serial-prefix would add one part of dead time to
+            // every large download) AND the connection is consumed
+            // promptly — a real store reaps slow readers, so leaving
+            // the probe unread for the whole transfer risks a reset
+            // that discards every transferred sibling byte
+            pending.enqueue(rangePool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = {
+                val buf = new Array[Byte](64 * 1024)
+                var off = 0L
+                var r = probeBody.read(buf)
+                while (r >= 0) {
+                  if (downloadAborted.get) throw new java.util.concurrent
+                    .CancellationException(s"download of $key aborted")
+                  val bb = java.nio.ByteBuffer.wrap(buf, 0, r)
+                  while (bb.hasRemaining) off += ch.write(bb, off)
+                  r = probeBody.read(buf)
+                }
+                require(off == firstTo + 1,
+                  s"short probe range [0,$firstTo] of $key: got $off")
+              }
+            }))
+            inFlight += 1
             var from = firstTo + 1
             var n = 0
             while (from < size) {
@@ -747,21 +766,6 @@ object GraftS3 {
               }))
               inFlight += 1
               from = to + 1
-            }
-            // the probe's own 206 body lands at offset 0 (streamed,
-            // 64 KiB buffer — never a part-sized array for bytes
-            // already on the socket)
-            locally {
-              val buf = new Array[Byte](64 * 1024)
-              var off = 0L
-              var r = probeBody.read(buf)
-              while (r >= 0) {
-                val bb = java.nio.ByteBuffer.wrap(buf, 0, r)
-                while (bb.hasRemaining) off += ch.write(bb, off)
-                r = probeBody.read(buf)
-              }
-              require(off == firstTo + 1,
-                s"short probe range [0,$firstTo] of $key: got $off")
             }
             while (pending.nonEmpty) drainOne()
           } catch { case t: Throwable =>
@@ -1097,7 +1101,10 @@ object GraftS3 {
         // next commit's (or scan's) sweep re-enforces the budget.
         if (won) {
           try trackMirrored(target, content)
-          catch { case _: Throwable => () }
+          catch {
+            case _: InterruptedException => Thread.currentThread().interrupt()
+            case scala.util.control.NonFatal(_) => ()
+          }
         }
         won
       case None => arbPrev.forall(_(target, content))
@@ -1134,8 +1141,7 @@ object GraftS3 {
           m.touched.synchronized {
             adds.foreach { a =>
               val local = tableRoot.resolve(a.path)
-              if (Files.exists(local))
-                m.touch(keyFor(m.root, local, ""), Files.size(local))
+              localSizeOpt(local).foreach(m.touch(keyFor(m.root, local, ""), _))
             }
           }
           sweepBudget(m, Set.empty)
@@ -1263,14 +1269,20 @@ object GraftS3 {
     * wrong results); a resubmission re-plans and re-hydrates. Size
     * the budget for the concurrency level, exactly as one sizes
     * executor memory. */
+  /** Files.size without the exists/size TOCTOU: a concurrent
+    * evictLocalData (or sibling sweep) may delete between a check and
+    * the probe — absence is a valid answer here, never an error. */
+  private def localSizeOpt(p: Path): Option[Long] =
+    try Some(Files.size(p))
+    catch { case _: IOException => None }
+
   private def enforceCacheBudget(m: HydMount, tableRoot: Path,
       rels: Seq[String]): Unit = m.maxLocalBytes.foreach { _ =>
     val current = rels.distinct.map(r =>
       keyFor(m.root, tableRoot.resolve(r), "")).toSet
     m.touched.synchronized {
       current.foreach { rel =>
-        val local = m.root.resolve(rel)
-        if (Files.exists(local)) m.touch(rel, Files.size(local))
+        localSizeOpt(m.root.resolve(rel)).foreach(m.touch(rel, _))
       }
     }
     sweepBudget(m, current)
@@ -1314,11 +1326,15 @@ object GraftS3 {
           acc.result()
         }
         if (candidates.isEmpty) return
-        // remote confirmation outside the monitor (the whole point)
+        // remote confirmation outside the monitor (the whole point);
+        // localSizeOpt: the file may vanish mid-probe under a
+        // concurrent evictLocalData — then there is nothing to evict
         val confirmed = candidates.map { case (rel, _) =>
           val local = m.root.resolve(rel)
-          val ok = !Files.exists(local) ||
-            m.client.sizeOf(m.prefix + rel).contains(Files.size(local))
+          val ok = localSizeOpt(local) match {
+            case None => true   // already gone: the apply step untracks
+            case Some(sz) => m.client.sizeOf(m.prefix + rel).contains(sz)
+          }
           (rel, ok)
         }
         m.touched.synchronized {

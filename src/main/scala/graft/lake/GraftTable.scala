@@ -530,10 +530,19 @@ object GraftTable {
     * else reads its local path. Returns (per-path URI map, the paths
     * that still need hydration). */
   private def resolveV1Reads(root: String,
-      dataPaths: Seq[String]): (Map[String, String], Seq[String]) = {
-    val remote = dataPaths.flatMap(p => remoteReadPath(root, p).map(p -> _)).toMap
-    (remote, dataPaths.filterNot(remote.contains))
-  }
+      dataPaths: Seq[String]): (Map[String, String], Seq[String]) =
+    resolveRemoteRead match {
+      case None => (Map.empty, dataPaths)   // no mount: zero per-path work
+      case Some(res) =>
+        // normalize ONCE — a 100k-file plan must not re-normalize the
+        // same root per file; the per-file work is the exists check
+        // (hydrated copies stay local) plus the mount lookup
+        val nroot = Paths.get(root).toAbsolutePath.normalize
+        val remote = dataPaths.flatMap { p =>
+          if (Files.exists(nroot.resolve(p))) None else res(nroot, p).map(p -> _)
+        }.toMap
+        (remote, dataPaths.filterNot(remote.contains))
+    }
 
   /** Invoked with the table ROOT before the CDC stream source reads
     * the local log head for a poll: a mounted fleet follower

@@ -434,12 +434,16 @@ class S3RangedReadSpec extends SparkSpec {
       Files.createDirectories(tblY)
       GraftS3.syncMetadata(tblY, c, "ns/v1")
       // route the MoR snapshot to the V1 anti-join plane — one of the
-      // DECLARED fallbacks (the same door eq-key overflow takes)
-      spark.conf.set("spark.graft.native-scan.mor.enabled", "false")
-      try {
+      // DECLARED fallbacks (the same door eq-key overflow takes). On a
+      // CLONED session: SQLConf is session-scoped, so the toggle can
+      // never leak into a parallel suite's native-MoR assertions (the
+      // r13 unscoped-global flake class)
+      locally {
+        val s2 = spark.newSession()
+        s2.conf.set("spark.graft.native-scan.mor.enabled", "false")
         em.bytesServed.clear()
-        val got = GraftTable.read(spark, tblY.toString)
-          .select(col("id")).as[Long].collect().toSet
+        val got = GraftTable.read(s2, tblY.toString)
+          .select(col("id")).collect().map(_.getLong(0)).toSet
         assert(got == rows.map(_._1).filterNot(_ % 7 == 0).toSet,
           "the V1 MoR read over in-place data files is exact")
         assert(!Files.isDirectory(tblY.resolve("data")),
@@ -454,7 +458,7 @@ class S3RangedReadSpec extends SparkSpec {
           .map(_.sizeBytes).sum
         assert(servedData > 0 && servedData < liveBytes / 2,
           s"V1 in-place is column bytes: served $servedData of $liveBytes live")
-      } finally spark.conf.unset("spark.graft.native-scan.mor.enabled")
+      }
 
       // the CDC diff read (a V1-plane reader by construction) serves
       // off the store as well: nothing materializes locally
@@ -486,10 +490,8 @@ class S3RangedReadSpec extends SparkSpec {
         val fs = dir.getFileSystem(hc)
         val gets0 = em.getCalls.get
         val listed = fs.listStatus(dir)
-        // at most ONE probe — the is-it-a-file check on the dir key
-        // itself (the Hadoop list-a-file contract); never O(keys)
-        assert(em.getCalls.get - gets0 <= 1,
-          "a listing issues ZERO per-key size probes (ListObjectsV2 ships <Size>)")
+        assert(em.getCalls.get == gets0,
+          "a directory listing issues ZERO size probes (ListObjectsV2 ships <Size>)")
         assert(listed.map(st =>
           st.getPath.toUri.getPath.stripPrefix("/") -> st.getLen).toMap == sizes,
           "listed sizes come off the page itself")
