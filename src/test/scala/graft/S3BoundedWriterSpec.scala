@@ -168,6 +168,51 @@ class S3BoundedWriterSpec extends SparkSpec {
     }
   }
 
+  test("budget 0 + read-in-place = the reference's exact deployment shape: a writer " +
+      "with NO local lake copy — every commit leaves zero local data bytes and every " +
+      "read serves over ranged GETs") {
+    val em = new GraftS3Server("graft-zerodisk", creds)
+    val c = em.client
+    val wh = Paths.get(scratchRoot("s3-bounded",
+      s"zd-${ProcessHandle.current().pid()}"))
+    Files.createDirectories(wh)
+    val unA = GraftS3.mountCommitArbiter(wh, c)
+    val unM = GraftS3.mountArtifactMirror(wh, c)
+    // budget 0: every mirror-confirmed artifact evicts at its own
+    // commit; readInPlace: reads never pull it back — the steady state
+    // holds NO local data bytes at all, matching the reference where
+    // no compose node carries a lake copy on either path
+    val unH = GraftS3.mountOnDemandHydration(wh, c,
+      maxLocalBytes = Some(0L), readInPlace = true)
+    try {
+      val all = rows(1800, 17L)
+      val tbl = wh.resolve("ns").resolve("t")
+      GraftTable.create(spark, tbl.toString, all.toDF("id", "p", "payload").schema)
+      def localData: Long = localDataBytes(wh)
+      (0 until 3).foreach { k =>
+        GraftTable.append(spark, tbl.toString,
+          all.filter(_._1 % 3 == k).toDF("id", "p", "payload").coalesce(1))
+        assert(localData == 0L, s"after append $k: $localData local bytes")
+      }
+      // CoW delete: reads its victims IN PLACE (zero hydration), writes
+      // the rewrite locally only transiently, evicts at the commit
+      GraftTable.deleteWhere(spark, tbl.toString, col("id") % 5 === 0)
+      assert(localData == 0L, s"after delete: $localData local bytes")
+      GraftTable.rewriteDataFiles(spark, tbl.toString,
+        targetFileSizeBytes = 64L * 1024 * 1024)
+      assert(localData == 0L, s"after compaction: $localData local bytes")
+      val opened0 = graft.lake.GraftRangedFs.opened.get
+      val got = GraftTable.read(spark, tbl.toString)
+        .as[(Long, Int, String)].collect().toSet
+      assert(got == all.filterNot(_._1 % 5 == 0).toSet,
+        "the zero-disk writer's table reads back exact")
+      assert(graft.lake.GraftRangedFs.opened.get > opened0,
+        "the read must serve through the grafts3 scheme")
+      assert(localData == 0L, s"after the read: $localData local bytes")
+      assert(em.rejected.get == 0)
+    } finally { unH.close(); unM.close(); unA.close(); em.close() }
+  }
+
   test("the pure-conf door: s3.local-cache-max-bytes on the WRITER catalog shape " +
       "bounds a partitioned SQL ingest, and pruned reads re-hydrate per partition") {
     val em = new GraftS3Server("graft-bounded-conf", creds)
