@@ -78,8 +78,15 @@ class S3BoundedWriterSpec extends SparkSpec {
         .map(_.path).toSet
 
       // CoW delete rewrites every file (id % 3 is in all of them): the
-      // pre-delete generation becomes cache and must evict at commit
+      // pre-delete generation becomes cache and must evict at commit.
+      // A 503 burst rides along — the throttles land across the
+      // rewrite's mirror uploads, the commit's conditional PUT, and
+      // the sweep's size-confirmation probes, and every one of them
+      // must absorb it (a failed CONFIRMATION merely defers that
+      // file's eviction; it must never delete or abort)
+      em.throttleNext.set(3)
       GraftTable.deleteWhere(spark, tbl.toString, col("id") % 3 === 0)
+      assert(em.throttled.get >= 3, "the throttle burst must fire")
       assert(localDataBytes(wh) <= budget,
         s"post-delete local bytes ${localDataBytes(wh)} must fit $budget")
       val evictedAppends = appendFiles.filter(p => !Files.exists(tbl.resolve(p)))
