@@ -164,7 +164,15 @@ final class GraftRangedFs extends FileSystem {
     if (key.nonEmpty && sizeCache.containsKey(key)) Array(getFileStatus(f))
     else {
       val d = dirArm
-      if (d.nonEmpty) d else fileArm.getOrElse(d)
+      if (d.nonEmpty) d
+      else fileArm.getOrElse {
+        // Hadoop contract: listing a NONEXISTENT path throws — an
+        // empty array here is the silent-empty-scan class this FS's
+        // own listStatus(FILE) fix documents. The bucket ROOT is the
+        // one valid empty directory (it always exists).
+        if (key.isEmpty) d
+        else throw new FileNotFoundException(s"grafts3 path not found: $key")
+      }
     }
   }
 
@@ -248,11 +256,18 @@ object GraftRangedFs {
     val token = s"m${tokenSeq.incrementAndGet()}"
     registry.put(token, client)
     (token, () => {
+      // eviction is best-effort — but NonFatal only, restoring the
+      // interrupt flag (the trackMirrored discipline): a VM error must
+      // not vanish here, and a swallowed interrupt would strand the
+      // closing thread's cancellation
       try {
         val conf = new Configuration()
         locally { val (k, v) = confKey; conf.set(k, v) }
         FileSystem.get(URI.create(s"grafts3://$token/"), conf).close()
-      } catch { case _: Throwable => () }   // eviction is best-effort
+      } catch {
+        case _: InterruptedException => Thread.currentThread().interrupt()
+        case scala.util.control.NonFatal(_) => ()
+      }
       registry.remove(token)
       ()
     })

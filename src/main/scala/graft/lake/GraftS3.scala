@@ -729,16 +729,31 @@ object GraftS3 {
               def call(): Unit = {
                 val buf = new Array[Byte](64 * 1024)
                 var off = 0L
-                var r = probeBody.read(buf)
-                while (r >= 0) {
+                try {
+                  var r = probeBody.read(buf)
+                  while (r >= 0) {
+                    if (downloadAborted.get) throw new java.util.concurrent
+                      .CancellationException(s"download of $key aborted")
+                    val bb = java.nio.ByteBuffer.wrap(buf, 0, r)
+                    while (bb.hasRemaining) off += ch.write(bb, off)
+                    r = probeBody.read(buf)
+                  }
+                } catch { case _: IOException => () }
+                // a reset or short read on the probe body must not fail
+                // the whole transfer while every sibling range enjoys
+                // its full retry ladder: the missing tail re-fetches as
+                // one retried ranged GET, exactly like any sibling
+                if (off <= firstTo) {
                   if (downloadAborted.get) throw new java.util.concurrent
                     .CancellationException(s"download of $key aborted")
-                  val bb = java.nio.ByteBuffer.wrap(buf, 0, r)
+                  val bytes = rangedGet(key, off, firstTo).getOrElse(
+                    throw new java.nio.file.NoSuchFileException(
+                      s"object vanished mid-ranged-download: $key"))
+                  require(bytes.length == (firstTo - off + 1).toInt,
+                    s"short probe tail [$off,$firstTo] of $key: got ${bytes.length}")
+                  val bb = java.nio.ByteBuffer.wrap(bytes)
                   while (bb.hasRemaining) off += ch.write(bb, off)
-                  r = probeBody.read(buf)
                 }
-                require(off == firstTo + 1,
-                  s"short probe range [0,$firstTo] of $key: got $off")
               }
             }))
             inFlight += 1
@@ -975,8 +990,10 @@ object GraftS3 {
     * consumed and skip — the uploads were awaited the first time. */
   private def awaitReferenced(target: Path, content: String): Unit = {
     val adds =
+      // NonFatal: a non-commit payload (decision file) parses as
+      // no-adds; a VM error must never be downgraded to that
       try GraftTable.parseCommit(content).adds
-      catch { case _: Throwable => Seq.empty }
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
     if (adds.nonEmpty) {
       val tableRoot = target.getParent.getParent
       adds.foreach { a =>
@@ -1132,8 +1149,10 @@ object GraftS3 {
     * local-read locality on the hot working set). */
   private def trackMirrored(target: Path, content: String): Unit = {
     val adds =
+      // NonFatal, like the call site and the sweep: an OOM mid-parse
+      // must not silently become "no adds tracked"
       try GraftTable.parseCommit(content).adds
-      catch { case _: Throwable => Seq.empty }
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
     if (adds.nonEmpty) {
       val tableRoot = target.toAbsolutePath.normalize.getParent.getParent
       ownerOf(hydMounts, tableRoot)(_.root).filter(_.maxLocalBytes.isDefined)
