@@ -1066,11 +1066,42 @@ object GraftS3 {
       val ranged: Option[(String, AutoCloseable)]) {
     val touched = new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, true)
     var trackedBytes = 0L
+    // cache-plane ledger (the hydration/eviction twin of the ranged
+    // scan's DSv2 metrics): what the mount pulled, dropped, and served
+    // locally — AtomicLongs because hydrations complete on pool
+    // threads while sweeps run on committing/scanning threads
+    val bytesHydrated = new AtomicLong(0)
+    val filesHydrated = new AtomicLong(0)
+    val bytesEvicted = new AtomicLong(0)
+    val filesEvicted = new AtomicLong(0)
+    /** Planned rels a hydrate batch found already local (cache hits)
+      * vs pulled (misses) — the mount's hit-rate numerator/denominator. */
+    val hydrateHits = new AtomicLong(0)
+    val hydrateMisses = new AtomicLong(0)
     def touch(rel: String, bytes: Long): Unit = {
       val prev = touched.put(rel, bytes)
       trackedBytes += bytes - (if (prev == null) 0L else prev.longValue)
     }
   }
+
+  /** One budgeted mount's cache-plane ledger, surfaced for operators
+    * and exact-count specs: local bytes currently tracked against the
+    * budget, bytes/files pulled by on-demand hydration, bytes/files
+    * the budget sweep evicted, and the hydrate batches' local-hit
+    * split. None when no hydration mount owns `root`. */
+  final case class CacheStats(trackedBytes: Long, maxLocalBytes: Option[Long],
+      bytesHydrated: Long, filesHydrated: Long,
+      bytesEvicted: Long, filesEvicted: Long,
+      hydrateHits: Long, hydrateMisses: Long)
+
+  def cacheStats(root: Path): Option[CacheStats] =
+    ownerOf(hydMounts, root.toAbsolutePath.normalize)(_.root).map { m =>
+      val tracked = m.touched.synchronized(m.trackedBytes)
+      CacheStats(tracked, m.maxLocalBytes,
+        m.bytesHydrated.get, m.filesHydrated.get,
+        m.bytesEvicted.get, m.filesEvicted.get,
+        m.hydrateHits.get, m.hydrateMisses.get)
+    }
   private val hookLock = new Object
   private val arbMounts = new java.util.concurrent.CopyOnWriteArrayList[Mount]()
   private val mirMounts = new java.util.concurrent.CopyOnWriteArrayList[Mount]()
@@ -1238,7 +1269,10 @@ object GraftS3 {
 
   private lazy val hydDispatch: (Path, Seq[String]) => Unit = (tableRoot, rels) => {
     ownerOf(hydMounts, tableRoot)(_.root).foreach { m =>
-      val missing = rels.distinct.filter(r => !Files.exists(tableRoot.resolve(r)))
+      val wanted = rels.distinct
+      val missing = wanted.filter(r => !Files.exists(tableRoot.resolve(r)))
+      m.hydrateHits.addAndGet((wanted.size - missing.size).toLong)
+      m.hydrateMisses.addAndGet(missing.size.toLong)
       if (missing.nonEmpty) {
         val futs = missing.map { r =>
           val local = tableRoot.resolve(r)
@@ -1246,10 +1280,16 @@ object GraftS3 {
           val f = pendingHydrations.computeIfAbsent(local,
             _ => hydPool.submit(new java.util.concurrent.Callable[Unit] {
               def call(): Unit =
-                if (!Files.exists(local) && !m.client.getToFile(key, local))
-                  throw new java.nio.file.NoSuchFileException(
-                    s"on-demand hydration: $key is referenced by a synced commit " +
-                      "but missing remotely (pruned or foreign object)")
+                if (!Files.exists(local)) {
+                  if (!m.client.getToFile(key, local))
+                    throw new java.nio.file.NoSuchFileException(
+                      s"on-demand hydration: $key is referenced by a synced commit " +
+                        "but missing remotely (pruned or foreign object)")
+                  // ledger INSIDE the transfer task: two scans sharing
+                  // one pendingHydrations future count the pull once
+                  m.filesHydrated.incrementAndGet()
+                  localSizeOpt(local).foreach(m.bytesHydrated.addAndGet)
+                }
             }))
           (local, f)
         }
@@ -1345,14 +1385,35 @@ object GraftS3 {
           acc.result()
         }
         if (candidates.isEmpty) return
-        // remote confirmation outside the monitor (the whole point);
+        // remote confirmation outside the monitor (the whole point).
+        // A BACKLOG confirms off ListObjectsV2 page walks — the
+        // per-key <Size> every Contents block ships — grouped by the
+        // candidates' parent dirs, so an N-file eviction backlog costs
+        // O(pages), not N sequential probes in the committing thread;
+        // 1-2 stragglers in a dir keep the single probe (one probe
+        // beats a page walk there). A key the page walk did NOT show
+        // (or showed with a non-compliant Size of -1) falls back to
+        // its own probe — the list is a snapshot and an upload may
+        // land between page and delete; the probe is the safety.
         // localSizeOpt: the file may vanish mid-probe under a
-        // concurrent evictLocalData — then there is nothing to evict
+        // concurrent evictLocalData — then there is nothing to evict.
+        val pageSizes: Map[String, Long] = candidates
+          .groupBy { case (rel, _) =>
+            val k = m.prefix + rel
+            k.take(k.lastIndexOf('/') + 1)
+          }
+          .collect { case (dir, cs) if cs.size > 2 =>
+            m.client.listWithSizes(dir).filter(_._2 >= 0)
+          }.flatten.toMap
         val confirmed = candidates.map { case (rel, _) =>
           val local = m.root.resolve(rel)
           val ok = localSizeOpt(local) match {
             case None => true   // already gone: the apply step untracks
-            case Some(sz) => m.client.sizeOf(m.prefix + rel).contains(sz)
+            case Some(sz) =>
+              pageSizes.get(m.prefix + rel) match {
+                case Some(remote) => remote == sz
+                case None => m.client.sizeOf(m.prefix + rel).contains(sz)
+              }
           }
           (rel, ok)
         }
@@ -1370,7 +1431,10 @@ object GraftS3 {
               } else if (ok) {
                 // deleteIfExists: a concurrent evictLocalData may have
                 // taken the file between the exists check and here
-                Files.deleteIfExists(local)
+                if (Files.deleteIfExists(local)) {
+                  m.bytesEvicted.addAndGet(tracked.longValue)
+                  m.filesEvicted.incrementAndGet()
+                }
                 m.touched.remove(rel); m.trackedBytes -= tracked.longValue
                 more = true
               } else { unconfirmable += rel; more = true }
@@ -1398,6 +1462,7 @@ object GraftS3 {
     val m = new HydMount(root.toAbsolutePath.normalize, normPrefix(prefix),
       client, maxLocalBytes,
       if (readInPlace) Some(GraftRangedFs.register(client)) else None)
+    censusLocal(m)
     hookLock.synchronized {
       if (hydMounts.isEmpty) {
         val cur = GraftTable.hydrateFiles
@@ -1442,6 +1507,43 @@ object GraftS3 {
         GraftTable.remoteReadConf = resolveConfPrev
       }
       maybeUninstallPullLog()
+    }
+  }
+
+  /** Mount-time census of PRE-EXISTING local data/delete artifacts
+    * under a BUDGETED mount: `trackMirrored` and `enforceCacheBudget`
+    * feed the LRU only with files the mount subsequently touches, so a
+    * budgeted mount created over a warehouse that already holds local
+    * data would under-count `trackedBytes` by the pre-existing bytes —
+    * silently exceeding the budget until a scan happened to touch the
+    * old files. The census walks the LOCAL tree only (no network;
+    * eviction safety is still the sweep's remote size confirmation)
+    * and enters files oldest-mtime-first, so the pre-existing set
+    * approximates its true least-recently-used order and the first
+    * sweep evicts the stalest files first. */
+  private def censusLocal(m: HydMount): Unit = m.maxLocalBytes.foreach { _ =>
+    val acc = Seq.newBuilder[(String, Long, Long)]   // (rel, size, mtime)
+    val skip = Set("_graft_log", ".staging")
+    def walk(dir: Path): Unit = if (Files.isDirectory(dir)) {
+      val isArtifactDir = {
+        val n = dir.getFileName
+        n != null && (n.toString == "data" || n.toString == "deletes")
+      }
+      val s = Files.list(dir)
+      try s.iterator().asScala.foreach { p =>
+        if (Files.isDirectory(p)) {
+          if (!skip.contains(p.getFileName.toString)) walk(p)
+        } else if (isArtifactDir && Files.isRegularFile(p)) {
+          try acc += ((keyFor(m.root, p, ""), Files.size(p),
+            Files.getLastModifiedTime(p).toMillis))
+          catch { case _: IOException => () }   // vanished mid-walk
+        }
+      } finally s.close()
+    }
+    walk(m.root)
+    val found = acc.result().sortBy(_._3)
+    if (found.nonEmpty) m.touched.synchronized {
+      found.foreach { case (rel, size, _) => m.touch(rel, size) }
     }
   }
 

@@ -122,6 +122,143 @@ class S3BoundedWriterSpec extends SparkSpec {
     }
   }
 
+  test("an eviction backlog confirms remote twins off list PAGES, not per-file " +
+      "probes: a commit adding many files sweeps them in O(pages) server requests") {
+    val em = new GraftS3Server("graft-bounded-batch", creds)
+    val c = em.client
+    val wh = Paths.get(scratchRoot("s3-bounded",
+      s"batch-${ProcessHandle.current().pid()}"))
+    Files.createDirectories(wh)
+    val unA = GraftS3.mountCommitArbiter(wh, c)
+    val unM = GraftS3.mountArtifactMirror(wh, c)
+    var unH: AutoCloseable = null
+    try {
+      val tbl = wh.resolve("ns").resolve("t")
+      val all = rows(2400, 19L)
+      GraftTable.create(spark, tbl.toString, all.toDF("id", "p", "payload").schema)
+      GraftTable.append(spark, tbl.toString,
+        all.filter(_._1 % 2 == 0).toDF("id", "p", "payload").coalesce(1))
+      val oneChunk = localDataBytes(wh)
+      // budget ≈ a tenth of one chunk: the next commit's 12-file write
+      // set must sweep nearly all of itself plus the first chunk — a
+      // 13-strong candidate backlog in one data/ dir
+      val budget = math.max(1L, oneChunk / 10)
+      unH = GraftS3.mountOnDemandHydration(wh, c, maxLocalBytes = Some(budget))
+      val probes0 = em.getRequests.asScala.count { case (k, r) =>
+        k.startsWith("ns/t/data/") && r == "bytes=0-0" }
+      val lists0 = em.listCalls.get
+      GraftTable.append(spark, tbl.toString,
+        all.filter(_._1 % 2 == 1).toDF("id", "p", "payload").repartition(12))
+      val live = GraftTable.liveDataFiles(tbl.toString, Seq.empty).map(_.path)
+      val evicted = live.count(p => !Files.exists(tbl.resolve(p)))
+      assert(evicted >= 8, s"the sweep must evict a real backlog (evicted $evicted)")
+      val probes = em.getRequests.asScala.count { case (k, r) =>
+        k.startsWith("ns/t/data/") && r == "bytes=0-0" } - probes0
+      assert(probes <= 2,
+        s"size confirmation rides the list page, not per-file probes (saw $probes)")
+      assert(em.listCalls.get > lists0,
+        "the sweep's confirmation listed the candidates' dir")
+      assert(localDataBytes(wh) <= budget)
+      assert(em.rejected.get == 0)
+    } finally {
+      if (unH != null) unH.close()
+      unM.close(); unA.close(); em.close()
+    }
+  }
+
+  test("mount-time census: a budgeted mount over a warehouse that ALREADY holds " +
+      "local data counts the pre-existing bytes and enforces the budget on its " +
+      "first sweep, oldest files first") {
+    val em = new GraftS3Server("graft-bounded-census", creds)
+    val c = em.client
+    val wh = Paths.get(scratchRoot("s3-bounded",
+      s"census-${ProcessHandle.current().pid()}"))
+    Files.createDirectories(wh)
+    val unA = GraftS3.mountCommitArbiter(wh, c)
+    val unM = GraftS3.mountArtifactMirror(wh, c)
+    var unH: AutoCloseable = null
+    try {
+      val tbl = wh.resolve("ns").resolve("t")
+      val all = rows(2400, 23L)
+      GraftTable.create(spark, tbl.toString, all.toDF("id", "p", "payload").schema)
+      def liveSet(): Set[String] =
+        GraftTable.liveDataFiles(tbl.toString, Seq.empty).map(_.path).toSet
+      var prev = Set.empty[String]
+      val chunks = (0 until 3).map { k =>
+        GraftTable.append(spark, tbl.toString,
+          all.filter(_._1 % 4 == k).toDF("id", "p", "payload").coalesce(1))
+        val f = (liveSet() -- prev).head; prev += f; f
+      }
+      val preBytes = localDataBytes(wh)
+      val budget = (preBytes * 0.55).toLong   // ≈ 1.6 of the 3 chunks
+      // the re-mount: a budgeted writer over a POPULATED warehouse —
+      // without the census, these three chunks would be invisible to
+      // the LRU and the budget silently exceeded
+      unH = GraftS3.mountOnDemandHydration(wh, c, maxLocalBytes = Some(budget))
+      val stats0 = GraftS3.cacheStats(wh).get
+      assert(stats0.trackedBytes == preBytes,
+        s"census must count the pre-existing bytes: ${stats0.trackedBytes} vs $preBytes")
+      // first sweep = the next commit's trackMirrored
+      GraftTable.append(spark, tbl.toString,
+        all.filter(_._1 % 4 == 3).toDF("id", "p", "payload").coalesce(1))
+      assert(localDataBytes(wh) <= budget,
+        s"first sweep enforces the budget: ${localDataBytes(wh)} vs $budget")
+      assert(!Files.exists(tbl.resolve(chunks.head)),
+        "the OLDEST pre-existing chunk evicts first (mtime-ordered census)")
+      val got = GraftTable.read(spark, tbl.toString)
+        .as[(Long, Int, String)].collect().toSet
+      assert(got == all.toSet, "evicted pre-existing chunks re-hydrate on read")
+      assert(em.rejected.get == 0)
+    } finally {
+      if (unH != null) unH.close()
+      unM.close(); unA.close(); em.close()
+    }
+  }
+
+  test("the cache-plane ledger counts EXACTLY: one sweep eviction, one re-hydrating " +
+      "pull, and the hydrate batches' local-hit split") {
+    val em = new GraftS3Server("graft-bounded-ledger", creds)
+    val c = em.client
+    val wh = Paths.get(scratchRoot("s3-bounded",
+      s"ledger-${ProcessHandle.current().pid()}"))
+    Files.createDirectories(wh)
+    val unA = GraftS3.mountCommitArbiter(wh, c)
+    val unM = GraftS3.mountArtifactMirror(wh, c)
+    var unH: AutoCloseable = null
+    try {
+      val tbl = wh.resolve("ns").resolve("t")
+      val all = rows(1200, 29L)
+      GraftTable.create(spark, tbl.toString, all.toDF("id", "p", "payload").schema)
+      GraftTable.append(spark, tbl.toString,
+        all.filter(_._1 % 2 == 0).toDF("id", "p", "payload").coalesce(1))
+      val fA = GraftTable.liveDataFiles(tbl.toString, Seq.empty).head.path
+      val sizeA = Files.size(tbl.resolve(fA))
+      unH = GraftS3.mountOnDemandHydration(wh, c,
+        maxLocalBytes = Some((sizeA * 1.2).toLong))
+      // chunk B's commit pushes tracked over budget: the sweep evicts
+      // exactly chunk A (confirmed remote by the pre-slot barrier)
+      GraftTable.append(spark, tbl.toString,
+        all.filter(_._1 % 2 == 1).toDF("id", "p", "payload").coalesce(1))
+      val s1 = GraftS3.cacheStats(wh).get
+      assert(s1.filesEvicted == 1L && s1.bytesEvicted == sizeA,
+        s"exactly chunk A evicts: $s1")
+      assert(s1.filesHydrated == 0L && s1.bytesHydrated == 0L)
+      // the read re-hydrates exactly chunk A; chunk B serves locally
+      val got = GraftTable.read(spark, tbl.toString)
+        .as[(Long, Int, String)].collect().toSet
+      assert(got == all.toSet)
+      val s2 = GraftS3.cacheStats(wh).get
+      assert(s2.filesHydrated == 1L && s2.bytesHydrated == sizeA,
+        s"exactly chunk A re-hydrates: $s2")
+      assert(s2.hydrateMisses == 1L, s"one miss (chunk A): $s2")
+      assert(s2.hydrateHits >= 1L, s"chunk B is a local hit: $s2")
+      assert(em.rejected.get == 0)
+    } finally {
+      if (unH != null) unH.close()
+      unM.close(); unA.close(); em.close()
+    }
+  }
+
   test("the sweep never deletes the only copy: a file whose remote twin was " +
       "destroyed stays local (and keeps serving reads) while confirmed files evict " +
       "in its place") {
