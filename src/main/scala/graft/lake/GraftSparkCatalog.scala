@@ -211,17 +211,21 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       // accumulates stale clients.
       val hydrate =
         Option(options.get("s3.hydrate-on-demand")).exists(_.toBoolean)
-      // s3.read-in-place=true upgrades the follower from hydrating to
-      // READING IN PLACE: the native scan's data files resolve to
-      // grafts3:// URIs served over ranged GETs (footer + projected
-      // column chunks — column bytes, not file bytes), while MoR
-      // delete files and V1-plane reads keep hydrating. Implies the
-      // hydrate-on-demand mount shape.
+      // s3.read-in-place=true upgrades reads from hydrating to READING
+      // IN PLACE: the native scan's data files resolve to grafts3://
+      // URIs served over ranged GETs (footer + projected column
+      // chunks — column bytes, not file bytes), while MoR delete files
+      // and V1-plane reads keep hydrating. It COMPOSES with whichever
+      // shape s3.hydrate-on-demand picked: on the follower it is the
+      // r17 reader; on the WRITER shape it joins arbiter + mirror, so
+      // budget 0 + read-in-place through pure conf is the reference's
+      // exact both-paths deployment (no local lake copy on either
+      // path) — previously reachable only via API mounts.
       val inPlace =
         Option(options.get("s3.read-in-place")).exists(_.toBoolean)
       val identity =
         s"$ep|${req("s3.bucket")}|$warehouse|$prefix|$region|" +
-          s"hyd=${hydrate || inPlace}|inplace=$inPlace"
+          s"hyd=$hydrate|inplace=$inPlace"
       val fullKey = identity + "|" + Seq(
         req("s3.access-key"), req("s3.secret-key"),
         Option(options.get("s3.part-size-bytes")).getOrElse(""),
@@ -275,7 +279,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           val cacheBudget = Option(options.get("s3.local-cache-max-bytes"))
             .map(_.toLong)
           val handles =
-            if (hydrate || inPlace)
+            if (hydrate)
               Seq(GraftS3.mountOnDemandHydration(root, client, prefix,
                 maxLocalBytes = cacheBudget, readInPlace = inPlace))
             else Seq(
@@ -293,9 +297,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
               // absent ≠ retired here), and append-only FILE streaming
               // of these tables refuses (evicted files would tear it) —
               // use the CDC stream source instead.
-              cacheBudget.map(b =>
-                GraftS3.mountOnDemandHydration(root, client, prefix,
-                  maxLocalBytes = Some(b))).toSeq
+              (if (cacheBudget.isDefined || inPlace)
+                Seq(GraftS3.mountOnDemandHydration(root, client, prefix,
+                  maxLocalBytes = cacheBudget, readInPlace = inPlace))
+              else Seq.empty)
           GraftSparkCatalog.s3Mounts.put(identity, (fullKey, handles))
         }
       }

@@ -295,12 +295,47 @@ object Relational {
 
   // ── §2.1/22 approximate aggregates (rows-only: engine-specific) ─────
   /** HLL + quantile sketches merge associatively → one pass, no global
-    * sort, at any scale. No oracle: sketch internals differ per engine. */
-  def q22(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir).agg(
+    * sort, at any scale. No oracle (sketch internals differ per
+    * engine) — but SELF-PINNED, the q61 superset-property pattern:
+    * the sketches' published accuracy contracts are REQUIREd against
+    * exact one-pass aggregates, cheap at gate SF.
+    *  - approx_count_distinct is HLL++ at the default rsd = 0.05
+    *    (Heule 2013); 3σ = 15% bounds it for any input.
+    *  - percentile_approx(accuracy = a) guarantees relative rank error
+    *    ≤ 1/a (Greenwald-Khanna); with ties the returned value's rank
+    *    is an INTERVAL [count(<v), count(≤v)], which must intersect
+    *    the target rank band (±5/a allows implementation slack while
+    *    still catching any real regression: 5e-4 ≈ 30 rows at sf0.01). */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val a = li.agg(
       approx_count_distinct(col("l_orderkey")).as("approx_orders"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
       percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))
+      .collect()(0)
+    val (aOrders, p50, p95) = (a.getLong(0), a.getDouble(1), a.getDouble(2))
+    def rankCols(v: Double, tag: String) = Seq(
+      sum(when(col("l_extendedprice") < v, 1L).otherwise(0L)).as(s"lt_$tag"),
+      sum(when(col("l_extendedprice") <= v, 1L).otherwise(0L)).as(s"le_$tag"))
+    val exactCols = Seq(count(lit(1)).as("n")) ++
+      rankCols(p50, "p50") ++ rankCols(p95, "p95")
+    val ex = li.agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+      exactCols: _*).collect()(0)
+    val (exact, n) = (ex.getLong(0), ex.getLong(1))
+    require(math.abs(aOrders - exact) <= math.max(1L, (exact * 0.15).toLong),
+      s"HLL++ outside its 3σ rsd bound: approx $aOrders vs exact $exact")
+    def rankPin(q: Double, lt: Long, le: Long, tag: String): Unit = {
+      val eps = 5.0 / 10000
+      require(lt.toDouble / n <= q + eps && le.toDouble / n >= q - eps,
+        s"$tag rank [${lt.toDouble / n}, ${le.toDouble / n}] misses " +
+          s"$q ± $eps (GK accuracy contract)")
+    }
+    rankPin(0.5, ex.getLong(2), ex.getLong(3), "p50")
+    rankPin(0.95, ex.getLong(4), ex.getLong(5), "p95")
+    s.range(1).select(lit(aOrders).as("approx_orders"),
+      lit(p50).as("p50_price"), lit(p95).as("p95_price"))
+  }
 
   // ── §2.1/20b cube (full grouping-set lattice) ───────────────────────
   def q46(s: SparkSession, dir: String): DataFrame =

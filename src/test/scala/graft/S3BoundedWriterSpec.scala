@@ -357,6 +357,46 @@ class S3BoundedWriterSpec extends SparkSpec {
     } finally { unH.close(); unM.close(); unA.close(); em.close() }
   }
 
+  test("the pure-conf ZERO-LOCAL-LAKE writer: budget 0 + s3.read-in-place on the " +
+      "WRITER catalog shape — SQL ingest leaves zero local data bytes and reads " +
+      "serve over ranged GETs") {
+    val em = new GraftS3Server("graft-zerodisk-conf", creds)
+    val wh = Paths.get(scratchRoot("s3-bounded",
+      s"zdconf-${ProcessHandle.current().pid()}"))
+    Files.createDirectories(wh)
+    val all = rows(1200, 31L)
+    try {
+      all.toDF("id", "p", "payload").createOrReplaceTempView("zd_src")
+      val cat = "graft_zd"
+      try {
+        spark.conf.set(s"spark.sql.catalog.$cat", "graft.lake.GraftSparkCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.endpoint", em.endpoint.toString)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.bucket", "graft-zerodisk-conf")
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.access-key", creds.accessKey)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.secret-key", creds.secretKey)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.local-cache-max-bytes", "0")
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.read-in-place", "true")
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+        spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT, p INT, payload STRING)")
+        (0 until 2).foreach { k =>
+          spark.sql(s"INSERT INTO $cat.ns.t SELECT id, p, payload FROM zd_src " +
+            s"WHERE id % 2 = $k")
+          assert(localDataBytes(wh) == 0L,
+            s"after INSERT $k: ${localDataBytes(wh)} local data bytes")
+        }
+        val opened0 = graft.lake.GraftRangedFs.opened.get
+        val got = spark.sql(s"SELECT id FROM $cat.ns.t").as[Long].collect().toSet
+        assert(got == all.map(_._1).toSet, "the zero-disk conf writer reads back exact")
+        assert(graft.lake.GraftRangedFs.opened.get > opened0,
+          "reads serve through the grafts3 scheme")
+        assert(localDataBytes(wh) == 0L,
+          s"after the read: ${localDataBytes(wh)} local data bytes")
+        assert(em.rejected.get == 0)
+      } finally graft.lake.GraftSparkCatalog.closeConfMounts(wh.toString)
+    } finally em.close()
+  }
+
   test("the pure-conf door: s3.local-cache-max-bytes on the WRITER catalog shape " +
       "bounds a partitioned SQL ingest, and pruned reads re-hydrate per partition") {
     val em = new GraftS3Server("graft-bounded-conf", creds)

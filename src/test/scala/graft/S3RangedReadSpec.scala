@@ -327,6 +327,10 @@ class S3RangedReadSpec extends SparkSpec {
         spark.conf.set(s"spark.sql.catalog.$cat.s3.bucket", "graft-inplace-conf")
         spark.conf.set(s"spark.sql.catalog.$cat.s3.access-key", creds.accessKey)
         spark.conf.set(s"spark.sql.catalog.$cat.s3.secret-key", creds.secretKey)
+        // read-in-place composes with the hydrate-on-demand FOLLOWER
+        // shape (without it, the same flag upgrades the WRITER shape's
+        // reads — the zero-local-lake writer door)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.hydrate-on-demand", "true")
         spark.conf.set(s"spark.sql.catalog.$cat.s3.read-in-place", "true")
         val got = spark.sql(s"SELECT id FROM $cat.ns.t WHERE p = 1")
           .as[Long].collect().toSet
