@@ -1078,11 +1078,30 @@ object GraftS3 {
       * vs pulled (misses) — the mount's hit-rate numerator/denominator. */
     val hydrateHits = new AtomicLong(0)
     val hydrateMisses = new AtomicLong(0)
+    /** rel → (nanoTime, planning thread id) of the most recent hydrate
+      * batch that PLANNED the file — the grace ledger: a COMMIT-
+      * boundary sweep (trackMirrored fires with current = ∅) skips
+      * files another thread's scan planned within [[evictionGraceMs]],
+      * because hydration fires at PLAN time and the scan's tasks read
+      * the local paths afterwards — evicting between the two fails
+      * that scan (loudly, never wrong results, but needlessly). The
+      * committing thread's OWN planned set stays evictable: a CoW
+      * delete reads generation N on the thread that then commits
+      * generation N+1, and its sweep MUST evict the retired victims.
+      * Guarded by the `touched` monitor; stale entries prune as sweeps
+      * visit them. */
+    val planned = new java.util.HashMap[String, (Long, Long)]()
     def touch(rel: String, bytes: Long): Unit = {
       val prev = touched.put(rel, bytes)
       trackedBytes += bytes - (if (prev == null) 0L else prev.longValue)
     }
   }
+
+  /** How long a commit-boundary sweep spares files a CONCURRENT
+    * thread's scan just planned (ms). Deferral only — the next sweep
+    * past the window evicts them; 0 disables (conf surface:
+    * `s3.eviction-grace-ms`). */
+  @volatile private[graft] var evictionGraceMs: Long = 30000L
 
   /** One budgeted mount's cache-plane ledger, surfaced for operators
     * and exact-count specs: local bytes currently tracked against the
@@ -1194,7 +1213,7 @@ object GraftS3 {
               localSizeOpt(local).foreach(m.touch(keyFor(m.root, local, ""), _))
             }
           }
-          sweepBudget(m, Set.empty)
+          sweepBudget(m, Set.empty, commitSweep = true)
         }
     }
   }
@@ -1340,8 +1359,10 @@ object GraftS3 {
     val current = rels.distinct.map(r =>
       keyFor(m.root, tableRoot.resolve(r), "")).toSet
     m.touched.synchronized {
+      val stamp = (System.nanoTime(), Thread.currentThread().getId)
       current.foreach { rel =>
         localSizeOpt(m.root.resolve(rel)).foreach(m.touch(rel, _))
+        m.planned.put(rel, stamp)   // the grace ledger (commit sweeps)
       }
     }
     sweepBudget(m, current)
@@ -1359,11 +1380,14 @@ object GraftS3 {
     * latency; candidates snapshot under the lock, confirm outside it,
     * then re-check under it before each delete (a candidate touched or
     * consumed in between simply survives). */
-  private def sweepBudget(m: HydMount, current: Set[String]): Unit =
+  private def sweepBudget(m: HydMount, current: Set[String],
+      commitSweep: Boolean = false): Unit =
     m.maxLocalBytes.foreach { budget =>
       // rels whose remote twin failed confirmation this sweep: never
       // re-picked, so the loop terminates even when nothing is evictable
       val unconfirmable = scala.collection.mutable.Set.empty[String]
+      val graceNanos = evictionGraceMs * 1000000L
+      val callerTid = Thread.currentThread().getId
       var more = true
       while (more) {
         more = false
@@ -1375,7 +1399,22 @@ object GraftS3 {
           while (need > 0 && it.hasNext) {
             val e = it.next()
             val local = m.root.resolve(e.getKey)
-            if (!current.contains(e.getKey) && !unconfirmable.contains(e.getKey) &&
+            // the grace ledger: a COMMIT sweep (current = ∅ by
+            // construction) spares files a DIFFERENT thread's scan
+            // planned within the window — hydration fires at plan
+            // time, the scan's tasks read afterwards, and a winning
+            // commit must not yank that working set mid-read. The
+            // committing thread's own planned set (a CoW op's victims)
+            // stays evictable; entries past the window prune here.
+            val graced = commitSweep && graceNanos > 0 && {
+              val p = m.planned.get(e.getKey)
+              if (p == null) false
+              else if (System.nanoTime() - p._1 >= graceNanos) {
+                m.planned.remove(e.getKey); false
+              } else p._2 != callerTid
+            }
+            if (!graced &&
+                !current.contains(e.getKey) && !unconfirmable.contains(e.getKey) &&
                 !pendingHydrations.containsKey(local) &&
                 !pendingUploads.containsKey(local)) {
               acc += e.getKey -> e.getValue.longValue
@@ -1426,7 +1465,8 @@ object GraftS3 {
                 !pendingHydrations.containsKey(local) &&
                 !pendingUploads.containsKey(local)) {
               if (!Files.exists(local)) {   // evicted out-of-band: untrack
-                m.touched.remove(rel); m.trackedBytes -= tracked.longValue
+                m.touched.remove(rel); m.planned.remove(rel)
+                m.trackedBytes -= tracked.longValue
                 more = true
               } else if (ok) {
                 // deleteIfExists: a concurrent evictLocalData may have
@@ -1435,7 +1475,8 @@ object GraftS3 {
                   m.bytesEvicted.addAndGet(tracked.longValue)
                   m.filesEvicted.incrementAndGet()
                 }
-                m.touched.remove(rel); m.trackedBytes -= tracked.longValue
+                m.touched.remove(rel); m.planned.remove(rel)
+                m.trackedBytes -= tracked.longValue
                 more = true
               } else { unconfirmable += rel; more = true }
             } else if (!ok) { unconfirmable += rel; more = true }

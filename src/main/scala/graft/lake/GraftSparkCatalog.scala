@@ -233,7 +233,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         Option(options.get("s3.part-concurrency")).getOrElse(""),
         Option(options.get("s3.hydration-concurrency")).getOrElse(""),
         Option(options.get("s3.vectored-concurrency")).getOrElse(""),
-        Option(options.get("s3.local-cache-max-bytes")).getOrElse("")).mkString("|")
+        Option(options.get("s3.local-cache-max-bytes")).getOrElse(""),
+        Option(options.get("s3.eviction-grace-ms")).getOrElse("")).mkString("|")
       GraftSparkCatalog.s3Mounts.synchronized {
         val prev = GraftSparkCatalog.s3Mounts.get(identity)
         if (prev == null || prev._1 != fullKey) {
@@ -270,6 +271,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           // fan-out) — live-resizes like the hydration knob
           Option(options.get("s3.vectored-concurrency"))
             .foreach(v => GraftRangedFs.vectoredConcurrency = v.toInt)
+          // s3.eviction-grace-ms: how long a commit-boundary sweep
+          // spares files a CONCURRENT thread's scan just planned
+          // (deferral only; 0 disables)
+          Option(options.get("s3.eviction-grace-ms"))
+            .foreach(v => GraftS3.evictionGraceMs = v.toLong)
           // s3.local-cache-max-bytes bounds the follower's local disk:
           // after each scan's hydration, least-recently-touched
           // confirmed-remote artifacts evict until local bytes fit.

@@ -259,6 +259,63 @@ class S3BoundedWriterSpec extends SparkSpec {
     }
   }
 
+  test("a commit-boundary sweep spares a CONCURRENT thread's just-planned working " +
+      "set (grace window) while the committing thread's own files stay evictable") {
+    val em = new GraftS3Server("graft-bounded-grace", creds)
+    val c = em.client
+    val wh = Paths.get(scratchRoot("s3-bounded",
+      s"grace-${ProcessHandle.current().pid()}"))
+    Files.createDirectories(wh)
+    val unA = GraftS3.mountCommitArbiter(wh, c)
+    val unM = GraftS3.mountArtifactMirror(wh, c)
+    var unH: AutoCloseable = null
+    val grace0 = GraftS3.evictionGraceMs
+    try {
+      val tbl = wh.resolve("ns").resolve("t")
+      val all = rows(1800, 37L)
+      GraftTable.create(spark, tbl.toString, all.toDF("id", "p", "payload").schema)
+      def liveSet(): Set[String] =
+        GraftTable.liveDataFiles(tbl.toString, Seq.empty).map(_.path).toSet
+      GraftTable.append(spark, tbl.toString,
+        all.filter(_._1 % 3 == 0).toDF("id", "p", "payload").coalesce(1))
+      val fA = liveSet().head
+      val oneChunk = Files.size(tbl.resolve(fA))
+      // budget ≈ 1.2 chunks: any second tracked chunk forces a sweep
+      unH = GraftS3.mountOnDemandHydration(wh, c,
+        maxLocalBytes = Some((oneChunk * 1.2).toLong))
+      // a FOREIGN thread's scan plans (and therefore grace-stamps) fA —
+      // the concurrent-reader shape: hydration fires at plan time, its
+      // tasks read the local path afterwards
+      val reader = new Thread(() =>
+        assert(GraftTable.read(spark, tbl.toString).count() == 600L))
+      reader.start(); reader.join()
+      // the committing thread appends chunk B: its sweep is over
+      // budget, fA is LRU-first — but fA is graced (foreign, fresh),
+      // so the sweep defers to the commit's OWN file instead
+      GraftTable.append(spark, tbl.toString,
+        all.filter(_._1 % 3 == 1).toDF("id", "p", "payload").coalesce(1))
+      val fB = (liveSet() - fA).head
+      assert(Files.exists(tbl.resolve(fA)),
+        "the foreign scan's just-planned file survives the commit sweep")
+      assert(!Files.exists(tbl.resolve(fB)),
+        "the committing thread's own confirmed file evicts in its place")
+      // grace disabled → the next commit sweep evicts the stale fA
+      GraftS3.evictionGraceMs = 0L
+      GraftTable.append(spark, tbl.toString,
+        all.filter(_._1 % 3 == 2).toDF("id", "p", "payload").coalesce(1))
+      assert(!Files.exists(tbl.resolve(fA)),
+        "past the window (grace 0) the same file evicts normally")
+      val got = GraftTable.read(spark, tbl.toString)
+        .as[(Long, Int, String)].collect().toSet
+      assert(got == all.toSet)
+      assert(em.rejected.get == 0)
+    } finally {
+      GraftS3.evictionGraceMs = grace0
+      if (unH != null) unH.close()
+      unM.close(); unA.close(); em.close()
+    }
+  }
+
   test("the sweep never deletes the only copy: a file whose remote twin was " +
       "destroyed stays local (and keeps serving reads) while confirmed files evict " +
       "in its place") {
