@@ -34,9 +34,12 @@ import org.apache.hadoop.util.Progressable
   * spark-defaults, mirroring the s3a shape.
   *
   * Hadoop instantiates one FileSystem per (scheme, authority) via
-  * `fs.grafts3.impl`; write operations throw (artifacts are immutable
-  * and travel through the commit plane, never through a filesystem
-  * rename — this FS exists for the scan path only).
+  * `fs.grafts3.impl`. Committed artifacts stay immutable and travel
+  * through the commit plane — the WRITE operations below exist for the
+  * direct-to-store STAGING plane (GraftS3.mountArtifactMirror with
+  * directWrite = true): parquet tasks stream their output here as
+  * multipart parts and the committer walks `_temporary` with
+  * mkdirs/rename/delete, so a data file never lands on local disk.
   */
 final class GraftRangedFs extends FileSystem {
 
@@ -143,13 +146,27 @@ final class GraftRangedFs extends FileSystem {
       else sizeOfCached(key).map(_ => Array(getFileStatus(f)))
     def dirArm: Array[FileStatus] = {
       val prefix = if (key.isEmpty) "" else key + "/"
-      client.listWithSizes(prefix).map { case (k, sz) =>
-        val len =
-          if (sz >= 0) { sizeCache.put(k, sz); sz }
-          else client.sizeOf(k).getOrElse(0L)
-        new FileStatus(len, false, 1, GraftRangedFs.blockSizeBytes, 0L,
-          new HPath(s"$getScheme://${fsUri.getAuthority}/$k"))
-      }.toArray
+      // HIERARCHICAL (the FileSystem contract): immediate children
+      // only — deeper keys collapse into directory entries, which is
+      // what lets Hadoop's FileOutputCommitter walk a staged write's
+      // `_temporary/<app>/task_*/` tree (the direct-write plane) and
+      // what InMemoryFileIndex's own recursion expects
+      val files = Array.newBuilder[FileStatus]
+      val dirs = scala.collection.mutable.LinkedHashSet.empty[String]
+      client.listWithSizes(prefix).foreach { case (k, sz) =>
+        val rest = k.stripPrefix(prefix)
+        val slash = rest.indexOf('/')
+        if (slash < 0) {
+          val len =
+            if (sz >= 0) { sizeCache.put(k, sz); sz }
+            else client.sizeOf(k).getOrElse(0L)
+          files += new FileStatus(len, false, 1, GraftRangedFs.blockSizeBytes, 0L,
+            new HPath(s"$getScheme://${fsUri.getAuthority}/$k"))
+        } else dirs += rest.take(slash)
+      }
+      files.result() ++ dirs.map(d =>
+        new FileStatus(0, true, 1, GraftRangedFs.blockSizeBytes, 0L,
+          new HPath(s"$getScheme://${fsUri.getAuthority}/$prefix$d")))
     }
     // arm order by what's KNOWN, so neither shape pays a recurring
     // probe: a size-cached key IS a file (objects are immutable) —
@@ -179,19 +196,100 @@ final class GraftRangedFs extends FileSystem {
   override def setWorkingDirectory(dir: HPath): Unit = workDir = dir
   override def getWorkingDirectory: HPath = workDir
 
-  private def readOnly(op: String): Nothing =
-    throw new UnsupportedOperationException(
-      s"grafts3 is a read-only scan filesystem ($op): artifacts are " +
-        "immutable and travel through the commit plane")
+  // ── write plane (the direct-to-store staging path) ──────────────────
+  // Committed artifacts are still immutable and travel through the
+  // commit plane — what writes here is the STAGING traffic of a
+  // direct-write mount: Spark's parquet tasks stream their output as
+  // multipart parts (create), the FileOutputCommitter arranges the
+  // `_temporary` tree (mkdirs/rename/delete/listStatus), and GraftTable
+  // publishes the survivors by server-side copy. Object keys written
+  // through this plane are unique per stage, so the "a size never
+  // changes" cache rule holds; every mutation maintains the cache.
+
+  /** Task output streams straight to the store: one part-size buffer
+    * per open stream ([[GraftS3.Client.streamingUpload]]), a single
+    * sized PUT when the file fits one buffer, multipart otherwise.
+    * The final size lands in the size cache at close, so the
+    * committer's immediate getFileStatus/listStatus probes are warm. */
   override def create(f: HPath, permission: FsPermission, overwrite: Boolean,
       bufferSize: Int, replication: Short, blockSize: Long,
-      progress: Progressable): FSDataOutputStream = readOnly("create")
+      progress: Progressable): FSDataOutputStream = {
+    val key = keyOf(f)
+    val up = client.streamingUpload(key)
+    val out = new java.io.OutputStream {
+      override def write(b: Int): Unit = up.write(b)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        up.write(b, off, len)
+      override def flush(): Unit = ()   // parts flush on buffer boundaries
+      override def close(): Unit = {
+        up.close()
+        sizeCache.put(key, up.bytesWritten)
+      }
+    }
+    new FSDataOutputStream(out, null)
+  }
+
   override def append(f: HPath, bufferSize: Int,
-      progress: Progressable): FSDataOutputStream = readOnly("append")
-  override def rename(src: HPath, dst: HPath): Boolean = readOnly("rename")
-  override def delete(f: HPath, recursive: Boolean): Boolean = readOnly("delete")
-  override def mkdirs(f: HPath, permission: FsPermission): Boolean =
-    readOnly("mkdirs")
+      progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException(
+      "grafts3 objects are immutable: append is never valid here")
+
+  private def isFileKey(key: String): Boolean =
+    key.nonEmpty && (sizeCache.containsKey(key) || client.sizeOf(key).isDefined)
+
+  /** Rename = server-side copy + delete per key (the object-store
+    * reality every S3 committer lives with; the direct-write stage
+    * bounds it to 2 copies per artifact by running the v2 commit
+    * algorithm). Directory renames move the whole prefix; a dst that
+    * already exists as a directory receives src INSIDE it (the Hadoop
+    * contract's into-dir arm). */
+  override def rename(src: HPath, dst: HPath): Boolean = {
+    val sk = keyOf(src)
+    var dk = keyOf(dst)
+    if (sk.isEmpty || dk.isEmpty) return false
+    // into-dir arm: only when dst is an existing DIRECTORY prefix
+    if (!isFileKey(dk) && client.list(dk + "/").nonEmpty)
+      dk = dk + "/" + sk.substring(sk.lastIndexOf('/') + 1)
+    def moveOne(from: String, to: String): Unit = {
+      client.copyObject(from, to)
+      Option(sizeCache.get(from)).foreach(sz => sizeCache.put(to, sz))
+      client.delete(from)
+      sizeCache.remove(from)
+    }
+    if (isFileKey(sk)) { moveOne(sk, dk); true }
+    else {
+      val kids = client.list(sk + "/")
+      if (kids.isEmpty) false
+      else {
+        kids.foreach(k => moveOne(k, dk + k.stripPrefix(sk)))
+        true
+      }
+    }
+  }
+
+  override def delete(f: HPath, recursive: Boolean): Boolean = {
+    val key = keyOf(f)
+    if (key.isEmpty) return false
+    if (isFileKey(key)) {
+      client.delete(key)
+      sizeCache.remove(key)
+      true
+    } else {
+      val kids = client.list(key + "/")
+      if (kids.isEmpty) false
+      else if (!recursive) throw new IOException(
+        s"grafts3 directory not empty, delete(recursive = false): $key")
+      else {
+        kids.foreach { k => client.delete(k); sizeCache.remove(k) }
+        true
+      }
+    }
+  }
+
+  /** Directories are prefixes: nothing to create — probes after the
+    * first object lands answer true, which is all the committer's
+    * setup path needs. */
+  override def mkdirs(f: HPath, permission: FsPermission): Boolean = true
 }
 
 object GraftRangedFs {

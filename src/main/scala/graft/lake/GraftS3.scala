@@ -147,6 +147,13 @@ object GraftS3 {
   final class PreconditionFailed(val key: String)
     extends IllegalStateException(s"concurrent commit detected at $key (412)")
 
+  /** An in-flight streaming upload ([[Client.streamingUpload]]): plain
+    * OutputStream semantics plus the byte count a filesystem layer
+    * caches as the object's size at close. */
+  abstract class UploadStream extends java.io.OutputStream {
+    def bytesWritten: Long
+  }
+
   /** Minimal path-style S3 REST client over java.net.http. Every
     * request is SigV4-signed; unsigned-able servers simply ignore the
     * header. Payloads are signed (x-amz-content-sha256 = real hash,
@@ -331,14 +338,166 @@ object GraftS3 {
 
     private def track(n: Long): Unit = peakBufferBytes.getAndUpdate(math.max(_, n))
 
-    private def multipartUpload(key: String, file: Path): Unit = {
+    /** Server-side object copy (public S3 CopyObject: PUT with
+      * `x-amz-copy-source`) — the direct-write plane's publish verb: a
+      * staged task output becomes the committed artifact without its
+      * bytes ever transiting this JVM. One request serves up to S3's
+      * 5 GiB CopyObject ceiling, far above any sanely-split task
+      * output (Spark's maxPartitionBytes sizes splits in the 100s of
+      * MB); larger objects would need multipart UploadPartCopy. */
+    def copyObject(srcKey: String, dstKey: String): Unit =
+      expect(sendRetrying("PUT", dstKey, Nil,
+        SigV4.sha256Hex(Array.emptyByteArray),
+        () => HttpRequest.BodyPublishers.noBody(),
+        Seq("x-amz-copy-source" ->
+          SigV4.uriEncode(s"/$bucket/$srcKey", keepSlash = true))), 200)
+
+    /** Streaming upload as an OutputStream — the TASK-SIDE write
+      * transport (direct-to-store staging): a parquet writer streams
+      * row groups in, parts PUT synchronously as the one part-size
+      * buffer fills, so an open stream holds partSizeBytes of heap and
+      * never the file. A payload that fits the first buffer closes as
+      * a single sized PUT (job markers included — empty is valid);
+      * anything larger travels as the standard multipart trio, with a
+      * close-time failure aborting the upload so parts never leak.
+      * Parallelism comes from MANY tasks each holding one stream —
+      * within a stream the parts are sequential by construction
+      * (parquet produces bytes in order).
+      *
+      * Lost-COMPLETE-response idempotency follows the [[putFile]]
+      * multipart rule, with the head/tail identity samples captured
+      * FROM THE STREAM (there is no file to re-read): a retried
+      * complete that 404s against a same-size object whose head+tail
+      * bytes match is this stream's own landed complete. */
+    def streamingUpload(key: String): GraftS3.UploadStream = new GraftS3.UploadStream {
+      private val buf = new Array[Byte](partSizeBytes)
+      private var n = 0
+      private var uploadId: String = null
+      private var partNum = 0
+      private val etags = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+      private var total = 0L
+      private val sampleLen = 8192
+      private val head = new java.io.ByteArrayOutputStream()
+      private val tailRing = new Array[Byte](sampleLen)
+      private var ringCount = 0L
+      private var closed = false
+      /** A part PUT (or initiate) failed mid-stream: the writer's own
+        * failure path will close() us in a finally — that close must
+        * ABORT the upload, never complete a torn object. */
+      private var broken = false
+      track(partSizeBytes)
+
+      def bytesWritten: Long = total
+
+      override def write(b: Int): Unit = write(Array(b.toByte), 0, 1)
+      override def write(src: Array[Byte], off: Int, len: Int): Unit = {
+        if (closed) throw new IOException(s"write after close: $key")
+        var o = off
+        var rem = len
+        while (rem > 0) {
+          if (n == buf.length) flushPart()
+          val take = math.min(rem, buf.length - n)
+          System.arraycopy(src, o, buf, n, take)
+          n += take; o += take; rem -= take
+        }
+        if (head.size < sampleLen)
+          head.write(src, off, math.min(len, sampleLen - head.size))
+        // ring keeps the last sampleLen STREAM bytes: pushing only each
+        // call's last min(len, sampleLen) bytes preserves that, since
+        // any skipped byte is older than sampleLen pushed ones
+        var i = off + math.max(0, len - sampleLen)
+        val end = off + len
+        while (i < end) {
+          tailRing((ringCount % sampleLen).toInt) = src(i)
+          ringCount += 1; i += 1
+        }
+        total += len
+      }
+
+      private def flushPart(): Unit =
+        try {
+          if (uploadId == null) uploadId = initiateUpload(key)
+          partNum += 1
+          etags += partNum -> putPartSync(key, uploadId, partNum, buf, n)
+          n = 0
+        } catch { case t: Throwable => broken = true; throw t }
+
+      private def abortQuiet(): Unit =
+        if (uploadId != null) {
+          try send("DELETE", key, Seq("uploadId" -> uploadId),
+            Array.emptyByteArray, Nil)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+
+      private def tailBytes: Array[Byte] = {
+        val len = math.min(ringCount, sampleLen.toLong).toInt
+        val out = new Array[Byte](len)
+        var i = 0
+        while (i < len) {
+          out(i) = tailRing(((ringCount - len + i) % sampleLen).toInt)
+          i += 1
+        }
+        out
+      }
+
+      private def samplesMatchStream(): Boolean = {
+        def sample(from: Long, expectBytes: Array[Byte]): Boolean =
+          expectBytes.isEmpty || rangedGet(key, from, from + expectBytes.length - 1)
+            .exists(java.util.Arrays.equals(_, expectBytes))
+        val t = tailBytes
+        sample(0L, head.toByteArray) && sample(total - t.length, t)
+      }
+
+      override def close(): Unit = if (!closed) {
+        closed = true
+        if (broken) abortQuiet()   // failure-path close: abort, don't mask
+        else if (uploadId == null) put(key, java.util.Arrays.copyOf(buf, n))
+        else {
+          try {
+            if (n > 0) flushPart()
+            val completeXml = "<CompleteMultipartUpload>" +
+              etags.sortBy(_._1).map { case (p, e) =>
+                s"<Part><PartNumber>$p</PartNumber><ETag>$e</ETag></Part>"
+              }.mkString + "</CompleteMultipartUpload>"
+            val done = send("POST", key, Seq("uploadId" -> uploadId),
+              completeXml.getBytes(UTF_8), Nil)
+            if (done.statusCode == 404 && sizeOf(key).contains(total) &&
+              samplesMatchStream()) ()
+            else expect(done, 200)
+          } catch { case t: Throwable =>
+            abortQuiet()
+            throw t
+          }
+        }
+      }
+    }
+
+    private def initiateUpload(key: String): String = {
       val initXml = new String(expect(
         send("POST", key, Seq("uploads" -> ""), Array.emptyByteArray, Nil), 200)
         .body(), UTF_8)
-      val uploadId = "<UploadId>([^<]*)</UploadId>".r.findFirstMatchIn(initXml)
+      "<UploadId>([^<]*)</UploadId>".r.findFirstMatchIn(initXml)
         .getOrElse(throw new IllegalStateException(
           s"initiate multipart returned no UploadId: ${initXml.take(200)}"))
         .group(1)
+    }
+
+    /** One synchronous part PUT off the caller's own thread — the
+      * STREAMING upload's transport (task-side writers parallelize
+      * across tasks, not within one stream). */
+    private def putPartSync(key: String, uploadId: String, partNum: Int,
+        buf: Array[Byte], len: Int): String = {
+      val hash = MessageDigest.getInstance("SHA-256")
+      hash.update(buf, 0, len)
+      expect(sendRetrying("PUT", key,
+        Seq("partNumber" -> partNum.toString, "uploadId" -> uploadId),
+        SigV4.hex(hash.digest()),
+        () => HttpRequest.BodyPublishers.ofByteArray(buf, 0, len), Nil), 200)
+        .headers.firstValue("ETag").orElse("")
+    }
+
+    private def multipartUpload(key: String, file: Path): Unit = {
+      val uploadId = initiateUpload(key)
       try uploadParts(key, file, uploadId)
       catch { case t: Throwable =>
         // AbortMultipartUpload — on real S3 an abandoned upload's parts
@@ -1121,9 +1280,18 @@ object GraftS3 {
         m.bytesEvicted.get, m.filesEvicted.get,
         m.hydrateHits.get, m.hydrateMisses.get)
     }
+  /** A DIRECT-WRITE mount (mountArtifactMirror(directWrite = true)):
+    * staged parquet writes under `root` target the store through the
+    * grafts3 scheme bound to `token`; publishes are server-side
+    * copies. The mirror Mount still registers alongside — ops that
+    * fall back to local staging (CTAS `.staging` publishes, add_files
+    * of local sources) keep the mirror-then-evict path. */
+  private final case class DirectMount(root: Path, prefix: String,
+      client: Client, token: String, unregister: AutoCloseable)
   private val hookLock = new Object
   private val arbMounts = new java.util.concurrent.CopyOnWriteArrayList[Mount]()
   private val mirMounts = new java.util.concurrent.CopyOnWriteArrayList[Mount]()
+  private val directMounts = new java.util.concurrent.CopyOnWriteArrayList[DirectMount]()
   private val hydMounts = new java.util.concurrent.CopyOnWriteArrayList[HydMount]()
   private var hydPrev: Option[(Path, Seq[String]) => Unit] = None
   private var arbPrev: Option[(Path, String) => Boolean] = None
@@ -1229,12 +1397,76 @@ object GraftS3 {
       // returns, hence before the local commit slot ever writes)
       if (ownerOfTarget(arbMounts, dst).isEmpty)
         m.client.putFile(keyFor(m.root, dst, m.prefix), dst)
-      else
+      else {
         pendingUploads.put(dst, mirrorPool.submit(new Runnable {
           def run(): Unit = m.client.putFile(keyFor(m.root, dst, m.prefix), dst)
         }))
+        enforcePlacementBudget(dst)
+      }
     }
   }
+
+  /** Intra-op budget BACKPRESSURE for the mirror-then-evict writer:
+    * without it, ONE op whose write set exceeds the budget transiently
+    * overshoots until its commit boundary (the documented residual).
+    * After registering each placement's upload, the PLACING thread
+    * waits for earlier siblings' uploads and evicts their local copies
+    * (remote size confirmed first — never the only copy) until
+    * tracked + placed-but-uncommitted bytes fit the budget or only the
+    * just-placed file remains — so the placed set stays under
+    * budget + one file by construction (per placing thread; compaction
+    * places from k worker threads, so its bound is budget + k files).
+    * Eviction KEEPS the pendingUploads entry: the commit barrier's
+    * await of a completed future is a no-op, and a lost race's discard
+    * still finds the entry to delete the remote twin — the commit
+    * protocol is untouched. The op's local STAGE dir is out of scope
+    * by design (it is the op's scratch, the mirror path's floor;
+    * direct-write staging removes it entirely). A failed or
+    * unconfirmable sibling is left in place — the barrier will
+    * surface upload failures loudly at commit. */
+  private def enforcePlacementBudget(justPlaced: Path): Unit =
+    ownerOf(hydMounts, justPlaced)(_.root).foreach { m =>
+      m.maxLocalBytes.foreach { budget =>
+        var progress = true
+        while (progress) {
+          progress = false
+          var pendingLocal = 0L
+          val siblings = Seq.newBuilder[(Path, java.util.concurrent.Future[_], Long)]
+          pendingUploads.forEach { (p, f) =>
+            if (p.startsWith(m.root)) localSizeOpt(p).foreach { sz =>
+              pendingLocal += sz
+              if (p != justPlaced) siblings += ((p, f, sz))
+            }
+          }
+          val tracked = m.touched.synchronized(m.trackedBytes)
+          var need = tracked + pendingLocal - budget
+          if (need > 0) {
+            // wait the siblings' uploads out (the barrier would at
+            // commit anyway) and evict on the upload's OWN success:
+            // putFile returned means the PUT/complete was expect(200)'d
+            // milliseconds ago — that is the uploader's own durability
+            // proof, stronger than a fresh probe, so the intra-op path
+            // costs ZERO extra confirmation requests per file (the
+            // sweep still probes: ITS candidates may be arbitrarily
+            // old). A failed sibling upload keeps its local copy and
+            // the commit barrier surfaces the failure loudly.
+            val it = siblings.result().iterator
+            while (need > 0 && it.hasNext) {
+              val (p, f, sz) = it.next()
+              val uploaded = try { f.get(); true } catch { case _: Throwable => false }
+              if (uploaded) {
+                if (Files.deleteIfExists(p)) {
+                  m.bytesEvicted.addAndGet(sz)
+                  m.filesEvicted.incrementAndGet()
+                }
+                need -= sz
+                progress = true
+              }
+            }
+          }
+        }
+      }
+    }
 
   /** Crash-cleanup twin of the pre-slot barrier: when GraftTable
     * deletes a placed-but-never-committed artifact (lost-race cleanup,
@@ -1253,8 +1485,68 @@ object GraftS3 {
         try m.client.delete(keyFor(m.root, p, m.prefix))
         catch { case _: Throwable => () }
       }
+    } else ownerOf(directMounts, p)(_.root).foreach { m =>
+      // a direct-write artifact has no local copy and no pending-upload
+      // entry — the lost-race cleanup's only trace is the remote
+      // object, so close the orphan window here (best-effort, like the
+      // mirrored arm; pruneRemote remains the maintenance-time catch)
+      try m.client.delete(keyFor(m.root, p, m.prefix))
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     mirPrevDiscard.foreach(_(p))
+  }
+
+  // ── direct-write staging dispatch ───────────────────────────────────
+  private var stagePrev: Option[Path => Option[GraftTable.RemoteStage]] = None
+  private lazy val stageDispatch: Path => Option[GraftTable.RemoteStage] = tableRoot => {
+    // CTAS/RTAS stage their whole TABLE under `.staging/<uuid>` and
+    // publish by a local directory move — remote stage keys minted
+    // from the pre-publish root would go stale at that move, so those
+    // roots keep the local staging + mirror path (the move's
+    // placements re-key correctly through placeDispatch)
+    val staged = (0 until tableRoot.getNameCount)
+      .exists(i => tableRoot.getName(i).toString == ".staging")
+    val owner = if (staged) None else ownerOf(directMounts, tableRoot)(_.root)
+    owner match {
+      case Some(m) => Some(new GraftTable.RemoteStage {
+        private def join(a: String, b: String): String =
+          if (a.isEmpty || a.endsWith("/")) a + b else a + "/" + b
+        private val tableKey = keyFor(m.root, tableRoot, m.prefix)
+        private def keyOf(uri: String): String =
+          uri.stripPrefix(s"grafts3://${m.token}/")
+        def newStageUri(): String =
+          s"grafts3://${m.token}/${join(tableKey,
+            s".stage-${java.util.UUID.randomUUID()}")}"
+        def conf: Seq[(String, String)] =
+          GraftRangedFs.confKey +: m.client.confEntriesFor(m.token) ++: Seq(
+            // v2 commit: tasks merge straight into the job output dir —
+            // one server-side copy per artifact instead of two (task
+            // commit + job commit); v2's weaker failure atomicity is
+            // moot here because the stage is op-private and any
+            // failure discards it wholesale
+            "mapreduce.fileoutputcommitter.algorithm.version" -> "2",
+            // the stage is harvested by listing, not by marker
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs" -> "false")
+        def listStage(uri: String): Seq[(String, Long)] = {
+          val p = keyOf(uri) + "/"
+          m.client.listWithSizes(p).map { case (k, sz) =>
+            (k.stripPrefix(p),
+              if (sz >= 0) sz else m.client.sizeOf(k).getOrElse(0L))
+          }
+        }
+        def stagedUri(uri: String, rel: String): String = s"$uri/$rel"
+        def finalizeTo(uri: String, rel: String, tableRel: String): Unit = {
+          val src = join(keyOf(uri), rel)
+          m.client.copyObject(src, join(tableKey, tableRel))
+          m.client.delete(src)
+        }
+        def dropStaged(uri: String, rel: String): Unit =
+          m.client.delete(join(keyOf(uri), rel))
+        def discard(uri: String): Unit =
+          m.client.list(keyOf(uri) + "/").foreach(m.client.delete)
+      })
+      case None => stagePrev.flatMap(_(tableRoot))
+    }
   }
 
   private lazy val ckptDispatch: Path => Unit = dir => {
@@ -1368,6 +1660,31 @@ object GraftS3 {
     sweepBudget(m, current)
   }
 
+  /** Batch remote-size confirmation shared by every eviction path: a
+    * BACKLOG confirms off ListObjectsV2 page walks — the per-key
+    * `<Size>` every Contents block ships — grouped by the candidates'
+    * parent dirs, so an N-file backlog costs O(pages), not N
+    * sequential probes; 1-2 stragglers in a dir keep the single probe
+    * (one probe beats a page walk there). A key the page walk did NOT
+    * show (or showed with a non-compliant Size of -1) falls back to
+    * its own probe — the list is a snapshot and an upload may land
+    * between page and delete; the probe is the safety. */
+  private def confirmRemoteSizes(client: Client,
+      candidates: Seq[(String, Long)]): Map[String, Boolean] = {
+    if (candidates.isEmpty) return Map.empty
+    val pageSizes: Map[String, Long] = candidates
+      .groupBy { case (k, _) => k.take(k.lastIndexOf('/') + 1) }
+      .collect { case (dir, cs) if cs.size > 2 =>
+        client.listWithSizes(dir).filter(_._2 >= 0)
+      }.flatten.toMap
+    candidates.map { case (k, sz) =>
+      k -> (pageSizes.get(k) match {
+        case Some(remote) => remote == sz
+        case None => client.sizeOf(k).contains(sz)
+      })
+    }.toMap
+  }
+
   /** The eviction sweep shared by the follower cache (above) and the
     * bounded-disk WRITER (trackMirrored): drop least-recently-touched
     * tracked artifacts until local bytes fit the budget, skipping the
@@ -1424,37 +1741,19 @@ object GraftS3 {
           acc.result()
         }
         if (candidates.isEmpty) return
-        // remote confirmation outside the monitor (the whole point).
-        // A BACKLOG confirms off ListObjectsV2 page walks — the
-        // per-key <Size> every Contents block ships — grouped by the
-        // candidates' parent dirs, so an N-file eviction backlog costs
-        // O(pages), not N sequential probes in the committing thread;
-        // 1-2 stragglers in a dir keep the single probe (one probe
-        // beats a page walk there). A key the page walk did NOT show
-        // (or showed with a non-compliant Size of -1) falls back to
-        // its own probe — the list is a snapshot and an upload may
-        // land between page and delete; the probe is the safety.
-        // localSizeOpt: the file may vanish mid-probe under a
-        // concurrent evictLocalData — then there is nothing to evict.
-        val pageSizes: Map[String, Long] = candidates
-          .groupBy { case (rel, _) =>
-            val k = m.prefix + rel
-            k.take(k.lastIndexOf('/') + 1)
-          }
-          .collect { case (dir, cs) if cs.size > 2 =>
-            m.client.listWithSizes(dir).filter(_._2 >= 0)
-          }.flatten.toMap
-        val confirmed = candidates.map { case (rel, _) =>
-          val local = m.root.resolve(rel)
-          val ok = localSizeOpt(local) match {
-            case None => true   // already gone: the apply step untracks
-            case Some(sz) =>
-              pageSizes.get(m.prefix + rel) match {
-                case Some(remote) => remote == sz
-                case None => m.client.sizeOf(m.prefix + rel).contains(sz)
-              }
-          }
-          (rel, ok)
+        // remote confirmation outside the monitor (the whole point),
+        // batched off list pages (confirmRemoteSizes). localSizeOpt:
+        // the file may vanish mid-probe under a concurrent
+        // evictLocalData — then there is nothing to evict.
+        val withLocal = candidates.map { case (rel, _) =>
+          (rel, localSizeOpt(m.root.resolve(rel)))
+        }
+        val conf = confirmRemoteSizes(m.client,
+          withLocal.collect { case (rel, Some(sz)) => (m.prefix + rel, sz) })
+        val confirmed = withLocal.map {
+          case (rel, None) => (rel, true)   // already gone: the apply step untracks
+          case (rel, Some(_)) =>
+            (rel, conf.getOrElse(m.prefix + rel, false))
         }
         m.touched.synchronized {
           confirmed.foreach { case (rel, ok) =>
@@ -1782,8 +2081,14 @@ object GraftS3 {
     * so a blank-machine restore keeps O(1) replay even after
     * [[pruneRemote]] dropped the store's copies of expired commits. */
   def mountArtifactMirror(root: Path, client: Client,
-      prefix: String = ""): AutoCloseable = {
-    val m = Mount(root, normPrefix(prefix), client)
+      prefix: String = "", directWrite: Boolean = false): AutoCloseable = {
+    val m = Mount(root.toAbsolutePath.normalize, normPrefix(prefix), client)
+    val direct =
+      if (!directWrite) None
+      else {
+        val (token, unreg) = GraftRangedFs.register(client)
+        Some(DirectMount(m.root, m.prefix, client, token, unreg))
+      }
     hookLock.synchronized {
       if (mirMounts.isEmpty) {
         if (!(GraftTable.placeArtifact eq placeDispatch)) {
@@ -1799,6 +2104,16 @@ object GraftS3 {
           GraftTable.artifactDiscarded = Some(discardDispatch)
         }
       }
+      direct.foreach { d =>
+        if (directMounts.isEmpty) {
+          val cur = GraftTable.remoteStage
+          if (!cur.exists(_ eq stageDispatch)) {
+            stagePrev = cur
+            GraftTable.remoteStage = Some(stageDispatch)
+          }
+        }
+        directMounts.add(d)
+      }
       mirMounts.add(m)
     }
     () =>
@@ -1809,6 +2124,13 @@ object GraftS3 {
       try flushAll(m)
       finally hookLock.synchronized {
         mirMounts.remove(m)
+        direct.foreach { d =>
+          directMounts.remove(d)
+          d.unregister.close()
+          if (directMounts.isEmpty &&
+              GraftTable.remoteStage.exists(_ eq stageDispatch))
+            GraftTable.remoteStage = stagePrev
+        }
         if (mirMounts.isEmpty) {
           if (GraftTable.placeArtifact eq placeDispatch)
             GraftTable.placeArtifact = mirPrevPlace

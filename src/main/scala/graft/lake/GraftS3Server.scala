@@ -67,6 +67,8 @@ final class GraftS3Server(bucket: String, initialCreds: GraftS3.Credentials)
   val listCalls = new AtomicInteger(0)
   val getCalls = new AtomicInteger(0)
   val partPuts = new AtomicInteger(0)
+  /** Server-side CopyObject requests (the direct-write publish verb). */
+  val copyCalls = new AtomicInteger(0)
   /** GET object keys in arrival order — lets hydration specs assert a
     * follower fetched EXACTLY the pruned-live file set, nothing more. */
   val gotKeys = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -211,6 +213,22 @@ final class GraftS3Server(bucket: String, initialCreds: GraftS3.Credentials)
               } else respond(200,
                 ("<?xml version=\"1.0\"?><CompleteMultipartUploadResult>" +
                   s"<Key>$k</Key></CompleteMultipartUploadResult>").getBytes(UTF_8))
+            case None => respond(404)
+          }
+        case ("PUT", k)
+            if x.getRequestHeaders.getFirst("x-amz-copy-source") != null =>
+          // CopyObject (public S3: PUT with x-amz-copy-source) — the
+          // direct-write plane's server-side publish; bytes never
+          // travel back through the client
+          copyCalls.incrementAndGet()
+          val src = java.net.URLDecoder.decode(
+            x.getRequestHeaders.getFirst("x-amz-copy-source")
+              .stripPrefix("/").stripPrefix(s"$bucket/"), "UTF-8")
+          Option(objects.get(src)) match {
+            case Some(b) =>
+              objects.put(k, b)
+              respond(200,
+                "<?xml version=\"1.0\"?><CopyObjectResult/>".getBytes(UTF_8))
             case None => respond(404)
           }
         case ("PUT", k) =>

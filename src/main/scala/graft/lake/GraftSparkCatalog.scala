@@ -223,9 +223,18 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       // path) — previously reachable only via API mounts.
       val inPlace =
         Option(options.get("s3.read-in-place")).exists(_.toBoolean)
+      // s3.direct-write=true (writer shape only): staged parquet
+      // writes stream to the store as multipart parts and publish by
+      // server-side copy — a data file never lands on local disk, not
+      // even transiently (the task-side s3a shape; the reference's
+      // executors write the store directly). Reads come back through
+      // the same catalog's hydration mount (budgeted cache) or in
+      // place (s3.read-in-place).
+      val directWrite =
+        Option(options.get("s3.direct-write")).exists(_.toBoolean)
       val identity =
         s"$ep|${req("s3.bucket")}|$warehouse|$prefix|$region|" +
-          s"hyd=$hydrate|inplace=$inPlace"
+          s"hyd=$hydrate|inplace=$inPlace|direct=$directWrite"
       val fullKey = identity + "|" + Seq(
         req("s3.access-key"), req("s3.secret-key"),
         Option(options.get("s3.part-size-bytes")).getOrElse(""),
@@ -284,13 +293,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           // loudly (never wrong results); a resubmission re-hydrates
           val cacheBudget = Option(options.get("s3.local-cache-max-bytes"))
             .map(_.toLong)
+          require(!(hydrate && directWrite),
+            s"spark.sql.catalog.$name.s3.direct-write is a WRITER-shape " +
+              "option: it cannot combine with s3.hydrate-on-demand")
           val handles =
             if (hydrate)
               Seq(GraftS3.mountOnDemandHydration(root, client, prefix,
                 maxLocalBytes = cacheBudget, readInPlace = inPlace))
             else Seq(
               GraftS3.mountCommitArbiter(root, client, prefix),
-              GraftS3.mountArtifactMirror(root, client, prefix)) ++
+              GraftS3.mountArtifactMirror(root, client, prefix,
+                directWrite = directWrite)) ++
               // a cache budget on the WRITER shape adds the bounded-disk
               // plane (the write twin of the lazy follower): each WON
               // commit's artifacts — durably remote by the pre-slot
@@ -303,7 +316,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
               // absent ≠ retired here), and append-only FILE streaming
               // of these tables refuses (evicted files would tear it) —
               // use the CDC stream source instead.
-              (if (cacheBudget.isDefined || inPlace)
+              // direct-write tables hold no local data at all, so the
+              // read path NEEDS the hydration (or in-place) plane even
+              // when no budget was set
+              (if (cacheBudget.isDefined || inPlace || directWrite)
                 Seq(GraftS3.mountOnDemandHydration(root, client, prefix,
                   maxLocalBytes = cacheBudget, readInPlace = inPlace))
               else Seq.empty)

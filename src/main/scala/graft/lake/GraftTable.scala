@@ -504,6 +504,45 @@ object GraftTable {
   @volatile private[graft] var remoteReadConf:
     Option[() => Seq[(String, String)]] = None
 
+  /** Direct-to-store staging (the task-side write plane, reference:
+    * spark-defaults.conf:10 — executors write `s3a://…` directly, no
+    * node funnels the data bytes): when a mounted object store claims
+    * a table root (GraftS3.mountArtifactMirror with directWrite =
+    * true), every staged parquet write under it targets a REMOTE
+    * staging URI instead of a local `.stage-*` dir. Task output
+    * streams to the store as multipart parts, footer stats read back
+    * over ranged GETs, and the committed artifact is published by a
+    * SERVER-SIDE copy — a data file never lands on any local disk,
+    * not even transiently (the mirror-then-evict path's documented
+    * residual). The pre-slot durability ordering is inherited for
+    * free: the artifact is remote the moment it is published, before
+    * the commit slot is ever arbitrated. */
+  private[graft] trait RemoteStage {
+    /** Fresh unique staging directory URI for ONE write op. */
+    def newStageUri(): String
+    /** Hadoop-conf entries the write job and the footer reads need to
+      * resolve the staging scheme on every JVM (filesystem impl,
+      * client conf, committer algorithm). */
+    def conf: Seq[(String, String)]
+    /** Staged files after the write job: (path relative to the stage
+      * URI, size in bytes). */
+    def listStage(uri: String): Seq[(String, Long)]
+    /** Absolute URI of one staged file (footer stats reads). */
+    def stagedUri(uri: String, rel: String): String
+    /** Publish one staged object at its final table-relative path:
+      * server-side copy, then staged-key delete. */
+    def finalizeTo(uri: String, rel: String, tableRel: String): Unit
+    /** Drop one staged object (an empty split). */
+    def dropStaged(uri: String, rel: String): Unit
+    /** Drop the whole stage (job markers, leftovers, aborts). */
+    def discard(uri: String): Unit
+  }
+
+  /** Resolver: table root → the direct-write stage ops when a mounted
+    * store claims it. Same global-hook discipline as placeArtifact:
+    * gate on your own root, delegate the rest. */
+  @volatile private[graft] var remoteStage: Option[Path => Option[RemoteStage]] = None
+
   /** Resolve one artifact for a planned read: the remote in-place URI
     * when a ranged-read mount owns the root AND the file is not
     * already local (a hydrated copy is the faster read — use it). */
@@ -975,9 +1014,12 @@ object GraftTable {
     * epoch-micros text, strings raw (parquet's truncated min/max are
     * still valid bounds).
     */
-  private def footerStats(spark: SparkSession,
-      paths: Seq[String]): Seq[(String, Long, Map[String, ColStats])] = {
+  private def footerStats(spark: SparkSession, paths: Seq[String],
+      extraConf: Seq[(String, String)] = Nil): Seq[(String, Long, Map[String, ColStats])] = {
     val conf = spark.sessionState.newHadoopConf()
+    // direct-write staging: the grafts3 scheme + client conf so footer
+    // reads resolve the store (driver AND the distributed branch)
+    extraConf.foreach { case (k, v) => conf.set(k, v) }
     // footer reads are O(files) metadata: below the threshold a driver
     // loop beats a Spark job's scheduling cost; above it, distribute
     if (paths.size <= 16) paths.map(readFooter(_, conf))
@@ -1137,6 +1179,94 @@ object GraftTable {
           k.stripPrefix("write.parquet.bloom-filter-enabled.column.")}" -> v
     }
 
+  /** One write op's staging plane — a local `.stage-*` dir (default)
+    * or the direct-to-store remote stage ([[remoteStage]]) — factored
+    * so writeDataFiles and the delete-file writers share one
+    * write→harvest→publish→cleanup shape regardless of where the
+    * bytes land. */
+  private sealed trait Staging {
+    /** Where the Spark write job targets. */
+    def target: String
+    /** DataFrameWriter options the write job needs (remote: fs impl +
+      * client conf + committer algorithm; local: none). */
+    def writerOptions: Map[String, String]
+    /** Staged parquet parts after the job: (stage-relative path with
+      * '/' separators, size). */
+    def parts(): Seq[(String, Long)]
+    /** Absolute path/URI of one staged part (footer reads). */
+    def uriOf(rel: String): String
+    def footerConf(spark: SparkSession): org.apache.hadoop.conf.Configuration
+    /** Publish one part at its final table-relative path; returns the
+      * final size. */
+    def publish(rel: String, tableRel: String): Long
+    /** Drop one staged part (an empty split). */
+    def dropStaged(rel: String): Unit
+    /** Drop the whole stage (markers, leftovers, aborts). */
+    def close(): Unit
+  }
+
+  private final class LocalStaging(root: String, tmp: Path) extends Staging {
+    def target: String = tmp.toString
+    def writerOptions: Map[String, String] = Map.empty
+    def parts(): Seq[(String, Long)] = {
+      // recursive walk: partitioned writes nest under _gp_0=v0/…
+      def walk(dir: Path): Seq[Path] = listDir(dir).flatMap { p =>
+        if (Files.isDirectory(p)) walk(p)
+        else if (p.getFileName.toString.endsWith(".parquet")) Seq(p) else Seq.empty
+      }
+      walk(tmp).map(p => (tmp.relativize(p).toString
+        .replace(java.io.File.separatorChar, '/'), Files.size(p)))
+    }
+    def uriOf(rel: String): String = tmp.resolve(rel).toString
+    def footerConf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
+      spark.sessionState.newHadoopConf()
+    def publish(rel: String, tableRel: String): Long = {
+      val dst = Paths.get(root).resolve(tableRel)
+      Files.createDirectories(dst.getParent)
+      // stat the STAGED file (identical bytes): once placed, a bounded
+      // mount's intra-op backpressure may evict dst the moment its
+      // upload confirms — a post-place stat would race that eviction
+      val size = Files.size(tmp.resolve(rel))
+      placeArtifact(tmp.resolve(rel), dst)
+      size
+    }
+    def dropStaged(rel: String): Unit = Files.deleteIfExists(tmp.resolve(rel))
+    // clean the stage dir (crc/_SUCCESS leftovers + partition dirs)
+    def close(): Unit = deleteTree(tmp)
+  }
+
+  private final class RemoteStaging(rs: RemoteStage) extends Staging {
+    private val uri = rs.newStageUri()
+    private val sizes = scala.collection.mutable.Map.empty[String, Long]
+    def target: String = uri
+    def writerOptions: Map[String, String] = rs.conf.toMap
+    def parts(): Seq[(String, Long)] = {
+      val ps = rs.listStage(uri).filter(_._1.endsWith(".parquet"))
+      sizes ++= ps
+      ps
+    }
+    def uriOf(rel: String): String = rs.stagedUri(uri, rel)
+    def footerConf(spark: SparkSession): org.apache.hadoop.conf.Configuration = {
+      val c = spark.sessionState.newHadoopConf()
+      rs.conf.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+    // server-side copy preserves bytes, so the staged size IS the
+    // final size — no post-publish stat round-trip
+    def publish(rel: String, tableRel: String): Long = {
+      rs.finalizeTo(uri, rel, tableRel)
+      sizes(rel)
+    }
+    def dropStaged(rel: String): Unit = rs.dropStaged(uri, rel)
+    def close(): Unit = rs.discard(uri)
+  }
+
+  private def newStaging(root: String): Staging =
+    remoteStage.flatMap(_(Paths.get(root).toAbsolutePath.normalize)) match {
+      case Some(rs) => new RemoteStaging(rs)
+      case None => new LocalStaging(root, Paths.get(root, s".stage-${UUID.randomUUID()}"))
+    }
+
   private def writeDataFiles(spark: SparkSession, root: String, df0: DataFrame,
       snapshotId: Long, props: Map[String, String]): Seq[FileEntry] = {
     // every table-schema data write (append, CoW rewrite, merge,
@@ -1146,79 +1276,73 @@ object GraftTable {
     val codec = props.getOrElse("write.parquet.compression-codec", "snappy")
     val spec = tableSpec(props)
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    val tmp = Paths.get(root, s".stage-${UUID.randomUUID()}")
-    // declared sort order: every write path (append, CoW rewrite,
-    // merge, compaction) sorts rows within each task before the file
-    // writer runs, so files come out key-clustered without the caller
-    // opting in. Partitioned writes prefix the sort with the partition
-    // tuple — the committer's own required ordering on partition
-    // columns is then already satisfied and Spark inserts no second
-    // sort that would undo this one.
-    val sortCols = liveSortCols(df, props)
-    withMicrosTimestamps(spark) {
-      if (spec.isEmpty) {
-        val sorted =
-          if (sortCols.isEmpty) df else df.sortWithinPartitions(sortCols: _*)
-        sorted.write.option("compression", codec).options(bloomOptions(props))
-          .parquet(tmp.toString)
-      } else {
-        // partitioned write: derive one rendered string column per
-        // transform, let Spark's partitioned committer split files by
-        // tuple (the _gp_ columns live only in the directory names,
-        // which we harvest below — row data keeps the source columns)
-        val withParts = spec.zipWithIndex.foldLeft(df) { case (d, (t, i)) =>
-          d.withColumn(s"_gp_$i", transformCol(t, types(t.col)))
+    val staging = newStaging(root)
+    try {
+      // declared sort order: every write path (append, CoW rewrite,
+      // merge, compaction) sorts rows within each task before the file
+      // writer runs, so files come out key-clustered without the caller
+      // opting in. Partitioned writes prefix the sort with the partition
+      // tuple — the committer's own required ordering on partition
+      // columns is then already satisfied and Spark inserts no second
+      // sort that would undo this one.
+      val sortCols = liveSortCols(df, props)
+      withMicrosTimestamps(spark) {
+        if (spec.isEmpty) {
+          val sorted =
+            if (sortCols.isEmpty) df else df.sortWithinPartitions(sortCols: _*)
+          sorted.write.option("compression", codec).options(bloomOptions(props))
+            .options(staging.writerOptions)
+            .parquet(staging.target)
+        } else {
+          // partitioned write: derive one rendered string column per
+          // transform, let Spark's partitioned committer split files by
+          // tuple (the _gp_ columns live only in the directory names,
+          // which we harvest below — row data keeps the source columns)
+          val withParts = spec.zipWithIndex.foldLeft(df) { case (d, (t, i)) =>
+            d.withColumn(s"_gp_$i", transformCol(t, types(t.col)))
+          }
+          val sorted =
+            if (sortCols.isEmpty) withParts
+            else withParts.sortWithinPartitions(
+              spec.indices.map(i => col(s"_gp_$i").asc) ++ sortCols: _*)
+          sorted.write.option("compression", codec).options(bloomOptions(props))
+            .options(staging.writerOptions)
+            .partitionBy(spec.indices.map(i => s"_gp_$i"): _*)
+            .parquet(staging.target)
         }
-        val sorted =
-          if (sortCols.isEmpty) withParts
-          else withParts.sortWithinPartitions(
-            spec.indices.map(i => col(s"_gp_$i").asc) ++ sortCols: _*)
-        sorted.write.option("compression", codec).options(bloomOptions(props))
-          .partitionBy(spec.indices.map(i => s"_gp_$i"): _*)
-          .parquet(tmp.toString)
       }
-    }
-    // _gf_* (lineage) columns are physical plumbing, not query columns:
-    // no manifest stats for them
-    val statNames = df.schema.fields.filter(f => statsTypes.contains(f.dataType))
-      .map(_.name).filterNot(_.startsWith("_gf_")).toSet
-    // recursive walk: partitioned writes nest files under
-    // _gp_0=v0/_gp_1=v1/... — decode each file's tuple from its path
-    def walk(dir: Path): Seq[Path] = listDir(dir).flatMap { p =>
-      if (Files.isDirectory(p)) walk(p)
-      else if (p.getFileName.toString.endsWith(".parquet")) Seq(p) else Seq.empty
-    }
-    val parts = walk(tmp)
-    def tupleOf(p: Path): Option[Map[String, String]] =
-      if (spec.isEmpty) None
-      else Some {
-        val rel = tmp.relativize(p)
-        (0 until rel.getNameCount - 1).map(rel.getName(_).toString).collect {
-          case seg if seg.contains("=") =>
-            val Array(k, v) = seg.split("=", 2)
-            val i = k.stripPrefix("_gp_").toInt
-            spec(i).label -> unescapePath(v)
-        }.toMap
+      // _gf_* (lineage) columns are physical plumbing, not query columns:
+      // no manifest stats for them
+      val statNames = df.schema.fields.filter(f => statsTypes.contains(f.dataType))
+        .map(_.name).filterNot(_.startsWith("_gf_")).toSet
+      val parts = staging.parts().sortBy(_._1)
+      def tupleOf(rel: String): Option[Map[String, String]] =
+        if (spec.isEmpty) None
+        else Some {
+          rel.split('/').dropRight(1).collect {
+            case seg if seg.contains("=") =>
+              val Array(k, v) = seg.split("=", 2)
+              val i = k.stripPrefix("_gp_").toInt
+              spec(i).label -> unescapePath(v)
+          }.toMap
+        }
+      val stats = footerStats(spark, parts.map(p => staging.uriOf(p._1)),
+        staging.writerOptions.toSeq)
+        .map { case (p, r, s) => p -> (r, s) }.toMap
+      parts.zipWithIndex.flatMap { case ((rel, _), i) =>
+        val (records, st) = stats(staging.uriOf(rel))
+        if (records == 0L) { staging.dropStaged(rel); None }  // empty split: don't commit it
+        else {
+          val name = f"$snapshotId%010d-$i%05d-${UUID.randomUUID()}.parquet"
+          val size = staging.publish(rel, s"data/$name")
+          Some(FileEntry(s"data/$name", size, records,
+            st.view.filterKeys(statNames).toMap, tupleOf(rel),
+            // id 0 stays unstamped: identical meaning, and pre-evolution
+            // manifests/checkpoints stay byte-compatible
+            specId = Some(currentSpecId(props)).filter(_ != 0)))
+        }
       }
-    val stats = footerStats(spark, parts.map(_.toString))
-      .map { case (p, r, s) => p -> (r, s) }.toMap
-    val entries = parts.sortBy(_.toString).zipWithIndex.flatMap { case (src, i) =>
-      val (records, st) = stats(src.toString)
-      if (records == 0L) { Files.deleteIfExists(src); None }  // empty split: don't commit it
-      else {
-        val name = f"$snapshotId%010d-$i%05d-${UUID.randomUUID()}.parquet"
-        val dst = dataDir(root).resolve(name)
-        placeArtifact(src, dst)
-        Some(FileEntry(s"data/$name", Files.size(dst), records,
-          st.view.filterKeys(statNames).toMap, tupleOf(src),
-          // id 0 stays unstamped: identical meaning, and pre-evolution
-          // manifests/checkpoints stay byte-compatible
-          specId = Some(currentSpecId(props)).filter(_ != 0)))
-      }
-    }
-    // clean the stage dir (crc/_SUCCESS leftovers + partition dirs)
-    deleteTree(tmp)
-    entries
+    } finally staging.close()
   }
 
   /** Undo the hive-style escaping Spark applies to partition values in
@@ -2539,7 +2663,6 @@ object GraftTable {
     val matches = liveRowsWithIds(spark, root, schema, victimPaths, deletes)
       .filter(coalesce(condition, lit(false)))
       .select(col("_gf_path").as("file_path"), col("_gf_pos").as("pos"))
-    val tmp = Paths.get(root, s".stage-${UUID.randomUUID()}")
     // Shard count scales with the touched-file count — a free proxy
     // for the match volume (each data file bounds its own positions),
     // so no extra count job runs over the scan. Hashing on file_path
@@ -2550,8 +2673,9 @@ object GraftTable {
     val shards = math.min(4096, math.max(1, victimPaths.size / math.max(1, perShard)))
     val staged = if (shards > 1) matches.repartition(shards, col("file_path"))
                  else matches.coalesce(1)
-    staged.write.parquet(tmp.toString)
-    val adds = stageDeleteParts(spark, root, tmp) { (records, size, _) =>
+    val adds = stageDeleteParts(spark, root) { (target, opts) =>
+      staged.write.options(opts).parquet(target)
+    } { (records, size, _) =>
       val name = f"$id%010d-delete-${UUID.randomUUID()}.parquet"
       (name, FileEntry(s"deletes/$name", size, records, Map.empty, None, Some(1)))
     }
@@ -2589,26 +2713,30 @@ object GraftTable {
         } catch { case scala.util.control.NonFatal(_) => () }
       }
 
-  /** Move every non-empty staged parquet part into deletes/ under a
-    * caller-minted name/entry, then drop the staging dir. The size
-    * passed to `mk` is the part's on-disk size; parts are visited in
-    * name order so retries stage deterministically. */
-  private def stageDeleteParts(spark: SparkSession, root: String, tmp: Path)(
+  /** Stage a delete-plane parquet write (`write` receives the staging
+    * target + writer options — direct-write mounts stage remotely),
+    * then publish every non-empty part into deletes/ under a
+    * caller-minted name/entry and drop the stage. The size passed to
+    * `mk` is the part's staged size (== final: publish is a move or a
+    * server-side copy); parts are visited in name order so retries
+    * stage deterministically. */
+  private def stageDeleteParts(spark: SparkSession, root: String)(
+      write: (String, Map[String, String]) => Unit)(
       mk: (Long, Long, Map[String, ColStats]) => (String, FileEntry)): Seq[FileEntry] = {
-    val adds = listDir(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
-      .sortBy(_.getFileName.toString)
-      .flatMap { src =>
-        val (_, records, st) = readFooter(src.toString, spark.sessionState.newHadoopConf())
-        if (records == 0L) { Files.deleteIfExists(src); None }
+    val staging = newStaging(root)
+    try {
+      write(staging.target, staging.writerOptions)
+      val conf = staging.footerConf(spark)
+      staging.parts().sortBy(_._1).flatMap { case (rel, size) =>
+        val (_, records, st) = readFooter(staging.uriOf(rel), conf)
+        if (records == 0L) { staging.dropStaged(rel); None }
         else {
-          Files.createDirectories(deleteDir(root))
-          val (name, entry) = mk(records, Files.size(src), st)
-          placeArtifact(src, deleteDir(root).resolve(name))
+          val (name, entry) = mk(records, size, st)
+          staging.publish(rel, s"deletes/$name")
           Some(entry)
         }
       }
-    deleteTree(tmp)
-    adds
+    } finally staging.close()
   }
 
   /** rewrite_position_deletes (reference: SPARK_ICEBERG_GUIDE.md scope
@@ -2708,9 +2836,9 @@ object GraftTable {
       .mapGroups { (n, it) => (n, GraftDv.encode(it.map(_._2))) }
       .toDF("name", "dv")
       .repartition(shards, col("name")).sortWithinPartitions("name")
-    val tmp = Paths.get(root, s".stage-${UUID.randomUUID()}")
-    container.write.parquet(tmp.toString)
-    val adds = stageDeleteParts(spark, root, tmp) { (records, size, _) =>
+    val adds = stageDeleteParts(spark, root) { (target, opts) =>
+      container.write.options(opts).parquet(target)
+    } { (records, size, _) =>
       val name = f"$id%010d-dv-${UUID.randomUUID()}.parquet"
       (name, FileEntry(s"deletes/$name", size, records, Map.empty, None, Some(3)))
     }
@@ -2840,17 +2968,17 @@ object GraftTable {
   private def stageEqualityKeys(spark: SparkSession, root: String,
       distinctKeys: DataFrame, cols: Seq[String], id: Long,
       props: Map[String, String], schema: StructType): Seq[FileEntry] = {
-    val tmp = Paths.get(root, s".stage-${UUID.randomUUID()}")
     val rowsPerShard = props.get("graft.delete.rows-per-shard")
       .map(_.toLong).getOrElse(32L * 1024 * 1024)
     val n = distinctKeys.count()
     val shards = math.min(1024L, math.max(1L, (n + rowsPerShard - 1) / rowsPerShard)).toInt
     val staged = if (shards > 1) distinctKeys.repartition(shards, cols.map(col): _*)
                  else distinctKeys.coalesce(1)
-    staged.write.parquet(tmp.toString)
     val statCols = cols.filter(c => statsTypes.contains(
       schema.fields(schema.fieldIndex(c)).dataType)).toSet
-    stageDeleteParts(spark, root, tmp) { (records, size, st) =>
+    stageDeleteParts(spark, root) { (target, opts) =>
+      staged.write.options(opts).parquet(target)
+    } { (records, size, st) =>
       val name = f"$id%010d-eqdelete-${UUID.randomUUID()}.parquet"
       (name, FileEntry(s"deletes/$name", size, records,
         st.view.filterKeys(statCols).toMap, None, Some(2), Some(cols)))

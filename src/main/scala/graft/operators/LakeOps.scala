@@ -662,17 +662,18 @@ object LakeOps {
           require(localDataBytes <= budget,
             s"after append $k: local $localDataBytes must fit budget $budget")
         }
-        val appendFiles = GraftTable.liveDataFiles(tbl.toString, Seq.empty)
-          .map(_.path).toSet
-        // CoW delete rewrites the matching files: the pre-delete
-        // generation becomes evictable cache the moment the delete's
-        // slot wins
+        // CoW delete: its write set + the still-live append generation
+        // exceed the budget, so the INTRA-OP backpressure evicts the
+        // rewrite's own uploaded outputs as they confirm (the append
+        // files are the rewrite's READ inputs — mid-use, unevictable
+        // by design), and the commit sweep finishes the job
         GraftTable.deleteWhere(s, tbl.toString, col("o_totalprice") < 20000)
         require(localDataBytes <= budget,
           s"post-delete: local $localDataBytes must fit budget $budget")
-        val evicted = appendFiles.filter(p => !Files.exists(tbl.resolve(p)))
+        val evicted = GraftTable.liveDataFiles(tbl.toString, Seq.empty)
+          .map(_.path).filter(p => !Files.exists(tbl.resolve(p)))
         require(evicted.nonEmpty,
-          "eviction must be real: some append-era files are locally gone")
+          "eviction must be real: some of the delete's own outputs are locally gone")
         evicted.foreach(p => require(client.sizeOf(s"ns/o/$p").isDefined,
           s"an evicted file's remote twin must exist: $p"))
         GraftTable.rewriteDataFiles(s, tbl.toString,
@@ -698,6 +699,85 @@ object LakeOps {
         require(localDataBytes <= budget,
           s"post-read: local $localDataBytes must fit budget $budget")
         out
+      } finally { unH.close(); unM.close(); unA.close() }
+    } finally server.close()
+  }
+
+  // ── q114: task-side DIRECT-TO-STORE write, oracled ──────────────────
+  /** The last write-path distance to the reference's 1000-executor
+    * shape (spark-defaults.conf:10 — executors write
+    * `warehouse=s3a://…` DIRECTLY; no node funnels the lake's data
+    * bytes through its local disk): a writer mounting arbiter +
+    * DIRECT-WRITE mirror + an in-place read mount ingests, deletes
+    * (CoW), and compacts with ZERO local data bytes at every
+    * boundary. Task output streams to the store through the grafts3
+    * scheme as it is produced and every committed artifact publishes
+    * by SERVER-SIDE copy — not even a transient landing precedes the
+    * commit (q113's mirror-then-evict residual is gone; the pre-slot
+    * durability ordering is inherited because the artifact is remote
+    * the moment it exists). The OUTPUT is the final table rows, which
+    * DuckDB recomputes from the raw parquet — full hash oracle over
+    * the direct-write lifecycle. */
+  def q114(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.{GraftRangedFs, GraftS3, GraftS3Server}
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val creds = GraftS3.Credentials("GRAFTKEY", "graft-secret-key")
+    val server = new GraftS3Server("graft-direct-gate", creds)
+    try {
+      val wh = Paths.get(scratch("q114-wh"))
+      Files.createDirectories(wh)
+      val client = server.client
+      val unA = GraftS3.mountCommitArbiter(wh, client)
+      val unM = GraftS3.mountArtifactMirror(wh, client, directWrite = true)
+      val unH = GraftS3.mountOnDemandHydration(wh, client,
+        maxLocalBytes = Some(0L), readInPlace = true)
+      try {
+        def localDataBytes: Long = {
+          val st = Files.walk(wh)
+          try st.iterator().asScala.filter(p => Files.isRegularFile(p) && {
+            val d = p.getParent.getFileName.toString
+            d == "data" || d == "deletes"
+          }).map(Files.size).sum
+          finally st.close()
+        }
+        val tbl = wh.resolve("ns").resolve("o")
+        GraftTable.create(s, tbl.toString, orders.schema)
+        (0 until 3).foreach { k =>
+          GraftTable.append(s, tbl.toString,
+            orders.filter(col("o_orderkey") % 3 === k).repartition(2))
+          require(localDataBytes == 0L,
+            s"after append $k: $localDataBytes local data bytes (direct write)")
+        }
+        GraftTable.deleteWhere(s, tbl.toString, col("o_orderkey") % 7 === 0)
+        require(localDataBytes == 0L,
+          s"post-delete: $localDataBytes local data bytes (CoW streamed direct)")
+        GraftTable.rewriteDataFiles(s, tbl.toString,
+          targetFileSizeBytes = 64L * 1024 * 1024)
+        require(localDataBytes == 0L,
+          s"post-compaction: $localDataBytes local data bytes")
+        require(server.copyCalls.get > 0,
+          "artifacts publish by server-side copy, never by re-upload")
+        require(server.openUploads == 0, "no leaked multipart uploads")
+        require(server.rejected.get == 0,
+          "every request must pass the server-side SigV4 verification")
+        require(client.listWithSizes("ns/o/data/").map(_._2).sum > 0L,
+          "the lifecycle's bytes all live remotely")
+        // ONE distributed pass serves the table over ranged GETs and
+        // lands the result locally — the frame must replay after the
+        // in-JVM store closes (the q112 pattern)
+        val opened0 = GraftRangedFs.opened.get
+        val outDir = scratch("q114-out")
+        GraftTable.read(s, tbl.toString)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .write.mode("overwrite").parquet(outDir)
+        require(GraftRangedFs.opened.get > opened0,
+          "the read must serve through the grafts3 scheme")
+        require(localDataBytes == 0L,
+          s"post-read: $localDataBytes local data bytes (in-place reads cache nothing)")
+        s.read.parquet(outDir).orderBy(col("o_orderkey"))
       } finally { unH.close(); unM.close(); unA.close() }
     } finally server.close()
   }
@@ -1676,7 +1756,8 @@ object LakeOps {
     "q110_lake_s3_lazy" -> q110 _,
     "q111_lake_s3_follow" -> q111 _,
     "q112_lake_s3_inplace" -> q112 _,
-    "q113_lake_s3_bounded" -> q113 _)
+    "q113_lake_s3_bounded" -> q113 _,
+    "q114_lake_s3_direct" -> q114 _)
 
   val oracleSql: Map[String, String] = Map(
     "q62_lake_entries" ->
@@ -1692,6 +1773,11 @@ object LakeOps {
     "q113_lake_s3_bounded" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE NOT (o_totalprice < 20000)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q114_lake_s3_direct" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE NOT (o_orderkey % 7 = 0)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q112_lake_s3_inplace" ->

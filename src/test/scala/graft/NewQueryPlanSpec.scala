@@ -143,7 +143,11 @@ class NewQueryPlanSpec extends SparkSpec {
       // q113 mounts the GLOBAL arbiter/mirror/budgeted-hydration trio
       // for its bounded-writer lifecycle — same mid-parallel-suite
       // hazard
-      "q113_lake_s3_bounded")
+      "q113_lake_s3_bounded",
+      // q114 mounts the GLOBAL arbiter/DIRECT-WRITE-mirror/ranged-read
+      // trio (and swaps the remoteStage hook) for its zero-local-disk
+      // lifecycle — same mid-parallel-suite hazard
+      "q114_lake_s3_direct")
     val names = SparkEntry.queries.keySet -- lifecycle -- allPairsDeclared
     val offenders = names.toSeq.sorted.flatMap { n =>
       val df = SparkEntry.queries(n)(spark, sf)

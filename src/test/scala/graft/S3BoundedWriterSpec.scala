@@ -136,19 +136,22 @@ class S3BoundedWriterSpec extends SparkSpec {
       val tbl = wh.resolve("ns").resolve("t")
       val all = rows(2400, 19L)
       GraftTable.create(spark, tbl.toString, all.toDF("id", "p", "payload").schema)
-      GraftTable.append(spark, tbl.toString,
-        all.filter(_._1 % 2 == 0).toDF("id", "p", "payload").coalesce(1))
-      val oneChunk = localDataBytes(wh)
-      // budget ≈ a tenth of one chunk: the next commit's 12-file write
-      // set must sweep nearly all of itself plus the first chunk — a
-      // 13-strong candidate backlog in one data/ dir
-      val budget = math.max(1L, oneChunk / 10)
+      // 12 one-file commits build a 12-file COMMITTED backlog before
+      // any budget exists (intra-op backpressure can't have drained
+      // it); the census then tracks all 12 and the NEXT commit's sweep
+      // faces the genuine N-candidate case
+      (0 until 12).foreach { k =>
+        GraftTable.append(spark, tbl.toString,
+          all.filter(_._1 % 13 == k).toDF("id", "p", "payload").coalesce(1))
+      }
+      val oneChunk = localDataBytes(wh) / 12
+      val budget = math.max(1L, oneChunk / 2)
       unH = GraftS3.mountOnDemandHydration(wh, c, maxLocalBytes = Some(budget))
       val probes0 = em.getRequests.asScala.count { case (k, r) =>
         k.startsWith("ns/t/data/") && r == "bytes=0-0" }
       val lists0 = em.listCalls.get
       GraftTable.append(spark, tbl.toString,
-        all.filter(_._1 % 2 == 1).toDF("id", "p", "payload").repartition(12))
+        all.filter(_._1 % 13 == 12).toDF("id", "p", "payload").coalesce(1))
       val live = GraftTable.liveDataFiles(tbl.toString, Seq.empty).map(_.path)
       val evicted = live.count(p => !Files.exists(tbl.resolve(p)))
       assert(evicted >= 8, s"the sweep must evict a real backlog (evicted $evicted)")
@@ -164,6 +167,61 @@ class S3BoundedWriterSpec extends SparkSpec {
       if (unH != null) unH.close()
       unM.close(); unA.close(); em.close()
     }
+  }
+
+  test("intra-op backpressure: ONE append far larger than the budget keeps PLACED " +
+      "local data bytes bounded by the in-flight file pair — eviction paces the " +
+      "placements, not just the commit boundary") {
+    val em = new GraftS3Server("graft-bounded-pipe", creds)
+    val c = em.client
+    val wh = Paths.get(scratchRoot("s3-bounded",
+      s"pipe-${ProcessHandle.current().pid()}"))
+    Files.createDirectories(wh)
+    val unA = GraftS3.mountCommitArbiter(wh, c)
+    val unM = GraftS3.mountArtifactMirror(wh, c)
+    // budget 0, mounted BEFORE any write: the harshest single-giant-op
+    // case — the whole 12-file write set exceeds the budget, and
+    // without backpressure the placed set would sit on disk until the
+    // commit boundary
+    val unH = GraftS3.mountOnDemandHydration(wh, c, maxLocalBytes = Some(0L))
+    try {
+      val tbl = wh.resolve("ns").resolve("t")
+      val all = rows(2400, 59L)
+      GraftTable.create(spark, tbl.toString, all.toDF("id", "p", "payload").schema)
+      // poller samples the placed (data/deletes) bytes DURING the op;
+      // the stage dir is the op's scratch, deliberately out of scope
+      // (direct-write staging removes it entirely)
+      val peak = new java.util.concurrent.atomic.AtomicLong()
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val poller = new Thread(() => {
+        while (!stop.get) {
+          val now = localDataBytes(wh)
+          peak.getAndUpdate(math.max(_, now))
+          Thread.sleep(1)
+        }
+      })
+      poller.setDaemon(true); poller.start()
+      GraftTable.append(spark, tbl.toString,
+        all.toDF("id", "p", "payload").repartition(12))
+      stop.set(true); poller.join()
+      val sizes = GraftTable.liveDataFiles(tbl.toString, Seq.empty).map(_.sizeBytes)
+      assert(sizes.size >= 10, s"the op must be genuinely multi-file: ${sizes.size}")
+      val maxFile = sizes.max
+      // the deterministic bound: placements are sequential on the
+      // publishing thread and each placement's backpressure evicts the
+      // previous sibling before returning — at most (previous mid-
+      // eviction + just-placed) are ever on disk together
+      assert(peak.get <= 2 * maxFile,
+        s"placed bytes peaked at ${peak.get} — over the budget+pair bound " +
+          s"(${2 * maxFile}) for a ${sizes.sum}-byte write set")
+      assert(peak.get < sizes.sum / 2,
+        "the bound is meaningfully below the write set itself")
+      assert(localDataBytes(wh) == 0L, "budget 0: the commit sweep clears the rest")
+      val got = GraftTable.read(spark, tbl.toString)
+        .as[(Long, Int, String)].collect().toSet
+      assert(got == all.toSet, "the backpressured append reads back exact")
+      assert(em.rejected.get == 0)
+    } finally { unH.close(); unM.close(); unA.close(); em.close() }
   }
 
   test("mount-time census: a budgeted mount over a warehouse that ALREADY holds " +
@@ -369,20 +427,31 @@ class S3BoundedWriterSpec extends SparkSpec {
     }
   }
 
-  test("budget 0 + read-in-place = the reference's exact deployment shape: a writer " +
-      "with NO local lake copy — every commit leaves zero local data bytes and every " +
-      "read serves over ranged GETs") {
+  test("budget 0 + read-in-place + direct-write = the reference's exact deployment " +
+      "shape: a writer with NO local lake copy — zero local data bytes WITHOUT the " +
+      "evict step (placeArtifact never fires), every read over ranged GETs") {
     val em = new GraftS3Server("graft-zerodisk", creds)
     val c = em.client
     val wh = Paths.get(scratchRoot("s3-bounded",
       s"zd-${ProcessHandle.current().pid()}"))
     Files.createDirectories(wh)
+    // the commit-boundary EVICTION must never be what achieves zero
+    // here: with direct-write the data bytes never land at all, which
+    // the placeArtifact counter proves (install BEFORE the mounts so
+    // the dispatch chain captures it; guarded restore)
+    val prevPlace = GraftTable.placeArtifact
+    val placed = new java.util.concurrent.atomic.AtomicInteger()
+    val wrapper: (Path, Path) => Unit = (src, dst) => {
+      if (dst.toAbsolutePath.normalize.startsWith(wh)) placed.incrementAndGet()
+      prevPlace(src, dst)
+    }
+    GraftTable.placeArtifact = wrapper
     val unA = GraftS3.mountCommitArbiter(wh, c)
-    val unM = GraftS3.mountArtifactMirror(wh, c)
-    // budget 0: every mirror-confirmed artifact evicts at its own
-    // commit; readInPlace: reads never pull it back — the steady state
-    // holds NO local data bytes at all, matching the reference where
-    // no compose node carries a lake copy on either path
+    val unM = GraftS3.mountArtifactMirror(wh, c, directWrite = true)
+    // budget 0 stays as the belt to direct-write's suspenders;
+    // readInPlace: reads never pull anything back — the steady state
+    // holds NO local data bytes, matching the reference where no
+    // compose node carries a lake copy on either path
     val unH = GraftS3.mountOnDemandHydration(wh, c,
       maxLocalBytes = Some(0L), readInPlace = true)
     try {
@@ -394,14 +463,19 @@ class S3BoundedWriterSpec extends SparkSpec {
         GraftTable.append(spark, tbl.toString,
           all.filter(_._1 % 3 == k).toDF("id", "p", "payload").coalesce(1))
         assert(localData == 0L, s"after append $k: $localData local bytes")
+        assert(placed.get == 0, s"append $k placed a local data artifact")
       }
-      // CoW delete: reads its victims IN PLACE (zero hydration), writes
-      // the rewrite locally only transiently, evicts at the commit
+      // CoW delete: reads its victims IN PLACE (zero hydration), the
+      // rewrite streams DIRECT to the store — no transient landing,
+      // no evict step
       GraftTable.deleteWhere(spark, tbl.toString, col("id") % 5 === 0)
       assert(localData == 0L, s"after delete: $localData local bytes")
       GraftTable.rewriteDataFiles(spark, tbl.toString,
         targetFileSizeBytes = 64L * 1024 * 1024)
       assert(localData == 0L, s"after compaction: $localData local bytes")
+      assert(placed.get == 0,
+        "the whole lifecycle placed ZERO local data artifacts — zero " +
+          "is structural, not evicted")
       val opened0 = graft.lake.GraftRangedFs.opened.get
       val got = GraftTable.read(spark, tbl.toString)
         .as[(Long, Int, String)].collect().toSet
@@ -411,7 +485,13 @@ class S3BoundedWriterSpec extends SparkSpec {
         "the read must serve through the grafts3 scheme")
       assert(localData == 0L, s"after the read: $localData local bytes")
       assert(em.rejected.get == 0)
-    } finally { unH.close(); unM.close(); unA.close(); em.close() }
+    } finally {
+      // mounts first (they restore the wrapper as their prev), THEN the
+      // guarded wrapper restore — the reverse order would leave the
+      // wrapper permanently chained
+      unH.close(); unM.close(); unA.close(); em.close()
+      if (GraftTable.placeArtifact eq wrapper) GraftTable.placeArtifact = prevPlace
+    }
   }
 
   test("the pure-conf ZERO-LOCAL-LAKE writer: budget 0 + s3.read-in-place on the " +
