@@ -223,7 +223,10 @@ final class GraftRangedFs extends FileSystem {
       override def flush(): Unit = ()   // parts flush on buffer boundaries
       override def close(): Unit = {
         up.close()
-        sizeCache.put(key, up.bytesWritten)
+        // ONLY a completed upload caches its size: a broken stream's
+        // close ABORTED the multipart — no object exists, and a
+        // phantom entry would make getFileStatus fabricate a file
+        if (up.completed) sizeCache.put(key, up.bytesWritten)
       }
     }
     new FSDataOutputStream(out, null)

@@ -149,9 +149,13 @@ object GraftS3 {
 
   /** An in-flight streaming upload ([[Client.streamingUpload]]): plain
     * OutputStream semantics plus the byte count a filesystem layer
-    * caches as the object's size at close. */
+    * caches as the object's size at close — ONLY when `completed`
+    * (a broken stream's close ABORTS the upload: no object exists, so
+    * caching its size would fabricate a phantom file). */
   abstract class UploadStream extends java.io.OutputStream {
     def bytesWritten: Long
+    /** True once close() durably landed the object. */
+    def completed: Boolean
   }
 
   /** Minimal path-style S3 REST client over java.net.http. Every
@@ -385,9 +389,11 @@ object GraftS3 {
         * failure path will close() us in a finally — that close must
         * ABORT the upload, never complete a torn object. */
       private var broken = false
+      @volatile private var done = false
       track(partSizeBytes)
 
       def bytesWritten: Long = total
+      def completed: Boolean = done
 
       override def write(b: Int): Unit = write(Array(b.toByte), 0, 1)
       override def write(src: Array[Byte], off: Int, len: Int): Unit = {
@@ -451,19 +457,22 @@ object GraftS3 {
       override def close(): Unit = if (!closed) {
         closed = true
         if (broken) abortQuiet()   // failure-path close: abort, don't mask
-        else if (uploadId == null) put(key, java.util.Arrays.copyOf(buf, n))
-        else {
+        else if (uploadId == null) {
+          put(key, java.util.Arrays.copyOf(buf, n))
+          done = true
+        } else {
           try {
             if (n > 0) flushPart()
             val completeXml = "<CompleteMultipartUpload>" +
               etags.sortBy(_._1).map { case (p, e) =>
                 s"<Part><PartNumber>$p</PartNumber><ETag>$e</ETag></Part>"
               }.mkString + "</CompleteMultipartUpload>"
-            val done = send("POST", key, Seq("uploadId" -> uploadId),
+            val resp = send("POST", key, Seq("uploadId" -> uploadId),
               completeXml.getBytes(UTF_8), Nil)
-            if (done.statusCode == 404 && sizeOf(key).contains(total) &&
+            if (resp.statusCode == 404 && sizeOf(key).contains(total) &&
               samplesMatchStream()) ()
-            else expect(done, 200)
+            else expect(resp, 200)
+            done = true
           } catch { case t: Throwable =>
             abortQuiet()
             throw t
@@ -977,7 +986,8 @@ object GraftS3 {
       * omitting Size (not spec-compliant, but cheap to tolerate)
       * yields -1 for that key. */
     def listWithSizes(prefix: String,
-        startAfter: Option[String] = None): Seq[(String, Long)] = {
+        startAfter: Option[String] = None,
+        stopAfter: Option[String] = None): Seq[(String, Long)] = {
       val keys = Seq.newBuilder[(String, Long)]
       var token: Option[String] = None
       var more = true
@@ -992,15 +1002,20 @@ object GraftS3 {
         first = false
         val xml = new String(
           expect(send("GET", "", q, Array.emptyByteArray, Nil), 200).body(), UTF_8)
+        var pastStop = false
         contentsRe.findAllMatchIn(xml).foreach { c =>
           keyRe.findFirstMatchIn(c.group(1)).foreach { k =>
             keys += k.group(1) -> sizeRe.findFirstMatchIn(c.group(1))
               .map(_.group(1).toLong).getOrElse(-1L)
+            // `stopAfter`: a caller confirming a KNOWN key range stops
+            // paging once the listing passes its largest key — page
+            // cost scales with the range, not the whole prefix
+            if (stopAfter.exists(k.group(1) >= _)) pastStop = true
           }
         }
         token = "<NextContinuationToken>([^<]*)</NextContinuationToken>".r
           .findFirstMatchIn(xml).map(_.group(1))
-        more = token.isDefined
+        more = token.isDefined && !pastStop
       }
       keys.result()
     }
@@ -1428,7 +1443,8 @@ object GraftS3 {
     ownerOf(hydMounts, justPlaced)(_.root).foreach { m =>
       m.maxLocalBytes.foreach { budget =>
         var progress = true
-        while (progress) {
+        var aborted = false
+        while (progress && !aborted) {
           progress = false
           var pendingLocal = 0L
           val siblings = Seq.newBuilder[(Path, java.util.concurrent.Future[_], Long)]
@@ -1451,9 +1467,19 @@ object GraftS3 {
             // old). A failed sibling upload keeps its local copy and
             // the commit barrier surfaces the failure loudly.
             val it = siblings.result().iterator
-            while (need > 0 && it.hasNext) {
+            while (need > 0 && it.hasNext && !aborted) {
               val (p, f, sz) = it.next()
-              val uploaded = try { f.get(); true } catch { case _: Throwable => false }
+              // NonFatal + interrupt-restore (the eviction discipline):
+              // a cancelled job must not stall blocked on sibling
+              // uploads — restore the flag and abandon the (best-
+              // effort) backpressure; VM errors propagate
+              val uploaded =
+                try { f.get(); true }
+                catch {
+                  case _: InterruptedException =>
+                    Thread.currentThread().interrupt(); aborted = true; false
+                  case scala.util.control.NonFatal(_) => false
+                }
               if (uploaded) {
                 if (Files.deleteIfExists(p)) {
                   m.bytesEvicted.addAndGet(sz)
@@ -1499,15 +1525,19 @@ object GraftS3 {
   // ── direct-write staging dispatch ───────────────────────────────────
   private var stagePrev: Option[Path => Option[GraftTable.RemoteStage]] = None
   private lazy val stageDispatch: Path => Option[GraftTable.RemoteStage] = tableRoot => {
-    // CTAS/RTAS stage their whole TABLE under `.staging/<uuid>` and
-    // publish by a local directory move — remote stage keys minted
-    // from the pre-publish root would go stale at that move, so those
-    // roots keep the local staging + mirror path (the move's
-    // placements re-key correctly through placeDispatch)
-    val staged = (0 until tableRoot.getNameCount)
-      .exists(i => tableRoot.getName(i).toString == ".staging")
-    val owner = if (staged) None else ownerOf(directMounts, tableRoot)(_.root)
-    owner match {
+    // CTAS/RTAS stage their whole TABLE under `<warehouse>/.staging/
+    // <uuid>` and publish by a local directory move — remote stage
+    // keys minted from the pre-publish root would go stale at that
+    // move, so those roots keep the local staging + mirror path (the
+    // move's placements re-key correctly through placeDispatch). The
+    // check is scoped BELOW the mount root: a warehouse that itself
+    // lives under some ancestor dir named `.staging` must not silently
+    // lose direct-write for every table.
+    ownerOf(directMounts, tableRoot)(_.root) match {
+      case Some(m) if {
+        val rel = m.root.relativize(tableRoot)
+        (0 until rel.getNameCount).exists(i => rel.getName(i).toString == ".staging")
+      } => None
       case Some(m) => Some(new GraftTable.RemoteStage {
         private def join(a: String, b: String): String =
           if (a.isEmpty || a.endsWith("/")) a + b else a + "/" + b
@@ -1675,7 +1705,15 @@ object GraftS3 {
     val pageSizes: Map[String, Long] = candidates
       .groupBy { case (k, _) => k.take(k.lastIndexOf('/') + 1) }
       .collect { case (dir, cs) if cs.size > 2 =>
-        client.listWithSizes(dir).filter(_._2 >= 0)
+        // page cost scales with the CANDIDATE RANGE, not the dir's
+        // total population (a 100k-file table evicting 5 files must
+        // not walk 100 pages): start strictly after the smallest
+        // candidate (it falls back to its own probe) and stop past
+        // the largest. Eviction backlogs are LRU-oldest and artifact
+        // names sort by snapshot prefix, so the range is tight.
+        val sortedKeys = cs.map(_._1).sorted
+        client.listWithSizes(dir, startAfter = Some(sortedKeys.head),
+          stopAfter = Some(sortedKeys.last)).filter(_._2 >= 0)
       }.flatten.toMap
     candidates.map { case (k, sz) =>
       k -> (pageSizes.get(k) match {

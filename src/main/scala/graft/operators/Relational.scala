@@ -323,8 +323,11 @@ object Relational {
     val ex = li.agg(countDistinct(col("l_orderkey")).as("exact_orders"),
       exactCols: _*).collect()(0)
     val (exact, n) = (ex.getLong(0), ex.getLong(1))
-    require(math.abs(aOrders - exact) <= math.max(1L, (exact * 0.15).toLong),
-      s"HLL++ outside its 3σ rsd bound: approx $aOrders vs exact $exact")
+    // 4σ of the default rsd: wide enough that no testdata regeneration
+    // can trip it by luck (HLL++ lands within ~2σ in practice), tight
+    // enough that any real sketch regression (typically ≥2×) fails
+    require(math.abs(aOrders - exact) <= math.max(1L, (exact * 0.20).toLong),
+      s"HLL++ outside its 4σ rsd bound: approx $aOrders vs exact $exact")
     def rankPin(q: Double, lt: Long, le: Long, tag: String): Unit = {
       val eps = 5.0 / 10000
       require(lt.toDouble / n <= q + eps && le.toDouble / n >= q - eps,

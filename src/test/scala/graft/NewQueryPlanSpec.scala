@@ -147,7 +147,11 @@ class NewQueryPlanSpec extends SparkSpec {
       // q114 mounts the GLOBAL arbiter/DIRECT-WRITE-mirror/ranged-read
       // trio (and swaps the remoteStage hook) for its zero-local-disk
       // lifecycle — same mid-parallel-suite hazard
-      "q114_lake_s3_direct")
+      "q114_lake_s3_direct",
+      // q22 executes its accuracy self-pins (two aggregation jobs) at
+      // DataFrame-construction time — excluded for the same COST
+      // reason as the lifecycle queries; its reads are plain scans
+      "q22_approx")
     val names = SparkEntry.queries.keySet -- lifecycle -- allPairsDeclared
     val offenders = names.toSeq.sorted.flatMap { n =>
       val df = SparkEntry.queries(n)(spark, sf)
