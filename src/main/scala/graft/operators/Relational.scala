@@ -300,7 +300,9 @@ object Relational {
     * the sketches' published accuracy contracts are REQUIREd against
     * exact one-pass aggregates, cheap at gate SF.
     *  - approx_count_distinct is HLL++ at the default rsd = 0.05
-    *    (Heule 2013); 3σ = 15% bounds it for any input.
+    *    (Heule 2013); the require uses 4σ = 20% so no testdata
+    *    regeneration can trip it by luck while a real sketch
+    *    regression (typically ≥2×) still fails.
     *  - percentile_approx(accuracy = a) guarantees relative rank error
     *    ≤ 1/a (Greenwald-Khanna); with ties the returned value's rank
     *    is an INTERVAL [count(<v), count(≤v)], which must intersect

@@ -157,7 +157,11 @@ class S3BoundedWriterSpec extends SparkSpec {
       assert(evicted >= 8, s"the sweep must evict a real backlog (evicted $evicted)")
       val probes = em.getRequests.asScala.count { case (k, r) =>
         k.startsWith("ns/t/data/") && r == "bytes=0-0" } - probes0
-      assert(probes <= 2,
+      // each confirm round's smallest candidate probes by design (the
+      // exclusive start-after excludes it from its own page walk), and
+      // a candidate vanishing mid-sweep can add a round — the claim is
+      // O(pages)+O(rounds), far under the 13-candidate count
+      assert(probes <= 4,
         s"size confirmation rides the list page, not per-file probes (saw $probes)")
       assert(em.listCalls.get > lists0,
         "the sweep's confirmation listed the candidates' dir")
