@@ -215,6 +215,17 @@ final class GraftRangedFs extends FileSystem {
       bufferSize: Int, replication: Short, blockSize: Long,
       progress: Progressable): FSDataOutputStream = {
     val key = keyOf(f)
+    // Hadoop contract: create(overwrite = false) over an existing file
+    // throws. Stage keys are unique by construction, so this probe
+    // should never fire positive — but a broken uniqueness invariant
+    // (duplicate task-attempt path, a future caller probing for
+    // collisions) must fail LOUDLY here, not silently clobber the
+    // object at close (the same silent-corruption class the
+    // listStatus(FILE) fix documents). One 404 probe per create on the
+    // overwrite=false path — the HEAD real s3a pays by default too.
+    if (!overwrite && isFileKey(key))
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+        s"grafts3 create(overwrite = false) over existing object: $key")
     val up = client.streamingUpload(key)
     val out = new java.io.OutputStream {
       override def write(b: Int): Unit = up.write(b)

@@ -374,7 +374,13 @@ object GraftS3 {
       * complete that 404s against a same-size object whose head+tail
       * bytes match is this stream's own landed complete. */
     def streamingUpload(key: String): GraftS3.UploadStream = new GraftS3.UploadStream {
-      private val buf = new Array[Byte](partSizeBytes)
+      // the part buffer GROWS geometrically to partSizeBytes instead of
+      // allocating the full part up front: most staged files (committer
+      // markers, delete shards, small task splits) are far below one
+      // part, and N concurrent task streams each pinning 64 MiB of heap
+      // for a few-KB file is exactly the buffer bloat the peak-buffer
+      // metric exists to catch — track() records REALIZED allocation
+      private var buf = new Array[Byte](math.min(partSizeBytes, 64 << 10))
       private var n = 0
       private var uploadId: String = null
       private var partNum = 0
@@ -390,7 +396,7 @@ object GraftS3 {
         * ABORT the upload, never complete a torn object. */
       private var broken = false
       @volatile private var done = false
-      track(partSizeBytes)
+      track(buf.length)
 
       def bytesWritten: Long = total
       def completed: Boolean = done
@@ -401,7 +407,15 @@ object GraftS3 {
         var o = off
         var rem = len
         while (rem > 0) {
-          if (n == buf.length) flushPart()
+          if (n == buf.length) {
+            if (buf.length < partSizeBytes) {
+              // grow toward one part; only a buffer AT part size flushes
+              // (multipart parts below the last must be full-size)
+              val grown = math.min(partSizeBytes.toLong, buf.length * 4L).toInt
+              buf = java.util.Arrays.copyOf(buf, grown)
+              track(grown)
+            } else flushPart()
+          }
           val take = math.min(rem, buf.length - n)
           System.arraycopy(src, o, buf, n, take)
           n += take; o += take; rem -= take
@@ -1381,22 +1395,33 @@ object GraftS3 {
     * task output straight to the store would trade that for losing
     * local-read locality on the hot working set). */
   private def trackMirrored(target: Path, content: String): Unit = {
-    val adds =
+    val commit =
       // NonFatal, like the call site and the sweep: an OOM mid-parse
       // must not silently become "no adds tracked"
-      try GraftTable.parseCommit(content).adds
-      catch { case scala.util.control.NonFatal(_) => Seq.empty }
-    if (adds.nonEmpty) {
+      try Some(GraftTable.parseCommit(content))
+      catch { case scala.util.control.NonFatal(_) => None }
+    // removes-only commits (metadata-only partition DELETE, eq-delete
+    // routing) sweep too: their victims just became evictable
+    commit.filter(c => c.adds.nonEmpty || c.removes.nonEmpty).foreach { c =>
       val tableRoot = target.toAbsolutePath.normalize.getParent.getParent
       ownerOf(hydMounts, tableRoot)(_.root).filter(_.maxLocalBytes.isDefined)
         .foreach { m =>
           m.touched.synchronized {
-            adds.foreach { a =>
+            c.adds.foreach { a =>
               val local = tableRoot.resolve(a.path)
               localSizeOpt(local).foreach(m.touch(keyFor(m.root, local, ""), _))
             }
           }
-          sweepBudget(m, Set.empty, commitSweep = true)
+          // the commit's own RETIRED rels are NEVER grace-spared: a
+          // CoW/compaction commit must evict its victims at its own
+          // boundary even when Spark planned the reading scan off the
+          // committing thread (AQE materializes query stages on pool
+          // threads) — the planning-thread heuristic alone would spare
+          // them for the whole grace window and transiently break the
+          // budget-fits-at-every-boundary contract q113 pins
+          val retired = c.removes
+            .map(r => keyFor(m.root, tableRoot.resolve(r), "")).toSet
+          sweepBudget(m, Set.empty, commitSweep = true, retired = retired)
         }
     }
   }
@@ -1736,7 +1761,7 @@ object GraftS3 {
     * then re-check under it before each delete (a candidate touched or
     * consumed in between simply survives). */
   private def sweepBudget(m: HydMount, current: Set[String],
-      commitSweep: Boolean = false): Unit =
+      commitSweep: Boolean = false, retired: Set[String] = Set.empty): Unit =
     m.maxLocalBytes.foreach { budget =>
       // rels whose remote twin failed confirmation this sweep: never
       // re-picked, so the loop terminates even when nothing is evictable
@@ -1759,9 +1784,13 @@ object GraftS3 {
             // planned within the window — hydration fires at plan
             // time, the scan's tasks read afterwards, and a winning
             // commit must not yank that working set mid-read. The
-            // committing thread's own planned set (a CoW op's victims)
-            // stays evictable; entries past the window prune here.
-            val graced = commitSweep && graceNanos > 0 && {
+            // committing thread's own planned set stays evictable,
+            // and the commit's RETIRED rels are never graced at all
+            // (a CoW op's victims must evict at their own boundary
+            // regardless of which thread planned the reading scan);
+            // entries past the window prune here.
+            val graced = commitSweep && graceNanos > 0 &&
+              !retired.contains(e.getKey) && {
               val p = m.planned.get(e.getKey)
               if (p == null) false
               else if (System.nanoTime() - p._1 >= graceNanos) {

@@ -215,12 +215,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       // IN PLACE: the native scan's data files resolve to grafts3://
       // URIs served over ranged GETs (footer + projected column
       // chunks — column bytes, not file bytes), while MoR delete files
-      // and V1-plane reads keep hydrating. It COMPOSES with whichever
-      // shape s3.hydrate-on-demand picked: on the follower it is the
-      // r17 reader; on the WRITER shape it joins arbiter + mirror, so
-      // budget 0 + read-in-place through pure conf is the reference's
-      // exact both-paths deployment (no local lake copy on either
-      // path) — previously reachable only via API mounts.
+      // and V1-plane reads keep hydrating. Shape rule: ALONE it keeps
+      // the r17 follower contract (a deployed reader conf must never
+      // silently upgrade into a writer that arbitrates slots and
+      // mirrors foreign objects into the fleet's bucket); combined
+      // with any WRITER-shape option (s3.direct-write or
+      // s3.local-cache-max-bytes) it joins arbiter + mirror, so budget
+      // 0 + read-in-place through pure conf is the reference's exact
+      // both-paths deployment (no local lake copy on either path) —
+      // previously reachable only via API mounts.
       val inPlace =
         Option(options.get("s3.read-in-place")).exists(_.toBoolean)
       // s3.direct-write=true (writer shape only): staged parquet
@@ -266,6 +269,21 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
             partConcurrency =
               sizeOpt("s3.part-concurrency", 4).toInt)
           val root = Paths.get(warehouse)
+          // s3.local-cache-max-bytes bounds the follower's local disk:
+          // after each scan's hydration, least-recently-touched
+          // confirmed-remote artifacts evict until local bytes fit.
+          // Size it above the SUM of concurrent scans' working sets —
+          // an eviction racing a still-running scan fails that scan
+          // loudly (never wrong results); a resubmission re-hydrates
+          val cacheBudget = Option(options.get("s3.local-cache-max-bytes"))
+            .map(_.toLong)
+          // validate the shape BEFORE any JVM-global knob below
+          // mutates: an invalid catalog conf must not leave e.g. the
+          // process-wide eviction grace changed for every OTHER
+          // mounted catalog on its way to the loud failure
+          require(!(hydrate && directWrite),
+            s"spark.sql.catalog.$name.s3.direct-write is a WRITER-shape " +
+              "option: it cannot combine with s3.hydrate-on-demand")
           // s3.hydrate-on-demand=true declares this session a lazy
           // FOLLOWER: reads pull pruned file sets on demand (pair with
           // GraftS3.syncMetadata); default is the full writer shape
@@ -285,19 +303,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           // (deferral only; 0 disables)
           Option(options.get("s3.eviction-grace-ms"))
             .foreach(v => GraftS3.evictionGraceMs = v.toLong)
-          // s3.local-cache-max-bytes bounds the follower's local disk:
-          // after each scan's hydration, least-recently-touched
-          // confirmed-remote artifacts evict until local bytes fit.
-          // Size it above the SUM of concurrent scans' working sets —
-          // an eviction racing a still-running scan fails that scan
-          // loudly (never wrong results); a resubmission re-hydrates
-          val cacheBudget = Option(options.get("s3.local-cache-max-bytes"))
-            .map(_.toLong)
-          require(!(hydrate && directWrite),
-            s"spark.sql.catalog.$name.s3.direct-write is a WRITER-shape " +
-              "option: it cannot combine with s3.hydrate-on-demand")
           val handles =
-            if (hydrate)
+            if (hydrate || (inPlace && !directWrite && cacheBudget.isEmpty))
               Seq(GraftS3.mountOnDemandHydration(root, client, prefix,
                 maxLocalBytes = cacheBudget, readInPlace = inPlace))
             else Seq(

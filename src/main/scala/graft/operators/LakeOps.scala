@@ -33,6 +33,21 @@ object LakeOps {
     p.toString
   }
 
+  /** Local bytes under every data/ and deletes/ dir below `root` —
+    * the disk the bounded-writer gates (q113/q114) are about; the
+    * commit log and checkpoints are the KB-sized metadata plane,
+    * deliberately not counted. One definition so the two gates (and
+    * any future one) can never silently diverge in what they assert. */
+  private def localLakeDataBytes(root: java.nio.file.Path): Long = {
+    if (!Files.exists(root)) return 0L
+    val st = Files.walk(root)
+    try st.iterator().asScala.filter(p => Files.isRegularFile(p) && {
+      val d = p.getParent.getFileName.toString
+      d == "data" || d == "deletes"
+    }).map(Files.size).sum
+    finally st.close()
+  }
+
   // ── q23: snapshot log over create/append/overwrite/rollback ─────────
   /** The log-shape invariants live in `require`s; the RESULT is the
     * rolled-back end state (appends 1+2, the overwrite undone), which
@@ -646,14 +661,7 @@ object LakeOps {
       val unH = GraftS3.mountOnDemandHydration(wh, client,
         maxLocalBytes = Some(budget))
       try {
-        def localDataBytes: Long = {
-          val st = Files.walk(wh)
-          try st.iterator().asScala.filter(p => Files.isRegularFile(p) && {
-            val d = p.getParent.getFileName.toString
-            d == "data" || d == "deletes"
-          }).map(Files.size).sum
-          finally st.close()
-        }
+        def localDataBytes: Long = localLakeDataBytes(wh)
         val tbl = wh.resolve("ns").resolve("o")
         GraftTable.create(s, tbl.toString, orders.schema)
         (0 until 3).foreach { k =>
@@ -734,14 +742,7 @@ object LakeOps {
       val unH = GraftS3.mountOnDemandHydration(wh, client,
         maxLocalBytes = Some(0L), readInPlace = true)
       try {
-        def localDataBytes: Long = {
-          val st = Files.walk(wh)
-          try st.iterator().asScala.filter(p => Files.isRegularFile(p) && {
-            val d = p.getParent.getFileName.toString
-            d == "data" || d == "deletes"
-          }).map(Files.size).sum
-          finally st.close()
-        }
+        def localDataBytes: Long = localLakeDataBytes(wh)
         val tbl = wh.resolve("ns").resolve("o")
         GraftTable.create(s, tbl.toString, orders.schema)
         (0 until 3).foreach { k =>

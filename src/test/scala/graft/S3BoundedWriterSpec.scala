@@ -25,30 +25,10 @@ class S3BoundedWriterSpec extends SparkSpec {
 
   private val creds = Credentials("GRAFTKEY", "graft-bounded-secret")
 
-  /** Local bytes under every data/ and deletes/ dir below `root` —
-    * the disk the budget is about (the commit log and checkpoints are
-    * the KB-sized metadata plane, deliberately not counted). */
-  private def localDataBytes(root: Path): Long = {
-    if (!Files.exists(root)) return 0L
-    val s = Files.walk(root)
-    try s.iterator().asScala.filter { p =>
-      Files.isRegularFile(p) && {
-        val d = p.getParent.getFileName.toString
-        d == "data" || d == "deletes"
-      }
-    }.map(Files.size).sum
-    finally s.close()
-  }
-
   /** Incompressible payloads: parquet can't deflate them, so byte
-    * budgets measure real transfer/disk, not encoder luck. */
-  private def rows(n: Int, seed: Long) = {
-    val rnd = new java.util.Random(seed)
-    (0 until n).map { i =>
-      val pad = new Array[Byte](150); rnd.nextBytes(pad)
-      (i.toLong, i % 3, java.util.Base64.getEncoder.encodeToString(pad))
-    }
-  }
+    * budgets measure real transfer/disk, not encoder luck —
+    * localDataBytes and padRows live in SparkSpec (one shared copy). */
+  private def rows(n: Int, seed: Long) = padRows(n, seed)
 
   test("a budget below total written bytes holds across append + CoW delete + " +
       "compaction: local data bytes fit at every commit boundary, eviction is real, " +

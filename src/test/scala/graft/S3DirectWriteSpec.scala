@@ -25,26 +25,9 @@ class S3DirectWriteSpec extends SparkSpec {
 
   private val creds = Credentials("GRAFTKEY", "graft-direct-secret")
 
-  private def localDataBytes(root: Path): Long = {
-    if (!Files.exists(root)) return 0L
-    val s = Files.walk(root)
-    try s.iterator().asScala.filter { p =>
-      Files.isRegularFile(p) && {
-        val d = p.getParent.getFileName.toString
-        d == "data" || d == "deletes"
-      }
-    }.map(Files.size).sum
-    finally s.close()
-  }
-
-  /** Incompressible payloads, the bounded-writer spec's rule. */
-  private def rows(n: Int, seed: Long) = {
-    val rnd = new java.util.Random(seed)
-    (0 until n).map { i =>
-      val pad = new Array[Byte](150); rnd.nextBytes(pad)
-      (i.toLong, i % 3, java.util.Base64.getEncoder.encodeToString(pad))
-    }
-  }
+  /** Incompressible payloads, the bounded-writer spec's rule —
+    * localDataBytes and padRows live in SparkSpec (one shared copy). */
+  private def rows(n: Int, seed: Long) = padRows(n, seed)
 
   /** Count placeArtifact invocations: `local` under `root` (must stay
     * 0 for a direct-write table — the zero-transient-landing claim)

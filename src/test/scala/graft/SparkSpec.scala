@@ -73,6 +73,36 @@ abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     p.toString
   }
 
+  /** Local bytes under every data/ and deletes/ dir below `root` — the
+    * disk the bounded/direct-writer specs assert on (the commit log and
+    * checkpoints are the KB-sized metadata plane, deliberately not
+    * counted). ONE copy shared by the S3 writer specs so a change to
+    * what counts as "local data bytes" can never silently diverge
+    * between suites. */
+  protected def localDataBytes(root: java.nio.file.Path): Long = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(root)) return 0L
+    val s = java.nio.file.Files.walk(root)
+    try s.iterator().asScala.filter { p =>
+      java.nio.file.Files.isRegularFile(p) && {
+        val d = p.getParent.getFileName.toString
+        d == "data" || d == "deletes"
+      }
+    }.map(java.nio.file.Files.size(_)).sum
+    finally s.close()
+  }
+
+  /** Incompressible payload rows (id, bucket, 200-char base64 pad):
+    * parquet can't deflate them, so byte-budget asserts measure real
+    * transfer/disk, not encoder luck. */
+  protected def padRows(n: Int, seed: Long): Seq[(Long, Int, String)] = {
+    val rnd = new java.util.Random(seed)
+    (0 until n).map { i =>
+      val pad = new Array[Byte](150); rnd.nextBytes(pad)
+      (i.toLong, i % 3, java.util.Base64.getEncoder.encodeToString(pad))
+    }
+  }
+
   /** The formatted physical plan, for scan/pushdown/broadcast asserts. */
   def plan(df: org.apache.spark.sql.DataFrame): String = {
     val e = df.queryExecution.explainString(
