@@ -358,6 +358,72 @@ class S3BoundedWriterSpec extends SparkSpec {
     }
   }
 
+  test("a commit's RETIRED files evict at its OWN boundary even when a foreign " +
+      "thread's scan grace-stamped them; non-retired planned files stay spared") {
+    // The grace ledger keys own-vs-foreign by planning thread id — a
+    // heuristic that would spare a commit's own victims whenever Spark
+    // plans the reading scan off the committing thread (AQE
+    // materializes query stages on pool threads). The contract under
+    // test: retired rels parsed from the commit JSON override the
+    // grace entirely, so victims evict at their own boundary no matter
+    // which thread planned them — here a metadata-only partition
+    // DELETE, whose commit carries ONLY removes (pinning the
+    // removes-only sweep path too) and reads nothing (so the foreign
+    // stamp is never overwritten by the committing thread's own plan).
+    val em = new GraftS3Server("graft-bounded-retired", creds)
+    val c = em.client
+    val wh = Paths.get(scratchRoot("s3-bounded",
+      s"retired-${ProcessHandle.current().pid()}"))
+    Files.createDirectories(wh)
+    val unA = GraftS3.mountCommitArbiter(wh, c)
+    val unM = GraftS3.mountArtifactMirror(wh, c)
+    var unH: AutoCloseable = null
+    try {
+      val tbl = wh.resolve("ns").resolve("g")
+      val all = rows(1800, 23L)
+      val df = all.toDF("id", "p", "payload")
+      GraftTable.create(spark, tbl.toString, df.schema,
+        Map(GraftTable.specProp -> "identity(p)"))
+      GraftTable.append(spark, tbl.toString, df.repartition(2))
+      val files = GraftTable.state(tbl.toString).files.filter(_.isData)
+      val victims = files.filter(_.partitionValues.get("p").contains("2"))
+        .map(_.path).toSet
+      val keepers = files.map(_.path).toSet -- victims
+      assert(victims.nonEmpty && keepers.nonEmpty)
+      val total = localDataBytes(wh)
+      val victimBytes = victims.toSeq.map(v => Files.size(tbl.resolve(v))).sum
+      // keepers alone fit; the sweep must reclaim ≥ half the victim
+      // bytes — under an active grace window ONLY the retired set is
+      // eligible, so this budget is satisfiable iff the override works
+      val budget = total - victimBytes / 2
+      unH = GraftS3.mountOnDemandHydration(wh, c, maxLocalBytes = Some(budget))
+      // a FOREIGN thread's full scan grace-stamps EVERY live file
+      val reader = new Thread(() =>
+        assert(GraftTable.read(spark, tbl.toString).count() == all.size))
+      reader.start(); reader.join()
+      // metadata-only partition DELETE on the main thread: removes-only
+      // commit, zero reads, fresh foreign stamps on every victim
+      GraftTable.deleteWhere(spark, tbl.toString, col("p") === 2)
+      assert(localDataBytes(wh) <= budget,
+        s"post-delete local bytes ${localDataBytes(wh)} must fit $budget " +
+          "(retired files must evict through the grace window)")
+      val victimsEvicted = victims.filter(v => !Files.exists(tbl.resolve(v)))
+      assert(victimsEvicted.nonEmpty,
+        "the removes-only commit's sweep must evict retired files")
+      victimsEvicted.foreach(v => assert(c.sizeOf(s"ns/g/$v").isDefined,
+        s"an evicted victim's remote twin must exist: $v"))
+      keepers.foreach(k => assert(Files.exists(tbl.resolve(k)),
+        s"a live file the foreign scan just planned stays grace-spared: $k"))
+      val got = GraftTable.read(spark, tbl.toString)
+        .as[(Long, Int, String)].collect().toSet
+      assert(got == all.filterNot(_._2 == 2).toSet)
+      assert(em.rejected.get == 0)
+    } finally {
+      if (unH != null) unH.close()
+      unM.close(); unA.close(); em.close()
+    }
+  }
+
   test("the sweep never deletes the only copy: a file whose remote twin was " +
       "destroyed stays local (and keeps serving reads) while confirmed files evict " +
       "in its place") {

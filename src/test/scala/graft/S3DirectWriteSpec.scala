@@ -228,4 +228,54 @@ class S3DirectWriteSpec extends SparkSpec {
       } finally em.close()
     }
   }
+
+  test("streamingUpload grows its buffer to the payload instead of pinning a full " +
+      "part up front: KB streams allocate KBs, multi-part streams cap at one part") {
+    // N concurrent task streams each eagerly holding a 64 MiB part
+    // buffer for committer markers and small splits is heap the write
+    // never uses; peakBufferBytes tracks REALIZED allocation
+    val em = new GraftS3Server("graft-direct-buf", creds)
+    try {
+      // default client (64 MiB parts): a 10 KiB stream stays on the
+      // 64 KiB initial buffer
+      val small = em.client
+      val up = small.streamingUpload("s/one")
+      val b = new Array[Byte](10 * 1024); new java.util.Random(7L).nextBytes(b)
+      up.write(b, 0, b.length); up.close()
+      assert(up.completed && em.objects.get("s/one").toSeq == b.toSeq)
+      assert(small.peakBufferBytes.get <= 64 * 1024,
+        s"a 10 KiB stream must not pin a part buffer: ${small.peakBufferBytes.get}")
+      // the geometric-growth arm: 500 KiB grows 64K -> 256K -> 1M and
+      // stops, far below the 64 MiB part, and closes as one sized PUT
+      val mid = em.client
+      val up2 = mid.streamingUpload("s/two")
+      val midBytes = new Array[Byte](500 * 1024)
+      new java.util.Random(8L).nextBytes(midBytes)
+      var off = 0
+      while (off < midBytes.length) {
+        val n = math.min(7000, midBytes.length - off)
+        up2.write(midBytes, off, n); off += n
+      }
+      up2.close()
+      assert(up2.completed && em.objects.get("s/two").toSeq == midBytes.toSeq)
+      assert(mid.peakBufferBytes.get <= (1 << 20),
+        s"500 KiB grows to at most 1 MiB, never a full part: ${mid.peakBufferBytes.get}")
+      // crossing the part boundary: the buffer caps at EXACTLY one part
+      val parted = em.clientWith(partSizeBytes = 64 * 1024,
+        multipartThresholdBytes = 64L * 1024)
+      val up3 = parted.streamingUpload("s/three")
+      val big = new Array[Byte](300 * 1024)
+      new java.util.Random(9L).nextBytes(big)
+      off = 0
+      while (off < big.length) {
+        val n = math.min(7000, big.length - off)
+        up3.write(big, off, n); off += n
+      }
+      up3.close()
+      assert(up3.completed && em.objects.get("s/three").toSeq == big.toSeq)
+      assert(parted.peakBufferBytes.get == 64 * 1024,
+        s"a multi-part stream's buffer caps at ONE part: ${parted.peakBufferBytes.get}")
+      assert(em.rejected.get == 0)
+    } finally em.close()
+  }
 }

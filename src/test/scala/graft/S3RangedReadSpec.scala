@@ -343,6 +343,66 @@ class S3RangedReadSpec extends SparkSpec {
     } finally { unM.close(); unA.close(); em.close() }
   }
 
+  test("s3.read-in-place ALONE keeps the r17 FOLLOWER meaning: no writer plane " +
+      "mounts, so a local write through the catalog never touches the fleet bucket") {
+    // The shape rule (CLAUDE.md): a deployed reader conf must never
+    // silently upgrade into a writer that arbitrates slots and mirrors
+    // foreign objects into the fleet's bucket; read-in-place joins the
+    // writer shape only when s3.direct-write or
+    // s3.local-cache-max-bytes is also present.
+    val em = new GraftS3Server("graft-inplace-alone", creds)
+    val whX = Paths.get(scratchRoot("s3-ranged", "alone-whx"))
+    val whY = Paths.get(scratchRoot("s3-ranged",
+      s"alone-why-${ProcessHandle.current().pid()}"))
+    Files.createDirectories(whX); Files.createDirectories(whY)
+    val c = em.client
+    val unA = GraftS3.mountCommitArbiter(whX, c)
+    val unM = GraftS3.mountArtifactMirror(whX, c)
+    try {
+      val rows = (1 to 600).map(i => (i.toLong, i % 3, "c" * 120))
+      val df = rows.toDF("id", "p", "pad")
+      val tblX = whX.resolve("ns").resolve("t")
+      GraftTable.create(spark, tblX.toString, df.schema,
+        Map(GraftTable.specProp -> "identity(p)"))
+      GraftTable.append(spark, tblX.toString, df)
+      val tblY = whY.resolve("ns").resolve("t")
+      Files.createDirectories(tblY)
+      GraftS3.syncMetadata(tblY, c, "ns/t")
+
+      val cat = "graft_ripa"
+      try {
+        spark.conf.set(s"spark.sql.catalog.$cat", "graft.lake.GraftSparkCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", whY.toString)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.endpoint", em.endpoint.toString)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.bucket", "graft-inplace-alone")
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.access-key", creds.accessKey)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.secret-key", creds.secretKey)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.read-in-place", "true")
+        // the follower read serves in place (the r17 contract)
+        val got = spark.sql(s"SELECT id FROM $cat.ns.t WHERE p = 1")
+          .as[Long].collect().toSet
+        assert(got == rows.filter(_._2 == 1).map(_._1).toSet,
+          "read-in-place alone still serves the in-place follower read")
+        assert(!Files.isDirectory(tblY.resolve("data")),
+          "read-in-place alone hydrates nothing")
+        // a LOCAL table created through the same catalog: a writer
+        // shape would arbitrate its commit slots (and mirror its
+        // artifacts) into the shared bucket — a follower must not
+        spark.sql(s"CREATE TABLE $cat.ns.scratch (id BIGINT, v STRING)")
+        spark.sql(s"INSERT INTO $cat.ns.scratch VALUES (1, 'a'), (2, 'b')")
+        assert(spark.sql(s"SELECT count(*) FROM $cat.ns.scratch")
+          .head().getLong(0) == 2L)
+        assert(!em.objects.keySet.asScala.exists(_.startsWith("ns/scratch")),
+          "read-in-place alone must NOT mount the writer plane: a local " +
+            "write can never push objects into the fleet's bucket")
+      } finally {
+        scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $cat.ns.scratch"))
+        graft.lake.GraftSparkCatalog.closeConfMounts(whY.toString)
+      }
+      assert(em.rejected.get == 0)
+    } finally { unM.close(); unA.close(); em.close() }
+  }
+
   test("in-place scans report ranged-read custom metrics (SQLMetrics): the bytes " +
       "metric cross-checks EXACTLY against the server's own ledger") {
     val em = new GraftS3Server("graft-ranged-met", creds)
@@ -507,6 +567,34 @@ class S3RangedReadSpec extends SparkSpec {
         assert(em.getCalls.get == gets1, "the size cache is pre-warmed by the listing")
         // and the list-a-FILE contract: the file's own status comes back
         assert(fs.listStatus(one).map(_.getLen).toSeq == Seq(sizes("dir/obj-007")))
+        assert(em.rejected.get == 0)
+      } finally unreg.close()
+    } finally em.close()
+  }
+
+  test("create(overwrite = false) over an existing object throws " +
+      "FileAlreadyExistsException (Hadoop contract), never a silent clobber at close") {
+    // stage keys are unique by construction, so a positive probe here
+    // means the uniqueness invariant broke — it must fail loudly
+    val em = new GraftS3Server("graft-ranged-create", creds)
+    try {
+      val (token, unreg) = GraftRangedFs.register(em.client)
+      try {
+        val hc = new org.apache.hadoop.conf.Configuration()
+        locally { val (k, v) = GraftRangedFs.confKey; hc.set(k, v) }
+        val p = new org.apache.hadoop.fs.Path(s"grafts3://$token/w/a")
+        val fs = p.getFileSystem(hc)
+        val out = fs.create(p, false)
+        out.write(Array[Byte](1, 2, 3)); out.close()
+        assert(fs.getFileStatus(p).getLen == 3L)
+        intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+          fs.create(p, false)
+        }
+        // overwrite = true replaces, and the size cache follows
+        val out2 = fs.create(p, true)
+        out2.write(Array[Byte](9)); out2.close()
+        assert(fs.getFileStatus(p).getLen == 1L)
+        assert(em.objects.get("w/a").toSeq == Seq(9.toByte))
         assert(em.rejected.get == 0)
       } finally unreg.close()
     } finally em.close()
