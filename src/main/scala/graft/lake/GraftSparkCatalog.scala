@@ -235,9 +235,28 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       // place (s3.read-in-place).
       val directWrite =
         Option(options.get("s3.direct-write")).exists(_.toBoolean)
+      // s3.local-cache-max-bytes bounds the mount's local disk: after
+      // each scan's hydration (or each commit on the writer shape),
+      // least-recently-touched confirmed-remote artifacts evict until
+      // local bytes fit. Size it above the SUM of concurrent scans'
+      // working sets — an eviction racing a still-running scan fails
+      // that scan loudly (never wrong results); a resubmission
+      // re-hydrates. Parsed (and so validated) BEFORE anything
+      // mutates: its PRESENCE is shape-determining below.
+      val cacheBudget = Option(options.get("s3.local-cache-max-bytes"))
+        .map(_.toLong)
+      // identity = where + SHAPE. cacheBudget PRESENCE is part of the
+      // shape since it decides follower-vs-writer for a read-in-place
+      // conf: without it here, a read-in-place-alone FOLLOWER catalog
+      // and a budgeted read-in-place WRITER catalog on one warehouse
+      // would collide and the later initialize would silently close
+      // and replace the other's mounts — the follower gaining
+      // arbiter+mirror (the silent-upgrade the shape rule forbids) or
+      // the writer losing arbitration (split-brain).
       val identity =
         s"$ep|${req("s3.bucket")}|$warehouse|$prefix|$region|" +
-          s"hyd=$hydrate|inplace=$inPlace|direct=$directWrite"
+          s"hyd=$hydrate|inplace=$inPlace|direct=$directWrite|" +
+          s"budget=${cacheBudget.isDefined}"
       val fullKey = identity + "|" + Seq(
         req("s3.access-key"), req("s3.secret-key"),
         Option(options.get("s3.part-size-bytes")).getOrElse(""),
@@ -250,7 +269,16 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       GraftSparkCatalog.s3Mounts.synchronized {
         val prev = GraftSparkCatalog.s3Mounts.get(identity)
         if (prev == null || prev._1 != fullKey) {
-          if (prev != null) GraftSparkCatalog.closeQuietly(prev._2)
+          // parse + validate EVERYTHING (and build the client) BEFORE
+          // closing the superseded mount and before any JVM-global
+          // knob mutates: a rotation to an INVALID conf must leave the
+          // previous valid mount live (closing first would strand its
+          // CLOSED handles under the old fullKey — re-applying the old
+          // conf would then no-op against dead mounts and commits
+          // would silently run with no arbiter/mirror), and an invalid
+          // conf must not leave e.g. the process-wide eviction grace
+          // changed for every OTHER mounted catalog on its way to the
+          // loud failure
           def sizeOpt(k: String, dflt: Long): Long =
             Option(options.get(k)).map(_.toLong).getOrElse(dflt)
           val partSize = sizeOpt("s3.part-size-bytes", 64L << 20)
@@ -260,6 +288,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           // parts that large belong on disk, not a byte[])
           require(partSize >= 1 && partSize <= Int.MaxValue,
             s"spark.sql.catalog.$name.s3.part-size-bytes must be in [1, ${Int.MaxValue}]: $partSize")
+          require(!(hydrate && directWrite),
+            s"spark.sql.catalog.$name.s3.direct-write is a WRITER-shape " +
+              "option: it cannot combine with s3.hydrate-on-demand")
+          val graceOverride =
+            Option(options.get("s3.eviction-grace-ms")).map(_.toLong)
+          val hydConcOverride =
+            Option(options.get("s3.hydration-concurrency")).map(_.toInt)
+          val vecConcOverride =
+            Option(options.get("s3.vectored-concurrency")).map(_.toInt)
           val client = new GraftS3.Client(java.net.URI.create(ep),
             req("s3.bucket"), region,
             GraftS3.Credentials(req("s3.access-key"), req("s3.secret-key")),
@@ -269,40 +306,20 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
             partConcurrency =
               sizeOpt("s3.part-concurrency", 4).toInt)
           val root = Paths.get(warehouse)
-          // s3.local-cache-max-bytes bounds the follower's local disk:
-          // after each scan's hydration, least-recently-touched
-          // confirmed-remote artifacts evict until local bytes fit.
-          // Size it above the SUM of concurrent scans' working sets —
-          // an eviction racing a still-running scan fails that scan
-          // loudly (never wrong results); a resubmission re-hydrates
-          val cacheBudget = Option(options.get("s3.local-cache-max-bytes"))
-            .map(_.toLong)
-          // validate the shape BEFORE any JVM-global knob below
-          // mutates: an invalid catalog conf must not leave e.g. the
-          // process-wide eviction grace changed for every OTHER
-          // mounted catalog on its way to the loud failure
-          require(!(hydrate && directWrite),
-            s"spark.sql.catalog.$name.s3.direct-write is a WRITER-shape " +
-              "option: it cannot combine with s3.hydrate-on-demand")
-          // s3.hydrate-on-demand=true declares this session a lazy
-          // FOLLOWER: reads pull pruned file sets on demand (pair with
-          // GraftS3.syncMetadata); default is the full writer shape
-          // downloads run on their own pool (uploads must never queue
-          // behind a large hydration); the pool is created lazily at
-          // this size on first use — like part-concurrency, size it
-          // before the first hydration fires
-          Option(options.get("s3.hydration-concurrency"))
-            .foreach(v => GraftS3.hydrationConcurrency = v.toInt)
-          // s3.vectored-concurrency bounds in-flight ranged GETs per
-          // JVM for in-place scans (parquet's readVectored chunk
-          // fan-out) — live-resizes like the hydration knob
-          Option(options.get("s3.vectored-concurrency"))
-            .foreach(v => GraftRangedFs.vectoredConcurrency = v.toInt)
-          // s3.eviction-grace-ms: how long a commit-boundary sweep
+          if (prev != null) GraftSparkCatalog.closeQuietly(prev._2)
+          // JVM-global knobs apply only on this success path (parsed
+          // above). s3.hydration-concurrency sizes the download pool
+          // (uploads must never queue behind a large hydration; the
+          // pool is created lazily at this size on first use — like
+          // part-concurrency, size it before the first hydration
+          // fires); s3.vectored-concurrency bounds in-flight ranged
+          // GETs per JVM for in-place scans (live-resizes);
+          // s3.eviction-grace-ms is how long a commit-boundary sweep
           // spares files a CONCURRENT thread's scan just planned
           // (deferral only; 0 disables)
-          Option(options.get("s3.eviction-grace-ms"))
-            .foreach(v => GraftS3.evictionGraceMs = v.toLong)
+          hydConcOverride.foreach(v => GraftS3.hydrationConcurrency = v)
+          vecConcOverride.foreach(v => GraftRangedFs.vectoredConcurrency = v)
+          graceOverride.foreach(v => GraftS3.evictionGraceMs = v)
           val handles =
             if (hydrate || (inPlace && !directWrite && cacheBudget.isEmpty))
               Seq(GraftS3.mountOnDemandHydration(root, client, prefix,

@@ -36,9 +36,11 @@ object LakeOps {
   /** Local bytes under every data/ and deletes/ dir below `root` —
     * the disk the bounded-writer gates (q113/q114) are about; the
     * commit log and checkpoints are the KB-sized metadata plane,
-    * deliberately not counted. One definition so the two gates (and
-    * any future one) can never silently diverge in what they assert. */
-  private def localLakeDataBytes(root: java.nio.file.Path): Long = {
+    * deliberately not counted. THE one definition — the S3 writer
+    * specs delegate here through SparkSpec.localDataBytes — so a
+    * change to what counts as local lake bytes can never silently
+    * diverge between the gates and the suite's assertions. */
+  private[graft] def localLakeDataBytes(root: java.nio.file.Path): Long = {
     if (!Files.exists(root)) return 0L
     val st = Files.walk(root)
     try st.iterator().asScala.filter(p => Files.isRegularFile(p) && {

@@ -327,10 +327,16 @@ class S3BoundedWriterSpec extends SparkSpec {
         maxLocalBytes = Some((oneChunk * 1.2).toLong))
       // a FOREIGN thread's scan plans (and therefore grace-stamps) fA —
       // the concurrent-reader shape: hydration fires at plan time, its
-      // tasks read the local path afterwards
+      // tasks read the local path afterwards. join() swallows uncaught
+      // throwables, so the reader's failure must rethrow here — a
+      // silently-failed read would leave the grace precondition only
+      // partially established
+      @volatile var readerErr: Throwable = null
       val reader = new Thread(() =>
-        assert(GraftTable.read(spark, tbl.toString).count() == 600L))
+        try assert(GraftTable.read(spark, tbl.toString).count() == 600L)
+        catch { case t: Throwable => readerErr = t })
       reader.start(); reader.join()
+      if (readerErr != null) throw readerErr
       // the committing thread appends chunk B: its sweep is over
       // budget, fA is LRU-first — but fA is graced (foreign, fresh),
       // so the sweep defers to the commit's OWN file instead
@@ -398,9 +404,13 @@ class S3BoundedWriterSpec extends SparkSpec {
       val budget = total - victimBytes / 2
       unH = GraftS3.mountOnDemandHydration(wh, c, maxLocalBytes = Some(budget))
       // a FOREIGN thread's full scan grace-stamps EVERY live file
+      // (failures rethrow on the test thread — join() swallows them)
+      @volatile var readerErr: Throwable = null
       val reader = new Thread(() =>
-        assert(GraftTable.read(spark, tbl.toString).count() == all.size))
+        try assert(GraftTable.read(spark, tbl.toString).count() == all.size)
+        catch { case t: Throwable => readerErr = t })
       reader.start(); reader.join()
+      if (readerErr != null) throw readerErr
       // metadata-only partition DELETE on the main thread: removes-only
       // commit, zero reads, fresh foreign stamps on every victim
       GraftTable.deleteWhere(spark, tbl.toString, col("p") === 2)

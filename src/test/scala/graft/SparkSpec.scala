@@ -74,23 +74,11 @@ abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   /** Local bytes under every data/ and deletes/ dir below `root` — the
-    * disk the bounded/direct-writer specs assert on (the commit log and
-    * checkpoints are the KB-sized metadata plane, deliberately not
-    * counted). ONE copy shared by the S3 writer specs so a change to
-    * what counts as "local data bytes" can never silently diverge
-    * between suites. */
-  protected def localDataBytes(root: java.nio.file.Path): Long = {
-    import scala.jdk.CollectionConverters._
-    if (!java.nio.file.Files.exists(root)) return 0L
-    val s = java.nio.file.Files.walk(root)
-    try s.iterator().asScala.filter { p =>
-      java.nio.file.Files.isRegularFile(p) && {
-        val d = p.getParent.getFileName.toString
-        d == "data" || d == "deletes"
-      }
-    }.map(java.nio.file.Files.size(_)).sum
-    finally s.close()
-  }
+    * disk the bounded/direct-writer specs assert on. Delegates to the
+    * gates' own definition (LakeOps.localLakeDataBytes) so the suite
+    * and q113/q114 can never silently diverge in what they count. */
+  protected def localDataBytes(root: java.nio.file.Path): Long =
+    graft.operators.LakeOps.localLakeDataBytes(root)
 
   /** Incompressible payload rows (id, bucket, 200-char base64 pad):
     * parquet can't deflate them, so byte-budget asserts measure real
