@@ -403,6 +403,118 @@ class S3RangedReadSpec extends SparkSpec {
     } finally { unM.close(); unA.close(); em.close() }
   }
 
+  test("a WRITER catalog and a read-in-place FOLLOWER catalog coexist on one " +
+      "warehouse: the follower's later initialize must not close the writer's " +
+      "arbitration (budget presence is part of the mount identity)") {
+    // cacheBudget presence became shape-determining, so it must be in
+    // the registry's identity key: without it these two confs collide
+    // and the follower's init would CLOSE the writer's arbiter+mirror —
+    // subsequent writer commits would win no slots (split-brain)
+    val em = new GraftS3Server("graft-coexist", creds)
+    val wh = Paths.get(scratchRoot("s3-ranged",
+      s"coexist-${ProcessHandle.current().pid()}"))
+    Files.createDirectories(wh)
+    try {
+      def confSet(cat: String, extra: (String, String)*): Unit = {
+        spark.conf.set(s"spark.sql.catalog.$cat", "graft.lake.GraftSparkCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.endpoint", em.endpoint.toString)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.bucket", "graft-coexist")
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.access-key", creds.accessKey)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.secret-key", creds.secretKey)
+        spark.conf.set(s"spark.sql.catalog.$cat.s3.read-in-place", "true")
+        extra.foreach { case (k, v) =>
+          spark.conf.set(s"spark.sql.catalog.$cat.s3.$k", v) }
+      }
+      try {
+        // the WRITER: read-in-place + a (generous) budget
+        confSet("graft_cw", "local-cache-max-bytes" -> (1L << 34).toString)
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cw.ns")
+        spark.sql("CREATE TABLE graft_cw.ns.w (id BIGINT, v STRING)")
+        spark.sql("INSERT INTO graft_cw.ns.w VALUES (1, 'a'), (2, 'b')")
+        def slots: Int =
+          em.objects.keySet.asScala.count(_.startsWith("ns/w/_graft_log/"))
+        val n1 = slots
+        assert(n1 >= 2, s"the writer catalog must arbitrate its commits: $n1 slots")
+        // the FOLLOWER on the SAME warehouse: read-in-place alone —
+        // its init registers under a DISTINCT identity
+        confSet("graft_cf")
+        assert(spark.sql("SELECT count(*) FROM graft_cf.ns.w")
+          .head().getLong(0) == 2L, "the follower catalog reads the shared table")
+        // the writer's arbitration must have survived the follower's init
+        spark.sql("INSERT INTO graft_cw.ns.w VALUES (3, 'c')")
+        assert(slots > n1,
+          "the writer still wins slots AFTER the follower catalog mounted: " +
+            "its arbiter was not closed by an identity collision")
+        assert(spark.sql("SELECT count(*) FROM graft_cw.ns.w")
+          .head().getLong(0) == 3L)
+        assert(em.rejected.get == 0)
+      } finally {
+        scala.util.Try(spark.sql("DROP TABLE IF EXISTS graft_cw.ns.w"))
+        graft.lake.GraftSparkCatalog.closeConfMounts(wh.toString)
+      }
+    } finally em.close()
+  }
+
+  test("rotating a conf catalog to an INVALID conf leaves the previous valid mount " +
+      "live: validation precedes the close, so commits keep arbitrating") {
+    // pre-fix, rotation closed the superseded mount BEFORE validation
+    // could throw: the registry kept (oldKey, CLOSED handles), the
+    // invalid init failed loudly, and the catalog then ran on dead
+    // mounts — commits stopped winning slots with zero error
+    val em = new GraftS3Server("graft-rotbad", creds)
+    val wh = Paths.get(scratchRoot("s3-ranged",
+      s"rotbad-${ProcessHandle.current().pid()}"))
+    Files.createDirectories(wh)
+    try {
+      def confOn(s: org.apache.spark.sql.SparkSession,
+          extra: (String, String)*): Unit = {
+        s.conf.set("spark.sql.catalog.graft_rb", "graft.lake.GraftSparkCatalog")
+        s.conf.set("spark.sql.catalog.graft_rb.warehouse", wh.toString)
+        s.conf.set("spark.sql.catalog.graft_rb.s3.endpoint", em.endpoint.toString)
+        s.conf.set("spark.sql.catalog.graft_rb.s3.bucket", "graft-rotbad")
+        s.conf.set("spark.sql.catalog.graft_rb.s3.access-key", creds.accessKey)
+        s.conf.set("spark.sql.catalog.graft_rb.s3.secret-key", creds.secretKey)
+        extra.foreach { case (k, v) =>
+          s.conf.set(s"spark.sql.catalog.graft_rb.s3.$k", v) }
+      }
+      val s1 = spark.newSession()
+      confOn(s1)
+      try {
+        s1.sql("CREATE NAMESPACE IF NOT EXISTS graft_rb.ns")
+        s1.sql("CREATE TABLE graft_rb.ns.t (id BIGINT)")
+        s1.sql("INSERT INTO graft_rb.ns.t VALUES (1), (2)")
+        def slots: Int =
+          em.objects.keySet.asScala.count(_.startsWith("ns/t/_graft_log/"))
+        val n1 = slots
+        assert(n1 >= 2, s"the valid mount arbitrates: $n1 slots")
+        // SAME identity (same shape flags), different fullKey, invalid:
+        // part-size 0 fails the loud require during initialize
+        val s2 = spark.newSession()
+        confOn(s2, "part-size-bytes" -> "0")
+        val err = intercept[Exception] {
+          s2.sql("SELECT count(*) FROM graft_rb.ns.t").collect()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Seq.empty
+          else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(err).exists(_.contains("part-size-bytes")),
+          s"the invalid rotation fails loudly: ${msgs(err).mkString(" | ")}")
+        // the ORIGINAL mount must still be live: a further commit
+        // through the valid session keeps winning slots
+        s1.sql("INSERT INTO graft_rb.ns.t VALUES (3)")
+        assert(slots > n1,
+          "after a failed rotation the previous valid mount still arbitrates")
+        assert(s1.sql("SELECT count(*) FROM graft_rb.ns.t")
+          .head().getLong(0) == 3L)
+        assert(em.rejected.get == 0)
+      } finally {
+        scala.util.Try(s1.sql("DROP TABLE IF EXISTS graft_rb.ns.t"))
+        graft.lake.GraftSparkCatalog.closeConfMounts(wh.toString)
+      }
+    } finally em.close()
+  }
+
   test("in-place scans report ranged-read custom metrics (SQLMetrics): the bytes " +
       "metric cross-checks EXACTLY against the server's own ledger") {
     val em = new GraftS3Server("graft-ranged-met", creds)
