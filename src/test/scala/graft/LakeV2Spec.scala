@@ -164,7 +164,15 @@ class LakeV2Spec extends SparkSpec {
       Map("write.delete.mode" -> "merge-on-read",
         "graft.delete.files-per-shard" -> "1",
         "graft.write-partitions" -> "8"))
-    GraftTable.append(spark, root, df)
+    // pin the data-file count: an unclustered table ignores
+    // write-partitions by design (nothing to cluster on), and the
+    // shard write hashes UUID-named file paths into `shards` buckets —
+    // with only range's natural 4 slices, all 4 collapse into one
+    // bucket with p = 4^-3 per run (a 1.6% flake, hit in r19's close).
+    // 8 files → p = 8^-7: effectively deterministic.
+    GraftTable.append(spark, root, df.repartition(8))
+    assert(GraftTable.state(root).files.count(_.isData) == 8,
+      "precondition: the broad delete must touch many data files")
     GraftTable.deleteWhere(spark, root, col("id") % 2 === 0)
     val delFiles = GraftTable.filesTable(spark, root).filter(col("content") === 1)
     assert(delFiles.count() > 1,
