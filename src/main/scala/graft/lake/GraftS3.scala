@@ -1001,14 +1001,25 @@ object GraftS3 {
       * yields -1 for that key. */
     def listWithSizes(prefix: String,
         startAfter: Option[String] = None,
-        stopAfter: Option[String] = None): Seq[(String, Long)] = {
-      val keys = Seq.newBuilder[(String, Long)]
+        stopAfter: Option[String] = None): Seq[(String, Long)] =
+      listWithMeta(prefix, startAfter, stopAfter).map(e => (e._1, e._2))
+
+    /** ListObjectsV2 with per-key `<Size>` AND `<LastModified>` (epoch
+      * ms) — both ship in every `<Contents>` block on real S3. The
+      * mtime is the remote orphan sweep's age signal: a store omitting
+      * it yields -1 and the sweep conservatively retains that key
+      * (never "assume old"). */
+    def listWithMeta(prefix: String,
+        startAfter: Option[String] = None,
+        stopAfter: Option[String] = None): Seq[(String, Long, Long)] = {
+      val keys = Seq.newBuilder[(String, Long, Long)]
       var token: Option[String] = None
       var more = true
       var first = true
       val contentsRe = "(?s)<Contents>(.*?)</Contents>".r
       val keyRe = "<Key>([^<]*)</Key>".r
       val sizeRe = "<Size>(\\d+)</Size>".r
+      val lmRe = "<LastModified>([^<]*)</LastModified>".r
       while (more) {
         val q = Seq("list-type" -> "2", "prefix" -> prefix) ++
           token.map("continuation-token" -> _) ++
@@ -1019,8 +1030,12 @@ object GraftS3 {
         var pastStop = false
         contentsRe.findAllMatchIn(xml).foreach { c =>
           keyRe.findFirstMatchIn(c.group(1)).foreach { k =>
-            keys += k.group(1) -> sizeRe.findFirstMatchIn(c.group(1))
-              .map(_.group(1).toLong).getOrElse(-1L)
+            val mtime = lmRe.findFirstMatchIn(c.group(1)).flatMap(m =>
+              try Some(java.time.Instant.parse(m.group(1)).toEpochMilli)
+              catch { case _: java.time.format.DateTimeParseException => None })
+              .getOrElse(-1L)
+            keys += ((k.group(1), sizeRe.findFirstMatchIn(c.group(1))
+              .map(_.group(1).toLong).getOrElse(-1L), mtime))
             // `stopAfter`: a caller confirming a KNOWN key range stops
             // paging once the listing passes its largest key — page
             // cost scales with the range, not the whole prefix
@@ -2343,6 +2358,33 @@ object GraftS3 {
     * "never had", and the bucket's checkpoint mirror may be the only
     * replay seed left after another member pruned its expired commits.
     * Returns (rescued slot keys, deleted keys). */
+  /** Local table discovery under a mount root: every dir holding a
+    * `_graft_log` is a table root, returned as ""-or-'/'-terminated
+    * relative prefixes, LONGEST FIRST — a nested table's keys must
+    * never be judged by an enclosing table's head. Shared by
+    * [[pruneRemote]] and [[removeOrphanRemote]]. */
+  private def discoverLocalTables(root: Path): Seq[String] = {
+    val acc = Seq.newBuilder[String]
+    // table-internal dirs never contain another table root
+    val internal = Set("_graft_log", "data", "deletes", ".staging")
+    def walk(dir: Path, rel: String): Unit = if (Files.isDirectory(dir)) {
+      if (Files.isDirectory(dir.resolve("_graft_log"))) acc += rel
+      // recurse EVEN under a table root (skipping its internal
+      // dirs): discovery that stopped at the first _graft_log would
+      // leave a locally-nested table out of the result, and the
+      // enclosing table's full-prefix pass would then judge the
+      // nested table's keys by the WRONG head
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(d => Files.isDirectory(d) &&
+          !internal.contains(d.getFileName.toString))
+        .foreach(d => walk(d, rel + d.getFileName.toString + "/"))
+      finally s.close()
+    }
+    walk(root, "")
+    acc.result().sortBy(-_.length)
+  }
+
   def pruneRemote(root: Path, client: Client,
       prefix: String = ""): (Seq[String], Seq[String]) = {
     // WRITER-SIDE ONLY: the retired-artifact rule below reads "not
@@ -2361,31 +2403,7 @@ object GraftS3 {
         "root — locally absent artifacts there mean 'not yet hydrated', not " +
         "'retired', and pruning would destroy the fleet's live objects")
     val p = normPrefix(prefix)
-    // local discovery: every dir under root holding a _graft_log is a
-    // table; "" when the mount root IS the table root
-    val tables: Seq[String] = {
-      val acc = Seq.newBuilder[String]
-      // table-internal dirs never contain another table root
-      val internal = Set("_graft_log", "data", "deletes", ".staging")
-      def walk(dir: Path, rel: String): Unit = if (Files.isDirectory(dir)) {
-        if (Files.isDirectory(dir.resolve("_graft_log"))) acc += rel
-        // recurse EVEN under a table root (skipping its internal
-        // dirs): discovery that stopped at the first _graft_log would
-        // leave a locally-nested table out of `tables`, and the
-        // enclosing table's full-prefix pass would then judge the
-        // nested table's keys by the WRONG head
-        val s = Files.list(dir)
-        try s.iterator().asScala
-          .filter(d => Files.isDirectory(d) &&
-            !internal.contains(d.getFileName.toString))
-          .foreach(d => walk(d, rel + d.getFileName.toString + "/"))
-        finally s.close()
-      }
-      walk(root, "")
-      // longest-first so a nested table's keys are never judged by an
-      // enclosing table's head
-      acc.result().sortBy(-_.length)
-    }
+    val tables = discoverLocalTables(root)
     val rescuedB = Seq.newBuilder[String]
     val deletedB = Seq.newBuilder[String]
     tables.foreach { t =>
@@ -2450,6 +2468,84 @@ object GraftS3 {
       }
     }
     (rescuedB.result(), deletedB.result())
+  }
+
+  /** Remote orphan sweep — the DIRECT-WRITE twin of
+    * [[GraftTable.removeOrphanFiles]]. A crashed direct-write job
+    * leaves debris that exists ONLY in the bucket: its `.stage-<uuid>/`
+    * tree (multipart-streamed task output plus the committer's
+    * `_temporary` walk) and, for a writer that died between publish
+    * and its slot win, snapshot-prefixed `data/`/`deletes/` objects no
+    * commit references. The local sweep walks the local table root and
+    * so never sees them, and [[pruneRemote]]'s whitelist conservatively
+    * retains them forever (correctly — local absence proves nothing
+    * about them). This sweep judges by the COMMIT LOG instead, via
+    * [[GraftTable.unreferencedRels]] (the same judgment the local
+    * sweep uses, so WAP-staged and checkpoint-seeded references are
+    * honored), age-gated by the listing's per-key `<LastModified>`:
+    *  - keys under a `.stage-*` dir DIRECTLY below a table root, older
+    *    than the horizon (a live job's stage is younger by contract);
+    *  - depth-2 `data/`/`deletes/` keys referenced by no commit, older
+    *    than the horizon. Any other shape — `_graft_log/` wholesale,
+    *    nested/foreign subpaths, keys with no parseable mtime — is
+    *    conservatively retained, exactly pruneRemote's discipline.
+    *
+    * Two preconditions, both enforced:
+    *  - CAUGHT-UP LOG, per table: any remote commit slot absent
+    *    locally refuses the sweep loudly — judging against a stale log
+    *    would call a fleet peer's fresh commit's files orphans. (This
+    *    is why, unlike pruneRemote, a metadata-synced follower MAY run
+    *    this sweep: the judgment reads the log, never local presence.)
+    *  - `olderThanMs` (absolute epoch ms, like the local sweep) must
+    *    predate the longest in-flight write: the pre-slot barrier
+    *    uploads a commit's artifacts BEFORE its slot appears, and the
+    *    horizon is what keeps that window out of reach — the same
+    *    contract Iceberg's remove_orphan_files documents.
+    *
+    * Returns the deleted (or would-delete, if dryRun) bucket keys. */
+  def removeOrphanRemote(root: Path, client: Client, olderThanMs: Long,
+      prefix: String = "", dryRun: Boolean = false): Seq[String] = {
+    val nroot = root.toAbsolutePath.normalize
+    val p = normPrefix(prefix)
+    val tables = discoverLocalTables(nroot)
+    val deleted = Seq.newBuilder[String]
+    tables.foreach { t =>
+      val local = localSlotNames(nroot.resolve(t + "_graft_log"))
+      val remoteSlots = client.list(p + t + "_graft_log/")
+        .map(_.split('/').last).filter(_.matches("\\d{10}\\.json")).toSet
+      val unsynced = remoteSlots.diff(local)
+      require(unsynced.isEmpty,
+        s"removeOrphanRemote: table '$t' has remote commit slots absent " +
+          s"locally (${unsynced.toSeq.sorted.mkString(", ")}) — sync first " +
+          "(syncMetadata/syncRemote/pruneRemote's rescue): judging orphans " +
+          "against a stale log would destroy a fleet peer's fresh files")
+      val nested = tables.filter(x => x != t && x.startsWith(t))
+      val dataCand = Seq.newBuilder[(String, String)] // (rel, key)
+      client.listWithMeta(p + t).foreach { case (k, _, mtime) =>
+        val rel = k.stripPrefix(p)
+        if (!nested.exists(rel.startsWith(_)) &&
+            mtime >= 0 && mtime < olderThanMs) {
+          val relIn = rel.stripPrefix(t)
+          val segs = relIn.split('/')
+          if (!relIn.startsWith("_graft_log/")) {
+            if (segs.length >= 2 && segs(0).startsWith(".stage-")) {
+              deleted += k
+              if (!dryRun) client.delete(k)
+            } else if (segs.length == 2 &&
+                (segs(0) == "data" || segs(0) == "deletes"))
+              dataCand += relIn -> k
+          }
+        }
+      }
+      val cand = dataCand.result().toMap
+      GraftTable.unreferencedRels(nroot.resolve(t).toString, cand.keys.toSeq)
+        .foreach { rel =>
+          val k = cand(rel)
+          deleted += k
+          if (!dryRun) client.delete(k)
+        }
+    }
+    deleted.result()
   }
 
   /** Atomic local materialization of a pulled object: stage to a tmp

@@ -46,6 +46,13 @@ final class GraftS3Server(bucket: String, initialCreds: GraftS3.Credentials)
   def rotateCredentials(next: GraftS3.Credentials): Unit = creds = next
 
   val objects = new ConcurrentHashMap[String, Array[Byte]]()
+  /** Per-key LastModified (epoch ms), stamped at every object-creating
+    * verb (PUT, conditional PUT, CopyObject, multipart COMPLETE) and
+    * shipped in every ListObjectsV2 `<Contents>` block exactly as real
+    * S3 does — the remote orphan sweep's age signal. */
+  val mtimes = new ConcurrentHashMap[String, java.lang.Long]()
+  private def stamp(k: String): Unit =
+    mtimes.put(k, System.currentTimeMillis())
   /** Requests rejected for signature mismatch (0 on a correct client). */
   val rejected = new AtomicInteger(0)
   /** Inject: the next N requests 503 (SlowDown) without being applied. */
@@ -199,6 +206,7 @@ final class GraftS3Server(bucket: String, initialCreds: GraftS3.Credentials)
               val out = new java.io.ByteArrayOutputStream()
               parts.values.asScala.foreach(out.write)
               objects.put(k, out.toByteArray)
+              stamp(k)
               if (dropPutResponseFor(k)) {   // lost-200 for completes too
                 if (corruptDroppedComplete) {
                   val o = objects.get(k)
@@ -227,19 +235,22 @@ final class GraftS3Server(bucket: String, initialCreds: GraftS3.Credentials)
           Option(objects.get(src)) match {
             case Some(b) =>
               objects.put(k, b)
+              stamp(k)
               respond(200,
                 "<?xml version=\"1.0\"?><CopyObjectResult/>".getBytes(UTF_8))
             case None => respond(404)
           }
         case ("PUT", k) =>
           if (Option(x.getRequestHeaders.getFirst("If-None-Match")).contains("*")) {
-            if (objects.putIfAbsent(k, body) != null) respond(412) else dropOr200(k)
+            if (objects.putIfAbsent(k, body) != null) respond(412)
+            else { stamp(k); dropOr200(k) }
           } else {
             val now = inflightPuts.incrementAndGet()
             maxInflightPuts.getAndUpdate(math.max(_, now))
             try {
               if (putDelayMs > 0) Thread.sleep(putDelayMs)
               objects.put(k, body)
+              stamp(k)
             } finally inflightPuts.decrementAndGet()
             dropOr200(k)
           }
@@ -258,12 +269,16 @@ final class GraftS3Server(bucket: String, initialCreds: GraftS3.Credentials)
             if (all.size > pageSize)
               s"<NextContinuationToken>${page.last}</NextContinuationToken>"
             else ""
-          // real ListObjectsV2 Contents carry <Size> — clients use it to
-          // pre-warm size caches instead of probing per key
+          // real ListObjectsV2 Contents carry <Size> and <LastModified> —
+          // clients use them to pre-warm size caches / judge orphan age
+          // instead of probing per key
           val xml = "<?xml version=\"1.0\"?><ListBucketResult>" +
             page.map { k =>
               val sz = Option(objects.get(k)).map(_.length).getOrElse(0)
-              s"<Contents><Key>$k</Key><Size>$sz</Size></Contents>"
+              val lm = java.time.Instant.ofEpochMilli(
+                Option(mtimes.get(k)).fold(System.currentTimeMillis())(_.longValue))
+              s"<Contents><Key>$k</Key><Size>$sz</Size>" +
+                s"<LastModified>$lm</LastModified></Contents>"
             }.mkString +
             next + "</ListBucketResult>"
           respond(200, xml.getBytes(UTF_8))
@@ -304,7 +319,8 @@ final class GraftS3Server(bucket: String, initialCreds: GraftS3.Credentials)
           } finally inflightGets.decrementAndGet()
         case ("DELETE", _) if params.contains("uploadId") =>   // abort multipart
           uploads.remove(params("uploadId")); respond(204)
-        case ("DELETE", k) => objects.remove(k); respond(204)
+        case ("DELETE", k) =>
+          objects.remove(k); mtimes.remove(k); respond(204)
         case _ => respond(400)
       }
     }

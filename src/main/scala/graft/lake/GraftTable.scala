@@ -7041,12 +7041,18 @@ object GraftTable {
     * directory listing (which any FS engine must enumerate to sweep)
     * and the retained commits' adds — planScan's split, applied to
     * maintenance. */
-  def removeOrphanFiles(root: String, olderThanMs: Long,
-      dryRun: Boolean = false): Seq[String] = {
-    val candidates = (listDir(dataDir(root)).map(("data", _)) ++
-        listDir(deleteDir(root)).map(("deletes", _)))
-      .filter { case (_, p) => p.getFileName.toString.endsWith(".parquet") }
-      .filter { case (_, p) => Files.getLastModifiedTime(p).toMillis < olderThanMs }
+  /** The orphan JUDGMENT, separated from candidate discovery: which of
+    * `rels` ("data/x.parquet" / "deletes/x.parquet" table-relative
+    * paths) are referenced by NO commit in the log — retained, staged
+    * (WAP — staged commits are ordinary log slots, so their adds count
+    * as references), or checkpoint-seeded. [[removeOrphanFiles]] feeds
+    * it the LOCAL directory listing; [[GraftS3.removeOrphanRemote]]
+    * feeds it a bucket listing — a crashed DIRECT-WRITE job's remote
+    * debris has no local twin for the local sweep to find. Above the
+    * shared planning threshold membership is a distributed anti-join
+    * against the ckptfiles parquet (the driver never materializes an
+    * O(table) add list); below it, a driver-side set. Returns sorted. */
+  private[lake] def unreferencedRels(root: String, rels: Seq[String]): Seq[String] = {
     val ckIds = seedCheckpointIds(root)
     val ckParquets = ckIds.map(k => logDir(root).resolve(s"ckptfiles-$k.parquet"))
     val overThreshold = ckIds.nonEmpty && {
@@ -7054,28 +7060,37 @@ object GraftTable {
       count >= threshold
     }
     val sparkOpt = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    if (overThreshold && sparkOpt.isDefined && ckParquets.forall(Files.exists(_))) {
+      val spark = sparkOpt.get
+      import spark.implicits._
+      val commitAdds = listCommitIds(root)
+        .flatMap(id => parseCommit(Files.readString(commitPath(root, id)))
+          .adds.map(_.path))
+      val referenced = ckParquets.map(p =>
+          spark.read.parquet(p.toString).select(col("path")))
+        .foldLeft(commitAdds.toDF("path"))(_ union _)
+      rels.toDF("path")
+        .join(referenced, Seq("path"), "left_anti")
+        .as[String].collect().toSeq.sorted
+    } else {
+      val referenced: Set[String] =
+        (listCommitIds(root).map(id =>
+            parseCommit(Files.readString(commitPath(root, id)))) ++
+          ckIds.map(k => checkpointCommit(root, k)))
+          .flatMap(_.adds.map(_.path)).toSet
+      rels.filterNot(referenced.contains).sorted
+    }
+  }
+
+  def removeOrphanFiles(root: String, olderThanMs: Long,
+      dryRun: Boolean = false): Seq[String] = {
+    val candidates = (listDir(dataDir(root)).map(("data", _)) ++
+        listDir(deleteDir(root)).map(("deletes", _)))
+      .filter { case (_, p) => p.getFileName.toString.endsWith(".parquet") }
+      .filter { case (_, p) => Files.getLastModifiedTime(p).toMillis < olderThanMs }
+    val byRel = candidates.map { case (d, p) => s"$d/${p.getFileName}" -> (d, p) }.toMap
     val orphans: Seq[(String, Path)] =
-      if (overThreshold && sparkOpt.isDefined && ckParquets.forall(Files.exists(_))) {
-        val spark = sparkOpt.get
-        import spark.implicits._
-        val commitAdds = listCommitIds(root)
-          .flatMap(id => parseCommit(Files.readString(commitPath(root, id)))
-            .adds.map(_.path))
-        val referenced = ckParquets.map(p =>
-            spark.read.parquet(p.toString).select(col("path")))
-          .foldLeft(commitAdds.toDF("path"))(_ union _)
-        val byRel = candidates.map { case (d, p) => s"$d/${p.getFileName}" -> (d, p) }.toMap
-        byRel.keys.toSeq.toDF("path")
-          .join(referenced, Seq("path"), "left_anti")
-          .as[String].collect().toSeq.sorted.map(byRel)
-      } else {
-        val referenced: Set[String] =
-          (listCommitIds(root).map(id =>
-              parseCommit(Files.readString(commitPath(root, id)))) ++
-            ckIds.map(k => checkpointCommit(root, k)))
-            .flatMap(_.adds.map(_.path)).toSet
-        candidates.filter { case (d, p) => !referenced.contains(s"$d/${p.getFileName}") }
-      }
+      unreferencedRels(root, byRel.keys.toSeq).map(byRel)
     if (!dryRun) orphans.foreach { case (_, p) =>
       Files.deleteIfExists(p)
       artifactDiscarded.foreach(_(p))

@@ -767,6 +767,24 @@ object LakeOps {
           "every request must pass the server-side SigV4 verification")
         require(client.listWithSizes("ns/o/data/").map(_._2).sum > 0L,
           "the lifecycle's bytes all live remotely")
+        // maintenance twin: a crashed direct-write job's remote-only
+        // debris (stage tree + a publish whose writer died pre-slot)
+        // has no local trace for remove_orphan_files to find —
+        // removeOrphanRemote judges it against the commit log and
+        // reclaims exactly it, never the live lineage
+        val debris = Seq(
+          "ns/o/.stage-dead/_temporary/0/part-00000.parquet",
+          "ns/o/data/0000000099-00000-dead.parquet")
+        debris.foreach(client.put(_, Array.fill(64)(0x2e.toByte)))
+        val liveBefore = client.list("ns/o/").toSet -- debris
+        val horizon = System.currentTimeMillis() + 60000L
+        require(GraftS3.removeOrphanRemote(wh, client, horizon,
+            dryRun = true).toSet == debris.toSet,
+          "the dry run names exactly the crashed job's debris")
+        require(GraftS3.removeOrphanRemote(wh, client, horizon)
+            .toSet == debris.toSet &&
+            client.list("ns/o/").toSet == liveBefore,
+          "the sweep reclaims the debris and ONLY the debris")
         // ONE distributed pass serves the table over ranged GETs and
         // lands the result locally — the frame must replay after the
         // in-JVM store closes (the q112 pattern)

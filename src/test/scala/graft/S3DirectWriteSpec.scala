@@ -278,4 +278,90 @@ class S3DirectWriteSpec extends SparkSpec {
       assert(em.rejected.get == 0)
     } finally em.close()
   }
+
+  test("removeOrphanRemote reclaims a crashed direct-write job's remote-only debris " +
+      "— stage trees and unreferenced publishes — and never the live lineage, the " +
+      "log plane, or anything younger than the horizon") {
+    val em = new GraftS3Server("graft-direct-orphan", creds)
+    val c = em.client
+    val wh = Paths.get(scratchRoot("s3-direct",
+      s"orph-${ProcessHandle.current().pid()}"))
+    Files.createDirectories(wh)
+    val unA = GraftS3.mountCommitArbiter(wh, c)
+    val unM = GraftS3.mountArtifactMirror(wh, c, directWrite = true)
+    val unH = GraftS3.mountOnDemandHydration(wh, c,
+      maxLocalBytes = Some(0L), readInPlace = true)
+    try {
+      val all = rows(1200, 59L)
+      val df = all.toDF("id", "p", "payload")
+      val tbl = wh.resolve("ns").resolve("o")
+      GraftTable.create(spark, tbl.toString, df.schema)
+      (0 until 2).foreach { k =>
+        GraftTable.append(spark, tbl.toString,
+          all.filter(_._1 % 2 == k).toDF("id", "p", "payload").coalesce(1))
+      }
+      // a crashed job's remote-only traces, invisible to the LOCAL
+      // sweep (nothing under wh holds data bytes) and conservatively
+      // retained forever by pruneRemote's whitelist: the stage tree a
+      // discard never ran over, and a publish whose writer died before
+      // its slot win
+      val junk = "not really parquet".getBytes
+      val debris = Seq(
+        "ns/o/.stage-dead/_temporary/0/_temporary/attempt_1/part-00000.parquet",
+        "ns/o/.stage-dead/part-00001.parquet")
+      val orphan = "ns/o/data/0000000099-00000-dead.parquet"
+      (debris :+ orphan).foreach(c.put(_, junk))
+      val liveKeys = c.list("ns/o/data/").toSet - orphan
+      assert(liveKeys.nonEmpty)
+      val logKeys = c.list("ns/o/_graft_log/").toSet
+      val horizon = System.currentTimeMillis() + 60000L
+      // horizon in the PAST: everything is younger — nothing eligible
+      assert(GraftS3.removeOrphanRemote(wh, c, olderThanMs = 1L).isEmpty,
+        "a live job's fresh stage is out of reach by the horizon contract")
+      val dry = GraftS3.removeOrphanRemote(wh, c, horizon, dryRun = true)
+      assert(dry.toSet == (debris :+ orphan).toSet,
+        s"dry run names exactly the debris: $dry")
+      assert(c.list("ns/o/").toSet ==
+        liveKeys ++ logKeys ++ debris + orphan, "dry run deletes nothing")
+      val wet = GraftS3.removeOrphanRemote(wh, c, horizon)
+      assert(wet.toSet == dry.toSet)
+      assert(c.list("ns/o/").toSet == liveKeys ++ logKeys,
+        "the sweep removed the debris and ONLY the debris")
+      val got = GraftTable.read(spark, tbl.toString)
+        .as[(Long, Int, String)].collect().toSet
+      assert(got == all.toSet, "the live lineage reads back exact after the sweep")
+      assert(em.rejected.get == 0)
+    } finally { unH.close(); unM.close(); unA.close(); em.close() }
+  }
+
+  test("removeOrphanRemote refuses a stale log: a remote commit slot absent locally " +
+      "— a fleet peer's fresh commit — aborts the sweep before any delete") {
+    val em = new GraftS3Server("graft-direct-stale", creds)
+    val c = em.client
+    val wh = Paths.get(scratchRoot("s3-direct",
+      s"stale-${ProcessHandle.current().pid()}"))
+    Files.createDirectories(wh)
+    val unA = GraftS3.mountCommitArbiter(wh, c)
+    val unM = GraftS3.mountArtifactMirror(wh, c, directWrite = true)
+    try {
+      val df = rows(200, 61L).toDF("id", "p", "payload")
+      val tbl = wh.resolve("ns").resolve("s")
+      GraftTable.create(spark, tbl.toString, df.schema)
+      GraftTable.append(spark, tbl.toString, df.coalesce(1))
+      // a peer won a slot this machine hasn't synced; its files would
+      // look unreferenced against the stale local log
+      val peerSlot = "ns/s/_graft_log/0000000042.json"
+      c.put(peerSlot, "{}".getBytes)
+      val orphanish = "ns/s/data/0000000042-00000-peer.parquet"
+      c.put(orphanish, "peer bytes".getBytes)
+      val before = c.list("ns/s/").toSet
+      val ex = intercept[IllegalArgumentException] {
+        GraftS3.removeOrphanRemote(wh, c,
+          olderThanMs = System.currentTimeMillis() + 60000L)
+      }
+      assert(ex.getMessage.contains("sync first"))
+      assert(c.list("ns/s/").toSet == before,
+        "the refusal fired before any delete")
+    } finally { unM.close(); unA.close(); em.close() }
+  }
 }
