@@ -1,0 +1,52 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Plan dumper for the optimization rounds (guide §1.2/§7.2): writes
+  * `.explain("formatted")` for every declared query to
+  * `<outDir>/<name>_<tag>.txt`, so plan-shape claims (Exchange count,
+  * join strategy, PushedFilters/ReadSchema) are auditable offline.
+  *
+  * Building a query's DataFrame runs its lifecycle side effects (lake
+  * gates create/append scratch tables eagerly) but never executes the
+  * returned plan — explain is plan-only, so this is the cheapest
+  * faithful capture of what the bench runs.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.Plans <outDir> <tag>
+  *   [SPARK_GRAFT_ONLY=q03_agg_groupby,...]
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val outDir = if (args.nonEmpty) args(0) else "plans/r19"
+    val tag = if (args.length > 1) args(1) else "before"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    names.foreach { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(Paths.get(outDir, s"${name}_$tag.txt"), plan)
+        println(s"[plans] wrote $name")
+      } catch { case e: Throwable =>
+        System.err.println(s"[plans] $name failed: $e")
+      }
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+    }
+    spark.stop()
+  }
+}

@@ -61,10 +61,17 @@ object GraftStats {
     val aggs = count(lit(1)).as("_gf_records") +:
       cols.map(c => hll_sketch_agg(col(c)).as(s"_sk_$c"))
     val perFile = df.groupBy(col("_gf_name")).agg(aggs.head, aggs.tail: _*)
-    cols.map { c =>
-      perFile.select(col("_gf_name").as("file_name"), lit(c).as("column"),
-        col("_gf_records").as("records"), col(s"_sk_$c").as("sketch"))
-    }.reduce(_ unionAll _)
+    // long-form via ONE explode, not one select-union branch per
+    // column: each union branch re-evaluated perFile — i.e. the whole
+    // file scan + every column's HLL sketch — only to keep one column
+    // of it (ncols× the sketch pass; the refresh's cost is exactly
+    // this pass at 100 TB)
+    perFile.select(col("_gf_name").as("file_name"),
+        col("_gf_records").as("records"),
+        explode(array(cols.map(c =>
+          struct(lit(c).as("column"), col(s"_sk_$c").as("sketch"))): _*)).as("e"))
+      .select(col("file_name"), col("e.column").as("column"),
+        col("records"), col("e.sketch").as("sketch"))
   }
 
   private def currentArtifact(root: String): Option[String] =

@@ -158,10 +158,15 @@ object Dedup {
       .filter(col("shared").cast("double") /
         (col("sa.n") + col("sb.n") - col("shared")) >= lit(jaccardThreshold))
       .select(col("bd")).distinct()
+    // cache: the survivor id list (tiny — one row per surviving batch
+    // doc) feeds the index append, the growth require AND the returned
+    // frame; uncached, each re-runs the whole candidate-verify join
+    // chain above (the expensive part of the query)
     val survivors = Tables.documents(s, dir)
       .filter(col("doc_id") % 3 === 0)
       .join(dups, col("doc_id") === col("bd"), "left_anti")
       .select(col("doc_id"))
+      .cache()
     // the incremental contract: survivors' bands extend the index for
     // the NEXT batch, one snapshot per ingestion
     val survivorBands = batchBands.join(survivors, Seq("doc_id"), "left_semi")

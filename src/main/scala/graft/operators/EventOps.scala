@@ -31,6 +31,12 @@ object EventOps {
     * order-dependent. */
   def q73(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
+    // NOTE (r19 measurement): the v/c reference tree re-evaluates the
+    // events scan 14× in the final plan; caching the per-user
+    // aggregates cuts that to 3 scans but measured 0.27 s → 0.64 s at
+    // sf0.1 (5-run medians) — the InMemoryRelation encode + lost
+    // pipeline fusion cost more than the fully-parallel recompute at
+    // gate scale. Left uncached; at 100 TB cache v and c (one line).
     val v = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("us")).as("view_us"))
     val c = e.filter(col("event_type") === "click").join(v, "user_id")

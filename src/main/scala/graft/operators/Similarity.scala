@@ -151,8 +151,12 @@ object Similarity {
     // candidates carry only ids (narrow shuffle), vectors re-join after
     // the distinct — at 100 TB the wide embedding column never rides
     // through the pair-dedup exchange
+    // cache: both sides of the bucket self-join reference this skinny
+    // (vec_id, tbl, sig) relation; uncached, each side re-runs the
+    // 32-hyperplane signature pass (the O(N·planes) dot products)
     val buckets = sigged.select(col("vec_id"),
       posexplode(array((0 until nTables).map(t => col(s"sig$t")): _*)).as(Seq("tbl", "sig")))
+      .cache()
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -195,6 +199,12 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("seed_id"),
         (dot(col("v"), col("sv")) / (col("nrm") * col("snrm"))).as("scos"))
     val byVec = Window.partitionBy(col("vec_id")).orderBy(col("scos").desc, col("seed_id"))
+    // NOTE (r19 measurement): index and probes each re-run this
+    // assignment scan; a cached skinny (vec_id, seed_id, sr) relation
+    // removes the second pass but measured 0.59 s → 0.90 s at sf0.1
+    // (5-run mins) — materialization overhead beats the recompute at
+    // gate scale. Left as-is; at 100 TB persist the assignment (q95's
+    // durable index IS that shape).
     val ranked = d.withColumn("sr", row_number().over(byVec))
     val index = ranked.filter(col("sr") === 1)          // each vector in ONE list
       .select(col("vec_id").as("nid"), col("seed_id").as("list_id"))
@@ -231,18 +241,27 @@ object Similarity {
       .limit(seedK)
       .select(col("vec_id").as("seed_id"), col("v").as("sv"), col("nrm").as("snrm"))
     val byVec = Window.partitionBy(col("vec_id")).orderBy(col("scos").desc, col("seed_id"))
+    // SKINNY cached assignment (cluster_id, vec_id): the self-join's
+    // two sides would otherwise each re-run the O(N·seeds) assignment
+    // scan, and carrying (v, nrm) through it would ship the wide
+    // embedding column through the pair shuffle — candidate pairs
+    // carry ids only, vectors re-join by id (the q36 rule)
     val assign = e.join(broadcast(seeds), expr("true"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("seed_id"),
+      .select(col("vec_id"), col("seed_id"),
         (dot(col("v"), col("sv")) / (col("nrm") * col("snrm"))).as("scos"))
       .withColumn("sr", row_number().over(byVec))
       .filter(col("sr") === 1)
-      .select(col("seed_id").as("cluster_id"), col("vec_id"), col("v"), col("nrm"))
+      .select(col("seed_id").as("cluster_id"), col("vec_id"))
+      .cache()
     assign.as("a").join(assign.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.cluster_id").as("cluster_id"),
-        col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"))
+      .join(e.as("ea"), col("keep_id") === col("ea.vec_id"))
+      .join(e.as("eb"), col("drop_id") === col("eb.vec_id"))
+      .select(col("cluster_id"), col("keep_id"), col("drop_id"),
+        (dot(col("ea.v"), col("eb.v")) / (col("ea.nrm") * col("eb.nrm"))).as("cos"))
       .filter(col("cos") >= lit(0.30))
       .orderBy(col("cluster_id"), col("drop_id"), col("keep_id"))
   }
@@ -343,6 +362,10 @@ object Similarity {
       .limit(seedK)
       .select(col("vec_id").as("seed_id"), col("v").as("sv"), col("nrm").as("snrm"))
     val byVec = Window.partitionBy(col("vec_id")).orderBy(col("scos").desc, col("seed_id"))
+    // NOTE (r19 measurement): same verdict as q48 — a cached skinny
+    // assignment regressed the gate-scale bench (1.38 s → 1.56 s
+    // 5-run mins), so the double assignment scan stays; q95 is the
+    // persisted-assignment shape for real corpora.
     val ranked = e.join(broadcast(seeds), expr("true"))
       .select(col("vec_id"), col("seed_id"),
         (dot(col("v"), col("sv")) / (col("nrm") * col("snrm"))).as("scos"))

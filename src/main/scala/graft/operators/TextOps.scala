@@ -638,6 +638,16 @@ object TextOps {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var step = 1
     var done = false
+    // checkpoint every K rounds, not every round: each eager
+    // localCheckpoint is a full materialization job, and on a
+    // vocabulary-sized table the 2-jobs-per-merge loop is pure
+    // scheduling latency. With K pending fold layers the argmax job
+    // re-applies ≤ K−1 aggregate() folds over the last checkpoint —
+    // vocabulary-sized work — while planning depth stays O(K), far
+    // below the exponential growth the per-round checkpoint guards
+    // against (SURVEY §8's connected-components lesson).
+    val ckptEvery = 4
+    var pendingFolds = 0
     while (step <= nMerges && !done) {
       val top = vocab
         // a fully-merged word has one symbol and no pairs — and
@@ -661,7 +671,11 @@ object TextOps {
             s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$a' AND x = '$b' " +
             s"THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b')) " +
             s"ELSE concat(acc, array(x)) END)"))
-          .localCheckpoint()
+        pendingFolds += 1
+        if (pendingFolds >= ckptEvery) {
+          vocab = vocab.localCheckpoint()
+          pendingFolds = 0
+        }
         step += 1
       }
     }
@@ -752,10 +766,22 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         substring(md5(col("bgr").cast("binary")), 1, 2).as("b"))
     val db = bg.groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("n"))
-    val rb = db.groupBy(col("b")).agg(sum(col("n")).as("cr"))
-    val tb = db.filter(col("lang") === "en").groupBy(col("b")).agg(sum(col("n")).as("ct"))
-    val tot = rb.agg(sum(col("cr")).as("nr")).crossJoin(tb.agg(sum(col("ct")).as("nt")))
-    val lr = rb.join(tb, Seq("b"), "left").crossJoin(broadcast(tot))
+    // ONE bucket-model aggregate instead of separate raw (rb) and
+    // target (tb) rollups: rb, tb and the totals each re-derived db —
+    // i.e. re-ran the corpus bigram explode (10 parquet scans in the
+    // r19 "before" plan). A conditional sum folds both distributions
+    // into one 256-row relation; caching THAT costs nothing and the
+    // corpus explode now runs exactly twice (model build + scoring
+    // join), the two unavoidable passes. Arithmetic is unchanged:
+    // sum(when(en, n)) over a bucket ≡ the filtered rollup's sum (null
+    // when the bucket has no target rows — the coalesce below is the
+    // same one the left join needed).
+    val byB = db.groupBy(col("b")).agg(
+      sum(col("n")).as("cr"),
+      sum(when(col("lang") === "en", col("n"))).as("ct"))
+      .cache()
+    val tot = byB.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val lr = byB.crossJoin(broadcast(tot))
       .select(col("b"),
         (log((coalesce(col("ct"), lit(0L)) + lit(1L)) / (col("nt") + lit(256.0))) -
           log((col("cr") + lit(1L)) / (col("nr") + lit(256.0)))).as("lr"))
