@@ -221,7 +221,8 @@ object Dedup {
     * coordinates the loop and checks convergence, never holds data.
     * This is how a dedup pipeline turns pairwise matches into "keep
     * one document per duplicate group". */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      smallGraphMaxEdges: Long = 500000L): DataFrame = {
     val spark = edges.sparkSession
     val symRaw = edges.select(col("da").as("a"), col("db").as("b"))
       .union(edges.select(col("db").as("a"), col("da").as("b")))
@@ -230,6 +231,56 @@ object Dedup {
     // tiny fraction of the corpus, and a fixed 32-way shuffle would
     // make every round pure scheduling overhead
     val nEdges = symRaw.count()
+    // adaptive small-graph path (the broadcast-join-threshold idiom):
+    // below the edge bound — ~8 MB collected, the same class as the
+    // repo's 64 MB eq-key driver bound — an exact driver union-find
+    // replaces the fixpoint loop, whose per-round JOBS are pure
+    // scheduler latency on a tiny graph (measured: the loop cost
+    // q52 ~2.9 s at sf0.1 on a few hundred edges; the union-find is
+    // milliseconds). Labels are identical by construction: min-label
+    // propagation converges to the minimum node id per component,
+    // which is exactly what the union-find emits. Above the bound the
+    // distributed loop remains the only path that scales.
+    if (nEdges <= smallGraphMaxEdges) {
+      val idType = symRaw.schema("a").dataType
+      val rows = symRaw.collect()
+      symRaw.unpersist(blocking = false)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      rows.foreach { r =>
+        val (a, b) = (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue())
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // path-compress to roots, then min id per root set = the label
+      val minOfRoot = scala.collection.mutable.Map.empty[Long, Long]
+      parent.keys.toSeq.foreach { id =>
+        val r = find(id)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, id), id)
+      }
+      // emit with the INPUT id type so the schema matches the loop
+      // path's output exactly (generated doc_id widths drift)
+      val lift: Long => Any = idType match {
+        case org.apache.spark.sql.types.LongType => (v: Long) => v
+        case org.apache.spark.sql.types.IntegerType => (v: Long) => v.toInt
+        case other => throw new IllegalStateException(
+          s"connectedComponents: unsupported id type $other")
+      }
+      val out = parent.keys.toSeq.sorted.map(id =>
+        org.apache.spark.sql.Row(lift(id), lift(minOfRoot(find(id)))))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("comp", idType)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out, 1), schema)
+    }
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (nEdges / 50000L + 1L).toInt))
     // localCheckpoint, not cache: caching keeps the full logical plan,

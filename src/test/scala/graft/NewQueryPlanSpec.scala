@@ -49,7 +49,10 @@ class NewQueryPlanSpec extends SparkSpec {
     val out =
       try {
         val edges = (0L until 63L).map(i => (i, i + 1)).toDF("da", "db")
-        graft.operators.Dedup.connectedComponents(edges).collect()
+        // force the DISTRIBUTED fixpoint (smallGraphMaxEdges = 0):
+        // this pin is about the loop's per-round plan growth, which
+        // the small-graph driver union-find path never exercises
+        graft.operators.Dedup.connectedComponents(edges, smallGraphMaxEdges = 0L).collect()
       } finally spark.sparkContext.removeSparkListener(listener)
     assert(out.length == 64 && out.forall(_.getLong(1) == 0L),
       "one chain component, rooted at node 0")

@@ -183,10 +183,21 @@ class OperatorSpec extends SparkSpec {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (10L, 12L), (20L, 21L)).toDF("da", "db")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // default path: the small-graph driver union-find
     val comps = Dedup.connectedComponents(edges).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(comps == expected)
+    // forced distributed fixpoint must emit the identical labels AND
+    // schema — the two paths are interchangeable by construction
+    val loop = Dedup.connectedComponents(edges, smallGraphMaxEdges = 0L)
+    val loopComps = loop.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loopComps == expected)
+    val dt = (df: org.apache.spark.sql.DataFrame) =>
+      df.schema.map(f => (f.name, f.dataType))
+    assert(dt(loop) == dt(Dedup.connectedComponents(edges)),
+      "both component paths must agree on column names and types")
   }
 
   test("SpaceSaving sketch: exact under capacity, overestimates above it") {
