@@ -77,7 +77,7 @@ private[lake] object GraftDv {
     * `.position_deletes` metadata view's DV half. */
   def positionsWithSourceDf(spark: SparkSession, absPaths: Seq[String]): DataFrame = {
     import spark.implicits._
-    val src: Column = regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1)
+    val src: Column = col("_metadata.file_name")
     spark.read.schema(schema).parquet(absPaths: _*)
       .select(col("name"), col("dv"), src.as("src"))
       .as[(String, Array[Byte], String)]

@@ -44,7 +44,7 @@ object GraftStats {
         f.dataType == StringType || f.dataType == BinaryType => f.name
     }
 
-  private def baseName(c: Column): Column = regexp_extract(c, "([^/]+)$", 1)
+  private def baseName(c: Column): Column = substring_index(c, "/", -1)
 
   /** One distributed pass over `paths` (relative to root): per
     * (file, column) HLL sketch + the file's record count, long-form
