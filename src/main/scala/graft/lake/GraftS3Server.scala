@@ -127,6 +127,13 @@ final class GraftS3Server(bucket: String, initialCreds: GraftS3.Credentials)
   private val uploads =
     new ConcurrentHashMap[String, ConcurrentSkipListMap[Int, Array[Byte]]]()
   private val uploadSeq = new AtomicInteger(0)
+  // TCP_NODELAY on the JDK server's sockets (read once at ServerConfig
+  // class-load, so set before create()): without it the header+body
+  // write-write-read exchange pattern hits Nagle + delayed-ACK and
+  // EVERY loopback request stalls ~40 ms (measured 46 ms/op GET/LIST →
+  // sub-ms after) — a transport artifact of the in-JVM fixture, not of
+  // the S3 protocol; real S3/MinIO endpoints set nodelay themselves.
+  GraftS3Server.ensureNoDelay()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   private val pageSize = 100
 
@@ -341,4 +348,16 @@ final class GraftS3Server(bucket: String, initialCreds: GraftS3.Credentials)
       java.net.http.HttpClient.newHttpClient(),
       partSizeBytes, multipartThresholdBytes, 5, 5, partConcurrency)
   override def close(): Unit = { server.stop(0); pool.shutdown() }
+}
+
+object GraftS3Server {
+  /** `sun.net.httpserver.nodelay` is consulted once when the JDK http
+    * server's ServerConfig class initializes; setting it before the
+    * FIRST HttpServer.create in the JVM is sufficient (and after that,
+    * harmless). Never overrides an explicit user setting. */
+  private lazy val noDelayOnce: Unit = {
+    if (System.getProperty("sun.net.httpserver.nodelay") == null)
+      System.setProperty("sun.net.httpserver.nodelay", "true")
+  }
+  private[lake] def ensureNoDelay(): Unit = noDelayOnce
 }
