@@ -57,7 +57,11 @@ object LakeOps {
     * the whole lifecycle, not a rows-only count. */
   def q23(s: SparkSession, dir: String): DataFrame = {
     val root = scratch("q23")
-    val li = Tables.lineitem(s, dir).cache()
+    // no cache: only TWO consumers scan li — measured (r19) the cache
+    // build alone costs ~1.3 s while a direct parquet re-scan adds
+    // ~0.2 s per append; breakeven is ≥4 consumers (q26 keeps its
+    // cache for exactly that reason)
+    val li = Tables.lineitem(s, dir)
     GraftTable.create(s, root, li.schema, Map("write.target-file-size-bytes" -> "134217728"))
     GraftTable.append(s, root, li.filter(col("l_orderkey") % 3 === 0).repartition(2))
     GraftTable.append(s, root, li.filter(col("l_orderkey") % 3 === 1).repartition(2))
